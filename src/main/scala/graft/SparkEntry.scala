@@ -1,13 +1,229 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ops.{Events, Multimodal, Recon, Relational, Text, Vectors}
+
+/** Driver contract (SURVEY.md §2 is the inventory; Appendix A + §7.4 are
+  * the determinism rules every oracle below follows: DECIMAL-exact money
+  * sums surfaced as double, µs-identical timestamps, total ORDER BY with
+  * unique tiebreaks, dialect forks documented per query).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q1PricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.1 reconciliation core (the reference's own surface)
+    "recon_rowcount"           -> (Recon.rowcount _),
+    "recon_colagg_fingerprint" -> (Recon.colaggFingerprint _),
+    "recon_hash_diff"          -> (Recon.hashDiff _),
+    "recon_missing_rows"       -> (Recon.missingRows _),
+    "recon_partition_drill"    -> (Recon.partitionDrill _),
+    // §2.3–2.7 relational analytics
+    "q1_pricing_summary"       -> (Relational.q1PricingSummary _),
+    "q3_shipping_priority"     -> (Relational.q3ShippingPriority _),
+    "q5_multiway_join"         -> (Relational.q5MultiwayJoin _),
+    "window_topk_per_group"    -> (Relational.windowTopkPerGroup _),
+    "window_running_sum"       -> (Relational.windowRunningSum _),
+    "rollup_agg"               -> (Relational.rollupAgg _),
+    "set_ops"                  -> (Relational.setOps _),
+    "scalar_funcs"             -> (Relational.scalarFuncs _),
+    // §2.8 event-time
+    "json_extract_events"      -> (Events.jsonExtract _),
+    "tumbling_window_events"   -> (Events.tumblingWindow _),
+    "sessionize_events"        -> (Events.sessionize _),
+    "sliding_window_events"    -> (Events.slidingWindow _),   // no-oracle
+    "approx_distinct_hll"      -> (Events.approxDistinctHll _), // no-oracle
+    // §2.9 LLM-pipeline: text + dedup
+    "dedup_exact_docs"         -> (Text.dedupExact _),
+    "text_token_stats"         -> (Text.tokenStats _),
+    "text_quality_score"       -> (Text.qualityScore _),
+    "doc_fingerprint"          -> (Text.fingerprint _),
+    "dedup_ngram_jaccard"      -> (Text.ngramJaccard _),
+    "dedup_minhash"            -> (Text.dedupMinhash _),      // no-oracle
+    "dedup_simhash"            -> (Text.dedupSimhash _),      // no-oracle
+    "text_langid"              -> (Text.langidNgram _),       // no-oracle
+    // §2.9 LLM-pipeline: vectors
+    "cosine_knn"               -> (Vectors.cosineKnn _),
+    "embed_centroids"          -> (Vectors.embedCentroids _),
+    "ann_lsh_topk"             -> (Vectors.annLshTopk _),     // no-oracle
+    // multimodal binary columns
+    "multimodal_bytes"         -> (Multimodal.bytesStats _),
+    "multimodal_decode_stats"  -> (Multimodal.decodeStats _)  // no-oracle
+  )
+
+  /** The 19 BASELINE.md headline queries timed by [[Bench]] — kept exactly
+    * aligned with the baseline so per-query times stay comparable. */
+  val benchQueries: Seq[String] = Seq(
+    "recon_rowcount", "recon_colagg_fingerprint", "recon_hash_diff",
+    "recon_missing_rows", "recon_partition_drill", "q1_pricing_summary",
+    "q3_shipping_priority", "q5_multiway_join", "window_topk_per_group",
+    "window_running_sum", "rollup_agg", "set_ops", "scalar_funcs",
+    "json_extract_events", "tumbling_window_events", "sessionize_events",
+    "dedup_exact_docs", "text_token_stats", "cosine_knn")
+
+  /** DuckDB-dialect oracle per query (driver runs these on the same parquet
+    * files and hash-compares). Dialect forks: get_json_object↔
+    * json_extract_string, split↔string_split, size↔len, filter↔list_filter,
+    * posexplode↔generate_subscripts/unnest, QUALIFY only on DuckDB side. */
+  def oracleSql: Map[String, String] = Map(
+    "recon_rowcount" ->
+      """SELECT 'orders' tbl, count(*) n FROM orders
+        |UNION ALL SELECT 'lineitem', count(*) FROM lineitem ORDER BY tbl""".stripMargin,
+
+    "recon_colagg_fingerprint" ->
+      """SELECT count(*) cnt, count(DISTINCT l_orderkey) dk,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) sq,
+        |  min(l_extendedprice) mn, max(l_extendedprice) mx,
+        |  CAST(sum(CAST(l_extendedprice*l_discount AS DECIMAL(18,4))) AS DOUBLE) rev
+        |FROM lineitem""".stripMargin,
+
+    "recon_hash_diff" ->
+      """WITH src AS (SELECT o_orderkey k, md5(concat_ws('|', CAST(o_custkey AS VARCHAR),
+        |       o_orderstatus, CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR))) h FROM orders),
+        |tgt AS (SELECT o_orderkey k, md5(concat_ws('|', CAST(o_custkey AS VARCHAR),
+        |       o_orderstatus, CAST(CAST(round(o_totalprice,0) AS DECIMAL(12,2)) AS VARCHAR))) h FROM orders)
+        |SELECT count(*) mismatches FROM src JOIN tgt USING (k) WHERE src.h <> tgt.h""".stripMargin,
+
+    "recon_missing_rows" ->
+      """SELECT count(*) n FROM orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)""".stripMargin,
+
+    "recon_partition_drill" ->
+      """SELECT date_trunc('month', o_orderdate) mo, count(*) n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) s
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) sq,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) sep,
+        |  CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) disc,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)/count(*) aq,
+        |  count(*) n
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "q3_shipping_priority" ->
+      """SELECT l.l_orderkey,
+        |  CAST(sum(CAST(l.l_extendedprice*(1-l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) rev,
+        |  o.o_orderdate
+        |FROM customer c JOIN orders o ON c.c_custkey=o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey=o.o_orderkey
+        |WHERE c.c_mktsegment='BUILDING' GROUP BY 1,3
+        |ORDER BY rev DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_multiway_join" ->
+      """SELECT n.n_name,
+        |  CAST(sum(CAST(l.l_extendedprice*(1-l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) rev
+        |FROM region r JOIN nation n ON n.n_regionkey=r.r_regionkey
+        |JOIN supplier s ON s.s_nationkey=n.n_nationkey
+        |JOIN lineitem l ON l.l_suppkey=s.s_suppkey
+        |JOIN orders o ON o.o_orderkey=l.l_orderkey
+        |JOIN customer c ON c.c_custkey=o.o_custkey AND c.c_nationkey=n.n_nationkey
+        |GROUP BY 1 ORDER BY rev DESC, n_name""".stripMargin,
+
+    "window_topk_per_group" ->
+      """SELECT p_brand, p_name, p_retailprice, rn FROM (
+        |  SELECT p_brand, p_name, p_retailprice,
+        |    row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) rn
+        |  FROM part) WHERE rn<=3 ORDER BY p_brand, rn""".stripMargin,
+
+    "window_running_sum" ->
+      """SELECT o_custkey, o_orderdate, o_totalprice, run FROM (
+        |  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+        |      OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) run
+        |  FROM orders) ORDER BY o_custkey, o_orderdate, o_orderkey LIMIT 100""".stripMargin,
+
+    "rollup_agg" ->
+      """SELECT coalesce(o_orderstatus,'ALL') st, coalesce(o_orderpriority,'ALL') pr,
+        |  count(*) n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) s
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority) ORDER BY 1,2""".stripMargin,
+
+    "set_ops" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment='BUILDING'
+        |INTERSECT SELECT o_custkey FROM orders WHERE o_totalprice>1000
+        |ORDER BY 1 LIMIT 50""".stripMargin,
+
+    "scalar_funcs" ->
+      """SELECT p_partkey, upper(substr(p_name,1,8)) u, CAST(length(p_type) AS BIGINT) lt,
+        |  CAST(round(CAST(p_retailprice AS DECIMAL(12,2))*CAST('1.1' AS DECIMAL(2,1)),2) AS DOUBLE) pr,
+        |  concat(p_brand,'#',CAST(p_size AS VARCHAR)) ck
+        |FROM part ORDER BY p_partkey LIMIT 100""".stripMargin,
+
+    "json_extract_events" ->
+      """SELECT event_type, count(*) n,
+        |  CAST(sum(CAST(json_extract_string(props,'$.k') AS INT)) AS BIGINT) sk
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "tumbling_window_events" ->
+      """SELECT date_trunc('hour', ts) h, event_type, count(*) n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) v
+        |FROM events GROUP BY 1,2 ORDER BY 1,2 LIMIT 200""".stripMargin,
+
+    "sessionize_events" ->
+      """WITH g AS (SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts,
+        |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) sid FROM g)
+        |SELECT user_id, sid, count(*) n, date_trunc('second', min(ts)) t0,
+        |  date_trunc('second', max(ts)) t1
+        |FROM s GROUP BY 1,2 ORDER BY 1,2 LIMIT 200""".stripMargin,
+
+    "dedup_exact_docs" ->
+      "SELECT count(*) - count(DISTINCT md5(text)) exact_dups FROM documents",
+
+    "text_token_stats" ->
+      """SELECT tok, count(*) n FROM (SELECT unnest(string_split(text,' ')) tok FROM documents)
+        |GROUP BY 1 ORDER BY n DESC, tok LIMIT 20""".stripMargin,
+
+    "text_quality_score" ->
+      """SELECT doc_id, n_chars, len(string_split(text,' ')) n_tokens,
+        |  CAST(length(text) AS DOUBLE)/len(string_split(text,' ')) chars_per_token,
+        |  CAST(len(list_filter(string_split(text,' '),
+        |       t -> t IN ('the','a','of','and','to'))) AS DOUBLE)
+        |    /len(string_split(text,' ')) stop_ratio
+        |FROM documents ORDER BY doc_id LIMIT 1000""".stripMargin,
+
+    "doc_fingerprint" ->
+      """SELECT doc_id, min(md5(sh)) fp FROM (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, greatest(length(text)-7,1)),
+        |         i -> substr(text, CAST(i AS INT), 8))) sh
+        |  FROM documents) GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      """SELECT a_id, b_id, CAST(icnt AS DOUBLE)/(alen+blen-icnt) jac FROM (
+        |  SELECT a.doc_id a_id, b.doc_id b_id,
+        |    len(list_intersect(a.toks,b.toks)) icnt, len(a.toks) alen, len(b.toks) blen
+        |  FROM (SELECT doc_id, source, list_distinct(string_split(text,' ')) toks FROM documents) a
+        |  JOIN (SELECT doc_id, source, list_distinct(string_split(text,' ')) toks FROM documents) b
+        |    ON a.source=b.source AND a.doc_id<b.doc_id)
+        |ORDER BY jac DESC, a_id, b_id LIMIT 20""".stripMargin,
+
+    "cosine_knn" ->
+      """SELECT a.vec_id, b.vec_id nn,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[])), 4) sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |QUALIFY row_number() OVER (PARTITION BY a.vec_id ORDER BY sim DESC, nn) = 1
+        |ORDER BY a.vec_id LIMIT 50""".stripMargin,
+
+    "embed_centroids" ->
+      """SELECT label, CAST(pos AS INT) pos,
+        |  CAST(sum(CAST(val AS DECIMAL(18,9))) AS DOUBLE)/count(*) c
+        |FROM (SELECT label, generate_subscripts(embedding,1) pos, unnest(embedding) val
+        |      FROM embeddings)
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "multimodal_bytes" ->
+      """SELECT doc_id, octet_length(encode(text)) nbytes, md5(text) sig
+        |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin
+  )
 }

@@ -1,0 +1,76 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time block (SURVEY.md §2.8), batch forms. Each op has a
+  * Structured-Streaming twin in [[graft.streaming.StreamingOps]].
+  *
+  * Determinism: `events.ts` is ns in parquet; [[Tables.events]] normalizes
+  * to µs so gap comparisons and truncations agree with the oracle engine
+  * (SURVEY §7.4.2). Session ids come from the classic lag→break→running-sum
+  * pattern — two windows over the same (user_id, ts) partitioning, so Spark
+  * shuffles once and reuses the sort.
+  *
+  * 100 TB posture: events is the skewed table (zipf-ish user_id); the
+  * per-user windows rely on AQE skew handling, and the hour/type rollup is
+  * a plain two-phase hash aggregate (map-side partials, one shuffle).
+  */
+object Events {
+  import Recon.decSum
+
+  /** Extract `$.k` from the JSON props column, aggregate per event type. */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(get_json_object(col("props"), "$.k").cast("int")).as("sk"))
+      .orderBy("event_type")
+
+  /** Tumbling 1-hour window: per-hour, per-type count/sum. */
+  def tumblingWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"), decSum(col("value")).as("v"))
+      .orderBy("h", "event_type")
+      .limit(200)
+
+  /** 30-minute-gap sessionization: lag → break flag → running sum = session
+    * id → per-session aggregates. Gap test is in exact microseconds. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byUser))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(gapUs.isNull || gapUs > 1800000000L, 1).otherwise(0).as("brk"))
+      .select(col("user_id"), col("ts"),
+        sum(col("brk")).over(byUser).cast("int").as("sid"))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(count(lit(1)).as("n"),
+        date_trunc("second", min(col("ts"))).as("t0"),
+        date_trunc("second", max(col("ts"))).as("t1"))
+      .orderBy("user_id", "sid")
+      .limit(200)
+  }
+
+  /** Sliding window (1 h every 15 min) — overlap semantics, no single-
+    * statement DuckDB twin; verified by unit test (SURVEY §2.8). */
+  def slidingWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), decSum(col("value")).as("v"))
+      .select(col("window.start").as("ws"), col("window.end").as("we"),
+        col("event_type"), col("n"), col("v"))
+      .orderBy("ws", "event_type")
+
+  /** HyperLogLog distinct users per type, with the exact count alongside —
+    * approximate, so verified by error bound in a unit test, not an oracle. */
+  def approxDistinctHll(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .orderBy("event_type")
+}

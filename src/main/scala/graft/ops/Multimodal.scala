@@ -1,0 +1,76 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A media record: opaque binary payload + typed metadata. In a real
+  * pipeline `payload` holds image/audio/video bytes read from parquet
+  * binary columns; here it is fabricated from document text so the Spark
+  * plumbing (schema, partitioning, typed iteration) is real and testable. */
+case class MediaRecord(doc_id: Long, kind: String, payload: Array[Byte])
+
+/** Decoded per-item features a codec would produce. */
+case class MediaFeatures(doc_id: Long, kind: String, nbytes: Long,
+                         width: Int, height: Int, frames: Int)
+
+/** Multimodal-column block: image/audio/video as opaque binary columns with
+  * typed metadata (task north star). The container ships no media codecs,
+  * so the decode step is a clearly-marked deterministic STUB — everything
+  * around it (binary column handling, per-partition batch iteration, typed
+  * Dataset schema, aggregation) is the real distributed plumbing.
+  *
+  * 100 TB posture: decode runs inside `mapPartitions` — per-partition
+  * streaming, no driver collection, codec init amortized once per
+  * partition (where a real decoder would be instantiated).
+  */
+object Multimodal {
+
+  /** Byte-level stats over the payload column — fully oracle-checkable. */
+  def bytesStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        octet_length(col("text")).cast("long").as("nbytes"),
+        md5(col("text")).as("sig"))
+      .orderBy("doc_id")
+      .limit(200)
+
+  /** Fabricate binary media records from documents: payload = utf-8 bytes,
+    * kind cycles image/audio/video by doc_id. */
+  private[graft] def mediaRecords(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(3)) === 0, "image")
+          .when(pmod(col("doc_id"), lit(3)) === 1, "audio")
+          .otherwise("video").as("kind"),
+        col("text").cast("binary").as("payload"))
+      .as[MediaRecord]
+  }
+
+  /** STUB decode — deterministic shape fields derived from payload bytes.
+    * A real implementation would hand `payload` to a codec here; the
+    * signature, batch shape, and downstream schema would not change. */
+  private[graft] def decodeStub(r: MediaRecord): MediaFeatures = {
+    val n = r.payload.length
+    val h = java.util.Arrays.hashCode(r.payload) & 0x7fffffff
+    r.kind match {
+      case "image" => MediaFeatures(r.doc_id, r.kind, n, 16 + h % 64, 16 + (h / 64) % 64, 1)
+      case "audio" => MediaFeatures(r.doc_id, r.kind, n, 1, 1, 8000 + h % 8000)
+      case _       => MediaFeatures(r.doc_id, r.kind, n, 16 + h % 64, 16 + (h / 64) % 64, 24 + h % 240)
+    }
+  }
+
+  /** Decode (stubbed) then aggregate per-kind shape statistics. */
+  def decodeStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaRecords(spark, dir)
+      .mapPartitions(_.map(decodeStub)) // codec init would live here, once per partition
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("nbytes")).as("total_bytes"),
+        min(col("width")).as("min_w"), max(col("width")).as("max_w"),
+        max(col("frames")).as("max_frames"))
+      .orderBy("kind")
+  }
+}

@@ -1,0 +1,118 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational analytics block (SURVEY.md §2.3–§2.7).
+  *
+  * 100 TB posture: all plans are declarative so Catalyst's pushdown /
+  * pruning / join-selection apply. Joins are written smallest-first;
+  * region/nation/supplier stay under `autoBroadcastJoinThreshold` so the
+  * multiway join degenerates to broadcast hash joins with a single shuffle
+  * on the fact table. Top-k uses `orderBy().limit()` which plans as
+  * `TakeOrderedAndProject` — no global sort materialization.
+  */
+object Relational {
+  import Recon.decSum
+
+  /** TPC-H-Q1-style pricing summary: filter → 5 aggregates → sort. */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        decSum(col("l_quantity")).as("sq"),
+        decSum(col("l_extendedprice")).as("sep"),
+        decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("disc"),
+        (decSum(col("l_quantity")) / count(lit(1))).as("aq"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** 3-way equi-join + group + top-10 (shipping priority). */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      .select(col("l_orderkey"), col("rev"), col("o_orderdate"))
+      .orderBy(col("rev").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(10)
+
+  /** 6-way join through the dimension chain, extra equi-condition on the
+    * customer's nation. Dims are tiny → broadcast; lineitem shuffles once. */
+  def q5MultiwayJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.region(spark, dir)
+      .join(Tables.nation(spark, dir), col("n_regionkey") === col("r_regionkey"))
+      .join(Tables.supplier(spark, dir), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.lineitem(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(spark, dir),
+        col("c_custkey") === col("o_custkey") && col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      .orderBy(col("rev").desc, col("n_name"))
+
+  /** Ranking window: top-3 parts per brand by price. */
+  def windowTopkPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    Tables.part(spark, dir)
+      .select(col("p_brand"), col("p_name"), col("p_retailprice"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy("p_brand", "rn")
+  }
+
+  /** Frame-spec window: running sum per customer over order date. */
+  def windowRunningSum(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+        col("o_totalprice"),
+        sum(col("o_totalprice").cast(DecimalType(18, 4))).over(w)
+          .cast("double").as("run"))
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+      .limit(100)
+      .drop("o_orderkey")
+  }
+
+  /** ROLLUP over (status, priority) incl. the grand-total row. */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), decSum(col("o_totalprice")).as("s"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("pr"),
+        col("n"), col("s"))
+      .orderBy("st", "pr")
+
+  /** Set operation: BUILDING customers ∩ customers with orders > 1000. */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val building = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val bigOrders = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 1000).select(col("o_custkey").as("c_custkey"))
+    building.intersect(bigOrders).orderBy("c_custkey").limit(50)
+  }
+
+  /** String/math scalar battery; money math through DECIMAL for
+    * engine-identical rounding. */
+  def scalarFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(
+        col("p_partkey"),
+        upper(substring(col("p_name"), 1, 8)).as("u"),
+        length(col("p_type")).cast("long").as("lt"),
+        round(col("p_retailprice").cast(DecimalType(12, 2))
+          * lit("1.1").cast(DecimalType(2, 1)), 2).cast("double").as("pr"),
+        concat(col("p_brand"), lit("#"), col("p_size").cast("string")).as("ck"))
+      .orderBy("p_partkey")
+      .limit(100)
+}

@@ -1,0 +1,185 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + deduplication block for LLM-training-data pipelines
+  * (SURVEY.md §2.9 + task north star): exact dedup, n-gram Jaccard,
+  * MinHash-LSH, SimHash, token stats, quality scoring, language ID,
+  * document fingerprinting.
+  *
+  * 100 TB posture: every op is explode→hash-aggregate→(band-)join shaped.
+  * The LSH family never compares all pairs — candidates come from joining
+  * on (band, band-hash) buckets, so the shuffle volume is O(docs × bands),
+  * not O(docs²). Identical-document floods (the classic LSH skew) are the
+  * one hot spot: buckets of k identical docs cost k² pairs; AQE skew-join
+  * splitting plus an optional per-bucket cap handle that at scale.
+  */
+object Text {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+
+  /** Exact-duplicate count via md5 of the full text. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).agg(
+      (count(lit(1)) - countDistinct(md5(col("text")))).as("exact_dups"))
+
+  /** Top-20 terms: tokenize, explode, count. */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok"))
+      .limit(20)
+
+  /** Per-document quality signals: token count, chars-per-token,
+    * stopword ratio. Int/int division is exact in double → oracle-safe. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val stops = filter(toks, t => t.isin("the", "a", "of", "and", "to"))
+    docs(spark, dir).select(
+      col("doc_id"), col("n_chars"),
+      size(toks).cast("long").as("n_tokens"),
+      (length(col("text")).cast("double") / size(toks)).as("chars_per_token"),
+      (size(stops).cast("double") / size(toks)).as("stop_ratio"))
+      .orderBy("doc_id")
+      .limit(1000)
+  }
+
+  /** Document fingerprint: min of md5 over all 8-char shingles (a 1-value
+    * winnowing sketch) — identical docs get identical fingerprints. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .selectExpr("doc_id",
+        "explode(transform(sequence(1, greatest(length(text)-7, 1)), i -> substring(text, i, 8))) AS sh")
+      .groupBy("doc_id").agg(min(md5(col("sh"))).as("fp"))
+      .orderBy("doc_id")
+
+  /** Exact token-set Jaccard over same-source candidate pairs, top-20 most
+    * similar. Blocking on `source` bounds the pair count; the 100 TB path
+    * replaces this blocking with [[dedupMinhash]]'s LSH buckets. */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val t = docs(spark, dir).select(col("doc_id"), col("source"),
+      array_distinct(split(col("text"), " ")).as("toks"))
+    val joined = t.select(col("doc_id").as("a_id"), col("source"), col("toks").as("ta"))
+      .join(t.select(col("doc_id").as("b_id"), col("source"), col("toks").as("tb")), "source")
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("icnt", size(array_intersect(col("ta"), col("tb"))))
+    joined.select(col("a_id"), col("b_id"),
+      (col("icnt").cast("double") / (size(col("ta")) + size(col("tb")) - col("icnt"))).as("jac"))
+      .orderBy(col("jac").desc, col("a_id"), col("b_id"))
+      .limit(20)
+  }
+
+  private val NumHashes = 32
+  private val Bands = 8
+  private val RowsPerBand = NumHashes / Bands
+
+  /** MinHash + LSH near-duplicate detection over distinct-token sets:
+    * 32 permutations approximated by seeded xxhash64, 8 bands × 4 rows,
+    * candidate pairs from band-bucket self-join, then the signature-overlap
+    * Jaccard estimate. Verified against exact Jaccard in unit tests
+    * (property: estimate within ε) — no SQL oracle (SURVEY §2.9).
+    *
+    * Token-set (not positional-shingle) hashing on purpose: near-dupes in
+    * this corpus are token permutations, and Jaccard is set-based anyway.
+    */
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSignatures(
+      docs(spark, dir).select(col("doc_id"), split(col("text"), " ").as("toks")))
+    val bandHash = (b: Int) =>
+      xxhash64((b * RowsPerBand until (b + 1) * RowsPerBand).map(i => col(s"h$i")): _*)
+    val banded = sig.select(col("doc_id"),
+      posexplode(array((0 until Bands).map(bandHash): _*)).as(Seq("band", "bh")))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    val agree = (0 until NumHashes)
+      .map(i => when(col(s"sa.h$i") === col(s"sb.h$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.join(sig.as("sa"), col("a_id") === col("sa.doc_id"))
+      .join(sig.as("sb"), col("b_id") === col("sb.doc_id"))
+      .select(col("a_id"), col("b_id"),
+        (agree.cast("double") / NumHashes).as("est_jaccard"))
+      .orderBy(col("est_jaccard").desc, col("a_id"), col("b_id"))
+      .limit(100)
+  }
+
+  /** doc_id + 32 min-hash columns h0..h31 from a (doc_id, toks) frame —
+    * one explode + one hash-aggregate, all map-side-combinable. */
+  private[graft] def minhashSignatures(docToks: DataFrame): DataFrame = {
+    val tok = docToks
+      .select(col("doc_id"), explode(array_distinct(col("toks"))).as("tok"))
+    val mins = (0 until NumHashes).map(i => min(xxhash64(lit(i), col("tok"))).as(s"h$i"))
+    tok.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** 64-bit SimHash near-dup detection: per-token hash votes on each bit,
+    * sign of the vote sum becomes the bit; candidates share one of four
+    * 16-bit chunks (any pair within Hamming distance 3 must match ≥1 chunk);
+    * emit pairs with Hamming distance ≤ 16. Unit-tested, no oracle. */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val sig = simhashSignatures(
+      docs(spark, dir).select(col("doc_id"), split(col("text"), " ").as("toks")))
+    val chunks = (0 until 4).map(c =>
+      shiftright(col("simhash"), 16 * c).bitwiseAND(lit(0xFFFFL)).as(s"c$c"))
+    val e = sig.select(col("doc_id") +: col("simhash") +: chunks: _*)
+      .select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 4).map(c => col(s"c$c")): _*)).as(Seq("chunk", "cv")))
+    e.as("x").join(e.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.cv") === col("y.cv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        col("x.simhash").as("sa"), col("y.simhash").as("sb"))
+      .distinct()
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).as("hamming"))
+      .filter(col("hamming") <= 16)
+      .orderBy(col("hamming"), col("a_id"), col("b_id"))
+      .limit(100)
+  }
+
+  /** doc_id + 64-bit simhash from a (doc_id, toks) frame. */
+  private[graft] def simhashSignatures(docToks: DataFrame): DataFrame = {
+    val tok = docToks.select(col("doc_id"), explode(col("toks")).as("tok"))
+    val h = xxhash64(col("tok"))
+    val votes = (0 until 64).map(b =>
+      sum(when(shiftright(h, b).bitwiseAND(lit(1L)) === 1, 1).otherwise(-1)).as(s"bit$b"))
+    tok.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(b =>
+          shiftleft(when(col(s"bit$b") > 0, lit(1L)).otherwise(lit(0L)), b))
+          .reduce(_ bitwiseOR _).as("simhash"))
+  }
+
+  /** Language ID via char-bigram profiles: the profile (top-30 bigrams per
+    * language) is trained distributed from the corpus itself, then each doc
+    * is scored by profile overlap and argmax-classified; output is the
+    * (true lang, predicted lang) confusion matrix. The profile is a tiny
+    * dimension table → broadcast join at any scale. Non-oracle. */
+  def langidNgram(spark: SparkSession, dir: String): DataFrame = {
+    val grams = docs(spark, dir).selectExpr("doc_id", "lang",
+      "explode(transform(sequence(1, greatest(length(text)-1, 1)), i -> substring(text, i, 2))) AS g")
+    val rankW = Window.partitionBy(col("p_lang")).orderBy(col("cnt").desc, col("g"))
+    val profile = grams.groupBy(col("lang").as("p_lang"), col("g"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(rankW))
+      .filter(col("rk") <= 30)
+      .select(col("p_lang"), col("g"))
+    val argmaxW = Window.partitionBy(col("doc_id"))
+      .orderBy(col("hits").desc, col("p_lang"))
+    val pred = grams.join(broadcast(profile), "g")
+      .groupBy(col("doc_id"), col("lang"), col("p_lang"))
+      .agg(count(lit(1)).as("hits"))
+      .withColumn("rk", row_number().over(argmaxW))
+      .filter(col("rk") === 1)
+    pred.groupBy(col("lang"), col("p_lang").as("pred"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "pred")
+  }
+}

@@ -1,0 +1,48 @@
+package graft.sources
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink surface beyond the primary parquet path (SURVEY.md §2.2):
+  * CSV and JSON ingest (typical recon-tool source extracts), parquet
+  * write-back, and temp-view registration so every op is also reachable
+  * through `spark.sql`. Hive-metastore registration (`saveAsTable` under
+  * `enableHiveSupport`) is intentionally not wired into the harness — the
+  * driver reads raw parquet paths — but `write`+`createOrReplaceTempView`
+  * cover the same query surface.
+  */
+object Sources {
+
+  /** Schema-pinned read of any supported format. Schema is mandatory:
+    * inference is a full extra pass at scale and invites type drift. */
+  def read(spark: SparkSession, path: String, schema: StructType,
+           format: String = "parquet"): DataFrame = {
+    val r = spark.read.schema(schema)
+    format match {
+      case "parquet" => r.parquet(path)
+      case "csv"     => r.option("header", "true").csv(path)
+      case "json"    => r.json(path)
+      case other     => throw new IllegalArgumentException(s"unsupported format: $other")
+    }
+  }
+
+  def write(df: DataFrame, path: String, format: String = "parquet",
+            mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val w = df.write.mode(mode)
+    format match {
+      case "parquet" => w.parquet(path)
+      case "csv"     => w.option("header", "true").csv(path)
+      case "json"    => w.json(path)
+      case other     => throw new IllegalArgumentException(s"unsupported format: $other")
+    }
+  }
+
+  /** Register all ten driver tables as temp views for spark.sql access. */
+  def registerTempViews(spark: SparkSession, dir: String): Unit = {
+    Seq("region", "nation", "supplier", "part", "customer", "orders",
+      "lineitem", "documents", "embeddings")
+      .foreach(n => Tables.read(spark, dir, n).createOrReplaceTempView(n))
+    Tables.events(spark, dir).createOrReplaceTempView("events")
+  }
+}

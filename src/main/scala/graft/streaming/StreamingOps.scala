@@ -1,0 +1,41 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured-Streaming twins of the batch event-time ops
+  * (SURVEY.md §2.8). Each takes any events-shaped frame — batch or
+  * `readStream` — and returns the transformed frame; the caller picks the
+  * sink (`writeStream` + checkpoint in production, memory sink in tests).
+  *
+  * Watermarks bound state: an event later than the watermark is dropped
+  * rather than held forever — the only sane policy when the state store
+  * would otherwise grow with the full 100 TB history.
+  */
+object StreamingOps {
+
+  /** Tumbling 1-hour per-type counts/sums; 1-hour lateness tolerance. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+      .select(col("window.start").as("ws"), col("window.end").as("we"),
+        col("event_type"), col("n"), col("v"))
+
+  /** Sliding 1-hour window every 15 minutes. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("window.end").as("we"),
+        col("event_type"), col("n"))
+
+  /** 30-minute-gap sessions per user via the built-in session_window —
+    * the streaming twin of the batch lag→running-sum sessionizer. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("ss"),
+        col("session_window.end").as("se"), col("user_id"), col("n"))
+}
