@@ -1,5 +1,15 @@
 package graft
+import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times the BASELINE.md headline queries on
+  * `SPARK_GRAFT_SF_DIR` and emits one JSON line.
+  *
+  * Methodology matches BASELINE.md ("warm cache; second run timed"): every
+  * query runs once untimed — paying codegen compilation, file-footer reads
+  * and JIT — then the second pass is timed. A query failure fails the bench
+  * loudly; a swallowed Throwable would count a crash as a fast success.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,23 +17,24 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Time the 19 BASELINE.md headline queries (same inventory as the
-    // baseline so totals stay comparable); one warm-up run amortizes
-    // session/codegen startup out of the per-query numbers.
-    SparkEntry.queries("recon_rowcount")(spark, sfDir).count()
+    SparkEntry.benchQueries.foreach(n => SparkEntry.queries(n)(spark, sfDir).count())
     val results = SparkEntry.benchQueries.map { name =>
-      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      SparkEntry.queries(name)(spark, sfDir).count()
       name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // sbt prefixes stdout with "[info] ", which broke the driver's JSON
+    // parse in round 1 — the file is the machine-readable channel.
+    Files.writeString(Paths.get("bench_out.json"), json)
+    println(json)
     spark.stop()
   }
 }

@@ -110,10 +110,12 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
 
-  /** events with `ts` normalized to Spark TimestampType at µs precision. */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  /** events with `ts` normalized to Spark TimestampType at µs precision.
+    * Requires `spark.sql.legacy.parquet.nanosAsLong=true` in the session
+    * (set where the session is built — Verify, Bench, and the test
+    * harness all do; mutating it here per-call was round-1 action-at-a-
+    * distance). Without it the parquet reader rejects TIMESTAMP(NANOS). */
+  def events(spark: SparkSession, dir: String): DataFrame =
     spark.read.schema(eventsRaw).parquet(s"$dir/events.parquet")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-  }
 }

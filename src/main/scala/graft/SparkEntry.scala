@@ -216,8 +216,10 @@ object SparkEntry {
         |ORDER BY a.vec_id LIMIT 50""".stripMargin,
 
     "embed_centroids" ->
+      // val goes FLOAT→DOUBLE→DECIMAL like the Spark side: DuckDB's direct
+      // FLOAT→DECIMAL cast rounds differently in the last decimal digit.
       """SELECT label, CAST(pos AS INT) pos,
-        |  CAST(sum(CAST(val AS DECIMAL(18,9))) AS DOUBLE)/count(*) c
+        |  CAST(sum(CAST(CAST(val AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)/count(*) c
         |FROM (SELECT label, generate_subscripts(embedding,1) pos, unnest(embedding) val
         |      FROM embeddings)
         |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,

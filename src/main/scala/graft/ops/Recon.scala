@@ -40,18 +40,33 @@ object Recon {
       max(col("l_extendedprice")).as("mx"),
       decSum(col("l_extendedprice") * col("l_discount")).as("rev"))
 
-  /** Row-level checksum compare: md5 over normalized column text on both
-    * sides, join on key, count hash mismatches. The "target" side simulates
-    * a bad load by rounding the price. Doubles are normalized through
-    * DECIMAL(12,2) so the concat text is identical in any engine. */
+  /** Row-level checksum compare. The harness op simulates the "target"
+    * side by rounding the price on the SAME table — so both hashes are
+    * computed in one scan projection and compared row-locally: zero joins,
+    * zero shuffles (round 1 self-joined the table with itself and paid a
+    * double scan plus a key shuffle for nothing). Doubles are normalized
+    * through DECIMAL(12,2) so the concat text is identical in any engine.
+    * For genuinely two-sided recon (source ≠ target) use [[hashDiffTables]]. */
   def hashDiff(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(spark, dir)
     def rowHash(price: Column) = md5(concat_ws("|",
       col("o_custkey").cast("string"), col("o_orderstatus"),
       price.cast(DecimalType(12, 2)).cast("string")))
-    val src = o.select(col("o_orderkey").as("k"), rowHash(col("o_totalprice")).as("h_src"))
-    val tgt = o.select(col("o_orderkey").as("k"), rowHash(round(col("o_totalprice"), 0)).as("h_tgt"))
-    src.join(tgt, "k")
+    Tables.orders(spark, dir)
+      .select(rowHash(col("o_totalprice")).as("h_src"),
+        rowHash(round(col("o_totalprice"), 0)).as("h_tgt"))
+      .filter(col("h_src") =!= col("h_tgt"))
+      .agg(count(lit(1)).as("mismatches"))
+  }
+
+  /** Two-sided row-hash reconciliation between distinct source and target
+    * frames: checksum `cols` on each side map-side (only (key, hash) pairs
+    * shuffle, never full rows), join on `key`, count mismatches. At scale,
+    * bucket both sides on `key` so the join is co-located. */
+  def hashDiffTables(src: DataFrame, tgt: DataFrame,
+                     key: String, cols: Seq[String]): DataFrame = {
+    def hashed(df: DataFrame, h: String) = df.select(col(key).as("k"),
+      md5(concat_ws("|", cols.map(c => col(c).cast("string")): _*)).as(h))
+    hashed(src, "h_src").join(hashed(tgt, "h_tgt"), "k")
       .filter(col("h_src") =!= col("h_tgt"))
       .agg(count(lit(1)).as("mismatches"))
   }

@@ -50,12 +50,15 @@ object Text {
   }
 
   /** Document fingerprint: min of md5 over all 8-char shingles (a 1-value
-    * winnowing sketch) — identical docs get identical fingerprints. */
+    * winnowing sketch) — identical docs get identical fingerprints.
+    * The min is a row-local array fold (`array_min(transform(...))`), not
+    * an explode+groupBy: the whole op is a scan projection with no
+    * exchange at all (asserted in tests), which is the difference between
+    * a map-only pass and a full shuffle at 100 TB. */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .selectExpr("doc_id",
-        "explode(transform(sequence(1, greatest(length(text)-7, 1)), i -> substring(text, i, 8))) AS sh")
-      .groupBy("doc_id").agg(min(md5(col("sh"))).as("fp"))
+        "array_min(transform(sequence(1, greatest(length(text)-7, 1)), i -> md5(substring(text, i, 8)))) AS fp")
       .orderBy("doc_id")
 
   /** Exact token-set Jaccard over same-source candidate pairs, top-20 most
@@ -78,6 +81,20 @@ object Text {
   private val Bands = 8
   private val RowsPerBand = NumHashes / Bands
 
+  /** Per-LSH-bucket candidate cap: a bucket of k identical documents
+    * otherwise produces k²/2 candidate pairs — the classic LSH skew bomb.
+    * Keeping only the first `MaxBucketDocs` docs (by doc_id, deterministic)
+    * bounds any bucket's cost at cap²/2 pairs. Docs beyond the cap still
+    * appear via their other bands/chunks; for true dedup the survivors
+    * transitively represent the flood. */
+  private[graft] val MaxBucketDocs = 50
+
+  private def capBuckets(banded: DataFrame, keys: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("doc_id"))
+    banded.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= MaxBucketDocs).drop("rk")
+  }
+
   /** MinHash + LSH near-duplicate detection over distinct-token sets:
     * 32 permutations approximated by seeded xxhash64, 8 bands × 4 rows,
     * candidate pairs from band-bucket self-join, then the signature-overlap
@@ -92,8 +109,10 @@ object Text {
       docs(spark, dir).select(col("doc_id"), split(col("text"), " ").as("toks")))
     val bandHash = (b: Int) =>
       xxhash64((b * RowsPerBand until (b + 1) * RowsPerBand).map(i => col(s"h$i")): _*)
-    val banded = sig.select(col("doc_id"),
-      posexplode(array((0 until Bands).map(bandHash): _*)).as(Seq("band", "bh")))
+    val banded = capBuckets(
+      sig.select(col("doc_id"),
+        posexplode(array((0 until Bands).map(bandHash): _*)).as(Seq("band", "bh"))),
+      Seq("band", "bh"))
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -110,13 +129,15 @@ object Text {
       .limit(100)
   }
 
-  /** doc_id + 32 min-hash columns h0..h31 from a (doc_id, toks) frame —
-    * one explode + one hash-aggregate, all map-side-combinable. */
+  /** doc_id + 32 min-hash columns h0..h31 from a (doc_id, toks) frame.
+    * Each h_i is a row-local array fold (`array_min(transform(...))`) —
+    * the signature needs no shuffle at all; round 1's explode+groupBy
+    * paid a 32-column aggregate for a per-row computation. */
   private[graft] def minhashSignatures(docToks: DataFrame): DataFrame = {
-    val tok = docToks
-      .select(col("doc_id"), explode(array_distinct(col("toks"))).as("tok"))
-    val mins = (0 until NumHashes).map(i => min(xxhash64(lit(i), col("tok"))).as(s"h$i"))
-    tok.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    val distinctToks = array_distinct(col("toks"))
+    val mins = (0 until NumHashes).map(i =>
+      array_min(transform(distinctToks, t => xxhash64(lit(i), t))).as(s"h$i"))
+    docToks.select(col("doc_id") +: mins: _*)
   }
 
   /** 64-bit SimHash near-dup detection: per-token hash votes on each bit,
@@ -128,9 +149,11 @@ object Text {
       docs(spark, dir).select(col("doc_id"), split(col("text"), " ").as("toks")))
     val chunks = (0 until 4).map(c =>
       shiftright(col("simhash"), 16 * c).bitwiseAND(lit(0xFFFFL)).as(s"c$c"))
-    val e = sig.select(col("doc_id") +: col("simhash") +: chunks: _*)
-      .select(col("doc_id"), col("simhash"),
-        posexplode(array((0 until 4).map(c => col(s"c$c")): _*)).as(Seq("chunk", "cv")))
+    val e = capBuckets(
+      sig.select(col("doc_id") +: col("simhash") +: chunks: _*)
+        .select(col("doc_id"), col("simhash"),
+          posexplode(array((0 until 4).map(c => col(s"c$c")): _*)).as(Seq("chunk", "cv"))),
+      Seq("chunk", "cv"))
     e.as("x").join(e.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.cv") === col("y.cv") &&
           col("x.doc_id") < col("y.doc_id"))

