@@ -89,7 +89,7 @@ object Text {
     * transitively represent the flood. */
   private[graft] val MaxBucketDocs = 50
 
-  private def capBuckets(banded: DataFrame, keys: Seq[String]): DataFrame = {
+  private[graft] def capBuckets(banded: DataFrame, keys: Seq[String]): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col("doc_id"))
     banded.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= MaxBucketDocs).drop("rk")

@@ -87,20 +87,33 @@ object Vectors {
       }
     }
 
+  /** Balanced-tree sum: depth log₂(n) instead of n. Janino cannot compile
+    * a whole-stage-codegen method holding several depth-64 left-leaning
+    * Add chains (the 8-plane bucket projection) — it falls back to
+    * interpreted, which is exactly the cost this op exists to avoid. Used
+    * only where the summation order carries no oracle contract. */
+  private def balancedSum(cols: Seq[Column]): Column =
+    if (cols.sizeIs == 1) cols.head
+    else balancedSum(cols.grouped(2).map(_.reduce(_ + _)).toSeq)
+
   /** Approximate NN: 8 random-hyperplane sign bits → 256 buckets; exact
     * cosine only within a bucket; top-1 per vector. Recall vs. brute force
     * is asserted in unit tests (no oracle — approximate by design).
     * At scale: more planes per band + multiple bands (same pattern as
-    * MinHash-LSH) trade recall for bucket size. */
+    * MinHash-LSH) trade recall for bucket size. The bucket join is hinted
+    * to shuffled-hash: sort-merge would sort both sides on a hash bucket
+    * key whose order is meaningless. */
   def annLshTopk(spark: SparkSession, dir: String): DataFrame = {
     val bucket = (0 until NumPlanes).map { j =>
-      shiftleft(when(dot(col("v"), typedlit(planes(j))) > 0, lit(1L)).otherwise(lit(0L)), j)
+      val planeDot = balancedSum((1 to Dim).map(i =>
+        element_at(col("v"), i) * lit(planes(j)(i - 1))))
+      shiftleft(when(planeDot > 0, lit(1L)).otherwise(lit(0L)), j)
     }.reduce(_ bitwiseOR _)
     val e = normalized(spark, dir).withColumn("bucket", bucket)
     val left = e.select(col("vec_id"), col("v").as("va"), col("nrm").as("na"), col("bucket"))
     val right = e.select(col("vec_id").as("nn"), col("v").as("vb"), col("nrm").as("nb"), col("bucket"))
     val sim = round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4)
-    val pairs = left.join(right, Seq("bucket"))
+    val pairs = left.join(right.hint("shuffle_hash"), Seq("bucket"))
       .filter(col("vec_id") =!= col("nn"))
       .select(col("vec_id"), col("nn"), sim.as("sim"))
     bestNeighbor(pairs).orderBy("vec_id").limit(50)

@@ -1,0 +1,82 @@
+package graft
+
+import graft.ops.Events
+import org.apache.spark.sql.functions._
+
+/** Event-time ops against a hand-computable fixture plus sf0.001
+  * invariants — the verification story for the no-oracle ops
+  * (sliding window, HLL). */
+class EventsSpec extends GraftSpec {
+  import EventsFixture._
+
+  lazy val fixtureDir: String = writeFixture(spark, tmpDir)
+
+  test("sliding window (1h/15m) matches a from-first-principles computation") {
+    val got = Events.slidingWindow(spark, fixtureDir).collect()
+      .map(r => (r.getTimestamp(0).getTime / 1000, r.getString(2)) -> (r.getLong(3), r.getDouble(4)))
+      .toMap
+    // independent oracle: an event at second t (on the minute grid) falls in
+    // exactly the 4 windows starting at the 15-min grid points in (t-1h, t]
+    val expected = fixtureEvents
+      .flatMap { e =>
+        val t = e.ts / 1000000000L
+        (0 until 4).map(k => ((t / 900) * 900 - k * 900, e.event_type))
+      }
+      .groupBy(identity).map { case (key, hits) => key -> hits.size }
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (key, n) =>
+      assert(got(key)._1 === n, s"count for $key")
+      assert(got(key)._2 === n * 1.0, s"value sum for $key (all values are 1.0)")
+    }
+  }
+
+  test("sliding window on sf0.001: every event lands in exactly 4 windows") {
+    val total = Tables.events(spark, sf).count()
+    val windowed = Events.slidingWindow(spark, sf)
+      .agg(sum("n")).collect().head.getLong(0)
+    assert(windowed === 4 * total)
+  }
+
+  test("sessionization matches hand-computed sessions") {
+    val got = Events.sessionize(spark, fixtureDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got === expectedSessions)
+  }
+
+  test("approx_count_distinct stays within the 2% rsd bound") {
+    Events.approxDistinctHll(spark, sf).collect().foreach { r =>
+      val (approx, exact) = (r.getLong(1), r.getLong(2))
+      assert(math.abs(approx - exact) <= math.max(4 * 0.02 * exact, 5),
+        s"type ${r.getString(0)}: approx $approx vs exact $exact")
+    }
+  }
+}
+
+object EventsFixture {
+  /** Rows shaped like the raw events parquet (ts = ns since epoch). */
+  case class RawEv(event_id: Long, ts: Long, user_id: Long,
+                   event_type: String, value: Double, props: String)
+
+  private val base = 1735689600L // 2025-01-01 00:00:00 UTC
+
+  private def ev(id: Long, user: Long, minute: Long, typ: String) =
+    RawEv(id, (base + minute * 60) * 1000000000L, user, typ, 1.0, """{"k":1}""")
+
+  // user 1: sessions {0,10,20}, {60,80}, {200}; user 2: {5}, {45,70,95}
+  // (gaps of 40 min break; 25 min does not; no exact-30 edge — the batch
+  // lag-rule and session_window disagree on whether =gap merges)
+  val fixtureEvents: Seq[RawEv] = Seq(
+    ev(1, 1, 0, "a"), ev(2, 1, 10, "b"), ev(3, 1, 20, "a"),
+    ev(4, 1, 60, "b"), ev(5, 1, 80, "a"), ev(6, 1, 200, "b"),
+    ev(7, 2, 5, "a"), ev(8, 2, 45, "b"), ev(9, 2, 70, "a"), ev(10, 2, 95, "b"))
+
+  val expectedSessions: Map[(Long, Int), Long] = Map(
+    (1L, 1) -> 3L, (1L, 2) -> 2L, (1L, 3) -> 1L,
+    (2L, 1) -> 1L, (2L, 2) -> 3L)
+
+  def writeFixture(spark: org.apache.spark.sql.SparkSession, dir: String): String = {
+    import spark.implicits._
+    fixtureEvents.toDF().write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import graft.ops.Recon
+import org.apache.spark.sql.functions._
+
+/** Reconciliation invariants (SURVEY §5.3): self-compare is clean, a
+  * k-row perturbation is detected as exactly k mismatches, and the
+  * missing/matched split partitions the source. */
+class ReconSpec extends GraftSpec {
+
+  test("rowcount reports the true per-table counts") {
+    val rows = Recon.rowcount(spark, sf).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows("orders") === Tables.orders(spark, sf).count())
+    assert(rows("lineitem") === Tables.lineitem(spark, sf).count())
+  }
+
+  test("hashDiffTables(t, t) = 0 for any table") {
+    for (t <- Seq("orders", "customer", "part")) {
+      val df = Tables.read(spark, sf, t)
+      val key = df.columns.head
+      val n = Recon.hashDiffTables(df, df, key, df.columns.toSeq)
+        .collect().head.getLong(0)
+      assert(n === 0L, s"self-compare of $t")
+    }
+  }
+
+  test("perturbing k rows yields exactly k mismatches") {
+    val o = Tables.orders(spark, sf)
+    val k = 7
+    val keys = o.select("o_orderkey").orderBy("o_orderkey").limit(k)
+      .collect().map(_.getLong(0)).toSeq
+    val perturbed = o.withColumn("o_totalprice",
+      when(col("o_orderkey").isin(keys: _*), col("o_totalprice") + 1.0)
+        .otherwise(col("o_totalprice")))
+    val n = Recon.hashDiffTables(o, perturbed, "o_orderkey",
+      Seq("o_custkey", "o_orderstatus", "o_totalprice"))
+      .collect().head.getLong(0)
+    assert(n === k)
+  }
+
+  test("missing + matched partitions the source rowset") {
+    val o = Tables.orders(spark, sf)
+    val l = Tables.lineitem(spark, sf)
+    val missing = Recon.missingRows(spark, sf).collect().head.getLong(0)
+    val matched = o.join(l, col("o_orderkey") === col("l_orderkey"), "left_semi").count()
+    assert(missing + matched === o.count())
+  }
+
+  test("partition drill-down counts sum to the table count") {
+    val drill = Recon.partitionDrill(spark, sf)
+    assert(drill.agg(sum("n")).collect().head.getLong(0) === Tables.orders(spark, sf).count())
+  }
+
+  test("hash_diff single-scan plan: no join, one scan") {
+    val plan = Recon.hashDiff(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "hashDiff must not self-join")
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import graft.ops.Relational
+import org.apache.spark.sql.functions._
+
+/** Structural invariants for the relational block at sf0.001 (values are
+  * oracle-checked by the driver; these pin shape and local recomputation). */
+class RelationalSpec extends GraftSpec {
+
+  test("q1: six (returnflag, linestatus) groups, avg consistent with sum/count") {
+    val rows = Relational.q1PricingSummary(spark, sf).collect()
+    assert(rows.length === 6)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(5) - r.getDouble(2) / r.getLong(6)) < 1e-9)
+    }
+  }
+
+  test("window top-k: at most 3 per brand, ranks 1..3") {
+    val rows = Relational.windowTopkPerGroup(spark, sf).collect()
+    val byBrand = rows.groupBy(_.getString(0))
+    byBrand.values.foreach { g =>
+      assert(g.length <= 3)
+      assert(g.map(_.getInt(3)).sorted.toSeq === (1 to g.length))
+      // descending price within brand
+      assert(g.sortBy(_.getInt(3)).map(_.getDouble(2)).toSeq
+        === g.map(_.getDouble(2)).sorted.reverse.toSeq)
+    }
+  }
+
+  test("rollup: grand-total row aggregates the whole table") {
+    val all = Relational.rollupAgg(spark, sf).collect()
+      .find(r => r.getString(0) == "ALL" && r.getString(1) == "ALL").get
+    assert(all.getLong(2) === 1500L)
+  }
+
+  test("set_ops: intersection is a subset of both sides") {
+    val got = Relational.setOps(spark, sf).collect().map(_.getLong(0)).toSet
+    val building = Tables.customer(spark, sf)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    val big = Tables.orders(spark, sf).filter(col("o_totalprice") > 1000)
+      .select("o_custkey").collect().map(_.getLong(0)).toSet
+    assert(got.nonEmpty && got.subsetOf(building) && got.subsetOf(big))
+  }
+
+  test("scalar funcs recompute driver-side") {
+    val parts = Tables.part(spark, sf)
+      .select("p_partkey", "p_name", "p_retailprice", "p_brand", "p_size")
+      .orderBy("p_partkey").limit(100).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    Relational.scalarFuncs(spark, sf).collect().foreach { r =>
+      val p = parts(r.getLong(0))
+      assert(r.getString(1) === p.getString(1).take(8).toUpperCase)
+      val pr = BigDecimal(p.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP) * BigDecimal("1.1")
+      assert(math.abs(r.getDouble(3) - pr.setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+      assert(r.getString(4) === s"${p.getString(3)}#${p.getInt(4)}")
+    }
+  }
+
+  test("q5: revenue sorted descending, all nations positive") {
+    val rows = Relational.q5MultiwayJoin(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val revs = rows.map(_.getDouble(1)).toSeq
+    assert(revs === revs.sorted.reverse)
+    assert(revs.forall(_ > 0))
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import graft.ops.Recon
+import graft.sources.Sources
+
+/** CSV/JSON round-trips (VERDICT r1 §missing-4) and the Hive-metastore
+  * mode (§missing-2): saveAsTable + catalog read + recon over catalog
+  * tables against a real (derby-backed) metastore. */
+class SourcesSpec extends GraftSpec {
+
+  private def roundTrip(format: String): Unit = {
+    val orders = Tables.orders(spark, sf)
+    val path = s"$tmpDir/orders_$format"
+    Sources.write(orders, path, format)
+    val back = Sources.read(spark, path, Tables.orders, format)
+    assert(back.count() === orders.count())
+    val mism = Recon.hashDiffTables(orders, back, "o_orderkey", orders.columns.toSeq)
+      .collect().head.getLong(0)
+    assert(mism === 0L, s"$format round-trip must be lossless")
+  }
+
+  test("CSV write → read → hash-reconcile is lossless")(roundTrip("csv"))
+  test("JSON write → read → hash-reconcile is lossless")(roundTrip("json"))
+
+  test("temp views make every table reachable through spark.sql") {
+    Sources.registerTempViews(spark, sf)
+    assert(spark.sql("SELECT count(*) FROM lineitem").collect().head.getLong(0) === 6000L)
+    assert(spark.sql("SELECT count(*) FROM events").collect().head.getLong(0) === 1000L)
+  }
+
+  test("Hive metastore: saveAsTable + catalog read + recon round-trip") {
+    assert(spark.conf.get("spark.sql.catalogImplementation") === "hive")
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_recon")
+    val orders = Tables.orders(spark, sf)
+    orders.write.mode("overwrite").saveAsTable("graft_recon.orders_src")
+    orders.write.mode("overwrite").saveAsTable("graft_recon.orders_tgt")
+    assert(spark.catalog.tableExists("graft_recon.orders_src"))
+    val src = spark.table("graft_recon.orders_src")
+    val tgt = spark.table("graft_recon.orders_tgt")
+    assert(src.count() === 1500L)
+    val mism = Recon.hashDiffTables(src, tgt, "o_orderkey", src.columns.toSeq)
+      .collect().head.getLong(0)
+    assert(mism === 0L)
+    spark.sql("DROP TABLE graft_recon.orders_src")
+    spark.sql("DROP TABLE graft_recon.orders_tgt")
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Executes the Structured-Streaming twins for real: events-shaped rows
+  * through MemoryStream → transform → memory sink, asserting parity with
+  * the same transformation applied in batch (VERDICT r1 §missing-3). */
+class StreamingSpec extends GraftSpec {
+  import StreamingSpec._
+
+  private def toTyped(e: EventsFixture.RawEv): Ev =
+    Ev(e.event_id, new java.sql.Timestamp(e.ts / 1000000L), e.user_id,
+      e.event_type, e.value)
+
+  test("tumbling window: streaming complete-mode output equals batch") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = StreamingOps.tumblingCounts(input.toDF())
+      .writeStream.format("memory").queryName("tumb_sink")
+      .outputMode("complete").start()
+    try {
+      input.addData(EventsFixture.fixtureEvents.map(toTyped))
+      q.processAllAvailable()
+      val streamed = spark.table("tumb_sink").collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getString(2)) -> (r.getLong(3), r.getDouble(4)))
+        .toMap
+      val batch = StreamingOps.tumblingCounts(
+        EventsFixture.fixtureEvents.map(toTyped).toDF()).collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getString(2)) -> (r.getLong(3), r.getDouble(4)))
+        .toMap
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("session window: streaming append-mode output equals batch") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = StreamingOps.sessionCounts(input.toDF())
+      .writeStream.format("memory").queryName("sess_sink")
+      .outputMode("append").start()
+    try {
+      input.addData(EventsFixture.fixtureEvents.map(toTyped))
+      q.processAllAvailable()
+      // append mode only emits sessions the watermark has passed: push it
+      // far ahead with a flush event, then drop that event from the compare
+      val flush = Ev(999L, java.sql.Timestamp.valueOf("2025-06-01 00:00:00"), 99L, "z", 0.0)
+      input.addData(flush)
+      q.processAllAvailable()
+      val streamed = spark.table("sess_sink").collect()
+        .map(r => (r.getLong(2), r.getTimestamp(0).getTime) -> r.getLong(3))
+        .toMap.filter(_._1._1 != 99L)
+      val batch = StreamingOps.sessionCounts(
+        EventsFixture.fixtureEvents.map(toTyped).toDF()).collect()
+        .map(r => (r.getLong(2), r.getTimestamp(0).getTime) -> r.getLong(3))
+        .toMap
+      assert(streamed === batch)
+      // and the session structure matches the batch lag-based sessionizer:
+      // same per-user session-size multisets
+      val sessionizer = graft.ops.Events.sessionize(spark,
+        EventsFixture.writeFixture(spark, tmpDir)).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1).view
+        .mapValues(_.map(_._2).sorted.toSeq).toMap
+      val windowed = batch.toSeq.map { case ((u, _), n) => (u, n) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+      assert(sessionizer === windowed)
+    } finally q.stop()
+  }
+}
+
+object StreamingSpec {
+  case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                event_type: String, value: Double)
+}

@@ -1,0 +1,135 @@
+package graft
+
+import graft.ops.Text
+import org.apache.spark.sql.functions._
+
+/** Dedup family against crafted near-duplicates — the verification story
+  * for the no-oracle ops (minhash, simhash, langid) plus the scale
+  * assertions (fingerprint plan shape, LSH bucket cap). */
+class TextSpec extends GraftSpec {
+  import TextFixture._
+
+  lazy val fixtureDir: String = writeFixture(spark, tmpDir)
+
+  test("minhash LSH surfaces crafted near-dupes with sane estimates") {
+    val rows = Text.dedupMinhash(spark, fixtureDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // doc 4 is an exact copy of doc 1 -> estimate must be exactly 1
+    assert(rows((1L, 4L)) === 1.0)
+    // doc 2 shares 95 of 105 distinct tokens with doc 1 (J = 0.905)
+    assert(rows.contains((1L, 2L)), "near-dup pair (1,2) must be a candidate")
+    assert(math.abs(rows((1L, 2L)) - 0.905) <= 0.3)
+    // doc 3 is token-disjoint from doc 1 — if LSH even proposes the pair,
+    // the estimate must be low
+    rows.get((1L, 3L)).foreach(est => assert(est <= 0.3))
+  }
+
+  test("simhash: identical docs at Hamming 0, near-dupes nearby") {
+    val rows = Text.dedupSimhash(spark, fixtureDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(rows((1L, 4L)) === 0)
+    rows.get((1L, 2L)).foreach(h => assert(h <= 16))
+  }
+
+  test("fingerprint: identical docs share it; plan is a pure scan projection") {
+    val fp = Text.fingerprint(spark, fixtureDir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(1L) === fp(4L))
+    assert(fp(1L) !== fp(3L))
+    // the min-over-shingles is row-local: no aggregate anywhere in the plan
+    // (the only exchange is the final ORDER BY sort)
+    val plan = Text.fingerprint(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate") && !plan.contains("Generate"),
+      "fingerprint must not explode+aggregate")
+  }
+
+  test("LSH bucket cap bounds an identical-document flood") {
+    import spark.implicits._
+    // 1000 docs all hashing to one (band, bucket) pair
+    val banded = (1 to 1000).map(i => (i.toLong, 0, 42L)).toDF("doc_id", "band", "bh")
+    val capped = Text.capBuckets(banded, Seq("band", "bh"))
+    assert(capped.count() === Text.MaxBucketDocs)
+    // and the capped minhash pipeline completes on a 120-identical-doc flood
+    val floodDir = writeFlood(spark, tmpDir)
+    val flood = Text.dedupMinhash(spark, floodDir).collect()
+    assert(flood.nonEmpty && flood.forall(_.getDouble(2) === 1.0))
+  }
+
+  test("langid: diagonally dominant on separable languages; total-preserving on real data") {
+    // The sf corpus's lang labels are uncorrelated with its text (all five
+    // "languages" share 100% of their vocabulary — measured), so accuracy
+    // there is unlearnable noise. Dominance is asserted on a fixture whose
+    // languages have disjoint character distributions.
+    val langDir = writeLangFixture(spark, tmpDir)
+    val m = Text.langidNgram(spark, langDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    Seq("aa", "bb", "cc").foreach { lang =>
+      val diag = m.getOrElse((lang, lang), 0L)
+      val offMax = m.collect { case ((l, p), n) if l == lang && p != l => n }
+        .maxOption.getOrElse(0L)
+      assert(diag > offMax, s"$lang: diagonal $diag vs best confusion $offMax")
+    }
+    // real corpus: every doc classified exactly once, preds drawn from langs
+    val real = Text.langidNgram(spark, sf).collect()
+    assert(real.map(_.getLong(2)).sum === 500L)
+    val langs = Set("de", "en", "es", "fr", "zh")
+    assert(real.forall(r => langs(r.getString(0)) && langs(r.getString(1))))
+  }
+
+  test("quality score: ratios recompute from the text") {
+    val doc = Tables.documents(spark, sf).select("doc_id", "text")
+      .orderBy("doc_id").limit(1).collect().head
+    val row = Text.qualityScore(spark, sf).filter(col("doc_id") === doc.getLong(0))
+      .collect().head
+    val toks = doc.getString(1).split(" ", -1)
+    assert(row.getLong(2) === toks.length.toLong)
+    assert(row.getDouble(3) === doc.getString(1).length.toDouble / toks.length)
+  }
+}
+
+object TextFixture {
+  case class Doc(doc_id: Long, text: String, lang: String, source: String, n_chars: Long)
+
+  private def doc(id: Long, toks: Seq[String]) = {
+    val text = toks.mkString(" ")
+    Doc(id, text, "en", "fixture", text.length.toLong)
+  }
+
+  /** 1 and 4 identical; 2 a 95%-overlap near-dupe of 1; 3 disjoint. */
+  def writeFixture(spark: org.apache.spark.sql.SparkSession, dir: String): String = {
+    import spark.implicits._
+    val a = (1 to 100).map(i => s"w$i")
+    val b = (1 to 95).map(i => s"w$i") ++ (96 to 100).map(i => s"x$i")
+    val c = (1 to 100).map(i => s"y$i")
+    Seq(doc(1, a), doc(2, b), doc(3, c), doc(4, a))
+      .toDF().write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  /** Three "languages" with disjoint letter ranges — bigram profiles are
+    * separable, unlike the sf corpus whose lang labels are noise. */
+  def writeLangFixture(spark: org.apache.spark.sql.SparkSession, dir: String): String = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def word(letters: String) =
+      (0 until 2 + rnd.nextInt(5)).map(_ => letters(rnd.nextInt(letters.length))).mkString
+    val langs = Seq("aa" -> "abcdef", "bb" -> "ghijkl", "cc" -> "mnopqr")
+    val docs = langs.zipWithIndex.flatMap { case ((lang, letters), li) =>
+      (0 until 30).map { i =>
+        val text = (0 until 40).map(_ => word(letters)).mkString(" ")
+        Doc(li * 100L + i, text, lang, "langfix", text.length.toLong)
+      }
+    }
+    docs.toDF().write.mode("overwrite").parquet(s"$dir/langfix/documents.parquet")
+    s"$dir/langfix"
+  }
+
+  /** 120 identical docs — more than one bucket cap's worth. */
+  def writeFlood(spark: org.apache.spark.sql.SparkSession, dir: String): String = {
+    import spark.implicits._
+    val toks = (1 to 50).map(i => s"f$i")
+    (1 to 120).map(i => doc(i.toLong, toks)).toDF()
+      .write.mode("overwrite").parquet(s"$dir/flood/documents.parquet")
+    s"$dir/flood"
+  }
+}

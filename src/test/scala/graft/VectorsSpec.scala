@@ -1,0 +1,90 @@
+package graft
+
+import graft.ops.Vectors
+import org.apache.spark.sql.functions._
+
+/** Vector ops against a clustered fixture where true neighbors are known
+  * by construction — the verification story for ann_lsh_topk (no oracle)
+  * — plus exactness checks for centroids on real data. */
+class VectorsSpec extends GraftSpec {
+  import VectorsFixture._
+
+  lazy val fixtureDir: String = writeFixture(spark, tmpDir)
+
+  test("cosine_knn: every neighbor comes from the same cluster") {
+    val rows = Vectors.cosineKnn(spark, fixtureDir).collect()
+    assert(rows.length === 50)
+    rows.foreach { r =>
+      val (id, nn, sim) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      // the op scans the upper triangle (nn > id), so the highest id in a
+      // cluster has no same-cluster candidate left — skip those five
+      if (id % 10 != 9) {
+        assert(cluster(id) === cluster(nn), s"vec $id paired with $nn")
+        assert(sim > 0.9 && sim <= 1.0)
+      }
+    }
+  }
+
+  test("ann_lsh_topk: recall vs brute force on clustered data") {
+    val got = Vectors.annLshTopk(spark, fixtureDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty, "LSH must return candidates")
+    // brute-force true NN per vector (any direction, ties to lowest id,
+    // sim rounded to 4 dp — mirroring the op's determinism rules)
+    val vecs = embeddingRows.map(e => e.vec_id -> e.embedding.map(_.toDouble)).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      math.rint(d / math.sqrt(a.map(x => x * x).sum) / math.sqrt(b.map(x => x * x).sum) * 1e4) / 1e4
+    }
+    val trueNn = vecs.keys.map { id =>
+      id -> vecs.keys.filter(_ != id)
+        .map(o => (o, cos(vecs(id), vecs(o))))
+        .minBy { case (o, s) => (-s, o) }._1
+    }.toMap
+    val hits = got.count { case (id, nn) => trueNn(id) == nn }
+    val recall = hits.toDouble / got.size
+    assert(recall >= 0.7, s"recall $recall (${hits}/${got.size})")
+  }
+
+  test("embed_centroids equals a driver-side mean to 1e-6") {
+    val got = Vectors.embedCentroids(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val raw = Tables.embeddings(spark, sf)
+      .select(col("label"), col("embedding")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1))
+    val expected = raw.groupBy(_._1).flatMap { case (label, rows) =>
+      (1 to 64).map { pos =>
+        (label, pos) -> rows.map(_._2(pos - 1).toDouble).sum / rows.length
+      }
+    }
+    expected.foreach { case (key, c) =>
+      assert(math.abs(got(key) - c) < 1e-6, s"centroid $key")
+    }
+  }
+}
+
+object VectorsFixture {
+  case class Emb(vec_id: Long, embedding: Array[Float], label: Int)
+
+  /** 10 clusters × 10 vectors: unit base direction + 5% noise, so each
+    * vector's true nearest neighbor is inside its cluster. Deterministic
+    * (fixed seed). */
+  val embeddingRows: Seq[Emb] = {
+    val rnd = new scala.util.Random(7)
+    (0 until 10).flatMap { c =>
+      val base = Array.fill(64)(rnd.nextGaussian())
+      (0 until 10).map { i =>
+        val v = base.map(x => (x + 0.05 * rnd.nextGaussian()).toFloat)
+        Emb(c * 10L + i, v, c)
+      }
+    }
+  }
+
+  def cluster(id: Long): Long = id / 10
+
+  def writeFixture(spark: org.apache.spark.sql.SparkSession, dir: String): String = {
+    import spark.implicits._
+    embeddingRows.toDF().write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+}
