@@ -55,15 +55,19 @@ object SparkEntry {
     "multimodal_decode_stats"  -> (Multimodal.decodeStats _)  // no-oracle
   )
 
-  /** The 19 BASELINE.md headline queries timed by [[Bench]] — kept exactly
-    * aligned with the baseline so per-query times stay comparable. */
+  /** The 24 BASELINE.md headline queries timed by [[Bench]] — kept exactly
+    * aligned with the baseline so per-query times stay comparable. Round 2
+    * extended the original 19 with the remaining five oracle-able ops
+    * (BASELINE.md v2 carries their DuckDB timings, measured identically). */
   val benchQueries: Seq[String] = Seq(
     "recon_rowcount", "recon_colagg_fingerprint", "recon_hash_diff",
     "recon_missing_rows", "recon_partition_drill", "q1_pricing_summary",
     "q3_shipping_priority", "q5_multiway_join", "window_topk_per_group",
     "window_running_sum", "rollup_agg", "set_ops", "scalar_funcs",
     "json_extract_events", "tumbling_window_events", "sessionize_events",
-    "dedup_exact_docs", "text_token_stats", "cosine_knn")
+    "dedup_exact_docs", "text_token_stats", "cosine_knn",
+    "text_quality_score", "doc_fingerprint", "dedup_ngram_jaccard",
+    "embed_centroids", "multimodal_bytes")
 
   /** DuckDB-dialect oracle per query (driver runs these on the same parquet
     * files and hash-compares). Dialect forks: get_json_object↔

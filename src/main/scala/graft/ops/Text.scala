@@ -61,14 +61,31 @@ object Text {
         "array_min(transform(sequence(1, greatest(length(text)-7, 1)), i -> md5(substring(text, i, 8)))) AS fp")
       .orderBy("doc_id")
 
+  /** Salt fan-out for the same-source pair join below. */
+  private val JaccardSalts = 8
+
   /** Exact token-set Jaccard over same-source candidate pairs, top-20 most
     * similar. Blocking on `source` bounds the pair count; the 100 TB path
-    * replaces this blocking with [[dedupMinhash]]'s LSH buckets. */
+    * replaces this blocking with [[dedupMinhash]]'s LSH buckets.
+    *
+    * The join key `source` is low-cardinality by nature (a handful of
+    * feeds), so a plain equi-join serializes each source's quadratic pair
+    * work onto one task. Salting — left side keyed by doc_id mod S, right
+    * side replicated S ways — spreads every source across S tasks; the
+    * per-pair intersect work, which dominates, then uses every core. Same
+    * pair set, same values, S× the parallelism. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val t = docs(spark, dir).select(col("doc_id"), col("source"),
       array_distinct(split(col("text"), " ")).as("toks"))
-    val joined = t.select(col("doc_id").as("a_id"), col("source"), col("toks").as("ta"))
-      .join(t.select(col("doc_id").as("b_id"), col("source"), col("toks").as("tb")), "source")
+    val a = t.select(col("doc_id").as("a_id"), col("source"), col("toks").as("ta"))
+      .withColumn("salt", pmod(col("a_id"), lit(JaccardSalts)).cast("int"))
+    val b = t.select(col("doc_id").as("b_id"), col("source"), col("toks").as("tb"))
+      .withColumn("salt", explode(typedlit((0 until JaccardSalts).toArray)))
+    // force a shuffled join: documents is a single parquet split, and a
+    // broadcast of the replicated side would leave the probe side running
+    // on the scan's one partition — the salt only helps if the join
+    // actually distributes on (source, salt)
+    val joined = a.hint("shuffle_hash").join(b, Seq("source", "salt"))
       .filter(col("a_id") < col("b_id"))
       .withColumn("icnt", size(array_intersect(col("ta"), col("tb"))))
     joined.select(col("a_id"), col("b_id"),
