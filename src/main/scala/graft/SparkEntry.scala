@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{Events, Multimodal, Recon, Relational, Text, Vectors}
+import graft.ops.{Asof, Events, Multimodal, Recon, Relational, Text, Vectors}
 
 /** Driver contract (SURVEY.md §2 is the inventory; Appendix A + §7.4 are
   * the determinism rules every oracle below follows: DECIMAL-exact money
@@ -26,6 +26,7 @@ object SparkEntry {
     "q1_pricing_summary"       -> (Relational.q1PricingSummary _),
     "q3_shipping_priority"     -> (Relational.q3ShippingPriority _),
     "q5_multiway_join"         -> (Relational.q5MultiwayJoin _),
+    "asof_join_events"         -> (Asof.asofJoinEvents _),
     "window_topk_per_group"    -> (Relational.windowTopkPerGroup _),
     "window_running_sum"       -> (Relational.windowRunningSum _),
     "rollup_agg"               -> (Relational.rollupAgg _),
@@ -129,6 +130,16 @@ object SparkEntry {
         |JOIN orders o ON o.o_orderkey=l.l_orderkey
         |JOIN customer c ON c.c_custkey=o.o_custkey AND c.c_nationkey=n.n_nationkey
         |GROUP BY 1 ORDER BY rev DESC, n_name""".stripMargin,
+
+    "asof_join_events" ->
+      // DuckDB has native ASOF JOIN (inclusive >=); the Spark side
+      // implements the same semantics via union + last-over-window.
+      """WITH m AS (SELECT user_id, ts pts, max_by(value, event_id) pv
+        |           FROM events WHERE event_type='purchase' GROUP BY 1,2)
+        |SELECT e.event_id, e.user_id, date_trunc('second', e.ts) ets,
+        |       date_trunc('second', m.pts) pts, m.pv pv
+        |FROM events e ASOF LEFT JOIN m ON e.user_id=m.user_id AND e.ts >= m.pts
+        |ORDER BY e.event_id LIMIT 500""".stripMargin,
 
     "window_topk_per_group" ->
       """SELECT p_brand, p_name, p_retailprice, rn FROM (
