@@ -21,6 +21,7 @@ object SparkEntry {
     "recon_colagg_fingerprint" -> (Recon.colaggFingerprint _),
     "recon_hash_diff"          -> (Recon.hashDiff _),
     "recon_missing_rows"       -> (Recon.missingRows _),
+    "recon_report"             -> (Recon.report _),
     "recon_partition_drill"    -> (Recon.partitionDrill _),
     // §2.3–2.7 relational analytics
     "q1_pricing_summary"       -> (Relational.q1PricingSummary _),
@@ -96,6 +97,34 @@ object SparkEntry {
     "recon_missing_rows" ->
       """SELECT count(*) n FROM orders o
         |WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)""".stripMargin,
+
+    "recon_report" ->
+      """WITH tgt AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |             round(o_totalprice,0) AS o_totalprice FROM orders),
+        |hm AS (SELECT count(*) n FROM
+        |  (SELECT o_orderkey k, md5(concat_ws('|', CAST(o_custkey AS VARCHAR), o_orderstatus,
+        |          CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR))) h FROM orders) s
+        |  JOIN (SELECT o_orderkey k, md5(concat_ws('|', CAST(o_custkey AS VARCHAR), o_orderstatus,
+        |          CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR))) h FROM tgt) t USING (k)
+        |  WHERE s.h <> t.h)
+        |SELECT * FROM (
+        |  SELECT 'rowcount' AS "check",
+        |    CAST((SELECT count(*) FROM orders) AS DOUBLE) src_v,
+        |    CAST((SELECT count(*) FROM tgt) AS DOUBLE) tgt_v,
+        |    (SELECT count(*) FROM orders)=(SELECT count(*) FROM tgt) ok
+        |  UNION ALL SELECT 'sum_totalprice',
+        |    CAST((SELECT sum(CAST(o_totalprice AS DECIMAL(18,4))) FROM orders) AS DOUBLE),
+        |    CAST((SELECT sum(CAST(o_totalprice AS DECIMAL(18,4))) FROM tgt) AS DOUBLE),
+        |    (SELECT sum(CAST(o_totalprice AS DECIMAL(18,4))) FROM orders)
+        |      =(SELECT sum(CAST(o_totalprice AS DECIMAL(18,4))) FROM tgt)
+        |  UNION ALL SELECT 'null_custkey',
+        |    CAST((SELECT count(*) FILTER (o_custkey IS NULL) FROM orders) AS DOUBLE),
+        |    CAST((SELECT count(*) FILTER (o_custkey IS NULL) FROM tgt) AS DOUBLE),
+        |    (SELECT count(*) FILTER (o_custkey IS NULL) FROM orders)
+        |      =(SELECT count(*) FILTER (o_custkey IS NULL) FROM tgt)
+        |  UNION ALL SELECT 'hash_mismatches',
+        |    CAST((SELECT n FROM hm) AS DOUBLE), 0.0, (SELECT n FROM hm)=0
+        |) ORDER BY "check"""".stripMargin,
 
     "recon_partition_drill" ->
       """SELECT date_trunc('month', o_orderdate) mo, count(*) n,

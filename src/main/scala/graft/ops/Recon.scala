@@ -71,6 +71,37 @@ object Recon {
       .agg(count(lit(1)).as("mismatches"))
   }
 
+  /** Reconciliation report — the reference's §0.5 "report emission"
+    * surface: one summary row per check (rowcount, column aggregate,
+    * null count, row-hash), each with source/target values and pass flag.
+    * Target side simulates a bad load (rounded prices), so the report
+    * shows exactly which checks localize it. All checks are independent
+    * scan→agg pipelines unioned at the end; at scale each is one
+    * map-side-combined aggregate over the (bucketed) table. */
+  def report(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val tgt = o.withColumn("o_totalprice", round(col("o_totalprice"), 0))
+    def agg1(df: DataFrame, c: Column): DataFrame = df.agg(c.as("v"))
+    def check(name: String, src: DataFrame, t: DataFrame): DataFrame =
+      src.crossJoin(t.withColumnRenamed("v", "tgt_v"))
+        .select(lit(name).as("check"), col("v").as("src_v"), col("tgt_v"),
+          (col("v") === col("tgt_v")).as("ok"))
+    def cnt(df: DataFrame) = agg1(df, count(lit(1)).cast("double"))
+    def sumP(df: DataFrame) = agg1(df, decSum(col("o_totalprice")))
+    def nullK(df: DataFrame) = agg1(df, count(when(col("o_custkey").isNull, 1)).cast("double"))
+    def hashes(df: DataFrame) = df.select(col("o_orderkey").as("k"), md5(concat_ws("|",
+      col("o_custkey").cast("string"), col("o_orderstatus"),
+      col("o_totalprice").cast(DecimalType(12, 2)).cast("string"))).as("h"))
+    val hashMism = hashes(o).join(hashes(tgt).withColumnRenamed("h", "h2"), "k")
+      .filter(col("h") =!= col("h2")).agg(count(lit(1)).cast("double").as("v"))
+    check("rowcount", cnt(o), cnt(tgt))
+      .unionByName(check("sum_totalprice", sumP(o), sumP(tgt)))
+      .unionByName(check("null_custkey", nullK(o), nullK(tgt)))
+      .unionByName(check("hash_mismatches", hashMism,
+        spark.range(1).select(lit(0.0).as("v"))))
+      .orderBy("check")
+  }
+
   /** Keys present in source but absent in target (anti-join). */
   def missingRows(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)

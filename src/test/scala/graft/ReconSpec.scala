@@ -51,6 +51,16 @@ class ReconSpec extends GraftSpec {
     assert(drill.agg(sum("n")).collect().head.getLong(0) === Tables.orders(spark, sf).count())
   }
 
+  test("report localizes the simulated bad load to the right checks") {
+    val rows = Recon.report(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getBoolean(3))).toMap
+    assert(rows("rowcount")._3, "row counts agree")
+    assert(rows("null_custkey")._3, "null counts agree")
+    assert(!rows("sum_totalprice")._3, "rounded prices must fail the sum check")
+    assert(!rows("hash_mismatches")._3 && rows("hash_mismatches")._1 > 0,
+      "row hashes must catch the perturbation")
+  }
+
   test("hash_diff single-scan plan: no join, one scan") {
     val plan = Recon.hashDiff(spark, sf).queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), "hashDiff must not self-join")
