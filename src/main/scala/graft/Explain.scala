@@ -1,5 +1,9 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Plan-inspection utility: `runMain graft.Explain <query_name>...` prints
+  * each op's formatted physical plan at sf0.1 — the feedback loop for the
+  * scale review (missed broadcasts, extra exchanges, codegen breaks). */
 object Explain {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")

@@ -37,6 +37,27 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("sliding window: streaming complete-mode output equals batch") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = StreamingOps.slidingCounts(input.toDF())
+      .writeStream.format("memory").queryName("slide_sink")
+      .outputMode("complete").start()
+    try {
+      input.addData(EventsFixture.fixtureEvents.map(toTyped))
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getTimestamp(0).getTime, r.getTimestamp(1).getTime, r.getString(2)) -> r.getLong(3)
+      val streamed = spark.table("slide_sink").collect().map(key).toMap
+      val batch = StreamingOps.slidingCounts(
+        EventsFixture.fixtureEvents.map(toTyped).toDF()).collect().map(key).toMap
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("session window: streaming append-mode output equals batch") {
     val spark0 = spark
     import spark0.implicits._
