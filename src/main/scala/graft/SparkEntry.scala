@@ -57,10 +57,11 @@ object SparkEntry {
     "multimodal_decode_stats"  -> (Multimodal.decodeStats _)  // no-oracle
   )
 
-  /** The 24 BASELINE.md headline queries timed by [[Bench]] — kept exactly
+  /** The 26 BASELINE.md headline queries timed by [[Bench]] — kept exactly
     * aligned with the baseline so per-query times stay comparable. Round 2
-    * extended the original 19 with the remaining five oracle-able ops
-    * (BASELINE.md v2 carries their DuckDB timings, measured identically). */
+    * extended the original 19 with the remaining five oracle-able ops plus
+    * the two operators it added (as-of join, recon report); BASELINE.md v2
+    * carries their DuckDB timings, measured identically. */
   val benchQueries: Seq[String] = Seq(
     "recon_rowcount", "recon_colagg_fingerprint", "recon_hash_diff",
     "recon_missing_rows", "recon_partition_drill", "q1_pricing_summary",
@@ -69,7 +70,7 @@ object SparkEntry {
     "json_extract_events", "tumbling_window_events", "sessionize_events",
     "dedup_exact_docs", "text_token_stats", "cosine_knn",
     "text_quality_score", "doc_fingerprint", "dedup_ngram_jaccard",
-    "embed_centroids", "multimodal_bytes")
+    "embed_centroids", "multimodal_bytes", "asof_join_events", "recon_report")
 
   /** DuckDB-dialect oracle per query (driver runs these on the same parquet
     * files and hash-compares). Dialect forks: get_json_object↔
