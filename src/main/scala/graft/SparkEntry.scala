@@ -52,6 +52,7 @@ object SparkEntry {
     "cosine_knn"               -> (Vectors.cosineKnn _),
     "embed_centroids"          -> (Vectors.embedCentroids _),
     "ann_lsh_topk"             -> (Vectors.annLshTopk _),     // no-oracle
+    "ann_ivf_topk"             -> (Vectors.annIvfTopk _),     // no-oracle
     // multimodal binary columns
     "multimodal_bytes"         -> (Multimodal.bytesStats _),
     "multimodal_decode_stats"  -> (Multimodal.decodeStats _)  // no-oracle

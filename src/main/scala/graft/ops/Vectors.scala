@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -95,6 +96,78 @@ object Vectors {
   private def balancedSum(cols: Seq[Column]): Column =
     if (cols.sizeIs == 1) cols.head
     else balancedSum(cols.grouped(2).map(_.reduce(_ + _)).toSeq)
+
+  private val IvfClusters = 16
+  private val IvfIterations = 3
+  private val IvfProbes = 2
+
+  /** Unit-normalized vectors: (vec_id, u). The division is a row-local
+    * array transform — computed once per vector, never per pair. */
+  private def unitVectors(spark: SparkSession, dir: String): DataFrame =
+    normalized(spark, dir)
+      .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("u"))
+
+  /** Distributed spherical k-means: deterministic seeds (the k vectors
+    * with the smallest xxhash64(vec_id)), then `IvfIterations` Lloyd
+    * rounds of broadcast-assign + elementwise-mean + renormalize. Every
+    * step is a DataFrame op — no driver-side state; the only data that
+    * ever concentrates is the k×Dim centroid table, which is broadcast
+    * by construction. Returns (cid, cvec) with unit-norm cvec. */
+  private[graft] def kmeansCentroids(u: DataFrame): DataFrame = {
+    // seed pick is orderBy+limit → TakeOrderedAndProject (distributed
+    // top-k), NOT a global window, which would sort n rows on one task
+    var centroids = u
+      .select(col("vec_id"), col("u"), xxhash64(col("vec_id")).as("h"))
+      .orderBy("h", "vec_id").limit(IvfClusters)
+      .select((dense_rank().over(Window.orderBy("h", "vec_id")) - 1).as("cid"),
+        col("u").as("cvec"))
+    for (_ <- 1 to IvfIterations) {
+      val assigned = u.crossJoin(broadcast(centroids))
+        .select(col("vec_id"), col("u"), col("cid"),
+          dot(col("u"), col("cvec")).as("score"))
+        .groupBy("vec_id")
+        .agg(max_by(struct(col("cid"), col("u")), struct(col("score"), -col("cid"))).as("best"))
+        .select(col("best.cid").as("cid"), col("best.u").as("u"))
+      val mean = assigned
+        .select(col("cid"), posexplode(col("u")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos").agg(avg("x").as("c"))
+        .groupBy("cid")
+        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+        .select(col("cid"), transform(col("pc"), p => p("c")).as("m"))
+      centroids = mean.select(col("cid"),
+        transform(col("m"), x => x / sqrt(dot(col("m"), col("m")))).as("cvec"))
+    }
+    centroids
+  }
+
+  /** Approximate NN, IVF flavor: k-means coarse quantizer, each vector
+    * searched against the members of its `IvfProbes` nearest clusters —
+    * candidate volume ≈ n · probes · n/k instead of n². The scale knobs
+    * are k (≈√n keeps build and probe balanced) and probes (recall vs
+    * cost); the LSH sibling [[annLshTopk]] trades the training pass for
+    * data-independent buckets. Recall vs brute force is asserted in unit
+    * tests (no oracle — approximate by design, and k-means means are
+    * float sums with partition-order ulps). */
+  def annIvfTopk(spark: SparkSession, dir: String): DataFrame = {
+    val u = unitVectors(spark, dir)
+    val centroids = kmeansCentroids(u)
+    val scored = u.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("u"), col("cid"),
+        dot(col("u"), col("cvec")).as("score"))
+    val probeW = Window.partitionBy(col("vec_id"))
+      .orderBy(col("score").desc, col("cid"))
+    val probes = scored
+      .withColumn("rk", row_number().over(probeW))
+      .filter(col("rk") <= IvfProbes)
+      .select(col("vec_id"), col("u"), col("cid"), col("rk"))
+    val members = probes.filter(col("rk") === 1)
+      .select(col("cid"), col("vec_id").as("nn"), col("u").as("un"))
+    val pairs = probes.join(members.hint("shuffle_hash"), Seq("cid"))
+      .filter(col("vec_id") =!= col("nn"))
+      .select(col("vec_id"), col("nn"),
+        round(dot(col("u"), col("un")), 4).as("sim"))
+    bestNeighbor(pairs).orderBy("vec_id").limit(50)
+  }
 
   /** Approximate NN: 8 random-hyperplane sign bits → 256 buckets; exact
     * cosine only within a bucket; top-1 per vector. Recall vs. brute force

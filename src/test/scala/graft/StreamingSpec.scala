@@ -99,3 +99,50 @@ object StreamingSpec {
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                 event_type: String, value: Double)
 }
+
+/** The production-shaped path: file source → watermark → parquet sink
+  * with a checkpoint — the readStream/writeStream/checkpoint lifecycle a
+  * cluster deployment runs, not just the in-memory harness. */
+class StreamingFileSpec extends GraftSpec {
+
+  test("parquet file source → tumbling agg → parquet sink with checkpoint") {
+    val src = s"$tmpDir/in"
+    val out = s"$tmpDir/out"
+    val ckpt = s"$tmpDir/ckpt"
+    EventsFixture.writeFixture(spark, src)
+    val stream = spark.readStream
+      .schema(Tables.eventsRaw)
+      .parquet(s"$src/events.parquet")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val q = graft.streaming.StreamingOps.tumblingCounts(stream)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    // append mode emits only watermark-closed windows; a second batch far
+    // in the future closes them all, exercising checkpoint recovery too
+    import spark.implicits._
+    Seq(EventsFixture.RawEv(999L, 1767225600L * 1000000000L, 99L, "z", 0.0, "{}"))
+      .toDF().write.mode("append").parquet(s"$src/events.parquet")
+    val q2 = graft.streaming.StreamingOps.tumblingCounts(stream)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination(120000)
+    val got = spark.read.parquet(out)
+      .filter($"event_type" =!= "z")
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(2)) -> (r.getLong(3), r.getDouble(4)))
+      .toMap
+    val batch = graft.streaming.StreamingOps.tumblingCounts(
+      Tables.events(spark, src).filter($"event_type" =!= "z")).collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(2)) -> (r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(got === batch)
+    assert(got.nonEmpty)
+  }
+}

@@ -46,6 +46,15 @@ class VectorsSpec extends GraftSpec {
     assert(recall >= 0.7, s"recall $recall (${hits}/${got.size})")
   }
 
+  test("ann_ivf_topk: recall vs brute force on clustered data") {
+    val got = Vectors.annIvfTopk(spark, fixtureDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty, "IVF must return candidates")
+    val sameCluster = got.count { case (id, nn) => cluster(id) == cluster(nn) }
+    assert(sameCluster.toDouble / got.size >= 0.8,
+      s"IVF neighbor in true cluster: $sameCluster/${got.size}")
+  }
+
   test("embed_centroids equals a driver-side mean to 1e-6") {
     val got = Vectors.embedCentroids(spark, sf).collect()
       .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
