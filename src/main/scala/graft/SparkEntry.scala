@@ -22,6 +22,7 @@ object SparkEntry {
     "recon_hash_diff"          -> (Recon.hashDiff _),
     "recon_missing_rows"       -> (Recon.missingRows _),
     "recon_report"             -> (Recon.report _),
+    "recon_diff_detail"        -> (Recon.diffDetail _),
     "recon_partition_drill"    -> (Recon.partitionDrill _),
     // §2.3–2.7 relational analytics
     "q1_pricing_summary"       -> (Relational.q1PricingSummary _),
@@ -71,7 +72,8 @@ object SparkEntry {
     "json_extract_events", "tumbling_window_events", "sessionize_events",
     "dedup_exact_docs", "text_token_stats", "cosine_knn",
     "text_quality_score", "doc_fingerprint", "dedup_ngram_jaccard",
-    "embed_centroids", "multimodal_bytes", "asof_join_events", "recon_report")
+    "embed_centroids", "multimodal_bytes", "asof_join_events", "recon_report",
+    "recon_diff_detail")
 
   /** DuckDB-dialect oracle per query (driver runs these on the same parquet
     * files and hash-compares). Dialect forks: get_json_object↔
@@ -99,6 +101,23 @@ object SparkEntry {
     "recon_missing_rows" ->
       """SELECT count(*) n FROM orders o
         |WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)""".stripMargin,
+
+    "recon_diff_detail" ->
+      """WITH src AS (SELECT * FROM orders WHERE o_orderkey % 991 <> 0),
+        |tgt AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |        CAST(round(o_totalprice,0) AS DECIMAL(12,2)) o_totalprice
+        |        FROM orders WHERE o_orderkey % 997 <> 0),
+        |hs AS (SELECT o_orderkey k, md5(concat_ws('|', CAST(o_custkey AS VARCHAR), o_orderstatus,
+        |        CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR))) h FROM src),
+        |ht AS (SELECT o_orderkey k, md5(concat_ws('|', CAST(o_custkey AS VARCHAR), o_orderstatus,
+        |        CAST(o_totalprice AS VARCHAR))) h FROM tgt)
+        |SELECT k, status FROM (
+        |  SELECT coalesce(hs.k, ht.k) k,
+        |    CASE WHEN hs.h IS NULL THEN 'extra_in_target'
+        |         WHEN ht.h IS NULL THEN 'missing_in_target'
+        |         WHEN hs.h <> ht.h THEN 'mismatch' ELSE 'match' END status
+        |  FROM hs FULL OUTER JOIN ht ON hs.k = ht.k)
+        |WHERE status <> 'match' ORDER BY status, k LIMIT 200""".stripMargin,
 
     "recon_report" ->
       """WITH tgt AS (SELECT o_orderkey, o_custkey, o_orderstatus,

@@ -102,6 +102,42 @@ object Recon {
       .orderBy("check")
   }
 
+  /** Row-level diff detail — the reference's full §0.3 surface: the actual
+    * key sets, not just counts. One full-outer join of map-side (key, hash)
+    * pairs, classifying each key as mismatch / missing_in_target /
+    * extra_in_target (matches are dropped). At scale both sides should be
+    * bucketed on `key` (see [[graft.sources.Sources.writeBucketed]]) so
+    * the join co-locates with zero shuffle. */
+  def hashDiffDetail(src: DataFrame, tgt: DataFrame,
+                     key: String, cols: Seq[String]): DataFrame = {
+    def hashed(df: DataFrame, h: String) = df.select(col(key).as("k"),
+      md5(concat_ws("|", cols.map(c => col(c).cast("string")): _*)).as(h))
+    hashed(src, "h_src").join(hashed(tgt, "h_tgt"), Seq("k"), "full_outer")
+      .select(col("k"),
+        when(col("h_src").isNull, "extra_in_target")
+          .when(col("h_tgt").isNull, "missing_in_target")
+          .when(col("h_src") =!= col("h_tgt"), "mismatch")
+          .otherwise("match").as("status"))
+      .filter(col("status") =!= "match")
+  }
+
+  /** Harness op over [[hashDiffDetail]]: source drops every 991st key,
+    * target drops every 997th and rounds prices — so all three statuses
+    * appear. Prices normalize through DECIMAL(12,2) before hashing so the
+    * concat text is engine-identical. */
+  def diffDetail(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val norm = o.withColumn("o_totalprice",
+      col("o_totalprice").cast(DecimalType(12, 2)))
+    val src = norm.filter(col("o_orderkey") % 991 =!= 0)
+    val tgt = o.filter(col("o_orderkey") % 997 =!= 0)
+      .withColumn("o_totalprice", round(col("o_totalprice"), 0).cast(DecimalType(12, 2)))
+    hashDiffDetail(src, tgt, "o_orderkey",
+      Seq("o_custkey", "o_orderstatus", "o_totalprice"))
+      .orderBy("status", "k")
+      .limit(200)
+  }
+
   /** Keys present in source but absent in target (anti-join). */
   def missingRows(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)

@@ -38,6 +38,19 @@ object Sources {
     }
   }
 
+  /** Catalog-managed bucketed table: rows are hash-distributed into
+    * `buckets` files per partition on `key` and sorted within each. Two
+    * tables bucketed the same way join on `key` with ZERO shuffle — the
+    * 100 TB posture for recurring source/target reconciliation, where the
+    * one-time bucketed write amortizes over every nightly compare.
+    * Requires a catalog (in-memory or Hive); plain path-writes cannot
+    * carry bucketing metadata. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int = 8): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key).sortBy(key)
+      .saveAsTable(table)
+
   /** Register all ten driver tables as temp views for spark.sql access. */
   def registerTempViews(spark: SparkSession, dir: String): Unit = {
     Seq("region", "nation", "supplier", "part", "customer", "orders",

@@ -51,6 +51,25 @@ class ReconSpec extends GraftSpec {
     assert(drill.agg(sum("n")).collect().head.getLong(0) === Tables.orders(spark, sf).count())
   }
 
+  test("hashDiffDetail classifies mismatched, missing and extra keys") {
+    val o = Tables.orders(spark, sf)
+    val cols = Seq("o_custkey", "o_orderstatus", "o_totalprice")
+    val keys = o.select("o_orderkey").orderBy("o_orderkey").limit(9)
+      .collect().map(_.getLong(0))
+    val (perturb, drop, onlyTgt) = (keys.slice(0, 3), keys.slice(3, 6), keys.slice(6, 9))
+    val src = o.filter(!col("o_orderkey").isin(onlyTgt: _*))
+    val tgt = o.filter(!col("o_orderkey").isin(drop: _*))
+      .withColumn("o_totalprice",
+        when(col("o_orderkey").isin(perturb: _*), col("o_totalprice") + 1)
+          .otherwise(col("o_totalprice")))
+    val got = Recon.hashDiffDetail(src, tgt, "o_orderkey", cols).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(perturb.forall(k => got.get(k).contains("mismatch")))
+    assert(drop.forall(k => got.get(k).contains("missing_in_target")))
+    assert(onlyTgt.forall(k => got.get(k).contains("extra_in_target")))
+    assert(got.size === 9)
+  }
+
   test("report localizes the simulated bad load to the right checks") {
     val rows = Recon.report(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getBoolean(3))).toMap

@@ -28,6 +28,28 @@ class SourcesSpec extends GraftSpec {
     assert(spark.sql("SELECT count(*) FROM events").collect().head.getLong(0) === 1000L)
   }
 
+  test("bucketed tables reconcile with a zero-shuffle co-located join") {
+    Sources.writeBucketed(Tables.orders(spark, sf), "orders_bsrc", "o_orderkey")
+    Sources.writeBucketed(Tables.orders(spark, sf), "orders_btgt", "o_orderkey")
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val diff = Recon.hashDiffTables(
+        spark.table("orders_bsrc"), spark.table("orders_btgt"),
+        "o_orderkey", Seq("o_custkey", "o_orderstatus", "o_totalprice"))
+      val plan = diff.queryExecution.executedPlan.toString
+      // the join itself must read bucket-aligned inputs: the only exchange
+      // allowed is the final single-row aggregate's
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
+      val joinPart = plan.substring(plan.indexOf("Join"))
+      assert(!joinPart.contains("Exchange hashpartitioning(k"),
+        s"bucketed join must not shuffle on the key:\n$plan")
+      assert(diff.collect().head.getLong(0) === 0L)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    spark.sql("DROP TABLE orders_bsrc")
+    spark.sql("DROP TABLE orders_btgt")
+  }
+
   test("Hive metastore: saveAsTable + catalog read + recon round-trip") {
     assert(spark.conf.get("spark.sql.catalogImplementation") === "hive")
     spark.sql("CREATE DATABASE IF NOT EXISTS graft_recon")
