@@ -49,6 +49,8 @@ object SparkEntry {
     "dedup_minhash"            -> (Text.dedupMinhash _),      // no-oracle
     "dedup_simhash"            -> (Text.dedupSimhash _),      // no-oracle
     "text_langid"              -> (Text.langidNgram _),       // no-oracle
+    "text_token_counts"        -> (Text.tokenCounts _),
+    "dedup_embedding"          -> ((s, d) => Vectors.dedupEmbedding(s, d)), // no-oracle
     // §2.9 LLM-pipeline: vectors
     "cosine_knn"               -> (Vectors.cosineKnn _),
     "embed_centroids"          -> (Vectors.embedCentroids _),
@@ -73,7 +75,7 @@ object SparkEntry {
     "dedup_exact_docs", "text_token_stats", "cosine_knn",
     "text_quality_score", "doc_fingerprint", "dedup_ngram_jaccard",
     "embed_centroids", "multimodal_bytes", "asof_join_events", "recon_report",
-    "recon_diff_detail")
+    "recon_diff_detail", "text_token_counts")
 
   /** DuckDB-dialect oracle per query (driver runs these on the same parquet
     * files and hash-compares). Dialect forks: get_json_object↔
@@ -241,6 +243,11 @@ object SparkEntry {
         |SELECT user_id, sid, count(*) n, date_trunc('second', min(ts)) t0,
         |  date_trunc('second', max(ts)) t1
         |FROM s GROUP BY 1,2 ORDER BY 1,2 LIMIT 200""".stripMargin,
+
+    "text_token_counts" ->
+      """SELECT doc_id, len(string_split(text,' ')) ws_tokens,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) bpe_tokens
+        |FROM documents ORDER BY doc_id LIMIT 1000""".stripMargin,
 
     "dedup_exact_docs" ->
       "SELECT count(*) - count(DISTINCT md5(text)) exact_dups FROM documents",

@@ -35,6 +35,19 @@ object Text {
       .orderBy(col("n").desc, col("tok"))
       .limit(20)
 
+  /** Token counting, whitespace vs BPE-ish: the regex mimics a byte-pair
+    * pre-tokenizer's coarse splits (letter runs, digit runs, single
+    * punctuation) — the token-budget estimate an LLM-data pipeline uses
+    * before the real tokenizer. Row-local, scan-projection only. */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+      size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+        .cast("long").as("bpe_tokens"))
+      .orderBy("doc_id")
+      .limit(1000)
+
   /** Per-document quality signals: token count, chars-per-token,
     * stopword ratio. Int/int division is exact in double → oracle-safe. */
   def qualityScore(spark: SparkSession, dir: String): DataFrame = {

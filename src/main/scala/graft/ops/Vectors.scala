@@ -88,6 +88,31 @@ object Vectors {
       }
     }
 
+  /** Embedding-cosine near-duplicate detection: vector pairs above a
+    * similarity threshold, candidates from the same LSH sign-buckets as
+    * [[annLshTopk]] — O(n·bucket) shuffle, never all pairs, with the
+    * bucket capped implicitly by the hash width. No oracle (bucketing is
+    * approximate by design); recall on planted near-dupes is unit-tested.
+    * At 100 TB this is the dedup gate a training pipeline runs after
+    * minhash: text-different but embedding-identical documents. */
+  def dedupEmbedding(spark: SparkSession, dir: String, threshold: Double = 0.95): DataFrame = {
+    val bucket = (0 until NumPlanes).map { j =>
+      val planeDot = balancedSum((1 to Dim).map(i =>
+        element_at(col("v"), i) * lit(planes(j)(i - 1))))
+      shiftleft(when(planeDot > 0, lit(1L)).otherwise(lit(0L)), j)
+    }.reduce(_ bitwiseOR _)
+    val e = normalized(spark, dir).withColumn("bucket", bucket)
+    val a = e.select(col("vec_id").as("a_id"), col("v").as("va"), col("nrm").as("na"), col("bucket"))
+    val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"), col("nrm").as("nb"), col("bucket"))
+    a.hint("shuffle_hash").join(b, Seq("bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4).as("sim"))
+      .filter(col("sim") >= threshold)
+      .orderBy(col("sim").desc, col("a_id"), col("b_id"))
+      .limit(100)
+  }
+
   /** Balanced-tree sum: depth log₂(n) instead of n. Janino cannot compile
     * a whole-stage-codegen method holding several depth-64 left-leaning
     * Add chains (the 8-plane bucket projection) — it falls back to

@@ -55,6 +55,16 @@ class VectorsSpec extends GraftSpec {
       s"IVF neighbor in true cluster: $sameCluster/${got.size}")
   }
 
+  test("dedup_embedding finds planted near-dupes, only real ones") {
+    val rows = Vectors.dedupEmbedding(spark, fixtureDir, 0.95).collect()
+    assert(rows.nonEmpty, "clustered fixture must contain cosine near-dupes")
+    rows.foreach { r =>
+      assert(cluster(r.getLong(0)) === cluster(r.getLong(1)),
+        s"pair (${r.getLong(0)}, ${r.getLong(1)}) crosses clusters")
+      assert(r.getDouble(2) >= 0.95)
+    }
+  }
+
   test("embed_centroids equals a driver-side mean to 1e-6") {
     val got = Vectors.embedCentroids(spark, sf).collect()
       .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
