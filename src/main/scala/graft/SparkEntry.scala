@@ -58,7 +58,9 @@ object SparkEntry {
     "ann_ivf_topk"             -> (Vectors.annIvfTopk _),     // no-oracle
     // multimodal binary columns
     "multimodal_bytes"         -> (Multimodal.bytesStats _),
-    "multimodal_decode_stats"  -> (Multimodal.decodeStats _)  // no-oracle
+    "multimodal_decode_stats"  -> (Multimodal.decodeStats _), // no-oracle
+    "multimodal_resize_stats"  -> (Multimodal.resizeStats _), // no-oracle
+    "multimodal_frame_sample"  -> ((s, d) => Multimodal.frameSample(s, d)) // no-oracle
   )
 
   /** The 26 BASELINE.md headline queries timed by [[Bench]] — kept exactly

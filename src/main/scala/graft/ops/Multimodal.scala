@@ -61,6 +61,46 @@ object Multimodal {
     }
   }
 
+  /** STUB resize — pure shape arithmetic a real scaler would do; the
+    * typed signature and per-partition batch shape are the real plumbing. */
+  private[graft] def resizeStub(f: MediaFeatures, maxSide: Int): MediaFeatures =
+    if (f.width <= maxSide && f.height <= maxSide) f
+    else {
+      val scale = maxSide.toDouble / math.max(f.width, f.height)
+      f.copy(width = math.max(1, (f.width * scale).toInt),
+        height = math.max(1, (f.height * scale).toInt))
+    }
+
+  /** Decode (stubbed) → resize (stubbed) → per-kind stats: the thumbnail
+    * pass of a training pipeline. Same distributed shape as
+    * [[decodeStats]]; the resize is a per-record map fused into the same
+    * partition iteration — no extra shuffle. */
+  def resizeStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaRecords(spark, dir)
+      .mapPartitions(_.map(r => resizeStub(decodeStub(r), maxSide = 32)))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n"),
+        max(col("width")).as("max_w"), max(col("height")).as("max_h"))
+      .orderBy("kind")
+  }
+
+  /** Frame sampling: one row per sampled frame index (every `stride`-th
+    * frame), a typed 1→N generator via `flatMap` — the shape of a video
+    * pipeline feeding frame batches downstream. Frame count comes from
+    * the (stubbed) decode; sampling itself is real. */
+  def frameSample(spark: SparkSession, dir: String, stride: Int = 10): DataFrame = {
+    import spark.implicits._
+    mediaRecords(spark, dir)
+      .mapPartitions(_.map(decodeStub))
+      .filter(col("kind") === "video").as[MediaFeatures]
+      .flatMap(f => (0 until f.frames by stride).map(i => (f.doc_id, i)))
+      .toDF("doc_id", "frame_idx")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_sampled"))
+      .orderBy("doc_id")
+      .limit(500)
+  }
+
   /** Decode (stubbed) then aggregate per-kind shape statistics. */
   def decodeStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.Multimodal
+import graft.ops.{MediaFeatures, Multimodal}
 
 /** Multimodal plumbing: the decode stub is deterministic and the typed
   * Dataset pipeline preserves every record (no-oracle op's verification). */
@@ -15,6 +15,30 @@ class MultimodalSpec extends GraftSpec {
     val rows = Multimodal.decodeStats(spark, sf).collect()
     assert(rows.map(_.getString(0)).toSet === Set("audio", "image", "video"))
     assert(rows.map(_.getLong(1)).sum === 500L)
+  }
+
+  test("resize clamps every dimension to the target box") {
+    val rows = Multimodal.resizeStats(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(2) <= 32 && r.getInt(3) <= 32,
+        s"${r.getString(0)}: ${r.getInt(2)}x${r.getInt(3)} exceeds 32")
+    }
+    // aspect-ratio arithmetic spot check
+    val f = Multimodal.resizeStub(
+      MediaFeatures(1L, "image", 100L, 64, 32, 1), maxSide = 32)
+    assert(f.width === 32 && f.height === 16)
+  }
+
+  test("frame sampling emits ceil(frames/stride) rows per video") {
+    val videos = Multimodal.mediaRecords(spark, sf)
+      .collect().filter(_.kind == "video")
+      .map(Multimodal.decodeStub)
+      .map(f => f.doc_id -> (f.frames + 9) / 10).toMap
+    val got = Multimodal.frameSample(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === math.min(videos.size, 500))
+    got.foreach { case (id, n) => assert(n === videos(id).toLong, s"doc $id") }
   }
 
   test("bytes stats match a driver-side md5") {
