@@ -7,19 +7,21 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 /** Vector / embedding block (SURVEY.md §2.9): brute-force cosine kNN,
-  * per-label centroids, LSH-bucketed approximate NN.
+  * per-label centroids, LSH- and IVF-bucketed approximate NN, cosine
+  * near-dup detection.
   *
-  * The hot-path dot product is 64 unrolled `element_at` multiply-adds —
-  * plain codegen'd arithmetic inside whole-stage codegen. (Spark's
-  * `zip_with`/`aggregate` higher-order functions are CodegenFallback and
-  * evaluate interpreted; at 2 M pairs × 64 floats that costs ~3× — round-1
-  * bench data.) The left-associated sum order is identical to a sequential
-  * fold, so results are bit-equal across plans. Division by the two norms
-  * happens once per pair rather than pre-normalizing elements: one extra
-  * multiply+divide per pair, in exchange for bit-identical similarity
-  * values to the `dot/(|a||b|)` form the oracle's rounding analysis
-  * assumed. Norms are computed once per row before the join, never per
-  * pair. Argmax is a `max_by` two-phase hash aggregate — no sort exchange.
+  * The hot-path dot product is the native codegen'd
+  * [[graft.functions.DotProduct]] expression — a generated loop inside
+  * whole-stage codegen. (Spark's `zip_with`/`aggregate` higher-order
+  * functions are CodegenFallback and evaluate interpreted; at 2 M pairs ×
+  * 64 floats that costs ~3× — round-1 bench data.) Its sequential
+  * accumulation is bit-identical to a fold, so results are stable across
+  * plans. Division by the two norms happens once per pair rather than
+  * pre-normalizing elements: one extra multiply+divide per pair, in
+  * exchange for bit-identical similarity values to the `dot/(|a||b|)`
+  * form the oracle's rounding analysis assumed. Norms are computed once
+  * per row before the join, never per pair. Argmax is a `max_by`
+  * two-phase hash aggregate — no sort exchange.
   *
   * 100 TB posture: brute force is the small-n baseline; the scale path is
   * [[annLshTopk]] — random-hyperplane buckets make the self-join shuffle
@@ -27,12 +29,16 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Vectors {
 
-  /** Embedding dimensionality — fixed 64 in the testdata (FIXTURES.md). */
+  /** Embedding dimensionality of the testdata (FIXTURES.md) — used only
+    * to generate the LSH hyperplanes; the dot product itself is
+    * dimension-agnostic. */
   private val Dim = 64
 
-  /** Unrolled codegen'd dot product; `element_at` is 1-based. */
+  /** Native codegen'd dot product ([[graft.functions.DotProduct]]):
+    * a generated loop inside whole-stage codegen, bit-identical in
+    * accumulation order to a sequential fold. */
   private[graft] def dot(a: Column, b: Column): Column =
-    (1 to Dim).map(i => element_at(a, i) * element_at(b, i)).reduce(_ + _)
+    graft.functions.DotProduct.dot(a, b)
 
   private def normalized(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
@@ -96,12 +102,7 @@ object Vectors {
     * At 100 TB this is the dedup gate a training pipeline runs after
     * minhash: text-different but embedding-identical documents. */
   def dedupEmbedding(spark: SparkSession, dir: String, threshold: Double = 0.95): DataFrame = {
-    val bucket = (0 until NumPlanes).map { j =>
-      val planeDot = balancedSum((1 to Dim).map(i =>
-        element_at(col("v"), i) * lit(planes(j)(i - 1))))
-      shiftleft(when(planeDot > 0, lit(1L)).otherwise(lit(0L)), j)
-    }.reduce(_ bitwiseOR _)
-    val e = normalized(spark, dir).withColumn("bucket", bucket)
+    val e = normalized(spark, dir).withColumn("bucket", lshBucket)
     val a = e.select(col("vec_id").as("a_id"), col("v").as("va"), col("nrm").as("na"), col("bucket"))
     val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"), col("nrm").as("nb"), col("bucket"))
     a.hint("shuffle_hash").join(b, Seq("bucket"))
@@ -113,14 +114,14 @@ object Vectors {
       .limit(100)
   }
 
-  /** Balanced-tree sum: depth log₂(n) instead of n. Janino cannot compile
-    * a whole-stage-codegen method holding several depth-64 left-leaning
-    * Add chains (the 8-plane bucket projection) — it falls back to
-    * interpreted, which is exactly the cost this op exists to avoid. Used
-    * only where the summation order carries no oracle contract. */
-  private def balancedSum(cols: Seq[Column]): Column =
-    if (cols.sizeIs == 1) cols.head
-    else balancedSum(cols.grouped(2).map(_.reduce(_ + _)).toSeq)
+  /** 8 sign bits against the fixed hyperplanes → bucket id 0..255. Each
+    * plane dot is one native [[graft.functions.DotProduct]] loop, so the
+    * whole projection stays small enough for janino (the round-2 unrolled
+    * form overflowed its nesting depth and fell back to interpreted). */
+  private def lshBucket: Column =
+    (0 until NumPlanes).map { j =>
+      shiftleft(when(dot(col("v"), typedlit(planes(j))) > 0, lit(1L)).otherwise(lit(0L)), j)
+    }.reduce(_ bitwiseOR _)
 
   private val IvfClusters = 16
   private val IvfIterations = 3
@@ -202,12 +203,7 @@ object Vectors {
     * to shuffled-hash: sort-merge would sort both sides on a hash bucket
     * key whose order is meaningless. */
   def annLshTopk(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = (0 until NumPlanes).map { j =>
-      val planeDot = balancedSum((1 to Dim).map(i =>
-        element_at(col("v"), i) * lit(planes(j)(i - 1))))
-      shiftleft(when(planeDot > 0, lit(1L)).otherwise(lit(0L)), j)
-    }.reduce(_ bitwiseOR _)
-    val e = normalized(spark, dir).withColumn("bucket", bucket)
+    val e = normalized(spark, dir).withColumn("bucket", lshBucket)
     val left = e.select(col("vec_id"), col("v").as("va"), col("nrm").as("na"), col("bucket"))
     val right = e.select(col("vec_id").as("nn"), col("v").as("vb"), col("nrm").as("nb"), col("bucket"))
     val sim = round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4)
