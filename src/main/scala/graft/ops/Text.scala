@@ -15,7 +15,8 @@ import org.apache.spark.sql.functions._
   * on (band, band-hash) buckets, so the shuffle volume is O(docs × bands),
   * not O(docs²). Identical-document floods (the classic LSH skew) are the
   * one hot spot: buckets of k identical docs cost k² pairs; AQE skew-join
-  * splitting plus an optional per-bucket cap handle that at scale.
+  * splitting plus the per-bucket cap ([[Text.MaxBucketDocs]]) handle
+  * that at scale.
   */
 object Text {
 
@@ -214,7 +215,10 @@ object Text {
     * language) is trained distributed from the corpus itself, then each doc
     * is scored by profile overlap and argmax-classified; output is the
     * (true lang, predicted lang) confusion matrix. The profile is a tiny
-    * dimension table → broadcast join at any scale. Non-oracle. */
+    * dimension table → broadcast join at any scale. The gram explode is
+    * computed twice (training + scoring) by design: at 100 TB you train
+    * the profile on a sample rather than cache a corpus-sized explode.
+    * Non-oracle. */
   def langidNgram(spark: SparkSession, dir: String): DataFrame = {
     val grams = docs(spark, dir).selectExpr("doc_id", "lang",
       "explode(transform(sequence(1, greatest(length(text)-1, 1)), i -> substring(text, i, 2))) AS g")

@@ -6,11 +6,11 @@ import org.apache.spark.sql.types.StructType
 
 /** Source/sink surface beyond the primary parquet path (SURVEY.md §2.2):
   * CSV and JSON ingest (typical recon-tool source extracts), parquet
-  * write-back, and temp-view registration so every op is also reachable
-  * through `spark.sql`. Hive-metastore registration (`saveAsTable` under
-  * `enableHiveSupport`) is intentionally not wired into the harness — the
-  * driver reads raw parquet paths — but `write`+`createOrReplaceTempView`
-  * cover the same query surface.
+  * write-back, bucketed catalog tables, and temp-view registration so
+  * every op is also reachable through `spark.sql`. The driver harness
+  * reads raw parquet paths; Hive-metastore mode (`enableHiveSupport` +
+  * `saveAsTable`/catalog reads, including [[writeBucketed]]) is exercised
+  * against a derby-backed metastore in the test suite.
   */
 object Sources {
 
