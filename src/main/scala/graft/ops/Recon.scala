@@ -58,17 +58,44 @@ object Recon {
       .agg(count(lit(1)).as("mismatches"))
   }
 
+  /** Null-safe row checksum: `concat_ws` silently drops NULLs, so rows
+    * differing only in which column is null would collide — each value is
+    * null-coalesced to a sentinel that cannot appear in real data. */
+  private def rowChecksum(cols: Seq[String]): Column =
+    md5(concat_ws("|",
+      cols.map(c => coalesce(col(c).cast("string"), lit("NULL"))): _*))
+
   /** Two-sided row-hash reconciliation between distinct source and target
     * frames: checksum `cols` on each side map-side (only (key, hash) pairs
     * shuffle, never full rows), join on `key`, count mismatches. At scale,
     * bucket both sides on `key` so the join is co-located. */
   def hashDiffTables(src: DataFrame, tgt: DataFrame,
                      key: String, cols: Seq[String]): DataFrame = {
-    def hashed(df: DataFrame, h: String) = df.select(col(key).as("k"),
-      md5(concat_ws("|", cols.map(c => col(c).cast("string")): _*)).as(h))
+    def hashed(df: DataFrame, h: String) =
+      df.select(col(key).as("k"), rowChecksum(cols).as(h))
     hashed(src, "h_src").join(hashed(tgt, "h_tgt"), "k")
       .filter(col("h_src") =!= col("h_tgt"))
       .agg(count(lit(1)).as("mismatches"))
+  }
+
+  /** Schema-drift check — the column-level contract compare a recon tool
+    * runs before any data compare: one row per column present on either
+    * side, with both types and a status (type_mismatch / missing_in_target
+    * / extra_in_target / ok). Pure metadata, no scan. */
+  def schemaDrift(src: DataFrame, tgt: DataFrame): DataFrame = {
+    val spark = src.sparkSession
+    import spark.implicits._
+    val s = src.schema.map(f => f.name -> f.dataType.simpleString).toMap
+    val t = tgt.schema.map(f => f.name -> f.dataType.simpleString).toMap
+    (s.keySet ++ t.keySet).toSeq.sorted.map { c =>
+      val status = (s.get(c), t.get(c)) match {
+        case (Some(a), Some(b)) if a == b => "ok"
+        case (Some(_), Some(_))           => "type_mismatch"
+        case (Some(_), None)              => "missing_in_target"
+        case _                            => "extra_in_target"
+      }
+      (c, s.get(c).orNull, t.get(c).orNull, status)
+    }.toDF("column", "src_type", "tgt_type", "status")
   }
 
   /** Reconciliation report — the reference's §0.5 "report emission"
@@ -110,8 +137,8 @@ object Recon {
     * the join co-locates with zero shuffle. */
   def hashDiffDetail(src: DataFrame, tgt: DataFrame,
                      key: String, cols: Seq[String]): DataFrame = {
-    def hashed(df: DataFrame, h: String) = df.select(col(key).as("k"),
-      md5(concat_ws("|", cols.map(c => col(c).cast("string")): _*)).as(h))
+    def hashed(df: DataFrame, h: String) =
+      df.select(col(key).as("k"), rowChecksum(cols).as(h))
     hashed(src, "h_src").join(hashed(tgt, "h_tgt"), Seq("k"), "full_outer")
       .select(col("k"),
         when(col("h_src").isNull, "extra_in_target")

@@ -70,6 +70,29 @@ class ReconSpec extends GraftSpec {
     assert(got.size === 9)
   }
 
+  test("null-position swaps are detected as mismatches") {
+    val spark0 = spark
+    import spark0.implicits._
+    // same key, same non-null value, but in different columns — a naive
+    // concat_ws hash would collide and miss the difference
+    val src = Seq((1L, Option("x"), Option.empty[String])).toDF("k", "a", "b")
+    val tgt = Seq((1L, Option.empty[String], Option("x"))).toDF("k", "a", "b")
+    val n = Recon.hashDiffTables(src, tgt, "k", Seq("a", "b"))
+      .collect().head.getLong(0)
+    assert(n === 1L)
+  }
+
+  test("schemaDrift classifies type, missing, and extra columns") {
+    val spark0 = spark
+    import spark0.implicits._
+    val src = Seq((1L, "x", 2.0)).toDF("k", "a", "b")
+    val tgt = Seq((1, "x", true)).toDF("k", "a", "c")
+    val got = Recon.schemaDrift(src, tgt).collect()
+      .map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(got === Map("k" -> "type_mismatch", "a" -> "ok",
+      "b" -> "missing_in_target", "c" -> "extra_in_target"))
+  }
+
   test("report localizes the simulated bad load to the right checks") {
     val rows = Recon.report(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getBoolean(3))).toMap
