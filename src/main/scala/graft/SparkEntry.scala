@@ -63,11 +63,12 @@ object SparkEntry {
     "multimodal_frame_sample"  -> ((s, d) => Multimodal.frameSample(s, d)) // no-oracle
   )
 
-  /** The 26 BASELINE.md headline queries timed by [[Bench]] — kept exactly
-    * aligned with the baseline so per-query times stay comparable. Round 2
-    * extended the original 19 with the remaining five oracle-able ops plus
-    * the two operators it added (as-of join, recon report); BASELINE.md v2
-    * carries their DuckDB timings, measured identically. */
+  /** The 28 BASELINE.md headline queries timed by [[Bench]] — every
+    * oracle-able op, kept exactly aligned with the baseline so per-query
+    * times stay comparable. Round 2 extended the original 19 with the
+    * remaining five oracle-able ops plus the four operators it added
+    * (as-of join, recon report, diff detail, token counts); BASELINE.md
+    * v2 carries their DuckDB timings, measured identically. */
   val benchQueries: Seq[String] = Seq(
     "recon_rowcount", "recon_colagg_fingerprint", "recon_hash_diff",
     "recon_missing_rows", "recon_partition_drill", "q1_pricing_summary",

@@ -58,25 +58,34 @@ object Recon {
       .agg(count(lit(1)).as("mismatches"))
   }
 
-  /** Null-safe row checksum: `concat_ws` silently drops NULLs, so rows
-    * differing only in which column is null would collide — each value is
-    * null-coalesced to a sentinel that cannot appear in real data. */
+  /** Null-safe, injection-safe row checksum for the generic recon APIs.
+    * Plain `concat_ws` is forgeable two ways: it drops NULLs (rows
+    * differing only in which column is null collide), and a value
+    * containing the delimiter shifts content between columns
+    * (("a|b","c") vs ("a","b|c")). Each value is length-prefixed --
+    * "3:a|b" cannot be confused with "1:a" -- and null maps to a
+    * prefix-less marker distinct from any length-prefixed string. */
   private def rowChecksum(cols: Seq[String]): Column =
-    md5(concat_ws("|",
-      cols.map(c => coalesce(col(c).cast("string"), lit("NULL"))): _*))
+    md5(concat_ws("|", cols.map { c =>
+      val s = col(c).cast("string")
+      coalesce(concat(length(s).cast("string"), lit(":"), s), lit("~null~"))
+    }: _*))
+
+  /** Map-side (key, checksum) projection shared by the two-sided APIs. */
+  private def keyedChecksum(df: DataFrame, key: String,
+                            cols: Seq[String], alias: String): DataFrame =
+    df.select(col(key).as("k"), rowChecksum(cols).as(alias))
 
   /** Two-sided row-hash reconciliation between distinct source and target
     * frames: checksum `cols` on each side map-side (only (key, hash) pairs
     * shuffle, never full rows), join on `key`, count mismatches. At scale,
     * bucket both sides on `key` so the join is co-located. */
   def hashDiffTables(src: DataFrame, tgt: DataFrame,
-                     key: String, cols: Seq[String]): DataFrame = {
-    def hashed(df: DataFrame, h: String) =
-      df.select(col(key).as("k"), rowChecksum(cols).as(h))
-    hashed(src, "h_src").join(hashed(tgt, "h_tgt"), "k")
+                     key: String, cols: Seq[String]): DataFrame =
+    keyedChecksum(src, key, cols, "h_src")
+      .join(keyedChecksum(tgt, key, cols, "h_tgt"), "k")
       .filter(col("h_src") =!= col("h_tgt"))
       .agg(count(lit(1)).as("mismatches"))
-  }
 
   /** Schema-drift check — the column-level contract compare a recon tool
     * runs before any data compare: one row per column present on either
@@ -137,9 +146,8 @@ object Recon {
     * the join co-locates with zero shuffle. */
   def hashDiffDetail(src: DataFrame, tgt: DataFrame,
                      key: String, cols: Seq[String]): DataFrame = {
-    def hashed(df: DataFrame, h: String) =
-      df.select(col(key).as("k"), rowChecksum(cols).as(h))
-    hashed(src, "h_src").join(hashed(tgt, "h_tgt"), Seq("k"), "full_outer")
+    keyedChecksum(src, key, cols, "h_src")
+      .join(keyedChecksum(tgt, key, cols, "h_tgt"), Seq("k"), "full_outer")
       .select(col("k"),
         when(col("h_src").isNull, "extra_in_target")
           .when(col("h_tgt").isNull, "missing_in_target")

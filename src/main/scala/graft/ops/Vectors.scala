@@ -94,22 +94,39 @@ object Vectors {
       }
     }
 
+  /** Per-LSH-bucket cap for the vector ops — same skew bomb as
+    * [[Text.MaxBucketDocs]]: k identical embeddings in one sign-bucket
+    * otherwise cost k²/2 pairs on one task. First `MaxBucketVecs` vectors
+    * by vec_id survive per bucket, deterministically. */
+  private[graft] val MaxBucketVecs = 200
+
+  private def capBucket(e: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("bucket")).orderBy(col("vec_id"))
+    e.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= MaxBucketVecs).drop("rk")
+  }
+
   /** Embedding-cosine near-duplicate detection: vector pairs above a
     * similarity threshold, candidates from the same LSH sign-buckets as
-    * [[annLshTopk]] — O(n·bucket) shuffle, never all pairs, with the
-    * bucket capped implicitly by the hash width. No oracle (bucketing is
-    * approximate by design); recall on planted near-dupes is unit-tested.
-    * At 100 TB this is the dedup gate a training pipeline runs after
-    * minhash: text-different but embedding-identical documents. */
+    * [[annLshTopk]] — O(n·bucket) shuffle, never all pairs, buckets
+    * capped at [[MaxBucketVecs]] against identical-embedding floods.
+    * No oracle (bucketing is approximate by design); recall on planted
+    * near-dupes is unit-tested. At 100 TB this is the dedup gate a
+    * training pipeline runs after minhash: text-different but
+    * embedding-identical documents. */
   def dedupEmbedding(spark: SparkSession, dir: String, threshold: Double = 0.95): DataFrame = {
-    val e = normalized(spark, dir).withColumn("bucket", lshBucket)
+    val e = capBucket(normalized(spark, dir).withColumn("bucket", lshBucket))
     val a = e.select(col("vec_id").as("a_id"), col("v").as("va"), col("nrm").as("na"), col("bucket"))
     val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"), col("nrm").as("nb"), col("bucket"))
     a.hint("shuffle_hash").join(b, Seq("bucket"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4).as("sim"))
-      .filter(col("sim") >= threshold)
+      // top candidates with the dup verdict as a flag rather than a hard
+      // filter: corpora with no near-dupes still emit their closest pairs
+      // (an all-or-nothing filter made a clean corpus indistinguishable
+      // from a broken pipeline)
+      .withColumn("is_dup", col("sim") >= threshold)
       .orderBy(col("sim").desc, col("a_id"), col("b_id"))
       .limit(100)
   }
@@ -160,8 +177,9 @@ object Vectors {
         .groupBy("cid")
         .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
         .select(col("cid"), transform(col("pc"), p => p("c")).as("m"))
-      centroids = mean.select(col("cid"),
-        transform(col("m"), x => x / sqrt(dot(col("m"), col("m")))).as("cvec"))
+      centroids = mean
+        .withColumn("mn", sqrt(dot(col("m"), col("m"))))
+        .select(col("cid"), transform(col("m"), x => x / col("mn")).as("cvec"))
     }
     centroids
   }
@@ -203,7 +221,7 @@ object Vectors {
     * to shuffled-hash: sort-merge would sort both sides on a hash bucket
     * key whose order is meaningless. */
   def annLshTopk(spark: SparkSession, dir: String): DataFrame = {
-    val e = normalized(spark, dir).withColumn("bucket", lshBucket)
+    val e = capBucket(normalized(spark, dir).withColumn("bucket", lshBucket))
     val left = e.select(col("vec_id"), col("v").as("va"), col("nrm").as("na"), col("bucket"))
     val right = e.select(col("vec_id").as("nn"), col("v").as("vb"), col("nrm").as("nb"), col("bucket"))
     val sim = round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4)

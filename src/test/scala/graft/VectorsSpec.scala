@@ -55,10 +55,11 @@ class VectorsSpec extends GraftSpec {
       s"IVF neighbor in true cluster: $sameCluster/${got.size}")
   }
 
-  test("dedup_embedding finds planted near-dupes, only real ones") {
+  test("dedup_embedding flags planted near-dupes, only real ones") {
     val rows = Vectors.dedupEmbedding(spark, fixtureDir, 0.95).collect()
-    assert(rows.nonEmpty, "clustered fixture must contain cosine near-dupes")
-    rows.foreach { r =>
+    val dups = rows.filter(_.getBoolean(3))
+    assert(dups.nonEmpty, "clustered fixture must contain cosine near-dupes")
+    dups.foreach { r =>
       assert(cluster(r.getLong(0)) === cluster(r.getLong(1)),
         s"pair (${r.getLong(0)}, ${r.getLong(1)}) crosses clusters")
       assert(r.getDouble(2) >= 0.95)

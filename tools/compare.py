@@ -46,7 +46,12 @@ def main(sfdir, outdir):
     bad = 0
     for name, sql in sorted(oracle.items()):
         files = glob.glob(os.path.join(outdir, name, "*.parquet"))
-        spark_tbl = pq.read_table(files[0]) if files else None
+        if not files:
+            # Verify swallows per-query failures; surface them here as FAILs
+            print(f"{name}: FAIL no spark output dumped")
+            bad += 1
+            continue
+        spark_tbl = pq.read_table(files[0])
         try:
             res = con.execute(sql)
             ocols = [d[0] for d in res.description]
@@ -67,6 +72,21 @@ def main(sfdir, outdir):
                   f"schema={schema_ok} ({sorted(scols)} vs {sorted(ocols)}) hash={hash_ok}")
         else:
             print(f"{name}: PASS ({len(srows)} rows)")
+    # no-oracle queries get a rows-only sanity check (driver records the same)
+    for d in sorted(os.listdir(outdir)):
+        sub = os.path.join(outdir, d)
+        if not os.path.isdir(sub) or d in oracle:
+            continue
+        files = glob.glob(os.path.join(sub, "*.parquet"))
+        try:
+            rows = pq.read_table(files[0]).num_rows if files else -1
+        except Exception:
+            rows = -1
+        if rows > 0:
+            print(f"{d}: PASS-NOORACLE ({rows} rows)")
+        else:
+            print(f"{d}: FAIL no-oracle output missing or empty")
+            bad += 1
     print(f"\n{'ALL PASS' if bad == 0 else f'{bad} FAILURES'}")
     return bad
 
