@@ -32,7 +32,9 @@ object SparkEntry {
     "window_topk_per_group"    -> (Relational.windowTopkPerGroup _),
     "window_running_sum"       -> (Relational.windowRunningSum _),
     "rollup_agg"               -> (Relational.rollupAgg _),
+    "cube_agg"                 -> (Relational.cubeAgg _),
     "set_ops"                  -> (Relational.setOps _),
+    "set_ops_except"           -> (Relational.setOpsExcept _),
     "scalar_funcs"             -> (Relational.scalarFuncs _),
     // §2.8 event-time
     "json_extract_events"      -> (Events.jsonExtract _),
@@ -63,7 +65,7 @@ object SparkEntry {
     "multimodal_frame_sample"  -> ((s, d) => Multimodal.frameSample(s, d)) // no-oracle
   )
 
-  /** The 28 BASELINE.md headline queries timed by [[Bench]] — every
+  /** The 30 BASELINE.md headline queries timed by [[Bench]] — every
     * oracle-able op, kept exactly aligned with the baseline so per-query
     * times stay comparable. Round 2 extended the original 19 with the
     * remaining five oracle-able ops plus the four operators it added
@@ -78,7 +80,7 @@ object SparkEntry {
     "dedup_exact_docs", "text_token_stats", "cosine_knn",
     "text_quality_score", "doc_fingerprint", "dedup_ngram_jaccard",
     "embed_centroids", "multimodal_bytes", "asof_join_events", "recon_report",
-    "recon_diff_detail", "text_token_counts")
+    "recon_diff_detail", "text_token_counts", "cube_agg", "set_ops_except")
 
   /** DuckDB-dialect oracle per query (driver runs these on the same parquet
     * files and hash-compares). Dialect forks: get_json_object↔
@@ -214,6 +216,16 @@ object SparkEntry {
       """SELECT coalesce(o_orderstatus,'ALL') st, coalesce(o_orderpriority,'ALL') pr,
         |  count(*) n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) s
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority) ORDER BY 1,2""".stripMargin,
+
+    "cube_agg" ->
+      """SELECT coalesce(o_orderstatus,'ALL') st, coalesce(o_orderpriority,'ALL') pr,
+        |  count(*) n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) s
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority) ORDER BY 1,2""".stripMargin,
+
+    "set_ops_except" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment='BUILDING'
+        |EXCEPT SELECT o_custkey FROM orders WHERE o_totalprice>300000
+        |ORDER BY 1 LIMIT 50""".stripMargin,
 
     "set_ops" ->
       """SELECT c_custkey FROM customer WHERE c_mktsegment='BUILDING'

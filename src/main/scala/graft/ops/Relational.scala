@@ -93,6 +93,29 @@ object Relational {
         col("n"), col("s"))
       .orderBy("st", "pr")
 
+  /** CUBE over (status, priority): all four grouping combinations in one
+    * pass (Expand + two-phase hash agg, same family as rollup). */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), decSum(col("o_totalprice")).as("s"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("pr"),
+        col("n"), col("s"))
+      .orderBy("st", "pr")
+
+  /** Set difference: BUILDING customers who never placed an order over
+    * 300 k (threshold chosen so the result is non-empty on the testdata —
+    * an always-empty set can't tell a working EXCEPT from a broken one). */
+  def setOpsExcept(spark: SparkSession, dir: String): DataFrame = {
+    val building = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val bigOrders = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 300000).select(col("o_custkey").as("c_custkey"))
+    building.except(bigOrders).orderBy("c_custkey").limit(50)
+  }
+
   /** Set operation: BUILDING customers ∩ customers with orders > 1000. */
   def setOps(spark: SparkSession, dir: String): DataFrame = {
     val building = Tables.customer(spark, dir)
