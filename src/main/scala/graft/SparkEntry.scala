@@ -31,6 +31,8 @@ object SparkEntry {
     "asof_join_events"         -> (Asof.asofJoinEvents _),
     "window_topk_per_group"    -> (Relational.windowTopkPerGroup _),
     "window_running_sum"       -> (Relational.windowRunningSum _),
+    "window_funcs"             -> (Relational.windowFuncs _),
+    "quantile_summary"         -> (Relational.quantileSummary _),
     "rollup_agg"               -> (Relational.rollupAgg _),
     "cube_agg"                 -> (Relational.cubeAgg _),
     "set_ops"                  -> (Relational.setOps _),
@@ -65,7 +67,7 @@ object SparkEntry {
     "multimodal_frame_sample"  -> ((s, d) => Multimodal.frameSample(s, d)) // no-oracle
   )
 
-  /** The 30 BASELINE.md headline queries timed by [[Bench]] — every
+  /** The 32 BASELINE.md headline queries timed by [[Bench]] — every
     * oracle-able op, kept exactly aligned with the baseline so per-query
     * times stay comparable. Round 2 extended the original 19 with the
     * remaining five oracle-able ops plus the four operators it added
@@ -80,7 +82,8 @@ object SparkEntry {
     "dedup_exact_docs", "text_token_stats", "cosine_knn",
     "text_quality_score", "doc_fingerprint", "dedup_ngram_jaccard",
     "embed_centroids", "multimodal_bytes", "asof_join_events", "recon_report",
-    "recon_diff_detail", "text_token_counts", "cube_agg", "set_ops_except")
+    "recon_diff_detail", "text_token_counts", "cube_agg", "set_ops_except",
+    "window_funcs", "quantile_summary")
 
   /** DuckDB-dialect oracle per query (driver runs these on the same parquet
     * files and hash-compares). Dialect forks: get_json_object↔
@@ -211,6 +214,22 @@ object SparkEntry {
         |      OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) run
         |  FROM orders) ORDER BY o_custkey, o_orderdate, o_orderkey LIMIT 100""".stripMargin,
+
+    "window_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+        |  lag(o_totalprice, 1) OVER w prev_price,
+        |  lead(o_totalprice, 1) OVER w next_price,
+        |  CAST(ntile(4) OVER w AS INT) quartile,
+        |  round(percent_rank() OVER w, 6) prank,
+        |  first_value(o_orderkey) OVER w first_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey LIMIT 200""".stripMargin,
+
+    "quantile_summary" ->
+      """SELECT o_orderstatus, round(quantile_cont(o_totalprice, 0.5), 4) p50,
+        |  round(quantile_cont(o_totalprice, 0.95), 4) p95, count(*) n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "rollup_agg" ->
       """SELECT coalesce(o_orderstatus,'ALL') st, coalesce(o_orderpriority,'ALL') pr,

@@ -82,6 +82,35 @@ object Relational {
       .drop("o_orderkey")
   }
 
+  /** Window-function battery: lead/lag/ntile/percent_rank/first over one
+    * (custkey, orderdate) sort — all five share a single window spec, so
+    * Spark plans ONE shuffle + ONE sort for the lot. */
+  def windowFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("prank"),
+        first(col("o_orderkey")).over(w).as("first_key"))
+      .orderBy("o_custkey", "o_orderkey")
+      .limit(200)
+  }
+
+  /** Exact interpolated percentiles per order status — Spark `percentile`
+    * and DuckDB `quantile_cont` share the continuous-interpolation
+    * definition; values round to 4 dp to absorb interpolation ulps. */
+  def quantileSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.95)"), 4).as("p95"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+
   /** ROLLUP over (status, priority) incl. the grand-total row. */
   def rollupAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
