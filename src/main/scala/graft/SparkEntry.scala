@@ -38,6 +38,7 @@ object SparkEntry {
     "set_ops"                  -> (Relational.setOps _),
     "set_ops_except"           -> (Relational.setOpsExcept _),
     "scalar_funcs"             -> (Relational.scalarFuncs _),
+    "date_funcs"               -> (Relational.dateFuncs _),
     // §2.8 event-time
     "json_extract_events"      -> (Events.jsonExtract _),
     "tumbling_window_events"   -> (Events.tumblingWindow _),
@@ -67,7 +68,7 @@ object SparkEntry {
     "multimodal_frame_sample"  -> ((s, d) => Multimodal.frameSample(s, d)) // no-oracle
   )
 
-  /** The 32 BASELINE.md headline queries timed by [[Bench]] — every
+  /** The 33 BASELINE.md headline queries timed by [[Bench]] — every
     * oracle-able op, kept exactly aligned with the baseline so per-query
     * times stay comparable. Round 2 extended the original 19 with the
     * remaining five oracle-able ops plus the four operators it added
@@ -83,7 +84,7 @@ object SparkEntry {
     "text_quality_score", "doc_fingerprint", "dedup_ngram_jaccard",
     "embed_centroids", "multimodal_bytes", "asof_join_events", "recon_report",
     "recon_diff_detail", "text_token_counts", "cube_agg", "set_ops_except",
-    "window_funcs", "quantile_summary")
+    "window_funcs", "quantile_summary", "date_funcs")
 
   /** DuckDB-dialect oracle per query (driver runs these on the same parquet
     * files and hash-compares). Dialect forks: get_json_object↔
@@ -256,6 +257,15 @@ object SparkEntry {
         |  CAST(round(CAST(p_retailprice AS DECIMAL(12,2))*CAST('1.1' AS DECIMAL(2,1)),2) AS DOUBLE) pr,
         |  concat(p_brand,'#',CAST(p_size AS VARCHAR)) ck
         |FROM part ORDER BY p_partkey LIMIT 100""".stripMargin,
+
+    "date_funcs" ->
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS INT) y,
+        |  CAST(month(o_orderdate) AS INT) m, CAST(day(o_orderdate) AS INT) d,
+        |  date_trunc('quarter', o_orderdate) q,
+        |  CAST(o_orderdate AS DATE) + 30 plus30,
+        |  last_day(CAST(o_orderdate AS DATE)) eom,
+        |  CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS INT) days_to_98
+        |FROM orders ORDER BY o_orderkey LIMIT 200""".stripMargin,
 
     "json_extract_events" ->
       """SELECT event_type, count(*) n,

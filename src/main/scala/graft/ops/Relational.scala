@@ -154,6 +154,24 @@ object Relational {
     building.intersect(bigOrders).orderBy("c_custkey").limit(50)
   }
 
+  /** Date/time scalar battery: extraction, truncation, arithmetic —
+    * functions with identical semantics in both engines (dayofweek and
+    * add_months are dialect traps: numbering and month-end clamping
+    * differ, so days-based arithmetic is used instead). */
+  def dateFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        date_trunc("quarter", col("o_orderdate")).as("q"),
+        date_add(col("o_orderdate"), 30).as("plus30"),
+        last_day(col("o_orderdate")).as("eom"),
+        datediff(lit("1998-01-01").cast("date"), col("o_orderdate")).as("days_to_98"))
+      .orderBy("o_orderkey")
+      .limit(200)
+
   /** String/math scalar battery; money math through DECIMAL for
     * engine-identical rounding. */
   def scalarFuncs(spark: SparkSession, dir: String): DataFrame =
