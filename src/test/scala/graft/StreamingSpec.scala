@@ -58,6 +58,30 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("events later than the watermark are dropped, not merged") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = StreamingOps.tumblingCounts(input.toDF())
+      .writeStream.format("memory").queryName("late_sink")
+      .outputMode("append").start()
+    try {
+      input.addData(EventsFixture.fixtureEvents.map(toTyped))
+      q.processAllAvailable()
+      // push the watermark far past the fixture's hours, finalizing them
+      input.addData(Ev(998L, java.sql.Timestamp.valueOf("2025-03-01 00:00:00"), 98L, "z", 0.0))
+      q.processAllAvailable()
+      val before = spark.table("late_sink").count()
+      // this event is months behind the watermark: state for its window is
+      // gone, and append mode must not emit or resurrect it
+      input.addData(Ev(997L, java.sql.Timestamp.valueOf("2025-01-01 00:05:00"), 1L, "a", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("late_sink").count() === before,
+        "late event must be dropped by the watermark")
+    } finally q.stop()
+  }
+
   test("session window: streaming append-mode output equals batch") {
     val spark0 = spark
     import spark0.implicits._
