@@ -30,6 +30,15 @@ object StreamingOps {
       .select(col("window.start").as("ws"), col("window.end").as("we"),
         col("event_type"), col("n"))
 
+  /** Streaming exact-dedup on an id column — the ingestion-time twin of
+    * the batch `dedup_exact_docs` gate. `dropDuplicatesWithinWatermark`
+    * keeps one state entry per id only until the watermark passes it, so
+    * state is bounded by the lateness horizon instead of growing with the
+    * full stream history — the only viable contract at 100 TB/day. */
+  def dedupStream(events: DataFrame, idCol: String): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark(idCol)
+
   /** 30-minute-gap sessions per user via the built-in session_window —
     * the streaming twin of the batch lag→running-sum sessionizer. */
   def sessionCounts(events: DataFrame): DataFrame =

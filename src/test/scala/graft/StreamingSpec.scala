@@ -82,6 +82,26 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup emits each id once across micro-batches") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = StreamingOps.dedupStream(input.toDF(), "event_id")
+      .writeStream.format("memory").queryName("dedup_sink")
+      .outputMode("append").start()
+    try {
+      val evs = EventsFixture.fixtureEvents.map(toTyped)
+      input.addData(evs)
+      q.processAllAvailable()
+      input.addData(evs.take(5))   // replayed duplicates, second batch
+      q.processAllAvailable()
+      val ids = spark.table("dedup_sink").collect().map(_.getLong(0))
+      assert(ids.length === ids.distinct.length, "no id may be emitted twice")
+      assert(ids.sorted.toSeq === evs.map(_.event_id).sorted)
+    } finally q.stop()
+  }
+
   test("session window: streaming append-mode output equals batch") {
     val spark0 = spark
     import spark0.implicits._
