@@ -35,6 +35,7 @@ object SparkEntry {
     "quantile_summary"         -> (Relational.quantileSummary _),
     "rollup_agg"               -> (Relational.rollupAgg _),
     "cube_agg"                 -> (Relational.cubeAgg _),
+    "grouping_sets_agg"        -> (Relational.groupingSetsAgg _),
     "set_ops"                  -> (Relational.setOps _),
     "set_ops_except"           -> (Relational.setOpsExcept _),
     "scalar_funcs"             -> (Relational.scalarFuncs _),
@@ -68,7 +69,7 @@ object SparkEntry {
     "multimodal_frame_sample"  -> ((s, d) => Multimodal.frameSample(s, d)) // no-oracle
   )
 
-  /** The 33 BASELINE.md headline queries timed by [[Bench]] — every
+  /** The 34 BASELINE.md headline queries timed by [[Bench]] — every
     * oracle-able op, kept exactly aligned with the baseline so per-query
     * times stay comparable. Round 2 extended the original 19 with the
     * remaining five oracle-able ops plus the four operators it added
@@ -84,7 +85,7 @@ object SparkEntry {
     "text_quality_score", "doc_fingerprint", "dedup_ngram_jaccard",
     "embed_centroids", "multimodal_bytes", "asof_join_events", "recon_report",
     "recon_diff_detail", "text_token_counts", "cube_agg", "set_ops_except",
-    "window_funcs", "quantile_summary", "date_funcs")
+    "window_funcs", "quantile_summary", "date_funcs", "grouping_sets_agg")
 
   /** DuckDB-dialect oracle per query (driver runs these on the same parquet
     * files and hash-compares). Dialect forks: get_json_object↔
@@ -241,6 +242,12 @@ object SparkEntry {
       """SELECT coalesce(o_orderstatus,'ALL') st, coalesce(o_orderpriority,'ALL') pr,
         |  count(*) n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) s
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority) ORDER BY 1,2""".stripMargin,
+
+    "grouping_sets_agg" ->
+      """SELECT coalesce(o_orderstatus,'ALL') st, coalesce(o_orderpriority,'ALL') pr,
+        |  count(*) n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) s
+        |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY 1,2""".stripMargin,
 
     "set_ops_except" ->
       """SELECT c_custkey FROM customer WHERE c_mktsegment='BUILDING'

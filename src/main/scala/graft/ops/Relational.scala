@@ -134,6 +134,21 @@ object Relational {
         col("n"), col("s"))
       .orderBy("st", "pr")
 
+  /** Explicit GROUPING SETS (Spark 4 `Dataset.groupingSets`): status
+    * totals and priority totals in one pass — the subset of CUBE a
+    * reconciliation report actually wants, at half CUBE's expansion. */
+  def groupingSetsAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), decSum(col("o_totalprice")).as("s"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("pr"),
+        col("n"), col("s"))
+      .orderBy("st", "pr")
+
   /** Set difference: BUILDING customers who never placed an order over
     * 300 k (threshold chosen so the result is non-empty on the testdata —
     * an always-empty set can't tell a working EXCEPT from a broken one). */
