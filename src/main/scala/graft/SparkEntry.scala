@@ -58,7 +58,7 @@ object SparkEntry {
     "text_token_counts"        -> (Text.tokenCounts _),
     "dedup_embedding"          -> ((s, d) => Vectors.dedupEmbedding(s, d)), // no-oracle
     // §2.9 LLM-pipeline: vectors
-    "cosine_knn"               -> (Vectors.cosineKnn _),
+    "cosine_knn"               -> ((s, d) => Vectors.cosineKnn(s, d)),
     "embed_centroids"          -> (Vectors.embedCentroids _),
     "ann_lsh_topk"             -> (Vectors.annLshTopk _),     // no-oracle
     "ann_ivf_topk"             -> (Vectors.annIvfTopk _),     // no-oracle

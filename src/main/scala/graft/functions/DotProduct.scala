@@ -19,14 +19,25 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   *
   * Accumulation is sequential left-to-right from 0.0 — bit-identical to
   * the `aggregate(zip_with(...))` fold it replaces, so oracle hashes are
-  * unchanged. Array elements are assumed non-null (embedding columns);
-  * a null array yields null via the standard null-safe contract.
+  * unchanged.
+  *
+  * Null contract (matches the `aggregate(zip_with(...))` form this
+  * replaced): a null array, arrays of different lengths, or a null
+  * element all yield NULL — never a silently-truncated partial sum. An
+  * upstream dimensionality bug must surface as a visible null, not a
+  * plausible wrong similarity (round-2 review finding). The per-element
+  * null check is only generated when an input's `containsNull` says it
+  * can fire, so trusted pipelines pay nothing for it.
   */
 case class DotProduct(left: Expression, right: Expression)
   extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
+
+  /** Nullable even when both children are non-null: a length mismatch or
+    * a null element produces null regardless of input nullability. */
+  override def nullable: Boolean = true
 
   // manual check (ExpectsInputTypes is private[sql]): both sides must be
   // array<double>; callers cast, there is no implicit coercion here
@@ -38,13 +49,26 @@ case class DotProduct(left: Expression, right: Expression)
         s"dot_product expects (array<double>, array<double>), got ($l, $r)")
     }
 
+  /** Whether either input can legally hold null elements; parquet array
+    * columns say true, literals (the LSH hyperplanes) say false. */
+  private def elementsNullable: Boolean = (left.dataType, right.dataType) match {
+    case (ArrayType(_, ln), ArrayType(_, rn)) => ln || rn
+    case _ => true
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    val checkNulls = elementsNullable
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
+      s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     s
   }
 
@@ -52,11 +76,23 @@ case class DotProduct(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
+      val nullElementGuard = if (elementsNullable)
+        s"""if ($a.isNullAt($i) || $b.isNullAt($i)) {
+           |    ${ev.isNull} = true;
+           |    ${ev.value} = 0.0;
+           |    break;
+           |  }""".stripMargin
+      else ""
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |${ev.value} = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  ${ev.value} += $a.getDouble($i) * $b.getDouble($i);
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullElementGuard
+         |    ${ev.value} += $a.getDouble($i) * $b.getDouble($i);
+         |  }
          |}
        """.stripMargin
     })

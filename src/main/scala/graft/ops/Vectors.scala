@@ -54,11 +54,27 @@ object Vectors {
         struct(col("sim"), -col("nn"))).as("best"))
       .select(col("vec_id"), col("best.nn").as("nn"), col("best.sim").as("sim"))
 
+  /** Largest corpus [[cosineKnn]] will brute-force before refusing:
+    * n² pair cost crosses from "exact oracle baseline" to "cluster
+    * killer" around here (50 k² = 2.5 G dot products). */
+  private[graft] val MaxBruteForceRows = 50000L
+
   /** Nearest neighbor per vector by cosine similarity over the upper
     * triangle (vec_id < nn), exact brute force. Similarity is rounded to
     * 4 dp *before* the argmax so float-associativity noise cannot flip the
-    * winner between engines (SURVEY §7.4 / Appendix A note). */
-  def cosineKnn(spark: SparkSession, dir: String): DataFrame = {
+    * winner between engines (SURVEY §7.4 / Appendix A note).
+    *
+    * Fail-fast at scale: this is the deliberate O(n²) exact baseline, so
+    * it refuses to run past `maxRows` (the count is a parquet-metadata
+    * read, not a scan) rather than silently becoming the 100 TB
+    * bottleneck — [[annLshTopk]] / [[annIvfTopk]] are the bucketed
+    * scale paths. */
+  def cosineKnn(spark: SparkSession, dir: String,
+                maxRows: Long = MaxBruteForceRows): DataFrame = {
+    val n = Tables.embeddings(spark, dir).count()
+    require(n <= maxRows,
+      s"cosineKnn is exact O(n^2) brute force: n=$n exceeds maxRows=$maxRows; " +
+        "use Vectors.annLshTopk or Vectors.annIvfTopk (bucketed, recall-tested) at this scale")
     val e = normalized(spark, dir)
     val a = e.select(col("vec_id"), col("v").as("va"), col("nrm").as("na"))
     val b = e.select(col("vec_id").as("nn"), col("v").as("vb"), col("nrm").as("nb"))

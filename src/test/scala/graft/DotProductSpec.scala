@@ -18,16 +18,43 @@ class DotProductSpec extends GraftSpec {
     assert(got === expected)
   }
 
-  test("null array yields null; mismatched lengths use the shorter") {
+  test("null array, mismatched lengths, and null elements all yield null") {
     val spark0 = spark
     import spark0.implicits._
-    val df = Seq((Some(Seq(1.0, 2.0)), None: Option[Seq[Double]]))
+    val nullArr = Seq((Some(Seq(1.0, 2.0)), None: Option[Seq[Double]]))
       .toDF("a", "b")
-    assert(df.select(DotProduct.dot(col("a"), col("b"))).collect().head.isNullAt(0))
-    val short = Seq((Seq(1.0, 2.0, 3.0), Seq(10.0, 20.0)))
+    assert(nullArr.select(DotProduct.dot(col("a"), col("b")))
+      .collect().head.isNullAt(0))
+    // a dimensionality bug must surface as null, never a truncated sum
+    val mismatched = Seq((Seq(1.0, 2.0, 3.0), Seq(10.0, 20.0)))
       .toDF("a", "b")
-      .select(DotProduct.dot(col("a"), col("b"))).collect().head.getDouble(0)
-    assert(short === 50.0)
+    assert(mismatched.select(DotProduct.dot(col("a"), col("b")))
+      .collect().head.isNullAt(0))
+    val nullElem = Seq((Seq(Some(1.0), None), Seq(Some(10.0), Some(20.0))))
+      .toDF("a", "b")
+    assert(nullElem.select(DotProduct.dot(col("a"), col("b")))
+      .collect().head.isNullAt(0))
+  }
+
+  test("null contract holds on the codegen (parquet-scan) path too") {
+    // local-relation projections are pre-evaluated interpreted; force the
+    // generated code by writing the fixtures to parquet and scanning back
+    val spark0 = spark
+    import spark0.implicits._
+    val path = s"$tmpDir/dot_null_contract"
+    Seq(
+      (1L, Some(Seq(Some(1.0), Some(2.0), Some(3.0))), Some(Seq(Some(4.0), Some(5.0), Some(6.0)))),
+      (2L, Some(Seq(Some(1.0), Some(2.0), Some(3.0))), Some(Seq(Some(4.0), Some(5.0)))),
+      (3L, Some(Seq(Some(1.0), None, Some(3.0))), Some(Seq(Some(4.0), Some(5.0), Some(6.0)))),
+      (4L, None: Option[Seq[Option[Double]]], Some(Seq(Some(4.0), Some(5.0), Some(6.0)))))
+      .toDF("id", "a", "b").write.mode("overwrite").parquet(path)
+    val got = spark.read.parquet(path)
+      .select(col("id"), DotProduct.dot(col("a"), col("b")).as("d"))
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project") && plan.contains("dot_product"), plan)
+    val rows = got.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(rows === Map(1L -> Some(32.0), 2L -> None, 3L -> None, 4L -> None))
   }
 
   test("rejects non-double-array inputs at analysis time") {

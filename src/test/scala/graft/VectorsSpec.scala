@@ -66,6 +66,15 @@ class VectorsSpec extends GraftSpec {
     }
   }
 
+  test("cosine_knn refuses brute force past maxRows, pointing at the ANN ops") {
+    val e = intercept[IllegalArgumentException] {
+      Vectors.cosineKnn(spark, fixtureDir, maxRows = 10)
+    }
+    assert(e.getMessage.contains("annLshTopk"), e.getMessage)
+    // at-or-under the bound still runs (100-vector fixture)
+    assert(Vectors.cosineKnn(spark, fixtureDir, maxRows = 100).count() === 50)
+  }
+
   test("embed_centroids equals a driver-side mean to 1e-6") {
     val got = Vectors.embedCentroids(spark, sf).collect()
       .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
