@@ -9,9 +9,18 @@ import org.apache.spark.sql.SparkSession
   * untimed passes over every query — paying codegen compilation,
   * file-footer reads and C2 JIT (md5/decimal-heavy queries need several
   * executions before the JIT settles: 4.2 s → 0.4 s observed) — then each
-  * query is timed as the min of two runs, the standard guard against GC
-  * pauses mid-measurement. A query failure fails the bench loudly; a
-  * swallowed Throwable would count a crash as a fast success.
+  * query is timed as the min of three runs, the standard guard against GC
+  * pauses mid-measurement (identical bytecode swung 1.5× between rounds 2
+  * and 3 on the shared box; min-of-3 damps that). A query failure fails
+  * the bench loudly; a swallowed Throwable would count a crash as a fast
+  * success.
+  *
+  * Materialization is `queryExecution.toRdd.count()`, NOT `Dataset.count()`:
+  * count() lets Catalyst collapse the plan to a row count and prune every
+  * projected column, so projection-heavy queries (scalar_funcs, date_funcs,
+  * text_token_counts) would be timed as scan+limit only while the DuckDB
+  * baseline pays full expression cost. toRdd executes the exact physical
+  * plan and materializes every output row (round-4 verdict #1).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -25,15 +34,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    for (_ <- 1 to 2)
-      SparkEntry.benchQueries.foreach(n => SparkEntry.queries(n)(spark, sfDir).count())
+    def materialize(name: String): Unit =
+      SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
+    for (_ <- 1 to 2) SparkEntry.benchQueries.foreach(materialize)
     def timeOne(name: String): Double = {
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, sfDir).count()
+      materialize(name)
       (System.nanoTime() - t0) / 1e9
     }
     val results = SparkEntry.benchQueries.map { name =>
-      name -> math.min(timeOne(name), timeOne(name))
+      name -> Seq.fill(3)(timeOne(name)).min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -51,7 +51,7 @@ object SparkEntry {
     "text_token_stats"         -> (Text.tokenStats _),
     "text_quality_score"       -> (Text.qualityScore _),
     "doc_fingerprint"          -> (Text.fingerprint _),
-    "dedup_ngram_jaccard"      -> (Text.ngramJaccard _),
+    "dedup_ngram_jaccard"      -> ((s, d) => Text.ngramJaccard(s, d)),
     "dedup_minhash"            -> (Text.dedupMinhash _),      // no-oracle
     "dedup_simhash"            -> (Text.dedupSimhash _),      // no-oracle
     "text_langid"              -> (Text.langidNgram _),       // no-oracle

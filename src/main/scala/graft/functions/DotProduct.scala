@@ -50,8 +50,9 @@ case class DotProduct(left: Expression, right: Expression)
     }
 
   /** Whether either input can legally hold null elements; parquet array
-    * columns say true, literals (the LSH hyperplanes) say false. */
-  private def elementsNullable: Boolean = (left.dataType, right.dataType) match {
+    * columns say true, literals (the LSH hyperplanes) say false. Lazy val,
+    * not def: the interpreted path reads it per row (round-4 advice). */
+  private lazy val elementsNullable: Boolean = (left.dataType, right.dataType) match {
     case (ArrayType(_, ln), ArrayType(_, rn)) => ln || rn
     case _ => true
   }

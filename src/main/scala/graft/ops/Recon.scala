@@ -76,14 +76,24 @@ object Recon {
                             cols: Seq[String], alias: String): DataFrame =
     df.select(col(key).as("k"), rowChecksum(cols).as(alias))
 
+  /** Load-window scoping for the two-sided APIs: the predicate lands
+    * directly on each scan, so on a partitioned layout it becomes a
+    * `PartitionFilters` entry and unrelated load windows are never read
+    * (plan-asserted in ReconSpec). This is how the reference's per-window
+    * lifecycle runs: reconcile ONE load window, not the whole history. */
+  private def windowed(df: DataFrame, window: Option[Column]): DataFrame =
+    window.map(df.filter).getOrElse(df)
+
   /** Two-sided row-hash reconciliation between distinct source and target
     * frames: checksum `cols` on each side map-side (only (key, hash) pairs
     * shuffle, never full rows), join on `key`, count mismatches. At scale,
-    * bucket both sides on `key` so the join is co-located. */
+    * bucket both sides on `key` so the join is co-located. `window` scopes
+    * both sides to one load window (partition-prunable). */
   def hashDiffTables(src: DataFrame, tgt: DataFrame,
-                     key: String, cols: Seq[String]): DataFrame =
-    keyedChecksum(src, key, cols, "h_src")
-      .join(keyedChecksum(tgt, key, cols, "h_tgt"), "k")
+                     key: String, cols: Seq[String],
+                     window: Option[Column] = None): DataFrame =
+    keyedChecksum(windowed(src, window), key, cols, "h_src")
+      .join(keyedChecksum(windowed(tgt, window), key, cols, "h_tgt"), "k")
       .filter(col("h_src") =!= col("h_tgt"))
       .agg(count(lit(1)).as("mismatches"))
 
@@ -94,6 +104,12 @@ object Recon {
   def schemaDrift(src: DataFrame, tgt: DataFrame): DataFrame = {
     val spark = src.sparkSession
     import spark.implicits._
+    schemaStatuses(src, tgt).toDF("column", "src_type", "tgt_type", "status")
+  }
+
+  /** Per-column (name, src type, tgt type, status) — pure metadata, shared
+    * by [[schemaDrift]] and [[reconcileAll]]'s drift check. */
+  private def schemaStatuses(src: DataFrame, tgt: DataFrame): Seq[(String, String, String, String)] = {
     val s = src.schema.map(f => f.name -> f.dataType.simpleString).toMap
     val t = tgt.schema.map(f => f.name -> f.dataType.simpleString).toMap
     (s.keySet ++ t.keySet).toSeq.sorted.map { c =>
@@ -104,7 +120,7 @@ object Recon {
         case _                            => "extra_in_target"
       }
       (c, s.get(c).orNull, t.get(c).orNull, status)
-    }.toDF("column", "src_type", "tgt_type", "status")
+    }
   }
 
   /** Reconciliation report — the reference's §0.5 "report emission"
@@ -145,9 +161,10 @@ object Recon {
     * bucketed on `key` (see [[graft.sources.Sources.writeBucketed]]) so
     * the join co-locates with zero shuffle. */
   def hashDiffDetail(src: DataFrame, tgt: DataFrame,
-                     key: String, cols: Seq[String]): DataFrame = {
-    keyedChecksum(src, key, cols, "h_src")
-      .join(keyedChecksum(tgt, key, cols, "h_tgt"), Seq("k"), "full_outer")
+                     key: String, cols: Seq[String],
+                     window: Option[Column] = None): DataFrame = {
+    keyedChecksum(windowed(src, window), key, cols, "h_src")
+      .join(keyedChecksum(windowed(tgt, window), key, cols, "h_tgt"), Seq("k"), "full_outer")
       .select(col("k"),
         when(col("h_src").isNull, "extra_in_target")
           .when(col("h_tgt").isNull, "missing_in_target")

@@ -78,9 +78,21 @@ object Text {
   /** Salt fan-out for the same-source pair join below. */
   private val JaccardSalts = 8
 
+  /** Largest corpus [[ngramJaccard]] will pair up before refusing: the
+    * pair count is quadratic within each `source` block, and with a
+    * handful of sources that is ~n²/|sources| — same cliff as
+    * [[Vectors.MaxBruteForceRows]], so the same fail-fast contract. */
+  private[graft] val MaxJaccardDocs = 100000L
+
   /** Exact token-set Jaccard over same-source candidate pairs, top-20 most
     * similar. Blocking on `source` bounds the pair count; the 100 TB path
     * replaces this blocking with [[dedupMinhash]]'s LSH buckets.
+    *
+    * Fail-fast at scale: quadratic within each source block — the salt
+    * below adds parallelism, not less work — so past `maxDocs` (a
+    * parquet-footer count, no Spark job) it refuses to run and points at
+    * [[dedupMinhash]], exactly like [[Vectors.cosineKnn]] refuses past its
+    * brute-force ceiling.
     *
     * The join key `source` is low-cardinality by nature (a handful of
     * feeds), so a plain equi-join serializes each source's quadratic pair
@@ -88,7 +100,12 @@ object Text {
     * side replicated S ways — spreads every source across S tasks; the
     * per-pair intersect work, which dominates, then uses every core. Same
     * pair set, same values, S× the parallelism. */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  def ngramJaccard(spark: SparkSession, dir: String,
+                   maxDocs: Long = MaxJaccardDocs): DataFrame = {
+    val n = graft.sources.Sources.parquetRowCount(spark, s"$dir/documents.parquet")
+    require(n <= maxDocs,
+      s"ngramJaccard is exact all-pairs within each source block: n=$n exceeds " +
+        s"maxDocs=$maxDocs; use Text.dedupMinhash (LSH-bucketed, property-tested) at this scale")
     val t = docs(spark, dir).select(col("doc_id"), col("source"),
       array_distinct(split(col("text"), " ")).as("toks"))
     val a = t.select(col("doc_id").as("a_id"), col("source"), col("toks").as("ta"))

@@ -65,13 +65,15 @@ object Vectors {
     * winner between engines (SURVEY §7.4 / Appendix A note).
     *
     * Fail-fast at scale: this is the deliberate O(n²) exact baseline, so
-    * it refuses to run past `maxRows` (the count is a parquet-metadata
-    * read, not a scan) rather than silently becoming the 100 TB
-    * bottleneck — [[annLshTopk]] / [[annIvfTopk]] are the bucketed
-    * scale paths. */
+    * it refuses to run past `maxRows` rather than silently becoming the
+    * 100 TB bottleneck — [[annLshTopk]] / [[annIvfTopk]] are the bucketed
+    * scale paths. The count comes from parquet footers (driver-side
+    * metadata, cached per path — [[graft.sources.Sources.parquetRowCount]]),
+    * not a Spark job: round 4's eager `count()` ran a job per invocation
+    * inside the benchmarked region. */
   def cosineKnn(spark: SparkSession, dir: String,
                 maxRows: Long = MaxBruteForceRows): DataFrame = {
-    val n = Tables.embeddings(spark, dir).count()
+    val n = graft.sources.Sources.parquetRowCount(spark, s"$dir/embeddings.parquet")
     require(n <= maxRows,
       s"cosineKnn is exact O(n^2) brute force: n=$n exceeds maxRows=$maxRows; " +
         "use Vectors.annLshTopk or Vectors.annIvfTopk (bucketed, recall-tested) at this scale")
@@ -150,11 +152,25 @@ object Vectors {
   /** 8 sign bits against the fixed hyperplanes → bucket id 0..255. Each
     * plane dot is one native [[graft.functions.DotProduct]] loop, so the
     * whole projection stays small enough for janino (the round-2 unrolled
-    * form overflowed its nesting depth and fell back to interpreted). */
-  private def lshBucket: Column =
-    (0 until NumPlanes).map { j =>
-      shiftleft(when(dot(col("v"), typedlit(planes(j))) > 0, lit(1L)).otherwise(lit(0L)), j)
+    * form overflowed its nesting depth and fell back to interpreted).
+    *
+    * Dimension bugs fail loudly: a plane dot is NULL when the vector's
+    * length ≠ [[Dim]] or an element is null ([[graft.functions.DotProduct]]
+    * contract). Round 4 mapped that null to bucket 0 via `otherwise(0)` —
+    * every malformed vector silently collapsed into one bucket and ANN
+    * recall degraded invisibly (round-4 advice). Now each bit
+    * null-propagates and a null bucket raises, so the ANN ops surface
+    * dimensionality bugs as visibly as [[cosineKnn]] does. */
+  private[ops] def lshBucket: Column = {
+    val bucket = (0 until NumPlanes).map { j =>
+      val d = dot(col("v"), typedlit(planes(j)))
+      // two-sided when: null dot → null bit (otherwise(0) would absorb it)
+      shiftleft(when(d > 0, lit(1L)).when(d <= 0, lit(0L)), j)
     }.reduce(_ bitwiseOR _)
+    when(bucket.isNull, raise_error(lit(
+      s"lshBucket: null plane dot — embedding is not a clean $Dim-dim vector " +
+        "(wrong dimensionality or null element)"))).otherwise(bucket)
+  }
 
   private val IvfClusters = 16
   private val IvfIterations = 3

@@ -1,8 +1,12 @@
 package graft.sources
 
 import graft.Tables
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.types.StructType
+import scala.collection.concurrent.TrieMap
 
 /** Source/sink surface beyond the primary parquet path (SURVEY.md §2.2):
   * CSV and JSON ingest (typical recon-tool source extracts), parquet
@@ -50,6 +54,34 @@ object Sources {
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(table)
+
+  private val rowCountCache = TrieMap.empty[String, Long]
+
+  /** Exact row count from parquet footers: driver-side metadata reads
+    * only — no Spark job, no data pages touched. Used by the fail-fast
+    * guards on the deliberately-quadratic ops ([[graft.ops.Vectors
+    * .cosineKnn]], [[graft.ops.Text.ngramJaccard]]), which previously ran
+    * an eager `count()` job per invocation inside the benchmarked region
+    * (round-4 verdict #6). Cached per path: a guard check on a repeated
+    * input is free. Accepts a single file or a directory of part files. */
+  def parquetRowCount(spark: SparkSession, path: String): Long =
+    rowCountCache.getOrElseUpdate(path, {
+      val conf = spark.sessionState.newHadoopConf()
+      val root = new Path(path)
+      val fs = root.getFileSystem(conf)
+      val rootStatus = fs.getFileStatus(root)
+      val parts =
+        if (rootStatus.isDirectory)
+          fs.listStatus(root).filter { s =>
+            val n = s.getPath.getName
+            s.isFile && !n.startsWith("_") && !n.startsWith(".")
+          }
+        else Array(rootStatus)
+      parts.map { st =>
+        val r = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
+        try r.getRecordCount finally r.close()
+      }.sum
+    })
 
   /** Register all ten driver tables as temp views for spark.sql access. */
   def registerTempViews(spark: SparkSession, dir: String): Unit = {

@@ -8,6 +8,7 @@ Usage: compare.py <sfdir> <verify_outdir>
 """
 import sys, os, json, glob, hashlib
 import duckdb
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "supplier", "part", "customer", "orders",
@@ -51,7 +52,9 @@ def main(sfdir, outdir):
             print(f"{name}: FAIL no spark output dumped")
             bad += 1
             continue
-        spark_tbl = pq.read_table(files[0])
+        # read EVERY part file — hashing only files[0] of a multi-part dump
+        # would silently drop rows from the compare (round-4 verdict #4)
+        spark_tbl = pa.concat_tables([pq.read_table(f) for f in sorted(files)])
         try:
             res = con.execute(sql)
             ocols = [d[0] for d in res.description]
@@ -79,7 +82,7 @@ def main(sfdir, outdir):
             continue
         files = glob.glob(os.path.join(sub, "*.parquet"))
         try:
-            rows = pq.read_table(files[0]).num_rows if files else -1
+            rows = sum(pq.read_table(f).num_rows for f in files) if files else -1
         except Exception:
             rows = -1
         if rows > 0:
