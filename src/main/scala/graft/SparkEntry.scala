@@ -24,6 +24,7 @@ object SparkEntry {
     "recon_report"             -> (Recon.report _),
     "recon_diff_detail"        -> (Recon.diffDetail _),
     "recon_partition_drill"    -> (Recon.partitionDrill _),
+    "recon_reconcile_all"      -> (Recon.reconcileAllDemo _),
     // §2.3–2.7 relational analytics
     "q1_pricing_summary"       -> (Relational.q1PricingSummary _),
     "q3_shipping_priority"     -> (Relational.q3ShippingPriority _),
@@ -163,6 +164,53 @@ object SparkEntry {
       """SELECT date_trunc('month', o_orderdate) mo, count(*) n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) s
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "recon_reconcile_all" ->
+      // mirrors Recon.reconcileAllDemo: per pair, one full-outer join and
+      // the five (rowcount/hash_mismatch/missing/extra/schema_drift) rows;
+      // mismatches counted by null-safe column compare (no md5 collisions
+      // at this scale, so checksum-diff ≡ value-diff).
+      """WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) o_totalprice, o_orderdate FROM orders),
+        |osrc AS (SELECT * FROM o WHERE o_orderkey % 991 <> 0
+        |    AND o_orderdate >= TIMESTAMP '1995-01-01'),
+        |otgt AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CAST(round(o_totalprice, 0) AS DECIMAL(12,2)) o_totalprice
+        |  FROM o WHERE o_orderkey % 997 <> 0 AND o_orderdate >= TIMESTAMP '1995-01-01'),
+        |ostats AS (SELECT
+        |    CAST(count(s.o_orderkey) AS DOUBLE) src_n,
+        |    CAST(count(t.o_orderkey) AS DOUBLE) tgt_n,
+        |    CAST(count(*) FILTER (s.o_orderkey IS NOT NULL AND t.o_orderkey IS NOT NULL
+        |      AND NOT (s.o_custkey IS NOT DISTINCT FROM t.o_custkey
+        |           AND s.o_orderstatus IS NOT DISTINCT FROM t.o_orderstatus
+        |           AND s.o_totalprice IS NOT DISTINCT FROM t.o_totalprice)) AS DOUBLE) mism,
+        |    CAST(count(*) FILTER (t.o_orderkey IS NULL) AS DOUBLE) miss,
+        |    CAST(count(*) FILTER (s.o_orderkey IS NULL) AS DOUBLE) extra
+        |  FROM osrc s FULL OUTER JOIN otgt t ON s.o_orderkey = t.o_orderkey),
+        |ctgt AS (SELECT * FROM customer WHERE c_custkey % 500 <> 0),
+        |cstats AS (SELECT
+        |    CAST(count(s.c_custkey) AS DOUBLE) src_n,
+        |    CAST(count(t.c_custkey) AS DOUBLE) tgt_n,
+        |    CAST(count(*) FILTER (s.c_custkey IS NOT NULL AND t.c_custkey IS NOT NULL
+        |      AND NOT (s.c_name IS NOT DISTINCT FROM t.c_name
+        |           AND s.c_mktsegment IS NOT DISTINCT FROM t.c_mktsegment
+        |           AND s.c_acctbal IS NOT DISTINCT FROM t.c_acctbal)) AS DOUBLE) mism,
+        |    CAST(count(*) FILTER (t.c_custkey IS NULL) AS DOUBLE) miss,
+        |    CAST(count(*) FILTER (s.c_custkey IS NULL) AS DOUBLE) extra
+        |  FROM customer s FULL OUTER JOIN ctgt t ON s.c_custkey = t.c_custkey)
+        |SELECT * FROM (
+        |  SELECT 'orders' "table", 'rowcount' "check", src_n src_v, tgt_n tgt_v,
+        |    src_n = tgt_n ok FROM ostats
+        |  UNION ALL SELECT 'orders', 'hash_mismatch', mism, 0.0, mism = 0 FROM ostats
+        |  UNION ALL SELECT 'orders', 'missing_in_target', miss, 0.0, miss = 0 FROM ostats
+        |  UNION ALL SELECT 'orders', 'extra_in_target', extra, 0.0, extra = 0 FROM ostats
+        |  UNION ALL SELECT 'orders', 'schema_drift', 0.0, 0.0, true
+        |  UNION ALL SELECT 'customer', 'rowcount', src_n, tgt_n, src_n = tgt_n FROM cstats
+        |  UNION ALL SELECT 'customer', 'hash_mismatch', mism, 0.0, mism = 0 FROM cstats
+        |  UNION ALL SELECT 'customer', 'missing_in_target', miss, 0.0, miss = 0 FROM cstats
+        |  UNION ALL SELECT 'customer', 'extra_in_target', extra, 0.0, extra = 0 FROM cstats
+        |  UNION ALL SELECT 'customer', 'schema_drift', 0.0, 0.0, true
+        |) ORDER BY "table", "check"""".stripMargin,
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

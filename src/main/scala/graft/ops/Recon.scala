@@ -5,6 +5,19 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
+/** One (source, target) pair in a [[Recon.reconcileAll]] run config.
+  * Mirrors the reference's lifecycle (SURVEY §3.1 [D]): config — table
+  * list, join key, compared columns, optional load-window predicate —
+  * drives the nightly checks; the window lands on both scans so a
+  * partitioned layout prunes to the one load window under compare. */
+case class TablePair(
+    name: String,
+    src: DataFrame,
+    tgt: DataFrame,
+    key: String,
+    cols: Seq[String],
+    window: Option[Column] = None)
+
 /** Reconciliation core — the reference's own capability surface
   * (SURVEY.md §2.1; reference reconstruction [D], repo empty at survey time).
   *
@@ -188,6 +201,71 @@ object Recon {
       Seq("o_custkey", "o_orderstatus", "o_totalprice"))
       .orderBy("status", "k")
       .limit(200)
+  }
+
+  /** Config-driven multi-table reconciliation — the daily-run driver
+    * surface: N [[TablePair]] entries in, ONE consolidated report out
+    * (table, check, src_v, tgt_v, ok; five checks per pair: rowcount,
+    * hash_mismatch, missing_in_target, extra_in_target, schema_drift).
+    *
+    * All four data checks fall out of a single full-outer join of the
+    * map-side (key, checksum) projections — one scan per side and one key
+    * shuffle per pair, NOT one job per check; the one-row agg is then
+    * unpivoted row-locally (explode of a 5-struct array — no extra pass,
+    * no plan duplication). Schema drift is pure metadata. Pairs are
+    * independent plans unioned at the end, so a 50-table nightly run is
+    * 50 parallel scan→join→agg pipelines; at scale bucket both sides of
+    * each pair on its key ([[graft.sources.Sources.writeBucketed]]) and
+    * every join co-locates with zero shuffle. */
+  def reconcileAll(pairs: Seq[TablePair]): DataFrame = {
+    require(pairs.nonEmpty, "reconcileAll: empty config")
+    pairs.map(reconcilePair).reduce(_ unionByName _).orderBy("table", "check")
+  }
+
+  private def reconcilePair(p: TablePair): DataFrame = {
+    val joined =
+      keyedChecksum(windowed(p.src, p.window), p.key, p.cols, "h_src")
+        .join(keyedChecksum(windowed(p.tgt, p.window), p.key, p.cols, "h_tgt"),
+          Seq("k"), "full_outer")
+    val drift = schemaStatuses(p.src, p.tgt).count(_._4 != "ok").toDouble
+    def chk(name: String, v: Column, tgtV: Column, ok: Column) =
+      struct(lit(name).as("check"), v.as("src_v"), tgtV.as("tgt_v"), ok.as("ok"))
+    joined.agg(
+        count(col("h_src")).cast("double").as("src_n"),
+        count(col("h_tgt")).cast("double").as("tgt_n"),
+        // =!= is null-rejecting, so a missing/extra key never double-counts
+        count(when(col("h_src") =!= col("h_tgt"), 1)).cast("double").as("mism"),
+        count(when(col("h_tgt").isNull, 1)).cast("double").as("miss"),
+        count(when(col("h_src").isNull, 1)).cast("double").as("extra"))
+      .select(lit(p.name).as("table"), explode(array(
+        chk("rowcount", col("src_n"), col("tgt_n"), col("src_n") === col("tgt_n")),
+        chk("hash_mismatch", col("mism"), lit(0.0), col("mism") === 0.0),
+        chk("missing_in_target", col("miss"), lit(0.0), col("miss") === 0.0),
+        chk("extra_in_target", col("extra"), lit(0.0), col("extra") === 0.0),
+        chk("schema_drift", lit(drift), lit(0.0), lit(drift == 0.0)))).as("c"))
+      .select(col("table"), col("c.check").as("check"),
+        col("c.src_v").as("src_v"), col("c.tgt_v").as("tgt_v"), col("c.ok").as("ok"))
+  }
+
+  /** Harness op over [[reconcileAll]]: two pairs with seeded divergence —
+    * orders (src drops every 991st key, tgt drops every 997th and rounds
+    * prices, both scoped to the 1995+ load window via `window`) and
+    * customer (tgt drops every 500th key). Prices normalize through
+    * DECIMAL(12,2) pre-hash exactly as in [[diffDetail]]. */
+  def reconcileAllDemo(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .withColumn("o_totalprice", col("o_totalprice").cast(DecimalType(12, 2)))
+    val oSrc = o.filter(col("o_orderkey") % 991 =!= 0)
+    val oTgt = o.filter(col("o_orderkey") % 997 =!= 0)
+      .withColumn("o_totalprice", round(col("o_totalprice"), 0).cast(DecimalType(12, 2)))
+    val c = Tables.customer(spark, dir)
+    val cTgt = c.filter(col("c_custkey") % 500 =!= 0)
+    reconcileAll(Seq(
+      TablePair("orders", oSrc, oTgt, "o_orderkey",
+        Seq("o_custkey", "o_orderstatus", "o_totalprice"),
+        window = Some(col("o_orderdate") >= lit("1995-01-01").cast("timestamp"))),
+      TablePair("customer", c, cTgt, "c_custkey",
+        Seq("c_name", "c_mktsegment", "c_acctbal"))))
   }
 
   /** Keys present in source but absent in target (anti-join). */

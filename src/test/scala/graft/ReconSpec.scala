@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.Recon
+import graft.ops.{Recon, TablePair}
 import org.apache.spark.sql.functions._
 
 /** Reconciliation invariants (SURVEY §5.3): self-compare is clean, a
@@ -101,6 +101,63 @@ class ReconSpec extends GraftSpec {
     assert(!rows("sum_totalprice")._3, "rounded prices must fail the sum check")
     assert(!rows("hash_mismatches")._3 && rows("hash_mismatches")._1 > 0,
       "row hashes must catch the perturbation")
+  }
+
+  test("reconcileAll: one consolidated report across pairs, all checks localized") {
+    val o = Tables.orders(spark, sf)
+    val keys = o.select("o_orderkey").orderBy("o_orderkey").limit(6)
+      .collect().map(_.getLong(0))
+    val (perturb, drop, onlySrc) = (keys.slice(0, 2), keys.slice(2, 4), keys.slice(4, 6))
+    val src = o.filter(!col("o_orderkey").isin(onlySrc: _*))
+    val tgt = o.filter(!col("o_orderkey").isin(drop: _*))
+      .withColumn("o_totalprice",
+        when(col("o_orderkey").isin(perturb: _*), col("o_totalprice") + 1)
+          .otherwise(col("o_totalprice")))
+    val c = Tables.customer(spark, sf)
+    val rep = Recon.reconcileAll(Seq(
+      TablePair("orders", src, tgt, "o_orderkey",
+        Seq("o_custkey", "o_orderstatus", "o_totalprice")),
+      TablePair("customer", c, c, "c_custkey", Seq("c_name", "c_acctbal")),
+      TablePair("cust_drift", c, c.drop("c_mktsegment"), "c_custkey", Seq("c_name"))))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(rep.size === 15, "5 checks x 3 pairs")
+    // orders: 2 perturbed, 2 dropped from tgt, 2 dropped from src — and
+    // rowcount alone cannot see it (n-2 on both sides)
+    assert(rep(("orders", "hash_mismatch")) === ((2.0, 0.0, false)))
+    assert(rep(("orders", "missing_in_target"))._1 === 2.0)
+    assert(rep(("orders", "extra_in_target"))._1 === 2.0)
+    assert(rep(("orders", "rowcount"))._3, "equal counts mask the divergence")
+    assert(rep(("orders", "schema_drift")) === ((0.0, 0.0, true)))
+    // identical pair: everything green
+    Seq("rowcount", "hash_mismatch", "missing_in_target", "extra_in_target",
+      "schema_drift").foreach(chk => assert(rep(("customer", chk))._3, chk))
+    // drift pair: one column missing in target, flagged
+    assert(rep(("cust_drift", "schema_drift")) === ((1.0, 0.0, false)))
+    assert(rep(("cust_drift", "hash_mismatch"))._3, "compared cols still match")
+  }
+
+  test("window scopes recon to one load window and prunes partitions") {
+    val path = s"$tmpDir/orders_mo"
+    Tables.orders(spark, sf)
+      .withColumn("mo", date_format(col("o_orderdate"), "yyyy-MM"))
+      .write.partitionBy("mo").mode("overwrite").parquet(path)
+    val src = spark.read.parquet(path)
+    // one perturbed key inside the 1995-03 window, one outside it
+    val Array(kIn, kOut) = Array("1995-03", "1996-03").map(mo =>
+      src.filter(col("mo") === mo).agg(min("o_orderkey")).collect().head.getLong(0))
+    val tgt = src.withColumn("o_totalprice",
+      when(col("o_orderkey").isin(kIn, kOut), col("o_totalprice") + 1)
+        .otherwise(col("o_totalprice")))
+    val diff = Recon.hashDiffTables(src, tgt, "o_orderkey", Seq("o_totalprice"),
+      window = Some(col("mo") === "1995-03"))
+    // only the in-window perturbation is visible
+    assert(diff.collect().head.getLong(0) === 1L)
+    // and the predicate reached the scan as a partition filter: unrelated
+    // load windows are never read
+    val plan = diff.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(mo"), plan)
   }
 
   test("hash_diff single-scan plan: no join, one scan") {
