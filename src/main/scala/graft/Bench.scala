@@ -42,12 +42,17 @@ object Bench {
       materialize(name)
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.benchQueries.map { name =>
-      name -> Seq.fill(3)(timeOne(name)).min
+    val samples = SparkEntry.benchQueries.map { name =>
+      name -> Seq.fill(3)(timeOne(name)).sorted
     }
+    val results = samples.map { case (k, v) => k -> v.head }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // median alongside the min so a future round can tell GC/scheduler
+    // noise (min ≈ median) from a real regression without digging up old
+    // BENCH files (round-5 verdict, optional #6)
+    val med = samples.map { case (k, v) => "\"" + k + "\":" + v(1) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$med,"sf":"$sfDir"}"""
     // sbt prefixes stdout with "[info] ", which broke the driver's JSON
     // parse in round 1 — the file is the machine-readable channel.
     Files.writeString(Paths.get("bench_out.json"), json)

@@ -34,6 +34,7 @@ object SparkEntry {
     "window_running_sum"       -> (Relational.windowRunningSum _),
     "window_funcs"             -> (Relational.windowFuncs _),
     "quantile_summary"         -> (Relational.quantileSummary _),
+    "quantile_summary_approx"  -> ((s, d) => Relational.quantileApprox(s, d)), // no-oracle
     "rollup_agg"               -> (Relational.rollupAgg _),
     "cube_agg"                 -> (Relational.cubeAgg _),
     "grouping_sets_agg"        -> (Relational.groupingSetsAgg _),

@@ -43,7 +43,10 @@ object Recon {
   }
 
   /** Per-column fingerprint: count / distinct / sum / min / max — localizes
-    * which column diverged between source and target. */
+    * which column diverged between source and target. (Measured: fanning
+    * the under-split scan out first is a wash here — the distinct-key
+    * shuffle already parallelizes the dominant phase — so the scan is
+    * left alone, unlike [[graft.ops.Text.fingerprint]].) */
   def colaggFingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir).agg(
       count(lit(1)).as("cnt"),

@@ -101,7 +101,15 @@ object Relational {
 
   /** Exact interpolated percentiles per order status — Spark `percentile`
     * and DuckDB `quantile_cont` share the continuous-interpolation
-    * definition; values round to 4 dp to absorb interpolation ulps. */
+    * definition; values round to 4 dp to absorb interpolation ulps.
+    *
+    * Scale caveat: exact `percentile` buffers every distinct value per
+    * group — unbounded state on 100 TB of continuous doubles. This form
+    * is the small-SF oracle baseline; the 100 TB path is
+    * [[quantileApprox]] (GK sketch: bounded error, constant state,
+    * mergeable map-side). (Measured: fanning the under-split scan out
+    * first LOSES here — 32 partial buffers still merge into one
+    * per-group buffer, so the exchange buys nothing.) */
   def quantileSummary(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .groupBy(col("o_orderstatus"))
@@ -109,6 +117,22 @@ object Relational {
         round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
         round(expr("percentile(o_totalprice, 0.95)"), 4).as("p95"),
         count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+
+  /** Bounded-state twin of [[quantileSummary]] for the 100 TB path:
+    * `approx_percentile` keeps a fixed-size Greenwald-Khanna sketch per
+    * group (rank error <= n/accuracy), mergeable map-side — constant
+    * memory where exact `percentile` buffers the column. No SQL oracle
+    * (sketch internals are engine-specific); the rank-error bound is
+    * unit-tested against the exact answer, HLL-style. */
+  def quantileApprox(spark: SparkSession, dir: String,
+                     accuracy: Int = 10000): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        expr(s"approx_percentile(o_totalprice, array(0.5D, 0.95D), $accuracy)").as("p"),
+        count(lit(1)).as("n"))
+      .select(col("o_orderstatus"), col("p")(0).as("p50"), col("p")(1).as("p95"), col("n"))
       .orderBy("o_orderstatus")
 
   /** ROLLUP over (status, priority) incl. the grand-total row. */

@@ -66,11 +66,13 @@ object Text {
   /** Document fingerprint: min of md5 over all 8-char shingles (a 1-value
     * winnowing sketch) — identical docs get identical fingerprints.
     * The min is a row-local array fold (`array_min(transform(...))`), not
-    * an explode+groupBy: the whole op is a scan projection with no
-    * exchange at all (asserted in tests), which is the difference between
-    * a map-only pass and a full shuffle at 100 TB. */
+    * an explode+groupBy: no aggregate anywhere in the plan (asserted in
+    * tests), which is the difference between a map-only pass and a full
+    * shuffle at 100 TB. The md5-per-shingle projection is the CPU hot
+    * spot, so an under-split scan is fanned out across the cores first
+    * ([[graft.FanOut]] — identity once the input has enough splits). */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
+    graft.FanOut(docs(spark, dir))
       .selectExpr("doc_id",
         "array_min(transform(sequence(1, greatest(length(text)-7, 1)), i -> md5(substring(text, i, 8)))) AS fp")
       .orderBy("doc_id")

@@ -78,7 +78,11 @@ object Vectors {
       s"cosineKnn is exact O(n^2) brute force: n=$n exceeds maxRows=$maxRows; " +
         "use Vectors.annLshTopk or Vectors.annIvfTopk (bucketed, recall-tested) at this scale")
     val e = normalized(spark, dir)
-    val a = e.select(col("vec_id"), col("v").as("va"), col("nrm").as("na"))
+    // the join broadcasts the right side and streams the left: fan the
+    // streamed (probe) side out across the cores, or a single-split scan
+    // runs all n^2/2 dot products on one task (round-5 bench, 1.89 s)
+    val a = graft.FanOut(e)
+      .select(col("vec_id"), col("v").as("va"), col("nrm").as("na"))
     val b = e.select(col("vec_id").as("nn"), col("v").as("vb"), col("nrm").as("nb"))
     val sim = round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4)
     val pairs = a.join(b, col("vec_id") < col("nn"))
@@ -164,12 +168,16 @@ object Vectors {
   private[ops] def lshBucket: Column = {
     val bucket = (0 until NumPlanes).map { j =>
       val d = dot(col("v"), typedlit(planes(j)))
-      // two-sided when: null dot → null bit (otherwise(0) would absorb it)
+      // two-sided when: null dot → null bit (otherwise(0) would absorb
+      // it), and a NaN dot fails BOTH comparisons → null bit as well
       shiftleft(when(d > 0, lit(1L)).when(d <= 0, lit(0L)), j)
     }.reduce(_ bitwiseOR _)
-    when(bucket.isNull, raise_error(lit(
+    // coalesce evaluates the 8-plane projection ONCE (the round-5 isNull/
+    // otherwise form referenced it twice); only a null result reaches the
+    // error branch
+    coalesce(bucket, raise_error(lit(
       s"lshBucket: null plane dot — embedding is not a clean $Dim-dim vector " +
-        "(wrong dimensionality or null element)"))).otherwise(bucket)
+        "(wrong dimensionality, null element, or NaN)")))
   }
 
   private val IvfClusters = 16

@@ -57,6 +57,24 @@ class RelationalSpec extends GraftSpec {
     }
   }
 
+  test("quantileApprox: rank error within the GK bound of the exact answer") {
+    val approx = Relational.quantileApprox(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getLong(3)))).toMap
+    val exact = Tables.orders(spark, sf).select("o_orderstatus", "o_totalprice")
+      .collect().groupBy(_.getString(0))
+      .map { case (s, rows) => s -> rows.map(_.getDouble(1)).sorted }
+    assert(approx.keySet === exact.keySet)
+    approx.foreach { case (s, (p50, p95, n)) =>
+      val vals = exact(s)
+      assert(n === vals.length.toLong)
+      // approx_percentile returns an actual element whose rank is within
+      // n/accuracy of the target rank (+1 for the discrete step)
+      def rankOf(v: Double) = vals.count(_ <= v).toDouble
+      assert(math.abs(rankOf(p50) - 0.5 * n) <= n / 10000.0 + 1.0, s"$s p50")
+      assert(math.abs(rankOf(p95) - 0.95 * n) <= n / 10000.0 + 1.0, s"$s p95")
+    }
+  }
+
   test("q5: revenue sorted descending, all nations positive") {
     val rows = Relational.q5MultiwayJoin(spark, sf).collect()
     assert(rows.nonEmpty)

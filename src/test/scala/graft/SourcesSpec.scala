@@ -50,6 +50,32 @@ class SourcesSpec extends GraftSpec {
     spark.sql("DROP TABLE orders_btgt")
   }
 
+  test("parquetRowCount: recursive over partitioned layouts, refuses empty, invalidates on overwrite") {
+    val part = s"$tmpDir/orders_bymonth"
+    val orders = Tables.orders(spark, sf)
+    orders
+      .withColumn("mo", org.apache.spark.sql.functions.date_format(
+        org.apache.spark.sql.functions.col("o_orderdate"), "yyyy-MM"))
+      .write.partitionBy("mo").mode("overwrite").parquet(part)
+    // partitioned = part files in SUBdirectories: a non-recursive listing
+    // saw 0 here and would have waved the O(n^2) guards through
+    assert(Sources.parquetRowCount(spark, part) === orders.count())
+    // a dir with no part files must throw, never report 0
+    val empty = s"$tmpDir/empty_dir"
+    new java.io.File(empty).mkdirs()
+    val e = intercept[IllegalArgumentException] {
+      Sources.parquetRowCount(spark, empty)
+    }
+    assert(e.getMessage.contains("no parquet part files"), e.getMessage)
+    // overwriting a path must invalidate the cached count
+    val flat = s"$tmpDir/orders_flat"
+    orders.limit(100).write.mode("overwrite").parquet(flat)
+    assert(Sources.parquetRowCount(spark, flat) === 100L)
+    orders.limit(37).write.mode("overwrite").parquet(flat)
+    assert(Sources.parquetRowCount(spark, flat) === 37L,
+      "stale cache after overwrite")
+  }
+
   test("Hive metastore: saveAsTable + catalog read + recon round-trip") {
     assert(spark.conf.get("spark.sql.catalogImplementation") === "hive")
     spark.sql("CREATE DATABASE IF NOT EXISTS graft_recon")

@@ -36,11 +36,23 @@ class TextSpec extends GraftSpec {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(fp(1L) === fp(4L))
     assert(fp(1L) !== fp(3L))
-    // the min-over-shingles is row-local: no aggregate anywhere in the plan
-    // (the only exchange is the final ORDER BY sort)
+    // the min-over-shingles is row-local: no aggregate anywhere in the
+    // plan; the only exchanges are the single-split scan's fan-out and
+    // the final ORDER BY sort
     val plan = Text.fingerprint(spark, sf).queryExecution.executedPlan.toString
     assert(!plan.contains("HashAggregate") && !plan.contains("Generate"),
       "fingerprint must not explode+aggregate")
+    assert(plan.contains("RoundRobinPartitioning"),
+      "single-split scan must fan out across the cores")
+  }
+
+  test("FanOut is identity once the input has enough splits") {
+    val path = s"$tmpDir/docs_split"
+    Tables.documents(spark, sf).repartition(8).write.mode("overwrite")
+      .parquet(s"$path/documents.parquet")
+    val plan = Text.fingerprint(spark, path).queryExecution.executedPlan.toString
+    assert(!plan.contains("RoundRobinPartitioning"),
+      "well-split input must not pay a fan-out exchange")
   }
 
   test("LSH bucket cap bounds an identical-document flood") {
@@ -53,6 +65,15 @@ class TextSpec extends GraftSpec {
     val floodDir = writeFlood(spark, tmpDir)
     val flood = Text.dedupMinhash(spark, floodDir).collect()
     assert(flood.nonEmpty && flood.forall(_.getDouble(2) === 1.0))
+  }
+
+  test("ngramJaccard refuses all-pairs past maxDocs, pointing at dedupMinhash") {
+    val e = intercept[IllegalArgumentException] {
+      Text.ngramJaccard(spark, fixtureDir, maxDocs = 3)
+    }
+    assert(e.getMessage.contains("dedupMinhash"), e.getMessage)
+    // at-or-under the bound still runs (4-doc fixture)
+    assert(Text.ngramJaccard(spark, fixtureDir, maxDocs = 4).count() > 0)
   }
 
   test("langid: diagonally dominant on separable languages; total-preserving on real data") {
