@@ -25,6 +25,7 @@ object SparkEntry {
     "recon_diff_detail"        -> (Recon.diffDetail _),
     "recon_partition_drill"    -> (Recon.partitionDrill _),
     "recon_reconcile_all"      -> (Recon.reconcileAllDemo _),
+    "recon_profile"            -> (Recon.profileOrders _),
     // §2.3–2.7 relational analytics
     "q1_pricing_summary"       -> (Relational.q1PricingSummary _),
     "q3_shipping_priority"     -> (Relational.q3ShippingPriority _),
@@ -212,6 +213,34 @@ object SparkEntry {
         |  UNION ALL SELECT 'customer', 'extra_in_target', extra, 0.0, extra = 0 FROM cstats
         |  UNION ALL SELECT 'customer', 'schema_drift', 0.0, 0.0, true
         |) ORDER BY "table", "check"""".stripMargin,
+
+    "recon_profile" ->
+      // one SELECT per column in DuckDB (no multi-distinct unpivot there);
+      // money goes through DECIMAL(12,2) so min/max strings are
+      // engine-identical
+      """WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CAST(o_totalprice AS DECIMAL(12,2)) o_totalprice, o_orderdate,
+        |  o_orderpriority FROM orders)
+        |SELECT * FROM (
+        |  SELECT 'o_custkey' "column", count(*) FILTER (o_custkey IS NULL) n_nulls,
+        |    count(DISTINCT o_custkey) n_distinct,
+        |    CAST(min(o_custkey) AS VARCHAR) min_v, CAST(max(o_custkey) AS VARCHAR) max_v FROM o
+        |  UNION ALL SELECT 'o_orderdate', count(*) FILTER (o_orderdate IS NULL),
+        |    count(DISTINCT o_orderdate),
+        |    CAST(min(o_orderdate) AS VARCHAR), CAST(max(o_orderdate) AS VARCHAR) FROM o
+        |  UNION ALL SELECT 'o_orderkey', count(*) FILTER (o_orderkey IS NULL),
+        |    count(DISTINCT o_orderkey),
+        |    CAST(min(o_orderkey) AS VARCHAR), CAST(max(o_orderkey) AS VARCHAR) FROM o
+        |  UNION ALL SELECT 'o_orderpriority', count(*) FILTER (o_orderpriority IS NULL),
+        |    count(DISTINCT o_orderpriority),
+        |    CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR) FROM o
+        |  UNION ALL SELECT 'o_orderstatus', count(*) FILTER (o_orderstatus IS NULL),
+        |    count(DISTINCT o_orderstatus),
+        |    CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR) FROM o
+        |  UNION ALL SELECT 'o_totalprice', count(*) FILTER (o_totalprice IS NULL),
+        |    count(DISTINCT o_totalprice),
+        |    CAST(min(o_totalprice) AS VARCHAR), CAST(max(o_totalprice) AS VARCHAR) FROM o
+        |) ORDER BY "column"""".stripMargin,
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

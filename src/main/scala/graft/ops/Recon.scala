@@ -271,6 +271,43 @@ object Recon {
         Seq("c_name", "c_mktsegment", "c_acctbal"))))
   }
 
+  /** Column profile — the recon-tool "profile before compare" surface:
+    * one row per column with null count, exact distinct count, and
+    * min/max (cast to string so heterogeneous column types share one
+    * report schema). One pass over the table: a single multi-distinct
+    * aggregate (Expand × (cols+1), two-phase hash agg — the same plan
+    * family as [[colaggFingerprint]]), then the one-row result unpivots
+    * row-locally. At 100 TB swap the exact distinct counts for
+    * `approx_count_distinct` — the rest of the plan is unchanged; the
+    * exact form is kept here as the oracle baseline. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile: no columns")
+    val aggs = cols.flatMap { c => Seq(
+      count(when(col(c).isNull, 1)).as(s"${c}__nulls"),
+      countDistinct(col(c)).as(s"${c}__distinct"),
+      min(col(c)).cast("string").as(s"${c}__min"),
+      max(col(c)).cast("string").as(s"${c}__max")) }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("column"),
+        col(s"${c}__nulls").as("n_nulls"),
+        col(s"${c}__distinct").as("n_distinct"),
+        col(s"${c}__min").as("min_v"),
+        col(s"${c}__max").as("max_v"))): _*)).as("p"))
+      .select("p.*")
+      .orderBy("column")
+  }
+
+  /** Harness op over [[profile]]: all six orders columns. The money
+    * column pre-normalizes through DECIMAL(12,2) so its min/max string
+    * forms are engine-identical (double→string shortest-repr rules
+    * differ across engines; decimal→string does not). */
+  def profileOrders(spark: SparkSession, dir: String): DataFrame =
+    profile(
+      Tables.orders(spark, dir)
+        .withColumn("o_totalprice", col("o_totalprice").cast(DecimalType(12, 2))),
+      Tables.orders.fieldNames.toSeq)
+
   /** Keys present in source but absent in target (anti-join). */
   def missingRows(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)

@@ -138,6 +138,25 @@ class ReconSpec extends GraftSpec {
     assert(rep(("cust_drift", "hash_mismatch"))._3, "compared cols still match")
   }
 
+  test("profile: null/distinct/min/max per column on seeded data") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq(
+      (1L, Option("a"), Option(2.5)),
+      (2L, Option("b"), None),
+      (3L, Option("a"), Option(-1.0)),
+      (4L, None, Option(2.5))).toDF("k", "s", "d")
+    val got = Recon.profile(df, Seq("k", "s", "d")).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))).toMap
+    assert(got("k") === ((0L, 4L, "1", "4")))
+    assert(got("s") === ((1L, 2L, "a", "b")))
+    assert(got("d") === ((1L, 2L, "-1.0", "2.5")))
+    // report is sorted by column name
+    assert(Recon.profile(df, Seq("s", "k")).collect().map(_.getString(0)).toSeq
+      === Seq("k", "s"))
+  }
+
   test("window scopes recon to one load window and prunes partitions") {
     val path = s"$tmpDir/orders_mo"
     Tables.orders(spark, sf)

@@ -50,6 +50,28 @@ class SourcesSpec extends GraftSpec {
     spark.sql("DROP TABLE orders_btgt")
   }
 
+  test("reconcileAll over bucketed catalog tables: co-located joins, no key shuffle") {
+    import graft.ops.TablePair
+    Sources.writeBucketed(Tables.orders(spark, sf), "ra_bsrc", "o_orderkey")
+    Sources.writeBucketed(Tables.orders(spark, sf), "ra_btgt", "o_orderkey")
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val rep = Recon.reconcileAll(Seq(TablePair("orders",
+        spark.table("ra_bsrc"), spark.table("ra_btgt"),
+        "o_orderkey", Seq("o_custkey", "o_orderstatus", "o_totalprice"))))
+      val plan = rep.queryExecution.executedPlan.toString
+      // the nightly-run posture: the one full-outer join per pair reads
+      // bucket-aligned inputs, so no exchange on the join key anywhere
+      assert(!plan.contains("Exchange hashpartitioning(k"),
+        s"bucketed reconcileAll must not shuffle on the key:\n$plan")
+      val rows = rep.collect().map(r => r.getString(1) -> r.getBoolean(4)).toMap
+      assert(rows.size === 5 && rows.values.forall(identity), "identical tables all green")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    spark.sql("DROP TABLE ra_bsrc")
+    spark.sql("DROP TABLE ra_btgt")
+  }
+
   test("parquetRowCount: recursive over partitioned layouts, refuses empty, invalidates on overwrite") {
     val part = s"$tmpDir/orders_bymonth"
     val orders = Tables.orders(spark, sf)
