@@ -81,7 +81,7 @@ object Recon {
     * (("a|b","c") vs ("a","b|c")). Each value is length-prefixed --
     * "3:a|b" cannot be confused with "1:a" -- and null maps to a
     * prefix-less marker distinct from any length-prefixed string. */
-  private def rowChecksum(cols: Seq[String]): Column =
+  private[graft] def rowChecksum(cols: Seq[String]): Column =
     md5(concat_ws("|", cols.map { c =>
       val s = col(c).cast("string")
       coalesce(concat(length(s).cast("string"), lit(":"), s), lit("~null~"))

@@ -47,4 +47,31 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"))
       .select(col("session_window.start").as("ss"),
         col("session_window.end").as("se"), col("user_id"), col("n"))
+
+  /** Continuous reconciliation — the ingestion-time twin of the batch
+    * [[graft.ops.Recon.hashDiffDetail]]: every micro-batch of the stream
+    * is checked against a static reference table as it arrives, emitting
+    * (key, status) for rows whose checksum diverges ("mismatch") or that
+    * have no reference counterpart ("missing_in_reference"). Uses the
+    * same length-prefixed null-safe checksum as the batch APIs.
+    *
+    * Stateless by construction: a per-row stream-static LEFT join needs
+    * no watermark and holds no state, so it runs forever at any rate. The
+    * reference's extra-in-reference set is undefined until the stream
+    * ends — a streaming full-outer against a static side would need
+    * unbounded state — and stays a batch-API concern. At scale the
+    * static side is broadcast (bounded dim) or bucketed on the key. */
+  def streamingHashDiff(stream: DataFrame, reference: DataFrame,
+                        key: String, cols: Seq[String]): DataFrame = {
+    val s = stream.select(col(key).as("k"),
+      graft.ops.Recon.rowChecksum(cols).as("h_src"))
+    val r = reference.select(col(key).as("k"),
+      graft.ops.Recon.rowChecksum(cols).as("h_tgt"))
+    s.join(r, Seq("k"), "left_outer")
+      .select(col("k"),
+        when(col("h_tgt").isNull, "missing_in_reference")
+          .when(col("h_src") =!= col("h_tgt"), "mismatch")
+          .otherwise("match").as("status"))
+      .filter(col("status") =!= "match")
+  }
 }

@@ -102,6 +102,33 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("streaming hash-diff flags mismatched and unknown keys per micro-batch") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val ctx = spark.sqlContext
+    // static reference: ids 1..10, value = id * 1.0
+    val reference = (1L to 10L).map(i => Ev(i,
+      java.sql.Timestamp.valueOf("2025-01-01 00:00:00"), i, "a", i * 1.0)).toDF()
+    val input = MemoryStream[Ev]
+    val q = StreamingOps.streamingHashDiff(input.toDF(), reference,
+      "event_id", Seq("event_type", "value"))
+      .writeStream.format("memory").queryName("recon_sink")
+      .outputMode("append").start()
+    try {
+      def ev(id: Long, v: Double) = Ev(id,
+        java.sql.Timestamp.valueOf("2025-01-01 00:00:00"), id, "a", v)
+      // batch 1: 1 clean, 2 mismatched, 99 unknown
+      input.addData(ev(1L, 1.0), ev(2L, -5.0), ev(99L, 9.0))
+      q.processAllAvailable()
+      // batch 2: the mismatch arrives corrected — no longer flagged
+      input.addData(ev(2L, 2.0), ev(3L, 3.0))
+      q.processAllAvailable()
+      val got = spark.table("recon_sink").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toSeq.sorted
+      assert(got === Seq(2L -> "mismatch", 99L -> "missing_in_reference"))
+    } finally q.stop()
+  }
+
   test("session window: streaming append-mode output equals batch") {
     val spark0 = spark
     import spark0.implicits._
