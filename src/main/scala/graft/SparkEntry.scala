@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{Asof, Events, Multimodal, Recon, Relational, Text, Vectors}
+import graft.ops.{Asof, Events, Multimodal, Recon, Relational, Sampling, Text, Vectors}
 
 /** Driver contract (SURVEY.md §2 is the inventory; Appendix A + §7.4 are
   * the determinism rules every oracle below follows: DECIMAL-exact money
@@ -59,6 +59,7 @@ object SparkEntry {
     "dedup_simhash"            -> (Text.dedupSimhash _),      // no-oracle
     "text_langid"              -> (Text.langidNgram _),       // no-oracle
     "text_token_counts"        -> (Text.tokenCounts _),
+    "sample_stratified"        -> (Sampling.sampleDocuments _), // no-oracle
     "dedup_embedding"          -> ((s, d) => Vectors.dedupEmbedding(s, d)), // no-oracle
     // §2.9 LLM-pipeline: vectors
     "cosine_knn"               -> ((s, d) => Vectors.cosineKnn(s, d)),

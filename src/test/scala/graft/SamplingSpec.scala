@@ -1,0 +1,67 @@
+package graft
+
+import graft.ops.Sampling
+import org.apache.spark.sql.functions._
+
+/** Sampling invariants: determinism under repartitioning, nested samples
+  * across fractions, allowlist semantics, binomial fraction bounds, and
+  * weighted mixing composition. */
+class SamplingSpec extends GraftSpec {
+
+  private lazy val docs = Tables.documents(spark, sf)
+
+  test("sample is a pure function of (key, seed): repartitioning changes nothing") {
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      Sampling.sampleStratified(df, "source", "doc_id", Map("src0" -> 0.5), 7L)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val base = ids(docs)
+    assert(base.nonEmpty)
+    assert(ids(docs.repartition(7)) === base, "partition layout must not move the sample")
+    assert(ids(docs.orderBy(col("doc_id").desc)) === base, "row order must not move the sample")
+  }
+
+  test("samples nest across fractions for the same seed") {
+    def ids(f: Double): Set[Long] =
+      Sampling.sampleStratified(docs, "source", "doc_id", Map("src0" -> f), 7L)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val (s10, s50, s100) = (ids(0.1), ids(0.5), ids(1.0))
+    assert(s10.subsetOf(s50) && s50.subsetOf(s100), "threshold samples must nest")
+    assert(s100 === docs.filter(col("source") === "src0")
+      .select("doc_id").collect().map(_.getLong(0)).toSet, "f=1 keeps the stratum")
+  }
+
+  test("strata absent from the mixture are dropped; fractions approximately honored") {
+    val got = Sampling.sampleStratified(docs, "source", "doc_id",
+      Map("src0" -> 1.0, "src1" -> 0.5), 42L)
+      .groupBy("source").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet.subsetOf(Set("src0", "src1")), s"allowlist violated: $got")
+    val n0 = docs.filter(col("source") === "src0").count()
+    val n1 = docs.filter(col("source") === "src1").count()
+    assert(got("src0") === n0, "fraction 1.0 keeps everything")
+    // binomial 4-sigma bound on the 0.5 stratum
+    val sd = math.sqrt(0.5 * 0.5 * n1)
+    assert(math.abs(got.getOrElse("src1", 0L) - 0.5 * n1) <= 4 * sd + 1,
+      s"src1 kept ${got.get("src1")} of $n1")
+  }
+
+  test("mixSources composes per-source weights into one frame") {
+    val a = docs.filter(col("source") === "src0")
+    val b = docs.filter(col("source") === "src1")
+    val mixed = Sampling.mixSources(Seq((a, 1.0, "doc_id"), (b, 0.5, "doc_id")), 42L)
+    val bySrc = mixed.groupBy("source").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("src0") === a.count())
+    // same key/seed → same membership as the stratified form
+    val strat = Sampling.sampleStratified(docs, "source", "doc_id",
+      Map("src0" -> 1.0, "src1" -> 0.5), 42L).count()
+    assert(mixed.count() === strat)
+  }
+
+  test("sampling filter stays a scan projection: no shuffle, no aggregate") {
+    val plan = Sampling.sampleDocuments(spark, sf).queryExecution.executedPlan.toString
+    // one sort for the final ORDER BY; nothing else moves data
+    assert(!plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
+}
