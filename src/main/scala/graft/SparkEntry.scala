@@ -31,6 +31,7 @@ object SparkEntry {
     "q3_shipping_priority"     -> (Relational.q3ShippingPriority _),
     "q5_multiway_join"         -> (Relational.q5MultiwayJoin _),
     "asof_join_events"         -> (Asof.asofJoinEvents _),
+    "range_join_orders"        -> (Asof.rangeJoinOrders _),
     "window_topk_per_group"    -> (Relational.windowTopkPerGroup _),
     "window_running_sum"       -> (Relational.windowRunningSum _),
     "window_funcs"             -> (Relational.windowFuncs _),
@@ -281,6 +282,18 @@ object SparkEntry {
         |       date_trunc('second', m.pts) pts, m.pv pv
         |FROM events e ASOF LEFT JOIN m ON e.user_id=m.user_id AND e.ts >= m.pts
         |ORDER BY e.event_id LIMIT 500""".stripMargin,
+
+    "range_join_orders" ->
+      // DuckDB plans the BETWEEN theta join directly; the Spark side gets
+      // the same pairs from the bucketed equi-join + exact filter
+      """SELECT mstart, count(*) n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) rev
+        |FROM (SELECT unnest(generate_series(DATE '1992-01-01', DATE '1998-12-01',
+        |              INTERVAL 1 MONTH)) mstart) g
+        |JOIN orders o
+        |  ON CAST(o.o_orderdate AS DATE) >= CAST(mstart AS DATE)
+        | AND CAST(o.o_orderdate AS DATE) <= CAST(mstart AS DATE) + 9
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "window_topk_per_group" ->
       """SELECT p_brand, p_name, p_retailprice, rn FROM (

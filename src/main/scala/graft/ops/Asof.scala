@@ -51,6 +51,53 @@ object Asof {
         payloadCols.map(c => col(s"__r.$c").as(c)): _*)
   }
 
+  /** Interval-containment (range) join: points matched to every interval
+    * [start, end] that contains them — Spark plans a raw `BETWEEN` theta
+    * join as BroadcastNestedLoop (per-point scan of ALL intervals), the
+    * classic 100 TB cliff. The scale shape here is the bucket trick: a
+    * point lives in exactly one width-`bucketWidth` bucket, an interval
+    * is exploded across every bucket it overlaps, and the join becomes a
+    * plain equi-join on the bucket followed by the exact containment
+    * filter. Shuffle volume is O(points + intervals × span/width), never
+    * points × intervals — and each matching (point, interval) pair meets
+    * in exactly one bucket (the point's), so no dedup pass is needed.
+    * `ptCol`/`startCol`/`endCol` are numeric (e.g. `unix_date`/epoch);
+    * pick `bucketWidth` near the typical interval span so most intervals
+    * explode into 1–2 buckets. */
+  def rangeJoin(points: DataFrame, ptCol: String,
+                intervals: DataFrame, startCol: String, endCol: String,
+                bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"rangeJoin: bucketWidth must be positive: $bucketWidth")
+    val p = points.withColumn("__bucket", floor(col(ptCol) / bucketWidth))
+    val i = intervals.withColumn("__bucket",
+      explode(sequence(floor(col(startCol) / bucketWidth),
+        floor(col(endCol) / bucketWidth))))
+    p.join(i, Seq("__bucket"))
+      .filter(col(ptCol) >= col(startCol) && col(ptCol) <= col(endCol))
+      .drop("__bucket")
+  }
+
+  /** Harness op over [[rangeJoin]]: orders landing in the first ten days
+    * of each month, against a generated monthly interval grid — per
+    * interval, order count and DECIMAL-exact revenue. Dates join as
+    * epoch-day numbers; weekly buckets put each 10-day interval in 2–3
+    * buckets. */
+  def rangeJoinOrders(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_totalprice"),
+      unix_date(to_date(col("o_orderdate"))).as("d"))
+    val iv = spark.range(1)
+      .select(explode(expr(
+        "sequence(to_date('1992-01-01'), to_date('1998-12-01'), interval 1 month)"))
+        .as("mstart"))
+      .select(col("mstart"), unix_date(col("mstart")).as("s"))
+      .withColumn("e", col("s") + 9)
+    rangeJoin(o, "d", iv, "s", "e", bucketWidth = 7L)
+      .groupBy("mstart")
+      .agg(count(lit(1)).as("n"), Recon.decSum(col("o_totalprice")).as("rev"))
+      .orderBy("mstart")
+  }
+
   /** Harness op: each event looks up the user's most recent purchase at
     * or before its own timestamp. Markers are deduped to one row per
     * (user, instant) with a deterministic max_by, matching the oracle's

@@ -8,6 +8,24 @@ class AsofSpec extends GraftSpec {
 
   // user 1: lefts at t=10,20,30; markers at t=15,25
   // user 2: left at t=5 (no marker before), marker at t=5 for user 3 only
+  test("rangeJoin: same pairs as the naive theta join, once each, no nested loop") {
+    val spark0 = spark
+    import spark0.implicits._
+    // intervals of varying span (0..6) so several cross bucket boundaries
+    val pts = (0L until 200L).map(i => (i, i * 3 % 97)).toDF("id", "x")
+    val ivs = (0L until 30L).map(j => (j, j * 5 % 80, j * 5 % 80 + j % 7)).toDF("iid", "s", "e")
+    val joined = graft.ops.Asof.rangeJoin(pts, "x", ivs, "s", "e", bucketWidth = 4L)
+      .select("id", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val naive = pts.join(ivs, col("x") >= col("s") && col("x") <= col("e"))
+      .select("id", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(naive.nonEmpty)
+    assert(joined.toSet === naive)
+    assert(joined.length === naive.size, "each pair must meet in exactly one bucket")
+    val plan = graft.ops.Asof.rangeJoin(pts, "x", ivs, "s", "e", 4L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), s"bucketed range join must equi-join:\n$plan")
+  }
+
   test("asofJoin picks the latest right row at-or-before each left row") {
     val spark0 = spark
     import spark0.implicits._
