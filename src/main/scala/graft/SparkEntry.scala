@@ -61,6 +61,7 @@ object SparkEntry {
     "text_langid"              -> (Text.langidNgram _),       // no-oracle
     "text_token_counts"        -> (Text.tokenCounts _),
     "sample_stratified"        -> (Sampling.sampleDocuments _), // no-oracle
+    "text_sequence_pack"       -> ((s, d) => Text.sequencePack(s, d)),
     "dedup_embedding"          -> ((s, d) => Vectors.dedupEmbedding(s, d)), // no-oracle
     // §2.9 LLM-pipeline: vectors
     "cosine_knn"               -> ((s, d) => Vectors.cosineKnn(s, d)),
@@ -394,6 +395,16 @@ object SparkEntry {
 
     "dedup_exact_docs" ->
       "SELECT count(*) - count(DISTINCT md5(text)) exact_dups FROM documents",
+
+    "text_sequence_pack" ->
+      """WITH toks AS (SELECT doc_id, source, len(string_split(text, ' ')) t FROM documents),
+        |c AS (SELECT doc_id, source, t,
+        |        sum(t) OVER (PARTITION BY source ORDER BY doc_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum
+        |      FROM toks)
+        |SELECT source, CAST(floor((cum - t) / 2048.0) AS BIGINT) pack,
+        |  count(*) n_docs, CAST(sum(t) AS BIGINT) tokens
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "text_token_stats" ->
       """SELECT tok, count(*) n FROM (SELECT unnest(string_split(text,' ')) tok FROM documents)

@@ -77,6 +77,33 @@ object Text {
         "array_min(transform(sequence(1, greatest(length(text)-7, 1)), i -> md5(substring(text, i, 8)))) AS fp")
       .orderBy("doc_id")
 
+  /** Sequence packing — the document→context-window assembly step of a
+    * pretraining pipeline: documents are concatenated into a token
+    * stream per shard (`source`) in deterministic doc_id order, and each
+    * document is assigned to the `budget`-token window its FIRST token
+    * lands in (so a window can overrun by at most one document's tail —
+    * the standard concat-and-chunk semantics). Emits per-pack document
+    * and token counts.
+    *
+    * 100 TB posture: one shuffle + one sort per shard (the same window
+    * shape as sessionization); shards are the parallel unit — at scale
+    * shard by (source × date bucket) to bound each timeline's sort. The
+    * pack id is a closed-form function of the running sum, so no
+    * sequential state crosses rows beyond the cumulative sum itself. */
+  def sequencePack(spark: SparkSession, dir: String, budget: Long = 2048L): DataFrame = {
+    require(budget > 0, s"sequencePack: budget must be positive: $budget")
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("t"))
+      .withColumn("cum", sum(col("t")).over(w))
+      .withColumn("pack", floor((col("cum") - col("t")) / budget).cast("long"))
+      .groupBy("source", "pack")
+      .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("tokens"))
+      .orderBy("source", "pack")
+  }
+
   /** Salt fan-out for the same-source pair join below. */
   private val JaccardSalts = 8
 

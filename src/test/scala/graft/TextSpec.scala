@@ -97,6 +97,26 @@ class TextSpec extends GraftSpec {
     assert(real.forall(r => langs(r.getString(0)) && langs(r.getString(1))))
   }
 
+  test("sequence packing matches a driver-side greedy recomputation") {
+    val budget = 100L
+    val got = Text.sequencePack(spark, sf, budget).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val docsRows = Tables.documents(spark, sf).select("doc_id", "source", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ", -1).length.toLong))
+    val expected = docsRows.groupBy(_._2).toSeq.flatMap { case (src, rows) =>
+      var cum = 0L
+      rows.sortBy(_._1).map { case (_, _, t) =>
+        val pack = cum / budget // window of the doc's FIRST token
+        cum += t
+        (src, pack, t)
+      }
+    }.groupBy(r => (r._1, r._2))
+      .map { case (k, v) => k -> ((v.size.toLong, v.map(_._3).sum)) }
+    assert(got === expected)
+    assert(got.size > docsRows.map(_._2).distinct.size, "multiple packs per source")
+  }
+
   test("quality score: ratios recompute from the text") {
     val doc = Tables.documents(spark, sf).select("doc_id", "text")
       .orderBy("doc_id").limit(1).collect().head
