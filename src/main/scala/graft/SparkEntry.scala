@@ -40,6 +40,8 @@ object SparkEntry {
     "rollup_agg"               -> (Relational.rollupAgg _),
     "cube_agg"                 -> (Relational.cubeAgg _),
     "grouping_sets_agg"        -> (Relational.groupingSetsAgg _),
+    "pivot_agg"                -> (Relational.pivotAgg _),
+    "stats_funcs"              -> (Relational.statsFuncs _),
     "set_ops"                  -> (Relational.setOps _),
     "set_ops_except"           -> (Relational.setOpsExcept _),
     "scalar_funcs"             -> (Relational.scalarFuncs _),
@@ -341,6 +343,27 @@ object SparkEntry {
         |  count(*) n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) s
         |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         |ORDER BY 1,2""".stripMargin,
+
+    "pivot_agg" ->
+      // Spark's pivot names columns {value}_{aggAlias}; the manual FILTER
+      // form reproduces them (all 15 combos verified non-empty at every
+      // SF, so count-0-vs-null semantics never diverge)
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (o_orderstatus = 'F') F_n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) FILTER (o_orderstatus = 'F') AS DOUBLE) F_rev,
+        |  count(*) FILTER (o_orderstatus = 'O') O_n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) FILTER (o_orderstatus = 'O') AS DOUBLE) O_rev,
+        |  count(*) FILTER (o_orderstatus = 'P') P_n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) FILTER (o_orderstatus = 'P') AS DOUBLE) P_rev
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "stats_funcs" ->
+      """SELECT l_returnflag, round(stddev_samp(l_quantity), 4) sd_qty,
+        |  round(var_samp(l_quantity), 4) var_qty,
+        |  round(corr(l_quantity, l_extendedprice), 4) corr_qp,
+        |  round(covar_samp(l_quantity, l_discount), 4) cov_qd,
+        |  count(*) n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "set_ops_except" ->
       """SELECT c_custkey FROM customer WHERE c_mktsegment='BUILDING'

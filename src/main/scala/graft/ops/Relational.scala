@@ -135,6 +135,37 @@ object Relational {
       .select(col("o_orderstatus"), col("p")(0).as("p50"), col("p")(1).as("p95"), col("n"))
       .orderBy("o_orderstatus")
 
+  /** Pivot: order counts and DECIMAL-exact revenue by priority, one
+    * column group per order status. The pivot values are pinned
+    * explicitly — letting Spark discover them costs an extra distinct
+    * scan AND makes the output schema data-dependent, both wrong at
+    * scale. Plans as one two-phase hash aggregate (pivot is a projection
+    * over the grouped frame, not a shuffle of its own). */
+  def pivotAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)).as("n"), decSum(col("o_totalprice")).as("rev"))
+      .orderBy("o_orderpriority")
+
+  /** Statistical aggregate battery per return flag: sample stddev /
+    * variance, Pearson correlation and sample covariance of quantity vs
+    * price. All are one-pass mergeable aggregates (Welford-style partial
+    * state) — constant memory at any scale, unlike exact percentile.
+    * Values round to 4 dp: parallel partial-merge order moves the last
+    * ulps vs a single-threaded engine, and the quantities are O(1..1e4)
+    * so 4 dp absorbs that while still pinning the math. */
+  def statsFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 4).as("cov_qd"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
   /** ROLLUP over (status, priority) incl. the grand-total row. */
   def rollupAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)

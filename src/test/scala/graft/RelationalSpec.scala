@@ -57,6 +57,34 @@ class RelationalSpec extends GraftSpec {
     }
   }
 
+  test("pivot: per-status columns sum back to the per-priority totals") {
+    val rows = Relational.pivotAgg(spark, sf).collect()
+    val totals = Tables.orders(spark, sf).groupBy("o_orderpriority").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.length === totals.size)
+    rows.foreach { r =>
+      val n = r.getLong(1) + r.getLong(3) + r.getLong(5) // F_n + O_n + P_n
+      assert(n === totals(r.getString(0)), r.getString(0))
+    }
+    // canonical pivot plan: (prio,status) agg shuffle + pivotfirst shuffle
+    // + final sort — and NOT a scan or shuffle per pivot value
+    val plan = Relational.pivotAgg(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length <= 4, s"pivot over-shuffles:\n$plan")
+    assert(plan.split("FileScan").length == 2, s"pivot must scan once:\n$plan")
+  }
+
+  test("stats battery recomputes driver-side for one flag") {
+    val got = Relational.statsFuncs(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val q = Tables.lineitem(spark, sf).filter(col("l_returnflag") === "R")
+      .select("l_quantity").collect().map(_.getDouble(0))
+    val mean = q.sum / q.length
+    val varS = q.map(x => (x - mean) * (x - mean)).sum / (q.length - 1)
+    assert(math.abs(got("R").getDouble(2) - varS) < 1e-3)
+    assert(math.abs(got("R").getDouble(1) - math.sqrt(varS)) < 1e-3)
+    assert(got("R").getLong(5) === q.length.toLong)
+  }
+
   test("quantileApprox: rank error within the GK bound of the exact answer") {
     val approx = Relational.quantileApprox(spark, sf).collect()
       .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getLong(3)))).toMap
