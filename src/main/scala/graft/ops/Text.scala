@@ -207,15 +207,20 @@ object Text {
   }
 
   /** doc_id + 32 min-hash columns h0..h31 from a (doc_id, toks) frame.
-    * Each h_i is a row-local array fold (`array_min(transform(...))`) —
-    * the signature needs no shuffle at all; round 1's explode+groupBy
-    * paid a 32-column aggregate for a per-row computation. */
-  private[graft] def minhashSignatures(docToks: DataFrame): DataFrame = {
-    val distinctToks = array_distinct(col("toks"))
-    val mins = (0 until NumHashes).map(i =>
-      array_min(transform(distinctToks, t => xxhash64(lit(i), t))).as(s"h$i"))
-    docToks.select(col("doc_id") +: mins: _*)
-  }
+    * Still no shuffle (round 1's explode+groupBy paid a 32-column
+    * aggregate for a per-row computation), and since round 6 the 32
+    * minima come from ONE native codegen'd traversal
+    * ([[graft.functions.MinHashSig]], bit-identical to the
+    * `array_min(transform(...))` stack it replaced — parity-asserted in
+    * tests) instead of 32 interpreted `transform` lambdas each
+    * allocating an intermediate array. The signature lands once as an
+    * array column, then the h_i projection just indexes it. */
+  private[graft] def minhashSignatures(docToks: DataFrame): DataFrame =
+    docToks
+      .select(col("doc_id"),
+        graft.functions.MinHashSig.minhash(col("toks"), NumHashes).as("__sig"))
+      .select(col("doc_id") +:
+        (0 until NumHashes).map(i => col("__sig").getItem(i).as(s"h$i")): _*)
 
   /** 64-bit SimHash near-dup detection: per-token hash votes on each bit,
     * sign of the vote sum becomes the bit; candidates share one of four
