@@ -45,6 +45,8 @@ object SparkEntry {
     "set_ops"                  -> (Relational.setOps _),
     "set_ops_except"           -> (Relational.setOpsExcept _),
     "scalar_funcs"             -> (Relational.scalarFuncs _),
+    "string_funcs"             -> (Relational.stringFuncs _),
+    "null_funcs"               -> (Relational.nullFuncs _),
     "date_funcs"               -> (Relational.dateFuncs _),
     // §2.8 event-time
     "json_extract_events"      -> (Events.jsonExtract _),
@@ -380,6 +382,24 @@ object SparkEntry {
         |  CAST(round(CAST(p_retailprice AS DECIMAL(12,2))*CAST('1.1' AS DECIMAL(2,1)),2) AS DOUBLE) pr,
         |  concat(p_brand,'#',CAST(p_size AS VARCHAR)) ck
         |FROM part ORDER BY p_partkey LIMIT 100""".stripMargin,
+
+    "string_funcs" ->
+      // DuckDB regexp_replace needs the explicit 'g' flag to match
+      // Spark's global-replace semantics; instr ↔ strpos are both
+      // 1-based with 0 for absent
+      """SELECT p_partkey, trim(p_name) t, lpad(p_brand, 12, '*') lp,
+        |  regexp_replace(p_type, '[aeiou]', '_', 'g') rr,
+        |  CAST(strpos(p_name, 'a') AS BIGINT) pos_a,
+        |  reverse(p_brand) rev, left(p_name, 5) l5,
+        |  repeat(left(p_brand, 3), 2) rep
+        |FROM part ORDER BY p_partkey LIMIT 100""".stripMargin,
+
+    "null_funcs" ->
+      """SELECT o_orderkey, nullif(o_orderstatus, 'O') ns,
+        |  coalesce(nullif(o_orderstatus, 'O'), 'none') cs,
+        |  greatest(o_orderkey % 7, o_custkey % 5) g,
+        |  least(o_orderkey % 7, o_custkey % 5) l
+        |FROM orders ORDER BY o_orderkey LIMIT 200""".stripMargin,
 
     "date_funcs" ->
       """SELECT o_orderkey, CAST(year(o_orderdate) AS INT) y,

@@ -135,6 +135,37 @@ object Relational {
       .select(col("o_orderstatus"), col("p")(0).as("p50"), col("p")(1).as("p95"), col("n"))
       .orderBy("o_orderstatus")
 
+  /** String-function battery (trim/pad/regexp/position/reverse/repeat/
+    * left) — row-local projections, codegen'd built-ins throughout.
+    * Dialect note: Spark `regexp_replace` is global; DuckDB needs the
+    * explicit 'g' flag. `instr` ↔ `strpos` share 1-based, 0-if-absent
+    * semantics. */
+  def stringFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir).select(
+      col("p_partkey"),
+      trim(col("p_name")).as("t"),
+      lpad(col("p_brand"), 12, "*").as("lp"),
+      regexp_replace(col("p_type"), "[aeiou]", "_").as("rr"),
+      instr(col("p_name"), "a").cast("long").as("pos_a"),
+      reverse(col("p_brand")).as("rev"),
+      expr("left(p_name, 5)").as("l5"),
+      expr("repeat(left(p_brand, 3), 2)").as("rep"))
+      .orderBy("p_partkey")
+      .limit(100)
+
+  /** Null/conditional battery: nullif creates the nulls deterministically,
+    * coalesce fills them, greatest/least exercise null-safe n-ary compare.
+    * Row-local, codegen'd. */
+  def nullFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).select(
+      col("o_orderkey"),
+      nullif(col("o_orderstatus"), lit("O")).as("ns"),
+      coalesce(nullif(col("o_orderstatus"), lit("O")), lit("none")).as("cs"),
+      greatest(col("o_orderkey") % 7, col("o_custkey") % 5).as("g"),
+      least(col("o_orderkey") % 7, col("o_custkey") % 5).as("l"))
+      .orderBy("o_orderkey")
+      .limit(200)
+
   /** Pivot: order counts and DECIMAL-exact revenue by priority, one
     * column group per order status. The pivot values are pinned
     * explicitly — letting Spark discover them costs an extra distinct
