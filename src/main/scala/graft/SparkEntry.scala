@@ -66,6 +66,7 @@ object SparkEntry {
     "text_token_counts"        -> (Text.tokenCounts _),
     "sample_stratified"        -> (Sampling.sampleDocuments _), // no-oracle
     "text_sequence_pack"       -> ((s, d) => Text.sequencePack(s, d)),
+    "text_entropy"             -> (Text.tokenEntropy _),
     "dedup_embedding"          -> ((s, d) => Vectors.dedupEmbedding(s, d)), // no-oracle
     // §2.9 LLM-pipeline: vectors
     "cosine_knn"               -> ((s, d) => Vectors.cosineKnn(s, d)),
@@ -448,6 +449,14 @@ object SparkEntry {
         |SELECT source, CAST(floor((cum - t) / 2048.0) AS BIGINT) pack,
         |  count(*) n_docs, CAST(sum(t) AS BIGINT) tokens
         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "text_entropy" ->
+      """WITH cnt AS (SELECT doc_id, tok, count(*) c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) tok FROM documents)
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) entropy,
+        |  CAST(sum(c) AS BIGINT) n_tokens
+        |FROM cnt GROUP BY 1 ORDER BY 1 LIMIT 1000""".stripMargin,
 
     "text_token_stats" ->
       """SELECT tok, count(*) n FROM (SELECT unnest(string_split(text,' ')) tok FROM documents)

@@ -77,6 +77,25 @@ object Text {
         "array_min(transform(sequence(1, greatest(length(text)-7, 1)), i -> md5(substring(text, i, 8)))) AS fp")
       .orderBy("doc_id")
 
+  /** Per-document token entropy — the repetition/diversity quality signal
+    * a training-data pipeline filters on (boilerplate and template spam
+    * sit at low entropy; natural text sits near log2 of its vocabulary).
+    * Algebraic form `log2(n) − Σ c·log2(c) / n` needs only one pass over
+    * the per-(doc, token) counts — no window, no second scan. Plan: one
+    * explode + two mergeable hash aggregates; the token shuffle is
+    * corpus-sized, the doc-level state is two doubles. */
+  def tokenEntropy(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(
+        round(log2(sum(col("c"))) - sum(col("c") * log2(col("c"))) / sum(col("c")), 4)
+          .as("entropy"),
+        sum(col("c")).as("n_tokens"))
+      .orderBy("doc_id")
+      .limit(1000)
+
   /** Sequence packing — the document→context-window assembly step of a
     * pretraining pipeline: documents are concatenated into a token
     * stream per shard (`source`) in deterministic doc_id order, and each

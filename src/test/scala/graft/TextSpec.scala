@@ -97,6 +97,20 @@ class TextSpec extends GraftSpec {
     assert(real.forall(r => langs(r.getString(0)) && langs(r.getString(1))))
   }
 
+  test("token entropy: uniform docs hit log2(n), repeated docs hit 0") {
+    val spark0 = spark
+    import spark0.implicits._
+    val path = s"$tmpDir/entropy/documents.parquet"
+    Seq(
+      TextFixture.Doc(1L, (1 to 16).map(i => s"w$i").mkString(" "), "en", "f", 0L),
+      TextFixture.Doc(2L, Seq.fill(16)("spam").mkString(" "), "en", "f", 0L))
+      .toDF().write.mode("overwrite").parquet(path)
+    val got = Text.tokenEntropy(spark, s"$tmpDir/entropy").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(got(1L) === ((4.0, 16L)), "16 distinct tokens = 4 bits")
+    assert(got(2L) === ((0.0, 16L)), "pure repetition = 0 bits")
+  }
+
   test("sequence packing matches a driver-side greedy recomputation") {
     val budget = 100L
     val got = Text.sequencePack(spark, sf, budget).collect()
