@@ -24,6 +24,38 @@ class ScaleSpec extends GraftSpec {
     assert(allMonths > 1, "fixture must actually be multi-partition")
   }
 
+  test("dynamic partition pruning: a dim-side filter prunes fact partitions at runtime") {
+    val spark0 = spark
+    import spark0.implicits._
+    val path = s"$tmpDir/orders_dpp"
+    Tables.orders(spark, sf)
+      .withColumn("mo", date_format(col("o_orderdate"), "yyyy-MM"))
+      .write.partitionBy("mo").mode("overwrite").parquet(path)
+    val fact = spark.read.parquet(path)
+    // the filter lives on a dim ATTRIBUTE, not the partition column, so
+    // only runtime (dynamic) pruning can skip fact partitions; the dim
+    // must be a real scan — a local relation folds the filter away and
+    // the DPP rule sees no selective predicate
+    val dimPath = s"$tmpDir/mo_dim"
+    fact.select("mo").distinct().collect().map(_.getString(0))
+      .map(mo => (mo, if (mo == "1995-03") "target" else "other")).toSeq
+      .toDF("mo", "tag").write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    val q = fact.join(dim.filter(col("tag") === "target"), "mo")
+      .agg(count(lit(1)).as("n"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), s"fact scan must carry a DPP filter:\n$plan")
+    // and the runtime effect is real: only the one month's files are read
+    // (input_file_name binds to the fact scan before the join)
+    val files = fact.withColumn("f", input_file_name())
+      .join(dim.filter(col("tag") === "target"), "mo")
+      .select("f").distinct().collect().map(_.getString(0))
+    assert(files.nonEmpty && files.forall(_.contains("mo=1995-03")), files.mkString("\n"))
+    val expected = Tables.orders(spark, sf)
+      .filter(date_format(col("o_orderdate"), "yyyy-MM") === "1995-03").count()
+    assert(q.collect().head.getLong(0) === expected)
+  }
+
   test("spark.sql over registered views equals the DataFrame plan (E3 ≡ E1)") {
     graft.sources.Sources.registerTempViews(spark, sf)
     val viaSql = spark.sql(
