@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{Asof, Events, Multimodal, Recon, Relational, Sampling, Text, Vectors}
+import graft.ops.{Asof, Events, Graph, Multimodal, Recon, Relational, Sampling, Text, Vectors}
 
 /** Driver contract (SURVEY.md §2 is the inventory; Appendix A + §7.4 are
   * the determinism rules every oracle below follows: DECIMAL-exact money
@@ -61,6 +61,7 @@ object SparkEntry {
     "doc_fingerprint"          -> (Text.fingerprint _),
     "dedup_ngram_jaccard"      -> ((s, d) => Text.ngramJaccard(s, d)),
     "dedup_minhash"            -> (Text.dedupMinhash _),      // no-oracle
+    "dedup_clusters"           -> (Graph.dedupClusters _),    // no-oracle
     "dedup_simhash"            -> (Text.dedupSimhash _),      // no-oracle
     "text_langid"              -> (Text.langidNgram _),       // no-oracle
     "text_token_counts"        -> (Text.tokenCounts _),

@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Connected components over a near-duplicate pair list — the clustering
+  * step a dedup pipeline runs AFTER MinHash/SimHash emit candidate
+  * pairs: transitive closure groups pairs into clusters, then one
+  * canonical document survives per cluster. (Pairwise output alone
+  * over-deletes: a~b and b~c must not delete both b and c against
+  * different survivors.)
+  *
+  * Algorithm: min-label propagation. Every node starts labeled with its
+  * own id; each round takes the min of its own and its neighbors'
+  * labels; at convergence every node carries the min id of its
+  * component. All state lives in DataFrames — the driver holds only the
+  * loop counter and a scalar changed-count per round (the same contract
+  * as [[Vectors]]' distributed k-means; no node data ever concentrates).
+  *
+  * 100 TB posture: one shuffle join per round, rounds bounded by the
+  * component DIAMETER — near-dup clusters are dense and shallow (a
+  * flood of k identical docs has diameter 1), so a handful of rounds
+  * closes real corpora; `maxIter` caps pathological chains.
+  * `localCheckpoint` truncates the otherwise exponentially-growing
+  * iterative lineage each round (on a cluster, checkpoint to reliable
+  * storage instead).
+  */
+object Graph {
+
+  /** (id, label) for every node appearing in `pairs`(a_id, b_id), where
+    * label = min id of the node's connected component. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 15): DataFrame = {
+    require(maxIter > 0, s"connectedComponents: maxIter must be positive: $maxIter")
+    val edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
+      .unionByName(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("v"), col("label").as("vl")), "v")
+        .groupBy(col("u").as("id")).agg(min(col("vl")).as("nl"))
+      val next = labels.join(nbrMin, Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** Harness op: MinHash candidate pairs at estimated Jaccard ≥ 0.8 →
+    * components → one row per dup cluster with its size and canonical
+    * (minimum) doc id. Non-oracle (iterative, no SQL twin); chain/flood
+    * structure is unit-tested. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Text.dedupMinhash(spark, dir)
+      .filter(col("est_jaccard") >= 0.8)
+      .select("a_id", "b_id")
+    connectedComponents(pairs)
+      .groupBy(col("label").as("canonical_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .orderBy(col("cluster_size").desc, col("canonical_id"))
+      .limit(100)
+  }
+}

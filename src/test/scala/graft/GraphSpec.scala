@@ -1,0 +1,41 @@
+package graft
+
+import graft.ops.Graph
+import org.apache.spark.sql.functions._
+
+/** Connected-components invariants: known component structure, chain
+  * convergence past several rounds, and the end-to-end minhash→cluster
+  * pipeline on an identical-document flood. */
+class GraphSpec extends GraftSpec {
+
+  private def components(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val spark0 = spark
+    import spark0.implicits._
+    Graph.connectedComponents(edges.toDF("a_id", "b_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("two components resolve to their min ids") {
+    val got = components(Seq((1L, 2L), (2L, 3L), (5L, 4L)))
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
+  }
+
+  test("a chain longer than a few rounds still converges to one label") {
+    // path graph 10-11-...-19: min-label needs ~diameter rounds
+    val got = components((10L until 19L).map(i => (i, i + 1)))
+    assert(got.values.toSet === Set(10L))
+    assert(got.size === 10)
+  }
+
+  test("flood fixture: minhash pairs collapse into a single cluster") {
+    val floodDir = TextFixture.writeFlood(spark, s"$tmpDir/g")
+    val rows = Graph.dedupClusters(spark, floodDir).collect()
+    assert(rows.length === 1, rows.mkString(","))
+    assert(rows.head.getLong(0) === 1L, "canonical id is the minimum doc id")
+    // every doc that appeared in a candidate pair is in the one cluster
+    val paired = graft.ops.Text.dedupMinhash(spark, floodDir)
+      .filter(col("est_jaccard") >= 0.8)
+      .select(explode(array(col("a_id"), col("b_id")))).distinct().count()
+    assert(rows.head.getLong(1) === paired)
+  }
+}
