@@ -56,6 +56,31 @@ class ScaleSpec extends GraftSpec {
     assert(q.collect().head.getLong(0) === expected)
   }
 
+  test("runtime bloom filter prunes the big side of a selective shuffle join") {
+    // production thresholds assume multi-GB scans; lower them to demo the
+    // mechanism on the fixture, with broadcast off so the join shuffles
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val o = Tables.orders(spark, sf).filter(col("o_totalprice") > 300000)
+      val l = Tables.lineitem(spark, sf)
+      val q = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n"))
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(plan.contains("bloom_filter_agg") || plan.contains("might_contain"),
+        s"selective probe side must inject a bloom filter:\n$plan")
+      assert(q.collect().head.getLong(0) > 0)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("spark.sql over registered views equals the DataFrame plan (E3 ≡ E1)") {
     graft.sources.Sources.registerTempViews(spark, sf)
     val viaSql = spark.sql(
