@@ -26,6 +26,7 @@ object SparkEntry {
     "recon_partition_drill"    -> (Recon.partitionDrill _),
     "recon_reconcile_all"      -> (Recon.reconcileAllDemo _),
     "recon_profile"            -> (Recon.profileOrders _),
+    "recon_tolerance_diff"     -> (Recon.toleranceDiffDemo _),
     // §2.3–2.7 relational analytics
     "q1_pricing_summary"       -> (Relational.q1PricingSummary _),
     "q3_shipping_priority"     -> (Relational.q3ShippingPriority _),
@@ -175,6 +176,12 @@ object SparkEntry {
       """SELECT date_trunc('month', o_orderdate) mo, count(*) n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) s
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "recon_tolerance_diff" ->
+      """SELECT count(*) mismatches
+        |FROM (SELECT o_orderkey k, o_totalprice v_src FROM orders) s
+        |JOIN (SELECT o_orderkey k, round(o_totalprice, 0) v_tgt FROM orders) t USING (k)
+        |WHERE abs(v_src - v_tgt) > 0.3""".stripMargin,
 
     "recon_reconcile_all" ->
       // mirrors Recon.reconcileAllDemo: per pair, one full-outer join and

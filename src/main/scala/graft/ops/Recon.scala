@@ -113,6 +113,37 @@ object Recon {
       .filter(col("h_src") =!= col("h_tgt"))
       .agg(count(lit(1)).as("mismatches"))
 
+  /** Tolerance-based numeric compare — the recon check for columns where
+    * bit-exactness is the wrong contract (floating-point re-loads,
+    * currency conversion, unit rescaling): counts keys whose numeric
+    * value diverges by MORE than `tol` (absolute). The hash compare
+    * ([[hashDiffTables]]) flags every representation change; this flags
+    * only material divergence. Same scale shape as the hash APIs:
+    * map-side (key, value) projections, one key equi-join, `window`
+    * prunes both scans to one load window. */
+  def toleranceDiff(src: DataFrame, tgt: DataFrame, key: String,
+                    valueCol: String, tol: Double,
+                    window: Option[Column] = None): DataFrame = {
+    require(tol >= 0, s"toleranceDiff: tol must be non-negative: $tol")
+    windowed(src, window)
+      .select(col(key).as("k"), col(valueCol).cast("double").as("v_src"))
+      .join(windowed(tgt, window)
+        .select(col(key).as("k"), col(valueCol).cast("double").as("v_tgt")), "k")
+      .filter(abs(col("v_src") - col("v_tgt")) > tol)
+      .agg(count(lit(1)).as("mismatches"))
+  }
+
+  /** Harness op over [[toleranceDiff]]: original vs whole-dollar-rounded
+    * prices at tol 0.3 — only rows whose cents diverge materially
+    * (|Δ| ∈ (0.3, 0.5]) count, the rest are within tolerance. Both
+    * engines compute the IEEE-double difference of identical stored
+    * doubles, so the boundary compare is bit-stable. */
+  def toleranceDiffDemo(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    toleranceDiff(o, o.withColumn("o_totalprice", round(col("o_totalprice"), 0)),
+      "o_orderkey", "o_totalprice", tol = 0.3)
+  }
+
   /** Schema-drift check — the column-level contract compare a recon tool
     * runs before any data compare: one row per column present on either
     * side, with both types and a status (type_mismatch / missing_in_target

@@ -138,6 +138,23 @@ class ReconSpec extends GraftSpec {
     assert(rep(("cust_drift", "hash_mismatch"))._3, "compared cols still match")
   }
 
+  test("toleranceDiff: within-tolerance drift passes, material drift counts") {
+    val o = Tables.orders(spark, sf)
+    val keys = o.select("o_orderkey").orderBy("o_orderkey").limit(4)
+      .collect().map(_.getLong(0))
+    val (small, big) = (keys.take(2), keys.drop(2))
+    val tgt = o.withColumn("o_totalprice",
+      when(col("o_orderkey").isin(small: _*), col("o_totalprice") + 0.2)
+        .when(col("o_orderkey").isin(big: _*), col("o_totalprice") + 0.5)
+        .otherwise(col("o_totalprice")))
+    def diff(tol: Double) =
+      Recon.toleranceDiff(o, tgt, "o_orderkey", "o_totalprice", tol)
+        .collect().head.getLong(0)
+    assert(diff(0.3) === 2L, "only the +0.5 perturbations are material at tol 0.3")
+    assert(diff(0.1) === 4L, "all four perturbations exceed tol 0.1")
+    assert(diff(1.0) === 0L, "everything within tol 1.0")
+  }
+
   test("profile: null/distinct/min/max per column on seeded data") {
     val spark0 = spark
     import spark0.implicits._
