@@ -9,11 +9,15 @@ import org.apache.spark.sql.SparkSession
   * untimed passes over every query — paying codegen compilation,
   * file-footer reads and C2 JIT (md5/decimal-heavy queries need several
   * executions before the JIT settles: 4.2 s → 0.4 s observed) — then each
-  * query is timed as the min of three runs, the standard guard against GC
+  * query is timed as the min of five runs, the standard guard against GC
   * pauses mid-measurement (identical bytecode swung 1.5× between rounds 2
-  * and 3 on the shared box; min-of-3 damps that). A query failure fails
-  * the bench loudly; a swallowed Throwable would count a crash as a fast
-  * success.
+  * and 3 on the shared box, and round 6's official file carried ~1.5 s of
+  * phantom regression that a same-box rerun dissolved; min-of-5 plus the
+  * per-query `noise_ratio` = median/min channel make such corruption
+  * self-diagnosing — ratio ≈ 1 means a clean measurement, ratio ≫ 1 means
+  * the box was being starved mid-run and the median is untrustworthy). A
+  * query failure fails the bench loudly; a swallowed Throwable would count
+  * a crash as a fast success.
   *
   * Materialization is `queryExecution.toRdd.count()`, NOT `Dataset.count()`:
   * count() lets Catalyst collapse the plan to a row count and prune every
@@ -43,16 +47,20 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val samples = SparkEntry.benchQueries.map { name =>
-      name -> Seq.fill(3)(timeOne(name)).sorted
+      name -> Seq.fill(5)(timeOne(name)).sorted
     }
     val results = samples.map { case (k, v) => k -> v.head }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     // median alongside the min so a future round can tell GC/scheduler
     // noise (min ≈ median) from a real regression without digging up old
     // BENCH files (round-5 verdict, optional #6)
-    val med = samples.map { case (k, v) => "\"" + k + "\":" + v(1) }.mkString("{", ",", "}")
+    val med = samples.map { case (k, v) => "\"" + k + "\":" + v(2) }.mkString("{", ",", "}")
+    // noise_ratio = median/min per query: ≈1 on a quiet box; ≫1 flags a
+    // starved JVM so the driver's record adjudicates itself (round-6 #2)
+    val noise = samples.map { case (k, v) =>
+      "\"" + k + "\":" + f"${v(2) / v.head}%.2f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$med,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$med,"noise_ratio":$noise,"sf":"$sfDir"}"""
     // sbt prefixes stdout with "[info] ", which broke the driver's JSON
     // parse in round 1 — the file is the machine-readable channel.
     Files.writeString(Paths.get("bench_out.json"), json)

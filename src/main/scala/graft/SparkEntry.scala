@@ -82,12 +82,12 @@ object SparkEntry {
     "multimodal_frame_sample"  -> ((s, d) => Multimodal.frameSample(s, d)) // no-oracle
   )
 
-  /** The 34 BASELINE.md headline queries timed by [[Bench]] — every
+  /** The 44 BASELINE.md headline queries timed by [[Bench]] — every
     * oracle-able op, kept exactly aligned with the baseline so per-query
-    * times stay comparable. Round 2 extended the original 19 with the
-    * remaining five oracle-able ops plus the four operators it added
-    * (as-of join, recon report, diff detail, token counts); BASELINE.md
-    * v2 carries their DuckDB timings, measured identically. */
+    * times stay comparable. Round 2 extended the original 19 to 34;
+    * round 7 closed the contract drift by adding the 10 oracled ops
+    * shipped in rounds 3–6 (BASELINE.md v3 carries their DuckDB timings,
+    * measured with the same 4-thread warm-cache second-run method). */
   val benchQueries: Seq[String] = Seq(
     "recon_rowcount", "recon_colagg_fingerprint", "recon_hash_diff",
     "recon_missing_rows", "recon_partition_drill", "q1_pricing_summary",
@@ -98,7 +98,10 @@ object SparkEntry {
     "text_quality_score", "doc_fingerprint", "dedup_ngram_jaccard",
     "embed_centroids", "multimodal_bytes", "asof_join_events", "recon_report",
     "recon_diff_detail", "text_token_counts", "cube_agg", "set_ops_except",
-    "window_funcs", "quantile_summary", "date_funcs", "grouping_sets_agg")
+    "window_funcs", "quantile_summary", "date_funcs", "grouping_sets_agg",
+    "range_join_orders", "pivot_agg", "stats_funcs", "string_funcs",
+    "null_funcs", "recon_profile", "recon_reconcile_all",
+    "recon_tolerance_diff", "text_entropy", "text_sequence_pack")
 
   /** DuckDB-dialect oracle per query (driver runs these on the same parquet
     * files and hash-compares). Dialect forks: get_json_object↔
@@ -185,9 +188,10 @@ object SparkEntry {
 
     "recon_reconcile_all" ->
       // mirrors Recon.reconcileAllDemo: per pair, one full-outer join and
-      // the five (rowcount/hash_mismatch/missing/extra/schema_drift) rows;
-      // mismatches counted by null-safe column compare (no md5 collisions
-      // at this scale, so checksum-diff ≡ value-diff).
+      // the six (rowcount/hash_mismatch/missing/extra/dup_keys/
+      // schema_drift) rows; mismatches counted by null-safe column compare
+      // (no md5 collisions at this scale, so checksum-diff ≡ value-diff).
+      // Both demo key columns are unique, so dup_keys is (0, 0, true).
       """WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus,
         |    CAST(o_totalprice AS DECIMAL(12,2)) o_totalprice, o_orderdate FROM orders),
         |osrc AS (SELECT * FROM o WHERE o_orderkey % 991 <> 0
@@ -222,11 +226,13 @@ object SparkEntry {
         |  UNION ALL SELECT 'orders', 'hash_mismatch', mism, 0.0, mism = 0 FROM ostats
         |  UNION ALL SELECT 'orders', 'missing_in_target', miss, 0.0, miss = 0 FROM ostats
         |  UNION ALL SELECT 'orders', 'extra_in_target', extra, 0.0, extra = 0 FROM ostats
+        |  UNION ALL SELECT 'orders', 'dup_keys', 0.0, 0.0, true
         |  UNION ALL SELECT 'orders', 'schema_drift', 0.0, 0.0, true
         |  UNION ALL SELECT 'customer', 'rowcount', src_n, tgt_n, src_n = tgt_n FROM cstats
         |  UNION ALL SELECT 'customer', 'hash_mismatch', mism, 0.0, mism = 0 FROM cstats
         |  UNION ALL SELECT 'customer', 'missing_in_target', miss, 0.0, miss = 0 FROM cstats
         |  UNION ALL SELECT 'customer', 'extra_in_target', extra, 0.0, extra = 0 FROM cstats
+        |  UNION ALL SELECT 'customer', 'dup_keys', 0.0, 0.0, true
         |  UNION ALL SELECT 'customer', 'schema_drift', 0.0, 0.0, true
         |) ORDER BY "table", "check"""".stripMargin,
 

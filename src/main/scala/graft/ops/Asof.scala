@@ -63,11 +63,20 @@ object Asof {
     * in exactly one bucket (the point's), so no dedup pass is needed.
     * `ptCol`/`startCol`/`endCol` are numeric (e.g. `unix_date`/epoch);
     * pick `bucketWidth` near the typical interval span so most intervals
-    * explode into 1–2 buckets. */
+    * explode into 1–2 buckets. The two frames' column names must be
+    * disjoint (the output carries both sides' columns) and neither may
+    * already use the `__bucket` scratch name — both fail fast rather
+    * than silently overwriting a column or emitting ambiguous duplicates
+    * (round-6 advice). */
   def rangeJoin(points: DataFrame, ptCol: String,
                 intervals: DataFrame, startCol: String, endCol: String,
                 bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, s"rangeJoin: bucketWidth must be positive: $bucketWidth")
+    require(!points.columns.contains("__bucket") && !intervals.columns.contains("__bucket"),
+      "rangeJoin: inputs must not already contain a __bucket column")
+    val shared = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(shared.isEmpty,
+      s"rangeJoin: points/intervals column names must be disjoint, both have: ${shared.mkString(", ")}")
     val p = points.withColumn("__bucket", floor(col(ptCol) / bucketWidth))
     val i = intervals.withColumn("__bucket",
       explode(sequence(floor(col(startCol) / bucketWidth),

@@ -28,7 +28,16 @@ import org.apache.spark.sql.functions._
 object Graph {
 
   /** (id, label) for every node appearing in `pairs`(a_id, b_id), where
-    * label = min id of the node's connected component. */
+    * label = min id of the node's connected component.
+    *
+    * Throws `IllegalStateException` if labels are still changing when
+    * `maxIter` is exhausted (round-6 advice): a capped run has components
+    * split across multiple labels, so returning it silently would make a
+    * downstream dedup report wrong canonical ids and cluster sizes with
+    * no signal. Raise `maxIter` (rounds needed ≤ component diameter) on
+    * failure — real near-dup clusters are dense and shallow, so hitting
+    * the cap means the pair graph contains a pathological chain worth
+    * seeing, not suppressing. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 15): DataFrame = {
     require(maxIter > 0, s"connectedComponents: maxIter must be positive: $maxIter")
     val edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
@@ -53,6 +62,10 @@ object Graph {
       labels = next
       iter += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents: labels still changing after maxIter=$maxIter rounds " +
+          s"($changed nodes moved last round) — output would split components; raise maxIter")
     labels
   }
 

@@ -120,7 +120,13 @@ object Recon {
     * ([[hashDiffTables]]) flags every representation change; this flags
     * only material divergence. Same scale shape as the hash APIs:
     * map-side (key, value) projections, one key equi-join, `window`
-    * prunes both scans to one load window. */
+    * prunes both scans to one load window.
+    *
+    * Null/NaN contract (round-6 advice): a key where exactly one side is
+    * null, or exactly one side is NaN, IS a divergence and counts — the
+    * naive `abs(a-b) > tol` evaluates to null/false there and would
+    * silently report those keys as within tolerance. Null-vs-null and
+    * NaN-vs-NaN agree on both sides and do not count. */
   def toleranceDiff(src: DataFrame, tgt: DataFrame, key: String,
                     valueCol: String, tol: Double,
                     window: Option[Column] = None): DataFrame = {
@@ -129,7 +135,15 @@ object Recon {
       .select(col(key).as("k"), col(valueCol).cast("double").as("v_src"))
       .join(windowed(tgt, window)
         .select(col(key).as("k"), col(valueCol).cast("double").as("v_tgt")), "k")
-      .filter(abs(col("v_src") - col("v_tgt")) > tol)
+      // isNull/isnan are never-null predicates, so the three-way OR cannot
+      // hide a divergence behind SQL null logic. The numeric clause is
+      // gated on neither side being NaN: Spark orders NaN above every
+      // double, so abs(NaN-NaN) > tol would be TRUE and double-count the
+      // agreeing-NaN case the second clause already cleared.
+      .filter((col("v_src").isNull =!= col("v_tgt").isNull)
+        || (isnan(col("v_src")) =!= isnan(col("v_tgt")))
+        || (!isnan(col("v_src")) && !isnan(col("v_tgt"))
+          && abs(col("v_src") - col("v_tgt")) > tol))
       .agg(count(lit(1)).as("mismatches"))
   }
 
@@ -239,43 +253,65 @@ object Recon {
 
   /** Config-driven multi-table reconciliation — the daily-run driver
     * surface: N [[TablePair]] entries in, ONE consolidated report out
-    * (table, check, src_v, tgt_v, ok; five checks per pair: rowcount,
-    * hash_mismatch, missing_in_target, extra_in_target, schema_drift).
+    * (table, check, src_v, tgt_v, ok; six checks per pair: rowcount,
+    * hash_mismatch, missing_in_target, extra_in_target, dup_keys,
+    * schema_drift).
     *
-    * All four data checks fall out of a single full-outer join of the
-    * map-side (key, checksum) projections — one scan per side and one key
-    * shuffle per pair, NOT one job per check; the one-row agg is then
-    * unpivoted row-locally (explode of a 5-struct array — no extra pass,
-    * no plan duplication). Schema drift is pure metadata. Pairs are
-    * independent plans unioned at the end, so a 50-table nightly run is
-    * 50 parallel scan→join→agg pipelines; at scale bucket both sides of
-    * each pair on its key ([[graft.sources.Sources.writeBucketed]]) and
-    * every join co-locates with zero shuffle. */
+    * All five data checks fall out of a single full-outer join of the
+    * per-key (checksum, row count) aggregates — one scan per side and one
+    * key shuffle per pair, NOT one job per check; the one-row agg is then
+    * unpivoted row-locally (explode of a 6-struct array — no extra pass,
+    * no plan duplication). Each side pre-aggregates per key BEFORE the
+    * join (round-6 advice): duplicate keys therefore cannot fan out
+    * through the full-outer join and silently inflate every count —
+    * rowcount still reports true source rows (the sum of per-key counts),
+    * and the dup_keys check reports how many keys are duplicated per side
+    * (ok only when both are zero), flagging the broken-precondition
+    * condition itself the way reference recon tools do. The pre-aggregate
+    * shares the join's hash partitioning on `k`, so it costs no extra
+    * exchange. Schema drift is pure metadata. Pairs are independent plans
+    * unioned at the end, so a 50-table nightly run is 50 parallel
+    * scan→join→agg pipelines; at scale bucket both sides of each pair on
+    * its key ([[graft.sources.Sources.writeBucketed]]) and every join
+    * co-locates with zero shuffle. */
   def reconcileAll(pairs: Seq[TablePair]): DataFrame = {
     require(pairs.nonEmpty, "reconcileAll: empty config")
     pairs.map(reconcilePair).reduce(_ unionByName _).orderBy("table", "check")
   }
 
+  /** Per-key (checksum, row count) for one side: with unique keys this is
+    * the plain map-side projection plus a pass-through agg; with dup keys
+    * the checksum of the max-sorting row survives (deterministic) and the
+    * count records the fan-in. */
+  private def sideChecksum(df: DataFrame, window: Option[Column], key: String,
+                           cols: Seq[String], h: String, n: String): DataFrame =
+    keyedChecksum(windowed(df, window), key, cols, h)
+      .groupBy("k").agg(max(col(h)).as(h), count(lit(1)).as(n))
+
   private def reconcilePair(p: TablePair): DataFrame = {
     val joined =
-      keyedChecksum(windowed(p.src, p.window), p.key, p.cols, "h_src")
-        .join(keyedChecksum(windowed(p.tgt, p.window), p.key, p.cols, "h_tgt"),
+      sideChecksum(p.src, p.window, p.key, p.cols, "h_src", "n_src")
+        .join(sideChecksum(p.tgt, p.window, p.key, p.cols, "h_tgt", "n_tgt"),
           Seq("k"), "full_outer")
     val drift = schemaStatuses(p.src, p.tgt).count(_._4 != "ok").toDouble
     def chk(name: String, v: Column, tgtV: Column, ok: Column) =
       struct(lit(name).as("check"), v.as("src_v"), tgtV.as("tgt_v"), ok.as("ok"))
     joined.agg(
-        count(col("h_src")).cast("double").as("src_n"),
-        count(col("h_tgt")).cast("double").as("tgt_n"),
+        coalesce(sum(col("n_src")), lit(0L)).cast("double").as("src_n"),
+        coalesce(sum(col("n_tgt")), lit(0L)).cast("double").as("tgt_n"),
         // =!= is null-rejecting, so a missing/extra key never double-counts
         count(when(col("h_src") =!= col("h_tgt"), 1)).cast("double").as("mism"),
         count(when(col("h_tgt").isNull, 1)).cast("double").as("miss"),
-        count(when(col("h_src").isNull, 1)).cast("double").as("extra"))
+        count(when(col("h_src").isNull, 1)).cast("double").as("extra"),
+        count(when(col("n_src") > 1, 1)).cast("double").as("dup_src"),
+        count(when(col("n_tgt") > 1, 1)).cast("double").as("dup_tgt"))
       .select(lit(p.name).as("table"), explode(array(
         chk("rowcount", col("src_n"), col("tgt_n"), col("src_n") === col("tgt_n")),
         chk("hash_mismatch", col("mism"), lit(0.0), col("mism") === 0.0),
         chk("missing_in_target", col("miss"), lit(0.0), col("miss") === 0.0),
         chk("extra_in_target", col("extra"), lit(0.0), col("extra") === 0.0),
+        chk("dup_keys", col("dup_src"), col("dup_tgt"),
+          col("dup_src") === 0.0 && col("dup_tgt") === 0.0),
         chk("schema_drift", lit(drift), lit(0.0), lit(drift == 0.0)))).as("c"))
       .select(col("table"), col("c.check").as("check"),
         col("c.src_v").as("src_v"), col("c.tgt_v").as("tgt_v"), col("c.ok").as("ok"))

@@ -26,6 +26,21 @@ class AsofSpec extends GraftSpec {
     assert(!plan.contains("NestedLoop"), s"bucketed range join must equi-join:\n$plan")
   }
 
+  test("rangeJoin fails fast on a __bucket column or shared column names") {
+    val spark0 = spark
+    import spark0.implicits._
+    val pts = Seq((1L, 5L)).toDF("id", "x")
+    val ivs = Seq((1L, 0L, 9L)).toDF("iid", "s", "e")
+    val clash = intercept[IllegalArgumentException] {
+      Asof.rangeJoin(pts.withColumn("__bucket", lit(0)), "x", ivs, "s", "e", 4L)
+    }
+    assert(clash.getMessage.contains("__bucket"), clash.getMessage)
+    val shared = intercept[IllegalArgumentException] {
+      Asof.rangeJoin(pts, "x", ivs.withColumnRenamed("iid", "id"), "s", "e", 4L)
+    }
+    assert(shared.getMessage.contains("disjoint"), shared.getMessage)
+  }
+
   test("asofJoin picks the latest right row at-or-before each left row") {
     val spark0 = spark
     import spark0.implicits._

@@ -27,6 +27,18 @@ class GraphSpec extends GraftSpec {
     assert(got.size === 10)
   }
 
+  test("a capped non-converged run throws instead of returning split labels") {
+    val spark0 = spark
+    import spark0.implicits._
+    // path graph of diameter 9 cannot settle in 3 rounds; silently
+    // returning would split one component across several labels
+    val chain = (10L until 19L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val e = intercept[IllegalStateException] {
+      Graph.connectedComponents(chain, maxIter = 3).collect()
+    }
+    assert(e.getMessage.contains("maxIter"), e.getMessage)
+  }
+
   test("flood fixture: minhash pairs collapse into a single cluster") {
     val floodDir = TextFixture.writeFlood(spark, s"$tmpDir/g")
     val rows = Graph.dedupClusters(spark, floodDir).collect()

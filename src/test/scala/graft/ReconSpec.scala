@@ -122,7 +122,7 @@ class ReconSpec extends GraftSpec {
       .collect()
       .map(r => (r.getString(0), r.getString(1)) ->
         ((r.getDouble(2), r.getDouble(3), r.getBoolean(4)))).toMap
-    assert(rep.size === 15, "5 checks x 3 pairs")
+    assert(rep.size === 18, "6 checks x 3 pairs")
     // orders: 2 perturbed, 2 dropped from tgt, 2 dropped from src — and
     // rowcount alone cannot see it (n-2 on both sides)
     assert(rep(("orders", "hash_mismatch")) === ((2.0, 0.0, false)))
@@ -132,10 +132,29 @@ class ReconSpec extends GraftSpec {
     assert(rep(("orders", "schema_drift")) === ((0.0, 0.0, true)))
     // identical pair: everything green
     Seq("rowcount", "hash_mismatch", "missing_in_target", "extra_in_target",
-      "schema_drift").foreach(chk => assert(rep(("customer", chk))._3, chk))
+      "dup_keys", "schema_drift").foreach(chk => assert(rep(("customer", chk))._3, chk))
     // drift pair: one column missing in target, flagged
     assert(rep(("cust_drift", "schema_drift")) === ((1.0, 0.0, false)))
     assert(rep(("cust_drift", "hash_mismatch"))._3, "compared cols still match")
+  }
+
+  test("reconcileAll: duplicate keys are flagged, never inflate the other checks") {
+    val spark0 = spark
+    import spark0.implicits._
+    // key 2 appears twice in src; all values identical across sides
+    val src = Seq((1L, "a"), (2L, "b"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val tgt = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val rep = Recon.reconcileAll(Seq(TablePair("t", src, tgt, "k", Seq("v"))))
+      .collect()
+      .map(r => r.getString(1) -> ((r.getDouble(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    // rowcount reports TRUE row counts (4 vs 3), not join-result rows —
+    // a naive full-outer join would fan key 2 out and report 4 vs 4
+    assert(rep("rowcount") === ((4.0, 3.0, false)))
+    assert(rep("dup_keys") === ((1.0, 0.0, false)), "one duplicated key in src")
+    // the dup fan-out must not leak into the value checks
+    assert(rep("hash_mismatch")._3 && rep("missing_in_target")._3
+      && rep("extra_in_target")._3)
   }
 
   test("toleranceDiff: within-tolerance drift passes, material drift counts") {
@@ -153,6 +172,20 @@ class ReconSpec extends GraftSpec {
     assert(diff(0.3) === 2L, "only the +0.5 perturbations are material at tol 0.3")
     assert(diff(0.1) === 4L, "all four perturbations exceed tol 0.1")
     assert(diff(1.0) === 0L, "everything within tol 1.0")
+  }
+
+  test("toleranceDiff: one-sided null and NaN divergences count as mismatches") {
+    val spark0 = spark
+    import spark0.implicits._
+    val src = Seq((1L, Option(1.0)), (2L, None), (3L, Option(Double.NaN)),
+      (4L, None), (5L, Option(Double.NaN)), (6L, Option(2.0))).toDF("k", "v")
+    val tgt = Seq((1L, None), (2L, Option(1.0)), (3L, Option(1.0)),
+      (4L, Option.empty[Double]), (5L, Option(Double.NaN)), (6L, Option(2.0))).toDF("k", "v")
+    val n = Recon.toleranceDiff(src, tgt, "k", "v", tol = 0.5)
+      .collect().head.getLong(0)
+    // keys 1,2 (null vs value) and 3 (NaN vs value) diverge;
+    // 4 (null=null), 5 (NaN=NaN), 6 (equal) agree
+    assert(n === 3L)
   }
 
   test("profile: null/distinct/min/max per column on seeded data") {

@@ -66,7 +66,7 @@ class SourcesSpec extends GraftSpec {
       assert(!plan.contains("Exchange hashpartitioning(k"),
         s"bucketed reconcileAll must not shuffle on the key:\n$plan")
       val rows = rep.collect().map(r => r.getString(1) -> r.getBoolean(4)).toMap
-      assert(rows.size === 5 && rows.values.forall(identity), "identical tables all green")
+      assert(rows.size === 6 && rows.values.forall(identity), "identical tables all green")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
     spark.sql("DROP TABLE ra_bsrc")
     spark.sql("DROP TABLE ra_btgt")
