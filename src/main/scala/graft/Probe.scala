@@ -2,29 +2,32 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
-/** Scratch probe for environment behavior; not part of the library surface. */
+/** Scratch probe for environment behavior; not part of the library surface.
+  * Currently: why doesn't OptimizeSkewedJoin fire on the fixture? */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
-      .select(col("label"), posexplode(col("embedding")).as(Seq("pos0", "v")))
-      .filter(col("label") === 0 && col("pos0") === 0)
-    e.select(col("v"),
-      col("v").cast(DecimalType(18, 9)).as("dec_direct"),
-      col("v").cast("double").as("dbl"),
-      col("v").cast("double").cast(DecimalType(18, 9)).as("dec_via_dbl"))
-      .orderBy(col("v")).show(8, truncate = false)
-    e.agg(sum(col("v").cast(DecimalType(18, 9))).as("s_direct"),
-      sum(col("v").cast("double").cast(DecimalType(18, 9))).as("s_via_dbl"),
-      count(lit(1)).as("cnt")).show(truncate = false)
+    spark.sparkContext.setLogLevel("INFO")
+    val left = spark.range(100000).select(
+      when(col("id") % 20 =!= 0, lit(0L)).otherwise(col("id")).as("k"),
+      md5(col("id").cast("string")).as("pad"))
+    val right = spark.range(100).select(col("id").as("k"))
+    val q = left.join(right, "k").agg(count(lit(1)).as("n"), max(col("pad")).as("mx"))
+    println("RESULT=" + q.collect().head.getLong(0))
+    println(q.queryExecution.executedPlan.toString)
     spark.stop()
   }
 }

@@ -15,8 +15,10 @@ import org.apache.spark.sql.functions._
   * shuffles once and reuses the sort.
   *
   * 100 TB posture: events is the skewed table (zipf-ish user_id); the
-  * per-user windows rely on AQE skew handling, and the hour/type rollup is
-  * a plain two-phase hash aggregate (map-side partials, one shuffle).
+  * per-user windows rely on AQE skew handling (OptimizeSkewedJoin's
+  * hot-partition split is plan-asserted on a 95%-one-key fixture in
+  * ScaleSpec), and the hour/type rollup is a plain two-phase hash
+  * aggregate (map-side partials, one shuffle).
   */
 object Events {
   import Recon.decSum

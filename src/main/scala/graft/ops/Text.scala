@@ -15,8 +15,8 @@ import org.apache.spark.sql.functions._
   * on (band, band-hash) buckets, so the shuffle volume is O(docs × bands),
   * not O(docs²). Identical-document floods (the classic LSH skew) are the
   * one hot spot: buckets of k identical docs cost k² pairs; AQE skew-join
-  * splitting plus the per-bucket cap ([[Text.MaxBucketDocs]]) handle
-  * that at scale.
+  * splitting (plan-asserted on a skew-forcing fixture in ScaleSpec) plus
+  * the per-bucket cap ([[Text.MaxBucketDocs]]) handle that at scale.
   */
 object Text {
 

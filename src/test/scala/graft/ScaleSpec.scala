@@ -81,6 +81,46 @@ class ScaleSpec extends GraftSpec {
     }
   }
 
+  test("AQE splits a skewed join partition at runtime (OptimizeSkewedJoin)") {
+    val spark0 = spark
+    import spark0.implicits._
+    // the scale claim Events/Text lean on for zipf keys, demonstrated:
+    // production thresholds assume 256MB partitions; lower them so the
+    // fixture's hot key crosses the skew bar, with broadcast off so the
+    // join shuffles and coalescing off so the median partition stays small
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // zipf-ish: key 0 carries 95% of the rows (the hot-user shape); the
+      // payload is md5 text so shuffle compression cannot shrink the hot
+      // partition below the skew bar, and max(pad) keeps it alive through
+      // the join — count(pad) gets rewritten to count(1) (non-nullable)
+      // and pruned, leaving only highly-compressible repeated keys
+      val left = spark.range(100000).select(
+        when(col("id") % 20 =!= 0, lit(0L)).otherwise(col("id")).as("k"),
+        md5(col("id").cast("string")).as("pad"))
+      val right = spark.range(100).select(col("id").as("k"))
+      val q = left.join(right, "k")
+        .agg(count(lit(1)).as("n"), max(col("pad")).as("mx"))
+      // matches: hot key 0 (95 001 rows) + k ∈ {20,40,60,80} (4 rows)
+      assert(q.collect().head.getLong(0) === 95005L)
+      // the FINAL adaptive plan (post-execution) must carry the skew split
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true") || plan.contains("skewed"),
+        s"OptimizeSkewedJoin must split the hot partition:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("spark.sql over registered views equals the DataFrame plan (E3 ≡ E1)") {
     graft.sources.Sources.registerTempViews(spark, sf)
     val viaSql = spark.sql(

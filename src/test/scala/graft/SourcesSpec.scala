@@ -98,6 +98,42 @@ class SourcesSpec extends GraftSpec {
       "stale cache after overwrite")
   }
 
+  test("partitioned catalog tables: windowed recon prunes through the metastore") {
+    import org.apache.spark.sql.functions._
+    // the reference's Hive-table lifecycle end-to-end: two PARTITIONED
+    // metastore tables, a load-window recon, and the window predicate
+    // must prune partitions via the CATALOG (not a file listing)
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_recon")
+    val orders = Tables.orders(spark, sf)
+      .withColumn("mo", date_format(col("o_orderdate"), "yyyy-MM"))
+    // one perturbed key inside the 1995-03 window, one outside it
+    val Array(kIn, kOut) = Array("1995-03", "1996-03").map(mo =>
+      orders.filter(col("mo") === mo).agg(min("o_orderkey")).collect().head.getLong(0))
+    orders.write.mode("overwrite").format("parquet")
+      .partitionBy("mo").saveAsTable("graft_recon.orders_psrc")
+    orders.withColumn("o_totalprice",
+        when(col("o_orderkey").isin(kIn, kOut), col("o_totalprice") + 1)
+          .otherwise(col("o_totalprice")))
+      .write.mode("overwrite").format("parquet")
+      .partitionBy("mo").saveAsTable("graft_recon.orders_ptgt")
+    val diff = Recon.hashDiffTables(
+      spark.table("graft_recon.orders_psrc"), spark.table("graft_recon.orders_ptgt"),
+      "o_orderkey", Seq("o_custkey", "o_totalprice"),
+      window = Some(col("mo") === "1995-03"))
+    // only the in-window perturbation is visible
+    assert(diff.collect().head.getLong(0) === 1L)
+    // the predicate reached both catalog scans as a partition filter, and
+    // the files actually read all come from the one window's directory
+    val plan = diff.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(mo"), plan)
+    val files = spark.table("graft_recon.orders_psrc")
+      .filter(col("mo") === "1995-03")
+      .select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(files.nonEmpty && files.forall(_.contains("mo=1995-03")))
+    spark.sql("DROP TABLE graft_recon.orders_psrc")
+    spark.sql("DROP TABLE graft_recon.orders_ptgt")
+  }
+
   test("Hive metastore: saveAsTable + catalog read + recon round-trip") {
     assert(spark.conf.get("spark.sql.catalogImplementation") === "hive")
     spark.sql("CREATE DATABASE IF NOT EXISTS graft_recon")
