@@ -1,10 +1,11 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scratch probe for environment behavior; not part of the library surface.
-  * Currently: why doesn't OptimizeSkewedJoin fire on the fixture? */
+  * Currently: same-JVM A/B of json_extract_events — GetJsonObject
+  * (CodegenFallback) vs the native json_get_long byte scanner. */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -13,21 +14,38 @@ object Probe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
-      .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
-      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("INFO")
-    val left = spark.range(100000).select(
-      when(col("id") % 20 =!= 0, lit(0L)).otherwise(col("id")).as("k"),
-      md5(col("id").cast("string")).as("pad"))
-    val right = spark.range(100).select(col("id").as("k"))
-    val q = left.join(right, "k").agg(count(lit(1)).as("n"), max(col("pad")).as("mx"))
-    println("RESULT=" + q.collect().head.getLong(0))
-    println(q.queryExecution.executedPlan.toString)
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = "/root/testdata/sf0.1"
+
+    def variantA = Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(get_json_object(col("props"), "$.k").cast("int")).as("sk"))
+      .orderBy("event_type")
+
+    def variantB = ops.Events.jsonExtract(spark, dir)
+
+    println("A rows: " + variantA.collect().mkString("; "))
+    println("B rows: " + variantB.collect().mkString("; "))
+    println("A codegen spans: " + "WholeStageCodegen".r
+      .findAllIn(variantA.queryExecution.executedPlan.toString).length)
+    println("B codegen spans: " + "WholeStageCodegen".r
+      .findAllIn(variantB.queryExecution.executedPlan.toString).length)
+
+    def time(name: String, mk: => DataFrame): Unit = {
+      for (_ <- 1 to 3) mk.queryExecution.toRdd.count()
+      val ts = Seq.fill(5) {
+        val t0 = System.nanoTime()
+        mk.queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      println(f"$name: min=${ts.head}%.3f median=${ts(2)}%.3f")
+    }
+    time("A get_json_object", variantA)
+    time("B json_get_long  ", variantB)
+    time("A get_json_object", variantA)
+    time("B json_get_long  ", variantB)
     spark.stop()
   }
 }

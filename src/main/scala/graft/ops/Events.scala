@@ -23,12 +23,19 @@ import org.apache.spark.sql.functions._
 object Events {
   import Recon.decSum
 
-  /** Extract `$.k` from the JSON props column, aggregate per event type. */
+  /** Extract `$.k` from the JSON props column, aggregate per event type.
+    * Uses the native [[graft.functions.JsonGetLong]] extractor:
+    * `get_json_object` is a CodegenFallback that knocks the whole
+    * scan→agg stage out of codegen and pays a Jackson parse per row —
+    * on flat integer telemetry props the typed byte scanner is
+    * equivalent (parity-tested in JsonGetLongSpec) and keeps the stage
+    * fused. */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(get_json_object(col("props"), "$.k").cast("int")).as("sk"))
+        sum(graft.functions.JsonGetLong.jsonGetLong(col("props"), "k")
+          .cast("int")).as("sk"))
       .orderBy("event_type")
 
   /** Tumbling 1-hour window: per-hour, per-type count/sum. */

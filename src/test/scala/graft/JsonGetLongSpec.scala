@@ -1,0 +1,81 @@
+package graft
+
+import graft.functions.JsonGetLong.jsonGetLong
+import org.apache.spark.sql.functions._
+
+/** Native json_get_long expression: parity with get_json_object on the
+  * shared contract (bare-integer depth-1 values), the documented
+  * divergences, codegen execution over a parquet scan, and type check. */
+class JsonGetLongSpec extends GraftSpec {
+
+  private def both(jsons: Seq[String]): Seq[(Option[Long], Option[Long])] = {
+    val spark0 = spark
+    import spark0.implicits._
+    jsons.toDF("j")
+      .select(jsonGetLong(col("j"), "k").as("native"),
+        get_json_object(col("j"), "$.k").cast("long").as("jackson"))
+      .collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toSeq
+  }
+
+  test("parity with get_json_object on the shared bare-integer contract") {
+    val agree = Seq(
+      """{"k": 76}""",
+      """{"k":-42}""",
+      """{ "k" : 0 , "other": "x" }""",
+      """{"a": 1, "k": 99}""",                       // key not first
+      """{"a": {"k": 5}}""",                         // nested k does NOT count
+      """{"a": [7, {"k": 5}], "k": 3}""",            // k inside array skipped
+      """{"kk": 1, "k": 2}""",                       // no prefix confusion
+      """{"a": "has \" quote and , comma", "k": 8}""", // escapes in skipped strings
+      """{"other": 5}""",                            // absent
+      """{}""",                                      // empty object
+      """[1, 2, 3]""",                               // not an object
+      """not json at all""",
+      """{"k": 9223372036854775807}""")              // Long.MaxValue
+    both(agree).zip(agree).foreach { case ((native, jackson), j) =>
+      assert(native === jackson, s"diverged on: $j")
+    }
+  }
+
+  test("documented divergences: non-bare-integer values are null") {
+    val spark0 = spark
+    import spark0.implicits._
+    // get_json_object would return these (quoted number, float truncation
+    // via cast); the typed contract is bare integer or nothing
+    val rows = Seq("""{"k": "76"}""", """{"k": 1.5}""", """{"k": 2e3}""",
+      """{"k": true}""", """{"k": null}""", """{"k": 92233720368547758080}""")
+      .toDF("j").select(jsonGetLong(col("j"), "k")).collect()
+    assert(rows.forall(_.isNullAt(0)))
+  }
+
+  test("runs inside whole-stage codegen over a parquet scan, matching interpreted") {
+    val spark0 = spark
+    import spark0.implicits._
+    val fixtures = Seq((1L, """{"k": 7}"""), (2L, """{"a": 1}"""), (3L, """{"k": -3}"""))
+    val path = s"$tmpDir/json_codegen"
+    fixtures.toDF("id", "j").write.mode("overwrite").parquet(path)
+    val df = spark.read.parquet(path)
+      .select(col("id"), jsonGetLong(col("j"), "k").as("v"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project") && plan.contains("json_get_long"), plan)
+    def asMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val fromParquet = asMap(df.collect())
+    val interpreted = asMap(fixtures.toDF("id", "j")
+      .select(col("id"), jsonGetLong(col("j"), "k").as("v")).collect())
+    assert(fromParquet === interpreted)
+    assert(fromParquet(1L) === Some(7L) && fromParquet(2L) === None)
+  }
+
+  test("rejects non-string input at analysis time") {
+    val spark0 = spark
+    import spark0.implicits._
+    val bad = Seq((1L, 2L)).toDF("id", "j")
+    intercept[Exception] {
+      bad.select(jsonGetLong(col("j"), "k")).collect()
+    }
+  }
+}
