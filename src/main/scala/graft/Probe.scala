@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scratch probe for environment behavior; not part of the library surface.
-  * Currently: same-JVM A/B of json_extract_events — GetJsonObject
-  * (CodegenFallback) vs the native json_get_long byte scanner. */
+  * Currently: same-JVM A/B of doc_fingerprint — interpreted
+  * array_min(transform(md5(substring))) vs native min_shingle_md5. */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -18,20 +18,16 @@ object Probe {
     spark.sparkContext.setLogLevel("WARN")
     val dir = "/root/testdata/sf0.1"
 
-    def variantA = Tables.events(spark, dir)
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        sum(get_json_object(col("props"), "$.k").cast("int")).as("sk"))
-      .orderBy("event_type")
+    def variantA = graft.FanOut(Tables.documents(spark, dir))
+      .selectExpr("doc_id",
+        "array_min(transform(sequence(1, greatest(length(text)-7, 1)), i -> md5(substring(text, i, 8)))) AS fp")
+      .orderBy("doc_id")
 
-    def variantB = ops.Events.jsonExtract(spark, dir)
+    def variantB = ops.Text.fingerprint(spark, dir)
 
-    println("A rows: " + variantA.collect().mkString("; "))
-    println("B rows: " + variantB.collect().mkString("; "))
-    println("A codegen spans: " + "WholeStageCodegen".r
-      .findAllIn(variantA.queryExecution.executedPlan.toString).length)
-    println("B codegen spans: " + "WholeStageCodegen".r
-      .findAllIn(variantB.queryExecution.executedPlan.toString).length)
+    val a = variantA.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = variantB.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    println("IDENTICAL=" + (a == b) + " n=" + a.size)
 
     def time(name: String, mk: => DataFrame): Unit = {
       for (_ <- 1 to 3) mk.queryExecution.toRdd.count()
@@ -42,10 +38,10 @@ object Probe {
       }.sorted
       println(f"$name: min=${ts.head}%.3f median=${ts(2)}%.3f")
     }
-    time("A get_json_object", variantA)
-    time("B json_get_long  ", variantB)
-    time("A get_json_object", variantA)
-    time("B json_get_long  ", variantB)
+    time("A transform-stack", variantA)
+    time("B min_shingle    ", variantB)
+    time("A transform-stack", variantA)
+    time("B min_shingle    ", variantB)
     spark.stop()
   }
 }

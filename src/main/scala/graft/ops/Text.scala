@@ -65,16 +65,19 @@ object Text {
 
   /** Document fingerprint: min of md5 over all 8-char shingles (a 1-value
     * winnowing sketch) — identical docs get identical fingerprints.
-    * The min is a row-local array fold (`array_min(transform(...))`), not
-    * an explode+groupBy: no aggregate anywhere in the plan (asserted in
-    * tests), which is the difference between a map-only pass and a full
-    * shuffle at 100 TB. The md5-per-shingle projection is the CPU hot
-    * spot, so an under-split scan is fanned out across the cores first
+    * Row-local via the native [[graft.functions.MinShingleMd5]] (no
+    * aggregate anywhere in the plan, asserted in tests — the difference
+    * between a map-only pass and a full shuffle at 100 TB; and no
+    * per-shingle array materialization — the interpreted
+    * `array_min(transform(...))` stack it replaced built thousands of
+    * intermediate md5 strings per row, parity-tested in
+    * MinShingleMd5Spec). The per-row CPU is still the hot spot, so an
+    * under-split scan is fanned out across the cores first
     * ([[graft.FanOut]] — identity once the input has enough splits). */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     graft.FanOut(docs(spark, dir))
-      .selectExpr("doc_id",
-        "array_min(transform(sequence(1, greatest(length(text)-7, 1)), i -> md5(substring(text, i, 8)))) AS fp")
+      .select(col("doc_id"),
+        graft.functions.MinShingleMd5.minShingleMd5(col("text"), 8).as("fp"))
       .orderBy("doc_id")
 
   /** Per-document token entropy — the repetition/diversity quality signal
