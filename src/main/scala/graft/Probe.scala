@@ -2,10 +2,11 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Scratch probe for environment behavior; not part of the library surface.
-  * Currently: same-JVM A/B of doc_fingerprint — interpreted
-  * array_min(transform(md5(substring))) vs native min_shingle_md5. */
+  * Currently: same-JVM A/B of recon_colagg_fingerprint — fused
+  * one-distinct aggregate vs split branches (plain agg ⨯ distinct agg). */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -17,17 +18,27 @@ object Probe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = "/root/testdata/sf0.1"
+    def decSum(c: org.apache.spark.sql.Column) =
+      sum(c.cast(DecimalType(18, 4))).cast("double")
 
-    def variantA = graft.FanOut(Tables.documents(spark, dir))
-      .selectExpr("doc_id",
-        "array_min(transform(sequence(1, greatest(length(text)-7, 1)), i -> md5(substring(text, i, 8)))) AS fp")
-      .orderBy("doc_id")
+    def variantA = ops.Recon.colaggFingerprint(spark, dir)
 
-    def variantB = ops.Text.fingerprint(spark, dir)
+    def variantB = {
+      val li = Tables.lineitem(spark, dir)
+      val plain = li.agg(
+        count(lit(1)).as("cnt"),
+        decSum(col("l_quantity")).as("sq"),
+        min(col("l_extendedprice")).as("mn"),
+        max(col("l_extendedprice")).as("mx"),
+        decSum(col("l_extendedprice") * col("l_discount")).as("rev"))
+      val dk = li.select(col("l_orderkey")).distinct()
+        .agg(count(lit(1)).as("dk"))
+      plain.crossJoin(dk)
+        .select(col("cnt"), col("dk"), col("sq"), col("mn"), col("mx"), col("rev"))
+    }
 
-    val a = variantA.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    val b = variantB.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    println("IDENTICAL=" + (a == b) + " n=" + a.size)
+    println("A=" + variantA.collect().mkString(","))
+    println("B=" + variantB.collect().mkString(","))
 
     def time(name: String, mk: => DataFrame): Unit = {
       for (_ <- 1 to 3) mk.queryExecution.toRdd.count()
@@ -38,10 +49,10 @@ object Probe {
       }.sorted
       println(f"$name: min=${ts.head}%.3f median=${ts(2)}%.3f")
     }
-    time("A transform-stack", variantA)
-    time("B min_shingle    ", variantB)
-    time("A transform-stack", variantA)
-    time("B min_shingle    ", variantB)
+    time("A fused one-distinct", variantA)
+    time("B split branches    ", variantB)
+    time("A fused one-distinct", variantA)
+    time("B split branches    ", variantB)
     spark.stop()
   }
 }

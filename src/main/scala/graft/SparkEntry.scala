@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{Asof, Events, Graph, Multimodal, Recon, Relational, Sampling, Text, Vectors}
+import graft.ops.{Asof, Events, Graph, Multimodal, Privacy, Recon, Relational, Sampling, Text, Vectors}
 
 /** Driver contract (SURVEY.md §2 is the inventory; Appendix A + §7.4 are
   * the determinism rules every oracle below follows: DECIMAL-exact money
@@ -69,6 +69,8 @@ object SparkEntry {
     "sample_stratified"        -> (Sampling.sampleDocuments _), // no-oracle
     "text_sequence_pack"       -> ((s, d) => Text.sequencePack(s, d)),
     "text_entropy"             -> (Text.tokenEntropy _),
+    "decontaminate_ngram"      -> ((s, d) => Text.decontaminateNgram(s, d)),
+    "mask_pii"                 -> (Privacy.maskCustomers _),
     "dedup_embedding"          -> ((s, d) => Vectors.dedupEmbedding(s, d)), // no-oracle
     // §2.9 LLM-pipeline: vectors
     "cosine_knn"               -> ((s, d) => Vectors.cosineKnn(s, d)),
@@ -82,7 +84,7 @@ object SparkEntry {
     "multimodal_frame_sample"  -> ((s, d) => Multimodal.frameSample(s, d)) // no-oracle
   )
 
-  /** The 44 BASELINE.md headline queries timed by [[Bench]] — every
+  /** The 46 BASELINE.md headline queries timed by [[Bench]] — every
     * oracle-able op, kept exactly aligned with the baseline so per-query
     * times stay comparable. Round 2 extended the original 19 to 34;
     * round 7 closed the contract drift by adding the 10 oracled ops
@@ -101,7 +103,8 @@ object SparkEntry {
     "window_funcs", "quantile_summary", "date_funcs", "grouping_sets_agg",
     "range_join_orders", "pivot_agg", "stats_funcs", "string_funcs",
     "null_funcs", "recon_profile", "recon_reconcile_all",
-    "recon_tolerance_diff", "text_entropy", "text_sequence_pack")
+    "recon_tolerance_diff", "text_entropy", "text_sequence_pack",
+    "decontaminate_ngram", "mask_pii")
 
   /** DuckDB-dialect oracle per query (driver runs these on the same parquet
     * files and hash-compares). Dialect forks: get_json_object↔
@@ -475,6 +478,28 @@ object SparkEntry {
     "text_token_stats" ->
       """SELECT tok, count(*) n FROM (SELECT unnest(string_split(text,' ')) tok FROM documents)
         |GROUP BY 1 ORDER BY n DESC, tok LIMIT 20""".stripMargin,
+
+    "decontaminate_ngram" ->
+      // per-doc distinct trigrams on both sides, so hits = count of the
+      // train doc's distinct trigrams that appear anywhere in the eval
+      // (src0) split; ORDER BY is total (hits DESC, doc_id)
+      """WITH ev AS (SELECT DISTINCT unnest(list_transform(
+        |    generate_series(1, len(string_split(text, ' ')) - 2),
+        |    i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))) g
+        |  FROM documents WHERE source = 'src0' AND len(string_split(text, ' ')) >= 3),
+        |tr AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(string_split(text, ' ')) - 2),
+        |    i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')))) g
+        |  FROM documents WHERE source <> 'src0' AND len(string_split(text, ' ')) >= 3)
+        |SELECT doc_id, count(*) hits FROM tr JOIN ev USING (g)
+        |GROUP BY 1 ORDER BY hits DESC, doc_id LIMIT 100""".stripMargin,
+
+    "mask_pii" ->
+      """SELECT c_custkey,
+        |  substr(c_name, 1, 1) || repeat('*', length(c_name) - 1) name_masked,
+        |  CAST(floor(c_acctbal / 100) * 100 AS BIGINT) acctbal_bucket,
+        |  c_mktsegment
+        |FROM customer ORDER BY c_custkey LIMIT 200""".stripMargin,
 
     "text_quality_score" ->
       """SELECT doc_id, n_chars, len(string_split(text,' ')) n_tokens,

@@ -99,6 +99,38 @@ object Text {
       .orderBy("doc_id")
       .limit(1000)
 
+  /** Benchmark decontamination scoring — the "is this training document
+    * contaminated with eval-set content?" pass a pretraining pipeline
+    * runs before training: every training doc is scored by how many of
+    * its distinct token `n`-grams also appear anywhere in the held-out
+    * (eval) split. Exact-match text hashing misses paraphrase-level
+    * leakage; n-gram collision is the standard published method.
+    *
+    * 100 TB posture: the eval split is SMALL by definition, so its
+    * distinct-gram set broadcasts (explicit `broadcast()` — the join
+    * must never shuffle the corpus-sized train gram stream by gram);
+    * the train side is one explode → broadcast-semi-join → per-doc
+    * count, all map-side until the final doc_id aggregation. Per-doc
+    * `array_distinct` bounds each row's contribution, so a gram-spam
+    * document cannot flood the join. */
+  def decontaminateNgram(spark: SparkSession, dir: String,
+                         evalSource: String = "src0", n: Int = 3): DataFrame = {
+    require(n > 0, s"decontaminateNgram: n must be positive: $n")
+    def grams(df: DataFrame): DataFrame = df
+      .filter(size(split(col("text"), " ")) >= n)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"transform(sequence(1, size(split(text, ' ')) - ${n - 1}), " +
+          s"i -> concat_ws(' ', slice(split(text, ' '), i, $n)))"))).as("g"))
+    val d = docs(spark, dir)
+    val evalGrams = grams(d.filter(col("source") === evalSource))
+      .select("g").distinct()
+    grams(d.filter(col("source") =!= evalSource))
+      .join(broadcast(evalGrams), "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("hits"))
+      .orderBy(col("hits").desc, col("doc_id"))
+      .limit(100)
+  }
+
   /** Sequence packing — the document→context-window assembly step of a
     * pretraining pipeline: documents are concatenated into a token
     * stream per shard (`source`) in deterministic doc_id order, and each

@@ -67,6 +67,20 @@ class TextSpec extends GraftSpec {
     assert(flood.nonEmpty && flood.forall(_.getDouble(2) === 1.0))
   }
 
+  test("decontaminateNgram scores train docs by distinct eval-trigram hits") {
+    val dir = DecontFixture.write(spark, tmpDir)
+    val got = Text.decontaminateNgram(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // exact copy = all 3 trigrams, partial = 2, single-overlap = 1;
+    // the disjoint doc and the eval doc itself must not appear
+    assert(got === Seq((13L, 3L), (11L, 2L), (10L, 1L)))
+    // the eval gram set must BROADCAST — shuffling the corpus-sized
+    // train gram stream by gram is the 100 TB failure mode
+    val plan = Text.decontaminateNgram(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("ngramJaccard refuses all-pairs past maxDocs, pointing at dedupMinhash") {
     val e = intercept[IllegalArgumentException] {
       Text.ngramJaccard(spark, fixtureDir, maxDocs = 3)
@@ -139,6 +153,26 @@ class TextSpec extends GraftSpec {
     val toks = doc.getString(1).split(" ", -1)
     assert(row.getLong(2) === toks.length.toLong)
     assert(row.getDouble(3) === doc.getString(1).length.toDouble / toks.length)
+  }
+}
+
+object DecontFixture {
+  /** Eval split (src0): one doc with trigrams {a b c, b c d, c d e}.
+    * Train split (src1): doc 13 an exact copy (3 hits), doc 11 a partial
+    * overlap (2), doc 10 one shared trigram (1), doc 12 disjoint (0 —
+    * must be absent, not reported as 0). */
+  def write(spark: org.apache.spark.sql.SparkSession, dir: String): String = {
+    import spark.implicits._
+    def d(id: Long, text: String, source: String) =
+      TextFixture.Doc(id, text, "en", source, text.length.toLong)
+    Seq(
+      d(1L, "a b c d e", "src0"),
+      d(10L, "a b c x y", "src1"),
+      d(11L, "b c d e f g", "src1"),
+      d(12L, "z z z z", "src1"),
+      d(13L, "a b c d e", "src1"))
+      .toDF().write.mode("overwrite").parquet(s"$dir/decont/documents.parquet")
+    s"$dir/decont"
   }
 }
 
