@@ -50,15 +50,22 @@ object Bench {
       name -> Seq.fill(5)(timeOne(name)).sorted
     }
     val results = samples.map { case (k, v) => k -> v.head }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    // median alongside the min so a future round can tell GC/scheduler
-    // noise (min ≈ median) from a real regression without digging up old
-    // BENCH files (round-5 verdict, optional #6)
-    val med = samples.map { case (k, v) => "\"" + k + "\":" + v(2) }.mkString("{", ",", "}")
-    // noise_ratio = median/min per query: ≈1 on a quiet box; ≫1 flags a
-    // starved JVM so the driver's record adjudicates itself (round-6 #2)
-    val noise = samples.map { case (k, v) =>
-      "\"" + k + "\":" + f"${v(2) / v.head}%.2f" }.mkString("{", ",", "}")
+    // The driver captures only the LAST 2000 chars of stdout: round 7's
+    // line — full-precision doubles plus three per-query maps — ran 4169
+    // chars, the "{"metric":…" head fell outside the window, and the
+    // official record landed as parsed:null. The printed line is therefore
+    // the COMPACT channel (3-decimal mins, one aggregate noise figure,
+    // ~1.3 kB for 46 queries); the full-precision per-query medians,
+    // noise ratios and info timings stay in bench_out.json.
+    def qmap(f: Seq[Double] => Double)(xs: Seq[(String, Seq[Double])]) =
+      xs.map { case (k, v) => "\"" + k + "\":" + f"${f(v)}%.3f" }
+        .mkString("{", ",", "}")
+    val qs = qmap(_.head)(samples)
+    // noise = median/min: ≈1 on a quiet box; ≫1 flags a starved JVM so
+    // the driver's record adjudicates itself (round-6 #2). The printed
+    // line carries only the worst offender; per-query ratios → file.
+    val (noisyQ, noisyRatio) =
+      samples.map { case (k, v) => k -> v(2) / v.head }.maxBy(_._2)
     val total = results.map(_._2).sum
     // Informational section (round-6 verdict, optional #7): the heavy
     // no-oracle ops have no DuckDB twin, so they are timed OUTSIDE the
@@ -69,14 +76,21 @@ object Bench {
     val infoQueries = Seq("dedup_minhash", "dedup_clusters", "ann_lsh_topk",
       "ann_ivf_topk", "dedup_simhash", "dedup_embedding")
     infoQueries.foreach(materialize)
-    val info = infoQueries.map { name =>
-      "\"" + name + "\":" + Seq.fill(3)(timeOne(name)).min
-    }.mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$med,"noise_ratio":$noise,"queries_info":$info,"sf":"$sfDir"}"""
+    val infoSamples = infoQueries.map(name => name -> Seq.fill(3)(timeOne(name)).sorted)
+    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"noise_max":{"$noisyQ":$noisyRatio%.2f},"sf":"$sfDir"}"""
+    require(compact.length <= 1800,
+      s"compact bench line is ${compact.length} chars — would overflow the driver's 2000-char tail capture")
+    // Full-precision record (medians, per-query noise, info-op timings) —
+    // too long for stdout (see above), kept as the on-disk channel.
+    val med = qmap(_(2))(samples)
+    val noise = samples.map { case (k, v) =>
+      "\"" + k + "\":" + f"${v(2) / v.head}%.2f" }.mkString("{", ",", "}")
+    val info = qmap(_.head)(infoSamples)
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$med,"noise_ratio":$noise,"queries_info":$info,"sf":"$sfDir"}"""
+    Files.writeString(Paths.get("bench_out.json"), full)
     // sbt prefixes stdout with "[info] ", which broke the driver's JSON
-    // parse in round 1 — the file is the machine-readable channel.
-    Files.writeString(Paths.get("bench_out.json"), json)
-    println(json)
+    // parse in round 1; println keeps the line un-prefixed.
+    println(compact)
     spark.stop()
   }
 }
