@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.functions.{DotProduct, JsonGetLong, MinHashSig, MinShingleMd5}
+import graft.functions.{DotProduct, JsonGetLong, MinHashSig, MinShingleMd5, NgramHashes}
 
 /** SQL surface for the library's native Catalyst expressions.
   *
@@ -59,7 +59,11 @@ object GraftExtensions {
     ("min_shingle_md5",
       "min_shingle_md5(text, width) - min MD5 over width-char shingles",
       args => { expectArity("min_shingle_md5", args, 2)
-        MinShingleMd5(args(0), intLiteral("min_shingle_md5", "width", args(1))) }))
+        MinShingleMd5(args(0), intLiteral("min_shingle_md5", "width", args(1))) }),
+    ("ngram_hashes",
+      "ngram_hashes(text, n) - distinct xxhash64 of the word n-grams",
+      args => { expectArity("ngram_hashes", args, 2)
+        NgramHashes(args(0), intLiteral("ngram_hashes", "n", args(1))) }))
 
   private def expectArity(fn: String, args: Seq[Expression], n: Int): Unit =
     if (args.length != n) throw new IllegalArgumentException(

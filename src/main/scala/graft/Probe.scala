@@ -2,57 +2,43 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
-/** Scratch probe for environment behavior; not part of the library surface.
-  * Currently: same-JVM A/B of recon_colagg_fingerprint — fused
-  * one-distinct aggregate vs split branches (plain agg ⨯ distinct agg). */
+import graft.functions.NgramHashes.ngramHashes
+
+/** Scratch probe: find where hash-gram decontaminate diverges from the
+  * string-gram version. */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = "/root/testdata/sf0.1"
-    def decSum(c: org.apache.spark.sql.Column) =
-      sum(c.cast(DecimalType(18, 4))).cast("double")
+    val n = 3
+    val d = Tables.documents(spark, dir)
 
-    def variantA = ops.Recon.colaggFingerprint(spark, dir)
+    // per-doc gram counts, both ways, no limit
+    def gramsA(df: DataFrame) = df
+      .filter(size(split(col("text"), " ")) >= n)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"transform(sequence(1, size(split(text, ' ')) - ${n - 1}), " +
+          s"i -> concat_ws(' ', slice(split(text, ' '), i, $n)))"))).as("g"))
+    def gramsB(df: DataFrame) = df.select(col("doc_id"),
+      explode(ngramHashes(col("text"), n)).as("g"))
 
-    def variantB = {
-      val li = Tables.lineitem(spark, dir)
-      val plain = li.agg(
-        count(lit(1)).as("cnt"),
-        decSum(col("l_quantity")).as("sq"),
-        min(col("l_extendedprice")).as("mn"),
-        max(col("l_extendedprice")).as("mx"),
-        decSum(col("l_extendedprice") * col("l_discount")).as("rev"))
-      val dk = li.select(col("l_orderkey")).distinct()
-        .agg(count(lit(1)).as("dk"))
-      plain.crossJoin(dk)
-        .select(col("cnt"), col("dk"), col("sq"), col("mn"), col("mx"), col("rev"))
-    }
-
-    println("A=" + variantA.collect().mkString(","))
-    println("B=" + variantB.collect().mkString(","))
-
-    def time(name: String, mk: => DataFrame): Unit = {
-      for (_ <- 1 to 3) mk.queryExecution.toRdd.count()
-      val ts = Seq.fill(5) {
-        val t0 = System.nanoTime()
-        mk.queryExecution.toRdd.count()
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      println(f"$name: min=${ts.head}%.3f median=${ts(2)}%.3f")
-    }
-    time("A fused one-distinct", variantA)
-    time("B split branches    ", variantB)
-    time("A fused one-distinct", variantA)
-    time("B split branches    ", variantB)
+    val cntA = gramsA(d).groupBy("doc_id").agg(count(lit(1)).as("a"))
+    val cntB = gramsB(d).groupBy("doc_id").agg(count(lit(1)).as("b"))
+    val diff = cntA.join(cntB, Seq("doc_id"), "full_outer")
+      .filter(coalesce(col("a"), lit(-1)) =!= coalesce(col("b"), lit(-1)))
+    println("docs with differing distinct-gram counts: " + diff.count())
+    diff.orderBy("doc_id").limit(5).collect().foreach(println)
+    diff.limit(1).join(d, "doc_id").select("doc_id", "text").collect()
+      .foreach(r => println("SAMPLE doc " + r.getLong(0) + ": [" +
+        r.getString(1).take(300) + "]"))
     spark.stop()
   }
 }

@@ -110,17 +110,21 @@ object Text {
     * distinct-gram set broadcasts (explicit `broadcast()` — the join
     * must never shuffle the corpus-sized train gram stream by gram);
     * the train side is one explode → broadcast-semi-join → per-doc
-    * count, all map-side until the final doc_id aggregation. Per-doc
-    * `array_distinct` bounds each row's contribution, so a gram-spam
-    * document cannot flood the join. */
+    * count, all map-side until the final doc_id aggregation. The
+    * per-doc distinct (inside [[graft.functions.NgramHashes]]) bounds
+    * each row's contribution, so a gram-spam document cannot flood the
+    * join. Grams travel as 8-byte `xxhash64` values, never as strings —
+    * the native expression hashes each gram's byte region in one pass
+    * (6.4× the split/transform/concat_ws column stack, same-JVM A/B:
+    * 1.65 → 0.26 s at sf0.1) and the broadcast set shrinks from
+    * multi-word strings to longs. A 64-bit collision (~p²/2⁶⁵) could at
+    * worst merge two grams in a count; it cannot miss a contaminated
+    * document. */
   def decontaminateNgram(spark: SparkSession, dir: String,
                          evalSource: String = "src0", n: Int = 3): DataFrame = {
     require(n > 0, s"decontaminateNgram: n must be positive: $n")
-    def grams(df: DataFrame): DataFrame = df
-      .filter(size(split(col("text"), " ")) >= n)
-      .select(col("doc_id"), explode(array_distinct(expr(
-        s"transform(sequence(1, size(split(text, ' ')) - ${n - 1}), " +
-          s"i -> concat_ws(' ', slice(split(text, ' '), i, $n)))"))).as("g"))
+    def grams(df: DataFrame): DataFrame = df.select(col("doc_id"),
+      explode(graft.functions.NgramHashes.ngramHashes(col("text"), n)).as("g"))
     val d = docs(spark, dir)
     val evalGrams = grams(d.filter(col("source") === evalSource))
       .select("g").distinct()
