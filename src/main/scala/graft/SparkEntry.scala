@@ -69,6 +69,7 @@ object SparkEntry {
     "sample_stratified"        -> (Sampling.sampleDocuments _), // no-oracle
     "text_sequence_pack"       -> ((s, d) => Text.sequencePack(s, d)),
     "text_entropy"             -> (Text.tokenEntropy _),
+    "text_repetition"          -> (Text.textRepetition _),
     "decontaminate_ngram"      -> ((s, d) => Text.decontaminateNgram(s, d)),
     "mask_pii"                 -> (Privacy.maskCustomers _),
     "dedup_embedding"          -> ((s, d) => Vectors.dedupEmbedding(s, d)), // no-oracle
@@ -84,12 +85,13 @@ object SparkEntry {
     "multimodal_frame_sample"  -> ((s, d) => Multimodal.frameSample(s, d)) // no-oracle
   )
 
-  /** The 46 BASELINE.md headline queries timed by [[Bench]] — every
+  /** The 47 BASELINE.md headline queries timed by [[Bench]] — every
     * oracle-able op, kept exactly aligned with the baseline so per-query
     * times stay comparable. Round 2 extended the original 19 to 34;
     * round 7 closed the contract drift by adding the 10 oracled ops
     * shipped in rounds 3–6 (BASELINE.md v3 carries their DuckDB timings,
-    * measured with the same 4-thread warm-cache second-run method). */
+    * measured with the same 4-thread warm-cache second-run method);
+    * round 8 added text_repetition (v4). */
   val benchQueries: Seq[String] = Seq(
     "recon_rowcount", "recon_colagg_fingerprint", "recon_hash_diff",
     "recon_missing_rows", "recon_partition_drill", "q1_pricing_summary",
@@ -104,7 +106,7 @@ object SparkEntry {
     "range_join_orders", "pivot_agg", "stats_funcs", "string_funcs",
     "null_funcs", "recon_profile", "recon_reconcile_all",
     "recon_tolerance_diff", "text_entropy", "text_sequence_pack",
-    "decontaminate_ngram", "mask_pii")
+    "decontaminate_ngram", "mask_pii", "text_repetition")
 
   /** DuckDB-dialect oracle per query (driver runs these on the same parquet
     * files and hash-compares). Dialect forks: get_json_object↔
@@ -478,6 +480,25 @@ object SparkEntry {
     "text_token_stats" ->
       """SELECT tok, count(*) n FROM (SELECT unnest(string_split(text,' ')) tok FROM documents)
         |GROUP BY 1 ORDER BY n DESC, tok LIMIT 20""".stripMargin,
+
+    "text_repetition" ->
+      // duplicate-n-gram fractions; DuckDB generate_series(1, 0) is empty
+      // (unlike Spark sequence), so short docs fall out to d=0 naturally
+      """WITH g AS (SELECT doc_id,
+        |    len(string_split(text, ' ')) w,
+        |    len(list_distinct(list_transform(
+        |      generate_series(1, len(string_split(text, ' ')) - 1),
+        |      i -> array_to_string(list_slice(string_split(text, ' '), i, i + 1), ' ')))) d2,
+        |    len(list_distinct(list_transform(
+        |      generate_series(1, len(string_split(text, ' ')) - 2),
+        |      i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')))) d3
+        |  FROM documents)
+        |SELECT doc_id,
+        |  greatest(w - 1, 0) t2, d2,
+        |  CASE WHEN w - 1 > 0 THEN round(1 - d2 / CAST(w - 1 AS DOUBLE), 4) END dup2,
+        |  greatest(w - 2, 0) t3, d3,
+        |  CASE WHEN w - 2 > 0 THEN round(1 - d3 / CAST(w - 2 AS DOUBLE), 4) END dup3
+        |FROM g ORDER BY doc_id LIMIT 1000""".stripMargin,
 
     "decontaminate_ngram" ->
       // per-doc distinct trigrams on both sides, so hits = count of the

@@ -162,6 +162,41 @@ object Text {
       .orderBy("source", "pack")
   }
 
+  /** Within-document repetition scoring — the duplicate-n-gram quality
+    * filter of published pretraining pipelines (MassiveText/Gopher-style
+    * "fraction of duplicated n-grams"): machine-generated and boilerplate
+    * text repeats itself, so a high duplicate fraction
+    * (`1 - distinct_grams / total_grams`) flags documents to drop before
+    * training. Emits totals, distincts and the duplicate fraction for
+    * n = 2 and n = 3; fewer than n words → fraction NULL (no grams to
+    * judge).
+    *
+    * 100 TB posture: pure row-local projection over one scan — each doc's
+    * distinct-gram counts come from TWO single-pass
+    * [[graft.functions.NgramHashes]] evaluations inside whole-stage
+    * codegen (no gram strings, no explode, no shuffle until the
+    * presentation sort). The fraction compares hash-distinct to total,
+    * so a 64-bit collision can only nudge a count by one — it cannot
+    * invert a filter decision made on fractions. */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NgramHashes.ngramHashes
+    def dup(d: Column, t: Column): Column =
+      when(t > 0, round(lit(1) - d.cast("double") / t, 4))
+    docs(spark, dir)
+      .select(col("doc_id"),
+        (size(split(col("text"), " ")) - 1).cast("long").as("raw2"),
+        (size(split(col("text"), " ")) - 2).cast("long").as("raw3"),
+        size(ngramHashes(col("text"), 2)).cast("long").as("d2"),
+        size(ngramHashes(col("text"), 3)).cast("long").as("d3"))
+      .select(col("doc_id"),
+        greatest(col("raw2"), lit(0L)).as("t2"), col("d2"),
+        dup(col("d2"), col("raw2")).as("dup2"),
+        greatest(col("raw3"), lit(0L)).as("t3"), col("d3"),
+        dup(col("d3"), col("raw3")).as("dup3"))
+      .orderBy("doc_id")
+      .limit(1000)
+  }
+
   /** Salt fan-out for the same-source pair join below. */
   private val JaccardSalts = 8
 

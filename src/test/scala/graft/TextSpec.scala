@@ -111,6 +111,32 @@ class TextSpec extends GraftSpec {
     assert(real.forall(r => langs(r.getString(0)) && langs(r.getString(1))))
   }
 
+  test("textRepetition: duplicate-n-gram fractions recompute by hand") {
+    val spark0 = spark
+    import spark0.implicits._
+    def d(id: Long, text: String) =
+      TextFixture.Doc(id, text, "en", "fixture", text.length.toLong)
+    Seq(
+      d(1L, "a a a a"),        // 3 bigrams, 1 distinct; 2 trigrams, 1 distinct
+      d(2L, "a b c d"),        // all grams distinct
+      d(3L, "a b a b a"),      // bigrams {a b, b a} over 4; trigrams {aba, bab} over 3
+      d(4L, "x"),              // too short for any gram
+      d(5L, "x y"))            // 1 bigram, no trigram
+      .toDF().write.mode("overwrite").parquet(s"$tmpDir/rep/documents.parquet")
+    val got = Text.textRepetition(spark, s"$tmpDir/rep").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), Option(r.get(3)),
+        r.getLong(4), r.getLong(5), Option(r.get(6)))).toMap
+    assert(got(1L) === ((3L, 1L, Some(0.6667), 2L, 1L, Some(0.5))))
+    assert(got(2L) === ((3L, 3L, Some(0.0), 2L, 2L, Some(0.0))))
+    assert(got(3L) === ((4L, 2L, Some(0.5), 3L, 2L, Some(0.3333))))
+    assert(got(4L) === ((0L, 0L, None, 0L, 0L, None)))
+    assert(got(5L) === ((1L, 1L, Some(0.0), 0L, 0L, None)))
+    // row-local projection: no exchange before the presentation sort
+    val plan = Text.textRepetition(spark, s"$tmpDir/rep")
+      .queryExecution.executedPlan.toString
+    assert(!plan.replaceFirst("TakeOrderedAndProject", "").contains("Exchange"), plan)
+  }
+
   test("token entropy: uniform docs hit log2(n), repeated docs hit 0") {
     val spark0 = spark
     import spark0.implicits._
