@@ -18,9 +18,17 @@ import org.apache.spark.sql.types.DecimalType
 object Relational {
   import Recon.decSum
 
-  /** TPC-H-Q1-style pricing summary: filter → 5 aggregates → sort. */
+  /** TPC-H-Q1-style pricing summary: filter → 5 aggregates → sort.
+    *
+    * The partial aggregation (5 decimal sums × 600 k rows) happens in the
+    * scan stage, so an under-split scan runs it single-threaded —
+    * [[graft.FanOut]] spreads it when (and only when) the scan has fewer
+    * splits than cores (identity at scale; same-JVM A/B: 0.72 → 0.50 s
+    * sf0.1). The broadcast-probe-shaped q3/q5 measured the OPPOSITE —
+    * the fan-out exchange costs more than their cheap per-row probes —
+    * and stay raw. */
   def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
+    graft.FanOut(Tables.lineitem(spark, dir))
       .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured-Streaming twins of the batch event-time ops
   * (SURVEY.md §2.8). Each takes any events-shaped frame — batch or
@@ -73,5 +74,71 @@ object StreamingOps {
           .when(col("h_src") =!= col("h_tgt"), "mismatch")
           .otherwise("match").as("status"))
       .filter(col("status") =!= "match")
+  }
+
+  /** One (key, instant, match-or-mismatch) observation of a continuously
+    * reconciled key — the per-row feed a [[streamingHashDiff]]-style
+    * check produces once "match" rows are kept. */
+  case class DiffObs(k: Long, ts: java.sql.Timestamp, status: String)
+
+  /** Alert emitted when a key's consecutive-mismatch run reaches the
+    * threshold; `ts` is the observation that completed the streak. */
+  case class StreakAlert(k: Long, ts: java.sql.Timestamp, streak: Int)
+
+  /** Internal streak-run state (one row per live key). */
+  case class StreakState(n: Int)
+
+  /** Per-key consecutive-mismatch alerting over a continuous recon feed —
+    * custom state that no windowed aggregation can express: "alert the
+    * moment a key diverges `threshold` times IN A ROW, re-arm on the next
+    * match" depends on unbounded-lookback order, not a time bucket. This
+    * is the escalation policy of a production recon monitor (one blip is
+    * replication lag; N consecutive blips is a broken pipeline).
+    *
+    * `flatMapGroupsWithState` (SURVEY §2.8's custom-state tool) keeps ONE
+    * small state row (the current run length) per key. State is bounded
+    * two ways: the watermark (`lateness`) gates how far back an
+    * observation may arrive, and `EventTimeTimeout` drops a key's state
+    * once the watermark passes its last observation by `idleGrace` — an
+    * idle key costs nothing forever after. Alerts emit exactly at the
+    * crossing (streak == threshold), not on every further mismatch, so
+    * downstream paging is once per incident.
+    *
+    * Observations inside one micro-batch are sorted by `ts` before the
+    * streak update (the iterator carries no order contract); cross-batch
+    * order is the stream's own arrival order, as for any stateful op.
+    * Streaming-only (event-time timeout needs the watermark the batch
+    * planner strips); the spec drives it through MemoryStream across
+    * multiple micro-batches. */
+  def mismatchStreakAlerts(obs: Dataset[DiffObs], threshold: Int = 3,
+                           lateness: String = "1 hour",
+                           idleGrace: Long = 2 * 3600 * 1000L): Dataset[StreakAlert] = {
+    require(threshold > 0, s"mismatchStreakAlerts: threshold must be positive: $threshold")
+    import obs.sparkSession.implicits._
+    obs.withWatermark("ts", lateness)
+      .groupByKey(_.k)
+      .flatMapGroupsWithState[StreakState, StreakAlert](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (k: Long, it: Iterator[DiffObs], state: GroupState[StreakState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var n = state.getOption.map(_.n).getOrElse(0)
+            val sorted = it.toSeq.sortBy(_.ts.getTime)
+            val alerts = sorted.flatMap { o =>
+              if (o.status == "match") { n = 0; None }
+              else { n += 1; if (n == threshold) Some(StreakAlert(k, o.ts, n)) else None }
+            }
+            state.update(StreakState(n))
+            // Timeout anchors to the key's LAST OBSERVATION, not the
+            // current watermark: on the first micro-batch the watermark
+            // is still 0, and a watermark-relative stamp would read as
+            // 1970 and expire every key before its second batch
+            // (observed). The watermark floor keeps the stamp legal even
+            // if idleGrace < lateness.
+            state.setTimeoutTimestamp(
+              (sorted.last.ts.getTime + idleGrace).max(state.getCurrentWatermarkMs() + 1))
+            alerts.iterator
+          }
+      }
   }
 }

@@ -129,6 +129,70 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("mismatch streaks: custom state alerts once per crossing, resets on match, spans batches") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val ctx = spark.sqlContext
+    import StreamingOps.{DiffObs, StreakAlert}
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2025-01-01 10:$min%02d:00")
+    val input = MemoryStream[DiffObs]
+    val q = StreamingOps.mismatchStreakAlerts(input.toDS(), threshold = 3)
+      .writeStream.format("memory").queryName("streak_sink")
+      .outputMode("append").start()
+    try {
+      // batch 1: key 1 mismatches twice (below threshold); key 2 clean
+      input.addData(DiffObs(1L, t(1), "mismatch"), DiffObs(1L, t(2), "mismatch"),
+        DiffObs(2L, t(1), "match"))
+      q.processAllAvailable()
+      assert(spark.table("streak_sink").isEmpty, "no alert below threshold")
+      // batch 2: key 1's third consecutive → ONE alert, state carried
+      // across batches; a 4th mismatch must NOT re-alert. key 2's run is
+      // broken by a match mid-way and never crosses.
+      input.addData(DiffObs(1L, t(3), "mismatch"), DiffObs(1L, t(4), "mismatch"),
+        DiffObs(2L, t(2), "mismatch"), DiffObs(2L, t(3), "mismatch"),
+        DiffObs(2L, t(4), "match"), DiffObs(2L, t(5), "mismatch"))
+      q.processAllAvailable()
+      val afterB2 = spark.table("streak_sink").as[StreakAlert].collect().toSeq
+      assert(afterB2 === Seq(StreakAlert(1L, t(3), 3)))
+      // batch 3: key 1 matches (re-arms), then three more in a row →
+      // second alert for the same key, again exactly at the crossing
+      input.addData(DiffObs(1L, t(5), "match"), DiffObs(1L, t(6), "mismatch"),
+        DiffObs(1L, t(7), "mismatch"), DiffObs(1L, t(8), "mismatch"))
+      q.processAllAvailable()
+      val afterB3 = spark.table("streak_sink").as[StreakAlert].collect().toSeq
+        .sortBy(_.ts.getTime)
+      assert(afterB3 === Seq(StreakAlert(1L, t(3), 3), StreakAlert(1L, t(8), 3)))
+    } finally q.stop()
+  }
+
+  test("mismatch streaks: idle state expires via event-time timeout, streak restarts") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val ctx = spark.sqlContext
+    import StreamingOps.DiffObs
+    def at(h: Int, min: Int) = java.sql.Timestamp.valueOf(f"2025-01-01 $h%02d:$min%02d:00")
+    val input = MemoryStream[DiffObs]
+    // 1-minute lateness, 10-minute idle grace: key 1's two-mismatch run
+    // must be forgotten once the watermark passes 10:01 + 10 min
+    val q = StreamingOps.mismatchStreakAlerts(input.toDS(), threshold = 3,
+      lateness = "1 minute", idleGrace = 10 * 60 * 1000L)
+      .writeStream.format("memory").queryName("streak_ttl_sink")
+      .outputMode("append").start()
+    try {
+      input.addData(DiffObs(1L, at(10, 0), "mismatch"), DiffObs(1L, at(10, 1), "mismatch"))
+      q.processAllAvailable()                       // wm → 10:00
+      input.addData(DiffObs(9L, at(11, 0), "match"))
+      q.processAllAvailable()                       // wm → 10:59 (timeout not yet checked)
+      input.addData(DiffObs(9L, at(11, 1), "match"))
+      q.processAllAvailable()                       // wm 10:59 > 10:11 → key 1 state dropped
+      // a third mismatch would alert if the n=2 state had survived
+      input.addData(DiffObs(1L, at(11, 30), "mismatch"))
+      q.processAllAvailable()
+      assert(spark.table("streak_ttl_sink").isEmpty,
+        "expired state must not contribute to a new streak")
+    } finally q.stop()
+  }
+
   test("session window: streaming append-mode output equals batch") {
     val spark0 = spark
     import spark0.implicits._
