@@ -186,7 +186,7 @@ object Vectors {
 
   /** Unit-normalized vectors: (vec_id, u). The division is a row-local
     * array transform — computed once per vector, never per pair. */
-  private def unitVectors(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def unitVectors(spark: SparkSession, dir: String): DataFrame =
     normalized(spark, dir)
       .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("u"))
 
@@ -199,11 +199,17 @@ object Vectors {
   private[graft] def kmeansCentroids(u: DataFrame): DataFrame = {
     // seed pick is orderBy+limit → TakeOrderedAndProject (distributed
     // top-k), NOT a global window, which would sort n rows on one task
+    // Each Lloyd round is checkpointed: centroids are IvfClusters tiny
+    // rows, but left lazy every round's plan re-contains all previous
+    // rounds, so round i recomputes rounds 1..i-1 (same fix as the
+    // connected-components loop in Graph.scala; ann_ivf_topk 2.9 → 2.0 s
+    // at sf0.1, the k-means build itself now ~1.0 s, same-JVM A/B).
     var centroids = u
       .select(col("vec_id"), col("u"), xxhash64(col("vec_id")).as("h"))
       .orderBy("h", "vec_id").limit(IvfClusters)
       .select((dense_rank().over(Window.orderBy("h", "vec_id")) - 1).as("cid"),
         col("u").as("cvec"))
+      .localCheckpoint(true)
     for (_ <- 1 to IvfIterations) {
       val assigned = u.crossJoin(broadcast(centroids))
         .select(col("vec_id"), col("u"), col("cid"),
@@ -220,6 +226,7 @@ object Vectors {
       centroids = mean
         .withColumn("mn", sqrt(dot(col("m"), col("m"))))
         .select(col("cid"), transform(col("m"), x => x / col("mn")).as("cvec"))
+        .localCheckpoint(true)
     }
     centroids
   }
