@@ -53,6 +53,7 @@ object SparkEntry {
     "json_extract_events"      -> (Events.jsonExtract _),
     "tumbling_window_events"   -> (Events.tumblingWindow _),
     "sessionize_events"        -> (Events.sessionize _),
+    "funnel_conversion"        -> (Events.funnelConversion _),
     "sliding_window_events"    -> (Events.slidingWindow _),   // no-oracle
     "approx_distinct_hll"      -> (Events.approxDistinctHll _), // no-oracle
     // §2.9 LLM-pipeline: text + dedup
@@ -85,13 +86,13 @@ object SparkEntry {
     "multimodal_frame_sample"  -> ((s, d) => Multimodal.frameSample(s, d)) // no-oracle
   )
 
-  /** The 47 BASELINE.md headline queries timed by [[Bench]] — every
+  /** The 48 BASELINE.md headline queries timed by [[Bench]] — every
     * oracle-able op, kept exactly aligned with the baseline so per-query
     * times stay comparable. Round 2 extended the original 19 to 34;
     * round 7 closed the contract drift by adding the 10 oracled ops
     * shipped in rounds 3–6 (BASELINE.md v3 carries their DuckDB timings,
     * measured with the same 4-thread warm-cache second-run method);
-    * round 8 added text_repetition (v4). */
+    * round 8 added text_repetition and funnel_conversion (v4). */
   val benchQueries: Seq[String] = Seq(
     "recon_rowcount", "recon_colagg_fingerprint", "recon_hash_diff",
     "recon_missing_rows", "recon_partition_drill", "q1_pricing_summary",
@@ -106,7 +107,7 @@ object SparkEntry {
     "range_join_orders", "pivot_agg", "stats_funcs", "string_funcs",
     "null_funcs", "recon_profile", "recon_reconcile_all",
     "recon_tolerance_diff", "text_entropy", "text_sequence_pack",
-    "decontaminate_ngram", "mask_pii", "text_repetition")
+    "decontaminate_ngram", "mask_pii", "text_repetition", "funnel_conversion")
 
   /** DuckDB-dialect oracle per query (driver runs these on the same parquet
     * files and hash-compares). Dialect forks: get_json_object↔
@@ -450,6 +451,21 @@ object SparkEntry {
         |SELECT user_id, sid, count(*) n, date_trunc('second', min(ts)) t0,
         |  date_trunc('second', max(ts)) t1
         |FROM s GROUP BY 1,2 ORDER BY 1,2 LIMIT 200""".stripMargin,
+
+    "funnel_conversion" ->
+      // strict ordering: each stage's event must be strictly after the
+      // user's previous-stage instant
+      """WITH t1 AS (SELECT user_id, min(ts) t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (SELECT e.user_id, min(e.ts) t2 FROM events e JOIN t1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY 1),
+        |t3 AS (SELECT e.user_id, min(e.ts) t3 FROM events e JOIN t2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY 1)
+        |SELECT stage, users FROM (
+        |  SELECT '1_view' stage, count(*) users FROM t1
+        |  UNION ALL SELECT '2_click_after_view', count(*) FROM t2
+        |  UNION ALL SELECT '3_purchase_after_click', count(*) FROM t3)
+        |ORDER BY stage""".stripMargin,
 
     "text_token_counts" ->
       """SELECT doc_id, len(string_split(text,' ')) ws_tokens,

@@ -74,6 +74,42 @@ object Events {
         col("event_type"), col("n"), col("v"))
       .orderBy("ws", "event_type")
 
+  /** Ordered funnel conversion — the product-analytics staple: how many
+    * users progressed view → click → purchase IN THAT ORDER? A user
+    * counts for stage k+1 only with an event STRICTLY after their stage-k
+    * instant (same-instant and out-of-order events do not convert), so
+    * `purchase` before any post-view `click` correctly does not count.
+    *
+    * Implementation is stage-wise min-timestamps: t1 = first view per
+    * user; t2 = first click after t1; t3 = first purchase after t2. Three
+    * filtered aggregates joined on `user_id` — every shuffle hashes the
+    * same key, so the exchanges align, and each stage's frame shrinks
+    * monotonically (the classic funnel property). No window, no
+    * per-user event sorting: at 100 TB the sort-based formulation pays a
+    * full ordered shuffle of the events table; this one moves only
+    * (user, min-ts) pairs after the first map-side combine. */
+  def funnelConversion(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select("user_id", "ts", "event_type")
+    def first(typ: String, after: Option[DataFrame], tcol: String): DataFrame = {
+      val base = ev.filter(col("event_type") === typ)
+      val scoped = after match {
+        case Some(prev) => base.join(prev, "user_id")
+          .filter(col("ts") > col(prev.columns.last))
+        case None => base
+      }
+      scoped.groupBy("user_id").agg(min(col("ts")).as(tcol))
+    }
+    val t1 = first("view", None, "t1")
+    val t2 = first("click", Some(t1), "t2")
+    val t3 = first("purchase", Some(t2), "t3")
+    def stage(name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("users")).select(lit(name).as("stage"), col("users"))
+    stage("1_view", t1)
+      .unionByName(stage("2_click_after_view", t2))
+      .unionByName(stage("3_purchase_after_click", t3))
+      .orderBy("stage")
+  }
+
   /** HyperLogLog distinct users per type, with the exact count alongside —
     * approximate, so verified by error bound in a unit test, not an oracle. */
   def approxDistinctHll(spark: SparkSession, dir: String): DataFrame =

@@ -43,6 +43,39 @@ class EventsSpec extends GraftSpec {
     assert(got === expectedSessions)
   }
 
+  test("funnel: strict view -> click -> purchase ordering, hand-computed") {
+    val spark0 = spark
+    import spark0.implicits._
+    def e(id: Long, user: Long, minute: Long, typ: String) =
+      RawEv(id, (1735689600L + minute * 60) * 1000000000L, user, typ, 1.0, "{}")
+    Seq(
+      // user 1: full funnel in order → counts at all 3 stages
+      e(1, 1, 0, "view"), e(2, 1, 10, "click"), e(3, 1, 20, "purchase"),
+      // user 2: click BEFORE the first view; purchase after a later click
+      // → the pre-view click is ignored, the post-view click converts
+      e(4, 2, 0, "click"), e(5, 2, 5, "view"), e(6, 2, 9, "click"), e(7, 2, 12, "purchase"),
+      // user 3: view then purchase but no click → stage 1 only (a
+      // purchase cannot skip the click stage)
+      e(8, 3, 0, "view"), e(9, 3, 5, "purchase"),
+      // user 4: click at the SAME instant as view → strict '>' rejects it
+      e(10, 4, 0, "view"), e(11, 4, 0, "click"),
+      // user 5: never views → contributes nowhere
+      e(12, 5, 0, "click"), e(13, 5, 5, "purchase"))
+      .toDF().write.mode("overwrite").parquet(s"$tmpDir/funnel/events.parquet")
+    val got = Events.funnelConversion(spark, s"$tmpDir/funnel").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("1_view" -> 4L, "2_click_after_view" -> 2L,
+      "3_purchase_after_click" -> 2L))
+  }
+
+  test("funnel on sf0.001: stages shrink monotonically") {
+    val got = Events.funnelConversion(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("1_view") >= got("2_click_after_view"))
+    assert(got("2_click_after_view") >= got("3_purchase_after_click"))
+    assert(got("1_view") > 0)
+  }
+
   test("approx_count_distinct stays within the 2% rsd bound") {
     Events.approxDistinctHll(spark, sf).collect().foreach { r =>
       val (approx, exact) = (r.getLong(1), r.getLong(2))
