@@ -9,12 +9,16 @@ import org.apache.spark.sql.types.StructType
 import scala.collection.concurrent.TrieMap
 
 /** Source/sink surface beyond the primary parquet path (SURVEY.md §2.2):
-  * CSV and JSON ingest (typical recon-tool source extracts), parquet
-  * write-back, bucketed catalog tables, and temp-view registration so
-  * every op is also reachable through `spark.sql`. The driver harness
-  * reads raw parquet paths; Hive-metastore mode (`enableHiveSupport` +
-  * `saveAsTable`/catalog reads, including [[writeBucketed]]) is exercised
-  * against a derby-backed metastore in the test suite.
+  * CSV and JSON ingest (typical recon-tool source extracts), ORC — the
+  * Hive-default storage format a Hive reconciliation tool meets most
+  * often, and the cross-format case (parquet source vs ORC target)
+  * reconciliation must handle — parquet write-back, bucketed catalog
+  * tables, and temp-view registration so every op is also reachable
+  * through `spark.sql`. The driver harness reads raw parquet paths;
+  * Hive-metastore mode (`enableHiveSupport` + `saveAsTable`/catalog
+  * reads, including [[writeBucketed]]) is exercised against a
+  * derby-backed metastore in the test suite. (No Avro: the spark-avro
+  * datasource module is not among the environment's Spark jars.)
   */
 object Sources {
 
@@ -25,6 +29,7 @@ object Sources {
     val r = spark.read.schema(schema)
     format match {
       case "parquet" => r.parquet(path)
+      case "orc"     => r.orc(path)
       case "csv"     => r.option("header", "true").csv(path)
       case "json"    => r.json(path)
       case other     => throw new IllegalArgumentException(s"unsupported format: $other")
@@ -36,6 +41,7 @@ object Sources {
     val w = df.write.mode(mode)
     format match {
       case "parquet" => w.parquet(path)
+      case "orc"     => w.orc(path)
       case "csv"     => w.option("header", "true").csv(path)
       case "json"    => w.json(path)
       case other     => throw new IllegalArgumentException(s"unsupported format: $other")

@@ -21,6 +21,23 @@ class SourcesSpec extends GraftSpec {
 
   test("CSV write → read → hash-reconcile is lossless")(roundTrip("csv"))
   test("JSON write → read → hash-reconcile is lossless")(roundTrip("json"))
+  test("ORC write → read → hash-reconcile is lossless")(roundTrip("orc"))
+
+  test("cross-format recon: parquet source vs ORC target localizes a seeded diff") {
+    import org.apache.spark.sql.functions._
+    // the Hive-migration scenario: the source stays parquet, the target
+    // was rewritten as ORC (Hive's default), and one row was corrupted
+    val orders = Tables.orders(spark, sf)
+    val corrupted = orders.withColumn("o_totalprice",
+      when(col("o_orderkey") === 7L, col("o_totalprice") + 1).otherwise(col("o_totalprice")))
+    val path = s"$tmpDir/orders_orc_tgt"
+    Sources.write(corrupted, path, "orc")
+    val tgt = Sources.read(spark, path, Tables.orders, "orc")
+    val diff = Recon.hashDiffDetail(orders, tgt, "o_orderkey", orders.columns.toSeq)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(diff === Seq((7L, "mismatch")),
+      "exactly the seeded key must mismatch across formats")
+  }
 
   test("temp views make every table reachable through spark.sql") {
     Sources.registerTempViews(spark, sf)
