@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.functions.{DotProduct, JsonGetLong, MinHashSig, MinShingleMd5, NgramHashes}
+import graft.functions.{DotProduct, JsonGetLong, MinHashSig, MinShingleMd5, NgramHashes, SimHash64}
 
 /** SQL surface for the library's native Catalyst expressions.
   *
@@ -63,7 +63,11 @@ object GraftExtensions {
     ("ngram_hashes",
       "ngram_hashes(text, n) - distinct xxhash64 of the word n-grams",
       args => { expectArity("ngram_hashes", args, 2)
-        NgramHashes(args(0), intLiteral("ngram_hashes", "n", args(1))) }))
+        NgramHashes(args(0), intLiteral("ngram_hashes", "n", args(1))) }),
+    ("simhash64",
+      "simhash64(tokens) - 64-bit SimHash fingerprint of array<string>",
+      args => { expectArity("simhash64", args, 1)
+        SimHash64(args(0)) }))
 
   private def expectArity(fn: String, args: Seq[Expression], n: Int): Unit =
     if (args.length != n) throw new IllegalArgumentException(

@@ -2,9 +2,10 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
-/** Scratch probe: FanOut on recon_report's md5 hash sides. */
+import graft.functions.SimHash64.simhash64
+
+/** Scratch probe: native simhash64 vs the explode + 64-agg column stack. */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -16,36 +17,26 @@ object Probe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = "/root/testdata/sf0.1"
-    def decSum(c: org.apache.spark.sql.Column) =
-      sum(c.cast(DecimalType(18, 4))).cast("double")
+    val docToks = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
 
-    def reportA = ops.Recon.report(spark, dir)
-
-    def reportB = {
-      val o = Tables.orders(spark, dir)
-      val tgt = o.withColumn("o_totalprice", round(col("o_totalprice"), 0))
-      def agg1(df: DataFrame, c: org.apache.spark.sql.Column): DataFrame = df.agg(c.as("v"))
-      def check(name: String, src: DataFrame, t: DataFrame): DataFrame =
-        src.crossJoin(t.withColumnRenamed("v", "tgt_v"))
-          .select(lit(name).as("check"), col("v").as("src_v"), col("tgt_v"),
-            (col("v") === col("tgt_v")).as("ok"))
-      def cnt(df: DataFrame) = agg1(df, count(lit(1)).cast("double"))
-      def sumP(df: DataFrame) = agg1(df, decSum(col("o_totalprice")))
-      def nullK(df: DataFrame) = agg1(df, count(when(col("o_custkey").isNull, 1)).cast("double"))
-      def hashes(df: DataFrame) = FanOut(df).select(col("o_orderkey").as("k"), md5(concat_ws("|",
-        col("o_custkey").cast("string"), col("o_orderstatus"),
-        col("o_totalprice").cast(DecimalType(12, 2)).cast("string"))).as("h"))
-      val hashMism = hashes(o).join(hashes(tgt).withColumnRenamed("h", "h2"), "k")
-        .filter(col("h") =!= col("h2")).agg(count(lit(1)).cast("double").as("v"))
-      check("rowcount", cnt(o), cnt(tgt))
-        .unionByName(check("sum_totalprice", sumP(o), sumP(tgt)))
-        .unionByName(check("null_custkey", nullK(o), nullK(tgt)))
-        .unionByName(check("hash_mismatches", hashMism,
-          spark.range(1).select(lit(0.0).as("v"))))
-        .orderBy("check")
+    def sigOld = {
+      val tok = docToks.select(col("doc_id"), explode(col("toks")).as("tok"))
+      val h = xxhash64(col("tok"))
+      val votes = (0 until 64).map(b =>
+        sum(when(shiftright(h, b).bitwiseAND(lit(1L)) === 1, 1).otherwise(-1)).as(s"bit$b"))
+      tok.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+        .select(col("doc_id"),
+          (0 until 64).map(b =>
+            shiftleft(when(col(s"bit$b") > 0, lit(1L)).otherwise(lit(0L)), b))
+            .reduce(_ bitwiseOR _).as("simhash"))
     }
+    def sigNew = docToks.select(col("doc_id"), simhash64(col("toks")).as("simhash"))
 
-    println("equal: " + (reportA.collect().toSeq == reportB.collect().toSeq))
+    val a = sigOld.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = sigNew.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    println("equal: " + (a == b) + s" (${a.size} docs)")
+
     def time(name: String, mk: => DataFrame): Unit = {
       for (_ <- 1 to 3) mk.queryExecution.toRdd.count()
       val ts = Seq.fill(5) {
@@ -55,10 +46,11 @@ object Probe {
       }.sorted
       println(f"$name: min=${ts.head}%.3f median=${ts(2)}%.3f")
     }
-    time("report raw   ", reportA)
-    time("report fanout", reportB)
-    time("report raw   ", reportA)
-    time("report fanout", reportB)
+    time("sig old (explode+64agg)", sigOld)
+    time("sig new (native)       ", sigNew)
+    time("full simhash old", ops.Text.dedupSimhash(spark, dir))
+    time("sig old (explode+64agg)", sigOld)
+    time("sig new (native)       ", sigNew)
     spark.stop()
   }
 }

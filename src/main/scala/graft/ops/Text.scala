@@ -342,18 +342,15 @@ object Text {
       .limit(100)
   }
 
-  /** doc_id + 64-bit simhash from a (doc_id, toks) frame. */
-  private[graft] def simhashSignatures(docToks: DataFrame): DataFrame = {
-    val tok = docToks.select(col("doc_id"), explode(col("toks")).as("tok"))
-    val h = xxhash64(col("tok"))
-    val votes = (0 until 64).map(b =>
-      sum(when(shiftright(h, b).bitwiseAND(lit(1L)) === 1, 1).otherwise(-1)).as(s"bit$b"))
-    tok.groupBy("doc_id").agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"),
-        (0 until 64).map(b =>
-          shiftleft(when(col(s"bit$b") > 0, lit(1L)).otherwise(lit(0L)), b))
-          .reduce(_ bitwiseOR _).as("simhash"))
-  }
+  /** doc_id + 64-bit simhash from a (doc_id, toks) frame — the native
+    * one-pass [[graft.functions.SimHash64]] expression. The explode +
+    * 64-conditional-sum aggregate stack it replaced shuffled the corpus's
+    * full token stream to compute a per-document projection; the native
+    * form is map-only (bit-parity-tested; 0.53 → 0.09 s at sf0.1,
+    * same-JVM A/B). */
+  private[graft] def simhashSignatures(docToks: DataFrame): DataFrame =
+    docToks.select(col("doc_id"),
+      graft.functions.SimHash64.simhash64(col("toks")).as("simhash"))
 
   /** Language ID via char-bigram profiles: the profile (top-30 bigrams per
     * language) is trained distributed from the corpus itself, then each doc

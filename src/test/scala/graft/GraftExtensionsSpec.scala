@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.MinHashSig.minhash
 import graft.functions.MinShingleMd5.minShingleMd5
 import graft.functions.NgramHashes.ngramHashes
+import graft.functions.SimHash64.simhash64
 
 /** SQL registration of the native expressions via GraftExtensions:
   * name resolution, SQL↔Column parity, codegen survival through the SQL
@@ -35,14 +36,15 @@ class GraftExtensionsSpec extends GraftSpec {
     }
   }
 
-  test("all five functions resolve by name and match their Column twins") {
+  test("all six functions resolve by name and match their Column twins") {
     withExtSession { s =>
       val sqlRow = s.sql(
         """SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp,
           |       minhash_sig(array('a', 'b', 'c'), 4)              AS mh,
           |       json_get_long('{"a": 1, "k": 76}', 'k')           AS jl,
           |       min_shingle_md5('abcdefgh', 3)                    AS ms,
-          |       ngram_hashes('a b c d', 2)                        AS ng
+          |       ngram_hashes('a b c d', 2)                        AS ng,
+          |       simhash64(array('a', 'b', 'c'))                   AS sh
           |""".stripMargin).collect().head
       assert(sqlRow.getDouble(0) === 11.0)
       assert(sqlRow.getLong(2) === 76L)
@@ -50,11 +52,13 @@ class GraftExtensionsSpec extends GraftSpec {
       val colRow = s.range(1).select(
         minhash(array(lit("a"), lit("b"), lit("c")), 4).as("mh"),
         minShingleMd5(lit("abcdefgh"), 3).as("ms"),
-        ngramHashes(lit("a b c d"), 2).as("ng")).collect().head
+        ngramHashes(lit("a b c d"), 2).as("ng"),
+        simhash64(array(lit("a"), lit("b"), lit("c"))).as("sh")).collect().head
       assert(sqlRow.getSeq[Long](1) === colRow.getSeq[Long](0))
       assert(sqlRow.getString(3) === colRow.getString(1))
       assert(sqlRow.getSeq[Long](4) === colRow.getSeq[Long](2))
       assert(sqlRow.getSeq[Long](4).length === 3)
+      assert(sqlRow.getLong(5) === colRow.getLong(3))
     }
   }
 
