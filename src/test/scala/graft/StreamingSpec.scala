@@ -280,4 +280,41 @@ class StreamingFileSpec extends GraftSpec {
     assert(got === batch)
     assert(got.nonEmpty)
   }
+
+  test("mismatch-streak state survives a query RESTART from the checkpoint") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.StreamingOps
+    import graft.streaming.StreamingOps.DiffObs
+    val spark0 = spark
+    import spark0.implicits._
+    val src = s"$tmpDir/streak_in"
+    val out = s"$tmpDir/streak_out"
+    val ckpt = s"$tmpDir/streak_ckpt"
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2025-01-01 10:$min%02d:00")
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema("k LONG, ts TIMESTAMP, status STRING")
+        .parquet(src).as[DiffObs]
+      val q = StreamingOps.mismatchStreakAlerts(stream, threshold = 3)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    // run 1: two consecutive mismatches — below threshold, no alert
+    Seq(DiffObs(1L, t(0), "mismatch"), DiffObs(1L, t(1), "mismatch"))
+      .toDF().write.mode("append").parquet(src)
+    run()
+    // run 2 (fresh query, same checkpoint): the third mismatch alerts
+    // ONLY if the n=2 streak was recovered from the state store
+    Seq(DiffObs(1L, t(2), "mismatch")).toDF().write.mode("append").parquet(src)
+    run()
+    val alerts = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getInt(2))).toSeq
+    assert(alerts === Seq((1L, t(2), 3)),
+      "restart must recover the streak from the checkpointed state store")
+  }
 }
