@@ -3,9 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.SimHash64.simhash64
-
-/** Scratch probe: native simhash64 vs the explode + 64-agg column stack. */
+/** Scratch probe: connectedComponents change-count — carried prev column
+  * (current) vs re-join against the previous labels (old form). */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -17,28 +16,43 @@ object Probe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = "/root/testdata/sf0.1"
-    val docToks = Tables.documents(spark, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
 
-    def sigOld = {
-      val tok = docToks.select(col("doc_id"), explode(col("toks")).as("tok"))
-      val h = xxhash64(col("tok"))
-      val votes = (0 until 64).map(b =>
-        sum(when(shiftright(h, b).bitwiseAND(lit(1L)) === 1, 1).otherwise(-1)).as(s"bit$b"))
-      tok.groupBy("doc_id").agg(votes.head, votes.tail: _*)
-        .select(col("doc_id"),
-          (0 until 64).map(b =>
-            shiftleft(when(col(s"bit$b") > 0, lit(1L)).otherwise(lit(0L)), b))
-            .reduce(_ bitwiseOR _).as("simhash"))
+    def ccJoin(pairs: DataFrame, maxIter: Int = 15): DataFrame = {
+      val edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
+        .unionByName(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
+        .distinct()
+        .localCheckpoint(true)
+      var labels = edges.select(col("u").as("id")).distinct()
+        .withColumn("label", col("id"))
+        .localCheckpoint(true)
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < maxIter) {
+        val nbrMin = edges
+          .join(labels.select(col("id").as("v"), col("label").as("vl")), "v")
+          .groupBy(col("u").as("id")).agg(min(col("vl")).as("nl"))
+        val next = labels.join(nbrMin, Seq("id"), "left_outer")
+          .select(col("id"),
+            least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+          .localCheckpoint(true)
+        changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+          .filter(col("label") =!= col("old")).count()
+        labels = next
+        iter += 1
+      }
+      labels
     }
-    def sigNew = docToks.select(col("doc_id"), simhash64(col("toks")).as("simhash"))
 
-    val a = sigOld.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val b = sigNew.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    println("equal: " + (a == b) + s" (${a.size} docs)")
+    val pairs = ops.Text.dedupMinhash(spark, dir)
+      .filter(col("est_jaccard") >= 0.8)
+      .select("a_id", "b_id")
+      .localCheckpoint(true)   // isolate the CC loop from minhash cost
+
+    def viaCarried = ops.Graph.connectedComponents(pairs)
+    def viaJoin = ccJoin(pairs)
 
     def time(name: String, mk: => DataFrame): Unit = {
-      for (_ <- 1 to 3) mk.queryExecution.toRdd.count()
+      for (_ <- 1 to 2) mk.queryExecution.toRdd.count()
       val ts = Seq.fill(5) {
         val t0 = System.nanoTime()
         mk.queryExecution.toRdd.count()
@@ -46,11 +60,10 @@ object Probe {
       }.sorted
       println(f"$name: min=${ts.head}%.3f median=${ts(2)}%.3f")
     }
-    time("sig old (explode+64agg)", sigOld)
-    time("sig new (native)       ", sigNew)
-    time("full simhash old", ops.Text.dedupSimhash(spark, dir))
-    time("sig old (explode+64agg)", sigOld)
-    time("sig new (native)       ", sigNew)
+    time("cc carried prev", viaCarried)
+    time("cc join count  ", viaJoin)
+    time("cc carried prev", viaCarried)
+    time("cc join count  ", viaJoin)
     spark.stop()
   }
 }

@@ -53,13 +53,18 @@ object Graph {
       val nbrMin = edges
         .join(labels.select(col("id").as("v"), col("label").as("vl")), "v")
         .groupBy(col("u").as("id")).agg(min(col("vl")).as("nl"))
+      // carry the previous label through the checkpoint so the change
+      // count is a scan of the materialized frame, not a second
+      // full-label-set shuffle join per round (a wash at test SF where
+      // the label set is tiny — measured — but one fewer per-round
+      // shuffle of the full label set at scale)
       val next = labels.join(nbrMin, Seq("id"), "left_outer")
         .select(col("id"),
-          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"),
+          col("label").as("prev"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).count()
-      labels = next
+      changed = next.filter(col("label") =!= col("prev")).count()
+      labels = next.drop("prev")
       iter += 1
     }
     if (changed > 0)
