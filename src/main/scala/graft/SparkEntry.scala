@@ -24,6 +24,7 @@ object SparkEntry {
     "recon_report"             -> (Recon.report _),
     "recon_diff_detail"        -> (Recon.diffDetail _),
     "recon_partition_drill"    -> (Recon.partitionDrill _),
+    "recon_snapshot_diff"      -> (Recon.snapshotDiffOrders _),
     "recon_reconcile_all"      -> (Recon.reconcileAllDemo _),
     "recon_profile"            -> (Recon.profileOrders _),
     "recon_tolerance_diff"     -> (Recon.toleranceDiffDemo _),
@@ -86,13 +87,14 @@ object SparkEntry {
     "multimodal_frame_sample"  -> ((s, d) => Multimodal.frameSample(s, d)) // no-oracle
   )
 
-  /** The 48 BASELINE.md headline queries timed by [[Bench]] — every
+  /** The 49 BASELINE.md headline queries timed by [[Bench]] — every
     * oracle-able op, kept exactly aligned with the baseline so per-query
     * times stay comparable. Round 2 extended the original 19 to 34;
     * round 7 closed the contract drift by adding the 10 oracled ops
     * shipped in rounds 3–6 (BASELINE.md v3 carries their DuckDB timings,
     * measured with the same 4-thread warm-cache second-run method);
-    * round 8 added text_repetition and funnel_conversion (v4). */
+    * round 8 added text_repetition and funnel_conversion (v4) and
+    * recon_snapshot_diff (v5). */
   val benchQueries: Seq[String] = Seq(
     "recon_rowcount", "recon_colagg_fingerprint", "recon_hash_diff",
     "recon_missing_rows", "recon_partition_drill", "q1_pricing_summary",
@@ -107,7 +109,8 @@ object SparkEntry {
     "range_join_orders", "pivot_agg", "stats_funcs", "string_funcs",
     "null_funcs", "recon_profile", "recon_reconcile_all",
     "recon_tolerance_diff", "text_entropy", "text_sequence_pack",
-    "decontaminate_ngram", "mask_pii", "text_repetition", "funnel_conversion")
+    "decontaminate_ngram", "mask_pii", "text_repetition", "funnel_conversion",
+    "recon_snapshot_diff")
 
   /** DuckDB-dialect oracle per query (driver runs these on the same parquet
     * files and hash-compares). Dialect forks: get_json_object↔
@@ -185,6 +188,52 @@ object SparkEntry {
       """SELECT date_trunc('month', o_orderdate) mo, count(*) n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) s
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "recon_snapshot_diff" ->
+      // per-partition (n, xor-of-hash-prefix, sum-of-hash-prefix)
+      // snapshots of the clean vs corrupted replica, full-outer diffed;
+      // hash prefix = first 15 md5 hex chars as int64 (CAST '0x..' here,
+      // conv(,16,10) on the Spark side — bit-identical)
+      """WITH src AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) o_totalprice, o_orderdate FROM orders),
+        |tgt AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+        |         THEN CAST(round(o_totalprice, 0) AS DECIMAL(12,2))
+        |         ELSE CAST(o_totalprice AS DECIMAL(12,2)) END o_totalprice, o_orderdate
+        |  FROM orders WHERE date_trunc('month', o_orderdate) <> TIMESTAMP '1995-01-01'),
+        |fp_src AS (SELECT date_trunc('month', o_orderdate) part, count(*) n,
+        |    bit_xor(CAST(('0x' || substr(md5(concat_ws('|',
+        |      concat(CAST(length(CAST(o_orderkey AS VARCHAR)) AS VARCHAR), ':', CAST(o_orderkey AS VARCHAR)),
+        |      concat(CAST(length(CAST(o_custkey AS VARCHAR)) AS VARCHAR), ':', CAST(o_custkey AS VARCHAR)),
+        |      concat(CAST(length(o_orderstatus) AS VARCHAR), ':', o_orderstatus),
+        |      concat(CAST(length(CAST(o_totalprice AS VARCHAR)) AS VARCHAR), ':', CAST(o_totalprice AS VARCHAR)))), 1, 15)) AS BIGINT)) fp_xor,
+        |    sum(CAST(('0x' || substr(md5(concat_ws('|',
+        |      concat(CAST(length(CAST(o_orderkey AS VARCHAR)) AS VARCHAR), ':', CAST(o_orderkey AS VARCHAR)),
+        |      concat(CAST(length(CAST(o_custkey AS VARCHAR)) AS VARCHAR), ':', CAST(o_custkey AS VARCHAR)),
+        |      concat(CAST(length(o_orderstatus) AS VARCHAR), ':', o_orderstatus),
+        |      concat(CAST(length(CAST(o_totalprice AS VARCHAR)) AS VARCHAR), ':', CAST(o_totalprice AS VARCHAR)))), 1, 15)) AS BIGINT)) fp_sum
+        |  FROM src GROUP BY 1),
+        |fp_tgt AS (SELECT date_trunc('month', o_orderdate) part, count(*) n,
+        |    bit_xor(CAST(('0x' || substr(md5(concat_ws('|',
+        |      concat(CAST(length(CAST(o_orderkey AS VARCHAR)) AS VARCHAR), ':', CAST(o_orderkey AS VARCHAR)),
+        |      concat(CAST(length(CAST(o_custkey AS VARCHAR)) AS VARCHAR), ':', CAST(o_custkey AS VARCHAR)),
+        |      concat(CAST(length(o_orderstatus) AS VARCHAR), ':', o_orderstatus),
+        |      concat(CAST(length(CAST(o_totalprice AS VARCHAR)) AS VARCHAR), ':', CAST(o_totalprice AS VARCHAR)))), 1, 15)) AS BIGINT)) fp_xor,
+        |    sum(CAST(('0x' || substr(md5(concat_ws('|',
+        |      concat(CAST(length(CAST(o_orderkey AS VARCHAR)) AS VARCHAR), ':', CAST(o_orderkey AS VARCHAR)),
+        |      concat(CAST(length(CAST(o_custkey AS VARCHAR)) AS VARCHAR), ':', CAST(o_custkey AS VARCHAR)),
+        |      concat(CAST(length(o_orderstatus) AS VARCHAR), ':', o_orderstatus),
+        |      concat(CAST(length(CAST(o_totalprice AS VARCHAR)) AS VARCHAR), ':', CAST(o_totalprice AS VARCHAR)))), 1, 15)) AS BIGINT)) fp_sum
+        |  FROM tgt GROUP BY 1)
+        |SELECT coalesce(s.part, t.part) part,
+        |  CASE WHEN s.part IS NULL THEN 'new'
+        |       WHEN t.part IS NULL THEN 'dropped'
+        |       ELSE 'changed' END status,
+        |  s.n n_prev, t.n n_curr
+        |FROM fp_src s FULL OUTER JOIN fp_tgt t ON s.part = t.part
+        |WHERE s.part IS NULL OR t.part IS NULL OR s.n <> t.n
+        |   OR s.fp_xor <> t.fp_xor OR s.fp_sum <> t.fp_sum
+        |ORDER BY part""".stripMargin,
 
     "recon_tolerance_diff" ->
       """SELECT count(*) mismatches

@@ -407,4 +407,73 @@ object Recon {
       .groupBy(date_trunc("month", col("o_orderdate")).as("mo"))
       .agg(count(lit(1)).as("n"), decSum(col("o_totalprice")).as("s"))
       .orderBy("mo")
+
+  /** Order-independent per-partition fingerprint — the unit of
+    * INCREMENTAL reconciliation: persist one snapshot per run (a few
+    * rows per partition, parquet), and the next run diffs snapshots
+    * ([[snapshotDiff]]) to scope the expensive row-level drill
+    * ([[hashDiffDetail]] + `window`) to partitions that actually moved.
+    * At 100 TB this is the difference between re-verifying the full
+    * history nightly and re-verifying one day's loads.
+    *
+    * Three channels per partition, all insensitive to row order and
+    * partial-agg grouping: row count, XOR of the 60-bit row-hash prefix
+    * (overflow-free; a corruption that swaps two IDENTICAL rows cancels
+    * here, which is exactly a no-op change), and the DECIMAL sum of the
+    * same hashes (second channel: duplicate-pair insertions/deletions
+    * that XOR away still move the sum and the count; 10^12 rows × 2^60
+    * stays far under DECIMAL(38)'s 10^38). The hash prefix parses the
+    * first 15 md5 hex chars — `conv(_, 16, 10)` here, `'0x' || substr`
+    * cast on the DuckDB oracle side, bit-identical. */
+  def fingerprintSnapshot(df: DataFrame, partCol: Column,
+                          cols: Seq[String]): DataFrame = {
+    val h = conv(substring(rowChecksum(cols), 1, 15), 16, 10).cast("long")
+    df.select(partCol.as("part"), h.as("__h"))
+      .groupBy("part")
+      .agg(count(lit(1)).as("n"),
+        expr("bit_xor(__h)").as("fp_xor"),
+        sum(col("__h").cast(DecimalType(38, 0))).as("fp_sum"))
+  }
+
+  /** Diff two [[fingerprintSnapshot]] frames → one row per partition
+    * whose state moved: `changed` (any channel differs), `new` (absent
+    * in prev), `dropped` (absent in curr). Unchanged partitions emit
+    * nothing — the output IS the next run's work list. Snapshots are
+    * partition-count-sized, so this join is trivially small at any data
+    * scale. */
+  def snapshotDiff(prev: DataFrame, curr: DataFrame): DataFrame =
+    prev.select(col("part"), col("n").as("n_prev"),
+        col("fp_xor").as("x_prev"), col("fp_sum").as("s_prev"))
+      .join(curr.select(col("part"), col("n").as("n_curr"),
+        col("fp_xor").as("x_curr"), col("fp_sum").as("s_curr")), Seq("part"), "full_outer")
+      .select(col("part"),
+        when(col("n_prev").isNull, "new")
+          .when(col("n_curr").isNull, "dropped")
+          .when(col("n_prev") =!= col("n_curr") ||
+            col("x_prev") =!= col("x_curr") ||
+            col("s_prev") =!= col("s_curr"), "changed")
+          .otherwise("unchanged").as("status"),
+        col("n_prev"), col("n_curr"))
+      .filter(col("status") =!= "unchanged")
+
+  /** Harness op over snapshot recon: last night's snapshot is the clean
+    * orders table by load month; tonight's is a bad replica (prices
+    * rounded from 1997 on, the 1995-01 load missing). The diff must name
+    * exactly the moved months. */
+  def snapshotDiffOrders(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val month = date_trunc("month", col("o_orderdate"))
+    val o = Tables.orders(spark, dir)
+      .withColumn("o_totalprice", col("o_totalprice").cast(DecimalType(12, 2)))
+    val tgt = o
+      .withColumn("o_totalprice",
+        when(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"),
+          round(col("o_totalprice"), 0).cast(DecimalType(12, 2)))
+          .otherwise(col("o_totalprice")))
+      .filter(month =!= lit("1995-01-01").cast("timestamp"))
+    snapshotDiff(
+      fingerprintSnapshot(o, month, cols),
+      fingerprintSnapshot(tgt, month, cols))
+      .orderBy("part")
+  }
 }

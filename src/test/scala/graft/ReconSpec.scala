@@ -233,4 +233,44 @@ class ReconSpec extends GraftSpec {
     val plan = Recon.hashDiff(spark, sf).queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), "hashDiff must not self-join")
   }
+
+  test("snapshot diff: exactly the mutated/new/dropped partitions surface") {
+    val spark0 = spark
+    import spark0.implicits._
+    val cols = Seq("v")
+    def snap(rows: Seq[(String, Long, String)]) = Recon.fingerprintSnapshot(
+      rows.toDF("part0", "id", "v"), col("part0"), cols)
+    val prev = snap(Seq(
+      ("p1", 1L, "a"), ("p1", 2L, "b"),
+      ("p2", 3L, "c"),
+      ("p3", 4L, "d")))
+    // p1 mutated (one value changed), p2 untouched, p3 dropped, p4 new
+    val curr = snap(Seq(
+      ("p1", 1L, "a"), ("p1", 2L, "B"),
+      ("p2", 3L, "c"),
+      ("p4", 5L, "e")))
+    val got = Recon.snapshotDiff(prev, curr).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got === Map("p1" -> "changed", "p3" -> "dropped", "p4" -> "new"),
+      "p2 must not surface")
+    // same rows, different arrival order → identical fingerprints
+    val reordered = snap(Seq(
+      ("p2", 3L, "c"), ("p1", 2L, "b"), ("p1", 1L, "a"), ("p3", 4L, "d")))
+    assert(Recon.snapshotDiff(prev, reordered).count() === 0L,
+      "fingerprints must be row-order independent")
+  }
+
+  test("snapshot diff catches a duplicate-pair insertion the XOR channel misses") {
+    val spark0 = spark
+    import spark0.implicits._
+    val prev = Recon.fingerprintSnapshot(
+      Seq(("p1", "a")).toDF("part0", "v"), col("part0"), Seq("v"))
+    // two extra IDENTICAL rows XOR to zero — count and sum still move
+    val curr = Recon.fingerprintSnapshot(
+      Seq(("p1", "a"), ("p1", "x"), ("p1", "x")).toDF("part0", "v"),
+      col("part0"), Seq("v"))
+    val got = Recon.snapshotDiff(prev, curr).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got === Map("p1" -> "changed"))
+  }
 }
