@@ -55,10 +55,12 @@ object SparkEntry {
     "tumbling_window_events"   -> (Events.tumblingWindow _),
     "sessionize_events"        -> (Events.sessionize _),
     "funnel_conversion"        -> (Events.funnelConversion _),
+    "cohort_retention"         -> (Events.cohortRetention _),
     "sliding_window_events"    -> (Events.slidingWindow _),   // no-oracle
     "approx_distinct_hll"      -> (Events.approxDistinctHll _), // no-oracle
     // §2.9 LLM-pipeline: text + dedup
     "dedup_exact_docs"         -> (Text.dedupExact _),
+    "dedup_normalized"         -> (Text.dedupNormalized _),
     "text_token_stats"         -> (Text.tokenStats _),
     "text_quality_score"       -> (Text.qualityScore _),
     "doc_fingerprint"          -> (Text.fingerprint _),
@@ -87,14 +89,15 @@ object SparkEntry {
     "multimodal_frame_sample"  -> ((s, d) => Multimodal.frameSample(s, d)) // no-oracle
   )
 
-  /** The 49 BASELINE.md headline queries timed by [[Bench]] — every
+  /** The 51 BASELINE.md headline queries timed by [[Bench]] — every
     * oracle-able op, kept exactly aligned with the baseline so per-query
     * times stay comparable. Round 2 extended the original 19 to 34;
     * round 7 closed the contract drift by adding the 10 oracled ops
     * shipped in rounds 3–6 (BASELINE.md v3 carries their DuckDB timings,
     * measured with the same 4-thread warm-cache second-run method);
-    * round 8 added text_repetition and funnel_conversion (v4) and
-    * recon_snapshot_diff (v5). */
+    * round 8 added text_repetition and funnel_conversion (v4),
+    * recon_snapshot_diff (v5), and cohort_retention + dedup_normalized
+    * (v6). */
   val benchQueries: Seq[String] = Seq(
     "recon_rowcount", "recon_colagg_fingerprint", "recon_hash_diff",
     "recon_missing_rows", "recon_partition_drill", "q1_pricing_summary",
@@ -110,7 +113,7 @@ object SparkEntry {
     "null_funcs", "recon_profile", "recon_reconcile_all",
     "recon_tolerance_diff", "text_entropy", "text_sequence_pack",
     "decontaminate_ngram", "mask_pii", "text_repetition", "funnel_conversion",
-    "recon_snapshot_diff")
+    "recon_snapshot_diff", "cohort_retention", "dedup_normalized")
 
   /** DuckDB-dialect oracle per query (driver runs these on the same parquet
     * files and hash-compares). Dialect forks: get_json_object↔
@@ -521,8 +524,28 @@ object SparkEntry {
         |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) bpe_tokens
         |FROM documents ORDER BY doc_id LIMIT 1000""".stripMargin,
 
+    "cohort_retention" ->
+      // month arithmetic on month-truncated instants: DuckDB's
+      // boundary-crossing date_diff and Spark's fractional months_between
+      // agree exactly there (both sides day 1, 00:00)
+      """WITH um AS (SELECT DISTINCT user_id, date_trunc('month', ts) m FROM events),
+        |c AS (SELECT user_id, min(m) cm FROM um GROUP BY 1)
+        |SELECT c.cm cohort_month, CAST(date_diff('month', c.cm, um.m) AS INT) months_since,
+        |  count(DISTINCT um.user_id) n_users
+        |FROM um JOIN c USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "dedup_exact_docs" ->
       "SELECT count(*) - count(DISTINCT md5(text)) exact_dups FROM documents",
+
+    "dedup_normalized" ->
+      // DuckDB regexp_replace needs the explicit 'g' flag; Spark's is
+      // global by default (same fork as string_funcs)
+      """WITH d AS (SELECT doc_id, source,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) h FROM documents),
+        |k AS (SELECT h, min(doc_id) keep_id FROM d GROUP BY 1)
+        |SELECT d.source, count(*) n_docs,
+        |  count(*) FILTER (WHERE d.doc_id = k.keep_id) n_kept
+        |FROM d JOIN k USING (h) GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "text_sequence_pack" ->
       """WITH toks AS (SELECT doc_id, source, len(string_split(text, ' ')) t FROM documents),

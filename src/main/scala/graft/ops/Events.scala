@@ -110,6 +110,34 @@ object Events {
       .orderBy("stage")
   }
 
+  /** Cohort retention — the product-analytics companion to the funnel:
+    * users grouped by the month of their FIRST event (the cohort), then
+    * for each cohort × months-since-first, how many of its users were
+    * active that month. Reads as the classic retention triangle
+    * (months_since = 0 row is the cohort size).
+    *
+    * One distinct over (user, month) shrinks the event stream to at most
+    * |users|×|months| rows before anything else happens; the per-user
+    * cohort month then comes from a groupBy on the SAME user_id key, so
+    * the self-join of activity months to cohort months aligns exchanges;
+    * the final rollup is a small two-phase hash agg. Nothing after the
+    * first distinct is proportional to event volume — the 100 TB shape.
+    * Month arithmetic is `months_between` on month-truncated instants
+    * (both sides day 1, 00:00), where Spark's fractional definition and
+    * DuckDB's boundary-crossing `datediff` provably agree on integers —
+    * the dialect trap that rules out raw-timestamp datediff (§7.4). */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val userMonths = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("month", col("ts")).as("m"))
+      .distinct()
+    val cohorts = userMonths.groupBy("user_id").agg(min(col("m")).as("cm"))
+    userMonths.join(cohorts, "user_id")
+      .groupBy(col("cm").as("cohort_month"),
+        months_between(col("m"), col("cm")).cast("int").as("months_since"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_month", "months_since")
+  }
+
   /** HyperLogLog distinct users per type, with the exact count alongside —
     * approximate, so verified by error bound in a unit test, not an oracle. */
   def approxDistinctHll(spark: SparkSession, dir: String): DataFrame =

@@ -28,6 +28,31 @@ object Text {
     docs(spark, dir).agg(
       (count(lit(1)) - countDistinct(md5(col("text")))).as("exact_dups"))
 
+  /** Normalized exact dedup with canonical selection — the cross-source
+    * variant of [[dedupExact]] a training pipeline actually runs: the same
+    * article syndicated with different casing/whitespace must collapse,
+    * and ONE replica must be chosen to keep (min doc_id — deterministic,
+    * so the keep-set is stable across reruns). Output is the per-source
+    * audit: how many docs each source contributed and how many survive.
+    *
+    * Normalization (casefold + whitespace collapse + trim) is a row-local
+    * codegen'd projection; the group key is the md5 of the normalized
+    * text, so the only shuffled payload is (hash, doc_id, source) — text
+    * never moves. Keeper selection is a groupBy-min on the hash, joined
+    * back on the same key (aligned exchanges), then a small per-source
+    * rollup. At 100 TB this is two all-to-alls of ~40-byte rows. */
+  def dedupNormalized(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(
+      col("doc_id"), col("source"),
+      md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("h"))
+    val keep = d.groupBy("h").agg(min(col("doc_id")).as("keep_id"))
+    d.join(keep, "h")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") === col("keep_id"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy("source")
+  }
+
   /** Top-20 terms: tokenize, explode, count. */
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)

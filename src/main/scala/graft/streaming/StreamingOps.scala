@@ -76,6 +76,37 @@ object StreamingOps {
       .filter(col("status") =!= "match")
   }
 
+  /** Stream-stream interval join — click attribution: every click joined
+    * to the same user's views at most `horizon` before it (view first,
+    * inclusive both ends). Both sides are live streams, so this is the
+    * §2.8 surface none of the other twins cover: Spark buffers each side
+    * in the state store and the JOIN CONDITION ITSELF bounds that state —
+    * the event-time range `view_ts ∈ [click_ts − horizon, click_ts]`
+    * plus the two watermarks lets the planner compute exactly when a
+    * buffered row can never match again and evict it. Without the range
+    * bound a stream-stream join is unbounded state, the 100 TB/day
+    * failure mode; with it, state ≈ horizon + lateness of traffic.
+    *
+    * Inner join: a view with no click inside the horizon silently ages
+    * out (left-outer emission-at-watermark is the alternative contract —
+    * costs nothing extra in state, emits only at watermark advance).
+    * All qualifying (view, click) pairs emit — last-touch/first-touch
+    * selection is a policy left to a downstream agg, as in batch. */
+  def attributeClicks(views: DataFrame, clicks: DataFrame,
+                      horizon: String = "30 minutes",
+                      lateness: String = "10 minutes"): DataFrame = {
+    val v = views.select(col("user_id").as("v_user"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", lateness)
+    val c = clicks.select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", lateness)
+    v.join(c, col("v_user") === col("c_user") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $horizon"))
+      .select(col("v_user").as("user_id"), col("view_ts"), col("click_ts"),
+        expr("(unix_micros(click_ts) - unix_micros(view_ts)) div 1000000")
+          .as("latency_s"))
+  }
+
   /** One (key, instant, match-or-mismatch) observation of a continuously
     * reconciled key — the per-row feed a [[streamingHashDiff]]-style
     * check produces once "match" rows are kept. */

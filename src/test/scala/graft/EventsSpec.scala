@@ -68,6 +68,27 @@ class EventsSpec extends GraftSpec {
       "3_purchase_after_click" -> 2L))
   }
 
+  test("cohort retention matches a hand-computed triangle") {
+    val spark0 = spark
+    import spark0.implicits._
+    // days since 2025-01-01; month boundaries at day 31 (Feb), 59 (Mar), 90 (Apr)
+    def e(id: Long, user: Long, day: Long) =
+      RawEv(id, (1735689600L + day * 86400) * 1000000000L, user, "view", 1.0, "{}")
+    Seq(
+      // user 1: active Jan, Feb, Apr → cohort Jan, months_since {0, 1, 3}
+      e(1, 1, 0), e(2, 1, 15), e(3, 1, 40), e(4, 1, 95),
+      // user 2: active Feb, Mar → cohort Feb, months_since {0, 1}
+      e(5, 2, 35), e(6, 2, 70),
+      // user 3: active Jan only → cohort Jan, months_since {0}
+      e(7, 3, 20))
+      .toDF().write.mode("overwrite").parquet(s"$tmpDir/cohort/events.parquet")
+    val got = Events.cohortRetention(spark, s"$tmpDir/cohort").collect()
+      .map(r => (r.getTimestamp(0).toInstant.toString.take(7), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got === Map(
+      ("2025-01", 0) -> 2L, ("2025-01", 1) -> 1L, ("2025-01", 3) -> 1L,
+      ("2025-02", 0) -> 1L, ("2025-02", 1) -> 1L))
+  }
+
   test("funnel on sf0.001: stages shrink monotonically") {
     val got = Events.funnelConversion(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -228,6 +228,47 @@ class StreamingSpec extends GraftSpec {
       assert(sessionizer === windowed)
     } finally q.stop()
   }
+
+  test("stream-stream interval join: cross-batch attribution, horizon bound, late drop") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val ctx = spark.sqlContext
+    def t(min: Long) = new java.sql.Timestamp(1735689600000L + min * 60000L)
+    def ev(id: Long, user: Long, min: Long, typ: String) =
+      Ev(id, t(min), user, typ, 1.0)
+    val views = MemoryStream[Ev]
+    val clicks = MemoryStream[Ev]
+    val q = StreamingOps.attributeClicks(views.toDF(), clicks.toDF())
+      .writeStream.format("memory").queryName("attr_sink")
+      .outputMode("append").start()
+    try {
+      // batch 1: views only — must be buffered in the join state store
+      views.addData(ev(1, 1, 0, "view"), ev(2, 1, 40, "view"), ev(3, 2, 0, "view"))
+      q.processAllAvailable()
+      assert(spark.table("attr_sink").count() === 0)
+      // batch 2: clicks arrive later and join against the BUFFERED views.
+      // user 1 @10 → view@0 only; @50 → view@40 only (view@0 is 50 min
+      // back, outside the 30-min horizon); user 2 @5 → view@0.
+      clicks.addData(ev(4, 1, 10, "click"), ev(5, 1, 50, "click"), ev(6, 2, 5, "click"))
+      q.processAllAvailable()
+      val got = spark.table("attr_sink").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+      assert(got === Set(
+        (1L, t(0), t(10), 600L), (1L, t(40), t(50), 600L), (2L, t(0), t(5), 300L)))
+      // push BOTH watermarks far ahead (global watermark = min of inputs),
+      // then replay an old view+click pair: both are behind the watermark,
+      // the evicted state cannot match them, and no stale pair may emit —
+      // the bounded-state contract this join exists for.
+      views.addData(ev(7, 9, 600, "view"))
+      clicks.addData(ev(8, 9, 601, "click"))
+      q.processAllAvailable()
+      views.addData(ev(9, 1, 0, "view"))
+      clicks.addData(ev(10, 1, 1, "click"))
+      q.processAllAvailable()
+      assert(spark.table("attr_sink").count() === got.size + 1,
+        "only the in-watermark pair (user 9) may add a row; late replays must drop")
+    } finally q.stop()
+  }
 }
 
 object StreamingSpec {

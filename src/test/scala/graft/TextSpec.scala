@@ -24,6 +24,15 @@ class TextSpec extends GraftSpec {
     rows.get((1L, 3L)).foreach(est => assert(est <= 0.3))
   }
 
+  test("dedup_normalized collapses case/whitespace variants, keeps min doc_id") {
+    val dir = writeNormFixture(spark, tmpDir)
+    val got = Text.dedupNormalized(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // docs 1/2/3 normalize identically; keeper is doc 1 (srcA), so srcB
+    // contributes 2 docs and keeps none; doc 4 is unique and survives
+    assert(got === Map("srcA" -> ((2L, 2L)), "srcB" -> ((2L, 0L))))
+  }
+
   test("simhash: identical docs at Hamming 0, near-dupes nearby") {
     val rows = Text.dedupSimhash(spark, fixtureDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
@@ -203,6 +212,18 @@ object DecontFixture {
 }
 
 object TextFixture {
+  /** Case/whitespace variants that must collapse under normalization,
+    * plus a unique doc, across two sources. */
+  def writeNormFixture(spark: org.apache.spark.sql.SparkSession, dir: String): String = {
+    import spark.implicits._
+    Seq(
+      Doc(1, "Hello  World", "en", "srcA", 12),
+      Doc(2, " hello world ", "en", "srcB", 13),
+      Doc(3, "HELLO\tWORLD", "en", "srcB", 11),
+      Doc(4, "something else", "en", "srcA", 14))
+      .toDF().write.mode("overwrite").parquet(s"$dir/normfix/documents.parquet")
+    s"$dir/normfix"
+  }
   case class Doc(doc_id: Long, text: String, lang: String, source: String, n_chars: Long)
 
   private def doc(id: Long, toks: Seq[String]) = {
