@@ -4,7 +4,7 @@ import graft.Tables
 import org.apache.hadoop.fs.Path
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.types.StructType
 import scala.collection.concurrent.TrieMap
 
@@ -60,6 +60,151 @@ object Sources {
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(table)
+
+  /** Compact a parquet dataset into ~`targetFileBytes` files — the
+    * small-files maintenance job every streaming or micro-batch ingest
+    * needs at scale: a sink that commits a file per trigger per partition
+    * leaves HDFS/object stores with millions of KB-sized files, and scan
+    * planning, footer reads, and name-node pressure all degrade with file
+    * COUNT, not byte volume.
+    *
+    * The output file count is sized from the INPUT's actual bytes (free
+    * driver-side listing — no data read), so the rewrite is one shuffle
+    * to exactly the right width. With `partitionCols` the rewrite
+    * re-partitions by those columns so each output directory is written
+    * by one task (fewest files), with `maxRecordsPerFile` — derived from
+    * the observed bytes-per-row — capping hot partitions so a skewed
+    * value cannot produce one giant file. Returns (filesBefore,
+    * filesAfter). Equality of content is the caller's recon check:
+    * compacted-vs-source `hashDiffTables` must be zero — the test does
+    * exactly that. */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+              targetFileBytes: Long = 128L * 1024 * 1024,
+              partitionCols: Seq[String] = Nil): (Int, Int) = {
+    require(targetFileBytes > 0, s"targetFileBytes must be positive: $targetFileBytes")
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(inPath)
+    val fs = root.getFileSystem(conf)
+    def leaves(st: org.apache.hadoop.fs.FileStatus): Seq[org.apache.hadoop.fs.FileStatus] =
+      if (st.isDirectory)
+        fs.listStatus(st.getPath).toSeq
+          .filterNot { s =>
+            val n = s.getPath.getName
+            n.startsWith("_") || n.startsWith(".")
+          }
+          .flatMap(leaves)
+      else Seq(st)
+    val parts = leaves(fs.getFileStatus(root))
+    require(parts.nonEmpty, s"compact: no data files under $inPath")
+    val totalBytes = parts.map(_.getLen).sum
+    val df = spark.read.parquet(inPath)
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    if (partitionCols.isEmpty) {
+      df.repartition(nFiles).write.mode(SaveMode.Overwrite).parquet(outPath)
+    } else {
+      val rows = parquetRowCount(spark, inPath)
+      val bytesPerRow = math.max(1L, totalBytes / math.max(1L, rows))
+      df.repartition(partitionCols.map(org.apache.spark.sql.functions.col): _*)
+        .write.mode(SaveMode.Overwrite)
+        .option("maxRecordsPerFile", math.max(1L, targetFileBytes / bytesPerRow))
+        .partitionBy(partitionCols: _*)
+        .parquet(outPath)
+    }
+    (parts.length, leaves(fs.getFileStatus(new Path(outPath))).length)
+  }
+
+  /** Z-order (Morton) clustered write on two numeric columns — the data-
+    * layout lever for 100 TB scans that filter on EITHER of two
+    * dimensions: lexicographic sorting clusters only its leading column
+    * (a range filter on the second column overlaps every file), while
+    * interleaving the bits of both coordinates gives every file a tight
+    * min/max envelope in BOTH, so parquet row-group/file statistics prune
+    * scans on each dimension to ~√(files) instead of all of them. This is
+    * the same layout trick behind Delta/Iceberg Z-ordering, built from
+    * plain Spark: scale each column to 16 bits against its global
+    * min/max (one tiny agg job), interleave via shift/mask bit-spreading
+    * (codegen'd, row-local), then range-repartition + sort on the Morton
+    * code so files tile the 2-D grid. The test proves the pruning claim
+    * from the written footers' per-file statistics.
+    *
+    * Columns must be numeric (cast dates to days first); rows with a null
+    * coordinate sort to the grid origin rather than being dropped. */
+  def writeZOrdered(df: DataFrame, c1: String, c2: String,
+                    files: Int, outPath: String): Unit = {
+    import org.apache.spark.sql.functions._
+    require(files > 0, s"writeZOrdered: files must be positive: $files")
+    val Seq(mn1, mx1, mn2, mx2) = {
+      val r = df.agg(min(col(c1)).cast("double"), max(col(c1)).cast("double"),
+        min(col(c2)).cast("double"), max(col(c2)).cast("double")).head()
+      (0 until 4).map(i => if (r.isNullAt(i)) 0.0 else r.getDouble(i))
+    }
+    def scale16(c: String, mn: Double, mx: Double): Column = {
+      val range = if (mx > mn) mx - mn else 1.0
+      floor((coalesce(col(c).cast("double"), lit(mn)) - mn) / range * 65535.0)
+        .cast("long")
+    }
+    // spread the 16 bits of x to even bit positions (classic Morton mask
+    // cascade); z = spread(c1) | spread(c2) << 1
+    def spread(x: Column): Column = {
+      val a = (x.bitwiseOR(shiftleft(x, 8))).bitwiseAND(lit(0x00FF00FFL))
+      val b = (a.bitwiseOR(shiftleft(a, 4))).bitwiseAND(lit(0x0F0F0F0FL))
+      val c = (b.bitwiseOR(shiftleft(b, 2))).bitwiseAND(lit(0x33333333L))
+      c.bitwiseOR(shiftleft(c, 1)).bitwiseAND(lit(0x55555555L))
+    }
+    val z = spread(scale16(c1, mn1, mx1))
+      .bitwiseOR(shiftleft(spread(scale16(c2, mn2, mx2)), 1))
+    // Partition on the CELL id (top bits of z, 4^k cells ≈ files), not the
+    // continuous code: range-partitioning full z puts sampled boundaries
+    // mid-cell, so adjacent files straddle two grid cells and their
+    // min/max envelopes smear to the union (measured: a 10% slab matched
+    // 39% of files instead of ~25%). Equal cell-id values cannot split
+    // across range partitions, so every file holds whole cells and its
+    // envelope is the cell's own tight square; the full code stays the
+    // intra-partition sort key so row groups within a file tile too.
+    val cellBits = {
+      var k = 2
+      while ((1L << k) < files.toLong) k += 2
+      k
+    }
+    df.withColumn("__z", z)
+      .withColumn("__zc", shiftright(col("__z"), 32 - cellBits))
+      .repartitionByRange(files, col("__zc"))
+      .sortWithinPartitions("__z")
+      .drop("__z", "__zc")
+      .write.mode(SaveMode.Overwrite).parquet(outPath)
+  }
+
+  /** Per-file (min, max) of a long-valued column from parquet footers —
+    * driver-side metadata only, the statistics a scan's file/row-group
+    * pruning consults. Used by the Z-order test to measure layout
+    * quality without trusting the writer. */
+  def fileColumnRanges(spark: SparkSession, path: String,
+                       column: String): Seq[(Long, Long)] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    fs.listStatus(root).toSeq
+      .filterNot { s =>
+        val n = s.getPath.getName
+        n.startsWith("_") || n.startsWith(".")
+      }
+      .map { st =>
+        val r = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
+        try {
+          val stats = r.getFooter.getBlocks.toArray.map { b =>
+            b.asInstanceOf[org.apache.parquet.hadoop.metadata.BlockMetaData]
+              .getColumns.toArray
+              .map(_.asInstanceOf[org.apache.parquet.hadoop.metadata.ColumnChunkMetaData])
+              .find(_.getPath.toDotString == column)
+              .getOrElse(throw new IllegalArgumentException(
+                s"fileColumnRanges: no column $column in ${st.getPath}"))
+              .getStatistics
+          }
+          (stats.map(_.genericGetMin.asInstanceOf[Number].longValue).min,
+            stats.map(_.genericGetMax.asInstanceOf[Number].longValue).max)
+        } finally r.close()
+      }
+  }
 
   private val rowCountCache = TrieMap.empty[(String, Long, Int), Long]
 

@@ -87,21 +87,24 @@ object StreamingOps {
     * bound a stream-stream join is unbounded state, the 100 TB/day
     * failure mode; with it, state ≈ horizon + lateness of traffic.
     *
-    * Inner join: a view with no click inside the horizon silently ages
-    * out (left-outer emission-at-watermark is the alternative contract —
-    * costs nothing extra in state, emits only at watermark advance).
+    * `joinType` "inner" (default): a view with no click inside the
+    * horizon silently ages out. "left_outer": that view still emits —
+    * with null click columns — but only once the watermark proves no
+    * click can arrive for it (same state, deferred emission), giving the
+    * unconverted-impressions feed an attribution pipeline also needs.
     * All qualifying (view, click) pairs emit — last-touch/first-touch
     * selection is a policy left to a downstream agg, as in batch. */
   def attributeClicks(views: DataFrame, clicks: DataFrame,
                       horizon: String = "30 minutes",
-                      lateness: String = "10 minutes"): DataFrame = {
+                      lateness: String = "10 minutes",
+                      joinType: String = "inner"): DataFrame = {
     val v = views.select(col("user_id").as("v_user"), col("ts").as("view_ts"))
       .withWatermark("view_ts", lateness)
     val c = clicks.select(col("user_id").as("c_user"), col("ts").as("click_ts"))
       .withWatermark("click_ts", lateness)
     v.join(c, col("v_user") === col("c_user") &&
         col("click_ts") >= col("view_ts") &&
-        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $horizon"))
+        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $horizon"), joinType)
       .select(col("v_user").as("user_id"), col("view_ts"), col("click_ts"),
         expr("(unix_micros(click_ts) - unix_micros(view_ts)) div 1000000")
           .as("latency_s"))

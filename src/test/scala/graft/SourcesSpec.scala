@@ -151,6 +151,88 @@ class SourcesSpec extends GraftSpec {
     spark.sql("DROP TABLE graft_recon.orders_ptgt")
   }
 
+  test("compact: small-files rewrite shrinks file count, content reconciles to zero") {
+    val orders = Tables.orders(spark, sf)
+    val fragmented = s"$tmpDir/frag"
+    orders.repartition(40).write.mode("overwrite").parquet(fragmented)
+    val out = s"$tmpDir/compacted"
+    val (before, after) = Sources.compact(spark, fragmented, out)
+    assert(before === 40)
+    assert(after === 1, "1500 rows fit one 128 MB target file")
+    val got = spark.read.parquet(out)
+    assert(got.count() === 1500L)
+    // content equality is a recon check, not a count: zero hash mismatches
+    val mism = Recon.hashDiffTables(orders, got, "o_orderkey",
+      orders.columns.toSeq).collect().head.getLong(0)
+    assert(mism === 0L)
+  }
+
+  test("compact: partitioned rewrite gets one file per partition, capped on hot values") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf)
+      .withColumn("et", col("event_type"))
+    val fragmented = s"$tmpDir/pfrag"
+    ev.repartition(20).write.mode("overwrite")
+      .partitionBy("et").parquet(fragmented)
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(fragmented)
+    val fs = root.getFileSystem(conf)
+    val types = fs.listStatus(root).count(_.getPath.getName.startsWith("et="))
+    val out = s"$tmpDir/pcompacted"
+    val (before, after) = Sources.compact(spark, fragmented, out,
+      partitionCols = Seq("et"))
+    assert(before > types, s"fixture must start fragmented: $before files, $types partitions")
+    assert(after === types, "exactly one file per partition value")
+    // partition column round-trips and content reconciles
+    val got = spark.read.parquet(out)
+    val mism = Recon.hashDiffTables(ev, got, "event_id",
+      Seq("user_id", "et", "value")).collect().head.getLong(0)
+    assert(mism === 0L)
+    // a tiny per-file cap splits the hottest partition into several files
+    val (_, capped) = Sources.compact(spark, fragmented, s"$tmpDir/pcapped",
+      targetFileBytes = 8 * 1024, partitionCols = Seq("et"))
+    assert(capped > types, "maxRecordsPerFile must split partitions past the byte target")
+  }
+
+  test("z-order layout: file stats prune BOTH dimensions; sorted layout only one") {
+    import org.apache.spark.sql.functions._
+    // sf0.01: enough rows (15 k) that 64 range partitions sit well below
+    // the z-curve's cell granularity — at fixture scale the sampled
+    // boundaries cut mid-cell and smear every file's envelope
+    val df = Tables.orders(spark, "/root/testdata/sf0.01")
+      .select(col("o_orderkey"), col("o_custkey"),
+        unix_date(col("o_orderdate").cast("date")).as("o_days"))
+    val sortedPath = s"$tmpDir/sorted_layout"
+    val zPath = s"$tmpDir/z_layout"
+    df.repartitionByRange(64, col("o_custkey"))
+      .sortWithinPartitions("o_custkey")
+      .write.mode("overwrite").parquet(sortedPath)
+    Sources.writeZOrdered(df, "o_custkey", "o_days", 64, zPath)
+    // content survives the reorder
+    assert(spark.read.parquet(zPath).count() === df.count())
+    def overlap(path: String, column: String, qlo: Double, qhi: Double): Int = {
+      val ranges = Sources.fileColumnRanges(spark, path, column)
+      val (dlo, dhi) = (ranges.map(_._1).min.toDouble, ranges.map(_._2).max.toDouble)
+      val (lo, hi) = (dlo + (dhi - dlo) * qlo, dlo + (dhi - dlo) * qhi)
+      ranges.count { case (mn, mx) => mx >= lo && mn <= hi }
+    }
+    // a 10%-of-domain range filter on each dimension
+    val zCust = overlap(zPath, "o_custkey", 0.45, 0.55)
+    val zDays = overlap(zPath, "o_days", 0.45, 0.55)
+    val sCust = overlap(sortedPath, "o_custkey", 0.45, 0.55)
+    val sDays = overlap(sortedPath, "o_days", 0.45, 0.55)
+    info(s"overlapping files for a 10% slab — z-order: custkey $zCust/64, " +
+      s"days $zDays/64; custkey-sorted: custkey $sCust/64, days $sDays/64")
+    // the sorted layout prunes its sort column hard but its second
+    // dimension not at all — every file spans the full date range
+    assert(sCust <= 12, s"sorted layout must prune its own column: $sCust/64")
+    assert(sDays >= 60, s"sorted layout cannot prune the second column: $sDays/64")
+    // the z-order layout prunes BOTH to a fraction of the files — the
+    // √-locality of the curve (a 10% slab touches ~1 of 8 cell-columns)
+    assert(zCust <= 24, s"z-order must prune dim 1: $zCust/64")
+    assert(zDays <= 24, s"z-order must prune dim 2: $zDays/64")
+  }
+
   test("Hive metastore: saveAsTable + catalog read + recon round-trip") {
     assert(spark.conf.get("spark.sql.catalogImplementation") === "hive")
     spark.sql("CREATE DATABASE IF NOT EXISTS graft_recon")

@@ -269,6 +269,41 @@ class StreamingSpec extends GraftSpec {
         "only the in-watermark pair (user 9) may add a row; late replays must drop")
     } finally q.stop()
   }
+
+  test("stream-stream left-outer join: unconverted views emit nulls at watermark") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val ctx = spark.sqlContext
+    def t(min: Long) = new java.sql.Timestamp(1735689600000L + min * 60000L)
+    def ev(id: Long, user: Long, min: Long, typ: String) =
+      Ev(id, t(min), user, typ, 1.0)
+    val views = MemoryStream[Ev]
+    val clicks = MemoryStream[Ev]
+    val q = StreamingOps.attributeClicks(views.toDF(), clicks.toDF(),
+      joinType = "left_outer")
+      .writeStream.format("memory").queryName("attr_outer_sink")
+      .outputMode("append").start()
+    try {
+      // user 1 converts; user 2's view gets no click at all
+      views.addData(ev(1, 1, 0, "view"), ev(2, 2, 0, "view"))
+      clicks.addData(ev(3, 1, 10, "click"))
+      q.processAllAvailable()
+      // the matched pair may emit now; the null row for user 2 may NOT —
+      // a click could still arrive inside horizon + lateness
+      val early = spark.table("attr_outer_sink").collect()
+      assert(early.forall(_.getLong(0) == 1L),
+        "no null-padded row before the watermark closes the horizon")
+      // advance both watermarks past view@0 + horizon + lateness
+      views.addData(ev(4, 9, 120, "view"))
+      clicks.addData(ev(5, 9, 121, "click"))
+      q.processAllAvailable()
+      val rows = spark.table("attr_outer_sink").collect()
+        .map(r => (r.getLong(0), Option(r.getTimestamp(2)))).toSet
+      assert(rows.contains((1L, Some(t(10)))), "converted view keeps its click")
+      assert(rows.contains((2L, None)),
+        "unconverted view must emit null-padded once provably unmatched")
+    } finally q.stop()
+  }
 }
 
 object StreamingSpec {
