@@ -128,6 +128,34 @@ object Recon {
       .filter(col("h_src") =!= col("h_tgt"))
       .agg(count(lit(1)).as("mismatches"))
 
+  /** Sample-based reconciliation — the cheap continuous smoke check that
+    * runs BEFORE (or instead of, on off days) a full compare at 100 TB:
+    * diff only the keys whose content hash falls under the sampling
+    * threshold. The sample is CONTENT-keyed (`xxhash64(key, seed)` — the
+    * [[graft.ops.Sampling]] discipline), which is what makes sampled
+    * recon sound: both sides select EXACTLY the same key set by
+    * construction, with no coordination, no broadcast of a key list, and
+    * no layout/retry sensitivity — where a `rand()` sample of each side
+    * would compare disjoint rows and report garbage. Every downstream
+    * cost (shuffle, join, state) shrinks by the fraction; a fraction-f
+    * sample catches a corruption touching proportion p of keys with
+    * probability 1 − (1 − p)^(f·n), so daily f = 1% on a billion-row
+    * table still pins p ≥ 10⁻⁶ with near-certainty. Same full-outer
+    * classification as [[hashDiffDetail]], scoped to the sample. */
+  def sampleDiff(src: DataFrame, tgt: DataFrame,
+                 key: String, cols: Seq[String],
+                 fraction: Double, seed: Long = 42L,
+                 window: Option[Column] = None): DataFrame = {
+    require(fraction > 0 && fraction <= 1,
+      s"sampleDiff: fraction must be in (0,1]: $fraction")
+    val thresh = lit((fraction * SampleBuckets).toLong)
+    def sampled(df: DataFrame) = windowed(df, window)
+      .filter(pmod(xxhash64(col(key), lit(seed)), lit(SampleBuckets)) < thresh)
+    hashDiffDetail(sampled(src), sampled(tgt), key, cols)
+  }
+
+  private val SampleBuckets = 1000000L
+
   /** Tolerance-based numeric compare — the recon check for columns where
     * bit-exactness is the wrong contract (floating-point re-loads,
     * currency conversion, unit rescaling): counts keys whose numeric

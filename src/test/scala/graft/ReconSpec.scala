@@ -157,6 +157,40 @@ class ReconSpec extends GraftSpec {
       && rep("extra_in_target")._3)
   }
 
+  test("sampleDiff: both sides sample the same keys; hits are the exact intersection") {
+    val o = Tables.orders(spark, sf)
+    // target diverges on every 10th key and drops every 97th
+    val tgt = o.filter(col("o_orderkey") % 97 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 10 === 0, col("o_totalprice") + 1)
+          .otherwise(col("o_totalprice")))
+    val cols = Seq("o_custkey", "o_totalprice")
+    // fraction 1 degenerates to the full detail diff
+    val full = Recon.sampleDiff(o, tgt, "o_orderkey", cols, 1.0).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val detail = Recon.hashDiffDetail(o, tgt, "o_orderkey", cols).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(full === detail)
+    // fractional sample: findings must be exactly (all divergent keys) ∩
+    // (content-keyed sample) — nothing sampled-but-clean, nothing
+    // divergent-but-unsampled, and both sides agreed on the key set
+    val seed = 7L
+    val sampledKeys = o.filter(
+        pmod(xxhash64(col("o_orderkey"), lit(seed)), lit(1000000L)) < lit(300000L))
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val got = Recon.sampleDiff(o, tgt, "o_orderkey", cols, 0.3, seed).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = detail.filter { case (k, _) => sampledKeys(k) }
+    assert(got === expected)
+    assert(got.nonEmpty && got.size < detail.size,
+      s"fixture must make the sample a strict, non-empty subset: ${got.size}/${detail.size}")
+    // content-keyed membership is layout-stable: a repartitioned source
+    // reports the identical finding set
+    val reshuffled = Recon.sampleDiff(o.repartition(13), tgt, "o_orderkey",
+      cols, 0.3, seed).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(reshuffled === got)
+  }
+
   test("toleranceDiff: within-tolerance drift passes, material drift counts") {
     val o = Tables.orders(spark, sf)
     val keys = o.select("o_orderkey").orderBy("o_orderkey").limit(4)
