@@ -44,6 +44,7 @@ object SparkEntry {
     "grouping_sets_agg"        -> (Relational.groupingSetsAgg _),
     "pivot_agg"                -> (Relational.pivotAgg _),
     "stats_funcs"              -> (Relational.statsFuncs _),
+    "histogram_agg"            -> (Relational.histogramAgg _),
     "set_ops"                  -> (Relational.setOps _),
     "set_ops_except"           -> (Relational.setOpsExcept _),
     "scalar_funcs"             -> (Relational.scalarFuncs _),
@@ -56,6 +57,8 @@ object SparkEntry {
     "sessionize_events"        -> (Events.sessionize _),
     "funnel_conversion"        -> (Events.funnelConversion _),
     "cohort_retention"         -> (Events.cohortRetention _),
+    "event_transitions"        -> (Events.eventTransitions _),
+    "skew_profile"             -> (Relational.skewProfileEvents _),
     "sliding_window_events"    -> (Events.slidingWindow _),   // no-oracle
     "approx_distinct_hll"      -> (Events.approxDistinctHll _), // no-oracle
     // §2.9 LLM-pipeline: text + dedup
@@ -71,6 +74,7 @@ object SparkEntry {
     "text_langid"              -> (Text.langidNgram _),       // no-oracle
     "text_token_counts"        -> (Text.tokenCounts _),
     "sample_stratified"        -> (Sampling.sampleDocuments _), // no-oracle
+    "train_test_split"         -> (Sampling.trainTestSplitDocs _),
     "text_sequence_pack"       -> ((s, d) => Text.sequencePack(s, d)),
     "text_entropy"             -> (Text.tokenEntropy _),
     "text_repetition"          -> (Text.textRepetition _),
@@ -89,15 +93,16 @@ object SparkEntry {
     "multimodal_frame_sample"  -> ((s, d) => Multimodal.frameSample(s, d)) // no-oracle
   )
 
-  /** The 51 BASELINE.md headline queries timed by [[Bench]] — every
+  /** The 55 BASELINE.md headline queries timed by [[Bench]] — every
     * oracle-able op, kept exactly aligned with the baseline so per-query
     * times stay comparable. Round 2 extended the original 19 to 34;
     * round 7 closed the contract drift by adding the 10 oracled ops
     * shipped in rounds 3–6 (BASELINE.md v3 carries their DuckDB timings,
     * measured with the same 4-thread warm-cache second-run method);
     * round 8 added text_repetition and funnel_conversion (v4),
-    * recon_snapshot_diff (v5), and cohort_retention + dedup_normalized
-    * (v6). */
+    * recon_snapshot_diff (v5), cohort_retention + dedup_normalized (v6),
+    * and histogram_agg + event_transitions + skew_profile +
+    * train_test_split (v7). */
   val benchQueries: Seq[String] = Seq(
     "recon_rowcount", "recon_colagg_fingerprint", "recon_hash_diff",
     "recon_missing_rows", "recon_partition_drill", "q1_pricing_summary",
@@ -113,7 +118,8 @@ object SparkEntry {
     "null_funcs", "recon_profile", "recon_reconcile_all",
     "recon_tolerance_diff", "text_entropy", "text_sequence_pack",
     "decontaminate_ngram", "mask_pii", "text_repetition", "funnel_conversion",
-    "recon_snapshot_diff", "cohort_retention", "dedup_normalized")
+    "recon_snapshot_diff", "cohort_retention", "dedup_normalized",
+    "histogram_agg", "event_transitions", "skew_profile", "train_test_split")
 
   /** DuckDB-dialect oracle per query (driver runs these on the same parquet
     * files and hash-compares). Dialect forks: get_json_object↔
@@ -440,6 +446,14 @@ object SparkEntry {
         |  count(*) n
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "histogram_agg" ->
+      // floor(v / width) on the stored double is bit-identical across
+      // engines; width_bucket boundary conventions are not
+      """SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) bucket, count(*) n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) total,
+        |  min(o_totalprice) mn, max(o_totalprice) mx
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "set_ops_except" ->
       """SELECT c_custkey FROM customer WHERE c_mktsegment='BUILDING'
         |EXCEPT SELECT o_custkey FROM orders WHERE o_totalprice>300000
@@ -533,6 +547,38 @@ object SparkEntry {
         |SELECT c.cm cohort_month, CAST(date_diff('month', c.cm, um.m) AS INT) months_since,
         |  count(DISTINCT um.user_id) n_users
         |FROM um JOIN c USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "event_transitions" ->
+      // lead over (user; ts, event_id) — unique event_id tiebreak makes
+      // the pairing engine-independent (same discipline as sessionize)
+      """WITH seq AS (SELECT user_id, event_type from_type,
+        |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) to_type
+        |  FROM events)
+        |SELECT from_type, to_type, count(*) n FROM seq
+        |WHERE to_type IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "skew_profile" ->
+      // integer '/' is float division in both engines (Spark Column./
+      // and DuckDB /), so pct and x_avg compare at the float leniency
+      """WITH c AS (SELECT user_id, count(*) n FROM events GROUP BY 1),
+        |t AS (SELECT sum(n) total_rows, count(*) distinct_keys FROM c)
+        |SELECT user_id, n, round(n / total_rows * 100, 4) pct,
+        |  round(n * distinct_keys / total_rows, 4) x_avg
+        |FROM c, t ORDER BY n DESC, user_id LIMIT 20""".stripMargin,
+
+    "train_test_split" ->
+      // bucket = first 60 bits of md5 mod 100: '0x'-cast here,
+      // conv(,16,10) on the Spark side — bit-identical (the
+      // recon_snapshot_diff pattern)
+      """WITH b AS (SELECT source,
+        |    CAST(('0x' || substr(md5('split:42:' || CAST(doc_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) % 100 bucket
+        |  FROM documents)
+        |SELECT source,
+        |  CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val'
+        |       ELSE 'test' END split,
+        |  count(*) n
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "dedup_exact_docs" ->
       "SELECT count(*) - count(DISTINCT md5(text)) exact_dups FROM documents",

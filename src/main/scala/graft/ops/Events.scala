@@ -138,6 +138,30 @@ object Events {
       .orderBy("cohort_month", "months_since")
   }
 
+  /** Event-type transition matrix — the Markov-chain view of the stream
+    * (what users do NEXT after each action): per user, each event paired
+    * with that user's next event by time, counted per (from, to) type.
+    * Powers funnel discovery, anomaly triage ("error → error" spikes),
+    * and next-action models.
+    *
+    * One `lead` window over (user_id; ts, event_id) — a single shuffle
+    * hashing user_id, the same exchange family the sessionizer uses, and
+    * the output collapses to |types|² rows in a small two-phase hash agg.
+    * Ordering ties break on the unique event_id, so the pairing is
+    * deterministic and engine-independent (same discipline as
+    * [[sessionize]]). At 100 TB the skewed user key rides AQE skew
+    * splitting, asserted once in ScaleSpec for this plan family. */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type").as("from_type"),
+        lead(col("event_type"), 1).over(byUser).as("to_type"))
+      .where(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("from_type", "to_type")
+  }
+
   /** HyperLogLog distinct users per type, with the exact count alongside —
     * approximate, so verified by error bound in a unit test, not an oracle. */
   def approxDistinctHll(spark: SparkSession, dir: String): DataFrame =

@@ -229,6 +229,24 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** Fixed-width histogram of order totals — the numeric-binning staple
+    * (distribution dashboards, spill-size planning, outlier triage) the
+    * battery didn't cover. Bucketing is plain floor arithmetic on the
+    * stored double (`floor(v / width)`), bit-identical across engines —
+    * dialect-fork-free where `width_bucket` boundary conventions are not.
+    * One two-phase hash agg on a row-local key: partial maps hold ≤ the
+    * bucket count, so at 100 TB only (bucket, partials) rows shuffle.
+    * Money sums go through DECIMAL before the double presentation cast
+    * (Appendix A discipline). */
+  def histogramAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(floor(col("o_totalprice") / 25000.0).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        decSum(col("o_totalprice")).as("total"),
+        min(col("o_totalprice")).as("mn"),
+        max(col("o_totalprice")).as("mx"))
+      .orderBy("bucket")
+
   /** ROLLUP over (status, priority) incl. the grand-total row. */
   def rollupAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
@@ -318,4 +336,33 @@ object Relational {
         concat(col("p_brand"), lit("#"), col("p_size").cast("string")).as("ck"))
       .orderBy("p_partkey")
       .limit(100)
+
+  /** Key-skew profile for any keyed frame: the top-k heaviest keys with
+    * their absolute count, share of all rows, and ratio to the mean key
+    * load — the numbers that decide whether a planned join/groupBy on
+    * `keyCol` needs salting, AQE skew-join handling, or a broadcast
+    * restructure BEFORE the 100 TB run burns a day discovering it.
+    *
+    * Shape: one two-phase hash agg to (key, n) — only post-combine pairs
+    * shuffle — then a 1-row global summary (count+sum over the already
+    * tiny key frame) broadcast back, and a `TakeOrderedAndProject` top-k.
+    * Nothing after the first combine is proportional to row count. */
+  def skewProfile(df: DataFrame, keyCol: String, topK: Int): DataFrame = {
+    require(topK > 0, s"skewProfile: topK must be positive: $topK")
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+    val totals = counts.agg(
+      sum(col("n")).as("total_rows"), count(lit(1)).as("distinct_keys"))
+    counts.crossJoin(broadcast(totals))
+      .select(col(keyCol), col("n"),
+        round(col("n") / col("total_rows") * 100, 4).as("pct"),
+        round(col("n") * col("distinct_keys") / col("total_rows"), 4).as("x_avg"))
+      .orderBy(col("n").desc, col(keyCol))
+      .limit(topK)
+  }
+
+  /** Harness op: the 20 heaviest users in the zipf-ish event stream —
+    * the skew diagnosis you run before joining or sessionizing on
+    * user_id. */
+  def skewProfileEvents(spark: SparkSession, dir: String): DataFrame =
+    skewProfile(Tables.events(spark, dir), "user_id", 20)
 }

@@ -52,6 +52,38 @@ object Sampling {
     }.reduce(_ unionByName _)
   }
 
+  /** Deterministic train/val/test assignment: each row lands in a split
+    * as a pure function of (key, seed) — the property an ML pipeline
+    * needs so the held-out set NEVER leaks into training across reruns,
+    * repartitions, engine versions, or incremental appends (a new row
+    * can't move an old row's split, unlike any rand()/modulo-on-rownum
+    * scheme). Buckets come from the first 60 bits of `md5(tag:key)`
+    * mod 100 — md5 is engine-portable, so the same assignment is
+    * reproducible OUTSIDE Spark (the DuckDB oracle computes it
+    * bit-identically). Pure row-local projection: no shuffle, no state.
+    *
+    * `trainPct`/`valPct` are integer percents; the remainder is test. */
+  def trainTestSplit(df: DataFrame, keyCol: String, seed: Long,
+                     trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      s"trainTestSplit: need 0 < trainPct, 0 <= valPct, trainPct+valPct < 100: $trainPct/$valPct")
+    val bucket = conv(substring(md5(
+      concat(lit(s"split:$seed:"), col(keyCol).cast("string"))), 1, 15), 16, 10)
+      .cast("long") % 100
+    df.withColumn("split",
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
+  /** Harness op: split the document corpus 90/5/5 and report per
+    * (source, split) counts — the audit table a dataset release ships. */
+  def trainTestSplitDocs(spark: SparkSession, dir: String): DataFrame =
+    trainTestSplit(Tables.documents(spark, dir), "doc_id", seed = 42L)
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("source", "split")
+
   /** Harness op: documents mixture keeping all of src0, half of src1, a
     * quarter of src2, dropping the other sources. Non-oracle (the
     * content-hash stream is engine-specific); determinism, nesting,

@@ -97,6 +97,22 @@ class EventsSpec extends GraftSpec {
     assert(got("1_view") > 0)
   }
 
+  test("event transitions match the hand-computed pairing on the fixture") {
+    // user 1: a b a b a b → a→b ×3, b→a ×2; user 2: a b a b → a→b ×2, b→a ×1
+    val got = Events.eventTransitions(spark, fixtureDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === Map(("a", "b") -> 5L, ("b", "a") -> 3L))
+  }
+
+  test("event transitions on sf0.001: one transition per non-final event") {
+    val ev = Tables.events(spark, sf)
+    val transitions = Events.eventTransitions(spark, sf)
+      .agg(sum("n")).collect().head.getLong(0)
+    val users = ev.select("user_id").distinct().count()
+    assert(transitions === ev.count() - users,
+      "each user contributes (events - 1) transitions")
+  }
+
   test("approx_count_distinct stays within the 2% rsd bound") {
     Events.approxDistinctHll(spark, sf).collect().foreach { r =>
       val (approx, exact) = (r.getLong(1), r.getLong(2))

@@ -103,6 +103,35 @@ class RelationalSpec extends GraftSpec {
     }
   }
 
+  test("histogram: buckets partition the table, bounds sit inside their bin") {
+    val rows = Relational.histogramAgg(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum === Tables.orders(spark, sf).count())
+    rows.foreach { r =>
+      val (b, mn, mx) = (r.getLong(0), r.getDouble(3), r.getDouble(4))
+      assert(mn >= b * 25000.0 && mx < (b + 1) * 25000.0, s"bucket $b: [$mn, $mx]")
+      assert(mn <= mx)
+    }
+  }
+
+  test("skew profile: top key is the true argmax, shares are consistent") {
+    val ev = Tables.events(spark, sf)
+    val total = ev.count()
+    val keys = ev.select("user_id").distinct().count()
+    val trueTop = ev.groupBy("user_id").count()
+      .orderBy(org.apache.spark.sql.functions.col("count").desc, org.apache.spark.sql.functions.col("user_id"))
+      .head()
+    val rows = Relational.skewProfileEvents(spark, sf).collect()
+    assert(rows.length === math.min(20L, keys))
+    assert(rows.head.getLong(0) === trueTop.getLong(0))
+    assert(rows.head.getLong(1) === trueTop.getLong(1))
+    assert(rows.map(_.getLong(1)).sliding(2).forall(p => p(0) >= p(1)), "n must be descending")
+    rows.foreach { r =>
+      val (n, pct, xAvg) = (r.getLong(1), r.getDouble(2), r.getDouble(3))
+      assert(math.abs(pct - n.toDouble / total * 100) < 1e-3, s"pct for key ${r.getLong(0)}")
+      assert(math.abs(xAvg - n.toDouble * keys / total) < 1e-3, s"x_avg for key ${r.getLong(0)}")
+    }
+  }
+
   test("q5: revenue sorted descending, all nations positive") {
     val rows = Relational.q5MultiwayJoin(spark, sf).collect()
     assert(rows.nonEmpty)

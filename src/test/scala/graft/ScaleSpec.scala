@@ -121,6 +121,20 @@ class ScaleSpec extends GraftSpec {
     }
   }
 
+  test("skew profile computes the per-key counts once (exchange reuse at runtime)") {
+    // the static plan shows the (scan → partial count → exchange) subtree
+    // twice — once under the top-k branch, once under the 1-row totals —
+    // but the two exchanges canonicalize identically, so at runtime the
+    // scan+shuffle must run ONCE and the second branch read the reused
+    // stage; at 100 TB this is the difference between one and two full
+    // passes over the fact table
+    val q = Relational.skewProfileEvents(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedQueryStage") || plan.contains("ReusedExchange"),
+      s"per-key count stage must be reused, not recomputed:\n$plan")
+  }
+
   test("spark.sql over registered views equals the DataFrame plan (E3 ≡ E1)") {
     graft.sources.Sources.registerTempViews(spark, sf)
     val viaSql = spark.sql(
