@@ -45,6 +45,8 @@ object SparkEntry {
     "pivot_agg"                -> (Relational.pivotAgg _),
     "stats_funcs"              -> (Relational.statsFuncs _),
     "histogram_agg"            -> (Relational.histogramAgg _),
+    "q17_avg_quantity"         -> (Relational.q17AvgQuantity _),
+    "array_funcs"              -> (Relational.arrayFuncs _),
     "set_ops"                  -> (Relational.setOps _),
     "set_ops_except"           -> (Relational.setOpsExcept _),
     "scalar_funcs"             -> (Relational.scalarFuncs _),
@@ -59,6 +61,8 @@ object SparkEntry {
     "cohort_retention"         -> (Events.cohortRetention _),
     "event_transitions"        -> (Events.eventTransitions _),
     "skew_profile"             -> (Relational.skewProfileEvents _),
+    "resample_daily"           -> (Events.resampleDaily _),
+    "zscore_outliers"          -> (Events.zscoreOutliers _),
     "sliding_window_events"    -> (Events.slidingWindow _),   // no-oracle
     "approx_distinct_hll"      -> (Events.approxDistinctHll _), // no-oracle
     // §2.9 LLM-pipeline: text + dedup
@@ -93,7 +97,7 @@ object SparkEntry {
     "multimodal_frame_sample"  -> ((s, d) => Multimodal.frameSample(s, d)) // no-oracle
   )
 
-  /** The 55 BASELINE.md headline queries timed by [[Bench]] — every
+  /** The 59 BASELINE.md headline queries timed by [[Bench]] — every
     * oracle-able op, kept exactly aligned with the baseline so per-query
     * times stay comparable. Round 2 extended the original 19 to 34;
     * round 7 closed the contract drift by adding the 10 oracled ops
@@ -101,8 +105,9 @@ object SparkEntry {
     * measured with the same 4-thread warm-cache second-run method);
     * round 8 added text_repetition and funnel_conversion (v4),
     * recon_snapshot_diff (v5), cohort_retention + dedup_normalized (v6),
-    * and histogram_agg + event_transitions + skew_profile +
-    * train_test_split (v7). */
+    * histogram_agg + event_transitions + skew_profile + train_test_split
+    * (v7), and q17_avg_quantity + array_funcs + resample_daily +
+    * zscore_outliers (v8). */
   val benchQueries: Seq[String] = Seq(
     "recon_rowcount", "recon_colagg_fingerprint", "recon_hash_diff",
     "recon_missing_rows", "recon_partition_drill", "q1_pricing_summary",
@@ -119,7 +124,8 @@ object SparkEntry {
     "recon_tolerance_diff", "text_entropy", "text_sequence_pack",
     "decontaminate_ngram", "mask_pii", "text_repetition", "funnel_conversion",
     "recon_snapshot_diff", "cohort_retention", "dedup_normalized",
-    "histogram_agg", "event_transitions", "skew_profile", "train_test_split")
+    "histogram_agg", "event_transitions", "skew_profile", "train_test_split",
+    "q17_avg_quantity", "array_funcs", "resample_daily", "zscore_outliers")
 
   /** DuckDB-dialect oracle per query (driver runs these on the same parquet
     * files and hash-compares). Dialect forks: get_json_object↔
@@ -454,6 +460,32 @@ object SparkEntry {
         |  min(o_totalprice) mn, max(o_totalprice) mx
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "q17_avg_quantity" ->
+      // threshold = 0.2 * (exact DECIMAL sum / count) — bit-identical
+      // doubles on both engines, so the '<' boundary classifies alike
+      """WITH thr AS (
+        |  SELECT l_partkey pk,
+        |    (CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*)) * 0.2 threshold
+        |  FROM lineitem GROUP BY 1)
+        |SELECT p_brand,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0 avg_yearly,
+        |  count(*) n
+        |FROM lineitem JOIN thr ON pk = l_partkey JOIN part ON p_partkey = l_partkey
+        |WHERE l_quantity < threshold
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "array_funcs" ->
+      // list_* ↔ array_* dialect fork; both engines sort and compare
+      // strings by binary codepoint, so list_sort ≡ sort_array
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) n_tokens,
+        |  len(list_distinct(string_split(text, ' '))) n_distinct,
+        |  array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:3], '|') first3,
+        |  list_contains(string_split(text, ' '), 'the') has_the,
+        |  string_split(text, ' ')[1] first_tok,
+        |  string_split(text, ' ')[-1] last_tok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "set_ops_except" ->
       """SELECT c_custkey FROM customer WHERE c_mktsegment='BUILDING'
         |EXCEPT SELECT o_custkey FROM orders WHERE o_totalprice>300000
@@ -565,6 +597,36 @@ object SparkEntry {
         |SELECT user_id, n, round(n / total_rows * 100, 4) pct,
         |  round(n * distinct_keys / total_rows, 4) x_avg
         |FROM c, t ORDER BY n DESC, user_id LIMIT 20""".stripMargin,
+
+    "resample_daily" ->
+      // fixed calendar grid from a generator × distinct types, left join
+      // the filtered per-cell partials, explicit zeros for absent cells
+      """WITH grid_days AS (
+        |  SELECT CAST(unnest(generate_series(DATE '2024-01-01', DATE '2024-01-30',
+        |    INTERVAL '1 day')) AS DATE) d),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |c AS (SELECT CAST(date_trunc('day', ts) AS DATE) d, event_type et, count(*) n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) sv
+        |  FROM events WHERE value > 200 GROUP BY 1, 2)
+        |SELECT g.d AS dy, t.event_type, coalesce(c.n, 0) n, coalesce(c.sv, 0.0) sv
+        |FROM grid_days g CROSS JOIN types t
+        |LEFT JOIN c ON c.d = g.d AND c.et = t.event_type
+        |ORDER BY 1, 2""".stripMargin,
+
+    "zscore_outliers" ->
+      // mean/sd from exact DECIMAL sums of value and value² — identical
+      // doubles both sides, so the |z| > 3 boundary classifies alike
+      """WITH s AS (
+        |  SELECT event_type,
+        |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) sm,
+        |    CAST(sum(CAST(value*value AS DECIMAL(18,4))) AS DOUBLE) sq,
+        |    count(*) cnt
+        |  FROM events GROUP BY 1),
+        |st AS (SELECT event_type, sm/cnt mean, sqrt((sq - sm*sm/cnt) / (cnt - 1)) sd FROM s)
+        |SELECT event_id, e.event_type, value, round((value - mean)/sd, 4) z
+        |FROM events e JOIN st USING (event_type)
+        |WHERE abs((value - mean)/sd) > 3
+        |ORDER BY event_id""".stripMargin,
 
     "train_test_split" ->
       // bucket = first 60 bits of md5 mod 100: '0x'-cast here,

@@ -162,6 +162,60 @@ object Events {
       .orderBy("from_type", "to_type")
   }
 
+  /** Daily resample with gap fill — the time-series staple every metrics
+    * pipeline needs: high-value events per (day, type) over a FIXED
+    * calendar grid, absent cells emitted as explicit zeros (a downstream
+    * chart/alert treats "no row" and "zero events" very differently).
+    *
+    * The dense grid comes from `sequence()` + `explode` — a generator,
+    * not a table scan — crossed with the distinct types: |days|×|types|
+    * rows, trivially broadcast. The fact stream collapses to per-cell
+    * partials BEFORE the join (two-phase hash agg), so at 100 TB the
+    * left join is grid-sized vs cell-count-sized — never row-sized.
+    * The filter threshold rides the parquet scan as a pushed predicate. */
+  def resampleDaily(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val counts = ev.filter(col("value") > 200)
+      .groupBy(to_date(col("ts")).as("d"), col("event_type").as("et"))
+      .agg(count(lit(1)).as("cnt"), decSum(col("value")).as("vsum"))
+    val days = spark.range(1).select(explode(sequence(
+      lit("2024-01-01").cast("date"), lit("2024-01-30").cast("date"))).as("dy"))
+    days.crossJoin(ev.select(col("event_type")).distinct())
+      .join(counts, col("dy") === col("d") && col("event_type") === col("et"), "left")
+      .select(col("dy"), col("event_type"),
+        coalesce(col("cnt"), lit(0L)).as("n"),
+        coalesce(col("vsum"), lit(0.0)).as("sv"))
+      .orderBy("dy", "event_type")
+  }
+
+  /** Per-type z-score outliers — the anomaly screen over a metric stream:
+    * events whose value sits more than 3 standard deviations from their
+    * type's mean. The mean/variance come from EXACT decimal sums of value
+    * and value² (one two-phase hash agg, constant state per type), so
+    * both engines derive bit-identical doubles and the |z| > 3 boundary
+    * classifies identically — a running `stddev_samp` would differ in
+    * summation order across engines and flip borderline rows.
+    *
+    * The 5-row stats frame broadcasts back onto the stream; the outlier
+    * filter is then a row-local codegen'd predicate — one scan for stats,
+    * one for the screen, nothing row-sized ever shuffles. */
+  def zscoreOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val stats = Tables.events(spark, dir)
+      .groupBy(col("event_type").as("et"))
+      .agg(decSum(col("value")).as("sm"),
+        decSum(col("value") * col("value")).as("sq"),
+        count(lit(1)).as("cnt"))
+      .select(col("et"), (col("sm") / col("cnt")).as("mean"),
+        sqrt((col("sq") - col("sm") * col("sm") / col("cnt")) / (col("cnt") - lit(1)))
+          .as("sd"))
+    Tables.events(spark, dir)
+      .join(broadcast(stats), col("event_type") === col("et"))
+      .where(abs((col("value") - col("mean")) / col("sd")) > 3)
+      .select(col("event_id"), col("event_type"), col("value"),
+        round((col("value") - col("mean")) / col("sd"), 4).as("z"))
+      .orderBy("event_id")
+  }
+
   /** HyperLogLog distinct users per type, with the exact count alongside —
     * approximate, so verified by error bound in a unit test, not an oracle. */
   def approxDistinctHll(spark: SparkSession, dir: String): DataFrame =

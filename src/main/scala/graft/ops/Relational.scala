@@ -337,6 +337,48 @@ object Relational {
       .orderBy("p_partkey")
       .limit(100)
 
+  /** TPC-H-Q17-shaped correlated aggregate: revenue from "small-quantity"
+    * lineitems — rows whose quantity is below 20% of THEIR part's average
+    * — rolled up per brand. The classic decorrelation: the per-group
+    * scalar subquery becomes an aggregate-then-rejoin on the same key,
+    * so both the threshold agg and the probe join hash `l_partkey` and
+    * AQE aligns the exchanges (no second row-sized shuffle). The part
+    * dimension broadcasts. Thresholds derive from exact DECIMAL sums ÷
+    * count, so both engines compare against bit-identical doubles and
+    * the `<` boundary classifies identically. */
+  def q17AvgQuantity(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val thr = l.groupBy(col("l_partkey").as("pk"))
+      .agg(((decSum(col("l_quantity")) / count(lit(1))) * 0.2).as("threshold"))
+    l.join(thr, col("l_partkey") === col("pk"))
+      .where(col("l_quantity") < col("threshold"))
+      .join(broadcast(Tables.part(spark, dir)), col("p_partkey") === col("l_partkey"))
+      .groupBy("p_brand")
+      .agg((decSum(col("l_extendedprice")) / 7.0).as("avg_yearly"),
+        count(lit(1)).as("n"))
+      .orderBy("p_brand")
+  }
+
+  /** Array / higher-order-function battery over the document corpus —
+    * the collection-type coverage the scalar batteries don't touch:
+    * split, size, array_distinct, sort_array, slice, concat_ws,
+    * array_contains, element_at (positive and negative index). All
+    * row-local codegen'd projections; the only shuffle is the
+    * presentation sort. DuckDB twin uses list_* functions (binary
+    * collation on both sides, so sort_array ≡ list_sort). */
+  def arrayFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_distinct"),
+      concat_ws("|", slice(sort_array(array_distinct(toks)), 1, 3)).as("first3"),
+      array_contains(toks, "the").as("has_the"),
+      element_at(toks, 1).as("first_tok"),
+      element_at(toks, -1).as("last_tok"))
+      .orderBy("doc_id")
+  }
+
   /** Key-skew profile for any keyed frame: the top-k heaviest keys with
     * their absolute count, share of all rows, and ratio to the mean key
     * load — the numbers that decide whether a planned join/groupBy on

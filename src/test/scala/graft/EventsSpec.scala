@@ -113,6 +113,41 @@ class EventsSpec extends GraftSpec {
       "each user contributes (events - 1) transitions")
   }
 
+  test("resample: full grid, explicit zeros, totals match the filtered stream") {
+    val ev = Tables.events(spark, sf)
+    val rows = Events.resampleDaily(spark, sf).collect()
+    val nTypes = ev.select("event_type").distinct().count()
+    assert(rows.length === 30 * nTypes, "every (day, type) cell must be present")
+    assert(rows.exists(_.getLong(2) === 0L), "gap cells must surface as explicit zeros")
+    val filtered = ev.filter(col("value") > 200).count()
+    assert(rows.map(_.getLong(2)).sum === filtered)
+    rows.filter(_.getLong(2) === 0L).foreach(r =>
+      assert(r.getDouble(3) === 0.0, s"zero-count cell must have zero sum: $r"))
+  }
+
+  test("zscore outliers match a driver-side recomputation exactly") {
+    val evs = Tables.events(spark, sf)
+      .select("event_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    // same formula, exact decimal sums replaced by plain sums — tolerable
+    // at 1k rows for set-membership with a 3.0 cutoff nothing sits on
+    val stats = evs.groupBy(_._2).map { case (t, rs) =>
+      val n = rs.length
+      val sm = rs.map(_._3).sum
+      val sq = rs.map(v => v._3 * v._3).sum
+      t -> (sm / n, math.sqrt((sq - sm * sm / n) / (n - 1)))
+    }
+    val expected = evs.filter { case (_, t, v) =>
+      val (mean, sd) = stats(t); math.abs((v - mean) / sd) > 3
+    }.map(_._1).toSet
+    val got = Events.zscoreOutliers(spark, sf).collect()
+    assert(got.map(_.getLong(0)).toSet === expected)
+    got.foreach { r =>
+      val (mean, sd) = stats(r.getString(1))
+      assert(math.abs(r.getDouble(3) - (r.getDouble(2) - mean) / sd) < 1e-3)
+    }
+  }
+
   test("approx_count_distinct stays within the 2% rsd bound") {
     Events.approxDistinctHll(spark, sf).collect().foreach { r =>
       val (approx, exact) = (r.getLong(1), r.getLong(2))

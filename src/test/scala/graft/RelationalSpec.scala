@@ -132,6 +132,37 @@ class RelationalSpec extends GraftSpec {
     }
   }
 
+  test("q17: small-quantity rows match a driver-side threshold recompute") {
+    val li = Tables.lineitem(spark, sf)
+      .select("l_partkey", "l_quantity", "l_extendedprice").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val avg = li.groupBy(_._1).map { case (pk, rs) =>
+      pk -> rs.map(_._2).sum / rs.length
+    }
+    val small = li.filter { case (pk, q, _) => q < 0.2 * avg(pk) }
+    val got = Relational.q17AvgQuantity(spark, sf).collect()
+    assert(got.map(_.getLong(2)).sum === small.length.toLong)
+    val expectedRevenue = small.map(_._3).sum / 7.0
+    val gotRevenue = got.map(_.getDouble(1)).sum
+    assert(math.abs(gotRevenue - expectedRevenue) / expectedRevenue < 1e-9)
+  }
+
+  test("array funcs: per-row values match JVM string ops") {
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = Relational.arrayFuncs(spark, sf).collect()
+    assert(rows.length === texts.size)
+    rows.foreach { r =>
+      val toks = texts(r.getLong(0)).split(" ", -1)
+      assert(r.getInt(1) === toks.length)
+      assert(r.getInt(2) === toks.distinct.length)
+      assert(r.getString(3) === toks.distinct.sorted.take(3).mkString("|"))
+      assert(r.getBoolean(4) === toks.contains("the"))
+      assert(r.getString(5) === toks.head)
+      assert(r.getString(6) === toks.last)
+    }
+  }
+
   test("q5: revenue sorted descending, all nations positive") {
     val rows = Relational.q5MultiwayJoin(spark, sf).collect()
     assert(rows.nonEmpty)
