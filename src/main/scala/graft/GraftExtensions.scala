@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.functions.{DotProduct, JsonGetLong, MinHashSig, MinShingleMd5, NgramHashes, SimHash64}
+import graft.functions.{DotProduct, JsonGetLong, MinHashSig, MinShingleMd5, NgramHashes, SimHash64, TokenEntropy}
 
 /** SQL surface for the library's native Catalyst expressions.
   *
@@ -67,7 +67,11 @@ object GraftExtensions {
     ("simhash64",
       "simhash64(tokens) - 64-bit SimHash fingerprint of array<string>",
       args => { expectArity("simhash64", args, 1)
-        SimHash64(args(0)) }))
+        SimHash64(args(0)) }),
+    ("token_entropy",
+      "token_entropy(text) - struct(entropy, n_tokens) of the space-split tokens",
+      args => { expectArity("token_entropy", args, 1)
+        TokenEntropy(args(0)) }))
 
   private def expectArity(fn: String, args: Seq[Expression], n: Int): Unit =
     if (args.length != n) throw new IllegalArgumentException(

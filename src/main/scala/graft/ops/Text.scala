@@ -108,19 +108,21 @@ object Text {
   /** Per-document token entropy — the repetition/diversity quality signal
     * a training-data pipeline filters on (boilerplate and template spam
     * sit at low entropy; natural text sits near log2 of its vocabulary).
-    * Algebraic form `log2(n) − Σ c·log2(c) / n` needs only one pass over
-    * the per-(doc, token) counts — no window, no second scan. Plan: one
-    * explode + two mergeable hash aggregates; the token shuffle is
-    * corpus-sized, the doc-level state is two doubles. */
+    * Algebraic form `log2(n) − Σ c·log2(c) / n`, computed by the native
+    * [[graft.functions.TokenEntropy]] expression in ONE map-only pass
+    * over the text bytes — the aggregate stack it replaced (explode →
+    * per-(doc, token) count → per-doc entropy) multiplied the row stream
+    * by the token count and shuffled that token-sized stream twice for
+    * what is a pure per-row property; parity-tested against that stack
+    * in TokenEntropySpec. The only exchange left is the presentation
+    * sort. */
   def tokenEntropy(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg(
-        round(log2(sum(col("c"))) - sum(col("c") * log2(col("c"))) / sum(col("c")), 4)
-          .as("entropy"),
-        sum(col("c")).as("n_tokens"))
+      .select(col("doc_id"),
+        graft.functions.TokenEntropy.tokenEntropy(col("text")).as("te"))
+      .select(col("doc_id"),
+        round(col("te.entropy"), 4).as("entropy"),
+        col("te.n_tokens").as("n_tokens"))
       .orderBy("doc_id")
       .limit(1000)
 

@@ -36,7 +36,7 @@ class GraftExtensionsSpec extends GraftSpec {
     }
   }
 
-  test("all six functions resolve by name and match their Column twins") {
+  test("all seven functions resolve by name and match their Column twins") {
     withExtSession { s =>
       val sqlRow = s.sql(
         """SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp,
@@ -44,10 +44,12 @@ class GraftExtensionsSpec extends GraftSpec {
           |       json_get_long('{"a": 1, "k": 76}', 'k')           AS jl,
           |       min_shingle_md5('abcdefgh', 3)                    AS ms,
           |       ngram_hashes('a b c d', 2)                        AS ng,
-          |       simhash64(array('a', 'b', 'c'))                   AS sh
+          |       simhash64(array('a', 'b', 'c'))                   AS sh,
+          |       token_entropy('a b c d').entropy                  AS te
           |""".stripMargin).collect().head
       assert(sqlRow.getDouble(0) === 11.0)
       assert(sqlRow.getLong(2) === 76L)
+      assert(sqlRow.getDouble(6) === 2.0)
       // Column-API twins on the same inputs (no registry involved)
       val colRow = s.range(1).select(
         minhash(array(lit("a"), lit("b"), lit("c")), 4).as("mh"),
