@@ -200,21 +200,33 @@ object Events {
     * filter is then a row-local codegen'd predicate — one scan for stats,
     * one for the screen, nothing row-sized ever shuffles. */
   def zscoreOutliers(spark: SparkSession, dir: String): DataFrame = {
-    val stats = Tables.events(spark, dir)
-      .groupBy(col("event_type").as("et"))
+    val ev = Tables.events(spark, dir)
+    zscoreScreen(ev, valueStats(ev)).orderBy("event_id")
+  }
+
+  /** Per-type (mean, sd) of `value` from exact decimal moment sums —
+    * the reference-stats half of the z-score screen, reusable against a
+    * live stream (see `StreamingOps.streamingZscore`). */
+  def valueStats(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type").as("et"))
       .agg(decSum(col("value")).as("sm"),
         decSum(col("value") * col("value")).as("sq"),
         count(lit(1)).as("cnt"))
       .select(col("et"), (col("sm") / col("cnt")).as("mean"),
         sqrt((col("sq") - col("sm") * col("sm") / col("cnt")) / (col("cnt") - lit(1)))
           .as("sd"))
-    Tables.events(spark, dir)
-      .join(broadcast(stats), col("event_type") === col("et"))
-      .where(abs((col("value") - col("mean")) / col("sd")) > 3)
+
+  /** The screen half: rows more than `threshold` standard deviations
+    * from their type's mean, given a (et, mean, sd) stats frame. The
+    * stats broadcast; the predicate is row-local and codegen'd, so the
+    * screen is stateless — it runs identically over a batch frame or an
+    * unbounded stream. */
+  def zscoreScreen(events: DataFrame, stats: DataFrame,
+                   threshold: Double = 3.0): DataFrame =
+    events.join(broadcast(stats), col("event_type") === col("et"))
+      .where(abs((col("value") - col("mean")) / col("sd")) > threshold)
       .select(col("event_id"), col("event_type"), col("value"),
         round((col("value") - col("mean")) / col("sd"), 4).as("z"))
-      .orderBy("event_id")
-  }
 
   /** HyperLogLog distinct users per type, with the exact count alongside —
     * approximate, so verified by error bound in a unit test, not an oracle. */

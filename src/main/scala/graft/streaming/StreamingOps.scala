@@ -76,6 +76,39 @@ object StreamingOps {
       .filter(col("status") =!= "match")
   }
 
+  /** Streaming z-score screen — the continuous twin of the batch
+    * `zscore_outliers` op: each arriving event checked against a STATIC
+    * per-type (mean, sd) reference frame (computed offline by
+    * `Events.valueStats` over history, refreshed on redeploy), emitting
+    * the rows beyond `threshold` standard deviations.
+    *
+    * Stateless by construction — the stats broadcast and the predicate
+    * is a row-local codegen'd expression, so there is no watermark, no
+    * state store, and the query runs forever at any rate. Learning the
+    * stats FROM the stream itself would be a different op (and a
+    * feedback loop an anomaly screen usually must avoid: an outlier
+    * burst would inflate sd and mask itself). */
+  def streamingZscore(stream: DataFrame, stats: DataFrame,
+                      threshold: Double = 3.0): DataFrame =
+    graft.ops.Events.zscoreScreen(stream, stats, threshold)
+
+  /** Idempotent parquet batch writer — the `foreachBatch` sink pattern
+    * for exactly-once file output without a transactional table format:
+    * each micro-batch lands in its own `batch_id=N` partition directory
+    * with mode=overwrite, so a REPLAYED batch (failure before the
+    * checkpoint commit → Spark re-runs the same batchId with the same
+    * data) rewrites the same directory byte-for-byte instead of
+    * appending duplicates. Readers scan the tree root; `batch_id` is an
+    * ordinary partition column (prunable, and a consumer can checkpoint
+    * its own high-water mark on it).
+    *
+    * At 100 TB/day the per-batch directory also bounds the blast radius
+    * of a bad deploy: quarantining or re-emitting one batch is a
+    * directory move, not a table rewrite. Pair with `Sources.compact`
+    * once partitions age out of the replay window. */
+  def writeBatchIdempotent(batch: DataFrame, path: String, batchId: Long): Unit =
+    batch.write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
+
   /** Stream-stream interval join — click attribution: every click joined
     * to the same user's views at most `horizon` before it (view first,
     * inclusive both ends). Both sides are live streams, so this is the

@@ -315,6 +315,69 @@ object StreamingSpec {
   * with a checkpoint — the readStream/writeStream/checkpoint lifecycle a
   * cluster deployment runs, not just the in-memory harness. */
 class StreamingFileSpec extends GraftSpec {
+  import StreamingSpec.Ev
+
+  private def toTyped(e: EventsFixture.RawEv): Ev =
+    Ev(e.event_id, new java.sql.Timestamp(e.ts / 1000000L), e.user_id,
+      e.event_type, e.value)
+
+  test("streaming z-score screen equals the batch op against static stats") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val ctx = spark.sqlContext
+    val stats = graft.ops.Events.valueStats(Tables.events(spark, sf))
+    val input = MemoryStream[Ev]
+    val q = StreamingOps.streamingZscore(input.toDF(), stats)
+      .writeStream.format("memory").queryName("z_sink")
+      .outputMode("append").start()
+    try {
+      // feed the whole sf0.001 table through in two micro-batches
+      val evs = Tables.events(spark, sf)
+        .select("event_id", "ts", "user_id", "event_type", "value").collect()
+        .map(r => Ev(r.getLong(0), r.getTimestamp(1), r.getLong(2),
+          r.getString(3), r.getDouble(4)))
+      val (a, b) = evs.splitAt(evs.length / 2)
+      input.addData(a.toSeq); q.processAllAvailable()
+      input.addData(b.toSeq); q.processAllAvailable()
+      val streamed = spark.table("z_sink").collect()
+        .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+      val batch = graft.ops.Events.zscoreOutliers(spark, sf).collect()
+        .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("idempotent batch sink: a replayed micro-batch adds no duplicates") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val ctx = spark.sqlContext
+    val out = s"$tmpDir/idem_out"
+    val input = MemoryStream[Ev]
+    val q = input.toDF().writeStream
+      .option("checkpointLocation", s"$tmpDir/idem_ckpt")
+      .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                     id: Long) =>
+        StreamingOps.writeBatchIdempotent(batch.toDF(), out, id))
+      .start()
+    val evs = EventsFixture.fixtureEvents.map(toTyped)
+    try {
+      input.addData(evs.take(5)); q.processAllAvailable()
+      input.addData(evs.drop(5)); q.processAllAvailable()
+    } finally q.stop()
+    val once = spark.read.parquet(out)
+    assert(once.count() === evs.length.toLong)
+    assert(once.select("batch_id").distinct().count() === 2)
+    // simulate the failure replay: the sink re-runs batch 1 with the
+    // same rows (what Spark does when the checkpoint commit was lost)
+    StreamingOps.writeBatchIdempotent(
+      evs.drop(5).toDF().withColumn("ts", col("ts")), out, 1L)
+    val replayed = spark.read.parquet(out)
+    assert(replayed.count() === evs.length.toLong, "replay must not duplicate")
+    // and the content round-trips exactly
+    val got = replayed.select("event_id").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === evs.map(_.event_id).sorted.toSeq)
+  }
 
   test("parquet file source → tumbling agg → parquet sink with checkpoint") {
     val src = s"$tmpDir/in"
