@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{Asof, Events, Graph, Multimodal, Privacy, Recon, Relational, Sampling, Text, Vectors}
+import graft.ops.{Asof, Changes, Events, Graph, Multimodal, Privacy, Recon, Relational, Sampling, Text, Vectors}
 
 /** Driver contract (SURVEY.md §2 is the inventory; Appendix A + §7.4 are
   * the determinism rules every oracle below follows: DECIMAL-exact money
@@ -28,6 +28,8 @@ object SparkEntry {
     "recon_reconcile_all"      -> (Recon.reconcileAllDemo _),
     "recon_profile"            -> (Recon.profileOrders _),
     "recon_tolerance_diff"     -> (Recon.toleranceDiffDemo _),
+    "merge_upsert"             -> (Changes.mergeUpsertOrders _),
+    "scd2_history"             -> (Changes.scd2Orders _),
     // §2.3–2.7 relational analytics
     "q1_pricing_summary"       -> (Relational.q1PricingSummary _),
     "q3_shipping_priority"     -> (Relational.q3ShippingPriority _),
@@ -44,6 +46,9 @@ object SparkEntry {
     "grouping_sets_agg"        -> (Relational.groupingSetsAgg _),
     "pivot_agg"                -> (Relational.pivotAgg _),
     "stats_funcs"              -> (Relational.statsFuncs _),
+    "semi_anti_join"           -> (Relational.semiAntiJoin _),
+    "minmax_by_agg"            -> (Relational.minmaxByAgg _),
+    "corr_matrix"              -> (Relational.corrMatrix _),
     "histogram_agg"            -> (Relational.histogramAgg _),
     "q17_avg_quantity"         -> (Relational.q17AvgQuantity _),
     "array_funcs"              -> (Relational.arrayFuncs _),
@@ -78,7 +83,9 @@ object SparkEntry {
     "text_langid"              -> (Text.langidNgram _),       // no-oracle
     "text_token_counts"        -> (Text.tokenCounts _),
     "sample_stratified"        -> (Sampling.sampleDocuments _), // no-oracle
+    "sample_mix"               -> (Sampling.sampleMixDocs _),
     "train_test_split"         -> (Sampling.trainTestSplitDocs _),
+    "tfidf_top_terms"          -> ((s, d) => Text.tfidfTopTerms(s, d)),
     "text_sequence_pack"       -> ((s, d) => Text.sequencePack(s, d)),
     "text_entropy"             -> (Text.tokenEntropy _),
     "text_repetition"          -> (Text.textRepetition _),
@@ -97,7 +104,7 @@ object SparkEntry {
     "multimodal_frame_sample"  -> ((s, d) => Multimodal.frameSample(s, d)) // no-oracle
   )
 
-  /** The 59 BASELINE.md headline queries timed by [[Bench]] — every
+  /** The 66 BASELINE.md headline queries timed by [[Bench]] — every
     * oracle-able op, kept exactly aligned with the baseline so per-query
     * times stay comparable. Round 2 extended the original 19 to 34;
     * round 7 closed the contract drift by adding the 10 oracled ops
@@ -106,8 +113,10 @@ object SparkEntry {
     * round 8 added text_repetition and funnel_conversion (v4),
     * recon_snapshot_diff (v5), cohort_retention + dedup_normalized (v6),
     * histogram_agg + event_transitions + skew_profile + train_test_split
-    * (v7), and q17_avg_quantity + array_funcs + resample_daily +
-    * zscore_outliers (v8). */
+    * (v7), q17_avg_quantity + array_funcs + resample_daily +
+    * zscore_outliers (v8), and merge_upsert + scd2_history +
+    * semi_anti_join + minmax_by_agg + corr_matrix + sample_mix +
+    * tfidf_top_terms (v9). */
   val benchQueries: Seq[String] = Seq(
     "recon_rowcount", "recon_colagg_fingerprint", "recon_hash_diff",
     "recon_missing_rows", "recon_partition_drill", "q1_pricing_summary",
@@ -125,7 +134,9 @@ object SparkEntry {
     "decontaminate_ngram", "mask_pii", "text_repetition", "funnel_conversion",
     "recon_snapshot_diff", "cohort_retention", "dedup_normalized",
     "histogram_agg", "event_transitions", "skew_profile", "train_test_split",
-    "q17_avg_quantity", "array_funcs", "resample_daily", "zscore_outliers")
+    "q17_avg_quantity", "array_funcs", "resample_daily", "zscore_outliers",
+    "merge_upsert", "scd2_history", "semi_anti_join", "minmax_by_agg",
+    "corr_matrix", "sample_mix", "tfidf_top_terms")
 
   /** DuckDB-dialect oracle per query (driver runs these on the same parquet
     * files and hash-compares). Dialect forks: get_json_object↔
@@ -333,6 +344,113 @@ object SparkEntry {
         |    count(DISTINCT o_totalprice),
         |    CAST(min(o_totalprice) AS VARCHAR), CAST(max(o_totalprice) AS VARCHAR) FROM o
         |) ORDER BY "column"""".stripMargin,
+
+    "merge_upsert" ->
+      // the CDC feed (I: keys ≡0 mod 10, U: price restated on ≡0 mod 7,
+      // D: ≡0 mod 13) applied to the complementary base; final state
+      // verified by per-status rowcount + exact DECIMAL sum + restated
+      // count (any misplaced row moves a sum)
+      """WITH base AS (SELECT * FROM orders WHERE o_orderkey % 10 <> 0),
+        |chg AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+        |    o_orderpriority, 'I' op FROM orders WHERE o_orderkey % 10 = 0
+        |  UNION ALL SELECT o_orderkey, o_custkey, o_orderstatus, round(o_totalprice, 0),
+        |    o_orderdate, '5-RESTATED', 'U'
+        |  FROM orders WHERE o_orderkey % 10 <> 0 AND o_orderkey % 7 = 0 AND o_orderkey % 13 <> 0
+        |  UNION ALL SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+        |    o_orderpriority, 'D'
+        |  FROM orders WHERE o_orderkey % 10 <> 0 AND o_orderkey % 13 = 0),
+        |fin AS (
+        |  SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM chg)
+        |  UNION ALL SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |    o_orderdate, o_orderpriority FROM chg WHERE op <> 'D')
+        |SELECT o_orderstatus, count(*) n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) sum_price,
+        |  count(*) FILTER (o_orderpriority = '5-RESTATED') n_restated
+        |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "scd2_history" ->
+      // type-2 validity ranges along the per-customer order timeline;
+      // (o_orderdate, o_orderkey) ordering is total so lead() pairs
+      // identically across engines
+      """SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice,
+        |  o_orderdate valid_from,
+        |  lead(o_orderdate) OVER w valid_to,
+        |  lead(o_orderdate) OVER w IS NULL is_current
+        |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, valid_from, o_orderkey LIMIT 500""".stripMargin,
+
+    "semi_anti_join" ->
+      // left-semi ≡ EXISTS, left-anti ≡ NOT EXISTS; the distinct-segment
+      // spine keeps zero-count segments in the output on both engines
+      """WITH s AS (SELECT c_mktsegment, count(*) n_semi FROM customer c
+        |  WHERE EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000) GROUP BY 1),
+        |a AS (SELECT c_mktsegment, count(*) n_anti FROM customer c
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000) GROUP BY 1)
+        |SELECT m.c_mktsegment, coalesce(s.n_semi, 0) n_semi, coalesce(a.n_anti, 0) n_anti
+        |FROM (SELECT DISTINCT c_mktsegment FROM customer) m
+        |LEFT JOIN s USING (c_mktsegment) LEFT JOIN a USING (c_mktsegment)
+        |ORDER BY 1""".stripMargin,
+
+    "minmax_by_agg" ->
+      // argmin/argmax need a UNIQUE ordering value to be engine-portable:
+      // epoch seconds × 10⁶ + orderkey (epoch() here ≡ unix_timestamp on
+      // the Spark side — both UTC)
+      """SELECT o_orderstatus,
+        |  min_by(o_orderkey, CAST(epoch(o_orderdate) AS BIGINT) * 1000000 + o_orderkey) first_key,
+        |  min_by(o_totalprice, CAST(epoch(o_orderdate) AS BIGINT) * 1000000 + o_orderkey) first_price,
+        |  max_by(o_orderkey, CAST(epoch(o_orderdate) AS BIGINT) * 1000000 + o_orderkey) last_key,
+        |  max_by(o_totalprice, CAST(epoch(o_orderdate) AS BIGINT) * 1000000 + o_orderkey) last_price,
+        |  count(*) n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "corr_matrix" ->
+      // six pairwise Pearson coefficients from one scan, unpivoted to
+      // long; corr is a centered-sum ratio — stable at 4 dp both engines
+      """WITH c AS (SELECT
+        |  round(corr(l_quantity, l_extendedprice), 4) qe,
+        |  round(corr(l_quantity, l_discount), 4) qd,
+        |  round(corr(l_quantity, l_tax), 4) qt,
+        |  round(corr(l_extendedprice, l_discount), 4) ed,
+        |  round(corr(l_extendedprice, l_tax), 4) et,
+        |  round(corr(l_discount, l_tax), 4) dt
+        |  FROM lineitem)
+        |SELECT * FROM (
+        |  SELECT 'l_quantity' col_a, 'l_extendedprice' col_b, qe r FROM c
+        |  UNION ALL SELECT 'l_quantity', 'l_discount', qd FROM c
+        |  UNION ALL SELECT 'l_quantity', 'l_tax', qt FROM c
+        |  UNION ALL SELECT 'l_extendedprice', 'l_discount', ed FROM c
+        |  UNION ALL SELECT 'l_extendedprice', 'l_tax', et FROM c
+        |  UNION ALL SELECT 'l_discount', 'l_tax', dt FROM c)
+        |ORDER BY col_a, col_b""".stripMargin,
+
+    "sample_mix" ->
+      // portable md5-bucket uniform vs per-source weight 1 − 0.045·idx;
+      // '0x'-cast here ≡ conv(,16,10) on the Spark side (bit-identical,
+      // the train_test_split pattern)
+      """WITH b AS (SELECT source, n_chars,
+        |    CAST(('0x' || substr(md5('mix:42:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |      % 1000000 / 1000000.0 u,
+        |    1.0 - 0.045 * CAST(substr(source, 4) AS INT) w
+        |  FROM documents)
+        |SELECT source, count(*) n, CAST(sum(n_chars) AS BIGINT) chars
+        |FROM b WHERE u < w GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "tfidf_top_terms" ->
+      // integer tf/df into ln() on the same doubles both engines, so the
+      // only realistic ties (equal (tf, df)) collapse identically before
+      // the term tiebreak; displayed score rounds to 4 dp
+      """WITH toks AS (SELECT source, unnest(string_split(text, ' ')) tok FROM documents),
+        |tf AS (SELECT source, tok, count(*) tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT tok, count(*) df FROM tf GROUP BY 1),
+        |n AS (SELECT count(DISTINCT source) n_src FROM documents),
+        |s AS (SELECT source, tok, tf, df, tf * ln(CAST(n_src AS DOUBLE) / df) score
+        |  FROM tf JOIN df USING (tok) CROSS JOIN n)
+        |SELECT source, tok, tf, df, round(score, 4) tfidf, rn FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY score DESC, tok) rn FROM s)
+        |WHERE rn <= 10 ORDER BY source, rn""".stripMargin,
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

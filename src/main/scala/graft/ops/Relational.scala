@@ -407,4 +407,74 @@ object Relational {
     * user_id. */
   def skewProfileEvents(spark: SparkSession, dir: String): DataFrame =
     skewProfile(Tables.events(spark, dir), "user_id", 20)
+
+  /** Semi/anti-join battery: per market segment, customers with at least
+    * one 400 k+ order (left-semi) and customers with no 250 k+ order at
+    * all (left-anti). Both plan as broadcast/shuffled hash joins that
+    * emit only the probe side — no fan-out, no dedup step afterwards,
+    * which is why EXISTS-shaped filters at 100 TB should always be semi
+    * joins rather than join+distinct. Segments with a zero count survive
+    * via the left join from the distinct-segment spine. */
+  def semiAntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val ords = Tables.orders(spark, dir)
+    val semi = cust
+      .join(ords.filter(col("o_totalprice") > 400000),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_semi"))
+    val anti = cust
+      .join(ords.filter(col("o_totalprice") > 250000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_anti"))
+    cust.select(col("c_mktsegment")).distinct()
+      .join(semi, Seq("c_mktsegment"), "left")
+      .join(anti, Seq("c_mktsegment"), "left")
+      .select(col("c_mktsegment"),
+        coalesce(col("n_semi"), lit(0L)).as("n_semi"),
+        coalesce(col("n_anti"), lit(0L)).as("n_anti"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** min_by/max_by battery: first and last order per status along the
+    * (orderdate, orderkey) timeline. The ordering value is a single
+    * unique BIGINT — epoch seconds × 10⁶ + orderkey — because argmin/
+    * argmax over a non-unique instant is engine-dependent (and DuckDB's
+    * max_by cannot take a struct), so the composite makes the answer a
+    * pure function of the data. One hash agg, no window, no sort. */
+  def minmaxByAgg(spark: SparkSession, dir: String): DataFrame = {
+    val inst = unix_timestamp(col("o_orderdate")) * lit(1000000L) + col("o_orderkey")
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        min_by(col("o_orderkey"), inst).as("first_key"),
+        min_by(col("o_totalprice"), inst).as("first_price"),
+        max_by(col("o_orderkey"), inst).as("last_key"),
+        max_by(col("o_totalprice"), inst).as("last_price"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Pairwise Pearson correlation matrix over the lineitem measures,
+    * long format. All six coefficients come out of ONE scan + ONE
+    * 1-row aggregate (Spark fuses the six corr() states into a single
+    * partial-agg pass); the unpivot to (col_a, col_b, r) is driver-cheap
+    * stack() over that single row. Rounded to 4 dp — corr is a ratio of
+    * centered sums, stable at that precision across engines. */
+  def corrMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val pairs = for {
+      i <- cols.indices
+      j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val aggs = pairs.map { case (a, b) =>
+      round(corr(col(a), col(b)), 4).as(s"${a}__$b")
+    }
+    val stackArgs = pairs
+      .map { case (a, b) => s"'$a', '$b', `${a}__$b`" }
+      .mkString(", ")
+    Tables.lineitem(spark, dir)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${pairs.size}, $stackArgs) as (col_a, col_b, r)"))
+      .orderBy("col_a", "col_b")
+  }
 }

@@ -93,4 +93,41 @@ object Sampling {
       Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25), seed = 42L)
       .select("doc_id", "source")
       .orderBy("doc_id")
+
+  /** Engine-portable per-row uniform in [0, 1): first 60 bits of
+    * `md5(mix:seed:key)` mod 10⁶ (the trainTestSplit discipline —
+    * reproducible bit-identically outside Spark, unlike xxhash64).
+    * Slightly slower than [[unit]]; use it when the mixture must be
+    * auditable by a second engine. */
+  private def unitPortable(key: String, seed: Long) =
+    (conv(substring(md5(concat(lit(s"mix:$seed:"), col(key).cast("string"))),
+      1, 15), 16, 10).cast("long") % Buckets).cast("double") / Buckets
+
+  /** Weighted mixture with the portable hash: keep each row of stratum s
+    * with probability `weights(s)`; absent strata drop (allowlist
+    * semantics, like [[sampleStratified]]). Pure row-local projection. */
+  def mixSourcesPortable(df: DataFrame, strataCol: String, keyCol: String,
+                         weights: Map[String, Double], seed: Long): DataFrame = {
+    require(weights.nonEmpty, "mixSourcesPortable: empty weight map")
+    require(weights.values.forall(w => w >= 0 && w <= 1),
+      s"mixSourcesPortable: weights must be in [0,1]: $weights")
+    val w = weights.foldLeft(lit(-1.0)) { case (acc, (s, f)) =>
+      when(col(strataCol) === s, lit(f)).otherwise(acc)
+    }
+    df.filter(unitPortable(keyCol, seed) < w)
+  }
+
+  /** Harness op: a 20-source training mixture, source srcI kept at
+    * weight 1 − 0.045·I (full wiki-ish head, thin crawl-ish tail),
+    * audited as per-source kept-doc counts + total characters. The
+    * weight formula is what the DuckDB oracle recomputes, so the
+    * mixture is verified row-for-row across engines. */
+  def sampleMixDocs(spark: SparkSession, dir: String): DataFrame = {
+    val weights = (0 until 20).map(i => s"src$i" -> (1.0 - 0.045 * i)).toMap
+    mixSourcesPortable(Tables.documents(spark, dir), "source", "doc_id",
+      weights, seed = 42L)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+      .orderBy("source")
+  }
 }

@@ -407,4 +407,38 @@ object Text {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("lang", "pred")
   }
+
+  /** TF-IDF top terms per source corpus: tf = term occurrences within
+    * the source, idf = ln(#sources / #sources containing the term),
+    * top-k by (score desc, term). Determinism across engines: tf and df
+    * are integers and both engines evaluate tf·ln(n/df) on the same
+    * doubles, so equal (tf, df) pairs — the only realistic score ties —
+    * collapse to the same double on both sides before the term tiebreak;
+    * the displayed score rounds to 4 dp.
+    *
+    * Shape: explode → two-phase (source, tok) count → tok-level df agg
+    * (tiny: vocabulary-sized) joined back, one window per source for the
+    * top-k. Nothing after the first combine is corpus-sized, so the plan
+    * survives a 100 TB corpus as long as the vocabulary fits a shuffle —
+    * and a vocabulary never outgrows one. */
+  def tfidfTopTerms(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    require(k > 0, s"tfidfTopTerms: k must be positive: $k")
+    val tf = docs(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nSrc = docs(spark, dir).agg(countDistinct(col("source")).as("n_src"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("score").desc, col("tok"))
+    tf.join(df, Seq("tok"))
+      .crossJoin(broadcast(nSrc))
+      .withColumn("score",
+        col("tf") * log(col("n_src").cast("double") / col("df")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("source"), col("tok"), col("tf"), col("df"),
+        round(col("score"), 4).as("tfidf"), col("rn"))
+      .orderBy("source", "rn")
+  }
 }

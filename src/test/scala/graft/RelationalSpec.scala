@@ -170,4 +170,51 @@ class RelationalSpec extends GraftSpec {
     assert(revs === revs.sorted.reverse)
     assert(revs.forall(_ > 0))
   }
+
+  test("semi/anti counts match a driver-side EXISTS replay") {
+    val custs = Tables.customer(spark, sf).select("c_custkey", "c_mktsegment")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val byCust = Tables.orders(spark, sf).select("o_custkey", "o_totalprice")
+      .collect().groupBy(_.getLong(0))
+    def prices(k: Long) = byCust.getOrElse(k, Array.empty).map(_.getDouble(1))
+    val rows = Relational.semiAntiJoin(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq === custs.map(_._2).distinct.sorted.toSeq)
+    rows.foreach { r =>
+      val seg = r.getString(0)
+      val inSeg = custs.filter(_._2 == seg).map(_._1)
+      assert(r.getLong(1) === inSeg.count(k => prices(k).exists(_ > 400000)))
+      assert(r.getLong(2) === inSeg.count(k => !prices(k).exists(_ > 250000)))
+    }
+  }
+
+  test("minmax_by picks the chronologically first/last order per status") {
+    val orders = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getTimestamp(3).getTime))
+    Relational.minmaxByAgg(spark, sf).collect().foreach { r =>
+      val st = orders.filter(_._2 == r.getString(0))
+      val first = st.minBy(o => (o._4, o._1))
+      val last = st.maxBy(o => (o._4, o._1))
+      assert(r.getLong(1) === first._1 && r.getDouble(2) === first._3)
+      assert(r.getLong(3) === last._1 && r.getDouble(4) === last._3)
+      assert(r.getLong(5) === st.length.toLong)
+    }
+  }
+
+  test("corr matrix matches a driver-side Pearson recompute") {
+    val xs = Tables.lineitem(spark, sf).select("l_quantity", "l_extendedprice")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    val n = xs.length
+    val (mx, my) = (xs.map(_._1).sum / n, xs.map(_._2).sum / n)
+    val cov = xs.map { case (x, y) => (x - mx) * (y - my) }.sum
+    val r0 = cov / math.sqrt(xs.map(t => math.pow(t._1 - mx, 2)).sum *
+      xs.map(t => math.pow(t._2 - my, 2)).sum)
+    val got = Relational.corrMatrix(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(2))).toMap
+    assert(got.size === 6)
+    assert(math.abs(got(("l_quantity", "l_extendedprice")) - r0) < 1e-3)
+    assert(got.values.forall(v => v >= -1.0 && v <= 1.0))
+  }
 }

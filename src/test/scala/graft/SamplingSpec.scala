@@ -64,4 +64,20 @@ class SamplingSpec extends GraftSpec {
     assert(!plan.contains("HashAggregate"), plan)
     assert(!plan.contains("Exchange hashpartitioning"), plan)
   }
+
+  test("portable mixture: allowlist drops absent strata, w=1 keeps all, w=0 none") {
+    val docs = Tables.documents(spark, sf)
+    val kept = Sampling.mixSourcesPortable(docs, "source", "doc_id",
+      Map("src0" -> 1.0, "src1" -> 0.0), 42L)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val src0 = docs.filter(org.apache.spark.sql.functions.col("source") === "src0").count()
+    assert(kept === Map("src0" -> src0)) // src1 empty, others allowlisted out
+    // deterministic: same seed → identical membership across invocations
+    val a = Sampling.mixSourcesPortable(docs, "source", "doc_id",
+      Map("src2" -> 0.5), 7L).select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.mixSourcesPortable(docs, "source", "doc_id",
+      Map("src2" -> 0.5), 7L).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a === b && a.nonEmpty)
+  }
 }

@@ -189,6 +189,27 @@ class TextSpec extends GraftSpec {
     assert(row.getLong(2) === toks.length.toLong)
     assert(row.getDouble(3) === doc.getString(1).length.toDouble / toks.length)
   }
+
+  test("tfidf: top-k per source, scores recompute from tf·ln(n/df)") {
+    val rows = Text.tfidfTopTerms(spark, sf, k = 5).collect()
+    val nSrc = Tables.documents(spark, sf).select("source").distinct().count()
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      assert(rs.length <= 5)
+      val byRank = rs.sortBy(_.getInt(5))
+      assert(byRank.map(_.getInt(5)).toSeq === (1 to byRank.length))
+      // ranked score is non-increasing and matches the formula at 4 dp
+      val scores = byRank.map { r =>
+        val expect = r.getLong(2) * math.log(nSrc.toDouble / r.getLong(3))
+        assert(math.abs(r.getDouble(4) - math.rint(expect * 1e4) / 1e4) < 1e-9)
+        expect
+      }
+      scores.sliding(2).foreach {
+        case Array(a, b) => assert(a >= b - 1e-12)
+        case _ =>
+      }
+      assert(rs.forall(r => r.getLong(3) >= 1 && r.getLong(3) <= nSrc))
+    }
+  }
 }
 
 object DecontFixture {
