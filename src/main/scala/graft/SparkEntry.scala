@@ -90,6 +90,7 @@ object SparkEntry {
     "text_entropy"             -> (Text.tokenEntropy _),
     "text_repetition"          -> (Text.textRepetition _),
     "decontaminate_ngram"      -> ((s, d) => Text.decontaminateNgram(s, d)),
+    "decontaminate_bloom"      -> ((s, d) => Text.decontaminateBloom(s, d)), // no-oracle
     "mask_pii"                 -> (Privacy.maskCustomers _),
     "dedup_embedding"          -> ((s, d) => Vectors.dedupEmbedding(s, d)), // no-oracle
     // §2.9 LLM-pipeline: vectors

@@ -408,6 +408,44 @@ object Text {
       .orderBy("lang", "pred")
   }
 
+  /** Scale path for [[decontaminateNgram]]: the eval split's distinct
+    * gram hashes compact into a Bloom filter (distributed build via
+    * `stat.bloomFilter`'s treeAggregate — only the bitmap reaches the
+    * driver) and the train side probes it as a codegen'd SCAN-SIDE
+    * FILTER — no join at all. Why it matters at 100 TB: a broadcast
+    * hash relation costs ~16 B per distinct gram, the bitmap ~1.2 B at
+    * 1% fpp, so an eval set whose hash relation blows the broadcast
+    * budget (billions of grams) still ships to every executor as a few
+    * GB of bits. Approximate one-way: no false negatives — a
+    * contaminated doc is NEVER missed — and fpp false positives that
+    * can only inflate a doc's hit count (non-oracle; the spec pins
+    * superset-of-exact and exact-equality at tiny fpp).
+    *
+    * Only (doc_id, hit) pairs that survive the probe reach the shuffle,
+    * so post-scan traffic is proportional to contamination, not corpus
+    * size — the same property the exact path's broadcast join has, with
+    * a 10–100× cheaper broadcast. */
+  def decontaminateBloom(spark: SparkSession, dir: String,
+                         evalSource: String = "src0", n: Int = 3,
+                         fpp: Double = 0.001): DataFrame = {
+    require(n > 0, s"decontaminateBloom: n must be positive: $n")
+    require(fpp > 0 && fpp < 1, s"decontaminateBloom: fpp must be in (0,1): $fpp")
+    def grams(df: DataFrame): DataFrame = df.select(col("doc_id"),
+      explode(graft.functions.NgramHashes.ngramHashes(col("text"), n)).as("g"))
+    val d = docs(spark, dir)
+    val evalGrams = grams(d.filter(col("source") === evalSource))
+      .select("g").distinct()
+    // the eval side is the small one by construction; its distinct count
+    // sizes the filter (one cheap action over the already-tiny frame)
+    val bloom = evalGrams.stat.bloomFilter("g",
+      math.max(evalGrams.count(), 1L), fpp)
+    grams(d.filter(col("source") =!= evalSource))
+      .filter(graft.functions.BloomMightContainLong.mightContain(col("g"), bloom))
+      .groupBy("doc_id").agg(count(lit(1)).as("hits"))
+      .orderBy(col("hits").desc, col("doc_id"))
+      .limit(100)
+  }
+
   /** TF-IDF top terms per source corpus: tf = term occurrences within
     * the source, idf = ln(#sources / #sources containing the term),
     * top-k by (score desc, term). Determinism across engines: tf and df

@@ -163,4 +163,29 @@ class ScaleSpec extends GraftSpec {
     // top-k must not globally sort
     assert(plan("q3_shipping_priority").contains("TakeOrderedAndProject"))
   }
+
+  test("applyChanges: the base side never shuffles — feed-keys anti-join broadcasts") {
+    val p = SparkEntry.queries("merge_upsert")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // change feeds are small next to the base snapshot: the anti join
+    // must be a BroadcastHashJoin LeftAnti (base stays scan-shaped), not
+    // a sort-merge that shuffles the 100 TB side
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("corr matrix: six coefficients from ONE lineitem scan") {
+    val exec = Relational.corrMatrix(spark, sf).queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(exec).length
+    assert(scans === 1, s"expected a single fused scan, got $scans:\n$exec")
+  }
+
+  test("tfidf: only vocabulary-sized frames move after the first combine") {
+    val exec = graft.ops.Text.tfidfTopTerms(spark, sf, 10)
+      .queryExecution.executedPlan.toString
+    // corpus-sized explode output must partial-aggregate BEFORE the
+    // exchange (two-phase agg), and the tiny n_src frame must broadcast
+    assert(exec.contains("partial_count"), exec)
+    assert(exec.contains("BroadcastExchange") || exec.contains("BroadcastNestedLoopJoin"), exec)
+  }
 }
