@@ -208,4 +208,86 @@ object StreamingOps {
           }
       }
   }
+
+  // ── continuous CDC apply: the repair loop closed ──────────────────────
+  //
+  // recon finds a diff → a change feed repairs the target → the stream
+  // keeps the target repaired. The snapshot is a chain of immutable
+  // parquet versions under `dir/v=<n>` plus a `_latest` pointer that
+  // commits via atomic rename: readers always see a complete version,
+  // a crash between the parquet write and the pointer flip leaves the
+  // previous version current (the orphan v+1 directory is overwritten
+  // on retry). Replay safety comes from recording the batch id IN the
+  // pointer: a re-delivered foreachBatch batch (restart from checkpoint)
+  // sees its own id is not newer and returns without touching anything —
+  // the writeBatchIdempotent discipline, extended to read-modify-write.
+  //
+  // Per batch the work is one broadcast anti-join + union over the
+  // current snapshot ([[graft.ops.Changes.applyChanges]]): the snapshot
+  // is scanned once and never shuffled, so cost scales with snapshot
+  // size × change cardinality exactly like the batch op. At 100 TB you
+  // would partition the snapshot and rewrite only partitions the batch
+  // touches; the version-chain + pointer protocol stays the same.
+
+  private def fs(spark: org.apache.spark.sql.SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Read `_latest` → (version, lastAppliedBatchId); (-1, -1) if absent. */
+  private def latest(spark: org.apache.spark.sql.SparkSession,
+                     dir: String): (Long, Long) = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_latest")
+    val f = fs(spark, dir)
+    if (!f.exists(p)) (-1L, -1L)
+    else {
+      val in = f.open(p)
+      val s = try scala.io.Source.fromInputStream(in).mkString.trim
+      finally in.close()
+      val Array(v, b) = s.split(" ")
+      (v.toLong, b.toLong)
+    }
+  }
+
+  private def commitPointer(spark: org.apache.spark.sql.SparkSession,
+                            dir: String, version: Long, batchId: Long): Unit = {
+    val f = fs(spark, dir)
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/_latest.tmp")
+    val dst = new org.apache.hadoop.fs.Path(s"$dir/_latest")
+    val out = f.create(tmp, true)
+    try out.write(s"$version $batchId".getBytes("UTF-8")) finally out.close()
+    if (f.exists(dst)) f.delete(dst, false)
+    require(f.rename(tmp, dst), s"snapshot pointer commit failed for $dir")
+  }
+
+  /** Seed the versioned snapshot with an initial state (v=0). */
+  def initSnapshot(df: DataFrame, dir: String): Unit = {
+    df.write.mode("overwrite").parquet(s"$dir/v=0")
+    commitPointer(df.sparkSession, dir, 0L, -1L)
+  }
+
+  /** The current snapshot contents (whatever `_latest` points at). */
+  def readSnapshot(spark: org.apache.spark.sql.SparkSession,
+                   dir: String): DataFrame = {
+    val (v, _) = latest(spark, dir)
+    require(v >= 0, s"no snapshot at $dir — initSnapshot first")
+    spark.read.parquet(s"$dir/v=$v")
+  }
+
+  /** foreachBatch body: merge one micro-batch of I/U/D changes into the
+    * snapshot. Compacts the batch to last-change-per-key by `seqCol`
+    * first (a micro-batch can carry several changes for one key), then
+    * applies and commits version v+1. Idempotent under replay. */
+  def applyChangesBatch(batch: DataFrame, dir: String, key: String,
+                        seqCol: String, opCol: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val (v, lastBatch) = latest(spark, dir)
+    require(v >= 0, s"no snapshot at $dir — initSnapshot first")
+    if (batchId <= lastBatch) return // replayed batch: already applied
+    val base = spark.read.parquet(s"$dir/v=$v")
+    val compacted = graft.ops.Changes.compactChanges(batch, key, seqCol)
+      .drop(seqCol)
+    graft.ops.Changes.applyChanges(base, compacted, key, opCol)
+      .write.mode("overwrite").parquet(s"$dir/v=${v + 1}")
+    commitPointer(spark, dir, v + 1, batchId)
+  }
 }

@@ -309,6 +309,53 @@ class StreamingSpec extends GraftSpec {
 object StreamingSpec {
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                 event_type: String, value: Double)
+  case class Chg(k: Long, v: String, seq: Long, op: String)
+}
+
+/** Continuous CDC apply: a change stream merged into a versioned parquet
+  * snapshot via foreachBatch, with replay-safe pointer commits. */
+class StreamingCdcSpec extends GraftSpec {
+  import StreamingSpec.Chg
+
+  private def state(dir: String): Map[Long, String] =
+    StreamingOps.readSnapshot(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  test("change stream merges into the snapshot batch by batch") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val ctx = spark.sqlContext
+    val dir = s"$tmpDir/cdc_snap"
+    StreamingOps.initSnapshot(
+      Seq((1L, "one"), (2L, "two"), (3L, "three")).toDF("k", "v"), dir)
+    val input = MemoryStream[Chg]
+    val q = input.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        StreamingOps.applyChangesBatch(batch, dir, "k", "seq", "op", id)
+      }
+      .option("checkpointLocation", s"$tmpDir/cdc_ckpt").start()
+    try {
+      // batch 1: in-batch compaction (two changes for k=2, higher seq wins),
+      // a delete, and an insert
+      input.addData(Chg(2L, "TWO-stale", 1L, "U"), Chg(2L, "TWO", 2L, "U"),
+        Chg(3L, "x", 3L, "D"), Chg(4L, "four", 4L, "I"))
+      q.processAllAvailable()
+      assert(state(dir) === Map(1L -> "one", 2L -> "TWO", 4L -> "four"))
+      // batch 2: delete the fresh insert, update an untouched base row
+      input.addData(Chg(4L, "x", 5L, "D"), Chg(1L, "ONE", 6L, "U"))
+      q.processAllAvailable()
+      assert(state(dir) === Map(1L -> "ONE", 2L -> "TWO"))
+    } finally q.stop()
+    // replaying an already-applied batch id must be a no-op (the restart-
+    // from-checkpoint redelivery case)
+    val replay = Seq(Chg(1L, "CLOBBER", 99L, "U")).toDF()
+    StreamingOps.applyChangesBatch(replay, dir, "k", "seq", "op", 0L)
+    StreamingOps.applyChangesBatch(replay, dir, "k", "seq", "op", 1L)
+    assert(state(dir) === Map(1L -> "ONE", 2L -> "TWO"))
+    // a genuinely new batch id applies
+    StreamingOps.applyChangesBatch(replay, dir, "k", "seq", "op", 2L)
+    assert(state(dir) === Map(1L -> "CLOBBER", 2L -> "TWO"))
+  }
 }
 
 /** The production-shaped path: file source → watermark → parquet sink
