@@ -54,13 +54,15 @@ object Bench {
     // line — full-precision doubles plus three per-query maps — ran 4169
     // chars, the "{"metric":…" head fell outside the window, and the
     // official record landed as parsed:null. The printed line is therefore
-    // the COMPACT channel (3-decimal mins, one aggregate noise figure,
-    // ~1.3 kB for 46 queries); the full-precision per-query medians,
-    // noise ratios and info timings stay in bench_out.json.
-    def qmap(f: Seq[Double] => Double)(xs: Seq[(String, Seq[Double])]) =
-      xs.map { case (k, v) => "\"" + k + "\":" + f"${f(v)}%.3f" }
+    // the COMPACT channel (2-decimal mins since the set hit 75 queries —
+    // 3-decimal overflowed the guard at 1910 chars — one aggregate noise
+    // figure, ~1.85 kB); the full-precision per-query medians, noise
+    // ratios and info timings stay in bench_out.json.
+    def qmap(prec: String)(f: Seq[Double] => Double)(
+        xs: Seq[(String, Seq[Double])]) =
+      xs.map { case (k, v) => "\"" + k + "\":" + prec.format(f(v)) }
         .mkString("{", ",", "}")
-    val qs = qmap(_.head)(samples)
+    val qs = qmap("%.2f")(_.head)(samples)
     // noise = median/min: ≈1 on a quiet box; ≫1 flags a starved JVM so
     // the driver's record adjudicates itself (round-6 #2). The printed
     // line carries only the worst offender; per-query ratios → file.
@@ -78,15 +80,20 @@ object Bench {
     infoQueries.foreach(materialize)
     val infoSamples = infoQueries.map(name => name -> Seq.fill(3)(timeOne(name)).sorted)
     val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"noise_max":{"$noisyQ":$noisyRatio%.2f},"sf":"$sfDir"}"""
-    require(compact.length <= 1800,
+    // Budget: the driver keeps the last 2000 stdout chars and sbt appends
+    // a ~70-char "[success] Total time…" line after ours, so the real
+    // ceiling is ~1930. 75 queries at 2 dp measure 1846; the require is
+    // the tripwire that fails the bench LOUDLY when a future query
+    // addition would push the line's head out of the capture window.
+    require(compact.length <= 1920,
       s"compact bench line is ${compact.length} chars — would overflow the driver's 2000-char tail capture")
-    // Full-precision record (medians, per-query noise, info-op timings) —
-    // too long for stdout (see above), kept as the on-disk channel.
-    val med = qmap(_(2))(samples)
+    // Full-precision record (mins, medians, per-query noise, info-op
+    // timings) — too long for stdout (see above), the on-disk channel.
+    val med = qmap("%.3f")(_(2))(samples)
     val noise = samples.map { case (k, v) =>
       "\"" + k + "\":" + f"${v(2) / v.head}%.2f" }.mkString("{", ",", "}")
-    val info = qmap(_.head)(infoSamples)
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$med,"noise_ratio":$noise,"queries_info":$info,"sf":"$sfDir"}"""
+    val info = qmap("%.3f")(_.head)(infoSamples)
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${qmap("%.3f")(_.head)(samples)},"queries_median":$med,"noise_ratio":$noise,"queries_info":$info,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench_out.json"), full)
     // sbt prefixes stdout with "[info] ", which broke the driver's JSON
     // parse in round 1; println keeps the line un-prefixed.

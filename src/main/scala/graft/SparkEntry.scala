@@ -28,6 +28,7 @@ object SparkEntry {
     "recon_reconcile_all"      -> (Recon.reconcileAllDemo _),
     "recon_profile"            -> (Recon.profileOrders _),
     "recon_tolerance_diff"     -> (Recon.toleranceDiffDemo _),
+    "recon_key_profile"        -> (Recon.keyProfileLineitem _),
     "merge_upsert"             -> (Changes.mergeUpsertOrders _),
     "scd2_history"             -> (Changes.scd2Orders _),
     // §2.3–2.7 relational analytics
@@ -49,6 +50,13 @@ object SparkEntry {
     "semi_anti_join"           -> (Relational.semiAntiJoin _),
     "minmax_by_agg"            -> (Relational.minmaxByAgg _),
     "corr_matrix"              -> (Relational.corrMatrix _),
+    "listagg_status"           -> (Relational.listaggStatus _),
+    "regr_funcs"               -> (Relational.regrFuncs _),
+    "cume_dist_funcs"          -> (Relational.cumeDistFuncs _),
+    "range_frame_window"       -> (Relational.rangeFrameWindow _),
+    "bit_agg"                  -> (Relational.bitAgg _),
+    "percent_of_total"         -> (Relational.percentOfTotal _),
+    "mode_agg"                 -> (Relational.modeAgg _),
     "histogram_agg"            -> (Relational.histogramAgg _),
     "q17_avg_quantity"         -> (Relational.q17AvgQuantity _),
     "array_funcs"              -> (Relational.arrayFuncs _),
@@ -68,7 +76,7 @@ object SparkEntry {
     "skew_profile"             -> (Relational.skewProfileEvents _),
     "resample_daily"           -> (Events.resampleDaily _),
     "zscore_outliers"          -> (Events.zscoreOutliers _),
-    "sliding_window_events"    -> (Events.slidingWindow _),   // no-oracle
+    "sliding_window_events"    -> (Events.slidingWindow _),
     "approx_distinct_hll"      -> (Events.approxDistinctHll _), // no-oracle
     // §2.9 LLM-pipeline: text + dedup
     "dedup_exact_docs"         -> (Text.dedupExact _),
@@ -105,7 +113,7 @@ object SparkEntry {
     "multimodal_frame_sample"  -> ((s, d) => Multimodal.frameSample(s, d)) // no-oracle
   )
 
-  /** The 66 BASELINE.md headline queries timed by [[Bench]] — every
+  /** The 75 BASELINE.md headline queries timed by [[Bench]] — every
     * oracle-able op, kept exactly aligned with the baseline so per-query
     * times stay comparable. Round 2 extended the original 19 to 34;
     * round 7 closed the contract drift by adding the 10 oracled ops
@@ -115,9 +123,12 @@ object SparkEntry {
     * recon_snapshot_diff (v5), cohort_retention + dedup_normalized (v6),
     * histogram_agg + event_transitions + skew_profile + train_test_split
     * (v7), q17_avg_quantity + array_funcs + resample_daily +
-    * zscore_outliers (v8), and merge_upsert + scd2_history +
+    * zscore_outliers (v8), merge_upsert + scd2_history +
     * semi_anti_join + minmax_by_agg + corr_matrix + sample_mix +
-    * tfidf_top_terms (v9). */
+    * tfidf_top_terms (v9), and recon_key_profile + listagg_status +
+    * regr_funcs + cume_dist_funcs + range_frame_window + bit_agg +
+    * percent_of_total + mode_agg + sliding_window_events — the former
+    * no-oracle op, now grid-join oracled (v10). */
   val benchQueries: Seq[String] = Seq(
     "recon_rowcount", "recon_colagg_fingerprint", "recon_hash_diff",
     "recon_missing_rows", "recon_partition_drill", "q1_pricing_summary",
@@ -137,7 +148,9 @@ object SparkEntry {
     "histogram_agg", "event_transitions", "skew_profile", "train_test_split",
     "q17_avg_quantity", "array_funcs", "resample_daily", "zscore_outliers",
     "merge_upsert", "scd2_history", "semi_anti_join", "minmax_by_agg",
-    "corr_matrix", "sample_mix", "tfidf_top_terms")
+    "corr_matrix", "sample_mix", "tfidf_top_terms", "recon_key_profile",
+    "listagg_status", "regr_funcs", "cume_dist_funcs", "range_frame_window",
+    "bit_agg", "percent_of_total", "mode_agg", "sliding_window_events")
 
   /** DuckDB-dialect oracle per query (driver runs these on the same parquet
     * files and hash-compares). Dialect forks: get_json_object↔
@@ -879,6 +892,90 @@ object SparkEntry {
 
     "multimodal_bytes" ->
       """SELECT doc_id, octet_length(encode(text)) nbytes, md5(text) sig
-        |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin
+        |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin,
+
+    "recon_key_profile" ->
+      """WITH m AS (SELECT l_orderkey, count(*) m FROM lineitem GROUP BY 1)
+        |SELECT m multiplicity, count(*) n_keys FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "listagg_status" ->
+      // Spark's listagg leaves order unspecified, so the portable form on
+      // both sides is sorted-distinct: string_agg(DISTINCT .. ORDER BY)
+      // here ≡ array_join(array_sort(collect_set)) there
+      """SELECT o_orderpriority, count(*) n,
+        |  string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) statuses
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "regr_funcs" ->
+      // ratios of centered sums — stable at 4 dp across engines (the
+      // corr_matrix discipline)
+      """SELECT l_returnflag,
+        |  round(regr_slope(l_extendedprice, l_quantity), 4) slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 4) icept,
+        |  round(regr_r2(l_extendedprice, l_quantity), 4) r2,
+        |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "cume_dist_funcs" ->
+      // w1 orders uniquely (cume_dist/nth_value deterministic); w2 has
+      // real ties — dense_rank gives every peer the tied value, so both
+      // are pure functions of the data
+      """SELECT o_orderkey, o_orderstatus,
+        |  round(cume_dist() OVER w1, 6) cd,
+        |  CAST(dense_rank() OVER w2 AS BIGINT) dr,
+        |  nth_value(o_orderkey, 3) OVER w1 nv
+        |FROM orders
+        |WINDOW w1 AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey),
+        |       w2 AS (PARTITION BY o_orderstatus ORDER BY o_orderpriority)
+        |ORDER BY o_orderkey LIMIT 200""".stripMargin,
+
+    "range_frame_window" ->
+      // VALUE range over epoch seconds; equal instants are peers and share
+      // a frame, so the moving sum is order-independent under ties; exact
+      // DECIMAL sums are bit-identical across engines
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |    PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+        |    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE) trailing30d
+        |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey LIMIT 200""".stripMargin,
+
+    "bit_agg" ->
+      """SELECT o_orderstatus,
+        |  bit_and(o_orderkey % 4096) b_and, bit_or(o_orderkey % 4096) b_or,
+        |  bit_xor(o_orderkey % 4096) b_xor, count(*) n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "percent_of_total" ->
+      // denominator is an exact DECIMAL window sum → both engines divide
+      // the same stored double by the same total; 6-dp round bit-stable
+      """SELECT o_orderkey, o_orderstatus,
+        |  round(o_totalprice / CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+        |    OVER (PARTITION BY o_orderstatus) AS DOUBLE) * 100, 6) pct
+        |FROM orders ORDER BY o_orderkey LIMIT 200""".stripMargin,
+
+    "mode_agg" ->
+      // native mode() tie-breaks engine-dependently on both sides; the
+      // explicit (count DESC, value) head makes the tie-break part of the
+      // contract
+      """WITH c AS (SELECT o_orderpriority, o_orderstatus, count(*) n
+        |  FROM orders GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (
+        |    PARTITION BY o_orderpriority ORDER BY n DESC, o_orderstatus) rn FROM c)
+        |SELECT o_orderpriority, o_orderstatus mode_status, n n_mode
+        |FROM r WHERE rn = 1 ORDER BY 1""".stripMargin,
+
+    "sliding_window_events" ->
+      // Spark's sliding window(ts, 1h, 15min) assigns each event to the
+      // epoch-aligned window starts in (ts-1h, ts]; the grid of 15-min
+      // epoch multiples spanning [min-45min, max] joined on containment
+      // reproduces exactly the non-empty (window, type) groups
+      """WITH b AS (SELECT min(ts) mn, max(ts) mx FROM events),
+        |grid AS (SELECT CAST(unnest(generate_series(
+        |    to_timestamp(CAST(floor(epoch(mn)/900)*900 AS BIGINT)) - INTERVAL 45 MINUTE,
+        |    mx, INTERVAL 15 MINUTE)) AS TIMESTAMP) ws FROM b)
+        |SELECT g.ws, g.ws + INTERVAL 1 HOUR we, e.event_type, count(*) n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) v
+        |FROM grid g JOIN events e ON e.ts >= g.ws AND e.ts < g.ws + INTERVAL 1 HOUR
+        |GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin
   )
 }

@@ -421,6 +421,27 @@ object Recon {
         .withColumn("o_totalprice", col("o_totalprice").cast(DecimalType(12, 2))),
       Tables.orders.fieldNames.toSeq)
 
+  /** Key-multiplicity profile — the duplicate-key audit that must run
+    * BEFORE any keyed compare is trusted: every join-based recon check
+    * (hash diff, missing rows, reconcileAll) silently fans out on
+    * duplicate keys and inflates its counts, so the first question about
+    * a key column is its multiplicity histogram. Output is one row per
+    * multiplicity (1 = unique, 2+ = duplicated) with the number of keys
+    * at that multiplicity — a table that stays tiny no matter the input.
+    * Two chained hash aggs on the same key: the first shrinks the row
+    * stream to one row per key (map-side combinable), the second groups
+    * the already-small key stream by count; nothing re-shuffles wide. */
+  def keyProfile(df: DataFrame, key: String): DataFrame =
+    df.groupBy(col(key)).agg(count(lit(1)).as("m"))
+      .groupBy(col("m").as("multiplicity"))
+      .agg(count(lit(1)).as("n_keys"))
+      .orderBy("multiplicity")
+
+  /** Harness op over [[keyProfile]]: l_orderkey multiplicities in
+    * lineitem (1–7 lines per order in TPC-H-shaped data). */
+  def keyProfileLineitem(spark: SparkSession, dir: String): DataFrame =
+    keyProfile(Tables.lineitem(spark, dir), "l_orderkey")
+
   /** Keys present in source but absent in target (anti-join). */
   def missingRows(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)

@@ -477,4 +477,128 @@ object Relational {
       .select(expr(s"stack(${pairs.size}, $stackArgs) as (col_a, col_b, r)"))
       .orderBy("col_a", "col_b")
   }
+
+  /** LISTAGG / string_agg: the distinct statuses seen per priority as one
+    * delimited string. Spark's native `listagg` leaves element order
+    * unspecified (it concatenates in arrival order), so the portable form
+    * is collect_set → array_sort → array_join — same hash agg, and the
+    * sort runs on a ≤3-element array per group, not on rows. At 100 TB
+    * the state per group is bounded by the DISTINCT value count, not the
+    * row count, so this is safe exactly when the cardinality contract
+    * (few distinct statuses) holds — the same contract string_agg has on
+    * any engine. */
+  def listaggStatus(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        array_join(array_sort(collect_set(col("o_orderstatus"))), ",")
+          .as("statuses"))
+      .orderBy("o_orderpriority")
+
+  /** Linear-regression aggregate battery: slope/intercept/R² of
+    * extendedprice on quantity per returnflag. One scan, one hash agg —
+    * Spark fuses the four regr_* states into a single partial-agg pass
+    * (each is a few centered sums), so the cost is q1-shaped regardless
+    * of group count. Rounded to 4 dp: the coefficients are ratios of
+    * centered sums, stable at that precision across engines (the
+    * corr_matrix discipline). */
+  def regrFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
+        round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4).as("icept"),
+        round(regr_r2(col("l_extendedprice"), col("l_quantity")), 4).as("r2"),
+        regr_count(col("l_extendedprice"), col("l_quantity")).as("n"))
+      .orderBy("l_returnflag")
+
+  /** Rank-family battery not covered by window_funcs: cume_dist and
+    * nth_value over the unique (totalprice, orderkey) order, dense_rank
+    * over the genuinely tied priority order (ties are the point — rank
+    * would gap, dense_rank must not). cume_dist over a unique ordering is
+    * deterministic; dense_rank under ties assigns the tied value to every
+    * peer, so both are pure functions of the data. Same scale shape as
+    * every window op here: one shuffle on the partition key, per-group
+    * sort, single pass. */
+  def cumeDistFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val w1 = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val w2 = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_orderpriority"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(cume_dist().over(w1), 6).as("cd"),
+        dense_rank().over(w2).cast("long").as("dr"),
+        nth_value(col("o_orderkey"), 3).over(w1).as("nv"))
+      .orderBy("o_orderkey").limit(200)
+  }
+
+  /** RANGE-frame window: 30-day trailing spend per customer. The frame is
+    * a VALUE range over epoch seconds (−2 592 000 .. 0), not a row count —
+    * the semantics ROWS frames cannot express when a customer has gaps or
+    * bursts. Equal instants are peers and always share a frame, so the
+    * result is order-independent under ties. Exact DECIMAL sums make the
+    * moving total bit-identical across engines. One shuffle on custkey,
+    * per-group sort, single sliding pass with O(1) state per row. */
+  def rangeFrameWindow(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(unix_timestamp(col("o_orderdate")))
+      .rangeBetween(-2592000L, 0L)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        sum(col("o_totalprice").cast(DecimalType(18, 4))).over(w)
+          .cast("double").as("trailing30d"))
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey").limit(200)
+  }
+
+  /** Bitwise aggregate battery (bit_and / bit_or / bit_xor) over the
+    * order keys folded into a 12-bit space. XOR aggregation is the same
+    * primitive the recon partition fingerprints build on (order-independent
+    * set digest); and/or give the bit-envelope of the key set. One hash
+    * agg, integer state, perfectly map-side-combinable. */
+  def bitAgg(spark: SparkSession, dir: String): DataFrame = {
+    val k = col("o_orderkey") % 4096
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(bit_and(k).as("b_and"), bit_or(k).as("b_or"),
+        bit_xor(k).as("b_xor"), count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Percent-of-total window: each order's share of its status's total
+    * revenue. The denominator is an exact DECIMAL window sum (whole
+    * partition frame), so both engines divide the same stored double by
+    * the same exact total and the 6-dp round is bit-stable. Whole-
+    * partition aggregate frames compute once per group, not once per row.
+    * At 100 TB the alternative join (agg totals, broadcast, divide) costs
+    * the same shuffle but two scans; the window form is one scan. */
+  def percentOfTotal(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice")
+          / sum(col("o_totalprice").cast(DecimalType(18, 4))).over(w)
+            .cast("double") * 100, 6).as("pct"))
+      .orderBy("o_orderkey").limit(200)
+  }
+
+  /** Deterministic MODE: the most frequent status per priority. Spark's
+    * native `mode()` (and DuckDB's) leave ties engine-dependent, so the
+    * portable form is explicit: count per (group, value), then take the
+    * (count DESC, value) head per group — the tie-break is part of the
+    * contract, not an accident. Two stages: a hash agg that shrinks the
+    * stream to one row per distinct (group, value) pair, then a window
+    * over that TINY frame — the expensive row stream never sorts. */
+  def modeAgg(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("n").desc, col("o_orderstatus"))
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_orderpriority"), col("o_orderstatus").as("mode_status"),
+        col("n").as("n_mode"))
+      .orderBy("o_orderpriority")
+  }
 }

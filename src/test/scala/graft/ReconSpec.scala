@@ -307,4 +307,19 @@ class ReconSpec extends GraftSpec {
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(got === Map("p1" -> "changed"))
   }
+
+  test("keyProfile: multiplicity histogram flags duplicated keys") {
+    val spark0 = spark
+    import spark0.implicits._
+    // k=1 once, k=2 twice, k=3 three times, k=4 once → {1→2, 2→1, 3→1}
+    val df = Seq(1L, 2L, 2L, 3L, 3L, 3L, 4L).toDF("k")
+    val got = Recon.keyProfile(df, "k").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 2L, 2L -> 1L, 3L -> 1L))
+    // a unique-key frame collapses to the single multiplicity-1 row —
+    // the precondition every keyed recon check assumes
+    val uniq = Recon.keyProfile(Tables.orders(spark, sf), "o_orderkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(uniq.toSeq === Seq((1L, 1500L)))
+  }
 }

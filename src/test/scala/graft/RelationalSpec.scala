@@ -217,4 +217,38 @@ class RelationalSpec extends GraftSpec {
     assert(math.abs(got(("l_quantity", "l_extendedprice")) - r0) < 1e-3)
     assert(got.values.forall(v => v >= -1.0 && v <= 1.0))
   }
+
+  test("modeAgg: modal status per priority matches a local recount") {
+    val rows = Tables.orders(spark, sf)
+      .select("o_orderpriority", "o_orderstatus").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val expect = rows.groupBy(_._1).map { case (pri, xs) =>
+      val counts = xs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      // the contract's tie-break: highest count, then smallest value
+      val (status, n) = counts.toSeq.minBy { case (s, n) => (-n, s) }
+      pri -> ((status, n))
+    }
+    val got = Relational.modeAgg(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got === expect)
+  }
+
+  test("rangeFrameWindow: trailing sum recomputes from the raw rows") {
+    val raw = Tables.orders(spark, sf)
+      .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getTimestamp(2).getTime / 1000, r.getDouble(3)))
+    val got = Relational.rangeFrameWindow(spark, sf).collect()
+    assert(got.length === 200)
+    got.foreach { r =>
+      val (ck, ok) = (r.getLong(0), r.getLong(1))
+      val t = raw.find(x => x._2 == ok).get._3
+      val expect = raw.filter(x => x._1 == ck && x._3 >= t - 2592000 && x._3 <= t)
+        .map(x => BigDecimal(x._4).setScale(4, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+      assert(math.abs(r.getDouble(3) - expect) < 1e-6,
+        s"custkey=$ck orderkey=$ok")
+    }
+  }
 }
