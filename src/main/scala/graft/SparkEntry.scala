@@ -29,6 +29,7 @@ object SparkEntry {
     "recon_profile"            -> (Recon.profileOrders _),
     "recon_tolerance_diff"     -> (Recon.toleranceDiffDemo _),
     "recon_key_profile"        -> (Recon.keyProfileLineitem _),
+    "recon_mom_drift"          -> (Recon.momDrift _),
     "merge_upsert"             -> (Changes.mergeUpsertOrders _),
     "scd2_history"             -> (Changes.scd2Orders _),
     // §2.3–2.7 relational analytics
@@ -70,6 +71,8 @@ object SparkEntry {
     "json_extract_events"      -> (Events.jsonExtract _),
     "tumbling_window_events"   -> (Events.tumblingWindow _),
     "sessionize_events"        -> (Events.sessionize _),
+    "session_paths"            -> (Events.sessionPaths _),
+    "dwell_time"               -> (Events.dwellTime _),
     "funnel_conversion"        -> (Events.funnelConversion _),
     "cohort_retention"         -> (Events.cohortRetention _),
     "event_transitions"        -> (Events.eventTransitions _),
@@ -113,7 +116,7 @@ object SparkEntry {
     "multimodal_frame_sample"  -> ((s, d) => Multimodal.frameSample(s, d)) // no-oracle
   )
 
-  /** The 75 BASELINE.md headline queries timed by [[Bench]] — every
+  /** The 78 BASELINE.md headline queries timed by [[Bench]] — every
     * oracle-able op, kept exactly aligned with the baseline so per-query
     * times stay comparable. Round 2 extended the original 19 to 34;
     * round 7 closed the contract drift by adding the 10 oracled ops
@@ -128,7 +131,8 @@ object SparkEntry {
     * tfidf_top_terms (v9), and recon_key_profile + listagg_status +
     * regr_funcs + cume_dist_funcs + range_frame_window + bit_agg +
     * percent_of_total + mode_agg + sliding_window_events — the former
-    * no-oracle op, now grid-join oracled (v10). */
+    * no-oracle op, now grid-join oracled (v10) — and recon_mom_drift +
+    * session_paths + dwell_time (v11). */
   val benchQueries: Seq[String] = Seq(
     "recon_rowcount", "recon_colagg_fingerprint", "recon_hash_diff",
     "recon_missing_rows", "recon_partition_drill", "q1_pricing_summary",
@@ -150,7 +154,8 @@ object SparkEntry {
     "merge_upsert", "scd2_history", "semi_anti_join", "minmax_by_agg",
     "corr_matrix", "sample_mix", "tfidf_top_terms", "recon_key_profile",
     "listagg_status", "regr_funcs", "cume_dist_funcs", "range_frame_window",
-    "bit_agg", "percent_of_total", "mode_agg", "sliding_window_events")
+    "bit_agg", "percent_of_total", "mode_agg", "sliding_window_events",
+    "recon_mom_drift", "session_paths", "dwell_time")
 
   /** DuckDB-dialect oracle per query (driver runs these on the same parquet
     * files and hash-compares). Dialect forks: get_json_object↔
@@ -976,6 +981,44 @@ object SparkEntry {
         |SELECT g.ws, g.ws + INTERVAL 1 HOUR we, e.event_type, count(*) n,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) v
         |FROM grid g JOIN events e ON e.ts >= g.ws AND e.ts < g.ws + INTERVAL 1 HOUR
-        |GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin
+        |GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin,
+
+    "recon_mom_drift" ->
+      // lag over the post-agg (status, month) frame; the ratio divides
+      // two exact-DECIMAL-derived doubles so the 6-dp round is bit-stable
+      """WITH m AS (SELECT date_trunc('month', o_orderdate) mo, o_orderstatus st,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) rev
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT mo, st, rev,
+        |  round(rev / lag(rev) OVER (PARTITION BY st ORDER BY mo) - 1, 6) mom_change
+        |FROM m ORDER BY st, mo LIMIT 200""".stripMargin,
+
+    "session_paths" ->
+      // sessionize's window chain, then rank-ordered string_agg of the
+      // first ≤3 types per session (Spark side: array_sort over (rn,
+      // type) structs — collect_list alone has no order guarantee)
+      """WITH g AS (SELECT user_id, event_id, ts, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, event_type, ts, event_id,
+        |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) sid FROM g),
+        |r AS (SELECT user_id, sid, event_type,
+        |    row_number() OVER (PARTITION BY user_id, sid ORDER BY ts, event_id) rn FROM s),
+        |p AS (SELECT user_id, sid, string_agg(event_type, '>' ORDER BY rn) path
+        |  FROM r WHERE rn <= 3 GROUP BY 1, 2)
+        |SELECT path, count(*) n_sessions FROM p GROUP BY 1
+        |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
+
+    "dwell_time" ->
+      // both engines floor to whole seconds before differencing
+      // (unix_timestamp there, boundary-counting date_diff here); gap sum
+      // is an exact BIGINT so the mean divides identical operands
+      """WITH nxt AS (SELECT user_id, event_type, ts,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) nts FROM events)
+        |SELECT event_type, count(*) n,
+        |  round(CAST(sum(date_diff('second', ts, nts)) AS DOUBLE) / count(*), 4) avg_gap_s,
+        |  CAST(max(date_diff('second', ts, nts)) AS BIGINT) max_gap_s
+        |FROM nxt WHERE nts IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -64,8 +64,63 @@ object Events {
       .limit(200)
   }
 
-  /** Sliding window (1 h every 15 min) — overlap semantics, no single-
-    * statement DuckDB twin; verified by unit test (SURVEY §2.8). */
+  /** Top session journeys: the first ≤3 event types of each 30-min-gap
+    * session, joined into a path string, counted corpus-wide. Composes
+    * [[sessionize]]'s id derivation, then ranks within session and
+    * assembles the path ORDER-PRESERVINGLY: collect_list gives no order
+    * guarantee, so the path is array_sort over (rn, type) structs — rank
+    * first — then a transform/array_join projection, making the string a
+    * pure function of the data. Scale shape: every window and the
+    * per-session agg cluster by user_id (sid derives within user), so
+    * ONE shuffle of the events stream serves the whole pipeline —
+    * HashPartitioning(user_id) satisfies the (user_id, sid) clustering
+    * and Spark inserts only sorts; the final path count aggregates a
+    * session-sized frame and TakeOrderedAndProject keeps top-20. */
+  def sessionPaths(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byUser))
+    val bySession = Window.partitionBy(col("user_id"), col("sid"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        when(gapUs.isNull || gapUs > 1800000000L, 1).otherwise(0).as("brk"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        sum(col("brk")).over(byUser).cast("int").as("sid"))
+      .withColumn("rn", row_number().over(bySession))
+      .filter(col("rn") <= 3)
+      .groupBy(col("user_id"), col("sid"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("rn"), col("event_type")))),
+          p => p("event_type")), ">").as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path")).limit(20)
+  }
+
+  /** Inter-event dwell time: per event type, the mean and max seconds
+    * until the SAME user's next event (any type) — the engagement-gap
+    * profile. lead() over the per-user timeline (one shuffle, one sort —
+    * the sessionize discipline), then a plain hash agg over (type, gap).
+    * Cross-engine determinism: both sides floor timestamps to whole
+    * seconds before differencing (unix_timestamp here, date_diff
+    * 'second' there), the gap sum is an exact BIGINT, and the mean is
+    * one double division of identical operands. */
+  def dwellTime(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapS = unix_timestamp(lead(col("ts"), 1).over(byUser)) -
+      unix_timestamp(col("ts"))
+    Tables.events(spark, dir)
+      .select(col("event_type"), gapS.as("gap"))
+      .filter(col("gap").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("gap")).cast("double") / count(lit(1)), 4).as("avg_gap_s"),
+        max(col("gap")).as("max_gap_s"))
+      .orderBy("event_type")
+  }
+
+  /** Sliding window (1 h every 15 min) — overlap semantics; oracled
+    * round 8 via an epoch-aligned 15-min DuckDB grid joined on
+    * containment (SURVEY §2.8). */
   def slidingWindow(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))

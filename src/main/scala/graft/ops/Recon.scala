@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -441,6 +442,25 @@ object Recon {
     * lineitem (1–7 lines per order in TPC-H-shaped data). */
   def keyProfileLineitem(spark: SparkSession, dir: String): DataFrame =
     keyProfile(Tables.lineitem(spark, dir), "l_orderkey")
+
+  /** Month-over-month aggregate drift — the trend layer over
+    * [[partitionDrill]]: per (status, load month), exact-DECIMAL revenue
+    * and its relative change vs the previous month. A recon monitor
+    * alerts on |mom_change| spikes instead of eyeballing absolute sums.
+    * The lag window runs on the POST-aggregate frame (one row per
+    * status-month), so the window cost is trivial no matter the input
+    * size; the drift ratio divides two exact-sum-derived doubles, so the
+    * 6-dp round is bit-stable across engines. */
+  def momDrift(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables.orders(spark, dir)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("mo"),
+        col("o_orderstatus").as("st"))
+      .agg(decSum(col("o_totalprice")).as("rev"))
+    val w = Window.partitionBy(col("st")).orderBy(col("mo"))
+    m.select(col("mo"), col("st"), col("rev"),
+        round(col("rev") / lag(col("rev"), 1).over(w) - 1, 6).as("mom_change"))
+      .orderBy("st", "mo").limit(200)
+  }
 
   /** Keys present in source but absent in target (anti-join). */
   def missingRows(spark: SparkSession, dir: String): DataFrame =

@@ -188,4 +188,21 @@ class ScaleSpec extends GraftSpec {
     assert(exec.contains("partial_count"), exec)
     assert(exec.contains("BroadcastExchange") || exec.contains("BroadcastNestedLoopJoin"), exec)
   }
+
+  test("session paths: one shuffle of the event stream serves windows and session agg") {
+    val exec = graft.ops.Events.sessionPaths(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the sid derivation, per-session ranking, and per-session path agg
+    // all cluster by user_id: HashPartitioning(user_id) satisfies the
+    // (user_id, sid) requirements, so the only hash exchanges are the
+    // event stream's user_id shuffle and the tiny final path count —
+    // a (user_id, sid) re-shuffle of the full stream would betray that
+    // EnsureRequirements stopped reusing the first exchange
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(exec).length
+    assert(hashExchanges === 2,
+      s"expected 2 hash exchanges (user_id + final path count), got $hashExchanges:\n$exec")
+    assert(!exec.contains("hashpartitioning(user_id#" ) ||
+      !"hashpartitioning\\(user_id#\\d+L?, sid".r.findFirstIn(exec).isDefined,
+      s"full stream re-shuffled on (user_id, sid):\n$exec")
+  }
 }
