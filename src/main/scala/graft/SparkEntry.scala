@@ -58,6 +58,7 @@ object SparkEntry {
     "bit_agg"                  -> (Relational.bitAgg _),
     "percent_of_total"         -> (Relational.percentOfTotal _),
     "mode_agg"                 -> (Relational.modeAgg _),
+    "topk_values_agg"          -> (Relational.topkValuesAgg _),
     "histogram_agg"            -> (Relational.histogramAgg _),
     "q17_avg_quantity"         -> (Relational.q17AvgQuantity _),
     "array_funcs"              -> (Relational.arrayFuncs _),
@@ -116,7 +117,7 @@ object SparkEntry {
     "multimodal_frame_sample"  -> ((s, d) => Multimodal.frameSample(s, d)) // no-oracle
   )
 
-  /** The 78 BASELINE.md headline queries timed by [[Bench]] — every
+  /** The 79 BASELINE.md headline queries timed by [[Bench]] — every
     * oracle-able op, kept exactly aligned with the baseline so per-query
     * times stay comparable. Round 2 extended the original 19 to 34;
     * round 7 closed the contract drift by adding the 10 oracled ops
@@ -131,8 +132,8 @@ object SparkEntry {
     * tfidf_top_terms (v9), and recon_key_profile + listagg_status +
     * regr_funcs + cume_dist_funcs + range_frame_window + bit_agg +
     * percent_of_total + mode_agg + sliding_window_events — the former
-    * no-oracle op, now grid-join oracled (v10) — and recon_mom_drift +
-    * session_paths + dwell_time (v11). */
+    * no-oracle op, now grid-join oracled (v10), recon_mom_drift +
+    * session_paths + dwell_time (v11), and topk_values_agg (v12). */
   val benchQueries: Seq[String] = Seq(
     "recon_rowcount", "recon_colagg_fingerprint", "recon_hash_diff",
     "recon_missing_rows", "recon_partition_drill", "q1_pricing_summary",
@@ -155,7 +156,7 @@ object SparkEntry {
     "corr_matrix", "sample_mix", "tfidf_top_terms", "recon_key_profile",
     "listagg_status", "regr_funcs", "cume_dist_funcs", "range_frame_window",
     "bit_agg", "percent_of_total", "mode_agg", "sliding_window_events",
-    "recon_mom_drift", "session_paths", "dwell_time")
+    "recon_mom_drift", "session_paths", "dwell_time", "topk_values_agg")
 
   /** DuckDB-dialect oracle per query (driver runs these on the same parquet
     * files and hash-compares). Dialect forks: get_json_object↔
@@ -1019,6 +1020,15 @@ object SparkEntry {
         |SELECT event_type, count(*) n,
         |  round(CAST(sum(date_diff('second', ts, nts)) AS DOUBLE) / count(*), 4) avg_gap_s,
         |  CAST(max(date_diff('second', ts, nts)) AS BIGINT) max_gap_s
-        |FROM nxt WHERE nts IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM nxt WHERE nts IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "topk_values_agg" ->
+      // smallest-5 multiset per group as five scalar columns (an array
+      // column has no portable cross-engine text form); every status
+      // group has ≥5 orders at every SF so no out-of-range nulls
+      """SELECT o_orderstatus, ls[1] m1, ls[2] m2, ls[3] m3, ls[4] m4, ls[5] m5
+        |FROM (SELECT o_orderstatus, list_sort(list(o_totalprice)) ls
+        |      FROM orders GROUP BY 1)
+        |ORDER BY 1""".stripMargin
   )
 }

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -580,6 +580,24 @@ object Relational {
           / sum(col("o_totalprice").cast(DecimalType(18, 4))).over(w)
             .cast("double") * 100, 6).as("pct"))
       .orderBy("o_orderkey").limit(200)
+  }
+
+  /** Smallest-5 order totals per status through the bounded-state
+    * [[graft.functions.MinK]] typed Aggregator — the §2.10 UDAF surface
+    * exercised end-to-end. Unlike the window-sort top-k (which shuffles
+    * and sorts every group member), the aggregator's map side combines
+    * each task down to ≤5 values per group before the exchange, so the
+    * shuffle moves answer-sized state no matter the input size. The
+    * array lands as five scalar columns (null-safe `get`) because a raw
+    * array column has no portable cross-engine text form. */
+  def topkValuesAgg(spark: SparkSession, dir: String): DataFrame = {
+    val mink = udaf(new graft.functions.MinK(5), Encoders.scalaDouble)
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(mink(col("o_totalprice")).as("arr"))
+      .select(col("o_orderstatus") +: (1 to 5).map(i =>
+        get(col("arr"), lit(i - 1)).as(s"m$i")): _*)
+      .orderBy("o_orderstatus")
   }
 
   /** Deterministic MODE: the most frequent status per priority. Spark's
