@@ -61,6 +61,23 @@ object Sources {
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(table)
 
+  /** Idempotent partitioned load — dynamic partition overwrite, the
+    * write-side discipline a reconciliation pipeline assumes: re-running
+    * a load for one window must replace EXACTLY the partitions the batch
+    * carries and leave every other partition untouched. Spark's default
+    * (static) overwrite drops the WHOLE table root first — a re-run of
+    * one day's load would silently delete the other 3 649 days; the
+    * per-write `partitionOverwriteMode=dynamic` option scopes the delete
+    * to the partitions present in `df`. The retry story composes with
+    * [[graft.ops.Recon.snapshotDiff]]: re-load a bad window, then the
+    * partition fingerprints confirm only that window moved. */
+  def overwritePartitions(df: DataFrame, path: String,
+                          partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
   /** Compact a parquet dataset into ~`targetFileBytes` files — the
     * small-files maintenance job every streaming or micro-batch ingest
     * needs at scale: a sink that commits a file per trigger per partition

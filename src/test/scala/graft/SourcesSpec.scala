@@ -249,4 +249,35 @@ class SourcesSpec extends GraftSpec {
     spark.sql("DROP TABLE graft_recon.orders_src")
     spark.sql("DROP TABLE graft_recon.orders_tgt")
   }
+
+  test("overwritePartitions: re-loading one window replaces only that partition") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dynpart").toString
+    val orders = Tables.orders(spark, sf)
+      .withColumn("mo", date_format(col("o_orderdate"), "yyyy-MM"))
+    Sources.overwritePartitions(orders, tmp, Seq("mo"))
+    val full = spark.read.parquet(tmp)
+    val months = full.select("mo").distinct().collect().map(_.getString(0))
+    assert(months.length > 10, "fixture must span many partitions")
+    val target = months.sorted.apply(1)
+    val untouched = full.filter(col("mo") =!= target)
+      .agg(bit_xor(xxhash64(col("o_orderkey"), col("o_totalprice"))).as("h"))
+      .collect().head.getLong(0)
+    // re-load ONLY the target month with restated prices — the batch
+    // carries a single partition value, so dynamic overwrite must
+    // replace that directory alone
+    val reload = orders.filter(col("mo") === target)
+      .withColumn("o_totalprice", round(col("o_totalprice"), 0))
+    Sources.overwritePartitions(reload, tmp, Seq("mo"))
+    val after = spark.read.parquet(tmp)
+    assert(after.select("mo").distinct().count() === months.length.toLong,
+      "static overwrite semantics would have dropped every other partition")
+    assert(after.filter(col("mo") =!= target)
+      .agg(bit_xor(xxhash64(col("o_orderkey"), col("o_totalprice"))).as("h"))
+      .collect().head.getLong(0) === untouched,
+      "partitions outside the re-loaded window must be byte-stable")
+    val restated = after.filter(col("mo") === target)
+      .filter(col("o_totalprice") =!= round(col("o_totalprice"), 0)).count()
+    assert(restated === 0L, "the re-loaded window must carry the new rows")
+  }
 }
