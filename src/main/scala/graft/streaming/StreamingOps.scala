@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -62,6 +62,22 @@ object StreamingOps {
     * ends — a streaming full-outer against a static side would need
     * unbounded state — and stays a batch-API concern. At scale the
     * static side is broadcast (bounded dim) or bucketed on the key. */
+  /** Continuous bounded top-k — [[graft.functions.MinK]] as a STREAMING
+    * aggregate: per group, the smallest-k values seen so far across all
+    * micro-batches. The state store keeps exactly the ≤k-element sorted
+    * buffer per group (the Aggregator's merge is what the store invokes
+    * on each batch's partials), so state is answer-sized forever —
+    * the property that makes a top-k monitor viable on an unbounded
+    * stream, where any sort-based formulation would buffer the history.
+    * Complete/update output modes both work; no watermark needed because
+    * state never grows past k per group. */
+  def streamingTopK(rows: DataFrame, keyCol: String, valueCol: String,
+                    k: Int = 5): DataFrame = {
+    val mink = udaf(new graft.functions.MinK(k), Encoders.scalaDouble)
+    rows.groupBy(col(keyCol))
+      .agg(mink(col(valueCol).cast("double")).as("smallest"))
+  }
+
   def streamingHashDiff(stream: DataFrame, reference: DataFrame,
                         key: String, cols: Seq[String]): DataFrame = {
     val s = stream.select(col(key).as("k"),

@@ -503,4 +503,31 @@ class StreamingFileSpec extends GraftSpec {
     assert(alerts === Seq((1L, t(2), 3)),
       "restart must recover the streak from the checkpointed state store")
   }
+
+  test("streaming top-k: MinK state merges across micro-batches, equals batch recompute") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(String, Double)]
+    val q = StreamingOps.streamingTopK(
+        input.toDF().toDF("k", "v"), "k", "v", k = 3)
+      .writeStream.format("memory").queryName("topk_sink")
+      .outputMode("complete").start()
+    try {
+      // three micro-batches: the store must MERGE each batch's partial
+      // buffer into held state — values arrive interleaved so a correct
+      // result cannot come from any single batch alone
+      val batches = Seq(
+        Seq("a" -> 5.0, "a" -> 1.0, "b" -> 9.0),
+        Seq("a" -> 3.0, "b" -> 2.0, "b" -> 8.0, "b" -> 7.0),
+        Seq("a" -> 0.5, "a" -> 4.0, "b" -> 1.5))
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      val got = spark.table("topk_sink").collect()
+        .map(r => r.getString(0) -> r.getSeq[Double](1).toList).toMap
+      val expect = batches.flatten.groupBy(_._1).view
+        .mapValues(_.map(_._2).sorted.take(3).toList).toMap
+      assert(got === expect)
+      assert(got("a") === List(0.5, 1.0, 3.0) && got("b") === List(1.5, 2.0, 7.0))
+    } finally q.stop()
+  }
 }
