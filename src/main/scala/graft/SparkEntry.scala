@@ -64,6 +64,8 @@ object SparkEntry {
     "array_funcs"              -> (Relational.arrayFuncs _),
     "set_ops"                  -> (Relational.setOps _),
     "set_ops_except"           -> (Relational.setOpsExcept _),
+    "set_ops_all"              -> (Relational.setOpsAll _),
+    "try_cast_funcs"           -> (Relational.tryCastFuncs _),
     "scalar_funcs"             -> (Relational.scalarFuncs _),
     "string_funcs"             -> (Relational.stringFuncs _),
     "null_funcs"               -> (Relational.nullFuncs _),
@@ -80,6 +82,7 @@ object SparkEntry {
     "skew_profile"             -> (Relational.skewProfileEvents _),
     "resample_daily"           -> (Events.resampleDaily _),
     "zscore_outliers"          -> (Events.zscoreOutliers _),
+    "locf_fill"                -> (Events.locfFill _),
     "sliding_window_events"    -> (Events.slidingWindow _),
     "approx_distinct_hll"      -> (Events.approxDistinctHll _), // no-oracle
     // §2.9 LLM-pipeline: text + dedup
@@ -117,7 +120,7 @@ object SparkEntry {
     "multimodal_frame_sample"  -> ((s, d) => Multimodal.frameSample(s, d)) // no-oracle
   )
 
-  /** The 79 BASELINE.md headline queries timed by [[Bench]] — every
+  /** The 82 BASELINE.md headline queries timed by [[Bench]] — every
     * oracle-able op, kept exactly aligned with the baseline so per-query
     * times stay comparable. Round 2 extended the original 19 to 34;
     * round 7 closed the contract drift by adding the 10 oracled ops
@@ -133,7 +136,8 @@ object SparkEntry {
     * regr_funcs + cume_dist_funcs + range_frame_window + bit_agg +
     * percent_of_total + mode_agg + sliding_window_events — the former
     * no-oracle op, now grid-join oracled (v10), recon_mom_drift +
-    * session_paths + dwell_time (v11), and topk_values_agg (v12). */
+    * session_paths + dwell_time (v11), topk_values_agg (v12), and
+    * set_ops_all + try_cast_funcs + locf_fill (v13). */
   val benchQueries: Seq[String] = Seq(
     "recon_rowcount", "recon_colagg_fingerprint", "recon_hash_diff",
     "recon_missing_rows", "recon_partition_drill", "q1_pricing_summary",
@@ -156,7 +160,8 @@ object SparkEntry {
     "corr_matrix", "sample_mix", "tfidf_top_terms", "recon_key_profile",
     "listagg_status", "regr_funcs", "cume_dist_funcs", "range_frame_window",
     "bit_agg", "percent_of_total", "mode_agg", "sliding_window_events",
-    "recon_mom_drift", "session_paths", "dwell_time", "topk_values_agg")
+    "recon_mom_drift", "session_paths", "dwell_time", "topk_values_agg",
+    "set_ops_all", "try_cast_funcs", "locf_fill")
 
   /** DuckDB-dialect oracle per query (driver runs these on the same parquet
     * files and hash-compares). Dialect forks: get_json_object↔
@@ -1029,6 +1034,40 @@ object SparkEntry {
       """SELECT o_orderstatus, ls[1] m1, ls[2] m2, ls[3] m3, ls[4] m4, ls[5] m5
         |FROM (SELECT o_orderstatus, list_sort(list(o_totalprice)) ls
         |      FROM orders GROUP BY 1)
-        |ORDER BY 1""".stripMargin
+        |ORDER BY 1""".stripMargin,
+
+    "set_ops_all" ->
+      // multiset semantics: duplicate cardinality survives, unlike the
+      // dedup-based set_ops pair
+      """SELECT op, n FROM (
+        |  SELECT 'intersect_all' op, count(*) n FROM (
+        |    SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+        |    INTERSECT ALL SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |  UNION ALL SELECT 'except_all', count(*) FROM (
+        |    SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+        |    EXCEPT ALL SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'))
+        |ORDER BY op""".stripMargin,
+
+    "try_cast_funcs" ->
+      // parse failures → NULL on both engines; numeric strings route
+      // through the same int/double text forms (shortest-repr doubles in
+      // the tested value range)
+      """SELECT p_partkey,
+        |  TRY_CAST(substr(p_name, 1, 3) AS INT) bad_int,
+        |  TRY_CAST(CAST(p_size AS VARCHAR) || '.25' AS DOUBLE) good_double,
+        |  TRY_CAST(p_brand AS DOUBLE) brand_num,
+        |  TRY_CAST(substr(CAST(p_retailprice AS VARCHAR), 1, 4) AS DOUBLE) prefix_num
+        |FROM part ORDER BY p_partkey LIMIT 100""".stripMargin,
+
+    "locf_fill" ->
+      // LOCF: both engines run last_value IGNORE NULLS over the same
+      // ROWS frame; holes seeded deterministically (event_id % 3);
+      // leading nulls stay null by contract
+      """WITH v AS (SELECT event_id, user_id, ts,
+        |    CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END vn FROM events)
+        |SELECT event_id, user_id, vn,
+        |  last_value(vn IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) locf
+        |FROM v ORDER BY event_id LIMIT 500""".stripMargin
   )
 }

@@ -118,6 +118,25 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** LOCF gap-fill (last observation carried forward) — the time-series
+    * repair for sparse readings: each null value takes the user's most
+    * recent non-null one. `last(ignoreNulls).over(rows unbounded
+    * preceding..current)` is the canonical Spark form — one shuffle on
+    * user_id, one sort, O(1) carried state per row; the demo nulls are
+    * seeded deterministically (event_id % 3) so both engines fill the
+    * same holes. Leading nulls (no prior observation) stay null — part
+    * of the LOCF contract, not an artifact. */
+  def locfFill(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(col("event_id") % 3 === 0, lit(null)).otherwise(col("value")).as("vn"))
+      .select(col("event_id"), col("user_id"), col("vn"),
+        last(col("vn"), ignoreNulls = true).over(w).as("locf"))
+      .orderBy("event_id").limit(500)
+  }
+
   /** Sliding window (1 h every 15 min) — overlap semantics; oracled
     * round 8 via an epoch-aligned 15-min DuckDB grid joined on
     * containment (SURVEY §2.8). */

@@ -582,6 +582,38 @@ object Relational {
       .orderBy("o_orderkey").limit(200)
   }
 
+  /** Multiset (ALL) set operations — INTERSECT ALL / EXCEPT ALL keep
+    * duplicate cardinality, the semantics dedup-based set_ops cannot
+    * express (a customer with three qualifying orders counts three
+    * times). Spark plans both as aggregate-on-count + generate — one
+    * shuffle each, no join — so the multiset answer costs the same
+    * shape as the distinct one. Output is the portable count pair. */
+  def setOpsAll(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val a = o.filter(col("o_totalprice") > 100000).select("o_custkey")
+    val b = o.filter(col("o_orderstatus") === "O").select("o_custkey")
+    a.intersectAll(b).agg(count(lit(1)).as("n"))
+      .select(lit("intersect_all").as("op"), col("n"))
+      .unionByName(a.exceptAll(b).agg(count(lit(1)).as("n"))
+        .select(lit("except_all").as("op"), col("n")))
+      .orderBy("op")
+  }
+
+  /** try_cast battery — the dirty-data ingestion contract: parse
+    * failures become NULL instead of failing the job (the ANSI-mode
+    * default would abort a 100 TB load on one bad cell). Row-local,
+    * codegen'd, nothing but the presentation sort moves. */
+  def tryCastFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(col("p_partkey"),
+        expr("try_cast(substr(p_name, 1, 3) AS INT)").as("bad_int"),
+        expr("try_cast(concat(cast(p_size AS STRING), '.25') AS DOUBLE)")
+          .as("good_double"),
+        expr("try_cast(p_brand AS DOUBLE)").as("brand_num"),
+        expr("try_cast(substr(cast(p_retailprice AS STRING), 1, 4) AS DOUBLE)")
+          .as("prefix_num"))
+      .orderBy("p_partkey").limit(100)
+
   /** Smallest-5 order totals per status through the bounded-state
     * [[graft.functions.MinK]] typed Aggregator — the §2.10 UDAF surface
     * exercised end-to-end. Unlike the window-sort top-k (which shuffles
