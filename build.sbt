@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench/Verify print one machine-read JSON line; sbt's default
+// LoggedOutput strategy prefixes every forked-stdout line with
+// "[info] ", which is what the driver's JSON parse has tripped on since
+// round 1 (every BENCH_r*.json carries parsed:null). StdoutOutput pipes
+// the forked JVM's stdout through bare.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

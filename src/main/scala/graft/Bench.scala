@@ -53,16 +53,15 @@ object Bench {
     // The driver captures only the LAST 2000 chars of stdout: round 7's
     // line — full-precision doubles plus three per-query maps — ran 4169
     // chars, the "{"metric":…" head fell outside the window, and the
-    // official record landed as parsed:null. The printed line is therefore
-    // the COMPACT channel (2-decimal mins since the set hit 75 queries —
-    // 3-decimal overflowed the guard at 1910 chars — one aggregate noise
-    // figure, ~1.85 kB); the full-precision per-query medians, noise
-    // ratios and info timings stay in bench_out.json.
+    // official record landed as parsed:null. The printed line is
+    // therefore the COMPACT channel (adaptive 2→1-decimal mins, one
+    // aggregate noise figure); the full-precision per-query mins,
+    // medians, noise ratios and info timings stay in bench_out.json,
+    // which is committed to the repo.
     def qmap(prec: String)(f: Seq[Double] => Double)(
         xs: Seq[(String, Seq[Double])]) =
       xs.map { case (k, v) => "\"" + k + "\":" + prec.format(f(v)) }
         .mkString("{", ",", "}")
-    val qs = qmap("%.2f")(_.head)(samples)
     // noise = median/min: ≈1 on a quiet box; ≫1 flags a starved JVM so
     // the driver's record adjudicates itself (round-6 #2). The printed
     // line carries only the worst offender; per-query ratios → file.
@@ -82,14 +81,22 @@ object Bench {
     // sf prints as its basename (sf0.1) — the full path spent 15 chars of
     // the tail-capture budget on a constant prefix.
     val sfName = Paths.get(sfDir).getFileName.toString
-    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"noise_max":{"$noisyQ":$noisyRatio%.2f},"sf":"$sfName"}"""
+    def line(qs: String) =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"noise_max":{"$noisyQ":$noisyRatio%.2f},"sf":"$sfName"}"""
     // Budget: the driver keeps the last 2000 stdout chars and sbt appends
-    // a ~70-char "[success] Total time…" line after ours, so the real
-    // ceiling is ~1930. 75 queries at 2 dp measure 1846; the require is
-    // the tripwire that fails the bench LOUDLY when a future query
-    // addition would push the line's head out of the capture window.
-    require(compact.length <= 1920,
-      s"compact bench line is ${compact.length} chars — would overflow the driver's 2000-char tail capture")
+    // a ~73-char "[success] Total time…" line after ours, so the JSON
+    // line's real ceiling is ~1925. Precision adapts: 2-decimal
+    // per-query seconds while the line fits (82 queries no longer do at
+    // 3 dp), else 1-decimal — the full %.3f mins, medians, and per-query
+    // noise always live in bench_out.json, which is committed to the
+    // repo so the official record keeps full precision either way. The
+    // require is the tripwire that fails the bench LOUDLY when even the
+    // coarse line would push its own head out of the capture window.
+    val compact = Seq("%.2f", "%.1f").iterator
+      .map(p => line(qmap(p)(_.head)(samples)))
+      .find(_.length <= 1910)
+      .getOrElse(sys.error("compact bench line exceeds the driver's " +
+        "2000-char tail capture even at 1-decimal precision — re-encode"))
     // Full-precision record (mins, medians, per-query noise, info-op
     // timings) — too long for stdout (see above), the on-disk channel.
     val med = qmap("%.3f")(_(2))(samples)
