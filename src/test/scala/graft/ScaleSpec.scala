@@ -189,6 +189,26 @@ class ScaleSpec extends GraftSpec {
     assert(exec.contains("BroadcastExchange") || exec.contains("BroadcastNestedLoopJoin"), exec)
   }
 
+  test("multiset set-ops plan as count-aggregates + generate, never a join") {
+    val exec = Relational.setOpsAll(spark, sf).queryExecution.executedPlan.toString
+    // INTERSECT/EXCEPT ALL via per-key count pairs + Generate replication:
+    // the multiset answer must not cost a row-level join of the two sides
+    assert(exec.contains("Generate"), exec)
+    assert(!exec.contains("SortMergeJoin") && !exec.contains("ShuffledHashJoin"),
+      s"multiset set-op must not plan a row-level join:\n$exec")
+  }
+
+  test("locf gap-fill: one shuffle, top-k presentation without a global sort") {
+    val exec = graft.ops.Events.locfFill(spark, sf)
+      .queryExecution.executedPlan.toString
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(exec).length
+    assert(hashExchanges === 1,
+      s"LOCF needs exactly the user_id shuffle, got $hashExchanges:\n$exec")
+    assert(exec.contains("TakeOrderedAndProject"),
+      s"ordered LIMIT must plan as distributed top-k, not a global sort:\n$exec")
+    assert(!exec.contains("Exchange rangepartitioning"), exec)
+  }
+
   test("session paths: one shuffle of the event stream serves windows and session agg") {
     val exec = graft.ops.Events.sessionPaths(spark, sf)
       .queryExecution.executedPlan.toString
