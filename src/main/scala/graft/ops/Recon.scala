@@ -545,4 +545,27 @@ object Recon {
       fingerprintSnapshot(tgt, month, cols))
       .orderBy("part")
   }
+
+  /** Free load metrics via Spark's `Observation` — the recon-native way
+    * to fingerprint a load WITHOUT a second scan: `df.observe` attaches
+    * accumulator-backed aggregates that the load's own action (the
+    * parquet write, the stream sink) computes as a side effect. At
+    * 100 TB the alternative — write, then re-scan to profile — doubles
+    * the I/O of every load; this costs nothing beyond the write itself.
+    * The returned metrics row (rowcount, exact DECIMAL sum, null count,
+    * min/max key) is exactly a [[fingerprintSnapshot]]-grade check the
+    * next recon run can diff against, available the moment the action
+    * finishes. Usage: `val (df2, obs) = observedLoad(df, key, value);
+    * df2.write.parquet(...); obs.get`. */
+  def observedLoad(df: DataFrame, key: String, valueCol: String)
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation()
+    val observed = df.observe(obs,
+      count(lit(1)).as("rows"),
+      decSum(col(valueCol)).as("value_sum"),
+      count(when(col(valueCol).isNull, 1)).as("value_nulls"),
+      min(col(key)).as("key_min"),
+      max(col(key)).as("key_max"))
+    (observed, obs)
+  }
 }

@@ -308,6 +308,26 @@ class ReconSpec extends GraftSpec {
     assert(got === Map("p1" -> "changed"))
   }
 
+  test("observedLoad: the write action itself yields the load fingerprint") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-obs").toString
+    val (observed, obs) = Recon.observedLoad(
+      Tables.orders(spark, sf), "o_orderkey", "o_totalprice")
+    observed.write.mode("overwrite").parquet(tmp)   // the ONLY scan
+    val m = obs.get
+    assert(m("rows") === 1500L)
+    assert(m("value_nulls") === 0L)
+    assert(m("key_min") === 0L && m("key_max") === 1499L)
+    // the observed sum must equal an independent exact recount
+    val expect = Tables.orders(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.col("o_totalprice")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+        .cast("double")).collect().head.getDouble(0)
+    assert(m("value_sum") === expect)
+    // and the written parquet carries exactly the observed rowcount
+    assert(spark.read.parquet(tmp).count() === 1500L)
+  }
+
   test("keyProfile: multiplicity histogram flags duplicated keys") {
     val spark0 = spark
     import spark0.implicits._
