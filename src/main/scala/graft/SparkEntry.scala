@@ -66,6 +66,8 @@ object SparkEntry {
     "set_ops_except"           -> (Relational.setOpsExcept _),
     "set_ops_all"              -> (Relational.setOpsAll _),
     "try_cast_funcs"           -> (Relational.tryCastFuncs _),
+    "string_distance_funcs"    -> (Relational.stringDistanceFuncs _),
+    "mean_funcs"               -> (Relational.meanFuncs _),
     "scalar_funcs"             -> (Relational.scalarFuncs _),
     "string_funcs"             -> (Relational.stringFuncs _),
     "null_funcs"               -> (Relational.nullFuncs _),
@@ -120,7 +122,7 @@ object SparkEntry {
     "multimodal_frame_sample"  -> ((s, d) => Multimodal.frameSample(s, d)) // no-oracle
   )
 
-  /** The 82 BASELINE.md headline queries timed by [[Bench]] — every
+  /** The 84 BASELINE.md headline queries timed by [[Bench]] — every
     * oracle-able op, kept exactly aligned with the baseline so per-query
     * times stay comparable. Round 2 extended the original 19 to 34;
     * round 7 closed the contract drift by adding the 10 oracled ops
@@ -137,7 +139,8 @@ object SparkEntry {
     * percent_of_total + mode_agg + sliding_window_events — the former
     * no-oracle op, now grid-join oracled (v10), recon_mom_drift +
     * session_paths + dwell_time (v11), topk_values_agg (v12), and
-    * set_ops_all + try_cast_funcs + locf_fill (v13). */
+    * set_ops_all + try_cast_funcs + locf_fill (v13), and
+    * string_distance_funcs + mean_funcs (v14). */
   val benchQueries: Seq[String] = Seq(
     "recon_rowcount", "recon_colagg_fingerprint", "recon_hash_diff",
     "recon_missing_rows", "recon_partition_drill", "q1_pricing_summary",
@@ -161,7 +164,8 @@ object SparkEntry {
     "listagg_status", "regr_funcs", "cume_dist_funcs", "range_frame_window",
     "bit_agg", "percent_of_total", "mode_agg", "sliding_window_events",
     "recon_mom_drift", "session_paths", "dwell_time", "topk_values_agg",
-    "set_ops_all", "try_cast_funcs", "locf_fill")
+    "set_ops_all", "try_cast_funcs", "locf_fill", "string_distance_funcs",
+    "mean_funcs")
 
   /** DuckDB-dialect oracle per query (driver runs these on the same parquet
     * files and hash-compares). Dialect forks: get_json_object↔
@@ -1068,6 +1072,24 @@ object SparkEntry {
         |SELECT event_id, user_id, vn,
         |  last_value(vn IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) locf
-        |FROM v ORDER BY event_id LIMIT 500""".stripMargin
+        |FROM v ORDER BY event_id LIMIT 500""".stripMargin,
+
+    "string_distance_funcs" ->
+      // row-local integer edit-distance DP on both engines; fixed probes
+      // keep each row's answer a pure function of the data
+      """SELECT p_partkey,
+        |  levenshtein(p_brand, 'Brand#32') d_brand,
+        |  levenshtein(substr(p_name, 1, 10), 'lavender p') d_name,
+        |  levenshtein(p_type, 'STANDARD') <= 8 near_standard
+        |FROM part ORDER BY p_partkey LIMIT 200""".stripMargin,
+
+    "mean_funcs" ->
+      // geometric = exp∘avg∘ln, harmonic = n / Σ 1/x — one-pass
+      // mergeable sums; 4-dp rounding absorbs partial-merge ulps
+      """SELECT l_returnflag,
+        |  round(exp(avg(ln(l_quantity))), 4) geo_mean,
+        |  round(count(*) / sum(1.0 / l_quantity), 4) harm_mean,
+        |  round(avg(l_quantity), 4) arith_mean, count(*) n
+        |FROM lineitem WHERE l_quantity > 0 GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -582,6 +582,37 @@ object Relational {
       .orderBy("o_orderkey").limit(200)
   }
 
+  /** Edit-distance battery — the fuzzy-matching primitive entity
+    * resolution and schema-mapping tools reach for when keys are dirty.
+    * `levenshtein` is row-local and codegen'd on both engines (integer
+    * DP over the two strings), so the scan stays map-only; only the
+    * presentation sort moves. Distances against fixed probes keep the
+    * answer a pure function of each row. */
+  def stringDistanceFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(col("p_partkey"),
+        levenshtein(col("p_brand"), lit("Brand#32")).as("d_brand"),
+        levenshtein(substring(col("p_name"), 1, 10), lit("lavender p")).as("d_name"),
+        (levenshtein(col("p_type"), lit("STANDARD")) <= 8).as("near_standard"))
+      .orderBy("p_partkey").limit(200)
+
+  /** Mean battery beyond the arithmetic: geometric (exp∘avg∘ln) and
+    * harmonic (n / Σ 1/x) means per group — the right centers for
+    * ratios and rates. Both reduce to one-pass mergeable sums, so the
+    * plan is exactly q1's two-phase hash agg; 4-dp rounding absorbs
+    * partial-merge ulps (the corr discipline). Zero/negative guard via
+    * the positive-quantity filter on both engines. */
+  def meanFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") > 0)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(exp(avg(log(col("l_quantity")))), 4).as("geo_mean"),
+        round(count(lit(1)) / sum(lit(1.0) / col("l_quantity")), 4).as("harm_mean"),
+        round(avg(col("l_quantity")), 4).as("arith_mean"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
   /** Multiset (ALL) set operations — INTERSECT ALL / EXCEPT ALL keep
     * duplicate cardinality, the semantics dedup-based set_ops cannot
     * express (a customer with three qualifying orders counts three
