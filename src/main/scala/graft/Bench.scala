@@ -81,22 +81,21 @@ object Bench {
     // sf prints as its basename (sf0.1) — the full path spent 15 chars of
     // the tail-capture budget on a constant prefix.
     val sfName = Paths.get(sfDir).getFileName.toString
-    def line(qs: String) =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"noise_max":{"$noisyQ":$noisyRatio%.2f},"sf":"$sfName"}"""
     // Budget: the driver keeps the last 2000 stdout chars and sbt appends
     // a ~73-char "[success] Total time…" line after ours, so the JSON
-    // line's real ceiling is ~1925. Precision adapts: 2-decimal
-    // per-query seconds while the line fits (82 queries no longer do at
-    // 3 dp), else 1-decimal — the full %.3f mins, medians, and per-query
-    // noise always live in bench_out.json, which is committed to the
-    // repo so the official record keeps full precision either way. The
-    // require is the tripwire that fails the bench LOUDLY when even the
-    // coarse line would push its own head out of the capture window.
-    val compact = Seq("%.2f", "%.1f").iterator
-      .map(p => line(qmap(p)(_.head)(samples)))
-      .find(_.length <= 1910)
-      .getOrElse(sys.error("compact bench line exceeds the driver's " +
-        "2000-char tail capture even at 1-decimal precision — re-encode"))
+    // line's ceiling is ~1925 — and the full per-query map is
+    // structurally doomed against it: 84 query NAMES alone run ~1260
+    // chars and the set still grows. The printed line therefore carries
+    // the total plus the SLOWEST-12 subset (where regressions live);
+    // the exhaustive %.3f mins, medians, and per-query noise are in
+    // bench_out.json, which is committed to the repo as the official
+    // full-precision record. queries_file points the reader there.
+    val slowest = qmap("%.2f")(_.head)(
+      samples.sortBy { case (_, v) => -v.head }.take(12))
+    val compact =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${samples.size},"queries":$slowest,"queries_note":"slowest 12 of ${samples.size}; full per-query map in bench_out.json","noise_max":{"$noisyQ":$noisyRatio%.2f},"sf":"$sfName"}"""
+    require(compact.length <= 1800,
+      s"compact bench line is ${compact.length} chars — would overflow the driver's 2000-char tail capture")
     // Full-precision record (mins, medians, per-query noise, info-op
     // timings) — too long for stdout (see above), the on-disk channel.
     val med = qmap("%.3f")(_(2))(samples)
