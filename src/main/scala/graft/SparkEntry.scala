@@ -25,6 +25,7 @@ object SparkEntry {
     "recon_diff_detail"        -> (Recon.diffDetail _),
     "recon_partition_drill"    -> (Recon.partitionDrill _),
     "recon_snapshot_diff"      -> (Recon.snapshotDiffOrders _),
+    "recon_incremental"        -> (Recon.incrementalDiffOrders _),
     "recon_reconcile_all"      -> (Recon.reconcileAllDemo _),
     "recon_profile"            -> (Recon.profileOrders _),
     "recon_tolerance_diff"     -> (Recon.toleranceDiffDemo _),
@@ -122,7 +123,7 @@ object SparkEntry {
     "multimodal_frame_sample"  -> ((s, d) => Multimodal.frameSample(s, d)) // no-oracle
   )
 
-  /** The 84 BASELINE.md headline queries timed by [[Bench]] — every
+  /** The 85 BASELINE.md headline queries timed by [[Bench]] — every
     * oracle-able op, kept exactly aligned with the baseline so per-query
     * times stay comparable. Round 2 extended the original 19 to 34;
     * round 7 closed the contract drift by adding the 10 oracled ops
@@ -140,7 +141,8 @@ object SparkEntry {
     * no-oracle op, now grid-join oracled (v10), recon_mom_drift +
     * session_paths + dwell_time (v11), topk_values_agg (v12), and
     * set_ops_all + try_cast_funcs + locf_fill (v13), and
-    * string_distance_funcs + mean_funcs (v14). */
+    * string_distance_funcs + mean_funcs (v14), and recon_incremental
+    * (v15). */
   val benchQueries: Seq[String] = Seq(
     "recon_rowcount", "recon_colagg_fingerprint", "recon_hash_diff",
     "recon_missing_rows", "recon_partition_drill", "q1_pricing_summary",
@@ -165,7 +167,7 @@ object SparkEntry {
     "bit_agg", "percent_of_total", "mode_agg", "sliding_window_events",
     "recon_mom_drift", "session_paths", "dwell_time", "topk_values_agg",
     "set_ops_all", "try_cast_funcs", "locf_fill", "string_distance_funcs",
-    "mean_funcs")
+    "mean_funcs", "recon_incremental")
 
   /** DuckDB-dialect oracle per query (driver runs these on the same parquet
     * files and hash-compares). Dialect forks: get_json_object↔
@@ -1090,6 +1092,33 @@ object SparkEntry {
         |  round(exp(avg(ln(l_quantity))), 4) geo_mean,
         |  round(count(*) / sum(1.0 / l_quantity), 4) harm_mean,
         |  round(avg(l_quantity), 4) arith_mean, count(*) n
-        |FROM lineitem WHERE l_quantity > 0 GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM lineitem WHERE l_quantity > 0 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "recon_incremental" ->
+      // the Spark side scopes the detail join to fingerprint-moved
+      // partitions (broadcast semi-join work list); scoping changes WHAT
+      // WORK runs, not the answer, so the oracle is the direct per-month
+      // divergence profile of the same corruption fixture — a partition
+      // moved iff some row diverges (md5-collision-free)
+      """WITH src AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) o_totalprice,
+        |    date_trunc('month', o_orderdate) part FROM orders),
+        |tgt AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+        |         THEN CAST(round(o_totalprice, 0) AS DECIMAL(12,2))
+        |         ELSE CAST(o_totalprice AS DECIMAL(12,2)) END o_totalprice,
+        |    date_trunc('month', o_orderdate) part
+        |  FROM orders WHERE date_trunc('month', o_orderdate) <> TIMESTAMP '1995-01-01'),
+        |j AS (SELECT coalesce(s.part, t.part) part,
+        |    CASE WHEN s.o_orderkey IS NULL THEN 'extra_in_target'
+        |         WHEN t.o_orderkey IS NULL THEN 'missing_in_target'
+        |         WHEN NOT (s.o_custkey IS NOT DISTINCT FROM t.o_custkey
+        |              AND s.o_orderstatus IS NOT DISTINCT FROM t.o_orderstatus
+        |              AND s.o_totalprice IS NOT DISTINCT FROM t.o_totalprice) THEN 'mismatch'
+        |         ELSE 'match' END status
+        |  FROM src s FULL OUTER JOIN tgt t
+        |    ON s.part = t.part AND s.o_orderkey = t.o_orderkey)
+        |SELECT part, status, count(*) n FROM j WHERE status <> 'match'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -546,6 +546,60 @@ object Recon {
       .orderBy("part")
   }
 
+  /** Incremental reconciliation end-to-end — the composition the whole
+    * snapshot machinery exists for: diff cheap per-partition fingerprints
+    * first ([[snapshotDiff]] — partition-count-sized), then run the
+    * expensive row-level classification ONLY over partitions that moved.
+    * The moved-partition list is tiny by construction, so it broadcasts
+    * into a left-semi join that prunes BOTH detail scans (on a
+    * partitioned layout this is dynamic partition pruning — unrelated
+    * load windows are never read). At 100 TB with one bad daily window,
+    * the detail join touches 1/3650 of the table instead of all of it.
+    * Both inputs must carry a `part` column; output is the per-partition
+    * divergence profile (part, status, n) — missing/extra/mismatch
+    * counts attributed to the load window that caused them. */
+  def incrementalDiff(src: DataFrame, tgt: DataFrame,
+                      key: String, cols: Seq[String]): DataFrame = {
+    require(src.columns.contains("part") && tgt.columns.contains("part"),
+      "incrementalDiff: both frames must carry a 'part' partition column")
+    val moved = snapshotDiff(
+      fingerprintSnapshot(src, col("part"), cols),
+      fingerprintSnapshot(tgt, col("part"), cols)).select("part")
+    def side(df: DataFrame, alias: String) =
+      df.join(broadcast(moved), Seq("part"), "left_semi")
+        .select(col("part"), col(key).as("k"), rowChecksum(cols).as(alias))
+    side(src, "h_src")
+      .join(side(tgt, "h_tgt"), Seq("part", "k"), "full_outer")
+      .select(col("part"),
+        when(col("h_src").isNull, "extra_in_target")
+          .when(col("h_tgt").isNull, "missing_in_target")
+          .when(col("h_src") =!= col("h_tgt"), "mismatch")
+          .otherwise("match").as("status"))
+      .filter(col("status") =!= "match")
+      .groupBy("part", "status").agg(count(lit(1)).as("n"))
+      .orderBy("part", "status")
+  }
+
+  /** Harness op over [[incrementalDiff]]: the [[snapshotDiffOrders]]
+    * corruption fixture (prices rounded from 1997 on, 1995-01 load
+    * missing) driven through the full incremental pipeline — snapshot,
+    * moved-partition work list, scoped detail — ending in the
+    * per-month divergence profile. */
+  def incrementalDiffOrders(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val month = date_trunc("month", col("o_orderdate"))
+    val o = Tables.orders(spark, dir)
+      .withColumn("o_totalprice", col("o_totalprice").cast(DecimalType(12, 2)))
+      .withColumn("part", month)
+    val tgt = o
+      .withColumn("o_totalprice",
+        when(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"),
+          round(col("o_totalprice"), 0).cast(DecimalType(12, 2)))
+          .otherwise(col("o_totalprice")))
+      .filter(col("part") =!= lit("1995-01-01").cast("timestamp"))
+    incrementalDiff(o, tgt, "o_orderkey", cols)
+  }
+
   /** Free load metrics via Spark's `Observation` — the recon-native way
     * to fingerprint a load WITHOUT a second scan: `df.observe` attaches
     * accumulator-backed aggregates that the load's own action (the

@@ -308,6 +308,24 @@ class ReconSpec extends GraftSpec {
     assert(got === Map("p1" -> "changed"))
   }
 
+  test("incrementalDiff: divergence attributed only to the corrupted partition") {
+    val spark0 = spark
+    import spark0.implicits._
+    val src = Seq(
+      ("p1", 1L, "x"), ("p1", 2L, "y"),
+      ("p2", 3L, "a"), ("p2", 4L, "b"),
+      ("p3", 5L, "q")).toDF("part", "k", "v")
+    // p2 corrupted: one value mutated, one row dropped; p1/p3 intact
+    val tgt = Seq(
+      ("p1", 1L, "x"), ("p1", 2L, "y"),
+      ("p2", 3L, "MUTATED"),
+      ("p3", 5L, "q")).toDF("part", "k", "v")
+    val got = Recon.incrementalDiff(src, tgt, "k", Seq("v")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got === Seq(("p2", "mismatch", 1L), ("p2", "missing_in_target", 1L)),
+      "untouched partitions must contribute nothing to the detail output")
+  }
+
   test("observedLoad: the write action itself yields the load fingerprint") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-obs").toString
     val (observed, obs) = Recon.observedLoad(

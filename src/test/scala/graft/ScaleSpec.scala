@@ -189,6 +189,16 @@ class ScaleSpec extends GraftSpec {
     assert(exec.contains("BroadcastExchange") || exec.contains("BroadcastNestedLoopJoin"), exec)
   }
 
+  test("incremental recon: the moved-partition work list broadcasts into semi joins") {
+    val exec = SparkEntry.queries("recon_incremental")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the tiny snapshot-diff output must prune BOTH detail scans via
+    // broadcast left-semi — a shuffled join against the work list would
+    // re-shuffle the full table the whole design exists to avoid
+    assert(exec.contains("BroadcastExchange"), exec)
+    assert(exec.contains("LeftSemi"), exec)
+  }
+
   test("multiset set-ops plan as count-aggregates + generate, never a join") {
     val exec = Relational.setOpsAll(spark, sf).queryExecution.executedPlan.toString
     // INTERSECT/EXCEPT ALL via per-key count pairs + Generate replication:
