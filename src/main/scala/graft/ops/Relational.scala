@@ -519,7 +519,11 @@ object Relational {
     * deterministic; dense_rank under ties assigns the tied value to every
     * peer, so both are pure functions of the data. Same scale shape as
     * every window op here: one shuffle on the partition key, per-group
-    * sort, single pass. */
+    * sort, single pass — with the honest caveat that a LOW-CARDINALITY
+    * partition key (3 statuses here) caps parallelism at the group
+    * count; at 100 TB, rank against a 3-value key belongs in an
+    * aggregation-based formulation (quantile sketch + broadcast
+    * thresholds), not a window. */
   def cumeDistFuncs(spark: SparkSession, dir: String): DataFrame = {
     val w1 = Window.partitionBy(col("o_orderstatus"))
       .orderBy(col("o_totalprice"), col("o_orderkey"))
