@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.functions.{DotProduct, JsonGetLong, MinHashSig, MinShingleMd5, NgramHashes, SimHash64, TokenEntropy}
+import graft.functions.{DotProduct, JsonGetLong, MinHashSig, MinShingleMd5, NgramHashes, SimHash64, TokenEntropy, WavMeta}
 
 /** SQL surface for the library's native Catalyst expressions.
   *
@@ -71,7 +71,12 @@ object GraftExtensions {
     ("token_entropy",
       "token_entropy(text) - struct(entropy, n_tokens) of the space-split tokens",
       args => { expectArity("token_entropy", args, 1)
-        TokenEntropy(args(0)) }))
+        TokenEntropy(args(0)) }),
+    ("wav_meta",
+      "wav_meta(bytes) - struct(sample_rate, channels, bits, n_frames, " +
+        "duration_ms) of a RIFF/WAVE blob, null if malformed",
+      args => { expectArity("wav_meta", args, 1)
+        WavMeta(args(0)) }))
 
   private def expectArity(fn: String, args: Seq[Expression], n: Int): Unit =
     if (args.length != n) throw new IllegalArgumentException(

@@ -120,7 +120,8 @@ object SparkEntry {
     "multimodal_bytes"         -> (Multimodal.bytesStats _),
     "multimodal_decode_stats"  -> (Multimodal.decodeStats _), // no-oracle
     "multimodal_resize_stats"  -> (Multimodal.resizeStats _), // no-oracle
-    "multimodal_frame_sample"  -> ((s, d) => Multimodal.frameSample(s, d)) // no-oracle
+    "multimodal_frame_sample"  -> ((s, d) => Multimodal.frameSample(s, d)), // no-oracle
+    "multimodal_wav_meta"      -> (Multimodal.wavMetaStats _)  // no-oracle
   )
 
   /** The 85 BASELINE.md headline queries timed by [[Bench]] — every

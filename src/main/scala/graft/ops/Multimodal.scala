@@ -101,6 +101,52 @@ object Multimodal {
       .limit(500)
   }
 
+  /** Synthesize VALID RIFF/WAVE blobs from document fields — rate and
+    * channel count seeded by doc_id, payload from the text bytes cut to
+    * a whole number of frames. Unlike the decode stubs, nothing here is
+    * faked downstream: the blobs are real WAV containers and the parse
+    * is the real [[graft.functions.WavMeta]] byte scanner. */
+  private[graft] def wavRecords(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, payload) =>
+        val rate = Array(8000, 16000, 44100)((id % 3).toInt)
+        val channels = 1 + (id % 2).toInt
+        val bits = 16
+        val blockAlign = channels * bits / 8
+        val dataLen = payload.length / blockAlign * blockAlign
+        val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+        bb.put("fmt ".getBytes).putInt(16).putShort(1.toShort)
+          .putShort(channels.toShort).putInt(rate).putInt(rate * blockAlign)
+          .putShort(blockAlign.toShort).putShort(bits.toShort)
+        bb.put("data".getBytes).putInt(dataLen).put(payload, 0, dataLen)
+        (id, bb.array())
+      }.toDF("doc_id", "wav")
+  }
+
+  /** Audio-corpus profile via native header parsing: per (sample_rate,
+    * channels) cohort, clip count, total frames, and total duration —
+    * the filter/partition/batch-budget pass a training pipeline runs
+    * BEFORE any expensive decode. [[graft.functions.WavMeta]] reads only
+    * the container header inside whole-stage codegen, so at 100 TB of
+    * audio this costs a metadata scan, not a decode. */
+  def wavMetaStats(spark: SparkSession, dir: String): DataFrame =
+    wavRecords(spark, dir)
+      .select(graft.functions.WavMeta.wavMeta(col("wav")).as("m"))
+      .select(col("m.sample_rate").as("sample_rate"),
+        col("m.channels").as("channels"),
+        col("m.n_frames").as("n_frames"),
+        col("m.duration_ms").as("duration_ms"))
+      .groupBy("sample_rate", "channels")
+      .agg(count(lit(1)).as("n_clips"),
+        sum(col("n_frames")).as("total_frames"),
+        sum(col("duration_ms")).as("total_ms"))
+      .orderBy("sample_rate", "channels")
+
   /** Decode (stubbed) then aggregate per-kind shape statistics. */
   def decodeStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -308,6 +308,25 @@ class ReconSpec extends GraftSpec {
     assert(got === Map("p1" -> "changed"))
   }
 
+  test("fingerprint snapshots round-trip through parquet across runs") {
+    val spark0 = spark
+    import spark0.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-snap").toString
+    val day1 = Seq(("p1", 1L, "a"), ("p2", 2L, "b")).toDF("part", "k", "v")
+    // run 1 persists its snapshot — the only thing the next run needs
+    Recon.fingerprintSnapshot(day1, col("part"), Seq("k", "v"))
+      .write.mode("overwrite").parquet(s"$tmp/snap")
+    // run 2: p2's value moved; diff TONIGHT's data against the STORED
+    // snapshot — no access to day-1 rows at all
+    val day2 = Seq(("p1", 1L, "a"), ("p2", 2L, "CHANGED")).toDF("part", "k", "v")
+    val got = Recon.snapshotDiff(
+        spark.read.parquet(s"$tmp/snap"),
+        Recon.fingerprintSnapshot(day2, col("part"), Seq("k", "v")))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got === Seq(("p2", "changed")),
+      "the persisted snapshot must carry everything a later run needs")
+  }
+
   test("incrementalDiff: divergence attributed only to the corrupted partition") {
     val spark0 = spark
     import spark0.implicits._
