@@ -78,6 +78,7 @@ object SparkEntry {
     "tumbling_window_events"   -> (Events.tumblingWindow _),
     "sessionize_events"        -> (Events.sessionize _),
     "session_paths"            -> (Events.sessionPaths _),
+    "session_window_agg"       -> (Events.sessionWindowAgg _),
     "dwell_time"               -> (Events.dwellTime _),
     "funnel_conversion"        -> (Events.funnelConversion _),
     "cohort_retention"         -> (Events.cohortRetention _),
@@ -124,7 +125,7 @@ object SparkEntry {
     "multimodal_wav_meta"      -> (Multimodal.wavMetaStats _)  // no-oracle
   )
 
-  /** The 85 BASELINE.md headline queries timed by [[Bench]] — every
+  /** The 86 BASELINE.md headline queries timed by [[Bench]] — every
     * oracle-able op, kept exactly aligned with the baseline so per-query
     * times stay comparable. Round 2 extended the original 19 to 34;
     * round 7 closed the contract drift by adding the 10 oracled ops
@@ -142,8 +143,8 @@ object SparkEntry {
     * no-oracle op, now grid-join oracled (v10), recon_mom_drift +
     * session_paths + dwell_time (v11), topk_values_agg (v12), and
     * set_ops_all + try_cast_funcs + locf_fill (v13), and
-    * string_distance_funcs + mean_funcs (v14), and recon_incremental
-    * (v15). */
+    * string_distance_funcs + mean_funcs (v14), recon_incremental (v15),
+    * and session_window_agg (v16). */
   val benchQueries: Seq[String] = Seq(
     "recon_rowcount", "recon_colagg_fingerprint", "recon_hash_diff",
     "recon_missing_rows", "recon_partition_drill", "q1_pricing_summary",
@@ -168,7 +169,7 @@ object SparkEntry {
     "bit_agg", "percent_of_total", "mode_agg", "sliding_window_events",
     "recon_mom_drift", "session_paths", "dwell_time", "topk_values_agg",
     "set_ops_all", "try_cast_funcs", "locf_fill", "string_distance_funcs",
-    "mean_funcs", "recon_incremental")
+    "mean_funcs", "recon_incremental", "session_window_agg")
 
   /** DuckDB-dialect oracle per query (driver runs these on the same parquet
     * files and hash-compares). Dialect forks: get_json_object↔
@@ -1120,6 +1121,19 @@ object SparkEntry {
         |  FROM src s FULL OUTER JOIN tgt t
         |    ON s.part = t.part AND s.o_orderkey = t.o_orderkey)
         |SELECT part, status, count(*) n FROM j WHERE status <> 'match'
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "session_window_agg" ->
+      // native session_window ≡ the sessionize CTE chain: same gap rule,
+      // window end = last event + gap; second-truncated for the compare
+      """WITH g AS (SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts,
+        |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) sid FROM g)
+        |SELECT date_trunc('second', min(ts)) ss,
+        |  date_trunc('second', max(ts) + INTERVAL 30 MINUTE) se, user_id, count(*) n
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, ss LIMIT 200""".stripMargin
   )
 }

@@ -64,6 +64,24 @@ object Events {
       .limit(200)
   }
 
+  /** Native `session_window` sessionization — the same 30-minute-gap
+    * semantics as [[sessionize]] but through Spark's dedicated session
+    * operator (`UpdatingSessionsExec` + merging hash agg) instead of the
+    * lag/sum window chain: sessions per group build and MERGE inside the
+    * aggregate, which is the formulation that carries over verbatim to
+    * Structured Streaming (state-store session merge across batches —
+    * [[graft.streaming.StreamingOps.sessionCounts]] is this exact query
+    * with a watermark). Window ends are last-event + gap by definition;
+    * both engines' outputs truncate to whole seconds for the compare. */
+  def sessionWindowAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_trunc("second", col("session_window.start")).as("ss"),
+        date_trunc("second", col("session_window.end")).as("se"),
+        col("user_id"), col("n"))
+      .orderBy("user_id", "ss").limit(200)
+
   /** Top session journeys: the first ≤3 event types of each 30-min-gap
     * session, joined into a path string, counted corpus-wide. Composes
     * [[sessionize]]'s id derivation, then ranks within session and
