@@ -49,6 +49,8 @@ object SparkEntry {
     "grouping_sets_agg"        -> (Relational.groupingSetsAgg _),
     "pivot_agg"                -> (Relational.pivotAgg _),
     "stats_funcs"              -> (Relational.statsFuncs _),
+    "shape_stats"              -> (Relational.shapeStats _),
+    "freq_items_approx"        -> (Relational.freqItemsApprox _), // no-oracle
     "semi_anti_join"           -> (Relational.semiAntiJoin _),
     "minmax_by_agg"            -> (Relational.minmaxByAgg _),
     "corr_matrix"              -> (Relational.corrMatrix _),
@@ -125,7 +127,7 @@ object SparkEntry {
     "multimodal_wav_meta"      -> (Multimodal.wavMetaStats _)  // no-oracle
   )
 
-  /** The 86 BASELINE.md headline queries timed by [[Bench]] — every
+  /** The 87 BASELINE.md headline queries timed by [[Bench]] — every
     * oracle-able op, kept exactly aligned with the baseline so per-query
     * times stay comparable. Round 2 extended the original 19 to 34;
     * round 7 closed the contract drift by adding the 10 oracled ops
@@ -144,7 +146,7 @@ object SparkEntry {
     * session_paths + dwell_time (v11), topk_values_agg (v12), and
     * set_ops_all + try_cast_funcs + locf_fill (v13), and
     * string_distance_funcs + mean_funcs (v14), recon_incremental (v15),
-    * and session_window_agg (v16). */
+    * session_window_agg (v16), and shape_stats (v17). */
   val benchQueries: Seq[String] = Seq(
     "recon_rowcount", "recon_colagg_fingerprint", "recon_hash_diff",
     "recon_missing_rows", "recon_partition_drill", "q1_pricing_summary",
@@ -169,7 +171,7 @@ object SparkEntry {
     "bit_agg", "percent_of_total", "mode_agg", "sliding_window_events",
     "recon_mom_drift", "session_paths", "dwell_time", "topk_values_agg",
     "set_ops_all", "try_cast_funcs", "locf_fill", "string_distance_funcs",
-    "mean_funcs", "recon_incremental", "session_window_agg")
+    "mean_funcs", "recon_incremental", "session_window_agg", "shape_stats")
 
   /** DuckDB-dialect oracle per query (driver runs these on the same parquet
     * files and hash-compares). Dialect forks: get_json_object↔
@@ -1134,6 +1136,16 @@ object SparkEntry {
         |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) sid FROM g)
         |SELECT date_trunc('second', min(ts)) ss,
         |  date_trunc('second', max(ts) + INTERVAL 30 MINUTE) se, user_id, count(*) n
-        |FROM s GROUP BY user_id, sid ORDER BY user_id, ss LIMIT 200""".stripMargin
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, ss LIMIT 200""".stripMargin,
+
+    "shape_stats" ->
+      // both engines compute POPULATION moments (verified equal at 4 dp
+      // against an exact-mean two-pass recompute); mean from exact sums
+      """SELECT l_returnflag,
+        |  round(skewness(l_quantity), 4) skew,
+        |  round(kurtosis(l_quantity), 4) kurt,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)/count(*) mean_qty,
+        |  count(*) n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -586,6 +586,38 @@ object Relational {
       .orderBy("o_orderkey").limit(200)
   }
 
+  /** Distribution-shape battery: skewness and excess kurtosis per group
+    * alongside the exact-DECIMAL mean — the moments a data-quality
+    * monitor watches for drift that rowcounts and sums miss (a load that
+    * doubles outliers moves kurtosis long before it moves the mean).
+    * One-pass mergeable central-moment state (the stats_funcs shape);
+    * both engines compute population moments, verified equal at 4 dp. */
+  def shapeStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(skewness(col("l_quantity")), 4).as("skew"),
+        round(kurtosis(col("l_quantity")), 4).as("kurt"),
+        (decSum(col("l_quantity")) / count(lit(1))).as("mean_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** Approximate frequent items — the bounded-state twin of the exact
+    * token top-k: `stat.freqItems` runs the Karp–Papadimitriou–Shenker
+    * one-pass counter battery (state = O(1/support) per partition, merge
+    * by counter subtraction), whose contract is NO FALSE NEGATIVES —
+    * every value with frequency ≥ support appears; rare values may slip
+    * in alongside. At 100 TB that asymmetry is exactly right for a
+    * screening pass: the exact recount runs only over the candidate set.
+    * No oracle (DuckDB has no KPS twin); the no-false-negative bound and
+    * the candidate-set shape are spec-asserted. */
+  def freqItemsApprox(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables.orders(spark, dir)
+      .select("o_orderpriority").stat.freqItems(Seq("o_orderpriority"), 0.15)
+    items.select(explode(col("o_orderpriority_freqItems")).as("item"))
+      .orderBy("item")
+  }
+
   /** Edit-distance battery — the fuzzy-matching primitive entity
     * resolution and schema-mapping tools reach for when keys are dirty.
     * `levenshtein` is row-local and codegen'd on both engines (integer

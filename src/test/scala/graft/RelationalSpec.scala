@@ -218,6 +218,22 @@ class RelationalSpec extends GraftSpec {
     assert(got.values.forall(v => v >= -1.0 && v <= 1.0))
   }
 
+  test("freqItemsApprox: every truly-frequent value appears (no false negatives)") {
+    val rows = Tables.orders(spark, sf)
+      .select("o_orderpriority").collect().map(_.getString(0))
+    val n = rows.length.toDouble
+    val trulyFrequent = rows.groupBy(identity).collect {
+      case (v, xs) if xs.length / n >= 0.15 => v
+    }.toSet
+    val got = ops.Relational.freqItemsApprox(spark, sf).collect()
+      .map(_.getString(0)).toSet
+    // the KPS contract: candidates ⊇ truly frequent; extras allowed
+    assert(trulyFrequent.subsetOf(got),
+      s"missing frequent items: ${trulyFrequent -- got}")
+    // five priorities at ~20% each: the candidate set stays small
+    assert(got.size <= 7, s"candidate set should be near 1/support: $got")
+  }
+
   test("modeAgg: modal status per priority matches a local recount") {
     val rows = Tables.orders(spark, sf)
       .select("o_orderpriority", "o_orderstatus").collect()
