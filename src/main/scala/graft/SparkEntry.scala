@@ -37,6 +37,8 @@ object SparkEntry {
     "q1_pricing_summary"       -> (Relational.q1PricingSummary _),
     "q3_shipping_priority"     -> (Relational.q3ShippingPriority _),
     "q5_multiway_join"         -> (Relational.q5MultiwayJoin _),
+    "q6_forecast_revenue"      -> (Relational.q6ForecastRevenue _),
+    "q14_promo_share"          -> (Relational.q14PromoShare _),
     "asof_join_events"         -> (Asof.asofJoinEvents _),
     "range_join_orders"        -> (Asof.rangeJoinOrders _),
     "window_topk_per_group"    -> (Relational.windowTopkPerGroup _),
@@ -127,7 +129,7 @@ object SparkEntry {
     "multimodal_wav_meta"      -> (Multimodal.wavMetaStats _)  // no-oracle
   )
 
-  /** The 87 BASELINE.md headline queries timed by [[Bench]] — every
+  /** The 89 BASELINE.md headline queries timed by [[Bench]] — every
     * oracle-able op, kept exactly aligned with the baseline so per-query
     * times stay comparable. Round 2 extended the original 19 to 34;
     * round 7 closed the contract drift by adding the 10 oracled ops
@@ -146,7 +148,8 @@ object SparkEntry {
     * session_paths + dwell_time (v11), topk_values_agg (v12), and
     * set_ops_all + try_cast_funcs + locf_fill (v13), and
     * string_distance_funcs + mean_funcs (v14), recon_incremental (v15),
-    * session_window_agg (v16), and shape_stats (v17). */
+    * session_window_agg (v16), shape_stats (v17), and
+    * q6_forecast_revenue + q14_promo_share (v18). */
   val benchQueries: Seq[String] = Seq(
     "recon_rowcount", "recon_colagg_fingerprint", "recon_hash_diff",
     "recon_missing_rows", "recon_partition_drill", "q1_pricing_summary",
@@ -171,7 +174,8 @@ object SparkEntry {
     "bit_agg", "percent_of_total", "mode_agg", "sliding_window_events",
     "recon_mom_drift", "session_paths", "dwell_time", "topk_values_agg",
     "set_ops_all", "try_cast_funcs", "locf_fill", "string_distance_funcs",
-    "mean_funcs", "recon_incremental", "session_window_agg", "shape_stats")
+    "mean_funcs", "recon_incremental", "session_window_agg", "shape_stats",
+    "q6_forecast_revenue", "q14_promo_share")
 
   /** DuckDB-dialect oracle per query (driver runs these on the same parquet
     * files and hash-compares). Dialect forks: get_json_object↔
@@ -1146,6 +1150,23 @@ object SparkEntry {
         |  round(kurtosis(l_quantity), 4) kurt,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)/count(*) mean_qty,
         |  count(*) n
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q6_forecast_revenue" ->
+      // pure filter + scalar aggregate; double literals parse to the
+      // same IEEE values both engines so BETWEEN classifies alike
+      """SELECT CAST(sum(CAST(l_extendedprice*l_discount AS DECIMAL(18,4))) AS DOUBLE) revenue,
+        |  count(*) n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q14_promo_share" ->
+      """SELECT round(100.0 * CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4)))
+        |      FILTER (p_type LIKE 'PROMO%') AS DOUBLE)
+        |    / CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4) promo_pct,
+        |  count(*) n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1995-09-01' AND l_shipdate < TIMESTAMP '1995-10-01'""".stripMargin
   )
 }

@@ -50,6 +50,40 @@ object Relational {
       .orderBy(col("rev").desc, col("o_orderdate"), col("l_orderkey"))
       .limit(10)
 
+  /** TPC-H-Q6-shaped forecast-revenue-change: pure filter → one scalar
+    * aggregate, no join, no group — the query whose entire cost is how
+    * much of the scan the predicates eliminate. All three filters
+    * (shipdate range, discount BETWEEN, quantity bound) push into the
+    * parquet scan as min/max-prunable PushedFilters; double literals
+    * parse to identical IEEE values on both engines, so the BETWEEN
+    * boundary classifies alike. */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+        && col("l_discount").between(0.05, 0.07)
+        && col("l_quantity") < 24)
+      .agg(decSum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+        count(lit(1)).as("n"))
+
+  /** TPC-H-Q14-shaped promotion share: one month of lineitem joined to
+    * part, conditional revenue ratio. The part side broadcasts (it is
+    * the bounded dimension); the month filter prunes the fact scan
+    * before the join, so the join probes only the window's rows. The
+    * ratio divides two exact-DECIMAL-derived doubles — 4-dp stable. */
+  def q14PromoShare(spark: SparkSession, dir: String): DataFrame = {
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1995-09-01").cast("timestamp")
+        && col("l_shipdate") < lit("1995-10-01").cast("timestamp"))
+      .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
+      .agg(
+        round(lit(100.0)
+          * decSum(when(col("p_type").startsWith("PROMO"), rev)) / decSum(rev), 4)
+          .as("promo_pct"),
+        count(lit(1)).as("n"))
+  }
+
   /** 6-way join through the dimension chain, extra equi-condition on the
     * customer's nation. Dims are tiny → broadcast; lineitem shuffles once. */
   def q5MultiwayJoin(spark: SparkSession, dir: String): DataFrame =
