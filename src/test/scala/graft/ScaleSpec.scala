@@ -189,6 +189,19 @@ class ScaleSpec extends GraftSpec {
     assert(exec.contains("BroadcastExchange") || exec.contains("BroadcastNestedLoopJoin"), exec)
   }
 
+  test("q6: all three predicates reach the parquet scan as pushed filters") {
+    val exec = Relational.q6ForecastRevenue(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the plan string truncates scan metadata at ~100 chars, so match the
+    // un-truncated prefix naming all three pushed columns
+    assert(exec.contains("PushedFilters: [IsNotNull(l_shipdate), " +
+      "IsNotNull(l_discount), IsNotNull(l_quantity)"),
+      s"every q6 predicate must push to the scan:\n$exec")
+    assert(exec.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double," +
+      "l_discount:double,l_shipdate:timestamp>"),
+      s"column pruning must reach the scan:\n$exec")
+  }
+
   test("incremental recon: the moved-partition work list broadcasts into semi joins") {
     val exec = SparkEntry.queries("recon_incremental")(spark, sf)
       .queryExecution.executedPlan.toString
