@@ -250,6 +250,30 @@ class SourcesSpec extends GraftSpec {
     spark.sql("DROP TABLE graft_recon.orders_tgt")
   }
 
+  test("schema evolution: mergeSchema unions versions; drift check names the delta") {
+    val spark0 = spark
+    import spark0.implicits._
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-evolve").toString
+    // v1 load: two columns; v2 load adds a third (the additive evolution
+    // a long-lived table accumulates)
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .write.parquet(s"$tmp/load=1")
+    Seq((3L, "c", 9.5)).toDF("k", "v", "score")
+      .write.parquet(s"$tmp/load=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(tmp)
+    assert(merged.columns.sorted.toSeq === Seq("k", "load", "score", "v"))
+    // pre-evolution rows surface the new column as null, not an error
+    val byK = merged.collect().map(r => r.getLong(0) -> r.isNullAt(2)).toMap
+    assert(byK === Map(1L -> true, 2L -> true, 3L -> false))
+    // and the drift check reports exactly the added column against v1
+    val v1 = spark.read.parquet(s"$tmp/load=1")
+    val drift = Recon.schemaDrift(v1, merged.drop("load")).collect()
+      .map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(drift("score") === "extra_in_target")
+    assert(drift("k") === "ok" && drift("v") === "ok")
+  }
+
   test("overwritePartitions: re-loading one window replaces only that partition") {
     import org.apache.spark.sql.functions._
     val tmp = java.nio.file.Files.createTempDirectory("graft-dynpart").toString
