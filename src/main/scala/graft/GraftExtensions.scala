@@ -31,13 +31,18 @@ import graft.functions.{DotProduct, JsonGetLong, MinHashSig, MinShingleMd5, Ngra
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.all.foreach { case (name, usage, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getName, name, usage),
         builder))
     }
+    // the bounded-edit-distance rewrite (§2.10 Rule surface) — runs with
+    // the operator-optimization batch so constant folding has already
+    // reduced the bound to a literal
+    ext.injectOptimizerRule(_ => graft.plans.LevenshteinThresholdRule)
+  }
 }
 
 object GraftExtensions {
