@@ -75,6 +75,8 @@ object SparkEntry {
     "mean_funcs"               -> (Relational.meanFuncs _),
     "scalar_funcs"             -> (Relational.scalarFuncs _),
     "string_funcs"             -> (Relational.stringFuncs _),
+    "regexp_funcs"             -> (Relational.regexpFuncs _),
+    "make_funcs"               -> (Relational.makeFuncs _),
     "null_funcs"               -> (Relational.nullFuncs _),
     "date_funcs"               -> (Relational.dateFuncs _),
     // §2.8 event-time
@@ -129,7 +131,7 @@ object SparkEntry {
     "multimodal_wav_meta"      -> (Multimodal.wavMetaStats _)  // no-oracle
   )
 
-  /** The 89 BASELINE.md headline queries timed by [[Bench]] — every
+  /** The 91 BASELINE.md headline queries timed by [[Bench]] — every
     * oracle-able op, kept exactly aligned with the baseline so per-query
     * times stay comparable. Round 2 extended the original 19 to 34;
     * round 7 closed the contract drift by adding the 10 oracled ops
@@ -149,7 +151,8 @@ object SparkEntry {
     * set_ops_all + try_cast_funcs + locf_fill (v13), and
     * string_distance_funcs + mean_funcs (v14), recon_incremental (v15),
     * session_window_agg (v16), shape_stats (v17), and
-    * q6_forecast_revenue + q14_promo_share (v18). */
+    * q6_forecast_revenue + q14_promo_share (v18), and regexp_funcs +
+    * make_funcs (v19). */
   val benchQueries: Seq[String] = Seq(
     "recon_rowcount", "recon_colagg_fingerprint", "recon_hash_diff",
     "recon_missing_rows", "recon_partition_drill", "q1_pricing_summary",
@@ -175,7 +178,7 @@ object SparkEntry {
     "recon_mom_drift", "session_paths", "dwell_time", "topk_values_agg",
     "set_ops_all", "try_cast_funcs", "locf_fill", "string_distance_funcs",
     "mean_funcs", "recon_incremental", "session_window_agg", "shape_stats",
-    "q6_forecast_revenue", "q14_promo_share")
+    "q6_forecast_revenue", "q14_promo_share", "regexp_funcs", "make_funcs")
 
   /** DuckDB-dialect oracle per query (driver runs these on the same parquet
     * files and hash-compares). Dialect forks: get_json_object↔
@@ -1167,6 +1170,29 @@ object SparkEntry {
         |    / CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4) promo_pct,
         |  count(*) n
         |FROM lineitem JOIN part ON l_partkey = p_partkey
-        |WHERE l_shipdate >= TIMESTAMP '1995-09-01' AND l_shipdate < TIMESTAMP '1995-10-01'""".stripMargin
+        |WHERE l_shipdate >= TIMESTAMP '1995-09-01' AND l_shipdate < TIMESTAMP '1995-10-01'""".stripMargin,
+
+    "regexp_funcs" ->
+      // class/anchor/group regex subset both dialects agree on; match
+      // counting via extract-all length (regexp_count is not portable)
+      """SELECT p_partkey,
+        |  regexp_extract(p_name, '([a-z]+)', 1) first_word,
+        |  len(regexp_extract_all(p_name, '[aeiou]')) n_vowels,
+        |  regexp_matches(p_name, '^[a-z]+ ') starts_word,
+        |  regexp_extract(p_type, '([A-Z]+)$', 1) last_caps
+        |FROM part ORDER BY p_partkey LIMIT 200""".stripMargin,
+
+    "make_funcs" ->
+      // construction inverse of date_funcs; week numbers excluded
+      // (ISO-week conventions diverge across engines)
+      """SELECT o_orderkey,
+        |  make_date(CAST(year(o_orderdate) AS INT), CAST(month(o_orderdate) AS INT),
+        |            CAST(day(o_orderdate) AS INT)) d,
+        |  make_timestamp(CAST(year(o_orderdate) AS BIGINT), CAST(month(o_orderdate) AS BIGINT),
+        |            CAST(day(o_orderdate) AS BIGINT), 12, 30, 0.0) noon,
+        |  CAST(dayofyear(o_orderdate) AS INT) doy,
+        |  make_date(CAST(year(o_orderdate) AS INT), CAST(month(o_orderdate) AS INT),
+        |            CAST(day(o_orderdate) AS INT)) = CAST(o_orderdate AS DATE) roundtrip
+        |FROM orders ORDER BY o_orderkey LIMIT 200""".stripMargin
   )
 }

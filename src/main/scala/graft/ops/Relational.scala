@@ -733,6 +733,39 @@ object Relational {
       .orderBy("o_orderstatus")
   }
 
+  /** Regular-expression battery beyond string_funcs' global replace:
+    * group extraction, match counting (via extract-all size — portable
+    * where regexp_count is not), partial-match predicate (rlike ↔
+    * regexp_matches), and an anchored trailing-group extract. Row-local
+    * and codegen'd; regex syntax restricted to the class/anchor/group
+    * subset both engines' regex dialects agree on. */
+  def regexpFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(col("p_partkey"),
+        regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word"),
+        size(regexp_extract_all(col("p_name"), lit("[aeiou]"), lit(0)))
+          .cast("long").as("n_vowels"),
+        col("p_name").rlike("^[a-z]+ ").as("starts_word"),
+        regexp_extract(col("p_type"), "([A-Z]+)$", 1).as("last_caps"))
+      .orderBy("p_partkey").limit(200)
+
+  /** Date/timestamp CONSTRUCTION battery — the inverse of date_funcs'
+    * extraction: make_date / make_timestamp from extracted parts, the
+    * round-trip equality that proves the two directions compose, and
+    * day-of-year. All row-local; the week-number family is deliberately
+    * excluded (ISO-week conventions diverge across engines). */
+  def makeFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val (y, m, d) = (year(col("o_orderdate")), month(col("o_orderdate")),
+      dayofmonth(col("o_orderdate")))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        make_date(y, m, d).as("d"),
+        make_timestamp(y, m, d, lit(12), lit(30), lit(0.0)).as("noon"),
+        dayofyear(col("o_orderdate")).as("doy"),
+        (make_date(y, m, d) === col("o_orderdate").cast("date")).as("roundtrip"))
+      .orderBy("o_orderkey").limit(200)
+  }
+
   /** Deterministic MODE: the most frequent status per priority. Spark's
     * native `mode()` (and DuckDB's) leave ties engine-dependent, so the
     * portable form is explicit: count per (group, value), then take the

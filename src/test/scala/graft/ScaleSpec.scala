@@ -189,6 +189,18 @@ class ScaleSpec extends GraftSpec {
     assert(exec.contains("BroadcastExchange") || exec.contains("BroadcastNestedLoopJoin"), exec)
   }
 
+  test("AQE coalesces the 4-partition shuffle of a tiny aggregate at runtime") {
+    // static shuffle.partitions is sized for the big queries; a small
+    // group-by must not pay 4 near-empty reducers — AQE folds them into
+    // fewer post-shuffle partitions once the map output sizes are known
+    val df = Tables.orders(spark, sf)
+      .groupBy("o_orderstatus").count()
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    assert(exec.contains("AQEShuffleRead coalesced"),
+      s"runtime partition coalescing must appear in the final plan:\n$exec")
+  }
+
   test("q6: all three predicates reach the parquet scan as pushed filters") {
     val exec = Relational.q6ForecastRevenue(spark, sf)
       .queryExecution.executedPlan.toString
