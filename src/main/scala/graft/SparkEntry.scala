@@ -105,7 +105,7 @@ object SparkEntry {
     "dedup_minhash"            -> (Text.dedupMinhash _),      // no-oracle
     "dedup_clusters"           -> (Graph.dedupClusters _),    // no-oracle
     "dedup_simhash"            -> (Text.dedupSimhash _),      // no-oracle
-    "text_langid"              -> (Text.langidNgram _),       // no-oracle
+    "text_langid"              -> (Text.langidNgram _),
     "text_token_counts"        -> (Text.tokenCounts _),
     "sample_stratified"        -> (Sampling.sampleDocuments _), // no-oracle
     "sample_mix"               -> (Sampling.sampleMixDocs _),
@@ -131,7 +131,7 @@ object SparkEntry {
     "multimodal_wav_meta"      -> (Multimodal.wavMetaStats _)  // no-oracle
   )
 
-  /** The 91 BASELINE.md headline queries timed by [[Bench]] — every
+  /** The 92 BASELINE.md headline queries timed by [[Bench]] — every
     * oracle-able op, kept exactly aligned with the baseline so per-query
     * times stay comparable. Round 2 extended the original 19 to 34;
     * round 7 closed the contract drift by adding the 10 oracled ops
@@ -151,8 +151,9 @@ object SparkEntry {
     * set_ops_all + try_cast_funcs + locf_fill (v13), and
     * string_distance_funcs + mean_funcs (v14), recon_incremental (v15),
     * session_window_agg (v16), shape_stats (v17), and
-    * q6_forecast_revenue + q14_promo_share (v18), and regexp_funcs +
-    * make_funcs (v19). */
+    * q6_forecast_revenue + q14_promo_share (v18), regexp_funcs +
+    * make_funcs (v19), and text_langid — no-oracle since round 3, now
+    * reproduced in SQL (v20). */
   val benchQueries: Seq[String] = Seq(
     "recon_rowcount", "recon_colagg_fingerprint", "recon_hash_diff",
     "recon_missing_rows", "recon_partition_drill", "q1_pricing_summary",
@@ -178,7 +179,8 @@ object SparkEntry {
     "recon_mom_drift", "session_paths", "dwell_time", "topk_values_agg",
     "set_ops_all", "try_cast_funcs", "locf_fill", "string_distance_funcs",
     "mean_funcs", "recon_incremental", "session_window_agg", "shape_stats",
-    "q6_forecast_revenue", "q14_promo_share", "regexp_funcs", "make_funcs")
+    "q6_forecast_revenue", "q14_promo_share", "regexp_funcs", "make_funcs",
+    "text_langid")
 
   /** DuckDB-dialect oracle per query (driver runs these on the same parquet
     * files and hash-compares). Dialect forks: get_json_object↔
@@ -1193,6 +1195,25 @@ object SparkEntry {
         |  CAST(dayofyear(o_orderdate) AS INT) doy,
         |  make_date(CAST(year(o_orderdate) AS INT), CAST(month(o_orderdate) AS INT),
         |            CAST(day(o_orderdate) AS INT)) = CAST(o_orderdate AS DATE) roundtrip
-        |FROM orders ORDER BY o_orderkey LIMIT 200""".stripMargin
+        |FROM orders ORDER BY o_orderkey LIMIT 200""".stripMargin,
+
+    "text_langid" ->
+      // the op is fully deterministic (self-trained top-30 bigram
+      // profiles with (cnt DESC, g) and (hits DESC, lang) tie-breaks),
+      // so the whole train→predict→confusion pipeline reproduces in SQL
+      """WITH grams AS (SELECT doc_id, lang,
+        |    unnest(list_transform(generate_series(1, greatest(length(text)-1, 1)),
+        |      i -> substr(text, CAST(i AS INT), 2))) g
+        |  FROM documents),
+        |profile AS (SELECT p_lang, g FROM (
+        |    SELECT lang p_lang, g, count(*) cnt,
+        |      row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, g) rk
+        |    FROM grams GROUP BY 1, 2) WHERE rk <= 30),
+        |pred AS (SELECT doc_id, lang, p_lang FROM (
+        |    SELECT gr.doc_id, gr.lang, p.p_lang, count(*) hits,
+        |      row_number() OVER (PARTITION BY gr.doc_id ORDER BY count(*) DESC, p.p_lang) rk
+        |    FROM grams gr JOIN profile p USING (g) GROUP BY 1, 2, 3) WHERE rk = 1)
+        |SELECT lang, p_lang pred, count(*) n_docs FROM pred
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }
