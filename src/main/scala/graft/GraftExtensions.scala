@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.functions.{DotProduct, JsonGetLong, MinHashSig, MinShingleMd5, NgramHashes, SimHash64, TokenEntropy, WavMeta}
+import graft.functions.{CharNgrams, DotProduct, JsonGetLong, MinHashSig, MinShingleMd5, NgramHashes, SimHash64, TokenEntropy, WavMeta}
 
 /** SQL surface for the library's native Catalyst expressions.
   *
@@ -81,7 +81,11 @@ object GraftExtensions {
       "wav_meta(bytes) - struct(sample_rate, channels, bits, n_frames, " +
         "duration_ms) of a RIFF/WAVE blob, null if malformed",
       args => { expectArity("wav_meta", args, 1)
-        WavMeta(args(0)) }))
+        WavMeta(args(0)) }),
+    ("char_ngrams",
+      "char_ngrams(text, n) - array of every width-n character window",
+      args => { expectArity("char_ngrams", args, 2)
+        CharNgrams(args(0), intLiteral("char_ngrams", "n", args(1))) }))
 
   private def expectArity(fn: String, args: Seq[Expression], n: Int): Unit =
     if (args.length != n) throw new IllegalArgumentException(

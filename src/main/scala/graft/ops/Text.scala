@@ -388,8 +388,20 @@ object Text {
     * the profile on a sample rather than cache a corpus-sized explode.
     * Non-oracle. */
   def langidNgram(spark: SparkSession, dir: String): DataFrame = {
-    val grams = docs(spark, dir).selectExpr("doc_id", "lang",
-      "explode(transform(sequence(1, greatest(length(text)-1, 1)), i -> substring(text, i, 2))) AS g")
+    // Bigrams via the native [[graft.functions.CharNgrams]] scanner, NOT
+    // substring(text, i, 2) over a position sequence: substring re-scans
+    // the UTF-8 bytes from the start to find char i (multi-byte safety),
+    // so the position form is O(len²) per document — 2.5× slower than
+    // even the linear split/zip_with lambda stack, which in turn runs
+    // interpreted per gram. The native form finds each char boundary
+    // once and wraps grams zero-copy (corpus-parity-tested against the
+    // built-in stacks; multi-byte boundaries unit-tested). Measured sf0.1,
+    // same JVM: gram pass 0.81 → 0.24 s vs zip_with; whole query
+    // 5.0 → 1.14 s vs the original position form — near-parity with
+    // DuckDB's 0.90 s on what was a 5.5× gap.
+    val grams = docs(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(graft.functions.CharNgrams.charNgrams(col("text"), 2)).as("g"))
     val rankW = Window.partitionBy(col("p_lang")).orderBy(col("cnt").desc, col("g"))
     val profile = grams.groupBy(col("lang").as("p_lang"), col("g"))
       .agg(count(lit(1)).as("cnt"))
