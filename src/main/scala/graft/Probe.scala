@@ -1,10 +1,11 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Scratch probe: connectedComponents change-count — carried prev column
-  * (current) vs re-join against the previous labels (old form). */
+/** Scratch probe: where percentile_disc_funcs' time goes — scan+explode
+  * vs counts agg vs the cumsum window vs the built-in aggregate. */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -17,53 +18,50 @@ object Probe {
     spark.sparkContext.setLogLevel("WARN")
     val dir = "/root/testdata/sf0.1"
 
-    def ccJoin(pairs: DataFrame, maxIter: Int = 15): DataFrame = {
-      val edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
-        .unionByName(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
-        .distinct()
-        .localCheckpoint(true)
-      var labels = edges.select(col("u").as("id")).distinct()
-        .withColumn("label", col("id"))
-        .localCheckpoint(true)
-      var changed = 1L
-      var iter = 0
-      while (changed > 0 && iter < maxIter) {
-        val nbrMin = edges
-          .join(labels.select(col("id").as("v"), col("label").as("vl")), "v")
-          .groupBy(col("u").as("id")).agg(min(col("vl")).as("nl"))
-        val next = labels.join(nbrMin, Seq("id"), "left_outer")
-          .select(col("id"),
-            least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
-          .localCheckpoint(true)
-        changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-          .filter(col("label") =!= col("old")).count()
-        labels = next
-        iter += 1
-      }
-      labels
+    def time(tag: String)(f: => Long): Unit = {
+      f // warm
+      val t0 = System.nanoTime(); val n = f
+      println(f"PROBE $tag%-22s ${(System.nanoTime() - t0) / 1e9}%.3f s  rows=$n")
     }
 
-    val pairs = ops.Text.dedupMinhash(spark, dir)
-      .filter(col("est_jaccard") >= 0.8)
-      .select("a_id", "b_id")
-      .localCheckpoint(true)   // isolate the CC loop from minhash cost
+    def triples = Tables.lineitem(spark, dir).select(col("l_returnflag").as("rf"),
+      explode(array(
+        struct(lit("med_qty").as("cname"), col("l_quantity").as("v"), lit(0.5).as("q")),
+        struct(lit("p90_price").as("cname"), col("l_extendedprice").as("v"), lit(0.9).as("q")),
+        struct(lit("p25_disc").as("cname"), col("l_discount").as("v"), lit(0.25).as("q")))).as("t"))
+      .select(col("rf"), col("t.cname"), col("t.v"), col("t.q"))
 
-    def viaCarried = ops.Graph.connectedComponents(pairs)
-    def viaJoin = ccJoin(pairs)
-
-    def time(name: String, mk: => DataFrame): Unit = {
-      for (_ <- 1 to 2) mk.queryExecution.toRdd.count()
-      val ts = Seq.fill(5) {
-        val t0 = System.nanoTime()
-        mk.queryExecution.toRdd.count()
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      println(f"$name: min=${ts.head}%.3f median=${ts(2)}%.3f")
+    time("scan+explode only") {
+      triples.agg(count(lit(1))).collect().head.getLong(0)
     }
-    time("cc carried prev", viaCarried)
-    time("cc join count  ", viaJoin)
-    time("cc carried prev", viaCarried)
-    time("cc join count  ", viaJoin)
+    time("counts agg") {
+      triples.groupBy("rf", "cname", "q", "v").agg(count(lit(1)).as("c"))
+        .agg(count(lit(1))).collect().head.getLong(0)
+    }
+    time("bucket-refine op") {
+      ops.Relational.percentileDiscFuncs(spark, dir).collect().length.toLong
+    }
+    time("built-in disc x3") {
+      Tables.lineitem(spark, dir).groupBy(col("l_returnflag"))
+        .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)"),
+          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)"),
+          expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_discount)"),
+          count(lit(1)))
+        .collect().length.toLong
+    }
+    time("built-in over FanOut") {
+      FanOut(Tables.lineitem(spark, dir)).groupBy(col("l_returnflag"))
+        .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)"),
+          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)"),
+          expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_discount)"),
+          count(lit(1)))
+        .collect().length.toLong
+    }
+    time("price col only counts") {
+      Tables.lineitem(spark, dir)
+        .groupBy(col("l_returnflag"), col("l_extendedprice")).agg(count(lit(1)).as("c"))
+        .agg(count(lit(1))).collect().head.getLong(0)
+    }
     spark.stop()
   }
 }

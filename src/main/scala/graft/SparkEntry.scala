@@ -66,6 +66,13 @@ object SparkEntry {
     "topk_values_agg"          -> (Relational.topkValuesAgg _),
     "histogram_agg"            -> (Relational.histogramAgg _),
     "q17_avg_quantity"         -> (Relational.q17AvgQuantity _),
+    "q10_returned_items"       -> (Relational.q10ReturnedItems _),
+    "q18_large_orders"         -> (Relational.q18LargeOrders _),
+    "q22_idle_customers"       -> (Relational.q22IdleCustomers _),
+    "cond_agg_funcs"           -> (Relational.condAggFuncs _),
+    "ntile_funcs"              -> (Relational.ntileFuncs _),
+    "unpivot_long"             -> (Relational.unpivotLong _),
+    "percentile_disc_funcs"    -> (Relational.percentileDiscFuncs _),
     "array_funcs"              -> (Relational.arrayFuncs _),
     "set_ops"                  -> (Relational.setOps _),
     "set_ops_except"           -> (Relational.setOpsExcept _),
@@ -94,6 +101,7 @@ object SparkEntry {
     "zscore_outliers"          -> (Events.zscoreOutliers _),
     "locf_fill"                -> (Events.locfFill _),
     "sliding_window_events"    -> (Events.slidingWindow _),
+    "streak_islands"           -> (Events.streakIslands _),
     "approx_distinct_hll"      -> (Events.approxDistinctHll _), // no-oracle
     // §2.9 LLM-pipeline: text + dedup
     "dedup_exact_docs"         -> (Text.dedupExact _),
@@ -114,6 +122,8 @@ object SparkEntry {
     "text_sequence_pack"       -> ((s, d) => Text.sequencePack(s, d)),
     "text_entropy"             -> (Text.tokenEntropy _),
     "text_repetition"          -> (Text.textRepetition _),
+    "vocab_top_tokens"         -> ((s, d) => Text.vocabTopTokens(s, d)),
+    "text_collocations"        -> ((s, d) => Text.collocations(s, d)),
     "decontaminate_ngram"      -> ((s, d) => Text.decontaminateNgram(s, d)),
     "decontaminate_bloom"      -> ((s, d) => Text.decontaminateBloom(s, d)), // no-oracle
     "mask_pii"                 -> (Privacy.maskCustomers _),
@@ -131,7 +141,7 @@ object SparkEntry {
     "multimodal_wav_meta"      -> (Multimodal.wavMetaStats _)  // no-oracle
   )
 
-  /** The 92 BASELINE.md headline queries timed by [[Bench]] — every
+  /** The 102 BASELINE.md headline queries timed by [[Bench]] — every
     * oracle-able op, kept exactly aligned with the baseline so per-query
     * times stay comparable. Round 2 extended the original 19 to 34;
     * round 7 closed the contract drift by adding the 10 oracled ops
@@ -152,8 +162,11 @@ object SparkEntry {
     * string_distance_funcs + mean_funcs (v14), recon_incremental (v15),
     * session_window_agg (v16), shape_stats (v17), and
     * q6_forecast_revenue + q14_promo_share (v18), regexp_funcs +
-    * make_funcs (v19), and text_langid — no-oracle since round 3, now
-    * reproduced in SQL (v20). */
+    * make_funcs (v19), text_langid — no-oracle since round 3, now
+    * reproduced in SQL (v20), and the round-8 batch q10_returned_items +
+    * q18_large_orders + q22_idle_customers + cond_agg_funcs + ntile_funcs
+    * + unpivot_long + percentile_disc_funcs + streak_islands +
+    * vocab_top_tokens + text_collocations (v21). */
   val benchQueries: Seq[String] = Seq(
     "recon_rowcount", "recon_colagg_fingerprint", "recon_hash_diff",
     "recon_missing_rows", "recon_partition_drill", "q1_pricing_summary",
@@ -180,7 +193,10 @@ object SparkEntry {
     "set_ops_all", "try_cast_funcs", "locf_fill", "string_distance_funcs",
     "mean_funcs", "recon_incremental", "session_window_agg", "shape_stats",
     "q6_forecast_revenue", "q14_promo_share", "regexp_funcs", "make_funcs",
-    "text_langid")
+    "text_langid", "q10_returned_items", "q18_large_orders",
+    "q22_idle_customers", "cond_agg_funcs", "ntile_funcs", "unpivot_long",
+    "percentile_disc_funcs", "streak_islands", "vocab_top_tokens",
+    "text_collocations")
 
   /** DuckDB-dialect oracle per query (driver runs these on the same parquet
     * files and hash-compares). Dialect forks: get_json_object↔
@@ -1214,6 +1230,124 @@ object SparkEntry {
         |      row_number() OVER (PARTITION BY gr.doc_id ORDER BY count(*) DESC, p.p_lang) rk
         |    FROM grams gr JOIN profile p USING (g) GROUP BY 1, 2, 3) WHERE rk = 1)
         |SELECT lang, p_lang pred, count(*) n_docs FROM pred
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) revenue
+        |FROM customer JOIN orders ON c_custkey=o_custkey
+        |  JOIN lineitem ON l_orderkey=o_orderkey
+        |  JOIN nation ON c_nationkey=n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND l_returnflag='R'
+        |GROUP BY 1,2,3,4
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q18_large_orders" ->
+      // the HAVING threshold compares the exact DECIMAL sum, so both
+      // engines classify boundary orders identically
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) total_qty
+        |FROM customer JOIN orders ON c_custkey=o_custkey
+        |  JOIN lineitem ON o_orderkey=l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem GROUP BY 1
+        |  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 300)
+        |GROUP BY 1,2,3,4,5 ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q22_idle_customers" ->
+      """WITH avg_bal AS (
+        |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)/count(*) a
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_nationkey, CAST(count(*) AS BIGINT) n_cust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) total_bal
+        |FROM customer, avg_bal
+        |WHERE c_acctbal > a
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey=c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "cond_agg_funcs" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (o_totalprice > 200000) n_big,
+        |  bool_and(o_totalprice > 0) all_pos,
+        |  bool_or(o_orderstatus = 'F') any_f,
+        |  CAST(count(DISTINCT o_orderstatus) AS BIGINT) n_status,
+        |  CAST(count(*) AS BIGINT) n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "ntile_funcs" ->
+      // both engines fill ntile buckets larger-first; the (price, key)
+      // tiebreak makes the assignment a total order
+      """WITH t AS (SELECT o_orderkey, o_totalprice,
+        |  ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) q FROM orders)
+        |SELECT q, CAST(count(*) AS BIGINT) n, min(o_totalprice) mn, max(o_totalprice) mx,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) total
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "unpivot_long" ->
+      // UNION ALL is the dialect-portable spelling of UNPIVOT
+      """WITH w AS (SELECT l_returnflag rf,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) sum_price,
+        |  CAST(count(*) AS DOUBLE) n
+        |  FROM lineitem GROUP BY 1)
+        |SELECT rf, 'sum_qty' metric, sum_qty val FROM w
+        |UNION ALL SELECT rf, 'sum_price', sum_price FROM w
+        |UNION ALL SELECT rf, 'n', n FROM w
+        |ORDER BY rf, metric""".stripMargin,
+
+    "percentile_disc_funcs" ->
+      // quantile_disc ≡ percentile_disc: both pick the smallest data
+      // value with cume_dist ≥ q (ceil(n·q) convention, probe-verified),
+      // so no interpolation arithmetic can diverge
+      """SELECT l_returnflag,
+        |  quantile_disc(l_quantity, 0.5) med_qty,
+        |  quantile_disc(l_extendedprice, 0.9) p90_price,
+        |  quantile_disc(l_discount, 0.25) p25_disc,
+        |  CAST(count(*) AS BIGINT) n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "streak_islands" ->
+      // day-number anchored to a fixed epoch so both engines derive the
+      // identical integer island key
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) d FROM events),
+        |num AS (SELECT user_id, d,
+        |  date_diff('day', DATE '2020-01-01', d)
+        |    - row_number() OVER (PARTITION BY user_id ORDER BY d) grp FROM days),
+        |isl AS (SELECT user_id, grp, CAST(count(*) AS BIGINT) len FROM num GROUP BY 1,2)
+        |SELECT user_id, max(len) max_streak, CAST(count(*) AS BIGINT) n_streaks,
+        |  CAST(sum(len) AS BIGINT) active_days
+        |FROM isl GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+    "vocab_top_tokens" ->
+      """WITH toks AS (SELECT unnest(string_split(lower(text),' ')) tok FROM documents),
+        |counts AS (SELECT tok, CAST(count(*) AS BIGINT) cnt FROM toks
+        |  WHERE tok <> '' GROUP BY 1),
+        |ranked AS (SELECT tok, cnt, row_number() OVER (ORDER BY cnt DESC, tok) id
+        |  FROM counts)
+        |SELECT id, tok, cnt FROM ranked WHERE id <= 500 ORDER BY id""".stripMargin,
+
+    "text_collocations" ->
+      // bigrams via a 1-based index transform (range(1, len) is empty on
+      // single-token docs, matching Spark's size>=2 guard); PMI in ln,
+      // rounded to 4 dp
+      """WITH toks AS (SELECT string_split(lower(text),' ') ts FROM documents),
+        |uni AS (SELECT unnest(ts) w FROM toks),
+        |ucnt AS (SELECT w, count(*) uc FROM uni WHERE w <> '' GROUP BY 1),
+        |utot AS (SELECT CAST(count(*) AS DOUBLE) tu FROM uni WHERE w <> ''),
+        |gall AS (SELECT w1, w2 FROM (
+        |    SELECT unnest(list_transform(range(1, len(ts)), i -> ts[i])) w1,
+        |           unnest(list_transform(range(1, len(ts)), i -> ts[i+1])) w2
+        |    FROM toks) WHERE w1 <> '' AND w2 <> ''),
+        |gcnt AS (SELECT w1, w2, count(*) gc FROM gall GROUP BY 1,2),
+        |gtot AS (SELECT CAST(count(*) AS DOUBLE) tg FROM gall)
+        |SELECT w1 || ' ' || w2 bigram, CAST(gc AS BIGINT) cnt,
+        |  round(ln((gc/tg) / ((u1.uc/tu)*(u2.uc/tu))), 4) pmi
+        |FROM gcnt, gtot, utot
+        |  JOIN ucnt u1 ON u1.w = w1
+        |  JOIN ucnt u2 ON u2.w = w2
+        |WHERE gc >= 20
+        |ORDER BY pmi DESC, bigram LIMIT 100""".stripMargin
   )
 }

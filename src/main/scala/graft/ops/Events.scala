@@ -328,4 +328,27 @@ object Events {
       .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"))
       .orderBy("event_type")
+
+  /** Gaps-and-islands: per-user consecutive-day activity streaks. The
+    * classic idiom — day-number minus row_number is constant within a
+    * run of consecutive days — with the day number anchored to a fixed
+    * epoch so both engines derive the identical integer group key. Two
+    * hash aggregates around one user-partitioned window; the distinct
+    * day frame (≤ users × days rows) is what sorts, never the raw
+    * event stream. */
+  def streakIslands(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts").cast("date").as("d")).distinct()
+    val w = Window.partitionBy("user_id").orderBy("d")
+    days
+      .withColumn("grp",
+        datediff(col("d"), lit("2020-01-01").cast("date"))
+          - row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(max("len").as("max_streak"), count(lit(1)).as("n_streaks"),
+        sum("len").as("active_days"))
+      .orderBy("user_id")
+  }
 }

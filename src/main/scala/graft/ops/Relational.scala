@@ -785,4 +785,189 @@ object Relational {
         col("n").as("n_mode"))
       .orderBy("o_orderpriority")
   }
+
+  /** TPC-H-Q10-shaped returned-item report: which customers returned the
+    * most revenue in a quarter. Both filters (order-date window, R flag)
+    * push into their scans before the joins, so the 3-way join runs over
+    * a quarter of orders × the R third of lineitem, not the full tables;
+    * nation broadcasts. Top-20 plans as TakeOrderedAndProject — no
+    * global sort materialization. */
+  def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+            && col("o_orderdate") < lit("1996-04-01").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+
+  /** TPC-H-Q18-shaped large-order report: HAVING over a fact aggregate,
+    * then the qualifying keys semi-join back into the 3-way join. The
+    * semi join runs FIRST against orders so customer and lineitem only
+    * ever see the handful of qualifying orders — at 100 TB the qualifier
+    * set is tiny and AQE turns both downstream joins into broadcasts.
+    * The > 300 threshold compares the exact DECIMAL(18,4) sum surfaced
+    * as double, so both engines classify boundary orders alike. */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val big = l.groupBy(col("l_orderkey").as("big_ok"))
+      .agg(decSum(col("l_quantity")).as("sq"))
+      .filter(col("sq") > 300).select("big_ok")
+    Tables.orders(spark, dir)
+      .join(big, col("o_orderkey") === col("big_ok"), "left_semi")
+      .join(Tables.customer(spark, dir), col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"))
+      .agg(decSum(col("l_quantity")).as("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** TPC-H-Q22-shaped lapsed-customer report: above-average balances with
+    * no recent orders. The scalar average broadcasts as a 1-row cross
+    * join (no correlated re-scan per row); the NOT EXISTS is a left-anti
+    * join against the date-filtered order keys — the anti side is
+    * pre-shrunk by the pushed date predicate before it shuffles. */
+  def q22IdleCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val avgBal = c.filter(col("c_acctbal") > 0)
+      .agg((decSum(col("c_acctbal")) / count(lit(1))).as("a"))
+    val recent = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    c.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("a"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_cust"), decSum(col("c_acctbal")).as("total_bal"))
+      .orderBy("c_nationkey")
+  }
+
+  /** Conditional-aggregate battery: count_if, bool_and/bool_or, distinct
+    * count — the predicate-aggregate surface FILTER clauses compile to.
+    * All partial-aggregable, so the map side combines before the one
+    * exchange; count(DISTINCT) expands to a two-phase partial-distinct
+    * plan, not a global sort. */
+  def condAggFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).groupBy(col("o_orderpriority"))
+      .agg(
+        count_if(col("o_totalprice") > 200000).as("n_big"),
+        bool_and(col("o_totalprice") > 0).as("all_pos"),
+        bool_or(col("o_orderstatus") === "F").as("any_f"),
+        countDistinct(col("o_orderstatus")).as("n_status"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
+  /** Quartile assignment via ntile over a total order (price, key
+    * tiebreak), then per-quartile stats. Both engines share the ntile
+    * fill convention (larger buckets first), and the unique tiebreak
+    * makes the assignment deterministic. The global window is an
+    * inherent single-partition sort — ntile over a total order cannot
+    * be computed distributively; at 100 TB the same per-quartile stats
+    * come from approx-quantile bin edges (see histogram_agg /
+    * quantile_summary_approx for the bounded-state path). */
+  def ntileFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        ntile(4).over(w).as("q"))
+      .groupBy("q")
+      .agg(count(lit(1)).as("n"), min("o_totalprice").as("mn"),
+        max("o_totalprice").as("mx"), decSum(col("o_totalprice")).as("total"))
+      .orderBy("q")
+  }
+
+  /** Wide→long reshape through `Dataset.unpivot` (the inverse of
+    * pivot_agg): a q1-style wide aggregate melts into (group, metric,
+    * val) rows. Unpivot is a row-local Expand — 3 output rows per input
+    * row, no shuffle beyond the source aggregate; the DuckDB twin is the
+    * UNION ALL spelling of the same reshape. */
+  def unpivotLong(spark: SparkSession, dir: String): DataFrame = {
+    val w = graft.FanOut(Tables.lineitem(spark, dir))
+      .groupBy(col("l_returnflag").as("rf"))
+      .agg(decSum(col("l_quantity")).as("sum_qty"),
+        decSum(col("l_extendedprice")).as("sum_price"),
+        count(lit(1)).cast("double").as("n"))
+    w.unpivot(Array(col("rf")),
+        Array(col("sum_qty"), col("sum_price"), col("n")), "metric", "val")
+      .orderBy("rf", "metric")
+  }
+
+  /** PERCENTILE_DISC battery — the discrete quantile that returns an
+    * actual data value (smallest value with cume_dist ≥ q), so unlike
+    * the interpolating percentile_cont there is no float arithmetic to
+    * diverge between engines: DuckDB's quantile_disc uses the same
+    * ceil(n·q) convention (probe-verified at n=10, q=0.85).
+    *
+    * Computed by two-phase bucket-then-refine distributed selection,
+    * NOT the built-in `percentile_disc` aggregate: the built-in buffers
+    * every value per group in an imperative map (600 k buffered doubles
+    * here; OOM at real scale), and a flat count-cumsum over DISTINCT
+    * values is no better when the column is nearly unique (the probe
+    * measured the 594 k-row distinct frame costing more than the
+    * buffering it replaced). Phase 1 aggregates counts per coarse value
+    * bucket — a few hundred groups, so the map side combines the whole
+    * stream down to bucket-count rows — and a cumsum over that TINY
+    * frame locates the one bucket containing rank ceil(q·n) (its
+    * preceding-rank offset rides along). Phase 2 rescans, keeps only
+    * rows in the target bucket (a broadcast-joined row-local filter,
+    * ~1/buckets of the data), and picks the smallest value whose
+    * offset-adjusted cumsum reaches the rank. Nothing row-count-sized
+    * is ever sorted, buffered, or shuffled at any scale — both phases
+    * end in answer-sized frames. Same result bit-for-bit as the
+    * built-in (cume_dist ≥ q ⟺ cum ≥ ceil(q·n) for integer cum;
+    * RelationalSpec asserts parity). */
+  def percentileDiscFuncs(spark: SparkSession, dir: String): DataFrame = {
+    // (column, quantile, bucket width⁻¹) per battery entry; widths give
+    // O(100) buckets for each column's range
+    def triples = Tables.lineitem(spark, dir).select(col("l_returnflag").as("rf"),
+      explode(array(
+        struct(lit("med_qty").as("cname"), col("l_quantity").as("v"),
+          lit(0.5).as("q"), lit(1.0).as("scale")),
+        struct(lit("p90_price").as("cname"), col("l_extendedprice").as("v"),
+          lit(0.9).as("q"), lit(0.001).as("scale")),
+        struct(lit("p25_disc").as("cname"), col("l_discount").as("v"),
+          lit(0.25).as("q"), lit(100.0).as("scale")))).as("t"))
+      .select(col("rf"), col("t.cname"), col("t.v"), col("t.q"),
+        floor(col("t.v") * col("t.scale")).as("bucket"))
+    val wCum = Window.partitionBy("rf", "cname").orderBy("bucket")
+    val wTot = Window.partitionBy("rf", "cname")
+    val target = triples
+      .groupBy("rf", "cname", "q", "bucket").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("n", sum("c").over(wTot))
+      .withColumn("rank", ceil(col("q") * col("n")))
+      .filter(col("cum") >= col("rank"))
+      .groupBy("rf", "cname")
+      .agg(min_by(
+        struct(col("bucket").as("tbucket"), (col("cum") - col("c")).as("prev"),
+          col("rank"), col("n")),
+        col("bucket")).as("tb"))
+      .select(col("rf"), col("cname"), col("tb.tbucket"), col("tb.prev"),
+        col("tb.rank"), col("tb.n"))
+    val picked = triples
+      .join(broadcast(target), Seq("rf", "cname"))
+      .filter(col("bucket") === col("tbucket"))
+      .groupBy("rf", "cname", "v", "prev", "rank", "n")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum",
+        col("prev") + sum("c").over(Window.partitionBy("rf", "cname").orderBy("v")))
+      .filter(col("cum") >= col("rank"))
+      .groupBy("rf", "cname").agg(min("v").as("pick"), max("n").as("n"))
+    picked.groupBy(col("rf").as("l_returnflag"))
+      .agg(
+        max(when(col("cname") === "med_qty", col("pick"))).as("med_qty"),
+        max(when(col("cname") === "p90_price", col("pick"))).as("p90_price"),
+        max(when(col("cname") === "p25_disc", col("pick"))).as("p25_disc"),
+        max(col("n")).as("n"))
+      .orderBy("l_returnflag")
+  }
 }

@@ -491,4 +491,56 @@ object Text {
         round(col("score"), 4).as("tfidf"), col("rn"))
       .orderBy("source", "rn")
   }
+
+  /** Vocabulary build: top-k tokens by frequency with dense integer ids
+    * — the tokenizer-vocab step of a training pipeline. The top-k runs
+    * as TakeOrderedAndProject over the (vocab-sized) count frame, so
+    * nothing global ever sorts except the k survivors; ids are then a
+    * row_number over just those k rows. (cnt DESC, tok) is a total
+    * order, so ids are deterministic. */
+  def vocabTopTokens(spark: SparkSession, dir: String, k: Int = 500): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val top = counts.orderBy(col("cnt").desc, col("tok")).limit(k)
+    val w = Window.orderBy(col("cnt").desc, col("tok"))
+    top.select(row_number().over(w).as("id"), col("tok"), col("cnt"))
+      .orderBy("id")
+  }
+
+  /** Bigram collocations by pointwise mutual information: which word
+    * pairs co-occur far above chance. Bigrams come from a row-local
+    * higher-order transform over the token array (no self-join, no
+    * window over the token stream); unigram/bigram totals broadcast as
+    * 1-row frames; the ≥ minCount support floor keeps the PMI join
+    * frame vocabulary-sized. PMI = ln(P(w1w2) / (P(w1)·P(w2))),
+    * rounded to 4 dp for the cross-engine compare. */
+  def collocations(spark: SparkSession, dir: String,
+                   minCount: Int = 20, k: Int = 100): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(split(lower(col("text")), " ").as("ts"))
+    val uni = toks.select(explode(col("ts")).as("w")).filter(col("w") =!= "")
+    val ucnt = uni.groupBy(col("w")).agg(count(lit(1)).as("uc"))
+    val utot = uni.agg(count(lit(1)).cast("double").as("tu"))
+    val grams = toks.select(explode(expr(
+        """CASE WHEN size(ts) >= 2
+          |  THEN transform(sequence(0, size(ts)-2),
+          |         i -> struct(ts[i] AS w1, ts[i+1] AS w2))
+          |  ELSE array() END""".stripMargin)).as("g"))
+      .select(col("g.w1"), col("g.w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+    val gcnt = grams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("gc"))
+    val gtot = grams.agg(count(lit(1)).cast("double").as("tg"))
+    gcnt.filter(col("gc") >= minCount)
+      .crossJoin(broadcast(gtot)).crossJoin(broadcast(utot))
+      .join(ucnt.select(col("w").as("w1"), col("uc").as("c1")), Seq("w1"))
+      .join(ucnt.select(col("w").as("w2"), col("uc").as("c2")), Seq("w2"))
+      .select(concat(col("w1"), lit(" "), col("w2")).as("bigram"),
+        col("gc").as("cnt"),
+        round(log((col("gc") / col("tg"))
+          / ((col("c1") / col("tu")) * (col("c2") / col("tu")))), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram"))
+      .limit(k)
+  }
 }

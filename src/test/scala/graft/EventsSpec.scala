@@ -37,6 +37,28 @@ class EventsSpec extends GraftSpec {
     assert(windowed === 4 * total)
   }
 
+  test("streak islands: hand-computed multi-day streaks") {
+    val spark0 = spark
+    import spark0.implicits._
+    // ns timestamps on distinct days; user 1 active days {0,1,2},{4,5},{9}
+    // (two events on day 0 — the distinct must collapse them), user 2
+    // every other day so every island is length 1
+    def dayEv(id: Long, user: Long, day: Int, hour: Int) =
+      RawEv(id, (1735689600L + day * 86400L + hour * 3600L) * 1000000000L,
+        user, "a", 1.0, "{}")
+    val d = s"$tmpDir/streakfix"
+    Seq(
+      dayEv(1, 1, 0, 1), dayEv(2, 1, 0, 5), dayEv(3, 1, 1, 1),
+      dayEv(4, 1, 2, 1), dayEv(5, 1, 4, 1), dayEv(6, 1, 5, 1),
+      dayEv(7, 1, 9, 1),
+      dayEv(8, 2, 0, 1), dayEv(9, 2, 2, 1), dayEv(10, 2, 4, 1))
+      .toDF().write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = Events.streakIslands(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === Map(1L -> ((3L, 3L, 6L)), 2L -> ((1L, 3L, 3L))))
+  }
+
   test("sessionization matches hand-computed sessions") {
     val got = Events.sessionize(spark, fixtureDir).collect()
       .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap

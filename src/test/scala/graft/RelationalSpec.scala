@@ -132,6 +132,22 @@ class RelationalSpec extends GraftSpec {
     }
   }
 
+  test("percentile_disc: count-cumsum form matches the built-in aggregate") {
+    val got = Relational.percentileDiscFuncs(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+    val builtin = Tables.lineitem(spark, sf).groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)"),
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_discount)"),
+        count(lit(1)))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(got === builtin)
+  }
+
   test("q17: small-quantity rows match a driver-side threshold recompute") {
     val li = Tables.lineitem(spark, sf)
       .select("l_partkey", "l_quantity", "l_extendedprice").collect()

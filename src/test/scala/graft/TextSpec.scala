@@ -190,6 +190,38 @@ class TextSpec extends GraftSpec {
     assert(row.getDouble(3) === doc.getString(1).length.toDouble / toks.length)
   }
 
+  test("collocations: PMI recomputes by hand on a tiny corpus") {
+    val spark0 = spark
+    import spark0.implicits._
+    val d = s"$tmpDir/collocfix"
+    // unigrams a:3 b:3 c:3 (tu=9); bigrams (a,b):3 (b,a):1 (b,c):1 (c,c):1
+    // (tg=6) → PMI(a b)=ln((3/6)/((3/9)(3/9)))=ln(4.5), others ln(1.5)
+    Seq(
+      TextFixture.Doc(1, "a b a b", "en", "s", 7),
+      TextFixture.Doc(2, "a b c", "en", "s", 5),
+      TextFixture.Doc(3, "c c", "en", "s", 3))
+      .toDF().write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = Text.collocations(spark, d, minCount = 1, k = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got === Array(
+      ("a b", 3L, 1.5041), ("b a", 1L, 0.4055),
+      ("b c", 1L, 0.4055), ("c c", 1L, 0.4055)))
+  }
+
+  test("vocab: ids follow (cnt DESC, tok) with the top-k cutoff") {
+    val spark0 = spark
+    import spark0.implicits._
+    val d = s"$tmpDir/vocabfix"
+    Seq(
+      TextFixture.Doc(1, "b b b a a c", "en", "s", 11),
+      TextFixture.Doc(2, "a c", "en", "s", 3))
+      .toDF().write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = Text.vocabTopTokens(spark, d, k = 2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    // a and b tie at 3; tok tiebreak puts a first, c (cnt 2) is cut
+    assert(got === Array((1, "a", 3L), (2, "b", 3L)))
+  }
+
   test("tfidf: top-k per source, scores recompute from tf·ln(n/df)") {
     val rows = Text.tfidfTopTerms(spark, sf, k = 5).collect()
     val nSrc = Tables.documents(spark, sf).select("source").distinct().count()
