@@ -69,6 +69,12 @@ object SparkEntry {
     "q10_returned_items"       -> (Relational.q10ReturnedItems _),
     "q18_large_orders"         -> (Relational.q18LargeOrders _),
     "q22_idle_customers"       -> (Relational.q22IdleCustomers _),
+    "q19_disjunctive_filter"   -> (Relational.q19DisjunctiveFilter _),
+    "q4_late_orders"           -> (Relational.q4LateOrders _),
+    "q8_market_share"          -> (Relational.q8MarketShare _),
+    "posexplode_funcs"         -> (Relational.posexplodeFuncs _),
+    "map_funcs"                -> (Relational.mapFuncs _),
+    "grouping_id_agg"          -> (Relational.groupingIdAgg _),
     "cond_agg_funcs"           -> (Relational.condAggFuncs _),
     "ntile_funcs"              -> (Relational.ntileFuncs _),
     "unpivot_long"             -> (Relational.unpivotLong _),
@@ -138,10 +144,10 @@ object SparkEntry {
     "multimodal_decode_stats"  -> (Multimodal.decodeStats _), // no-oracle
     "multimodal_resize_stats"  -> (Multimodal.resizeStats _), // no-oracle
     "multimodal_frame_sample"  -> ((s, d) => Multimodal.frameSample(s, d)), // no-oracle
-    "multimodal_wav_meta"      -> (Multimodal.wavMetaStats _)  // no-oracle
+    "multimodal_wav_meta"      -> (Multimodal.wavMetaStats _)
   )
 
-  /** The 102 BASELINE.md headline queries timed by [[Bench]] — every
+  /** The 109 BASELINE.md headline queries timed by [[Bench]] — every
     * oracle-able op, kept exactly aligned with the baseline so per-query
     * times stay comparable. Round 2 extended the original 19 to 34;
     * round 7 closed the contract drift by adding the 10 oracled ops
@@ -166,7 +172,14 @@ object SparkEntry {
     * reproduced in SQL (v20), and the round-8 batch q10_returned_items +
     * q18_large_orders + q22_idle_customers + cond_agg_funcs + ntile_funcs
     * + unpivot_long + percentile_disc_funcs + streak_islands +
-    * vocab_top_tokens + text_collocations (v21). */
+    * vocab_top_tokens + text_collocations (v21), and
+    * q19_disjunctive_filter + q4_late_orders + q8_market_share +
+    * posexplode_funcs + map_funcs + grouping_id_agg (v22), and
+    * multimodal_wav_meta — no-oracle since its round-8 debut, now
+    * oracled by independent recomputation: the synthesized WAV header
+    * fields derive deterministically from (doc_id, octet_length), so
+    * DuckDB rebuilds the same per-cohort aggregate without parsing a
+    * byte (v23). */
   val benchQueries: Seq[String] = Seq(
     "recon_rowcount", "recon_colagg_fingerprint", "recon_hash_diff",
     "recon_missing_rows", "recon_partition_drill", "q1_pricing_summary",
@@ -196,7 +209,9 @@ object SparkEntry {
     "text_langid", "q10_returned_items", "q18_large_orders",
     "q22_idle_customers", "cond_agg_funcs", "ntile_funcs", "unpivot_long",
     "percentile_disc_funcs", "streak_islands", "vocab_top_tokens",
-    "text_collocations")
+    "text_collocations", "q19_disjunctive_filter", "q4_late_orders",
+    "q8_market_share", "posexplode_funcs", "map_funcs", "grouping_id_agg",
+    "multimodal_wav_meta")
 
   /** DuckDB-dialect oracle per query (driver runs these on the same parquet
     * files and hash-compares). Dialect forks: get_json_object↔
@@ -1348,6 +1363,86 @@ object SparkEntry {
         |  JOIN ucnt u1 ON u1.w = w1
         |  JOIN ucnt u2 ON u2.w = w2
         |WHERE gc >= 20
-        |ORDER BY pmi DESC, bigram LIMIT 100""".stripMargin
+        |ORDER BY pmi DESC, bigram LIMIT 100""".stripMargin,
+
+    "q19_disjunctive_filter" ->
+      """SELECT CAST(count(*) AS BIGINT) n,
+        |  CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 16 AND 30 AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 31 AND 50 AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
+
+    "q4_late_orders" ->
+      // timestamp + INTERVAL is exact integer arithmetic on both engines
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) n_late
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey
+        |    AND l_shipdate >= o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q8_market_share" ->
+      """WITH vol AS (
+        |  SELECT CAST(year(o_orderdate) AS INT) yr,
+        |    CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4)) v,
+        |    s_nationkey
+        |  FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+        |    JOIN customer ON o_custkey=c_custkey
+        |    JOIN nation cn ON c_nationkey=cn.n_nationkey
+        |    JOIN region ON cn.n_regionkey=r_regionkey
+        |    JOIN supplier ON l_suppkey=s_suppkey
+        |  WHERE r_name='ASIA')
+        |SELECT yr, CAST(sum(v) AS DOUBLE) total_rev,
+        |  CAST(coalesce(sum(v) FILTER (s_nationkey = 1), 0) AS DOUBLE) nation1_rev,
+        |  round(CAST(coalesce(sum(v) FILTER (s_nationkey = 1), 0) AS DOUBLE)
+        |    / CAST(sum(v) AS DOUBLE), 6) mkt_share
+        |FROM vol GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "posexplode_funcs" ->
+      // generate_subscripts is 1-based, posexplode 0-based
+      """SELECT doc_id, generate_subscripts(ts,1) - 1 pos, unnest(ts) tok
+        |FROM (SELECT doc_id, string_split(text,' ') ts FROM documents WHERE doc_id <= 50)
+        |ORDER BY doc_id, pos""".stripMargin,
+
+    "map_funcs" ->
+      // DuckDB map extraction yields a 1-element list, hence the [1];
+      // both lookups are NULL on absent key (try_element_at twin)
+      """WITH cnt AS (SELECT o_orderpriority, o_orderstatus, CAST(count(*) AS BIGINT) n
+        |  FROM orders GROUP BY 1,2),
+        |m AS (SELECT o_orderpriority,
+        |  map_from_entries(list((o_orderstatus, n))) mp FROM cnt GROUP BY 1)
+        |SELECT o_orderpriority, CAST(len(map_keys(mp)) AS INT) n_keys,
+        |  coalesce(mp['F'][1], 0) f_n, coalesce(mp['O'][1], 0) o_n,
+        |  coalesce(mp['P'][1], 0) p_n,
+        |  array_to_string(list_sort(map_keys(mp)), '|') statuses
+        |FROM m ORDER BY 1""".stripMargin,
+
+    "grouping_id_agg" ->
+      // NULLS FIRST pinned explicitly: Spark defaults first, DuckDB last
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus) AS BIGINT) gs,
+        |  CAST(GROUPING(o_orderpriority) AS BIGINT) gp,
+        |  CAST(count(*) AS BIGINT) n
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY gs, gp, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "multimodal_wav_meta" ->
+      // independent recomputation, not a parse: wavRecords synthesizes
+      // every header field from (doc_id, octet_length(text)) — rate from
+      // doc_id%3, channels from doc_id%2, frames = len/blockAlign — so
+      // the oracle rebuilds the cohort aggregate the native wav_meta
+      // expression must recover from the bytes; integer division
+      // throughout matches the expression's long arithmetic
+      """WITH w AS (
+        |  SELECT [8000,16000,44100][CAST(doc_id % 3 AS INT) + 1] sample_rate,
+        |    CAST(1 + doc_id % 2 AS INT) channels,
+        |    octet_length(CAST(text AS BLOB)) // (2 * (1 + doc_id % 2)) frames
+        |  FROM documents)
+        |SELECT CAST(sample_rate AS INT) sample_rate, channels,
+        |  CAST(count(*) AS BIGINT) n_clips,
+        |  CAST(sum(frames) AS BIGINT) total_frames,
+        |  CAST(sum(frames * 1000 // sample_rate) AS BIGINT) total_ms
+        |FROM w GROUP BY 1,2 ORDER BY 1,2""".stripMargin
   )
 }

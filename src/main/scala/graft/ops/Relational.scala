@@ -786,6 +786,126 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** TPC-H-Q19-shaped disjunctive-predicate aggregate: three (brand,
+    * size-range, quantity-range) clauses OR'd together over the
+    * part⋈lineitem join. The shape exists to exercise disjunction
+    * pushdown: Catalyst extracts the per-side conjuncts common to all
+    * branches (brand IN (...) ∨-union, the size and quantity range
+    * unions) and pushes them into BOTH parquet scans as OR'd
+    * PushedFilters, so row-group min/max stats prune before the join;
+    * the exact 3-clause predicate then runs post-join, row-local and
+    * codegen'd. Part broadcasts. */
+  def q19DisjunctiveFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)),
+        col("p_partkey") === col("l_partkey"))
+      .where(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 15)
+          && col("l_quantity").between(1, 20)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(16, 30)
+          && col("l_quantity").between(10, 30)) ||
+        (col("p_brand") === "Brand#34" && col("p_size").between(31, 50)
+          && col("l_quantity").between(20, 40)))
+      .agg(count(lit(1)).as("n"),
+        decSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+
+  /** TPC-H-Q4-shaped order-priority check: orders with at least one
+    * line item shipped ≥ 60 days after the order date, counted per
+    * priority. The EXISTS is a left-semi join whose condition mixes the
+    * equi key with a cross-table inequality — the planner keys the hash
+    * join on l_orderkey and applies the date comparison as the join
+    * residual, so no pair ever materializes and each order counts at
+    * most once regardless of how many lines qualify. */
+  def q4LateOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir).select("l_orderkey", "l_shipdate"),
+        col("l_orderkey") === col("o_orderkey")
+          && col("l_shipdate") >= col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_late"))
+      .orderBy("o_orderpriority")
+
+  /** TPC-H-Q8-shaped market share: of the revenue an ASIA customer base
+    * generated each year, what fraction came from nation-1 suppliers.
+    * The region filter reaches the fact stream as a broadcast chain
+    * (region → nation → customer) BEFORE the two fact joins, so
+    * non-ASIA revenue never shuffles; supplier (a thin key→nation map)
+    * broadcasts too. Share = ratio of exact DECIMAL sums surfaced as
+    * doubles, rounded 6 dp. */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val asiaNations = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir)
+        .filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val asiaCust = Tables.customer(spark, dir)
+      .join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(asiaCust, col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast("int").as("yr"))
+      .agg(
+        decSum(rev).as("total_rev"),
+        coalesce(decSum(when(col("s_nationkey") === 1, rev)), lit(0.0))
+          .as("nation1_rev"))
+      .withColumn("mkt_share",
+        round(col("nation1_rev") / col("total_rev"), 6))
+      .orderBy("yr")
+  }
+
+  /** Generator battery: posexplode over the token array — each token
+    * with its 0-based position, the WITH ORDINALITY surface. A pure
+    * row-local generate (one Generate node, no shuffle but the
+    * presentation sort); the doc_id bound prunes at the scan. */
+  def posexplodeFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).filter(col("doc_id") <= 50)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .orderBy("doc_id", "pos")
+
+  /** MapType surface: per-priority status→count maps built with
+    * map_from_entries over the grouped counts, then key extraction,
+    * cardinality, and sorted key list. collect_list's order is
+    * nondeterministic but map lookup is by key, so every output column
+    * is order-independent — the portable way to surface a map. ANSI
+    * mode makes element_at throw on absent keys, so lookups go through
+    * try_element_at (≡ DuckDB's NULL-on-missing map extraction). */
+  def mapFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("o_orderpriority"))
+      .agg(map_from_entries(
+        collect_list(struct(col("o_orderstatus"), col("n")))).as("mp"))
+      .select(col("o_orderpriority"),
+        size(col("mp")).as("n_keys"),
+        coalesce(try_element_at(col("mp"), lit("F")), lit(0L)).as("f_n"),
+        coalesce(try_element_at(col("mp"), lit("O")), lit(0L)).as("o_n"),
+        coalesce(try_element_at(col("mp"), lit("P")), lit(0L)).as("p_n"),
+        concat_ws("|", array_sort(map_keys(col("mp")))).as("statuses"))
+      .orderBy("o_orderpriority")
+
+  /** ROLLUP with GROUPING flags — how a consumer tells a subtotal row's
+    * NULL from a data NULL. grouping() is a bit off grouping_id, both
+    * engines agree; the ORDER BY pins NULLS FIRST explicitly because
+    * the engines' defaults differ (Spark first, DuckDB last). */
+  def groupingIdAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping(col("o_orderstatus")).cast("long").as("gs"),
+        grouping(col("o_orderpriority")).cast("long").as("gp"),
+        count(lit(1)).as("n"))
+      .orderBy(col("gs"), col("gp"),
+        col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
   /** TPC-H-Q10-shaped returned-item report: which customers returned the
     * most revenue in a quarter. Both filters (order-date window, R flag)
     * push into their scans before the joins, so the 3-way join runs over

@@ -164,6 +164,33 @@ class ScaleSpec extends GraftSpec {
     assert(plan("q3_shipping_priority").contains("TakeOrderedAndProject"))
   }
 
+  test("q19: the OR-of-ANDs predicate pushes into BOTH parquet scans") {
+    // Catalyst must extract each side's clause union from the
+    // disjunction: the quantity range-union reaches the lineitem scan
+    // and the brand+size union reaches the part scan as OR'd
+    // PushedFilters — row-group stats then prune before the join
+    val exec = Relational.q19DisjunctiveFilter(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(exec.contains("PushedFilters: [IsNotNull(l_partkey), Or("))
+    assert(exec.contains("PushedFilters: [IsNotNull(p_partkey), Or("))
+    assert(exec.contains("EqualTo(p_brand,Brand#12)"))
+    assert(exec.contains("GreaterThanOrEqual(l_quantity,1.0)"))
+  }
+
+  test("q8: region filter reaches facts as a broadcast chain; q10/q18 broadcast") {
+    def plan(q: String) =
+      SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+    // q8: nation/region/supplier all broadcast; the only sort-merge
+    // allowed is the two-fact orders⋈lineitem spine
+    val p8 = plan("q8_market_share")
+    assert("BroadcastHashJoin".r.findAllIn(p8).size >= 3)
+    // q10: every join broadcasts at this scale, top-20 avoids global sort
+    val p10 = plan("q10_returned_items")
+    assert(p10.contains("TakeOrderedAndProject"))
+    // q18: the qualifier set semi-joins orders — semi, never inner fan-out
+    assert(plan("q18_large_orders").contains("LeftSemi"))
+  }
+
   test("applyChanges: the base side never shuffles — feed-keys anti-join broadcasts") {
     val p = SparkEntry.queries("merge_upsert")(spark, sf)
       .queryExecution.executedPlan.toString
