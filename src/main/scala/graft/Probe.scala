@@ -4,8 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Scratch probe: where percentile_disc_funcs' time goes — scan+explode
-  * vs counts agg vs the cumsum window vs the built-in aggregate. */
+/** Scratch probe: quantileSummary generations — window-rank sort form
+  * (round 5) vs Selection.valueAtRanks bucket-refine (round 8) — value
+  * parity and wall time. */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -18,50 +19,43 @@ object Probe {
     spark.sparkContext.setLogLevel("WARN")
     val dir = "/root/testdata/sf0.1"
 
-    def time(tag: String)(f: => Long): Unit = {
+    def time(tag: String)(f: => Seq[String]): Seq[String] = {
       f // warm
-      val t0 = System.nanoTime(); val n = f
-      println(f"PROBE $tag%-22s ${(System.nanoTime() - t0) / 1e9}%.3f s  rows=$n")
+      val t0 = System.nanoTime(); val r = f
+      println(f"PROBE $tag%-22s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      r
     }
 
-    def triples = Tables.lineitem(spark, dir).select(col("l_returnflag").as("rf"),
-      explode(array(
-        struct(lit("med_qty").as("cname"), col("l_quantity").as("v"), lit(0.5).as("q")),
-        struct(lit("p90_price").as("cname"), col("l_extendedprice").as("v"), lit(0.9).as("q")),
-        struct(lit("p25_disc").as("cname"), col("l_discount").as("v"), lit(0.25).as("q")))).as("t"))
-      .select(col("rf"), col("t.cname"), col("t.v"), col("t.q"))
+    // round-5 window-rank formulation, verbatim
+    def oldForm: DataFrame = {
+      val w = Window.partitionBy("o_orderstatus").orderBy("v")
+      val base = Tables.orders(spark, dir)
+        .select(col("o_orderstatus"), col("o_totalprice").cast("double").as("v"))
+      val counts = base.groupBy("o_orderstatus").agg(count(lit(1)).as("cnt"))
+      def interp(pos: org.apache.spark.sql.Column, tag: String) = Seq(
+        max(when(col("rn") === floor(pos), col("v"))).as(s"lo$tag"),
+        max(when(col("rn") === ceil(pos), col("v"))).as(s"hi$tag"),
+        max(pos).as(s"pos$tag"))
+      def pct(tag: String) = round(
+        col(s"lo$tag") +
+          (col(s"hi$tag") - col(s"lo$tag")) * (col(s"pos$tag") - floor(col(s"pos$tag"))),
+        4).as(s"p$tag")
+      val pos50 = lit(0.5) * (col("cnt") - 1)
+      val pos95 = lit(0.95) * (col("cnt") - 1)
+      base.withColumn("rn", row_number().over(w).cast("double") - 1)
+        .join(broadcast(counts), "o_orderstatus")
+        .groupBy("o_orderstatus")
+        .agg((interp(pos50, "50") ++ interp(pos95, "95") :+ count(lit(1)).as("n")).head,
+          (interp(pos50, "50") ++ interp(pos95, "95") :+ count(lit(1)).as("n")).tail: _*)
+        .select(col("o_orderstatus"), pct("50"), pct("95"), col("n"))
+        .orderBy("o_orderstatus")
+    }
 
-    time("scan+explode only") {
-      triples.agg(count(lit(1))).collect().head.getLong(0)
+    val a = time("window-rank (old)") { oldForm.collect().map(_.toString).toSeq }
+    val b = time("valueAtRanks (new)") {
+      ops.Relational.quantileSummary(spark, dir).collect().map(_.toString).toSeq
     }
-    time("counts agg") {
-      triples.groupBy("rf", "cname", "q", "v").agg(count(lit(1)).as("c"))
-        .agg(count(lit(1))).collect().head.getLong(0)
-    }
-    time("bucket-refine op") {
-      ops.Relational.percentileDiscFuncs(spark, dir).collect().length.toLong
-    }
-    time("built-in disc x3") {
-      Tables.lineitem(spark, dir).groupBy(col("l_returnflag"))
-        .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)"),
-          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)"),
-          expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_discount)"),
-          count(lit(1)))
-        .collect().length.toLong
-    }
-    time("built-in over FanOut") {
-      FanOut(Tables.lineitem(spark, dir)).groupBy(col("l_returnflag"))
-        .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)"),
-          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)"),
-          expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_discount)"),
-          count(lit(1)))
-        .collect().length.toLong
-    }
-    time("price col only counts") {
-      Tables.lineitem(spark, dir)
-        .groupBy(col("l_returnflag"), col("l_extendedprice")).agg(count(lit(1)).as("c"))
-        .agg(count(lit(1))).collect().head.getLong(0)
-    }
+    println(s"PROBE parity ${if (a == b) "BIT-IDENTICAL" else s"MISMATCH\n$a\n$b"}")
     spark.stop()
   }
 }

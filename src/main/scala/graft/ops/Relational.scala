@@ -141,46 +141,54 @@ object Relational {
       .limit(200)
   }
 
-  /** Exact interpolated percentiles per order status, computed as a
-    * window-rank interpolation: rank every value inside its group (one
-    * shuffle + one distributed sort), broadcast-join the tiny per-group
-    * counts, and linearly interpolate between the two values straddling
-    * `p * (n-1)` — the same continuous-percentile definition Spark's
-    * `percentile` aggregate and DuckDB's `quantile_cont` implement
-    * (same-JVM A/B: bit-identical output on every group, 0.62 s vs the
-    * aggregate's 0.97 s at sf0.1; values round to 4 dp to absorb
-    * interpolation ulps).
+  /** Exact interpolated percentiles per order status: the two values
+    * straddling `p * (n-1)` come from [[Selection.valueAtRanks]]
+    * (bucket-then-refine distributed selection), then the linear
+    * interpolation — the same continuous-percentile definition Spark's
+    * `percentile` aggregate and DuckDB's `quantile_cont` implement,
+    * rounded 4 dp to absorb interpolation ulps.
     *
-    * This formulation IS the exact 100 TB path: the sort is Spark's
-    * spillable external sort and every other operator is streaming,
-    * where the `percentile` aggregate buffers an in-memory value→count
-    * map per group — unbounded state on continuous doubles. (Also
-    * measured: fanning the under-split scan out before the aggregate
-    * form LOSES — 32 partial buffers still merge into one per-group
-    * buffer.) Sub-percentile-accuracy at bounded state is
-    * [[quantileApprox]] (GK sketch, mergeable map-side). */
+    * Three generations of this op, each bit-identical in output: the
+    * `percentile` aggregate buffers an in-memory value map per group
+    * (0.97 s sf0.1, unbounded state); the window-rank form externally
+    * sorts the full stream per group (0.62 s, spillable but still a
+    * row-count-sized sort); selection touches each row twice in
+    * streaming scans and only ever sorts bucket- or group-sized frames
+    * (no row-count-sized ANYTHING at any scale). Sub-percentile
+    * accuracy at even smaller state is [[quantileApprox]] (GK sketch,
+    * mergeable map-side). */
   def quantileSummary(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("o_orderstatus").orderBy("v")
     val base = Tables.orders(spark, dir)
       .select(col("o_orderstatus"), col("o_totalprice").cast("double").as("v"))
     val counts = base.groupBy("o_orderstatus").agg(count(lit(1)).as("cnt"))
-    // lo/hi = the group's values at ranks floor(pos)/ceil(pos); max(when)
-    // picks them out of the ranked stream without a second pass
-    def interp(pos: Column, tag: String) = Seq(
-      max(when(col("rn") === floor(pos), col("v"))).as(s"lo$tag"),
-      max(when(col("rn") === ceil(pos), col("v"))).as(s"hi$tag"),
-      max(pos).as(s"pos$tag"))
+    val pos50 = lit(0.5) * (col("cnt") - 1)
+    val pos95 = lit(0.95) * (col("cnt") - 1)
+    // 1-based ranks of the four interpolation endpoints; floor==ceil
+    // when pos lands on an integer, hence the distinct before selection
+    val tagged = counts.select(col("o_orderstatus"), col("cnt"),
+      explode(array(
+        struct(lit("lo50").as("tag"), (floor(pos50) + 1).as("rank"), pos50.as("pos")),
+        struct(lit("hi50").as("tag"), (ceil(pos50) + 1).as("rank"), pos50.as("pos")),
+        struct(lit("lo95").as("tag"), (floor(pos95) + 1).as("rank"), pos95.as("pos")),
+        struct(lit("hi95").as("tag"), (ceil(pos95) + 1).as("rank"), pos95.as("pos")))).as("t"))
+      .select(col("o_orderstatus"), col("cnt"), col("t.tag"), col("t.rank"),
+        col("t.pos"))
+    val vals = Selection.valueAtRanks(base, Seq("o_orderstatus"), "v",
+      tagged.select(col("o_orderstatus"), col("rank")).distinct())
     def pct(tag: String) = round(
       col(s"lo$tag") +
         (col(s"hi$tag") - col(s"lo$tag")) * (col(s"pos$tag") - floor(col(s"pos$tag"))),
       4).as(s"p$tag")
-    val pos50 = lit(0.5) * (col("cnt") - 1)
-    val pos95 = lit(0.95) * (col("cnt") - 1)
-    base.withColumn("rn", row_number().over(w).cast("double") - 1)
-      .join(broadcast(counts), "o_orderstatus")
+    tagged.join(vals, Seq("o_orderstatus", "rank"))
       .groupBy("o_orderstatus")
-      .agg((interp(pos50, "50") ++ interp(pos95, "95") :+ count(lit(1)).as("n")).head,
-        (interp(pos50, "50") ++ interp(pos95, "95") :+ count(lit(1)).as("n")).tail: _*)
+      .agg(
+        max(when(col("tag") === "lo50", col("value"))).as("lo50"),
+        max(when(col("tag") === "hi50", col("value"))).as("hi50"),
+        max(when(col("tag") === "lo95", col("value"))).as("lo95"),
+        max(when(col("tag") === "hi95", col("value"))).as("hi95"),
+        max(when(col("tag") === "lo50", col("pos"))).as("pos50"),
+        max(when(col("tag") === "lo95", col("pos"))).as("pos95"),
+        max("cnt").as("n"))
       .select(col("o_orderstatus"), pct("50"), pct("95"), col("n"))
       .orderBy("o_orderstatus")
   }
