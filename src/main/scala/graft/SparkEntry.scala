@@ -75,6 +75,12 @@ object SparkEntry {
     "posexplode_funcs"         -> (Relational.posexplodeFuncs _),
     "map_funcs"                -> (Relational.mapFuncs _),
     "grouping_id_agg"          -> (Relational.groupingIdAgg _),
+    "hof_funcs"                -> (Relational.hofFuncs _),
+    "nullsafe_join"            -> (Relational.nullsafeJoin _),
+    "date_trunc_funcs"         -> (Relational.dateTruncFuncs _),
+    "subquery_funcs"           -> (Relational.subqueryFuncs _),
+    "array_setops_funcs"       -> (Relational.arraySetopsFuncs _),
+    "rows_frame_window"        -> (Events.rowsFrameWindow _),
     "cond_agg_funcs"           -> (Relational.condAggFuncs _),
     "ntile_funcs"              -> (Relational.ntileFuncs _),
     "unpivot_long"             -> (Relational.unpivotLong _),
@@ -147,7 +153,7 @@ object SparkEntry {
     "multimodal_wav_meta"      -> (Multimodal.wavMetaStats _)
   )
 
-  /** The 109 BASELINE.md headline queries timed by [[Bench]] — every
+  /** The 115 BASELINE.md headline queries timed by [[Bench]] — every
     * oracle-able op, kept exactly aligned with the baseline so per-query
     * times stay comparable. Round 2 extended the original 19 to 34;
     * round 7 closed the contract drift by adding the 10 oracled ops
@@ -179,7 +185,9 @@ object SparkEntry {
     * oracled by independent recomputation: the synthesized WAV header
     * fields derive deterministically from (doc_id, octet_length), so
     * DuckDB rebuilds the same per-cohort aggregate without parsing a
-    * byte (v23). */
+    * byte (v23), hof_funcs + nullsafe_join + date_trunc_funcs +
+    * subquery_funcs (v24), and array_setops_funcs + rows_frame_window
+    * (v25). */
   val benchQueries: Seq[String] = Seq(
     "recon_rowcount", "recon_colagg_fingerprint", "recon_hash_diff",
     "recon_missing_rows", "recon_partition_drill", "q1_pricing_summary",
@@ -211,7 +219,8 @@ object SparkEntry {
     "percentile_disc_funcs", "streak_islands", "vocab_top_tokens",
     "text_collocations", "q19_disjunctive_filter", "q4_late_orders",
     "q8_market_share", "posexplode_funcs", "map_funcs", "grouping_id_agg",
-    "multimodal_wav_meta")
+    "multimodal_wav_meta", "hof_funcs", "nullsafe_join", "date_trunc_funcs",
+    "subquery_funcs", "array_setops_funcs", "rows_frame_window")
 
   /** DuckDB-dialect oracle per query (driver runs these on the same parquet
     * files and hash-compares). Dialect forks: get_json_object↔
@@ -1443,6 +1452,68 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) n_clips,
         |  CAST(sum(frames) AS BIGINT) total_frames,
         |  CAST(sum(frames * 1000 // sample_rate) AS BIGINT) total_ms
-        |FROM w GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+        |FROM w GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "hof_funcs" ->
+      // DuckDB's array_to_string is NULL on an empty list where Spark's
+      // array_join is '' — coalesce the filtered column
+      """SELECT doc_id,
+        |  array_to_string(list_transform(ts, t -> CAST(length(t) AS VARCHAR)), ',') lens,
+        |  CAST(len(list_filter(ts, t -> length(t) > 4)) AS INT) n_long,
+        |  CAST(list_sum(list_transform(ts, t -> length(t))) AS BIGINT) tot_len,
+        |  coalesce(array_to_string(list_filter(ts, t -> t LIKE 'p%'), '|'), '') p_toks
+        |FROM (SELECT doc_id, string_split(text,' ') ts FROM documents)
+        |ORDER BY doc_id LIMIT 200""".stripMargin,
+
+    "nullsafe_join" ->
+      """WITH g AS (SELECT nullif(o_orderstatus,'P') ns, CAST(count(*) AS BIGINT) n
+        |  FROM orders GROUP BY 1)
+        |SELECT a.ns, a.n, b.n n2 FROM g a JOIN g b ON a.ns IS NOT DISTINCT FROM b.ns
+        |ORDER BY a.ns NULLS FIRST""".stripMargin,
+
+    "date_trunc_funcs" ->
+      // DuckDB date_trunc returns DATE; cast to TIMESTAMP to match
+      // Spark's schema (values are identical midnights)
+      """SELECT o_orderkey,
+        |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) mon,
+        |  CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) qtr,
+        |  CAST(date_trunc('year', o_orderdate) AS TIMESTAMP) yr,
+        |  CAST(quarter(o_orderdate) AS INT) q_num,
+        |  last_day(CAST(o_orderdate AS DATE)) month_end
+        |FROM orders ORDER BY o_orderkey LIMIT 200""".stripMargin,
+
+    "subquery_funcs" ->
+      // the 0 in n_not_in_null IS the point: one NULL in the subquery
+      // makes NOT IN unsatisfiable on any standard engine
+      """SELECT
+        | (SELECT CAST(count(*) AS BIGINT) FROM orders WHERE o_totalprice > 400000) n_big,
+        | (SELECT CAST(count(*) AS BIGINT) FROM customer
+        |   WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)) n_cust_big,
+        | (SELECT CAST(count(*) AS BIGINT) FROM customer
+        |   WHERE c_custkey NOT IN (SELECT nullif(o_custkey, 42) FROM orders)) n_not_in_null
+        |FROM (SELECT 1) t""".stripMargin,
+
+    "array_setops_funcs" ->
+      // list_distinct first so both engines count SET cardinalities
+      """SELECT d1.doc_id id1, d2.doc_id id2,
+        |  CAST(len(list_intersect(d1.ts, d2.ts)) AS INT) n_common,
+        |  CAST(len(list_distinct(d1.ts || d2.ts)) AS INT) n_union,
+        |  list_has_any(d1.ts, d2.ts) has_common
+        |FROM (SELECT doc_id, list_distinct(string_split(text,' ')) ts
+        |      FROM documents WHERE doc_id < 20) d1
+        |JOIN (SELECT doc_id, list_distinct(string_split(text,' ')) ts
+        |      FROM documents WHERE doc_id < 20) d2
+        |  ON d1.doc_id < d2.doc_id
+        |ORDER BY id1, id2""".stripMargin,
+
+    "rows_frame_window" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) d_day, CAST(count(*) AS BIGINT) n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) v
+        |  FROM events GROUP BY 1)
+        |SELECT d_day, n, v,
+        |  round(avg(v) OVER (ORDER BY d_day ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 4) ma5,
+        |  CAST(sum(n) OVER (ORDER BY d_day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) wk_n,
+        |  round(min(v) OVER (ORDER BY d_day ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING), 4) mn3
+        |FROM d ORDER BY d_day""".stripMargin
   )
 }

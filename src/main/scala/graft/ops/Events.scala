@@ -329,6 +329,24 @@ object Events {
         countDistinct(col("user_id")).as("exact_users"))
       .orderBy("event_type")
 
+  /** ROWS-frame window battery over the daily rollup: centered 5-day
+    * moving average, trailing 7-day sum, centered 3-day min — the
+    * physical-row frame type rangeFrameWindow's VALUE frame doesn't
+    * touch. The window runs over the DAY-sized aggregate (the raw
+    * event stream collapses first), so the unpartitioned sort is
+    * calendar-sized, never data-sized. */
+  def rowsFrameWindow(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.events(spark, dir)
+      .groupBy(col("ts").cast("date").as("d_day"))
+      .agg(count(lit(1)).as("n"), Recon.decSum(col("value")).as("v"))
+    val w = Window.orderBy("d_day")
+    d.select(col("d_day"), col("n"), col("v"),
+        round(avg("v").over(w.rowsBetween(-2, 2)), 4).as("ma5"),
+        sum("n").over(w.rowsBetween(-6, 0)).as("wk_n"),
+        round(min("v").over(w.rowsBetween(-1, 1)), 4).as("mn3"))
+      .orderBy("d_day")
+  }
+
   /** Gaps-and-islands: per-user consecutive-day activity streaks. The
     * classic idiom — day-number minus row_number is constant within a
     * run of consecutive days — with the day number anchored to a fixed

@@ -794,6 +794,92 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** Array set-algebra battery: intersect / union / overlap across
+    * document token SETS (array_distinct first, so both engines count
+    * set cardinalities, not bag ones). The pairwise theta join runs on
+    * a 20-doc slice — broadcast-nested-loop on a bounded frame, the
+    * same all-pairs-needs-a-bound contract ngramJaccard enforces. */
+  def arraySetopsFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir).filter(col("doc_id") < 20)
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("ts"))
+    base.select(col("doc_id").as("id1"), col("ts").as("ts1"))
+      .join(base.select(col("doc_id").as("id2"), col("ts").as("ts2")),
+        col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        size(array_intersect(col("ts1"), col("ts2"))).as("n_common"),
+        size(array_union(col("ts1"), col("ts2"))).as("n_union"),
+        arrays_overlap(col("ts1"), col("ts2")).as("has_common"))
+      .orderBy("id1", "id2")
+  }
+
+  /** Higher-order-function battery: transform / filter / aggregate
+    * lambdas over token arrays — the collection-lambda surface beyond
+    * arrayFuncs' scalar ops. All row-local codegen'd projections, no
+    * shuffle but the presentation sort; DuckDB twin uses list_* lambdas
+    * (arrow syntax agrees on both dialects). */
+  def hofFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val ts = split(col("text"), " ")
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      array_join(transform(ts, t => length(t).cast("string")), ",").as("lens"),
+      size(filter(ts, t => length(t) > 4)).as("n_long"),
+      aggregate(transform(ts, t => length(t).cast("long")), lit(0L),
+        (acc, x) => acc + x).as("tot_len"),
+      array_join(filter(ts, t => t.startsWith("p")), "|").as("p_toks"))
+      .orderBy("doc_id").limit(200)
+  }
+
+  /** Null-safe equality (`<=>`) as a JOIN KEY: the grouped status frame
+    * (with a NULL group manufactured via nullif) self-joins on
+    * IS-NOT-DISTINCT-FROM, so the NULL group matches ITSELF — an
+    * equi-join no plain `=` can express (NULL = NULL is NULL, the row
+    * vanishes). EqualNullSafe still hash-partitions like any equi key;
+    * the output ordering pins NULLS FIRST because engine defaults
+    * differ. */
+  def nullsafeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.orders(spark, dir)
+      .groupBy(nullif(col("o_orderstatus"), lit("P")).as("ns"))
+      .agg(count(lit(1)).as("n"))
+    g.join(g.select(col("ns").as("ns2"), col("n").as("n2")),
+        col("ns") <=> col("ns2"))
+      .select(col("ns"), col("n"), col("n2"))
+      .orderBy(col("ns").asc_nulls_first)
+  }
+
+  /** Calendar-truncation battery: month/quarter/year date_trunc,
+    * quarter number, last_day — the time-hierarchy keys every calendar
+    * rollup groups by. Month/quarter/year boundaries are convention-free
+    * across engines (unlike ISO weeks, deliberately excluded — see
+    * make_funcs). Row-local; DuckDB's date_trunc returns DATE so its
+    * twin casts to TIMESTAMP. */
+  def dateTruncFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).select(col("o_orderkey"),
+      date_trunc("month", col("o_orderdate")).as("mon"),
+      date_trunc("quarter", col("o_orderdate")).as("qtr"),
+      date_trunc("year", col("o_orderdate")).as("yr"),
+      quarter(col("o_orderdate")).as("q_num"),
+      last_day(col("o_orderdate").cast("date")).as("month_end"))
+      .orderBy("o_orderkey").limit(200)
+
+  /** Subquery surface through spark.sql: scalar subqueries in SELECT,
+    * IN, and the NOT IN null trap — one NULL in the subquery makes
+    * NOT IN unsatisfiable (three-valued logic), which Spark plans as a
+    * null-aware anti join. The 0 answer IS the contract: both engines
+    * pin the standard semantics, the single most common silent-wrong-
+    * answer migration bug. */
+  def subqueryFuncs(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("sq_orders")
+    Tables.customer(spark, dir).createOrReplaceTempView("sq_customer")
+    spark.sql(
+      """SELECT
+        |  (SELECT count(*) FROM sq_orders WHERE o_totalprice > 400000) AS n_big,
+        |  (SELECT count(*) FROM sq_customer WHERE c_custkey IN
+        |    (SELECT o_custkey FROM sq_orders WHERE o_totalprice > 400000)) AS n_cust_big,
+        |  (SELECT count(*) FROM sq_customer WHERE c_custkey NOT IN
+        |    (SELECT nullif(o_custkey, 42) FROM sq_orders)) AS n_not_in_null
+        |""".stripMargin)
+  }
+
   /** TPC-H-Q19-shaped disjunctive-predicate aggregate: three (brand,
     * size-range, quantity-range) clauses OR'd together over the
     * part⋈lineitem join. The shape exists to exercise disjunction
