@@ -81,6 +81,9 @@ object SparkEntry {
     "subquery_funcs"           -> (Relational.subqueryFuncs _),
     "array_setops_funcs"       -> (Relational.arraySetopsFuncs _),
     "rows_frame_window"        -> (Events.rowsFrameWindow _),
+    "q7_volume_shipping"       -> (Relational.q7VolumeShipping _),
+    "q13_order_distribution"   -> (Relational.q13OrderDistribution _),
+    "q15_top_supplier"         -> (Relational.q15TopSupplier _),
     "cond_agg_funcs"           -> (Relational.condAggFuncs _),
     "ntile_funcs"              -> (Relational.ntileFuncs _),
     "unpivot_long"             -> (Relational.unpivotLong _),
@@ -153,7 +156,7 @@ object SparkEntry {
     "multimodal_wav_meta"      -> (Multimodal.wavMetaStats _)
   )
 
-  /** The 115 BASELINE.md headline queries timed by [[Bench]] — every
+  /** The 118 BASELINE.md headline queries timed by [[Bench]] — every
     * oracle-able op, kept exactly aligned with the baseline so per-query
     * times stay comparable. Round 2 extended the original 19 to 34;
     * round 7 closed the contract drift by adding the 10 oracled ops
@@ -186,8 +189,9 @@ object SparkEntry {
     * fields derive deterministically from (doc_id, octet_length), so
     * DuckDB rebuilds the same per-cohort aggregate without parsing a
     * byte (v23), hof_funcs + nullsafe_join + date_trunc_funcs +
-    * subquery_funcs (v24), and array_setops_funcs + rows_frame_window
-    * (v25). */
+    * subquery_funcs (v24), array_setops_funcs + rows_frame_window
+    * (v25), and q7_volume_shipping + q13_order_distribution +
+    * q15_top_supplier — completing the feasible TPC-H set (v26). */
   val benchQueries: Seq[String] = Seq(
     "recon_rowcount", "recon_colagg_fingerprint", "recon_hash_diff",
     "recon_missing_rows", "recon_partition_drill", "q1_pricing_summary",
@@ -220,7 +224,8 @@ object SparkEntry {
     "text_collocations", "q19_disjunctive_filter", "q4_late_orders",
     "q8_market_share", "posexplode_funcs", "map_funcs", "grouping_id_agg",
     "multimodal_wav_meta", "hof_funcs", "nullsafe_join", "date_trunc_funcs",
-    "subquery_funcs", "array_setops_funcs", "rows_frame_window")
+    "subquery_funcs", "array_setops_funcs", "rows_frame_window",
+    "q7_volume_shipping", "q13_order_distribution", "q15_top_supplier")
 
   /** DuckDB-dialect oracle per query (driver runs these on the same parquet
     * files and hash-compares). Dialect forks: get_json_object↔
@@ -1514,6 +1519,46 @@ object SparkEntry {
         |  round(avg(v) OVER (ORDER BY d_day ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 4) ma5,
         |  CAST(sum(n) OVER (ORDER BY d_day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) wk_n,
         |  round(min(v) OVER (ORDER BY d_day ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING), 4) mn3
-        |FROM d ORDER BY d_day""".stripMargin
+        |FROM d ORDER BY d_day""".stripMargin,
+
+    "q13_order_distribution" ->
+      // LEFT join keeps zero-order customers; count(o_orderkey) counts
+      // matches only, so those land in the 0 bucket instead of vanishing
+      """WITH c_orders AS (
+        |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY 1)
+        |SELECT c_count, CAST(count(*) AS BIGINT) custdist
+        |FROM c_orders GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q15_top_supplier" ->
+      // double equality is safe: both sides come from the same
+      // exact-DECIMAL sums surfaced as doubles
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_rev
+        |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        |WHERE total_rev = (SELECT max(total_rev) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q7_volume_shipping" ->
+      """WITH flow AS (
+        |  SELECT cn.n_name cust_nation, sn.n_name supp_nation,
+        |    CAST(year(l_shipdate) AS INT) l_year,
+        |    CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4)) v
+        |  FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+        |    JOIN customer ON o_custkey=c_custkey
+        |    JOIN supplier ON l_suppkey=s_suppkey
+        |    JOIN nation cn ON c_nationkey=cn.n_nationkey
+        |    JOIN nation sn ON s_nationkey=sn.n_nationkey
+        |  WHERE (cn.n_name='NATION_1' AND sn.n_name='NATION_2')
+        |     OR (cn.n_name='NATION_2' AND sn.n_name='NATION_1'))
+        |SELECT cust_nation, supp_nation, l_year,
+        |  CAST(sum(v) AS DOUBLE) revenue, CAST(count(*) AS BIGINT) n
+        |FROM flow GROUP BY 1,2,3 ORDER BY 1,2,3""".stripMargin
   )
 }

@@ -794,6 +794,69 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** TPC-H-Q13-shaped order-count distribution: how many customers
+    * placed 0, 1, 2, … orders. The LEFT join is the point — inner
+    * would silently drop zero-order customers and the 0 bucket, the
+    * classic distribution-skewing bug. Two hash aggregates; the first
+    * collapses the join stream to one row per customer. */
+  def q13OrderDistribution(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  /** TPC-H-Q15-shaped top supplier: the supplier(s) whose quarterly
+    * revenue equals the maximum. The max is a 1-row broadcast cross
+    * join probed by a row-local equality — no second revenue scan, no
+    * window. Equality on doubles is safe here because both sides come
+    * from the SAME exact-DECIMAL sums surfaced as doubles. */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("total_rev"))
+    val top = rev.agg(max(col("total_rev")).as("mx"))
+    Tables.supplier(spark, dir)
+      .join(rev, col("s_suppkey") === col("l_suppkey"))
+      .crossJoin(broadcast(top))
+      .filter(col("total_rev") === col("mx"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H-Q7-shaped volume shipping: bilateral trade between two
+    * nations per year. Both nation dims broadcast (one aliased copy
+    * per side); the pair predicate is row-local post-join; year comes
+    * from the ship date so the aggregate groups on (cust_nation,
+    * supp_nation, year). The two fact joins are the only shuffles. */
+  def q7VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(spark, dir)
+    val cn = n.select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation"))
+    val sn = n.select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cn), col("c_nationkey") === col("cnk"))
+      .join(broadcast(sn), col("s_nationkey") === col("snk"))
+      .where(
+        (col("cust_nation") === "NATION_1" && col("supp_nation") === "NATION_2") ||
+        (col("cust_nation") === "NATION_2" && col("supp_nation") === "NATION_1"))
+      .groupBy(col("cust_nation"), col("supp_nation"),
+        year(col("l_shipdate")).cast("int").as("l_year"))
+      .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"), count(lit(1)).as("n"))
+      .orderBy("cust_nation", "supp_nation", "l_year")
+  }
+
   /** Array set-algebra battery: intersect / union / overlap across
     * document token SETS (array_distinct first, so both engines count
     * set cardinalities, not bag ones). The pairwise theta join runs on

@@ -40,6 +40,10 @@ object Selection {
                    ranks: DataFrame, buckets: Int = 1024): DataFrame = {
     require(groupCols.nonEmpty, "valueAtRanks: need at least one group column")
     require(buckets > 1, s"valueAtRanks: need buckets > 1: $buckets")
+    require(ranks.columns.contains("rank"),
+      s"valueAtRanks: ranks frame needs a 'rank' column, got ${ranks.columns.mkString(", ")}")
+    require(groupCols.forall(ranks.columns.contains),
+      s"valueAtRanks: ranks frame must carry the group columns ${groupCols.mkString(", ")}")
     val gcols = groupCols.map(col)
     val scratch = Seq("__mn", "__mx", "__w", "__b", "__c", "__cum", "__tb",
       "__prev", "rank", "value")
