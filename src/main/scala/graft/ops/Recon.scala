@@ -29,10 +29,39 @@ case class TablePair(
   * (key, hash) pairs ever move, not full rows.
   */
 object Recon {
-  /** Money-exact aggregation: sum as DECIMAL so partial-aggregation order
-    * cannot change final ulps (SURVEY §7.4.1), surfaced as double. */
-  private[ops] def decSum(c: Column): Column =
-    sum(c.cast(DecimalType(18, 4))).cast("double")
+  /** Exact scale-4 fixed-point representation of a numeric column: the
+    * value is first rounded through DECIMAL(18,4) — the SAME rounding
+    * decision the decimal-sum formulation makes, so downstream results
+    * cannot move by an ulp — then carried as a plain long (value × 10⁴),
+    * extracted by Catalyst's own `UnscaledValue` (a codegen'd field read
+    * on the compact decimal — no per-row BigDecimal multiply).
+    * Longs aggregate through Spark's primitive hash-agg buffers (8-byte
+    * UnsafeRow slots, no BigDecimal allocation per update/merge), where a
+    * DECIMAL(18,4) sum forces a precision-28 buffer onto the interpreted
+    * BigDecimal path for every row. */
+  private[graft] def cents(c: Column): Column =
+    org.apache.spark.sql.graftbridge.ExprBridge.column(
+      org.apache.spark.sql.catalyst.expressions.UnscaledValue(
+        org.apache.spark.sql.graftbridge.ExprBridge.expression(
+          c.cast(DecimalType(18, 4)))))
+
+  /** Inverse of [[cents]] on an aggregated long: exact decimal division
+    * (never double division, so the value is exact at ANY long magnitude,
+    * not just below 2^53) then one presentation cast. */
+  private[graft] def uncents(c: Column): Column =
+    (c.cast(DecimalType(38, 4)) / lit(10000)).cast("double")
+
+  /** Money-exact aggregation: fixed-point long sum so partial-aggregation
+    * order cannot change final ulps (SURVEY §7.4.1), surfaced as double.
+    * Bit-identical to `sum(cast(c as DECIMAL(18,4)))` — same per-row
+    * rounding, exact integer addition — while keeping the aggregation
+    * buffer primitive. Envelope: the long holds |Σ| ≤ 9.2×10¹⁴ in value
+    * units (2⁶³ / 10⁴); a single group exceeding that (≳ $10¹⁴ of
+    * revenue in one group) needs the wide-decimal form
+    * `sum(c.cast(DecimalType(38,4)))` instead — at that magnitude the
+    * sum is no longer bench-floor-bound and the decimal buffer is the
+    * right trade. */
+  private[ops] def decSum(c: Column): Column = uncents(sum(cents(c)))
 
   /** Per-table row counts — the most basic source/target compare. */
   def rowcount(spark: SparkSession, dir: String): DataFrame = {

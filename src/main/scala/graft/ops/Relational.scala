@@ -20,15 +20,16 @@ object Relational {
 
   /** TPC-H-Q1-style pricing summary: filter → 5 aggregates → sort.
     *
-    * The partial aggregation (5 decimal sums × 600 k rows) happens in the
-    * scan stage, so an under-split scan runs it single-threaded —
-    * [[graft.FanOut]] spreads it when (and only when) the scan has fewer
-    * splits than cores (identity at scale; same-JVM A/B: 0.72 → 0.50 s
-    * sf0.1). The broadcast-probe-shaped q3/q5 measured the OPPOSITE —
-    * the fan-out exchange costs more than their cheap per-row probes —
-    * and stay raw. */
+    * The partial aggregation happens in the scan stage. When the five
+    * sums carried DECIMAL buffers this was CPU-dense enough that
+    * [[graft.FanOut]]'s round-robin spread won (0.72 → 0.50 s sf0.1);
+    * with the long-backed cent sums the partials are primitive adds and
+    * the fan-out exchange — a full shuffle of the projected scan BEFORE
+    * any combining — costs more than it spreads (0.67 → 0.52 s median
+    * without it). At production scale the scan is thousands of splits
+    * and map-side combine runs wide with no exchange either way. */
   def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
-    graft.FanOut(Tables.lineitem(spark, dir))
+    Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
@@ -117,8 +118,7 @@ object Relational {
     Tables.orders(spark, dir)
       .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
         col("o_totalprice"),
-        sum(col("o_totalprice").cast(DecimalType(18, 4))).over(w)
-          .cast("double").as("run"))
+        Recon.uncents(sum(Recon.cents(col("o_totalprice"))).over(w)).as("run"))
       .orderBy("o_custkey", "o_orderdate", "o_orderkey")
       .limit(100)
       .drop("o_orderkey")
@@ -592,8 +592,8 @@ object Relational {
       .rangeBetween(-2592000L, 0L)
     Tables.orders(spark, dir)
       .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
-        sum(col("o_totalprice").cast(DecimalType(18, 4))).over(w)
-          .cast("double").as("trailing30d"))
+        Recon.uncents(sum(Recon.cents(col("o_totalprice"))).over(w))
+          .as("trailing30d"))
       .orderBy("o_custkey", "o_orderdate", "o_orderkey").limit(200)
   }
 
@@ -623,8 +623,8 @@ object Relational {
     Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_orderstatus"),
         round(col("o_totalprice")
-          / sum(col("o_totalprice").cast(DecimalType(18, 4))).over(w)
-            .cast("double") * 100, 6).as("pct"))
+          / Recon.uncents(sum(Recon.cents(col("o_totalprice"))).over(w))
+          * 100, 6).as("pct"))
       .orderBy("o_orderkey").limit(200)
   }
 
@@ -1168,7 +1168,10 @@ object Relational {
     * row, no shuffle beyond the source aggregate; the DuckDB twin is the
     * UNION ALL spelling of the same reshape. */
   def unpivotLong(spark: SparkSession, dir: String): DataFrame = {
-    val w = graft.FanOut(Tables.lineitem(spark, dir))
+    // No FanOut: with long-backed cent sums the partial agg is primitive
+    // adds, cheaper run map-side in the scan stage than paid through a
+    // pre-combine round-robin exchange (same A/B as q1_pricing_summary).
+    val w = Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag").as("rf"))
       .agg(decSum(col("l_quantity")).as("sum_qty"),
         decSum(col("l_extendedprice")).as("sum_price"),
