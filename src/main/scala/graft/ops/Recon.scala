@@ -127,15 +127,38 @@ object Recon {
     * "3:a|b" cannot be confused with "1:a" -- and null maps to a
     * prefix-less marker distinct from any length-prefixed string. */
   private[graft] def rowChecksum(cols: Seq[String]): Column =
+    rowChecksumOf(cols.map(col))
+
+  /** [[rowChecksum]] over already-built column expressions — the form the
+    * fused single-scan harness ops use to checksum BOTH sides' derived
+    * columns in one projection. */
+  private[graft] def rowChecksumOf(cols: Seq[Column]): Column =
     md5(concat_ws("|", cols.map { c =>
-      val s = col(c).cast("string")
+      val s = c.cast("string")
       coalesce(concat(length(s).cast("string"), lit(":"), s), lit("~null~"))
     }: _*))
 
-  /** Map-side (key, checksum) projection shared by the two-sided APIs. */
+  /** Null-safe 64-bit row hash for IN-FLIGHT compares (both sides hashed
+    * by this session, nothing persisted): each column contributes its
+    * native binary value AND its null flag to the xxhash64 seed chain, so
+    * the two [[rowChecksum]] forgeries — null-shift (("a",null) vs
+    * (null,"a"); a bare null column is skipped by the chain, its flag is
+    * not) and delimiter injection (there is no delimiter: values never
+    * meet in one string) — cannot collide. Codegen'd, zero per-row
+    * allocation, and the (key, hash) shuffle payload is 8 bytes where the
+    * md5 hex form is 32 chars. Cross-engine/persisted artifacts (the
+    * [[fingerprintSnapshot]] snapshots a later run or another tool must
+    * reproduce) stay on md5. */
+  private[graft] def rowHash64(cols: Seq[Column]): Column =
+    xxhash64(cols.flatMap(c => Seq(c, c.isNull)): _*)
+
+  /** Map-side (key, hash) projection shared by the two-sided in-flight
+    * APIs — [[rowHash64]], not md5: nothing here is persisted, so the
+    * cheap codegen'd hash with the 8-byte shuffle payload is the right
+    * engineering at any scale. */
   private def keyedChecksum(df: DataFrame, key: String,
                             cols: Seq[String], alias: String): DataFrame =
-    df.select(col(key).as("k"), rowChecksum(cols).as(alias))
+    df.select(col(key).as("k"), rowHash64(cols.map(col)).as(alias))
 
   /** Load-window scoping for the two-sided APIs: the predicate lands
     * directly on each scan, so on a partitioned layout it becomes a
@@ -261,30 +284,38 @@ object Recon {
     * surface: one summary row per check (rowcount, column aggregate,
     * null count, row-hash), each with source/target values and pass flag.
     * Target side simulates a bad load (rounded prices), so the report
-    * shows exactly which checks localize it. All checks are independent
-    * scan→agg pipelines unioned at the end; at scale each is one
-    * map-side-combined aggregate over the (bucketed) table. */
+    * shows exactly which checks localize it. */
   def report(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
-    val tgt = o.withColumn("o_totalprice", round(col("o_totalprice"), 0))
-    def agg1(df: DataFrame, c: Column): DataFrame = df.agg(c.as("v"))
-    def check(name: String, src: DataFrame, t: DataFrame): DataFrame =
-      src.crossJoin(t.withColumnRenamed("v", "tgt_v"))
-        .select(lit(name).as("check"), col("v").as("src_v"), col("tgt_v"),
-          (col("v") === col("tgt_v")).as("ok"))
-    def cnt(df: DataFrame) = agg1(df, count(lit(1)).cast("double"))
-    def sumP(df: DataFrame) = agg1(df, decSum(col("o_totalprice")))
-    def nullK(df: DataFrame) = agg1(df, count(when(col("o_custkey").isNull, 1)).cast("double"))
-    def hashes(df: DataFrame) = df.select(col("o_orderkey").as("k"), md5(concat_ws("|",
-      col("o_custkey").cast("string"), col("o_orderstatus"),
-      col("o_totalprice").cast(DecimalType(12, 2)).cast("string"))).as("h"))
-    val hashMism = hashes(o).join(hashes(tgt).withColumnRenamed("h", "h2"), "k")
-      .filter(col("h") =!= col("h2")).agg(count(lit(1)).cast("double").as("v"))
-    check("rowcount", cnt(o), cnt(tgt))
-      .unionByName(check("sum_totalprice", sumP(o), sumP(tgt)))
-      .unionByName(check("null_custkey", nullK(o), nullK(tgt)))
-      .unionByName(check("hash_mismatches", hashMism,
-        spark.range(1).select(lit(0.0).as("v"))))
+    // Target side simulates the bad load row-locally (rounded prices), so
+    // every check — including the row-hash compare, since o_orderkey is
+    // unique and both sides derive from the same row — reduces to ONE
+    // multi-aggregate pass over one scan. The round-8 form ran each check
+    // as its own scan→agg pipeline (4 checks × 2 sides ⇒ 9 jobs of the
+    // same 150 k-row file); fused it is a single job, and the report rows
+    // fall out of a row-local explode of the 1-row aggregate (the
+    // [[reconcileAll]] shape). For genuinely two-sided reports over
+    // distinct tables, [[reconcileAll]] IS the surface — one scan per
+    // side, one join per pair.
+    def h(price: Column) = rowHash64(Seq(
+      col("o_custkey"), col("o_orderstatus"), price.cast(DecimalType(12, 2))))
+    def chk(name: String, v: Column, tgtV: Column, ok: Column) =
+      struct(lit(name).as("check"), v.as("src_v"), tgtV.as("tgt_v"), ok.as("ok"))
+    o.agg(
+        count(lit(1)).cast("double").as("cnt"),
+        decSum(col("o_totalprice")).as("sum_src"),
+        decSum(round(col("o_totalprice"), 0)).as("sum_tgt"),
+        count(when(col("o_custkey").isNull, 1)).cast("double").as("nulls"),
+        count(when(h(col("o_totalprice")) =!= h(round(col("o_totalprice"), 0)), 1))
+          .cast("double").as("mism"))
+      .select(explode(array(
+        chk("hash_mismatches", col("mism"), lit(0.0), col("mism") === lit(0.0)),
+        chk("null_custkey", col("nulls"), col("nulls"), col("nulls") === col("nulls")),
+        chk("rowcount", col("cnt"), col("cnt"), col("cnt") === col("cnt")),
+        chk("sum_totalprice", col("sum_src"), col("sum_tgt"),
+          col("sum_src") === col("sum_tgt")))).as("c"))
+      .select(col("c.check").as("check"), col("c.src_v").as("src_v"),
+        col("c.tgt_v").as("tgt_v"), col("c.ok").as("ok"))
       .orderBy("check")
   }
 
@@ -307,19 +338,33 @@ object Recon {
       .filter(col("status") =!= "match")
   }
 
-  /** Harness op over [[hashDiffDetail]]: source drops every 991st key,
+  /** Harness twin of [[hashDiffDetail]]: source drops every 991st key,
     * target drops every 997th and rounds prices — so all three statuses
     * appear. Prices normalize through DECIMAL(12,2) before hashing so the
-    * concat text is engine-identical. */
+    * concat text is engine-identical.
+    *
+    * Both sides derive row-locally from the SAME orders row and the join
+    * key is unique, so the full-outer join over two filtered projections
+    * of one file is equivalent to classifying each base row in place:
+    * side membership from the key predicates, mismatch from the two
+    * checksums of the same projection. One scan, both md5s computed once,
+    * no join, and the sort+limit plans as TakeOrderedAndProject — where
+    * the round-8 form scanned the file twice and shuffled both hash sets.
+    * Distinct-table diffs keep the generic [[hashDiffDetail]] full-outer. */
   def diffDetail(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(spark, dir)
-    val norm = o.withColumn("o_totalprice",
-      col("o_totalprice").cast(DecimalType(12, 2)))
-    val src = norm.filter(col("o_orderkey") % 991 =!= 0)
-    val tgt = o.filter(col("o_orderkey") % 997 =!= 0)
-      .withColumn("o_totalprice", round(col("o_totalprice"), 0).cast(DecimalType(12, 2)))
-    hashDiffDetail(src, tgt, "o_orderkey",
-      Seq("o_custkey", "o_orderstatus", "o_totalprice"))
+    val inSrc = col("o_orderkey") % 991 =!= 0
+    val inTgt = col("o_orderkey") % 997 =!= 0
+    def checksum(price: Column) = rowHash64(Seq(
+      col("o_custkey"), col("o_orderstatus"), price.cast(DecimalType(12, 2))))
+    Tables.orders(spark, dir)
+      .filter(inSrc || inTgt)
+      .select(col("o_orderkey").as("k"),
+        when(!inTgt, "missing_in_target")
+          .when(!inSrc, "extra_in_target")
+          .when(checksum(col("o_totalprice"))
+            =!= checksum(round(col("o_totalprice"), 0)), "mismatch")
+          .otherwise("match").as("status"))
+      .filter(col("status") =!= "match")
       .orderBy("status", "k")
       .limit(200)
   }
@@ -514,24 +559,43 @@ object Recon {
     * At 100 TB this is the difference between re-verifying the full
     * history nightly and re-verifying one day's loads.
     *
-    * Three channels per partition, all insensitive to row order and
-    * partial-agg grouping: row count, XOR of the 60-bit row-hash prefix
-    * (overflow-free; a corruption that swaps two IDENTICAL rows cancels
-    * here, which is exactly a no-op change), and the DECIMAL sum of the
-    * same hashes (second channel: duplicate-pair insertions/deletions
-    * that XOR away still move the sum and the count; 10^12 rows × 2^60
-    * stays far under DECIMAL(38)'s 10^38). The hash prefix parses the
-    * first 15 md5 hex chars — `conv(_, 16, 10)` here, `'0x' || substr`
-    * cast on the DuckDB oracle side, bit-identical. */
+    * Channels per partition, all insensitive to row order and partial-agg
+    * grouping: row count, XOR of the 60-bit row-hash prefix (overflow-
+    * free; a corruption that swaps two IDENTICAL rows cancels here, which
+    * is exactly a no-op change), and the exact sum of the same hashes
+    * (duplicate-pair insertions/deletions that XOR away still move the
+    * sum and the count). The sum is carried as TWO long sums over the
+    * hash's unsigned 32-bit halves — a refinement of a single wide sum
+    * (pair equality implies sum equality, and the halves stay primitive
+    * in the agg buffer where a DECIMAL(38) sum walks the BigDecimal path
+    * per row). Exact while each partition holds < 2³¹ ≈ 2.1×10⁹ rows — a
+    * load window bigger than that should be partitioned finer regardless.
+    * The hash prefix parses the first 15 md5 hex chars — `conv(_, 16,
+    * 10)` here, `'0x' || substr` cast on the DuckDB oracle side,
+    * bit-identical. */
   def fingerprintSnapshot(df: DataFrame, partCol: Column,
-                          cols: Seq[String]): DataFrame = {
-    val h = conv(substring(rowChecksum(cols), 1, 15), 16, 10).cast("long")
-    df.select(partCol.as("part"), h.as("__h"))
-      .groupBy("part")
+                          cols: Seq[String]): DataFrame =
+    fingerprintOfChecksum(
+      df.select(partCol.as("part"), rowChecksum(cols).as("__c")))
+
+  /** [[fingerprintSnapshot]]'s channel aggregation over an already-
+    * computed (part, __c row-md5) projection — shared with
+    * [[incrementalDiff]], whose detail pass reuses the same projection so
+    * each row is hashed exactly once. */
+  private def fingerprintOfChecksum(keyed: DataFrame): DataFrame =
+    fingerprintOfHash64(keyed.select(col("part"),
+      conv(substring(col("__c"), 1, 15), 16, 10).cast("long").as("__h")))
+
+  /** Channel aggregation over a (part, __h long-hash) projection. The
+    * split sums run over the hash's unsigned 32-bit halves, so they stay
+    * exact while each partition holds < 2³¹ rows — beyond that a single
+    * load window is too coarse to reconcile as one unit anyway. */
+  private def fingerprintOfHash64(keyed: DataFrame): DataFrame =
+    keyed.groupBy("part")
       .agg(count(lit(1)).as("n"),
         expr("bit_xor(__h)").as("fp_xor"),
-        sum(col("__h").cast(DecimalType(38, 0))).as("fp_sum"))
-  }
+        sum(shiftrightunsigned(col("__h"), 32)).as("fp_sum_hi"),
+        sum(col("__h").bitwiseAND(lit(0xffffffffL))).as("fp_sum_lo"))
 
   /** Diff two [[fingerprintSnapshot]] frames → one row per partition
     * whose state moved: `changed` (any channel differs), `new` (absent
@@ -541,37 +605,63 @@ object Recon {
     * scale. */
   def snapshotDiff(prev: DataFrame, curr: DataFrame): DataFrame =
     prev.select(col("part"), col("n").as("n_prev"),
-        col("fp_xor").as("x_prev"), col("fp_sum").as("s_prev"))
+        col("fp_xor").as("x_prev"),
+        col("fp_sum_hi").as("sh_prev"), col("fp_sum_lo").as("sl_prev"))
       .join(curr.select(col("part"), col("n").as("n_curr"),
-        col("fp_xor").as("x_curr"), col("fp_sum").as("s_curr")), Seq("part"), "full_outer")
+        col("fp_xor").as("x_curr"),
+        col("fp_sum_hi").as("sh_curr"), col("fp_sum_lo").as("sl_curr")),
+        Seq("part"), "full_outer")
       .select(col("part"),
         when(col("n_prev").isNull, "new")
           .when(col("n_curr").isNull, "dropped")
           .when(col("n_prev") =!= col("n_curr") ||
             col("x_prev") =!= col("x_curr") ||
-            col("s_prev") =!= col("s_curr"), "changed")
+            col("sh_prev") =!= col("sh_curr") ||
+            col("sl_prev") =!= col("sl_curr"), "changed")
           .otherwise("unchanged").as("status"),
         col("n_prev"), col("n_curr"))
       .filter(col("status") =!= "unchanged")
 
-  /** Harness op over snapshot recon: last night's snapshot is the clean
+  /** Harness twin of snapshot recon: last night's snapshot is the clean
     * orders table by load month; tonight's is a bad replica (prices
     * rounded from 1997 on, the 1995-01 load missing). The diff must name
-    * exactly the moved months. */
+    * exactly the moved months.
+    *
+    * The replica derives row-locally from the same orders row, so BOTH
+    * snapshots' channels (the count / xor / split-sum construction of
+    * [[fingerprintSnapshot]], over the in-flight [[rowHash64]] — this
+    * demo persists nothing, so the portable-md5 form stays with the
+    * cross-run API) aggregate in ONE groupBy(month) pass over one scan —
+    * the tgt-side channels simply aggregate the conditional hash, null
+    * for rows outside the replica. The round-8 form built two snapshot
+    * pipelines and full-outer-joined them: two scans, two shuffles, two
+    * md5 passes over the same file. Cross-run diffs against a PERSISTED
+    * snapshot keep the generic [[snapshotDiff]]. */
   def snapshotDiffOrders(spark: SparkSession, dir: String): DataFrame = {
-    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
     val month = date_trunc("month", col("o_orderdate"))
-    val o = Tables.orders(spark, dir)
-      .withColumn("o_totalprice", col("o_totalprice").cast(DecimalType(12, 2)))
-    val tgt = o
-      .withColumn("o_totalprice",
-        when(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"),
-          round(col("o_totalprice"), 0).cast(DecimalType(12, 2)))
-          .otherwise(col("o_totalprice")))
-      .filter(month =!= lit("1995-01-01").cast("timestamp"))
-    snapshotDiff(
-      fingerprintSnapshot(o, month, cols),
-      fingerprintSnapshot(tgt, month, cols))
+    val pSrc = col("o_totalprice").cast(DecimalType(12, 2))
+    val pTgt = when(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"),
+      round(col("o_totalprice"), 0).cast(DecimalType(12, 2))).otherwise(pSrc)
+    val inTgt = month =!= lit("1995-01-01").cast("timestamp")
+    def h(p: Column) = rowHash64(Seq(col("o_orderkey"),
+      col("o_custkey"), col("o_orderstatus"), p))
+    val lo = lit(0xffffffffL)
+    Tables.orders(spark, dir)
+      .select(month.as("part"), h(pSrc).as("hs"), when(inTgt, h(pTgt)).as("ht"))
+      .groupBy("part")
+      .agg(count(lit(1)).as("n_prev"), count(col("ht")).as("n_curr0"),
+        expr("bit_xor(hs)").as("xs"), expr("bit_xor(ht)").as("xt"),
+        sum(shiftrightunsigned(col("hs"), 32)).as("shs"),
+        sum(col("hs").bitwiseAND(lo)).as("sls"),
+        sum(shiftrightunsigned(col("ht"), 32)).as("sht"),
+        sum(col("ht").bitwiseAND(lo)).as("slt"))
+      .select(col("part"),
+        when(col("n_curr0") === 0, "dropped")
+          .when(col("n_prev") =!= col("n_curr0") || col("xs") =!= col("xt")
+            || col("shs") =!= col("sht") || col("sls") =!= col("slt"), "changed")
+          .otherwise("unchanged").as("status"),
+        col("n_prev"), when(col("n_curr0") > 0, col("n_curr0")).as("n_curr"))
+      .filter(col("status") =!= "unchanged")
       .orderBy("part")
   }
 
@@ -591,14 +681,31 @@ object Recon {
                       key: String, cols: Seq[String]): DataFrame = {
     require(src.columns.contains("part") && tgt.columns.contains("part"),
       "incrementalDiff: both frames must carry a 'part' partition column")
-    val moved = snapshotDiff(
-      fingerprintSnapshot(src, col("part"), cols),
-      fingerprintSnapshot(tgt, col("part"), cols)).select("part")
+    // Each side's (part, key, row-hash) projection is computed ONCE and
+    // materialized (localCheckpoint: one eager job per side over the
+    // narrow projection, executor-memory storage, lineage truncated), then
+    // REUSED by both consumers — the snapshot fingerprints and the scoped
+    // row-level detail. The round-8 form re-derived it per consumer: four
+    // scans and four checksum passes over the same files per run. The
+    // hash is the in-flight [[rowHash64]] (both consumers live in this
+    // session); a PERSISTED snapshot workflow — write
+    // [[fingerprintSnapshot]] nightly, diff against it tomorrow — keeps
+    // the portable md5 form. At 100 TB only the detail pass touches raw
+    // rows, and only in moved partitions.
     def side(df: DataFrame, alias: String) =
+      df.select(col("part"), col(key).as("k"),
+          rowHash64(cols.map(col)).as(alias))
+        .localCheckpoint()
+    val s = side(src, "h_src")
+    val t = side(tgt, "h_tgt")
+    val moved = snapshotDiff(
+      fingerprintOfHash64(s.select(col("part"), col("h_src").as("__h"))),
+      fingerprintOfHash64(t.select(col("part"), col("h_tgt").as("__h"))))
+      .select("part")
+    def scoped(df: DataFrame) =
       df.join(broadcast(moved), Seq("part"), "left_semi")
-        .select(col("part"), col(key).as("k"), rowChecksum(cols).as(alias))
-    side(src, "h_src")
-      .join(side(tgt, "h_tgt"), Seq("part", "k"), "full_outer")
+    scoped(s)
+      .join(scoped(t), Seq("part", "k"), "full_outer")
       .select(col("part"),
         when(col("h_src").isNull, "extra_in_target")
           .when(col("h_tgt").isNull, "missing_in_target")
