@@ -100,6 +100,20 @@ object Tables {
   def read(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.schema(schemas(name)).parquet(s"$dir/$name.parquet")
 
+  /** On-disk footprint of one table's parquet path — pure driver-side
+    * filesystem metadata, no Spark job. This is the size gate the
+    * dual-form ops use to pick between a single-pass small-input plan
+    * (fewer jobs, per-group buffering acceptable) and the bounded-state
+    * large-input plan: at 100 TB the gate routes to the scale form, on a
+    * sub-GB reconciliation window it avoids paying 3 jobs where 1 is
+    * exact. Missing path reads as Long.MaxValue so a misconfigured dir
+    * fails toward the conservative (bounded-state) plan. */
+  def tableBytes(spark: SparkSession, dir: String, name: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) fs.getContentSummary(p).getLength else Long.MaxValue
+  }
+
   def region(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "nation")
   def supplier(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "supplier")

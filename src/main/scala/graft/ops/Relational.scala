@@ -18,6 +18,14 @@ import org.apache.spark.sql.types.DecimalType
 object Relational {
   import Recon.decSum
 
+  /** Size gate for dual-form (single-pass vs bounded-state) operators:
+    * on-disk parquet below this routes to the 1-job exact form whose
+    * per-group buffering is proportional to DISTINCT values (≤ 256 MiB
+    * compressed input keeps the worst-case buffer comfortably inside one
+    * executor); above it, the selection / bucket-refine plans whose
+    * state is answer-sized at any input scale. */
+  private[graft] val SinglePassBytes: Long = 256L * 1024 * 1024
+
   /** TPC-H-Q1-style pricing summary: filter → 5 aggregates → sort.
     *
     * The partial aggregation happens in the scan stage. When the five
@@ -156,8 +164,38 @@ object Relational {
     * streaming scans and only ever sorts bucket- or group-sized frames
     * (no row-count-sized ANYTHING at any scale). Sub-percentile
     * accuracy at even smaller state is [[quantileApprox]] (GK sketch,
-    * mergeable map-side). */
-  def quantileSummary(spark: SparkSession, dir: String): DataFrame = {
+    * mergeable map-side).
+    *
+    * Size-gated dispatch (round-9 verdict #3): below
+    * [[Relational.SinglePassBytes]] of on-disk parquet (driver-side
+    * metadata, no job) the whole summary is ONE `percentile` aggregate
+    * pass — the buffering the scaladoc above warns about is exactly
+    * right when the table fits a reconciliation window, and it collapses
+    * 3 jobs to 1. Above the gate, the bounded-state selection plan. Both
+    * forms compute lo + (hi-lo)·frac at pos = q·(n-1) in double
+    * arithmetic — bit-identical (spec-asserted). */
+  def quantileSummary(spark: SparkSession, dir: String): DataFrame =
+    if (Tables.tableBytes(spark, dir, "orders") <= SinglePassBytes)
+      quantileSummarySmall(spark, dir)
+    else quantileSummarySelection(spark, dir)
+
+  /** Single-pass small-input form: one scan, one `percentile` aggregate
+    * holding each group's (value → count) map in the agg buffer. */
+  private[graft] def quantileSummarySmall(spark: SparkSession,
+                                          dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderstatus"), col("o_totalprice").cast("double").as("v"))
+      .groupBy("o_orderstatus")
+      .agg(expr("percentile(v, array(0.5D, 0.95D))").as("p"),
+        count(lit(1)).as("n"))
+      .select(col("o_orderstatus"),
+        round(col("p")(0), 4).as("p50"), round(col("p")(1), 4).as("p95"),
+        col("n"))
+      .orderBy("o_orderstatus")
+
+  /** Bounded-state large-input form of [[quantileSummary]]. */
+  private[graft] def quantileSummarySelection(spark: SparkSession,
+                                              dir: String): DataFrame = {
     val base = Tables.orders(spark, dir)
       .select(col("o_orderstatus"), col("o_totalprice").cast("double").as("v"))
     val counts = base.groupBy("o_orderstatus").agg(count(lit(1)).as("cnt"))
@@ -567,14 +605,25 @@ object Relational {
     * aggregation-based formulation (quantile sketch + broadcast
     * thresholds), not a window. */
   def cumeDistFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
     val w1 = Window.partitionBy(col("o_orderstatus"))
       .orderBy(col("o_totalprice"), col("o_orderkey"))
-    val w2 = Window.partitionBy(col("o_orderstatus"))
-      .orderBy(col("o_orderpriority"))
-    Tables.orders(spark, dir)
+    // dense_rank over a LOW-cardinality ordering (≤ 5 priorities per
+    // status) is a pure function of the distinct (status, priority)
+    // pairs: rank the answer-sized distinct frame, broadcast it back,
+    // and the second full-data sort the round-8 form paid (two window
+    // specs ⇒ two sorts of the whole stream) becomes a row-local hash
+    // probe — the aggregation-based formulation the caveat above
+    // prescribes at scale.
+    val ranks = o.select(col("o_orderstatus"), col("o_orderpriority"))
+      .distinct()
+      .withColumn("dr", dense_rank().over(
+          Window.partitionBy(col("o_orderstatus"))
+            .orderBy(col("o_orderpriority"))).cast("long"))
+    o.join(broadcast(ranks), Seq("o_orderstatus", "o_orderpriority"))
       .select(col("o_orderkey"), col("o_orderstatus"),
         round(cume_dist().over(w1), 6).as("cd"),
-        dense_rank().over(w2).cast("long").as("dr"),
+        col("dr"),
         nth_value(col("o_orderkey"), 3).over(w1).as("nv"))
       .orderBy("o_orderkey").limit(200)
   }
@@ -1205,7 +1254,34 @@ object Relational {
     * end in answer-sized frames. Same result bit-for-bit as the
     * built-in (cume_dist ≥ q ⟺ cum ≥ ceil(q·n) for integer cum;
     * RelationalSpec asserts parity). */
-  def percentileDiscFuncs(spark: SparkSession, dir: String): DataFrame = {
+  def percentileDiscFuncs(spark: SparkSession, dir: String): DataFrame =
+    if (Tables.tableBytes(spark, dir, "lineitem") <= SinglePassBytes)
+      percentileDiscSmall(spark, dir)
+    else percentileDiscBucketed(spark, dir)
+
+  /** Single-pass small-input form: one scan, three `percentile_disc
+    * WITHIN GROUP` aggregates buffering each group's (value → count)
+    * map. Discrete percentiles pick an actual data value (no
+    * interpolation), so agreement with the bucket-refine form is exact
+    * by construction (same smallest-value-with-cume_dist ≥ q
+    * convention; spec-asserted). */
+  private[graft] def percentileDiscSmall(spark: SparkSession,
+                                         dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)")
+          .as("med_qty"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)")
+          .as("p90_price"),
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_discount)")
+          .as("p25_disc"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** Bounded-state large-input form of [[percentileDiscFuncs]]. */
+  private[graft] def percentileDiscBucketed(spark: SparkSession,
+                                            dir: String): DataFrame = {
     // (column, quantile, bucket width⁻¹) per battery entry; widths give
     // O(100) buckets for each column's range
     def triples = Tables.lineitem(spark, dir).select(col("l_returnflag").as("rf"),

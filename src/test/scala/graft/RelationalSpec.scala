@@ -133,7 +133,10 @@ class RelationalSpec extends GraftSpec {
   }
 
   test("percentile_disc: count-cumsum form matches the built-in aggregate") {
-    val got = Relational.percentileDiscFuncs(spark, sf).collect()
+    // the bucketed form explicitly: the public op size-gates to the
+    // built-in single-pass form on inputs this small, which would make
+    // this parity check a tautology
+    val got = Relational.percentileDiscBucketed(spark, sf).collect()
       .map(r => r.getString(0) ->
         ((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
     val builtin = Tables.lineitem(spark, sf).groupBy(col("l_returnflag"))
@@ -146,6 +149,29 @@ class RelationalSpec extends GraftSpec {
       .map(r => r.getString(0) ->
         ((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
     assert(got === builtin)
+  }
+
+  test("quantile summary: single-pass and selection forms are bit-identical") {
+    val small = Relational.quantileSummarySmall(spark, sf).collect().map(_.toSeq)
+    val sel = Relational.quantileSummarySelection(spark, sf).collect().map(_.toSeq)
+    assert(small.toSeq === sel.toSeq)
+  }
+
+  test("cume_dist: broadcast dense-rank matches the two-window form") {
+    import org.apache.spark.sql.expressions.Window
+    val w1 = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val w2 = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_orderpriority"))
+    val twoWindow = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(cume_dist().over(w1), 6).as("cd"),
+        dense_rank().over(w2).cast("long").as("dr"),
+        nth_value(col("o_orderkey"), 3).over(w1).as("nv"))
+      .orderBy("o_orderkey").limit(200)
+      .collect().map(_.toSeq)
+    val got = Relational.cumeDistFuncs(spark, sf).collect().map(_.toSeq)
+    assert(got.toSeq === twoWindow.toSeq)
   }
 
   test("q17: small-quantity rows match a driver-side threshold recompute") {
