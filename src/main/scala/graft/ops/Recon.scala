@@ -411,10 +411,19 @@ object Recon {
       sideChecksum(p.src, p.window, p.key, p.cols, "h_src", "n_src")
         .join(sideChecksum(p.tgt, p.window, p.key, p.cols, "h_tgt", "n_tgt"),
           Seq("k"), "full_outer")
-    val drift = schemaStatuses(p.src, p.tgt).count(_._4 != "ok").toDouble
-    def chk(name: String, v: Column, tgtV: Column, ok: Column) =
-      struct(lit(name).as("check"), v.as("src_v"), tgtV.as("tgt_v"), ok.as("ok"))
-    joined.agg(
+    pairReport(p.name,
+      schemaStatuses(p.src, p.tgt).count(_._4 != "ok").toDouble, joined)
+  }
+
+  /** Six-check report rows from a per-key (h_src, n_src, h_tgt, n_tgt)
+    * frame — the shape both [[reconcilePair]]'s full-outer join and
+    * [[reconcileSameBase]]'s single-scan groupBy produce. A side's h/n
+    * are null for keys it lacks. */
+  private def pairReport(name: String, drift: Double,
+                         perKey: DataFrame): DataFrame = {
+    def chk(cname: String, v: Column, tgtV: Column, ok: Column) =
+      struct(lit(cname).as("check"), v.as("src_v"), tgtV.as("tgt_v"), ok.as("ok"))
+    perKey.agg(
         coalesce(sum(col("n_src")), lit(0L)).cast("double").as("src_n"),
         coalesce(sum(col("n_tgt")), lit(0L)).cast("double").as("tgt_n"),
         // =!= is null-rejecting, so a missing/extra key never double-counts
@@ -423,7 +432,7 @@ object Recon {
         count(when(col("h_src").isNull, 1)).cast("double").as("extra"),
         count(when(col("n_src") > 1, 1)).cast("double").as("dup_src"),
         count(when(col("n_tgt") > 1, 1)).cast("double").as("dup_tgt"))
-      .select(lit(p.name).as("table"), explode(array(
+      .select(lit(name).as("table"), explode(array(
         chk("rowcount", col("src_n"), col("tgt_n"), col("src_n") === col("tgt_n")),
         chk("hash_mismatch", col("mism"), lit(0.0), col("mism") === 0.0),
         chk("missing_in_target", col("miss"), lit(0.0), col("miss") === 0.0),
@@ -435,25 +444,54 @@ object Recon {
         col("c.src_v").as("src_v"), col("c.tgt_v").as("tgt_v"), col("c.ok").as("ok"))
   }
 
-  /** Harness op over [[reconcileAll]]: two pairs with seeded divergence —
+  /** One-scan twin of [[reconcilePair]] for the same-base case: when
+    * both sides derive ROW-LOCALLY from one frame (a pre/post-transform
+    * audit, or a seeded demo), the per-key (h, n) pair of each side
+    * falls out of a single groupBy over the shared scan — side
+    * membership and per-side hashes are plain conditional aggregates —
+    * so the two side scans, two shuffles, and the full-outer join of
+    * the generic path collapse to one scan and one map-side-combined
+    * shuffle. Dup detection stays honest (per-key fan-in is counted,
+    * not assumed); schema drift is 0 by construction (one schema).
+    * Distinct-table recon keeps [[reconcileAll]]. */
+  def reconcileSameBase(name: String, base: DataFrame, key: Column,
+                        inSrc: Column, inTgt: Column,
+                        hSrc: Column, hTgt: Column): DataFrame =
+    pairReport(name, 0.0,
+      base.filter(inSrc || inTgt)
+        .select(key.as("k"),
+          when(inSrc, hSrc).as("hs"), when(inTgt, hTgt).as("ht"))
+        .groupBy("k")
+        .agg(max(col("hs")).as("h_src"), count(col("hs")).as("ns"),
+          max(col("ht")).as("h_tgt"), count(col("ht")).as("nt"))
+        .select(col("h_src"), col("h_tgt"),
+          when(col("ns") > 0, col("ns")).as("n_src"),
+          when(col("nt") > 0, col("nt")).as("n_tgt")))
+
+  /** Harness twin of [[reconcileAll]]: two pairs with seeded divergence —
     * orders (src drops every 991st key, tgt drops every 997th and rounds
-    * prices, both scoped to the 1995+ load window via `window`) and
-    * customer (tgt drops every 500th key). Prices normalize through
-    * DECIMAL(12,2) pre-hash exactly as in [[diffDetail]]. */
+    * prices, both scoped to the 1995+ load window) and customer (tgt
+    * drops every 500th key). Prices normalize through DECIMAL(12,2)
+    * pre-hash exactly as in [[diffDetail]]. Both pairs' sides derive
+    * row-locally from one table, so each rides [[reconcileSameBase]] —
+    * one scan and one shuffle per TABLE where the generic config-driven
+    * [[reconcileAll]] (the surface for genuinely distinct tables) pays
+    * one per SIDE plus a join. */
   def reconcileAllDemo(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(spark, dir)
-      .withColumn("o_totalprice", col("o_totalprice").cast(DecimalType(12, 2)))
-    val oSrc = o.filter(col("o_orderkey") % 991 =!= 0)
-    val oTgt = o.filter(col("o_orderkey") % 997 =!= 0)
-      .withColumn("o_totalprice", round(col("o_totalprice"), 0).cast(DecimalType(12, 2)))
-    val c = Tables.customer(spark, dir)
-    val cTgt = c.filter(col("c_custkey") % 500 =!= 0)
-    reconcileAll(Seq(
-      TablePair("orders", oSrc, oTgt, "o_orderkey",
-        Seq("o_custkey", "o_orderstatus", "o_totalprice"),
-        window = Some(col("o_orderdate") >= lit("1995-01-01").cast("timestamp"))),
-      TablePair("customer", c, cTgt, "c_custkey",
-        Seq("c_name", "c_mktsegment", "c_acctbal"))))
+    def oHash(price: Column) = rowHash64(Seq(
+      col("o_custkey"), col("o_orderstatus"), price.cast(DecimalType(12, 2))))
+    val orders = reconcileSameBase("orders",
+      Tables.orders(spark, dir)
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp")),
+      col("o_orderkey"),
+      col("o_orderkey") % 991 =!= 0, col("o_orderkey") % 997 =!= 0,
+      oHash(col("o_totalprice")), oHash(round(col("o_totalprice"), 0)))
+    val cHash = rowHash64(Seq(
+      col("c_name"), col("c_mktsegment"), col("c_acctbal")))
+    val customer = reconcileSameBase("customer",
+      Tables.customer(spark, dir), col("c_custkey"),
+      lit(true), col("c_custkey") % 500 =!= 0, cHash, cHash)
+    orders.unionByName(customer).orderBy("table", "check")
   }
 
   /** Column profile — the recon-tool "profile before compare" surface:

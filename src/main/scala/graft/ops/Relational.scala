@@ -419,18 +419,23 @@ object Relational {
 
   /** TPC-H-Q17-shaped correlated aggregate: revenue from "small-quantity"
     * lineitems — rows whose quantity is below 20% of THEIR part's average
-    * — rolled up per brand. The classic decorrelation: the per-group
-    * scalar subquery becomes an aggregate-then-rejoin on the same key,
-    * so both the threshold agg and the probe join hash `l_partkey` and
-    * AQE aligns the exchanges (no second row-sized shuffle). The part
-    * dimension broadcasts. Thresholds derive from exact DECIMAL sums ÷
-    * count, so both engines compare against bit-identical doubles and
-    * the `<` boundary classifies identically. */
+    * — rolled up per brand. The correlated scalar subquery decorrelates
+    * to a whole-partition WINDOW aggregate on `l_partkey`: each row sees
+    * its part's average in the same (single) shuffle that a
+    * aggregate-then-rejoin plan would pay TWICE (threshold agg exchange
+    * + probe-side exchange, with the fact scanned once per side). The
+    * per-part frame the window sorts is the part fan-in — a constant of
+    * the schema, not the table size — so the shape holds at 100 TB. The
+    * part dimension broadcasts after the filter has shrunk the stream.
+    * Thresholds derive from exact DECIMAL sums ÷ count, so both engines
+    * compare against bit-identical doubles and the `<` boundary
+    * classifies identically. */
   def q17AvgQuantity(spark: SparkSession, dir: String): DataFrame = {
-    val l = Tables.lineitem(spark, dir)
-    val thr = l.groupBy(col("l_partkey").as("pk"))
-      .agg(((decSum(col("l_quantity")) / count(lit(1))) * 0.2).as("threshold"))
-    l.join(thr, col("l_partkey") === col("pk"))
+    val w = Window.partitionBy(col("l_partkey"))
+    Tables.lineitem(spark, dir)
+      .withColumn("threshold",
+        (Recon.uncents(sum(Recon.cents(col("l_quantity"))).over(w))
+          / count(lit(1)).over(w)) * 0.2)
       .where(col("l_quantity") < col("threshold"))
       .join(broadcast(Tables.part(spark, dir)), col("p_partkey") === col("l_partkey"))
       .groupBy("p_brand")
@@ -1135,24 +1140,27 @@ object Relational {
       .limit(20)
 
   /** TPC-H-Q18-shaped large-order report: HAVING over a fact aggregate,
-    * then the qualifying keys semi-join back into the 3-way join. The
-    * semi join runs FIRST against orders so customer and lineitem only
-    * ever see the handful of qualifying orders — at 100 TB the qualifier
-    * set is tiny and AQE turns both downstream joins into broadcasts.
-    * The > 300 threshold compares the exact DECIMAL(18,4) sum surfaced
-    * as double, so both engines classify boundary orders alike. */
+    * then the qualifying orders join customer for the report columns.
+    * Every report group column (c_name … o_totalprice) is functionally
+    * dependent on o_orderkey, so the per-orderkey quantity sum that
+    * drives the HAVING IS the report's total_qty — the textbook
+    * semi-join-then-reaggregate shape pays a second lineitem scan and a
+    * second fact aggregate for a number it already computed. One
+    * lineitem scan, one fact shuffle; the surviving qualifier set is
+    * tiny at any scale, so AQE broadcasts it into orders and the
+    * customer join stays broadcast too. The > 300 threshold compares
+    * the exact DECIMAL(18,4) sum surfaced as double, so both engines
+    * classify boundary orders alike. */
   def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
-    val l = Tables.lineitem(spark, dir)
-    val big = l.groupBy(col("l_orderkey").as("big_ok"))
-      .agg(decSum(col("l_quantity")).as("sq"))
-      .filter(col("sq") > 300).select("big_ok")
-    Tables.orders(spark, dir)
-      .join(big, col("o_orderkey") === col("big_ok"), "left_semi")
-      .join(Tables.customer(spark, dir), col("c_custkey") === col("o_custkey"))
-      .join(l, col("o_orderkey") === col("l_orderkey"))
-      .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
-        col("o_orderdate"), col("o_totalprice"))
+    val big = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
       .agg(decSum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > 300)
+    Tables.orders(spark, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(spark, dir), col("c_custkey") === col("o_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(100)
   }
@@ -1255,31 +1263,17 @@ object Relational {
     * built-in (cume_dist ≥ q ⟺ cum ≥ ceil(q·n) for integer cum;
     * RelationalSpec asserts parity). */
   def percentileDiscFuncs(spark: SparkSession, dir: String): DataFrame =
-    if (Tables.tableBytes(spark, dir, "lineitem") <= SinglePassBytes)
-      percentileDiscSmall(spark, dir)
-    else percentileDiscBucketed(spark, dir)
+    // NOT size-gated to a built-in `percentile_disc WITHIN GROUP`
+    // single-pass form the way [[quantileSummary]] gates to
+    // `percentile`: measured sf0.1 same-JVM the buffering built-in is
+    // SLOWER than this 3-job bucketed plan (1.30 s vs 0.84 s median) —
+    // three ObjectHashAggregate value-map buffers over the 600 k-row
+    // fact with interpreted partial/final merges — so the bucketed plan
+    // wins at every size and stays the only form.
+    percentileDiscBucketed(spark, dir)
 
-  /** Single-pass small-input form: one scan, three `percentile_disc
-    * WITHIN GROUP` aggregates buffering each group's (value → count)
-    * map. Discrete percentiles pick an actual data value (no
-    * interpolation), so agreement with the bucket-refine form is exact
-    * by construction (same smallest-value-with-cume_dist ≥ q
-    * convention; spec-asserted). */
-  private[graft] def percentileDiscSmall(spark: SparkSession,
-                                         dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
-      .groupBy(col("l_returnflag"))
-      .agg(
-        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)")
-          .as("med_qty"),
-        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)")
-          .as("p90_price"),
-        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_discount)")
-          .as("p25_disc"),
-        count(lit(1)).as("n"))
-      .orderBy("l_returnflag")
-
-  /** Bounded-state large-input form of [[percentileDiscFuncs]]. */
+  /** Bucket-refine form of [[percentileDiscFuncs]] — bounded state at
+    * any input scale. */
   private[graft] def percentileDiscBucketed(spark: SparkSession,
                                             dir: String): DataFrame = {
     // (column, quantile, bucket width⁻¹) per battery entry; widths give
