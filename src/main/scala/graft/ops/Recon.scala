@@ -87,19 +87,23 @@ object Recon {
     * wash here — the distinct branch's shuffle already parallelizes the
     * dominant phase — so the scan is left alone, unlike
     * [[graft.ops.Text.fingerprint]].) */
-  def colaggFingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-    val plain = li.agg(
-      count(lit(1)).as("cnt"),
-      decSum(col("l_quantity")).as("sq"),
-      min(col("l_extendedprice")).as("mn"),
-      max(col("l_extendedprice")).as("mx"),
-      decSum(col("l_extendedprice") * col("l_discount")).as("rev"))
-    val dk = li.select(col("l_orderkey")).distinct()
-      .agg(count(lit(1)).as("dk"))
-    plain.crossJoin(dk)
+  def colaggFingerprint(spark: SparkSession, dir: String): DataFrame =
+    // ONE aggregate pass: a single distinct column alongside plain
+    // aggregates plans as a 2-projection Expand (distinct stream +
+    // plain stream) — the stream doubles but the scan and the job
+    // halve vs the round-2 shape (separate distinct-count pipeline
+    // cross-joined back). Expand only explodes with MANY distinct
+    // columns (recon_profile measured ×7 at 6 columns, hence its
+    // unioned per-column plan); at one distinct column the fused form
+    // wins at every scale.
+    Tables.lineitem(spark, dir).agg(
+        count(lit(1)).as("cnt"),
+        count_distinct(col("l_orderkey")).as("dk"),
+        decSum(col("l_quantity")).as("sq"),
+        min(col("l_extendedprice")).as("mn"),
+        max(col("l_extendedprice")).as("mx"),
+        decSum(col("l_extendedprice") * col("l_discount")).as("rev"))
       .select(col("cnt"), col("dk"), col("sq"), col("mn"), col("mx"), col("rev"))
-  }
 
   /** Row-level checksum compare. The harness op simulates the "target"
     * side by rounding the price on the SAME table — so both hashes are

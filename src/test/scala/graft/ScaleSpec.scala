@@ -187,8 +187,31 @@ class ScaleSpec extends GraftSpec {
     // q10: every join broadcasts at this scale, top-20 avoids global sort
     val p10 = plan("q10_returned_items")
     assert(p10.contains("TakeOrderedAndProject"))
-    // q18: the qualifier set semi-joins orders — semi, never inner fan-out
-    assert(plan("q18_large_orders").contains("LeftSemi"))
+    // q18: the HAVING aggregate IS the report aggregate — lineitem is
+    // scanned once (no fact re-join) and the report keeps top-k shape
+    val p18 = plan("q18_large_orders")
+    assert("Scan parquet".r.findAllIn(p18).length === 3, p18) // l, o, c once each
+    assert(p18.contains("TakeOrderedAndProject"), p18)
+  }
+
+  test("round-10 fusions: same-base recon ops run one scan and no join") {
+    def exec(q: String) =
+      SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+    // each op's sides derive row-locally from ONE table, so the executed
+    // plan must contain exactly the base scans and zero joins
+    Seq("recon_report" -> 1, "recon_diff_detail" -> 1,
+        "recon_snapshot_diff" -> 1, "recon_reconcile_all" -> 2,
+        "recon_colagg_fingerprint" -> 1).foreach { case (q, nScans) =>
+      val p = exec(q)
+      assert("Scan parquet".r.findAllIn(p).length === nScans, s"$q:\n$p")
+      assert(!p.contains("Join"), s"$q must not join:\n$p")
+    }
+    // q17: the decorrelated window shares the single fact scan; only the
+    // part dimension joins, and it broadcasts
+    val p17 = exec("q17_avg_quantity")
+    assert("Scan parquet".r.findAllIn(p17).length === 2, p17)
+    assert(p17.contains("Window"), p17)
+    assert(p17.contains("BroadcastHashJoin") && !p17.contains("SortMergeJoin"), p17)
   }
 
   test("applyChanges: the base side never shuffles — feed-keys anti-join broadcasts") {
