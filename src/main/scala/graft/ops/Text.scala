@@ -383,10 +383,15 @@ object Text {
     * language) is trained distributed from the corpus itself, then each doc
     * is scored by profile overlap and argmax-classified; output is the
     * (true lang, predicted lang) confusion matrix. The profile is a tiny
-    * dimension table → broadcast join at any scale. The gram explode is
-    * computed twice (training + scoring) by design: at 100 TB you train
-    * the profile on a sample rather than cache a corpus-sized explode.
-    * Non-oracle. */
+    * dimension table → broadcast join at any scale.
+    *
+    * The gram explode is computed twice (training + scoring) by design:
+    * at 100 TB you train the profile on a sample rather than cache a
+    * corpus-sized explode — and a measured attempt to share one
+    * compacted (doc, lang, gram, cnt) frame via localCheckpoint ran
+    * SLOWER at sf0.1 (1.30 vs 1.17 s median): the documents are short
+    * enough that per-doc gram counts barely compact, so the eager
+    * materialization job costs more than the native re-explode. */
   def langidNgram(spark: SparkSession, dir: String): DataFrame = {
     // Bigrams via the native [[graft.functions.CharNgrams]] scanner, NOT
     // substring(text, i, 2) over a position sequence: substring re-scans
@@ -408,13 +413,21 @@ object Text {
       .withColumn("rk", row_number().over(rankW))
       .filter(col("rk") <= 30)
       .select(col("p_lang"), col("g"))
-    val argmaxW = Window.partitionBy(col("doc_id"))
-      .orderBy(col("hits").desc, col("p_lang"))
+    // Per-doc argmax WITHOUT a window: count hits per (doc, p_lang) —
+    // the hash agg shrinks the gram stream map-side — then a second tiny
+    // hash agg takes min_by over (-hits, p_lang) structs, reproducing
+    // the (hits DESC, p_lang ASC) contract the oracle encodes. Both aggs
+    // are declarative (codegen'd, partial-agg'd); the round-9 row_number
+    // window paid an extra full sort of the per-doc score frame, and a
+    // mode()-based single agg measured SLOWER (1.8 s vs 1.1 s sf0.1) —
+    // its TypedImperativeAggregate buffers serialize per row on the
+    // object-hash path, off the codegen fast path.
     val pred = grams.join(broadcast(profile), "g")
       .groupBy(col("doc_id"), col("lang"), col("p_lang"))
       .agg(count(lit(1)).as("hits"))
-      .withColumn("rk", row_number().over(argmaxW))
-      .filter(col("rk") === 1)
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(min_by(col("p_lang"),
+        struct((-col("hits")).as("nh"), col("p_lang"))).as("p_lang"))
     pred.groupBy(col("lang"), col("p_lang").as("pred"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("lang", "pred")

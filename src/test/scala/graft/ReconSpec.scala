@@ -345,6 +345,31 @@ class ReconSpec extends GraftSpec {
       "untouched partitions must contribute nothing to the detail output")
   }
 
+  test("incrementalDiffOrders: fused same-base path matches the generic API bit-for-bit") {
+    // the harness op runs one fused scan + row-local classification; it
+    // must produce exactly what routing the two sides through the
+    // generic two-frame incrementalDiff produces
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val month = date_trunc("month", col("o_orderdate"))
+    val o = Tables.orders(spark, sf)
+      .withColumn("o_totalprice",
+        col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(12, 2)))
+      .withColumn("part", month)
+    val tgt = o
+      .withColumn("o_totalprice",
+        when(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"),
+          round(col("o_totalprice"), 0)
+            .cast(org.apache.spark.sql.types.DecimalType(12, 2)))
+          .otherwise(col("o_totalprice")))
+      .filter(col("part") =!= lit("1995-01-01").cast("timestamp"))
+    val generic = Recon.incrementalDiff(o, tgt, "o_orderkey", cols)
+      .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2))).toSeq
+    val fused = Recon.incrementalDiffOrders(spark, sf)
+      .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2))).toSeq
+    assert(fused === generic)
+    assert(fused.nonEmpty, "the corruption fixture must surface divergence")
+  }
+
   test("observedLoad: the write action itself yields the load fingerprint") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-obs").toString
     val (observed, obs) = Recon.observedLoad(

@@ -201,7 +201,8 @@ class ScaleSpec extends GraftSpec {
     // plan must contain exactly the base scans and zero joins
     Seq("recon_report" -> 1, "recon_diff_detail" -> 1,
         "recon_snapshot_diff" -> 1, "recon_reconcile_all" -> 2,
-        "recon_colagg_fingerprint" -> 1).foreach { case (q, nScans) =>
+        "recon_colagg_fingerprint" -> 1, "recon_incremental" -> 1)
+      .foreach { case (q, nScans) =>
       val p = exec(q)
       assert("Scan parquet".r.findAllIn(p).length === nScans, s"$q:\n$p")
       assert(!p.contains("Join"), s"$q must not join:\n$p")
@@ -265,11 +266,18 @@ class ScaleSpec extends GraftSpec {
   }
 
   test("incremental recon: the moved-partition work list broadcasts into semi joins") {
-    val exec = SparkEntry.queries("recon_incremental")(spark, sf)
+    // the GENERIC cross-run API (distinct src/tgt frames — the persisted-
+    // snapshot workflow) must prune BOTH detail scans via broadcast
+    // left-semi on the tiny work list — a shuffled join against it would
+    // re-shuffle the full table the whole design exists to avoid. (The
+    // harness op recon_incremental is the same-base fused form — one
+    // scan, no join — covered by the round-10 fusion test above.)
+    val month = date_trunc("month", col("o_orderdate"))
+    val src = Tables.orders(spark, sf).withColumn("part", month)
+    val tgt = src.filter(col("o_orderkey") % 97 =!= 0)
+    val exec = graft.ops.Recon.incrementalDiff(
+        src, tgt, "o_orderkey", Seq("o_orderkey", "o_totalprice"))
       .queryExecution.executedPlan.toString
-    // the tiny snapshot-diff output must prune BOTH detail scans via
-    // broadcast left-semi — a shuffled join against the work list would
-    // re-shuffle the full table the whole design exists to avoid
     assert(exec.contains("BroadcastExchange"), exec)
     assert(exec.contains("LeftSemi"), exec)
   }
