@@ -382,47 +382,88 @@ object Text {
   /** Language ID via char-bigram profiles: the profile (top-30 bigrams per
     * language) is trained distributed from the corpus itself, then each doc
     * is scored by profile overlap and argmax-classified; output is the
-    * (true lang, predicted lang) confusion matrix. The profile is a tiny
-    * dimension table → broadcast join at any scale.
+    * (true lang, predicted lang) confusion matrix.
     *
-    * The gram explode is computed twice (training + scoring) by design:
-    * at 100 TB you train the profile on a sample rather than cache a
-    * corpus-sized explode — and a measured attempt to share one
-    * compacted (doc, lang, gram, cnt) frame via localCheckpoint ran
-    * SLOWER at sf0.1 (1.30 vs 1.17 s median): the documents are short
-    * enough that per-doc gram counts barely compact, so the eager
-    * materialization job costs more than the native re-explode. */
+    * Training explodes bigrams via the native
+    * [[graft.functions.CharNgrams]] scanner (the position-sequence
+    * `substring` form is O(len²) per doc; the split/zip_with form runs
+    * its lambda interpreted — both measured slower, see the expression's
+    * scaladoc) and keeps the explicit (cnt DESC, gram) rank tie-break
+    * the oracle encodes.
+    *
+    * Scoring is MAP-ONLY (round 10): the trained profile is top-30 grams
+    * × n languages — bounded like a broadcast dim — so it collects to
+    * the driver (the same tiny-side action [[decontaminateBloom]]'s
+    * filter build makes) and every doc is scored in one linear pass by
+    * the native [[graft.functions.ProfileHits]] expression; the argmax
+    * is row-local (`array_position` of the max = FIRST maximal index =
+    * lexicographically-smallest language, since indexes follow sorted
+    * language order — exactly the (hits DESC, p_lang ASC) contract), and
+    * docs with zero profile hits drop out just as they fell out of the
+    * round-9 inner join. After training, the only thing that shuffles is
+    * the language-pair confusion matrix — at 100 TB the scoring pass
+    * streams; nothing corpus-sized moves or materializes. (The joined
+    * form it replaced — explode, broadcast-probe per gram, two hash aggs
+    * — is kept as [[langidNgramJoined]], the parity-spec'd reference;
+    * it measured 1.17 s vs 0.9 s DuckDB at sf0.1, with the gram
+    * re-explode and the per-(doc,lang) aggregate as the residual cost.) */
   def langidNgram(spark: SparkSession, dir: String): DataFrame = {
-    // Bigrams via the native [[graft.functions.CharNgrams]] scanner, NOT
-    // substring(text, i, 2) over a position sequence: substring re-scans
-    // the UTF-8 bytes from the start to find char i (multi-byte safety),
-    // so the position form is O(len²) per document — 2.5× slower than
-    // even the linear split/zip_with lambda stack, which in turn runs
-    // interpreted per gram. The native form finds each char boundary
-    // once and wraps grams zero-copy (corpus-parity-tested against the
-    // built-in stacks; multi-byte boundaries unit-tested). Measured sf0.1,
-    // same JVM: gram pass 0.81 → 0.24 s vs zip_with; whole query
-    // 5.0 → 1.14 s vs the original position form — near-parity with
-    // DuckDB's 0.90 s on what was a 5.5× gap.
-    val grams = docs(spark, dir)
-      .select(col("doc_id"), col("lang"),
-        explode(graft.functions.CharNgrams.charNgrams(col("text"), 2)).as("g"))
+    val profile = trainProfile(spark, dir)
+    val rows = profile.collect()
+    val langs = rows.map(_.getString(0)).distinct.sorted
+    if (langs.isEmpty) {
+      // empty corpus: empty confusion matrix, stable schema
+      return docs(spark, dir).select(col("lang"), col("lang").as("pred"),
+        lit(0L).as("n_docs")).limit(0)
+    }
+    val idx = langs.zipWithIndex.toMap
+    val gramLangs: Map[String, Array[Int]] = rows.groupBy(_.getString(1))
+      .map { case (g, rs) => g -> rs.map(r => idx(r.getString(0))).sorted.toArray }
+    val langsLit = array(langs.map(lit): _*)
+    val hits = graft.functions.ProfileHits
+      .profileHits(col("text"), gramLangs, langs.length)
+    docs(spark, dir)
+      .select(col("lang"), hits.as("hits"))
+      .filter(array_max(col("hits")) > 0)
+      .select(col("lang"),
+        element_at(langsLit,
+          array_position(col("hits"), array_max(col("hits"))).cast("int"))
+          .as("pred"))
+      .groupBy("lang", "pred")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "pred")
+  }
+
+  /** Distributed profile training shared by [[langidNgram]] and the
+    * reference [[langidNgramJoined]]: top-30 bigrams per language with
+    * the (cnt DESC, gram) tie-break. At 100 TB you would train on a
+    * corpus sample; the profile's SIZE is schema-bounded either way. */
+  private def trainProfile(spark: SparkSession, dir: String): DataFrame = {
     val rankW = Window.partitionBy(col("p_lang")).orderBy(col("cnt").desc, col("g"))
-    val profile = grams.groupBy(col("lang").as("p_lang"), col("g"))
+    docs(spark, dir)
+      .select(col("lang"),
+        explode(graft.functions.CharNgrams.charNgrams(col("text"), 2)).as("g"))
+      .groupBy(col("lang").as("p_lang"), col("g"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("rk", row_number().over(rankW))
       .filter(col("rk") <= 30)
       .select(col("p_lang"), col("g"))
-    // Per-doc argmax WITHOUT a window: count hits per (doc, p_lang) —
-    // the hash agg shrinks the gram stream map-side — then a second tiny
-    // hash agg takes min_by over (-hits, p_lang) structs, reproducing
-    // the (hits DESC, p_lang ASC) contract the oracle encodes. Both aggs
-    // are declarative (codegen'd, partial-agg'd); the round-9 row_number
-    // window paid an extra full sort of the per-doc score frame, and a
-    // mode()-based single agg measured SLOWER (1.8 s vs 1.1 s sf0.1) —
-    // its TypedImperativeAggregate buffers serialize per row on the
-    // object-hash path, off the codegen fast path.
-    val pred = grams.join(broadcast(profile), "g")
+  }
+
+  /** Reference implementation of [[langidNgram]]'s scoring as a
+    * broadcast join + two declarative hash aggs (count per (doc, lang),
+    * then min_by over (-hits, p_lang) structs — the same (hits DESC,
+    * p_lang ASC) argmax). Kept for the parity spec that pins the native
+    * map-only scorer to the composed plan bit-for-bit; also documents
+    * the measured alternatives: a row_number-window argmax pays an extra
+    * full sort, and a mode()-based single agg measured SLOWER still
+    * (1.8 s vs 1.1 s sf0.1) — its TypedImperativeAggregate buffers
+    * serialize per row on the object-hash path, off codegen. */
+  private[graft] def langidNgramJoined(spark: SparkSession, dir: String): DataFrame = {
+    val grams = docs(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(graft.functions.CharNgrams.charNgrams(col("text"), 2)).as("g"))
+    val pred = grams.join(broadcast(trainProfile(spark, dir)), "g")
       .groupBy(col("doc_id"), col("lang"), col("p_lang"))
       .agg(count(lit(1)).as("hits"))
       .groupBy(col("doc_id"), col("lang"))
