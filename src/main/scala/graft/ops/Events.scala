@@ -97,14 +97,26 @@ object Events {
   def sessionPaths(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val gapUs = unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byUser))
-    val bySession = Window.partitionBy(col("user_id"), col("sid"))
-      .orderBy(col("ts"), col("event_id"))
+    // Every window below shares ONE spec — (user_id | ts, event_id) — so
+    // the whole chain is a single exchange + single sort with the
+    // WindowExecs pipelined on top. The naive per-session row number,
+    // `row_number() over (user_id, sid | ts…)`, re-partitions on a key
+    // that doesn't exist before the first window and pays a SECOND full
+    // shuffle + sort of the event stream; but within a user the events
+    // are already in session-then-time order, so the in-session row
+    // number is just the user-level row number rebased to the session's
+    // first row — a running max over the same spec (brk = 1 exactly at
+    // each session start, so the max is always this session's start).
     Tables.events(spark, dir)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
         when(gapUs.isNull || gapUs > 1800000000L, 1).otherwise(0).as("brk"))
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
-        sum(col("brk")).over(byUser).cast("int").as("sid"))
-      .withColumn("rn", row_number().over(bySession))
+        col("brk"),
+        sum(col("brk")).over(byUser).cast("int").as("sid"),
+        row_number().over(byUser).as("rn_u"))
+      .select(col("user_id"), col("event_type"), col("sid"),
+        (col("rn_u")
+          - max(when(col("brk") === 1, col("rn_u"))).over(byUser) + 1).as("rn"))
       .filter(col("rn") <= 3)
       .groupBy(col("user_id"), col("sid"))
       .agg(array_join(

@@ -88,21 +88,31 @@ object Recon {
     * dominant phase — so the scan is left alone, unlike
     * [[graft.ops.Text.fingerprint]].) */
   def colaggFingerprint(spark: SparkSession, dir: String): DataFrame =
-    // ONE aggregate pass: a single distinct column alongside plain
-    // aggregates plans as a 2-projection Expand (distinct stream +
-    // plain stream) — the stream doubles but the scan and the job
-    // halve vs the round-2 shape (separate distinct-count pipeline
-    // cross-joined back). Expand only explodes with MANY distinct
-    // columns (recon_profile measured ×7 at 6 columns, hence its
-    // unioned per-column plan); at one distinct column the fused form
-    // wins at every scale.
-    Tables.lineitem(spark, dir).agg(
-        count(lit(1)).as("cnt"),
-        count_distinct(col("l_orderkey")).as("dk"),
-        decSum(col("l_quantity")).as("sq"),
-        min(col("l_extendedprice")).as("mn"),
-        max(col("l_extendedprice")).as("mx"),
-        decSum(col("l_extendedprice") * col("l_discount")).as("rev"))
+    // ONE scan, TWO aggregate levels keyed on the distinct column: the
+    // per-key groupBy map-side-combines the row stream down to one
+    // partial row per key (count / cent-sums / min / max all decompose),
+    // and the global merge then gets the distinct count for free as a
+    // plain count(1) over the keyed frame. This sidesteps both prior
+    // shapes' costs: the fused count_distinct plan's 2-projection Expand
+    // (the whole stream doubled through the partial phase) and the
+    // round-2 split plan's second scan + cross join. Every partial is an
+    // exact integer/primitive, so merge order cannot move a ulp, and
+    // state is bounded by key cardinality at any scale.
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(
+        count(lit(1)).as("pc"),
+        sum(cents(col("l_quantity"))).as("pq"),
+        min(col("l_extendedprice")).as("pmn"),
+        max(col("l_extendedprice")).as("pmx"),
+        sum(cents(col("l_extendedprice") * col("l_discount"))).as("pr"))
+      .agg(
+        sum(col("pc")).as("cnt"),
+        count(lit(1)).as("dk"),
+        uncents(sum(col("pq"))).as("sq"),
+        min(col("pmn")).as("mn"),
+        max(col("pmx")).as("mx"),
+        uncents(sum(col("pr"))).as("rev"))
       .select(col("cnt"), col("dk"), col("sq"), col("mn"), col("mx"), col("rev"))
 
   /** Row-level checksum compare. The harness op simulates the "target"

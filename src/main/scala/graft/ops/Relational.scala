@@ -1303,9 +1303,39 @@ object Relational {
         col("bucket")).as("tb"))
       .select(col("rf"), col("cname"), col("tb.tbucket"), col("tb.prev"),
         col("tb.rank"), col("tb.n"))
-    val picked = triples
-      .join(broadcast(target), Seq("rf", "cname"))
-      .filter(col("bucket") === col("tbucket"))
+    // Phase 2 probes the raw rows, NOT the exploded triple stream: the
+    // 9-row target pivots to one row per group (3 rows total), joins on
+    // the group key alone, and three row-local bucket comparisons gate
+    // the explode — the generator and everything after it see only the
+    // ~1/buckets of rows inside some target bucket, where the explode-
+    // first form paid the 3× Expand plus a (rf, cname) hash probe on
+    // every expanded row before discarding 99% of them.
+    val twide = target.groupBy("rf").agg(
+      max(when(col("cname") === "med_qty",
+        struct(col("tbucket"), col("prev"), col("rank"), col("n")))).as("tq"),
+      max(when(col("cname") === "p90_price",
+        struct(col("tbucket"), col("prev"), col("rank"), col("n")))).as("tp"),
+      max(when(col("cname") === "p25_disc",
+        struct(col("tbucket"), col("prev"), col("rank"), col("n")))).as("td"))
+    val mq = floor(col("vq") * lit(1.0)) === col("tq.tbucket")
+    val mp = floor(col("vp") * lit(0.001)) === col("tp.tbucket")
+    val md = floor(col("vd") * lit(100.0)) === col("td.tbucket")
+    def hit(m: Column, name: String, v: Column, t: String) =
+      when(m, struct(lit(name).as("cname"), v.as("v"),
+        col(s"$t.prev").as("prev"), col(s"$t.rank").as("rank"),
+        col(s"$t.n").as("n")))
+    val picked = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag").as("rf"), col("l_quantity").as("vq"),
+        col("l_extendedprice").as("vp"), col("l_discount").as("vd"))
+      .join(broadcast(twide), Seq("rf"))
+      .filter(mq || mp || md)
+      .select(col("rf"), explode(array(
+        hit(mq, "med_qty", col("vq"), "tq"),
+        hit(mp, "p90_price", col("vp"), "tp"),
+        hit(md, "p25_disc", col("vd"), "td"))).as("t"))
+      .filter(col("t").isNotNull)
+      .select(col("rf"), col("t.cname"), col("t.v"), col("t.prev"),
+        col("t.rank"), col("t.n"))
       .groupBy("rf", "cname", "v", "prev", "rank", "n")
       .agg(count(lit(1)).as("c"))
       .withColumn("cum",
