@@ -153,7 +153,13 @@ object SparkEntry {
     "multimodal_decode_stats"  -> (Multimodal.decodeStats _), // no-oracle
     "multimodal_resize_stats"  -> (Multimodal.resizeStats _), // no-oracle
     "multimodal_frame_sample"  -> ((s, d) => Multimodal.frameSample(s, d)), // no-oracle
-    "multimodal_wav_meta"      -> (Multimodal.wavMetaStats _)
+    "multimodal_wav_meta"      -> (Multimodal.wavMetaStats _),
+    // §2.2 interchange-format round trips (verify-only: the bench
+    // contract times query plans, not sink I/O; these ops' cost IS the
+    // format write+read, so they'd distort the total without a DuckDB
+    // twin paying the same I/O)
+    "csv_roundtrip_fingerprint"  -> (graft.sources.Sources.csvRoundtripFingerprint _),
+    "json_roundtrip_fingerprint" -> (graft.sources.Sources.jsonRoundtripFingerprint _)
   )
 
   /** The 118 BASELINE.md headline queries timed by [[Bench]] — every
@@ -1559,6 +1565,34 @@ object SparkEntry {
         |     OR (cn.n_name='NATION_2' AND sn.n_name='NATION_1'))
         |SELECT cust_nation, supp_nation, l_year,
         |  CAST(sum(v) AS DOUBLE) revenue, CAST(count(*) AS BIGINT) n
-        |FROM flow GROUP BY 1,2,3 ORDER BY 1,2,3""".stripMargin
+        |FROM flow GROUP BY 1,2,3 ORDER BY 1,2,3""".stripMargin,
+
+    // Both round-trip ops share one oracle: the per-status recon
+    // fingerprint computed over the ORIGINAL parquet. The Spark side
+    // computes it over the CSV/JSON round-tripped rows, so a hash match
+    // proves the text format preserved every value bit-for-bit. Price
+    // normalizes through DECIMAL(12,2), date through DATE, before the
+    // length-prefixed md5 — the same engine-independent text as the
+    // recon_snapshot_diff oracle; split 32-bit half-sums stay in BIGINT.
+    "csv_roundtrip_fingerprint"  -> roundtripFingerprintOracle,
+    "json_roundtrip_fingerprint" -> roundtripFingerprintOracle
   )
+
+  private val roundtripFingerprintOracle: String =
+    """WITH rt AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+      |    CAST(o_totalprice AS DECIMAL(12,2)) p, CAST(o_orderdate AS DATE) d,
+      |    o_orderpriority FROM orders),
+      |h AS (SELECT o_orderstatus part,
+      |    CAST(('0x' || substr(md5(concat_ws('|',
+      |      concat(CAST(length(CAST(o_orderkey AS VARCHAR)) AS VARCHAR), ':', CAST(o_orderkey AS VARCHAR)),
+      |      concat(CAST(length(CAST(o_custkey AS VARCHAR)) AS VARCHAR), ':', CAST(o_custkey AS VARCHAR)),
+      |      concat(CAST(length(o_orderstatus) AS VARCHAR), ':', o_orderstatus),
+      |      concat(CAST(length(CAST(p AS VARCHAR)) AS VARCHAR), ':', CAST(p AS VARCHAR)),
+      |      concat(CAST(length(CAST(d AS VARCHAR)) AS VARCHAR), ':', CAST(d AS VARCHAR)),
+      |      concat(CAST(length(o_orderpriority) AS VARCHAR), ':', o_orderpriority))), 1, 15)) AS BIGINT) h
+      |  FROM rt)
+      |SELECT part, CAST(count(*) AS BIGINT) n, bit_xor(h) fp_xor,
+      |  CAST(sum(h >> 32) AS BIGINT) fp_sum_hi,
+      |  CAST(sum(h & 4294967295) AS BIGINT) fp_sum_lo
+      |FROM h GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -271,4 +271,49 @@ object Sources {
       .foreach(n => Tables.read(spark, dir, n).createOrReplaceTempView(n))
     Tables.events(spark, dir).createOrReplaceTempView("events")
   }
+
+  /** CSV round trip, proven lossless end-to-end: orders → CSV files →
+    * schema-pinned read-back → the library's own per-partition
+    * [[graft.ops.Recon.fingerprintSnapshot]]. The DuckDB oracle computes
+    * the SAME fingerprint over the ORIGINAL parquet, so the driver's
+    * hash compare fails on any value the text format mangles (double
+    * formatting, timestamp precision, quoting/escaping) — the harness op
+    * that graduates the CSV source from "exercised in tests" to oracled.
+    * Lossless because Spark writes doubles as their shortest uniquely-
+    * identifying decimal (read-back parses to the same IEEE value) and
+    * the fixture's timestamps are date-granular; the fingerprint
+    * normalizes price through DECIMAL(12,2) and the date through DATE so
+    * the md5 text is engine-independent (SURVEY §7.4.1). */
+  def csvRoundtripFingerprint(spark: SparkSession, dir: String): DataFrame =
+    roundtripFingerprint(spark, dir, "csv")
+
+  /** JSON-lines round trip — same contract as
+    * [[csvRoundtripFingerprint]], exercising the schema-pinned JSON
+    * source/sink pair instead. */
+  def jsonRoundtripFingerprint(spark: SparkSession, dir: String): DataFrame =
+    roundtripFingerprint(spark, dir, "json")
+
+  /** Write orders to `format` under the JVM temp dir (deterministic
+    * per-(format, source-dir) location, overwrite mode — idempotent under
+    * harness re-runs), read it back schema-pinned, fingerprint per
+    * status. The write is a bounded side effect at plan-build time:
+    * sf-sized, replaced on every call, never read by any other op. */
+  private def roundtripFingerprint(spark: SparkSession, dir: String,
+                                   format: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{DateType, DecimalType}
+    val dest = new Path(new Path(sys.props("java.io.tmpdir")),
+      s"graft_roundtrip_${format}_" + Integer.toHexString(dir.hashCode)).toString
+    write(Tables.orders(spark, dir), dest, format)
+    val back = read(spark, dest, Tables.orders, format)
+    val proj = back.select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"),
+      col("o_totalprice").cast(DecimalType(12, 2)).as("p"),
+      col("o_orderdate").cast(DateType).as("d"),
+      col("o_orderpriority"))
+    graft.ops.Recon.fingerprintSnapshot(proj, col("o_orderstatus"),
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "p", "d",
+        "o_orderpriority"))
+      .orderBy("part")
+  }
 }

@@ -23,6 +23,27 @@ class SourcesSpec extends GraftSpec {
   test("JSON write → read → hash-reconcile is lossless")(roundTrip("json"))
   test("ORC write → read → hash-reconcile is lossless")(roundTrip("orc"))
 
+  test("round-trip fingerprint harness ops equal the direct-parquet fingerprint") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{DateType, DecimalType}
+    // the same projection the harness ops checksum, but over the
+    // original parquet — the in-engine twin of the DuckDB oracle, so a
+    // format regression is caught by `sbt test` without the driver
+    val direct = Recon.fingerprintSnapshot(
+      Tables.orders(spark, sf).select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"),
+        col("o_totalprice").cast(DecimalType(12, 2)).as("p"),
+        col("o_orderdate").cast(DateType).as("d"), col("o_orderpriority")),
+      col("o_orderstatus"),
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "p", "d",
+        "o_orderpriority")).orderBy("part").collect().map(_.toSeq).toSeq
+    for (op <- Seq(Sources.csvRoundtripFingerprint _,
+                   Sources.jsonRoundtripFingerprint _)) {
+      val got = op(spark, sf).collect().map(_.toSeq).toSeq
+      assert(got === direct)
+    }
+  }
+
   test("cross-format recon: parquet source vs ORC target localizes a seeded diff") {
     import org.apache.spark.sql.functions._
     // the Hive-migration scenario: the source stays parquet, the target
