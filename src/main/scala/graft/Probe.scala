@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Spot-bench scratch main (NOT wired into the harness): times the query
   * names given as args with the exact [[Bench]] methodology — two warm
@@ -9,6 +9,18 @@ import org.apache.spark.sql.SparkSession
   * 118-query bench wall clock. `runMain graft.Probe q1_pricing_summary …`
   * (optional first arg `sf=<dir>` overrides the data dir). */
 object Probe {
+  /** Candidate alternate forms under A/B timing — NOT part of the library
+    * surface; winners graduate into ops/ (with the measured numbers in
+    * their scaladoc) and losers are deleted, so this map is usually
+    * empty between tuning sessions. Key convention: `x_<op>_<variant>`,
+    * probed alongside the real op. Round-10 session: colagg split-branch,
+    * q3/q4/missing_rows shuffle_hash builds and hashed-token jaccard
+    * graduated; quantile window-rank (0.64 vs 0.61), q5 forced-SHJ
+    * (0.95 vs 0.74), q4 pre-agg (0.49 vs 0.41) and missing_rows
+    * pre-distinct (0.33 vs 0.30) lost to the shipped forms.
+    */
+  private val variants: Map[String, (SparkSession, String) => DataFrame] = Map()
+
   def main(args: Array[String]): Unit = {
     val (sfArgs, names) = args.partition(_.startsWith("sf="))
     val dir = sfArgs.headOption.map(_.stripPrefix("sf="))
@@ -22,7 +34,11 @@ object Probe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def materialize(name: String): Unit =
-      SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.count()
+      if (name.endsWith("_check"))
+        variants(name)(spark, dir).show(5, false)
+      else
+        variants.getOrElse(name, SparkEntry.queries(name))(spark, dir)
+          .queryExecution.toRdd.count()
     val targets = if (names.nonEmpty) names.toSeq else SparkEntry.benchQueries
     for (_ <- 1 to 2) targets.foreach(materialize)
     val timed = targets.map { name =>

@@ -75,45 +75,35 @@ object Recon {
   /** Per-column fingerprint: count / distinct / sum / min / max — localizes
     * which column diverged between source and target.
     *
-    * Plan: the distinct-key count runs as its OWN branch (1-column
-    * pruned scan → two-phase distinct) crossed with the plain aggregate
-    * (map-side partials, no shuffle of consequence). Fusing the distinct
-    * into one aggregate — `agg(count, countDistinct, sums…)` — makes
-    * Spark carry every other aggregate's partial buffer through the
-    * 600 k-key groupBy phases; measured same-JVM at sf0.1 the split is
-    * 2.1× faster (1.08–1.12 s → 0.50–0.55 s) with identical results.
-    * Both branches prune to the columns they need, so total I/O matches
-    * the fused single scan. (Fanning the under-split scan out first is a
-    * wash here — the distinct branch's shuffle already parallelizes the
-    * dominant phase — so the scan is left alone, unlike
-    * [[graft.ops.Text.fingerprint]].) */
-  def colaggFingerprint(spark: SparkSession, dir: String): DataFrame =
-    // ONE scan, TWO aggregate levels keyed on the distinct column: the
-    // per-key groupBy map-side-combines the row stream down to one
-    // partial row per key (count / cent-sums / min / max all decompose),
-    // and the global merge then gets the distinct count for free as a
-    // plain count(1) over the keyed frame. This sidesteps both prior
-    // shapes' costs: the fused count_distinct plan's 2-projection Expand
-    // (the whole stream doubled through the partial phase) and the
-    // round-2 split plan's second scan + cross join. Every partial is an
-    // exact integer/primitive, so merge order cannot move a ulp, and
-    // state is bounded by key cardinality at any scale.
-    Tables.lineitem(spark, dir)
-      .groupBy(col("l_orderkey"))
-      .agg(
-        count(lit(1)).as("pc"),
-        sum(cents(col("l_quantity"))).as("pq"),
-        min(col("l_extendedprice")).as("pmn"),
-        max(col("l_extendedprice")).as("pmx"),
-        sum(cents(col("l_extendedprice") * col("l_discount"))).as("pr"))
-      .agg(
-        sum(col("pc")).as("cnt"),
-        count(lit(1)).as("dk"),
-        uncents(sum(col("pq"))).as("sq"),
-        min(col("pmn")).as("mn"),
-        max(col("pmx")).as("mx"),
-        uncents(sum(col("pr"))).as("rev"))
+    * Plan: the distinct-key count runs as its OWN branch (a scan pruned
+    * to the key column → two-phase distinct → count) crossed with the
+    * plain global aggregate (map-side partials collapse to one row
+    * before anything shuffles). The three shapes were all measured
+    * same-JVM at sf0.1: fused `agg(count, countDistinct, …)` pays a
+    * 2-projection Expand that doubles the stream through the partial
+    * phase (1.08–1.12 s); a single two-level keyed aggregate — groupBy
+    * the key, then globally merge the per-key partials — keeps one scan
+    * but pushes EVERY row through a 150 k-key hash aggregate plus a
+    * key-cardinality shuffle just to make the distinct count a free
+    * count(1) (0.64–0.68 s); the split form shuffles only the distinct
+    * branch's post-combine keys and one 1-row aggregate (0.31–0.38 s).
+    * Both branches prune to exactly the columns they need, so total
+    * I/O matches a fused single scan, and each branch is the canonical
+    * bounded-state plan for its aggregate at any input scale. The
+    * cross join is two singleton frames — a broadcast nested loop over
+    * one row, not a data join. */
+  def colaggFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val agg = li.agg(
+      count(lit(1)).as("cnt"),
+      uncents(sum(cents(col("l_quantity")))).as("sq"),
+      min(col("l_extendedprice")).as("mn"),
+      max(col("l_extendedprice")).as("mx"),
+      uncents(sum(cents(col("l_extendedprice") * col("l_discount")))).as("rev"))
+    val dk = li.select(col("l_orderkey")).distinct().agg(count(lit(1)).as("dk"))
+    agg.crossJoin(dk)
       .select(col("cnt"), col("dk"), col("sq"), col("mn"), col("mx"), col("rev"))
+  }
 
   /** Row-level checksum compare. The harness op simulates the "target"
     * side by rounding the price on the SAME table — so both hashes are
@@ -588,10 +578,18 @@ object Recon {
       .orderBy("st", "mo").limit(200)
   }
 
-  /** Keys present in source but absent in target (anti-join). */
+  /** Keys present in source but absent in target (anti-join).
+    *
+    * The `shuffle_hash` hint hash-builds the target's key set instead of
+    * sort-merging both streams — an anti join probes existence, so the
+    * build carries ONLY the pruned join key and the probe side streams
+    * unsorted (measured 0.37 → 0.29 s sf0.1). Per-task build is
+    * |target keys| / shuffle-partitions, which scales down with the
+    * cluster's partition count; if a deployment's target side outgrows
+    * that budget, dropping the hint reverts to AQE's sort-merge choice. */
   def missingRows(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
-      .join(Tables.lineitem(spark, dir),
+      .join(Tables.lineitem(spark, dir).hint("shuffle_hash"),
         col("o_orderkey") === col("l_orderkey"), "left_anti")
       .agg(count(lit(1)).as("n"))
 

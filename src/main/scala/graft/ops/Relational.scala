@@ -48,10 +48,20 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag", "l_linestatus")
 
-  /** 3-way equi-join + group + top-10 (shipping priority). */
+  /** 3-way equi-join + group + top-10 (shipping priority).
+    *
+    * The fact-fact join hash-builds the segment-filtered orders side
+    * (`shuffle_hash` on the customer⋈orders branch) instead of
+    * sort-merging: the build is ~1/5 of orders pruned to three columns,
+    * the 4×-bigger lineitem stream probes unsorted (0.64 → 0.39 s
+    * sf0.1). Per-task build = that fraction / shuffle-partitions —
+    * scales down as the cluster's partition count grows; drop the hint
+    * to fall back to AQE's sort-merge if a deployment's build side
+    * outgrows executor memory. */
   def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame =
     Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
       .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"))
+      .hint("shuffle_hash")
       .join(Tables.lineitem(spark, dir), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
@@ -1027,10 +1037,18 @@ object Relational {
     * equi key with a cross-table inequality — the planner keys the hash
     * join on l_orderkey and applies the date comparison as the join
     * residual, so no pair ever materializes and each order counts at
-    * most once regardless of how many lines qualify. */
+    * most once regardless of how many lines qualify.
+    *
+    * `shuffle_hash` hash-builds the EXISTS side — (key, shipdate) pairs
+    * only — so neither stream sorts (0.66 → 0.41 s sf0.1; the
+    * pre-aggregated `max(l_shipdate) >= threshold` twin measured 0.49 s
+    * — its extra aggregation stage costs more than the wider build
+    * saves at this fan-in, though it becomes the safer form if the
+    * per-task build budget is ever the binding constraint). */
   def q4LateOrders(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
-      .join(Tables.lineitem(spark, dir).select("l_orderkey", "l_shipdate"),
+      .join(Tables.lineitem(spark, dir).select("l_orderkey", "l_shipdate")
+          .hint("shuffle_hash"),
         col("l_orderkey") === col("o_orderkey")
           && col("l_shipdate") >= col("o_orderdate") + expr("INTERVAL 60 DAYS"),
         "left_semi")

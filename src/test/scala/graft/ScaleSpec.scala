@@ -201,12 +201,19 @@ class ScaleSpec extends GraftSpec {
     // plan must contain exactly the base scans and zero joins
     Seq("recon_report" -> 1, "recon_diff_detail" -> 1,
         "recon_snapshot_diff" -> 1, "recon_reconcile_all" -> 2,
-        "recon_colagg_fingerprint" -> 1, "recon_incremental" -> 1)
+        "recon_incremental" -> 1)
       .foreach { case (q, nScans) =>
       val p = exec(q)
       assert("Scan parquet".r.findAllIn(p).length === nScans, s"$q:\n$p")
       assert(!p.contains("Join"), s"$q must not join:\n$p")
     }
+    // colagg runs TWO column-pruned branches (global agg + keyed
+    // distinct) crossed at one row each: the only join must be the
+    // singleton-frame nested loop, never a data-sized join
+    val pc = exec("recon_colagg_fingerprint")
+    assert("Scan parquet".r.findAllIn(pc).length === 2, pc)
+    assert(pc.contains("BroadcastNestedLoopJoin"), pc)
+    assert(!pc.contains("SortMergeJoin") && !pc.contains("ShuffledHashJoin"), pc)
     // q17: the decorrelated window shares the single fact scan; only the
     // part dimension joins, and it broadcasts
     val p17 = exec("q17_avg_quantity")

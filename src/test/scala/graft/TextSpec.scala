@@ -99,6 +99,30 @@ class TextSpec extends GraftSpec {
     assert(Text.ngramJaccard(spark, fixtureDir, maxDocs = 4).count() > 0)
   }
 
+  test("ngramJaccard hashed-token form matches exact string Jaccard, zero collisions") {
+    // independent exact recomputation over STRING token sets — the form
+    // the op used before tokens were pre-hashed to 64-bit
+    val t = Tables.documents(spark, sf).select(col("doc_id"), col("source"),
+      array_distinct(split(col("text"), " ")).as("toks"))
+    val a = t.select(col("doc_id").as("a_id"), col("source"), col("toks").as("ta"))
+    val b = t.select(col("doc_id").as("b_id"), col("source"), col("toks").as("tb"))
+    val expect = a.join(b, "source").filter(col("a_id") < col("b_id"))
+      .withColumn("icnt", size(array_intersect(col("ta"), col("tb"))))
+      .select(col("a_id"), col("b_id"), (col("icnt").cast("double") /
+        (size(col("ta")) + size(col("tb")) - col("icnt"))).as("jac"))
+      .orderBy(col("jac").desc, col("a_id"), col("b_id")).limit(20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val got = Text.ngramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === expect)
+    // and the corpus vocabulary must be collision-free under xxhash64
+    val Array(nTok, nHash) = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .agg(countDistinct(col("t")), countDistinct(xxhash64(col("t"))))
+      .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+    assert(nTok === nHash, s"xxhash64 token collision: $nTok tokens -> $nHash hashes")
+  }
+
   test("langid: diagonally dominant on separable languages; total-preserving on real data") {
     // The sf corpus's lang labels are uncorrelated with its text (all five
     // "languages" share 100% of their vocabulary — measured), so accuracy
