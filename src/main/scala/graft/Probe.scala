@@ -15,9 +15,12 @@ object Probe {
     * empty between tuning sessions. Key convention: `x_<op>_<variant>`,
     * probed alongside the real op. Round-10 session: colagg split-branch,
     * q3/q4/missing_rows shuffle_hash builds and hashed-token jaccard
-    * graduated; quantile window-rank (0.64 vs 0.61), q5 forced-SHJ
-    * (0.95 vs 0.74), q4 pre-agg (0.49 vs 0.41) and missing_rows
-    * pre-distinct (0.33 vs 0.30) lost to the shipped forms.
+    * graduated, as were percent_of_total agg-broadcast and the q17
+    * broadcast-threshold gate; quantile window-rank (0.64 vs 0.61),
+    * q5 forced-SHJ (0.95 vs 0.74), q4 pre-agg (0.49 vs 0.41),
+    * missing_rows pre-distinct (0.33 vs 0.30) and percentile_disc
+    * grouping-sets phase-1 (1.01 vs 1.03 — Expand ~= Generate here)
+    * lost to the shipped forms.
     */
   private val variants: Map[String, (SparkSession, String) => DataFrame] = Map()
 

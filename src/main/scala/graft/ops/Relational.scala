@@ -439,20 +439,53 @@ object Relational {
     * part dimension broadcasts after the filter has shrunk the stream.
     * Thresholds derive from exact DECIMAL sums ÷ count, so both engines
     * compare against bit-identical doubles and the `<` boundary
-    * classifies identically. */
-  def q17AvgQuantity(spark: SparkSession, dir: String): DataFrame = {
+    * classifies identically.
+    *
+    * Size-gated dual form (the [[quantileSummary]] pattern): while the
+    * part DIMENSION fits the broadcast budget (driver-side parquet
+    * footprint, no job), the per-part thresholds pre-aggregate —
+    * map-side combine collapses the fact to one row per part BEFORE any
+    * exchange — and broadcast back onto a second pruned scan, so the
+    * fact never shuffles at all (0.71 → 0.58 s median sf0.1, same-JVM).
+    * Past the gate the threshold frame is part-cardinality —
+    * unbroadcastable — and the one-shuffle window form takes over. Both
+    * forms build the identical threshold double from the same exact
+    * cent-sums (spec-asserted equal), so the gate can never move a
+    * result. */
+  def q17AvgQuantity(spark: SparkSession, dir: String): DataFrame =
+    if (Tables.tableBytes(spark, dir, "part") <= SinglePassBytes)
+      q17Broadcast(spark, dir)
+    else q17Window(spark, dir)
+
+  /** Broadcast-threshold small-dimension form of [[q17AvgQuantity]]. */
+  private[graft] def q17Broadcast(spark: SparkSession, dir: String): DataFrame = {
+    val th = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(((Recon.uncents(sum(Recon.cents(col("l_quantity")))) / count(lit(1)))
+        * 0.2).as("threshold"))
+    q17Report(Tables.lineitem(spark, dir)
+      .join(broadcast(th), Seq("l_partkey"))
+      .where(col("l_quantity") < col("threshold")), spark, dir)
+  }
+
+  /** One-shuffle window form of [[q17AvgQuantity]] — any dimension size. */
+  private[graft] def q17Window(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("l_partkey"))
-    Tables.lineitem(spark, dir)
+    q17Report(Tables.lineitem(spark, dir)
       .withColumn("threshold",
         (Recon.uncents(sum(Recon.cents(col("l_quantity"))).over(w))
           / count(lit(1)).over(w)) * 0.2)
-      .where(col("l_quantity") < col("threshold"))
+      .where(col("l_quantity") < col("threshold")), spark, dir)
+  }
+
+  /** Shared report tail: part join + per-brand revenue rollup. */
+  private def q17Report(below: DataFrame, spark: SparkSession, dir: String): DataFrame =
+    below
       .join(broadcast(Tables.part(spark, dir)), col("p_partkey") === col("l_partkey"))
       .groupBy("p_brand")
       .agg((decSum(col("l_extendedprice")) / 7.0).as("avg_yearly"),
         count(lit(1)).as("n"))
       .orderBy("p_brand")
-  }
 
   /** Array / higher-order-function battery over the document corpus —
     * the collection-type coverage the scalar batteries don't touch:
@@ -675,20 +708,26 @@ object Relational {
       .orderBy("o_orderstatus")
   }
 
-  /** Percent-of-total window: each order's share of its status's total
-    * revenue. The denominator is an exact DECIMAL window sum (whole
-    * partition frame), so both engines divide the same stored double by
-    * the same exact total and the 6-dp round is bit-stable. Whole-
-    * partition aggregate frames compute once per group, not once per row.
-    * At 100 TB the alternative join (agg totals, broadcast, divide) costs
-    * the same shuffle but two scans; the window form is one scan. */
+  /** Percent-of-total: each order's share of its status's total revenue.
+    * The denominator is an exact cent-sum aggregate per status — a
+    * 3-row frame broadcast back onto the scan, so the share divide is a
+    * row-local hash probe. The earlier whole-partition-window form was
+    * one scan but partitioned the full stream by a 3-VALUE key: a
+    * 3-task parallelism cap that only worsens with data size (the same
+    * caveat [[cumeDistFuncs]] documents), and measured SLOWER even at
+    * sf0.1 (0.67 → 0.54 s median) — the agg branch map-side-combines to
+    * 3 rows before anything shuffles, the probe side never shuffles at
+    * all, and both scans prune to three columns. Both engines divide
+    * the same stored double by the same exact total, so the 6-dp round
+    * is bit-stable. */
   def percentOfTotal(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("o_orderstatus"))
-    Tables.orders(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val totals = o.groupBy(col("o_orderstatus"))
+      .agg(sum(Recon.cents(col("o_totalprice"))).as("tot_cents"))
+    o.join(broadcast(totals), Seq("o_orderstatus"))
       .select(col("o_orderkey"), col("o_orderstatus"),
-        round(col("o_totalprice")
-          / Recon.uncents(sum(Recon.cents(col("o_totalprice"))).over(w))
-          * 100, 6).as("pct"))
+        round(col("o_totalprice") / Recon.uncents(col("tot_cents")) * 100, 6)
+          .as("pct"))
       .orderBy("o_orderkey").limit(200)
   }
 

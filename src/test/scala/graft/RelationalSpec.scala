@@ -189,6 +189,12 @@ class RelationalSpec extends GraftSpec {
     assert(math.abs(gotRevenue - expectedRevenue) / expectedRevenue < 1e-9)
   }
 
+  test("q17: broadcast-threshold and window forms are bit-identical") {
+    val bc = Relational.q17Broadcast(spark, sf).collect().map(_.toSeq)
+    val win = Relational.q17Window(spark, sf).collect().map(_.toSeq)
+    assert(bc.toSeq === win.toSeq)
+  }
+
   test("array funcs: per-row values match JVM string ops") {
     val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap

@@ -214,11 +214,14 @@ class ScaleSpec extends GraftSpec {
     assert("Scan parquet".r.findAllIn(pc).length === 2, pc)
     assert(pc.contains("BroadcastNestedLoopJoin"), pc)
     assert(!pc.contains("SortMergeJoin") && !pc.contains("ShuffledHashJoin"), pc)
-    // q17: the decorrelated window shares the single fact scan; only the
-    // part dimension joins, and it broadcasts
+    // q17 under the size gate (part dimension small here): per-part
+    // thresholds pre-aggregate and broadcast — the fact NEVER shuffles
+    // (no Window sort, no exchange between scan and join); both joins
+    // broadcast. The above-gate window form's shape is covered by the
+    // parity test in RelationalSpec.
     val p17 = exec("q17_avg_quantity")
-    assert("Scan parquet".r.findAllIn(p17).length === 2, p17)
-    assert(p17.contains("Window"), p17)
+    assert("Scan parquet".r.findAllIn(p17).length === 3, p17)
+    assert(!p17.contains("Window"), p17)
     assert(p17.contains("BroadcastHashJoin") && !p17.contains("SortMergeJoin"), p17)
   }
 
