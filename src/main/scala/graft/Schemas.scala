@@ -10,13 +10,16 @@ import org.apache.spark.sql.types._
   * at 100 TB a schema-inference pass is a full extra scan, and pinning also
   * protects against type drift between scale factors.
   *
-  * `events.ts` is parquet `timestamp[ns]`, which Spark's TimestampType (µs)
-  * cannot hold natively; we read it as nanos-since-epoch (long) via
-  * `spark.sql.legacy.parquet.nanosAsLong` and convert with integral division
-  * (`div`, not `/` — double division would lose µs precision at 1e18 ns).
-  * DuckDB truncates the same ns values to µs on read, so both engines see
-  * identical microsecond timestamps — a determinism requirement for the
-  * oracle compare (SURVEY.md §7.4.2).
+  * `events.ts` has shipped as BOTH parquet `timestamp[ns]` and
+  * `timestamp[us]` across testdata generations, so its unit is sniffed from
+  * the parquet footer (one driver-side schema probe, cached per path — no
+  * job) rather than assumed. `timestamp[ns]` is read as nanos-since-epoch
+  * (long) via `spark.sql.legacy.parquet.nanosAsLong` and converted with
+  * integral division (`div`, not `/` — double division would lose µs
+  * precision at 1e18 ns); `timestamp[us]` loads directly as TimestampType
+  * with no rescale. DuckDB truncates ns to µs on read, so both engines see
+  * identical microsecond timestamps either way — a determinism requirement
+  * for the oracle compare (SURVEY.md §7.4.2).
   */
 object Tables {
   val region = StructType(Seq(
@@ -70,10 +73,20 @@ object Tables {
     StructField("l_linestatus", StringType),
     StructField("l_shipdate", TimestampType)))
 
-  /** Raw on-disk schema for events: ts surfaces as nanos-since-epoch long. */
+  /** Raw on-disk schema for events when ts is TIMESTAMP(NANOS): it surfaces
+    * as nanos-since-epoch long (under `nanosAsLong=true`). */
   val eventsRaw = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Pinned schema for events when ts is on-disk TIMESTAMP_MICROS. */
+  val eventsMicros = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -124,12 +137,42 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
 
+  /** Footer-sniffed ts unit per events path. A footer schema probe is a
+    * driver-side metadata read (no job), but it still lists the directory —
+    * caching keeps repeated `events()` calls (134-query Verify/Bench runs)
+    * from re-probing. */
+  private val eventsTsType =
+    new java.util.concurrent.ConcurrentHashMap[String, DataType]()
+
   /** events with `ts` normalized to Spark TimestampType at µs precision.
-    * Requires `spark.sql.legacy.parquet.nanosAsLong=true` in the session
-    * (set where the session is built — Verify, Bench, and the test
-    * harness all do; mutating it here per-call was round-1 action-at-a-
-    * distance). Without it the parquet reader rejects TIMESTAMP(NANOS). */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    spark.read.schema(eventsRaw).parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    *
+    * The on-disk unit is sniffed from the parquet footer and branched on:
+    * TIMESTAMP_MICROS loads as plain TimestampType with no rescale;
+    * TIMESTAMP(NANOS) surfaces as long (requires
+    * `spark.sql.legacy.parquet.nanosAsLong=true` in the session — set where
+    * the session is built; Verify, Bench, and the test harness all do) and
+    * is rescaled with integral `div 1000`. Assuming one unit and rescaling
+    * unconditionally sent every event to January 1970 when the testdata
+    * switched units — hence the sniff.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val diskTs = eventsTsType.computeIfAbsent(path,
+      _ => spark.read.parquet(path).schema("ts").dataType)
+    diskTs match {
+      // TIMESTAMP_MICROS infers as LTZ when isAdjustedToUTC=true, NTZ when
+      // false (pandas/pyarrow default). Either way the stored int64 is the
+      // same µs count; pinning the LTZ schema reads it verbatim, and with
+      // session tz fixed to UTC that matches DuckDB's naive read exactly.
+      case TimestampType | TimestampNTZType =>
+        spark.read.schema(eventsMicros).parquet(path)
+      case LongType =>
+        spark.read.schema(eventsRaw).parquet(path)
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case other => throw new IllegalStateException(
+        s"events.ts at $path has unsupported parquet type $other — " +
+          "expected TIMESTAMP_MICROS (reads as timestamp) or " +
+          "TIMESTAMP(NANOS) (reads as long under nanosAsLong=true)")
+    }
+  }
 }

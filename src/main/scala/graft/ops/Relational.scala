@@ -1260,12 +1260,26 @@ object Relational {
   /** Quartile assignment via ntile over a total order (price, key
     * tiebreak), then per-quartile stats. Both engines share the ntile
     * fill convention (larger buckets first), and the unique tiebreak
-    * makes the assignment deterministic. The global window is an
-    * inherent single-partition sort — ntile over a total order cannot
-    * be computed distributively; at 100 TB the same per-quartile stats
-    * come from approx-quantile bin edges (see histogram_agg /
-    * quantile_summary_approx for the bounded-state path). */
-  def ntileFuncs(spark: SparkSession, dir: String): DataFrame = {
+    * makes the assignment deterministic.
+    *
+    * Size-gated dispatch (round-10 verdict #6): below
+    * [[SinglePassBytes]] the direct window form — a single-partition
+    * sort is the cheapest correct plan when the table fits a
+    * reconciliation window (1 job vs 5). Above the gate,
+    * [[ntileFuncsSelection]] — the same answer with no row-count-sized
+    * sort anywhere (per-quartile stats are tie-ORDER-invariant, so the
+    * exact form distributes; see its scaladoc). Both forms are exact
+    * and bit-identical (spec-asserted), so the gate is purely a plan
+    * choice, never a semantics choice. */
+  def ntileFuncs(spark: SparkSession, dir: String): DataFrame =
+    if (Tables.tableBytes(spark, dir, "orders") <= SinglePassBytes)
+      ntileFuncsSmall(spark, dir)
+    else ntileFuncsSelection(spark, dir)
+
+  /** Small-input form: ntile over a global window — an inherent
+    * single-partition sort, acceptable only under the size gate. */
+  private[graft] def ntileFuncsSmall(spark: SparkSession,
+                                     dir: String): DataFrame = {
     val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
     Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_totalprice"),
@@ -1273,6 +1287,81 @@ object Relational {
       .groupBy("q")
       .agg(count(lit(1)).as("n"), min("o_totalprice").as("mn"),
         max("o_totalprice").as("mx"), decSum(col("o_totalprice")).as("total"))
+      .orderBy("q")
+  }
+
+  /** Bounded-state large-input form of [[ntileFuncs]] — exact, not
+    * approximate, with no single-partition sort.
+    *
+    * Key observation: the output aggregates (count, min, max, sum of
+    * price per quartile) do not depend on WHICH of several equal-priced
+    * rows lands on a quartile boundary — ties split across a boundary
+    * contribute the same price either side — so the o_orderkey tiebreak
+    * that makes per-row assignment deterministic is irrelevant to the
+    * per-quartile stats, and the stats reduce to order statistics of
+    * the price column alone:
+    *   - boundary ranks r_1..r_3 are driver arithmetic from n (ntile
+    *     fills larger buckets first: first n mod 4 buckets get
+    *     ceil(n/4));
+    *   - quartile k's max is value-at-rank r_k, its min is
+    *     value-at-rank r_(k-1)+1 — both from [[Selection.valueAtRanks]]
+    *     (bucket-then-refine, bucket-sized state);
+    *   - quartile sums come from prefix sums at the boundary ranks:
+    *     prefix(r) = sum(price < v_r) + (r - count(price < v_r)) · v_r,
+    *     one conditional-aggregate scan against the 3 broadcast
+    *     boundary values, all in exact fixed-point cents (longs), so
+    *     the totals are bit-identical to the window form's decSum.
+    * Every intermediate frame is bucket- or answer-sized; the scans are
+    * map-side-combinable aggregates. The two driver collects are
+    * answer-sized (8 rank values, one 1-row aggregate) — plan-time
+    * reference objects, not data movement. */
+  private[graft] def ntileFuncsSelection(spark: SparkSession,
+                                         dir: String): DataFrame = {
+    import spark.implicits._
+    val price = Tables.orders(spark, dir)
+      .select(col("o_totalprice").as("v"))
+    val n = price.count()
+    if (n < 4L) return ntileFuncsSmall(spark, dir)
+    // ntile(4) bucket sizes and cumulative boundary ranks (1-based)
+    val sizes = Array.tabulate(4)(k => n / 4 + (if (k < n % 4) 1L else 0L))
+    val bounds = sizes.scanLeft(0L)(_ + _) // 0, r1, r2, r3, n
+    val wantRanks = ((1 to 3).flatMap(k => Seq(bounds(k), bounds(k) + 1)) ++
+      Seq(1L, n)).distinct
+    val atRank: Map[Long, Double] = Selection.valueAtRanks(
+        price.withColumn("g", lit(1)), Seq("g"), "v",
+        wantRanks.toDF("rank").withColumn("g", lit(1)))
+      .select(col("rank"), col("value"))
+      .as[(Long, Double)].collect().toMap
+    val bv = (1 to 3).map(k => atRank(bounds(k))) // boundary values v_1..v_3
+    // one scan: cents-sum and count strictly below each boundary value,
+    // plus the global cents total (everything partial-aggregable)
+    val belowAgg = price.agg(
+      coalesce(sum(when(col("v") < bv(0), Recon.cents(col("v")))), lit(0L)).as("s1"),
+      count_if(col("v") < bv(0)).as("c1"),
+      coalesce(sum(when(col("v") < bv(1), Recon.cents(col("v")))), lit(0L)).as("s2"),
+      count_if(col("v") < bv(1)).as("c2"),
+      coalesce(sum(when(col("v") < bv(2), Recon.cents(col("v")))), lit(0L)).as("s3"),
+      count_if(col("v") < bv(2)).as("c3"),
+      sum(Recon.cents(col("v"))).as("stot"),
+      // boundary prices re-quantized through the same cents cast the
+      // sums use, so prefix arithmetic stays in one fixed-point system
+      max(Recon.cents(lit(bv(0)))).as("bc1"), max(Recon.cents(lit(bv(1)))).as("bc2"),
+      max(Recon.cents(lit(bv(2)))).as("bc3"))
+    val a = belowAgg.collect().head
+    def L(i: Int): Long = a.getLong(i)
+    val (s, c, bc) = ((0 to 2).map(k => L(2 * k)), (0 to 2).map(k => L(2 * k + 1)),
+      Seq(L(7), L(8), L(9)))
+    val prefix = (0 to 2).map(k => s(k) + (bounds(k + 1) - c(k)) * bc(k))
+    val totCents = prefix :+ L(6) // prefix_4 = grand total
+    val quartiles = (1 to 4).map { k =>
+      val mn = if (k == 1) atRank(1L) else atRank(bounds(k - 1) + 1)
+      val mx = if (k == 4) atRank(n) else atRank(bounds(k))
+      val cents = totCents(k - 1) - (if (k == 1) 0L else totCents(k - 2))
+      (k, sizes(k - 1), mn, mx, cents)
+    }
+    quartiles.toDF("q", "n", "mn", "mx", "tc")
+      .select(col("q"), col("n"), col("mn"), col("mx"),
+        Recon.uncents(col("tc")).as("total"))
       .orderBy("q")
   }
 

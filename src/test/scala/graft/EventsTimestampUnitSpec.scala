@@ -1,0 +1,117 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.example.ExampleParquetWriter
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types}
+import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampType}
+
+/** Pins `Tables.events` against BOTH on-disk timestamp units.
+  *
+  * The driver has regenerated `/root/testdata/` with `events.ts` as
+  * parquet `timestamp[ns]` in some rounds and `timestamp[us]` in others;
+  * a reader that assumes one unit silently lands every event in January
+  * 1970 when the other ships (the round-10 incident: 11 oracled ops red
+  * from one mis-read). These tests synthesize a tiny events file in each
+  * unit and assert the reader normalizes both to the same µs-precision
+  * TimestampType values, plus a canary against the real testdata so the
+  * next regeneration fails loudly with the footer unit in the message.
+  */
+class EventsTimestampUnitSpec extends GraftSpec {
+  import spark.implicits._
+
+  // 2024-03-15 12:00:00 UTC and one second later, in µs since epoch.
+  private val baseUs = 1710504000000000L
+  private val rows = Seq(
+    (1L, baseUs, 7L, "click", 1.5, """{"k":1}"""),
+    (2L, baseUs + 1000000L, 8L, "view", 2.5, """{"k":2}"""))
+
+  /** Writes events.parquet with ts annotated TIMESTAMP(NANOS) — Spark
+    * cannot write nanos, so this drops to parquet-java's example writer. */
+  private def writeNanosFixture(dir: String): Unit = {
+    val schema: MessageType = Types.buildMessage()
+      .optional(PrimitiveTypeName.INT64).named("event_id")
+      .optional(PrimitiveTypeName.INT64)
+        .as(LogicalTypeAnnotation.timestampType(false, TimeUnit.NANOS))
+        .named("ts")
+      .optional(PrimitiveTypeName.INT64).named("user_id")
+      .optional(PrimitiveTypeName.BINARY)
+        .as(LogicalTypeAnnotation.stringType()).named("event_type")
+      .optional(PrimitiveTypeName.DOUBLE).named("value")
+      .optional(PrimitiveTypeName.BINARY)
+        .as(LogicalTypeAnnotation.stringType()).named("props")
+      .named("events")
+    val writer = ExampleParquetWriter
+      .builder(new Path(s"$dir/events.parquet"))
+      .withConf(new org.apache.hadoop.conf.Configuration())
+      .withType(schema)
+      .build()
+    val f = new SimpleGroupFactory(schema)
+    rows.foreach { case (id, us, uid, typ, v, props) =>
+      writer.write(f.newGroup()
+        .append("event_id", id).append("ts", us * 1000L)
+        .append("user_id", uid).append("event_type", typ)
+        .append("value", v).append("props", props))
+    }
+    writer.close()
+  }
+
+  /** Writes events.parquet with ts as TIMESTAMP_MICROS via Spark. */
+  private def writeMicrosFixture(dir: String): Unit = {
+    val prev = spark.conf.get("spark.sql.parquet.outputTimestampType", "INT96")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try {
+      rows.toDF("event_id", "ts_us", "user_id", "event_type", "value", "props")
+        .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .repartition(1)
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    } finally spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+  }
+
+  private def readNormalized(dir: String): Seq[(Long, Long, String)] =
+    Tables.events(spark, dir)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"), col("event_type"))
+      .as[(Long, Long, String)].collect().toSeq.sortBy(_._1)
+
+  test("ns- and us-unit events files normalize to identical µs timestamps") {
+    val nsDir = Files.createTempDirectory("events-ns").toString
+    val usDir = Files.createTempDirectory("events-us").toString
+    writeNanosFixture(nsDir)
+    writeMicrosFixture(usDir)
+    val fromNs = readNormalized(nsDir)
+    val fromUs = readNormalized(usDir)
+    val expected = rows.map(r => (r._1, r._2, r._4)).sortBy(_._1)
+    assert(fromNs === expected, "nanos fixture mis-read")
+    assert(fromUs === expected, "micros fixture mis-read")
+    assert(Tables.events(spark, usDir).schema("ts").dataType === TimestampType)
+    assert(Tables.events(spark, nsDir).schema("ts").dataType === TimestampType)
+  }
+
+  test("canary: real testdata events land in a sane year, not 1970") {
+    val diskType = spark.read.parquet(s"$sf/events.parquet").schema("ts").dataType
+    val (yMin, yMax) = Tables.events(spark, sf)
+      .agg(year(min("ts")), year(max("ts"))).as[(Int, Int)].head()
+    assert(yMin >= 2000 && yMax <= 2100,
+      s"events.ts reads as years [$yMin, $yMax] — the on-disk parquet type is " +
+        s"$diskType; Tables.events is almost certainly applying the wrong " +
+        "unit rescale for this testdata generation (nanos-vs-micros drift)")
+  }
+
+  test("sniffed unit is cached per path (no re-probe, stable result)") {
+    val usDir = Files.createTempDirectory("events-cache").toString
+    writeMicrosFixture(usDir)
+    val first = Tables.events(spark, usDir).schema("ts").dataType
+    // overwrite with a long-typed file at the same path: the cached sniff
+    // must keep returning the first-seen unit rather than re-listing
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$usDir/events.parquet")
+    assert(first === TimestampType)
+    assert(Tables.events(spark, usDir).schema("ts").dataType === TimestampType)
+  }
+}

@@ -157,6 +157,38 @@ class RelationalSpec extends GraftSpec {
     assert(small.toSeq === sel.toSeq)
   }
 
+  test("ntile: window and selection forms are bit-identical") {
+    val small = Relational.ntileFuncsSmall(spark, sf).collect().map(_.toSeq)
+    val sel = Relational.ntileFuncsSelection(spark, sf).collect().map(_.toSeq)
+    assert(small.toSeq === sel.toSeq)
+  }
+
+  test("ntile selection form: identical under skew (heavy boundary ties)") {
+    // clone a boundary-straddling price run: a constant column where every
+    // quartile boundary falls inside one giant tie group — the adversarial
+    // case for prefix-sum arithmetic. Window form is ground truth.
+    import org.apache.spark.sql.functions._
+    val dir = s"$tmpDir/skewed"
+    Tables.orders(spark, sf)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 3 === 0, lit(1000.0))
+          .otherwise(col("o_totalprice")))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val small = Relational.ntileFuncsSmall(spark, dir).collect().map(_.toSeq)
+    val sel = Relational.ntileFuncsSelection(spark, dir).collect().map(_.toSeq)
+    assert(small.toSeq === sel.toSeq)
+  }
+
+  test("ntile selection plan: no row-count-sized single-partition window") {
+    // the gate exists so large inputs never hit the global ntile window;
+    // the selection plan must not contain an unpartitioned window over
+    // the fact stream (bucket-frame windows with a defined partition key
+    // are fine — they are 1024-row frames, not row-count-sized)
+    val plan = Relational.ntileFuncsSelection(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Ntile"), "selection form must not use ntile()")
+  }
+
   test("cume_dist: broadcast dense-rank matches the two-window form") {
     import org.apache.spark.sql.expressions.Window
     val w1 = Window.partitionBy(col("o_orderstatus"))
