@@ -114,6 +114,8 @@ object SparkEntry {
     "skew_profile"             -> (Relational.skewProfileEvents _),
     "resample_daily"           -> (Events.resampleDaily _),
     "zscore_outliers"          -> (Events.zscoreOutliers _),
+    "event_gap_stats"          -> (Events.eventGapStats _),
+    "customer_rfm"             -> (Relational.customerRfm _),
     "locf_fill"                -> (Events.locfFill _),
     "sliding_window_events"    -> (Events.slidingWindow _),
     "streak_islands"           -> (Events.streakIslands _),
@@ -231,7 +233,8 @@ object SparkEntry {
     "q8_market_share", "posexplode_funcs", "map_funcs", "grouping_id_agg",
     "multimodal_wav_meta", "hof_funcs", "nullsafe_join", "date_trunc_funcs",
     "subquery_funcs", "array_setops_funcs", "rows_frame_window",
-    "q7_volume_shipping", "q13_order_distribution", "q15_top_supplier")
+    "q7_volume_shipping", "q13_order_distribution", "q15_top_supplier",
+    "event_gap_stats", "customer_rfm")
 
   /** DuckDB-dialect oracle per query (driver runs these on the same parquet
     * files and hash-compares). Dialect forks: get_json_object↔
@@ -840,6 +843,39 @@ object SparkEntry {
         |FROM events e JOIN st USING (event_type)
         |WHERE abs((value - mean)/sd) > 3
         |ORDER BY event_id""".stripMargin,
+
+    "event_gap_stats" ->
+      // gaps in exact integer microseconds (epoch_us longs); the only
+      // float arithmetic is the final division of an exactly-summed
+      // long, so avg/min/max land bit-identical in both engines
+      """WITH g AS (SELECT event_type,
+        |  epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |    PARTITION BY user_id, event_type ORDER BY ts, event_id) gap_us
+        |  FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) n_gaps,
+        |  round(CAST(sum(gap_us) AS DOUBLE) / count(*) / 1000000, 3) avg_gap_s,
+        |  round(min(gap_us) / 1000000.0, 6) mn_gap_s,
+        |  round(max(gap_us) / 1000000.0, 6) mx_gap_s
+        |FROM g WHERE gap_us IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "customer_rfm" ->
+      // fixed-edge RFM buckets (no quantile edges — see scaladoc);
+      // monetary stays DECIMAL until the final presentation cast
+      """WITH per AS (SELECT o_custkey, max(o_orderdate) last_d, count(*) freq,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,4))) spend
+        |  FROM orders GROUP BY 1),
+        |m AS (SELECT max(o_orderdate) mx FROM orders)
+        |SELECT
+        |  CASE WHEN date_diff('day', CAST(last_d AS DATE), CAST(mx AS DATE)) <= 365
+        |         THEN 'active'
+        |       WHEN date_diff('day', CAST(last_d AS DATE), CAST(mx AS DATE)) <= 730
+        |         THEN 'warm'
+        |       ELSE 'cold' END r_seg,
+        |  CASE WHEN freq >= 12 THEN 'frequent' ELSE 'occasional' END f_seg,
+        |  CAST(count(*) AS BIGINT) n_cust,
+        |  CAST(sum(freq) AS BIGINT) n_orders,
+        |  CAST(sum(spend) AS DOUBLE) total_spend
+        |FROM per, m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "train_test_split" ->
       // bucket = first 60 bits of md5 mod 100: '0x'-cast here,

@@ -292,6 +292,35 @@ object Events {
       .orderBy("dy", "event_type")
   }
 
+  /** Inter-event gap distribution per event type — the cadence profile
+    * behind heartbeat monitoring and engagement scoring: for consecutive
+    * events of the same (user, type), how long between them?
+    *
+    * One `lag` window over (user_id, event_type; ts, event_id) — the
+    * same single user-keyed exchange family as [[sessionize]] and
+    * [[eventTransitions]] — then a |types|-row two-phase hash agg. Gaps
+    * are computed in exact integer microseconds (`unix_micros` longs);
+    * the only float arithmetic is the final presentation division of an
+    * exactly-summed long, so both engines derive bit-identical doubles
+    * (the same discipline as decSum). Ordering ties break on the unique
+    * event_id, so gap attribution is deterministic. */
+  def eventGapStats(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+          .as("gap_us"))
+      .where(col("gap_us").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        round(sum(col("gap_us")).cast("double") / count(lit(1)) / 1000000L, 3)
+          .as("avg_gap_s"),
+        round(min(col("gap_us")) / lit(1000000.0), 6).as("mn_gap_s"),
+        round(max(col("gap_us")) / lit(1000000.0), 6).as("mx_gap_s"))
+      .orderBy("event_type")
+  }
+
   /** Per-type z-score outliers — the anomaly screen over a metric stream:
     * events whose value sits more than 3 standard deviations from their
     * type's mean. The mean/variance come from EXACT decimal sums of value

@@ -1227,6 +1227,39 @@ object Relational {
     * join (no correlated re-scan per row); the NOT EXISTS is a left-anti
     * join against the date-filtered order keys — the anti side is
     * pre-shrunk by the pushed date predicate before it shuffles. */
+  /** RFM segmentation — the classic customer-value grid: recency (days
+    * since last order, vs the dataset's max date), frequency (order
+    * count) and monetary (exact cent sum) per customer, bucketed by
+    * fixed business thresholds into a segment × segment matrix.
+    *
+    * Fixed-edge buckets, NOT quantile buckets, on purpose: quantile
+    * edges need a global order (the ntile trap this file's
+    * [[ntileFuncsSelection]] exists to avoid) and make segment
+    * membership shift whenever the population does — fixed thresholds
+    * are what a marketing rule actually ships, and they keep the whole
+    * op two map-side-combinable hash aggs (per-customer, then
+    * segment-sized) plus one broadcast scalar. Monetary stays in
+    * fixed-point cents end to end, so cross-engine totals are
+    * bit-identical. */
+  def customerRfm(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val maxD = o.agg(max(col("o_orderdate")).as("mx"))
+    o.groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_d"), count(lit(1)).as("freq"),
+        sum(Recon.cents(col("o_totalprice"))).as("sp_cents"))
+      .crossJoin(broadcast(maxD))
+      .select(
+        when(datediff(col("mx"), col("last_d")) <= 365, "active")
+          .when(datediff(col("mx"), col("last_d")) <= 730, "warm")
+          .otherwise("cold").as("r_seg"),
+        when(col("freq") >= 12, "frequent").otherwise("occasional").as("f_seg"),
+        col("freq"), col("sp_cents"))
+      .groupBy("r_seg", "f_seg")
+      .agg(count(lit(1)).as("n_cust"), sum("freq").as("n_orders"),
+        Recon.uncents(sum(col("sp_cents"))).as("total_spend"))
+      .orderBy("r_seg", "f_seg")
+  }
+
   def q22IdleCustomers(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
     val avgBal = c.filter(col("c_acctbal") > 0)

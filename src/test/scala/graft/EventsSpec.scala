@@ -177,6 +177,26 @@ class EventsSpec extends GraftSpec {
         s"type ${r.getString(0)}: approx $approx vs exact $exact")
     }
   }
+
+  test("event gap stats: hand-computed per-(user, type) cadence") {
+    // type a: u1 gaps 20,60 min + u2 gap 65 → avg 2900 s, min 1200, max 3900
+    // type b: u1 gaps 50,140 min + u2 gap 50 → avg 4800 s, min 3000, max 8400
+    val got = Events.eventGapStats(spark, fixtureDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got === Map(
+      "a" -> ((3L, 2900.0, 1200.0, 3900.0)),
+      "b" -> ((3L, 4800.0, 3000.0, 8400.0))))
+  }
+
+  test("event gap stats on sf0.001: one gap per non-first (user,type) event") {
+    val perPair = Tables.events(spark, sf)
+      .groupBy("user_id", "event_type").count()
+    val expectedGaps = perPair.agg(sum(col("count") - 1)).collect().head.getLong(0)
+    val gotGaps = Events.eventGapStats(spark, sf)
+      .agg(sum("n_gaps")).collect().head.getLong(0)
+    assert(gotGaps === expectedGaps)
+  }
 }
 
 object EventsFixture {

@@ -157,6 +157,20 @@ class RelationalSpec extends GraftSpec {
     assert(small.toSeq === sel.toSeq)
   }
 
+  test("customer_rfm: segments partition customers, totals reconcile") {
+    val o = Tables.orders(spark, sf)
+    val seg = Relational.customerRfm(spark, sf).collect()
+    assert(seg.map(_.getLong(2)).sum ===
+      o.select("o_custkey").distinct().count(), "n_cust must partition")
+    assert(seg.map(_.getLong(3)).sum === o.count(), "n_orders must total")
+    val spend = o.agg(graft.ops.Recon.uncents(
+      sum(graft.ops.Recon.cents(col("o_totalprice"))))).collect().head.getDouble(0)
+    assert(math.abs(seg.map(_.getDouble(4)).sum - spend) < 1e-6,
+      "total_spend must reconcile with the global cent sum")
+    assert(seg.map(r => (r.getString(0), r.getString(1))).distinct.length ===
+      seg.length, "one row per segment pair")
+  }
+
   test("ntile: window and selection forms are bit-identical") {
     val small = Relational.ntileFuncsSmall(spark, sf).collect().map(_.toSeq)
     val sel = Relational.ntileFuncsSelection(spark, sf).collect().map(_.toSeq)
