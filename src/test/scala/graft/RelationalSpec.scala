@@ -193,6 +193,31 @@ class RelationalSpec extends GraftSpec {
     assert(small.toSeq === sel.toSeq)
   }
 
+  test("ntile selection form: random tie-heavy populations, n % 4 != 0") {
+    val spark0 = spark
+    import spark0.implicits._
+    val rnd = new scala.util.Random(11)
+    // heavy ties (25 distinct prices) at sizes hitting every n mod 4 —
+    // boundary ranks inside tie runs, the exact case the prefix-sum
+    // arithmetic must get right
+    for (n <- Seq(4, 5, 7, 102, 1001)) {
+      val dir = s"$tmpDir/ntile_rand_$n"
+      (1 to n).map(i => (i.toLong, (rnd.nextInt(25) + 1) * 25.0))
+        .toDF("o_orderkey", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      val small = Relational.ntileFuncsSmall(spark, dir).collect().map(_.toSeq)
+      val sel = Relational.ntileFuncsSelection(spark, dir).collect().map(_.toSeq)
+      assert(small.toSeq === sel.toSeq, s"forms diverge at n=$n")
+    }
+  }
+
+  test("customer_rfm plan: scalar max-date broadcasts, fact shuffles once") {
+    val plan = Relational.customerRfm(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"1-row max-date frame must broadcast:\n$plan")
+  }
+
   test("ntile selection plan: no row-count-sized single-partition window") {
     // the gate exists so large inputs never hit the global ntile window;
     // the selection plan must not contain an unpartitioned window over
