@@ -116,6 +116,9 @@ object SparkEntry {
     "zscore_outliers"          -> (Events.zscoreOutliers _),
     "event_gap_stats"          -> (Events.eventGapStats _),
     "customer_rfm"             -> (Relational.customerRfm _),
+    "events_hourly_heatmap"    -> (Events.hourlyHeatmap _),
+    "orders_yoy_growth"        -> (Relational.yoyGrowth _),
+    "text_vocab_richness"      -> (Text.vocabRichness _),
     "locf_fill"                -> (Events.locfFill _),
     "sliding_window_events"    -> (Events.slidingWindow _),
     "streak_islands"           -> (Events.streakIslands _),
@@ -234,7 +237,8 @@ object SparkEntry {
     "multimodal_wav_meta", "hof_funcs", "nullsafe_join", "date_trunc_funcs",
     "subquery_funcs", "array_setops_funcs", "rows_frame_window",
     "q7_volume_shipping", "q13_order_distribution", "q15_top_supplier",
-    "event_gap_stats", "customer_rfm")
+    "event_gap_stats", "customer_rfm", "events_hourly_heatmap",
+    "orders_yoy_growth", "text_vocab_richness")
 
   /** DuckDB-dialect oracle per query (driver runs these on the same parquet
     * files and hash-compares). Dialect forks: get_json_object↔
@@ -876,6 +880,43 @@ object SparkEntry {
         |  CAST(sum(freq) AS BIGINT) n_orders,
         |  CAST(sum(spend) AS DOUBLE) total_spend
         |FROM per, m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "events_hourly_heatmap" ->
+      // ISO weekday (Mon=1): Spark weekday()+1 ↔ DuckDB isodow();
+      // value sum through the exact DECIMAL twin of decSum
+      """SELECT CAST(isodow(ts) AS INT) dow, CAST(hour(ts) AS INT) hr,
+        |  count(*) n, count(DISTINCT user_id) n_users,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) v_sum
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "orders_yoy_growth" ->
+      // growth computed on exact integer cents in both engines — the
+      // 1e-4 scaling cancels in (c-p)/p, so round(4) can't diverge
+      """WITH y AS (SELECT year(o_orderdate) yr,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) revenue,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) * 10000 AS BIGINT) rc,
+        |    count(*) n_orders
+        |  FROM orders GROUP BY 1),
+        |l AS (SELECT yr, n_orders, revenue, rc,
+        |  lag(rc) OVER (ORDER BY yr) prev_rc FROM y)
+        |SELECT CAST(yr AS INT) yr, n_orders, revenue,
+        |  CASE WHEN prev_rc IS NOT NULL THEN
+        |    round(CAST(rc - prev_rc AS DOUBLE) / CAST(prev_rc AS DOUBLE) * 100, 4)
+        |  END yoy_pct
+        |FROM l ORDER BY yr""".stripMargin,
+
+    "text_vocab_richness" ->
+      // ratios divide exact integer counts — identical doubles both sides
+      """WITH tok AS (SELECT lang, unnest(string_split(lower(text), ' ')) tok
+        |  FROM documents),
+        |types AS (SELECT lang, tok, count(*) cnt FROM tok
+        |  WHERE tok <> '' GROUP BY 1, 2)
+        |SELECT lang, count(*) n_types, CAST(sum(cnt) AS BIGINT) n_tokens,
+        |  CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) n_hapax,
+        |  round(CAST(count(*) AS DOUBLE) / sum(cnt), 6) ttr,
+        |  round(CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) hapax_share
+        |FROM types GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "train_test_split" ->
       // bucket = first 60 bits of md5 mod 100: '0x'-cast here,

@@ -321,6 +321,21 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** Activity heatmap — the (ISO weekday × hour) grid behind every
+    * "when are users active" dashboard: event count, distinct users and
+    * exact value sum per cell. One two-phase hash agg straight off the
+    * scan (the distinct count expands to the standard partial-distinct
+    * plan); the output is calendar-sized (≤ 7×24 rows) at any input
+    * scale. ISO weekday (Mon=1) because both engines can derive it
+    * without locale assumptions (`weekday()+1` ↔ `isodow()`). */
+  def hourlyHeatmap(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy((weekday(col("ts")) + 1).as("dow"), hour(col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        decSum(col("value")).as("v_sum"))
+      .orderBy("dow", "hr")
+
   /** Per-type z-score outliers — the anomaly screen over a metric stream:
     * events whose value sits more than 3 standard deviations from their
     * type's mean. The mean/variance come from EXACT decimal sums of value

@@ -1227,6 +1227,31 @@ object Relational {
     * join (no correlated re-scan per row); the NOT EXISTS is a left-anti
     * join against the date-filtered order keys — the anti side is
     * pre-shrunk by the pushed date predicate before it shuffles. */
+  /** Year-over-year revenue growth — the board-deck staple: yearly order
+    * count and exact revenue, plus each year's growth vs the prior year.
+    * The fact collapses to a |years|-row frame in one two-phase hash agg
+    * BEFORE the unpartitioned lag window touches it — the window sorts an
+    * answer-sized frame (7 rows here, decades at most), never the fact,
+    * so the single-partition WindowExec is calendar-sized at any input
+    * scale. Growth is computed on exact cent longs in both engines
+    * ((c−p)/p — the 10⁻⁴ scaling cancels), so the 4-dp rounding can
+    * never straddle an ulp boundary differently. */
+  def yoyGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val yearly = Tables.orders(spark, dir)
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .agg(sum(Recon.cents(col("o_totalprice"))).as("rc"),
+        count(lit(1)).as("n_orders"))
+    val w = Window.orderBy("yr") // answer-sized frame: one row per year
+    yearly
+      .withColumn("prev_rc", lag(col("rc"), 1).over(w))
+      .select(col("yr"), col("n_orders"),
+        Recon.uncents(col("rc")).as("revenue"),
+        when(col("prev_rc").isNotNull,
+          round((col("rc") - col("prev_rc")).cast("double") /
+            col("prev_rc").cast("double") * 100, 4)).as("yoy_pct"))
+      .orderBy("yr")
+  }
+
   /** RFM segmentation — the classic customer-value grid: recency (days
     * since last order, vs the dataset's max date), frequency (order
     * count) and monetary (exact cent sum) per customer, bucketed by

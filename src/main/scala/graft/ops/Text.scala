@@ -573,6 +573,30 @@ object Text {
       .orderBy("id")
   }
 
+  /** Vocabulary richness per language — type-token ratio and hapax
+    * counts, the corpus-linguistics health check a training-data
+    * pipeline runs before trusting a source: a collapsing TTR or a
+    * vanishing hapax share flags templated/duplicated text. Token
+    * explode → (lang, token) two-phase hash agg (map-side combine does
+    * the heavy lifting) → a vocab-sized frame aggregates to |langs|
+    * rows; nothing beyond vocabulary size is ever held or shuffled.
+    * Ratios divide exact integer counts, so both engines round the same
+    * doubles. */
+  def vocabRichness(spark: SparkSession, dir: String): DataFrame = {
+    val types = Tables.documents(spark, dir)
+      .select(col("lang"), explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
+    types.groupBy("lang")
+      .agg(count(lit(1)).as("n_types"),
+        sum("cnt").as("n_tokens"),
+        count_if(col("cnt") === 1).as("n_hapax"),
+        round(count(lit(1)).cast("double") / sum("cnt"), 6).as("ttr"),
+        round(count_if(col("cnt") === 1).cast("double") / count(lit(1)), 6)
+          .as("hapax_share"))
+      .orderBy("lang")
+  }
+
   /** Bigram collocations by pointwise mutual information: which word
     * pairs co-occur far above chance. Bigrams come from a row-local
     * higher-order transform over the token array (no self-join, no

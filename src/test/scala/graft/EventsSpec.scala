@@ -189,6 +189,17 @@ class EventsSpec extends GraftSpec {
       "b" -> ((3L, 4800.0, 3000.0, 8400.0))))
   }
 
+  test("hourly heatmap on sf0.001: cells total the stream, grid is calendar-bounded") {
+    val cells = Events.hourlyHeatmap(spark, sf).collect()
+    assert(cells.map(_.getLong(2)).sum === Tables.events(spark, sf).count())
+    assert(cells.length <= 7 * 24)
+    cells.foreach { r =>
+      assert(r.getInt(0) >= 1 && r.getInt(0) <= 7, "ISO weekday range")
+      assert(r.getInt(1) >= 0 && r.getInt(1) <= 23, "hour range")
+      assert(r.getLong(3) <= r.getLong(2), "distinct users cannot exceed events")
+    }
+  }
+
   test("event gap stats on sf0.001: one gap per non-first (user,type) event") {
     val perPair = Tables.events(spark, sf)
       .groupBy("user_id", "event_type").count()

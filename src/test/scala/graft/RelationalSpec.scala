@@ -157,6 +157,22 @@ class RelationalSpec extends GraftSpec {
     assert(small.toSeq === sel.toSeq)
   }
 
+  test("orders_yoy_growth: growth recomputes from the yearly revenue column") {
+    val rows = Relational.yoyGrowth(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum === Tables.orders(spark, sf).count())
+    assert(rows.head.isNullAt(3), "first year has no prior to grow from")
+    rows.sliding(2).foreach { case Array(prev, cur) =>
+      assert(cur.getInt(0) === prev.getInt(0) + 1, "years must be contiguous")
+      val expect = BigDecimal((cur.getDouble(2) - prev.getDouble(2)) /
+        prev.getDouble(2) * 100).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+      // revenue is the cent sum at double presentation; recompute at 3 dp
+      // (one digit looser than the op's 4) to stay clear of ulp edges
+      assert((BigDecimal(cur.getDouble(3)).setScale(3,
+        BigDecimal.RoundingMode.HALF_UP) - expect).abs <= BigDecimal("0.001"),
+        s"year ${cur.getInt(0)}")
+    }
+  }
+
   test("customer_rfm: segments partition customers, totals reconcile") {
     val o = Tables.orders(spark, sf)
     val seg = Relational.customerRfm(spark, sf).collect()

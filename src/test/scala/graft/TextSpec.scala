@@ -246,6 +246,25 @@ class TextSpec extends GraftSpec {
     assert(got === Array((1, "a", 3L), (2, "b", 3L)))
   }
 
+  test("vocab richness: hand-computed types, hapaxes and TTR") {
+    val spark0 = spark
+    import spark0.implicits._
+    val d = s"$tmpDir/richfix"
+    // en: tokens (b,b,b,a,a,c) + (a,c) → types {a:3, b:3, c:2}, no hapax;
+    // fr: (x, y, y) → types {x:1, y:2}, hapax {x}
+    Seq(
+      TextFixture.Doc(1, "b b b a a c", "en", "s", 11),
+      TextFixture.Doc(2, "a c", "en", "s", 3),
+      TextFixture.Doc(3, "x y y", "fr", "s", 5))
+      .toDF().write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = Text.vocabRichness(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(got === Array(
+      ("en", 3L, 8L, 0L, 0.375, 0.0),
+      ("fr", 2L, 3L, 1L, 0.666667, 0.5)))
+  }
+
   test("tfidf: top-k per source, scores recompute from tf·ln(n/df)") {
     val rows = Text.tfidfTopTerms(spark, sf, k = 5).collect()
     val nSrc = Tables.documents(spark, sf).select("source").distinct().count()
