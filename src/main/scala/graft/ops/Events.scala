@@ -327,7 +327,11 @@ object Events {
     * scan (the distinct count expands to the standard partial-distinct
     * plan); the output is calendar-sized (≤ 7×24 rows) at any input
     * scale. ISO weekday (Mon=1) because both engines can derive it
-    * without locale assumptions (`weekday()+1` ↔ `isodow()`). */
+    * without locale assumptions (`weekday()+1` ↔ `isodow()`). The one
+    * input-scaled intermediate is the exact distinct's (cell, user)
+    * pair stream — at billions of users swap `countDistinct` for the
+    * mergeable sketch [[approxDistinctHll]] uses; the cells stay the
+    * same. */
   def hourlyHeatmap(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy((weekday(col("ts")) + 1).as("dow"), hour(col("ts")).as("hr"))
