@@ -119,6 +119,8 @@ object SparkEntry {
     "events_hourly_heatmap"    -> (Events.hourlyHeatmap _),
     "orders_yoy_growth"        -> (Relational.yoyGrowth _),
     "text_vocab_richness"      -> (Text.vocabRichness _),
+    "events_burstiness"        -> (Events.burstiness _),
+    "text_zipf_slope"          -> ((s, d) => Text.zipfSlope(s, d)),
     "locf_fill"                -> (Events.locfFill _),
     "sliding_window_events"    -> (Events.slidingWindow _),
     "streak_islands"           -> (Events.streakIslands _),
@@ -238,7 +240,8 @@ object SparkEntry {
     "subquery_funcs", "array_setops_funcs", "rows_frame_window",
     "q7_volume_shipping", "q13_order_distribution", "q15_top_supplier",
     "event_gap_stats", "customer_rfm", "events_hourly_heatmap",
-    "orders_yoy_growth", "text_vocab_richness")
+    "orders_yoy_growth", "text_vocab_richness", "events_burstiness",
+    "text_zipf_slope")
 
   /** DuckDB-dialect oracle per query (driver runs these on the same parquet
     * files and hash-compares). Dialect forks: get_json_object↔
@@ -880,6 +883,41 @@ object SparkEntry {
         |  CAST(sum(freq) AS BIGINT) n_orders,
         |  CAST(sum(spend) AS DOUBLE) total_spend
         |FROM per, m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "events_burstiness" ->
+      // gaps floored to integer seconds (`div` ↔ `//`); mean/sd from
+      // exact integer sums of gap and gap² (the zscore discipline)
+      """WITH g AS (SELECT event_type,
+        |    (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |       PARTITION BY user_id, event_type ORDER BY ts, event_id))
+        |      // 1000000 gap_s
+        |  FROM events),
+        |s AS (SELECT event_type, count(*) n,
+        |    CAST(sum(gap_s) AS BIGINT) sm,
+        |    CAST(sum(gap_s * gap_s) AS BIGINT) sq
+        |  FROM g WHERE gap_s IS NOT NULL GROUP BY 1)
+        |SELECT event_type, n n_gaps,
+        |  round(CAST(sm AS DOUBLE) / n, 3) mean_gap_s,
+        |  round(sqrt((CAST(sq AS DOUBLE) - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE) / n)
+        |    / (n - 1)), 3) sd_gap_s,
+        |  round((sqrt((CAST(sq AS DOUBLE) - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE) / n)
+        |      / (n - 1)) - CAST(sm AS DOUBLE) / n)
+        |    / (sqrt((CAST(sq AS DOUBLE) - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE) / n)
+        |      / (n - 1)) + CAST(sm AS DOUBLE) / n), 4) burstiness
+        |FROM s ORDER BY 1""".stripMargin,
+
+    "text_zipf_slope" ->
+      // identical top-k + deterministic (cnt DESC, tok) ranks; integer
+      // (cnt, rank) into ln and a 4-dp round (regr_funcs precedent)
+      """WITH c AS (SELECT tok, count(*) cnt FROM (
+        |    SELECT unnest(string_split(lower(text), ' ')) tok FROM documents)
+        |  WHERE tok <> '' GROUP BY 1),
+        |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok) rank
+        |  FROM c ORDER BY cnt DESC, tok LIMIT 1000)
+        |SELECT CAST(count(*) AS BIGINT) n_ranks,
+        |  round(regr_slope(ln(cnt), ln(rank)), 4) zipf_slope,
+        |  round(regr_r2(ln(cnt), ln(rank)), 4) r2
+        |FROM r""".stripMargin,
 
     "events_hourly_heatmap" ->
       // ISO weekday (Mon=1): Spark weekday()+1 ↔ DuckDB isodow();

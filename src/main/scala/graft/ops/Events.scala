@@ -321,6 +321,41 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** Burstiness per event type — is the cadence regular (heartbeat),
+    * Poisson, or bursty? B = (σ−μ)/(σ+μ) over inter-event gaps: −1 for
+    * a metronome, 0 for Poisson, →1 for heavy bursts. Gaps come from
+    * the same (user, type) lag window as [[eventGapStats]], floored to
+    * integer seconds; mean and variance derive from exact integer sums
+    * of gap and gap² (the [[zscoreOutliers]] discipline — a streaming
+    * `stddev_samp` would differ in summation order across engines), so
+    * both engines compute identical doubles into the 4-dp round. One
+    * window exchange + a |types|-row agg; constant state per type. */
+  def burstiness(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val gaps = Tables.events(spark, dir)
+      .select(col("event_type"),
+        (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+          .as("gap_us"))
+      .where(col("gap_us").isNotNull)
+      // integer `div`, not `/` + cast: double division of a 2.6e12-µs gap
+      // can land at x.99999 and truncate off-by-one
+      .select(col("event_type"), expr("gap_us div 1000000").as("gap_s"))
+    val mean = col("sm").cast("double") / col("n")
+    val variance = (col("sq").cast("double") -
+      col("sm").cast("double") * col("sm").cast("double") / col("n")) /
+      (col("n") - 1)
+    gaps.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("gap_s")).as("sm"),
+        sum(col("gap_s") * col("gap_s")).as("sq"))
+      .select(col("event_type"), col("n").as("n_gaps"),
+        round(mean, 3).as("mean_gap_s"),
+        round(sqrt(variance), 3).as("sd_gap_s"),
+        round((sqrt(variance) - mean) / (sqrt(variance) + mean), 4)
+          .as("burstiness"))
+      .orderBy("event_type")
+  }
+
   /** Activity heatmap — the (ISO weekday × hour) grid behind every
     * "when are users active" dashboard: event count, distinct users and
     * exact value sum per cell. One two-phase hash agg straight off the

@@ -597,6 +597,29 @@ object Text {
       .orderBy("lang")
   }
 
+  /** Zipf power-law fit over the token rank–frequency curve — the other
+    * half of the corpus health check [[vocabRichness]] starts: natural
+    * text follows ln(freq) ≈ a − s·ln(rank) with s near 1; a flat slope
+    * flags templated/synthetic text, a cliff flags truncated vocab. The
+    * regression runs over the top-k count frame only (TakeOrdered — the
+    * vocab_top_tokens plan), so the fit is k-sized at any corpus scale;
+    * (cnt DESC, tok) is a total order making ranks deterministic.
+    * Integer (cnt, rank) into `ln` and a 4-dp round keep the regression
+    * cross-engine stable (the regr_funcs/collocations precedent). */
+  def zipfSlope(spark: SparkSession, dir: String, k: Int = 1000): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val top = counts.orderBy(col("cnt").desc, col("tok")).limit(k)
+    val w = Window.orderBy(col("cnt").desc, col("tok"))
+    top.select(row_number().over(w).cast("long").as("rank"), col("cnt"))
+      .agg(count(lit(1)).as("n_ranks"),
+        round(regr_slope(log(col("cnt")), log(col("rank"))), 4)
+          .as("zipf_slope"),
+        round(regr_r2(log(col("cnt")), log(col("rank"))), 4).as("r2"))
+  }
+
   /** Bigram collocations by pointwise mutual information: which word
     * pairs co-occur far above chance. Bigrams come from a row-local
     * higher-order transform over the token array (no self-join, no

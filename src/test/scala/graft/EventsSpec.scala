@@ -200,6 +200,22 @@ class EventsSpec extends GraftSpec {
     }
   }
 
+  test("burstiness: a metronome cadence lands at B = -1") {
+    val spark0 = spark
+    import spark0.implicits._
+    val d = s"$tmpDir/metronome"
+    // one user, one type, perfectly regular 60s gaps → sd = 0 → B = -1
+    (1 to 20).map(i => RawEv(i.toLong, (1735689600L + i * 60L) * 1000000000L,
+        1L, "tick", 1.0, "{}"))
+      .toDF().write.mode("overwrite").parquet(s"$d/events.parquet")
+    val r = Events.burstiness(spark, d).collect()
+    assert(r.length === 1)
+    assert(r.head.getLong(1) === 19L)
+    assert(r.head.getDouble(2) === 60.0, "mean gap")
+    assert(r.head.getDouble(3) === 0.0, "sd")
+    assert(r.head.getDouble(4) === -1.0, "burstiness of a metronome")
+  }
+
   test("event gap stats on sf0.001: one gap per non-first (user,type) event") {
     val perPair = Tables.events(spark, sf)
       .groupBy("user_id", "event_type").count()

@@ -265,6 +265,22 @@ class TextSpec extends GraftSpec {
       ("fr", 2L, 3L, 1L, 0.666667, 0.5)))
   }
 
+  test("zipf slope: an exact power law recovers its exponent") {
+    val spark0 = spark
+    import spark0.implicits._
+    val d = s"$tmpDir/zipffix"
+    // true Zipf with s = 1: freq(rank r) = floor(1000/r) — ln-ln is
+    // linear with slope -1 up to floor noise
+    val words = (1 to 8).flatMap(r => Seq.fill(1000 / r)(s"w$r"))
+    Seq(TextFixture.Doc(1, words.mkString(" "), "en", "s", 1))
+      .toDF().write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val r = Text.zipfSlope(spark, d, k = 8).collect().head
+    assert(r.getLong(0) === 8L)
+    // freq = 1000/r floored; slope ≈ -1 with high r²
+    assert(math.abs(r.getDouble(1) - (-1.0)) < 0.01, s"slope ${r.getDouble(1)}")
+    assert(r.getDouble(2) > 0.999, s"r2 ${r.getDouble(2)}")
+  }
+
   test("tfidf: top-k per source, scores recompute from tf·ln(n/df)") {
     val rows = Text.tfidfTopTerms(spark, sf, k = 5).collect()
     val nSrc = Tables.documents(spark, sf).select("source").distinct().count()
