@@ -121,6 +121,7 @@ object SparkEntry {
     "text_vocab_richness"      -> (Text.vocabRichness _),
     "events_burstiness"        -> (Events.burstiness _),
     "text_zipf_slope"          -> ((s, d) => Text.zipfSlope(s, d)),
+    "supplier_hhi"             -> (Relational.supplierHhi _),
     "locf_fill"                -> (Events.locfFill _),
     "sliding_window_events"    -> (Events.slidingWindow _),
     "streak_islands"           -> (Events.streakIslands _),
@@ -241,7 +242,7 @@ object SparkEntry {
     "q7_volume_shipping", "q13_order_distribution", "q15_top_supplier",
     "event_gap_stats", "customer_rfm", "events_hourly_heatmap",
     "orders_yoy_growth", "text_vocab_richness", "events_burstiness",
-    "text_zipf_slope")
+    "text_zipf_slope", "supplier_hhi")
 
   /** DuckDB-dialect oracle per query (driver runs these on the same parquet
     * files and hash-compares). Dialect forks: get_json_object↔
@@ -883,6 +884,24 @@ object SparkEntry {
         |  CAST(sum(freq) AS BIGINT) n_orders,
         |  CAST(sum(spend) AS DOUBLE) total_spend
         |FROM per, m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "supplier_hhi" ->
+      // revenue in exact integer cents; shares/HHI divide exact longs
+      // cast to double, squares computed double x double (cents² would
+      // overflow BIGINT); 6-dp round absorbs summation-order ulps
+      """WITH ps AS (SELECT l_suppkey,
+        |    CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+        |      * 10000 AS BIGINT) rc
+        |  FROM lineitem GROUP BY 1),
+        |pn AS (SELECT s_nationkey, count(*) n_sup,
+        |    CAST(sum(rc) AS BIGINT) tot, CAST(max(rc) AS BIGINT) mx,
+        |    sum(CAST(rc AS DOUBLE) * CAST(rc AS DOUBLE)) sq
+        |  FROM ps JOIN supplier ON l_suppkey = s_suppkey GROUP BY 1)
+        |SELECT n_name, n_sup,
+        |  round(sq / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)), 6) hhi,
+        |  round(CAST(mx AS DOUBLE) / CAST(tot AS DOUBLE), 6) top_share
+        |FROM pn JOIN nation ON s_nationkey = n_nationkey
+        |ORDER BY n_name""".stripMargin,
 
     "events_burstiness" ->
       // gaps floored to integer seconds (`div` ↔ `//`); mean/sd from

@@ -1252,6 +1252,39 @@ object Relational {
       .orderBy("yr")
   }
 
+  /** Supplier revenue concentration per nation — the Herfindahl–
+    * Hirschman index (Σ share², 1/n..1) plus the top-supplier share:
+    * the market-structure screen behind supply-risk dashboards. The
+    * fact collapses to per-supplier exact cent revenues in one
+    * two-phase hash agg, the supplier→nation dim broadcasts, and the
+    * nation rollup is dimension-sized — nothing input-scaled past the
+    * first combine. Shares and HHI divide/square exact cent longs cast
+    * to double (each term deterministic; the 6-dp round absorbs
+    * summation-order ulps, the stats_funcs precedent). Squares are
+    * computed double×double — a cents² long would overflow. */
+  def supplierHhi(spark: SparkSession, dir: String): DataFrame = {
+    val perSup = Tables.lineitem(spark, dir)
+      .groupBy(col("l_suppkey"))
+      .agg(sum(Recon.cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("rc"))
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+    val perNation = perSup.groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_sup"),
+        sum(col("rc")).as("tot"), max(col("rc")).as("mx"),
+        sum(col("rc").cast("double") * col("rc").cast("double")).as("sq"))
+    perNation
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("n_sup"),
+        round(col("sq") / (col("tot").cast("double") * col("tot").cast("double")), 6)
+          .as("hhi"),
+        round(col("mx").cast("double") / col("tot").cast("double"), 6)
+          .as("top_share"))
+      .orderBy("n_name")
+  }
+
   /** RFM segmentation — the classic customer-value grid: recency (days
     * since last order, vs the dataset's max date), frequency (order
     * count) and monetary (exact cent sum) per customer, bucketed by

@@ -173,6 +173,32 @@ class RelationalSpec extends GraftSpec {
     }
   }
 
+  test("supplier_hhi: bounds hold and a driver-side recompute agrees") {
+    val rows = Relational.supplierHhi(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, hhi, top) = (r.getLong(1), r.getDouble(2), r.getDouble(3))
+      assert(hhi >= 1.0 / n - 1e-9 && hhi <= 1.0 + 1e-9,
+        s"${r.getString(0)}: HHI $hhi outside [1/$n, 1]")
+      assert(top * top <= hhi + 1e-9, "top share² cannot exceed HHI")
+      assert(top >= 1.0 / n - 1e-9, "top share at least the uniform share")
+    }
+    // independent recompute for one nation from the raw tables
+    val name = rows.head.getString(0)
+    val nk = Tables.nation(spark, sf).filter(col("n_name") === name)
+      .select("n_nationkey").collect().head.getInt(0)
+    val rev = Tables.lineitem(spark, sf)
+      .join(Tables.supplier(spark, sf).filter(col("s_nationkey") === nk),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("l_suppkey")
+      .agg(sum(graft.ops.Recon.cents(
+        col("l_extendedprice") * (lit(1) - col("l_discount")))).as("rc"))
+      .collect().map(_.getLong(1).toDouble)
+    val tot = rev.sum
+    val expect = rev.map(x => (x / tot) * (x / tot)).sum
+    assert(math.abs(rows.head.getDouble(2) - expect) < 1e-4)
+  }
+
   test("customer_rfm: segments partition customers, totals reconcile") {
     val o = Tables.orders(spark, sf)
     val seg = Relational.customerRfm(spark, sf).collect()
