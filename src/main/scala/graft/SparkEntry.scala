@@ -122,6 +122,8 @@ object SparkEntry {
     "events_burstiness"        -> (Events.burstiness _),
     "text_zipf_slope"          -> ((s, d) => Text.zipfSlope(s, d)),
     "supplier_hhi"             -> (Relational.supplierHhi _),
+    "rolling_dau_7d"           -> (Events.rollingDau _),
+    "ship_lag_stats"           -> (Relational.shipLagStats _),
     "locf_fill"                -> (Events.locfFill _),
     "sliding_window_events"    -> (Events.slidingWindow _),
     "streak_islands"           -> (Events.streakIslands _),
@@ -242,7 +244,7 @@ object SparkEntry {
     "q7_volume_shipping", "q13_order_distribution", "q15_top_supplier",
     "event_gap_stats", "customer_rfm", "events_hourly_heatmap",
     "orders_yoy_growth", "text_vocab_richness", "events_burstiness",
-    "text_zipf_slope", "supplier_hhi")
+    "text_zipf_slope", "supplier_hhi", "rolling_dau_7d", "ship_lag_stats")
 
   /** DuckDB-dialect oracle per query (driver runs these on the same parquet
     * files and hash-compares). Dialect forks: get_json_object↔
@@ -884,6 +886,31 @@ object SparkEntry {
         |  CAST(sum(freq) AS BIGINT) n_orders,
         |  CAST(sum(spend) AS DOUBLE) total_spend
         |FROM per, m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "rolling_dau_7d" ->
+      // distinct (user, day) frame range-joined to the fixed day grid;
+      // left join keeps silent days as zero rows (resample convention)
+      """WITH grid_days AS (
+        |  SELECT CAST(unnest(generate_series(DATE '2024-01-01', DATE '2024-01-30',
+        |    INTERVAL '1 day')) AS DATE) dy),
+        |ud AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) d, user_id
+        |  FROM events)
+        |SELECT g.dy, count(DISTINCT ud.user_id) dau7,
+        |  count(DISTINCT CASE WHEN ud.d = g.dy THEN ud.user_id END) dau1
+        |FROM grid_days g LEFT JOIN ud
+        |  ON ud.d BETWEEN g.dy - INTERVAL 6 DAY AND g.dy
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "ship_lag_stats" ->
+      // lags in exact integer days; only presentation divisions are float
+      """WITH l AS (SELECT o_orderpriority,
+        |    date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) lag_d
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT o_orderpriority, count(*) n,
+        |  round(CAST(sum(lag_d) AS DOUBLE) / count(*), 3) avg_lag_d,
+        |  CAST(min(lag_d) AS INT) mn_lag_d, CAST(max(lag_d) AS INT) mx_lag_d,
+        |  round(CAST(count_if(lag_d > 90) AS DOUBLE) / count(*), 6) sla_miss_share
+        |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "supplier_hhi" ->
       // revenue in exact integer cents; shares/HHI divide exact longs

@@ -321,6 +321,28 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** Trailing-7-day distinct active users per calendar day (plus the
+    * same-day count) — the DAU/rolling-WAU staple of every growth
+    * dashboard. The event stream collapses to the distinct (user, day)
+    * frame FIRST (the cohort_retention discipline — |users|×|days|
+    * rows, never the raw stream), then range-joins the broadcast
+    * 30-row day grid (each activity row lands in ≤7 grid days) and
+    * counts distincts per day. Left join keeps silent days as explicit
+    * zero rows, the resample_daily convention. Nothing bigger than
+    * |users|×|days|×7 exists anywhere in the plan. */
+  def rollingDau(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+    val days = spark.range(1).select(explode(sequence(
+      lit("2024-01-01").cast("date"), lit("2024-01-30").cast("date"))).as("dy"))
+    broadcast(days)
+      .join(ud, col("d").between(date_sub(col("dy"), 6), col("dy")), "left")
+      .groupBy("dy")
+      .agg(countDistinct(col("user_id")).as("dau7"),
+        countDistinct(when(col("d") === col("dy"), col("user_id"))).as("dau1"))
+      .orderBy("dy")
+  }
+
   /** Burstiness per event type — is the cadence regular (heartbeat),
     * Poisson, or bursty? B = (σ−μ)/(σ+μ) over inter-event gaps: −1 for
     * a metronome, 0 for Poisson, →1 for heavy bursts. Gaps come from

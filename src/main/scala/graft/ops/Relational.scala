@@ -1252,6 +1252,27 @@ object Relational {
       .orderBy("yr")
   }
 
+  /** Order→ship latency distribution per priority — the fulfillment-SLA
+    * report: how long after ordering did line items actually ship, and
+    * what share blew the 90-day SLA. One orderkey-shuffled join (the
+    * q3/q10 exchange family — both sides hash the join key once) into a
+    * priority-sized agg; lags are exact integer days, so only the final
+    * presentation divisions are float and both engines round identical
+    * doubles (the event_gap_stats discipline). */
+  def shipLagStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("l_shipdate"), col("o_orderdate")).as("lag_d"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("lag_d")).cast("double") / count(lit(1)), 3)
+          .as("avg_lag_d"),
+        min(col("lag_d")).as("mn_lag_d"), max(col("lag_d")).as("mx_lag_d"),
+        round(count_if(col("lag_d") > 90).cast("double") / count(lit(1)), 6)
+          .as("sla_miss_share"))
+      .orderBy("o_orderpriority")
+
   /** Supplier revenue concentration per nation — the Herfindahl–
     * Hirschman index (Σ share², 1/n..1) plus the top-supplier share:
     * the market-structure screen behind supply-risk dashboards. The

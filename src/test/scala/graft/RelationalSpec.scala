@@ -173,6 +173,24 @@ class RelationalSpec extends GraftSpec {
     }
   }
 
+  test("ship_lag_stats: totals reconcile and the SLA share recomputes") {
+    val rows = Relational.shipLagStats(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum === Tables.lineitem(spark, sf).count(),
+      "every line item lands in exactly one priority row")
+    val joined = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("l_shipdate"), col("o_orderdate")).as("lag"))
+    rows.foreach { r =>
+      val p = r.getString(0)
+      val lags = joined.filter(col("o_orderpriority") === p)
+        .collect().map(_.getInt(1))
+      assert(r.getInt(3) === lags.min && r.getInt(4) === lags.max, p)
+      val miss = lags.count(_ > 90).toDouble / lags.length
+      assert(math.abs(r.getDouble(5) - miss) < 1e-6, s"$p sla share")
+    }
+  }
+
   test("supplier_hhi: bounds hold and a driver-side recompute agrees") {
     val rows = Relational.supplierHhi(spark, sf).collect()
     assert(rows.nonEmpty)
