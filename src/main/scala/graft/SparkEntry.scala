@@ -123,6 +123,7 @@ object SparkEntry {
     "text_zipf_slope"          -> ((s, d) => Text.zipfSlope(s, d)),
     "supplier_hhi"             -> (Relational.supplierHhi _),
     "rolling_dau_7d"           -> (Events.rollingDau _),
+    "dup_size_distribution"    -> (Text.dupSizeDistribution _),
     "ship_lag_stats"           -> (Relational.shipLagStats _),
     "locf_fill"                -> (Events.locfFill _),
     "sliding_window_events"    -> (Events.slidingWindow _),
@@ -244,7 +245,8 @@ object SparkEntry {
     "q7_volume_shipping", "q13_order_distribution", "q15_top_supplier",
     "event_gap_stats", "customer_rfm", "events_hourly_heatmap",
     "orders_yoy_growth", "text_vocab_richness", "events_burstiness",
-    "text_zipf_slope", "supplier_hhi", "rolling_dau_7d", "ship_lag_stats")
+    "text_zipf_slope", "supplier_hhi", "rolling_dau_7d", "ship_lag_stats",
+    "dup_size_distribution")
 
   /** DuckDB-dialect oracle per query (driver runs these on the same parquet
     * files and hash-compares). Dialect forks: get_json_object↔
@@ -886,6 +888,17 @@ object SparkEntry {
         |  CAST(sum(freq) AS BIGINT) n_orders,
         |  CAST(sum(spend) AS DOUBLE) total_spend
         |FROM per, m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "dup_size_distribution" ->
+      // family sizes over the same md5 key as dedup_exact; share from
+      // exact integer counts against the corpus total
+      """WITH fams AS (SELECT md5(text) h, count(*) fam_size
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT count(*) n_total FROM documents)
+        |SELECT fam_size, count(*) n_families,
+        |  CAST(fam_size * count(*) AS BIGINT) n_docs,
+        |  round(CAST(fam_size * count(*) AS DOUBLE) / n_total, 6) corpus_share
+        |FROM fams, t GROUP BY fam_size, n_total ORDER BY fam_size""".stripMargin,
 
     "rolling_dau_7d" ->
       // distinct (user, day) frame range-joined to the fixed day grid;

@@ -1256,12 +1256,19 @@ object Relational {
     * report: how long after ordering did line items actually ship, and
     * what share blew the 90-day SLA. One orderkey-shuffled join (the
     * q3/q10 exchange family — both sides hash the join key once) into a
-    * priority-sized agg; lags are exact integer days, so only the final
-    * presentation divisions are float and both engines round identical
-    * doubles (the event_gap_stats discipline). */
-  def shipLagStats(spark: SparkSession, dir: String): DataFrame =
+    * priority-sized agg. A q17-style size-gated broadcast of the pruned
+    * orders side was A/B'd and REJECTED on measurement (0.62 s vs
+    * 0.52 s sf0.1): a 150 k-row broadcast build costs more than the
+    * shuffle it saves, and at 100 TB orders is a fact — no broadcast
+    * exists — so the shuffle join is both the faster small plan and the
+    * only honest large one. Lags are exact integer days, so only the
+    * final presentation divisions are float and both engines round
+    * identical doubles (the event_gap_stats discipline). */
+  def shipLagStats(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
     Tables.lineitem(spark, dir)
-      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
       .select(col("o_orderpriority"),
         datediff(col("l_shipdate"), col("o_orderdate")).as("lag_d"))
       .groupBy("o_orderpriority")
@@ -1272,6 +1279,7 @@ object Relational {
         round(count_if(col("lag_d") > 90).cast("double") / count(lit(1)), 6)
           .as("sla_miss_share"))
       .orderBy("o_orderpriority")
+  }
 
   /** Supplier revenue concentration per nation — the Herfindahl–
     * Hirschman index (Σ share², 1/n..1) plus the top-supplier share:

@@ -53,6 +53,29 @@ object Text {
       .orderBy("source")
   }
 
+  /** Exact-duplicate family-size distribution — the duplication PROFILE
+    * behind [[dedupExact]]'s single number: how many families of size 1,
+    * 2, 3… exist, and what share of the corpus each size class holds. A
+    * corpus that is 40% size-2 families needs different dedup tuning
+    * than one with a single 10 000-copy family. Same md5-hash group key
+    * as dedupExact (text never shuffles), then the family-count frame
+    * collapses to a size-class histogram — two nested two-phase hash
+    * aggs, each output smaller than the last, corpus share from exact
+    * integer counts against the broadcast total. */
+  def dupSizeDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val fams = docs(spark, dir)
+      .groupBy(md5(col("text")).as("h")).agg(count(lit(1)).as("fam_size"))
+    val total = docs(spark, dir).agg(count(lit(1)).as("n_total"))
+    fams.groupBy(col("fam_size"))
+      .agg(count(lit(1)).as("n_families"))
+      .crossJoin(broadcast(total))
+      .select(col("fam_size"), col("n_families"),
+        (col("fam_size") * col("n_families")).as("n_docs"),
+        round((col("fam_size") * col("n_families")).cast("double") /
+          col("n_total"), 6).as("corpus_share"))
+      .orderBy("fam_size")
+  }
+
   /** Top-20 terms: tokenize, explode, count. */
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)

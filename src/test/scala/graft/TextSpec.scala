@@ -265,6 +265,22 @@ class TextSpec extends GraftSpec {
       ("fr", 2L, 3L, 1L, 0.666667, 0.5)))
   }
 
+  test("dup size distribution: synthesized families land in the right classes") {
+    val spark0 = spark
+    import spark0.implicits._
+    val d = s"$tmpDir/dupfix"
+    // 3 singletons, one size-2 family, one size-3 family → 8 docs
+    val docs = Seq("a", "b", "c", "dd", "dd", "eee", "eee", "eee")
+      .zipWithIndex.map { case (t, i) => TextFixture.Doc(i.toLong, t, "en", "s", t.length.toLong) }
+    docs.toDF().write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = Text.dupSizeDistribution(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got === Map(
+      1L -> ((3L, 3L, 0.375)),
+      2L -> ((1L, 2L, 0.25)),
+      3L -> ((1L, 3L, 0.375))))
+  }
+
   test("zipf slope: an exact power law recovers its exponent") {
     val spark0 = spark
     import spark0.implicits._
