@@ -124,6 +124,7 @@ object SparkEntry {
     "supplier_hhi"             -> (Relational.supplierHhi _),
     "rolling_dau_7d"           -> (Events.rollingDau _),
     "dup_size_distribution"    -> (Text.dupSizeDistribution _),
+    "value_percentiles_by_type" -> (Events.valuePercentilesByType _),
     "ship_lag_stats"           -> (Relational.shipLagStats _),
     "locf_fill"                -> (Events.locfFill _),
     "sliding_window_events"    -> (Events.slidingWindow _),
@@ -246,7 +247,7 @@ object SparkEntry {
     "event_gap_stats", "customer_rfm", "events_hourly_heatmap",
     "orders_yoy_growth", "text_vocab_richness", "events_burstiness",
     "text_zipf_slope", "supplier_hhi", "rolling_dau_7d", "ship_lag_stats",
-    "dup_size_distribution")
+    "dup_size_distribution", "value_percentiles_by_type")
 
   /** DuckDB-dialect oracle per query (driver runs these on the same parquet
     * files and hash-compares). Dialect forks: get_json_object↔
@@ -888,6 +889,15 @@ object SparkEntry {
         |  CAST(sum(freq) AS BIGINT) n_orders,
         |  CAST(sum(spend) AS DOUBLE) total_spend
         |FROM per, m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "value_percentiles_by_type" ->
+      // quantile_disc returns actual data values — exact cross-engine
+      // equality, no interpolation or rounding anywhere
+      """SELECT event_type, CAST(count(*) AS BIGINT) n,
+        |  quantile_disc(value, 0.50) p50,
+        |  quantile_disc(value, 0.90) p90,
+        |  quantile_disc(value, 0.99) p99
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "dup_size_distribution" ->
       // family sizes over the same md5 key as dedup_exact; share from

@@ -321,6 +321,40 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** PERCENTILE_DISC p50/p90/p99 of `value` per event type — the
+    * latency-percentile report shape every SLO dashboard runs, here as
+    * discrete quantiles (actual data values, so no interpolation
+    * arithmetic to diverge between engines). Ranks stay in EXACT
+    * integer arithmetic — ceil(q·n) as `(p·n + 99) div 100` — because
+    * the float spelling `ceil(0.9 * n)` overshoots by one whenever the
+    * product lands an ulp above a true integer (0.9·20000 =
+    * 18000.000000000004 in binary). Selection is
+    * [[graft.ops.Selection.valueAtRanks]] (bucket-then-refine), so
+    * nothing row-count-sized is sorted or buffered at any scale; the
+    * ranks frame is built in-plan from the counts — no driver action. */
+  def valuePercentilesByType(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(spark, dir)
+      .select(col("event_type"), col("value").as("v"))
+    val counts = base.groupBy("event_type").agg(count(lit(1)).as("cnt"))
+    val tagged = counts.select(col("event_type"), col("cnt"), explode(array(
+        struct(lit("p50").as("tag"),
+          expr("(50 * cnt + 99) div 100").as("rank")),
+        struct(lit("p90").as("tag"),
+          expr("(90 * cnt + 99) div 100").as("rank")),
+        struct(lit("p99").as("tag"),
+          expr("(99 * cnt + 99) div 100").as("rank")))).as("t"))
+      .select(col("event_type"), col("cnt"), col("t.tag"), col("t.rank"))
+    val vals = Selection.valueAtRanks(base, Seq("event_type"), "v",
+      tagged.select(col("event_type"), col("rank")).distinct())
+    tagged.join(vals, Seq("event_type", "rank"))
+      .groupBy("event_type")
+      .agg(max("cnt").as("n"),
+        max(when(col("tag") === "p50", col("value"))).as("p50"),
+        max(when(col("tag") === "p90", col("value"))).as("p90"),
+        max(when(col("tag") === "p99", col("value"))).as("p99"))
+      .orderBy("event_type")
+  }
+
   /** Trailing-7-day distinct active users per calendar day (plus the
     * same-day count) — the DAU/rolling-WAU staple of every growth
     * dashboard. The event stream collapses to the distinct (user, day)

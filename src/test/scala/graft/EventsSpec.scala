@@ -200,6 +200,22 @@ class EventsSpec extends GraftSpec {
     }
   }
 
+  test("value percentiles: selection matches a driver-side sort at disc ranks") {
+    val rows = Events.valuePercentilesByType(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val vs = Tables.events(spark, sf).filter(col("event_type") === t)
+        .select("value").collect().map(_.getDouble(0)).sorted
+      val n = vs.length
+      def disc(p: Int) = vs(((p * n + 99) / 100 - 1).toInt)
+      assert(r.getLong(1) === n.toLong, t)
+      assert(r.getDouble(2) === disc(50), s"$t p50")
+      assert(r.getDouble(3) === disc(90), s"$t p90")
+      assert(r.getDouble(4) === disc(99), s"$t p99")
+    }
+  }
+
   test("rolling DAU: trailing-7 window hand-computed on a sparse timeline") {
     val spark0 = spark
     import spark0.implicits._
