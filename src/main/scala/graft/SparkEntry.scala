@@ -125,6 +125,8 @@ object SparkEntry {
     "rolling_dau_7d"           -> (Events.rollingDau _),
     "dup_size_distribution"    -> (Text.dupSizeDistribution _),
     "value_percentiles_by_type" -> (Events.valuePercentilesByType _),
+    "funnel_time_to_convert"   -> (Events.funnelTimeToConvert _),
+    "event_mix_daily"          -> (Events.eventMixDaily _),
     "ship_lag_stats"           -> (Relational.shipLagStats _),
     "locf_fill"                -> (Events.locfFill _),
     "sliding_window_events"    -> (Events.slidingWindow _),
@@ -247,7 +249,8 @@ object SparkEntry {
     "event_gap_stats", "customer_rfm", "events_hourly_heatmap",
     "orders_yoy_growth", "text_vocab_richness", "events_burstiness",
     "text_zipf_slope", "supplier_hhi", "rolling_dau_7d", "ship_lag_stats",
-    "dup_size_distribution", "value_percentiles_by_type")
+    "dup_size_distribution", "value_percentiles_by_type",
+    "funnel_time_to_convert", "event_mix_daily")
 
   /** DuckDB-dialect oracle per query (driver runs these on the same parquet
     * files and hash-compares). Dialect forks: get_json_object↔
@@ -889,6 +892,56 @@ object SparkEntry {
         |  CAST(sum(freq) AS BIGINT) n_orders,
         |  CAST(sum(spend) AS DOUBLE) total_spend
         |FROM per, m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "funnel_time_to_convert" ->
+      // staged first-event mins mirror funnel_conversion's oracle; the
+      // journey time is exact integer µs, only presentation divides
+      """WITH t1 AS (SELECT user_id, min(ts) t1 FROM events
+        |    WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (SELECT e.user_id, min(e.ts) t2 FROM events e JOIN t1 USING (user_id)
+        |    WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY 1),
+        |t3 AS (SELECT e.user_id, min(e.ts) t3 FROM events e JOIN t2 USING (user_id)
+        |    WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY 1),
+        |g AS (SELECT epoch_us(t3.t3) - epoch_us(t1.t1) us FROM t3 JOIN t1 USING (user_id))
+        |SELECT CAST(count(*) AS BIGINT) n_converted,
+        |  round(CAST(sum(us) AS DOUBLE) / count(*) / 1000000, 3) avg_s,
+        |  round(min(us) / 1000000.0, 6) mn_s,
+        |  round(max(us) / 1000000.0, 6) mx_s
+        |FROM g""".stripMargin,
+
+    "event_mix_daily" ->
+      // shares divide exact integer counts; totals from the cell frame
+      """WITH c AS (SELECT CAST(date_trunc('day', ts) AS DATE) d, event_type,
+        |    count(*) n FROM events GROUP BY 1, 2),
+        |t AS (SELECT d, CAST(sum(n) AS BIGINT) day_n FROM c GROUP BY 1)
+        |SELECT c.d, c.event_type, c.n,
+        |  round(CAST(c.n AS DOUBLE) / t.day_n, 6) pct
+        |FROM c JOIN t USING (d) ORDER BY 1, 2""".stripMargin,
+
+    "funnel_time_to_convert" ->
+      // staged first-event mins mirror funnel_conversion's oracle; the
+      // journey time is exact integer µs, only presentation divides
+      """WITH t1 AS (SELECT user_id, min(ts) t1 FROM events
+        |    WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (SELECT e.user_id, min(e.ts) t2 FROM events e JOIN t1 USING (user_id)
+        |    WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY 1),
+        |t3 AS (SELECT e.user_id, min(e.ts) t3 FROM events e JOIN t2 USING (user_id)
+        |    WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY 1),
+        |g AS (SELECT epoch_us(t3.t3) - epoch_us(t1.t1) us FROM t3 JOIN t1 USING (user_id))
+        |SELECT CAST(count(*) AS BIGINT) n_converted,
+        |  round(CAST(sum(us) AS DOUBLE) / count(*) / 1000000, 3) avg_s,
+        |  round(min(us) / 1000000.0, 6) mn_s,
+        |  round(max(us) / 1000000.0, 6) mx_s
+        |FROM g""".stripMargin,
+
+    "event_mix_daily" ->
+      // shares divide exact integer counts; totals from the cell frame
+      """WITH c AS (SELECT CAST(date_trunc('day', ts) AS DATE) d, event_type,
+        |    count(*) n FROM events GROUP BY 1, 2),
+        |t AS (SELECT d, CAST(sum(n) AS BIGINT) day_n FROM c GROUP BY 1)
+        |SELECT c.d, c.event_type, c.n,
+        |  round(CAST(c.n AS DOUBLE) / t.day_n, 6) pct
+        |FROM c JOIN t USING (d) ORDER BY 1, 2""".stripMargin,
 
     "value_percentiles_by_type" ->
       // quantile_disc returns actual data values — exact cross-engine

@@ -214,6 +214,54 @@ object Events {
       .orderBy("stage")
   }
 
+  /** Time-to-convert through the strict view→click→purchase funnel —
+    * the metric the funnel COUNTS hide: among fully-converted users, how
+    * long did the journey take? Reuses [[funnelConversion]]'s staged
+    * first-event frames (per-user min aggregates, user-keyed exchanges,
+    * each stage frame ≤ |users| rows), takes purchase−view in exact
+    * integer microseconds per converted user, and aggregates to one
+    * row: only the final presentation divisions are float (the
+    * event_gap_stats discipline). */
+  def funnelTimeToConvert(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select("user_id", "ts", "event_type")
+    def first(typ: String, after: Option[DataFrame], tcol: String): DataFrame = {
+      val base = ev.filter(col("event_type") === typ)
+      val scoped = after match {
+        case Some(prev) => base.join(prev, "user_id")
+          .filter(col("ts") > col(prev.columns.last))
+        case None => base
+      }
+      scoped.groupBy("user_id").agg(min(col("ts")).as(tcol))
+    }
+    val t1 = first("view", None, "t1")
+    val t3 = first("purchase", Some(first("click", Some(t1), "t2")), "t3")
+    t3.join(t1, "user_id")
+      .select((unix_micros(col("t3")) - unix_micros(col("t1"))).as("us"))
+      .agg(count(lit(1)).as("n_converted"),
+        round(sum(col("us")).cast("double") / count(lit(1)) / 1000000L, 3)
+          .as("avg_s"),
+        round(min(col("us")) / lit(1000000.0), 6).as("mn_s"),
+        round(max(col("us")) / lit(1000000.0), 6).as("mx_s"))
+  }
+
+  /** Daily event-type mix — the composition-drift monitor: each day's
+    * share of traffic per event type. A pipeline whose click share
+    * doubles overnight has a tracking bug long before any volume alarm
+    * fires. Counts per (day, type) collapse map-side (two-phase hash
+    * agg); the per-day totals come from a second tiny agg over the
+    * CELL frame (never the stream) joined back cell-to-day; shares
+    * divide exact integer counts, 6-dp round (`Events.eventMixDaily`). */
+  def eventMixDaily(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("d"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy("d").agg(sum("n").as("day_n"))
+    cells.join(totals, "d")
+      .select(col("d"), col("event_type"), col("n"),
+        round(col("n").cast("double") / col("day_n"), 6).as("pct"))
+      .orderBy("d", "event_type")
+  }
+
   /** Cohort retention — the product-analytics companion to the funnel:
     * users grouped by the month of their FIRST event (the cohort), then
     * for each cohort × months-since-first, how many of its users were

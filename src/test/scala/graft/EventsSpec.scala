@@ -200,6 +200,33 @@ class EventsSpec extends GraftSpec {
     }
   }
 
+  test("funnel time-to-convert: hand-computed journey on the fixture") {
+    val spark0 = spark
+    import spark0.implicits._
+    val d = s"$tmpDir/convfix"
+    // u1 converts: view@0, click@10m, purchase@25m → 1500s journey;
+    // u2 never clicks after viewing (click precedes view) → not converted
+    Seq(
+      ev2(1, 1, 0, "view"), ev2(2, 1, 10, "click"), ev2(3, 1, 25, "purchase"),
+      ev2(4, 2, 5, "click"), ev2(5, 2, 8, "view"), ev2(6, 2, 20, "purchase"))
+      .toDF().write.mode("overwrite").parquet(s"$d/events.parquet")
+    val r = Events.funnelTimeToConvert(spark, d).collect().head
+    assert(r.getLong(0) === 1L, "only u1 converts strictly in order")
+    assert(r.getDouble(1) === 1500.0)
+    assert(r.getDouble(2) === 1500.0 && r.getDouble(3) === 1500.0)
+  }
+
+  test("event mix: shares sum to 1 per day on sf0.001") {
+    val mix = Events.eventMixDaily(spark, sf).collect()
+    mix.groupBy(_.getDate(0)).foreach { case (d, rs) =>
+      assert(math.abs(rs.map(_.getDouble(3)).sum - 1.0) < 1e-4, s"day $d")
+    }
+    assert(mix.map(_.getLong(2)).sum === Tables.events(spark, sf).count())
+  }
+
+  private def ev2(id: Long, user: Long, minute: Long, typ: String) =
+    RawEv(id, (1735689600L + minute * 60) * 1000000000L, user, typ, 1.0, "{}")
+
   test("value percentiles: selection matches a driver-side sort at disc ranks") {
     val rows = Events.valuePercentilesByType(spark, sf).collect()
     assert(rows.nonEmpty)
