@@ -127,6 +127,7 @@ object SparkEntry {
     "value_percentiles_by_type" -> (Events.valuePercentilesByType _),
     "funnel_time_to_convert"   -> (Events.funnelTimeToConvert _),
     "event_mix_daily"          -> (Events.eventMixDaily _),
+    "nth_value_funcs"          -> (Relational.nthValueFuncs _),
     "ship_lag_stats"           -> (Relational.shipLagStats _),
     "locf_fill"                -> (Events.locfFill _),
     "sliding_window_events"    -> (Events.slidingWindow _),
@@ -250,7 +251,7 @@ object SparkEntry {
     "orders_yoy_growth", "text_vocab_richness", "events_burstiness",
     "text_zipf_slope", "supplier_hhi", "rolling_dau_7d", "ship_lag_stats",
     "dup_size_distribution", "value_percentiles_by_type",
-    "funnel_time_to_convert", "event_mix_daily")
+    "funnel_time_to_convert", "event_mix_daily", "nth_value_funcs")
 
   /** DuckDB-dialect oracle per query (driver runs these on the same parquet
     * files and hash-compares). Dialect forks: get_json_object↔
@@ -893,6 +894,19 @@ object SparkEntry {
         |  CAST(sum(spend) AS DOUBLE) total_spend
         |FROM per, m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    "nth_value_funcs" ->
+      // whole-frame positional battery; identical ROWS UNBOUNDED..UNBOUNDED
+      // frame, null second_price for 1-order customers in both engines
+      """SELECT o_custkey, o_orderkey,
+        |  nth_value(o_totalprice, 2) OVER w second_price,
+        |  first_value(o_totalprice) OVER w first_price,
+        |  last_value(o_totalprice) OVER w last_price,
+        |  count(*) OVER w n_orders
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey LIMIT 200""".stripMargin,
+
     "funnel_time_to_convert" ->
       // staged first-event mins mirror funnel_conversion's oracle; the
       // journey time is exact integer µs, only presentation divides
@@ -917,6 +931,19 @@ object SparkEntry {
         |SELECT c.d, c.event_type, c.n,
         |  round(CAST(c.n AS DOUBLE) / t.day_n, 6) pct
         |FROM c JOIN t USING (d) ORDER BY 1, 2""".stripMargin,
+
+    "nth_value_funcs" ->
+      // whole-frame positional battery; identical ROWS UNBOUNDED..UNBOUNDED
+      // frame, null second_price for 1-order customers in both engines
+      """SELECT o_custkey, o_orderkey,
+        |  nth_value(o_totalprice, 2) OVER w second_price,
+        |  first_value(o_totalprice) OVER w first_price,
+        |  last_value(o_totalprice) OVER w last_price,
+        |  count(*) OVER w n_orders
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey LIMIT 200""".stripMargin,
 
     "funnel_time_to_convert" ->
       // staged first-event mins mirror funnel_conversion's oracle; the

@@ -159,6 +159,29 @@ object Relational {
       .limit(200)
   }
 
+  /** Whole-frame positional window battery — nth_value / first / last
+    * over the UNBOUNDED-to-UNBOUNDED rows frame, the surface
+    * [[windowFuncs]]'s default (growing) frame can't express: "this
+    * customer's 2nd-ever and latest order" on every row. All three
+    * share one whole-partition frame over the same (custkey; date, key)
+    * spec — one shuffle, one sort; nth_value is null for customers with
+    * fewer than 2 orders in both engines (no frame row 2). Per-customer
+    * frames are order-count-sized (schema-constant fan-in), the q17
+    * window argument. */
+  def nthValueFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        nth_value(col("o_totalprice"), 2).over(w).as("second_price"),
+        first(col("o_totalprice")).over(w).as("first_price"),
+        last(col("o_totalprice")).over(w).as("last_price"),
+        count(lit(1)).over(w).as("n_orders"))
+      .orderBy("o_custkey", "o_orderkey")
+      .limit(200)
+  }
+
   /** Exact interpolated percentiles per order status: the two values
     * straddling `p * (n-1)` come from [[Selection.valueAtRanks]]
     * (bucket-then-refine distributed selection), then the linear

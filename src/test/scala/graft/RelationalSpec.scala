@@ -157,6 +157,27 @@ class RelationalSpec extends GraftSpec {
     assert(small.toSeq === sel.toSeq)
   }
 
+  test("nth_value: whole-frame positions recompute from a driver-side sort") {
+    val rows = Relational.nthValueFuncs(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byCust = Tables.orders(spark, sf)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "o_orderdate")
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (c, rs) =>
+        c -> rs.sortBy(r => (r.getTimestamp(3).getTime, r.getLong(1)))
+          .map(_.getDouble(2))
+      }
+    rows.foreach { r =>
+      val prices = byCust(r.getLong(0))
+      assert(r.getLong(5) === prices.length.toLong)
+      assert(r.getDouble(3) === prices.head, "first")
+      assert(r.getDouble(4) === prices.last, "last")
+      if (prices.length >= 2) assert(r.getDouble(2) === prices(1), "second")
+      else assert(r.isNullAt(2), "second must be null for 1-order customers")
+    }
+  }
+
   test("orders_yoy_growth: growth recomputes from the yearly revenue column") {
     val rows = Relational.yoyGrowth(spark, sf).collect()
     assert(rows.map(_.getLong(1)).sum === Tables.orders(spark, sf).count())
