@@ -103,6 +103,24 @@ class EventsTimestampUnitSpec extends GraftSpec {
         "unit rescale for this testdata generation (nanos-vs-micros drift)")
   }
 
+  test("canary: orders and lineitem dates land in sane years too") {
+    // the same silent-unit-switch failure class as events: if a testdata
+    // regeneration changes o_orderdate/l_shipdate physical units, every
+    // TPC-H op goes red at once — this names the drift in one line
+    val (oMin, oMax) = Tables.orders(spark, sf)
+      .agg(year(min("o_orderdate")), year(max("o_orderdate")))
+      .as[(Int, Int)].head()
+    assert(oMin >= 1990 && oMax <= 2010,
+      s"orders.o_orderdate reads as years [$oMin, $oMax] — check the parquet " +
+        "footer unit against Tables.orders' pinned TimestampType schema")
+    val (lMin, lMax) = Tables.lineitem(spark, sf)
+      .agg(year(min("l_shipdate")), year(max("l_shipdate")))
+      .as[(Int, Int)].head()
+    assert(lMin >= 1990 && lMax <= 2010,
+      s"lineitem.l_shipdate reads as years [$lMin, $lMax] — check the parquet " +
+        "footer unit against Tables.lineitem's pinned TimestampType schema")
+  }
+
   test("sniffed unit is cached per path (no re-probe, stable result)") {
     val usDir = Files.createTempDirectory("events-cache").toString
     writeMicrosFixture(usDir)
