@@ -128,6 +128,7 @@ object SparkEntry {
     "funnel_time_to_convert"   -> (Events.funnelTimeToConvert _),
     "event_mix_daily"          -> (Events.eventMixDaily _),
     "nth_value_funcs"          -> (Relational.nthValueFuncs _),
+    "recon_psi_drift"          -> (Recon.psiDrift _),
     "ship_lag_stats"           -> (Relational.shipLagStats _),
     "locf_fill"                -> (Events.locfFill _),
     "sliding_window_events"    -> (Events.slidingWindow _),
@@ -251,7 +252,8 @@ object SparkEntry {
     "orders_yoy_growth", "text_vocab_richness", "events_burstiness",
     "text_zipf_slope", "supplier_hhi", "rolling_dau_7d", "ship_lag_stats",
     "dup_size_distribution", "value_percentiles_by_type",
-    "funnel_time_to_convert", "event_mix_daily", "nth_value_funcs")
+    "funnel_time_to_convert", "event_mix_daily", "nth_value_funcs",
+    "recon_psi_drift")
 
   /** DuckDB-dialect oracle per query (driver runs these on the same parquet
     * files and hash-compares). Dialect forks: get_json_object↔
@@ -894,6 +896,28 @@ object SparkEntry {
         |  CAST(sum(spend) AS DOUBLE) total_spend
         |FROM per, m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    "recon_psi_drift" ->
+      // identical fixed 50k buckets, deterministic 1.02x drift from
+      // 1997, shares clamped at 1e-6 before ln (standard PSI guard)
+      """WITH b AS (
+        |  SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) b_src,
+        |    CAST(floor(CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+        |      THEN o_totalprice * 1.02 ELSE o_totalprice END / 50000) AS BIGINT) b_tgt
+        |  FROM orders),
+        |cs AS (SELECT b_src bucket, count(*) n FROM b GROUP BY 1),
+        |ct AS (SELECT b_tgt bucket, count(*) n FROM b GROUP BY 1),
+        |c AS (SELECT coalesce(cs.bucket, ct.bucket) bucket,
+        |    CAST(coalesce(cs.n, 0) AS BIGINT) n_src,
+        |    CAST(coalesce(ct.n, 0) AS BIGINT) n_tgt
+        |  FROM cs FULL OUTER JOIN ct ON cs.bucket = ct.bucket),
+        |t AS (SELECT count(*) n_total FROM orders)
+        |SELECT bucket, n_src, n_tgt,
+        |  round((greatest(CAST(n_src AS DOUBLE) / n_total, 1e-6)
+        |       - greatest(CAST(n_tgt AS DOUBLE) / n_total, 1e-6))
+        |    * ln(greatest(CAST(n_src AS DOUBLE) / n_total, 1e-6)
+        |       / greatest(CAST(n_tgt AS DOUBLE) / n_total, 1e-6)), 6) psi_contrib
+        |FROM c, t ORDER BY bucket""".stripMargin,
+
     "nth_value_funcs" ->
       // whole-frame positional battery; identical ROWS UNBOUNDED..UNBOUNDED
       // frame, null second_price for 1-order customers in both engines
@@ -931,6 +955,28 @@ object SparkEntry {
         |SELECT c.d, c.event_type, c.n,
         |  round(CAST(c.n AS DOUBLE) / t.day_n, 6) pct
         |FROM c JOIN t USING (d) ORDER BY 1, 2""".stripMargin,
+
+    "recon_psi_drift" ->
+      // identical fixed 50k buckets, deterministic 1.02x drift from
+      // 1997, shares clamped at 1e-6 before ln (standard PSI guard)
+      """WITH b AS (
+        |  SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) b_src,
+        |    CAST(floor(CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+        |      THEN o_totalprice * 1.02 ELSE o_totalprice END / 50000) AS BIGINT) b_tgt
+        |  FROM orders),
+        |cs AS (SELECT b_src bucket, count(*) n FROM b GROUP BY 1),
+        |ct AS (SELECT b_tgt bucket, count(*) n FROM b GROUP BY 1),
+        |c AS (SELECT coalesce(cs.bucket, ct.bucket) bucket,
+        |    CAST(coalesce(cs.n, 0) AS BIGINT) n_src,
+        |    CAST(coalesce(ct.n, 0) AS BIGINT) n_tgt
+        |  FROM cs FULL OUTER JOIN ct ON cs.bucket = ct.bucket),
+        |t AS (SELECT count(*) n_total FROM orders)
+        |SELECT bucket, n_src, n_tgt,
+        |  round((greatest(CAST(n_src AS DOUBLE) / n_total, 1e-6)
+        |       - greatest(CAST(n_tgt AS DOUBLE) / n_total, 1e-6))
+        |    * ln(greatest(CAST(n_src AS DOUBLE) / n_total, 1e-6)
+        |       / greatest(CAST(n_tgt AS DOUBLE) / n_total, 1e-6)), 6) psi_contrib
+        |FROM c, t ORDER BY bucket""".stripMargin,
 
     "nth_value_funcs" ->
       // whole-frame positional battery; identical ROWS UNBOUNDED..UNBOUNDED

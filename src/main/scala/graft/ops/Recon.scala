@@ -672,6 +672,46 @@ object Recon {
         col("n_prev"), col("n_curr"))
       .filter(col("status") =!= "unchanged")
 
+  /** Population Stability Index per price bucket — the standard
+    * distribution-drift metric an ML/recon monitor runs between two
+    * snapshots of a numeric column: PSI = Σ (p_src−p_tgt)·ln(p_src/p_tgt)
+    * over fixed buckets (>0.2 conventionally = investigate). The harness
+    * twin drifts the target deterministically (prices ×1.02 from 1997 on
+    * — the snapshotDiffOrders replica pattern), so the op demonstrates a
+    * real drift signature against the oracle.
+    *
+    * One scan: each row emits its (side, bucket) pair through a 2-way
+    * explode, collapses map-side to the ≤2·|buckets| cell frame, pivots
+    * to per-bucket (n_src, n_tgt), and shares divide the exact total.
+    * Fixed-width buckets (50 k) — data-independent edges, so two RUNS
+    * are comparable, which is the whole point of a drift monitor.
+    * Shares clamp at 1e-6 before the ln (the standard PSI guard for
+    * empty cells); all inputs to the float arithmetic are exact integer
+    * counts, so both engines compute identical doubles into the 6-dp
+    * round. */
+  def psiDrift(spark: SparkSession, dir: String): DataFrame = {
+    val price = col("o_totalprice")
+    val tgtPrice = when(
+      col("o_orderdate") >= lit("1997-01-01").cast("timestamp"),
+      price * 1.02).otherwise(price)
+    val cells = Tables.orders(spark, dir)
+      .select(explode(array(
+        struct(lit("src").as("side"), floor(price / 50000).as("bucket")),
+        struct(lit("tgt").as("side"), floor(tgtPrice / 50000).as("bucket"))))
+        .as("t"))
+      .select(col("t.side"), col("t.bucket"))
+      .groupBy("bucket")
+      .agg(count_if(col("side") === "src").as("n_src"),
+        count_if(col("side") === "tgt").as("n_tgt"))
+    val total = Tables.orders(spark, dir).agg(count(lit(1)).as("n_total"))
+    val ps = greatest(col("n_src").cast("double") / col("n_total"), lit(1e-6))
+    val pt = greatest(col("n_tgt").cast("double") / col("n_total"), lit(1e-6))
+    cells.crossJoin(broadcast(total))
+      .select(col("bucket"), col("n_src"), col("n_tgt"),
+        round((ps - pt) * log(ps / pt), 6).as("psi_contrib"))
+      .orderBy("bucket")
+  }
+
   /** Harness twin of snapshot recon: last night's snapshot is the clean
     * orders table by load month; tonight's is a bad replica (prices
     * rounded from 1997 on, the 1995-01 load missing). The diff must name

@@ -404,4 +404,19 @@ class ReconSpec extends GraftSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(uniq.toSeq === Seq((1L, 1500L)))
   }
+
+  test("psi drift: totals conserve, identical halves contribute zero") {
+    val rows = Recon.psiDrift(spark, sf).collect()
+    val n = Tables.orders(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum === n, "src counts must total")
+    assert(rows.map(_.getLong(2)).sum === n, "tgt counts must total")
+    // pre-1997 rows are undrifted, so the only nonzero contributions come
+    // from buckets whose post-1997 mass moved; every contribution must be
+    // >= 0 (the PSI integrand is (p-q)ln(p/q), nonnegative for p,q > 0)
+    rows.foreach { r =>
+      assert(r.getDouble(3) >= -1e-9, s"bucket ${r.getLong(0)} negative PSI")
+    }
+    assert(rows.map(_.getDouble(3)).sum > 0.0,
+      "the 1.02x drift must register as positive total PSI")
+  }
 }
