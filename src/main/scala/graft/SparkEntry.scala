@@ -129,6 +129,8 @@ object SparkEntry {
     "event_mix_daily"          -> (Events.eventMixDaily _),
     "nth_value_funcs"          -> (Relational.nthValueFuncs _),
     "recon_psi_drift"          -> (Recon.psiDrift _),
+    "text_source_overlap"      -> ((s, d) => Text.sourceOverlap(s, d)),
+    "qty_price_bands"          -> (Relational.qtyPriceBands _),
     "ship_lag_stats"           -> (Relational.shipLagStats _),
     "locf_fill"                -> (Events.locfFill _),
     "sliding_window_events"    -> (Events.slidingWindow _),
@@ -253,7 +255,7 @@ object SparkEntry {
     "text_zipf_slope", "supplier_hhi", "rolling_dau_7d", "ship_lag_stats",
     "dup_size_distribution", "value_percentiles_by_type",
     "funnel_time_to_convert", "event_mix_daily", "nth_value_funcs",
-    "recon_psi_drift")
+    "recon_psi_drift", "text_source_overlap", "qty_price_bands")
 
   /** DuckDB-dialect oracle per query (driver runs these on the same parquet
     * files and hash-compares). Dialect forks: get_json_object↔
@@ -896,6 +898,29 @@ object SparkEntry {
         |  CAST(sum(spend) AS DOUBLE) total_spend
         |FROM per, m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    "text_source_overlap" ->
+      // distinct (source, token) sets first; the pair join is vocab-sized
+      """WITH st AS (SELECT DISTINCT source,
+        |    unnest(string_split(lower(text), ' ')) tok FROM documents),
+        |stf AS (SELECT source, tok FROM st WHERE tok <> ''),
+        |sz AS (SELECT source, count(*) n_types FROM stf GROUP BY 1),
+        |sh AS (SELECT a.source src_a, b.source src_b, count(*) n_shared
+        |  FROM stf a JOIN stf b ON a.tok = b.tok AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, n_shared,
+        |  round(CAST(n_shared AS DOUBLE) / (za.n_types + zb.n_types - n_shared), 6)
+        |    vocab_jaccard
+        |FROM sh JOIN sz za ON za.source = src_a JOIN sz zb ON zb.source = src_b
+        |ORDER BY 1, 2""".stripMargin,
+
+    "qty_price_bands" ->
+      // fixed integer band edges; revenue through the exact DECIMAL twin
+      """SELECT CAST(floor(l_quantity / 10) AS BIGINT) qty_band,
+        |  CAST(floor(l_extendedprice / 20000) AS BIGINT) price_band,
+        |  count(*) n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) revenue
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "recon_psi_drift" ->
       // identical fixed 50k buckets, deterministic 1.02x drift from
       // 1997, shares clamped at 1e-6 before ln (standard PSI guard)
@@ -955,6 +980,29 @@ object SparkEntry {
         |SELECT c.d, c.event_type, c.n,
         |  round(CAST(c.n AS DOUBLE) / t.day_n, 6) pct
         |FROM c JOIN t USING (d) ORDER BY 1, 2""".stripMargin,
+
+    "text_source_overlap" ->
+      // distinct (source, token) sets first; the pair join is vocab-sized
+      """WITH st AS (SELECT DISTINCT source,
+        |    unnest(string_split(lower(text), ' ')) tok FROM documents),
+        |stf AS (SELECT source, tok FROM st WHERE tok <> ''),
+        |sz AS (SELECT source, count(*) n_types FROM stf GROUP BY 1),
+        |sh AS (SELECT a.source src_a, b.source src_b, count(*) n_shared
+        |  FROM stf a JOIN stf b ON a.tok = b.tok AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, n_shared,
+        |  round(CAST(n_shared AS DOUBLE) / (za.n_types + zb.n_types - n_shared), 6)
+        |    vocab_jaccard
+        |FROM sh JOIN sz za ON za.source = src_a JOIN sz zb ON zb.source = src_b
+        |ORDER BY 1, 2""".stripMargin,
+
+    "qty_price_bands" ->
+      // fixed integer band edges; revenue through the exact DECIMAL twin
+      """SELECT CAST(floor(l_quantity / 10) AS BIGINT) qty_band,
+        |  CAST(floor(l_extendedprice / 20000) AS BIGINT) price_band,
+        |  count(*) n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) revenue
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "recon_psi_drift" ->
       // identical fixed 50k buckets, deterministic 1.02x drift from

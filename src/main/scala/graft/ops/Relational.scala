@@ -159,6 +159,21 @@ object Relational {
       .limit(200)
   }
 
+  /** 2-D histogram: line items per (quantity band × price band) with
+    * exact revenue per cell — the joint-distribution profile behind
+    * pricing analysis, where the 1-D histograms ([[histogramAgg]]) hide
+    * the correlation structure. One two-phase hash agg straight off the
+    * scan; both band keys are integer `floor` buckets with fixed
+    * data-independent widths (bit-identical across engines, comparable
+    * across runs); output is band-grid-sized at any input scale. */
+  def qtyPriceBands(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(floor(col("l_quantity") / 10).as("qty_band"),
+        floor(col("l_extendedprice") / 20000).as("price_band"))
+      .agg(count(lit(1)).as("n"),
+        decSum(col("l_extendedprice")).as("revenue"))
+      .orderBy("qty_band", "price_band")
+
   /** Whole-frame positional window battery — nth_value / first / last
     * over the UNBOUNDED-to-UNBOUNDED rows frame, the surface
     * [[windowFuncs]]'s default (growing) frame can't express: "this

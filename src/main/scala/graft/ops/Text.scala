@@ -620,6 +620,35 @@ object Text {
       .orderBy("lang")
   }
 
+  /** Pairwise vocabulary overlap between sources — the cross-feed
+    * contamination screen: two "independent" sources sharing 95% of
+    * their vocabulary are probably the same crawl twice. Jaccard over
+    * distinct token SETS per source: the corpus collapses to the
+    * (source, token) distinct frame first (vocab-sized), the pair join
+    * runs token-to-token across that frame (bounded by vocab size ×
+    * source pairs, never corpus size), and per-source type counts
+    * broadcast back onto the |sources|² result. All counts exact ints;
+    * one final division into the 6-dp round. */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val st = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(col("tok") =!= "").distinct()
+    val sizes = st.groupBy("source").agg(count(lit(1)).as("n_types"))
+    val shared = st.as("a").join(st.as("b"),
+        col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(broadcast(sizes.select(col("source").as("src_a"),
+        col("n_types").as("na"))), "src_a")
+      .join(broadcast(sizes.select(col("source").as("src_b"),
+        col("n_types").as("nb"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        round(col("n_shared").cast("double") /
+          (col("na") + col("nb") - col("n_shared")), 6).as("vocab_jaccard"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** Zipf power-law fit over the token rank–frequency curve — the other
     * half of the corpus health check [[vocabRichness]] starts: natural
     * text follows ln(freq) ≈ a − s·ln(rank) with s near 1; a flat slope

@@ -157,6 +157,15 @@ class RelationalSpec extends GraftSpec {
     assert(small.toSeq === sel.toSeq)
   }
 
+  test("qty_price_bands: cells total the table, revenue reconciles") {
+    val rows = Relational.qtyPriceBands(spark, sf).collect()
+    val li = Tables.lineitem(spark, sf)
+    assert(rows.map(_.getLong(2)).sum === li.count())
+    val totalRev = li.agg(graft.ops.Recon.uncents(
+      sum(graft.ops.Recon.cents(col("l_extendedprice"))))).head().getDouble(0)
+    assert(math.abs(rows.map(_.getDouble(3)).sum - totalRev) < 1e-6)
+  }
+
   test("nth_value: whole-frame positions recompute from a driver-side sort") {
     val rows = Relational.nthValueFuncs(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -265,6 +265,23 @@ class TextSpec extends GraftSpec {
       ("fr", 2L, 3L, 1L, 0.666667, 0.5)))
   }
 
+  test("source overlap: hand-computed vocab Jaccard on a 3-source fixture") {
+    val spark0 = spark
+    import spark0.implicits._
+    val d = s"$tmpDir/ovlfix"
+    // s1 vocab {a,b,c}; s2 {b,c,d}; s3 {x} → J(s1,s2)=2/4, J(*,s3)=0 and
+    // zero-shared pairs emit NO row (inner join semantics, documented)
+    Seq(
+      TextFixture.Doc(1, "a b c", "en", "s1", 5),
+      TextFixture.Doc(2, "b c d", "en", "s2", 5),
+      TextFixture.Doc(3, "x", "en", "s3", 1))
+      .toDF().write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = Text.sourceOverlap(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got === Map(("s1", "s2") -> ((2L, 0.5))))
+  }
+
   test("dup size distribution: synthesized families land in the right classes") {
     val spark0 = spark
     import spark0.implicits._
