@@ -108,6 +108,41 @@ object StreamingOps {
                       threshold: Double = 3.0): DataFrame =
     graft.ops.Events.zscoreScreen(stream, stats, threshold)
 
+  /** Streaming composition-drift monitor — the continuous twin of the
+    * batch `event_mix_daily` + `recon_psi_drift` pair: per event-time
+    * window, the type mix's Population Stability Index against a STATIC
+    * reference mix (computed offline from a trusted period — learning
+    * the reference from the live stream would let drift normalize
+    * itself). Emits one row per closed window: total count and PSI;
+    * alert on PSI > 0.2, the standard threshold.
+    *
+    * Streaming-legal by construction: multiple stateful aggregations
+    * are not allowed in append mode, so the per-type counts pivot into
+    * ONE row per window via conditional `count_if` columns over the
+    * reference's (bounded) type list — a single windowed aggregate,
+    * watermark-evicted state, then the PSI is a row-local expression.
+    * Reference shares clamp at 1e-6 (the standard PSI guard). */
+  def streamingMixDrift(events: DataFrame, refShares: Map[String, Double],
+                        windowLen: String = "1 day",
+                        watermark: String = "1 hour"): DataFrame = {
+    require(refShares.nonEmpty, "streamingMixDrift: need a reference mix")
+    val types = refShares.keys.toSeq.sorted
+    val aggs = types.map(t =>
+      count_if(col("event_type") === t).as(s"n_$t"))
+    val counts = events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen).as("w"))
+      .agg(aggs.head, aggs.tail: _*)
+    val total = types.map(t => col(s"n_$t")).reduce(_ + _)
+    val psi = types.map { t =>
+      val p = greatest(col(s"n_$t").cast("double") / total, lit(1e-6))
+      val q = lit(math.max(refShares(t), 1e-6))
+      (p - q) * log(p / q)
+    }.reduce(_ + _)
+    counts.select(col("w.start").as("window_start"),
+      total.as("n"), round(psi, 6).as("psi"))
+  }
+
   /** Idempotent parquet batch writer — the `foreachBatch` sink pattern
     * for exactly-once file output without a transactional table format:
     * each micro-batch lands in its own `batch_id=N` partition directory

@@ -395,6 +395,49 @@ class StreamingFileSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("streaming mix drift: PSI against a reference mix, hand-computed") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    // fixture mix is 5 a / 5 b = 0.5 each; reference says 0.9/0.1 → the
+    // drift must register as the exact hand-computed PSI
+    val ref = Map("a" -> 0.9, "b" -> 0.1)
+    val q = StreamingOps.streamingMixDrift(input.toDF(), ref)
+      .writeStream.format("memory").queryName("mix_sink")
+      .outputMode("complete").start()
+    try {
+      val evs = EventsFixture.fixtureEvents.map(toTyped)
+      val (x, y) = evs.splitAt(4)
+      input.addData(x); q.processAllAvailable()
+      input.addData(y); q.processAllAvailable()
+      val rows = spark.table("mix_sink").collect()
+      assert(rows.length === 1, "all fixture events fall in one day window")
+      assert(rows.head.getLong(1) === evs.length.toLong)
+      val expected = BigDecimal(
+        (0.5 - 0.9) * math.log(0.5 / 0.9) + (0.5 - 0.1) * math.log(0.5 / 0.1))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(rows.head.getDouble(2) === expected)
+    } finally q.stop()
+  }
+
+  test("streaming mix drift: a matching mix scores zero PSI") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = StreamingOps.streamingMixDrift(input.toDF(),
+        Map("a" -> 0.5, "b" -> 0.5))
+      .writeStream.format("memory").queryName("mix0_sink")
+      .outputMode("complete").start()
+    try {
+      input.addData(EventsFixture.fixtureEvents.map(toTyped))
+      q.processAllAvailable()
+      val rows = spark.table("mix0_sink").collect()
+      assert(rows.length === 1 && rows.head.getDouble(2) === 0.0)
+    } finally q.stop()
+  }
+
   test("idempotent batch sink: a replayed micro-batch adds no duplicates") {
     val spark0 = spark
     import spark0.implicits._
