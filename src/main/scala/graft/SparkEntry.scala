@@ -129,6 +129,7 @@ object SparkEntry {
     "event_mix_daily"          -> (Events.eventMixDaily _),
     "nth_value_funcs"          -> (Relational.nthValueFuncs _),
     "recon_psi_drift"          -> (Recon.psiDrift _),
+    "recon_key_coverage"       -> (Recon.keyCoverage _),
     "text_source_overlap"      -> ((s, d) => Text.sourceOverlap(s, d)),
     "qty_price_bands"          -> (Relational.qtyPriceBands _),
     "ship_lag_stats"           -> (Relational.shipLagStats _),
@@ -255,7 +256,8 @@ object SparkEntry {
     "text_zipf_slope", "supplier_hhi", "rolling_dau_7d", "ship_lag_stats",
     "dup_size_distribution", "value_percentiles_by_type",
     "funnel_time_to_convert", "event_mix_daily", "nth_value_funcs",
-    "recon_psi_drift", "text_source_overlap", "qty_price_bands")
+    "recon_psi_drift", "text_source_overlap", "qty_price_bands",
+    "recon_key_coverage")
 
   /** DuckDB-dialect oracle per query (driver runs these on the same parquet
     * files and hash-compares). Dialect forks: get_json_object↔
@@ -898,6 +900,16 @@ object SparkEntry {
         |  CAST(sum(spend) AS DOUBLE) total_spend
         |FROM per, m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    "recon_key_coverage" ->
+      // exact long arithmetic throughout; one division into the round
+      """SELECT CAST(floor(o_orderkey / 2000) AS BIGINT) key_bucket,
+        |  count(*) n_present,
+        |  max(o_orderkey) - min(o_orderkey) + 1 span,
+        |  max(o_orderkey) - min(o_orderkey) + 1 - count(*) n_missing,
+        |  round(CAST(count(*) AS DOUBLE)
+        |    / (max(o_orderkey) - min(o_orderkey) + 1), 6) coverage
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "text_source_overlap" ->
       // distinct (source, token) sets first; the pair join is vocab-sized
       """WITH st AS (SELECT DISTINCT source,
@@ -980,6 +992,16 @@ object SparkEntry {
         |SELECT c.d, c.event_type, c.n,
         |  round(CAST(c.n AS DOUBLE) / t.day_n, 6) pct
         |FROM c JOIN t USING (d) ORDER BY 1, 2""".stripMargin,
+
+    "recon_key_coverage" ->
+      // exact long arithmetic throughout; one division into the round
+      """SELECT CAST(floor(o_orderkey / 2000) AS BIGINT) key_bucket,
+        |  count(*) n_present,
+        |  max(o_orderkey) - min(o_orderkey) + 1 span,
+        |  max(o_orderkey) - min(o_orderkey) + 1 - count(*) n_missing,
+        |  round(CAST(count(*) AS DOUBLE)
+        |    / (max(o_orderkey) - min(o_orderkey) + 1), 6) coverage
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "text_source_overlap" ->
       // distinct (source, token) sets first; the pair join is vocab-sized

@@ -672,6 +672,27 @@ object Recon {
         col("n_prev"), col("n_curr"))
       .filter(col("status") =!= "unchanged")
 
+  /** Key-space coverage per fixed-width key range — the load-completeness
+    * screen: for each bucket of the surrogate-key space, how many keys
+    * are present vs the bucket's observed span, and how many are missing
+    * inside it. A loader that dropped a file leaves a crater (coverage
+    * collapse in one bucket) that a global rowcount hides; TPC-H-style
+    * sparse keys show as uniformly partial coverage instead. One
+    * two-phase hash agg off the scan (count/min/max per bucket — all
+    * partial-aggregable), output bucket-count-sized at any scale;
+    * missing = span − present is exact long arithmetic. */
+  def keyCoverage(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(floor(col("o_orderkey") / 2000).as("key_bucket"))
+      .agg(count(lit(1)).as("n_present"),
+        min(col("o_orderkey")).as("k_min"), max(col("o_orderkey")).as("k_max"))
+      .select(col("key_bucket"), col("n_present"),
+        (col("k_max") - col("k_min") + 1).as("span"),
+        (col("k_max") - col("k_min") + 1 - col("n_present")).as("n_missing"),
+        round(col("n_present").cast("double") /
+          (col("k_max") - col("k_min") + 1), 6).as("coverage"))
+      .orderBy("key_bucket")
+
   /** Population Stability Index per price bucket — the standard
     * distribution-drift metric an ML/recon monitor runs between two
     * snapshots of a numeric column: PSI = Σ (p_src−p_tgt)·ln(p_src/p_tgt)

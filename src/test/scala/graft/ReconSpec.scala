@@ -405,6 +405,28 @@ class ReconSpec extends GraftSpec {
     assert(uniq.toSeq === Seq((1L, 1500L)))
   }
 
+  test("key coverage: a synthesized crater is localized to its bucket") {
+    val spark0 = spark
+    import spark0.implicits._
+    val d = s"$tmpDir/craterfix"
+    // dense keys 0..9999 with 2500..3499 dropped — a crater strictly
+    // INSIDE bucket 1 (keys 2000..3999), since span derives from the
+    // observed min/max: bucket 1 shows coverage 0.5, the rest stay full
+    (0L until 10000L).filterNot(k => k >= 2500 && k < 3500)
+      .map(k => (k, k, "O", 10.0,
+        new java.sql.Timestamp(820454400000L), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$d/orders.parquet")
+    val got = Recon.keyCoverage(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(got(1L) === ((1000L, 1000L, 0.5)), "the crater bucket")
+    (Seq(0L, 2L, 3L, 4L)).foreach { b =>
+      assert(got(b)._2 === 0L && got(b)._3 === 1.0, s"bucket $b must be full")
+    }
+  }
+
   test("psi drift: totals conserve, identical halves contribute zero") {
     val rows = Recon.psiDrift(spark, sf).collect()
     val n = Tables.orders(spark, sf).count()
