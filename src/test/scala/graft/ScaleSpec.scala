@@ -328,4 +328,31 @@ class ScaleSpec extends GraftSpec {
       !"hashpartitioning\\(user_id#\\d+L?, sid".r.findFirstIn(exec).isDefined,
       s"full stream re-shuffled on (user_id, sid):\n$exec")
   }
+
+  test("gap stats: one (user, type) window exchange, partial agg before types shuffle") {
+    val exec = graft.ops.Events.eventGapStats(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("hashpartitioning\\(user_id#\\d+L?, event_type".r.findFirstIn(exec).isDefined,
+      s"window must partition on (user_id, event_type):\n$exec")
+    assert(exec.contains("partial_count"),
+      s"the types rollup must combine map-side before its exchange:\n$exec")
+  }
+
+  test("rolling DAU: the day grid broadcasts, the activity frame never re-sorts globally") {
+    val exec = graft.ops.Events.rollingDau(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(exec.contains("Broadcast"),
+      s"the 30-row day grid must broadcast into the range join:\n$exec")
+    assert(!exec.contains("SortMergeJoin"),
+      s"a sort-merge range join would sort the activity frame for a 30-row grid:\n$exec")
+  }
+
+  test("customer RFM: both aggs partial-combine; the max-date scalar broadcasts") {
+    val exec = graft.ops.Relational.customerRfm(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(exec.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row max-date frame must broadcast:\n$exec")
+    assert("partial_(count|max|sum)".r.findFirstIn(exec).isDefined,
+      s"per-customer agg must combine map-side:\n$exec")
+  }
 }
