@@ -46,7 +46,21 @@ object Bench {
       materialize(name)
       (System.nanoTime() - t0) / 1e9
     }
+    // GC breath between queries (round-11 verdict #1): the 137-query
+    // battery accumulates shuffle files and garbage across hundreds of
+    // executions, and by mid-run that tax landed on whichever query ran
+    // next — the round-11 official file carried event_transitions at
+    // 1.22 s against 0.37 s isolated, a 3× measurement artifact. An
+    // explicit GC plus a short pause lets the ContextCleaner drain
+    // pending shuffle/broadcast cleanups OUTSIDE the timed window; the
+    // ~150 ms per query is untimed wall clock, not measured time.
+    def gcBreath(): Unit = {
+      spark.catalog.clearCache()
+      System.gc()
+      Thread.sleep(150)
+    }
     val samples = SparkEntry.benchQueries.map { name =>
+      gcBreath()
       name -> Seq.fill(5)(timeOne(name)).sorted
     }
     val results = samples.map { case (k, v) => k -> v.head }
@@ -77,7 +91,10 @@ object Bench {
     val infoQueries = Seq("dedup_minhash", "dedup_clusters", "ann_lsh_topk",
       "ann_ivf_topk", "dedup_simhash", "dedup_embedding")
     infoQueries.foreach(materialize)
-    val infoSamples = infoQueries.map(name => name -> Seq.fill(3)(timeOne(name)).sorted)
+    val infoSamples = infoQueries.map { name =>
+      gcBreath()
+      name -> Seq.fill(3)(timeOne(name)).sorted
+    }
     // sf prints as its basename (sf0.1) — the full path spent 15 chars of
     // the tail-capture budget on a constant prefix.
     val sfName = Paths.get(sfDir).getFileName.toString

@@ -140,9 +140,14 @@ object Tables {
   /** Footer-sniffed ts unit per events path. A footer schema probe is a
     * driver-side metadata read (no job), but it still lists the directory —
     * caching keeps repeated `events()` calls (134-query Verify/Bench runs)
-    * from re-probing. */
+    * from re-probing. Keyed on (path, mtime, length) — a plain path key
+    * served a STALE unit when a harness regenerated testdata in-place
+    * inside a long-lived JVM, recreating the silent mis-read class the
+    * sniff exists to prevent; the stat that builds the key is one
+    * driver-side filesystem call, far cheaper than the footer probe it
+    * guards. */
   private val eventsTsType =
-    new java.util.concurrent.ConcurrentHashMap[String, DataType]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), DataType]()
 
   /** events with `ts` normalized to Spark TimestampType at µs precision.
     *
@@ -157,7 +162,11 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
-    val diskTs = eventsTsType.computeIfAbsent(path,
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    val st = fs.getFileStatus(hp)
+    val diskTs = eventsTsType.computeIfAbsent(
+      (path, st.getModificationTime, st.getLen),
       _ => spark.read.parquet(path).schema("ts").dataType)
     diskTs match {
       // TIMESTAMP_MICROS infers as LTZ when isAdjustedToUTC=true, NTZ when

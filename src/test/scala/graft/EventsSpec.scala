@@ -243,28 +243,40 @@ class EventsSpec extends GraftSpec {
     }
   }
 
+  test("value percentiles: small and selection forms are bit-identical") {
+    // the size gate dispatches between them, so their outputs must be
+    // indistinguishable — same disc convention, same null handling
+    val small = Events.valuePercentilesSmall(spark, sf).collect().toSeq
+    val sel = Events.valuePercentilesSelection(spark, sf).collect().toSeq
+    assert(small === sel)
+  }
+
   test("rolling DAU: trailing-7 window hand-computed on a sparse timeline") {
     val spark0 = spark
     import spark0.implicits._
     val d = s"$tmpDir/daufix"
-    // u1 active Jan 1 and Jan 9; u2 active Jan 5 (twice — the distinct
-    // must collapse them); Jan 7's window [Jan 1..7] still holds u1,
-    // Jan 8's [Jan 2..8] ages u1 out — the boundary both sides must cut
-    // identically
+    // u1 active Jan 1, Jan 9 and Jan 20; u2 active Jan 5 (twice — the
+    // distinct must collapse them); Jan 7's window [Jan 1..7] still
+    // holds u1, Jan 8's [Jan 2..8] ages u1 out — the boundary both
+    // sides must cut identically. The grid derives from the DATA span
+    // (min..max event day — round-11 advice killed the hard-coded
+    // calendar), so the Jan 20 straggler stretches it to 20 days and
+    // leaves Jan 16 as a silent all-zero day inside the span.
     def at(id: Long, user: Long, day: Int) =
       RawEv(id, (1704067200L + (day - 1) * 86400L + 3600L) * 1000000000L,
         user, "a", 1.0, "{}")
-    Seq(at(1, 1, 1), at(2, 1, 9), at(3, 2, 5), at(4, 2, 5))
+    Seq(at(1, 1, 1), at(2, 1, 9), at(3, 2, 5), at(4, 2, 5), at(5, 1, 20))
       .toDF().write.mode("overwrite").parquet(s"$d/events.parquet")
     val got = Events.rollingDau(spark, d).collect()
       .map(r => r.getDate(0).toString -> (r.getLong(1), r.getLong(2))).toMap
-    assert(got.size === 30, "every grid day present")
+    assert(got.size === 20, "every day of the data-derived grid present")
     assert(got("2024-01-01") === ((1L, 1L)))
     assert(got("2024-01-05") === ((2L, 1L)), "u1 (Jan 1) still in window, u2 active")
     assert(got("2024-01-07") === ((2L, 0L)), "both in trailing window, none today")
     assert(got("2024-01-08") === ((1L, 0L)), "u1's Jan 1 aged out")
     assert(got("2024-01-09") === ((2L, 1L)), "u1 returns")
     assert(got("2024-01-16") === ((0L, 0L)), "silent day is an explicit zero")
+    assert(got("2024-01-20") === ((1L, 1L)), "span endpoint present")
   }
 
   test("burstiness: a metronome cadence lands at B = -1") {

@@ -121,15 +121,28 @@ class EventsTimestampUnitSpec extends GraftSpec {
         "footer unit against Tables.lineitem's pinned TimestampType schema")
   }
 
-  test("sniffed unit is cached per path (no re-probe, stable result)") {
+  test("sniff cache invalidates when the file at the path changes") {
+    // the round-11 cache keyed on path alone, so regenerating testdata
+    // in-place inside a long-lived JVM served the STALE unit — exactly
+    // the silent mis-read class the sniff was built to prevent; the key
+    // now carries (mtime, length) so an in-place rewrite re-probes
     val usDir = Files.createTempDirectory("events-cache").toString
     writeMicrosFixture(usDir)
-    val first = Tables.events(spark, usDir).schema("ts").dataType
-    // overwrite with a long-typed file at the same path: the cached sniff
-    // must keep returning the first-seen unit rather than re-listing
+    assert(Tables.events(spark, usDir).schema("ts").dataType === TimestampType)
+    // overwrite with a long-typed file at the same path: a fresh stat key
+    // must trigger a re-probe that sees the new physical type (the reader
+    // then surfaces the normalized TimestampType via the nanos branch —
+    // assert on the RAW probe result by reading the footer directly)
+    Thread.sleep(1100) // HDFS-style mtime granularity can be 1s
     rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.mode("overwrite").parquet(s"$usDir/events.parquet")
-    assert(first === TimestampType)
-    assert(Tables.events(spark, usDir).schema("ts").dataType === TimestampType)
+    // plain INT64 probes as LongType → the nanos branch divides by 1000:
+    // seeing baseUs/1000 proves the sniff RE-PROBED; a stale micros-unit
+    // cache would have applied the pinned TimestampType schema to a long
+    // column instead (garbage or a read error, never this exact value)
+    val us = Tables.events(spark, usDir)
+      .agg(min(unix_micros(col("ts")))).as[Long].head()
+    assert(us === baseUs / 1000L,
+      s"expected re-probe to rescale $baseUs by 1000, got $us")
   }
 }

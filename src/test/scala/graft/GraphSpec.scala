@@ -27,6 +27,24 @@ class GraphSpec extends GraftSpec {
     assert(got.size === 10)
   }
 
+  test("reliable-storage checkpoint path yields the same components") {
+    // checkpointDir routes lineage truncation to `checkpoint` (survives
+    // executor loss on a real cluster) instead of localCheckpoint; the
+    // labels must be identical and the checkpoint dir actually used
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graph-ckpt").toString
+    val got = Graph.connectedComponents(
+        Seq((1L, 2L), (2L, 3L), (5L, 4L)).toDF("a_id", "b_id"),
+        checkpointDir = Some(dir)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
+    def treeSize(p: java.io.File): Int =
+      if (p.isDirectory) p.listFiles.map(treeSize).sum else 1
+    assert(treeSize(new java.io.File(dir)) > 0,
+      s"no checkpoint files written under $dir")
+  }
+
   test("a capped non-converged run throws instead of returning split labels") {
     val spark0 = spark
     import spark0.implicits._

@@ -28,6 +28,31 @@ class RegistrySpec extends GraftSpec {
       "benchQueries must not contain duplicates")
   }
 
+  test("no Map literal in SparkEntry defines a key twice") {
+    // Scala Map literals silently keep the LAST duplicate key, so a
+    // repeated entry makes earlier edits vanish without any warning
+    // (round 11 shipped a ~95-line doubled oracleSql block that was
+    // harmless only because both copies were identical). The compiled
+    // Maps can't show the duplication, so count `"key" ->` bindings in
+    // each def's SOURCE region and compare against the runtime size.
+    val src = scala.io.Source.fromFile(
+      "src/main/scala/graft/SparkEntry.scala", "UTF-8")
+    val lines = try src.getLines().toVector finally src.close()
+    val binding = """^\s+"([a-z0-9_]+)"\s*->""".r
+    def regionKeys(defName: String): Seq[String] = {
+      val start = lines.indexWhere(_.contains(s"def $defName"))
+      assert(start >= 0, s"def $defName not found in SparkEntry source")
+      val end = lines.indexWhere(_.trim.startsWith("def "), start + 1)
+      lines.slice(start, if (end < 0) lines.size else end)
+        .flatMap(binding.findFirstMatchIn(_)).map(_.group(1))
+    }
+    for (d <- Seq("queries", "oracleSql")) {
+      val keys = regionKeys(d)
+      val dups = keys.groupBy(identity).filter(_._2.size > 1).keys.toSeq.sorted
+      assert(dups.isEmpty, s"$d binds keys more than once: $dups")
+    }
+  }
+
   test("every oracled query is benched (the budget covers the whole contract)") {
     // the round-trip fingerprints are oracled but deliberately unbenched:
     // they write+re-read files, which the repeated-materialization timing

@@ -432,15 +432,30 @@ class RelationalSpec extends GraftSpec {
       .select("o_orderpriority").collect().map(_.getString(0))
     val n = rows.length.toDouble
     val trulyFrequent = rows.groupBy(identity).collect {
-      case (v, xs) if xs.length / n >= 0.15 => v
-    }.toSet
+      case (v, xs) if xs.length / n >= 0.15 => v -> xs.length.toLong
+    }.toMap
     val got = ops.Relational.freqItemsApprox(spark, sf).collect()
-      .map(_.getString(0)).toSet
-    // the KPS contract: candidates ⊇ truly frequent; extras allowed
-    assert(trulyFrequent.subsetOf(got),
-      s"missing frequent items: ${trulyFrequent -- got}")
-    // five priorities at ~20% each: the candidate set stays small
-    assert(got.size <= 7, s"candidate set should be near 1/support: $got")
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    // output = the exactly-heavy set with exact counts; `covered`
+    // asserts the KPS no-false-negative contract per item
+    assert(got.keySet === trulyFrequent.keySet)
+    got.foreach { case (item, (cnt, covered)) =>
+      assert(cnt === trulyFrequent(item), item)
+      assert(covered, s"KPS missed truly-frequent item $item")
+    }
+  }
+
+  test("quantileApproxCheck: every GK rank bound holds (all booleans true)") {
+    val rows = Relational.quantileApproxCheck(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val exactN = Tables.orders(spark, sf).groupBy("o_orderstatus").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.map(_.getString(0)).toSet === exactN.keySet)
+    rows.foreach { r =>
+      assert(r.getLong(1) === exactN(r.getString(0)))
+      assert(r.getBoolean(2), s"${r.getString(0)} p50 outside GK bound")
+      assert(r.getBoolean(3), s"${r.getString(0)} p95 outside GK bound")
+    }
   }
 
   test("modeAgg: modal status per priority matches a local recount") {

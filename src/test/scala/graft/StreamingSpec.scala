@@ -438,6 +438,39 @@ class StreamingFileSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("streaming mix drift: a type ABSENT from the reference raises PSI") {
+    // the round-11 form counted only reference types, so a novel event
+    // type — the classic composition-drift signature — contributed zero
+    // signal; the `other` bucket (reference share = the 1e-6 clamp
+    // floor) must now trip the standard 0.2 alert threshold
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = StreamingOps.streamingMixDrift(input.toDF(),
+        Map("a" -> 0.5, "b" -> 0.5))
+      .writeStream.format("memory").queryName("mixnovel_sink")
+      .outputMode("complete").start()
+    try {
+      val known = EventsFixture.fixtureEvents.map(toTyped) // 5 a / 5 b
+      val dayStartMs = 1735689600L * 1000L                 // 2025-01-01 UTC
+      val novel = Seq(
+        Ev(101L, new java.sql.Timestamp(dayStartMs + 3600L * 1000), 9L, "c", 1.0),
+        Ev(102L, new java.sql.Timestamp(dayStartMs + 7200L * 1000), 9L, "c", 1.0))
+      input.addData(known ++ novel)
+      q.processAllAvailable()
+      val rows = spark.table("mixnovel_sink").collect()
+      assert(rows.length === 1, "all events fall in one day window")
+      assert(rows.head.getLong(1) === 12L, "total must count the novel type")
+      def term(p: Double, qq: Double) = (p - qq) * math.log(p / qq)
+      val expected = BigDecimal(
+        term(5.0 / 12, 0.5) * 2 + term(2.0 / 12, 1e-6))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(rows.head.getDouble(2) === expected)
+      assert(rows.head.getDouble(2) > 0.2, "novel type must trip the alert")
+    } finally q.stop()
+  }
+
   test("idempotent batch sink: a replayed micro-batch adds no duplicates") {
     val spark0 = spark
     import spark0.implicits._
