@@ -82,14 +82,13 @@ object Bench {
     val (noisyQ, noisyRatio) =
       samples.map { case (k, v) => k -> v(2) / v.head }.maxBy(_._2)
     val total = results.map(_._2).sum
-    // Informational section (round-6 verdict, optional #7): the heavy
-    // no-oracle ops have no DuckDB twin, so they are timed OUTSIDE the
-    // contract total — min-of-3 after one warm pass (they are the
-    // slowest queries; five samples each would double the bench's wall
-    // time for queries that don't gate). A regression here is visible in
-    // the round-over-round BENCH files even though nothing budgets it.
-    val infoQueries = Seq("dedup_minhash", "dedup_clusters", "ann_lsh_topk",
-      "ann_ivf_topk", "dedup_simhash", "dedup_embedding")
+    // Informational section (round-6 verdict, optional #7): ops with no
+    // DuckDB twin are timed OUTSIDE the contract total — min-of-3 after
+    // one warm pass. Down to ann_ivf_topk alone since round 12 (its
+    // k-means means are float sums with partition-order ulps, the one
+    // thing a SQL oracle cannot reproduce); every other former info op
+    // gained a full-reproduction oracle and moved into the contract.
+    val infoQueries = Seq("ann_ivf_topk")
     infoQueries.foreach(materialize)
     val infoSamples = infoQueries.map { name =>
       gcBreath()

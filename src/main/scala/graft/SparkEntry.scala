@@ -136,7 +136,7 @@ object SparkEntry {
     "locf_fill"                -> (Events.locfFill _),
     "sliding_window_events"    -> (Events.slidingWindow _),
     "streak_islands"           -> (Events.streakIslands _),
-    "approx_distinct_hll"      -> (Events.approxDistinctHll _), // no-oracle
+    "approx_distinct_hll"      -> (Events.approxDistinctHll _),
     // §2.9 LLM-pipeline: text + dedup
     "dedup_exact_docs"         -> (Text.dedupExact _),
     "dedup_normalized"         -> (Text.dedupNormalized _),
@@ -144,9 +144,9 @@ object SparkEntry {
     "text_quality_score"       -> (Text.qualityScore _),
     "doc_fingerprint"          -> (Text.fingerprint _),
     "dedup_ngram_jaccard"      -> ((s, d) => Text.ngramJaccard(s, d)),
-    "dedup_minhash"            -> (Text.dedupMinhash _),      // no-oracle
-    "dedup_clusters"           -> (Graph.dedupClusters _),    // no-oracle
-    "dedup_simhash"            -> (Text.dedupSimhash _),      // no-oracle
+    "dedup_minhash"            -> (Text.dedupMinhash _),
+    "dedup_clusters"           -> (Graph.dedupClusters _),
+    "dedup_simhash"            -> (Text.dedupSimhash _),
     "text_langid"              -> (Text.langidNgram _),
     "text_token_counts"        -> (Text.tokenCounts _),
     "sample_stratified"        -> (Sampling.sampleDocuments _),
@@ -159,19 +159,19 @@ object SparkEntry {
     "vocab_top_tokens"         -> ((s, d) => Text.vocabTopTokens(s, d)),
     "text_collocations"        -> ((s, d) => Text.collocations(s, d)),
     "decontaminate_ngram"      -> ((s, d) => Text.decontaminateNgram(s, d)),
-    "decontaminate_bloom"      -> ((s, d) => Text.decontaminateBloom(s, d)), // no-oracle
+    "decontaminate_bloom"      -> ((s, d) => Text.decontaminateBloom(s, d)),
     "mask_pii"                 -> (Privacy.maskCustomers _),
-    "dedup_embedding"          -> ((s, d) => Vectors.dedupEmbedding(s, d)), // no-oracle
+    "dedup_embedding"          -> ((s, d) => Vectors.dedupEmbedding(s, d)),
     // §2.9 LLM-pipeline: vectors
     "cosine_knn"               -> ((s, d) => Vectors.cosineKnn(s, d)),
     "embed_centroids"          -> (Vectors.embedCentroids _),
-    "ann_lsh_topk"             -> (Vectors.annLshTopk _),     // no-oracle
+    "ann_lsh_topk"             -> (Vectors.annLshTopk _),
     "ann_ivf_topk"             -> (Vectors.annIvfTopk _),     // no-oracle
     // multimodal binary columns
     "multimodal_bytes"         -> (Multimodal.bytesStats _),
-    "multimodal_decode_stats"  -> (Multimodal.decodeStats _), // no-oracle
-    "multimodal_resize_stats"  -> (Multimodal.resizeStats _), // no-oracle
-    "multimodal_frame_sample"  -> ((s, d) => Multimodal.frameSample(s, d)), // no-oracle
+    "multimodal_decode_stats"  -> (Multimodal.decodeStats _),
+    "multimodal_resize_stats"  -> (Multimodal.resizeStats _),
+    "multimodal_frame_sample"  -> ((s, d) => Multimodal.frameSample(s, d)),
     "multimodal_wav_meta"      -> (Multimodal.wavMetaStats _),
     // §2.2 interchange-format round trips (verify-only: the bench
     // contract times query plans, not sink I/O; these ops' cost IS the
@@ -258,7 +258,100 @@ object SparkEntry {
     "funnel_time_to_convert", "event_mix_daily", "nth_value_funcs",
     "recon_psi_drift", "text_source_overlap", "qty_price_bands",
     "recon_key_coverage", "quantile_summary_approx", "freq_items_approx",
-    "sample_stratified")
+    "sample_stratified", "approx_distinct_hll", "decontaminate_bloom",
+    "multimodal_decode_stats", "multimodal_resize_stats",
+    "multimodal_frame_sample", "ann_lsh_topk", "dedup_embedding",
+    "dedup_minhash", "dedup_clusters", "dedup_simhash")
+
+  /** DuckDB spelling of [[graft.ops.Vectors.lshBucket]]: the 8 sign bits
+    * against the SAME hyperplane doubles, interpolated from
+    * `Vectors.planes` when the oracle map is built — `Double.toString`
+    * round-trips exactly, so the constants cannot drift from the Spark
+    * plan's `typedlit` copies. */
+  private def lshBucketSql: String =
+    "(" + (0 until 8).map { j =>
+      val plane = graft.ops.Vectors.planes(j).mkString("[", ", ", "]")
+      s"(CASE WHEN list_inner_product(v, $plane) > 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString(" + ") + ")"
+
+  /** Shared DuckDB CTEs rebuilding the exact 32-hash MinHash signature
+    * ([[graft.functions.MinHashSig]]'s scheme: h_i(t) = (a_i·x + b_i)
+    * mod 2^61−1 over the 60-bit md5 slice x, coefficients interpolated
+    * from the expression's own `coeffA`/`coeffB` so the engines cannot
+    * drift; DuckDB evaluates the affine step exactly on HUGEINT), the
+    * banded buckets (band key = the raw 4-minhash tuple as a
+    * `concat_ws` string), the per-bucket cap, candidate pairs, and the
+    * agreement estimate — the whole dedup_minhash pipeline in SQL. */
+  private def minhashEstSqlCtes: String = {
+    import graft.functions.MinHashSig.{coeffA, coeffB}
+    // hash each DISTINCT token once (vocabulary-sized HUGEINT work), then
+    // join back onto the occurrence stream for the per-doc minima — 32
+    // affine steps per vocab entry instead of per token occurrence
+    // (14.1 s → measured best; DuckDB's honest spelling, same trick a
+    // columnar engine's dictionary would give it for free)
+    val hashCols = (0 until 32).map(i =>
+      s"CAST((CAST(${coeffA(i)} AS HUGEINT) * x + ${coeffB(i)}) % 2305843009213693951 AS BIGINT) h$i")
+      .mkString(", ")
+    val minCols = (0 until 32).map(i => s"min(h$i) m$i").mkString(", ")
+    val bandRows = (0 until 8).map { b =>
+      val cols = (b * 4 until (b + 1) * 4).map(i => s"m$i").mkString(", ")
+      val sel = if (b == 0) s"SELECT doc_id, 0 band, concat_ws(':', $cols) bh FROM sig"
+      else s"SELECT doc_id, $b, concat_ws(':', $cols) FROM sig"
+      sel
+    }.mkString("\n|  UNION ALL ")
+    val agree = (0 until 32).map(i => s"CAST(sa.m$i = sb.m$i AS INT)").mkString(" + ")
+    s"""tok AS (SELECT doc_id, unnest(string_split(text, ' ')) t FROM documents),
+       |hx AS MATERIALIZED (SELECT t, $hashCols FROM (
+       |  SELECT t, CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) x
+       |  FROM (SELECT DISTINCT t FROM tok))),
+       |sig AS MATERIALIZED (SELECT doc_id, $minCols
+       |  FROM tok JOIN hx USING (t) GROUP BY doc_id),
+       |b AS ($bandRows),
+       |capped AS MATERIALIZED (SELECT * FROM b
+       |  QUALIFY row_number() OVER (PARTITION BY band, bh ORDER BY doc_id) <= 50),
+       |cand AS (SELECT DISTINCT x.doc_id a_id, y.doc_id b_id
+       |  FROM capped x JOIN capped y
+       |  ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+       |est AS MATERIALIZED (SELECT a_id, b_id, ($agree) / 32.0 est_jaccard
+       |  FROM cand JOIN sig sa ON cand.a_id = sa.doc_id
+       |  JOIN sig sb ON cand.b_id = sb.doc_id)""".stripMargin
+  }
+
+  /** DuckDB CTEs rebuilding the exact 64-bit SimHash as four 16-bit
+    * chunks ([[graft.functions.SimHash64]]'s md5 scheme: token hash =
+    * first 16 hex chars, hi/lo 32-bit halves) plus the chunk buckets,
+    * cap, and Hamming distances — everything in non-negative arithmetic
+    * so no signed-64-bit literal ever appears. */
+  private def simhashSqlCtes: String = {
+    // chunk c covers bits 16c..16c+15; bits <32 come from lo, ≥32 from hi
+    val chunkCols = (0 until 4).map { c =>
+      val terms = (0 until 16).map { k =>
+        val b = 16 * c + k
+        val src = if (b < 32) s"(lo >> $b)" else s"(hi >> ${b - 32})"
+        s"CASE WHEN sum(CASE WHEN $src & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1 << k} ELSE 0 END"
+      }.mkString(" + ")
+      s"$terms c$c"
+    }.mkString(", ")
+    val chunkRows = (0 until 4).map { c =>
+      if (c == 0) s"SELECT doc_id, 0 chunk, c0 cv, c0, c1, c2, c3 FROM sig"
+      else s"SELECT doc_id, $c, c$c, c0, c1, c2, c3 FROM sig"
+    }.mkString("\n|  UNION ALL ")
+    val ham = (0 until 4).map(c => s"bit_count(xor(sa.c$c, sb.c$c))").mkString(" + ")
+    s"""th AS (SELECT doc_id,
+       |    CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) hi,
+       |    CAST(('0x' || substr(md5(t), 9, 8)) AS BIGINT) lo
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) t FROM documents)),
+       |sig AS MATERIALIZED (SELECT doc_id, $chunkCols FROM th GROUP BY doc_id),
+       |b AS ($chunkRows),
+       |capped AS MATERIALIZED (SELECT * FROM b
+       |  QUALIFY row_number() OVER (PARTITION BY chunk, cv ORDER BY doc_id) <= 50),
+       |cand AS (SELECT DISTINCT x.doc_id a_id, y.doc_id b_id
+       |  FROM capped x JOIN capped y
+       |  ON x.chunk = y.chunk AND x.cv = y.cv AND x.doc_id < y.doc_id),
+       |ham AS (SELECT a_id, b_id, CAST($ham AS INT) hamming
+       |  FROM cand JOIN sig sa ON cand.a_id = sa.doc_id
+       |  JOIN sig sb ON cand.b_id = sb.doc_id)""".stripMargin
+  }
 
   /** DuckDB-dialect oracle per query (driver runs these on the same parquet
     * files and hash-compares). Dialect forks: get_json_object↔
@@ -1022,6 +1115,64 @@ object SparkEntry {
         |HAVING count(*) >= 0.15 * (SELECT count(*) FROM orders)
         |ORDER BY 1""".stripMargin,
 
+    "dedup_minhash" ->
+      // full independent re-derivation (round 12): signatures, band
+      // buckets, cap, candidates, and the agreement estimate — see
+      // minhashEstSqlCtes; possible at all because MinHashSig switched
+      // to md5 double-hashing, the one hash both engines spell
+      s"""WITH $minhashEstSqlCtes
+         |SELECT a_id, b_id, est_jaccard FROM est
+         |ORDER BY est_jaccard DESC, a_id, b_id LIMIT 100""".stripMargin,
+
+    "dedup_clusters" ->
+      // the minhash pipeline's top-100 pairs at est ≥ 0.8, closed into
+      // connected components by a recursive CTE (min reachable id =
+      // exactly Graph.connectedComponents' min-label fixpoint), then
+      // cluster sizes
+      s"""WITH RECURSIVE $minhashEstSqlCtes,
+         |pr AS (SELECT a_id, b_id FROM (
+         |    SELECT a_id, b_id, est_jaccard FROM est
+         |    ORDER BY est_jaccard DESC, a_id, b_id LIMIT 100)
+         |  WHERE est_jaccard >= 0.8),
+         |edges AS (SELECT a_id u, b_id v FROM pr UNION SELECT b_id, a_id FROM pr),
+         |reach(id, r) AS (
+         |  SELECT u, u FROM edges UNION SELECT u, v FROM edges
+         |  UNION SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u),
+         |lab AS (SELECT id, min(r) lbl FROM reach GROUP BY id)
+         |SELECT lbl canonical_id, count(*) cluster_size FROM lab
+         |GROUP BY 1 ORDER BY cluster_size DESC, canonical_id LIMIT 100""".stripMargin,
+
+    "dedup_simhash" ->
+      // full independent re-derivation (round 12): md5-derived simhash
+      // rebuilt as four 16-bit chunks, chunk buckets, cap, Hamming — see
+      // simhashSqlCtes
+      s"""WITH $simhashSqlCtes
+         |SELECT a_id, b_id, hamming FROM ham WHERE hamming <= 16
+         |ORDER BY hamming, a_id, b_id LIMIT 100""".stripMargin,
+
+    "approx_distinct_hll" ->
+      // the HLL op's oracle is its contract (quantile_summary_approx
+      // precedent): exact distinct users per type cross-engine, plus the
+      // Spark-side 3-sigma bound assertion DuckDB emits as constant true
+      """SELECT event_type, count(DISTINCT user_id) exact_users, true hll_ok
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "decontaminate_bloom" ->
+      // exact truly-shared distinct-gram counts (the decontaminate_ngram
+      // spelling) plus the Bloom no-false-negative contract: every truly
+      // shared gram must probe positive, so DuckDB's constant true flips
+      // on any missed gram
+      """WITH ev AS (SELECT DISTINCT unnest(list_transform(
+        |    generate_series(1, len(string_split(text, ' ')) - 2),
+        |    i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))) g
+        |  FROM documents WHERE source = 'src0' AND len(string_split(text, ' ')) >= 3),
+        |tr AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(string_split(text, ' ')) - 2),
+        |    i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')))) g
+        |  FROM documents WHERE source <> 'src0' AND len(string_split(text, ' ')) >= 3)
+        |SELECT doc_id, count(*) hits, true no_false_neg FROM tr JOIN ev USING (g)
+        |GROUP BY 1 ORDER BY hits DESC, doc_id LIMIT 100""".stripMargin,
+
     "sample_stratified" ->
       // exact per-row membership through the portable md5 uniform (the
       // sample_mix formula with an explicit 3-source allowlist)
@@ -1282,6 +1433,41 @@ object SparkEntry {
         |QUALIFY row_number() OVER (PARTITION BY a.vec_id ORDER BY sim DESC, nn) = 1
         |ORDER BY a.vec_id LIMIT 50""".stripMargin,
 
+    "ann_lsh_topk" ->
+      // full independent re-derivation of the LSH pipeline (round 12):
+      // the hyperplanes are deterministic constants INLINED FROM
+      // Vectors.planes at map-build time (the two engines cannot drift),
+      // sign-bit buckets are integer arithmetic on list_inner_product,
+      // the per-bucket cap and the argmax reuse the proven cosine_knn
+      // tie-break spelling. Sign agreement is safe: cosine_knn pins
+      // bit-stable dot products cross-engine, and a plane dot within
+      // ulps of 0 does not occur for random 64-dim data.
+      s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+         |w AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) nrm,
+         |  $lshBucketSql bucket FROM n),
+         |c AS (SELECT * FROM w
+         |  QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY vec_id) <= 200),
+         |p AS (SELECT a.vec_id, b.vec_id nn,
+         |    round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 4) sim
+         |  FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+         |SELECT vec_id, nn, sim FROM p
+         |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nn) = 1
+         |ORDER BY vec_id LIMIT 50""".stripMargin,
+
+    "dedup_embedding" ->
+      // same bucket machinery, pair form: candidates share a sign-bucket,
+      // emitted top-100 by similarity with the dup verdict as a flag
+      s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+         |w AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) nrm,
+         |  $lshBucketSql bucket FROM n),
+         |c AS (SELECT * FROM w
+         |  QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY vec_id) <= 200),
+         |p AS (SELECT a.vec_id a_id, b.vec_id b_id,
+         |    round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 4) sim
+         |  FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT a_id, b_id, sim, sim >= 0.95 is_dup FROM p
+         |ORDER BY sim DESC, a_id, b_id LIMIT 100""".stripMargin,
+
     "embed_centroids" ->
       // val goes FLOAT→DOUBLE→DECIMAL like the Spark side: DuckDB's direct
       // FLOAT→DECIMAL cast rounds differently in the last decimal digit.
@@ -1294,6 +1480,58 @@ object SparkEntry {
     "multimodal_bytes" ->
       """SELECT doc_id, octet_length(encode(text)) nbytes, md5(text) sig
         |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin,
+
+    "multimodal_decode_stats" ->
+      // independent re-derivation of the deterministic stub decode: the
+      // fabricated shapes are pure arithmetic on the first 32 bits of
+      // md5(payload) and payload = utf-8 text bytes, so DuckDB rebuilds
+      // width/height/frames from md5(text) without touching the typed
+      // mapPartitions path under test
+      """WITH m AS (SELECT doc_id,
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |      ELSE 'video' END kind,
+        |    CAST(octet_length(encode(text)) AS BIGINT) nb,
+        |    CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) h
+        |  FROM documents),
+        |f AS (SELECT kind, nb,
+        |    CASE WHEN kind = 'audio' THEN 1 ELSE CAST(16 + h % 64 AS INT) END w,
+        |    CASE kind WHEN 'image' THEN 1 WHEN 'audio' THEN CAST(8000 + h % 8000 AS INT)
+        |      ELSE CAST(24 + h % 240 AS INT) END fr
+        |  FROM m)
+        |SELECT kind, count(*) n, CAST(sum(nb) AS BIGINT) total_bytes,
+        |  min(w) min_w, max(w) max_w, max(fr) max_frames
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "multimodal_resize_stats" ->
+      // same stub re-derivation plus the thumbnail arithmetic: scale =
+      // 32 / max(w,h) in doubles on both engines, truncation toward zero
+      // (Java (int) cast ↔ trunc) — identical IEEE products, identical ints
+      """WITH m AS (SELECT
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |      ELSE 'video' END kind,
+        |    CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) h
+        |  FROM documents),
+        |f AS (SELECT kind,
+        |    CASE WHEN kind = 'audio' THEN 1 ELSE CAST(16 + h % 64 AS INT) END w,
+        |    CASE WHEN kind = 'audio' THEN 1 ELSE CAST(16 + (h // 64) % 64 AS INT) END ht
+        |  FROM m),
+        |r AS (SELECT kind,
+        |    CASE WHEN w <= 32 AND ht <= 32 THEN w
+        |      ELSE greatest(1, CAST(trunc(w * (32.0 / greatest(w, ht))) AS INT)) END w2,
+        |    CASE WHEN w <= 32 AND ht <= 32 THEN ht
+        |      ELSE greatest(1, CAST(trunc(ht * (32.0 / greatest(w, ht))) AS INT)) END h2
+        |  FROM f)
+        |SELECT kind, count(*) n, max(w2) max_w, max(h2) max_h
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "multimodal_frame_sample" ->
+      // every stride-th frame of the stub decode's frame count:
+      // n_sampled = ceil(frames/10) over video docs
+      """WITH m AS (SELECT doc_id,
+        |    CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) h
+        |  FROM documents WHERE CAST(doc_id % 3 AS INT) = 2)
+        |SELECT doc_id, CAST((24 + h % 240 + 9) // 10 AS BIGINT) n_sampled
+        |FROM m ORDER BY doc_id LIMIT 500""".stripMargin,
 
     "recon_key_profile" ->
       """WITH m AS (SELECT l_orderkey, count(*) m FROM lineitem GROUP BY 1)

@@ -2,34 +2,41 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ExprBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
 /** Native one-pass MinHash signature over a token array: element i of the
-  * result is `min over tokens t of XXH64(t, seed_i)` with
-  * `seed_i = XXH64(i, 42)` — bit-identical to the
-  * `array_min(transform(toks, t => xxhash64(lit(i), t)))` column stack it
-  * replaces (Spark's `xxhash64(a, b)` chains child hashes, and min over
-  * duplicates equals min over the distinct set, so the old
-  * `array_distinct` was semantically redundant too).
+  * result is `min over tokens t of ((a_i·x(t) + b_i) mod p)` with
+  * `x(t)` = the first 60 bits of md5(t), `p` = 2^61−1 (Mersenne), and
+  * (a_i, b_i) fixed pseudo-random coefficients — a pairwise-independent
+  * linear hash family over a prime field, the textbook MinHash
+  * construction.
   *
-  * Why a custom expression (SURVEY §2.10): the column form is 32
-  * CodegenFallback `transform` lambdas — 32 interpreted array traversals
-  * per row, each allocating an intermediate array — where this is ONE
-  * traversal hashing each token `numHashes` times inside whole-stage
-  * codegen, no intermediates. Same preference order as
-  * [[DotProduct]]: built-ins compose the semantics but fall out of
-  * codegen exactly where the CPU goes.
+  * Two design constraints meet here (round 12):
+  *  - CROSS-ENGINE: md5 is the one hash every engine spells identically,
+  *    and `(a·x + b) mod p` is exact 128-bit integer arithmetic DuckDB
+  *    evaluates natively on HUGEINT — so a SQL oracle rebuilds the exact
+  *    signature and the whole MinHash+LSH pipeline hash-compares (DuckDB
+  *    has no xxhash64, which kept dedup_minhash no-oracle for six rounds).
+  *  - INDEPENDENCE: the first round-12 attempt derived h_i = h1 + i·h2
+  *    from two md5 slices (Kirsch–Mitzenmacher). Fine for Bloom filters,
+  *    WRONG for MinHash: for any token pair the comparison
+  *    h_i(s) < h_i(t) is linear in i and flips at most once across
+  *    i = 0..31, so the 32 agreement votes are near-perfectly correlated
+  *    and the Jaccard estimate keeps O(1) variance — ScalaCheck falsified
+  *    it with ({"s8"}, {"s8", ""}) estimating 0 against a true J = 0.5.
+  *    Independent (a_i, b_i) per hash restore the 1/√32 concentration.
   *
-  * Null contract: a null token array yields NULL (UnaryExpression
-  * null-intolerance); a null TOKEN contributes `seed_i` itself, exactly
-  * like the old form (Spark hash expressions skip null children, passing
-  * the seed through). Token arrays are never empty in practice
-  * (`split` returns [""] for empty text); an empty array yields NULL
-  * rather than 32 MAX_VALUE sentinels. */
+  * The Spark side reduces `a·x mod p` with `Math.multiplyHigh` (a JIT
+  * intrinsic) and two Mersenne folds — exact, no BigInteger on the hot
+  * path; every output lies in [0, p).
+  *
+  * Null contract: null tokens are skipped; a null, empty, or all-null
+  * array yields NULL. Token arrays are never empty in practice (`split`
+  * returns [""] for empty text). */
 case class MinHashSig(child: Expression, numHashes: Int)
   extends UnaryExpression {
 
@@ -45,68 +52,70 @@ case class MinHashSig(child: Expression, numHashes: Int)
       s"minhash_sig expects array<string>, got $t")
   }
 
-  /** seed_i = XXH64(i, 42): the chained-hash prefix of xxhash64(lit(i), t). */
-  private lazy val seeds: Array[Long] =
-    Array.tabulate(numHashes)(i => XXH64.hashInt(i, 42L))
+  private lazy val as: Array[Long] = Array.tabulate(numHashes)(MinHashSig.coeffA)
+  private lazy val bs: Array[Long] = Array.tabulate(numHashes)(MinHashSig.coeffB)
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    if (n == 0) return null
     val mins = Array.fill(numHashes)(Long.MaxValue)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var contributed = false
     var j = 0
     while (j < n) {
-      if (arr.isNullAt(j)) {
-        var i = 0
-        while (i < numHashes) { if (seeds(i) < mins(i)) mins(i) = seeds(i); i += 1 }
-      } else {
-        val t = arr.getUTF8String(j)
-        val (base, off, len) = (t.getBaseObject, t.getBaseOffset, t.numBytes)
+      if (!arr.isNullAt(j)) {
+        contributed = true
+        val dig = md.digest(arr.getUTF8String(j).getBytes)
+        var b07 = 0L; var k = 0
+        while (k < 8) { b07 = (b07 << 8) | (dig(k) & 0xffL); k += 1 }
+        val x = b07 >>> 4 // first 15 hex chars (60 bits) — same slice the oracle takes
         var i = 0
         while (i < numHashes) {
-          val h = XXH64.hashUnsafeBytes(base, off, len, seeds(i))
+          val h = MinHashSig.affineModP(as(i), x, bs(i))
           if (h < mins(i)) mins(i) = h
           i += 1
         }
       }
       j += 1
     }
-    new GenericArrayData(mins)
+    if (!contributed) null else new GenericArrayData(mins)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
-      val seedsRef = ctx.addReferenceObj("minhashSeeds", seeds, "long[]")
-      // XXH64 is a Java class of statics — the same name Spark's own
-      // hash-expression codegen emits
-      val xxh = classOf[XXH64].getName
-      val (n, j, i, mins, t, base, off, len, h) =
+      // one MessageDigest per operator instance, reset by digest() itself
+      val md = ctx.addMutableState("java.security.MessageDigest", "minhashMd",
+        v => s"""try { $v = java.security.MessageDigest.getInstance("MD5"); }
+                |catch (java.security.NoSuchAlgorithmException e) { throw new RuntimeException(e); }""".stripMargin)
+      val asRef = ctx.addReferenceObj("minhashA", as, "long[]")
+      val bsRef = ctx.addReferenceObj("minhashB", bs, "long[]")
+      val (n, j, i, k, mins, dig, b07, x, h, contributed) =
         (ctx.freshName("n"), ctx.freshName("j"), ctx.freshName("i"),
-          ctx.freshName("mins"), ctx.freshName("t"), ctx.freshName("base"),
-          ctx.freshName("off"), ctx.freshName("len"), ctx.freshName("h"))
+          ctx.freshName("k"), ctx.freshName("mins"), ctx.freshName("dig"),
+          ctx.freshName("b07"), ctx.freshName("x"), ctx.freshName("h"),
+          ctx.freshName("contributed"))
+      val sig = classOf[MinHashSig].getName
       s"""
          |final int $n = $a.numElements();
-         |if ($n == 0) {
-         |  ${ev.isNull} = true;
-         |} else {
-         |  long[] $mins = new long[$numHashes];
-         |  java.util.Arrays.fill($mins, Long.MAX_VALUE);
-         |  for (int $j = 0; $j < $n; $j++) {
-         |    if ($a.isNullAt($j)) {
-         |      for (int $i = 0; $i < $numHashes; $i++) {
-         |        if ($seedsRef[$i] < $mins[$i]) $mins[$i] = $seedsRef[$i];
-         |      }
-         |    } else {
-         |      org.apache.spark.unsafe.types.UTF8String $t = $a.getUTF8String($j);
-         |      final Object $base = $t.getBaseObject();
-         |      final long $off = $t.getBaseOffset();
-         |      final int $len = $t.numBytes();
-         |      for (int $i = 0; $i < $numHashes; $i++) {
-         |        final long $h = $xxh.hashUnsafeBytes($base, $off, $len, $seedsRef[$i]);
-         |        if ($h < $mins[$i]) $mins[$i] = $h;
-         |      }
+         |long[] $mins = new long[$numHashes];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |boolean $contributed = false;
+         |for (int $j = 0; $j < $n; $j++) {
+         |  if (!$a.isNullAt($j)) {
+         |    $contributed = true;
+         |    final byte[] $dig = $md.digest($a.getUTF8String($j).getBytes());
+         |    long $b07 = 0L; int $k = 0;
+         |    for (; $k < 8; $k++) $b07 = ($b07 << 8) | ($dig[$k] & 0xffL);
+         |    final long $x = $b07 >>> 4;
+         |    for (int $i = 0; $i < $numHashes; $i++) {
+         |      final long $h = $sig.affineModP($asRef[$i], $x, $bsRef[$i]);
+         |      if ($h < $mins[$i]) $mins[$i] = $h;
          |    }
          |  }
+         |}
+         |if (!$contributed) {
+         |  ${ev.isNull} = true;
+         |} else {
          |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
          |}
        """.stripMargin
@@ -117,6 +126,40 @@ case class MinHashSig(child: Expression, numHashes: Int)
 }
 
 object MinHashSig {
+
+  /** 2^61 − 1, Mersenne: reduction is two shift-and-fold steps. */
+  val P: Long = (1L << 61) - 1
+
+  /** Exact `(a·x + b) mod P` for 0 ≤ a, b < P and 0 ≤ x < 2^60, via the
+    * 128-bit product split (`Math.multiplyHigh` is a JIT intrinsic) and
+    * Mersenne folding. Static (Java-callable) so generated code links it
+    * directly. DuckDB evaluates the same function as
+    * `(CAST(a AS HUGEINT) * x + b) % 2305843009213693951`. */
+  @inline def affineModP(a: Long, x: Long, b: Long): Long = {
+    val hi = Math.multiplyHigh(a, x) // a, x ≥ 0 so signed == unsigned high
+    val lo = a * x                   // wrapped low 64 bits
+    // a·x = hi·2^64 + lo = (hi·8 + lo>>>61)·2^61 + (lo & P)
+    var m = (lo & P) + ((hi << 3) | (lo >>> 61))
+    m = (m & P) + (m >>> 61)
+    if (m >= P) m -= P
+    m += b
+    if (m >= P) m -= P
+    m
+  }
+
+  /** SplitMix64 — the same public mixer the LSH planes use. */
+  private def mix(k: Long): Long = {
+    var x = k * 6364136223846793005L + 1442695040888963407L
+    x ^= (x >>> 33); x *= -49064778989728563L; x ^= (x >>> 33)
+    x
+  }
+
+  /** Deterministic coefficients in [1, P−1] (a must be nonzero for the
+    * family to be pairwise independent). The VALUES are what the DuckDB
+    * oracle inlines — see SparkEntry.minhashEstSqlCtes. */
+  def coeffA(i: Int): Long = ((mix(2L * i + 1) >>> 3) % (P - 1)) + 1
+  def coeffB(i: Int): Long = (mix(2L * i + 2) >>> 3) % P
+
   /** Column entry point:
     * `minhash(toks, n)` over an `array<string>` column → `array<long>`. */
   def minhash(toks: Column, numHashes: Int): Column =

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.ExprBridge
@@ -12,29 +12,33 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * interpreted and generated paths, like [[ShingleScan]]. */
 object SimHashScan extends Serializable {
 
-  /** 64-bit SimHash of a token array: each token's `xxhash64` (seed 42)
-    * votes +1/−1 per bit position; the result sets bit b iff the vote sum
-    * is positive — bit-identical to the explode → 64 ×
-    * `sum(when(shiftright(xxhash64(tok), b) & 1 = 1, 1).otherwise(-1))`
-    * aggregate stack it replaces (a null token contributes the seed's
-    * bits, exactly as Spark's hash expressions pass the seed through).
-    * Duplicates vote once per occurrence — SimHash is frequency-weighted
-    * by definition. */
+  /** 64-bit SimHash of a token array: each token's 64-bit hash — the
+    * first 16 hex chars of md5(t), i.e. the big-endian first 8 digest
+    * bytes — votes +1/−1 per bit position; the result sets bit b iff the
+    * vote sum is positive. md5 instead of the round-6..11 seeded
+    * xxhash64 for the same reason as [[MinHashSig]]: every engine spells
+    * md5 identically, so a SQL oracle can rebuild the exact fingerprint
+    * from `substr(md5(t), …)` arithmetic (round 12; bit b<32 comes from
+    * hex chars 9..16, b≥32 from chars 1..8 — two 32-bit halves, so the
+    * oracle never touches a signed-overflow-prone 64-bit literal).
+    * Null tokens are skipped (the md5 column stack maps them to null
+    * votes an aggregate ignores); duplicates vote once per occurrence —
+    * SimHash is frequency-weighted by definition. */
   def simhash64(arr: ArrayData): Long = {
     val n = arr.numElements()
     val votes = new Array[Int](64)
+    val md = java.security.MessageDigest.getInstance("MD5")
     var j = 0
     while (j < n) {
-      val h =
-        if (arr.isNullAt(j)) 42L
-        else {
-          val t = arr.getUTF8String(j)
-          XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, 42L)
+      if (!arr.isNullAt(j)) {
+        val dig = md.digest(arr.getUTF8String(j).getBytes)
+        var h = 0L; var k = 0
+        while (k < 8) { h = (h << 8) | (dig(k) & 0xffL); k += 1 }
+        var b = 0
+        while (b < 64) {
+          votes(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
+          b += 1
         }
-      var b = 0
-      while (b < 64) {
-        votes(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
-        b += 1
       }
       j += 1
     }

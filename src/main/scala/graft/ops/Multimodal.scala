@@ -50,14 +50,25 @@ object Multimodal {
 
   /** STUB decode — deterministic shape fields derived from payload bytes.
     * A real implementation would hand `payload` to a codec here; the
-    * signature, batch shape, and downstream schema would not change. */
+    * signature, batch shape, and downstream schema would not change.
+    *
+    * The fake's mix is the first 32 bits of md5(payload) — switched from
+    * `Arrays.hashCode` in round 12 so the fabricated shapes are
+    * re-derivable from `md5(text)` in ANY engine, which turns all three
+    * stub-decode ops into oracled entries (DuckDB recomputes width/
+    * height/frames from the same hash) instead of trust-the-stub
+    * no-oracle ones. A real codec replaces everything below `n`. */
   private[graft] def decodeStub(r: MediaRecord): MediaFeatures = {
     val n = r.payload.length
-    val h = java.util.Arrays.hashCode(r.payload) & 0x7fffffff
+    val dig = java.security.MessageDigest.getInstance("MD5").digest(r.payload)
+    val h = ((dig(0) & 0xffL) << 24) | ((dig(1) & 0xffL) << 16) |
+      ((dig(2) & 0xffL) << 8) | (dig(3) & 0xffL)
     r.kind match {
-      case "image" => MediaFeatures(r.doc_id, r.kind, n, 16 + h % 64, 16 + (h / 64) % 64, 1)
-      case "audio" => MediaFeatures(r.doc_id, r.kind, n, 1, 1, 8000 + h % 8000)
-      case _       => MediaFeatures(r.doc_id, r.kind, n, 16 + h % 64, 16 + (h / 64) % 64, 24 + h % 240)
+      case "image" => MediaFeatures(r.doc_id, r.kind, n,
+        16 + (h % 64).toInt, 16 + ((h / 64) % 64).toInt, 1)
+      case "audio" => MediaFeatures(r.doc_id, r.kind, n, 1, 1, (8000 + h % 8000).toInt)
+      case _       => MediaFeatures(r.doc_id, r.kind, n,
+        16 + (h % 64).toInt, 16 + ((h / 64) % 64).toInt, (24 + h % 240).toInt)
     }
   }
 

