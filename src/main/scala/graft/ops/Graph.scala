@@ -62,25 +62,33 @@ object Graph {
     val edges = truncate(pairs.select(col("a_id").as("u"), col("b_id").as("v"))
       .unionByName(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
       .distinct(), checkpointDir)
-    var labels = truncate(edges.select(col("u").as("id")).distinct()
-      .withColumn("label", col("id")), checkpointDir)
+    // labels init stays LAZY off the materialized edge frame (one-hop
+    // lineage, a cheap distinct) — round 11 checkpointed it too, paying
+    // a whole extra materialization job for a frame round 1 rebuilds
+    // anyway; round 1's own checkpoint truncates the lineage
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("label", col("id"))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
       val nbrMin = edges
         .join(labels.select(col("id").as("v"), col("label").as("vl")), "v")
         .groupBy(col("u").as("id")).agg(min(col("vl")).as("nl"))
-      // carry the previous label through the checkpoint so the change
-      // count is a scan of the materialized frame, not a second
-      // full-label-set shuffle join per round (a wash at test SF where
-      // the label set is tiny — measured — but one fewer per-round
-      // shuffle of the full label set at scale)
+      // carry the previous label through the round so the change count
+      // needs no second full-label-set shuffle join; the count itself
+      // rides the checkpoint's materialization job as an `observe`
+      // metric (round 12) — one Spark job per round instead of the
+      // round-11 checkpoint-then-count pair, which halved the loop's
+      // fixed job overhead at test SF and saves a full scan of the
+      // label set per round at scale
+      val obs = new org.apache.spark.sql.Observation()
       val next = labels.join(nbrMin, Seq("id"), "left_outer")
         .select(col("id"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"),
           col("label").as("prev"))
+        .observe(obs, sum(when(col("label") =!= col("prev"), 1L).otherwise(0L)).as("moved"))
       val ckpt = truncate(next, checkpointDir)
-      changed = ckpt.filter(col("label") =!= col("prev")).count()
+      changed = Option(obs.get("moved")).map(_.asInstanceOf[Long]).getOrElse(0L)
       labels = ckpt.drop("prev")
       iter += 1
     }

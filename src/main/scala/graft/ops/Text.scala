@@ -339,30 +339,40 @@ object Text {
     * this corpus are token permutations, and Jaccard is set-based anyway.
     */
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSignatures(
-      docs(spark, dir).select(col("doc_id"), split(col("text"), " ").as("toks")))
+    val sig = docs(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.MinHashSig.minhash(split(col("text"), " "), NumHashes).as("sig"))
     // band key = the 4 minhash values themselves (joined as a string):
     // grouping on the raw tuple needs no second hash function, which is
     // exactly what lets an engine without xxhash64 reproduce the buckets
     val bandKey = (b: Int) =>
       concat_ws(":", (b * RowsPerBand until (b + 1) * RowsPerBand)
-        .map(i => col(s"h$i").cast("string")): _*)
+        .map(i => col("sig").getItem(i).cast("string")): _*)
     val banded = capBuckets(
-      sig.select(col("doc_id"),
+      sig.select(col("doc_id"), col("sig"),
         posexplode(array((0 until Bands).map(bandKey): _*)).as(Seq("band", "bh"))),
       Seq("band", "bh"))
-    val cand = banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-      .distinct()
+    // The signature rides along BOTH sides of the bucket self-join and
+    // agreement is a codegen'd 32-term comparison over the carried
+    // arrays: the round-11 form re-joined a separate signature frame
+    // twice after the candidate join, so the scan → md5-signature
+    // pipeline executed 4× per run (round-12 plan audit) — carrying the
+    // 256 B signature through the join halves that to the 2 unavoidable
+    // self-join sides and deletes two join stages. Shuffled-hash hint:
+    // sort-merge would sort both sides on a bucket key whose order is
+    // meaningless.
+    val x = banded.select(col("doc_id").as("a_id"), col("sig").as("sa"),
+      col("band"), col("bh"))
+    val y = banded.select(col("doc_id").as("b_id"), col("sig").as("sb"),
+      col("band"), col("bh"))
     val agree = (0 until NumHashes)
-      .map(i => when(col(s"sa.h$i") === col(s"sb.h$i"), 1).otherwise(0))
+      .map(i => when(col("sa").getItem(i) === col("sb").getItem(i), 1).otherwise(0))
       .reduce(_ + _)
-    cand.join(sig.as("sa"), col("a_id") === col("sa.doc_id"))
-      .join(sig.as("sb"), col("b_id") === col("sb.doc_id"))
+    x.hint("shuffle_hash").join(y.hint("shuffle_hash"), Seq("band", "bh"))
+      .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         (agree.cast("double") / NumHashes).as("est_jaccard"))
+      .dropDuplicates("a_id", "b_id")
       .orderBy(col("est_jaccard").desc, col("a_id"), col("b_id"))
       .limit(100)
   }
