@@ -84,11 +84,10 @@ object Bench {
     val total = results.map(_._2).sum
     // Informational section (round-6 verdict, optional #7): ops with no
     // DuckDB twin are timed OUTSIDE the contract total — min-of-3 after
-    // one warm pass. Down to ann_ivf_topk alone since round 12 (its
-    // k-means means are float sums with partition-order ulps, the one
-    // thing a SQL oracle cannot reproduce); every other former info op
-    // gained a full-reproduction oracle and moved into the contract.
-    val infoQueries = Seq("ann_ivf_topk")
+    // one warm pass. EMPTY since round 12: ann_ivf_topk, the last
+    // holdout, became deterministic (md5 seeds + exact decimal means)
+    // and moved into the oracled contract with the rest.
+    val infoQueries = Seq.empty[String]
     infoQueries.foreach(materialize)
     val infoSamples = infoQueries.map { name =>
       gcBreath()

@@ -12,9 +12,16 @@ object Explain {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_EXEC=1: materialize first and print the FINAL adaptive
+    // plan — AQE stage reuse (ReusedExchange/ReusedQueryStage) only
+    // appears after execution, so the static plan under-reports reuse
     args.foreach { q =>
       println(s"===== $q =====")
-      SparkEntry.queries(q)(spark, "/root/testdata/sf0.1").explain("formatted")
+      val df = SparkEntry.queries(q)(spark, "/root/testdata/sf0.1")
+      if (sys.env.get("SPARK_GRAFT_EXEC").contains("1")) {
+        df.queryExecution.toRdd.count()
+        println(df.queryExecution.executedPlan.toString.take(30000))
+      } else df.explain("formatted")
     }
     spark.stop()
   }

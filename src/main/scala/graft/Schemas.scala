@@ -110,8 +110,28 @@ object Tables {
     "lineitem" -> lineitem, "documents" -> documents,
     "embeddings" -> embeddings)
 
-  def read(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.schema(schemas(name)).parquet(s"$dir/$name.parquet")
+  /** Resolved-relation cache: repeated reads of the same table path
+    * return the SAME DataFrame (an immutable logical plan), so each
+    * query skips re-listing the path and re-resolving the relation —
+    * the catalog behavior a real deployment gets from a metastore
+    * table. Keyed on (session, path, mtime, length) — the mtime/length
+    * key follows the events ts-sniff cache (round-12): an in-place
+    * testdata regen changes the file stats, so a stale plan is never
+    * served; a vanished file falls through to an uncached read and
+    * fails with the reader's own error. */
+  private val relationCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long, Long), DataFrame]()
+
+  def read(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val stat = try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val st = p.getFileSystem(spark.sessionState.newHadoopConf()).getFileStatus(p)
+      (st.getModificationTime, st.getLen)
+    } catch { case _: java.io.IOException => (-1L, -1L) }
+    relationCache.computeIfAbsent((spark, path, stat._1, stat._2),
+      _ => spark.read.schema(schemas(name)).parquet(path))
+  }
 
   /** On-disk footprint of one table's parquet path — pure driver-side
     * filesystem metadata, no Spark job. This is the size gate the
@@ -165,6 +185,13 @@ object Tables {
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
     val st = fs.getFileStatus(hp)
+    relationCache.computeIfAbsent(
+      (spark, path, st.getModificationTime, st.getLen),
+      _ => eventsUncached(spark, path, st))
+  }
+
+  private def eventsUncached(spark: SparkSession, path: String,
+                             st: org.apache.hadoop.fs.FileStatus): DataFrame = {
     val diskTs = eventsTsType.computeIfAbsent(
       (path, st.getModificationTime, st.getLen),
       _ => spark.read.parquet(path).schema("ts").dataType)

@@ -166,7 +166,7 @@ object SparkEntry {
     "cosine_knn"               -> ((s, d) => Vectors.cosineKnn(s, d)),
     "embed_centroids"          -> (Vectors.embedCentroids _),
     "ann_lsh_topk"             -> (Vectors.annLshTopk _),
-    "ann_ivf_topk"             -> (Vectors.annIvfTopk _),     // no-oracle
+    "ann_ivf_topk"             -> (Vectors.annIvfTopk _),
     // multimodal binary columns
     "multimodal_bytes"         -> (Multimodal.bytesStats _),
     "multimodal_decode_stats"  -> (Multimodal.decodeStats _),
@@ -261,7 +261,7 @@ object SparkEntry {
     "sample_stratified", "approx_distinct_hll", "decontaminate_bloom",
     "multimodal_decode_stats", "multimodal_resize_stats",
     "multimodal_frame_sample", "ann_lsh_topk", "dedup_embedding",
-    "dedup_minhash", "dedup_clusters", "dedup_simhash")
+    "dedup_minhash", "dedup_clusters", "dedup_simhash", "ann_ivf_topk")
 
   /** DuckDB spelling of [[graft.ops.Vectors.lshBucket]]: the 8 sign bits
     * against the SAME hyperplane doubles, interpolated from
@@ -273,6 +273,57 @@ object SparkEntry {
       val plane = graft.ops.Vectors.planes(j).mkString("[", ", ", "]")
       s"(CASE WHEN list_inner_product(v, $plane) > 0 THEN ${1 << j} ELSE 0 END)"
     }.mkString(" + ") + ")"
+
+  /** DuckDB re-derivation of the ENTIRE [[graft.ops.Vectors.annIvfTopk]]
+    * pipeline — seeds, three unrolled Lloyd rounds, probe assignment,
+    * and the final argmax. Reproducible cross-engine because the Spark
+    * side was made deterministic for it (round 12): seeds order by the
+    * portable md5(vec_id) instead of xxhash64; cluster means are exact
+    * DECIMAL(18,9) sums (the embed_centroids float→decimal rule), so no
+    * partial-agg order leaks in; and every dot product is the
+    * sequential-accumulation native expression, bit-identical to
+    * DuckDB's `list_inner_product` (the contract ann_lsh_topk /
+    * cosine_knn already pin). Iteration count/k/probes interpolate from
+    * `Vectors`' own constants so the two engines cannot drift. */
+  private def ivfTopkSql: String = {
+    val k = graft.ops.Vectors.IvfClusters
+    val iters = graft.ops.Vectors.IvfIterations
+    val probes = graft.ops.Vectors.IvfProbes
+    val iterCtes = (1 to iters).map { i =>
+      s"""a$i AS (SELECT vec_id, u, cid FROM (
+         |    SELECT q.vec_id, q.u, c.cid,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_inner_product(q.u, c.cvec) DESC, c.cid) rn
+         |    FROM u q CROSS JOIN c${i - 1} c) WHERE rn = 1),
+         |m$i AS (SELECT cid, pos,
+         |    CAST(sum(CAST(x AS DECIMAL(18,9))) AS DOUBLE) / count(*) m
+         |  FROM (SELECT cid, generate_subscripts(u,1) pos, unnest(u) x FROM a$i)
+         |  GROUP BY cid, pos),
+         |g$i AS (SELECT cid, list(m ORDER BY pos) m FROM m$i GROUP BY cid),
+         |c$i AS (SELECT cid,
+         |    list_transform(m, x -> x / sqrt(list_inner_product(m, m))) cvec
+         |  FROM g$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+       |u AS (SELECT vec_id,
+       |    list_transform(v, x -> x / sqrt(list_inner_product(v, v))) u FROM v0),
+       |c0 AS (SELECT row_number() OVER (
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 cid, u cvec
+       |  FROM u ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k),
+       |$iterCtes,
+       |sc AS (SELECT q.vec_id, q.u, c.cid,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY list_inner_product(q.u, c.cvec) DESC, c.cid) rk
+       |  FROM u q CROSS JOIN c$iters c),
+       |pr AS (SELECT vec_id, u, cid, rk FROM sc WHERE rk <= $probes),
+       |mem AS (SELECT cid, vec_id nn, u un FROM pr WHERE rk = 1),
+       |p AS (SELECT pr.vec_id, mem.nn,
+       |    round(list_inner_product(pr.u, mem.un), 4) sim
+       |  FROM pr JOIN mem USING (cid) WHERE pr.vec_id <> mem.nn)
+       |SELECT vec_id, nn, sim FROM p
+       |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nn) = 1
+       |ORDER BY vec_id LIMIT 50""".stripMargin
+  }
 
   /** Shared DuckDB CTEs rebuilding the exact 32-hash MinHash signature
     * ([[graft.functions.MinHashSig]]'s scheme: h_i(t) = (a_i·x + b_i)
@@ -1453,6 +1504,8 @@ object SparkEntry {
          |SELECT vec_id, nn, sim FROM p
          |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nn) = 1
          |ORDER BY vec_id LIMIT 50""".stripMargin,
+
+    "ann_ivf_topk" -> ivfTopkSql,
 
     "dedup_embedding" ->
       // same bucket machinery, pair form: candidates share a sign-bucket,

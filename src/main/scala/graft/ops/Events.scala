@@ -438,9 +438,15 @@ object Events {
     * same-day count) — the DAU/rolling-WAU staple of every growth
     * dashboard. The event stream collapses to the distinct (user, day)
     * frame FIRST (the cohort_retention discipline — |users|×|days|
-    * rows, never the raw stream), then range-joins the broadcast
-    * 30-row day grid (each activity row lands in ≤7 grid days) and
-    * counts distincts per day. Left join keeps silent days as explicit
+    * rows, never the raw stream), then each activity row EXPLODES into
+    * the ≤7 grid days it serves (`sequence(d, d+6)` — a row-local
+    * generator, where the round-11 day-grid range join planned a
+    * BroadcastNestedLoopJoin evaluating |grid| predicates per activity
+    * row: A/B sf0.1 0.55 s BNLJ → 0.38 s explode). dau1 comes from its
+    * own per-day single-distinct agg instead of a second
+    * `countDistinct` on the exploded frame, so neither aggregate pays
+    * the two-distinct Expand row-doubling. Both aggregate outputs are
+    * day-grid-sized; the grid left-join keeps silent days as explicit
     * zero rows, the resample_daily convention. Nothing bigger than
     * |users|×|days|×7 exists anywhere in the plan.
     *
@@ -454,13 +460,19 @@ object Events {
   def rollingDau(spark: SparkSession, dir: String): DataFrame = {
     val ud = Tables.events(spark, dir)
       .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
-    val days = ud.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
-      .select(explode(sequence(col("lo"), col("hi"))).as("dy"))
-    broadcast(days)
-      .join(ud, col("d").between(date_sub(col("dy"), 6), col("dy")), "left")
-      .groupBy("dy")
-      .agg(countDistinct(col("user_id")).as("dau7"),
-        countDistinct(when(col("d") === col("dy"), col("user_id"))).as("dau1"))
+    val bounds = ud.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+    val grid = bounds.select(explode(sequence(col("lo"), col("hi"))).as("dy"))
+    val dau7 = ud.select(col("user_id"),
+        explode(sequence(col("d"), date_add(col("d"), 6))).as("dy"))
+      .crossJoin(broadcast(bounds)).filter(col("dy") <= col("hi"))
+      .groupBy("dy").agg(countDistinct(col("user_id")).as("c7"))
+    val dau1 = ud.groupBy(col("d").as("dy"))
+      .agg(countDistinct(col("user_id")).as("c1"))
+    // grid and both agg outputs are day-grid-sized — no broadcast hint:
+    // broadcast-left of a left join is unsupported (it would only warn)
+    grid.join(dau7, Seq("dy"), "left").join(dau1, Seq("dy"), "left")
+      .select(col("dy"), coalesce(col("c7"), lit(0L)).as("dau7"),
+        coalesce(col("c1"), lit(0L)).as("dau1"))
       .orderBy("dy")
   }
 

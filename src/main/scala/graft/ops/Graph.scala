@@ -99,18 +99,50 @@ object Graph {
     labels
   }
 
+  /** Union-find over an ANSWER-SIZED pair list (driver-side). Only legal
+    * when the caller can PROVE the input is bounded — here the pair list
+    * is the output of a `limit(n)` plan, so collecting it moves at most
+    * n 16-byte rows, the same class as the repo's other answer-sized
+    * plan-time collects. Unbounded pair streams must go through
+    * [[connectedComponents]]; this path exists because a 4-round
+    * DataFrame loop over a ≤100-row frame is pure fixed job overhead
+    * (measured ~0.45 s at sf0.1 vs ~0 for the local fold). */
+  private[graft] def unionFindLocal(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { val (lo, hi) = if (ra < rb) (ra, rb) else (rb, ra); parent(hi) = lo }
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
   /** Harness op: MinHash candidate pairs at estimated Jaccard ≥ 0.8 →
     * components → one row per dup cluster with its size and canonical
-    * (minimum) doc id. Non-oracle (iterative, no SQL twin); chain/flood
-    * structure is unit-tested. */
+    * (minimum) doc id. The pair list is `dedupMinhash`'s top-100 frame —
+    * answer-sized by construction (a `limit`) — so the transitive
+    * closure runs as a driver-side union-find over ≤100 edges instead
+    * of paying the distributed loop's per-round job overhead; an
+    * unbounded pair stream (the 100 TB path) uses
+    * [[connectedComponents]], which stays the tested scale
+    * implementation. Both produce min-label components, asserted
+    * equivalent in GraphSpec. */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = Text.dedupMinhash(spark, dir)
       .filter(col("est_jaccard") >= 0.8)
       .select("a_id", "b_id")
-    connectedComponents(pairs)
-      .groupBy(col("label").as("canonical_id"))
-      .agg(count(lit(1)).as("cluster_size"))
-      .orderBy(col("cluster_size").desc, col("canonical_id"))
-      .limit(100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val clusters = unionFindLocal(pairs).groupBy(_._2)
+      .map { case (label, members) => (label, members.size.toLong) }.toSeq
+      .sortBy { case (label, size) => (-size, label) }.take(100)
+    import spark.implicits._
+    clusters.toDF("canonical_id", "cluster_size")
   }
 }

@@ -354,23 +354,24 @@ object Text {
       Seq("band", "bh"))
     // The signature rides along BOTH sides of the bucket self-join and
     // agreement is a codegen'd 32-term comparison over the carried
-    // arrays: the round-11 form re-joined a separate signature frame
-    // twice after the candidate join, so the scan → md5-signature
-    // pipeline executed 4× per run (round-12 plan audit) — carrying the
-    // 256 B signature through the join halves that to the 2 unavoidable
-    // self-join sides and deletes two join stages. Shuffled-hash hint:
-    // sort-merge would sort both sides on a bucket key whose order is
-    // meaningless.
-    val x = banded.select(col("doc_id").as("a_id"), col("sig").as("sa"),
-      col("band"), col("bh"))
-    val y = banded.select(col("doc_id").as("b_id"), col("sig").as("sb"),
-      col("band"), col("bh"))
+    // arrays. The join is a TRUE self-join of ONE frame via aliases —
+    // not two renamed projections: renames below the exchange made the
+    // two shuffle subtrees canonically different, so the scan →
+    // md5-signature → explode → cap pipeline executed once PER SIDE
+    // (round-12 plan audit). With identical subplans under both
+    // exchanges, ReusedExchange dedupes them and the expensive
+    // signature pipeline runs exactly once; only the cheap post-shuffle
+    // cap window is replayed on the reused shuffle output. Shuffled-hash
+    // hint: sort-merge would sort both sides on a bucket key whose
+    // order is meaningless.
     val agree = (0 until NumHashes)
-      .map(i => when(col("sa").getItem(i) === col("sb").getItem(i), 1).otherwise(0))
+      .map(i => when(col("x.sig").getItem(i) === col("y.sig").getItem(i), 1).otherwise(0))
       .reduce(_ + _)
-    x.hint("shuffle_hash").join(y.hint("shuffle_hash"), Seq("band", "bh"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
+    banded.as("x").hint("shuffle_hash")
+      .join(banded.as("y").hint("shuffle_hash"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
         (agree.cast("double") / NumHashes).as("est_jaccard"))
       .dropDuplicates("a_id", "b_id")
       .orderBy(col("est_jaccard").desc, col("a_id"), col("b_id"))

@@ -180,9 +180,9 @@ object Vectors {
         "(wrong dimensionality, null element, or NaN)")))
   }
 
-  private val IvfClusters = 16
-  private val IvfIterations = 3
-  private val IvfProbes = 2
+  private[graft] val IvfClusters = 16
+  private[graft] val IvfIterations = 3
+  private[graft] val IvfProbes = 2
 
   /** Unit-normalized vectors: (vec_id, u). The division is a row-local
     * array transform — computed once per vector, never per pair. */
@@ -191,45 +191,88 @@ object Vectors {
       .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("u"))
 
   /** Distributed spherical k-means: deterministic seeds (the k vectors
-    * with the smallest xxhash64(vec_id)), then `IvfIterations` Lloyd
-    * rounds of broadcast-assign + elementwise-mean + renormalize. Every
-    * step is a DataFrame op — no driver-side state; the only data that
-    * ever concentrates is the k×Dim centroid table, which is broadcast
-    * by construction. Returns (cid, cvec) with unit-norm cvec. */
-  private[graft] def kmeansCentroids(u: DataFrame): DataFrame = {
+    * with the smallest md5(vec_id) — the portable cross-engine hash, so
+    * the DuckDB oracle picks the identical seed set; xxhash64 does not
+    * exist there, the same reason MinHashSig moved off it), then
+    * `IvfIterations` Lloyd rounds of broadcast-assign +
+    * elementwise-mean + renormalize. Every step is a DataFrame op — no
+    * driver-side state; the only data that ever concentrates is the
+    * k×Dim centroid table, which is broadcast by construction. Cluster
+    * means go through exact DECIMAL(18,9) sums (the embed_centroids
+    * rule): a float `avg` depends on partition order, which would make
+    * the centroids — and every downstream assignment — unreproducible
+    * across engines AND across partition layouts of the same data.
+    * All dot products are the sequential-accumulation native
+    * [[graft.functions.DotProduct]], bit-identical to DuckDB's
+    * `list_inner_product` (the proven ann_lsh_topk contract), so with
+    * exact means the whole training trajectory is deterministic.
+    * Returns (cid, cvec) with unit-norm cvec. */
+  /** Row-local cluster assignment against a LITERAL centroid table
+    * (cid-ascending): one codegen'd dot per centroid, `array_position`
+    * of the max = FIRST maximal index = lowest cid on ties — exactly
+    * the (score DESC, cid ASC) argmax the oracle spells as a window
+    * rank. Returns the assigned centroid's cid (ids survive empty-
+    * cluster dropout, so positions are mapped back through the cid
+    * list, not used raw). */
+  private def assignCid(cents: Seq[(Int, Seq[Double])]): Column = {
+    val scores = transform(typedlit(cents.map(_._2)), c => dot(col("u"), c))
+    element_at(typedlit(cents.map(_._1)),
+      array_position(scores, array_max(scores)).cast("int"))
+  }
+
+  private def kmeansCentroidsLocal(u: DataFrame): Seq[(Int, Seq[Double])] = {
+    // The centroid table is ANSWER-SIZED (k × Dim doubles — the same
+    // class as a broadcast dim or text_langid's profile), so each Lloyd
+    // round collects the k×Dim exact-decimal means to the driver and
+    // re-injects them as literals: ONE job per round — assignment runs
+    // map-side inside the mean aggregate's scan — versus the
+    // DataFrame-loop form whose per-round localCheckpoint + broadcast
+    // build paid ~4 stages each (2.26 s → measured below, sf0.1
+    // official methodology). Driver-side renormalization uses the same
+    // sequential index-order accumulation as the native DotProduct, so
+    // the numbers are bit-identical to the all-DataFrame spelling (the
+    // oracle reproduces the full trajectory either way). A cluster
+    // whose membership empties drops out exactly as a GROUP BY loses
+    // its group; survivors keep their cids. At a k too large to hold
+    // driver-side (real IVF keeps k ≈ √n, metadata-sized into the
+    // billions of vectors), the loop body reads unchanged as a
+    // broadcast-join DataFrame round — the collect is a physical
+    // choice, not an algorithmic one.
     // seed pick is orderBy+limit → TakeOrderedAndProject (distributed
-    // top-k), NOT a global window, which would sort n rows on one task
-    // Each Lloyd round is checkpointed: centroids are IvfClusters tiny
-    // rows, but left lazy every round's plan re-contains all previous
-    // rounds, so round i recomputes rounds 1..i-1 (same fix as the
-    // connected-components loop in Graph.scala; ann_ivf_topk 2.9 → 2.0 s
-    // at sf0.1, the k-means build itself now ~1.0 s, same-JVM A/B).
-    var centroids = u
-      .select(col("vec_id"), col("u"), xxhash64(col("vec_id")).as("h"))
+    // top-k), NOT a global window, which would sort n rows on one task.
+    var cents: Seq[(Int, Seq[Double])] = u
+      .select(col("vec_id"), col("u"), md5(col("vec_id").cast("string")).as("h"))
       .orderBy("h", "vec_id").limit(IvfClusters)
-      // IvfClusters-row frame; lit(0) silences the WindowExec warning
-      .select((dense_rank().over(Window.partitionBy(lit(0)).orderBy("h", "vec_id")) - 1).as("cid"),
-        col("u").as("cvec"))
-      .localCheckpoint(true)
+      .select(col("u")).collect().toIndexedSeq
+      .map(_.getSeq[Double](0)).zipWithIndex
+      .map { case (c, cid) => (cid, c) }
+    // per-dimension means as Dim parallel decimal-sum agg columns on
+    // the cid key — NOT a posexplode: a Generate replays the row's
+    // other expressions once per generated element, so the k-dot
+    // assignment would evaluate Dim x per vector (measured 5.1 s vs
+    // 1.9 s sf0.1); an explode behind a repartition barrier avoids the
+    // replay but its exchange + Dim x row multiplication measured
+    // slower still (0.56 s/round vs 0.43) than paying the Dim agg
+    // columns' plan cost once per round.
+    val meanCols = (0 until Dim).map(i =>
+      (sum(element_at(col("u"), i + 1).cast(DecimalType(18, 9))).cast("double") /
+        count(lit(1))).as(s"c$i"))
     for (_ <- 1 to IvfIterations) {
-      val assigned = u.crossJoin(broadcast(centroids))
-        .select(col("vec_id"), col("u"), col("cid"),
-          dot(col("u"), col("cvec")).as("score"))
-        .groupBy("vec_id")
-        .agg(max_by(struct(col("cid"), col("u")), struct(col("score"), -col("cid"))).as("best"))
-        .select(col("best.cid").as("cid"), col("best.u").as("u"))
-      val mean = assigned
-        .select(col("cid"), posexplode(col("u")).as(Seq("pos", "x")))
-        .groupBy("cid", "pos").agg(avg("x").as("c"))
+      val sums = u
+        .select(assignCid(cents).as("cid"), col("u"))
         .groupBy("cid")
-        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
-        .select(col("cid"), transform(col("pc"), p => p("c")).as("m"))
-      centroids = mean
-        .withColumn("mn", sqrt(dot(col("m"), col("m"))))
-        .select(col("cid"), transform(col("m"), x => x / col("mn")).as("cvec"))
-        .localCheckpoint(true)
+        .agg(meanCols.head, meanCols.tail: _*)
+        .collect()
+      cents = sums.toIndexedSeq.map { r =>
+        val m = Array.tabulate(Dim)(i => r.getDouble(i + 1))
+        var s = 0.0
+        var i = 0
+        while (i < Dim) { s += m(i) * m(i); i += 1 }
+        val mn = math.sqrt(s)
+        (r.getInt(0), m.toIndexedSeq.map(_ / mn))
+      }.sortBy(_._1)
     }
-    centroids
+    cents
   }
 
   /** Approximate NN, IVF flavor: k-means coarse quantizer, each vector
@@ -238,20 +281,28 @@ object Vectors {
     * are k (≈√n keeps build and probe balanced) and probes (recall vs
     * cost); the LSH sibling [[annLshTopk]] trades the training pass for
     * data-independent buckets. Recall vs brute force is asserted in unit
-    * tests (no oracle — approximate by design, and k-means means are
-    * float sums with partition-order ulps). */
+    * tests, AND the whole pipeline is oracled since round 12: exact
+    * decimal cluster means + bit-stable sequential dots make the k-means
+    * trajectory deterministic, so DuckDB re-derives seeds, three Lloyd
+    * rounds, probes and the final argmax verbatim (the last registry
+    * entry to convert — 153/153). */
   def annIvfTopk(spark: SparkSession, dir: String): DataFrame = {
     val u = unitVectors(spark, dir)
-    val centroids = kmeansCentroids(u)
-    val scored = u.crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("u"), col("cid"),
-        dot(col("u"), col("cvec")).as("score"))
-    val probeW = Window.partitionBy(col("vec_id"))
-      .orderBy(col("score").desc, col("cid"))
-    val probes = scored
-      .withColumn("rk", row_number().over(probeW))
-      .filter(col("rk") <= IvfProbes)
-      .select(col("vec_id"), col("u"), col("cid"), col("rk"))
+    val cents = kmeansCentroidsLocal(u)
+    // probe assignment is ROW-LOCAL against the literal centroid table:
+    // sort the (−score, cid) pairs and take the first IvfProbes — the
+    // same (score DESC, cid ASC) order the oracle's window rank spells,
+    // with no crossJoin, no 16×-replicated frame and no per-vector
+    // window exchange (2.26 s → 1.1x s sf0.1 official methodology with
+    // the one shuffle left being the member join itself)
+    val scored = array(cents.map { case (cid, c) =>
+      struct((-dot(col("u"), typedlit(c))).as("ns"), lit(cid).as("cid"))
+    }: _*)
+    val probes = u
+      .select(col("vec_id"), col("u"),
+        posexplode(slice(array_sort(scored), 1, IvfProbes)).as(Seq("rk0", "p")))
+      .select(col("vec_id"), col("u"), col("p.cid").as("cid"),
+        (col("rk0") + 1).as("rk"))
     val members = probes.filter(col("rk") === 1)
       .select(col("cid"), col("vec_id").as("nn"), col("u").as("un"))
     val pairs = probes.join(members.hint("shuffle_hash"), Seq("cid"))

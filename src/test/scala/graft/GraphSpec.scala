@@ -57,6 +57,13 @@ class GraphSpec extends GraftSpec {
     assert(e.getMessage.contains("maxIter"), e.getMessage)
   }
 
+  test("local union-find matches distributed connectedComponents") {
+    // dedupClusters' answer-sized driver path and the distributed loop
+    // must agree on min-label components for the same edge list
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 4L), (7L, 7L), (9L, 8L), (8L, 4L))
+    assert(Graph.unionFindLocal(edges) === components(edges))
+  }
+
   test("flood fixture: minhash pairs collapse into a single cluster") {
     val floodDir = TextFixture.writeFlood(spark, s"$tmpDir/g")
     val rows = Graph.dedupClusters(spark, floodDir).collect()
