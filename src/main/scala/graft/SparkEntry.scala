@@ -167,6 +167,7 @@ object SparkEntry {
     "embed_centroids"          -> (Vectors.embedCentroids _),
     "ann_lsh_topk"             -> (Vectors.annLshTopk _),
     "ann_ivf_topk"             -> (Vectors.annIvfTopk _),
+    "knn_label_accuracy"       -> ((s, d) => Vectors.knnLabelAccuracy(s, d)),
     // multimodal binary columns
     "multimodal_bytes"         -> (Multimodal.bytesStats _),
     "multimodal_decode_stats"  -> (Multimodal.decodeStats _),
@@ -261,7 +262,8 @@ object SparkEntry {
     "sample_stratified", "approx_distinct_hll", "decontaminate_bloom",
     "multimodal_decode_stats", "multimodal_resize_stats",
     "multimodal_frame_sample", "ann_lsh_topk", "dedup_embedding",
-    "dedup_minhash", "dedup_clusters", "dedup_simhash", "ann_ivf_topk")
+    "dedup_minhash", "dedup_clusters", "dedup_simhash", "ann_ivf_topk",
+    "knn_label_accuracy")
 
   /** DuckDB spelling of [[graft.ops.Vectors.lshBucket]]: the 8 sign bits
     * against the SAME hyperplane doubles, interpolated from
@@ -1506,6 +1508,26 @@ object SparkEntry {
          |ORDER BY vec_id LIMIT 50""".stripMargin,
 
     "ann_ivf_topk" -> ivfTopkSql,
+
+    "knn_label_accuracy" ->
+      // leave-one-out 5-NN majority-vote label agreement: the pair scan,
+      // top-5 rank, vote and rollup re-derived with the proven cosine_knn
+      // determinism rules (4-dp sim before ranking, integer vote counts,
+      // ties to smallest label)
+      """WITH n AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |w AS (SELECT vec_id, label, v, sqrt(list_inner_product(v, v)) nrm FROM n),
+        |p AS (SELECT a.vec_id, a.label la, b.vec_id nn, b.label lb,
+        |    round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 4) sim
+        |  FROM w a JOIN w b ON a.vec_id <> b.vec_id),
+        |t AS (SELECT * FROM p
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nn) <= 5),
+        |v AS (SELECT vec_id, la, lb, count(*) c FROM t GROUP BY vec_id, la, lb),
+        |pr AS (SELECT vec_id, la, lb pred FROM v
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, lb) = 1)
+        |SELECT la AS label, count(*) n,
+        |  count(*) FILTER (pred = la) n_correct,
+        |  round(CAST(count(*) FILTER (pred = la) AS DOUBLE) / count(*), 4) acc
+        |FROM pr GROUP BY la ORDER BY la""".stripMargin,
 
     "dedup_embedding" ->
       // same bucket machinery, pair form: candidates share a sign-bucket,

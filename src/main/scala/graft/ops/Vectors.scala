@@ -90,6 +90,59 @@ object Vectors {
     bestNeighbor(pairs).orderBy("vec_id").limit(50)
   }
 
+  /** Embedding-quality eval: leave-one-out k-NN label agreement — the
+    * canonical use of similarity search as a measurement. Each vector's
+    * k=5 nearest neighbors (exact cosine, self excluded) vote on its
+    * label (majority, ties to the smallest label); output is per-label
+    * n / n_correct / accuracy. A label-shuffled or collapsed embedding
+    * space scores at chance, so this is the go/no-go check a pipeline
+    * runs before trusting [[dedupEmbedding]] / ANN dedup decisions.
+    *
+    * Same exact-O(n²) contract as [[cosineKnn]]: an EVAL op runs on a
+    * bounded sample by design, so it inherits the fail-fast row guard
+    * rather than pretending to scale — at 100 TB you evaluate on a
+    * sample and search with the ANN ops. The top-5 rank runs as a
+    * WindowGroupLimit (partial per-partition top-k before the
+    * exchange), so the n² pair stream collapses map-side; the majority
+    * vote and accuracy rollup are (n×k)- then label-sized hash aggs.
+    * Similarity is rounded to 4 dp before ranking (the cosineKnn
+    * determinism rule), vote counts are integers — every tie-break is
+    * exact, which is what lets the DuckDB oracle reproduce the whole
+    * eval verbatim. */
+  def knnLabelAccuracy(spark: SparkSession, dir: String, k: Int = 5,
+                       maxRows: Long = MaxBruteForceRows): DataFrame = {
+    val n = graft.sources.Sources.parquetRowCount(spark, s"$dir/embeddings.parquet")
+    require(n <= maxRows,
+      s"knnLabelAccuracy is exact O(n^2) brute force: n=$n exceeds maxRows=$maxRows; " +
+        "evaluate on a sample — the eval's contract — or use the ANN ops for search")
+    // label rides the scan directly — a vec_id join-back would shuffle
+    // both sides of the n² pair join just to fetch a column the source
+    // already has
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val a = graft.FanOut(e)
+      .select(col("vec_id"), col("v").as("va"), col("nrm").as("na"), col("label").as("la"))
+    val b = e.select(col("vec_id").as("nn"), col("v").as("vb"), col("nrm").as("nb"),
+      col("label").as("lb"))
+    val sim = round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4)
+    val topW = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("nn"))
+    val top = a.join(b, col("vec_id") =!= col("nn"))
+      .select(col("vec_id"), col("la"), col("nn"), col("lb"), sim.as("sim"))
+      .withColumn("rk", row_number().over(topW))
+      .filter(col("rk") <= k)
+    val pred = top.groupBy(col("vec_id"), col("la"), col("lb"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("vec_id"), col("la"))
+      .agg(max_by(col("lb"), struct(col("c"), -col("lb"))).as("pred"))
+    pred.groupBy(col("la").as("label"))
+      .agg(count(lit(1)).as("n"),
+        count_if(col("pred") === col("la")).as("n_correct"),
+        round(count_if(col("pred") === col("la")).cast("double") /
+          count(lit(1)), 4).as("acc"))
+      .orderBy("label")
+  }
+
   /** Per-label centroid, emitted long-form as (label, pos, c) — 64 rows per
     * label. Sums go through DECIMAL(18,9) so partial-agg order cannot move
     * the result (same rule as money sums). */

@@ -55,6 +55,24 @@ class VectorsSpec extends GraftSpec {
       s"IVF neighbor in true cluster: $sameCluster/${got.size}")
   }
 
+  test("knn_label_accuracy: planted clusters score perfectly, guard fires") {
+    // 10 tight clusters labeled by cluster id: all 5 nearest neighbors
+    // of every vector share its label, so the majority vote must be
+    // exact for every label class
+    val rows = Vectors.knnLabelAccuracy(spark, fixtureDir).collect()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      assert(r.getLong(1) === 10L, s"label ${r.getInt(0)} n=${r.getLong(1)}")
+      assert(r.getLong(2) === 10L && r.getDouble(3) === 1.0,
+        s"label ${r.getInt(0)} acc=${r.getDouble(3)}")
+    }
+    // same fail-fast contract as cosine_knn: refuse past the row guard
+    val e = intercept[IllegalArgumentException] {
+      Vectors.knnLabelAccuracy(spark, fixtureDir, maxRows = 10L)
+    }
+    assert(e.getMessage.contains("brute force"), e.getMessage)
+  }
+
   test("dedup_embedding flags planted near-dupes, only real ones") {
     val rows = Vectors.dedupEmbedding(spark, fixtureDir, 0.95).collect()
     val dups = rows.filter(_.getBoolean(3))
