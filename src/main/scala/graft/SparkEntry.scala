@@ -121,6 +121,7 @@ object SparkEntry {
     "text_vocab_richness"      -> (Text.vocabRichness _),
     "events_burstiness"        -> (Events.burstiness _),
     "text_zipf_slope"          -> ((s, d) => Text.zipfSlope(s, d)),
+    "text_lm_score"            -> (Text.lmScore _),
     "supplier_hhi"             -> (Relational.supplierHhi _),
     "rolling_dau_7d"           -> (Events.rollingDau _),
     "dup_size_distribution"    -> (Text.dupSizeDistribution _),
@@ -263,7 +264,7 @@ object SparkEntry {
     "multimodal_decode_stats", "multimodal_resize_stats",
     "multimodal_frame_sample", "ann_lsh_topk", "dedup_embedding",
     "dedup_minhash", "dedup_clusters", "dedup_simhash", "ann_ivf_topk",
-    "knn_label_accuracy")
+    "knn_label_accuracy", "text_lm_score")
 
   /** DuckDB spelling of [[graft.ops.Vectors.lshBucket]]: the 8 sign bits
     * against the SAME hyperplane doubles, interpolated from
@@ -1327,6 +1328,26 @@ object SparkEntry {
         |  round(regr_slope(ln(cnt), ln(rank)), 4) zipf_slope,
         |  round(regr_r2(ln(cnt), ln(rank)), 4) r2
         |FROM r""".stripMargin,
+
+    "text_lm_score" ->
+      // corpus-trained bigram LM, per-doc mean surprisal, per-source
+      // profile: 6-dp log-prob rounding then exact micro-bit long sums
+      // (the cents rule) keep every accumulation order-free
+      """WITH grams AS (SELECT doc_id, source,
+        |    unnest(list_transform(generate_series(1, greatest(length(text)-1, 1)),
+        |      i -> substr(text, CAST(i AS INT), 2))) g
+        |  FROM documents),
+        |counts AS (SELECT g, count(*) c FROM grams GROUP BY g),
+        |tot AS (SELECT sum(c) t FROM counts),
+        |lp AS (SELECT g, round(log2(c / t), 6) logp FROM counts, tot),
+        |doc AS (SELECT doc_id, source, count(*) n,
+        |    sum(CAST(round(logp * 1e6) AS BIGINT)) sm
+        |  FROM grams JOIN lp USING (g) GROUP BY doc_id, source),
+        |scored AS (SELECT source, -(sm / 1e6) / n bits FROM doc)
+        |SELECT source, count(*) n_docs,
+        |  round(sum(CAST(round(bits * 1e6) AS BIGINT)) / 1e6 / count(*), 4) avg_bits,
+        |  round(min(bits), 4) min_bits, round(max(bits), 4) max_bits
+        |FROM scored GROUP BY source ORDER BY source""".stripMargin,
 
     "events_hourly_heatmap" ->
       // ISO weekday (Mon=1): Spark weekday()+1 ↔ DuckDB isodow();

@@ -110,6 +110,10 @@ object Relational {
       .join(Tables.nation(spark, dir), col("n_regionkey") === col("r_regionkey"))
       .join(Tables.supplier(spark, dir), col("s_nationkey") === col("n_nationkey"))
       .join(Tables.lineitem(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      // no shuffle_hash hint on the orders join, unlike ship_lag_stats:
+      // measured SLOWER here (0.90 s vs 0.70 s sf0.1 same-JVM) — this
+      // plan's orders side feeds two further joins and the SMJ ordering
+      // it produces is reused, so the hash build buys nothing back
       .join(Tables.orders(spark, dir), col("o_orderkey") === col("l_orderkey"))
       .join(Tables.customer(spark, dir),
         col("c_custkey") === col("o_custkey") && col("c_nationkey") === col("n_nationkey"))

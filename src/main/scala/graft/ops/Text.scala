@@ -717,6 +717,46 @@ object Text {
     * (cnt DESC, tok) is a total order making ranks deterministic.
     * Integer (cnt, rank) into `ln` and a 4-dp round keep the regression
     * cross-engine stable (the regr_funcs/collocations precedent). */
+  /** Character-bigram language-model quality scoring — the LM-filter
+    * stage of a training-data pipeline (the CCNet/KenLM pattern, with
+    * the corpus as its own reference model): train bigram statistics
+    * over the corpus, score every document by its mean surprisal in
+    * bits per bigram, and report the per-source score profile. Template
+    * spam and boilerplate sit LOW (their bigrams are corpus-frequent);
+    * encoding garbage and noise sit HIGH; a healthy source clusters in
+    * a narrow band — the min/max columns surface both tails.
+    *
+    * Numeric discipline for the oracle: per-bigram log-probs round to
+    * 6 dp (log2 of the same c/t double is equal-or-within-ulp across
+    * engines; rounding makes a boundary flip ~1e-10-improbable), then
+    * every cross-row accumulation is an EXACT integer sum of micro-bit
+    * longs (the cents rule) — partial-agg order can move nothing.
+    *
+    * Scale: one explode → vocab-sized count agg (map-side combinable),
+    * the vocab log-prob table broadcasts back onto the gram stream, and
+    * the per-doc then per-source aggs each end answer-sized. Nothing
+    * row-count-sized shuffles beyond the first combine. */
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    val grams = docs(spark, dir).select(col("doc_id"), col("source"),
+      explode(graft.functions.CharNgrams.charNgrams(col("text"), 2)).as("g"))
+    val counts = grams.groupBy("g").agg(count(lit(1)).as("c"))
+    val tot = counts.agg(sum(col("c")).as("t"))
+    val lp = counts.crossJoin(broadcast(tot))
+      .select(col("g"), round(log2(col("c") / col("t")), 6).as("logp"))
+    val doc = grams.join(broadcast(lp), "g")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("logp") * 1e6, 0).cast("long")).as("sm"))
+      .select(col("source"), (-(col("sm") / 1e6) / col("n")).as("bits"))
+    doc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(round(col("bits") * 1e6, 0).cast("long")) / 1e6 /
+          count(lit(1)), 4).as("avg_bits"),
+        round(min(col("bits")), 4).as("min_bits"),
+        round(max(col("bits")), 4).as("max_bits"))
+      .orderBy("source")
+  }
+
   def zipfSlope(spark: SparkSession, dir: String, k: Int = 1000): DataFrame = {
     val counts = Tables.documents(spark, dir)
       .select(explode(split(lower(col("text")), " ")).as("tok"))

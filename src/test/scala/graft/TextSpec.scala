@@ -314,6 +314,28 @@ class TextSpec extends GraftSpec {
     assert(r.getDouble(2) > 0.999, s"r2 ${r.getDouble(2)}")
   }
 
+  test("lm score: template text scores fewer bits than diverse text") {
+    val spark0 = spark
+    import spark0.implicits._
+    val d = s"$tmpDir/lmfix"
+    // tmpl repeats one bigram pattern (high corpus probability per
+    // bigram → low surprisal); mix cycles a wide alphabet (each bigram
+    // rare → high surprisal). Per-source avg_bits must order them.
+    Seq(
+      TextFixture.Doc(1, "ab" * 50, "en", "tmpl", 100),
+      TextFixture.Doc(2, "ba" * 50, "en", "tmpl", 100),
+      TextFixture.Doc(3, ('a' to 'z').mkString * 4, "en", "mix", 104),
+      TextFixture.Doc(4, "zyxwvutsrqponmlkjihgfedcba" * 4, "en", "mix", 104))
+      .toDF().write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = Text.lmScore(spark, d).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(rows.keySet === Set("tmpl", "mix"))
+    assert(rows("tmpl") < rows("mix"),
+      s"template bits ${rows("tmpl")} must undercut diverse bits ${rows("mix")}")
+    // surprisal is a mean of -log2 p over p<=1 → strictly positive
+    rows.values.foreach(b => assert(b > 0))
+  }
+
   test("tfidf: top-k per source, scores recompute from tf·ln(n/df)") {
     val rows = Text.tfidfTopTerms(spark, sf, k = 5).collect()
     val nSrc = Tables.documents(spark, sf).select("source").distinct().count()
