@@ -338,13 +338,41 @@ class ScaleSpec extends GraftSpec {
       s"the types rollup must combine map-side before its exchange:\n$exec")
   }
 
-  test("rolling DAU: the day grid broadcasts, the activity frame never re-sorts globally") {
+  test("rolling DAU: bounds broadcast, no BNLJ, activity never re-sorts globally") {
     val exec = graft.ops.Events.rollingDau(spark, sf)
       .queryExecution.executedPlan.toString
     assert(exec.contains("Broadcast"),
-      s"the 30-row day grid must broadcast into the range join:\n$exec")
+      s"the 1-row bounds frame must broadcast into the grid clamp:\n$exec")
     assert(!exec.contains("SortMergeJoin"),
-      s"a sort-merge range join would sort the activity frame for a 30-row grid:\n$exec")
+      s"a sort-merge join would sort a day-grid-sized frame for nothing:\n$exec")
+    // the round-11 day-grid RANGE join planned a BroadcastNestedLoopJoin
+    // with |grid| predicate evaluations per activity row; the explode
+    // form must not reintroduce one (the only BNLJ-legal frame here is
+    // the 1-row bounds clamp)
+    assert(!exec.contains("Window"),
+      s"no window belongs in the explode formulation:\n$exec")
+  }
+
+  test("knn label eval: partial top-k before the exchange, label off the scan") {
+    val exec = graft.ops.Vectors.knnLabelAccuracy(spark, sf)
+      .queryExecution.executedPlan.toString
+    // WindowGroupLimit Partial collapses the n^2 pair stream map-side;
+    // without it the full pair matrix crosses the wire
+    assert(exec.contains("WindowGroupLimit"),
+      s"top-5 must run as a group-limit, not a full rank:\n$exec")
+    // exactly one embeddings relation feeds each join side — a label
+    // join-back (the 9.0s round-12 first cut) would add a third scan
+    val scans = "embeddings.parquet".r.findAllIn(exec).length
+    assert(scans <= 2, s"label must ride the scan, not a join-back ($scans scans):\n$exec")
+  }
+
+  test("lm score: the log-prob table broadcasts onto the gram stream") {
+    val exec = graft.ops.Text.lmScore(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(exec.contains("BroadcastHashJoin"),
+      s"the vocab-sized log-prob table must broadcast:\n$exec")
+    assert(!exec.contains("SortMergeJoin"),
+      s"shuffling the corpus gram stream by gram is the 100 TB failure mode:\n$exec")
   }
 
   test("customer RFM: both aggs partial-combine; the max-date scalar broadcasts") {
