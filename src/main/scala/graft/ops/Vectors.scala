@@ -260,72 +260,73 @@ object Vectors {
     * `list_inner_product` (the proven ann_lsh_topk contract), so with
     * exact means the whole training trajectory is deterministic.
     * Returns (cid, cvec) with unit-norm cvec. */
-  /** Row-local cluster assignment against a LITERAL centroid table
-    * (cid-ascending): one codegen'd dot per centroid, `array_position`
-    * of the max = FIRST maximal index = lowest cid on ties — exactly
-    * the (score DESC, cid ASC) argmax the oracle spells as a window
-    * rank. Returns the assigned centroid's cid (ids survive empty-
-    * cluster dropout, so positions are mapped back through the cid
-    * list, not used raw). */
-  private def assignCid(cents: Seq[(Int, Seq[Double])]): Column = {
-    val scores = transform(typedlit(cents.map(_._2)), c => dot(col("u"), c))
-    element_at(typedlit(cents.map(_._1)),
-      array_position(scores, array_max(scores)).cast("int"))
-  }
+  /** Largest training set the coarse quantizer will collect. Training an
+    * IVF quantizer on a bounded sample is the standard contract (FAISS
+    * trains on ~max(10k·k) points regardless of index size); past the
+    * cap, the deterministic smallest-md5 rows ARE the sample. Below it —
+    * every test SF — training sees the full corpus, which is what keeps
+    * the DuckDB oracle a FULL-trajectory reproduction. */
+  private[graft] val IvfTrainCap = 50000
 
   private def kmeansCentroidsLocal(u: DataFrame): Seq[(Int, Seq[Double])] = {
-    // The centroid table is ANSWER-SIZED (k × Dim doubles — the same
-    // class as a broadcast dim or text_langid's profile), so each Lloyd
-    // round collects the k×Dim exact-decimal means to the driver and
-    // re-injects them as literals: ONE job per round — assignment runs
-    // map-side inside the mean aggregate's scan — versus the
-    // DataFrame-loop form whose per-round localCheckpoint + broadcast
-    // build paid ~4 stages each (2.26 s → measured below, sf0.1
-    // official methodology). Driver-side renormalization uses the same
-    // sequential index-order accumulation as the native DotProduct, so
-    // the numbers are bit-identical to the all-DataFrame spelling (the
-    // oracle reproduces the full trajectory either way). A cluster
-    // whose membership empties drops out exactly as a GROUP BY loses
-    // its group; survivors keep their cids. At a k too large to hold
-    // driver-side (real IVF keeps k ≈ √n, metadata-sized into the
-    // billions of vectors), the loop body reads unchanged as a
-    // broadcast-join DataFrame round — the collect is a physical
-    // choice, not an algorithmic one.
-    // seed pick is orderBy+limit → TakeOrderedAndProject (distributed
-    // top-k), NOT a global window, which would sort n rows on one task.
-    var cents: Seq[(Int, Seq[Double])] = u
+    // Train the k×Dim quantizer DRIVER-SIDE from one bounded collect:
+    // the distributed Lloyd loop (one job per round, Dim decimal-sum
+    // agg columns) was 3 × ~0.43 s of fixed job/plan cost against ~5 ms
+    // of arithmetic on the same data — at any corpus size the training
+    // set is capped ([[IvfTrainCap]] — sampled quantizer training is
+    // the standard IVF contract), so the collect is bounded like a
+    // broadcast dim, and assignment/probing below stays fully
+    // distributed against the literal centroid table. The driver loop
+    // REPLICATES the engine arithmetic bit-for-bit, which is what the
+    // oracle then verifies end-to-end: per-dim means are exact scaled-
+    // long sums of round-half-up(x·1e9) — identical to the SQL's
+    // CAST(x AS DECIMAL(18,9)) sums (BigDecimal(x).setScale(9) rounds
+    // the exact binary value, NOT the shortest string) — divided as
+    // nearest-double-of-exact-decimal over count; dots and norms
+    // accumulate in index order like the native DotProduct; ties take
+    // the lowest cid; empty clusters drop as a GROUP BY loses groups.
+    val rows = u
       .select(col("vec_id"), col("u"), md5(col("vec_id").cast("string")).as("h"))
-      .orderBy("h", "vec_id").limit(IvfClusters)
-      .select(col("u")).collect().toIndexedSeq
-      .map(_.getSeq[Double](0)).zipWithIndex
-      .map { case (c, cid) => (cid, c) }
-    // per-dimension means as Dim parallel decimal-sum agg columns on
-    // the cid key — NOT a posexplode: a Generate replays the row's
-    // other expressions once per generated element, so the k-dot
-    // assignment would evaluate Dim x per vector (measured 5.1 s vs
-    // 1.9 s sf0.1); an explode behind a repartition barrier avoids the
-    // replay but its exchange + Dim x row multiplication measured
-    // slower still (0.56 s/round vs 0.43) than paying the Dim agg
-    // columns' plan cost once per round.
-    val meanCols = (0 until Dim).map(i =>
-      (sum(element_at(col("u"), i + 1).cast(DecimalType(18, 9))).cast("double") /
-        count(lit(1))).as(s"c$i"))
+      .orderBy("h", "vec_id").limit(IvfTrainCap)
+      .collect().toIndexedSeq
+      .map(r => (r.getSeq[Double](1).toArray, r.getString(2), r.getLong(0)))
+    val train = rows.sortBy { case (_, h, id) => (h, id) }.map(_._1)
+    var cents: Seq[(Int, Array[Double])] =
+      train.take(IvfClusters).zipWithIndex.map { case (c, cid) => (cid, c) }
     for (_ <- 1 to IvfIterations) {
-      val sums = u
-        .select(assignCid(cents).as("cid"), col("u"))
-        .groupBy("cid")
-        .agg(meanCols.head, meanCols.tail: _*)
-        .collect()
-      cents = sums.toIndexedSeq.map { r =>
-        val m = Array.tabulate(Dim)(i => r.getDouble(i + 1))
-        var s = 0.0
+      val sums = new java.util.TreeMap[Int, (Array[Long], Long)]()
+      train.foreach { v =>
+        var bestCid = -1
+        var best = Double.NegativeInfinity
+        cents.foreach { case (cid, c) =>
+          var s = 0.0
+          var i = 0
+          while (i < Dim) { s += v(i) * c(i); i += 1 }
+          if (s > best) { best = s; bestCid = cid }
+        }
+        val acc = sums.computeIfAbsent(bestCid, _ => (new Array[Long](Dim), 0L))
         var i = 0
-        while (i < Dim) { s += m(i) * m(i); i += 1 }
-        val mn = math.sqrt(s)
-        (r.getInt(0), m.toIndexedSeq.map(_ / mn))
-      }.sortBy(_._1)
+        while (i < Dim) {
+          acc._1(i) += new java.math.BigDecimal(v(i))
+            .setScale(9, java.math.RoundingMode.HALF_UP).unscaledValue().longValueExact()
+          i += 1
+        }
+        sums.put(bestCid, (acc._1, acc._2 + 1))
+      }
+      cents = sums.entrySet().toArray(Array.empty[java.util.Map.Entry[Int, (Array[Long], Long)]])
+        .toIndexedSeq.map { e =>
+          val (sl, cnt) = e.getValue
+          val m = Array.tabulate(Dim)(i =>
+            new java.math.BigDecimal(java.math.BigInteger.valueOf(sl(i)), 9)
+              .doubleValue() / cnt)
+          var s = 0.0
+          var i = 0
+          while (i < Dim) { s += m(i) * m(i); i += 1 }
+          val mn = math.sqrt(s)
+          (e.getKey, m.map(_ / mn))
+        }
     }
-    cents
+    cents.map { case (cid, c) => (cid, c.toIndexedSeq) }
   }
 
   /** Approximate NN, IVF flavor: k-means coarse quantizer, each vector
