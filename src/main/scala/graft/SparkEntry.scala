@@ -122,6 +122,7 @@ object SparkEntry {
     "events_burstiness"        -> (Events.burstiness _),
     "text_zipf_slope"          -> ((s, d) => Text.zipfSlope(s, d)),
     "text_lm_score"            -> (Text.lmScore _),
+    "dedup_audit"              -> (Text.dedupAudit _),
     "supplier_hhi"             -> (Relational.supplierHhi _),
     "rolling_dau_7d"           -> (Events.rollingDau _),
     "dup_size_distribution"    -> (Text.dupSizeDistribution _),
@@ -264,7 +265,7 @@ object SparkEntry {
     "multimodal_decode_stats", "multimodal_resize_stats",
     "multimodal_frame_sample", "ann_lsh_topk", "dedup_embedding",
     "dedup_minhash", "dedup_clusters", "dedup_simhash", "ann_ivf_topk",
-    "knn_label_accuracy", "text_lm_score")
+    "knn_label_accuracy", "text_lm_score", "dedup_audit")
 
   /** DuckDB spelling of [[graft.ops.Vectors.lshBucket]]: the 8 sign bits
     * against the SAME hyperplane doubles, interpolated from
@@ -336,7 +337,11 @@ object SparkEntry {
     * banded buckets (band key = the raw 4-minhash tuple as a
     * `concat_ws` string), the per-bucket cap, candidate pairs, and the
     * agreement estimate — the whole dedup_minhash pipeline in SQL. */
-  private def minhashEstSqlCtes: String = {
+  private def minhashEstSqlCtes: String = minhashEstSqlCtes("")
+
+  /** `p`-prefixed variant so two pipelines' CTEs can share one WITH
+    * clause (dedup_audit names both this and [[simhashSqlCtes]]). */
+  private def minhashEstSqlCtes(p: String): String = {
     import graft.functions.MinHashSig.{coeffA, coeffB}
     // hash each DISTINCT token once (vocabulary-sized HUGEINT work), then
     // join back onto the occurrence stream for the per-doc minima — 32
@@ -349,26 +354,26 @@ object SparkEntry {
     val minCols = (0 until 32).map(i => s"min(h$i) m$i").mkString(", ")
     val bandRows = (0 until 8).map { b =>
       val cols = (b * 4 until (b + 1) * 4).map(i => s"m$i").mkString(", ")
-      val sel = if (b == 0) s"SELECT doc_id, 0 band, concat_ws(':', $cols) bh FROM sig"
-      else s"SELECT doc_id, $b, concat_ws(':', $cols) FROM sig"
+      val sel = if (b == 0) s"SELECT doc_id, 0 band, concat_ws(':', $cols) bh FROM ${p}sig"
+      else s"SELECT doc_id, $b, concat_ws(':', $cols) FROM ${p}sig"
       sel
     }.mkString("\n|  UNION ALL ")
     val agree = (0 until 32).map(i => s"CAST(sa.m$i = sb.m$i AS INT)").mkString(" + ")
-    s"""tok AS (SELECT doc_id, unnest(string_split(text, ' ')) t FROM documents),
-       |hx AS MATERIALIZED (SELECT t, $hashCols FROM (
+    s"""${p}tok AS (SELECT doc_id, unnest(string_split(text, ' ')) t FROM documents),
+       |${p}hx AS MATERIALIZED (SELECT t, $hashCols FROM (
        |  SELECT t, CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) x
-       |  FROM (SELECT DISTINCT t FROM tok))),
-       |sig AS MATERIALIZED (SELECT doc_id, $minCols
-       |  FROM tok JOIN hx USING (t) GROUP BY doc_id),
-       |b AS ($bandRows),
-       |capped AS MATERIALIZED (SELECT * FROM b
+       |  FROM (SELECT DISTINCT t FROM ${p}tok))),
+       |${p}sig AS MATERIALIZED (SELECT doc_id, $minCols
+       |  FROM ${p}tok JOIN ${p}hx USING (t) GROUP BY doc_id),
+       |${p}b AS ($bandRows),
+       |${p}capped AS MATERIALIZED (SELECT * FROM ${p}b
        |  QUALIFY row_number() OVER (PARTITION BY band, bh ORDER BY doc_id) <= 50),
-       |cand AS (SELECT DISTINCT x.doc_id a_id, y.doc_id b_id
-       |  FROM capped x JOIN capped y
+       |${p}cand AS (SELECT DISTINCT x.doc_id a_id, y.doc_id b_id
+       |  FROM ${p}capped x JOIN ${p}capped y
        |  ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
-       |est AS MATERIALIZED (SELECT a_id, b_id, ($agree) / 32.0 est_jaccard
-       |  FROM cand JOIN sig sa ON cand.a_id = sa.doc_id
-       |  JOIN sig sb ON cand.b_id = sb.doc_id)""".stripMargin
+       |${p}est AS MATERIALIZED (SELECT a_id, b_id, ($agree) / 32.0 est_jaccard
+       |  FROM ${p}cand JOIN ${p}sig sa ON ${p}cand.a_id = sa.doc_id
+       |  JOIN ${p}sig sb ON ${p}cand.b_id = sb.doc_id)""".stripMargin
   }
 
   /** DuckDB CTEs rebuilding the exact 64-bit SimHash as four 16-bit
@@ -376,7 +381,9 @@ object SparkEntry {
     * first 16 hex chars, hi/lo 32-bit halves) plus the chunk buckets,
     * cap, and Hamming distances — everything in non-negative arithmetic
     * so no signed-64-bit literal ever appears. */
-  private def simhashSqlCtes: String = {
+  private def simhashSqlCtes: String = simhashSqlCtes("")
+
+  private def simhashSqlCtes(p: String): String = {
     // chunk c covers bits 16c..16c+15; bits <32 come from lo, ≥32 from hi
     val chunkCols = (0 until 4).map { c =>
       val terms = (0 until 16).map { k =>
@@ -387,24 +394,24 @@ object SparkEntry {
       s"$terms c$c"
     }.mkString(", ")
     val chunkRows = (0 until 4).map { c =>
-      if (c == 0) s"SELECT doc_id, 0 chunk, c0 cv, c0, c1, c2, c3 FROM sig"
-      else s"SELECT doc_id, $c, c$c, c0, c1, c2, c3 FROM sig"
+      if (c == 0) s"SELECT doc_id, 0 chunk, c0 cv, c0, c1, c2, c3 FROM ${p}sig"
+      else s"SELECT doc_id, $c, c$c, c0, c1, c2, c3 FROM ${p}sig"
     }.mkString("\n|  UNION ALL ")
     val ham = (0 until 4).map(c => s"bit_count(xor(sa.c$c, sb.c$c))").mkString(" + ")
-    s"""th AS (SELECT doc_id,
+    s"""${p}th AS (SELECT doc_id,
        |    CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) hi,
        |    CAST(('0x' || substr(md5(t), 9, 8)) AS BIGINT) lo
        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) t FROM documents)),
-       |sig AS MATERIALIZED (SELECT doc_id, $chunkCols FROM th GROUP BY doc_id),
-       |b AS ($chunkRows),
-       |capped AS MATERIALIZED (SELECT * FROM b
+       |${p}sig AS MATERIALIZED (SELECT doc_id, $chunkCols FROM ${p}th GROUP BY doc_id),
+       |${p}b AS ($chunkRows),
+       |${p}capped AS MATERIALIZED (SELECT * FROM ${p}b
        |  QUALIFY row_number() OVER (PARTITION BY chunk, cv ORDER BY doc_id) <= 50),
-       |cand AS (SELECT DISTINCT x.doc_id a_id, y.doc_id b_id
-       |  FROM capped x JOIN capped y
+       |${p}cand AS (SELECT DISTINCT x.doc_id a_id, y.doc_id b_id
+       |  FROM ${p}capped x JOIN ${p}capped y
        |  ON x.chunk = y.chunk AND x.cv = y.cv AND x.doc_id < y.doc_id),
-       |ham AS (SELECT a_id, b_id, CAST($ham AS INT) hamming
-       |  FROM cand JOIN sig sa ON cand.a_id = sa.doc_id
-       |  JOIN sig sb ON cand.b_id = sb.doc_id)""".stripMargin
+       |${p}ham AS (SELECT a_id, b_id, CAST($ham AS INT) hamming
+       |  FROM ${p}cand JOIN ${p}sig sa ON ${p}cand.a_id = sa.doc_id
+       |  JOIN ${p}sig sb ON ${p}cand.b_id = sb.doc_id)""".stripMargin
   }
 
   /** DuckDB-dialect oracle per query (driver runs these on the same parquet
@@ -1195,6 +1202,27 @@ object SparkEntry {
          |lab AS (SELECT id, min(r) lbl FROM reach GROUP BY id)
          |SELECT lbl canonical_id, count(*) cluster_size FROM lab
          |GROUP BY 1 ORDER BY cluster_size DESC, canonical_id LIMIT 100""".stripMargin,
+
+    "dedup_audit" ->
+      // per-source umbrella over the SAME minhash/simhash CTE machinery
+      // (prefixed m_/s_ so both share one WITH clause), aggregated over
+      // the UNLIMITED pair frames; pairs attribute to a_id's source
+      s"""WITH ${minhashEstSqlCtes("m_")},
+         |${simhashSqlCtes("s_")},
+         |ex AS (SELECT source, count(*) n_docs,
+         |    count(*) - count(DISTINCT md5(text)) n_exact_dups
+         |  FROM documents GROUP BY source),
+         |mhc AS (SELECT d.source, count(*) c FROM m_est e
+         |  JOIN documents d ON e.a_id = d.doc_id
+         |  WHERE e.est_jaccard >= 0.8 GROUP BY 1),
+         |shc AS (SELECT d.source, count(*) c FROM s_ham h
+         |  JOIN documents d ON h.a_id = d.doc_id
+         |  WHERE h.hamming <= 3 GROUP BY 1)
+         |SELECT ex.source, n_docs, n_exact_dups,
+         |  coalesce(mhc.c, 0) n_minhash_pairs,
+         |  coalesce(shc.c, 0) n_simhash_pairs
+         |FROM ex LEFT JOIN mhc USING (source) LEFT JOIN shc USING (source)
+         |ORDER BY source""".stripMargin,
 
     "dedup_simhash" ->
       // full independent re-derivation (round 12): md5-derived simhash

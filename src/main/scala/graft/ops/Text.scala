@@ -53,6 +53,43 @@ object Text {
       .orderBy("source")
   }
 
+  /** Per-source dedup AUDIT — the one-report umbrella a corpus owner
+    * reads before tuning dedup (the `recon_reconcile_all` driver
+    * pattern applied to the dedup family): for every source, its doc
+    * count, its within-source exact-duplicate count, and how many
+    * near-duplicate candidate pairs each approximate detector
+    * attributes to it — MinHash pairs at estimated Jaccard ≥ 0.8 and
+    * SimHash pairs at Hamming ≤ 3 (each pair attributed to its a_id's
+    * source; a_id < b_id by construction, so exactly once). Unlike the
+    * presentation ops this aggregates the UNLIMITED pair frames
+    * ([[minhashPairs]]/[[simhashPairs]]) — a top-100 cut would
+    * undercount floods, the thing an audit exists to surface.
+    *
+    * Scale: the md5 rollup shuffles ~40-byte rows; both pair pipelines
+    * are the capped, bucketed LSH plans (never all-pairs); the source
+    * attribution join probes a broadcast (doc_id → source) dim; every
+    * output frame is source-sized. */
+  def dedupAudit(spark: SparkSession, dir: String): DataFrame = {
+    val ex = docs(spark, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        (count(lit(1)) - countDistinct(md5(col("text")))).as("n_exact_dups"))
+    // a_source rides the pair pipelines from the scan (Catalyst prunes
+    // it out of the presentation ops' plans) — attributing via a
+    // doc_id→source join would need the corpus-sized dim on the wire
+    def bySource(pairs: DataFrame, cname: String) = pairs
+      .groupBy(col("a_source").as("source")).agg(count(lit(1)).as(cname))
+    val mh = bySource(minhashPairs(spark, dir).filter(col("est_jaccard") >= 0.8),
+      "n_minhash_pairs")
+    val sh = bySource(simhashPairs(spark, dir).filter(col("hamming") <= 3),
+      "n_simhash_pairs")
+    ex.join(mh, Seq("source"), "left").join(sh, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_exact_dups"),
+        coalesce(col("n_minhash_pairs"), lit(0L)).as("n_minhash_pairs"),
+        coalesce(col("n_simhash_pairs"), lit(0L)).as("n_simhash_pairs"))
+      .orderBy("source")
+  }
+
   /** Exact-duplicate family-size distribution — the duplication PROFILE
     * behind [[dedupExact]]'s single number: how many families of size 1,
     * 2, 3… exist, and what share of the corpus each size class holds. A
@@ -338,9 +375,17 @@ object Text {
     * Token-set (not positional-shingle) hashing on purpose: near-dupes in
     * this corpus are token permutations, and Jaccard is set-based anyway.
     */
-  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    minhashPairs(spark, dir)
+      .select("a_id", "b_id", "est_jaccard")
+      .orderBy(col("est_jaccard").desc, col("a_id"), col("b_id"))
+      .limit(100)
+
+  /** Full candidate-pair frame (a_id, b_id, est_jaccard) behind
+    * [[dedupMinhash]] — the unlimited form [[dedupAudit]] aggregates. */
+  private[graft] def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val sig = docs(spark, dir)
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("source"),
         graft.functions.MinHashSig.minhash(split(col("text"), " "), NumHashes).as("sig"))
     // band key = the 4 minhash values themselves (joined as a string):
     // grouping on the raw tuple needs no second hash function, which is
@@ -349,7 +394,7 @@ object Text {
       concat_ws(":", (b * RowsPerBand until (b + 1) * RowsPerBand)
         .map(i => col("sig").getItem(i).cast("string")): _*)
     val banded = capBuckets(
-      sig.select(col("doc_id"), col("sig"),
+      sig.select(col("doc_id"), col("source"), col("sig"),
         posexplode(array((0 until Bands).map(bandKey): _*)).as(Seq("band", "bh"))),
       Seq("band", "bh"))
     // The signature rides along BOTH sides of the bucket self-join and
@@ -372,10 +417,9 @@ object Text {
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        col("x.source").as("a_source"),
         (agree.cast("double") / NumHashes).as("est_jaccard"))
       .dropDuplicates("a_id", "b_id")
-      .orderBy(col("est_jaccard").desc, col("a_id"), col("b_id"))
-      .limit(100)
   }
 
   /** doc_id + 32 min-hash columns h0..h31 from a (doc_id, toks) frame.
@@ -403,27 +447,35 @@ object Text {
     * so DuckDB rebuilds the exact fingerprint (as four 16-bit chunks —
     * never a signed-overflow-prone 64-bit literal), the same buckets,
     * cap, and Hamming counts. */
-  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    simhashPairs(spark, dir)
+      .select("a_id", "b_id", "hamming")
+      .filter(col("hamming") <= 16)
+      .orderBy(col("hamming"), col("a_id"), col("b_id"))
+      .limit(100)
+
+  /** Full candidate-pair frame (a_id, b_id, hamming) behind
+    * [[dedupSimhash]] — the unlimited form [[dedupAudit]] aggregates. */
+  private[graft] def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val sig = simhashSignatures(
-      docs(spark, dir).select(col("doc_id"), split(col("text"), " ").as("toks")))
+      docs(spark, dir).select(col("doc_id"), col("source"),
+        split(col("text"), " ").as("toks")))
     val chunks = (0 until 4).map(c =>
       shiftright(col("simhash"), 16 * c).bitwiseAND(lit(0xFFFFL)).as(s"c$c"))
     val e = capBuckets(
-      sig.select(col("doc_id") +: col("simhash") +: chunks: _*)
-        .select(col("doc_id"), col("simhash"),
+      sig.select(col("doc_id") +: col("source") +: col("simhash") +: chunks: _*)
+        .select(col("doc_id"), col("source"), col("simhash"),
           posexplode(array((0 until 4).map(c => col(s"c$c")): _*)).as(Seq("chunk", "cv"))),
       Seq("chunk", "cv"))
     e.as("x").join(e.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.cv") === col("y.cv") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        col("x.source").as("a_source"),
         col("x.simhash").as("sa"), col("y.simhash").as("sb"))
       .distinct()
-      .select(col("a_id"), col("b_id"),
+      .select(col("a_id"), col("b_id"), col("a_source"),
         bit_count(col("sa").bitwiseXOR(col("sb"))).as("hamming"))
-      .filter(col("hamming") <= 16)
-      .orderBy(col("hamming"), col("a_id"), col("b_id"))
-      .limit(100)
   }
 
   /** doc_id + 64-bit simhash from a (doc_id, toks) frame — the native
@@ -433,8 +485,9 @@ object Text {
     * form is map-only (bit-parity-tested; 0.53 → 0.09 s at sf0.1,
     * same-JVM A/B). */
   private[graft] def simhashSignatures(docToks: DataFrame): DataFrame =
-    docToks.select(col("doc_id"),
-      graft.functions.SimHash64.simhash64(col("toks")).as("simhash"))
+    docToks
+      .withColumn("simhash", graft.functions.SimHash64.simhash64(col("toks")))
+      .drop("toks")
 
   /** Language ID via char-bigram profiles: the profile (top-30 bigrams per
     * language) is trained distributed from the corpus itself, then each doc

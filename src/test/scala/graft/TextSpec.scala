@@ -314,6 +314,27 @@ class TextSpec extends GraftSpec {
     assert(r.getDouble(2) > 0.999, s"r2 ${r.getDouble(2)}")
   }
 
+  test("dedup_audit: per-source counts recompute by hand on a planted fixture") {
+    val spark0 = spark
+    import spark0.implicits._
+    val d = s"$tmpDir/auditfix"
+    // srcA: an exact-duplicate pair (1,2) plus an unrelated doc; srcB:
+    // a lone doc. The (1,2) pair must count once for srcA (a_id side)
+    // under every detector; nothing else crosses any threshold.
+    Seq(
+      TextFixture.Doc(1, "alpha beta gamma delta", "en", "srcA", 22),
+      TextFixture.Doc(2, "alpha beta gamma delta", "en", "srcA", 22),
+      TextFixture.Doc(3, "omicron pi rho sigma", "en", "srcA", 20),
+      TextFixture.Doc(4, "unrelated wholly other text", "en", "srcB", 27))
+      .toDF().write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = Text.dedupAudit(spark, d).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got === Map(
+      "srcA" -> ((3L, 1L, 1L, 1L)),
+      "srcB" -> ((1L, 0L, 0L, 0L))), got.toString)
+  }
+
   test("lm score: template text scores fewer bits than diverse text") {
     val spark0 = spark
     import spark0.implicits._
