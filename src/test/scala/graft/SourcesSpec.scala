@@ -19,6 +19,26 @@ class SourcesSpec extends GraftSpec {
     assert(mism === 0L, s"$format round-trip must be lossless")
   }
 
+  test("Tables relation cache: same frame per path, re-probes an in-place regen") {
+    val spark0 = spark
+    import spark0.implicits._
+    val d = s"$tmpDir/relcache"
+    Seq((1L, "a", 0), (2L, "b", 1)).toDF("r_regionkey", "r_name", "pad")
+      .select($"r_regionkey".cast("int").as("r_regionkey"), $"r_name")
+      .write.mode("overwrite").parquet(s"$d/region.parquet")
+    assert(Tables.region(spark, d).count() === 2)
+    // identical stats → the SAME resolved plan comes back (cache hit)
+    assert(Tables.region(spark, d) eq Tables.region(spark, d))
+    // regen IN PLACE with different content + stats → fresh relation,
+    // new data visible (the events ts-sniff staleness class, round 12)
+    Thread.sleep(1100) // ensure mtime moves even on coarse clocks
+    Seq((7L, "x"), (8L, "y"), (9L, "z")).toDF("r_regionkey", "r_name")
+      .select($"r_regionkey".cast("int").as("r_regionkey"), $"r_name")
+      .write.mode("overwrite").parquet(s"$d/region.parquet")
+    assert(Tables.region(spark, d).count() === 3,
+      "an in-place regen must not serve the stale cached relation")
+  }
+
   test("CSV write → read → hash-reconcile is lossless")(roundTrip("csv"))
   test("JSON write → read → hash-reconcile is lossless")(roundTrip("json"))
   test("ORC write → read → hash-reconcile is lossless")(roundTrip("orc"))
