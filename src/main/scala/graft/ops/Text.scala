@@ -529,7 +529,7 @@ object Text {
     val idx = langs.zipWithIndex.toMap
     val gramLangs: Map[String, Array[Int]] = rows.groupBy(_.getString(1))
       .map { case (g, rs) => g -> rs.map(r => idx(r.getString(0))).sorted.toArray }
-    val langsLit = array(langs.map(lit): _*)
+    val langsLit = array(langs.toIndexedSeq.map(lit): _*)
     val hits = graft.functions.ProfileHits
       .profileHits(col("text"), gramLangs, langs.length)
     docs(spark, dir)
