@@ -803,18 +803,33 @@ object Text {
     * the per-doc then per-source aggs each end answer-sized. Nothing
     * row-count-sized shuffles beyond the first combine. */
   def lmScore(spark: SparkSession, dir: String): DataFrame = {
-    val grams = docs(spark, dir).select(col("doc_id"), col("source"),
-      explode(graft.functions.CharNgrams.charNgrams(col("text"), 2)).as("g"))
-    val counts = grams.groupBy("g").agg(count(lit(1)).as("c"))
-    val tot = counts.agg(sum(col("c")).as("t"))
-    val lp = counts.crossJoin(broadcast(tot))
-      .select(col("g"), round(log2(col("c") / col("t")), 6).as("logp"))
-    val doc = grams.join(broadcast(lp), "g")
-      .groupBy(col("doc_id"), col("source"))
-      .agg(count(lit(1)).as("n"),
-        sum(round(col("logp") * 1e6, 0).cast("long")).as("sm"))
-      .select(col("source"), (-(col("sm") / 1e6) / col("n")).as("bits"))
-    doc.groupBy("source")
+    // vocab job: bigram counts (alphabet²-bounded, the langid-profile
+    // collect contract), then micro log-probs derived on the driver
+    // with the IDENTICAL arithmetic the in-plan spelling generated —
+    // StrictMath.log matches Spark's Log2 bit-for-bit (the EntropyScan
+    // precedent), BigDecimal.valueOf(…).setScale(HALF_UP) IS Spark's
+    // Round on doubles — so the DuckDB oracle is unchanged
+    val counts = docs(spark, dir)
+      .select(explode(graft.functions.CharNgrams.charNgrams(col("text"), 2)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val t = counts.map(_._2).sum.toDouble
+    val log2v = StrictMath.log(2.0)
+    val micro: Map[String, Long] = counts.map { case (g, c) =>
+      val lp6 = java.math.BigDecimal.valueOf(StrictMath.log(c / t) / log2v)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      g -> java.math.BigDecimal.valueOf(lp6 * 1e6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+    }.toMap
+    // scoring is MAP-ONLY: one native linear pass per document (the
+    // explode → broadcast-join → per-doc agg it replaces re-streamed
+    // every bigram through two more stages); only source-sized frames
+    // shuffle from here
+    docs(spark, dir)
+      .select(col("source"),
+        graft.functions.GramLogProbSum.gramLogProbSum(col("text"), micro).as("s"))
+      .select(col("source"), (-(col("s.sm") / 1e6) / col("s.n")).as("bits"))
+      .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         round(sum(round(col("bits") * 1e6, 0).cast("long")) / 1e6 /
           count(lit(1)), 4).as("avg_bits"),

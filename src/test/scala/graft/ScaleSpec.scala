@@ -366,13 +366,17 @@ class ScaleSpec extends GraftSpec {
     assert(scans <= 2, s"label must ride the scan, not a join-back ($scans scans):\n$exec")
   }
 
-  test("lm score: the log-prob table broadcasts onto the gram stream") {
+  test("lm score: scoring is map-only — no join, no generate, one scan") {
+    // round 12 second pass: the native gram_logprob_sum scorer folds the
+    // explode → broadcast-join → per-doc agg into one linear pass, so
+    // the scoring plan may contain NO join of any kind and no Generate;
+    // only source-sized aggregates may shuffle
     val exec = graft.ops.Text.lmScore(spark, sf)
       .queryExecution.executedPlan.toString
-    assert(exec.contains("BroadcastHashJoin"),
-      s"the vocab-sized log-prob table must broadcast:\n$exec")
-    assert(!exec.contains("SortMergeJoin"),
-      s"shuffling the corpus gram stream by gram is the 100 TB failure mode:\n$exec")
+    assert(exec.contains("gram_logprob_sum"),
+      s"scoring must run through the native one-pass scorer:\n$exec")
+    assert(!exec.contains("Join") && !exec.contains("Generate"),
+      s"the gram stream must not re-materialize in the scoring plan:\n$exec")
   }
 
   test("customer RFM: both aggs partial-combine; the max-date scalar broadcasts") {
