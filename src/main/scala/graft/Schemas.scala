@@ -114,23 +114,49 @@ object Tables {
     * return the SAME DataFrame (an immutable logical plan), so each
     * query skips re-listing the path and re-resolving the relation —
     * the catalog behavior a real deployment gets from a metastore
-    * table. Keyed on (session, path, mtime, length) — the mtime/length
-    * key follows the events ts-sniff cache (round-12): an in-place
-    * testdata regen changes the file stats, so a stale plan is never
-    * served; a vanished file falls through to an uncached read and
-    * fails with the reader's own error. */
+    * table. Keyed on (session, path) with a content STAMP as the
+    * staleness guard (round-13, on advice): a directory path's own
+    * getFileStatus reports length 0 and an mtime with possibly 1 s
+    * granularity, so a stat-of-the-path key missed a same-second
+    * in-place regen; the stamp instead folds the CHILD file count,
+    * total length and max child mtime for directories (one listStatus —
+    * still driver-side metadata, no job). Stamping the VALUE rather
+    * than the key also evicts the prior plan on refresh instead of
+    * leaking one DataFrame per regen. A vanished path stamps as
+    * "missing" and the build fails with the reader's own error. */
   private val relationCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long, Long), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, DataFrame)]()
+
+  /** Content stamp for a parquet path: file → mtime+len; directory →
+    * child count + total child length + max child mtime (robust to 1 s
+    * mtime granularity and to same-length rewrites of partitioned
+    * outputs). */
+  private def pathStamp(spark: SparkSession, path: String): String =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val st = fs.getFileStatus(p)
+      if (st.isFile) s"f:${st.getModificationTime}:${st.getLen}"
+      else {
+        val kids = fs.listStatus(p)
+        var n = 0L; var len = 0L; var mt = st.getModificationTime
+        kids.foreach { c =>
+          n += 1; len += c.getLen
+          if (c.getModificationTime > mt) mt = c.getModificationTime
+        }
+        s"d:$n:$len:$mt"
+      }
+    } catch { case _: java.io.IOException => "missing" }
+
+  private def cachedRelation(spark: SparkSession, path: String)
+                            (build: => DataFrame): DataFrame =
+    relationCache.compute((spark, path), (_, v) =>
+      { val stamp = pathStamp(spark, path)
+        if (v != null && v._1 == stamp) v else (stamp, build) })._2
 
   def read(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
-    val stat = try {
-      val p = new org.apache.hadoop.fs.Path(path)
-      val st = p.getFileSystem(spark.sessionState.newHadoopConf()).getFileStatus(p)
-      (st.getModificationTime, st.getLen)
-    } catch { case _: java.io.IOException => (-1L, -1L) }
-    relationCache.computeIfAbsent((spark, path, stat._1, stat._2),
-      _ => spark.read.schema(schemas(name)).parquet(path))
+    cachedRelation(spark, path)(spark.read.schema(schemas(name)).parquet(path))
   }
 
   /** On-disk footprint of one table's parquet path — pure driver-side
@@ -160,14 +186,15 @@ object Tables {
   /** Footer-sniffed ts unit per events path. A footer schema probe is a
     * driver-side metadata read (no job), but it still lists the directory —
     * caching keeps repeated `events()` calls (134-query Verify/Bench runs)
-    * from re-probing. Keyed on (path, mtime, length) — a plain path key
+    * from re-probing. Keyed on (path, stamp) — a plain path key
     * served a STALE unit when a harness regenerated testdata in-place
     * inside a long-lived JVM, recreating the silent mis-read class the
-    * sniff exists to prevent; the stat that builds the key is one
-    * driver-side filesystem call, far cheaper than the footer probe it
-    * guards. */
+    * sniff exists to prevent; the stamp is the same [[pathStamp]] the
+    * relation cache uses (round-13: directory-robust, 1-s-mtime-proof),
+    * one driver-side filesystem call, far cheaper than the footer probe
+    * it guards. */
   private val eventsTsType =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), DataType]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataType]()
 
   /** events with `ts` normalized to Spark TimestampType at µs precision.
     *
@@ -182,18 +209,12 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
-    val hp = new org.apache.hadoop.fs.Path(path)
-    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
-    val st = fs.getFileStatus(hp)
-    relationCache.computeIfAbsent(
-      (spark, path, st.getModificationTime, st.getLen),
-      _ => eventsUncached(spark, path, st))
+    cachedRelation(spark, path)(eventsUncached(spark, path))
   }
 
-  private def eventsUncached(spark: SparkSession, path: String,
-                             st: org.apache.hadoop.fs.FileStatus): DataFrame = {
+  private def eventsUncached(spark: SparkSession, path: String): DataFrame = {
     val diskTs = eventsTsType.computeIfAbsent(
-      (path, st.getModificationTime, st.getLen),
+      (path, pathStamp(spark, path)),
       _ => spark.read.parquet(path).schema("ts").dataType)
     diskTs match {
       // TIMESTAMP_MICROS infers as LTZ when isAdjustedToUTC=true, NTZ when

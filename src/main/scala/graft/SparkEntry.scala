@@ -289,17 +289,21 @@ object SparkEntry {
     * sequential-accumulation native expression, bit-identical to
     * DuckDB's `list_inner_product` (the contract ann_lsh_topk /
     * cosine_knn already pin). Iteration count/k/probes interpolate from
-    * `Vectors`' own constants so the two engines cannot drift. */
+    * `Vectors`' own constants so the two engines cannot drift, and the
+    * training CTE applies the SAME smallest-md5 `IvfTrainCap` sample
+    * the Spark quantizer collects (round-13 advice) — parity holds at
+    * any corpus size, not just below the cap. */
   private def ivfTopkSql: String = {
     val k = graft.ops.Vectors.IvfClusters
     val iters = graft.ops.Vectors.IvfIterations
     val probes = graft.ops.Vectors.IvfProbes
+    val cap = graft.ops.Vectors.IvfTrainCap
     val iterCtes = (1 to iters).map { i =>
       s"""a$i AS (SELECT vec_id, u, cid FROM (
          |    SELECT q.vec_id, q.u, c.cid,
          |      row_number() OVER (PARTITION BY q.vec_id
          |        ORDER BY list_inner_product(q.u, c.cvec) DESC, c.cid) rn
-         |    FROM u q CROSS JOIN c${i - 1} c) WHERE rn = 1),
+         |    FROM tr q CROSS JOIN c${i - 1} c) WHERE rn = 1),
          |m$i AS (SELECT cid, pos,
          |    CAST(sum(CAST(x AS DECIMAL(18,9))) AS DOUBLE) / count(*) m
          |  FROM (SELECT cid, generate_subscripts(u,1) pos, unnest(u) x FROM a$i)
@@ -312,9 +316,10 @@ object SparkEntry {
     s"""WITH v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
        |u AS (SELECT vec_id,
        |    list_transform(v, x -> x / sqrt(list_inner_product(v, v))) u FROM v0),
-       |c0 AS (SELECT row_number() OVER (
-       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 cid, u cvec
-       |  FROM u ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k),
+       |tr AS (SELECT vec_id, u, md5(CAST(vec_id AS VARCHAR)) h FROM u
+       |  ORDER BY h, vec_id LIMIT $cap),
+       |c0 AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 cid, u cvec
+       |  FROM tr ORDER BY h, vec_id LIMIT $k),
        |$iterCtes,
        |sc AS (SELECT q.vec_id, q.u, c.cid,
        |    row_number() OVER (PARTITION BY q.vec_id

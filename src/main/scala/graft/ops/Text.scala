@@ -648,7 +648,8 @@ object Text {
     // nothing), so no shuffle exists anywhere before the filter probe
     // (0.64 -> 0.4x s sf0.1 with identical probe semantics).
     val bound = math.max(d.filter(col("source") === evalSource)
-      .agg(sum(length(col("text")))).collect().head.getLong(0), 1L)
+      .agg(coalesce(sum(length(col("text"))), lit(0L)))
+      .collect().head.getLong(0), 1L)
     val bloom = grams(d.filter(col("source") === evalSource))
       .stat.bloomFilter("g", bound, fpp)
     grams(d.filter(col("source") =!= evalSource))
@@ -683,7 +684,8 @@ object Text {
     // (insertion is idempotent); the distinct evalGrams frame is still
     // what the exactness join consumes below
     val bound = math.max(d.filter(col("source") === evalSource)
-      .agg(sum(length(col("text")))).collect().head.getLong(0), 1L)
+      .agg(coalesce(sum(length(col("text"))), lit(0L)))
+      .collect().head.getLong(0), 1L)
     val bloom = grams(d.filter(col("source") === evalSource))
       .stat.bloomFilter("g", bound, fpp)
     grams(d.filter(col("source") =!= evalSource))
@@ -845,8 +847,22 @@ object Text {
     val t = counts.map(_._2).sum.toDouble
     val log2v = StrictMath.log(2.0)
     val micro: Map[String, Long] = counts.map { case (g, c) =>
-      val lp6 = java.math.BigDecimal.valueOf(StrictMath.log(c / t) / log2v)
+      val lp = StrictMath.log(c / t) / log2v
+      val lp6 = java.math.BigDecimal.valueOf(lp)
         .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      // Boundary guard (round-13 advice): the cross-engine contract is
+      // that round(log2(c/t), 6) agrees bit-for-bit, which can only
+      // fail when lp sits within an ulp of a .5e-6 rounding boundary.
+      // Detect that by rounding a second, mathematically-equal spelling
+      // (log c − log t) — if the two 6-dp roundings disagree, the value
+      // IS on a boundary and the op fails loud with the gram instead of
+      // surfacing as an opaque whole-result hash mismatch downstream.
+      val alt6 = java.math.BigDecimal
+        .valueOf((StrictMath.log(c.toDouble) - StrictMath.log(t)) / log2v)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      if (lp6 != alt6) throw new IllegalStateException(
+        s"lmScore: bigram ${g} log-prob $lp sits on a 6-dp rounding " +
+          "boundary — cross-engine parity is not guaranteed for this corpus")
       g -> java.math.BigDecimal.valueOf(lp6 * 1e6)
         .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
     }.toMap
