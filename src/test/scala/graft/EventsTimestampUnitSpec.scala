@@ -133,7 +133,9 @@ class EventsTimestampUnitSpec extends GraftSpec {
     // must trigger a re-probe that sees the new physical type (the reader
     // then surfaces the normalized TimestampType via the nanos branch —
     // assert on the RAW probe result by reading the footer directly)
-    Thread.sleep(1100) // HDFS-style mtime granularity can be 1s
+    // no sleep: the round-13 content stamp (file count + total length +
+    // max mtime) must re-probe even when the rewrite lands in the same
+    // coarse-mtime second
     rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.mode("overwrite").parquet(s"$usDir/events.parquet")
     // plain INT64 probes as LongType → the nanos branch divides by 1000:

@@ -30,8 +30,10 @@ class SourcesSpec extends GraftSpec {
     // identical stats → the SAME resolved plan comes back (cache hit)
     assert(Tables.region(spark, d) eq Tables.region(spark, d))
     // regen IN PLACE with different content + stats → fresh relation,
-    // new data visible (the events ts-sniff staleness class, round 12)
-    Thread.sleep(1100) // ensure mtime moves even on coarse clocks
+    // new data visible (the events ts-sniff staleness class, round 12).
+    // Deliberately NO sleep: the content stamp (file count + total
+    // length + max mtime, round 13) must catch a same-second regen —
+    // the class the old (mtime, len)-of-the-directory key missed.
     Seq((7L, "x"), (8L, "y"), (9L, "z")).toDF("r_regionkey", "r_name")
       .select($"r_regionkey".cast("int").as("r_regionkey"), $"r_name")
       .write.mode("overwrite").parquet(s"$d/region.parquet")
