@@ -38,6 +38,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    QuietLogs.silenceKnownBoundedWindowWarning()
     def materialize(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
     for (_ <- 1 to 2) SparkEntry.benchQueries.foreach(materialize)

@@ -12,6 +12,7 @@ object Explain {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    QuietLogs.silenceKnownBoundedWindowWarning()
     // SPARK_GRAFT_EXEC=1: materialize first and print the FINAL adaptive
     // plan — AQE stage reuse (ReusedExchange/ReusedQueryStage) only
     // appears after execution, so the static plan under-reports reuse

@@ -16,6 +16,7 @@ object TimeQuery {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    QuietLogs.silenceKnownBoundedWindowWarning()
     def materialize(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
     args.foreach { q =>

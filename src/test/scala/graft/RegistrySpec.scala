@@ -53,6 +53,52 @@ class RegistrySpec extends GraftSpec {
     }
   }
 
+  test("unpartitioned WindowExec appears only at the known answer-sized sites") {
+    // An unpartitioned window moves ALL data to one partition — the
+    // classic 100 TB cliff. The five allowed sites window frames that
+    // are provably answer-sized (a year grid, a top-k vocab slice, a
+    // calendar-day rollup) or size-gated small forms; any NEW query
+    // planning one fails here, which replaces the WindowExec warning
+    // spam (silenced in the harness mains) as the detection channel.
+    val allowed = Set(
+      "orders_yoy_growth",   // |years|-row frame (Relational.yoyGrowth)
+      "ntile_funcs",         // size-gated small form (ntileFuncsSmall)
+      "vocab_top_tokens",    // top-k token slice (Text.vocabTopTokens)
+      "text_zipf_slope",     // top-k count frame (Text.zipfSlope)
+      "rows_frame_window")   // calendar-day rollup (Events.rowsFrameWindow)
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, q) =>
+        val unpart = try {
+          q(spark, sf).queryExecution.sparkPlan.collect {
+            case w: org.apache.spark.sql.execution.window.WindowExec
+              if w.partitionSpec.isEmpty => w
+          }
+        } catch { case _: Exception => Nil } // analysis failures -> first test
+        if (unpart.nonEmpty) Some(name) else None
+    }
+    val unexpected = offenders.toSet -- allowed
+    assert(unexpected.isEmpty,
+      s"NEW unpartitioned WindowExec (all-to-one-partition scale cliff) in: " +
+        s"${unexpected.toSeq.sorted}")
+  }
+
+  test("every benched query has a BASELINE.md row (the standing budget rule)") {
+    // SURVEY §7.5 standing rule, round-12 verdict #4: an op registered
+    // without its DuckDB timing appended to BASELINE.md silently erodes
+    // the 2x bench ratio (each small op adds ~0.1-0.3 s of Spark fixed
+    // overhead against ~0.01 s of unbudgeted DuckDB denominator). Parse
+    // the baseline's per-query rows and fail the moment a benchQueries
+    // entry has no budget row — turning discipline into an invariant.
+    val src = scala.io.Source.fromFile("BASELINE.md", "UTF-8")
+    val budgeted = try {
+      val row = """^\| ([a-z0-9_]+)[ (]""".r
+      src.getLines().flatMap(l => row.findFirstMatchIn(l).map(_.group(1))).toSet
+    } finally src.close()
+    val unbudgeted = SparkEntry.benchQueries.toSet -- budgeted
+    assert(unbudgeted.isEmpty,
+      s"benched but missing a BASELINE.md budget row: ${unbudgeted.toSeq.sorted}")
+  }
+
   test("every oracled query is benched (the budget covers the whole contract)") {
     // the round-trip fingerprints are oracled but deliberately unbenched:
     // they write+re-read files, which the repeated-materialization timing
