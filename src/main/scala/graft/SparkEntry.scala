@@ -124,6 +124,7 @@ object SparkEntry {
     "text_lm_score"            -> (Text.lmScore _),
     "dedup_audit"              -> (Text.dedupAudit _),
     "dedup_incremental"        -> (Text.dedupIncremental _),
+    "text_bpe_merges"          -> (Text.bpeMerges _),
     "supplier_hhi"             -> (Relational.supplierHhi _),
     "rolling_dau_7d"           -> (Events.rollingDau _),
     "dup_size_distribution"    -> (Text.dupSizeDistribution _),
@@ -266,7 +267,8 @@ object SparkEntry {
     "multimodal_decode_stats", "multimodal_resize_stats",
     "multimodal_frame_sample", "ann_lsh_topk", "dedup_embedding",
     "dedup_minhash", "dedup_clusters", "dedup_simhash", "ann_ivf_topk",
-    "knn_label_accuracy", "text_lm_score", "dedup_audit", "dedup_incremental")
+    "knn_label_accuracy", "text_lm_score", "dedup_audit", "dedup_incremental",
+    "text_bpe_merges")
 
   /** DuckDB spelling of [[graft.ops.Vectors.lshBucket]]: the 8 sign bits
     * against the SAME hyperplane doubles, interpolated from
@@ -333,6 +335,55 @@ object SparkEntry {
        |SELECT vec_id, nn, sim FROM p
        |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nn) = 1
        |ORDER BY vec_id LIMIT 50""".stripMargin
+  }
+
+  /** DuckDB re-derivation of the ENTIRE [[graft.ops.Text.bpeMerges]]
+    * trajectory — the ann_ivf_topk full-reproduction precedent applied
+    * to BPE training: the same capped (count DESC, word) dictionary
+    * (binary collation == Spark's UTF8String byte order), then
+    * [[graft.ops.Text.BpeIterations]] unrolled merge rounds. Symbol
+    * sequences are spelled as chr(1)‖sym‖chr(2)-wrapped strings so that
+    * one non-overlapping `replace` of `⟨l⟩⟨r⟩` with `⟨lr⟩` IS the
+    * greedy left-to-right merge application (wrappers anchor both
+    * symbol boundaries, so a pattern can never match mid-symbol, and
+    * matches consume no shared delimiter, so adjacent occurrences all
+    * merge); pair counts re-split the wrapped string and lead() over
+    * position. MATERIALIZED pins each round's frame — without it the
+    * recursive CTE chain re-inlines every prior round. chr(3) is the
+    * never-matching replace pattern for rounds past pair exhaustion. */
+  private def bpeMergesSql: String = {
+    val cap = graft.ops.Text.BpeWordCap
+    val iters = graft.ops.Text.BpeIterations
+    val iterCtes = (1 to iters).map { i =>
+      s"""p$i AS (SELECT l, r, CAST(sum(c) AS BIGINT) cnt FROM (
+         |    SELECT w, c, sym l, lead(sym) OVER (PARTITION BY w ORDER BY pos) r
+         |    FROM (SELECT w, c, generate_subscripts(syms, 1) pos, unnest(syms) sym
+         |          FROM (SELECT w, c, string_split(trim(s, chr(1) || chr(2)),
+         |                  chr(2) || chr(1)) syms FROM s${i - 1})))
+         |  WHERE r IS NOT NULL GROUP BY l, r),
+         |t$i AS MATERIALIZED (SELECT l, r, cnt FROM p$i
+         |  ORDER BY cnt DESC, l, r LIMIT 1),
+         |s$i AS MATERIALIZED (SELECT w, c, replace(s,
+         |    coalesce((SELECT chr(1) || l || chr(2) || chr(1) || r || chr(2)
+         |      FROM t$i), chr(3)),
+         |    coalesce((SELECT chr(1) || l || r || chr(2) FROM t$i), chr(3))) s
+         |  FROM s${i - 1})""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to iters).map { i =>
+      if (i == 1) "SELECT 1 step, l lhs, r rhs, cnt pair_count FROM t1"
+      else s"SELECT $i, l, r, cnt FROM t$i"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH wc AS (SELECT w, count(*) c FROM (
+       |    SELECT unnest(string_split(text, ' ')) w FROM documents)
+       |  WHERE len(w) > 0 AND w NOT LIKE '%' || chr(1) || '%'
+       |    AND w NOT LIKE '%' || chr(2) || '%'
+       |  GROUP BY w),
+       |wcap AS (SELECT w, c FROM wc ORDER BY c DESC, w LIMIT $cap),
+       |s0 AS MATERIALIZED (SELECT w, c,
+       |    regexp_replace(w, '(?s)(.)', chr(1) || '\\1' || chr(2), 'g') s
+       |  FROM wcap),
+       |$iterCtes
+       |SELECT * FROM ($unions) ORDER BY step""".stripMargin
   }
 
   /** Shared DuckDB CTEs rebuilding the exact 32-hash MinHash signature
@@ -1577,6 +1628,8 @@ object SparkEntry {
          |ORDER BY vec_id LIMIT 50""".stripMargin,
 
     "ann_ivf_topk" -> ivfTopkSql,
+
+    "text_bpe_merges" -> bpeMergesSql,
 
     "knn_label_accuracy" ->
       // leave-one-out 5-NN majority-vote label agreement: the pair scan,

@@ -932,4 +932,111 @@ object Text {
       .orderBy(col("pmi").desc, col("bigram"))
       .limit(k)
   }
+
+  /** BPE training iterations. Fixed and small on purpose: the op's
+    * contract is the TRAINER (the merge-selection trajectory), not a
+    * production vocab — 16 steps exercise every mechanism (pair count,
+    * tie-break, greedy re-segmentation) while keeping the full
+    * cross-engine re-derivation tractable as unrolled oracle CTEs. */
+  private[graft] val BpeIterations = 16
+
+  /** Largest word-frequency table the BPE trainer consumes — the
+    * [[graft.ops.Vectors.IvfTrainCap]] contract: tokenizer trainers run
+    * on a word-count dictionary, and training on a deterministic
+    * (count DESC, word) top slice is the standard sampled form (what
+    * keeps the driver collect bounded like a broadcast dim at 100 TB;
+    * below the cap — every test SF — training sees the full vocab, so
+    * the DuckDB oracle remains a FULL-trajectory reproduction). */
+  private[graft] val BpeWordCap = 20000
+
+  /** Byte-Pair-Encoding merge-pair training — the tokenizer-pipeline
+    * step (Sennrich et al. 2016) between [[vocabTopTokens]]'s frequency
+    * vocab and an actual subword tokenizer: start from character
+    * symbols, repeatedly merge the globally most frequent adjacent
+    * symbol pair (greedy left-to-right application, Sennrich's
+    * convention; no end-of-word marker — corpus-internal merges only),
+    * emitting one (step, lhs, rhs, pair_count) row per iteration.
+    *
+    * Architecture: ONE distributed job — the vocabulary-sized word
+    * count aggregate (map-side combinable) with a deterministic
+    * (count DESC, word) top-[[BpeWordCap]] selection — then the 16
+    * iterations run driver-side over that bounded table with exact
+    * integer pair counts: per-iteration distributed pair counting
+    * would pay 32 jobs of fixed overhead to re-derive what a capped
+    * dictionary yields in microseconds. Determinism contract (what the
+    * DuckDB oracle re-derives end-to-end): word and pair tie-breaks
+    * compare UTF-8 BYTES (Spark's UTF8String order == DuckDB binary
+    * collation — the Scala loop must match both), symbols split on
+    * CODEPOINTS (RE2 `.` semantics), pair counts weight by word
+    * frequency and count overlapping adjacencies, and merges apply
+    * greedily left-to-right (= non-overlapping string replace on the
+    * oracle's delimiter-wrapped spelling). Words containing the
+    * oracle's U+0001/U+0002 wrapper chars are excluded on BOTH
+    * engines. */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    val wc = docs(spark, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "" &&
+        !col("w").contains("\u0001") && !col("w").contains("\u0002"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(BpeWordCap)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+
+    def codepoints(w: String): Array[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < w.length) {
+        val n = Character.charCount(w.codePointAt(i))
+        out += w.substring(i, i + n); i += n
+      }
+      out.toArray
+    }
+    // unsigned UTF-8 byte order — Spark UTF8String / DuckDB binary collation
+    def u8lt(a: String, b: String): Boolean = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      while (i < x.length && i < y.length) {
+        val d = (x(i) & 0xff) - (y(i) & 0xff)
+        if (d != 0) return d < 0
+        i += 1
+      }
+      x.length < y.length
+    }
+
+    var words: Array[(Array[String], Long)] =
+      wc.map { case (w, c) => (codepoints(w), c) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (step <- 1 to BpeIterations) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, c) =>
+        var j = 0
+        while (j < syms.length - 1) {
+          val k = (syms(j), syms(j + 1))
+          counts(k) = counts.getOrElse(k, 0L) + c
+          j += 1
+        }
+      }
+      if (counts.nonEmpty) {
+        val (l, r, cnt) = counts.foldLeft(("", "", -1L)) {
+          case (best @ (bl, br, bc), ((pl, pr), pc)) =>
+            if (pc > bc || (pc == bc && (u8lt(pl, bl) ||
+              (pl == bl && u8lt(pr, br))))) (pl, pr, pc) else best
+        }
+        merges += ((step, l, r, cnt))
+        words = words.map { case (syms, c) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var j = 0
+          while (j < syms.length) {
+            if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == r) {
+              out += l + r; j += 2
+            } else { out += syms(j); j += 1 }
+          }
+          (out.toArray, c)
+        }
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("step", "lhs", "rhs", "pair_count").orderBy("step")
+  }
 }

@@ -381,6 +381,48 @@ class TextSpec extends GraftSpec {
     rows.values.foreach(b => assert(b > 0))
   }
 
+  test("bpe merges: hand-traced trajectory on a planted corpus") {
+    import org.apache.spark.sql.SparkSession
+    def write(spark: SparkSession, dir: String): String = {
+      import spark.implicits._
+      // word counts: "abab" ×3, "ab" ×2, "cd" ×1 (per doc row below)
+      Seq(Doc(1, "abab ab cd", "en", "s", 10),
+          Doc(2, "abab abab ab", "en", "s", 12))
+        .toDF().write.mode("overwrite").parquet(s"$dir/bpefix/documents.parquet")
+      s"$dir/bpefix"
+    }
+    val rows = Text.bpeMerges(spark, write(spark, tmpDir)).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // pair counts from the char sequences, weighted by word frequency:
+    //   abab×3: (a,b)×2, (b,a)×1 per copy; ab×2: (a,b); cd×1: (c,d)
+    //   → (a,b)=8, (b,a)=3, (c,d)=1 → merge 1 = (a,b) @ 8
+    assert(rows(0) === ((1, "a", "b", 8L)))
+    // after merging: abab→[ab,ab]×3, ab→[ab]×2, cd→[c,d]
+    //   → (ab,ab)=3, (c,d)=1 → merge 2 = (ab,ab) @ 3
+    assert(rows(1) === ((2, "ab", "ab", 3L)))
+    // then abab→[abab], nothing adjacent but (c,d)=1 → merge 3
+    assert(rows(2) === ((3, "c", "d", 1L)))
+    // pair store exhausted — no further merges emit
+    assert(rows.length === 3)
+  }
+
+  test("bpe merges on real data: 16 steps, composable symbols, exact recount") {
+    val rows = Text.bpeMerges(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq === (1 to Text.BpeIterations))
+    rows.foreach { case (_, l, r, c) =>
+      assert(l.nonEmpty && r.nonEmpty && c > 0)
+    }
+    // every non-initial symbol must be buildable from earlier merges:
+    // the merged token lhs+rhs of step i may appear as lhs/rhs only at
+    // steps > i (trainer consistency)
+    val born = rows.map { case (i, l, r, _) => (l + r) -> i }.toMap
+    rows.foreach { case (i, l, r, _) =>
+      for (s <- Seq(l, r); b <- born.get(s)) assert(b < i,
+        s"step $i uses symbol '$s' born at step $b")
+    }
+  }
+
   test("tfidf: top-k per source, scores recompute from tf·ln(n/df)") {
     val rows = Text.tfidfTopTerms(spark, sf, k = 5).collect()
     val nSrc = Tables.documents(spark, sf).select("source").distinct().count()
