@@ -26,6 +26,7 @@ object SparkEntry {
     "recon_partition_drill"    -> (Recon.partitionDrill _),
     "recon_snapshot_diff"      -> (Recon.snapshotDiffOrders _),
     "recon_incremental"        -> (Recon.incrementalDiffOrders _),
+    "recon_stream_hash_diff"   -> (Recon.streamHashDiffParity _),
     "recon_reconcile_all"      -> (Recon.reconcileAllDemo _),
     "recon_profile"            -> (Recon.profileOrders _),
     "recon_tolerance_diff"     -> (Recon.toleranceDiffDemo _),
@@ -268,7 +269,7 @@ object SparkEntry {
     "multimodal_frame_sample", "ann_lsh_topk", "dedup_embedding",
     "dedup_minhash", "dedup_clusters", "dedup_simhash", "ann_ivf_topk",
     "knn_label_accuracy", "text_lm_score", "dedup_audit", "dedup_incremental",
-    "text_bpe_merges")
+    "text_bpe_merges", "recon_stream_hash_diff")
 
   /** DuckDB spelling of [[graft.ops.Vectors.lshBucket]]: the 8 sign bits
     * against the SAME hyperplane doubles, interpolated from
@@ -1912,6 +1913,39 @@ object SparkEntry {
         |  round(count(*) / sum(1.0 / l_quantity), 4) harm_mean,
         |  round(avg(l_quantity), 4) arith_mean, count(*) n
         |FROM lineitem WHERE l_quantity > 0 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "recon_stream_hash_diff" ->
+      // re-derives StreamingOps.streamingHashDiff's length-prefixed
+      // null-safe rowChecksum (len:value, '~null~' for NULL, '|' joins,
+      // md5) over the seeded divergence: %97 keys' price rounds on the
+      // stream side, %101 keys vanish from the reference; price text
+      // goes through DECIMAL(12,2) (the hashDiff engine-stable rule)
+      """WITH s AS (SELECT o_orderkey k, o_custkey, o_orderstatus,
+        |    CAST(CASE WHEN o_orderkey % 97 = 0 THEN round(o_totalprice, 0)
+        |         ELSE o_totalprice END AS DECIMAL(12,2)) p FROM orders),
+        |r AS (SELECT o_orderkey k, o_custkey, o_orderstatus,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) p FROM orders
+        |  WHERE o_orderkey % 101 <> 0),
+        |sh AS (SELECT k, md5(concat_ws('|',
+        |    coalesce(CAST(len(CAST(o_custkey AS VARCHAR)) AS VARCHAR)
+        |      || ':' || CAST(o_custkey AS VARCHAR), '~null~'),
+        |    coalesce(CAST(len(o_orderstatus) AS VARCHAR)
+        |      || ':' || o_orderstatus, '~null~'),
+        |    coalesce(CAST(len(CAST(p AS VARCHAR)) AS VARCHAR)
+        |      || ':' || CAST(p AS VARCHAR), '~null~'))) h FROM s),
+        |rh AS (SELECT k, md5(concat_ws('|',
+        |    coalesce(CAST(len(CAST(o_custkey AS VARCHAR)) AS VARCHAR)
+        |      || ':' || CAST(o_custkey AS VARCHAR), '~null~'),
+        |    coalesce(CAST(len(o_orderstatus) AS VARCHAR)
+        |      || ':' || o_orderstatus, '~null~'),
+        |    coalesce(CAST(len(CAST(p AS VARCHAR)) AS VARCHAR)
+        |      || ':' || CAST(p AS VARCHAR), '~null~'))) h FROM r)
+        |SELECT k, status FROM (
+        |  SELECT sh.k, CASE WHEN rh.h IS NULL THEN 'missing_in_reference'
+        |               WHEN sh.h <> rh.h THEN 'mismatch'
+        |               ELSE 'match' END status
+        |  FROM sh LEFT JOIN rh ON sh.k = rh.k)
+        |WHERE status <> 'match' ORDER BY k""".stripMargin,
 
     "recon_incremental" ->
       // the Spark side scopes the detail join to fingerprint-moved

@@ -123,6 +123,46 @@ object Recon {
       .agg(count(lit(1)).as("mismatches"))
   }
 
+  /** Batch-parity anchor for the STREAMING hash-diff surface — the one
+    * registry op that runs [[graft.streaming.StreamingOps.streamingHashDiff]]'s
+    * literal code path (same function, same [[rowChecksum]] expression)
+    * over a seeded divergence, so the driver's DuckDB oracle grounds the
+    * checksum semantics the streaming twin ships: every 97th order key's
+    * price rounds on the "stream" side (→ mismatch), every 101st key is
+    * dropped from the reference (→ missing_in_reference). StreamingSpec
+    * asserts a MemoryStream run over the same seed emits byte-identical
+    * rows, converting the previously test-only-trust streaming surface
+    * into an oracle-anchored one (round-13 verdict #6).
+    *
+    * The checksummed price goes through DECIMAL(12,2) BEFORE the
+    * length-prefixed text checksum — double→string formatting is the
+    * one engine-dependent step, decimal text is not (the [[hashDiff]]
+    * rule). Plan shape: two projections of the same scan, one key
+    * equi-join (AQE dedups the scan), row-local status; at scale the
+    * reference side is the broadcast/bucketed dim the streaming twin
+    * documents. */
+  def streamHashDiffParity(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+    val stream = base.select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"),
+      when(col("o_orderkey") % 97 === 0, round(col("o_totalprice"), 0))
+        .otherwise(col("o_totalprice")).cast(DecimalType(12, 2)).as("p"))
+    val ref = base.filter(col("o_orderkey") % 101 =!= 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice").cast(DecimalType(12, 2)).as("p"))
+    // answer-sized divergence report → single-partition in-partition
+    // sort, NOT a global orderBy: range partitioning's sampling pass
+    // re-executes the whole broadcast-join subtree (no shuffle boundary
+    // to resume from; 0.82 vs 0.73 s sf0.1), and coalesce(1) would
+    // serialize the probe scan into one task — the remaining cost is
+    // the honest broadcast build of the checksummed reference, which
+    // IS the streaming twin's deployment shape
+    graft.streaming.StreamingOps
+      .streamingHashDiff(stream, ref, "o_orderkey",
+        Seq("o_custkey", "o_orderstatus", "p"))
+      .repartition(1).sortWithinPartitions("k")
+  }
+
   /** Null-safe, injection-safe row checksum for the generic recon APIs.
     * Plain `concat_ws` is forgeable two ways: it drops NULLs (rows
     * differing only in which column is null collide), and a value

@@ -129,6 +129,48 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("stream hash-diff equals the oracle-anchored batch parity op across micro-batches") {
+    // the recon_stream_hash_diff registry op runs streamingHashDiff's
+    // literal code path in batch and is DuckDB-oracled by the driver;
+    // this asserts the STREAMING execution of the same seeded divergence
+    // emits byte-identical rows — chaining the streaming surface to the
+    // oracle (round-13). p rides as decimal TEXT in the typed stream
+    // rows: rowChecksum casts every column to string anyway, and a
+    // product-encoder BigDecimal would widen to DECIMAL(38,18) text.
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.types.DecimalType
+    val base = Tables.orders(spark, sf)
+    val streamRows = base.select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"),
+        when(col("o_orderkey") % 97 === 0, round(col("o_totalprice"), 0))
+          .otherwise(col("o_totalprice"))
+          .cast(DecimalType(12, 2)).cast("string").as("p"))
+      .as[HdRow].collect()
+    val refDf = base.filter(col("o_orderkey") % 101 =!= 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice").cast(DecimalType(12, 2)).cast("string").as("p"))
+    val input = MemoryStream[HdRow]
+    val q = StreamingOps.streamingHashDiff(input.toDF(), refDf,
+        "o_orderkey", Seq("o_custkey", "o_orderstatus", "p"))
+      .writeStream.format("memory").queryName("hashdiff_parity_sink")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = streamRows.splitAt(streamRows.length / 2)
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+      val streamed = spark.table("hashdiff_parity_sink").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      val batch = ops.Recon.streamHashDiffParity(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      assert(streamed === batch)
+      assert(batch.nonEmpty, "seeded divergence must flag something")
+      assert(batch.map(_._2).toSet ===
+        Set("mismatch", "missing_in_reference"))
+    } finally q.stop()
+  }
+
   test("mismatch streaks: custom state alerts once per crossing, resets on match, spans batches") {
     val spark0 = spark
     import spark0.implicits._
@@ -310,6 +352,8 @@ object StreamingSpec {
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                 event_type: String, value: Double)
   case class Chg(k: Long, v: String, seq: Long, op: String)
+  case class HdRow(o_orderkey: Long, o_custkey: Long,
+                   o_orderstatus: String, p: String)
 }
 
 /** Continuous CDC apply: a change stream merged into a versioned parquet
