@@ -60,9 +60,22 @@ object Bench {
       System.gc()
       Thread.sleep(150)
     }
+    // Adaptive re-sampling (round-13 verdict #7): a query whose
+    // median/min spread exceeds 1.5 after the standard 5 runs got hit
+    // by box noise mid-measurement (cube_agg/unpivot_long sat >1.5 in
+    // two consecutive rounds purely from ~0.1 s absolute jitter on
+    // ~0.2 s queries) — take another GC breath and 4 more samples, and
+    // report min/median over all 9. The min estimator only improves;
+    // the median stops reflecting one starved window. Bounded cost:
+    // only noisy queries pay, ~0.5 s each.
     val samples = SparkEntry.benchQueries.map { name =>
       gcBreath()
-      name -> Seq.fill(5)(timeOne(name)).sorted
+      val first = Seq.fill(5)(timeOne(name)).sorted
+      name -> (if (first(2) / first.head <= 1.5) first
+               else {
+                 gcBreath()
+                 (first ++ Seq.fill(4)(timeOne(name))).sorted
+               })
     }
     val results = samples.map { case (k, v) => k -> v.head }
     // The driver captures only the LAST 2000 chars of stdout: round 7's
@@ -80,8 +93,9 @@ object Bench {
     // noise = median/min: ≈1 on a quiet box; ≫1 flags a starved JVM so
     // the driver's record adjudicates itself (round-6 #2). The printed
     // line carries only the worst offender; per-query ratios → file.
+    def medOf(v: Seq[Double]): Double = v(v.length / 2)
     val (noisyQ, noisyRatio) =
-      samples.map { case (k, v) => k -> v(2) / v.head }.maxBy(_._2)
+      samples.map { case (k, v) => k -> medOf(v) / v.head }.maxBy(_._2)
     val total = results.map(_._2).sum
     // Informational section (round-6 verdict, optional #7): ops with no
     // DuckDB twin are timed OUTSIDE the contract total — min-of-3 after
@@ -114,9 +128,9 @@ object Bench {
       s"compact bench line is ${compact.length} chars — would overflow the driver's 2000-char tail capture")
     // Full-precision record (mins, medians, per-query noise, info-op
     // timings) — too long for stdout (see above), the on-disk channel.
-    val med = qmap("%.3f")(_(2))(samples)
+    val med = qmap("%.3f")(medOf)(samples)
     val noise = samples.map { case (k, v) =>
-      "\"" + k + "\":" + f"${v(2) / v.head}%.2f" }.mkString("{", ",", "}")
+      "\"" + k + "\":" + f"${medOf(v) / v.head}%.2f" }.mkString("{", ",", "}")
     val info = qmap("%.3f")(_.head)(infoSamples)
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${qmap("%.3f")(_.head)(samples)},"queries_median":$med,"noise_ratio":$noise,"queries_info":$info,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench_out.json"), full)
