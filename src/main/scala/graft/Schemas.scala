@@ -104,6 +104,16 @@ object Tables {
     StructField("embedding", ArrayType(FloatType)),
     StructField("label", IntegerType)))
 
+  /** The pinned per-table contract as (table, column) → Spark
+    * simpleString type names — the EXPECTED side of the schema-drift
+    * report (and the single source of truth the DuckDB oracle's
+    * expected VALUES are generated from). Insertion order preserved =
+    * declared column order. */
+  private[graft] def pinnedTypes: Seq[(String, String, String)] =
+    Seq("region", "nation", "supplier", "part", "customer", "orders",
+      "lineitem", "documents", "embeddings").flatMap(t =>
+      schemas(t).fields.map(f => (t, f.name, f.dataType.simpleString)))
+
   private val schemas: Map[String, StructType] = Map(
     "region" -> region, "nation" -> nation, "supplier" -> supplier,
     "part" -> part, "customer" -> customer, "orders" -> orders,
@@ -195,6 +205,21 @@ object Tables {
     * it guards. */
   private val eventsTsType =
     new java.util.concurrent.ConcurrentHashMap[(String, String), DataType]()
+
+  /** Stamp-keyed footer-schema cache (the eventsTsType discipline):
+    * `spark.read.parquet(path).schema` is driver-only but still pays a
+    * file listing + footer read (~60 ms) per call — the schema-drift
+    * pre-flight probes nine tables, so repeated invocations in a
+    * Verify/Bench run would pay ~0.6 s of pure re-probing. An in-place
+    * regen changes the stamp and re-probes. */
+  private val footerSchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), StructType]()
+
+  /** The ACTUAL on-disk schema at `path` (footer truth, not the pinned
+    * contract) — what [[graft.ops.Recon.schemaDriftDisk]] audits. */
+  private[graft] def diskSchema(spark: SparkSession, path: String): StructType =
+    footerSchemaCache.computeIfAbsent((path, pathStamp(spark, path)),
+      _ => spark.read.parquet(path).schema)
 
   /** events with `ts` normalized to Spark TimestampType at µs precision.
     *

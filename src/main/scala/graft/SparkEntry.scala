@@ -27,6 +27,7 @@ object SparkEntry {
     "recon_snapshot_diff"      -> (Recon.snapshotDiffOrders _),
     "recon_incremental"        -> (Recon.incrementalDiffOrders _),
     "recon_stream_hash_diff"   -> (Recon.streamHashDiffParity _),
+    "recon_schema_drift"       -> (Recon.schemaDriftDisk _),
     "recon_reconcile_all"      -> (Recon.reconcileAllDemo _),
     "recon_profile"            -> (Recon.profileOrders _),
     "recon_tolerance_diff"     -> (Recon.toleranceDiffDemo _),
@@ -269,7 +270,7 @@ object SparkEntry {
     "multimodal_frame_sample", "ann_lsh_topk", "dedup_embedding",
     "dedup_minhash", "dedup_clusters", "dedup_simhash", "ann_ivf_topk",
     "knn_label_accuracy", "text_lm_score", "dedup_audit", "dedup_incremental",
-    "text_bpe_merges", "recon_stream_hash_diff")
+    "text_bpe_merges", "recon_stream_hash_diff", "recon_schema_drift")
 
   /** DuckDB spelling of [[graft.ops.Vectors.lshBucket]]: the 8 sign bits
     * against the SAME hyperplane doubles, interpolated from
@@ -385,6 +386,43 @@ object SparkEntry {
        |  FROM wcap),
        |$iterCtes
        |SELECT * FROM ($unions) ORDER BY step""".stripMargin
+  }
+
+  /** DuckDB twin of [[graft.ops.Recon.schemaDriftDisk]]: DESCRIBE over
+    * each table view re-derives the actual on-disk types, a CASE folds
+    * DuckDB's type vocabulary onto Spark's simpleString canon
+    * (TIMESTAMP and TIMESTAMP_NS both → timestamp, mirroring the
+    * Spark-side timestamp_ntz fold — unit drift is not type drift), and
+    * the expected VALUES interpolate from the SAME seeded
+    * `Recon.schemaDriftExpected` constant the Spark side reports
+    * against — one source of truth, so the oracle tests the engines'
+    * normalized footer reads against each other. */
+  private def schemaDriftSql: String = {
+    val expectedValues = graft.ops.Recon.schemaDriftExpected
+      .map { case (t, c, ty) => s"('$t','$c','$ty')" }
+      .mkString(",\n|    ")
+    val describes = Seq("region", "nation", "supplier", "part", "customer",
+      "orders", "lineitem", "documents", "embeddings").map(t =>
+      s"SELECT '$t' tbl, column_name cl, column_type ct FROM (DESCRIBE SELECT * FROM $t)")
+      .mkString("\n|  UNION ALL ")
+    s"""WITH actual AS ($describes),
+       |norm AS (SELECT tbl, cl, CASE ct
+       |    WHEN 'BIGINT' THEN 'bigint' WHEN 'DOUBLE' THEN 'double'
+       |    WHEN 'VARCHAR' THEN 'string' WHEN 'INTEGER' THEN 'int'
+       |    WHEN 'FLOAT' THEN 'float' WHEN 'FLOAT[]' THEN 'array<float>'
+       |    WHEN 'TIMESTAMP' THEN 'timestamp'
+       |    WHEN 'TIMESTAMP_NS' THEN 'timestamp'
+       |    ELSE lower(ct) END a FROM actual),
+       |expected AS (SELECT * FROM (VALUES
+       |    $expectedValues) e(tbl, cl, et))
+       |SELECT coalesce(e.tbl, a.tbl) tbl, coalesce(e.cl, a.cl) col,
+       |  e.et expected_type, a.a actual_type,
+       |  CASE WHEN a.a IS NULL THEN 'missing_on_disk'
+       |       WHEN e.et IS NULL THEN 'extra_on_disk'
+       |       WHEN e.et = a.a THEN 'ok' ELSE 'type_mismatch' END status
+       |FROM expected e FULL OUTER JOIN norm a
+       |  ON e.tbl = a.tbl AND e.cl = a.cl
+       |ORDER BY tbl, col""".stripMargin
   }
 
   /** Shared DuckDB CTEs rebuilding the exact 32-hash MinHash signature
@@ -1631,6 +1669,8 @@ object SparkEntry {
     "ann_ivf_topk" -> ivfTopkSql,
 
     "text_bpe_merges" -> bpeMergesSql,
+
+    "recon_schema_drift" -> schemaDriftSql,
 
     "knn_label_accuracy" ->
       // leave-one-out 5-NN majority-vote label agreement: the pair scan,

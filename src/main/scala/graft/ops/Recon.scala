@@ -123,6 +123,63 @@ object Recon {
       .agg(count(lit(1)).as("mismatches"))
   }
 
+  /** The expected-schema contract the [[schemaDriftDisk]] harness op
+    * reports against: the pinned catalog ([[graft.Tables.pinnedTypes]])
+    * with a SEEDED drift overlay so every status appears
+    * deterministically — documents.n_chars is omitted (→ extra_on_disk),
+    * part.p_retailprice expects decimal(12,2) against the double on disk
+    * (→ type_mismatch), and a phantom orders.o_phantom is expected
+    * (→ missing_on_disk). The same Seq generates the DuckDB oracle's
+    * expected VALUES, so both engines read one source of truth. */
+  private[graft] def schemaDriftExpected: Seq[(String, String, String)] =
+    Tables.pinnedTypes
+      .filterNot { case (t, c, _) => t == "documents" && c == "n_chars" }
+      .map {
+        case ("part", "p_retailprice", _) =>
+          ("part", "p_retailprice", "decimal(12,2)")
+        case x => x
+      } :+ (("orders", "o_phantom", "string"))
+
+  /** Cross-engine type-name normalization for the drift report: Spark's
+    * simpleString vocabulary is the canon; the only Spark-side fold is
+    * timestamp_ntz → timestamp (pandas-written parquet infers NTZ under
+    * Spark 4's inferTimestampNTZ while DuckDB reads one TIMESTAMP — the
+    * stored int64 is identical, so unit drift is not type drift). */
+  private def normType(t: String): String =
+    if (t == "timestamp_ntz") "timestamp" else t
+
+  /** Schema-drift report against the on-disk parquet tree — the
+    * metadata-only pre-flight a reconciliation run executes BEFORE
+    * touching data: for every (table, column) in the expected contract
+    * or on disk, the expected type, the actual footer type, and a
+    * status in {ok, type_mismatch, missing_on_disk, extra_on_disk}.
+    * Nine footer probes (driver-side, no job — the 100 TB cost is nine
+    * metadata reads, not nine scans); `events` is deliberately out of
+    * scope: its PHYSICAL unit is allowed to drift round-to-round and is
+    * normalized by the footer sniff (Tables.events), which is a unit
+    * concern, not a schema-drift one. */
+  def schemaDriftDisk(spark: SparkSession, dir: String): DataFrame = {
+    val expected = schemaDriftExpected
+      .map { case (t, c, ty) => (t, c) -> ty }.toMap
+    val actual = Seq("region", "nation", "supplier", "part", "customer",
+      "orders", "lineitem", "documents", "embeddings").flatMap { t =>
+      Tables.diskSchema(spark, s"$dir/$t.parquet").fields
+        .map(f => (t, f.name) -> normType(f.dataType.simpleString))
+    }.toMap
+    val rows = (expected.keySet ++ actual.keySet).toSeq.sorted.map {
+      case k @ (t, c) =>
+        val status = (expected.get(k), actual.get(k)) match {
+          case (Some(e), Some(a)) if e == a => "ok"
+          case (Some(_), Some(_))           => "type_mismatch"
+          case (Some(_), None)              => "missing_on_disk"
+          case _                            => "extra_on_disk"
+        }
+        (t, c, expected.get(k).orNull, actual.get(k).orNull, status)
+    }
+    import spark.implicits._
+    rows.toDF("tbl", "col", "expected_type", "actual_type", "status")
+  }
+
   /** Batch-parity anchor for the STREAMING hash-diff surface — the one
     * registry op that runs [[graft.streaming.StreamingOps.streamingHashDiff]]'s
     * literal code path (same function, same [[rowChecksum]] expression)

@@ -93,6 +93,27 @@ class ReconSpec extends GraftSpec {
       "b" -> "missing_in_target", "c" -> "extra_in_target"))
   }
 
+  test("schemaDriftDisk reports exactly the seeded drift, everything else ok") {
+    val rows = Recon.schemaDriftDisk(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (Option(r.getString(2)), Option(r.getString(3)), r.getString(4)))
+      .toMap
+    val nonOk = rows.filter(_._2._3 != "ok")
+    assert(nonOk.keySet === Set(("documents", "n_chars"),
+      ("orders", "o_phantom"), ("part", "p_retailprice")))
+    assert(rows(("documents", "n_chars")) ===
+      ((None, Some("bigint"), "extra_on_disk")))
+    assert(rows(("orders", "o_phantom")) ===
+      ((Some("string"), None, "missing_on_disk")))
+    assert(rows(("part", "p_retailprice")) ===
+      ((Some("decimal(12,2)"), Some("double"), "type_mismatch")))
+    // every pinned non-seeded column reads back its contract type
+    assert(rows(("lineitem", "l_orderkey")) ===
+      ((Some("bigint"), Some("bigint"), "ok")))
+    assert(rows(("embeddings", "embedding")) ===
+      ((Some("array<float>"), Some("array<float>"), "ok")))
+  }
+
   test("report localizes the simulated bad load to the right checks") {
     val rows = Recon.report(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getBoolean(3))).toMap
