@@ -980,8 +980,20 @@ object Text {
         !col("w").contains("\u0001") && !col("w").contains("\u0002"))
       .groupBy("w").agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("w")).limit(BpeWordCap)
-      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    import spark.implicits._
+    bpeTrain(wc).toDF("step", "lhs", "rhs", "pair_count").orderBy("step")
+  }
 
+  /** The pure trainer behind [[bpeMerges]] — word-count dictionary in,
+    * (step, lhs, rhs, pair_count) trajectory out. Exact integer counts;
+    * all tie-breaks in unsigned UTF-8 byte order (Spark UTF8String ==
+    * DuckDB binary collation); symbols are codepoints (RE2 `.`
+    * semantics, so the oracle's per-codepoint wrapping sees identical
+    * units); result is independent of dictionary order by construction
+    * (counts and tie-breaks are order-free — property-tested). */
+  private[graft] def bpeTrain(
+      wc: Seq[(String, Long)]): Seq[(Int, String, String, Long)] = {
     def codepoints(w: String): Array[String] = {
       val out = scala.collection.mutable.ArrayBuffer.empty[String]
       var i = 0
@@ -991,7 +1003,6 @@ object Text {
       }
       out.toArray
     }
-    // unsigned UTF-8 byte order — Spark UTF8String / DuckDB binary collation
     def u8lt(a: String, b: String): Boolean = {
       val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -1003,9 +1014,8 @@ object Text {
       }
       x.length < y.length
     }
-
     var words: Array[(Array[String], Long)] =
-      wc.map { case (w, c) => (codepoints(w), c) }
+      wc.toArray.map { case (w, c) => (codepoints(w), c) }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     for (step <- 1 to BpeIterations) {
       val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
@@ -1036,7 +1046,6 @@ object Text {
         }
       }
     }
-    import spark.implicits._
-    merges.toSeq.toDF("step", "lhs", "rhs", "pair_count").orderBy("step")
+    merges.toSeq
   }
 }

@@ -387,4 +387,15 @@ class ScaleSpec extends GraftSpec {
     assert("partial_(count|max|sum)".r.findFirstIn(exec).isDefined,
       s"per-customer agg must combine map-side:\n$exec")
   }
+
+  test("stream hash-diff parity: reference broadcasts, no global sort") {
+    val exec = graft.ops.Recon.streamHashDiffParity(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(exec.contains("BroadcastHashJoin") && !exec.contains("SortMergeJoin"),
+      s"the checksummed reference must broadcast (the streaming twin's " +
+        s"deployment shape):\n$exec")
+    assert(!exec.contains("rangepartitioning"),
+      s"report ordering must be the in-partition sort, not a sampled " +
+        s"range exchange that re-executes the join subtree:\n$exec")
+  }
 }
