@@ -127,6 +127,7 @@ object SparkEntry {
     "dedup_audit"              -> (Text.dedupAudit _),
     "dedup_incremental"        -> (Text.dedupIncremental _),
     "text_bpe_merges"          -> (Text.bpeMerges _),
+    "text_bpe_segment"         -> (Text.bpeSegment _),
     "supplier_hhi"             -> (Relational.supplierHhi _),
     "rolling_dau_7d"           -> (Events.rollingDau _),
     "dup_size_distribution"    -> (Text.dupSizeDistribution _),
@@ -270,7 +271,8 @@ object SparkEntry {
     "multimodal_frame_sample", "ann_lsh_topk", "dedup_embedding",
     "dedup_minhash", "dedup_clusters", "dedup_simhash", "ann_ivf_topk",
     "knn_label_accuracy", "text_lm_score", "dedup_audit", "dedup_incremental",
-    "text_bpe_merges", "recon_stream_hash_diff", "recon_schema_drift")
+    "text_bpe_merges", "recon_stream_hash_diff", "recon_schema_drift",
+    "text_bpe_segment")
 
   /** DuckDB spelling of [[graft.ops.Vectors.lshBucket]]: the 8 sign bits
     * against the SAME hyperplane doubles, interpolated from
@@ -353,7 +355,11 @@ object SparkEntry {
     * position. MATERIALIZED pins each round's frame — without it the
     * recursive CTE chain re-inlines every prior round. chr(3) is the
     * never-matching replace pattern for rounds past pair exhaustion. */
-  private def bpeMergesSql: String = {
+  /** The shared BPE training WITH-body: word counts → capped
+    * dictionary → wrapped symbol strings → `BpeIterations` unrolled
+    * (pair count, top-1, replace-apply) rounds. Both BPE oracles
+    * compose over it. */
+  private def bpeTrainCtes: String = {
     val cap = graft.ops.Text.BpeWordCap
     val iters = graft.ops.Text.BpeIterations
     val iterCtes = (1 to iters).map { i =>
@@ -371,11 +377,7 @@ object SparkEntry {
          |    coalesce((SELECT chr(1) || l || r || chr(2) FROM t$i), chr(3))) s
          |  FROM s${i - 1})""".stripMargin
     }.mkString(",\n")
-    val unions = (1 to iters).map { i =>
-      if (i == 1) "SELECT 1 step, l lhs, r rhs, cnt pair_count FROM t1"
-      else s"SELECT $i, l, r, cnt FROM t$i"
-    }.mkString("\n  UNION ALL ")
-    s"""WITH wc AS (SELECT w, count(*) c FROM (
+    s"""wc AS (SELECT w, count(*) c FROM (
        |    SELECT unnest(string_split(text, ' ')) w FROM documents)
        |  WHERE len(w) > 0 AND w NOT LIKE '%' || chr(1) || '%'
        |    AND w NOT LIKE '%' || chr(2) || '%'
@@ -384,8 +386,48 @@ object SparkEntry {
        |s0 AS MATERIALIZED (SELECT w, c,
        |    regexp_replace(w, '(?s)(.)', chr(1) || '\\1' || chr(2), 'g') s
        |  FROM wcap),
-       |$iterCtes
+       |$iterCtes""".stripMargin
+  }
+
+  private def bpeMergesSql: String = {
+    val iters = graft.ops.Text.BpeIterations
+    val unions = (1 to iters).map { i =>
+      if (i == 1) "SELECT 1 step, l lhs, r rhs, cnt pair_count FROM t1"
+      else s"SELECT $i, l, r, cnt FROM t$i"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $bpeTrainCtes
        |SELECT * FROM ($unions) ORDER BY step""".stripMargin
+  }
+
+  /** DuckDB twin of [[graft.ops.Text.bpeSegment]]: the training CTEs
+    * re-derive the merge trajectory, then every document wraps each
+    * non-space codepoint and runs the SAME 16-deep non-overlapping
+    * replace chain (patterns as uncorrelated scalar subqueries over
+    * t1..t16, chr(3) no-op past pair exhaustion); subword tokens =
+    * surviving chr(1) markers. */
+  private def bpeSegmentSql: String = {
+    val iters = graft.ops.Text.BpeIterations
+    val applied = (1 to iters).foldLeft(
+      "regexp_replace(text, '([^ ])', chr(1) || '\\1' || chr(2), 'g')") {
+      (acc, i) =>
+        s"""replace($acc,
+           |  coalesce((SELECT chr(1) || l || chr(2) || chr(1) || r || chr(2)
+           |    FROM t$i), chr(3)),
+           |  coalesce((SELECT chr(1) || l || r || chr(2) FROM t$i), chr(3)))"""
+          .stripMargin
+    }
+    s"""WITH $bpeTrainCtes,
+       |ap AS (SELECT source,
+       |    len(list_filter(string_split(text, ' '), x -> x <> '')) ws,
+       |    length(replace(text, ' ', '')) sym,
+       |    length($applied) - length(replace($applied, chr(1), '')) sub
+       |  FROM documents)
+       |SELECT source, CAST(count(*) AS BIGINT) n_docs,
+       |  CAST(sum(ws) AS BIGINT) ws_tokens,
+       |  CAST(sum(sym) AS BIGINT) symbols,
+       |  CAST(sum(sub) AS BIGINT) subword_tokens,
+       |  round(CAST(sum(sub) AS DOUBLE) / sum(sym), 6) subword_per_symbol
+       |FROM ap GROUP BY source ORDER BY source""".stripMargin
   }
 
   /** DuckDB twin of [[graft.ops.Recon.schemaDriftDisk]]: DESCRIBE over
@@ -1669,6 +1711,8 @@ object SparkEntry {
     "ann_ivf_topk" -> ivfTopkSql,
 
     "text_bpe_merges" -> bpeMergesSql,
+
+    "text_bpe_segment" -> bpeSegmentSql,
 
     "recon_schema_drift" -> schemaDriftSql,
 

@@ -973,16 +973,69 @@ object Text {
     * oracle's delimiter-wrapped spelling). Words containing the
     * oracle's U+0001/U+0002 wrapper chars are excluded on BOTH
     * engines. */
-  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
-    val wc = docs(spark, dir)
+  /** The capped word-frequency dictionary both BPE ops train on — ONE
+    * distributed vocabulary-sized count agg with a deterministic
+    * (count DESC, word) TakeOrdered, collected bounded like a
+    * broadcast dim. */
+  private def bpeWordCounts(spark: SparkSession,
+                            dir: String): Seq[(String, Long)] =
+    docs(spark, dir)
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "" &&
         !col("w").contains("\u0001") && !col("w").contains("\u0002"))
       .groupBy("w").agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("w")).limit(BpeWordCap)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    bpeTrain(wc).toDF("step", "lhs", "rhs", "pair_count").orderBy("step")
+    bpeTrain(bpeWordCounts(spark, dir))
+      .toDF("step", "lhs", "rhs", "pair_count").orderBy("step")
+  }
+
+  /** BPE SEGMENTATION — the apply step after [[bpeMerges]]' training:
+    * run the trained merge sequence over every document and report the
+    * per-source token budget (whitespace tokens, character symbols,
+    * post-merge subword tokens, subwords-per-symbol ratio) — the
+    * "how many tokens is this corpus under the tokenizer" estimate a
+    * training pipeline costs before committing GPU-hours.
+    *
+    * Execution: training is the same one bounded job; application is
+    * MAP-ONLY row-local codegen — each non-space codepoint wraps as
+    * U+0001·c·U+0002 (`regexp_replace` on `[^ ]`, a character class
+    * with identical Java/RE2 semantics), the trained merges apply as a
+    * chain of non-overlapping `replace` calls (the proven oracle
+    * spelling; spaces stay unwrapped so no merge can span a word
+    * boundary), and the subword count falls out as the surviving
+    * U+0001 marker count. No UDF, no explode — nothing shuffles but
+    * the source-sized aggregate. The DuckDB oracle re-derives the
+    * trajectory via the training CTEs and applies the same replace
+    * chain. */
+  def bpeSegment(spark: SparkSession, dir: String): DataFrame = {
+    val merges = bpeTrain(bpeWordCounts(spark, dir))
+    val wrapped = regexp_replace(col("text"), "([^ ])", "\u0001$1\u0002")
+    val merged = merges.foldLeft(wrapped) { case (acc, (_, l, r, _)) =>
+      replace(acc,
+        lit("\u0001" + l + "\u0002\u0001" + r + "\u0002"),
+        lit("\u0001" + l + r + "\u0002"))
+    }
+    def marks(c: Column) = length(c) - length(replace(c, lit("\u0001")))
+    docs(spark, dir)
+      .select(col("source"),
+        size(filter(split(col("text"), " "), w => w =!= ""))
+          .cast("long").as("ws"),
+        length(replace(col("text"), lit(" "))).cast("long").as("sym"),
+        marks(merged).cast("long").as("sub"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("ws_tokens"),
+        sum(col("sym")).as("symbols"),
+        sum(col("sub")).as("subword_tokens"))
+      .select(col("source"), col("n_docs"), col("ws_tokens"),
+        col("symbols"), col("subword_tokens"),
+        round(col("subword_tokens").cast("double") / col("symbols"), 6)
+          .as("subword_per_symbol"))
+      .orderBy("source")
   }
 
   /** The pure trainer behind [[bpeMerges]] — word-count dictionary in,

@@ -423,6 +423,50 @@ class TextSpec extends GraftSpec {
     }
   }
 
+  test("bpe segment: totals recompute from an independent per-doc walk") {
+    val rows = Text.bpeSegment(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+    // independent recount: train via bpeTrain (property-tested against
+    // a naive reference), then segment each doc with a direct
+    // array-walk merge application instead of the replace chain
+    val docsRows = Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val wc = docsRows.flatMap(_._2.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+    val merges = Text.bpeTrain(
+      wc.sortBy { case (w, c) => (-c, w) }.take(Text.BpeWordCap))
+      .map { case (_, l, r, _) => (l, r) }
+    def segment(word: String): Int = {
+      var syms = word.codePoints().toArray.toSeq.map(Character.toString)
+      merges.foreach { case (l, r) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == r) {
+            out += l + r; j += 2
+          } else { out += syms(j); j += 1 }
+        }
+        syms = out.toSeq
+      }
+      syms.length
+    }
+    val expect = docsRows.groupBy(_._1).map { case (src, ds) =>
+      val words = ds.flatMap(_._2.split(" ")).filter(_.nonEmpty)
+      src -> (ds.length.toLong, words.length.toLong,
+        words.map(w => w.codePointCount(0, w.length).toLong).sum,
+        words.map(segment(_).toLong).sum)
+    }
+    expect.foreach { case (src, (nd, ws, sym, sub)) =>
+      val got = rows(src)
+      assert((got._1, got._2, got._3, got._4) === ((nd, ws, sym, sub)), src)
+      assert(got._5 === math.rint(sub.toDouble / sym * 1e6) / 1e6, src)
+    }
+    assert(rows.keySet === expect.keySet)
+  }
+
   test("tfidf: top-k per source, scores recompute from tf·ln(n/df)") {
     val rows = Text.tfidfTopTerms(spark, sf, k = 5).collect()
     val nSrc = Tables.documents(spark, sf).select("source").distinct().count()
