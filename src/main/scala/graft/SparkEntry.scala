@@ -174,6 +174,7 @@ object SparkEntry {
     "embed_centroids"          -> (Vectors.embedCentroids _),
     "ann_lsh_topk"             -> (Vectors.annLshTopk _),
     "ann_ivf_topk"             -> (Vectors.annIvfTopk _),
+    "embed_quantize_stats"     -> (Vectors.quantizeStats _),
     "knn_label_accuracy"       -> ((s, d) => Vectors.knnLabelAccuracy(s, d)),
     // multimodal binary columns
     "multimodal_bytes"         -> (Multimodal.bytesStats _),
@@ -272,7 +273,7 @@ object SparkEntry {
     "dedup_minhash", "dedup_clusters", "dedup_simhash", "ann_ivf_topk",
     "knn_label_accuracy", "text_lm_score", "dedup_audit", "dedup_incremental",
     "text_bpe_merges", "recon_stream_hash_diff", "recon_schema_drift",
-    "text_bpe_segment")
+    "text_bpe_segment", "embed_quantize_stats")
 
   /** DuckDB spelling of [[graft.ops.Vectors.lshBucket]]: the 8 sign bits
     * against the SAME hyperplane doubles, interpolated from
@@ -1713,6 +1714,33 @@ object SparkEntry {
     "text_bpe_merges" -> bpeMergesSql,
 
     "text_bpe_segment" -> bpeSegmentSql,
+
+    "embed_quantize_stats" ->
+      // int8 quantization audit: per-row metrics from the proven
+      // deterministic kernel (doubles + sequential inner products; MSE
+      // spelled (v.v - 2 v.d + d.d)/dim on BOTH engines), label
+      // averages via the lm_score exact micro-unit sums
+      """WITH b AS (SELECT label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |s AS (SELECT label, v,
+        |    list_max(list_transform(v, x -> abs(x))) scale FROM b),
+        |f AS (SELECT * FROM s WHERE scale > 0),
+        |d AS (SELECT label, v, scale,
+        |    list_transform(v, x -> round(127 * x / scale) * scale / 127) d
+        |  FROM f),
+        |m AS (SELECT label,
+        |    CAST(round(round(scale, 6) * 1e6) AS BIGINT) sc6,
+        |    CAST(round(round((list_inner_product(v, v)
+        |        - 2 * list_inner_product(v, d) + list_inner_product(d, d))
+        |        / len(v) * 1e6, 6) * 1e6) AS BIGINT) mse6,
+        |    CAST(round(round(list_inner_product(v, d)
+        |        / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(d, d))),
+        |        6) * 1e6) AS BIGINT) cos6
+        |  FROM d)
+        |SELECT label, CAST(count(*) AS BIGINT) n,
+        |  round(sum(sc6) / 1e6 / count(*), 6) avg_scale,
+        |  round(sum(mse6) / 1e6 / count(*), 6) avg_mse_x1e6,
+        |  round(sum(cos6) / 1e6 / count(*), 6) avg_cosine
+        |FROM m GROUP BY label ORDER BY label""".stripMargin,
 
     "recon_schema_drift" -> schemaDriftSql,
 

@@ -383,4 +383,48 @@ object Vectors {
       .select(col("vec_id"), col("nn"), sim.as("sim"))
     bestNeighbor(pairs).orderBy("vec_id").limit(50)
   }
+
+  /** Int8 quantization audit — the compression sanity check before an
+    * embedding store ships 4x-smaller vectors: symmetric per-vector
+    * scalar quantization (scale = max |x|, q_i = round(127 x_i/scale),
+    * dequant q_i·scale/127) and, per label, the reconstruction MSE and
+    * the cosine similarity retained against the original vectors.
+    *
+    * Everything per-row is the proven deterministic kernel: doubles end
+    * to end (the float column casts up first), all inner sums via the
+    * sequential-accumulation native [[graft.functions.DotProduct]]
+    * (bit-identical to DuckDB's list_inner_product), and MSE spelled as
+    * (v·v − 2 v·d + d·d)/dim on BOTH engines — algebraically the error
+    * norm, floating-point-identical only because both engines run this
+    * exact spelling; MSE reports in 1e-6 units (avg_mse_x1e6) so the
+    * 6-dp rounding keeps resolution on a ~1e-6-magnitude metric.
+    * Per-label averages use the lm_score micro-unit
+    * discipline: each row's metric rounds to 6 dp, scales to an exact
+    * long, sums order-free, divides once at the end. Row-local map +
+    * one label-sized hash agg — nothing else shuffles at any scale. */
+  def quantizeStats(spark: SparkSession, dir: String): DataFrame = {
+    val v = col("v")
+    val scale = array_max(transform(v, x => abs(x)))
+    val deq = transform(v,
+      x => round(lit(127) * x / col("scale")) * col("scale") / lit(127))
+    def micro(c: Column) =
+      round(round(c, 6) * 1e6, 0).cast("long")
+    val perRow = Tables.embeddings(spark, dir)
+      .select(col("label"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("scale", scale)
+      .filter(col("scale") > 0)
+      .withColumn("d", deq)
+      .select(col("label"),
+        micro(col("scale")).as("sc6"),
+        micro((dot(v, v) - lit(2) * dot(v, col("d")) + dot(col("d"), col("d")))
+          / size(v) * lit(1e6)).as("mse6"),
+        micro(dot(v, col("d"))
+          / (sqrt(dot(v, v)) * sqrt(dot(col("d"), col("d"))))).as("cos6"))
+    perRow.groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("sc6")) / 1e6 / count(lit(1)), 6).as("avg_scale"),
+        round(sum(col("mse6")) / 1e6 / count(lit(1)), 6).as("avg_mse_x1e6"),
+        round(sum(col("cos6")) / 1e6 / count(lit(1)), 6).as("avg_cosine"))
+      .orderBy("label")
+  }
 }

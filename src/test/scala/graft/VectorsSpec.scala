@@ -108,6 +108,45 @@ class VectorsSpec extends GraftSpec {
       assert(math.abs(got(key) - c) < 1e-6, s"centroid $key")
     }
   }
+
+  test("quantize stats: driver recompute per label, cosine near 1, counts conserve") {
+    val got = Vectors.quantizeStats(spark, sf).collect()
+      .map(r => r.getInt(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val raw = Tables.embeddings(spark, sf)
+      .select(col("label"), col("embedding")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    assert(got.values.map(_._1).sum === raw.length.toLong)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = raw.groupBy(_._1).map { case (label, rows) =>
+      val per = rows.map { case (_, v) =>
+        val scale = v.map(math.abs).max
+        // HALF_UP like the engines' round(); rint would half-even
+        val q = v.map { x =>
+          BigDecimal(127 * x / scale)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble * scale / 127
+        }
+        def dot(a: Array[Double], b: Array[Double]) =
+          a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+        val mse = (dot(v, v) - 2 * dot(v, q) + dot(q, q)) / v.length * 1e6
+        val cos = dot(v, q) / (math.sqrt(dot(v, v)) * math.sqrt(dot(q, q)))
+        (r6(scale), r6(mse), r6(cos))
+      }
+      label -> (per.length.toLong,
+        r6(per.map(p => math.rint(p._1 * 1e6).toLong).sum / 1e6 / per.length),
+        r6(per.map(p => math.rint(p._2 * 1e6).toLong).sum / 1e6 / per.length),
+        r6(per.map(p => math.rint(p._3 * 1e6).toLong).sum / 1e6 / per.length))
+    }
+    expect.foreach { case (label, (n, sc, mse, cos)) =>
+      val g = got(label)
+      assert(g._1 === n, s"label $label n")
+      assert(math.abs(g._2 - sc) < 2e-6, s"label $label scale")
+      assert(math.abs(g._3 - mse) < 2e-6, s"label $label mse")
+      assert(math.abs(g._4 - cos) < 2e-6, s"label $label cos")
+      assert(g._4 > 0.999 && g._4 <= 1.0, s"label $label cosine sanity")
+    }
+  }
 }
 
 object VectorsFixture {
