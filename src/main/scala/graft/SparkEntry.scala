@@ -175,6 +175,7 @@ object SparkEntry {
     "ann_lsh_topk"             -> (Vectors.annLshTopk _),
     "ann_ivf_topk"             -> (Vectors.annIvfTopk _),
     "embed_quantize_stats"     -> (Vectors.quantizeStats _),
+    "sample_cap_per_source"    -> ((s, d) => Sampling.capPerSource(s, d, k = 10)),
     "knn_label_accuracy"       -> ((s, d) => Vectors.knnLabelAccuracy(s, d)),
     // multimodal binary columns
     "multimodal_bytes"         -> (Multimodal.bytesStats _),
@@ -273,7 +274,7 @@ object SparkEntry {
     "dedup_minhash", "dedup_clusters", "dedup_simhash", "ann_ivf_topk",
     "knn_label_accuracy", "text_lm_score", "dedup_audit", "dedup_incremental",
     "text_bpe_merges", "recon_stream_hash_diff", "recon_schema_drift",
-    "text_bpe_segment", "embed_quantize_stats")
+    "text_bpe_segment", "embed_quantize_stats", "sample_cap_per_source")
 
   /** DuckDB spelling of [[graft.ops.Vectors.lshBucket]]: the 8 sign bits
     * against the SAME hyperplane doubles, interpolated from
@@ -1714,6 +1715,18 @@ object SparkEntry {
     "text_bpe_merges" -> bpeMergesSql,
 
     "text_bpe_segment" -> bpeSegmentSql,
+
+    "sample_cap_per_source" ->
+      // deterministic per-source cap: md5(doc_id) rank, audit carries
+      // the kept-set id sum so membership (not just size) is verified
+      """SELECT source, CAST(count(*) AS BIGINT) n_docs,
+        |  CAST(count(*) FILTER (rn <= 10) AS BIGINT) n_kept,
+        |  CAST(sum(doc_id) FILTER (rn <= 10) AS BIGINT) kept_id_sum
+        |FROM (SELECT source, doc_id, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) rn
+        |  FROM documents)
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "embed_quantize_stats" ->
       // int8 quantization audit: per-row metrics from the proven

@@ -137,4 +137,40 @@ object Sampling {
       .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
       .orderBy("source")
   }
+
+  /** Per-source document cap — source BALANCING, the third leg next to
+    * stratified fractions and weighted mixing: no source may contribute
+    * more than `k` docs, and WHICH k survive is a deterministic
+    * content-keyed choice (md5(doc_id) rank — stable across retries,
+    * layouts and reruns, the same reason the fraction ops shun rand()).
+    * The audit output carries the kept-set's doc_id sum, so the oracle
+    * verifies the exact membership, not just its size.
+    *
+    * Scale shape: rank-limit windows compile to WindowGroupLimit —
+    * each task keeps a bounded top-k heap per source BEFORE the
+    * exchange (plan-asserted in ScaleSpec), so the shuffle carries
+    * O(sources·k) rows per task, never the corpus; the skewed-source
+    * flood this op exists to cap is exactly what the map-side limit
+    * absorbs. */
+  def capPerSource(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    require(k > 0, s"capPerSource: k must be positive: $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    // the rank FILTER is what lets the planner insert WindowGroupLimit
+    // (bounded per-source top-k heap map-side, before the exchange) —
+    // a kept-flag spelling would window-sort the whole corpus
+    val kept = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= k)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("doc_id")).as("kept_id_sum"))
+    val totals = Tables.documents(spark, dir)
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+    totals.join(kept, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_kept"), col("kept_id_sum"))
+      .orderBy("source")
+  }
 }

@@ -80,4 +80,30 @@ class SamplingSpec extends GraftSpec {
       Map("src2" -> 0.5), 7L).select("doc_id").collect().map(_.getLong(0)).toSet
     assert(a === b && a.nonEmpty)
   }
+
+  test("capPerSource: deterministic md5-rank keep-set, WindowGroupLimit plan") {
+    val df = Sampling.capPerSource(spark, sf, k = 3)
+    val exec = df.queryExecution.executedPlan.toString
+    assert(exec.contains("WindowGroupLimit"),
+      s"the rank filter must compile to the map-side bounded top-k:\n$exec")
+    val rows = df.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // independent driver recompute of the deterministic keep-set
+    val docs = Tables.documents(spark, sf)
+      .select("source", "doc_id").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    def md5hex(v: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(v.toString.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    docs.groupBy(_._1).foreach { case (src, ds) =>
+      val ids = ds.map(_._2)
+      val kept = ids.sortBy(id => (md5hex(id), id)).take(3)
+      val got = rows(src)
+      assert(got === ((ids.length.toLong, kept.length.toLong, kept.sum)), src)
+    }
+    assert(rows.keySet === docs.map(_._1).toSet)
+  }
 }
