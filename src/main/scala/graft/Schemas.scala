@@ -110,9 +110,16 @@ object Tables {
     * expected VALUES are generated from). Insertion order preserved =
     * declared column order. */
   private[graft] def pinnedTypes: Seq[(String, String, String)] =
-    Seq("region", "nation", "supplier", "part", "customer", "orders",
-      "lineitem", "documents", "embeddings").flatMap(t =>
+    driftAuditTables.flatMap(t =>
       schemas(t).fields.map(f => (t, f.name, f.dataType.simpleString)))
+
+  /** The nine stable tables the schema-drift pre-flight audits (events
+    * excluded: its physical unit may drift and is the ts-sniff's
+    * concern). The SINGLE list the Spark op and the DuckDB oracle's
+    * DESCRIBE union both derive from. */
+  private[graft] val driftAuditTables: Seq[String] =
+    Seq("region", "nation", "supplier", "part", "customer", "orders",
+      "lineitem", "documents", "embeddings")
 
   private val schemas: Map[String, StructType] = Map(
     "region" -> region, "nation" -> nation, "supplier" -> supplier,
@@ -137,16 +144,42 @@ object Tables {
   private val relationCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, DataFrame)]()
 
-  /** Content stamp for a parquet path: file → mtime+len; directory →
-    * child count + total child length + max child mtime (robust to 1 s
-    * mtime granularity and to same-length rewrites of partitioned
-    * outputs). */
+  /** Content stamp for a parquet path: file → mtime + length + a hash
+    * of the file's EDGE bytes; directory → child count + total child
+    * length + max child mtime + the edge hash of the first few children.
+    * The edge probe reads the first and last [[StampEdgeBytes]] bytes:
+    * the head lands inside the first column chunk's data pages (value
+    * bytes — a tail-only probe missed value edits whose footer tail,
+    * schema + created_by, is unchanged), the tail inside the footer.
+    * Together they close the one hole a pure stat stamp leaves: a
+    * value-only in-place regen of identical byte length landing inside
+    * the same coarse mtime tick (round-13 review; regression-tested
+    * with pinned mtimes in SourcesSpec). Cost: two ≤64-byte preads per
+    * stamped file, driver-side. */
+  private val StampEdgeBytes = 64
+  private val StampTailFiles = 4
+  private def tailHash(fs: org.apache.hadoop.fs.FileSystem,
+                       st: org.apache.hadoop.fs.FileStatus): Long = {
+    val n = math.min(st.getLen, StampEdgeBytes.toLong).toInt
+    if (n <= 0) 0L
+    else {
+      val head = new Array[Byte](n)
+      val tail = new Array[Byte](n)
+      val in = fs.open(st.getPath)
+      try {
+        in.readFully(0L, head, 0, n)
+        in.readFully(st.getLen - n, tail, 0, n)
+      } finally in.close()
+      (head ++ tail).foldLeft(1125899906842597L)((h, b) => 31 * h + b)
+    }
+  }
   private def pathStamp(spark: SparkSession, path: String): String =
     try {
       val p = new org.apache.hadoop.fs.Path(path)
       val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
       val st = fs.getFileStatus(p)
-      if (st.isFile) s"f:${st.getModificationTime}:${st.getLen}"
+      if (st.isFile)
+        s"f:${st.getModificationTime}:${st.getLen}:${tailHash(fs, st)}"
       else {
         val kids = fs.listStatus(p)
         var n = 0L; var len = 0L; var mt = st.getModificationTime
@@ -154,19 +187,25 @@ object Tables {
           n += 1; len += c.getLen
           if (c.getModificationTime > mt) mt = c.getModificationTime
         }
-        s"d:$n:$len:$mt"
+        val th = kids.filter(_.isFile).sortBy(_.getPath.getName)
+          .take(StampTailFiles).map(tailHash(fs, _)).mkString(",")
+        s"d:$n:$len:$mt:$th"
       }
     } catch { case _: java.io.IOException => "missing" }
 
+  /** The builder receives the freshly computed stamp so dependent
+    * caches ([[eventsTsType]]) can reuse it instead of re-stat'ing the
+    * path (round-13 review). */
   private def cachedRelation(spark: SparkSession, path: String)
-                            (build: => DataFrame): DataFrame =
+                            (build: String => DataFrame): DataFrame =
     relationCache.compute((spark, path), (_, v) =>
       { val stamp = pathStamp(spark, path)
-        if (v != null && v._1 == stamp) v else (stamp, build) })._2
+        if (v != null && v._1 == stamp) v else (stamp, build(stamp)) })._2
 
   def read(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
-    cachedRelation(spark, path)(spark.read.schema(schemas(name)).parquet(path))
+    cachedRelation(spark, path)(_ =>
+      spark.read.schema(schemas(name)).parquet(path))
   }
 
   /** On-disk footprint of one table's parquet path — pure driver-side
@@ -200,11 +239,11 @@ object Tables {
     * served a STALE unit when a harness regenerated testdata in-place
     * inside a long-lived JVM, recreating the silent mis-read class the
     * sniff exists to prevent; the stamp is the same [[pathStamp]] the
-    * relation cache uses (round-13: directory-robust, 1-s-mtime-proof),
-    * one driver-side filesystem call, far cheaper than the footer probe
-    * it guards. */
+    * relation cache uses (round-13: directory-robust, footer-tail-
+    * probed). Stamped VALUE, not key — a refresh evicts the stale unit
+    * instead of leaking one entry per regen (round-13 review). */
   private val eventsTsType =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), DataType]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, DataType)]()
 
   /** Stamp-keyed footer-schema cache (the eventsTsType discipline):
     * `spark.read.parquet(path).schema` is driver-only but still pays a
@@ -213,13 +252,16 @@ object Tables {
     * Verify/Bench run would pay ~0.6 s of pure re-probing. An in-place
     * regen changes the stamp and re-probes. */
   private val footerSchemaCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), StructType]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, StructType)]()
 
   /** The ACTUAL on-disk schema at `path` (footer truth, not the pinned
-    * contract) — what [[graft.ops.Recon.schemaDriftDisk]] audits. */
+    * contract) — what [[graft.ops.Recon.schemaDriftDisk]] audits.
+    * Stamped value (not key): refresh evicts, nothing leaks per regen. */
   private[graft] def diskSchema(spark: SparkSession, path: String): StructType =
-    footerSchemaCache.computeIfAbsent((path, pathStamp(spark, path)),
-      _ => spark.read.parquet(path).schema)
+    footerSchemaCache.compute(path, (_, v) =>
+      { val stamp = pathStamp(spark, path)
+        if (v != null && v._1 == stamp) v
+        else (stamp, spark.read.parquet(path).schema) })._2
 
   /** events with `ts` normalized to Spark TimestampType at µs precision.
     *
@@ -234,13 +276,14 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
-    cachedRelation(spark, path)(eventsUncached(spark, path))
+    cachedRelation(spark, path)(stamp => eventsUncached(spark, path, stamp))
   }
 
-  private def eventsUncached(spark: SparkSession, path: String): DataFrame = {
-    val diskTs = eventsTsType.computeIfAbsent(
-      (path, pathStamp(spark, path)),
-      _ => spark.read.parquet(path).schema("ts").dataType)
+  private def eventsUncached(spark: SparkSession, path: String,
+                             stamp: String): DataFrame = {
+    val diskTs = eventsTsType.compute(path, (_, v) =>
+      if (v != null && v._1 == stamp) v
+      else (stamp, spark.read.parquet(path).schema("ts").dataType))._2
     diskTs match {
       // TIMESTAMP_MICROS infers as LTZ when isAdjustedToUTC=true, NTZ when
       // false (pandas/pyarrow default). Either way the stored int64 is the

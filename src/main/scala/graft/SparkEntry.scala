@@ -175,7 +175,8 @@ object SparkEntry {
     "ann_lsh_topk"             -> (Vectors.annLshTopk _),
     "ann_ivf_topk"             -> (Vectors.annIvfTopk _),
     "embed_quantize_stats"     -> (Vectors.quantizeStats _),
-    "sample_cap_per_source"    -> ((s, d) => Sampling.capPerSource(s, d, k = 10)),
+    "sample_cap_per_source"    -> ((s, d) =>
+      Sampling.capPerSource(s, d, k = Sampling.HarnessCapK)),
     "knn_label_accuracy"       -> ((s, d) => Vectors.knnLabelAccuracy(s, d)),
     // multimodal binary columns
     "multimodal_bytes"         -> (Multimodal.bytesStats _),
@@ -419,11 +420,12 @@ object SparkEntry {
           .stripMargin
     }
     s"""WITH $bpeTrainCtes,
+       |apm AS (SELECT source, text, $applied a FROM documents),
        |ap AS (SELECT source,
        |    len(list_filter(string_split(text, ' '), x -> x <> '')) ws,
        |    length(replace(text, ' ', '')) sym,
-       |    length($applied) - length(replace($applied, chr(1), '')) sub
-       |  FROM documents)
+       |    length(a) - length(replace(a, chr(1), '')) sub
+       |  FROM apm)
        |SELECT source, CAST(count(*) AS BIGINT) n_docs,
        |  CAST(sum(ws) AS BIGINT) ws_tokens,
        |  CAST(sum(sym) AS BIGINT) symbols,
@@ -445,8 +447,7 @@ object SparkEntry {
     val expectedValues = graft.ops.Recon.schemaDriftExpected
       .map { case (t, c, ty) => s"('$t','$c','$ty')" }
       .mkString(",\n|    ")
-    val describes = Seq("region", "nation", "supplier", "part", "customer",
-      "orders", "lineitem", "documents", "embeddings").map(t =>
+    val describes = graft.Tables.driftAuditTables.map(t =>
       s"SELECT '$t' tbl, column_name cl, column_type ct FROM (DESCRIBE SELECT * FROM $t)")
       .mkString("\n|  UNION ALL ")
     s"""WITH actual AS ($describes),
@@ -1718,10 +1719,11 @@ object SparkEntry {
 
     "sample_cap_per_source" ->
       // deterministic per-source cap: md5(doc_id) rank, audit carries
-      // the kept-set id sum so membership (not just size) is verified
-      """SELECT source, CAST(count(*) AS BIGINT) n_docs,
-        |  CAST(count(*) FILTER (rn <= 10) AS BIGINT) n_kept,
-        |  CAST(sum(doc_id) FILTER (rn <= 10) AS BIGINT) kept_id_sum
+      // the kept-set id sum so membership (not just size) is verified;
+      // k interpolates from the one shared constant
+      s"""SELECT source, CAST(count(*) AS BIGINT) n_docs,
+        |  CAST(count(*) FILTER (rn <= ${graft.ops.Sampling.HarnessCapK}) AS BIGINT) n_kept,
+        |  CAST(sum(doc_id) FILTER (rn <= ${graft.ops.Sampling.HarnessCapK}) AS BIGINT) kept_id_sum
         |FROM (SELECT source, doc_id, row_number() OVER (
         |    PARTITION BY source
         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) rn

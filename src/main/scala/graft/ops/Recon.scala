@@ -161,8 +161,7 @@ object Recon {
   def schemaDriftDisk(spark: SparkSession, dir: String): DataFrame = {
     val expected = schemaDriftExpected
       .map { case (t, c, ty) => (t, c) -> ty }.toMap
-    val actual = Seq("region", "nation", "supplier", "part", "customer",
-      "orders", "lineitem", "documents", "embeddings").flatMap { t =>
+    val actual = Tables.driftAuditTables.flatMap { t =>
       Tables.diskSchema(spark, s"$dir/$t.parquet").fields
         .map(f => (t, f.name) -> normType(f.dataType.simpleString))
     }.toMap

@@ -41,6 +41,34 @@ class SourcesSpec extends GraftSpec {
       "an in-place regen must not serve the stale cached relation")
   }
 
+  test("content stamp detects a same-length, same-mtime value-only rewrite") {
+    // the adversarial staleness case a pure stat stamp cannot see:
+    // identical file count, identical byte length, and every mtime
+    // pinned to one fixed instant — only the footer-tail probe (parquet
+    // stats bytes) can tell the generations apart
+    val spark0 = spark
+    import spark0.implicits._
+    val d = s"$tmpDir/stampfix"
+    val fixed = java.nio.file.attribute.FileTime.fromMillis(1700000000000L)
+    def writeVal(v: String): Unit = {
+      Seq((1, v)).toDF("r_regionkey", "r_name")
+        .select($"r_regionkey".cast("int").as("r_regionkey"), $"r_name")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$d/region.parquet")
+      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$d/region.parquet"))
+        .forEach(p => java.nio.file.Files.setLastModifiedTime(p, fixed))
+    }
+    def bytes = Tables.tableBytes(spark, d, "region")
+    writeVal("aa")
+    val len1 = bytes
+    assert(Tables.region(spark, d).collect().head.getString(1) === "aa")
+    writeVal("bb")
+    assert(bytes === len1,
+      "fixture must produce an identical byte length or it tests nothing")
+    assert(Tables.region(spark, d).collect().head.getString(1) === "bb",
+      "a same-length same-mtime rewrite must still evict the cached relation")
+  }
+
   test("CSV write → read → hash-reconcile is lossless")(roundTrip("csv"))
   test("JSON write → read → hash-reconcile is lossless")(roundTrip("json"))
   test("ORC write → read → hash-reconcile is lossless")(roundTrip("orc"))
