@@ -827,12 +827,12 @@ object SparkEntry {
       // six pairwise Pearson coefficients from one scan, unpivoted to
       // long; corr is a centered-sum ratio — stable at 4 dp both engines
       """WITH c AS (SELECT
-        |  round(corr(l_quantity, l_extendedprice), 4) qe,
-        |  round(corr(l_quantity, l_discount), 4) qd,
-        |  round(corr(l_quantity, l_tax), 4) qt,
-        |  round(corr(l_extendedprice, l_discount), 4) ed,
-        |  round(corr(l_extendedprice, l_tax), 4) et,
-        |  round(corr(l_discount, l_tax), 4) dt
+        |  round(corr(l_quantity, l_extendedprice), 4) + 0 qe,
+        |  round(corr(l_quantity, l_discount), 4) + 0 qd,
+        |  round(corr(l_quantity, l_tax), 4) + 0 qt,
+        |  round(corr(l_extendedprice, l_discount), 4) + 0 ed,
+        |  round(corr(l_extendedprice, l_tax), 4) + 0 et,
+        |  round(corr(l_discount, l_tax), 4) + 0 dt
         |  FROM lineitem)
         |SELECT * FROM (
         |  SELECT 'l_quantity' col_a, 'l_extendedprice' col_b, qe r FROM c
@@ -982,8 +982,8 @@ object SparkEntry {
     "stats_funcs" ->
       """SELECT l_returnflag, round(stddev_samp(l_quantity), 4) sd_qty,
         |  round(var_samp(l_quantity), 4) var_qty,
-        |  round(corr(l_quantity, l_extendedprice), 4) corr_qp,
-        |  round(covar_samp(l_quantity, l_discount), 4) cov_qd,
+        |  round(corr(l_quantity, l_extendedprice), 4) + 0 corr_qp,
+        |  round(covar_samp(l_quantity, l_discount), 4) + 0 cov_qd,
         |  count(*) n
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
@@ -1158,7 +1158,7 @@ object SparkEntry {
         |    count(*) cnt
         |  FROM events GROUP BY 1),
         |st AS (SELECT event_type, sm/cnt mean, sqrt((sq - sm*sm/cnt) / (cnt - 1)) sd FROM s)
-        |SELECT event_id, e.event_type, value, round((value - mean)/sd, 4) z
+        |SELECT event_id, e.event_type, value, round((value - mean)/sd, 4) + 0 z
         |FROM events e JOIN st USING (event_type)
         |WHERE abs((value - mean)/sd) > 3
         |ORDER BY event_id""".stripMargin,
@@ -1496,7 +1496,7 @@ object SparkEntry {
         |  round((sqrt((CAST(sq AS DOUBLE) - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE) / n)
         |      / (n - 1)) - CAST(sm AS DOUBLE) / n)
         |    / (sqrt((CAST(sq AS DOUBLE) - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE) / n)
-        |      / (n - 1)) + CAST(sm AS DOUBLE) / n), 4) burstiness
+        |      / (n - 1)) + CAST(sm AS DOUBLE) / n), 4) + 0 burstiness
         |FROM s ORDER BY 1""".stripMargin,
 
     "text_zipf_slope" ->
@@ -1508,7 +1508,7 @@ object SparkEntry {
         |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok) rank
         |  FROM c ORDER BY cnt DESC, tok LIMIT 1000)
         |SELECT CAST(count(*) AS BIGINT) n_ranks,
-        |  round(regr_slope(ln(cnt), ln(rank)), 4) zipf_slope,
+        |  round(regr_slope(ln(cnt), ln(rank)), 4) + 0 zipf_slope,
         |  round(regr_r2(ln(cnt), ln(rank)), 4) r2
         |FROM r""".stripMargin,
 
@@ -1552,7 +1552,7 @@ object SparkEntry {
         |  lag(rc) OVER (ORDER BY yr) prev_rc FROM y)
         |SELECT CAST(yr AS INT) yr, n_orders, revenue,
         |  CASE WHEN prev_rc IS NOT NULL THEN
-        |    round(CAST(rc - prev_rc AS DOUBLE) / CAST(prev_rc AS DOUBLE) * 100, 4)
+        |    round(CAST(rc - prev_rc AS DOUBLE) / CAST(prev_rc AS DOUBLE) * 100, 4) + 0
         |  END yoy_pct
         |FROM l ORDER BY yr""".stripMargin,
 
@@ -1874,8 +1874,8 @@ object SparkEntry {
       // ratios of centered sums — stable at 4 dp across engines (the
       // corr_matrix discipline)
       """SELECT l_returnflag,
-        |  round(regr_slope(l_extendedprice, l_quantity), 4) slope,
-        |  round(regr_intercept(l_extendedprice, l_quantity), 4) icept,
+        |  round(regr_slope(l_extendedprice, l_quantity), 4) + 0 slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 4) + 0 icept,
         |  round(regr_r2(l_extendedprice, l_quantity), 4) r2,
         |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) n
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -1949,7 +1949,7 @@ object SparkEntry {
         |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) rev
         |  FROM orders GROUP BY 1, 2)
         |SELECT mo, st, rev,
-        |  round(rev / lag(rev) OVER (PARTITION BY st ORDER BY mo) - 1, 6) mom_change
+        |  round(rev / lag(rev) OVER (PARTITION BY st ORDER BY mo) - 1, 6) + 0 mom_change
         |FROM m ORDER BY st, mo LIMIT 200""".stripMargin,
 
     "session_paths" ->
@@ -2118,8 +2118,8 @@ object SparkEntry {
       // both engines compute POPULATION moments (verified equal at 4 dp
       // against an exact-mean two-pass recompute); mean from exact sums
       """SELECT l_returnflag,
-        |  round(skewness(l_quantity), 4) skew,
-        |  round(kurtosis(l_quantity), 4) kurt,
+        |  round(skewness(l_quantity), 4) + 0 skew,
+        |  round(kurtosis(l_quantity), 4) + 0 kurt,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)/count(*) mean_qty,
         |  count(*) n
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -2294,7 +2294,7 @@ object SparkEntry {
         |gcnt AS (SELECT w1, w2, count(*) gc FROM gall GROUP BY 1,2),
         |gtot AS (SELECT CAST(count(*) AS DOUBLE) tg FROM gall)
         |SELECT w1 || ' ' || w2 bigram, CAST(gc AS BIGINT) cnt,
-        |  round(ln((gc/tg) / ((u1.uc/tu)*(u2.uc/tu))), 4) pmi
+        |  round(ln((gc/tg) / ((u1.uc/tu)*(u2.uc/tu))), 4) + 0 pmi
         |FROM gcnt, gtot, utot
         |  JOIN ucnt u1 ON u1.w = w1
         |  JOIN ucnt u2 ON u2.w = w2
