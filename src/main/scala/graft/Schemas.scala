@@ -154,8 +154,13 @@ object Tables {
     * Together they close the one hole a pure stat stamp leaves: a
     * value-only in-place regen of identical byte length landing inside
     * the same coarse mtime tick (round-13 review; regression-tested
-    * with pinned mtimes in SourcesSpec). Cost: two ≤64-byte preads per
-    * stamped file, driver-side. */
+    * with pinned mtimes in SourcesSpec, single-file and partitioned).
+    * Residual accepted risk: with ≥5 data files, a same-total-length
+    * same-tick rewrite confined to INTERIOR files evades the
+    * first-2/last-2 spread probe — probing every leaf would close it
+    * at 2 preads/file if layouts ever grow past the testdata's
+    * single-file-per-table shape. Cost today: ≤4 files × two ≤64-byte
+    * preads, driver-side. */
   private val StampEdgeBytes = 64
   private val StampTailFiles = 4
   private def tailHash(fs: org.apache.hadoop.fs.FileSystem,
@@ -181,14 +186,28 @@ object Tables {
       if (st.isFile)
         s"f:${st.getModificationTime}:${st.getLen}:${tailHash(fs, st)}"
       else {
-        val kids = fs.listStatus(p)
+        // RECURSIVE leaf listing (hive-partitioned trees have no direct
+        // file children — a top-level listStatus saw only subdirs, whose
+        // length is 0 and whose mtime may not move on an in-place
+        // rewrite); same driver-side cost class as the file listing the
+        // read itself performs
+        val it = fs.listFiles(p, true)
+        val files = scala.collection.mutable.ArrayBuffer
+          .empty[org.apache.hadoop.fs.FileStatus]
+        while (it.hasNext) files += it.next()
         var n = 0L; var len = 0L; var mt = st.getModificationTime
-        kids.foreach { c =>
+        files.foreach { c =>
           n += 1; len += c.getLen
           if (c.getModificationTime > mt) mt = c.getModificationTime
         }
-        val th = kids.filter(_.isFile).sortBy(_.getPath.getName)
-          .take(StampTailFiles).map(tailHash(fs, _)).mkString(",")
+        // edge-probe a deterministic SPREAD of non-empty leaves (first
+        // and last by name) — probing only the head of the name order
+        // wasted slots on _SUCCESS and left later part files unguarded
+        val data = files.filter(_.getLen > 0)
+          .sortBy(_.getPath.toString).toSeq
+        val picks = (data.take(StampTailFiles / 2) ++
+          data.takeRight(StampTailFiles / 2)).distinct
+        val th = picks.map(tailHash(fs, _)).mkString(",")
         s"d:$n:$len:$mt:$th"
       }
     } catch { case _: java.io.IOException => "missing" }

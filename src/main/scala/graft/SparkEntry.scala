@@ -437,8 +437,11 @@ object SparkEntry {
   /** DuckDB twin of [[graft.ops.Recon.schemaDriftDisk]]: DESCRIBE over
     * each table view re-derives the actual on-disk types, a CASE folds
     * DuckDB's type vocabulary onto Spark's simpleString canon
-    * (TIMESTAMP and TIMESTAMP_NS both → timestamp, mirroring the
-    * Spark-side timestamp_ntz fold — unit drift is not type drift), and
+    * (TIMESTAMP → timestamp mirroring the Spark-side timestamp_ntz
+    * fold; TIMESTAMP_NS → bigint because under nanosAsLong=true the
+    * Spark footer read reports exactly bigint for a ns column — both
+    * engines then flag a ns-regenerated column as the SAME
+    * type_mismatch row instead of diverging), and
     * the expected VALUES interpolate from the SAME seeded
     * `Recon.schemaDriftExpected` constant the Spark side reports
     * against — one source of truth, so the oracle tests the engines'
@@ -456,7 +459,7 @@ object SparkEntry {
        |    WHEN 'VARCHAR' THEN 'string' WHEN 'INTEGER' THEN 'int'
        |    WHEN 'FLOAT' THEN 'float' WHEN 'FLOAT[]' THEN 'array<float>'
        |    WHEN 'TIMESTAMP' THEN 'timestamp'
-       |    WHEN 'TIMESTAMP_NS' THEN 'timestamp'
+       |    WHEN 'TIMESTAMP_NS' THEN 'bigint'
        |    ELSE lower(ct) END a FROM actual),
        |expected AS (SELECT * FROM (VALUES
        |    $expectedValues) e(tbl, cl, et))

@@ -69,6 +69,44 @@ class SourcesSpec extends GraftSpec {
       "a same-length same-mtime rewrite must still evict the cached relation")
   }
 
+  test("content stamp sees through a partitioned layout (no direct file children)") {
+    // hive-partitioned dirs have only SUBDIRS at the top level — a
+    // non-recursive listing saw length-0 children and a same-tick
+    // partition rewrite kept the stamp; the recursive leaf walk + edge
+    // probes must evict
+    val spark0 = spark
+    import spark0.implicits._
+    val d = s"$tmpDir/stamppart"
+    val fixed = java.nio.file.attribute.FileTime.fromMillis(1700000000000L)
+    def writeVal(v: String): Unit = {
+      Seq((1, v, "p1"), (2, v, "p2")).toDF("r_regionkey", "r_name", "part")
+        .select($"r_regionkey".cast("int").as("r_regionkey"), $"r_name", $"part")
+        .coalesce(1)
+        .write.mode("overwrite").partitionBy("part")
+        .parquet(s"$d/region.parquet")
+      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$d/region.parquet"))
+        .forEach(pp => java.nio.file.Files.setLastModifiedTime(pp, fixed))
+    }
+    writeVal("aa")
+    // partitioned read needs schema inference for the partition column;
+    // go through the raw reader the stamp guards rather than the pinned
+    // Tables.region schema (which has no `part` column)
+    def readVals() = spark.read.parquet(s"$d/region.parquet")
+      .select("r_name").distinct().collect().map(_.getString(0)).toSeq
+    assert(Tables.diskSchema(spark, s"$d/region.parquet")
+      .fieldNames.contains("part"))
+    val len1 = Tables.tableBytes(spark, d, "region")
+    writeVal("bb")
+    assert(Tables.tableBytes(spark, d, "region") === len1,
+      "fixture must keep an identical total byte length or it tests nothing")
+    // the stamped footer-schema cache must re-probe (stale would throw
+    // or silently keep serving gen-1 metadata); diskSchema is the
+    // surface that shares pathStamp with the relation cache
+    assert(Tables.diskSchema(spark, s"$d/region.parquet")
+      .fieldNames.contains("part"))
+    assert(readVals() === Seq("bb"))
+  }
+
   test("CSV write → read → hash-reconcile is lossless")(roundTrip("csv"))
   test("JSON write → read → hash-reconcile is lossless")(roundTrip("json"))
   test("ORC write → read → hash-reconcile is lossless")(roundTrip("orc"))

@@ -462,7 +462,8 @@ class TextSpec extends GraftSpec {
     expect.foreach { case (src, (nd, ws, sym, sub)) =>
       val got = rows(src)
       assert((got._1, got._2, got._3, got._4) === ((nd, ws, sym, sub)), src)
-      assert(got._5 === math.rint(sub.toDouble / sym * 1e6) / 1e6, src)
+      assert(got._5 === BigDecimal(sub.toDouble / sym)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, src)
     }
     assert(rows.keySet === expect.keySet)
   }
