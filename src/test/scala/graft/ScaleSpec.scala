@@ -388,6 +388,27 @@ class ScaleSpec extends GraftSpec {
       s"per-customer agg must combine map-side:\n$exec")
   }
 
+  test("bpe segment: application is map-only — no UDF, generate, or join") {
+    val exec = graft.ops.Text.bpeSegment(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!exec.contains("Generate") && !exec.contains("Join") &&
+      !exec.toLowerCase.contains("batchevalpython"),
+      s"segmentation must stay a row-local replace chain:\n$exec")
+    assert("partial_(count|sum)".r.findFirstIn(exec).isDefined,
+      s"the source rollup must combine map-side:\n$exec")
+  }
+
+  test("quantize stats: one scan, row-local kernel, label-sized agg only") {
+    val exec = graft.ops.Vectors.quantizeStats(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!exec.contains("Join") && !exec.contains("Generate"),
+      s"per-row metrics must not re-materialize the vectors:\n$exec")
+    assert(exec.contains("dot_product"),
+      s"inner sums must run through the native sequential kernel:\n$exec")
+    assert("partial_(count|sum)".r.findFirstIn(exec).isDefined,
+      s"label agg must combine map-side:\n$exec")
+  }
+
   test("stream hash-diff parity: reference broadcasts, no global sort") {
     val exec = graft.ops.Recon.streamHashDiffParity(spark, sf)
       .queryExecution.executedPlan.toString
