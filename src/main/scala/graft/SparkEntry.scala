@@ -2372,11 +2372,14 @@ object SparkEntry {
       // doc_id%3, channels from doc_id%2, frames = len/blockAlign — so
       // the oracle rebuilds the cohort aggregate the native wav_meta
       // expression must recover from the bytes; integer division
-      // throughout matches the expression's long arithmetic
+      // throughout matches the expression's long arithmetic. encode()
+      // (VARCHAR -> UTF-8 BLOB) rather than CAST AS BLOB: the cast
+      // REJECTS non-ASCII text, and Spark's string->binary cast is
+      // UTF-8 bytes (caught by the round-13 fuzzed-corpus sweep)
       """WITH w AS (
         |  SELECT [8000,16000,44100][CAST(doc_id % 3 AS INT) + 1] sample_rate,
         |    CAST(1 + doc_id % 2 AS INT) channels,
-        |    octet_length(CAST(text AS BLOB)) // (2 * (1 + doc_id % 2)) frames
+        |    octet_length(encode(text)) // (2 * (1 + doc_id % 2)) frames
         |  FROM documents)
         |SELECT CAST(sample_rate AS INT) sample_rate, channels,
         |  CAST(count(*) AS BIGINT) n_clips,
