@@ -322,7 +322,9 @@ object SparkEntry {
          |    list_transform(m, x -> x / sqrt(list_inner_product(m, m))) cvec
          |  FROM g$i)""".stripMargin
     }.mkString(",\n")
-    s"""WITH v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+    s"""WITH v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings
+       |  WHERE list_inner_product(CAST(embedding AS DOUBLE[]),
+       |          CAST(embedding AS DOUBLE[])) > 0),
        |u AS (SELECT vec_id,
        |    list_transform(v, x -> x / sqrt(list_inner_product(v, v))) u FROM v0),
        |tr AS (SELECT vec_id, u, md5(CAST(vec_id AS VARCHAR)) h FROM u
@@ -1690,6 +1692,10 @@ object SparkEntry {
         |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                               CAST(b.embedding AS DOUBLE[])), 4) sim
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_inner_product(CAST(a.embedding AS DOUBLE[]),
+        |        CAST(a.embedding AS DOUBLE[])) > 0
+        |  AND list_inner_product(CAST(b.embedding AS DOUBLE[]),
+        |        CAST(b.embedding AS DOUBLE[])) > 0
         |QUALIFY row_number() OVER (PARTITION BY a.vec_id ORDER BY sim DESC, nn) = 1
         |ORDER BY a.vec_id LIMIT 50""".stripMargin,
 
@@ -1702,7 +1708,9 @@ object SparkEntry {
       // tie-break spelling. Sign agreement is safe: cosine_knn pins
       // bit-stable dot products cross-engine, and a plane dot within
       // ulps of 0 does not occur for random 64-dim data.
-      s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings
+        |  WHERE list_inner_product(CAST(embedding AS DOUBLE[]),
+        |          CAST(embedding AS DOUBLE[])) > 0),
          |w AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) nrm,
          |  $lshBucketSql bucket FROM n),
          |c AS (SELECT * FROM w
@@ -1767,7 +1775,9 @@ object SparkEntry {
       // top-5 rank, vote and rollup re-derived with the proven cosine_knn
       // determinism rules (4-dp sim before ranking, integer vote counts,
       // ties to smallest label)
-      """WITH n AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      """WITH n AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings
+        |  WHERE list_inner_product(CAST(embedding AS DOUBLE[]),
+        |          CAST(embedding AS DOUBLE[])) > 0),
         |w AS (SELECT vec_id, label, v, sqrt(list_inner_product(v, v)) nrm FROM n),
         |p AS (SELECT a.vec_id, a.label la, b.vec_id nn, b.label lb,
         |    round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 4) sim
@@ -1785,7 +1795,9 @@ object SparkEntry {
     "dedup_embedding" ->
       // same bucket machinery, pair form: candidates share a sign-bucket,
       // emitted top-100 by similarity with the dup verdict as a flag
-      s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings
+        |  WHERE list_inner_product(CAST(embedding AS DOUBLE[]),
+        |          CAST(embedding AS DOUBLE[])) > 0),
          |w AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) nrm,
          |  $lshBucketSql bucket FROM n),
          |c AS (SELECT * FROM w

@@ -40,10 +40,17 @@ object Vectors {
   private[graft] def dot(a: Column, b: Column): Column =
     graft.functions.DotProduct.dot(a, b)
 
+  /** Zero-norm vectors (all-zero padding rows) are EXCLUDED from every
+    * cosine-family op: a zero vector has no direction, and dividing by
+    * its norm is the one spot where the engines' IEEE semantics part
+    * ways (Spark double/0 → NaN, DuckDB double/0 → NULL — probed round
+    * 13), so the filter is both the correct contract and the parity
+    * guard. The oracles carry the identical `> 0` predicate. */
   private def normalized(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .filter(col("nrm") > 0)
 
   /** Argmax by (sim desc, nn asc) as a hash aggregate: `max_by` over the
     * ordering struct (sim, -nn) — highest similarity, ties to lowest id.
@@ -121,6 +128,7 @@ object Vectors {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .filter(col("nrm") > 0) // the normalized() zero-norm contract
     val a = graft.FanOut(e)
       .select(col("vec_id"), col("v").as("va"), col("nrm").as("na"), col("label").as("la"))
     val b = e.select(col("vec_id").as("nn"), col("v").as("vb"), col("nrm").as("nb"),
