@@ -1071,7 +1071,8 @@ object SparkEntry {
 
     "json_extract_events" ->
       """SELECT event_type, count(*) n,
-        |  CAST(sum(CAST(json_extract_string(props,'$.k') AS INT)) AS BIGINT) sk
+        |  CAST(sum(CASE WHEN json_valid(props)
+    THEN CAST(json_extract_string(props,'$.k') AS INT) END) AS BIGINT) sk
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "tumbling_window_events" ->
