@@ -1072,7 +1072,9 @@ object SparkEntry {
     "json_extract_events" ->
       """SELECT event_type, count(*) n,
         |  CAST(sum(CASE WHEN json_valid(props)
-    THEN CAST(json_extract_string(props,'$.k') AS INT) END) AS BIGINT) sk
+      AND json_type(props, '$.k') IN ('UBIGINT', 'BIGINT')
+    THEN TRY_CAST(json_extract_string(props,'$.k') AS BIGINT) END)
+    AS BIGINT) sk
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "tumbling_window_events" ->

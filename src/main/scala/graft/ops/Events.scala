@@ -34,8 +34,11 @@ object Events {
     Tables.events(spark, dir)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(graft.functions.JsonGetLong.jsonGetLong(col("props"), "k")
-          .cast("int")).as("sk"))
+        // no int32 narrowing: the scanner's contract is bare int64 or
+        // NULL, and an ANSI long->int cast would THROW on a large value
+        // where the oracle's TRY_CAST yields NULL
+        sum(graft.functions.JsonGetLong.jsonGetLong(col("props"), "k"))
+          .as("sk"))
       .orderBy("event_type")
 
   /** Tumbling 1-hour window: per-hour, per-type count/sum. */
