@@ -27,6 +27,8 @@ object SparkEntry {
     "recon_snapshot_diff"      -> (Recon.snapshotDiffOrders _),
     "recon_incremental"        -> (Recon.incrementalDiffOrders _),
     "recon_stream_hash_diff"   -> (Recon.streamHashDiffParity _),
+    "streaming_mix_drift"      -> (Events.mixDriftParity _),
+    "streaming_streak_alerts"  -> (Recon.streakAlertsParity _),
     "recon_schema_drift"       -> (Recon.schemaDriftDisk _),
     "recon_reconcile_all"      -> (Recon.reconcileAllDemo _),
     "recon_profile"            -> (Recon.profileOrders _),
@@ -275,7 +277,8 @@ object SparkEntry {
     "dedup_minhash", "dedup_clusters", "dedup_simhash", "ann_ivf_topk",
     "knn_label_accuracy", "text_lm_score", "dedup_audit", "dedup_incremental",
     "text_bpe_merges", "recon_stream_hash_diff", "recon_schema_drift",
-    "text_bpe_segment", "embed_quantize_stats", "sample_cap_per_source")
+    "text_bpe_segment", "embed_quantize_stats", "sample_cap_per_source",
+    "streaming_mix_drift", "streaming_streak_alerts")
 
   /** DuckDB spelling of [[graft.ops.Vectors.lshBucket]]: the 8 sign bits
     * against the SAME hyperplane doubles, interpolated from
@@ -413,7 +416,7 @@ object SparkEntry {
   private def bpeSegmentSql: String = {
     val iters = graft.ops.Text.BpeIterations
     val applied = (1 to iters).foldLeft(
-      "regexp_replace(text, '([^ ])', chr(1) || '\\1' || chr(2), 'g')") {
+      "regexp_replace(ctext, '([^ ])', chr(1) || '\\1' || chr(2), 'g')") {
       (acc, i) =>
         s"""replace($acc,
            |  coalesce((SELECT chr(1) || l || chr(2) || chr(1) || r || chr(2)
@@ -421,11 +424,16 @@ object SparkEntry {
            |  coalesce((SELECT chr(1) || l || r || chr(2) FROM t$i), chr(3)))"""
           .stripMargin
     }
+    // cl strips literal U+0001/U+0002 before wrapping -- mirrors
+    // Text.bpeSegment's forged-marker guard (round-13 advice)
     s"""WITH $bpeTrainCtes,
-       |apm AS (SELECT source, text, $applied a FROM documents),
+       |cl AS (SELECT source,
+       |    replace(replace(text, chr(1), ''), chr(2), '') ctext
+       |  FROM documents),
+       |apm AS (SELECT source, ctext, $applied a FROM cl),
        |ap AS (SELECT source,
-       |    len(list_filter(string_split(text, ' '), x -> x <> '')) ws,
-       |    length(replace(text, ' ', '')) sym,
+       |    len(list_filter(string_split(ctext, ' '), x -> x <> '')) ws,
+       |    length(replace(ctext, ' ', '')) sym,
        |    length(a) - length(replace(a, chr(1), '')) sub
        |  FROM apm)
        |SELECT source, CAST(count(*) AS BIGINT) n_docs,
@@ -2091,6 +2099,59 @@ object SparkEntry {
         |               ELSE 'match' END status
         |  FROM sh LEFT JOIN rh ON sh.k = rh.k)
         |WHERE status <> 'match' ORDER BY k""".stripMargin,
+
+    "streaming_mix_drift" ->
+      // re-derives StreamingOps.streamingMixDrift's per-day PSI: day
+      // windows are epoch-aligned (time_bucket ≡ Spark window() under
+      // UTC), counts are exact ints pivoted per reference type plus the
+      // novel-type `other` bucket, shares clamp at 1e-6, q constants are
+      // Events.referenceMix verbatim, and the terms sum left-to-right in
+      // sorted-type order then `other` — the same double every time
+      """WITH c AS MATERIALIZED (
+        |  SELECT time_bucket(INTERVAL 1 DAY, ts) window_start,
+        |    count(*) FILTER (event_type = 'click')    n_click,
+        |    count(*) FILTER (event_type = 'purchase') n_purchase,
+        |    count(*) FILTER (event_type = 'signup')   n_signup,
+        |    count(*) FILTER (event_type = 'view')     n_view,
+        |    count(*) FILTER (event_type NOT IN ('click','purchase','signup','view')) n_other
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT *, n_click + n_purchase + n_signup + n_view + n_other AS n FROM c)
+        |SELECT window_start, n,
+        |  round(
+        |    (greatest(CAST(n_click AS DOUBLE)/n, 1e-6) - 0.28)
+        |      * ln(greatest(CAST(n_click AS DOUBLE)/n, 1e-6) / 0.28)
+        |  + (greatest(CAST(n_purchase AS DOUBLE)/n, 1e-6) - 0.22)
+        |      * ln(greatest(CAST(n_purchase AS DOUBLE)/n, 1e-6) / 0.22)
+        |  + (greatest(CAST(n_signup AS DOUBLE)/n, 1e-6) - 0.20)
+        |      * ln(greatest(CAST(n_signup AS DOUBLE)/n, 1e-6) / 0.20)
+        |  + (greatest(CAST(n_view AS DOUBLE)/n, 1e-6) - 0.30)
+        |      * ln(greatest(CAST(n_view AS DOUBLE)/n, 1e-6) / 0.30)
+        |  + (greatest(CAST(n_other AS DOUBLE)/n, 1e-6) - 1e-6)
+        |      * ln(greatest(CAST(n_other AS DOUBLE)/n, 1e-6) / 1e-6), 6) psi
+        |FROM t ORDER BY window_start""".stripMargin,
+
+    "streaming_streak_alerts" ->
+      // re-derives StreamingOps.streakAlertsBatch's gaps-and-islands
+      // form over the Recon.streakFeedOrders seed: a mismatch row's
+      // streak is its per-key row number minus the most recent match's,
+      // and the alert is exactly the streak == 3 crossing of each run
+      """WITH obs AS MATERIALIZED (
+        |  SELECT o_orderkey % 499 k,
+        |    make_timestamp((800000000 + o_orderkey) * 1000000) ts,
+        |    CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) < 'c'
+        |         THEN 'mismatch' ELSE 'match' END status
+        |  FROM orders),
+        |r AS MATERIALIZED (
+        |  SELECT k, ts, status,
+        |    row_number() OVER (PARTITION BY k ORDER BY ts) rn FROM obs),
+        |s AS (
+        |  SELECT k, ts, status,
+        |    rn - coalesce(max(CASE WHEN status = 'match' THEN rn END)
+        |      OVER (PARTITION BY k ORDER BY rn
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) streak
+        |  FROM r)
+        |SELECT k, ts, streak FROM s
+        |WHERE status <> 'match' AND streak = 3 ORDER BY k, ts""".stripMargin,
 
     "recon_incremental" ->
       // the Spark side scopes the detail join to fingerprint-moved

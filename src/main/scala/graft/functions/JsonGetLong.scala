@@ -116,18 +116,27 @@ object JsonScan extends Serializable {
     var neg = false
     if (i < n && s.getByte(i) == '-') { neg = true; i += 1 }
     if (i >= n || s.getByte(i) < '0' || s.getByte(i) > '9') return null
+    // accumulate NEGATIVE, JDK Long.parseLong-style: the magnitude bound
+    // is asymmetric (|Long.MinValue| = Long.MaxValue + 1), and the old
+    // positive accumulator rejected exactly -9223372036854775808 while
+    // DuckDB's json_type/TRY_CAST accepts it — a one-value cross-engine
+    // divergence on the oracle's int64 boundary
+    val limit = if (neg) Long.MinValue else -Long.MaxValue
+    val multmin = limit / 10
     var v = 0L
     while (i < n && s.getByte(i) >= '0' && s.getByte(i) <= '9') {
       val d = s.getByte(i) - '0'
-      if (v > (Long.MaxValue - d) / 10) return null // would overflow
-      v = v * 10 + d
+      if (v < multmin) return null  // v*10 would overflow
+      v *= 10
+      if (v < limit + d) return null // v - d would overflow
+      v -= d
       i += 1
     }
     // fractions/exponents/garbage are not integers; a valid value ends at
     // ws, ',' or '}' (depth 1)
     val j = skipWs(s, i, n)
     if (j < n && { val b = s.getByte(j); b != ',' && b != '}' }) return null
-    java.lang.Long.valueOf(if (neg) -v else v)
+    java.lang.Long.valueOf(if (neg) v else -v)
   }
 }
 

@@ -259,6 +259,32 @@ object Events {
       .orderBy("d", "event_type")
   }
 
+  /** Seeded static reference mix for the mix-drift parity pair — the
+    * "trusted period" composition a production monitor computes offline.
+    * `error` is DELIBERATELY absent: its ~20% live share lands in the
+    * streaming op's novel-type `other` bucket (reference share = the
+    * 1e-6 clamp floor), so the demo exercises the composition-drift
+    * signature the round-11 fix was for and every window's PSI trips the
+    * 0.2 alert threshold. */
+  private[graft] val referenceMix: Map[String, Double] = Map(
+    "click" -> 0.28, "purchase" -> 0.22, "signup" -> 0.20, "view" -> 0.30)
+
+  /** Batch-parity anchor for the STREAMING composition-drift monitor —
+    * runs [[graft.streaming.StreamingOps.streamingMixDrift]]'s LITERAL
+    * code path (same function: watermark is a no-op under the batch
+    * planner, the day-window groupBy and the clamped PSI expression are
+    * mode-independent) over the events table with [[referenceMix]], so
+    * the driver's DuckDB oracle grounds the exact per-window PSI
+    * arithmetic the streaming twin ships; StreamingSpec asserts a
+    * MemoryStream run over the same rows emits identical windows (the
+    * `recon_stream_hash_diff` recipe). Day windows are epoch-aligned on
+    * both engines (UTC session, `time_bucket` oracle). 30-row answer →
+    * plain orderBy is fine, but keep the single-partition discipline. */
+  def mixDriftParity(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingOps.streamingMixDrift(
+        Tables.events(spark, dir), referenceMix)
+      .repartition(1).sortWithinPartitions("window_start")
+
   /** Cohort retention — the product-analytics companion to the funnel:
     * users grouped by the month of their FIRST event (the cohort), then
     * for each cohort × months-since-first, how many of its users were

@@ -219,6 +219,37 @@ object Recon {
       .repartition(1).sortWithinPartitions("k")
   }
 
+  /** Deterministic continuous-recon observation feed for the streak-alert
+    * parity pair: one observation per order row, keyed k = orderkey mod
+    * 499, at a unique synthetic instant (epoch 800000000 s + orderkey —
+    * orderkeys are unique, so no per-key ts ties and per-key spacing is
+    * exactly 499 s, far inside the streaming op's idle grace), mismatch
+    * iff the first md5 hex digit of the orderkey text is < 'c' (12/16 of
+    * keys — dense enough that ≥threshold runs are common). Content-keyed
+    * (no rand()), so both engines and both execution modes derive the
+    * identical feed. */
+  private[graft] def streakFeedOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).select(
+      (col("o_orderkey") % 499).as("k"),
+      timestamp_seconds(lit(800000000L) + col("o_orderkey")).as("ts"),
+      when(substring(md5(col("o_orderkey").cast("string")), 1, 1) < "c", "mismatch")
+        .otherwise("match").as("status"))
+
+  /** Batch-parity anchor for the STREAMING consecutive-mismatch alerting
+    * surface ([[graft.streaming.StreamingOps.mismatchStreakAlerts]]) —
+    * the `recon_stream_hash_diff` recipe applied to custom state: the
+    * `flatMapGroupsWithState` op itself is streaming-only (event-time
+    * timeout needs a real watermark), so the registry runs its batch
+    * twin [[graft.streaming.StreamingOps.streakAlertsBatch]] — provably
+    * the same alert semantics, DuckDB-oracled as a gaps-and-islands
+    * window — over [[streakFeedOrders]], and StreamingSpec asserts the
+    * MemoryStream execution of the seeded feed emits identical rows.
+    * Answer-sized alert report → single-partition in-partition sort
+    * (the [[streamHashDiffParity]] rule). */
+  def streakAlertsParity(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingOps.streakAlertsBatch(streakFeedOrders(spark, dir), 3)
+      .repartition(1).sortWithinPartitions("k", "ts")
+
   /** Null-safe, injection-safe row checksum for the generic recon APIs.
     * Plain `concat_ws` is forgeable two ways: it drops NULLs (rows
     * differing only in which column is null collide), and a value
@@ -410,8 +441,14 @@ object Recon {
           .cast("double").as("mism"))
       .select(explode(array(
         chk("hash_mismatches", col("mism"), lit(0.0), col("mism") === lit(0.0)),
-        chk("null_custkey", col("nulls"), col("nulls"), col("nulls") === col("nulls")),
-        chk("rowcount", col("cnt"), col("cnt"), col("cnt") === col("cnt")),
+        // src ≡ tgt for these two BY CONSTRUCTION (the demo target
+        // derives row-locally from the same rows), so the pass flag is
+        // the literal truth, not a self-comparison: `c === c` spellings
+        // fired Spark's trivially-true-predicate WARN on every run,
+        // and a warning class that cries on known-benign sites hides
+        // the day a real silently-true join predicate appears
+        chk("null_custkey", col("nulls"), col("nulls"), lit(true)),
+        chk("rowcount", col("cnt"), col("cnt"), lit(true)),
         chk("sum_totalprice", col("sum_src"), col("sum_tgt"),
           col("sum_src") === col("sum_tgt")))).as("c"))
       .select(col("c.check").as("check"), col("c.src_v").as("src_v"),

@@ -1013,7 +1013,15 @@ object Text {
     * chain. */
   def bpeSegment(spark: SparkSession, dir: String): DataFrame = {
     val merges = bpeTrain(bpeWordCounts(spark, dir))
-    val wrapped = regexp_replace(col("text"), "([^ ])", "\u0001$1\u0002")
+    // a literal U+0001/U+0002 in the corpus would forge the marker
+    // arithmetic (a stray U+0001 counts as an extra subword, a stray
+    // U+0002 can shift replace-chain matches): strip the wrapper
+    // codepoints from the text FIRST -- the bpeWordCounts exclusion
+    // applied to the apply step, mirrored in the bpeSegmentSql oracle --
+    // so every reported count follows the per-codepoint contract on any
+    // corpus, not just wrapper-free ones (round-13 advice)
+    val clean = replace(replace(col("text"), lit("\u0001")), lit("\u0002"))
+    val wrapped = regexp_replace(clean, "([^ ])", "\u0001$1\u0002")
     val merged = merges.foldLeft(wrapped) { case (acc, (_, l, r, _)) =>
       replace(acc,
         lit("\u0001" + l + "\u0002\u0001" + r + "\u0002"),
@@ -1022,9 +1030,9 @@ object Text {
     def marks(c: Column) = length(c) - length(replace(c, lit("\u0001")))
     docs(spark, dir)
       .select(col("source"),
-        size(filter(split(col("text"), " "), w => w =!= ""))
+        size(filter(split(clean, " "), w => w =!= ""))
           .cast("long").as("ws"),
-        length(replace(col("text"), lit(" "))).cast("long").as("sym"),
+        length(replace(clean, lit(" "))).cast("long").as("sym"),
         marks(merged).cast("long").as("sub"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),

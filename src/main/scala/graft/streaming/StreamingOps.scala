@@ -273,6 +273,36 @@ object StreamingOps {
       }
   }
 
+  /** Batch twin of [[mismatchStreakAlerts]] — identical alert semantics
+    * (alert exactly when a key's consecutive-mismatch run FIRST reaches
+    * `threshold`, re-arm on the next match) re-expressed as the
+    * gaps-and-islands window the batch planner can oracle: per key in
+    * observation order, a row's streak is its row number minus the row
+    * number of the key's most recent match (0 if none yet), so the
+    * crossing row is the one mismatch with streak == threshold per
+    * maximal run. One shuffle on `k`; the two window passes share the
+    * (k, ts) sort. Equal to the streaming op whenever no state timeout
+    * fires mid-stream (per-key observation gaps < `idleGrace`) — the
+    * parity StreamingSpec drives both over the same seeded feed.
+    *
+    * Exists so the custom-state streaming surface is anchored to the
+    * DuckDB oracle (the `recon_stream_hash_diff` recipe): the registry
+    * op [[graft.ops.Recon.streakAlertsParity]] runs THIS code path over
+    * a deterministic divergence feed, and the spec asserts the
+    * `flatMapGroupsWithState` run emits identical rows. */
+  def streakAlertsBatch(obs: DataFrame, threshold: Int = 3): DataFrame = {
+    require(threshold > 0, s"streakAlertsBatch: threshold must be positive: $threshold")
+    import org.apache.spark.sql.expressions.Window
+    val byTs = Window.partitionBy("k").orderBy("ts")
+    val byRn = Window.partitionBy("k").orderBy("rn")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    obs.withColumn("rn", row_number().over(byTs))
+      .withColumn("streak", col("rn") -
+        coalesce(max(when(col("status") === "match", col("rn"))).over(byRn), lit(0)))
+      .filter(col("status") =!= "match" && col("streak") === threshold)
+      .select(col("k"), col("ts"), col("streak"))
+  }
+
   // ── continuous CDC apply: the repair loop closed ──────────────────────
   //
   // recon finds a diff → a change feed repairs the target → the stream

@@ -34,10 +34,25 @@ class JsonGetLongSpec extends GraftSpec {
       """{}""",                                      // empty object
       """[1, 2, 3]""",                               // not an object
       """not json at all""",
-      """{"k": 9223372036854775807}""")              // Long.MaxValue
+      """{"k": 9223372036854775807}""",              // Long.MaxValue
+      """{"k": -9223372036854775808}""")             // Long.MinValue
     both(agree).zip(agree).foreach { case ((native, jackson), j) =>
       assert(native === jackson, s"diverged on: $j")
     }
+  }
+
+  test("int64 boundary: MinValue parses, one-past either bound is null") {
+    // |Long.MinValue| = Long.MaxValue + 1: the old positive accumulator
+    // rejected exactly -9223372036854775808 while DuckDB's TRY_CAST
+    // accepts it (round-13 advice) — pin the asymmetric bound
+    val spark0 = spark
+    import spark0.implicits._
+    val rows = Seq("""{"k": -9223372036854775808}""",  // MinValue: valid
+      """{"k": -9223372036854775809}""",               // MinValue - 1: null
+      """{"k": 9223372036854775808}""")                // MaxValue + 1: null
+      .toDF("j").select(jsonGetLong(col("j"), "k")).collect()
+    assert(!rows(0).isNullAt(0) && rows(0).getLong(0) === Long.MinValue)
+    assert(rows(1).isNullAt(0) && rows(2).isNullAt(0))
   }
 
   test("documented divergences: non-bare-integer values are null") {

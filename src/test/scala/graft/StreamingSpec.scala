@@ -171,6 +171,79 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("streaming mix drift equals the oracle-anchored batch parity op across micro-batches") {
+    // the streaming_mix_drift registry op runs streamingMixDrift's
+    // literal code path in batch and is DuckDB-oracled by the driver;
+    // this asserts the STREAMING execution over the same event rows
+    // emits identical closed windows — chaining the PSI monitor to the
+    // oracle (round-14, the recon_stream_hash_diff recipe).
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val ctx = spark.sqlContext
+    val evs = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Ev].collect().sortBy(_.ts.getTime)
+    val input = MemoryStream[Ev]
+    val q = StreamingOps.streamingMixDrift(input.toDF(), ops.Events.referenceMix)
+      .writeStream.format("memory").queryName("mixdrift_parity_sink")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = evs.splitAt(evs.length / 2)
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+      // flush sentinel 3 days past the end pushes the watermark beyond
+      // every real window's end so they all close and emit; the
+      // sentinel's own window stays open and never appears
+      input.addData(Ev(-1L,
+        new java.sql.Timestamp(evs.last.ts.getTime + 3 * 86400 * 1000L),
+        -1L, "view", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("mixdrift_parity_sink").collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getDouble(2)))
+        .sorted.toSeq
+      val batch = ops.Events.mixDriftParity(spark, sf).collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getDouble(2)))
+        .sorted.toSeq
+      assert(streamed === batch)
+      assert(batch.nonEmpty)
+      assert(batch.forall(_._3 > 0.2),
+        "the reference-absent `error` share must trip the novel-type alert in every window")
+    } finally q.stop()
+  }
+
+  test("mismatch streak alerts equal the oracle-anchored batch parity op across micro-batches") {
+    // streaming_streak_alerts registers streakAlertsBatch (gaps-and-
+    // islands, DuckDB-oracled); this drives the flatMapGroupsWithState
+    // op over the SAME seeded feed through MemoryStream and asserts
+    // identical alerts — the custom-state surface chained to the oracle.
+    // Per-key spacing in the feed is 499 s << the 2 h idle grace, so no
+    // event-time timeout fires and the two forms are provably equal.
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val ctx = spark.sqlContext
+    import StreamingOps.{DiffObs, StreakAlert}
+    val feed = ops.Recon.streakFeedOrders(spark, sf).as[DiffObs]
+      .collect().sortBy(_.ts.getTime)
+    val input = MemoryStream[DiffObs]
+    val q = StreamingOps.mismatchStreakAlerts(input.toDS(), threshold = 3)
+      .writeStream.format("memory").queryName("streak_parity_sink")
+      .outputMode("append").start()
+    try {
+      input.addData(feed.take(feed.length / 3).toSeq); q.processAllAvailable()
+      input.addData(feed.slice(feed.length / 3, 2 * feed.length / 3).toSeq)
+      q.processAllAvailable()
+      input.addData(feed.drop(2 * feed.length / 3).toSeq); q.processAllAvailable()
+      val streamed = spark.table("streak_parity_sink").as[StreakAlert].collect()
+        .map(a => (a.k, a.ts.getTime, a.streak)).sorted.toSeq
+      val batch = ops.Recon.streakAlertsParity(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getInt(2)))
+        .sorted.toSeq
+      assert(streamed === batch)
+      assert(batch.nonEmpty, "the seeded feed must produce alerts")
+    } finally q.stop()
+  }
+
   test("mismatch streaks: custom state alerts once per crossing, resets on match, spans batches") {
     val spark0 = spark
     import spark0.implicits._

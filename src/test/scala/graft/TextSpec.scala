@@ -468,6 +468,30 @@ class TextSpec extends GraftSpec {
     assert(rows.keySet === expect.keySet)
   }
 
+  test("bpe segment: literal wrapper codepoints in text cannot forge the marker counts") {
+    // U+0001/U+0002 are the segmentation markers; a corpus containing
+    // them literally must not inflate the subword count or shift the
+    // replace chain (round-13 advice) -- they are stripped before
+    // wrapping, mirroring the training-side word exclusion. Expected
+    // counts derived by hand on the CLEANED text: doc 1 "ab \u0001ab
+    // \u0002\u0002" cleans to "ab ab " (ws 2, sym 4, sub 2 after the
+    // (a,b) merge), doc 2 "ab ab cd" (3/6/3), doc 3 "\u0001\u0002"
+    // cleans to "" (0/0/0).
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = s"$tmpDir/bpe_dirty"
+    Seq((1L, "ab \u0001ab \u0002\u0002", "en", "web", 10L),
+        (2L, "ab ab cd", "en", "web", 8L),
+        (3L, "\u0001\u0002", "en", "web", 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Text.bpeSegment(spark, dir).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getDouble(5)) === (("web", 3L, 5L, 10L, 5L, 0.5)))
+  }
+
   test("tfidf: top-k per source, scores recompute from tf·ln(n/df)") {
     val rows = Text.tfidfTopTerms(spark, sf, k = 5).collect()
     val nSrc = Tables.documents(spark, sf).select("source").distinct().count()
