@@ -155,14 +155,15 @@ object Tables {
     * value-only in-place regen of identical byte length landing inside
     * the same coarse mtime tick (round-13 review; regression-tested
     * with pinned mtimes in SourcesSpec, single-file and partitioned).
-    * Residual accepted risk: with ≥5 data files, a same-total-length
-    * same-tick rewrite confined to INTERIOR files evades the
-    * first-2/last-2 spread probe — probing every leaf would close it
-    * at 2 preads/file if layouts ever grow past the testdata's
-    * single-file-per-table shape. Cost today: ≤4 files × two ≤64-byte
-    * preads, driver-side. */
+    * Layouts up to [[StampAllProbeFiles]] files probe EVERY leaf (2
+    * preads/file, driver-cheap — closes the interior-file hole for
+    * every layout the testdata can take). Residual accepted risk: past
+    * that threshold a same-total-length same-tick rewrite confined to
+    * INTERIOR files evades the first-2/last-2 spread probe. Cost
+    * today: ≤16 files × two ≤64-byte preads, driver-side. */
   private val StampEdgeBytes = 64
   private val StampTailFiles = 4
+  private val StampAllProbeFiles = 16
   private def tailHash(fs: org.apache.hadoop.fs.FileSystem,
                        st: org.apache.hadoop.fs.FileStatus): Long = {
     val n = math.min(st.getLen, StampEdgeBytes.toLong).toInt
@@ -200,13 +201,18 @@ object Tables {
           n += 1; len += c.getLen
           if (c.getModificationTime > mt) mt = c.getModificationTime
         }
-        // edge-probe a deterministic SPREAD of non-empty leaves (first
-        // and last by name) — probing only the head of the name order
-        // wasted slots on _SUCCESS and left later part files unguarded
+        // edge-probe every non-empty leaf while the layout is small
+        // (2 preads/file is driver-cheap and closes the interior-file
+        // hole entirely — round-13 advice); past the threshold fall
+        // back to a deterministic SPREAD (first and last by name —
+        // probing only the head of the name order wasted slots on
+        // _SUCCESS and left later part files unguarded)
         val data = files.filter(_.getLen > 0)
           .sortBy(_.getPath.toString).toSeq
-        val picks = (data.take(StampTailFiles / 2) ++
-          data.takeRight(StampTailFiles / 2)).distinct
+        val picks =
+          if (data.size <= StampAllProbeFiles) data
+          else (data.take(StampTailFiles / 2) ++
+            data.takeRight(StampTailFiles / 2)).distinct
         val th = picks.map(tailHash(fs, _)).mkString(",")
         s"d:$n:$len:$mt:$th"
       }
@@ -214,12 +220,27 @@ object Tables {
 
   /** The builder receives the freshly computed stamp so dependent
     * caches ([[eventsTsType]]) can reuse it instead of re-stat'ing the
-    * path (round-13 review). */
+    * path (round-13 review).
+    *
+    * The stamp (a recursive listing + up to 16×2 edge preads) computes
+    * OUTSIDE any map lock (round-13 advice: inside `compute()` it
+    * serialized every concurrent reader of the same table behind
+    * per-access I/O); the check-then-put race is benign — both losers
+    * build equivalent immutable plans and last-write-wins, and a stale
+    * stamp written by a loser straddling an in-place regen heals on the
+    * next access's fresh stamp compare. */
   private def cachedRelation(spark: SparkSession, path: String)
-                            (build: String => DataFrame): DataFrame =
-    relationCache.compute((spark, path), (_, v) =>
-      { val stamp = pathStamp(spark, path)
-        if (v != null && v._1 == stamp) v else (stamp, build(stamp)) })._2
+                            (build: String => DataFrame): DataFrame = {
+    val key = (spark, path)
+    val stamp = pathStamp(spark, path)
+    val cur = relationCache.get(key)
+    if (cur != null && cur._1 == stamp) cur._2
+    else {
+      val built = (stamp, build(stamp))
+      relationCache.put(key, built)
+      built._2
+    }
+  }
 
   def read(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"

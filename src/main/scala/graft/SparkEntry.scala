@@ -1531,17 +1531,21 @@ object SparkEntry {
     "text_lm_score" ->
       // corpus-trained bigram LM, per-doc mean surprisal, per-source
       // profile: 6-dp log-prob rounding then exact micro-bit long sums
-      // (the cents rule) keep every accumulation order-free
-      """WITH grams AS (SELECT doc_id, source,
+      // (the cents rule) keep every accumulation order-free. The vocab
+      // caps to Text.LmVocabCap by (count DESC, gram) — binary
+      // collation, the Spark sort verbatim — and t sums the CAPPED
+      // dictionary; OOV grams score 0 but count in n (LEFT JOIN)
+      s"""WITH grams AS (SELECT doc_id, source,
         |    unnest(list_transform(generate_series(1, greatest(length(text)-1, 1)),
         |      i -> substr(text, CAST(i AS INT), 2))) g
         |  FROM documents),
-        |counts AS (SELECT g, count(*) c FROM grams GROUP BY g),
+        |counts AS MATERIALIZED (SELECT g, count(*) c FROM grams GROUP BY g
+        |  ORDER BY c DESC, g LIMIT ${graft.ops.Text.LmVocabCap}),
         |tot AS (SELECT sum(c) t FROM counts),
         |lp AS (SELECT g, round(log2(c / t), 6) logp FROM counts, tot),
         |doc AS (SELECT doc_id, source, count(*) n,
-        |    sum(CAST(round(logp * 1e6) AS BIGINT)) sm
-        |  FROM grams JOIN lp USING (g) GROUP BY doc_id, source),
+        |    coalesce(sum(CAST(round(logp * 1e6) AS BIGINT)), 0) sm
+        |  FROM grams LEFT JOIN lp USING (g) GROUP BY doc_id, source),
         |scored AS (SELECT source, -(sm / 1e6) / n bits FROM doc)
         |SELECT source, count(*) n_docs,
         |  round(sum(CAST(round(bits * 1e6) AS BIGINT)) / 1e6 / count(*), 4) avg_bits,

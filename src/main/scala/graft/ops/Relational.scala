@@ -398,10 +398,27 @@ object Relational {
       .agg(
         round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
         round(var_samp(col("l_quantity")), 4).as("var_qty"),
-        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+        round(safeCorr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
         round(covar_samp(col("l_quantity"), col("l_discount")), 4).as("cov_qd"),
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
+
+  /** Pearson correlation with DuckDB's degenerate-group semantics:
+    * Spark 4's `corr` (ANSI on, the session default) THROWS
+    * DIVIDE_BY_ZERO when either column has zero variance in a group,
+    * where DuckDB returns NULL — the one cross-engine degenerate-group
+    * divergence left after the round-13 probe (covar/stddev/var/skew/
+    * kurt/regr_* already agree engine-to-engine: 0.0 on a constant
+    * column where defined, NULL on a single row). Spelled over corr's
+    * OWN sufficient statistics — `try_divide(covar_pop, σx·σy)` shares
+    * the Welford accumulation (Covariance and CentralMomentAgg use the
+    * identical update/merge as Corr), so the non-degenerate value
+    * differs only in final-step rounding order (≪ the 4-dp surface) and
+    * a zero-variance side gives try_divide(0, 0) → NULL, exactly
+    * DuckDB's corr. Parity vs native corr pinned in
+    * DegenerateStatsSpec. */
+  private[graft] def safeCorr(x: Column, y: Column): Column =
+    try_divide(covar_pop(x, y), stddev_pop(x) * stddev_pop(y))
 
   /** Fixed-width histogram of order totals — the numeric-binning staple
     * (distribution dashboards, spill-size planning, outlier triage) the
@@ -679,7 +696,9 @@ object Relational {
       j <- (i + 1) until cols.size
     } yield (cols(i), cols(j))
     val aggs = pairs.map { case (a, b) =>
-      round(corr(col(a), col(b)), 4).as(s"${a}__$b")
+      // safeCorr: NULL (not DIVIDE_BY_ZERO) on a zero-variance column —
+      // DuckDB's semantics, required the day a regen produces one
+      round(safeCorr(col(a), col(b)), 4).as(s"${a}__$b")
     }
     val stackArgs = pairs
       .map { case (a, b) => s"'$a', '$b', `${a}__$b`" }

@@ -833,16 +833,34 @@ object Text {
     * the vocab log-prob table broadcasts back onto the gram stream, and
     * the per-doc then per-source aggs each end answer-sized. Nothing
     * row-count-sized shuffles beyond the first combine. */
-  def lmScore(spark: SparkSession, dir: String): DataFrame = {
-    // vocab job: bigram counts (alphabet²-bounded, the langid-profile
-    // collect contract), then micro log-probs derived on the driver
-    // with the IDENTICAL arithmetic the in-plan spelling generated —
-    // StrictMath.log matches Spark's Log2 bit-for-bit (the EntropyScan
-    // precedent), BigDecimal.valueOf(…).setScale(HALF_UP) IS Spark's
-    // Round on doubles — so the DuckDB oracle is unchanged
+  /** Bigram-vocabulary cap for [[lmScore]]'s driver-side model build.
+    * Alphabet² alone bounded the old collect — fine for Latin-script
+    * corpora, ~10⁸ rows on a CJK-like one (round-13 advice). The
+    * [[BpeWordCap]] discipline applies verbatim: top-k by (count DESC,
+    * gram UTF-8 ASC — Spark string order IS DuckDB binary collation),
+    * mirrored in the oracle CTE. 2¹⁶ comfortably exceeds every
+    * Latin-script bigram alphabet (today's corpus uses a few thousand),
+    * so the cap only engages on the corpora that need it; out-of-vocab
+    * grams score zero micro-bits but still count in `n` (the scan's
+    * total-gram contract), mirrored by the oracle's LEFT JOIN. */
+  private[graft] val LmVocabCap: Int = 1 << 16
+
+  def lmScore(spark: SparkSession, dir: String): DataFrame =
+    lmScoreCapped(spark, dir, LmVocabCap)
+
+  private[graft] def lmScoreCapped(spark: SparkSession, dir: String,
+                                   cap: Int): DataFrame = {
+    // vocab job: bigram counts capped to the top-`cap` dictionary (the
+    // BpeWordCap discipline — deterministic tie-break, oracle-mirrored),
+    // then micro log-probs derived on the driver with the IDENTICAL
+    // arithmetic the in-plan spelling generated — StrictMath.log
+    // matches Spark's Log2 bit-for-bit (the EntropyScan precedent),
+    // BigDecimal.valueOf(…).setScale(HALF_UP) IS Spark's Round on
+    // doubles — so the DuckDB oracle is unchanged
     val counts = docs(spark, dir)
       .select(explode(graft.functions.CharNgrams.charNgrams(col("text"), 2)).as("g"))
       .groupBy("g").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("g")).limit(cap)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     val t = counts.map(_._2).sum.toDouble
     val log2v = StrictMath.log(2.0)

@@ -66,6 +66,12 @@ class RegistrySpec extends GraftSpec {
       "vocab_top_tokens",    // top-k token slice (Text.vocabTopTokens)
       "text_zipf_slope",     // top-k count frame (Text.zipfSlope)
       "rows_frame_window")   // calendar-day rollup (Events.rowsFrameWindow)
+    // a query that fails PLANNING here would escape both detection
+    // channels (the WindowExec warning is silenced in the harness
+    // mains) — collect failures and fail loud instead of skipping
+    // (round-13 advice); analysis failures double-report with the
+    // first test, which is the right loudness
+    val planFailures = scala.collection.mutable.ArrayBuffer.empty[String]
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, q) =>
         val unpart = try {
@@ -73,9 +79,14 @@ class RegistrySpec extends GraftSpec {
             case w: org.apache.spark.sql.execution.window.WindowExec
               if w.partitionSpec.isEmpty => w
           }
-        } catch { case _: Exception => Nil } // analysis failures -> first test
+        } catch { case e: Exception =>
+          planFailures += s"$name: ${e.getMessage.linesIterator.next()}"
+          Nil
+        }
         if (unpart.nonEmpty) Some(name) else None
     }
+    assert(planFailures.isEmpty,
+      s"queries failed planning during the window audit:\n${planFailures.mkString("\n")}")
     val unexpected = offenders.toSet -- allowed
     assert(unexpected.isEmpty,
       s"NEW unpartitioned WindowExec (all-to-one-partition scale cliff) in: " +

@@ -492,6 +492,57 @@ class TextSpec extends GraftSpec {
       r.getLong(4), r.getDouble(5)) === (("web", 3L, 5L, 10L, 5L, 0.5)))
   }
 
+  test("lm score: vocab cap truncates deterministically, OOV grams score zero but count") {
+    // wide-alphabet guard (round-13 advice): the driver collect is
+    // bounded by LmVocabCap, not alphabet squared. Fixture has > cap
+    // distinct bigrams; expected profile recomputed independently with
+    // the same capped-vocab convention (top-k by count desc, gram byte
+    // order; t sums the CAPPED dictionary; OOV contributes 0 micro-bits
+    // to sm but counts in n).
+    val spark0 = spark
+    import spark0.implicits._
+    val texts = Seq(
+      (1L, "abcdefghijklmnopqrstuvwxyz", "en", "web", 26L),
+      (2L, "abababababab", "en", "web", 12L),
+      (3L, "0123456789012345678901234", "en", "wiki", 25L),
+      (4L, "zzzzyyyyxxxxwwwwvvvvuuuu", "en", "wiki", 24L))
+    val dir = s"$tmpDir/lm_wide"
+    texts.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val cap = 16
+    def bigrams(t: String): Seq[String] = t.sliding(2).toSeq
+    val allCounts = texts.flatMap(d => bigrams(d._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+    assert(allCounts.size > cap, "fixture must exceed the cap")
+    def r(x: Double, d: Int): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(d, java.math.RoundingMode.HALF_UP).doubleValue()
+    val vocab = allCounts.sortWith { case ((g1, c1), (g2, c2)) =>
+      if (c1 != c2) c1 > c2 else g1 < g2 }.take(cap)  // ASCII: String order == byte order
+    val t = vocab.map(_._2).sum.toDouble
+    val micro = vocab.map { case (g, c) =>
+      val lp6 = r(StrictMath.log(c / t) / StrictMath.log(2.0), 6)
+      g -> java.math.BigDecimal.valueOf(lp6 * 1e6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+    }.toMap
+    val perDoc = texts.map { case (_, txt, _, src, _) =>
+      val gs = bigrams(txt)
+      val sm = gs.map(micro.getOrElse(_, 0L)).sum
+      (src, -(sm / 1e6) / gs.size)
+    }
+    val expect = perDoc.groupBy(_._1).map { case (src, ds) =>
+      val bits = ds.map(_._2)
+      src -> (ds.size.toLong,
+        r(bits.map(b => java.math.BigDecimal.valueOf(b * 1e6)
+          .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong)
+          .sum / 1e6 / ds.size, 4),
+        r(bits.min, 4), r(bits.max, 4))
+    }
+    val got = Text.lmScoreCapped(spark, dir, cap).collect()
+      .map(x => x.getString(0) ->
+        (x.getLong(1), x.getDouble(2), x.getDouble(3), x.getDouble(4))).toMap
+    assert(got === expect)
+  }
+
   test("tfidf: top-k per source, scores recompute from tf·ln(n/df)") {
     val rows = Text.tfidfTopTerms(spark, sf, k = 5).collect()
     val nSrc = Tables.documents(spark, sf).select("source").distinct().count()
