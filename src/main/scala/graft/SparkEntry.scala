@@ -29,6 +29,8 @@ object SparkEntry {
     "recon_stream_hash_diff"   -> (Recon.streamHashDiffParity _),
     "streaming_mix_drift"      -> (Events.mixDriftParity _),
     "streaming_streak_alerts"  -> (Recon.streakAlertsParity _),
+    "streaming_topk"           -> (Relational.minkTopkParity _),
+    "streaming_click_attribution" -> (Events.clickAttributionParity _),
     "recon_schema_drift"       -> (Recon.schemaDriftDisk _),
     "recon_reconcile_all"      -> (Recon.reconcileAllDemo _),
     "recon_profile"            -> (Recon.profileOrders _),
@@ -278,7 +280,8 @@ object SparkEntry {
     "knn_label_accuracy", "text_lm_score", "dedup_audit", "dedup_incremental",
     "text_bpe_merges", "recon_stream_hash_diff", "recon_schema_drift",
     "text_bpe_segment", "embed_quantize_stats", "sample_cap_per_source",
-    "streaming_mix_drift", "streaming_streak_alerts")
+    "streaming_mix_drift", "streaming_streak_alerts", "streaming_topk",
+    "streaming_click_attribution")
 
   /** DuckDB spelling of [[graft.ops.Vectors.lshBucket]]: the 8 sign bits
     * against the SAME hyperplane doubles, interpolated from
@@ -2156,6 +2159,33 @@ object SparkEntry {
         |  FROM r)
         |SELECT k, ts, streak FROM s
         |WHERE status <> 'match' AND streak = 3 ORDER BY k, ts""".stripMargin,
+
+    "streaming_topk" ->
+      // re-derives StreamingOps.streamingTopK's sorted smallest-k
+      // multiset (the MinK UDAF contract) as a per-group window rank —
+      // the spelling MinK replaces at scale, exact at oracle size;
+      // l_quantity decimals cast to double exactly, list compares
+      // element-wise in ascending order
+      """WITH r AS (SELECT l_returnflag, CAST(l_quantity AS DOUBLE) q,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) rn
+        |  FROM lineitem)
+        |SELECT l_returnflag, list(q ORDER BY q) smallest
+        |FROM r WHERE rn <= 5 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "streaming_click_attribution" ->
+      // re-derives StreamingOps.attributeClicks' interval join: same
+      // user, click in [view, view + 30 min] inclusive, floor-seconds
+      // latency from exact microsecond arithmetic on both engines
+      """WITH v AS (SELECT user_id, ts view_ts FROM events
+        |    WHERE event_type = 'view'),
+        |c AS (SELECT user_id, ts click_ts FROM events
+        |    WHERE event_type = 'click')
+        |SELECT v.user_id, view_ts, click_ts,
+        |  (epoch_us(click_ts) - epoch_us(view_ts)) // 1000000 latency_s
+        |FROM v JOIN c ON v.user_id = c.user_id
+        |  AND click_ts >= view_ts
+        |  AND click_ts <= view_ts + INTERVAL 30 MINUTE
+        |ORDER BY 1, 2, 3""".stripMargin,
 
     "recon_incremental" ->
       // the Spark side scopes the detail join to fingerprint-moved

@@ -285,6 +285,27 @@ object Events {
         Tables.events(spark, dir), referenceMix)
       .repartition(1).sortWithinPartitions("window_start")
 
+  /** Batch-parity anchor for the STREAM-STREAM interval-join twin —
+    * runs [[graft.streaming.StreamingOps.attributeClicks]]'s LITERAL
+    * code path (watermarks are batch no-ops; the event-time range in
+    * the join condition is mode-independent) over the events table's
+    * view/click streams, so the driver's DuckDB oracle grounds the
+    * attribution semantics — every (view, click) pair of the same user
+    * with the click ≤ 30 min after the view, plus the floor-seconds
+    * latency — and the StreamingSpec parity test asserts the
+    * two-MemoryStream execution emits identical pairs (the
+    * `recon_stream_hash_diff` recipe). In batch the range+equality
+    * condition plans as a hash join on user_id with the range as a
+    * post-filter: per-user pair volume is bounded by the horizon, the
+    * same property that bounds the streaming state store. */
+  def clickAttributionParity(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    graft.streaming.StreamingOps.attributeClicks(
+        ev.filter(col("event_type") === "view"),
+        ev.filter(col("event_type") === "click"))
+      .repartition(1).sortWithinPartitions("user_id", "view_ts", "click_ts")
+  }
+
   /** Cohort retention — the product-analytics companion to the funnel:
     * users grouped by the month of their FIRST event (the cohort), then
     * for each cohort × months-since-first, how many of its users were

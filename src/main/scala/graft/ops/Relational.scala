@@ -132,6 +132,23 @@ object Relational {
       .orderBy("p_brand", "rn")
   }
 
+  /** Batch-parity anchor for the STREAMING bounded top-k twin — runs
+    * [[graft.streaming.StreamingOps.streamingTopK]]'s LITERAL code path
+    * (the [[graft.functions.MinK]] UDAF is mode-independent: the state
+    * store invokes the same merge the batch partial-agg does) over
+    * lineitem, so the driver's DuckDB oracle grounds the sorted
+    * smallest-k multiset contract the streaming monitor ships; the
+    * StreamingSpec parity test drives the same feed through
+    * MemoryStream in complete mode and asserts identical rows (the
+    * `recon_stream_hash_diff` recipe). Oracle re-derives the answer as
+    * a per-group window rank — the very spelling MinK exists to beat at
+    * scale, which is fine for a 600 k-row oracle. */
+  def minkTopkParity(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingOps.streamingTopK(
+        Tables.lineitem(spark, dir).select(col("l_returnflag"), col("l_quantity")),
+        "l_returnflag", "l_quantity", 5)
+      .orderBy("l_returnflag")
+
   /** Frame-spec window: running sum per customer over order date. */
   def windowRunningSum(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))

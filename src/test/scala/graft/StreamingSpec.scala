@@ -244,6 +244,76 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("streaming top-k equals the oracle-anchored batch parity op across micro-batches") {
+    // streaming_topk registers streamingTopK's literal MinK path in
+    // batch, DuckDB-oracled; this drives the same lineitem feed through
+    // MemoryStream in complete mode and asserts identical sorted
+    // smallest-k arrays — the UDAF state-store surface chained to the
+    // oracle.
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val ctx = spark.sqlContext
+    val feed = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_quantity").cast("double"))
+      .as[(String, Double)].collect()
+    val input = MemoryStream[(String, Double)]
+    val q = StreamingOps.streamingTopK(
+        input.toDF().toDF("l_returnflag", "l_quantity"),
+        "l_returnflag", "l_quantity", 5)
+      .writeStream.format("memory").queryName("topk_parity_sink")
+      .outputMode("complete").start()
+    try {
+      val third = feed.length / 3
+      input.addData(feed.take(third).toSeq); q.processAllAvailable()
+      input.addData(feed.slice(third, 2 * third).toSeq); q.processAllAvailable()
+      input.addData(feed.drop(2 * third).toSeq); q.processAllAvailable()
+      val streamed = spark.table("topk_parity_sink").collect()
+        .map(r => r.getString(0) -> r.getSeq[Double](1).toList).toMap
+      val batch = ops.Relational.minkTopkParity(spark, sf).collect()
+        .map(r => r.getString(0) -> r.getSeq[Double](1).toList).toMap
+      assert(streamed === batch)
+      assert(batch.nonEmpty && batch.values.forall(_.length === 5))
+      assert(batch.values.forall(v => v === v.sorted))
+    } finally q.stop()
+  }
+
+  test("click attribution equals the oracle-anchored batch parity op across micro-batches") {
+    // streaming_click_attribution registers attributeClicks' literal
+    // code path in batch, DuckDB-oracled; this drives the same view and
+    // click rows through two MemoryStreams and asserts the identical
+    // pair set — the stream-stream interval-join surface chained to the
+    // oracle.
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val ctx = spark.sqlContext
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Ev].collect().sortBy(_.ts.getTime)
+    val vRows = ev.filter(_.event_type == "view")
+    val cRows = ev.filter(_.event_type == "click")
+    val views = MemoryStream[Ev]
+    val clicks = MemoryStream[Ev]
+    val q = StreamingOps.attributeClicks(views.toDF(), clicks.toDF())
+      .writeStream.format("memory").queryName("attr_parity_sink")
+      .outputMode("append").start()
+    try {
+      views.addData(vRows.take(vRows.length / 2).toSeq)
+      clicks.addData(cRows.take(cRows.length / 2).toSeq)
+      q.processAllAvailable()
+      views.addData(vRows.drop(vRows.length / 2).toSeq)
+      clicks.addData(cRows.drop(cRows.length / 2).toSeq)
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getTimestamp(1).getTime, r.getTimestamp(2).getTime, r.getLong(3))
+      val streamed = spark.table("attr_parity_sink").collect().map(key).sorted.toSeq
+      val batch = ops.Events.clickAttributionParity(spark, sf).collect()
+        .map(key).sorted.toSeq
+      assert(streamed === batch)
+      assert(batch.nonEmpty, "the events fixture must attribute some clicks")
+    } finally q.stop()
+  }
+
   test("mismatch streaks: custom state alerts once per crossing, resets on match, spans batches") {
     val spark0 = spark
     import spark0.implicits._
