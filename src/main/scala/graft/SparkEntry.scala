@@ -31,6 +31,8 @@ object SparkEntry {
     "streaming_streak_alerts"  -> (Recon.streakAlertsParity _),
     "streaming_topk"           -> (Relational.minkTopkParity _),
     "streaming_click_attribution" -> (Events.clickAttributionParity _),
+    "streaming_zscore"         -> (Events.streamingZscoreParity _),
+    "streaming_cdc_apply"      -> (Changes.cdcApplyParity _),
     "recon_schema_drift"       -> (Recon.schemaDriftDisk _),
     "recon_reconcile_all"      -> (Recon.reconcileAllDemo _),
     "recon_profile"            -> (Recon.profileOrders _),
@@ -281,7 +283,7 @@ object SparkEntry {
     "text_bpe_merges", "recon_stream_hash_diff", "recon_schema_drift",
     "text_bpe_segment", "embed_quantize_stats", "sample_cap_per_source",
     "streaming_mix_drift", "streaming_streak_alerts", "streaming_topk",
-    "streaming_click_attribution")
+    "streaming_click_attribution", "streaming_zscore", "streaming_cdc_apply")
 
   /** DuckDB spelling of [[graft.ops.Vectors.lshBucket]]: the 8 sign bits
     * against the SAME hyperplane doubles, interpolated from
@@ -2186,6 +2188,58 @@ object SparkEntry {
         |  AND click_ts >= view_ts
         |  AND click_ts <= view_ts + INTERVAL 30 MINUTE
         |ORDER BY 1, 2, 3""".stripMargin,
+
+    "streaming_zscore" ->
+      // identical to the zscore_outliers oracle — the registry op calls
+      // StreamingOps.streamingZscore by name, which IS zscoreScreen
+      // (same function object), so one oracle grounds both entry points
+      """WITH s AS (
+        |  SELECT event_type,
+        |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) sm,
+        |    CAST(sum(CAST(value*value AS DECIMAL(18,4))) AS DOUBLE) sq,
+        |    count(*) cnt
+        |  FROM events GROUP BY 1),
+        |st AS (SELECT event_type, sm/cnt mean, sqrt((sq - sm*sm/cnt) / (cnt - 1)) sd FROM s)
+        |SELECT event_id, e.event_type, value, round((value - mean)/sd, 4) + 0 z
+        |FROM events e JOIN st USING (event_type)
+        |WHERE abs((value - mean)/sd) > 3
+        |ORDER BY event_id""".stripMargin,
+
+    "streaming_cdc_apply" ->
+      // re-derives applyChangesBatch's transform core (last-change-per-
+      // key compaction by seq, then anti-join + union merge) over the
+      // deterministic multi-seq I/U/D feed; poisoned seq-1 rows (+1e6)
+      // move sum_price if compaction ever picks the wrong change, a
+      // lost delete moves n
+      """WITH raw AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 1000000 o_totalprice,
+        |    o_orderdate, o_orderpriority, 'U' op, 1 seq
+        |  FROM orders WHERE o_orderkey % 10 <> 0 AND o_orderkey % 7 = 0 AND o_orderkey % 13 <> 0
+        |  UNION ALL SELECT o_orderkey, o_custkey, o_orderstatus, round(o_totalprice, 0),
+        |    o_orderdate, '5-RESTATED', 'U', 2
+        |  FROM orders WHERE o_orderkey % 10 <> 0 AND o_orderkey % 7 = 0 AND o_orderkey % 13 <> 0
+        |  UNION ALL SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 1000000,
+        |    o_orderdate, o_orderpriority, 'U', 1
+        |  FROM orders WHERE o_orderkey % 10 <> 0 AND o_orderkey % 13 = 0
+        |  UNION ALL SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |    o_orderdate, o_orderpriority, 'D', 2
+        |  FROM orders WHERE o_orderkey % 10 <> 0 AND o_orderkey % 13 = 0
+        |  UNION ALL SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |    o_orderdate, o_orderpriority, 'I', 1
+        |  FROM orders WHERE o_orderkey % 10 = 0),
+        |cmp AS (
+        |  SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) rn
+        |    FROM raw) WHERE rn = 1),
+        |fin AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 10 <> 0
+        |    AND o_orderkey NOT IN (SELECT o_orderkey FROM cmp)
+        |  UNION ALL SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |    o_orderdate, o_orderpriority FROM cmp WHERE op <> 'D')
+        |SELECT o_orderstatus, count(*) n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) sum_price,
+        |  count(*) FILTER (o_orderpriority = '5-RESTATED') n_restated
+        |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "recon_incremental" ->
       // the Spark side scopes the detail join to fingerprint-moved

@@ -101,4 +101,62 @@ object Changes {
         count(when(col("o_orderpriority") === "5-RESTATED", 1)).as("n_restated"))
       .orderBy("o_orderstatus")
   }
+
+  /** Deterministic CDC micro-batch carrying SEVERAL seq'd changes per key
+    * — the feed shape [[graft.streaming.StreamingOps.applyChangesBatch]]
+    * compacts before applying. Keys ≡0 (mod 7, not 13): a stale seq-1
+    * price restatement (+1e6, poisoned so any survival moves the sums)
+    * superseded by the seq-2 whole-dollar restatement that must win;
+    * keys ≡0 (mod 13): a poisoned seq-1 update superseded by a seq-2
+    * delete (the delete must survive compaction); keys ≡0 (mod 10) (not
+    * in the base): uncontested seq-1 inserts. */
+  def cdcFeedOrders(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val upd7 = o.filter(col("o_orderkey") % 10 =!= 0 &&
+      col("o_orderkey") % 7 === 0 && col("o_orderkey") % 13 =!= 0)
+    val del13 = o.filter(col("o_orderkey") % 10 =!= 0 &&
+      col("o_orderkey") % 13 === 0)
+    upd7.withColumn("o_totalprice", col("o_totalprice") + 1000000)
+        .withColumn("op", lit("U")).withColumn("seq", lit(1L))
+      .unionByName(upd7
+        .withColumn("o_totalprice", round(col("o_totalprice"), 0))
+        .withColumn("o_orderpriority", lit("5-RESTATED"))
+        .withColumn("op", lit("U")).withColumn("seq", lit(2L)))
+      .unionByName(del13
+        .withColumn("o_totalprice", col("o_totalprice") + 1000000)
+        .withColumn("op", lit("U")).withColumn("seq", lit(1L)))
+      .unionByName(del13
+        .withColumn("op", lit("D")).withColumn("seq", lit(2L)))
+      .unionByName(o.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("op", lit("I")).withColumn("seq", lit(1L)))
+  }
+
+  /** The final snapshot state [[graft.streaming.StreamingOps.applyChangesBatch]]
+    * produces from [[cdcFeedOrders]]: its LITERAL transform core —
+    * [[compactChanges]] (last change per key by seq) then
+    * [[applyChanges]] — over the base of keys not ≡0 (mod 10). The
+    * version/pointer I/O around the transform stays StreamingSpec-
+    * verified (replay idempotence needs a real sink); the merge
+    * semantics themselves are mode-independent and land here. */
+  def cdcApplyFinal(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir).filter(col("o_orderkey") % 10 =!= 0)
+    val compacted = compactChanges(cdcFeedOrders(spark, dir),
+      "o_orderkey", "seq").drop("seq")
+    applyChanges(base, compacted, "o_orderkey")
+  }
+
+  /** Batch-parity anchor for the CONTINUOUS CDC apply twin — summarizes
+    * [[cdcApplyFinal]] per status (rowcount + exact decimal money sum +
+    * restated count: a stale seq-1 row surviving compaction shifts
+    * sum_price by ~1e6, a lost delete shifts n), so the driver's DuckDB
+    * oracle grounds the compaction+merge semantics and the StreamingSpec
+    * parity test asserts a real foreachBatch run over the same feed —
+    * seqs split across two micro-batches — converges to the identical
+    * snapshot (the `recon_stream_hash_diff` recipe). */
+  def cdcApplyParity(spark: SparkSession, dir: String): DataFrame =
+    cdcApplyFinal(spark, dir).groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        Recon.decSum(col("o_totalprice")).as("sum_price"),
+        count(when(col("o_orderpriority") === "5-RESTATED", 1)).as("n_restated"))
+      .orderBy("o_orderstatus")
 }

@@ -596,6 +596,20 @@ object Events {
     zscoreScreen(ev, valueStats(ev)).orderBy("event_id")
   }
 
+  /** Batch-parity anchor for the STREAMING z-score twin — calls
+    * [[graft.streaming.StreamingOps.streamingZscore]] by name (it
+    * delegates to [[zscoreScreen]] verbatim — same function object, the
+    * stateless-by-construction design), so the registry chains the
+    * streaming entry point itself to the DuckDB oracle rather than
+    * leaving the link implicit in [[zscoreOutliers]]'s shared helper;
+    * the StreamingSpec parity test drives the same events through
+    * MemoryStream and asserts identical outliers. */
+  def streamingZscoreParity(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    graft.streaming.StreamingOps.streamingZscore(ev, valueStats(ev))
+      .orderBy("event_id")
+  }
+
   /** Per-type (mean, sd) of `value` from exact decimal moment sums —
     * the reference-stats half of the z-score screen, reusable against a
     * live stream (see `StreamingOps.streamingZscore`). */

@@ -495,6 +495,9 @@ object StreamingSpec {
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                 event_type: String, value: Double)
   case class Chg(k: Long, v: String, seq: Long, op: String)
+  case class OrdChg(o_orderkey: Long, o_custkey: Long, o_orderstatus: String,
+                    o_totalprice: Double, o_orderdate: java.sql.Timestamp,
+                    o_orderpriority: String, op: String, seq: Long)
   case class HdRow(o_orderkey: Long, o_custkey: Long,
                    o_orderstatus: String, p: String)
 }
@@ -542,6 +545,43 @@ class StreamingCdcSpec extends GraftSpec {
     // a genuinely new batch id applies
     StreamingOps.applyChangesBatch(replay, dir, "k", "seq", "op", 2L)
     assert(state(dir) === Map(1L -> "CLOBBER", 2L -> "TWO"))
+  }
+
+  test("continuous CDC apply converges to the oracle-anchored batch parity state") {
+    // streaming_cdc_apply registers applyChangesBatch's transform core
+    // (compact → merge) in batch, DuckDB-oracled; this drives the SAME
+    // feed through a real foreachBatch run — seq-1 changes in micro-batch
+    // 1, their seq-2 supersessions in micro-batch 2, so no single batch
+    // holds the final state — and asserts the resulting snapshot is
+    // row-identical to the batch op's final frame.
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val dir = s"$tmpDir/cdc_par_snap"
+    StreamingOps.initSnapshot(
+      Tables.orders(spark, sf).filter(col("o_orderkey") % 10 =!= 0), dir)
+    val feed = ops.Changes.cdcFeedOrders(spark, sf)
+      .as[StreamingSpec.OrdChg].collect()
+    val input = MemoryStream[StreamingSpec.OrdChg]
+    val q = input.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        StreamingOps.applyChangesBatch(batch, dir, "o_orderkey", "seq", "op", id)
+      }
+      .option("checkpointLocation", s"$tmpDir/cdc_par_ckpt").start()
+    try {
+      input.addData(feed.filter(_.seq == 1L).toSeq); q.processAllAvailable()
+      input.addData(feed.filter(_.seq == 2L).toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val snap = StreamingOps.readSnapshot(spark, dir)
+    val fin = ops.Changes.cdcApplyFinal(spark, sf)
+    val cols = Seq("o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    assert(snap.count() === fin.count())
+    assert(ops.Recon.hashDiffTables(snap, fin, "o_orderkey", cols)
+      .collect().head.getLong(0) === 0L)
+    // the poisoned seq-1 restatements must not have survived compaction
+    assert(snap.filter(col("o_totalprice") >= 1000000).count() === 0)
   }
 }
 
