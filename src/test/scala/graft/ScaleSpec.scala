@@ -409,6 +409,39 @@ class ScaleSpec extends GraftSpec {
       s"label agg must combine map-side:\n$exec")
   }
 
+  test("cdc apply parity: compaction prunes map-side, base never shuffles") {
+    val p = SparkEntry.queries("streaming_cdc_apply")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the merge half: the compacted feed's keys broadcast into a
+    // LeftAnti against the base (the 100 TB side stays scan-shaped)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the compaction half: rank-1-per-key must prune BEFORE the key
+    // exchange (WindowGroupLimit), not sort whole feeds post-shuffle
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("streaming top-k parity: MinK partial-aggregates before the key exchange") {
+    val p = SparkEntry.queries("streaming_topk")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the UDAF must run as a two-phase ObjectHashAggregate — the ≤k
+    // buffer merges map-side so only k-sized state crosses the wire
+    // (the same property that bounds the streaming state store)
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("SortAggregate"), p)
+  }
+
+  test("click attribution parity: type filters reach both scans, range stays a join predicate") {
+    val p = SparkEntry.queries("streaming_click_attribution")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // each side scans only its event type (pushed EqualTo), and the
+    // pair volume is bounded by the equality+range join, never a
+    // cartesian of the user's events
+    assert("EqualTo\\(event_type,(view|click)\\)".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("stream hash-diff parity: reference broadcasts, no global sort") {
     val exec = graft.ops.Recon.streamHashDiffParity(spark, sf)
       .queryExecution.executedPlan.toString
