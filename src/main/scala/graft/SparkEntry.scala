@@ -170,6 +170,7 @@ object SparkEntry {
     "text_entropy"             -> (Text.tokenEntropy _),
     "text_repetition"          -> (Text.textRepetition _),
     "vocab_top_tokens"         -> ((s, d) => Text.vocabTopTokens(s, d)),
+    "text_boilerplate_ngrams"  -> ((s, d) => Text.boilerplateNgrams(s, d)),
     "text_collocations"        -> ((s, d) => Text.collocations(s, d)),
     "decontaminate_ngram"      -> ((s, d) => Text.decontaminateNgram(s, d)),
     "decontaminate_bloom"      -> ((s, d) => Text.decontaminateBloom(s, d)),
@@ -283,7 +284,8 @@ object SparkEntry {
     "text_bpe_merges", "recon_stream_hash_diff", "recon_schema_drift",
     "text_bpe_segment", "embed_quantize_stats", "sample_cap_per_source",
     "streaming_mix_drift", "streaming_streak_alerts", "streaming_topk",
-    "streaming_click_attribution", "streaming_zscore", "streaming_cdc_apply")
+    "streaming_click_attribution", "streaming_zscore", "streaming_cdc_apply",
+    "text_boilerplate_ngrams")
 
   /** DuckDB spelling of [[graft.ops.Vectors.lshBucket]]: the 8 sign bits
     * against the SAME hyperplane doubles, interpolated from
@@ -2445,6 +2447,24 @@ object SparkEntry {
         |ranked AS (SELECT tok, cnt, row_number() OVER (ORDER BY cnt DESC, tok) id
         |  FROM counts)
         |SELECT id, tok, cnt FROM ranked WHERE id <= 500 ORDER BY id""".stripMargin,
+
+    "text_boilerplate_ngrams" ->
+      // DOCUMENT frequency (DISTINCT per doc, each document votes once
+      // per gram); 1-based list slicing mirrors Spark's slice(toks,i,5);
+      // (n_docs DESC, gram) total order makes ids deterministic
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text),' '), x -> x <> '') ts
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id, gram FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(ts) - 3),
+        |      i -> array_to_string(ts[i:i+4], ' '))) gram
+        |    FROM toks WHERE len(ts) >= 5)),
+        |cnt AS (SELECT gram, count(*) n_docs FROM g GROUP BY 1),
+        |tot AS (SELECT count(*) nd FROM documents),
+        |ranked AS (SELECT gram, n_docs, row_number() OVER (ORDER BY n_docs DESC, gram) id FROM cnt)
+        |SELECT id, gram, n_docs, round(CAST(n_docs AS DOUBLE) / nd, 6) doc_share
+        |FROM ranked, tot WHERE id <= 20 ORDER BY id""".stripMargin,
 
     "text_collocations" ->
       // bigrams via a 1-based index transform (range(1, len) is empty on

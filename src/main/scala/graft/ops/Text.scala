@@ -734,6 +734,47 @@ object Text {
       .orderBy("source", "rn")
   }
 
+  /** Cross-document boilerplate detector — the top-k token n-grams by
+    * DOCUMENT frequency (each document votes once per distinct gram):
+    * headers, footers, license banners and template fragments that
+    * repeat across a crawl are the highest-document-frequency n-grams,
+    * and a training pipeline strips them before dedup ever sees the
+    * text (within-document repetition is [[textRepetition]]'s job; this
+    * is the across-document complement). Grams build row-locally
+    * (filter → sliding slice → array_distinct, all codegen'd collection
+    * expressions — per-doc state is bounded by document length), the
+    * (gram, count) agg partial-combines map-side, and the top-k runs as
+    * TakeOrderedAndProject over the gram-dictionary-sized count frame —
+    * nothing global ever sorts except the k survivors. (n_docs DESC,
+    * gram) is a total order, so ids are deterministic. At extreme scale
+    * the refinement is hash-first ([[graft.functions.NgramHashes]] for
+    * the count pass, then resolve the k surviving hashes to text with
+    * one semi-join) — the dictionary state shrinks 10×, the semantics
+    * don't change. */
+  def boilerplateNgrams(spark: SparkSession, dir: String,
+                        n: Int = 5, k: Int = 20): DataFrame = {
+    require(n >= 2 && k > 0, s"boilerplateNgrams: bad n=$n k=$k")
+    val toks = filter(split(lower(col("text")), " "), t => t =!= "")
+    // sequence() descends when start > stop, so guard short docs to an
+    // empty gram list instead
+    val grams = when(size(toks) >= n,
+      array_distinct(transform(
+        sequence(lit(1), size(toks) - n + 1),
+        i => array_join(slice(toks, i, lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
+    val counts = docs(spark, dir)
+      .select(explode(grams).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("n_docs"))
+    val total = docs(spark, dir).agg(count(lit(1)).as("nd"))
+    val top = counts.orderBy(col("n_docs").desc, col("gram")).limit(k)
+    // k-row frame; lit(0) partition key silences the WindowExec warning
+    val w = Window.partitionBy(lit(0)).orderBy(col("n_docs").desc, col("gram"))
+    top.crossJoin(broadcast(total))
+      .select(row_number().over(w).as("id"), col("gram"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("nd"), 6).as("doc_share"))
+      .orderBy("id")
+  }
+
   /** Vocabulary build: top-k tokens by frequency with dense integer ids
     * — the tokenizer-vocab step of a training pipeline. The top-k runs
     * as TakeOrderedAndProject over the (vocab-sized) count frame, so

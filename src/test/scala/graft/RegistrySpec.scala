@@ -64,6 +64,7 @@ class RegistrySpec extends GraftSpec {
       "orders_yoy_growth",   // |years|-row frame (Relational.yoyGrowth)
       "ntile_funcs",         // size-gated small form (ntileFuncsSmall)
       "vocab_top_tokens",    // top-k token slice (Text.vocabTopTokens)
+      "text_boilerplate_ngrams", // 20-row top-k gram slice (Text.boilerplateNgrams)
       "text_zipf_slope",     // top-k count frame (Text.zipfSlope)
       "rows_frame_window")   // calendar-day rollup (Events.rowsFrameWindow)
     // a query that fails PLANNING here would escape both detection

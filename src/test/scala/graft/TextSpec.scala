@@ -563,6 +563,32 @@ class TextSpec extends GraftSpec {
       assert(rs.forall(r => r.getLong(3) >= 1 && r.getLong(3) <= nSrc))
     }
   }
+
+  test("boilerplate: document frequencies recompute from an independent per-doc walk") {
+    val rows = Text.boilerplateNgrams(spark, sf).collect()
+    // independent recount: plain Scala sliding-window over the collected
+    // corpus, one vote per (doc, distinct gram)
+    val docsRows = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+    val nd = docsRows.length.toDouble
+    val df = scala.collection.mutable.Map.empty[String, Long]
+    docsRows.foreach { r =>
+      val toks = r.getString(1).toLowerCase.split(" ").filter(_.nonEmpty)
+      toks.sliding(5).filter(_.length == 5).map(_.mkString(" ")).toSet
+        .foreach { g: String => df(g) = df.getOrElse(g, 0L) + 1L }
+    }
+    val expect = df.toSeq.sortBy { case (g, n) => (-n, g) }.take(20)
+    assert(rows.length === expect.length)
+    rows.zip(expect).zipWithIndex.foreach { case ((r, (g, n)), i) =>
+      assert(r.getInt(0) === i + 1)
+      assert(r.getString(1) === g, s"rank ${i + 1}")
+      assert(r.getLong(2) === n)
+      assert(math.abs(r.getDouble(3) - math.rint(n / nd * 1e6) / 1e6) < 1e-12)
+    }
+    // short documents (< n tokens) must contribute nothing, not crash:
+    // the guarded sequence() branch
+    assert(rows.forall(_.getString(1).split(" ").length === 5))
+  }
 }
 
 object DecontFixture {
