@@ -589,6 +589,34 @@ class TextSpec extends GraftSpec {
     // the guarded sequence() branch
     assert(rows.forall(_.getString(1).split(" ").length === 5))
   }
+
+  test("boilerplate: planted fixture — one vote per doc, short docs skipped, multi-space collapsed") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = s"$tmpDir/boiler"
+    val banner = "x1 x2 x3 x4 x5"
+    Seq(
+      // three docs share the banner gram; doc 1 contains it TWICE
+      // (prefix and suffix) but must vote once (array_distinct)
+      TextFixture.Doc(1L, s"$banner a b c $banner", "en", "s0", 0L),
+      TextFixture.Doc(2L, s"pre $banner post1 post2", "en", "s0", 0L),
+      // multi-space runs collapse to the same tokens (empty filter)
+      TextFixture.Doc(3L, s"x1  x2   x3 x4  x5", "en", "s1", 0L),
+      // exactly 4 tokens: below n, contributes nothing
+      TextFixture.Doc(4L, "u1 u2 u3 u4", "en", "s1", 0L),
+      // exactly 5 tokens: exactly one gram
+      TextFixture.Doc(5L, "v1 v2 v3 v4 v5", "en", "s1", 0L)
+    ).toDF().write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Text.boilerplateNgrams(spark, dir).collect()
+    val byGram = rows.map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(byGram(banner) === 3L)      // docs 1 (once), 2, 3
+    assert(byGram("v1 v2 v3 v4 v5") === 1L)
+    assert(!byGram.keys.exists(_.startsWith("u1")))
+    assert(rows.head.getString(1) === banner)  // top by n_docs
+    assert(rows.head.getInt(0) === 1)
+    // doc_share uses the FULL doc count (5), including the short doc
+    assert(math.abs(rows.head.getDouble(3) - 0.6) < 1e-12)
+  }
 }
 
 object DecontFixture {
