@@ -182,6 +182,8 @@ object SparkEntry {
     "ann_lsh_topk"             -> (Vectors.annLshTopk _),
     "ann_ivf_topk"             -> (Vectors.annIvfTopk _),
     "embed_quantize_stats"     -> (Vectors.quantizeStats _),
+    "embed_dim_stats"          -> (Vectors.dimStats _),
+    "dedup_lsh_calibration"    -> ((s, d) => Text.lshCalibration(s, d)),
     "sample_cap_per_source"    -> ((s, d) =>
       Sampling.capPerSource(s, d, k = Sampling.HarnessCapK)),
     "knn_label_accuracy"       -> ((s, d) => Vectors.knnLabelAccuracy(s, d)),
@@ -285,7 +287,7 @@ object SparkEntry {
     "text_bpe_segment", "embed_quantize_stats", "sample_cap_per_source",
     "streaming_mix_drift", "streaming_streak_alerts", "streaming_topk",
     "streaming_click_attribution", "streaming_zscore", "streaming_cdc_apply",
-    "text_boilerplate_ngrams")
+    "text_boilerplate_ngrams", "embed_dim_stats", "dedup_lsh_calibration")
 
   /** DuckDB spelling of [[graft.ops.Vectors.lshBucket]]: the 8 sign bits
     * against the SAME hyperplane doubles, interpolated from
@@ -1349,6 +1351,31 @@ object SparkEntry {
          |SELECT a_id, b_id, est_jaccard FROM est
          |ORDER BY est_jaccard DESC, a_id, b_id LIMIT 100""".stripMargin,
 
+    "dedup_lsh_calibration" ->
+      // the whole minhash pipeline re-derived (minhashEstSqlCtes), then
+      // exact distinct-token Jaccard per candidate pair and a per-decile
+      // calibration rollup via order-free micro-unit sums; decile =
+      // floor(est·10) is exact binary arithmetic (k/32 · 10)
+      s"""WITH $minhashEstSqlCtes,
+         |ctk AS (SELECT doc_id, list_distinct(string_split(text, ' ')) toks
+         |  FROM documents),
+         |cpj AS (SELECT est.a_id, est.b_id, est_jaccard,
+         |    len(list_intersect(ta.toks, tb.toks)) icnt,
+         |    len(ta.toks) alen, len(tb.toks) blen
+         |  FROM est JOIN ctk ta ON est.a_id = ta.doc_id
+         |  JOIN ctk tb ON est.b_id = tb.doc_id),
+         |cm AS (SELECT CAST(floor(est_jaccard * 10) AS INT) est_decile,
+         |    CAST(round(round(est_jaccard, 6) * 1e6) AS BIGINT) e6,
+         |    CAST(round(round(CAST(icnt AS DOUBLE) / (alen + blen - icnt), 6) * 1e6) AS BIGINT) x6,
+         |    CAST(round(round(abs(est_jaccard
+         |      - CAST(icnt AS DOUBLE) / (alen + blen - icnt)), 6) * 1e6) AS BIGINT) d6
+         |  FROM cpj)
+         |SELECT est_decile, CAST(count(*) AS BIGINT) n_pairs,
+         |  round(sum(e6) / 1e6 / count(*), 6) mean_est,
+         |  round(sum(x6) / 1e6 / count(*), 6) mean_exact,
+         |  round(sum(d6) / 1e6 / count(*), 6) mean_abs_err
+         |FROM cm GROUP BY est_decile ORDER BY est_decile""".stripMargin,
+
     "dedup_clusters" ->
       // the minhash pipeline's top-100 pairs at est ≥ 0.8, closed into
       // connected components by a recursive CTE (min reachable id =
@@ -1791,6 +1818,26 @@ object SparkEntry {
         |FROM m GROUP BY label ORDER BY label""".stripMargin,
 
     "recon_schema_drift" -> schemaDriftSql,
+
+    "embed_dim_stats" ->
+      // per-dimension audit: float widens to double (exact), Σx / Σx²
+      // as exact DECIMAL(18,9) sums (the embed_centroids rule), variance
+      // once in double as E[x²] − mean² with the identical spelling;
+      // rounded signed columns append + 0 (the −0.0 rule); is_dead
+      // compares the UNROUNDED variance on both engines
+      """WITH u AS (SELECT generate_subscripts(embedding,1) pos, unnest(embedding) val
+        |    FROM embeddings),
+        |d AS (SELECT pos, CAST(val AS DOUBLE) vd FROM u),
+        |a AS (SELECT pos, count(*) n,
+        |    CAST(sum(CAST(vd AS DECIMAL(18,9))) AS DOUBLE) s1,
+        |    CAST(sum(CAST(vd * vd AS DECIMAL(18,9))) AS DOUBLE) s2,
+        |    min(vd) mn, max(vd) mx FROM d GROUP BY pos)
+        |SELECT CAST(pos AS INT) pos, CAST(n AS BIGINT) n,
+        |  round(s1/n, 6) + 0 mean_v,
+        |  round(s2/n - (s1/n)*(s1/n), 6) + 0 var_v,
+        |  round(mn, 6) + 0 min_v, round(mx, 6) + 0 max_v,
+        |  s2/n - (s1/n)*(s1/n) < 1e-6 is_dead
+        |FROM a ORDER BY pos""".stripMargin,
 
     "knn_label_accuracy" ->
       // leave-one-out 5-NN majority-vote label agreement: the pair scan,

@@ -451,6 +451,51 @@ object Text {
       .limit(100)
   }
 
+  /** Calibration audit of the MinHash-LSH near-dup pipeline: for every
+    * band-bucket candidate pair, the 32-component signature ESTIMATE of
+    * Jaccard is compared against the EXACT distinct-token Jaccard, and
+    * the calibration rolls up per estimate decile (n_pairs, mean
+    * estimated, mean exact, mean |error|). This is the tuning loop for
+    * the band/row configuration: a decile whose mean_exact sits far
+    * below mean_est is over-merging (false candidates waste pair work
+    * and, past the dup threshold, delete distinct documents); exact ≫
+    * est in low deciles means the bands under-sample and real dups
+    * escape. Run it on a sample after any (bands, rows, threshold)
+    * change, BEFORE the config deletes a corpus.
+    *
+    * Scale: the candidate frame is the bucket-capped [[minhashPairs]]
+    * (pair volume cap-bounded per bucket, linear in corpus size); the
+    * exact side joins the distinct-token sets to the pairs twice by
+    * doc_id — two hash-join shuffles in the same cost class as the
+    * banded self-join that made the candidates. A production run
+    * persists token sets beside the signature index, so the probe reads
+    * only pair-referenced rows. Determinism: est is exact binary
+    * arithmetic (agree/32); exact Jaccard and |err| round to 6 dp and
+    * aggregate as order-free micro-unit longs (the lm_score
+    * discipline); decile = floor(est·10) is exact (k/32 · 10 has no
+    * rounding). All metrics are non-negative, so no −0.0 exposure. */
+  def lshCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+    def mic(c: Column) = round(round(c, 6) * 1e6, 0).cast("long")
+    val exact =
+      col("icnt").cast("double") / (size(col("ta")) + size(col("tb")) - col("icnt"))
+    minhashPairs(spark, dir)
+      .join(toks.select(col("doc_id").as("a_id"), col("toks").as("ta")), "a_id")
+      .join(toks.select(col("doc_id").as("b_id"), col("toks").as("tb")), "b_id")
+      .withColumn("icnt", size(array_intersect(col("ta"), col("tb"))))
+      .select(floor(col("est_jaccard") * 10).cast("int").as("est_decile"),
+        mic(col("est_jaccard")).as("e6"),
+        mic(exact).as("x6"),
+        mic(abs(col("est_jaccard") - exact)).as("d6"))
+      .groupBy("est_decile")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(col("e6")) / 1e6 / count(lit(1)), 6).as("mean_est"),
+        round(sum(col("x6")) / 1e6 / count(lit(1)), 6).as("mean_exact"),
+        round(sum(col("d6")) / 1e6 / count(lit(1)), 6).as("mean_abs_err"))
+      .orderBy("est_decile")
+  }
+
   /** doc_id + 32 min-hash columns h0..h31 from a (doc_id, toks) frame.
     * Still no shuffle (round 1's explode+groupBy paid a 32-column
     * aggregate for a per-row computation), and since round 6 the 32

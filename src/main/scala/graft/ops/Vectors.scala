@@ -435,4 +435,48 @@ object Vectors {
         round(sum(col("cos6")) / 1e6 / count(lit(1)), 6).as("avg_cosine"))
       .orderBy("label")
   }
+
+  /** Per-DIMENSION embedding-health audit: mean, population variance,
+    * min/max and a dead-dimension flag for each coordinate of the
+    * embedding column. The failure modes this catches — dead dimensions
+    * (an encoder unit stuck at a constant, variance ≈ 0) and collapsed
+    * or saturated coordinates (variance or range far off the others) —
+    * silently degrade every downstream consumer (LSH planes lose a bit
+    * of discrimination, int8 quantization wastes range, cosine distances
+    * compress), so this audit runs BEFORE [[annLshTopk]] /
+    * [[quantizeStats]] ever see the vectors.
+    *
+    * Determinism: the embed_centroids rule — each float widens to double
+    * (exact), per-dim Σx and Σx² accumulate as DECIMAL(18,9) (exact,
+    * order-free), and variance derives once in double as E[x²] − mean²
+    * with the identical left-to-right spelling in the oracle. Rounded
+    * presentation columns append `+ 0` (the −0.0 rule; E[x²] − mean² can
+    * also round to −0.0 from ulp-negative true zeros). `is_dead`
+    * compares the UNROUNDED variance to 1e-6 — deterministic because its
+    * inputs are decimal-exact.
+    *
+    * Scale shape: posexplode is row-local (dim × n rows, no state), the
+    * aggregate partial-combines map-side into exactly `dim` groups, and
+    * everything after the 64-row frame is free. One shuffle of dim-sized
+    * partials at any corpus size. */
+  def dimStats(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(18, 9)
+    val mean = col("s1") / col("n")
+    val varPop = col("s2") / col("n") - mean * mean
+    Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("pos0", "v")))
+      .select((col("pos0") + 1).as("pos"), col("v").cast("double").as("vd"))
+      .groupBy("pos")
+      .agg(count(lit(1)).as("n"),
+        sum(col("vd").cast(dec)).cast("double").as("s1"),
+        sum((col("vd") * col("vd")).cast(dec)).cast("double").as("s2"),
+        min(col("vd")).as("mn"), max(col("vd")).as("mx"))
+      .select(col("pos").cast("int").as("pos"), col("n"),
+        (round(mean, 6) + lit(0)).as("mean_v"),
+        (round(varPop, 6) + lit(0)).as("var_v"),
+        (round(col("mn"), 6) + lit(0)).as("min_v"),
+        (round(col("mx"), 6) + lit(0)).as("max_v"),
+        (varPop < lit(1e-6)).as("is_dead"))
+      .orderBy("pos")
+  }
 }

@@ -24,6 +24,51 @@ class TextSpec extends GraftSpec {
     rows.get((1L, 3L)).foreach(est => assert(est <= 0.3))
   }
 
+  test("lsh calibration: fixture extremes and driver recompute per decile") {
+    // fixture: docs 1/4 identical (est 1.0, exact 1.0 -> decile 10 with
+    // zero error); any other surfaced pair is a near-dup or noise whose
+    // exact Jaccard the driver recomputes below
+    val fix = Text.lshCalibration(spark, fixtureDir).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4))).toMap
+    val ten = fix(10)
+    assert(ten._2 === 1.0 && ten._3 === 1.0 && ten._4 === 0.0,
+      "identical docs must calibrate perfectly in decile 10")
+    // real data: recompute every decile from the op's own candidate
+    // frame + raw token sets, replicating the micro-unit rounding
+    val got = Text.lshCalibration(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4))).toMap
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("t")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val pairs = Text.minhashPairs(spark, sf)
+      .select("a_id", "b_id", "est_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.nonEmpty && got.nonEmpty)
+    def m6(x: Double) = math.rint(
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble * 1e6).toLong
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = pairs.map { case (a, b, est) =>
+      val (ta, tb) = (toks(a), toks(b))
+      val icnt = (ta & tb).size
+      val exact = icnt.toDouble / (ta.size + tb.size - icnt)
+      (math.floor(est * 10).toInt, m6(est), m6(exact), m6(math.abs(est - exact)))
+    }.groupBy(_._1).map { case (dec, xs) =>
+      dec -> (xs.length.toLong, r6(xs.map(_._2).sum / 1e6 / xs.length),
+        r6(xs.map(_._3).sum / 1e6 / xs.length), r6(xs.map(_._4).sum / 1e6 / xs.length))
+    }
+    assert(got.keySet === expect.keySet)
+    expect.foreach { case (dec, (n, e, x, d)) =>
+      val g = got(dec)
+      assert(g._1 === n, s"decile $dec n_pairs")
+      assert(math.abs(g._2 - e) < 2e-6, s"decile $dec mean_est")
+      assert(math.abs(g._3 - x) < 2e-6, s"decile $dec mean_exact")
+      assert(math.abs(g._4 - d) < 2e-6, s"decile $dec mean_abs_err")
+    }
+  }
+
   test("dedup_normalized collapses case/whitespace variants, keeps min doc_id") {
     val dir = writeNormFixture(spark, tmpDir)
     val got = Text.dedupNormalized(spark, dir).collect()

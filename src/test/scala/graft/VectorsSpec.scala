@@ -147,6 +147,62 @@ class VectorsSpec extends GraftSpec {
       assert(g._4 > 0.999 && g._4 <= 1.0, s"label $label cosine sanity")
     }
   }
+
+  test("dim stats: driver recompute per dimension on real data") {
+    val got = Vectors.dimStats(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getBoolean(6))).toMap
+    val raw = Tables.embeddings(spark, sf)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    assert(got.size === 64)
+    def d9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    (1 to 64).foreach { pos =>
+      val xs = raw.map(_(pos - 1))
+      val n = xs.length
+      // the op's exact-decimal spelling: each double rounds to 9 dp, the
+      // sums are exact, variance derives once in double
+      val s1 = xs.map(d9).sum.toDouble
+      val s2 = xs.map(x => d9(x * x)).sum.toDouble
+      val mean = s1 / n
+      val varp = s2 / n - mean * mean
+      val g = got(pos)
+      assert(g._1 === n.toLong, s"pos $pos n")
+      assert(math.abs(g._2 - r6(mean)) < 1e-9, s"pos $pos mean")
+      assert(math.abs(g._3 - r6(varp)) < 1e-9, s"pos $pos var")
+      assert(g._4 === r6(xs.min) && g._5 === r6(xs.max), s"pos $pos min/max")
+      assert(g._6 === (varp < 1e-6), s"pos $pos dead flag")
+      assert(!g._6, s"pos $pos: real data has no dead dims")
+    }
+  }
+
+  test("dim stats: dead / collapsed dimension flags fire, live dims don't") {
+    import spark.implicits._
+    val dir = s"$tmpDir/dimstats"
+    // dim 3 constant (a stuck unit: variance exactly 0), dim 7 nearly
+    // constant (collapsed: tiny jitter below the 1e-6 floor), the rest
+    // live; 40 vectors so every live dim clears the threshold
+    val rows = (0 until 40).map { i =>
+      val v = Array.tabulate(8) {
+        case 2 => 0.5f
+        case 6 => 0.25f + (if (i % 2 == 0) 1e-5f else -1e-5f) * 0.01f
+        case j => ((i * 31 + j * 17) % 13 - 6).toFloat / 7f
+      }
+      VectorsFixture.Emb(i.toLong, v, i % 2)
+    }
+    rows.toDF().write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Vectors.dimStats(spark, dir).collect()
+      .map(r => r.getInt(0) -> (r.getDouble(2), r.getDouble(3), r.getBoolean(6))).toMap
+    assert(got.size === 8)
+    assert(got(3) === ((0.5, 0.0, true)), "constant dim: mean 0.5, var 0, dead")
+    assert(got(7)._3, "collapsed dim flagged dead")
+    ((1 to 8).toSet -- Set(3, 7)).foreach { pos =>
+      assert(!got(pos)._3, s"live dim $pos wrongly flagged")
+      assert(got(pos)._2 > 1e-6, s"live dim $pos variance")
+    }
+  }
 }
 
 object VectorsFixture {
