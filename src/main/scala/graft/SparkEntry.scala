@@ -184,6 +184,7 @@ object SparkEntry {
     "embed_quantize_stats"     -> (Vectors.quantizeStats _),
     "embed_dim_stats"          -> (Vectors.dimStats _),
     "dedup_lsh_calibration"    -> ((s, d) => Text.lshCalibration(s, d)),
+    "events_mad_outliers"      -> (Events.madOutliers _),
     "sample_cap_per_source"    -> ((s, d) =>
       Sampling.capPerSource(s, d, k = Sampling.HarnessCapK)),
     "knn_label_accuracy"       -> ((s, d) => Vectors.knnLabelAccuracy(s, d)),
@@ -287,7 +288,8 @@ object SparkEntry {
     "text_bpe_segment", "embed_quantize_stats", "sample_cap_per_source",
     "streaming_mix_drift", "streaming_streak_alerts", "streaming_topk",
     "streaming_click_attribution", "streaming_zscore", "streaming_cdc_apply",
-    "text_boilerplate_ngrams", "embed_dim_stats", "dedup_lsh_calibration")
+    "text_boilerplate_ngrams", "embed_dim_stats", "dedup_lsh_calibration",
+    "events_mad_outliers")
 
   /** DuckDB spelling of [[graft.ops.Vectors.lshBucket]]: the 8 sign bits
     * against the SAME hyperplane doubles, interpolated from
@@ -1818,6 +1820,24 @@ object SparkEntry {
         |FROM m GROUP BY label ORDER BY label""".stripMargin,
 
     "recon_schema_drift" -> schemaDriftSql,
+
+    "events_mad_outliers" ->
+      // robust median/MAD screen: both medians are DISCRETE order
+      // statistics (quantile_disc ≡ percentile_disc rank ceil(n/2)),
+      // dev is one exact double subtraction, the modified z-score
+      // compares with the identical left-to-right spelling, and a zero
+      // MAD flags nothing on both engines
+      """WITH b AS (SELECT event_type, value v FROM events WHERE value IS NOT NULL),
+        |m AS (SELECT event_type, quantile_disc(v, 0.50) med FROM b GROUP BY 1),
+        |d AS (SELECT b.event_type, v, med, abs(v - med) dev
+        |  FROM b JOIN m USING (event_type)),
+        |md AS (SELECT event_type, quantile_disc(dev, 0.50) mad FROM d GROUP BY 1)
+        |SELECT d.event_type, CAST(count(*) AS BIGINT) n,
+        |  max(med) med, max(mad) mad,
+        |  CAST(sum(CASE WHEN mad > 0 AND dev * 0.6745 / mad > 3.5
+        |    THEN 1 ELSE 0 END) AS BIGINT) n_outliers,
+        |  max(dev) max_dev
+        |FROM d JOIN md USING (event_type) GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "embed_dim_stats" ->
       // per-dimension audit: float widens to double (exact), Σx / Σx²

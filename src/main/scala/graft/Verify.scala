@@ -12,7 +12,11 @@ object Verify {
       writeOracleJson(args(1))
       return
     }
-    val Array(sfDir, outDir) = args
+    // optional third arg: comma-separated query names — dump only those
+    // (spot-checks against alternate corpora without the full board)
+    val (sfDir, outDir) = (args(0), args(1))
+    val only: Set[String] =
+      if (args.length > 2) args(2).split(",").map(_.trim).toSet else Set.empty
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -24,7 +28,9 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     QuietLogs.silenceKnownBoundedWindowWarning()
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

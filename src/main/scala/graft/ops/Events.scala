@@ -484,6 +484,78 @@ object Events {
   }
 
 
+  /** Robust outlier screen per event type: median / MAD (median
+    * absolute deviation) instead of mean / sd — the screen that stays
+    * honest under heavy tails, where [[zscoreOutliers]]' moments are
+    * themselves inflated by the very burst they should flag (one 1000×
+    * spike moves the mean AND the sd, masking its siblings; it moves
+    * the median not at all). A row is an outlier when its modified
+    * z-score 0.6745·|v − med| / MAD exceeds 3.5 (the standard
+    * Iglewicz–Hoaglin cut); a zero MAD (≥ half the values identical)
+    * flags nothing — the robust score is undefined there, and the
+    * spelling guards the division on both engines.
+    *
+    * Output is type-sized (n, median, MAD, n_outliers, max deviation)
+    * — an alerting summary, not a row dump. Determinism: median and
+    * MAD are DISCRETE order statistics (actual data values, the
+    * `percentile_disc` convention — no interpolation arithmetic), the
+    * deviation |v − med| is one exact double subtraction, and the
+    * score compares with the identical left-to-right spelling on both
+    * engines; max_dev is a max over exact doubles (no tie-break
+    * needed).
+    *
+    * Size-gated like [[valuePercentilesByType]]: below the gate each
+    * median is a one-pass `percentile_disc` aggregate; above it both
+    * median passes run [[graft.ops.Selection.valueAtRanks]]
+    * (bucket-then-refine, bounded state — the 100 TB branch). Two
+    * medians = two selection passes by construction (MAD's rank
+    * depends on the first median); each ends in a |types|-row frame
+    * that broadcasts back onto the stream. */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame =
+    madOutliersWith(spark, dir,
+      selection = Tables.tableBytes(spark, dir, "events")
+        > Relational.SinglePassBytes)
+
+  /** Branch-forced form backing [[madOutliers]] — parity-spec'd
+    * bit-identical across the gate. */
+  private[graft] def madOutliersWith(spark: SparkSession, dir: String,
+                                     selection: Boolean): DataFrame = {
+    val base = Tables.events(spark, dir)
+      .select(col("event_type"), col("value").as("v"))
+      .where(col("v").isNotNull)
+    val med = medianByType(base, "v", "med", selection)
+    val dev = base.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("v") - col("med")))
+    val mad = medianByType(dev, "dev", "mad", selection)
+    val score = col("dev") * lit(0.6745) / col("mad")
+    dev.join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        max(col("med")).as("med"), max(col("mad")).as("mad"),
+        sum(when(col("mad") > 0 && score > 3.5, 1L).otherwise(0L))
+          .as("n_outliers"),
+        max(col("dev")).as("max_dev"))
+      .orderBy("event_type")
+  }
+
+  /** Per-type discrete median of `vcol` (rank ceil(n/2) in exact
+    * integer arithmetic): the one-pass percentile_disc aggregate, or
+    * the bounded-state selection plan when `selection` — the
+    * [[valuePercentilesByType]] dispatch applied to a derived frame. */
+  private def medianByType(frame: DataFrame, vcol: String, outName: String,
+                           selection: Boolean): DataFrame =
+    if (!selection)
+      frame.groupBy("event_type")
+        .agg(expr(s"percentile_disc(0.50) WITHIN GROUP (ORDER BY $vcol)")
+          .as(outName))
+    else {
+      val ranks = frame.groupBy("event_type").agg(count(lit(1)).as("cnt"))
+        .select(col("event_type"), expr("(50 * cnt + 99) div 100").as("rank"))
+      Selection.valueAtRanks(frame.select(col("event_type"), col(vcol)),
+          Seq("event_type"), vcol, ranks)
+        .select(col("event_type"), col("value").as(outName))
+    }
+
   /** Trailing-7-day distinct active users per calendar day (plus the
     * same-day count) — the DAU/rolling-WAU staple of every growth
     * dashboard. The event stream collapses to the distinct (user, day)

@@ -252,6 +252,38 @@ class EventsSpec extends GraftSpec {
     assert(small === sel)
   }
 
+  test("MAD outliers: planted spike flagged, zero-MAD guard, gate parity") {
+    val spark0 = spark
+    import spark0.implicits._
+    val d = s"$tmpDir/madfix"
+    def at(id: Long, typ: String, v: Double) =
+      RawEv(id, (1735689600L + id * 60) * 1000000000L, 1L, typ, v, "{}")
+    // type a: values 1..50 + one 10000 spike -> exactly one outlier;
+    // type b: 49×10 + one 1000 -> MAD is 0 (≥ half the devs are 0), so
+    // the guard must flag NOTHING despite the obvious spike
+    val rows = (1 to 50).map(i => at(i.toLong, "a", i.toDouble)) ++
+      Seq(at(51, "a", 10000.0)) ++
+      (52 to 100).map(i => at(i.toLong, "b", 10.0)) ++ Seq(at(101, "b", 1000.0))
+    rows.toDF().write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = Events.madOutliers(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4), r.getDouble(5))).toMap
+    // type a: 51 values, med = value at rank ceil(51/2)=26 -> 26.0;
+    // devs |v-26| = {25..1, 0, 1..24, 9974}; sorted {0,1,1,2,2,...}
+    // puts rank 26 on the upper half of pair 13 -> MAD 13.0;
+    // score(10000) huge -> 1 outlier; score(1)=25*0.6745/13=1.30 < 3.5
+    // -> no false positives
+    assert(got("a") === ((51L, 26.0, 13.0, 1L, 9974.0)))
+    assert(got("b") === ((50L, 10.0, 0.0, 0L, 990.0)),
+      "zero MAD must flag nothing (robust score undefined)")
+    // gate parity: small and selection forms bit-identical on real data
+    val small = Events.madOutliersWith(spark, sf, selection = false)
+      .collect().toSeq
+    val sel = Events.madOutliersWith(spark, sf, selection = true)
+      .collect().toSeq
+    assert(small === sel)
+  }
+
   test("rolling DAU: trailing-7 window hand-computed on a sparse timeline") {
     val spark0 = spark
     import spark0.implicits._
