@@ -185,6 +185,7 @@ object SparkEntry {
     "embed_dim_stats"          -> (Vectors.dimStats _),
     "dedup_lsh_calibration"    -> ((s, d) => Text.lshCalibration(s, d)),
     "events_mad_outliers"      -> (Events.madOutliers _),
+    "corpus_filter_funnel"     -> ((s, d) => Text.filterFunnel(s, d)),
     "sample_cap_per_source"    -> ((s, d) =>
       Sampling.capPerSource(s, d, k = Sampling.HarnessCapK)),
     "knn_label_accuracy"       -> ((s, d) => Vectors.knnLabelAccuracy(s, d)),
@@ -289,7 +290,7 @@ object SparkEntry {
     "streaming_mix_drift", "streaming_streak_alerts", "streaming_topk",
     "streaming_click_attribution", "streaming_zscore", "streaming_cdc_apply",
     "text_boilerplate_ngrams", "embed_dim_stats", "dedup_lsh_calibration",
-    "events_mad_outliers")
+    "events_mad_outliers", "corpus_filter_funnel")
 
   /** DuckDB spelling of [[graft.ops.Vectors.lshBucket]]: the 8 sign bits
     * against the SAME hyperplane doubles, interpolated from
@@ -1820,6 +1821,48 @@ object SparkEntry {
         |FROM m GROUP BY label ORDER BY label""".stripMargin,
 
     "recon_schema_drift" -> schemaDriftSql,
+
+    "corpus_filter_funnel" ->
+      // ordered reject rules with first-failing-rule attribution; the
+      // CASE short-circuits on both engines (stage 1 guards stage 3's
+      // w−1 division); thresholds compare the 4-dp-rounded metrics whose
+      // parity text_quality_score / text_repetition / text_entropy
+      // already prove board-wide; "rule" quoted (DuckDB reserved word)
+      """WITH t AS (SELECT doc_id, text, string_split(text,' ') toks FROM documents),
+        |ec AS (SELECT doc_id, round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) ent
+        |  FROM (SELECT doc_id, tok, count(*) c
+        |        FROM (SELECT doc_id, unnest(toks) tok FROM t) GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |s AS (SELECT t.doc_id, len(toks) w,
+        |    round(CAST(length(text) AS DOUBLE) / len(toks), 4) cpt,
+        |    round(1 - len(list_distinct(list_transform(
+        |        generate_series(1, len(toks) - 1),
+        |        i -> array_to_string(list_slice(toks, i, i + 1), ' '))))
+        |      / CAST(len(toks) - 1 AS DOUBLE), 4) dup2,
+        |    ent
+        |  FROM t LEFT JOIN ec USING (doc_id)),
+        |st AS (SELECT CASE WHEN w < 32 THEN 1
+        |    WHEN cpt > 12.0 THEN 2
+        |    WHEN dup2 > 0.5 THEN 3
+        |    WHEN ent < 2.0 THEN 4 ELSE 5 END st FROM s),
+        |agg AS (SELECT
+        |    sum(CASE WHEN st = 1 THEN 1 ELSE 0 END) rej1,
+        |    sum(CASE WHEN st > 1 THEN 1 ELSE 0 END) rem1,
+        |    sum(CASE WHEN st = 2 THEN 1 ELSE 0 END) rej2,
+        |    sum(CASE WHEN st > 2 THEN 1 ELSE 0 END) rem2,
+        |    sum(CASE WHEN st = 3 THEN 1 ELSE 0 END) rej3,
+        |    sum(CASE WHEN st > 3 THEN 1 ELSE 0 END) rem3,
+        |    sum(CASE WHEN st = 4 THEN 1 ELSE 0 END) rej4,
+        |    sum(CASE WHEN st > 4 THEN 1 ELSE 0 END) rem4
+        |  FROM st)
+        |SELECT u.stage,
+        |  CASE u.stage WHEN 1 THEN 'min_tokens_32' WHEN 2 THEN 'chars_per_token_12'
+        |    WHEN 3 THEN 'bigram_dup_0.5' ELSE 'entropy_2.0' END AS "rule",
+        |  CAST(CASE u.stage WHEN 1 THEN rej1 WHEN 2 THEN rej2
+        |    WHEN 3 THEN rej3 ELSE rej4 END AS BIGINT) n_rejected,
+        |  CAST(CASE u.stage WHEN 1 THEN rem1 WHEN 2 THEN rem2
+        |    WHEN 3 THEN rem3 ELSE rem4 END AS BIGINT) n_remaining
+        |FROM agg, (SELECT unnest([1,2,3,4]) stage) u ORDER BY u.stage""".stripMargin,
 
     "events_mad_outliers" ->
       // robust median/MAD screen: both medians are DISCRETE order

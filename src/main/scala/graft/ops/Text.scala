@@ -148,6 +148,57 @@ object Text {
       .limit(1000)
   }
 
+  /** Composed quality-filter funnel — the shape these scores actually
+    * take in a pretraining pipeline: ordered reject rules, each
+    * document attributed to its FIRST failing rule, and a survival
+    * funnel (n_rejected, n_remaining per stage) as the run's audit
+    * artifact. Rule order follows cost and convention: (1) token count
+    * < 32 (too short to train on — and cheap, so it shields the pricier
+    * rules), (2) chars-per-token > 12 (URL/gibberish blobs), (3)
+    * distinct-bigram duplication > 0.5 (within-doc boilerplate loops,
+    * the [[textRepetition]] metric), (4) token entropy < 2.0 (mode
+    * collapse / keyword stuffing, the [[tokenEntropy]] metric). The
+    * CASE short-circuits per row on both engines, so the stage-1 guard
+    * also protects stage 3's w−1 division.
+    *
+    * Scale shape: scoring is one row-local pass over the scan (native
+    * [[graft.functions.NgramHashes]] / [[graft.functions.TokenEntropy]]
+    * expressions inside whole-stage codegen, nothing explodes); the
+    * funnel is ONE map-side-combined aggregate row (8 conditional
+    * sums) fanned back out to 4 presentation rows by a literal-array
+    * explode — no window, no second shuffle, output size fixed at any
+    * corpus size. Thresholds compare 4-dp-rounded metrics (the
+    * board-proven oracle surface of the underlying score ops), so the
+    * verdicts are engine-stable. */
+  def filterFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NgramHashes.ngramHashes
+    val w = size(split(col("text"), " ")).cast("long")
+    val cpt = round(length(col("text")).cast("double") / w, 4)
+    val dup2 =
+      round(lit(1) - size(ngramHashes(col("text"), 2)).cast("double") / (w - 1), 4)
+    val ent = round(
+      graft.functions.TokenEntropy.tokenEntropy(col("text")).getField("entropy"), 4)
+    val stage = when(w < 32, 1)
+      .when(cpt > 12.0, 2)
+      .when(dup2 > 0.5, 3)
+      .when(ent < 2.0, 4)
+      .otherwise(5)
+    val rules =
+      Seq("min_tokens_32", "chars_per_token_12", "bigram_dup_0.5", "entropy_2.0")
+    val aggCols = (1 to 4).flatMap(s => Seq(
+      sum(when(col("st") === s, 1L).otherwise(0L)).as(s"rej$s"),
+      sum(when(col("st") > s, 1L).otherwise(0L)).as(s"rem$s")))
+    docs(spark, dir).select(stage.as("st"))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .select(explode(array((1 to 4).map(s =>
+        struct(lit(s).as("stage"), lit(rules(s - 1)).as("rule"),
+          col(s"rej$s").as("n_rejected"), col(s"rem$s").as("n_remaining"))): _*))
+        .as("r"))
+      .select(col("r.stage"), col("r.rule"), col("r.n_rejected"),
+        col("r.n_remaining"))
+      .orderBy("stage")
+  }
+
   /** Document fingerprint: min of md5 over all 8-char shingles (a 1-value
     * winnowing sketch) — identical docs get identical fingerprints.
     * Row-local via the native [[graft.functions.MinShingleMd5]] (no

@@ -69,6 +69,40 @@ class TextSpec extends GraftSpec {
     }
   }
 
+  test("filter funnel: one planted doc per reject rule, keepers survive") {
+    val spark0 = spark
+    import spark0.implicits._
+    val d = s"$tmpDir/funnelfix"
+    def doc(id: Long, toks: Seq[String]) = {
+      val text = toks.mkString(" ")
+      TextFixture.Doc(id, text, "en", "fx", text.length.toLong)
+    }
+    // d1: 10 tokens -> stage 1 (too short)
+    // d2: 40 × 20-char tokens -> cpt ≈ 20.5 -> stage 2
+    // d3: "a b a b ..." -> 2 distinct of 39 bigrams, dup2 ≈ 0.95 -> stage 3
+    // d4: 28×"x" + 12 singles interleaved -> entropy 1.9568 < 2 while
+    //     24/39 distinct bigrams keep dup2 at 0.3846 ≤ 0.5 -> stage 4
+    // d5/d6: 40 distinct medium tokens -> keep
+    val letters = "abcdefghijkl".map(_.toString)
+    val d4 = letters.flatMap(l => Seq(l, "x")) ++ Seq.fill(16)("x")
+    val docs = Seq(
+      doc(1, (1 to 10).map(i => s"t$i")),
+      doc(2, (1 to 40).map(i => f"verylongtoken$i%07d")),
+      doc(3, Seq.fill(20)(Seq("a", "b")).flatten),
+      doc(4, d4),
+      doc(5, (1 to 40).map(i => s"alpha$i")),
+      doc(6, (100 to 139).map(i => s"beta$i")))
+    docs.toDF().write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = Text.filterFunnel(spark, d).collect()
+      .map(r => r.getInt(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got === Map(
+      1 -> (("min_tokens_32", 1L, 5L)),
+      2 -> (("chars_per_token_12", 1L, 4L)),
+      3 -> (("bigram_dup_0.5", 1L, 3L)),
+      4 -> (("entropy_2.0", 1L, 2L))))
+  }
+
   test("dedup_normalized collapses case/whitespace variants, keeps min doc_id") {
     val dir = writeNormFixture(spark, tmpDir)
     val got = Text.dedupNormalized(spark, dir).collect()
