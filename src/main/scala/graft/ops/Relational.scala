@@ -596,14 +596,35 @@ object Relational {
       .where(col("l_quantity") < col("threshold")), spark, dir)
   }
 
-  /** Shared report tail: part join + per-brand revenue rollup. */
+  /** Shared report tail: part join + per-brand revenue rollup. The part
+    * dim broadcasts only under the same size gate that picks the
+    * threshold form — the round-14 gate-crossing smoke caught the
+    * unconditional `broadcast(part)` OOM-ing the driver the moment part
+    * outgrew the gate (the window form had correctly stopped broadcasting
+    * the THRESHOLD, but the report tail still pinned the dim). Past the
+    * gate the join shuffles; AQE still broadcasts it if runtime stats
+    * allow. */
   private def q17Report(below: DataFrame, spark: SparkSession, dir: String): DataFrame =
     below
-      .join(broadcast(Tables.part(spark, dir)), col("p_partkey") === col("l_partkey"))
+      .join(gatedDim(spark, dir, "part", Tables.part(spark, dir)),
+        col("p_partkey") === col("l_partkey"))
       .groupBy("p_brand")
       .agg((decSum(col("l_extendedprice")) / 7.0).as("avg_yearly"),
         count(lit(1)).as("n"))
       .orderBy("p_brand")
+
+  /** Growing-dimension broadcast, behind the same size gate that picks
+    * dual query forms: part/supplier scale WITH the data (unlike the
+    * spec-constant region/nation), so a pinned `broadcast()` is a
+    * latent driver OOM — the round-14 10× gate-crossing smoke caught
+    * exactly that in [[q17Report]]. Past the gate the join shuffles
+    * (AQE still broadcasts at runtime if actual stats allow); the
+    * footer-byte probe is the cached [[graft.Tables.tableBytes]], no
+    * Spark job. */
+  private[graft] def gatedDim(spark: SparkSession, dir: String,
+                              name: String, dim: DataFrame): DataFrame =
+    if (Tables.tableBytes(spark, dir, name) <= SinglePassBytes) broadcast(dim)
+    else dim
 
   /** Array / higher-order-function battery over the document corpus —
     * the collection-type coverage the scalar batteries don't touch:
@@ -1085,7 +1106,7 @@ object Relational {
     Tables.lineitem(spark, dir)
       .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
       .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(Tables.supplier(spark, dir)
+      .join(gatedDim(spark, dir, "supplier", Tables.supplier(spark, dir)
         .select(col("s_suppkey"), col("s_nationkey"))),
         col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(cn), col("c_nationkey") === col("cnk"))
@@ -1197,7 +1218,7 @@ object Relational {
     * codegen'd. Part broadcasts. */
   def q19DisjunctiveFilter(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
-      .join(broadcast(Tables.part(spark, dir)),
+      .join(gatedDim(spark, dir, "part", Tables.part(spark, dir)),
         col("p_partkey") === col("l_partkey"))
       .where(
         (col("p_brand") === "Brand#12" && col("p_size").between(1, 15)
@@ -1255,7 +1276,7 @@ object Relational {
     Tables.lineitem(spark, dir)
       .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
       .join(asiaCust, col("o_custkey") === col("c_custkey"), "left_semi")
-      .join(broadcast(Tables.supplier(spark, dir)
+      .join(gatedDim(spark, dir, "supplier", Tables.supplier(spark, dir)
         .select(col("s_suppkey"), col("s_nationkey"))),
         col("l_suppkey") === col("s_suppkey"))
       .groupBy(year(col("o_orderdate")).cast("int").as("yr"))
@@ -1445,7 +1466,7 @@ object Relational {
       .groupBy(col("l_suppkey"))
       .agg(sum(Recon.cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
         .as("rc"))
-      .join(broadcast(Tables.supplier(spark, dir)
+      .join(gatedDim(spark, dir, "supplier", Tables.supplier(spark, dir)
         .select(col("s_suppkey"), col("s_nationkey"))),
         col("l_suppkey") === col("s_suppkey"))
     val perNation = perSup.groupBy(col("s_nationkey"))
