@@ -185,6 +185,7 @@ object SparkEntry {
     "embed_dim_stats"          -> (Vectors.dimStats _),
     "dedup_lsh_calibration"    -> ((s, d) => Text.lshCalibration(s, d)),
     "events_mad_outliers"      -> (Events.madOutliers _),
+    "recon_ks_drift"           -> (Recon.ksDrift _),
     "corpus_filter_funnel"     -> ((s, d) => Text.filterFunnel(s, d)),
     "sample_cap_per_source"    -> ((s, d) =>
       Sampling.capPerSource(s, d, k = Sampling.HarnessCapK)),
@@ -290,7 +291,7 @@ object SparkEntry {
     "streaming_mix_drift", "streaming_streak_alerts", "streaming_topk",
     "streaming_click_attribution", "streaming_zscore", "streaming_cdc_apply",
     "text_boilerplate_ngrams", "embed_dim_stats", "dedup_lsh_calibration",
-    "events_mad_outliers", "corpus_filter_funnel")
+    "events_mad_outliers", "corpus_filter_funnel", "recon_ks_drift")
 
   /** DuckDB spelling of [[graft.ops.Vectors.lshBucket]]: the 8 sign bits
     * against the SAME hyperplane doubles, interpolated from
@@ -1821,6 +1822,36 @@ object SparkEntry {
         |FROM m GROUP BY label ORDER BY label""".stripMargin,
 
     "recon_schema_drift" -> schemaDriftSql,
+
+    "recon_ks_drift" ->
+      // exact two-sample KS: integer arithmetic to the last division —
+      // cross products as HUGEINT (≡ Spark DECIMAL(38,0)), one double
+      // division and the identical critical-value spelling; same-instant
+      // types drop out via the lo < hi guard on both engines
+      """WITH b AS (SELECT event_type, epoch_us(ts) t_us, value v
+        |  FROM events WHERE value IS NOT NULL),
+        |bd AS (SELECT event_type, (min(t_us) + max(t_us)) // 2 mid FROM b GROUP BY 1
+        |  HAVING min(t_us) < max(t_us)),
+        |sd AS (SELECT b.event_type, v, CASE WHEN t_us <= mid THEN 1 ELSE 2 END side
+        |  FROM b JOIN bd USING (event_type)),
+        |cells AS (SELECT event_type, v,
+        |    count(*) FILTER (side = 1) c1, count(*) FILTER (side = 2) c2
+        |  FROM sd GROUP BY 1, 2),
+        |cum AS (SELECT event_type,
+        |    sum(c1) OVER (PARTITION BY event_type ORDER BY v) cum1,
+        |    sum(c2) OVER (PARTITION BY event_type ORDER BY v) cum2
+        |  FROM cells),
+        |tot AS (SELECT event_type,
+        |    count(*) FILTER (side = 1) n1, count(*) FILTER (side = 2) n2
+        |  FROM sd GROUP BY 1),
+        |agg AS (SELECT cum.event_type, n1, n2,
+        |    max(abs(CAST(cum1 AS HUGEINT) * n2 - CAST(cum2 AS HUGEINT) * n1)) ks_num
+        |  FROM cum JOIN tot USING (event_type) GROUP BY 1, 2, 3)
+        |SELECT event_type, CAST(n1 AS BIGINT) n1, CAST(n2 AS BIGINT) n2,
+        |  round(CAST(ks_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2), 6) ks,
+        |  CAST(ks_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2)
+        |    > 1.36 * sqrt((CAST(n1 AS DOUBLE) + n2) / (CAST(n1 AS DOUBLE) * n2)) drifted
+        |FROM agg ORDER BY event_type""".stripMargin,
 
     "corpus_filter_funnel" ->
       // ordered reject rules with first-failing-rule attribution; the

@@ -866,6 +866,66 @@ object Recon {
       .orderBy("bucket")
   }
 
+  /** Two-sample Kolmogorov–Smirnov drift test per event type: the
+    * value distribution of each type's FIRST time-half against its
+    * SECOND (split at the per-type midpoint instant) — the
+    * distribution-shape drift screen that [[psiDrift]]'s fixed buckets
+    * can miss (a within-bucket shape shift leaves every PSI cell
+    * count unchanged; the KS statistic is bucket-free). `drifted`
+    * compares against the 95% two-sample critical value
+    * 1.36·√((n1+n2)/(n1·n2)).
+    *
+    * Exactness: KS = max |CDF₁ − CDF₂| evaluated at observed values is
+    * spelled max |cum1·n2 − cum2·n1| / (n1·n2) — INTEGER arithmetic to
+    * the very last division (cross products as 38-digit decimals —
+    * Spark decimal ≡ DuckDB HUGEINT — so ~10⁹ rows per side cannot
+    * overflow), then one double division and the identical
+    * critical-value spelling on both engines. Types whose events all
+    * share one instant have no second half and drop out (lo < hi
+    * guard) — the same-instant corpus would otherwise divide by an
+    * empty side on one engine and by zero on the other.
+    *
+    * Scale shape: per-type bounds broadcast back onto the stream; the
+    * (type, value, side) collapse partial-combines map-side to the
+    * distinct-value frame; the CDF window sorts only that collapsed
+    * frame within each type partition; the final max is a type-sized
+    * agg. Nothing row-count-sized sorts or buffers. */
+  def ksDrift(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val base = Tables.events(spark, dir)
+      .select(col("event_type"), unix_micros(col("ts")).as("t_us"),
+        col("value").as("v"))
+      .where(col("v").isNotNull)
+    val bounds = base.groupBy("event_type")
+      .agg(min(col("t_us")).as("lo"), max(col("t_us")).as("hi"))
+      .where(col("lo") < col("hi"))
+      .select(col("event_type"), expr("(lo + hi) div 2").as("mid"))
+    val sided = base.join(broadcast(bounds), "event_type")
+      .select(col("event_type"), col("v"),
+        when(col("t_us") <= col("mid"), 1).otherwise(2).as("side"))
+    val cells = sided.groupBy("event_type", "v")
+      .agg(count_if(col("side") === 1).as("c1"),
+        count_if(col("side") === 2).as("c2"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("v"))
+    val cum = cells.select(col("event_type"),
+      sum(col("c1")).over(w).as("cum1"), sum(col("c2")).over(w).as("cum2"))
+    val totals = sided.groupBy("event_type")
+      .agg(count_if(col("side") === 1).as("n1"),
+        count_if(col("side") === 2).as("n2"))
+    val ksRaw = col("ks_num").cast("double") /
+      (col("n1").cast("double") * col("n2"))
+    cum.join(broadcast(totals), "event_type")
+      .groupBy("event_type")
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        max(abs(col("cum1").cast(dec) * col("n2")
+          - col("cum2").cast(dec) * col("n1"))).as("ks_num"))
+      .select(col("event_type"), col("n1"), col("n2"),
+        round(ksRaw, 6).as("ks"),
+        (ksRaw > lit(1.36) * sqrt((col("n1").cast("double") + col("n2"))
+          / (col("n1").cast("double") * col("n2")))).as("drifted"))
+      .orderBy("event_type")
+  }
+
   /** Harness twin of snapshot recon: last night's snapshot is the clean
     * orders table by load month; tonight's is a bad replica (prices
     * rounded from 1997 on, the 1995-01 load missing). The diff must name

@@ -462,4 +462,50 @@ class ReconSpec extends GraftSpec {
     assert(rows.map(_.getDouble(3)).sum > 0.0,
       "the 1.02x drift must register as positive total PSI")
   }
+
+  test("ks drift: planted shift flagged, stationary type is not, " +
+      "same-instant type drops out, exact driver recompute") {
+    val spark0 = spark
+    import spark0.implicits._
+    val d = s"$tmpDir/ksfix"
+    def at(id: Long, typ: String, minute: Long, v: Double) =
+      EventsFixture.RawEv(id, (1735689600L + minute * 60) * 1000000000L,
+        1L, typ, v, "{}")
+    // shift: second half +100 -> KS 1.0, far past crit; flat: halves
+    // from overlapping but different supports -> small KS; solo: all
+    // five events share one instant -> no second half, dropped
+    val rows =
+      (0 until 20).map(i => at(i.toLong, "shift", i.toLong, (i % 10).toDouble)) ++
+      (20 until 40).map(i => at(i.toLong, "shift", i.toLong, (i % 10) + 100.0)) ++
+      (0 until 20).map(i => at(100 + i.toLong, "flat", i.toLong, (i % 10).toDouble)) ++
+      (20 until 40).map(i => at(100 + i.toLong, "flat", i.toLong, (i % 5) * 2.0)) ++
+      (0 until 5).map(i => at(200 + i.toLong, "solo", 7, i.toDouble))
+    rows.toDF().write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = Recon.ksDrift(spark, d).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(got.keySet === Set("shift", "flat"), "solo must drop out")
+    // exact integer recompute of KS = max |cum1*n2 - cum2*n1| / (n1*n2)
+    def ks(h1: Seq[Double], h2: Seq[Double]): (Double, Boolean) = {
+      val (n1, n2) = (h1.length.toLong, h2.length.toLong)
+      val vals = (h1 ++ h2).distinct.sorted
+      val num = vals.map { x =>
+        math.abs(h1.count(_ <= x) * n2 - h2.count(_ <= x) * n1)
+      }.max
+      val k = num.toDouble / (n1.toDouble * n2)
+      (k, k > 1.36 * math.sqrt((n1.toDouble + n2) / (n1.toDouble * n2)))
+    }
+    val (ksShift, drShift) =
+      ks((0 until 20).map(i => (i % 10).toDouble),
+        (20 until 40).map(i => (i % 10) + 100.0))
+    val (ksFlat, drFlat) =
+      ks((0 until 20).map(i => (i % 10).toDouble),
+        (20 until 40).map(i => (i % 5) * 2.0))
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got("shift") === ((20L, 20L, r6(ksShift), drShift)))
+    assert(got("shift")._3 === 1.0 && got("shift")._4, "total shift: KS 1, drifted")
+    assert(got("flat") === ((20L, 20L, r6(ksFlat), drFlat)))
+    assert(!got("flat")._4, "stationary type must not be flagged")
+  }
 }
