@@ -186,6 +186,7 @@ object SparkEntry {
     "dedup_lsh_calibration"    -> ((s, d) => Text.lshCalibration(s, d)),
     "events_mad_outliers"      -> (Events.madOutliers _),
     "recon_ks_drift"           -> (Recon.ksDrift _),
+    "dedup_winnow"             -> ((s, d) => Text.dedupWinnow(s, d)),
     "corpus_filter_funnel"     -> ((s, d) => Text.filterFunnel(s, d)),
     "sample_cap_per_source"    -> ((s, d) =>
       Sampling.capPerSource(s, d, k = Sampling.HarnessCapK)),
@@ -291,7 +292,8 @@ object SparkEntry {
     "streaming_mix_drift", "streaming_streak_alerts", "streaming_topk",
     "streaming_click_attribution", "streaming_zscore", "streaming_cdc_apply",
     "text_boilerplate_ngrams", "embed_dim_stats", "dedup_lsh_calibration",
-    "events_mad_outliers", "corpus_filter_funnel", "recon_ks_drift")
+    "events_mad_outliers", "corpus_filter_funnel", "recon_ks_drift",
+    "dedup_winnow")
 
   /** DuckDB spelling of [[graft.ops.Vectors.lshBucket]]: the 8 sign bits
     * against the SAME hyperplane doubles, interpolated from
@@ -1822,6 +1824,31 @@ object SparkEntry {
         |FROM m GROUP BY label ORDER BY label""".stripMargin,
 
     "recon_schema_drift" -> schemaDriftSql,
+
+    "dedup_winnow" ->
+      // full winnowing re-derivation: shingle md5 stream, vectorized
+      // ROWS-frame window minima (full windows only — the pos <= nwin
+      // join replicates the native scanner's clamp), DISTINCT set,
+      // bucket cap, pair counts; unsigned digest order ≡ hex-string
+      // lexicographic order on both engines
+      """WITH p AS (SELECT doc_id, text,
+        |    unnest(generate_series(1, greatest(length(text)-7, 1))) pos FROM documents),
+        |sh AS (SELECT doc_id, pos, md5(substr(text, CAST(pos AS INT), 8)) h FROM p),
+        |nw AS (SELECT doc_id, greatest(max(pos) - 15, 1) nwin FROM sh GROUP BY 1),
+        |wm AS (SELECT doc_id, pos,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |                 ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) wmin
+        |  FROM sh),
+        |wins AS (SELECT DISTINCT wm.doc_id, wmin fp
+        |  FROM wm JOIN nw ON wm.doc_id = nw.doc_id AND wm.pos <= nw.nwin),
+        |capped AS (SELECT * FROM wins
+        |  QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) <= 50),
+        |pairs AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) shared
+        |  FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a_id, b_id, CAST(shared AS BIGINT) n_shared FROM pairs
+        |WHERE shared >= 2
+        |ORDER BY n_shared DESC, a_id, b_id LIMIT 100""".stripMargin,
 
     "recon_ks_drift" ->
       // exact two-sample KS: integer arithmetic to the last division —

@@ -547,6 +547,46 @@ object Text {
       .orderBy("est_decile")
   }
 
+  /** Winnowing (MOSS) substring-overlap near-dup detection — the
+    * SUBSTRING-level modality the token-set detectors can't see: a
+    * copied passage inside two otherwise-different documents moves
+    * neither their MinHash token sets ([[dedupMinhash]]) nor SimHash
+    * much, but winnowing guarantees any shared run of ≥ k+w−1 chars
+    * (here 8+16−1 = 23) contributes at least one SHARED fingerprint.
+    * Per doc: the distinct per-window minima of md5 over 8-char
+    * shingles, 16 shingles per window (the published guarantee +
+    * density ≈ 2/(w+1) of positions); pairs sharing ≥ 2 fingerprints
+    * rank by shared count.
+    *
+    * Scale shape: fingerprinting is the map-only native
+    * [[graft.functions.WinnowSet]] (one codegen'd pass: digests once,
+    * window scan over the digest buffer — the interpreted slice-lambda
+    * column stack measured 45× slower in the DuckDB twin and is
+    * CodegenFallback in Spark), emitting ~2L/(w+1) fingerprints per
+    * doc, NOT the L-sized shingle stream. The fingerprint buckets get
+    * the [[capBuckets]] treatment (a boilerplate fingerprint shared by
+    * thousands of docs is the same k² skew bomb as an LSH bucket
+    * flood), and the bucket self-join is ONE aliased frame so
+    * ReusedExchange runs the winnow pipeline once (the
+    * [[minhashPairs]] discipline). Oracle re-derives the identical
+    * set via a vectorized ROWS-frame window min over the shingle
+    * stream (full windows only) + DISTINCT. */
+  def dedupWinnow(spark: SparkSession, dir: String): DataFrame = {
+    val wins = graft.FanOut(docs(spark, dir))
+      .select(col("doc_id"),
+        explode(graft.functions.WinnowSet.winnowSet(col("text"), 8, 16))
+          .as("fp"))
+    val capped = capBuckets(wins, Seq("fp"))
+    capped.as("x").hint("shuffle_hash")
+      .join(capped.as("y").hint("shuffle_hash"),
+        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= 2)
+      .orderBy(col("n_shared").desc, col("a_id"), col("b_id"))
+      .limit(100)
+  }
+
   /** doc_id + 32 min-hash columns h0..h31 from a (doc_id, toks) frame.
     * Still no shuffle (round 1's explode+groupBy paid a 32-column
     * aggregate for a per-row computation), and since round 6 the 32

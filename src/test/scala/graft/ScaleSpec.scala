@@ -452,4 +452,61 @@ class ScaleSpec extends GraftSpec {
       s"report ordering must be the in-partition sort, not a sampled " +
         s"range exchange that re-executes the join subtree:\n$exec")
   }
+
+  test("dim stats: single-column scan, one dim-sized exchange, no join") {
+    val exec = graft.ops.Vectors.dimStats(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!exec.contains("Join"),
+      s"per-dimension audit is scan -> explode -> agg only:\n$exec")
+    assert("partial_(count|sum)".r.findFirstIn(exec).isDefined,
+      s"the dim agg must combine map-side:\n$exec")
+    assert("ReadSchema:[^\n]*embedding".r.findFirstIn(exec).isDefined &&
+      !exec.contains("vec_id#"),
+      s"only the embedding column may be read:\n$exec")
+  }
+
+  test("filter funnel: one scan, no window, map-side-combined single agg row") {
+    val exec = graft.ops.Text.filterFunnel(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!exec.contains("Window") && !exec.contains("Join"),
+      s"the funnel must be one conditional-sum aggregate, no window:\n$exec")
+    assert("partial_(count|sum)".r.findFirstIn(exec).isDefined,
+      s"the 8-sum agg must combine map-side:\n$exec")
+  }
+
+  test("winnow dedup: exchange-reused self-join, shuffled-hash buckets") {
+    val q = graft.ops.Text.dedupWinnow(spark, sf)
+    q.collect() // AQE inserts the reuse marker in the FINAL plan
+    val exec = q.queryExecution.executedPlan.toString
+    assert(exec.contains("ReusedQueryStage") || exec.contains("ReusedExchange"),
+      s"the winnow pipeline must run once, reused under both join " +
+        s"sides:\n$exec")
+    assert(exec.contains("ShuffledHashJoin") && !exec.contains("SortMergeJoin"),
+      s"bucket order is meaningless — no sort-merge:\n$exec")
+    assert(exec.contains("winnow_set"),
+      s"fingerprints must come from the native one-pass scanner:\n$exec")
+  }
+
+  test("ks drift: bounds and totals broadcast, window partitioned by type") {
+    val exec = graft.ops.Recon.ksDrift(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(exec.contains("BroadcastHashJoin") && !exec.contains("SortMergeJoin"),
+      s"the type-sized bounds/totals frames must broadcast:\n$exec")
+    assert(!exec.contains("Window [")
+      || !exec.contains("windowspecdefinition()"),
+      s"the CDF window must be partitioned by event_type:\n$exec")
+    assert("partial_(count|sum|min|max)".r.findFirstIn(exec).isDefined,
+      s"the cell collapse must combine map-side:\n$exec")
+  }
+
+  test("lsh calibration: candidate pipeline reused, token joins stay hash joins") {
+    val q = graft.ops.Text.lshCalibration(spark, sf)
+    q.collect() // AQE inserts the reuse marker in the FINAL plan
+    val exec = q.queryExecution.executedPlan.toString
+    assert(exec.contains("ReusedQueryStage") || exec.contains("ReusedExchange"),
+      s"the banded-signature pipeline must run once under both " +
+        s"candidate sides:\n$exec")
+    assert(!exec.contains("SortMergeJoin") && !exec.contains("CartesianProduct"),
+      s"token-set probes are hash joins on doc_id:\n$exec")
+  }
 }
