@@ -909,9 +909,10 @@ object Recon {
     val w = Window.partitionBy(col("event_type")).orderBy(col("v"))
     val cum = cells.select(col("event_type"),
       sum(col("c1")).over(w).as("cum1"), sum(col("c2")).over(w).as("cum2"))
-    val totals = sided.groupBy("event_type")
-      .agg(count_if(col("side") === 1).as("n1"),
-        count_if(col("side") === 2).as("n2"))
+    // totals fold out of the already-collapsed cell frame — no third
+    // pass over the event stream
+    val totals = cells.groupBy("event_type")
+      .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
     val ksRaw = col("ks_num").cast("double") /
       (col("n1").cast("double") * col("n2"))
     cum.join(broadcast(totals), "event_type")

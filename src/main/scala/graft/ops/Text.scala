@@ -526,8 +526,16 @@ object Text {
     * discipline); decile = floor(est·10) is exact (k/32 · 10 has no
     * rounding). All metrics are non-negative, so no −0.0 exposure. */
   def lshCalibration(spark: SparkSession, dir: String): DataFrame = {
+    // tokens pre-hashed to 64-bit for the pair phase (the [[ngramJaccard]]
+    // discipline: LONG intersects beat string intersects ~3×, the
+    // replicated shuffle carries 8 bytes/token, and set sizes — hence
+    // every Jaccard value — are exact unless two DISTINCT tokens collide
+    // in 64 bits, p ≈ |vocab|²/2⁶⁵; the string-set oracle stays the
+    // independent ground truth)
     val toks = docs(spark, dir)
-      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+      .select(col("doc_id"),
+        array_distinct(transform(split(col("text"), " "), t => xxhash64(t)))
+          .as("toks"))
     def mic(c: Column) = round(round(c, 6) * 1e6, 0).cast("long")
     val exact =
       col("icnt").cast("double") / (size(col("ta")) + size(col("tb")) - col("icnt"))
@@ -890,14 +898,11 @@ object Text {
   def boilerplateNgrams(spark: SparkSession, dir: String,
                         n: Int = 5, k: Int = 20): DataFrame = {
     require(n >= 2 && k > 0, s"boilerplateNgrams: bad n=$n k=$k")
-    val toks = filter(split(lower(col("text")), " "), t => t =!= "")
-    // sequence() descends when start > stop, so guard short docs to an
-    // empty gram list instead
-    val grams = when(size(toks) >= n,
-      array_distinct(transform(
-        sequence(lit(1), size(toks) - n + 1),
-        i => array_join(slice(toks, i, lit(n)), " "))))
-      .otherwise(array().cast("array<string>"))
+    // native one-pass distinct word grams (filter/slice/array_join
+    // lambda stack measured 3.3 s at sf0.1 — CodegenFallback per
+    // position; the scanner runs the identical contract, incl. the
+    // short-doc empty array, inside whole-stage codegen at ~0.4 s)
+    val grams = graft.functions.WordNgrams.wordNgrams(lower(col("text")), n)
     val counts = docs(spark, dir)
       .select(explode(grams).as("gram"))
       .groupBy(col("gram")).agg(count(lit(1)).as("n_docs"))
