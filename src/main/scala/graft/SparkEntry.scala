@@ -187,6 +187,7 @@ object SparkEntry {
     "events_mad_outliers"      -> (Events.madOutliers _),
     "recon_ks_drift"           -> (Recon.ksDrift _),
     "dedup_winnow"             -> ((s, d) => Text.dedupWinnow(s, d)),
+    "decontaminate_winnow"     -> ((s, d) => Text.decontaminateWinnow(s, d)),
     "corpus_filter_funnel"     -> ((s, d) => Text.filterFunnel(s, d)),
     "sample_cap_per_source"    -> ((s, d) =>
       Sampling.capPerSource(s, d, k = Sampling.HarnessCapK)),
@@ -293,7 +294,7 @@ object SparkEntry {
     "streaming_click_attribution", "streaming_zscore", "streaming_cdc_apply",
     "text_boilerplate_ngrams", "embed_dim_stats", "dedup_lsh_calibration",
     "events_mad_outliers", "corpus_filter_funnel", "recon_ks_drift",
-    "dedup_winnow")
+    "dedup_winnow", "decontaminate_winnow")
 
   /** DuckDB spelling of [[graft.ops.Vectors.lshBucket]]: the 8 sign bits
     * against the SAME hyperplane doubles, interpolated from
@@ -1824,6 +1825,26 @@ object SparkEntry {
         |FROM m GROUP BY label ORDER BY label""".stripMargin,
 
     "recon_schema_drift" -> schemaDriftSql,
+
+    "decontaminate_winnow" ->
+      // same winnow re-derivation as dedup_winnow, split by source: the
+      // eval (src0) fingerprint set vs every train doc's distinct set;
+      // hits = distinct shared fingerprints, total order (hits DESC, doc)
+      """WITH p AS (SELECT doc_id, source, text,
+        |    unnest(generate_series(1, greatest(length(text)-7, 1))) pos FROM documents),
+        |sh AS (SELECT doc_id, source, pos, md5(substr(text, CAST(pos AS INT), 8)) h FROM p),
+        |nw AS (SELECT doc_id, greatest(max(pos) - 15, 1) nwin FROM sh GROUP BY 1),
+        |wm AS (SELECT doc_id, source, pos,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |                 ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) wmin
+        |  FROM sh),
+        |wins AS (SELECT DISTINCT wm.doc_id, source, wmin fp
+        |  FROM wm JOIN nw ON wm.doc_id = nw.doc_id AND wm.pos <= nw.nwin),
+        |ev AS (SELECT DISTINCT fp FROM wins WHERE source = 'src0')
+        |SELECT doc_id, CAST(count(*) AS BIGINT) hits
+        |FROM wins JOIN ev USING (fp)
+        |WHERE source <> 'src0'
+        |GROUP BY 1 ORDER BY hits DESC, doc_id LIMIT 100""".stripMargin,
 
     "dedup_winnow" ->
       // full winnowing re-derivation: shingle md5 stream, vectorized

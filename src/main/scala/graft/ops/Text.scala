@@ -595,6 +595,39 @@ object Text {
       .limit(100)
   }
 
+  /** SUBSTRING-level benchmark decontamination — the leakage mode the
+    * token-n-gram screen ([[decontaminateNgram]]) underweights: an eval
+    * passage pasted VERBATIM inside a training document shares long
+    * character runs even when tokenization shifts (punctuation fused,
+    * case-folded, markup interleaved) dilute its token trigrams. Winnow
+    * fingerprints carry the published guarantee instead: any shared
+    * run of ≥ k+w−1 = 23 chars contributes at least one shared
+    * fingerprint, so `hits` ≥ 1 for every verbatim passage and grows
+    * with the copied span. Train docs rank by hits against the eval
+    * (src0) split's fingerprint set.
+    *
+    * Scale shape mirrors [[decontaminateNgram]]: the eval split is
+    * SMALL by definition, so its distinct winnow set broadcasts and
+    * the corpus-sized train stream is scored by one map-only native
+    * [[graft.functions.WinnowSet]] pass + broadcast semi-probe + per-doc
+    * count — nothing corpus-sized shuffles by fingerprint. Per-doc
+    * fingerprints are distinct by construction (the set expression), so
+    * hits counts distinct shared fingerprints, bounded by doc length —
+    * a fingerprint-spam document cannot flood the join. */
+  def decontaminateWinnow(spark: SparkSession, dir: String,
+                          evalSource: String = "src0"): DataFrame = {
+    def wins(df: DataFrame): DataFrame = df.select(col("doc_id"),
+      explode(graft.functions.WinnowSet.winnowSet(col("text"), 8, 16)).as("fp"))
+    val d = docs(spark, dir)
+    val evalFps = wins(d.filter(col("source") === evalSource))
+      .select("fp").distinct()
+    wins(d.filter(col("source") =!= evalSource))
+      .join(broadcast(evalFps), "fp")
+      .groupBy("doc_id").agg(count(lit(1)).as("hits"))
+      .orderBy(col("hits").desc, col("doc_id"))
+      .limit(100)
+  }
+
   /** doc_id + 32 min-hash columns h0..h31 from a (doc_id, toks) frame.
     * Still no shuffle (round 1's explode+groupBy paid a 32-column
     * aggregate for a per-row computation), and since round 6 the 32

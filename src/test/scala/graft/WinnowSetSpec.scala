@@ -68,6 +68,33 @@ class WinnowSetSpec extends GraftSpec {
     assert(wc.toSet.intersect(wd.toSet).isEmpty)
   }
 
+  test("decontaminate_winnow: eval passage pasted in a train doc is flagged") {
+    val spark0 = spark
+    import spark0.implicits._
+    val d = s"$tmpDir/decontwinfix"
+    val evalPassage = "what is the capital of france answer paris of course " +
+      "this is benchmark item forty two exactly"
+    val docs = Seq(
+      // the eval split (src0)
+      TextFixture.Doc(1, s"benchmark header $evalPassage benchmark footer",
+        "en", "src0", 1),
+      TextFixture.Doc(2, "another eval item entirely different wording here",
+        "en", "src0", 1),
+      // contaminated train doc: the passage verbatim inside other text
+      TextFixture.Doc(3, s"web page scraped preamble $evalPassage trailing junk",
+        "en", "src1", 1),
+      // clean train doc
+      TextFixture.Doc(4, "completely unrelated training prose with zero " +
+        "overlap in any character window of this text stream", "en", "src2", 1))
+      .map(dc => dc.copy(n_chars = dc.text.length.toLong))
+    docs.toDF().write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = Text.decontaminateWinnow(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.contains(3L) && got(3L) >= 1L,
+      "verbatim eval passage must produce shared winnow fingerprints")
+    assert(!got.contains(4L), "clean doc must not be flagged")
+  }
+
   test("dedup_winnow: planted copied passage surfaces as the top pair") {
     val spark0 = spark
     import spark0.implicits._
