@@ -188,6 +188,7 @@ object SparkEntry {
     "recon_ks_drift"           -> (Recon.ksDrift _),
     "dedup_winnow"             -> ((s, d) => Text.dedupWinnow(s, d)),
     "decontaminate_winnow"     -> ((s, d) => Text.decontaminateWinnow(s, d)),
+    "graph_pagerank"           -> (Graph.pagerankParts _),
     "corpus_filter_funnel"     -> ((s, d) => Text.filterFunnel(s, d)),
     "sample_cap_per_source"    -> ((s, d) =>
       Sampling.capPerSource(s, d, k = Sampling.HarnessCapK)),
@@ -294,7 +295,7 @@ object SparkEntry {
     "streaming_click_attribution", "streaming_zscore", "streaming_cdc_apply",
     "text_boilerplate_ngrams", "embed_dim_stats", "dedup_lsh_calibration",
     "events_mad_outliers", "corpus_filter_funnel", "recon_ks_drift",
-    "dedup_winnow", "decontaminate_winnow")
+    "dedup_winnow", "decontaminate_winnow", "graph_pagerank")
 
   /** DuckDB spelling of [[graft.ops.Vectors.lshBucket]]: the 8 sign bits
     * against the SAME hyperplane doubles, interpolated from
@@ -411,6 +412,43 @@ object SparkEntry {
        |    regexp_replace(w, '(?s)(.)', chr(1) || '\\1' || chr(2), 'g') s
        |  FROM wcap),
        |$iterCtes""".stripMargin
+  }
+
+  /** DuckDB twin of [[graft.ops.Graph.pagerankParts]]: the 8 power
+    * iterations unroll into a MATERIALIZED CTE chain (pr0..pr8 — the
+    * bpeMerges trajectory precedent; without MATERIALIZED DuckDB
+    * re-inlines each pr into the next and the plan grows
+    * exponentially). Arithmetic is the identical integer contract:
+    * HUGEINT ≡ DECIMAL(38,0) products, `//` ≡ `div`, exact long sums —
+    * so rank_ppb matches Spark bit-for-bit at every iteration. */
+  private def pagerankSql: String = {
+    val head =
+      """pairs AS MATERIALIZED (
+        |  SELECT a.l_partkey s, b.l_partkey t, count(*) w
+        |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+        |  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b USING (l_orderkey)
+        |  WHERE a.l_partkey <> b.l_partkey GROUP BY 1, 2),
+        |outw AS MATERIALIZED (SELECT s, sum(w) ow FROM pairs GROUP BY 1),
+        |nodes AS MATERIALIZED (SELECT DISTINCT s AS node FROM pairs),
+        |n AS MATERIALIZED (SELECT count(*) cnt FROM nodes),
+        |pr0 AS MATERIALIZED (
+        |  SELECT node, CAST(1000000000 // cnt AS BIGINT) r FROM nodes CROSS JOIN n)""".stripMargin
+    val iters = (1 to graft.ops.Graph.PagerankIters).map { i =>
+      s"""pr$i AS MATERIALIZED (SELECT nodes.node,
+         |  CAST(150000000 // cnt AS BIGINT) + coalesce(c.sm, 0) r
+         |  FROM nodes CROSS JOIN n LEFT JOIN (
+         |    SELECT t node, CAST(sum(CAST(r AS HUGEINT) * 85 * w
+         |      // (CAST(ow AS HUGEINT) * 100)) AS BIGINT) sm
+         |    FROM pr${i - 1} JOIN pairs ON pr${i - 1}.node = pairs.s
+         |    JOIN outw USING (s) GROUP BY t) c
+         |  ON nodes.node = c.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $head,
+       |$iters
+       |SELECT node AS l_partkey, r AS rank_ppb,
+       |  round(CAST(r AS DOUBLE) / 1e9, 6) + 0 AS rank
+       |FROM pr${graft.ops.Graph.PagerankIters}
+       |ORDER BY r DESC, node LIMIT 20""".stripMargin
   }
 
   private def bpeMergesSql: String = {
@@ -1781,6 +1819,7 @@ object SparkEntry {
     "ann_ivf_topk" -> ivfTopkSql,
 
     "text_bpe_merges" -> bpeMergesSql,
+    "graph_pagerank" -> pagerankSql,
 
     "text_bpe_segment" -> bpeSegmentSql,
 

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -144,5 +145,84 @@ object Graph {
       .sortBy { case (label, size) => (-size, label) }.take(100)
     import spark.implicits._
     clusters.toDF("canonical_id", "cluster_size")
+  }
+
+  /** Fixed number of PageRank power iterations — part of the result
+    * CONTRACT (the oracle unrolls the same count), not a convergence
+    * knob: 8 rounds move the co-purchase ranking well past the 6-dp
+    * presentation surface on this graph family. */
+  private[graft] val PagerankIters = 8
+
+  /** Weighted PageRank over the part co-purchase graph: nodes are
+    * parts, a directed edge s→t weighted by the number of orders whose
+    * baskets contain both s and t (symmetric by construction, so the
+    * graph has no dangling nodes and no rank mass escapes). Damping
+    * 0.85, [[PagerankIters]] power iterations, top 20 parts by rank.
+    *
+    * Every rank is an exact INTEGER in parts-per-billion of total mass
+    * (the playbook's micro-unit-long discipline, taken to its
+    * conclusion: the entire iteration is integer arithmetic, so the
+    * trajectory is bit-identical on any engine and any partitioning):
+    * init = 1e9/N (integer division), per-edge contribution
+    * r·85·w div (ow·100) with 128-bit intermediates (DECIMAL(38,0) ≡
+    * DuckDB HUGEINT — r·85·w overflows a long once an edge co-occurs
+    * in ~10⁸ orders, which a 100 TB corpus reaches), new rank =
+    * 0.15e9/N + Σ contributions (an exact long sum — order-free, so
+    * map-side partial aggregation stays legal). Truncation loses <1%
+    * of total mass over 8 rounds (measured 0.994e9 at sf0.1) and is
+    * part of the contract, applied identically in the oracle.
+    *
+    * 100 TB posture: basket pairing is quadratic in basket size
+    * (bounded at 7 lineitems in TPC-H; a real corpus caps baskets
+    * first — the skew_profile op is the audit for that). The edge
+    * frame materializes ONCE (localCheckpoint) and is reused by all 8
+    * rounds; each round is one broadcast-or-shuffle join of the
+    * node-sized rank frame against edges plus a groupBy(t) whose
+    * partial sums collapse to ≤N rows per partition before the
+    * shuffle. Ranks are NOT force-broadcast (fact-derived — the
+    * round-14 broadcast rule): AQE sees the checkpointed frame's real
+    * size each round and picks broadcast while N is small, shuffle
+    * join once it is not. Rounds are fixed at 8, so the driver holds
+    * only N — no per-round convergence count is needed. */
+  /** The iteration core over an arbitrary weighted edge list
+    * `(s, t, w)` — separated from the harness op so the spec can drive
+    * a hand-built graph through the EXACT production arithmetic and
+    * compare against an independent driver-side recount. Returns the
+    * FULL `(node, r)` rank frame in rank_ppb units. */
+  private[graft] def pagerankRanks(edgesRaw: DataFrame,
+                                   iters: Int = PagerankIters): DataFrame = {
+    val outw = edgesRaw.groupBy("s").agg(sum("w").as("ow"))
+    val edges = truncate(edgesRaw.join(outw, "s"), None)
+    val nodes = edges.select(col("s").as("node")).distinct()
+    val n = nodes.count() // driver scalar: the node count, nothing else
+    require(n > 0, "pagerankRanks: empty edge list")
+    val init = 1000000000L / n
+    val base = 150000000L / n
+    var ranks = nodes.withColumn("r", lit(init))
+    for (_ <- 1 to iters) {
+      val contrib = edges.join(ranks, col("s") === col("node"))
+        .select(col("t"), expr(
+          "CAST(r AS DECIMAL(38,0)) * 85 * w div (CAST(ow AS DECIMAL(38,0)) * 100)"
+        ).as("c"))
+        .groupBy(col("t").as("node")).agg(sum("c").as("sm"))
+      ranks = truncate(
+        nodes.join(contrib, Seq("node"), "left_outer")
+          .select(col("node"),
+            (lit(base) + coalesce(col("sm"), lit(0L))).as("r")), None)
+    }
+    ranks
+  }
+
+  def pagerankParts(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val a = li.toDF("k", "s")
+    val b = li.toDF("k", "t")
+    val edgesRaw = a.join(b, "k").where(col("s") =!= col("t"))
+      .groupBy("s", "t").agg(count(lit(1)).as("w"))
+    pagerankRanks(edgesRaw)
+      .select(col("node").as("l_partkey"), col("r").as("rank_ppb"),
+        round(col("r") / 1e9, 6).as("rank"))
+      .orderBy(desc("rank_ppb"), col("l_partkey")).limit(20)
   }
 }

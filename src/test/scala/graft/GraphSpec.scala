@@ -64,6 +64,63 @@ class GraphSpec extends GraftSpec {
     assert(Graph.unionFindLocal(edges) === components(edges))
   }
 
+  /** Driver-side recount of the EXACT pagerank integer contract
+    * (init 1e9/N, per-edge r·85·w div (ow·100) with 128-bit
+    * intermediates, base 0.15e9/N) — independent of the DataFrame
+    * loop, so a frame-side arithmetic bug cannot self-confirm. */
+  private def localPagerank(edges: Seq[(Long, Long, Long)],
+                            iters: Int): Map[Long, Long] = {
+    val outw = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val nodes = edges.map(_._1).distinct
+    val n = nodes.size
+    var r = nodes.map(_ -> 1000000000L / n).toMap
+    for (_ <- 1 to iters) {
+      val contrib = edges.groupBy(_._2).view.mapValues(_.map {
+        case (s, _, w) =>
+          (BigInt(r(s)) * 85 * w / (BigInt(outw(s)) * 100)).toLong
+      }.sum).toMap
+      r = nodes.map(nd => nd -> (150000000L / n + contrib.getOrElse(nd, 0L)))
+        .toMap
+    }
+    r
+  }
+
+  private def ranksOf(edges: Seq[(Long, Long, Long)], iters: Int): Map[Long, Long] = {
+    val spark0 = spark
+    import spark0.implicits._
+    Graph.pagerankRanks(edges.toDF("s", "t", "w"), iters).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("pagerank: a symmetric two-node graph is an exact fixed point") {
+    // each node holds exactly half the mass forever: 5e8·85·1 div 100
+    // = 425000000, + base 75000000 = 500000000 — zero truncation loss
+    val got = ranksOf(Seq((1L, 2L, 1L), (2L, 1L, 1L)), iters = 4)
+    assert(got === Map(1L -> 500000000L, 2L -> 500000000L))
+  }
+
+  test("pagerank: distributed ranks match the driver-side integer recount") {
+    val edges = Seq(
+      (1L, 2L, 3L), (2L, 1L, 1L), (2L, 3L, 2L), (3L, 1L, 1L),
+      (3L, 4L, 5L), (4L, 5L, 1L), (5L, 1L, 2L), (4L, 1L, 1L), (1L, 3L, 1L))
+    val got = ranksOf(edges, iters = 8)
+    assert(got === localPagerank(edges, iters = 8))
+    // truncation may only LOSE mass, never create it
+    assert(got.values.sum <= 1000000000L)
+    assert(got.values.forall(_ > 0))
+  }
+
+  test("pagerank harness op: top-20 frame shape and presentation contract") {
+    val rows = Graph.pagerankParts(spark, sf).collect()
+    assert(rows.length === 20)
+    val ppb = rows.map(_.getLong(1))
+    assert(ppb.zip(ppb.tail).forall { case (a, b) => a >= b },
+      "rank_ppb must be non-increasing")
+    assert(rows.forall(r => r.getDouble(2) ==
+      math.round(r.getLong(1) / 1e9 * 1e6) / 1e6),
+      "rank is exactly the 6-dp presentation of rank_ppb")
+  }
+
   test("flood fixture: minhash pairs collapse into a single cluster") {
     val floodDir = TextFixture.writeFlood(spark, s"$tmpDir/g")
     val rows = Graph.dedupClusters(spark, floodDir).collect()

@@ -499,6 +499,18 @@ class ScaleSpec extends GraftSpec {
       s"the cell collapse must combine map-side:\n$exec")
   }
 
+  test("pagerank: answer-sized selection over materialized iteration frames") {
+    val q = graft.ops.Graph.pagerankParts(spark, sf)
+    val exec = q.queryExecution.executedPlan.toString
+    assert(exec.contains("TakeOrderedAndProject"),
+      s"top-20 must be a bounded-state selection, not a global sort:\n$exec")
+    assert(exec.contains("ExistingRDD"),
+      s"the final ranks must come from the checkpointed iteration frame " +
+        s"(one materialization per round, no re-derived 8-join lineage):\n$exec")
+    assert(!exec.contains("CartesianProduct") && !exec.contains("SortMergeJoin"),
+      s"nothing in the presentation tail may shuffle-sort or cross:\n$exec")
+  }
+
   test("lsh calibration: candidate pipeline reused, token joins stay hash joins") {
     val q = graft.ops.Text.lshCalibration(spark, sf)
     q.collect() // AQE inserts the reuse marker in the FINAL plan

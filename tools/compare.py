@@ -36,7 +36,7 @@ def table_hash(cols, rows):
         h.update(b"\n")
     return h.hexdigest()
 
-def main(sfdir, outdir):
+def main(sfdir, outdir, only=None):
     con = duckdb.connect()
     con.execute("SET threads=4")
     for t in TABLES:
@@ -44,6 +44,11 @@ def main(sfdir, outdir):
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
+    if only:
+        # mirror Verify's optional per-query filter (comma list) so a
+        # single-op spot-check doesn't FAIL on the 170+ undumped queries
+        keep = set(only.split(","))
+        oracle = {k: v for k, v in oracle.items() if k in keep}
     bad = 0
     for name, sql in sorted(oracle.items()):
         files = glob.glob(os.path.join(outdir, name, "*.parquet"))
@@ -78,7 +83,7 @@ def main(sfdir, outdir):
     # no-oracle queries get a rows-only sanity check (driver records the same)
     for d in sorted(os.listdir(outdir)):
         sub = os.path.join(outdir, d)
-        if not os.path.isdir(sub) or d in oracle:
+        if not os.path.isdir(sub) or d in oracle or (only and d not in only.split(",")):
             continue
         files = glob.glob(os.path.join(sub, "*.parquet"))
         try:
@@ -94,4 +99,5 @@ def main(sfdir, outdir):
     return bad
 
 if __name__ == "__main__":
-    sys.exit(1 if main(sys.argv[1], sys.argv[2]) else 0)
+    sys.exit(1 if main(sys.argv[1], sys.argv[2],
+                       sys.argv[3] if len(sys.argv) > 3 else None) else 0)
