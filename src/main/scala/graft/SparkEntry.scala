@@ -189,6 +189,7 @@ object SparkEntry {
     "dedup_winnow"             -> ((s, d) => Text.dedupWinnow(s, d)),
     "decontaminate_winnow"     -> ((s, d) => Text.decontaminateWinnow(s, d)),
     "graph_pagerank"           -> (Graph.pagerankParts _),
+    "market_basket_lift"       -> (Relational.marketBasketLift _),
     "corpus_filter_funnel"     -> ((s, d) => Text.filterFunnel(s, d)),
     "sample_cap_per_source"    -> ((s, d) =>
       Sampling.capPerSource(s, d, k = Sampling.HarnessCapK)),
@@ -295,7 +296,8 @@ object SparkEntry {
     "streaming_click_attribution", "streaming_zscore", "streaming_cdc_apply",
     "text_boilerplate_ngrams", "embed_dim_stats", "dedup_lsh_calibration",
     "events_mad_outliers", "corpus_filter_funnel", "recon_ks_drift",
-    "dedup_winnow", "decontaminate_winnow", "graph_pagerank")
+    "dedup_winnow", "decontaminate_winnow", "graph_pagerank",
+    "market_basket_lift")
 
   /** DuckDB spelling of [[graft.ops.Vectors.lshBucket]]: the 8 sign bits
     * against the SAME hyperplane doubles, interpolated from
@@ -1820,6 +1822,28 @@ object SparkEntry {
 
     "text_bpe_merges" -> bpeMergesSql,
     "graph_pagerank" -> pagerankSql,
+    "market_basket_lift" ->
+      // exact long counts, one IEEE double division per ratio with the
+      // identical spelling — unrounded doubles already match bit-for-bit
+      """WITH ob AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey k, p_brand brand
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |tot AS MATERIALIZED (SELECT count(DISTINCT k) n_orders FROM ob),
+        |single AS MATERIALIZED (SELECT brand, count(*) c FROM ob GROUP BY 1),
+        |pairs AS MATERIALIZED (
+        |  SELECT a.brand brand_a, b.brand brand_b, count(*) n_ab
+        |  FROM ob a JOIN ob b ON a.k = b.k AND a.brand < b.brand
+        |  GROUP BY 1, 2)
+        |SELECT brand_a, brand_b, n_ab,
+        |  round(CAST(n_ab AS DOUBLE) / n_orders, 4) + 0 AS support,
+        |  round(CAST(n_ab AS DOUBLE) / sa.c, 4) + 0 AS confidence,
+        |  round(CAST(n_ab AS DOUBLE) * n_orders
+        |    / (CAST(sa.c AS DOUBLE) * sb.c), 4) + 0 AS lift
+        |FROM pairs
+        |JOIN single sa ON sa.brand = pairs.brand_a
+        |JOIN single sb ON sb.brand = pairs.brand_b
+        |CROSS JOIN tot
+        |ORDER BY lift DESC, brand_a, brand_b LIMIT 30""".stripMargin,
 
     "text_bpe_segment" -> bpeSegmentSql,
 

@@ -1793,4 +1793,48 @@ object Relational {
         max(col("n")).as("n"))
       .orderBy("l_returnflag")
   }
+
+  /** Market-basket association rules at BRAND granularity: for every
+    * ordered brand pair (a < b), how often the pair co-occurs in an
+    * order basket (support), how often baskets holding a also hold b
+    * (confidence a→b), and whether the co-occurrence beats independence
+    * (lift = P(ab)/(P(a)·P(b))). Top 30 pairs by lift.
+    *
+    * All three ratios derive from exact long counts with ONE double
+    * division each, spelled identically in the oracle — IEEE ×,/ are
+    * exactly-rounded deterministic ops, so even unrounded doubles match
+    * bit-for-bit and the 4-dp round is pure presentation. Lift ties
+    * break on (brand_a, brand_b).
+    *
+    * 100 TB posture: the part dim rides [[gatedDim]] (fact-sized dims
+    * must not force-broadcast — the round-14 rule); baskets distinct
+    * once, then the pair self-join reuses that exchange under both
+    * aliases (AQE ReusedQueryStage, plan-guarded); pair volume is
+    * quadratic in DISTINCT BRANDS PER BASKET, not basket size, and
+    * bounded corpus-wide by brands² group keys, so the shuffle after
+    * map-side combine is at most brands²-sized. The one-row totals
+    * frame broadcasts (answer-sized by construction). */
+  def marketBasketLift(spark: SparkSession, dir: String): DataFrame = {
+    val brands = gatedDim(spark, dir, "part",
+      Tables.part(spark, dir).select(col("p_partkey"), col("p_brand")))
+    val ob = Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey")
+      .join(brands, col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("k"), col("p_brand").as("brand"))
+      .distinct()
+    val tot = ob.agg(countDistinct(col("k")).as("n_orders"))
+    val single = ob.groupBy("brand").agg(count(lit(1)).as("c"))
+    val pairs = ob.toDF("k", "brand_a").join(ob.toDF("k", "brand_b"), "k")
+      .where(col("brand_a") < col("brand_b"))
+      .groupBy("brand_a", "brand_b").agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(single.toDF("brand_a", "ca"), "brand_a")
+      .join(single.toDF("brand_b", "cb"), "brand_b")
+      .crossJoin(broadcast(tot))
+      .select(col("brand_a"), col("brand_b"), col("n_ab"),
+        round(col("n_ab").cast("double") / col("n_orders"), 4).as("support"),
+        round(col("n_ab").cast("double") / col("ca"), 4).as("confidence"),
+        round(col("n_ab").cast("double") * col("n_orders") /
+          (col("ca").cast("double") * col("cb")), 4).as("lift"))
+      .orderBy(desc("lift"), col("brand_a"), col("brand_b")).limit(30)
+  }
 }

@@ -491,4 +491,36 @@ class RelationalSpec extends GraftSpec {
         s"custkey=$ck orderkey=$ok")
     }
   }
+
+  test("marketBasketLift: ratios recompute from a driver-side basket fold") {
+    // independent recount: collect the raw (order, brand) pairs and
+    // rebuild support/confidence/lift with plain Scala collections —
+    // a frame-side join/agg bug cannot self-confirm through this path
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brandOf = Tables.part(spark, sf).select("p_partkey", "p_brand")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val baskets = li.map { case (o, p) => (o, brandOf(p)) }.distinct
+    val nOrders = baskets.map(_._1).distinct.length
+    val cnt = baskets.groupBy(_._2).view.mapValues(_.length).toMap
+    val byOrder =
+      baskets.groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
+    val pairCnt = byOrder.values.toSeq
+      .flatMap(bs => for (a <- bs; b <- bs if a < b) yield (a, b))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val got = Relational.marketBasketLift(spark, sf).collect()
+    assert(got.length === math.min(30, pairCnt.size))
+    got.foreach { r =>
+      val (a, b, nab) = (r.getString(0), r.getString(1), r.getLong(2))
+      assert(nab === pairCnt((a, b)).toLong, s"n_ab for ($a,$b)")
+      def rd(x: Double) = math.round(x * 1e4) / 1e4
+      assert(r.getDouble(3) === rd(nab.toDouble / nOrders), s"support ($a,$b)")
+      assert(r.getDouble(4) === rd(nab.toDouble / cnt(a)), s"confidence ($a,$b)")
+      assert(r.getDouble(5) ===
+        rd(nab.toDouble * nOrders / (cnt(a).toDouble * cnt(b))), s"lift ($a,$b)")
+    }
+    // top-30 is by lift desc with (brand_a, brand_b) tiebreak
+    val lifts = got.map(r => (r.getDouble(5), r.getString(0), r.getString(1)))
+    assert(lifts === lifts.sortBy { case (l, a, b) => (-l, a, b) }.toSeq)
+  }
 }

@@ -511,6 +511,21 @@ class ScaleSpec extends GraftSpec {
       s"nothing in the presentation tail may shuffle-sort or cross:\n$exec")
   }
 
+  test("market basket: basket exchange reused under both pair aliases") {
+    val q = graft.ops.Relational.marketBasketLift(spark, sf)
+    q.collect() // AQE inserts the reuse marker in the FINAL plan
+    val exec = q.queryExecution.executedPlan.toString
+    assert(exec.contains("ReusedQueryStage") || exec.contains("ReusedExchange"),
+      s"the distinct basket frame must materialize once under both " +
+        s"self-join aliases:\n$exec")
+    assert(exec.contains("TakeOrderedAndProject"),
+      s"top-30 must be a bounded-state selection:\n$exec")
+    assert(!exec.contains("CartesianProduct"),
+      s"only the one-row totals broadcast may cross:\n$exec")
+    assert(exec.contains("BroadcastHashJoin"),
+      s"the gated part dim must broadcast at test SF:\n$exec")
+  }
+
   test("lsh calibration: candidate pipeline reused, token joins stay hash joins") {
     val q = graft.ops.Text.lshCalibration(spark, sf)
     q.collect() // AQE inserts the reuse marker in the FINAL plan
