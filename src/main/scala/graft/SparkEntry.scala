@@ -190,6 +190,7 @@ object SparkEntry {
     "decontaminate_winnow"     -> ((s, d) => Text.decontaminateWinnow(s, d)),
     "graph_pagerank"           -> (Graph.pagerankParts _),
     "market_basket_lift"       -> (Relational.marketBasketLift _),
+    "events_cusum_changepoint" -> (Events.cusumChangepoint _),
     "corpus_filter_funnel"     -> ((s, d) => Text.filterFunnel(s, d)),
     "sample_cap_per_source"    -> ((s, d) =>
       Sampling.capPerSource(s, d, k = Sampling.HarnessCapK)),
@@ -297,7 +298,7 @@ object SparkEntry {
     "text_boilerplate_ngrams", "embed_dim_stats", "dedup_lsh_calibration",
     "events_mad_outliers", "corpus_filter_funnel", "recon_ks_drift",
     "dedup_winnow", "decontaminate_winnow", "graph_pagerank",
-    "market_basket_lift")
+    "market_basket_lift", "events_cusum_changepoint")
 
   /** DuckDB spelling of [[graft.ops.Vectors.lshBucket]]: the 8 sign bits
     * against the SAME hyperplane doubles, interpolated from
@@ -1822,6 +1823,33 @@ object SparkEntry {
 
     "text_bpe_merges" -> bpeMergesSql,
     "graph_pagerank" -> pagerankSql,
+    "events_cusum_changepoint" ->
+      // exact offline CUSUM: n·S_i = n·P_i − i·T clears the mean's
+      // denominator, so the argmax day is pure HUGEINT ≡ DECIMAL(38,0)
+      // integer arithmetic; mean_after NULL iff the peak is the last day
+      """WITH daily AS MATERIALIZED (
+        |  SELECT event_type, date_trunc('day', ts) d,
+        |    sum(CAST(round(round(value, 6) * 1e6) AS BIGINT)) x
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |w AS (SELECT event_type, d, x,
+        |    sum(x) OVER (PARTITION BY event_type ORDER BY d) p,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY d) i,
+        |    sum(x) OVER (PARTITION BY event_type) t,
+        |    count(*) OVER (PARTITION BY event_type) n
+        |  FROM daily),
+        |c AS (SELECT event_type, d, p, i, t, n,
+        |    abs(CAST(n AS HUGEINT) * p - CAST(i AS HUGEINT) * t) cv
+        |  FROM w),
+        |r AS (SELECT *, row_number()
+        |    OVER (PARTITION BY event_type ORDER BY cv DESC, d) rn FROM c)
+        |SELECT event_type, CAST(n AS BIGINT) n_days, d AS cp_day,
+        |  round(CAST(cv AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6), 4) + 0 AS cusum_max,
+        |  round(CAST(p AS DOUBLE) / (CAST(i AS DOUBLE) * 1e6), 4) + 0 AS mean_before,
+        |  CASE WHEN i < n THEN
+        |    round(CAST(t - p AS DOUBLE) / (CAST(n - i AS DOUBLE) * 1e6), 4) + 0
+        |  END AS mean_after
+        |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
     "market_basket_lift" ->
       // exact long counts, one IEEE double division per ratio with the
       // identical spelling — unrounded doubles already match bit-for-bit

@@ -777,4 +777,49 @@ object Events {
         sum("len").as("active_days"))
       .orderBy("user_id")
   }
+
+  /** CUSUM changepoint detection per event type: where in the daily
+    * value series does the cumulative deviation from the series mean
+    * peak? The classic offline-CUSUM statistic S_i = Σ_{j≤i}(x_j − x̄)
+    * is kept EXACT by clearing the mean's denominator: with P_i the
+    * integer prefix sum, T the total and n the day count (all in 6-dp
+    * micro-unit longs), n·S_i = n·P_i − i·T — pure 128-bit integer
+    * arithmetic (DECIMAL(38,0) ≡ HUGEINT, the ks_drift recipe), so the
+    * argmax day and the tie-break (earliest day at equal |n·S|) are
+    * bit-deterministic on both engines; the three doubles at the end
+    * are single identically-spelled divisions.
+    *
+    * 100 TB posture: the only corpus-sized work is the daily groupBy
+    * (map-side partial sums); every window below it partitions by
+    * event_type over a (types × days)-sized frame. Divisions are
+    * structurally guarded: n ≥ 1 and i ≥ 1 always, and mean_after is
+    * NULL exactly when the peak sits on the last day (n−i = 0) — same
+    * CASE on both engines. */
+  def cusumChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"), date_trunc("DAY", col("ts")).as("d"))
+      .agg(sum(round(round(col("value"), 6) * 1e6, 0).cast("long")).as("x"))
+    val wOrd = Window.partitionBy("event_type").orderBy("d")
+    val wAll = Window.partitionBy("event_type")
+    daily
+      .withColumn("p", sum("x").over(wOrd))
+      .withColumn("i", row_number().over(wOrd))
+      .withColumn("t", sum("x").over(wAll))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("cv", abs(expr(
+        "CAST(n AS DECIMAL(38,0)) * p - CAST(i AS DECIMAL(38,0)) * t")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy(col("cv").desc, col("d"))))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("n").as("n_days"), col("d").as("cp_day"),
+        round(col("cv").cast("double") / (col("n").cast("double") * 1e6), 4)
+          .as("cusum_max"),
+        round(col("p").cast("double") / (col("i").cast("double") * 1e6), 4)
+          .as("mean_before"),
+        when(col("i") < col("n"),
+          round((col("t") - col("p")).cast("double")
+            / ((col("n") - col("i")).cast("double") * 1e6), 4)).as("mean_after"))
+      .orderBy("event_type")
+  }
 }

@@ -336,6 +336,55 @@ class EventsSpec extends GraftSpec {
       .agg(sum("n_gaps")).collect().head.getLong(0)
     assert(gotGaps === expectedGaps)
   }
+
+  test("cusum changepoint: a planted level shift is found exactly") {
+    import EventsFixture.RawEv
+    val spark0 = spark
+    import spark0.implicits._
+    val day = 86400L * 1000000000L
+    val base = 1735689600L * 1000000000L // 2025-01-01 UTC
+    // type m: 10.0/day for 10 days then 20.0/day for 10 days — CUSUM
+    // |S| peaks at the last low day (S_10 = −50), so cp = 2025-01-10,
+    // cusum_max = 50, mean_before = 10, mean_after = 20
+    val rows = (1 to 20).map { i =>
+      RawEv(i.toLong, base + (i - 1) * day, 1L, "m",
+        if (i <= 10) 10.0 else 20.0, "{}")
+    }
+    val d = s"$tmpDir/cusum"
+    rows.toDF().write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = Events.cusumChangepoint(spark, d).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert(r.getLong(1) === 20L)
+    assert(r.getTimestamp(2).toInstant.toString.startsWith("2025-01-10"))
+    assert(r.getDouble(3) === 50.0)
+    assert(r.getDouble(4) === 10.0)
+    assert(r.getDouble(5) === 20.0)
+  }
+
+  test("cusum changepoint: argmax recomputes from a driver-side BigInt fold") {
+    val daily = Tables.events(spark, sf).filter(col("value").isNotNull)
+      .groupBy(col("event_type"), date_trunc("DAY", col("ts")).as("d"))
+      .agg(sum(round(round(col("value"), 6) * 1e6, 0).cast("long")).as("x"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
+    val expect = daily.groupBy(_._1).map { case (t, rows) =>
+      val xs = rows.sortBy(_._2.getTime).map(x => (x._2, BigInt(x._3)))
+      val (n, tot) = (xs.length, xs.map(_._2).sum)
+      val peaks = xs.scanLeft(BigInt(0))(_ + _._2).tail.zipWithIndex.map {
+        case (p, idx) => (((p * n) - (tot * (idx + 1))).abs, idx)
+      }
+      val best = peaks.minBy { case (cv, idx) => (-cv, idx) }
+      t -> (xs(best._2)._1, best._1)
+    }
+    Events.cusumChangepoint(spark, sf).collect().foreach { r =>
+      val (expDay, expCv) = expect(r.getString(0))
+      assert(r.getTimestamp(2) === expDay, s"cp_day for ${r.getString(0)}")
+      val n = r.getLong(1)
+      assert(r.getDouble(3) ===
+        math.round(expCv.toDouble / (n.toDouble * 1e6) * 1e4) / 1e4,
+        s"cusum_max for ${r.getString(0)}")
+    }
+  }
 }
 
 object EventsFixture {

@@ -526,6 +526,17 @@ class ScaleSpec extends GraftSpec {
       s"the gated part dim must broadcast at test SF:\n$exec")
   }
 
+  test("cusum changepoint: type-partitioned windows over a daily-sized frame") {
+    val exec = graft.ops.Events.cusumChangepoint(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("partial_(count|sum)".r.findFirstIn(exec).isDefined,
+      s"the daily collapse must combine map-side:\n$exec")
+    assert(!exec.contains("Join"),
+      s"prefix/total/argmax all ride windows on the daily frame, no join:\n$exec")
+    assert(!exec.contains("windowspecdefinition()"),
+      s"every window must partition by event_type:\n$exec")
+  }
+
   test("lsh calibration: candidate pipeline reused, token joins stay hash joins") {
     val q = graft.ops.Text.lshCalibration(spark, sf)
     q.collect() // AQE inserts the reuse marker in the FINAL plan
