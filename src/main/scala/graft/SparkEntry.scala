@@ -191,6 +191,7 @@ object SparkEntry {
     "graph_pagerank"           -> (Graph.pagerankParts _),
     "market_basket_lift"       -> (Relational.marketBasketLift _),
     "events_cusum_changepoint" -> (Events.cusumChangepoint _),
+    "orders_pareto_abc"        -> (Relational.paretoAbc _),
     "corpus_filter_funnel"     -> ((s, d) => Text.filterFunnel(s, d)),
     "sample_cap_per_source"    -> ((s, d) =>
       Sampling.capPerSource(s, d, k = Sampling.HarnessCapK)),
@@ -298,7 +299,7 @@ object SparkEntry {
     "text_boilerplate_ngrams", "embed_dim_stats", "dedup_lsh_calibration",
     "events_mad_outliers", "corpus_filter_funnel", "recon_ks_drift",
     "dedup_winnow", "decontaminate_winnow", "graph_pagerank",
-    "market_basket_lift", "events_cusum_changepoint")
+    "market_basket_lift", "events_cusum_changepoint", "orders_pareto_abc")
 
   /** DuckDB spelling of [[graft.ops.Vectors.lshBucket]]: the 8 sign bits
     * against the SAME hyperplane doubles, interpolated from
@@ -1823,6 +1824,28 @@ object SparkEntry {
 
     "text_bpe_merges" -> bpeMergesSql,
     "graph_pagerank" -> pagerankSql,
+    "orders_pareto_abc" ->
+      // value-granular ABC: the oracle spells the DIRECT window form
+      // (cumBefore per distinct value, exact long comparisons at the
+      // 80/95 boundaries); the engine's histogram-threshold algorithm
+      // is provably equivalent by monotonicity of cumBefore in v
+      """WITH rev AS MATERIALIZED (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) * 10000 AS BIGINT) c
+        |  FROM orders GROUP BY 1),
+        |vals AS MATERIALIZED (SELECT c v, sum(c) w FROM rev GROUP BY 1),
+        |tot AS MATERIALIZED (SELECT sum(w) t FROM vals),
+        |cb AS (SELECT v, coalesce(sum(w) OVER (ORDER BY v DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) cumb FROM vals),
+        |cls AS (SELECT r.o_custkey, r.c,
+        |    CASE WHEN 5 * cumb < 4 * t THEN 'A'
+        |         WHEN 20 * cumb < 19 * t THEN 'B' ELSE 'C' END k
+        |  FROM rev r JOIN cb ON r.c = cb.v CROSS JOIN tot)
+        |SELECT k AS abc_class, CAST(count(*) AS BIGINT) n_customers,
+        |  round(CAST(sum(c) AS HUGEINT) / 10000.0, 2) AS revenue,
+        |  round(CAST(sum(c) AS DOUBLE) / CAST(t AS DOUBLE), 4) + 0 AS revenue_share
+        |FROM cls CROSS JOIN tot GROUP BY k, t ORDER BY k""".stripMargin,
+
     "events_cusum_changepoint" ->
       // exact offline CUSUM: n·S_i = n·P_i − i·T clears the mean's
       // denominator, so the argmax day is pure HUGEINT ≡ DECIMAL(38,0)

@@ -1837,4 +1837,86 @@ object Relational {
           (col("ca").cast("double") * col("cb")), 4).as("lift"))
       .orderBy(desc("lift"), col("brand_a"), col("brand_b")).limit(30)
   }
+
+  /** Pareto / ABC classification of customers by lifetime revenue:
+    * class A = the top customers holding the first 80 % of total
+    * revenue, B = the next 15 %, C = the tail. Classes are defined at
+    * REVENUE-VALUE granularity (every customer with the same total
+    * lands in the same class; the crossing value belongs wholly to the
+    * upper class): v is A iff 5·cumBefore(v) < 4·T where cumBefore is
+    * the revenue strictly above v and T the grand total — exact long
+    * comparisons, no ratio doubles anywhere near a boundary.
+    *
+    * The naive spelling is a GLOBAL ordered running sum over every
+    * customer — an unpartitioned window, the textbook all-to-one scale
+    * cliff. This op instead finds the two value thresholds with the
+    * [[Selection]] two-round histogram discipline: (1) per-value
+    * weights bucketed into ≤1025 fixed-width bins whose per-bin sums
+    * collect to the driver (bounded by the CONSTANT bin count — the
+    * same class as valueAtRanks' bucket frame); the desc-cumulative
+    * bin walk locates each threshold's bin and its exact weight
+    * offset; (2) one pass over ONLY the boundary bins (≈1/1024 of
+    * distinct values) with a bin-PARTITIONED window yields the exact
+    * thresholds; (3) the final classification is a map-side CASE on
+    * the checkpointed per-customer frame — no global sort, no
+    * unpartitioned window, every shuffle group- or bin-sized.
+    * Monotonicity of cumBefore in v proves the threshold form
+    * (v ≥ t80 ⟺ 5·cumBefore(v) < 4T) equal to the oracle's direct
+    * window spelling; the spec pins it on a boundary-splitting
+    * fixture. Money in exact 1e-4-unit longs ([[Recon.cents]]). */
+  def paretoAbc(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.orders(spark, dir).groupBy(col("o_custkey"))
+      .agg(sum(Recon.cents(col("o_totalprice"))).as("c"))
+      .localCheckpoint(true)
+    val vals = rev.groupBy(col("c").as("v")).agg(sum("c").as("w"))
+      .localCheckpoint(true)
+    val head = vals.agg(min("v"), max("v"), sum("w")).head()
+    val (mn, mx, t) = (head.getLong(0), head.getLong(1), head.getLong(2))
+    require(t > 0, s"paretoAbc: no positive revenue under $dir")
+    val width = math.max(1L, (mx - mn) / 1024L + 1L)
+    val bucketCol = expr(s"(v - ${mn}L) div ${width}L")
+    // ≤1025 rows by construction: bin count is a compile-time constant
+    val bins = vals.groupBy(bucketCol.as("b")).agg(sum("w").as("bw"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
+    /** Walks bins from the top: the threshold bin is the SMALLEST bin
+      * whose top value still satisfies den·cumAbove < num·T. */
+    def boundaryBin(num: Long, den: Long): (Long, Long) = {
+      var cumAbove = 0L
+      var best = (bins.head._1, 0L)
+      val it = bins.iterator
+      var going = true
+      while (going && it.hasNext) {
+        val (b, bw) = it.next()
+        if (den * cumAbove < num * t) { best = (b, cumAbove); cumAbove += bw }
+        else going = false
+      }
+      best
+    }
+    val (b80, off80) = boundaryBin(4L, 5L)
+    val (b95, off95) = boundaryBin(19L, 20L)
+    val wIn = Window.partitionBy("b").orderBy(col("v").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val boundary = vals.withColumn("b", bucketCol)
+      .filter(col("b") === b80 || col("b") === b95)
+      .withColumn("cumb", coalesce(sum("w").over(wIn), lit(0L)))
+    def threshold(b: Long, off: Long, num: Long, den: Long): Long = {
+      val r = boundary.filter(col("b") === b &&
+          lit(den) * (lit(off) + col("cumb")) < lit(num) * lit(t))
+        .agg(min("v")).head()
+      require(!r.isNullAt(0), s"paretoAbc: empty boundary bin $b")
+      r.getLong(0)
+    }
+    val t80 = threshold(b80, off80, 4L, 5L)
+    val t95 = threshold(b95, off95, 19L, 20L)
+    rev.select(
+        when(col("c") >= t80, "A").when(col("c") >= t95, "B").otherwise("C")
+          .as("abc_class"), col("c"))
+      .groupBy("abc_class")
+      .agg(count(lit(1)).as("n_customers"), sum("c").as("cents"))
+      .select(col("abc_class"), col("n_customers"),
+        round(Recon.uncents(col("cents")), 2).as("revenue"),
+        round(col("cents").cast("double") / lit(t).cast("double"), 4)
+          .as("revenue_share"))
+      .orderBy("abc_class")
+  }
 }

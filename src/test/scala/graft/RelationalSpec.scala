@@ -523,4 +523,53 @@ class RelationalSpec extends GraftSpec {
     val lifts = got.map(r => (r.getDouble(5), r.getString(0), r.getString(1)))
     assert(lifts === lifts.sortBy { case (l, a, b) => (-l, a, b) }.toSeq)
   }
+
+  test("paretoAbc: exact boundary equality pushes the crossing value down a class") {
+    val spark0 = spark
+    import spark0.implicits._
+    // 80/15/5: cumBefore(15)=80% hits the A-boundary EXACTLY (5·cumb =
+    // 4·T) → strict < demotes it to B; cumBefore(5)=95% hits the
+    // B-boundary exactly → C. The all-equality adversarial case.
+    val dir = s"$tmpDir/abc"
+    Seq((1L, 80.0), (2L, 15.0), (3L, 5.0)).toDF("o_custkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = Relational.paretoAbc(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.toSeq === Seq(
+      ("A", 1L, 80.0, 0.8), ("B", 1L, 15.0, 0.15), ("C", 1L, 5.0, 0.05)))
+  }
+
+  test("paretoAbc: same-revenue customers share a class; sf recount agrees") {
+    // independent driver fold of the DIRECT definition (desc cumBefore
+    // per distinct value, exact long boundary comparisons) — must match
+    // the histogram-threshold algorithm's aggregate output at sf
+    val rev = Tables.orders(spark, sf).select("o_custkey", "o_totalprice")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(x =>
+        BigDecimal(x._2).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          .underlying.unscaledValue.longValue).sum).toMap
+    val t = rev.values.map(BigInt(_)).sum
+    val byVal = rev.values.groupBy(identity).view
+      .mapValues(vs => BigInt(vs.head) * vs.size).toMap
+    val sortedVals = byVal.keys.toSeq.sortBy(-_)
+    val cumBefore = sortedVals.zip(
+      sortedVals.scanLeft(BigInt(0))((a, v) => a + byVal(v))).toMap
+    def cls(c: Long): String = {
+      val cb = cumBefore(c)
+      if (cb * 5 < t * 4) "A" else if (cb * 20 < t * 19) "B" else "C"
+    }
+    val expect = rev.toSeq.groupBy { case (_, c) => cls(c) }.view
+      .mapValues(xs => (xs.size.toLong, xs.map(x => BigInt(x._2)).sum)).toMap
+    val got = Relational.paretoAbc(spark, sf).collect()
+    assert(got.map(_.getString(0)).toSeq === expect.keys.toSeq.sorted)
+    got.foreach { r =>
+      val (n, cents) = expect(r.getString(0))
+      assert(r.getLong(1) === n, s"n_customers for ${r.getString(0)}")
+      assert(math.abs(r.getDouble(2) - cents.toDouble / 1e4) < 0.5,
+        s"revenue for ${r.getString(0)}")
+      assert(r.getDouble(3) ===
+        math.round(cents.toDouble / t.toDouble * 1e4) / 1e4,
+        s"revenue_share for ${r.getString(0)}")
+    }
+  }
 }

@@ -537,6 +537,19 @@ class ScaleSpec extends GraftSpec {
       s"every window must partition by event_type:\n$exec")
   }
 
+  test("pareto abc: no unpartitioned window, map-side classification") {
+    val exec = graft.ops.Relational.paretoAbc(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!exec.contains("windowspecdefinition()") && !exec.contains("Window ["),
+      s"the final classify/agg must be windowless (thresholds are " +
+        s"pre-resolved literals — the whole point of the histogram pass):\n$exec")
+    assert("partial_(count|sum)".r.findFirstIn(exec).isDefined,
+      s"the class rollup must combine map-side:\n$exec")
+    assert(exec.contains("ExistingRDD"),
+      s"the per-customer frame must be the checkpointed one, not a " +
+        s"re-derived scan:\n$exec")
+  }
+
   test("lsh calibration: candidate pipeline reused, token joins stay hash joins") {
     val q = graft.ops.Text.lshCalibration(spark, sf)
     q.collect() // AQE inserts the reuse marker in the FINAL plan
