@@ -192,6 +192,7 @@ object SparkEntry {
     "market_basket_lift"       -> (Relational.marketBasketLift _),
     "events_cusum_changepoint" -> (Events.cusumChangepoint _),
     "orders_pareto_abc"        -> (Relational.paretoAbc _),
+    "recon_benford"            -> (Recon.benford _),
     "corpus_filter_funnel"     -> ((s, d) => Text.filterFunnel(s, d)),
     "sample_cap_per_source"    -> ((s, d) =>
       Sampling.capPerSource(s, d, k = Sampling.HarnessCapK)),
@@ -299,7 +300,8 @@ object SparkEntry {
     "text_boilerplate_ngrams", "embed_dim_stats", "dedup_lsh_calibration",
     "events_mad_outliers", "corpus_filter_funnel", "recon_ks_drift",
     "dedup_winnow", "decontaminate_winnow", "graph_pagerank",
-    "market_basket_lift", "events_cusum_changepoint", "orders_pareto_abc")
+    "market_basket_lift", "events_cusum_changepoint", "orders_pareto_abc",
+    "recon_benford")
 
   /** DuckDB spelling of [[graft.ops.Vectors.lshBucket]]: the 8 sign bits
     * against the SAME hyperplane doubles, interpolated from
@@ -1824,6 +1826,36 @@ object SparkEntry {
 
     "text_bpe_merges" -> bpeMergesSql,
     "graph_pagerank" -> pagerankSql,
+    "recon_benford" ->
+      // the nine Benford probabilities are the IDENTICAL double
+      // literals (no engine log10 — libm last-ulp risk); first digit
+      // via integer-string arithmetic on the DECIMAL(18,4) unscaled
+      // long; χ² total = 6-dp-rounded parts summed as micro-unit longs
+      """WITH b AS (SELECT unnest([1,2,3,4,5,6,7,8,9]) digit,
+        |    unnest(CAST([0.3010299956639812,0.17609125905568124,
+        |      0.12493873660829992,0.09691001300805642,0.07918124604762482,
+        |      0.06694678963061322,0.05799194697768673,0.05115252244738129,
+        |      0.04575749056067514] AS DOUBLE[])) p),
+        |obs AS MATERIALIZED (
+        |  SELECT CAST(substr(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+        |      * 10000 AS BIGINT) AS VARCHAR), 1, 1) AS INT) digit, count(*) o
+        |  FROM lineitem WHERE l_extendedprice > 0 GROUP BY 1),
+        |j AS (SELECT b.digit, coalesce(o, 0) o, p FROM b LEFT JOIN obs USING (digit)),
+        |tot AS (SELECT sum(o) n FROM j),
+        |parts AS (SELECT digit, o, p, n,
+        |    round((CAST(o AS DOUBLE) - CAST(n AS DOUBLE) * p)
+        |      * (CAST(o AS DOUBLE) - CAST(n AS DOUBLE) * p)
+        |      / (CAST(n AS DOUBLE) * p), 6) chi2_part
+        |  FROM j CROSS JOIN tot),
+        |ct AS (SELECT sum(CAST(round(chi2_part * 1e6) AS BIGINT)) ctm FROM parts)
+        |SELECT digit, CAST(o AS BIGINT) n_obs,
+        |  round(CAST(o AS DOUBLE) / n, 4) + 0 AS obs_share,
+        |  CAST(round(p, 4) AS DOUBLE) AS exp_share,
+        |  chi2_part,
+        |  round(CAST(ctm AS DOUBLE) / 1e6, 4) AS chi2_total,
+        |  CAST(ctm AS DOUBLE) / 1e6 > 15.507 AS drifted
+        |FROM parts CROSS JOIN ct ORDER BY digit""".stripMargin,
+
     "orders_pareto_abc" ->
       // value-granular ABC: the oracle spells the DIRECT window form
       // (cumBefore per distinct value, exact long comparisons at the

@@ -1102,4 +1102,57 @@ object Recon {
       max(col(key)).as("key_max"))
     (observed, obs)
   }
+
+  /** The nine Benford first-digit probabilities log10(1 + 1/d) as
+    * LITERALS, not engine log10 calls: libm implementations may differ
+    * in the last ulp between engines, and a constant lookup is the
+    * deterministic spelling (the oracle carries the identical list). */
+  private val BenfordP: Seq[(Int, Double)] = Seq(
+    1 -> 0.3010299956639812, 2 -> 0.17609125905568124,
+    3 -> 0.12493873660829992, 4 -> 0.09691001300805642,
+    5 -> 0.07918124604762482, 6 -> 0.06694678963061322,
+    7 -> 0.05799194697768673, 8 -> 0.05115252244738129,
+    9 -> 0.04575749056067514)
+
+  /** Benford's-law first-digit drift test over `l_extendedprice` —
+    * the fraud/corruption screen a financial recon suite runs: a load
+    * whose leading-digit mix departs from log10(1+1/d) signals
+    * fabricated or truncated amounts (here TPC-H's uniform-ish prices
+    * drift by construction — the test exists to catch CHANGE in the
+    * statistic between loads). χ² against the literal expectations,
+    * per-digit contributions rounded 6-dp then summed as exact
+    * micro-unit longs (order-free — the playbook's small-sum
+    * determinism trick), df = 8 critical value 15.507 at α = 0.05.
+    *
+    * First significant digit comes from the DECIMAL(18,4)-unscaled
+    * long's leading character — integer-string arithmetic, no float
+    * log anywhere. 100 TB posture: one map-side-combined 9-group
+    * aggregate over the scan; everything after is 9-row frames and
+    * singleton broadcasts. */
+  def benford(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val b = BenfordP.toDF("digit", "p")
+    val obs = Tables.lineitem(spark, dir)
+      .filter(col("l_extendedprice") > 0)
+      .select(substring(cents(col("l_extendedprice")).cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("o"))
+    val j = broadcast(b).join(obs, Seq("digit"), "left_outer")
+      .select(col("digit"), coalesce(col("o"), lit(0L)).as("o"), col("p"))
+    val tot = j.agg(sum("o").as("n"))
+    val dev = col("o").cast("double") - col("n").cast("double") * col("p")
+    val parts = j.crossJoin(broadcast(tot))
+      .withColumn("chi2_part",
+        round(dev * dev / (col("n").cast("double") * col("p")), 6))
+    val ct = parts.agg(
+      sum(round(col("chi2_part") * 1e6, 0).cast("long")).as("ctm"))
+    parts.crossJoin(broadcast(ct))
+      .select(col("digit"), col("o").as("n_obs"),
+        round(col("o").cast("double") / col("n"), 4).as("obs_share"),
+        round(col("p"), 4).as("exp_share"),
+        col("chi2_part"),
+        round(col("ctm").cast("double") / 1e6, 4).as("chi2_total"),
+        (col("ctm").cast("double") / 1e6 > 15.507).as("drifted"))
+      .orderBy("digit")
+  }
 }

@@ -508,4 +508,46 @@ class ReconSpec extends GraftSpec {
     assert(got("flat") === ((20L, 20L, r6(ksFlat), drFlat)))
     assert(!got("flat")._4, "stationary type must not be flagged")
   }
+
+  test("benford: a conforming population is not flagged; counts recount") {
+    val spark0 = spark
+    import spark0.implicits._
+    // counts = round(10000·p_d) sum to exactly 10000; χ² is then the
+    // pure rounding residue (≪ 15.507) — drifted must be false
+    val p = Seq(0.3010299956639812, 0.17609125905568124, 0.12493873660829992,
+      0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+      0.05799194697768673, 0.05115252244738129, 0.04575749056067514)
+    val counts = p.map(x => math.round(x * 10000).toInt)
+    assert(counts.sum === 10000)
+    val dir = s"$tmpDir/benford"
+    counts.zipWithIndex.flatMap { case (c, i) =>
+      // price (i+1)·10^k varies magnitude; first digit stays i+1
+      (0 until c).map(j => (j.toLong, (i + 1) * math.pow(10, j % 3)))
+    }.toDF("l_orderkey", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = Recon.benford(spark, dir).collect()
+    assert(got.length === 9)
+    got.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getInt(0) === i + 1)
+      assert(r.getLong(1) === counts(i).toLong, s"n_obs digit ${i + 1}")
+      assert(!r.getBoolean(6), "conforming population flagged as drifted")
+    }
+    // χ² total is the sum of the 6-dp parts (micro-unit-long exactness)
+    val expTotal = got.map(r => math.round(r.getDouble(4) * 1e6)).sum / 1e6
+    assert(got.head.getDouble(5) ===
+      math.round(expTotal * 1e4) / 1e4)
+  }
+
+  test("benford: sf digit counts recompute from the raw prices") {
+    val raw = Tables.lineitem(spark, sf).select("l_extendedprice")
+      .collect().map(_.getDouble(0)).filter(_ > 0)
+    val expect = raw.groupBy(p =>
+        BigDecimal(p).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          .underlying.unscaledValue.toString.head.asDigit)
+      .view.mapValues(_.length.toLong).toMap
+    val got = Recon.benford(spark, sf).collect()
+    assert(got.map(r => r.getInt(0) -> r.getLong(1)).toMap ===
+      (1 to 9).map(d => d -> expect.getOrElse(d, 0L)).toMap)
+    assert(got.map(_.getLong(1)).sum === raw.length.toLong)
+  }
 }

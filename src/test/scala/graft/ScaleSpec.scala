@@ -537,6 +537,17 @@ class ScaleSpec extends GraftSpec {
       s"every window must partition by event_type:\n$exec")
   }
 
+  test("benford: one 9-group map-combined scan, all joins broadcast") {
+    val exec = graft.ops.Recon.benford(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("partial_count".r.findFirstIn(exec).isDefined,
+      s"the digit histogram must combine map-side:\n$exec")
+    assert(!exec.contains("SortMergeJoin") && !exec.contains("ShuffledHashJoin"),
+      s"expectations frame and singleton totals must broadcast:\n$exec")
+    assert(!exec.contains("Window"),
+      s"the chi2 total rides a 9-row re-aggregate, not a window:\n$exec")
+  }
+
   test("pareto abc: no unpartitioned window, map-side classification") {
     val exec = graft.ops.Relational.paretoAbc(spark, sf)
       .queryExecution.executedPlan.toString
