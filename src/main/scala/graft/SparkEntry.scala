@@ -193,6 +193,7 @@ object SparkEntry {
     "events_cusum_changepoint" -> (Events.cusumChangepoint _),
     "orders_pareto_abc"        -> (Relational.paretoAbc _),
     "recon_benford"            -> (Recon.benford _),
+    "text_readability"         -> ((s, d) => Text.readability(s, d)),
     "corpus_filter_funnel"     -> ((s, d) => Text.filterFunnel(s, d)),
     "sample_cap_per_source"    -> ((s, d) =>
       Sampling.capPerSource(s, d, k = Sampling.HarnessCapK)),
@@ -301,7 +302,7 @@ object SparkEntry {
     "events_mad_outliers", "corpus_filter_funnel", "recon_ks_drift",
     "dedup_winnow", "decontaminate_winnow", "graph_pagerank",
     "market_basket_lift", "events_cusum_changepoint", "orders_pareto_abc",
-    "recon_benford")
+    "recon_benford", "text_readability")
 
   /** DuckDB spelling of [[graft.ops.Vectors.lshBucket]]: the 8 sign bits
     * against the SAME hyperplane doubles, interpolated from
@@ -1826,6 +1827,30 @@ object SparkEntry {
 
     "text_bpe_merges" -> bpeMergesSql,
     "graph_pagerank" -> pagerankSql,
+    "text_readability" ->
+      // effective sentences = max(punctuation runs, ceil(w/16)) — the
+      // documented fallback for this punctuation-free corpus; scores
+      // are single identically-spelled double expressions
+      """WITH m AS (SELECT doc_id,
+        |    len(string_split(text, ' ')) w,
+        |    len(regexp_extract_all(text, '[.!?]+')) sp,
+        |    len(regexp_extract_all(lower(text), '[aeiouy]+')) syl,
+        |    len(regexp_extract_all(text, '[^ ]{7,}')) lw
+        |  FROM documents),
+        |e AS (SELECT doc_id, w, greatest(sp, (w + 15) // 16) s, syl, lw FROM m)
+        |SELECT doc_id, CAST(w AS BIGINT) n_words, CAST(s AS BIGINT) n_sentences,
+        |  CAST(syl AS BIGINT) n_syllables, CAST(lw AS BIGINT) n_long,
+        |  CASE WHEN w > 0 THEN
+        |    round(206.835 - 1.015 * (CAST(w AS DOUBLE) / s)
+        |      - 84.6 * (CAST(syl AS DOUBLE) / w), 6) + 0 END AS fre,
+        |  CASE WHEN w > 0 THEN
+        |    round(0.39 * (CAST(w AS DOUBLE) / s)
+        |      + 11.8 * (CAST(syl AS DOUBLE) / w) - 15.59, 6) + 0 END AS fk_grade,
+        |  CASE WHEN w > 0 THEN
+        |    round(CAST(w AS DOUBLE) / s
+        |      + 100.0 * CAST(lw AS DOUBLE) / w, 6) + 0 END AS lix
+        |FROM e ORDER BY doc_id LIMIT 1000""".stripMargin,
+
     "recon_benford" ->
       // the nine Benford probabilities are the IDENTICAL double
       // literals (no engine log10 — libm last-ulp risk); first digit

@@ -23,6 +23,50 @@ object Text {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
 
+  /** Readability profile per document: Flesch reading ease, Flesch–
+    * Kincaid grade and LIX from three whole-text regex counts (vowel
+    * groups ≈ syllables, `[.!?]+` runs ≈ sentences, ≥7-char tokens =
+    * LIX "long words"). This corpus carries no sentence punctuation,
+    * so the CONTRACT includes a fallback: effective sentence count =
+    * max(punctuation runs, ⌈words/16⌉) — a 16-token nominal sentence
+    * for punctuation-free text; real punctuation takes over the moment
+    * a regen provides it. All counts are integers from regexes both
+    * dialects agree on (classes + bounded repetition only, counted via
+    * extract-all size — the regexpFuncs portability rule); the three
+    * scores are single identically-spelled double expressions, NULL
+    * for empty documents on both engines. Presentation rounds at 6 dp,
+    * NOT 4: integer-ratio inputs (e.g. syl/w with w a power of two)
+    * times the 1–2-decimal formula constants produce exact 5-decimal
+    * values like 7.98125 whose 4-dp round is an engine-dependent tie,
+    * while an exact 7th-decimal 5 is unreachable (terminating ratios
+    * end the product in 0; repeating ones never terminate) — measured,
+    * not theorized: the 4-dp spelling diverged on this corpus. Map-only
+    * scan — the only shuffle is the presentation sort. */
+  def readability(spark: SparkSession, dir: String): DataFrame = {
+    val m = docs(spark, dir).select(
+      col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("w"),
+      size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))
+        .cast("long").as("sp"),
+      size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0)))
+        .cast("long").as("syl"),
+      size(regexp_extract_all(col("text"), lit("[^ ]{7,}"), lit(0)))
+        .cast("long").as("lw"))
+    val wps = col("w").cast("double") / col("s")
+    val spw = col("syl").cast("double") / col("w")
+    m.withColumn("s", greatest(col("sp"), expr("(w + 15) div 16")))
+      .select(col("doc_id"), col("w").as("n_words"), col("s").as("n_sentences"),
+        col("syl").as("n_syllables"), col("lw").as("n_long"),
+        when(col("w") > 0,
+          round(lit(206.835) - lit(1.015) * wps - lit(84.6) * spw, 6)).as("fre"),
+        when(col("w") > 0,
+          round(lit(0.39) * wps + lit(11.8) * spw - lit(15.59), 6)).as("fk_grade"),
+        when(col("w") > 0,
+          round(wps + lit(100.0) * col("lw").cast("double") / col("w"), 6))
+          .as("lix"))
+      .orderBy("doc_id").limit(1000)
+  }
+
   /** Exact-duplicate count via md5 of the full text. */
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).agg(

@@ -537,6 +537,18 @@ class ScaleSpec extends GraftSpec {
       s"every window must partition by event_type:\n$exec")
   }
 
+  test("readability: map-only scan, bounded presentation selection") {
+    val exec = graft.ops.Text.readability(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!exec.contains("Join") && !exec.contains("Window"),
+      s"three regex counts are row-local projections:\n$exec")
+    assert(exec.contains("TakeOrderedAndProject"),
+      s"the presentation sort must be a bounded selection:\n$exec")
+    assert("ReadSchema:[^\n]*text".r.findFirstIn(exec).isDefined &&
+      !exec.contains("embedding#"),
+      s"only doc_id/text may be read:\n$exec")
+  }
+
   test("benford: one 9-group map-combined scan, all joins broadcast") {
     val exec = graft.ops.Recon.benford(spark, sf)
       .queryExecution.executedPlan.toString

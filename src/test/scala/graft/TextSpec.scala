@@ -696,6 +696,42 @@ class TextSpec extends GraftSpec {
     // doc_share uses the FULL doc count (5), including the short doc
     assert(math.abs(rows.head.getDouble(3) - 0.6) < 1e-12)
   }
+
+  test("readability: counts recompute via independent Scala regexes") {
+    val raw = Tables.documents(spark, sf).select("doc_id", "text")
+      .orderBy("doc_id").limit(50)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    Text.readability(spark, sf).limit(50).collect().foreach { r =>
+      val text = raw(r.getLong(0))
+      val w = text.split(" ", -1).length.toLong
+      val sp = "[.!?]+".r.findAllIn(text).length.toLong
+      val syl = "[aeiouy]+".r.findAllIn(text.toLowerCase).length.toLong
+      val lw = "[^ ]{7,}".r.findAllIn(text).length.toLong
+      val s = math.max(sp, (w + 15) / 16)
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ===
+        ((w, s, syl, lw)), s"counts for doc ${r.getLong(0)}")
+      val fre = 206.835 - 1.015 * (w.toDouble / s) - 84.6 * (syl.toDouble / w)
+      assert(math.abs(r.getDouble(5) - fre) < 5e-7, s"fre for doc ${r.getLong(0)}")
+    }
+  }
+
+  test("readability: real punctuation overrides the 16-token fallback") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = s"$tmpDir/readab"
+    // 20 one-syllable-ish words, 4 sentences — punctuation (4) beats
+    // ceil(20/16) = 2; second doc punctuation-free falls back
+    val t1 = "the cat sat. it ran! did it? yes. and then some more pad pad pad pad pad pad pad"
+    val t2 = "plain words with no stops at all just tokens " * 1
+    Seq(TextFixture.Doc(1, t1, "en", "f", t1.length.toLong),
+        TextFixture.Doc(2, t2, "en", "f", t2.length.toLong))
+      .toDF().write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Text.readability(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L)._2 === 4L, "punctuated doc must use its real sentence runs")
+    val w2 = got(2L)._1
+    assert(got(2L)._2 === (w2 + 15) / 16, "punctuation-free doc falls back")
+  }
 }
 
 object DecontFixture {
