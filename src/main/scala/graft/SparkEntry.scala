@@ -194,6 +194,7 @@ object SparkEntry {
     "orders_pareto_abc"        -> (Relational.paretoAbc _),
     "recon_benford"            -> (Recon.benford _),
     "text_readability"         -> ((s, d) => Text.readability(s, d)),
+    "graph_components"         -> (Graph.copurchaseComponents _),
     "corpus_filter_funnel"     -> ((s, d) => Text.filterFunnel(s, d)),
     "sample_cap_per_source"    -> ((s, d) =>
       Sampling.capPerSource(s, d, k = Sampling.HarnessCapK)),
@@ -302,7 +303,7 @@ object SparkEntry {
     "events_mad_outliers", "corpus_filter_funnel", "recon_ks_drift",
     "dedup_winnow", "decontaminate_winnow", "graph_pagerank",
     "market_basket_lift", "events_cusum_changepoint", "orders_pareto_abc",
-    "recon_benford", "text_readability")
+    "recon_benford", "text_readability", "graph_components")
 
   /** DuckDB spelling of [[graft.ops.Vectors.lshBucket]]: the 8 sign bits
     * against the SAME hyperplane doubles, interpolated from
@@ -456,6 +457,34 @@ object SparkEntry {
        |  round(CAST(r AS DOUBLE) / 1e9, 6) + 0 AS rank
        |FROM pr${graft.ops.Graph.PagerankIters}
        |ORDER BY r DESC, node LIMIT 20""".stripMargin
+  }
+
+  /** DuckDB twin of [[graft.ops.Graph.copurchaseComponents]]: exactly
+    * [[graft.ops.Graph.ComponentsIters]] unrolled MATERIALIZED
+    * min-label rounds. Spark passes the same constant as `maxIter` and
+    * THROWS on non-convergence — the loud coupling that keeps a
+    * fixed-depth oracle honest; converged min-label fixpoints are
+    * canonical, so the census matches exactly. */
+  private def componentsSql: String = {
+    val head =
+      """ob AS MATERIALIZED (SELECT DISTINCT l_orderkey k, l_partkey p FROM lineitem),
+        |e0 AS MATERIALIZED (SELECT a.p s, b.p t FROM ob a JOIN ob b USING (k)
+        |  WHERE a.p <> b.p GROUP BY 1, 2 HAVING count(*) >= 2),
+        |l0 AS MATERIALIZED (SELECT DISTINCT s node, s lbl FROM e0)""".stripMargin
+    val iters = (1 to graft.ops.Graph.ComponentsIters).map { i =>
+      s"""l$i AS MATERIALIZED (SELECT l.node, least(l.lbl, coalesce(m.ml, l.lbl)) lbl
+         |  FROM l${i - 1} l LEFT JOIN (
+         |    SELECT e0.t node, min(l${i - 1}.lbl) ml
+         |    FROM l${i - 1} JOIN e0 ON l${i - 1}.node = e0.s
+         |    GROUP BY 1) m ON l.node = m.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $head,
+       |$iters
+       |SELECT cs AS cluster_size, CAST(count(*) AS BIGINT) n_clusters,
+       |  min(lbl) AS min_canonical
+       |FROM (SELECT lbl, CAST(count(*) AS BIGINT) cs
+       |      FROM l${graft.ops.Graph.ComponentsIters} GROUP BY 1)
+       |GROUP BY cs ORDER BY cs DESC, min_canonical""".stripMargin
   }
 
   private def bpeMergesSql: String = {
@@ -1827,6 +1856,7 @@ object SparkEntry {
 
     "text_bpe_merges" -> bpeMergesSql,
     "graph_pagerank" -> pagerankSql,
+    "graph_components" -> componentsSql,
     "text_readability" ->
       // effective sentences = max(punctuation runs, ceil(w/16)) — the
       // documented fallback for this punctuation-free corpus; scores

@@ -213,13 +213,57 @@ object Graph {
     ranks
   }
 
-  def pagerankParts(spark: SparkSession, dir: String): DataFrame = {
+  /** Directed weighted co-purchase edges: s→t with w = number of order
+    * baskets containing both parts (symmetric by construction). Shared
+    * by [[pagerankParts]] and [[copurchaseComponents]]. */
+  private[graft] def copurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
     val a = li.toDF("k", "s")
     val b = li.toDF("k", "t")
-    val edgesRaw = a.join(b, "k").where(col("s") =!= col("t"))
+    a.join(b, "k").where(col("s") =!= col("t"))
       .groupBy("s", "t").agg(count(lit(1)).as("w"))
+  }
+
+  /** Fixed oracle depth for [[copurchaseComponents]]: the DuckDB twin
+    * unrolls exactly this many min-label rounds, and the Spark side
+    * passes it as `maxIter`, whose non-convergence THROW is the
+    * coupling that keeps a fixed-depth oracle honest — if a regen ever
+    * produces a component of diameter > 24 the board goes loudly red
+    * on the Spark side instead of silently diverging (measured
+    * convergence on the current corpus family: ≤ 11 rounds at all
+    * three SFs, 2× headroom). */
+  private[graft] val ComponentsIters = 24
+
+  /** Component-size census of the STRONG co-purchase graph (pairs
+    * co-occurring in ≥ 2 order baskets — singleton co-occurrences are
+    * noise at any scale): one row per distinct component size with the
+    * number of components and the smallest canonical (min-id) label.
+    *
+    * This is the registry anchor for the DISTRIBUTED
+    * [[connectedComponents]] path — the 100 TB clustering shape whose
+    * only other registry coverage (`dedup_clusters`) legitimately
+    * takes the answer-sized driver shortcut. Here the full
+    * min-label-propagation loop runs (one shuffle join per round,
+    * per-round lineage truncation, driver holds a loop counter and a
+    * changed-count) and its converged labels are DuckDB-oracled via
+    * [[ComponentsIters]] unrolled MATERIALIZED CTE rounds — converged
+    * min-label fixpoints are canonical, so algorithm-vs-unroll
+    * equality is exact. Everything is integer ids and counts: nothing
+    * to round anywhere. */
+  def copurchaseComponents(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = copurchaseEdges(spark, dir)
+      .filter(col("w") >= 2 && col("s") < col("t"))
+      .select(col("s").as("a_id"), col("t").as("b_id"))
+    connectedComponents(pairs, maxIter = ComponentsIters)
+      .groupBy("label").agg(count(lit(1)).as("cs"))
+      .groupBy(col("cs").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"), min("label").as("min_canonical"))
+      .orderBy(desc("cluster_size"), col("min_canonical"))
+  }
+
+  def pagerankParts(spark: SparkSession, dir: String): DataFrame = {
+    val edgesRaw = copurchaseEdges(spark, dir)
     pagerankRanks(edgesRaw)
       .select(col("node").as("l_partkey"), col("r").as("rank_ppb"),
         round(col("r") / 1e9, 6).as("rank"))

@@ -121,6 +121,23 @@ class GraphSpec extends GraftSpec {
       "rank is exactly the 6-dp presentation of rank_ppb")
   }
 
+  test("copurchase components: census matches a driver union-find recount") {
+    // the sf fixture's strong co-purchase pair list is small enough to
+    // collect; union-find is an independent algorithm, so agreement
+    // checks the whole distributed loop, not just its arithmetic
+    val pairs = Graph.copurchaseEdges(spark, sf)
+      .filter(col("w") >= 2 && col("s") < col("t"))
+      .select("s", "t").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val census = Graph.unionFindLocal(pairs).groupBy(_._2)
+      .map { case (lbl, m) => (m.size.toLong, lbl) }.toSeq
+      .groupBy(_._1).map { case (cs, xs) =>
+        (cs, xs.size.toLong, xs.map(_._2).min)
+      }.toSeq.sortBy { case (cs, _, mc) => (-cs, mc) }
+    val got = Graph.copurchaseComponents(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === census)
+  }
+
   test("flood fixture: minhash pairs collapse into a single cluster") {
     val floodDir = TextFixture.writeFlood(spark, s"$tmpDir/g")
     val rows = Graph.dedupClusters(spark, floodDir).collect()

@@ -499,6 +499,17 @@ class ScaleSpec extends GraftSpec {
       s"the cell collapse must combine map-side:\n$exec")
   }
 
+  test("copurchase components: census rides the checkpointed label frame") {
+    val exec = graft.ops.Graph.copurchaseComponents(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(exec.contains("ExistingRDD"),
+      s"labels must come from the converged checkpointed frame, not a " +
+        s"re-derived per-round lineage:\n$exec")
+    assert("partial_count".r.findFirstIn(exec).isDefined,
+      s"both census aggregations must combine map-side:\n$exec")
+    assert(!exec.contains("CartesianProduct"), s"no cross anywhere:\n$exec")
+  }
+
   test("pagerank: answer-sized selection over materialized iteration frames") {
     val q = graft.ops.Graph.pagerankParts(spark, sf)
     val exec = q.queryExecution.executedPlan.toString
