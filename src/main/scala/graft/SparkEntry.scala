@@ -195,6 +195,7 @@ object SparkEntry {
     "recon_benford"            -> (Recon.benford _),
     "text_readability"         -> ((s, d) => Text.readability(s, d)),
     "graph_components"         -> (Graph.copurchaseComponents _),
+    "ann_ivf_recall"           -> ((s, d) => Vectors.annIvfRecall(s, d)),
     "corpus_filter_funnel"     -> ((s, d) => Text.filterFunnel(s, d)),
     "sample_cap_per_source"    -> ((s, d) =>
       Sampling.capPerSource(s, d, k = Sampling.HarnessCapK)),
@@ -303,7 +304,8 @@ object SparkEntry {
     "events_mad_outliers", "corpus_filter_funnel", "recon_ks_drift",
     "dedup_winnow", "decontaminate_winnow", "graph_pagerank",
     "market_basket_lift", "events_cusum_changepoint", "orders_pareto_abc",
-    "recon_benford", "text_readability", "graph_components")
+    "recon_benford", "text_readability", "graph_components",
+    "ann_ivf_recall")
 
   /** DuckDB spelling of [[graft.ops.Vectors.lshBucket]]: the 8 sign bits
     * against the SAME hyperplane doubles, interpolated from
@@ -330,7 +332,9 @@ object SparkEntry {
     * training CTE applies the SAME smallest-md5 `IvfTrainCap` sample
     * the Spark quantizer collects (round-13 advice) — parity holds at
     * any corpus size, not just below the cap. */
-  private def ivfTopkSql: String = {
+  /** The shared IVF WITH-body through the candidate pair frame `p` —
+    * [[ivfTopkSql]] and [[ivfRecallSql]] both compose over it. */
+  private def ivfCandidateCtes: String = {
     val k = graft.ops.Vectors.IvfClusters
     val iters = graft.ops.Vectors.IvfIterations
     val probes = graft.ops.Vectors.IvfProbes
@@ -350,7 +354,7 @@ object SparkEntry {
          |    list_transform(m, x -> x / sqrt(list_inner_product(m, m))) cvec
          |  FROM g$i)""".stripMargin
     }.mkString(",\n")
-    s"""WITH v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings
+    s"""v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings
        |  WHERE list_inner_product(CAST(embedding AS DOUBLE[]),
        |          CAST(embedding AS DOUBLE[])) > 0),
        |u AS (SELECT vec_id,
@@ -368,11 +372,37 @@ object SparkEntry {
        |mem AS (SELECT cid, vec_id nn, u un FROM pr WHERE rk = 1),
        |p AS (SELECT pr.vec_id, mem.nn,
        |    round(list_inner_product(pr.u, mem.un), 4) sim
-       |  FROM pr JOIN mem USING (cid) WHERE pr.vec_id <> mem.nn)
+       |  FROM pr JOIN mem USING (cid) WHERE pr.vec_id <> mem.nn)""".stripMargin
+  }
+
+  private def ivfTopkSql: String =
+    s"""WITH $ivfCandidateCtes
        |SELECT vec_id, nn, sim FROM p
        |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nn) = 1
        |ORDER BY vec_id LIMIT 50""".stripMargin
-  }
+
+  /** DuckDB twin of [[graft.ops.Vectors.annIvfRecall]]: IVF argmax vs
+    * the exact unit-vector-dot argmax over the full non-self pair set,
+    * identical (sim DESC, nn) tie rule, strict-id and 4-dp-sim-tie
+    * recall in one row. */
+  private def ivfRecallSql: String =
+    s"""WITH $ivfCandidateCtes,
+       |ab AS (SELECT vec_id, nn ann, sim asim FROM p
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nn) = 1),
+       |ex AS (SELECT a.vec_id, b.vec_id nn,
+       |    round(list_inner_product(a.u, b.u), 4) sim
+       |  FROM u a JOIN u b ON a.vec_id <> b.vec_id),
+       |eb AS (SELECT vec_id, nn enn, sim esim FROM ex
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nn) = 1)
+       |SELECT CAST(count(*) AS BIGINT) n_vectors,
+       |  CAST(sum(CASE WHEN ann IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) n_found,
+       |  CAST(sum(CASE WHEN ann = enn THEN 1 ELSE 0 END) AS BIGINT) n_id_match,
+       |  CAST(sum(CASE WHEN asim = esim THEN 1 ELSE 0 END) AS BIGINT) n_tie_match,
+       |  round(CAST(sum(CASE WHEN ann = enn THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*), 4) + 0 AS recall_id,
+       |  round(CAST(sum(CASE WHEN asim = esim THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*), 4) + 0 AS recall_tie
+       |FROM eb LEFT JOIN ab USING (vec_id)""".stripMargin
 
   /** DuckDB re-derivation of the ENTIRE [[graft.ops.Text.bpeMerges]]
     * trajectory — the ann_ivf_topk full-reproduction precedent applied
@@ -1853,6 +1883,7 @@ object SparkEntry {
          |ORDER BY vec_id LIMIT 50""".stripMargin,
 
     "ann_ivf_topk" -> ivfTopkSql,
+    "ann_ivf_recall" -> ivfRecallSql,
 
     "text_bpe_merges" -> bpeMergesSql,
     "graph_pagerank" -> pagerankSql,

@@ -348,7 +348,13 @@ object Vectors {
     * trajectory deterministic, so DuckDB re-derives seeds, three Lloyd
     * rounds, probes and the final argmax verbatim (the last registry
     * entry to convert — 153/153). */
-  def annIvfTopk(spark: SparkSession, dir: String): DataFrame = {
+  def annIvfTopk(spark: SparkSession, dir: String): DataFrame =
+    bestNeighbor(ivfCandidates(spark, dir)).orderBy("vec_id").limit(50)
+
+  /** The IVF candidate pair stream (vec_id, nn, sim) — the whole
+    * pipeline short of the per-vector argmax, shared by [[annIvfTopk]]
+    * and the [[annIvfRecall]] calibration. */
+  private[graft] def ivfCandidates(spark: SparkSession, dir: String): DataFrame = {
     val u = unitVectors(spark, dir)
     val cents = kmeansCentroidsLocal(u)
     // probe assignment is ROW-LOCAL against the literal centroid table:
@@ -367,11 +373,55 @@ object Vectors {
         (col("rk0") + 1).as("rk"))
     val members = probes.filter(col("rk") === 1)
       .select(col("cid"), col("vec_id").as("nn"), col("u").as("un"))
-    val pairs = probes.join(members.hint("shuffle_hash"), Seq("cid"))
+    probes.join(members.hint("shuffle_hash"), Seq("cid"))
       .filter(col("vec_id") =!= col("nn"))
       .select(col("vec_id"), col("nn"),
         round(dot(col("u"), col("un")), 4).as("sim"))
-    bestNeighbor(pairs).orderBy("vec_id").limit(50)
+  }
+
+  /** Recall@1 calibration of the IVF index against exact brute force —
+    * the measurement [[annIvfTopk]]'s docs promise ("recall-tested"):
+    * per vector, does the IVF candidate set contain the TRUE nearest
+    * neighbor (strict id match), or one exactly as near (4-dp-sim tie
+    * match — the standard recall-with-ties reading)? One summary row.
+    *
+    * The exact side recomputes cosine with the SAME unit-vector dot
+    * the IVF probe uses (NOT [[cosineKnn]]'s raw-dot/norms spelling —
+    * a different float path whose 4-dp rounds can differ in ulps), so
+    * esim and asim are comparable bit-for-bit; both argmaxes use the
+    * (sim DESC, nn ASC) tie rule. Inherits [[cosineKnn]]'s exact-O(n²)
+    * fail-fast contract: a recall EVAL runs on a bounded sample by
+    * design — at 100 TB you calibrate on the capped sample and serve
+    * with the index. Ratios are exact-int / n with one identically-
+    * spelled double division each. */
+  def annIvfRecall(spark: SparkSession, dir: String): DataFrame = {
+    val n = graft.sources.Sources.parquetRowCount(spark, s"$dir/embeddings.parquet")
+    require(n <= MaxBruteForceRows,
+      s"annIvfRecall brute-forces the exact side: n=$n exceeds $MaxBruteForceRows; " +
+        "calibrate on a bounded sample at this scale")
+    val u = unitVectors(spark, dir)
+    val a = graft.FanOut(u).select(col("vec_id"), col("u").as("ua"))
+    val b = u.select(col("vec_id").as("nn"), col("u").as("ub"))
+    val upper = a.join(b, col("vec_id") < col("nn"))
+      .select(col("vec_id"), col("nn"),
+        round(dot(col("ua"), col("ub")), 4).as("sim"))
+    val sym = upper.unionByName(upper.select(col("nn").as("vec_id"),
+      col("vec_id").as("nn"), col("sim")))
+    val exact = bestNeighbor(sym)
+      .select(col("vec_id"), col("nn").as("enn"), col("sim").as("esim"))
+    val approx = bestNeighbor(ivfCandidates(spark, dir))
+      .select(col("vec_id"), col("nn").as("ann"), col("sim").as("asim"))
+    exact.join(approx, Seq("vec_id"), "left_outer")
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(when(col("ann").isNotNull, 1L).otherwise(0L)).as("n_found"),
+        sum(when(col("ann") === col("enn"), 1L).otherwise(0L)).as("n_id_match"),
+        sum(when(col("asim") === col("esim"), 1L).otherwise(0L)).as("n_tie_match"))
+      .select(col("n_vectors"), col("n_found"), col("n_id_match"),
+        col("n_tie_match"),
+        round(col("n_id_match").cast("double") / col("n_vectors"), 4)
+          .as("recall_id"),
+        round(col("n_tie_match").cast("double") / col("n_vectors"), 4)
+          .as("recall_tie"))
   }
 
   /** Approximate NN: 8 random-hyperplane sign bits → 256 buckets; exact

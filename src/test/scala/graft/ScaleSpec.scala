@@ -499,6 +499,17 @@ class ScaleSpec extends GraftSpec {
       s"the cell collapse must combine map-side:\n$exec")
   }
 
+  test("ivf recall: exact side fans out, no cartesian beyond the range join") {
+    val exec = graft.ops.Vectors.annIvfRecall(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("partial_(count|sum)".r.findFirstIn(exec).isDefined,
+      s"the four counters must combine map-side:\n$exec")
+    assert(exec.contains("dot_product"),
+      s"similarities must come from the native codegen'd dot:\n$exec")
+    assert(!exec.contains("CartesianProduct"),
+      s"the exact side is a RANGE join (vec_id < nn), never a cross:\n$exec")
+  }
+
   test("copurchase components: census rides the checkpointed label frame") {
     val exec = graft.ops.Graph.copurchaseComponents(spark, sf)
       .queryExecution.executedPlan.toString

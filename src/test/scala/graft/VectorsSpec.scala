@@ -203,6 +203,52 @@ class VectorsSpec extends GraftSpec {
       assert(got(pos)._2 > 1e-6, s"live dim $pos variance")
     }
   }
+
+  test("ivf recall: all four counters recompute from a driver-side fold") {
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // exact side: full O(n²) argmax over collected unit vectors —
+    // completely independent of the frame pipeline
+    val unit = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .collect()
+      .map { r =>
+        val v = r.getSeq[Double](1).toArray
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i) * v(i); i += 1 }
+        (r.getLong(0), v.map(_ / math.sqrt(s)), s)
+      }
+      .filter { case (_, _, s) => s > 0 }
+      .map { case (id, u, _) => (id, u) }
+    def d(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val exact = unit.map { case (id, u) =>
+      id -> unit.filter(_._1 != id)
+        .map { case (nid, nu) => (nid, r4(d(u, nu))) }
+        .minBy { case (nid, sim) => (-sim, nid) }
+    }.toMap
+    // approx side: the op's own candidate stream, argmax folded here
+    val approx = Vectors.ivfCandidates(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(cs =>
+        cs.map(c => (c._2, c._3)).minBy { case (nid, sim) => (-sim, nid) })
+      .toMap
+    val idM = exact.count { case (id, (enn, _)) =>
+      approx.get(id).exists(_._1 == enn) }
+    val tieM = exact.count { case (id, (_, esim)) =>
+      approx.get(id).exists(_._2 == esim) }
+    val row = Vectors.annIvfRecall(spark, sf).collect().head
+    assert(row.getLong(0) === exact.size.toLong, "n_vectors")
+    assert(row.getLong(1) === exact.keys.count(approx.contains).toLong, "n_found")
+    assert(row.getLong(2) === idM.toLong, "n_id_match")
+    assert(row.getLong(3) === tieM.toLong, "n_tie_match")
+    assert(row.getDouble(4) === r4(idM.toDouble / exact.size), "recall_id")
+    assert(row.getDouble(5) === r4(tieM.toDouble / exact.size), "recall_tie")
+    assert(row.getLong(3) >= row.getLong(2), "ties can only add matches")
+  }
 }
 
 object VectorsFixture {
