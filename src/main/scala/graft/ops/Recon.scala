@@ -1137,7 +1137,10 @@ object Recon {
       .select(substring(cents(col("l_extendedprice")).cast("string"), 1, 1)
         .cast("int").as("digit"))
       .groupBy("digit").agg(count(lit(1)).as("o"))
-    val j = broadcast(b).join(obs, Seq("digit"), "left_outer")
+    // build side must be the RIGHT (9-row-aggregated obs) — a broadcast
+    // hint on the LEFT of a left-outer join is unsupported (build-left
+    // can't preserve unmatched left rows) and only logs a warning
+    val j = b.join(broadcast(obs), Seq("digit"), "left_outer")
       .select(col("digit"), coalesce(col("o"), lit(0L)).as("o"), col("p"))
     val tot = j.agg(sum("o").as("n"))
     val dev = col("o").cast("double") - col("n").cast("double") * col("p")
