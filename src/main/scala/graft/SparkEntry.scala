@@ -196,6 +196,7 @@ object SparkEntry {
     "text_readability"         -> ((s, d) => Text.readability(s, d)),
     "graph_components"         -> (Graph.copurchaseComponents _),
     "ann_ivf_recall"           -> ((s, d) => Vectors.annIvfRecall(s, d)),
+    "graph_triangles"          -> (Graph.copurchaseTriangles _),
     "corpus_filter_funnel"     -> ((s, d) => Text.filterFunnel(s, d)),
     "sample_cap_per_source"    -> ((s, d) =>
       Sampling.capPerSource(s, d, k = Sampling.HarnessCapK)),
@@ -305,7 +306,7 @@ object SparkEntry {
     "dedup_winnow", "decontaminate_winnow", "graph_pagerank",
     "market_basket_lift", "events_cusum_changepoint", "orders_pareto_abc",
     "recon_benford", "text_readability", "graph_components",
-    "ann_ivf_recall")
+    "ann_ivf_recall", "graph_triangles")
 
   /** DuckDB spelling of [[graft.ops.Vectors.lshBucket]]: the 8 sign bits
     * against the SAME hyperplane doubles, interpolated from
@@ -1888,6 +1889,26 @@ object SparkEntry {
     "text_bpe_merges" -> bpeMergesSql,
     "graph_pagerank" -> pagerankSql,
     "graph_components" -> componentsSql,
+    "graph_triangles" ->
+      // sorted-triple orientation (a < b < c) generates each triangle
+      // exactly once; wedges = Σ d·(d−1)/2 exact longs; the one double
+      // division is identically spelled
+      """WITH ob AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey k, l_partkey p FROM lineitem),
+        |e AS MATERIALIZED (SELECT a.p a, b.p b FROM ob a JOIN ob b USING (k)
+        |  WHERE a.p < b.p GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (SELECT v, count(*) d FROM (
+        |    SELECT a v FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+        |wa AS (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) wedges,
+        |    CAST(count(*) AS BIGINT) n_nodes FROM deg),
+        |ne AS (SELECT CAST(count(*) AS BIGINT) n_edges FROM e),
+        |tr AS (SELECT CAST(count(*) AS BIGINT) triangles
+        |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+        |SELECT n_nodes, n_edges, triangles, wedges,
+        |  CASE WHEN wedges > 0 THEN round(3.0 * triangles / wedges, 6) + 0
+        |  END AS transitivity
+        |FROM tr CROSS JOIN wa CROSS JOIN ne""".stripMargin,
     "text_readability" ->
       // effective sentences = max(punctuation runs, ceil(w/16)) — the
       // documented fallback for this punctuation-free corpus; scores

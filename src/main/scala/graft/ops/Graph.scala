@@ -262,6 +262,45 @@ object Graph {
       .orderBy(desc("cluster_size"), col("min_canonical"))
   }
 
+  /** Triangle census of the strong co-purchase graph (same w ≥ 2 edge
+    * set as [[copurchaseComponents]]): total triangles, wedge count and
+    * the global clustering coefficient (transitivity = 3·triangles /
+    * wedges — how often two parts co-bought with a common third are
+    * also co-bought with each other, the standard cohesion statistic
+    * of a co-occurrence graph). One summary row.
+    *
+    * The classic distributed spelling: orient every undirected edge
+    * low→high (a < b), build wedges by joining the edge list with
+    * itself on the middle vertex (a < b < c guarantees each triangle
+    * is generated exactly once as its sorted vertex triple), then
+    * close each wedge with a semi-join back to the edge list. Two
+    * hash-join shuffles on vertex keys, each map-side combinable —
+    * the join-based plan a SQL engine would pick, and the right one at
+    * scale (no adjacency lists concentrated per node). Wedges =
+    * Σ deg·(deg−1)/2 over the degree frame — exact longs; the one
+    * double division is identically spelled. */
+  def copurchaseTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val e = truncate(copurchaseEdges(spark, dir)
+      .filter(col("w") >= 2 && col("s") < col("t"))
+      .select(col("s").as("a"), col("t").as("b")), None)
+    val nEdges = e.count() // driver scalar for the summary row
+    val deg = e.select(col("a").as("v")).unionByName(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val wedgeAgg = deg.agg(
+      sum(expr("d * (d - 1) div 2")).as("wedges"),
+      count(lit(1)).as("n_nodes"))
+    val wedges = e.toDF("a", "b").join(e.toDF("b", "c"), "b")
+      .select(col("a"), col("b"), col("c"))
+    val triangles = wedges.join(e.toDF("a", "c"), Seq("a", "c"), "left_semi")
+      .agg(count(lit(1)).as("triangles"))
+    triangles.crossJoin(broadcast(wedgeAgg))
+      .select(col("n_nodes"), lit(nEdges).as("n_edges"),
+        col("triangles"), col("wedges"),
+        when(col("wedges") > 0,
+          round(lit(3.0) * col("triangles") / col("wedges"), 6))
+          .as("transitivity"))
+  }
+
   def pagerankParts(spark: SparkSession, dir: String): DataFrame = {
     val edgesRaw = copurchaseEdges(spark, dir)
     pagerankRanks(edgesRaw)

@@ -138,6 +138,40 @@ class GraphSpec extends GraftSpec {
     assert(got.toSeq === census)
   }
 
+  test("triangles: planted K4 plus a pendant edge counts exactly") {
+    val spark0 = spark
+    import spark0.implicits._
+    // two orders holding parts 1–4 (every pair w=2 → K4: 4 triangles,
+    // 12 wedges) plus two orders holding {1,5} (pendant edge 1–5:
+    // +3 wedges at node 1, no triangle) → transitivity 12/15 = 0.8
+    val dir = s"$tmpDir/tri"
+    val rows = (for (o <- 1L to 2L; p <- 1L to 4L) yield (o, p)) ++
+      Seq((3L, 1L), (3L, 5L), (4L, 1L), (4L, 5L))
+    rows.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = Graph.copurchaseTriangles(spark, dir).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((5L, 7L, 4L, 15L)))
+    assert(r.getDouble(4) === 0.8)
+  }
+
+  test("triangles: census recomputes from driver-side adjacency sets") {
+    val edges = Graph.copurchaseEdges(spark, sf)
+      .filter(col("w") >= 2 && col("s") < col("t"))
+      .select("s", "t").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val tri = edges.map { case (a, b) =>
+      (adj(a) & adj(b)).count(c => c > b)
+    }.sum.toLong
+    val wedges = adj.values.map(s => s.size.toLong * (s.size - 1) / 2).sum
+    val r = Graph.copurchaseTriangles(spark, sf).collect().head
+    assert(r.getLong(0) === adj.size.toLong, "n_nodes")
+    assert(r.getLong(1) === edges.length.toLong, "n_edges")
+    assert(r.getLong(2) === tri, "triangles")
+    assert(r.getLong(3) === wedges, "wedges")
+  }
+
   test("flood fixture: minhash pairs collapse into a single cluster") {
     val floodDir = TextFixture.writeFlood(spark, s"$tmpDir/g")
     val rows = Graph.dedupClusters(spark, floodDir).collect()

@@ -510,6 +510,18 @@ class ScaleSpec extends GraftSpec {
       s"the exact side is a RANGE join (vec_id < nn), never a cross:\n$exec")
   }
 
+  test("triangles: hash-join wedges over the materialized edge frame") {
+    val exec = graft.ops.Graph.copurchaseTriangles(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(exec.contains("ExistingRDD"),
+      s"the oriented edge frame materializes once and feeds degree, " +
+        s"wedge and closure passes:\n$exec")
+    assert(!exec.contains("CartesianProduct"),
+      s"wedge build and closure are key joins, never a cross:\n$exec")
+    assert("partial_(count|sum)".r.findFirstIn(exec).isDefined,
+      s"degree/wedge sums must combine map-side:\n$exec")
+  }
+
   test("copurchase components: census rides the checkpointed label frame") {
     val exec = graft.ops.Graph.copurchaseComponents(spark, sf)
       .queryExecution.executedPlan.toString
