@@ -197,6 +197,7 @@ object SparkEntry {
     "graph_components"         -> (Graph.copurchaseComponents _),
     "ann_ivf_recall"           -> ((s, d) => Vectors.annIvfRecall(s, d)),
     "graph_triangles"          -> (Graph.copurchaseTriangles _),
+    "recon_wasserstein_drift"  -> (Recon.wassersteinDrift _),
     "corpus_filter_funnel"     -> ((s, d) => Text.filterFunnel(s, d)),
     "sample_cap_per_source"    -> ((s, d) =>
       Sampling.capPerSource(s, d, k = Sampling.HarnessCapK)),
@@ -306,7 +307,7 @@ object SparkEntry {
     "dedup_winnow", "decontaminate_winnow", "graph_pagerank",
     "market_basket_lift", "events_cusum_changepoint", "orders_pareto_abc",
     "recon_benford", "text_readability", "graph_components",
-    "ann_ivf_recall", "graph_triangles")
+    "ann_ivf_recall", "graph_triangles", "recon_wasserstein_drift")
 
   /** DuckDB spelling of [[graft.ops.Vectors.lshBucket]]: the 8 sign bits
     * against the SAME hyperplane doubles, interpolated from
@@ -2123,6 +2124,41 @@ object SparkEntry {
         |SELECT a_id, b_id, CAST(shared AS BIGINT) n_shared FROM pairs
         |WHERE shared >= 2
         |ORDER BY n_shared DESC, a_id, b_id LIMIT 100""".stripMargin,
+
+    "recon_wasserstein_drift" ->
+      // W₁ over the distinct-value grid with both denominators cleared:
+      // Σ |cum1·n2 − cum2·n1| · gap in HUGEINT ≡ DECIMAL(38,0); values
+      // quantized to 6-dp micro-unit longs; identical structural guards
+      // (lo < hi split, non-empty sides, rng > 0) on both engines
+      """WITH b AS (SELECT event_type, epoch_us(ts) t_us,
+        |    CAST(round(round(value, 6) * 1e6) AS BIGINT) v
+        |  FROM events WHERE value IS NOT NULL),
+        |bd AS (SELECT event_type, (min(t_us) + max(t_us)) // 2 mid FROM b GROUP BY 1
+        |  HAVING min(t_us) < max(t_us)),
+        |sd AS (SELECT b.event_type, v, CASE WHEN t_us <= mid THEN 1 ELSE 2 END side
+        |  FROM b JOIN bd USING (event_type)),
+        |cells AS (SELECT event_type, v,
+        |    count(*) FILTER (side = 1) c1, count(*) FILTER (side = 2) c2
+        |  FROM sd GROUP BY 1, 2),
+        |cum AS (SELECT event_type, v,
+        |    sum(c1) OVER w cum1, sum(c2) OVER w cum2,
+        |    lead(v) OVER w nxt
+        |  FROM cells WINDOW w AS (PARTITION BY event_type ORDER BY v)),
+        |tot AS (SELECT event_type,
+        |    sum(c1) n1, sum(c2) n2, max(v) - min(v) rng
+        |  FROM cells GROUP BY 1
+        |  HAVING sum(c1) > 0 AND sum(c2) > 0 AND max(v) > min(v)),
+        |agg AS (SELECT cum.event_type, n1, n2, rng,
+        |    sum(abs(CAST(cum1 AS HUGEINT) * n2 - CAST(cum2 AS HUGEINT) * n1)
+        |      * (nxt - v)) w1num
+        |  FROM cum JOIN tot USING (event_type) WHERE nxt IS NOT NULL
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT event_type, CAST(n1 AS BIGINT) n1, CAST(n2 AS BIGINT) n2,
+        |  round(CAST(w1num AS DOUBLE)
+        |    / (CAST(n1 AS DOUBLE) * n2 * 1e6), 6) + 0 AS w1,
+        |  round(CAST(w1num AS DOUBLE)
+        |    / (CAST(n1 AS DOUBLE) * n2 * CAST(rng AS DOUBLE)), 6) + 0 AS w1_norm
+        |FROM agg ORDER BY event_type""".stripMargin,
 
     "recon_ks_drift" ->
       // exact two-sample KS: integer arithmetic to the last division —

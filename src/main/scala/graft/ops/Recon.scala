@@ -927,6 +927,66 @@ object Recon {
       .orderBy("event_type")
   }
 
+  /** 1-D Wasserstein (earth-mover) drift per event type between the
+    * first and second time halves — the magnitude-sensitive sibling of
+    * [[ksDrift]]: KS reports the worst CDF gap, W₁ integrates ALL of
+    * it (W₁ = ∫|F₁−F₂|), so a broad small shift that never trips the
+    * KS critical value still moves W₁ proportionally.
+    *
+    * Exactness: values quantize to 6-dp micro-unit longs, and over the
+    * distinct-value grid W₁ = Σᵢ |F₁(vᵢ)−F₂(vᵢ)|·(vᵢ₊₁−vᵢ) clears both
+    * denominators as Σ |cum1·n2 − cum2·n1| · gap — pure 128-bit integer
+    * arithmetic (DECIMAL(38,0) ≡ HUGEINT, the ksDrift recipe) summed
+    * order-free; the two output doubles are single identically-spelled
+    * divisions (w1 in value units, w1_norm scaled by the value range).
+    * Same structural guards as KS: same-instant types drop via
+    * lo < hi, empty sides and zero range drop via the totals filter —
+    * identical HAVING on both engines.
+    *
+    * 100 TB posture: identical to ksDrift — one corpus-sized groupBy
+    * to (type, value) cells with map-side partials, everything after
+    * windows over the cell frame partitioned by type. */
+  def wassersteinDrift(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val base = Tables.events(spark, dir)
+      .select(col("event_type"), unix_micros(col("ts")).as("t_us"),
+        round(round(col("value"), 6) * 1e6, 0).cast("long").as("v"))
+      .where(col("v").isNotNull)
+    val bounds = base.groupBy("event_type")
+      .agg(min(col("t_us")).as("lo"), max(col("t_us")).as("hi"))
+      .where(col("lo") < col("hi"))
+      .select(col("event_type"), expr("(lo + hi) div 2").as("mid"))
+    val sided = base.join(broadcast(bounds), "event_type")
+      .select(col("event_type"), col("v"),
+        when(col("t_us") <= col("mid"), 1).otherwise(2).as("side"))
+    val cells = sided.groupBy("event_type", "v")
+      .agg(count_if(col("side") === 1).as("c1"),
+        count_if(col("side") === 2).as("c2"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("v"))
+    val cum = cells.select(col("event_type"), col("v"),
+      sum(col("c1")).over(w).as("cum1"), sum(col("c2")).over(w).as("cum2"),
+      lead(col("v"), 1).over(w).as("nxt"))
+    val totals = cells.groupBy("event_type")
+      .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+        (max(col("v")) - min(col("v"))).as("rng"))
+      .where(col("n1") > 0 && col("n2") > 0 && col("rng") > 0)
+    cum.join(broadcast(totals), "event_type")
+      .where(col("nxt").isNotNull)
+      .groupBy("event_type")
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        max(col("rng")).as("rng"),
+        sum(abs(col("cum1").cast(dec) * col("n2")
+            - col("cum2").cast(dec) * col("n1"))
+          * (col("nxt") - col("v")).cast(dec)).as("w1num"))
+      .select(col("event_type"), col("n1"), col("n2"),
+        round(col("w1num").cast("double")
+          / (col("n1").cast("double") * col("n2") * 1e6), 6).as("w1"),
+        round(col("w1num").cast("double")
+          / (col("n1").cast("double") * col("n2") * col("rng").cast("double")),
+          6).as("w1_norm"))
+      .orderBy("event_type")
+  }
+
   /** Harness twin of snapshot recon: last night's snapshot is the clean
     * orders table by load month; tonight's is a bad replica (prices
     * rounded from 1997 on, the 1995-01 load missing). The diff must name

@@ -509,6 +509,72 @@ class ReconSpec extends GraftSpec {
     assert(!got("flat")._4, "stationary type must not be flagged")
   }
 
+  test("wasserstein drift: planted shift = exact distance, identical halves = 0") {
+    val spark0 = spark
+    import spark0.implicits._
+    val d = s"$tmpDir/wsfix"
+    def at(id: Long, typ: String, minute: Long, v: Double) =
+      EventsFixture.RawEv(id, (1735689600L + minute * 60) * 1000000000L,
+        1L, typ, v, "{}")
+    // shift: second half = first half + 100 → W₁ exactly 100 (mass
+    // moves 100 units); same: identical halves → W₁ exactly 0
+    val rows =
+      (0 until 20).map(i => at(i.toLong, "shift", i.toLong, (i % 10).toDouble)) ++
+      (20 until 40).map(i => at(i.toLong, "shift", i.toLong, (i % 10) + 100.0)) ++
+      (0 until 20).map(i => at(100 + i.toLong, "same", i.toLong, (i % 10).toDouble)) ++
+      (20 until 40).map(i => at(100 + i.toLong, "same", i.toLong, (i % 10).toDouble))
+    rows.toDF().write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = Recon.wassersteinDrift(spark, d).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got("shift")._3 === 100.0, "translation by 100 has W1 = 100")
+    // w1_norm = 100 / range(0..109) in micro units = 100/109
+    assert(got("shift")._4 ===
+      BigDecimal(100.0 / 109.0).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+    assert(got("same") === ((20L, 20L, 0.0, 0.0)), "identical halves: W1 = 0")
+  }
+
+  test("wasserstein drift: sf values recompute via a driver BigInt fold") {
+    val raw = Tables.events(spark, sf)
+      .select(col("event_type"), unix_micros(col("ts")),
+        round(round(col("value"), 6) * 1e6, 0).cast("long"))
+      .where(col("value").isNotNull)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expect = raw.groupBy(_._1).flatMap { case (t, rows) =>
+      val (lo, hi) = (rows.map(_._2).min, rows.map(_._2).max)
+      if (lo >= hi) None else {
+        val mid = (lo + hi) / 2
+        val h1 = rows.filter(_._2 <= mid).map(_._3)
+        val h2 = rows.filter(_._2 > mid).map(_._3)
+        val vals = (h1 ++ h2).distinct.sorted
+        val rng = vals.max - vals.min
+        if (h1.isEmpty || h2.isEmpty || rng <= 0) None else {
+          val (n1, n2) = (BigInt(h1.length), BigInt(h2.length))
+          val num = vals.zip(vals.tail).map { case (v, nxt) =>
+            (BigInt(h1.count(_ <= v)) * n2 - BigInt(h2.count(_ <= v)) * n1).abs *
+              BigInt(nxt - v)
+          }.sum
+          Some(t -> (num, n1, n2, rng))
+        }
+      }
+    }
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Recon.wassersteinDrift(spark, sf).collect()
+    assert(got.map(_.getString(0)).toSet === expect.keySet)
+    got.foreach { r =>
+      val (num, n1, n2, rng) = expect(r.getString(0))
+      assert((r.getLong(1), r.getLong(2)) === ((n1.toLong, n2.toLong)))
+      assert(r.getDouble(3) ===
+        r6(num.toDouble / (n1.toDouble * n2.toDouble * 1e6)),
+        s"w1 for ${r.getString(0)}")
+      assert(r.getDouble(4) ===
+        r6(num.toDouble / (n1.toDouble * n2.toDouble * rng.toDouble)),
+        s"w1_norm for ${r.getString(0)}")
+    }
+  }
+
   test("benford: a conforming population is not flagged; counts recount") {
     val spark0 = spark
     import spark0.implicits._

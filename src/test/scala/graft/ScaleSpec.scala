@@ -607,6 +607,17 @@ class ScaleSpec extends GraftSpec {
         s"re-derived scan:\n$exec")
   }
 
+  test("wasserstein drift: bounds/totals broadcast, type-partitioned windows") {
+    val exec = graft.ops.Recon.wassersteinDrift(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(exec.contains("BroadcastHashJoin") && !exec.contains("SortMergeJoin"),
+      s"the type-sized bounds/totals frames must broadcast:\n$exec")
+    assert(!exec.contains("windowspecdefinition()"),
+      s"the CDF/gap windows must partition by event_type:\n$exec")
+    assert("partial_(count|sum|min|max)".r.findFirstIn(exec).isDefined,
+      s"the cell collapse must combine map-side:\n$exec")
+  }
+
   test("lsh calibration: candidate pipeline reused, token joins stay hash joins") {
     val q = graft.ops.Text.lshCalibration(spark, sf)
     q.collect() // AQE inserts the reuse marker in the FINAL plan
