@@ -198,6 +198,7 @@ object SparkEntry {
     "ann_ivf_recall"           -> ((s, d) => Vectors.annIvfRecall(s, d)),
     "graph_triangles"          -> (Graph.copurchaseTriangles _),
     "recon_wasserstein_drift"  -> (Recon.wassersteinDrift _),
+    "events_markov_stationary" -> (Events.markovStationary _),
     "corpus_filter_funnel"     -> ((s, d) => Text.filterFunnel(s, d)),
     "sample_cap_per_source"    -> ((s, d) =>
       Sampling.capPerSource(s, d, k = Sampling.HarnessCapK)),
@@ -307,7 +308,8 @@ object SparkEntry {
     "dedup_winnow", "decontaminate_winnow", "graph_pagerank",
     "market_basket_lift", "events_cusum_changepoint", "orders_pareto_abc",
     "recon_benford", "text_readability", "graph_components",
-    "ann_ivf_recall", "graph_triangles", "recon_wasserstein_drift")
+    "ann_ivf_recall", "graph_triangles", "recon_wasserstein_drift",
+    "events_markov_stationary")
 
   /** DuckDB spelling of [[graft.ops.Vectors.lshBucket]]: the 8 sign bits
     * against the SAME hyperplane doubles, interpolated from
@@ -517,6 +519,49 @@ object SparkEntry {
        |FROM (SELECT lbl, CAST(count(*) AS BIGINT) cs
        |      FROM l${graft.ops.Graph.ComponentsIters} GROUP BY 1)
        |GROUP BY cs ORDER BY cs DESC, min_canonical""".stripMargin
+  }
+
+  /** DuckDB twin of [[graft.ops.Events.markovStationary]]: the capped
+    * state space, the restricted stochastic matrix and the 12 integer
+    * power iterations all re-derived verbatim (unrolled MATERIALIZED
+    * rounds — the pagerank arithmetic without damping). */
+  private def markovSql: String = {
+    val cap = graft.ops.Events.MarkovTypeCap
+    val head =
+      s"""seq AS (SELECT user_id, event_type f,
+         |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) t
+         |  FROM events),
+         |tcount AS (SELECT event_type, count(*) n FROM events GROUP BY 1),
+         |cap AS MATERIALIZED (SELECT event_type FROM tcount
+         |  ORDER BY n DESC, event_type LIMIT $cap),
+         |tr0 AS MATERIALIZED (SELECT f, t, count(*) w FROM seq
+         |  WHERE t IS NOT NULL AND f IN (SELECT event_type FROM cap)
+         |    AND t IN (SELECT event_type FROM cap) GROUP BY 1, 2),
+         |nodes AS MATERIALIZED (SELECT DISTINCT f AS node FROM tr0),
+         |tr AS MATERIALIZED (SELECT f, t, w FROM tr0
+         |  WHERE t IN (SELECT node FROM nodes)),
+         |ow AS MATERIALIZED (SELECT f, sum(w) ow FROM tr GROUP BY 1),
+         |k AS (SELECT count(*) cnt FROM nodes),
+         |p0 AS MATERIALIZED (
+         |  SELECT node, CAST(1000000000 // cnt AS BIGINT) r FROM nodes CROSS JOIN k)""".stripMargin
+    val iters = (1 to graft.ops.Events.MarkovIters).map { i =>
+      s"""p$i AS MATERIALIZED (SELECT nodes.node, coalesce(c.sm, 0) r
+         |  FROM nodes LEFT JOIN (
+         |    SELECT t node, CAST(sum(CAST(r AS HUGEINT) * w
+         |      // CAST(ow AS HUGEINT)) AS BIGINT) sm
+         |    FROM p${i - 1} JOIN tr ON p${i - 1}.node = tr.f
+         |    JOIN ow USING (f) GROUP BY t) c ON nodes.node = c.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $head,
+       |$iters,
+       |obs AS (SELECT event_type, count(*) n FROM events
+       |  WHERE event_type IN (SELECT node FROM nodes) GROUP BY 1),
+       |ot AS (SELECT sum(n) nt FROM obs)
+       |SELECT node AS event_type, r AS pi_ppb,
+       |  round(CAST(r AS DOUBLE) / 1e9, 6) + 0 AS pi,
+       |  round(CAST(n AS DOUBLE) / nt, 6) + 0 AS obs_share
+       |FROM p${graft.ops.Events.MarkovIters} JOIN obs ON node = event_type
+       |CROSS JOIN ot ORDER BY event_type""".stripMargin
   }
 
   private def bpeMergesSql: String = {
@@ -1890,6 +1935,7 @@ object SparkEntry {
     "text_bpe_merges" -> bpeMergesSql,
     "graph_pagerank" -> pagerankSql,
     "graph_components" -> componentsSql,
+    "events_markov_stationary" -> markovSql,
     "graph_triangles" ->
       // sorted-triple orientation (a < b < c) generates each triangle
       // exactly once; wedges = Σ d·(d−1)/2 exact longs; the one double

@@ -778,6 +778,72 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** State-space cap for [[markovStationary]]: the transition matrix
+    * collects driver-side, so its size must be bounded by a CONSTANT,
+    * not by the data's type cardinality (the lm_score lesson) — top-K
+    * types by total count, (count DESC, type) tie-break, mirrored in
+    * the oracle's cap CTE (the BpeWordCap discipline). */
+  private[graft] val MarkovTypeCap = 16
+
+  /** Fixed power-iteration depth — part of the result contract (the
+    * oracle unrolls the same count), not a convergence knob. */
+  private[graft] val MarkovIters = 12
+
+  /** Long-run (stationary) event mix implied by the user-journey
+    * transition chain, versus the mix actually observed — the Markov
+    * sibling of [[eventTransitions]]: if users keep behaving like
+    * their transitions say, what does the event stream converge to,
+    * and how far is today's mix from that equilibrium?
+    *
+    * State space: the capped top-[[MarkovTypeCap]] types restricted to
+    * states with OUTGOING transitions, transitions restricted to both
+    * ends in the space (keeps every row of the matrix stochastic over
+    * the retained mass — an absorbing out-of-space target would
+    * otherwise leak mass irrecoverably). π starts uniform in exact
+    * parts-per-billion and runs [[MarkovIters]] integer power
+    * iterations: contribution = π_f·w div ow_f with 128-bit
+    * intermediates — the pagerank arithmetic without damping, driver-
+    * side over the ≤cap² collected matrix (bounded like the IVF/BPE
+    * trainers, replicated verbatim by the oracle's unrolled CTEs).
+    * The observed-mix join and shares stay distributed. */
+  def markovStationary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val types = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("event_type")).limit(MarkovTypeCap)
+      .select("event_type").collect().map(_.getString(0)).toSeq
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val trans = ev
+      .select(col("user_id"), col("event_type").as("f"),
+        lead(col("event_type"), 1).over(byUser).as("t"))
+      .where(col("t").isNotNull &&
+        col("f").isin(types: _*) && col("t").isin(types: _*))
+      .groupBy("f", "t").agg(count(lit(1)).as("w"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val nodes = trans.map(_._1).distinct.sorted
+    require(nodes.nonEmpty, s"markovStationary: no transitions under $dir")
+    val tr = trans.filter(x => nodes.contains(x._2))
+    val ow = tr.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    var pi = nodes.map(_ -> 1000000000L / nodes.length).toMap
+    for (_ <- 1 to MarkovIters) {
+      val nxt = scala.collection.mutable.Map(nodes.map(_ -> 0L): _*)
+      tr.foreach { case (f, t, w) =>
+        nxt(t) += (BigInt(pi(f)) * w / ow(f)).toLong
+      }
+      pi = nxt.toMap
+    }
+    val piDf = nodes.toSeq.map(n => (n, pi(n))).toDF("event_type", "pi_ppb")
+    val obs = ev.filter(col("event_type").isin(nodes: _*))
+      .groupBy("event_type").agg(count(lit(1)).as("n_obs"))
+    val tot = obs.agg(sum("n_obs").as("n_tot"))
+    broadcast(piDf).join(obs, "event_type").crossJoin(broadcast(tot))
+      .select(col("event_type"), col("pi_ppb"),
+        round(col("pi_ppb") / 1e9, 6).as("pi"),
+        round(col("n_obs").cast("double") / col("n_tot"), 6).as("obs_share"))
+      .orderBy("event_type")
+  }
+
   /** CUSUM changepoint detection per event type: where in the daily
     * value series does the cumulative deviation from the series mean
     * peak? The classic offline-CUSUM statistic S_i = Σ_{j≤i}(x_j − x̄)

@@ -337,6 +337,37 @@ class EventsSpec extends GraftSpec {
     assert(gotGaps === expectedGaps)
   }
 
+  test("markov stationary: planted two-state chain hits the analytic fixpoint") {
+    import EventsFixture.RawEv
+    val spark0 = spark
+    import spark0.implicits._
+    // walk A A A A B B A → transitions AA×3, AB×1, BB×1, BA×1:
+    // P = [[3/4,1/4],[1/2,1/2]], stationary π = (2/3, 1/3)
+    val walk = Seq("A", "A", "A", "A", "B", "B", "A")
+    val rows = walk.zipWithIndex.map { case (t, i) =>
+      RawEv(i.toLong, (1735689600L + i * 60) * 1000000000L, 1L, t, 1.0, "{}")
+    }
+    val d = s"$tmpDir/markov"
+    rows.toDF().write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = Events.markovStationary(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    // integer fold replicated exactly: π·w div ow from uniform, 12 rounds
+    val tr = Seq(("A", "A", 3L), ("A", "B", 1L), ("B", "B", 1L), ("B", "A", 1L))
+    val ow = Map("A" -> 4L, "B" -> 2L)
+    var pi = Map("A" -> 500000000L, "B" -> 500000000L)
+    for (_ <- 1 to Events.MarkovIters) {
+      val nxt = scala.collection.mutable.Map("A" -> 0L, "B" -> 0L)
+      tr.foreach { case (f, t, w) => nxt(t) += (BigInt(pi(f)) * w / ow(f)).toLong }
+      pi = nxt.toMap
+    }
+    assert(got("A")._1 === pi("A") && got("B")._1 === pi("B"),
+      "distributed pi_ppb must equal the exact integer fold")
+    assert(math.abs(got("A")._1 / 1e9 - 2.0 / 3) < 1e-3, "converged near 2/3")
+    // observed shares over the walk: A appears 5/7, B 2/7
+    assert(got("A")._2 ===
+      BigDecimal(5.0 / 7).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("cusum changepoint: a planted level shift is found exactly") {
     import EventsFixture.RawEv
     val spark0 = spark

@@ -560,6 +560,15 @@ class ScaleSpec extends GraftSpec {
       s"the gated part dim must broadcast at test SF:\n$exec")
   }
 
+  test("markov stationary: literal pi broadcasts, observed agg map-combines") {
+    val exec = graft.ops.Events.markovStationary(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(exec.contains("BroadcastHashJoin") && !exec.contains("SortMergeJoin"),
+      s"the cap²-bounded pi frame must broadcast against the mix agg:\n$exec")
+    assert("partial_count".r.findFirstIn(exec).isDefined,
+      s"the observed-mix count must combine map-side:\n$exec")
+  }
+
   test("cusum changepoint: type-partitioned windows over a daily-sized frame") {
     val exec = graft.ops.Events.cusumChangepoint(spark, sf)
       .queryExecution.executedPlan.toString
