@@ -199,6 +199,7 @@ object SparkEntry {
     "graph_triangles"          -> (Graph.copurchaseTriangles _),
     "recon_wasserstein_drift"  -> (Recon.wassersteinDrift _),
     "events_markov_stationary" -> (Events.markovStationary _),
+    "text_js_divergence"       -> ((s, d) => Text.jsDivergence(s, d)),
     "corpus_filter_funnel"     -> ((s, d) => Text.filterFunnel(s, d)),
     "sample_cap_per_source"    -> ((s, d) =>
       Sampling.capPerSource(s, d, k = Sampling.HarnessCapK)),
@@ -309,7 +310,7 @@ object SparkEntry {
     "market_basket_lift", "events_cusum_changepoint", "orders_pareto_abc",
     "recon_benford", "text_readability", "graph_components",
     "ann_ivf_recall", "graph_triangles", "recon_wasserstein_drift",
-    "events_markov_stationary")
+    "events_markov_stationary", "text_js_divergence")
 
   /** DuckDB spelling of [[graft.ops.Vectors.lshBucket]]: the 8 sign bits
     * against the SAME hyperplane doubles, interpolated from
@@ -1936,6 +1937,29 @@ object SparkEntry {
     "graph_pagerank" -> pagerankSql,
     "graph_components" -> componentsSql,
     "events_markov_stationary" -> markovSql,
+    "text_js_divergence" ->
+      // per-token JSD terms rounded 6-dp then exact micro-unit sums
+      // (lm_score recipe); absent-token mass closes analytically as
+      // (ng − Σ_present cg)/(2·ng) — no outer join against the vocab
+      """WITH toks AS (SELECT source, tok FROM (
+        |    SELECT source, unnest(string_split(lower(text), ' ')) tok
+        |    FROM documents) WHERE tok <> ''),
+        |sc AS MATERIALIZED (SELECT source, tok, count(*) cs FROM toks GROUP BY 1, 2),
+        |gc AS MATERIALIZED (SELECT tok, sum(cs) cg FROM sc GROUP BY 1),
+        |na AS (SELECT source, sum(cs) na FROM sc GROUP BY 1),
+        |ng AS (SELECT sum(cg) ng FROM gc),
+        |j AS (SELECT source, na, ng, cg,
+        |    round(0.5 * (p * log2(p / m) + q * log2(q / m)), 6) t6
+        |  FROM (SELECT source, na, ng, cg, p, q, (p + q) / 2 m
+        |    FROM (SELECT sc.source, sc.cs, gc.cg, na.na, ng.ng,
+        |        CAST(sc.cs AS DOUBLE) / na p, CAST(gc.cg AS DOUBLE) / ng q
+        |      FROM sc JOIN gc USING (tok) JOIN na USING (source) CROSS JOIN ng)))
+        |SELECT source, max(na) AS n_tokens, CAST(count(*) AS BIGINT) AS vocab,
+        |  round(CAST(sum(CAST(round(t6 * 1e6) AS BIGINT))
+        |      + CAST(round(round(CAST(max(ng) - sum(cg) AS DOUBLE)
+        |        / (2.0 * max(ng)), 6) * 1e6) AS BIGINT) AS DOUBLE) / 1e6, 6)
+        |    AS jsd
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
     "graph_triangles" ->
       // sorted-triple orientation (a < b < c) generates each triangle
       // exactly once; wedges = Σ d·(d−1)/2 exact longs; the one double

@@ -1064,6 +1064,54 @@ object Text {
       .orderBy("src_a", "src_b")
   }
 
+  /** Jensen–Shannon divergence of every source's unigram token
+    * distribution against the CORPUS distribution — the
+    * information-theoretic "how far is this source from the mix"
+    * measurement a curation pipeline ranks sources by (the
+    * [[sourceOverlap]] vocab Jaccard says how many types two sources
+    * share; JSD says how differently they USE them). JSD(P‖G) with
+    * log₂, so the value lives in [0, 1].
+    *
+    * Determinism (the lm_score recipe): per present token the term
+    * 0.5·(p·log₂(p/m) + q·log₂(q/m)), m = (p+q)/2, is one identically-
+    * spelled double expression rounded to 6 dp and summed as exact
+    * micro-unit longs (order-free); tokens ABSENT from the source
+    * close analytically — p = 0 ⇒ the term is 0.5·q·log₂2 = q/2, so
+    * their total is (ng − Σ_present cg)/(2·ng), computed from exact
+    * longs rather than materializing the absent pairs (no outer join
+    * against the global vocab). One explode pass; the global
+    * distribution folds out of the per-source one (exchange-reused);
+    * everything after is token-keyed hash joins with map-side
+    * partials. */
+  def jsDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("source"), explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val sc = toks.groupBy("source", "tok").agg(count(lit(1)).as("cs"))
+    val gc = sc.groupBy("tok").agg(sum("cs").as("cg"))
+    val na = sc.groupBy("source").agg(sum("cs").as("na"))
+    val ng = gc.agg(sum("cg").as("ng"))
+    val joined = sc.join(gc, "tok")
+      .join(broadcast(na), "source").crossJoin(broadcast(ng))
+      .withColumn("p", col("cs").cast("double") / col("na"))
+      .withColumn("q", col("cg").cast("double") / col("ng"))
+      .withColumn("m", (col("p") + col("q")) / 2)
+      .withColumn("t6", round(
+        lit(0.5) * (col("p") * log2(col("p") / col("m"))
+          + col("q") * log2(col("q") / col("m"))), 6))
+    joined.groupBy("source")
+      .agg(max(col("na")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        max(col("ng")).as("ng"),
+        sum(round(col("t6") * 1e6, 0).cast("long")).as("sm"),
+        sum(col("cg")).as("cgp"))
+      .select(col("source"), col("n_tokens"), col("vocab"),
+        round((col("sm") + round(round((col("ng") - col("cgp")).cast("double")
+            / (lit(2.0) * col("ng")), 6) * 1e6, 0).cast("long"))
+          .cast("double") / 1e6, 6).as("jsd"))
+      .orderBy("source")
+  }
+
   /** Zipf power-law fit over the token rank–frequency curve — the other
     * half of the corpus health check [[vocabRichness]] starts: natural
     * text follows ln(freq) ≈ a − s·ln(rank) with s near 1; a flat slope

@@ -580,6 +580,18 @@ class ScaleSpec extends GraftSpec {
       s"every window must partition by event_type:\n$exec")
   }
 
+  test("jsd: global distribution folds from the source one, token hash joins") {
+    val q = graft.ops.Text.jsDivergence(spark, sf)
+    q.collect() // AQE inserts the reuse marker in the FINAL plan
+    val exec = q.queryExecution.executedPlan.toString
+    assert(exec.contains("ReusedQueryStage") || exec.contains("ReusedExchange"),
+      s"the (source, tok) count exchange must feed both sc and gc:\n$exec")
+    assert(!exec.contains("CartesianProduct"),
+      s"only the one-row ng total may cross (broadcast loop):\n$exec")
+    assert("partial_(count|sum)".r.findFirstIn(exec).isDefined,
+      s"token counts must combine map-side:\n$exec")
+  }
+
   test("readability: map-only scan, bounded presentation selection") {
     val exec = graft.ops.Text.readability(spark, sf)
       .queryExecution.executedPlan.toString

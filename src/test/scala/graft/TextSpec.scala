@@ -697,6 +697,53 @@ class TextSpec extends GraftSpec {
     assert(math.abs(rows.head.getDouble(3) - 0.6) < 1e-12)
   }
 
+  test("jsd: identical source distributions diverge by exactly zero") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = s"$tmpDir/jsd0"
+    // both sources carry the same token multiset → every present term
+    // has p = q (zero) and no absent mass → jsd exactly 0.0
+    Seq(TextFixture.Doc(1, "alpha beta beta gamma", "en", "sA", 21),
+        TextFixture.Doc(2, "alpha beta beta gamma", "en", "sB", 21))
+      .toDF().write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Text.jsDivergence(spark, dir).collect()
+    assert(got.length === 2)
+    got.foreach { r =>
+      assert(r.getDouble(3) === 0.0, s"source ${r.getString(0)}")
+      assert(r.getLong(1) === 4L && r.getLong(2) === 3L)
+    }
+  }
+
+  test("jsd: sf values recompute via an independent driver fold") {
+    val sc = Tables.documents(spark, sf)
+      .select(col("source"), explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("source", "tok").agg(count(lit(1)).as("cs"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val gc = sc.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val na = sc.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val ng = gc.values.sum
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    val expect = sc.groupBy(_._1).map { case (s, rows) =>
+      val terms = rows.map { case (_, tok, cs) =>
+        val p = cs.toDouble / na(s)
+        val q = gc(tok).toDouble / ng
+        val m = (p + q) / 2
+        math.round(r6(0.5 * (p * log2(p / m) + q * log2(q / m))) * 1e6)
+      }.sum
+      val cgp = rows.map(x => gc(x._2)).sum
+      val absent = math.round(r6((ng - cgp).toDouble / (2.0 * ng)) * 1e6)
+      s -> r6((terms + absent).toDouble / 1e6)
+    }
+    Text.jsDivergence(spark, sf).collect().foreach { r =>
+      assert(r.getDouble(3) === expect(r.getString(0)),
+        s"jsd for ${r.getString(0)}")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+  }
+
   test("readability: counts recompute via independent Scala regexes") {
     val raw = Tables.documents(spark, sf).select("doc_id", "text")
       .orderBy("doc_id").limit(50)
