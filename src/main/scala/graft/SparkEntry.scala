@@ -200,6 +200,7 @@ object SparkEntry {
     "recon_wasserstein_drift"  -> (Recon.wassersteinDrift _),
     "events_markov_stationary" -> (Events.markovStationary _),
     "text_js_divergence"       -> ((s, d) => Text.jsDivergence(s, d)),
+    "orders_trend_forecast"    -> (Relational.trendForecast _),
     "corpus_filter_funnel"     -> ((s, d) => Text.filterFunnel(s, d)),
     "sample_cap_per_source"    -> ((s, d) =>
       Sampling.capPerSource(s, d, k = Sampling.HarnessCapK)),
@@ -310,7 +311,8 @@ object SparkEntry {
     "market_basket_lift", "events_cusum_changepoint", "orders_pareto_abc",
     "recon_benford", "text_readability", "graph_components",
     "ann_ivf_recall", "graph_triangles", "recon_wasserstein_drift",
-    "events_markov_stationary", "text_js_divergence")
+    "events_markov_stationary", "text_js_divergence",
+    "orders_trend_forecast")
 
   /** DuckDB spelling of [[graft.ops.Vectors.lshBucket]]: the 8 sign bits
     * against the SAME hyperplane doubles, interpolated from
@@ -2033,6 +2035,43 @@ object SparkEntry {
         |  round(CAST(ctm AS DOUBLE) / 1e6, 4) AS chi2_total,
         |  CAST(ctm AS DOUBLE) / 1e6 > 15.507 AS drifted
         |FROM parts CROSS JOIN ct ORDER BY digit""".stripMargin,
+
+    "orders_trend_forecast" ->
+      // OLS with cleared denominators: num/denx/deny are exact HUGEINT
+      // ≡ DECIMAL(38,0); the only doubles are the final identically-
+      // spelled divisions; single-month groups NULL via denx > 0
+      """WITH m AS (SELECT o_orderpriority pri, date_trunc('month', o_orderdate) mon,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) * 10000 AS BIGINT) y
+        |  FROM orders GROUP BY 1, 2),
+        |x AS (SELECT pri, mon, y,
+        |    CAST(datediff('month', fm, mon) AS BIGINT) x
+        |  FROM m JOIN (SELECT pri, min(mon) fm FROM m GROUP BY 1) f USING (pri)),
+        |s AS (SELECT pri, count(*) n, sum(x) sx, sum(CAST(y AS HUGEINT)) sy,
+        |    sum(CAST(x AS HUGEINT) * y) sxy, sum(CAST(x AS HUGEINT) * x) sxx,
+        |    sum(CAST(y AS HUGEINT) * y) syy, max(x) mx
+        |  FROM x GROUP BY 1),
+        |d AS (SELECT pri, n, mx,
+        |    n * sxy - sx * sy num,
+        |    n * sxx - CAST(sx AS HUGEINT) * sx denx,
+        |    n * syy - sy * sy deny,
+        |    sx, sy
+        |  FROM s)
+        |SELECT pri AS o_orderpriority, CAST(n AS BIGINT) n_months,
+        |  CASE WHEN denx > 0 THEN
+        |    round(CAST(num AS DOUBLE) / CAST(denx AS DOUBLE) / 1e4, 6) + 0
+        |  END AS slope,
+        |  CASE WHEN denx > 0 THEN
+        |    round((CAST(sy AS DOUBLE) / 1e4 - CAST(num AS DOUBLE)
+        |      / CAST(denx AS DOUBLE) / 1e4 * sx) / n, 2) + 0 END AS intercept,
+        |  CASE WHEN denx > 0 THEN
+        |    round((CAST(sy AS DOUBLE) / 1e4 - CAST(num AS DOUBLE)
+        |      / CAST(denx AS DOUBLE) / 1e4 * sx) / n + CAST(num AS DOUBLE)
+        |      / CAST(denx AS DOUBLE) / 1e4 * (mx + 1), 2) + 0
+        |  END AS forecast_next,
+        |  CASE WHEN denx > 0 AND deny > 0 THEN
+        |    round(CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
+        |      / (CAST(denx AS DOUBLE) * CAST(deny AS DOUBLE)), 6) + 0 END AS r2
+        |FROM d ORDER BY pri""".stripMargin,
 
     "orders_pareto_abc" ->
       // value-granular ABC: the oracle spells the DIRECT window form

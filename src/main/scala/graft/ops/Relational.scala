@@ -1864,6 +1864,61 @@ object Relational {
     * (v ≥ t80 ⟺ 5·cumBefore(v) < 4T) equal to the oracle's direct
     * window spelling; the spec pins it on a boundary-splitting
     * fixture. Money in exact 1e-4-unit longs ([[Recon.cents]]). */
+  /** Per-priority monthly revenue trend: ordinary-least-squares fit of
+    * monthly revenue against the month index, with the next-month
+    * forecast and R² — the closed-form forecasting op a reporting
+    * pipeline runs where regr_funcs stops at the raw coefficients.
+    *
+    * Exactness: every OLS sufficient statistic is an exact integer
+    * (x = whole months since the group's first month, y = revenue in
+    * 1e-4-unit longs; Σx, Σy, Σxy, Σx², Σy² as DECIMAL(38,0) ≡
+    * HUGEINT), and the slope/intercept/forecast/R² denominators clear:
+    * num = nΣxy − ΣxΣy and denx = nΣx² − (Σx)² are exact integers, so
+    * the only doubles are the final identically-spelled divisions.
+    * Degenerate single-month groups yield NULL via denx > 0 — same
+    * CASE both engines. Σy² bounds the exactness: monthly revenue must
+    * stay under ~1e18 micro-units (≈ $10¹⁴/month) before DECIMAL(38)
+    * saturates — document-level bound, loud overflow past it.
+    *
+    * 100 TB posture: one map-side-combined groupBy to (priority,
+    * month) cells, then a priority-sized stats agg — nothing after the
+    * first collapse is corpus-sized. */
+  def trendForecast(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val m = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("pri"),
+        date_trunc("month", col("o_orderdate")).as("mon"))
+      .agg(sum(Recon.cents(col("o_totalprice"))).as("y"))
+    val fm = m.groupBy("pri").agg(min("mon").as("fm"))
+    val s = m.join(broadcast(fm), "pri")
+      .withColumn("x", months_between(col("mon"), col("fm")).cast("long"))
+      .groupBy("pri").agg(
+        count(lit(1)).as("n"), sum("x").as("sx"),
+        sum(col("y").cast(dec)).as("sy"),
+        sum(col("x").cast(dec) * col("y")).as("sxy"),
+        sum(col("x").cast(dec) * col("x")).as("sxx"),
+        sum(col("y").cast(dec) * col("y")).as("syy"),
+        max("x").as("mx"))
+    val d = s.select(col("pri"), col("n"), col("mx"), col("sx"), col("sy"),
+      (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+      (col("n") * col("sxx") - col("sx").cast(dec) * col("sx")).as("denx"),
+      (col("n") * col("syy") - col("sy") * col("sy")).as("deny"))
+    val slopeRaw = col("num").cast("double") / col("denx").cast("double") / 1e4
+    val interceptRaw =
+      (col("sy").cast("double") / 1e4 - slopeRaw * col("sx")) / col("n")
+    d.select(col("pri").as("o_orderpriority"), col("n").as("n_months"),
+        when(col("denx") > 0, round(slopeRaw, 6)).as("slope"),
+        when(col("denx") > 0, round(interceptRaw, 2)).as("intercept"),
+        when(col("denx") > 0,
+          round(interceptRaw + slopeRaw * (col("mx") + 1), 2))
+          .as("forecast_next"),
+        when(col("denx") > 0 && col("deny") > 0,
+          round(col("num").cast("double") * col("num").cast("double")
+            / (col("denx").cast("double") * col("deny").cast("double")), 6))
+          .as("r2"))
+      .orderBy("o_orderpriority")
+  }
+
   def paretoAbc(spark: SparkSession, dir: String): DataFrame = {
     val rev = Tables.orders(spark, dir).groupBy(col("o_custkey"))
       .agg(sum(Recon.cents(col("o_totalprice"))).as("c"))

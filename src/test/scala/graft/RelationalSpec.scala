@@ -524,6 +524,32 @@ class RelationalSpec extends GraftSpec {
     assert(lifts === lifts.sortBy { case (l, a, b) => (-l, a, b) }.toSeq)
   }
 
+  test("trendForecast: a perfect line fits exactly; single-month group is NULL") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = s"$tmpDir/trend"
+    // priority P: one order per month on the exact line y = 100 + 10x
+    // → slope 10, intercept 100, forecast month 6 = 160, R² = 1;
+    // priority Q: a single month → denx = 0 → all metrics NULL
+    val p = (0 to 5).map(x =>
+      (x.toLong, "P", java.sql.Timestamp.valueOf(f"2025-${x + 1}%02d-15 00:00:00"),
+        100.0 + 10.0 * x))
+    val q = Seq((10L, "Q", java.sql.Timestamp.valueOf("2025-03-01 00:00:00"), 50.0))
+    (p ++ q).toDF("o_orderkey", "o_orderpriority", "o_orderdate", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = Relational.trendForecast(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val rp = got("P")
+    assert(rp.getLong(1) === 6L)
+    assert(rp.getDouble(2) === 10.0, "slope")
+    assert(rp.getDouble(3) === 100.0, "intercept")
+    assert(rp.getDouble(4) === 160.0, "forecast")
+    assert(rp.getDouble(5) === 1.0, "R2 of a perfect line")
+    val rq = got("Q")
+    assert(rq.getLong(1) === 1L)
+    (2 to 5).foreach(i => assert(rq.isNullAt(i), s"degenerate col $i"))
+  }
+
   test("paretoAbc: exact boundary equality pushes the crossing value down a class") {
     val spark0 = spark
     import spark0.implicits._

@@ -615,6 +615,17 @@ class ScaleSpec extends GraftSpec {
       s"the chi2 total rides a 9-row re-aggregate, not a window:\n$exec")
   }
 
+  test("trend forecast: month cells map-combine, first-month frame broadcasts") {
+    val exec = graft.ops.Relational.trendForecast(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("partial_(count|sum)".r.findFirstIn(exec).isDefined,
+      s"the (priority, month) collapse must combine map-side:\n$exec")
+    assert(exec.contains("BroadcastHashJoin") && !exec.contains("SortMergeJoin"),
+      s"the priority-sized first-month frame must broadcast:\n$exec")
+    assert(!exec.contains("Window"),
+      s"OLS rides sufficient statistics, not a window:\n$exec")
+  }
+
   test("pareto abc: no unpartitioned window, map-side classification") {
     val exec = graft.ops.Relational.paretoAbc(spark, sf)
       .queryExecution.executedPlan.toString
