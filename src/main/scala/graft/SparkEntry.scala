@@ -201,6 +201,7 @@ object SparkEntry {
     "events_markov_stationary" -> (Events.markovStationary _),
     "text_js_divergence"       -> ((s, d) => Text.jsDivergence(s, d)),
     "orders_trend_forecast"    -> (Relational.trendForecast _),
+    "events_stickiness"        -> (Events.stickiness _),
     "corpus_filter_funnel"     -> ((s, d) => Text.filterFunnel(s, d)),
     "sample_cap_per_source"    -> ((s, d) =>
       Sampling.capPerSource(s, d, k = Sampling.HarnessCapK)),
@@ -312,7 +313,7 @@ object SparkEntry {
     "recon_benford", "text_readability", "graph_components",
     "ann_ivf_recall", "graph_triangles", "recon_wasserstein_drift",
     "events_markov_stationary", "text_js_divergence",
-    "orders_trend_forecast")
+    "orders_trend_forecast", "events_stickiness")
 
   /** DuckDB spelling of [[graft.ops.Vectors.lshBucket]]: the 8 sign bits
     * against the SAME hyperplane doubles, interpolated from
@@ -2094,6 +2095,19 @@ object SparkEntry {
         |  round(CAST(sum(c) AS HUGEINT) / 10000.0, 2) AS revenue,
         |  round(CAST(sum(c) AS DOUBLE) / CAST(t AS DOUBLE), 4) + 0 AS revenue_share
         |FROM cls CROSS JOIN tot GROUP BY k, t ORDER BY k""".stripMargin,
+
+    "events_stickiness" ->
+      // one distinct (month, day, user) collapse feeds both counts;
+      // ratio = Σdau / (n_days · mau) — exact longs, one division
+      """WITH ud AS (SELECT DISTINCT date_trunc('month', ts) mon,
+        |    date_trunc('day', ts) d, user_id FROM events),
+        |dau AS (SELECT mon, d, count(*) dau FROM ud GROUP BY 1, 2),
+        |mau AS (SELECT mon, count(*) mau FROM (
+        |    SELECT DISTINCT mon, user_id FROM ud) GROUP BY 1)
+        |SELECT dau.mon AS month, CAST(count(*) AS BIGINT) n_days,
+        |  CAST(sum(dau) AS BIGINT) dau_total, mau,
+        |  round(CAST(sum(dau) AS DOUBLE) / (count(*) * mau), 6) + 0 AS stickiness
+        |FROM dau JOIN mau USING (mon) GROUP BY 1, mau ORDER BY 1""".stripMargin,
 
     "events_cusum_changepoint" ->
       // exact offline CUSUM: n·S_i = n·P_i − i·T clears the mean's

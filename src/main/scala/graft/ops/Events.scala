@@ -778,6 +778,35 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** DAU/MAU stickiness per month — the engagement ratio every product
+    * dashboard keys on: average daily active users over monthly active
+    * users (1.0 = everyone active every day). Exact throughout: both
+    * counts are exact distincts and the ratio is exact longs with one
+    * identically-spelled division: Σdau / (n_days · mau). Catalyst
+    * collapses the monthly distinct-of-the-deduped-pairs into a direct
+    * (month, user) aggregate over the scan, so the plan is two
+    * map-side-deduped aggregation passes.
+    *
+    * 100 TB posture: each corpus-sized pass partial-dedups map-side
+    * before its shuffle; everything downstream is day- or
+    * month-sized. */
+  def stickiness(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(spark, dir)
+      .select(date_trunc("month", col("ts")).as("mon"),
+        date_trunc("day", col("ts")).as("d"), col("user_id"))
+      .distinct()
+    val dau = ud.groupBy("mon", "d").agg(count(lit(1)).as("dau"))
+    val mau = ud.select(col("mon"), col("user_id")).distinct()
+      .groupBy("mon").agg(count(lit(1)).as("mau"))
+    dau.join(broadcast(mau), "mon")
+      .groupBy(col("mon").as("month"), col("mau"))
+      .agg(count(lit(1)).as("n_days"), sum(col("dau")).as("dau_total"))
+      .select(col("month"), col("n_days"), col("dau_total"), col("mau"),
+        round(col("dau_total").cast("double") / (col("n_days") * col("mau")), 6)
+          .as("stickiness"))
+      .orderBy("month")
+  }
+
   /** State-space cap for [[markovStationary]]: the transition matrix
     * collects driver-side, so its size must be bounded by a CONSTANT,
     * not by the data's type cardinality (the lm_score lesson) — top-K

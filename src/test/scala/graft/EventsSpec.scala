@@ -337,6 +337,46 @@ class EventsSpec extends GraftSpec {
     assert(gotGaps === expectedGaps)
   }
 
+  test("stickiness: hand fixture is exact; sf values recompute from raw pairs") {
+    import EventsFixture.RawEv
+    val spark0 = spark
+    import spark0.implicits._
+    val day = 86400L * 1000000000L
+    val base = 1735689600L * 1000000000L
+    // user 1 active on days 1 and 2 (twice on day 1 — dedup must hold),
+    // user 2 on day 1 only → dau = [2, 1], mau = 2 → 3/(2·2) = 0.75
+    val rows = Seq(
+      RawEv(1, base, 1L, "a", 1.0, "{}"),
+      RawEv(2, base + 3600L * 1000000000L, 1L, "a", 1.0, "{}"),
+      RawEv(3, base + day, 1L, "a", 1.0, "{}"),
+      RawEv(4, base, 2L, "a", 1.0, "{}"))
+    val d = s"$tmpDir/stick"
+    rows.toDF().write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = Events.stickiness(spark, d).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((2L, 3L, 2L)))
+    assert(r.getDouble(4) === 0.75)
+    // sf recount from raw (month, day, user) triples
+    val raw = Tables.events(spark, sf)
+      .select(date_trunc("month", col("ts")), date_trunc("day", col("ts")),
+        col("user_id"))
+      .collect().map(x => (x.getTimestamp(0), x.getTimestamp(1), x.getLong(2)))
+      .distinct
+    val expect = raw.groupBy(_._1).map { case (mon, xs) =>
+      val dauTotal = xs.map(x => (x._2, x._3)).distinct.length.toLong
+      val nDays = xs.map(_._2).distinct.length.toLong
+      val mau = xs.map(_._3).distinct.length.toLong
+      mon -> (nDays, dauTotal, mau)
+    }
+    Events.stickiness(spark, sf).collect().foreach { r =>
+      val (nd, dt, ma) = expect(r.getTimestamp(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((nd, dt, ma)))
+      assert(r.getDouble(4) === BigDecimal(dt.toDouble / (nd * ma))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
   test("markov stationary: planted two-state chain hits the analytic fixpoint") {
     import EventsFixture.RawEv
     val spark0 = spark

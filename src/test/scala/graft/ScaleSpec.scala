@@ -560,6 +560,20 @@ class ScaleSpec extends GraftSpec {
       s"the gated part dim must broadcast at test SF:\n$exec")
   }
 
+  test("stickiness: map-deduped passes only, month-sized mau broadcasts") {
+    val q = graft.ops.Events.stickiness(spark, sf)
+    q.collect()
+    val exec = q.queryExecution.executedPlan.toString
+    // Catalyst collapses distinct-of-projection-of-distinct, so the mau
+    // branch is its own (month, user) aggregate over the scan — assert
+    // both dedup passes combine map-side instead of demanding reuse
+    assert(exec.split("HashAggregate\\(keys=\\[mon").length >= 3,
+      s"both dedup passes must be hash aggregates:\n$exec")
+    assert(exec.contains("BroadcastHashJoin") && !exec.contains("SortMergeJoin"),
+      s"the month-sized mau frame must broadcast:\n$exec")
+    assert(!exec.contains("Window"), s"no window anywhere:\n$exec")
+  }
+
   test("markov stationary: literal pi broadcasts, observed agg map-combines") {
     val exec = graft.ops.Events.markovStationary(spark, sf)
       .queryExecution.executedPlan.toString
