@@ -202,6 +202,7 @@ object SparkEntry {
     "text_js_divergence"       -> ((s, d) => Text.jsDivergence(s, d)),
     "orders_trend_forecast"    -> (Relational.trendForecast _),
     "events_stickiness"        -> (Events.stickiness _),
+    "events_seasonal_naive"    -> (Events.seasonalNaive _),
     "corpus_filter_funnel"     -> ((s, d) => Text.filterFunnel(s, d)),
     "sample_cap_per_source"    -> ((s, d) =>
       Sampling.capPerSource(s, d, k = Sampling.HarnessCapK)),
@@ -313,7 +314,7 @@ object SparkEntry {
     "recon_benford", "text_readability", "graph_components",
     "ann_ivf_recall", "graph_triangles", "recon_wasserstein_drift",
     "events_markov_stationary", "text_js_divergence",
-    "orders_trend_forecast", "events_stickiness")
+    "orders_trend_forecast", "events_stickiness", "events_seasonal_naive")
 
   /** DuckDB spelling of [[graft.ops.Vectors.lshBucket]]: the 8 sign bits
     * against the SAME hyperplane doubles, interpolated from
@@ -2095,6 +2096,36 @@ object SparkEntry {
         |  round(CAST(sum(c) AS HUGEINT) / 10000.0, 2) AS revenue,
         |  round(CAST(sum(c) AS DOUBLE) / CAST(t AS DOUBLE), 4) + 0 AS revenue_share
         |FROM cls CROSS JOIN tot GROUP BY k, t ORDER BY k""".stripMargin,
+
+    "events_seasonal_naive" ->
+      // MASE with cleared denominators: e7·n1 / (d1·n7) as HUGEINT ≡
+      // DECIMAL(38,0) products, one double division; seasonal_wins is
+      // a pure integer comparison; NULL guards identical
+      """WITH daily AS MATERIALIZED (
+        |  SELECT event_type, date_trunc('day', ts) d,
+        |    sum(CAST(round(round(value, 6) * 1e6) AS BIGINT)) y
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |lagd AS (SELECT event_type, d, y,
+        |    lag(y, 7) OVER w y7, lag(y, 1) OVER w y1
+        |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY d)),
+        |s AS (SELECT event_type, count(*) n_days,
+        |    sum(CASE WHEN y7 IS NOT NULL THEN abs(y - y7) END) e7,
+        |    sum(CASE WHEN y7 IS NOT NULL THEN 1 ELSE 0 END) n7,
+        |    sum(CASE WHEN y1 IS NOT NULL THEN abs(y - y1) END) d1,
+        |    sum(CASE WHEN y1 IS NOT NULL THEN 1 ELSE 0 END) n1
+        |  FROM lagd GROUP BY 1)
+        |SELECT event_type, CAST(n_days AS BIGINT) n_days,
+        |  CASE WHEN n7 > 0 THEN
+        |    round(CAST(e7 AS DOUBLE) / n7 / 1e6, 4) + 0 END AS mae_seasonal,
+        |  CASE WHEN n1 > 0 THEN
+        |    round(CAST(d1 AS DOUBLE) / n1 / 1e6, 4) + 0 END AS mae_naive,
+        |  CASE WHEN n7 > 0 AND d1 > 0 THEN
+        |    round(CAST(CAST(e7 AS HUGEINT) * n1 AS DOUBLE)
+        |      / CAST(CAST(d1 AS HUGEINT) * n7 AS DOUBLE), 6) + 0 END AS mase,
+        |  CASE WHEN n7 > 0 AND d1 > 0 THEN
+        |    CAST(e7 AS HUGEINT) * n1 < CAST(d1 AS HUGEINT) * n7
+        |  END AS seasonal_wins
+        |FROM s ORDER BY event_type""".stripMargin,
 
     "events_stickiness" ->
       // one distinct (month, day, user) collapse feeds both counts;

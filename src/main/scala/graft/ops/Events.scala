@@ -778,6 +778,54 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** Seasonal-naive forecast evaluation per event type: does "same day
+    * last week" (lag 7 on the daily series) beat "same as yesterday"
+    * (lag 1)? MASE = MAE_seasonal / MAE_naive — the scale-free
+    * forecast-quality ratio; < 1 means the weekly pattern carries real
+    * signal, which is the go/no-go check before trusting seasonal
+    * models on the stream.
+    *
+    * Exactness: daily sums in 6-dp micro-unit longs; both absolute-
+    * error sums are exact longs; MASE clears its denominators as the
+    * 128-bit integer ratio e7·n1 / (d1·n7) (one double division,
+    * identically spelled) and the seasonal_wins flag is a pure integer
+    * comparison. NULL guards (n7 > 0, d1 > 0) identical on both
+    * engines — a constant series has d1 = 0 and reports no MASE
+    * rather than an engine-dependent ∞/NULL.
+    *
+    * 100 TB posture: the cusumChangepoint shape — one map-side-
+    * combined daily collapse, then type-partitioned lags over the
+    * (types × days) frame. */
+  def seasonalNaive(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val daily = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"), date_trunc("DAY", col("ts")).as("d"))
+      .agg(sum(round(round(col("value"), 6) * 1e6, 0).cast("long")).as("y"))
+    val w = Window.partitionBy("event_type").orderBy("d")
+    val s = daily
+      .withColumn("y7", lag(col("y"), 7).over(w))
+      .withColumn("y1", lag(col("y"), 1).over(w))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(when(col("y7").isNotNull, abs(col("y") - col("y7")))).as("e7"),
+        sum(when(col("y7").isNotNull, 1L).otherwise(0L)).as("n7"),
+        sum(when(col("y1").isNotNull, abs(col("y") - col("y1")))).as("d1"),
+        sum(when(col("y1").isNotNull, 1L).otherwise(0L)).as("n1"))
+    s.select(col("event_type"), col("n_days"),
+        when(col("n7") > 0,
+          round(col("e7").cast("double") / col("n7") / 1e6, 4)).as("mae_seasonal"),
+        when(col("n1") > 0,
+          round(col("d1").cast("double") / col("n1") / 1e6, 4)).as("mae_naive"),
+        when(col("n7") > 0 && col("d1") > 0,
+          round((col("e7").cast(dec) * col("n1")).cast("double")
+            / (col("d1").cast(dec) * col("n7")).cast("double"), 6)).as("mase"),
+        when(col("n7") > 0 && col("d1") > 0,
+          col("e7").cast(dec) * col("n1") < col("d1").cast(dec) * col("n7"))
+          .as("seasonal_wins"))
+      .orderBy("event_type")
+  }
+
   /** DAU/MAU stickiness per month — the engagement ratio every product
     * dashboard keys on: average daily active users over monthly active
     * users (1.0 = everyone active every day). Exact throughout: both

@@ -337,6 +337,35 @@ class EventsSpec extends GraftSpec {
     assert(gotGaps === expectedGaps)
   }
 
+  test("seasonal naive: a pure weekly pattern gives MASE 0; constant series NULL") {
+    import EventsFixture.RawEv
+    val spark0 = spark
+    import spark0.implicits._
+    val day = 86400L * 1000000000L
+    val base = 1735689600L * 1000000000L
+    // type w: perfect period-7 pattern over 21 days → lag-7 error 0,
+    // lag-1 error > 0 → MASE exactly 0, seasonal_wins true;
+    // type c: constant series → d1 = 0 → mase/seasonal_wins NULL
+    val weekly = (0 until 21).map { i =>
+      RawEv(i.toLong, base + i * day, 1L, "w", 10.0 + (i % 7), "{}")
+    }
+    val const = (0 until 21).map { i =>
+      RawEv(100 + i.toLong, base + i * day, 1L, "c", 5.0, "{}")
+    }
+    val d = s"$tmpDir/snaive"
+    (weekly ++ const).toDF().write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = Events.seasonalNaive(spark, d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val w = got("w")
+    assert(w.getLong(1) === 21L)
+    assert(w.getDouble(4) === 0.0, "perfect weekly pattern: MASE 0")
+    assert(w.getBoolean(5), "seasonal must win")
+    assert(w.getDouble(2) === 0.0 && w.getDouble(3) > 0.0)
+    val c = got("c")
+    assert(c.isNullAt(4) && c.isNullAt(5), "constant series: no MASE")
+    assert(c.getDouble(2) === 0.0 && c.getDouble(3) === 0.0)
+  }
+
   test("stickiness: hand fixture is exact; sf values recompute from raw pairs") {
     import EventsFixture.RawEv
     val spark0 = spark

@@ -560,6 +560,17 @@ class ScaleSpec extends GraftSpec {
       s"the gated part dim must broadcast at test SF:\n$exec")
   }
 
+  test("seasonal naive: daily collapse map-combines, lags partition by type") {
+    val exec = graft.ops.Events.seasonalNaive(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("partial_(count|sum)".r.findFirstIn(exec).isDefined,
+      s"the daily collapse must combine map-side:\n$exec")
+    assert(!exec.contains("windowspecdefinition()"),
+      s"both lags must partition by event_type:\n$exec")
+    assert(!exec.contains("Join"),
+      s"lags and the error rollup ride one daily frame, no join:\n$exec")
+  }
+
   test("stickiness: map-deduped passes only, month-sized mau broadcasts") {
     val q = graft.ops.Events.stickiness(spark, sf)
     q.collect()
