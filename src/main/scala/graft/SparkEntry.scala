@@ -408,9 +408,9 @@ object SparkEntry {
        |  CAST(sum(CASE WHEN ann = enn THEN 1 ELSE 0 END) AS BIGINT) n_id_match,
        |  CAST(sum(CASE WHEN asim = esim THEN 1 ELSE 0 END) AS BIGINT) n_tie_match,
        |  round(CAST(sum(CASE WHEN ann = enn THEN 1 ELSE 0 END) AS DOUBLE)
-       |    / count(*), 4) + 0 AS recall_id,
+       |    / count(*), 6) + 0 AS recall_id,
        |  round(CAST(sum(CASE WHEN asim = esim THEN 1 ELSE 0 END) AS DOUBLE)
-       |    / count(*), 4) + 0 AS recall_tie
+       |    / count(*), 6) + 0 AS recall_tie
        |FROM eb LEFT JOIN ab USING (vec_id)""".stripMargin
 
   /** DuckDB re-derivation of the ENTIRE [[graft.ops.Text.bpeMerges]]
@@ -543,8 +543,13 @@ object SparkEntry {
          |  WHERE t IS NOT NULL AND f IN (SELECT event_type FROM cap)
          |    AND t IN (SELECT event_type FROM cap) GROUP BY 1, 2),
          |nodes AS MATERIALIZED (SELECT DISTINCT f AS node FROM tr0),
-         |tr AS MATERIALIZED (SELECT f, t, w FROM tr0
-         |  WHERE t IN (SELECT node FROM nodes)),
+         |tr AS MATERIALIZED (
+         |  SELECT f, t, w FROM tr0 WHERE t IN (SELECT node FROM nodes)
+         |  UNION ALL
+         |  -- unit self-loop for states whose every target dropped out of
+         |  -- the space: mass holds instead of evaporating at round 1
+         |  SELECT node, node, 1 FROM nodes WHERE node NOT IN (
+         |    SELECT f FROM tr0 WHERE t IN (SELECT node FROM nodes))),
          |ow AS MATERIALIZED (SELECT f, sum(w) ow FROM tr GROUP BY 1),
          |k AS (SELECT count(*) cnt FROM nodes),
          |p0 AS MATERIALIZED (
@@ -1988,22 +1993,22 @@ object SparkEntry {
       // effective sentences = max(punctuation runs, ceil(w/16)) — the
       // documented fallback for this punctuation-free corpus; scores
       // are single identically-spelled double expressions
-      """WITH m AS (SELECT doc_id,
+      """WITH m AS (SELECT doc_id, length(text) > 0 nz,
         |    len(string_split(text, ' ')) w,
         |    len(regexp_extract_all(text, '[.!?]+')) sp,
         |    len(regexp_extract_all(lower(text), '[aeiouy]+')) syl,
         |    len(regexp_extract_all(text, '[^ ]{7,}')) lw
         |  FROM documents),
-        |e AS (SELECT doc_id, w, greatest(sp, (w + 15) // 16) s, syl, lw FROM m)
+        |e AS (SELECT doc_id, nz, w, greatest(sp, (w + 15) // 16) s, syl, lw FROM m)
         |SELECT doc_id, CAST(w AS BIGINT) n_words, CAST(s AS BIGINT) n_sentences,
         |  CAST(syl AS BIGINT) n_syllables, CAST(lw AS BIGINT) n_long,
-        |  CASE WHEN w > 0 THEN
+        |  CASE WHEN nz THEN
         |    round(206.835 - 1.015 * (CAST(w AS DOUBLE) / s)
         |      - 84.6 * (CAST(syl AS DOUBLE) / w), 6) + 0 END AS fre,
-        |  CASE WHEN w > 0 THEN
+        |  CASE WHEN nz THEN
         |    round(0.39 * (CAST(w AS DOUBLE) / s)
         |      + 11.8 * (CAST(syl AS DOUBLE) / w) - 15.59, 6) + 0 END AS fk_grade,
-        |  CASE WHEN w > 0 THEN
+        |  CASE WHEN nz THEN
         |    round(CAST(w AS DOUBLE) / s
         |      + 100.0 * CAST(lw AS DOUBLE) / w, 6) + 0 END AS lix
         |FROM e ORDER BY doc_id LIMIT 1000""".stripMargin,
@@ -2031,10 +2036,10 @@ object SparkEntry {
         |  FROM j CROSS JOIN tot),
         |ct AS (SELECT sum(CAST(round(chi2_part * 1e6) AS BIGINT)) ctm FROM parts)
         |SELECT digit, CAST(o AS BIGINT) n_obs,
-        |  round(CAST(o AS DOUBLE) / n, 4) + 0 AS obs_share,
+        |  round(CAST(o AS DOUBLE) / n, 6) + 0 AS obs_share,
         |  CAST(round(p, 4) AS DOUBLE) AS exp_share,
         |  chi2_part,
-        |  round(CAST(ctm AS DOUBLE) / 1e6, 4) AS chi2_total,
+        |  round(CAST(ctm AS DOUBLE) / 1e6, 6) AS chi2_total,
         |  CAST(ctm AS DOUBLE) / 1e6 > 15.507 AS drifted
         |FROM parts CROSS JOIN ct ORDER BY digit""".stripMargin,
 
@@ -2094,7 +2099,7 @@ object SparkEntry {
         |  FROM rev r JOIN cb ON r.c = cb.v CROSS JOIN tot)
         |SELECT k AS abc_class, CAST(count(*) AS BIGINT) n_customers,
         |  round(CAST(sum(c) AS HUGEINT) / 10000.0, 2) AS revenue,
-        |  round(CAST(sum(c) AS DOUBLE) / CAST(t AS DOUBLE), 4) + 0 AS revenue_share
+        |  round(CAST(sum(c) AS DOUBLE) / CAST(t AS DOUBLE), 6) + 0 AS revenue_share
         |FROM cls CROSS JOIN tot GROUP BY k, t ORDER BY k""".stripMargin,
 
     "events_seasonal_naive" ->
@@ -2116,9 +2121,9 @@ object SparkEntry {
         |  FROM lagd GROUP BY 1)
         |SELECT event_type, CAST(n_days AS BIGINT) n_days,
         |  CASE WHEN n7 > 0 THEN
-        |    round(CAST(e7 AS DOUBLE) / n7 / 1e6, 4) + 0 END AS mae_seasonal,
+        |    round(CAST(e7 AS DOUBLE) / n7 / 1e6, 6) + 0 END AS mae_seasonal,
         |  CASE WHEN n1 > 0 THEN
-        |    round(CAST(d1 AS DOUBLE) / n1 / 1e6, 4) + 0 END AS mae_naive,
+        |    round(CAST(d1 AS DOUBLE) / n1 / 1e6, 6) + 0 END AS mae_naive,
         |  CASE WHEN n7 > 0 AND d1 > 0 THEN
         |    round(CAST(CAST(e7 AS HUGEINT) * n1 AS DOUBLE)
         |      / CAST(CAST(d1 AS HUGEINT) * n7 AS DOUBLE), 6) + 0 END AS mase,
@@ -2160,10 +2165,10 @@ object SparkEntry {
         |r AS (SELECT *, row_number()
         |    OVER (PARTITION BY event_type ORDER BY cv DESC, d) rn FROM c)
         |SELECT event_type, CAST(n AS BIGINT) n_days, d AS cp_day,
-        |  round(CAST(cv AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6), 4) + 0 AS cusum_max,
-        |  round(CAST(p AS DOUBLE) / (CAST(i AS DOUBLE) * 1e6), 4) + 0 AS mean_before,
+        |  round(CAST(cv AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6), 6) + 0 AS cusum_max,
+        |  round(CAST(p AS DOUBLE) / (CAST(i AS DOUBLE) * 1e6), 6) + 0 AS mean_before,
         |  CASE WHEN i < n THEN
-        |    round(CAST(t - p AS DOUBLE) / (CAST(n - i AS DOUBLE) * 1e6), 4) + 0
+        |    round(CAST(t - p AS DOUBLE) / (CAST(n - i AS DOUBLE) * 1e6), 6) + 0
         |  END AS mean_after
         |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
 
@@ -2180,10 +2185,10 @@ object SparkEntry {
         |  FROM ob a JOIN ob b ON a.k = b.k AND a.brand < b.brand
         |  GROUP BY 1, 2)
         |SELECT brand_a, brand_b, n_ab,
-        |  round(CAST(n_ab AS DOUBLE) / n_orders, 4) + 0 AS support,
-        |  round(CAST(n_ab AS DOUBLE) / sa.c, 4) + 0 AS confidence,
+        |  round(CAST(n_ab AS DOUBLE) / n_orders, 6) + 0 AS support,
+        |  round(CAST(n_ab AS DOUBLE) / sa.c, 6) + 0 AS confidence,
         |  round(CAST(n_ab AS DOUBLE) * n_orders
-        |    / (CAST(sa.c AS DOUBLE) * sb.c), 4) + 0 AS lift
+        |    / (CAST(sa.c AS DOUBLE) * sb.c), 6) + 0 AS lift
         |FROM pairs
         |JOIN single sa ON sa.brand = pairs.brand_a
         |JOIN single sb ON sb.brand = pairs.brand_b

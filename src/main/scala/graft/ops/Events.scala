@@ -814,9 +814,9 @@ object Events {
         sum(when(col("y1").isNotNull, 1L).otherwise(0L)).as("n1"))
     s.select(col("event_type"), col("n_days"),
         when(col("n7") > 0,
-          round(col("e7").cast("double") / col("n7") / 1e6, 4)).as("mae_seasonal"),
+          round(col("e7").cast("double") / col("n7") / 1e6, 6)).as("mae_seasonal"),
         when(col("n1") > 0,
-          round(col("d1").cast("double") / col("n1") / 1e6, 4)).as("mae_naive"),
+          round(col("d1").cast("double") / col("n1") / 1e6, 6)).as("mae_naive"),
         when(col("n7") > 0 && col("d1") > 0,
           round((col("e7").cast(dec) * col("n1")).cast("double")
             / (col("d1").cast(dec) * col("n7")).cast("double"), 6)).as("mase"),
@@ -874,9 +874,11 @@ object Events {
     *
     * State space: the capped top-[[MarkovTypeCap]] types restricted to
     * states with OUTGOING transitions, transitions restricted to both
-    * ends in the space (keeps every row of the matrix stochastic over
-    * the retained mass — an absorbing out-of-space target would
-    * otherwise leak mass irrecoverably). π starts uniform in exact
+    * ends in the space, and a retained state stripped of ALL its
+    * out-rows by that restriction gets a unit SELF-LOOP so its mass
+    * holds (every row stays stochastic over the retained mass — an
+    * absorbing out-of-space target would otherwise evaporate π at
+    * round 1). π starts uniform in exact
     * parts-per-billion and runs [[MarkovIters]] integer power
     * iterations: contribution = π_f·w div ow_f with 128-bit
     * intermediates — the pagerank arithmetic without damping, driver-
@@ -900,7 +902,14 @@ object Events {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     val nodes = trans.map(_._1).distinct.sorted
     require(nodes.nonEmpty, s"markovStationary: no transitions under $dir")
-    val tr = trans.filter(x => nodes.contains(x._2))
+    // a retained state whose every target fell OUT of the state space
+    // would otherwise keep no out-row and its π mass would evaporate at
+    // round 1 (review finding) — a unit self-loop holds the mass, which
+    // is what "stochastic over the retained mass" means for such rows
+    val kept = trans.filter(x => nodes.contains(x._2))
+    val stranded = nodes.filterNot(kept.map(_._1).toSet)
+      .map(n => (n, n, 1L))
+    val tr = kept ++ stranded
     val ow = tr.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
     var pi = nodes.map(_ -> 1000000000L / nodes.length).toMap
     for (_ <- 1 to MarkovIters) {
@@ -956,13 +965,13 @@ object Events {
         Window.partitionBy("event_type").orderBy(col("cv").desc, col("d"))))
       .filter(col("rn") === 1)
       .select(col("event_type"), col("n").as("n_days"), col("d").as("cp_day"),
-        round(col("cv").cast("double") / (col("n").cast("double") * 1e6), 4)
+        round(col("cv").cast("double") / (col("n").cast("double") * 1e6), 6)
           .as("cusum_max"),
-        round(col("p").cast("double") / (col("i").cast("double") * 1e6), 4)
+        round(col("p").cast("double") / (col("i").cast("double") * 1e6), 6)
           .as("mean_before"),
         when(col("i") < col("n"),
           round((col("t") - col("p")).cast("double")
-            / ((col("n") - col("i")).cast("double") * 1e6), 4)).as("mean_after"))
+            / ((col("n") - col("i")).cast("double") * 1e6), 6)).as("mean_after"))
       .orderBy("event_type")
   }
 }

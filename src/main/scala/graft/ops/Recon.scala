@@ -1211,10 +1211,10 @@ object Recon {
       sum(round(col("chi2_part") * 1e6, 0).cast("long")).as("ctm"))
     parts.crossJoin(broadcast(ct))
       .select(col("digit"), col("o").as("n_obs"),
-        round(col("o").cast("double") / col("n"), 4).as("obs_share"),
+        round(col("o").cast("double") / col("n"), 6).as("obs_share"),
         round(col("p"), 4).as("exp_share"),
         col("chi2_part"),
-        round(col("ctm").cast("double") / 1e6, 4).as("chi2_total"),
+        round(col("ctm").cast("double") / 1e6, 6).as("chi2_total"),
         (col("ctm").cast("double") / 1e6 > 15.507).as("drifted"))
       .orderBy("digit")
   }

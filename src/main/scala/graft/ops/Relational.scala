@@ -1831,10 +1831,10 @@ object Relational {
       .join(single.toDF("brand_b", "cb"), "brand_b")
       .crossJoin(broadcast(tot))
       .select(col("brand_a"), col("brand_b"), col("n_ab"),
-        round(col("n_ab").cast("double") / col("n_orders"), 4).as("support"),
-        round(col("n_ab").cast("double") / col("ca"), 4).as("confidence"),
+        round(col("n_ab").cast("double") / col("n_orders"), 6).as("support"),
+        round(col("n_ab").cast("double") / col("ca"), 6).as("confidence"),
         round(col("n_ab").cast("double") * col("n_orders") /
-          (col("ca").cast("double") * col("cb")), 4).as("lift"))
+          (col("ca").cast("double") * col("cb")), 6).as("lift"))
       .orderBy(desc("lift"), col("brand_a"), col("brand_b")).limit(30)
   }
 
@@ -1934,15 +1934,20 @@ object Relational {
     val bins = vals.groupBy(bucketCol.as("b")).agg(sum("w").as("bw"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
     /** Walks bins from the top: the threshold bin is the SMALLEST bin
-      * whose top value still satisfies den·cumAbove < num·T. */
+      * whose top value still satisfies den·cumAbove < num·T. BigInt
+      * products: den·cumAbove and num·T wrap a signed long once total
+      * revenue passes 2⁶³/20 ≈ 4.6e17 micro-units — well inside the
+      * money envelope the rest of the op supports (review finding). */
     def boundaryBin(num: Long, den: Long): (Long, Long) = {
-      var cumAbove = 0L
+      var cumAbove = BigInt(0)
       var best = (bins.head._1, 0L)
       val it = bins.iterator
       var going = true
       while (going && it.hasNext) {
         val (b, bw) = it.next()
-        if (den * cumAbove < num * t) { best = (b, cumAbove); cumAbove += bw }
+        if (den * cumAbove < num * BigInt(t)) {
+          best = (b, cumAbove.longValue); cumAbove += bw
+        }
         else going = false
       }
       best
@@ -1955,8 +1960,12 @@ object Relational {
       .filter(col("b") === b80 || col("b") === b95)
       .withColumn("cumb", coalesce(sum("w").over(wIn), lit(0L)))
     def threshold(b: Long, off: Long, num: Long, den: Long): Long = {
+      // 128-bit products (DECIMAL(38,0) ≡ the oracle's HUGEINT): the
+      // long form overflows (ANSI throw) past 4.6e17 micro-units total
+      val dec38 = DecimalType(38, 0)
       val r = boundary.filter(col("b") === b &&
-          lit(den) * (lit(off) + col("cumb")) < lit(num) * lit(t))
+          lit(den) * (lit(off) + col("cumb")).cast(dec38)
+            < lit(num) * lit(t).cast(dec38))
         .agg(min("v")).head()
       require(!r.isNullAt(0), s"paretoAbc: empty boundary bin $b")
       r.getLong(0)
@@ -1970,7 +1979,7 @@ object Relational {
       .agg(count(lit(1)).as("n_customers"), sum("c").as("cents"))
       .select(col("abc_class"), col("n_customers"),
         round(Recon.uncents(col("cents")), 2).as("revenue"),
-        round(col("cents").cast("double") / lit(t).cast("double"), 4)
+        round(col("cents").cast("double") / lit(t).cast("double"), 6)
           .as("revenue_share"))
       .orderBy("abc_class")
   }

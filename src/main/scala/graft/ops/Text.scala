@@ -34,7 +34,10 @@ object Text {
     * dialects agree on (classes + bounded repetition only, counted via
     * extract-all size — the regexpFuncs portability rule); the three
     * scores are single identically-spelled double expressions, NULL
-    * for empty documents on both engines. Presentation rounds at 6 dp,
+    * for EMPTY documents on both engines — and "empty" is tested as
+    * length(text) = 0, not w = 0: split("", " ") yields [""] so the
+    * token count is never zero under the whitespace-token contract
+    * (review finding — the old w > 0 guard was dead code). Presentation rounds at 6 dp,
     * NOT 4: integer-ratio inputs (e.g. syl/w with w a power of two)
     * times the 1–2-decimal formula constants produce exact 5-decimal
     * values like 7.98125 whose 4-dp round is an engine-dependent tie,
@@ -45,6 +48,7 @@ object Text {
   def readability(spark: SparkSession, dir: String): DataFrame = {
     val m = docs(spark, dir).select(
       col("doc_id"),
+      (length(col("text")) > 0).as("nz"),
       size(split(col("text"), " ")).cast("long").as("w"),
       size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))
         .cast("long").as("sp"),
@@ -57,11 +61,11 @@ object Text {
     m.withColumn("s", greatest(col("sp"), expr("(w + 15) div 16")))
       .select(col("doc_id"), col("w").as("n_words"), col("s").as("n_sentences"),
         col("syl").as("n_syllables"), col("lw").as("n_long"),
-        when(col("w") > 0,
+        when(col("nz"),
           round(lit(206.835) - lit(1.015) * wps - lit(84.6) * spw, 6)).as("fre"),
-        when(col("w") > 0,
+        when(col("nz"),
           round(lit(0.39) * wps + lit(11.8) * spw - lit(15.59), 6)).as("fk_grade"),
-        when(col("w") > 0,
+        when(col("nz"),
           round(wps + lit(100.0) * col("lw").cast("double") / col("w"), 6))
           .as("lix"))
       .orderBy("doc_id").limit(1000)

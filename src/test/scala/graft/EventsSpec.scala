@@ -481,7 +481,7 @@ class EventsSpec extends GraftSpec {
       assert(r.getTimestamp(2) === expDay, s"cp_day for ${r.getString(0)}")
       val n = r.getLong(1)
       assert(r.getDouble(3) ===
-        math.round(expCv.toDouble / (n.toDouble * 1e6) * 1e4) / 1e4,
+        math.round(expCv.toDouble / (n.toDouble * 1e6) * 1e6) / 1e6,
         s"cusum_max for ${r.getString(0)}")
     }
   }

@@ -601,7 +601,7 @@ class ReconSpec extends GraftSpec {
     // χ² total is the sum of the 6-dp parts (micro-unit-long exactness)
     val expTotal = got.map(r => math.round(r.getDouble(4) * 1e6)).sum / 1e6
     assert(got.head.getDouble(5) ===
-      math.round(expTotal * 1e4) / 1e4)
+      math.round(expTotal * 1e6) / 1e6)
   }
 
   test("benford: sf digit counts recompute from the raw prices") {

@@ -513,7 +513,7 @@ class RelationalSpec extends GraftSpec {
     got.foreach { r =>
       val (a, b, nab) = (r.getString(0), r.getString(1), r.getLong(2))
       assert(nab === pairCnt((a, b)).toLong, s"n_ab for ($a,$b)")
-      def rd(x: Double) = math.round(x * 1e4) / 1e4
+      def rd(x: Double) = math.round(x * 1e6) / 1e6
       assert(r.getDouble(3) === rd(nab.toDouble / nOrders), s"support ($a,$b)")
       assert(r.getDouble(4) === rd(nab.toDouble / cnt(a)), s"confidence ($a,$b)")
       assert(r.getDouble(5) ===
@@ -594,7 +594,7 @@ class RelationalSpec extends GraftSpec {
       assert(math.abs(r.getDouble(2) - cents.toDouble / 1e4) < 0.5,
         s"revenue for ${r.getString(0)}")
       assert(r.getDouble(3) ===
-        math.round(cents.toDouble / t.toDouble * 1e4) / 1e4,
+        math.round(cents.toDouble / t.toDouble * 1e6) / 1e6,
         s"revenue_share for ${r.getString(0)}")
     }
   }

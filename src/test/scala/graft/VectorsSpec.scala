@@ -245,8 +245,12 @@ class VectorsSpec extends GraftSpec {
     assert(row.getLong(1) === exact.keys.count(approx.contains).toLong, "n_found")
     assert(row.getLong(2) === idM.toLong, "n_id_match")
     assert(row.getLong(3) === tieM.toLong, "n_tie_match")
-    assert(row.getDouble(4) === r4(idM.toDouble / exact.size), "recall_id")
-    assert(row.getDouble(5) === r4(tieM.toDouble / exact.size), "recall_tie")
+    assert(row.getDouble(4) ===
+      BigDecimal(idM.toDouble / exact.size).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble, "recall_id")
+    assert(row.getDouble(5) ===
+      BigDecimal(tieM.toDouble / exact.size).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble, "recall_tie")
     assert(row.getLong(3) >= row.getLong(2), "ties can only add matches")
   }
 }

@@ -46,8 +46,18 @@ def main(sfdir, outdir, only=None):
     oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
     if only:
         # mirror Verify's optional per-query filter (comma list) so a
-        # single-op spot-check doesn't FAIL on the 170+ undumped queries
+        # single-op spot-check doesn't FAIL on the 170+ undumped queries.
+        # A name with no oracle entry AND no dumped dir is a typo or a
+        # never-registered query — erroring beats an empty ALL PASS that
+        # green-lights a gate which checked nothing.
         keep = set(only.split(","))
+        known = set(oracle) | {d for d in os.listdir(outdir)
+                               if os.path.isdir(os.path.join(outdir, d))}
+        unknown = keep - known
+        if unknown:
+            print(f"UNKNOWN QUERY NAME(S): {sorted(unknown)} — "
+                  f"not in oracle_sql.json and nothing dumped")
+            return 1
         oracle = {k: v for k, v in oracle.items() if k in keep}
     bad = 0
     for name, sql in sorted(oracle.items()):
