@@ -203,6 +203,9 @@ object SparkEntry {
     "orders_trend_forecast"    -> (Relational.trendForecast _),
     "events_stickiness"        -> (Events.stickiness _),
     "events_seasonal_naive"    -> (Events.seasonalNaive _),
+    "events_user_gini"         -> (Events.userGini _),
+    "events_autocorrelation"   -> (Events.autocorrelation _),
+    "orders_crosstab_chisq"    -> (Relational.crosstabChisq _),
     "corpus_filter_funnel"     -> ((s, d) => Text.filterFunnel(s, d)),
     "sample_cap_per_source"    -> ((s, d) =>
       Sampling.capPerSource(s, d, k = Sampling.HarnessCapK)),
@@ -314,7 +317,8 @@ object SparkEntry {
     "recon_benford", "text_readability", "graph_components",
     "ann_ivf_recall", "graph_triangles", "recon_wasserstein_drift",
     "events_markov_stationary", "text_js_divergence",
-    "orders_trend_forecast", "events_stickiness", "events_seasonal_naive")
+    "orders_trend_forecast", "events_stickiness", "events_seasonal_naive",
+    "events_user_gini", "events_autocorrelation", "orders_crosstab_chisq")
 
   /** DuckDB spelling of [[graft.ops.Vectors.lshBucket]]: the 8 sign bits
     * against the SAME hyperplane doubles, interpolated from
@@ -2131,6 +2135,84 @@ object SparkEntry {
         |    CAST(e7 AS HUGEINT) * n1 < CAST(d1 AS HUGEINT) * n7
         |  END AS seasonal_wins
         |FROM s ORDER BY event_type""".stripMargin,
+
+    "events_user_gini" ->
+      // grouped-value closed-form Gini: Σᵢi·xᵢ is tie-invariant and
+      // equals Σ_blocks v·(w·wp + w(w+1)/2); all terms HUGEINT ≡
+      // DECIMAL(38,0), one identically-spelled double division
+      """WITH cnts AS MATERIALIZED (
+        |  SELECT event_type, user_id, count(*) c FROM events GROUP BY 1, 2),
+        |hist AS (SELECT event_type, c v, count(*) w FROM cnts GROUP BY 1, 2),
+        |cum AS (SELECT event_type, v, w,
+        |    coalesce(sum(w) OVER (PARTITION BY event_type ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) wp
+        |  FROM hist),
+        |s AS (SELECT event_type, sum(w) n, sum(CAST(v AS HUGEINT) * w) sx,
+        |    sum(CAST(v AS HUGEINT) * (w * wp * 2 + w * (w + 1))) six2
+        |  FROM cum GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) n_users,
+        |  CAST(sx AS BIGINT) total_events,
+        |  round(CAST(six2 - (n + 1) * sx AS DOUBLE)
+        |    / CAST(n * sx AS DOUBLE), 6) + 0 AS gini
+        |FROM s ORDER BY event_type""".stripMargin,
+
+    "events_autocorrelation" ->
+      // denominator-cleared ACF: acf_k = Σ(n·yₜ−S)(n·yₜ₋ₖ−S)/Σ(n·yₜ−S)²,
+      // all terms HUGEINT ≡ DECIMAL(38,0); constant series → den 0 → NULL
+      """WITH daily AS MATERIALIZED (
+        |  SELECT event_type, date_trunc('day', ts) d,
+        |    sum(CAST(round(round(value, 6) * 1e6) AS BIGINT)) y
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |w AS (SELECT event_type, d, y,
+        |    lag(y, 1) OVER pw y1, lag(y, 7) OVER pw y7,
+        |    count(*) OVER (PARTITION BY event_type) n,
+        |    sum(y) OVER (PARTITION BY event_type) s
+        |  FROM daily WINDOW pw AS (PARTITION BY event_type ORDER BY d)),
+        |a AS (SELECT event_type, max(n) n,
+        |    sum((CAST(n AS HUGEINT) * y - s) * (CAST(n AS HUGEINT) * y - s)) den,
+        |    sum(CASE WHEN y1 IS NOT NULL THEN
+        |      (CAST(n AS HUGEINT) * y - s) * (CAST(n AS HUGEINT) * y1 - s) END) num1,
+        |    sum(CASE WHEN y7 IS NOT NULL THEN
+        |      (CAST(n AS HUGEINT) * y - s) * (CAST(n AS HUGEINT) * y7 - s) END) num7
+        |  FROM w GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) n_days,
+        |  CASE WHEN den > 0 THEN
+        |    round(CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE), 6) + 0 END AS acf1,
+        |  CASE WHEN den > 0 THEN
+        |    round(CAST(num7 AS DOUBLE) / CAST(den AS DOUBLE), 6) + 0 END AS acf7
+        |FROM a ORDER BY event_type""".stripMargin,
+
+    "orders_crosstab_chisq" ->
+      // two-way independence χ²: dev = O·N − rt·ct clears the expected
+      // count's denominator (HUGEINT ≡ DECIMAL(38,0)); per-cell terms
+      // round 6dp into micro-longs before the exact total (lm_score
+      // discipline); Cramér's V via IEEE sqrt of the identical chain
+      """WITH cells AS MATERIALIZED (
+        |  SELECT o_orderstatus st, o_orderpriority pr, count(*) o
+        |  FROM orders GROUP BY 1, 2),
+        |tot AS MATERIALIZED (SELECT sum(o) n, count(DISTINCT st) r,
+        |    count(DISTINCT pr) c FROM cells),
+        |m AS (SELECT st, pr, o,
+        |    sum(o) OVER (PARTITION BY st) rt,
+        |    sum(o) OVER (PARTITION BY pr) ct FROM cells),
+        |t AS (SELECT st, pr, o, rt, ct, n, r, c,
+        |    CAST(round(round(CAST(rt AS DOUBLE) * ct / n, 6) * 1e6) AS BIGINT)
+        |      e_micro,
+        |    CAST(round(round(
+        |      CAST(CAST(o AS HUGEINT) * n - CAST(rt AS HUGEINT) * ct AS DOUBLE)
+        |      * CAST(CAST(o AS HUGEINT) * n - CAST(rt AS HUGEINT) * ct AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * rt * ct), 6) * 1e6) AS BIGINT) contrib_micro
+        |  FROM m CROSS JOIN tot),
+        |s AS (SELECT sum(contrib_micro) chi2_micro FROM t)
+        |SELECT st AS o_orderstatus, pr AS o_orderpriority,
+        |  CAST(o AS BIGINT) n_obs,
+        |  round(e_micro / 1e6, 6) AS expected,
+        |  round(contrib_micro / 1e6, 6) AS contrib,
+        |  round(chi2_micro / 1e6, 6) AS chi2_total,
+        |  CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+        |  round(sqrt(CAST(chi2_micro AS DOUBLE) / 1e6 / n
+        |    / least(r - 1, c - 1)), 6) AS cramers_v
+        |FROM t CROSS JOIN s ORDER BY 1, 2""".stripMargin,
 
     "events_stickiness" ->
       // one distinct (month, day, user) collapse feeds both counts;

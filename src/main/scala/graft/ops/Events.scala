@@ -974,4 +974,93 @@ object Events {
             / ((col("n") - col("i")).cast("double") * 1e6), 6)).as("mean_after"))
       .orderBy("event_type")
   }
+
+  /** Lag-1 and lag-7 autocorrelation of the daily value series per
+    * event type — the memory/seasonality screen run before any
+    * forecasting model: acf1 ≈ 0 says yesterday carries no signal,
+    * acf7 > 0 says a weekly cycle survives differencing by mean.
+    *
+    * Exactness: daily sums in 6-dp micro-unit longs; the mean's
+    * denominator clears — acf_k = Σ(n·yₜ−S)(n·yₜ₋ₖ−S) / Σ(n·yₜ−S)²
+    * with every term an exact 128-bit integer (DECIMAL(38,0) ≡
+    * HUGEINT) and one identically-spelled double division per lag,
+    * round 6dp +0. A constant series has den = 0 and reports NULL on
+    * both engines, never an engine-dependent 0/0.
+    *
+    * 100 TB posture: the seasonalNaive shape — one map-side-combined
+    * daily collapse, then type-partitioned windows over the
+    * (types × days) frame; nothing corpus-sized sorts. */
+  def autocorrelation(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val daily = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"), date_trunc("DAY", col("ts")).as("d"))
+      .agg(sum(round(round(col("value"), 6) * 1e6, 0).cast("long")).as("y"))
+    val pw = Window.partitionBy("event_type").orderBy("d")
+    val aw = Window.partitionBy("event_type")
+    val dev = (yc: org.apache.spark.sql.Column) =>
+      col("n").cast(dec) * yc - col("s")
+    val a = daily
+      .withColumn("y1", lag(col("y"), 1).over(pw))
+      .withColumn("y7", lag(col("y"), 7).over(pw))
+      .withColumn("n", count(lit(1)).over(aw))
+      .withColumn("s", sum(col("y")).over(aw))
+      .groupBy("event_type")
+      .agg(max(col("n")).as("n_days"),
+        sum(dev(col("y")) * dev(col("y"))).as("den"),
+        sum(when(col("y1").isNotNull, dev(col("y")) * dev(col("y1"))))
+          .as("num1"),
+        sum(when(col("y7").isNotNull, dev(col("y")) * dev(col("y7"))))
+          .as("num7"))
+    a.select(col("event_type"), col("n_days"),
+        when(col("den") > 0,
+          round(col("num1").cast("double") / col("den").cast("double"), 6) + 0)
+          .as("acf1"),
+        when(col("den") > 0,
+          round(col("num7").cast("double") / col("den").cast("double"), 6) + 0)
+          .as("acf7"))
+      .orderBy("event_type")
+  }
+
+  /** Engagement-inequality Gini per event type over per-user event
+    * counts — the "does 1% of users generate 90% of the traffic"
+    * dashboard number (0 = uniform, →1 = one user is the firehose).
+    *
+    * Exactness: the grouped-value closed form. With distinct count
+    * values v ascending, block weights w and the cumulative weight wp
+    * before each block, Σᵢ i·xᵢ over any ascending ordering is
+    * invariant under tie permutation and equals
+    * Σ_blocks v·(w·wp + w(w+1)/2); Gini = (2Σᵢi·xᵢ − (n+1)Σx)/(n·Σx).
+    * Every term is an exact 128-bit integer (DECIMAL(38,0) ≡ HUGEINT);
+    * one identically-spelled double division at the end, round 6dp +0.
+    *
+    * 100 TB posture: the pareto_abc histogram discipline — the only
+    * corpus-sized pass is the (type, user) count (map-side combined);
+    * the window runs over the DISTINCT-count-value histogram
+    * (≤ types × distinct activity levels, thousands of rows at any
+    * scale), never over a per-user frame, so there is no users-sized
+    * sort behind a 5-partition window. */
+  def userGini(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cnts = Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("c"))
+    val hist = cnts.groupBy(col("event_type"), col("c").as("v"))
+      .agg(count(lit(1)).as("w"))
+    val wCum = Window.partitionBy("event_type").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hist
+      .withColumn("wp", coalesce(sum("w").over(wCum), lit(0L)))
+      .groupBy("event_type")
+      .agg(sum(col("w")).as("n"),
+        sum(col("v").cast(dec) * col("w")).as("sx"),
+        sum(col("v").cast(dec) * (col("w") * col("wp") * 2
+          + col("w") * (col("w") + 1))).as("six2"))
+      .select(col("event_type"),
+        col("n").as("n_users"), col("sx").cast("long").as("total_events"),
+        (round((col("six2") - (col("n") + 1) * col("sx")).cast("double")
+          / (col("n").cast(dec) * col("sx")).cast("double"), 6) + 0)
+          .as("gini"))
+      .orderBy("event_type")
+  }
 }

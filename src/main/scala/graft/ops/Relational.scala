@@ -1983,4 +1983,59 @@ object Relational {
           .as("revenue_share"))
       .orderBy("abc_class")
   }
+
+  /** Chi-square test of independence between order status and order
+    * priority — the contingency-table screen ("does priority mix drift
+    * by status?") that complements [[graft.ops.Recon.benfordDrift]]'s
+    * goodness-of-fit: two-way independence instead of a fixed
+    * reference law. Emits the full crosstab with per-cell expected
+    * counts and contributions plus the χ², dof and Cramér's V
+    * repeated per row.
+    *
+    * Exactness: observed counts, row/column totals and N are exact
+    * integers; each cell's deviation clears the expected-count
+    * denominator — dev = O·N − rt·ct as 128-bit integers — and the
+    * per-cell χ² term dev²/(N·rt·ct) is one identically-spelled double
+    * expression rounded at 6 dp into micro-unit longs before the EXACT
+    * integer total (the lm_score per-term discipline). Cramér's V =
+    * √(χ²/(N·min(r−1,c−1))) — IEEE sqrt is correctly rounded, so
+    * bit-identical on both engines given the identical operand chain.
+    *
+    * 100 TB posture: the only corpus-sized pass is the map-side-
+    * combined (status, priority) count; its exchange is reused by the
+    * 1-row totals branches (answer-sized broadcasts by construction —
+    * a crosstab is categories × categories), and the windows run over
+    * the ≤ r·c-cell frame partitioned by status / priority. */
+  def crosstabChisq(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val cells = Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus").as("st"), col("o_orderpriority").as("pr"))
+      .agg(count(lit(1)).as("o"))
+    val tot = cells.agg(sum(col("o")).as("n"),
+      countDistinct(col("st")).as("r"), countDistinct(col("pr")).as("c"))
+    val m = cells
+      .withColumn("rt", sum("o").over(Window.partitionBy("st")))
+      .withColumn("ct", sum("o").over(Window.partitionBy("pr")))
+      .crossJoin(broadcast(tot))
+    val devC = col("o").cast(dec) * col("n") - col("rt").cast(dec) * col("ct")
+    val t = m
+      .withColumn("e_micro",
+        round(round(col("rt").cast("double") * col("ct") / col("n"), 6) * 1e6, 0)
+          .cast("long"))
+      .withColumn("contrib_micro",
+        round(round(devC.cast("double") * devC.cast("double")
+          / (col("n").cast("double") * col("rt") * col("ct")), 6) * 1e6, 0)
+          .cast("long"))
+    val s = t.agg(sum(col("contrib_micro")).as("chi2_micro"))
+    t.crossJoin(broadcast(s))
+      .select(col("st").as("o_orderstatus"), col("pr").as("o_orderpriority"),
+        col("o").as("n_obs"),
+        round(col("e_micro") / 1e6, 6).as("expected"),
+        round(col("contrib_micro") / 1e6, 6).as("contrib"),
+        round(col("chi2_micro") / 1e6, 6).as("chi2_total"),
+        ((col("r") - 1) * (col("c") - 1)).as("dof"),
+        round(sqrt(col("chi2_micro").cast("double") / 1e6 / col("n")
+          / least(col("r") - 1, col("c") - 1)), 6).as("cramers_v"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+  }
 }

@@ -366,6 +366,92 @@ class EventsSpec extends GraftSpec {
     assert(c.getDouble(2) === 0.0 && c.getDouble(3) === 0.0)
   }
 
+  test("user gini: planted inequality is exact; sf matches brute-force ranks") {
+    import EventsFixture.RawEv
+    val spark0 = spark
+    import spark0.implicits._
+    val base = 1735689600L * 1000000000L
+    // type g: user counts (1,1,2,4) → Σi·x = 1+2+6+16 = 25,
+    //   G = (50 − 5·8)/(4·8) = 0.3125; type u: (3,3,3) → G = 0
+    def burst(typ: String, user: Long, k: Int, off: Long) =
+      (0 until k).map(i => RawEv(off + i, base + (off + i) * 1000000000L,
+        user, typ, 1.0, "{}"))
+    val rows = burst("g", 1, 1, 0) ++ burst("g", 2, 1, 10) ++
+      burst("g", 3, 2, 20) ++ burst("g", 4, 4, 40) ++
+      burst("u", 1, 3, 100) ++ burst("u", 2, 3, 110) ++ burst("u", 3, 3, 120)
+    val d = s"$tmpDir/gini"
+    rows.toDF().write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = Events.userGini(spark, d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got("g").getLong(1) === 4L && got("g").getLong(2) === 8L)
+    assert(got("g").getDouble(3) === 0.3125)
+    assert(got("u").getDouble(3) === 0.0, "uniform counts: Gini 0")
+    // independent recount on real data: brute-force sorted-rank formula
+    val counts = Tables.events(spark, sf)
+      .groupBy("event_type", "user_id").count().collect()
+      .groupBy(_.getString(0))
+      .map { case (t, rs) => t -> rs.map(_.getLong(2)).sorted.toSeq }
+    val brute = counts.map { case (t, xs) =>
+      val n = xs.length.toLong
+      val s = xs.sum
+      val six = xs.zipWithIndex.map { case (x, i) => (i + 1) * BigInt(x) }.sum
+      t -> (BigDecimal(2 * six - (n + 1) * BigInt(s)) /
+        BigDecimal(BigInt(n) * s)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    }
+    val sfGot = Events.userGini(spark, sf).collect()
+    assert(sfGot.nonEmpty)
+    sfGot.foreach { r =>
+      assert(r.getDouble(3) === brute(r.getString(0)),
+        s"gini mismatch for ${r.getString(0)}")
+    }
+  }
+
+  test("autocorrelation: alternating series gives exact -0.9/-0.3; constant NULL") {
+    import EventsFixture.RawEv
+    val spark0 = spark
+    import spark0.implicits._
+    val day = 86400L * 1000000000L
+    val base = 1735689600L * 1000000000L
+    // type alt: daily values 1,3,1,3,… over 10 days → devs alternate
+    // ∓1e7 (micro, n-scaled): acf1 = −9e14/1e15 = −0.9; lag 7 flips
+    // parity → acf7 = −3e14/1e15 = −0.3. type c: constant → den 0 → NULL
+    val alt = (0 until 10).map(i =>
+      RawEv(i.toLong, base + i * day, 1L, "alt", if (i % 2 == 0) 1.0 else 3.0, "{}"))
+    val const = (0 until 10).map(i =>
+      RawEv(100 + i.toLong, base + i * day, 1L, "c", 7.0, "{}"))
+    val d = s"$tmpDir/acf"
+    (alt ++ const).toDF().write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = Events.autocorrelation(spark, d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got("alt").getLong(1) === 10L)
+    assert(got("alt").getDouble(2) === -0.9)
+    assert(got("alt").getDouble(3) === -0.3)
+    assert(got("c").isNullAt(2) && got("c").isNullAt(3), "constant: no ACF")
+    // independent recount at sf: brute-force cleared-denominator formula
+    val daily = Tables.events(spark, sf)
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"), date_trunc("DAY", col("ts")).as("d"))
+      .agg(sum(round(round(col("value"), 6) * 1e6, 0).cast("long")).as("y"))
+      .orderBy("event_type", "d").collect()
+      .groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getLong(2)).toSeq).toMap
+    val sfGot = Events.autocorrelation(spark, sf).collect()
+    assert(sfGot.nonEmpty)
+    sfGot.foreach { r =>
+      val ys = daily(r.getString(0))
+      val n = ys.length
+      val s = ys.map(BigInt(_)).sum
+      def dev(t: Int) = BigInt(n) * ys(t) - s
+      val den = (0 until n).map(t => dev(t) * dev(t)).sum
+      def acf(k: Int) = (BigDecimal((k until n).map(t => dev(t) * dev(t - k)).sum) /
+        BigDecimal(den)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getLong(1) === n.toLong)
+      assert(r.getDouble(2) === acf(1), s"acf1 ${r.getString(0)}")
+      assert(r.getDouble(3) === acf(7), s"acf7 ${r.getString(0)}")
+    }
+  }
+
   test("stickiness: hand fixture is exact; sf values recompute from raw pairs") {
     import EventsFixture.RawEv
     val spark0 = spark

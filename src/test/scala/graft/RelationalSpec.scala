@@ -550,6 +550,47 @@ class RelationalSpec extends GraftSpec {
     (2 to 5).foreach(i => assert(rq.isNullAt(i), s"degenerate col $i"))
   }
 
+  test("crosstabChisq: planted 2x2 association is exact; sf recount agrees") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = s"$tmpDir/xtab"
+    // 2×2 with counts 30/10/10/30: every expected count is 20, every
+    // cell contributes (±10)²/20 = 5 → χ² = 20, dof = 1,
+    // V = √(20/80·1) = 0.5 exactly
+    val rows = Seq.fill(30)(("A", "X")) ++ Seq.fill(10)(("A", "Y")) ++
+      Seq.fill(10)(("B", "X")) ++ Seq.fill(30)(("B", "Y"))
+    rows.zipWithIndex.map { case ((s, p), i) => (i.toLong, s, p) }
+      .toDF("o_orderkey", "o_orderstatus", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = Relational.crosstabChisq(spark, dir).collect()
+    assert(got.length === 4)
+    got.foreach { r =>
+      assert(r.getDouble(3) === 20.0, "expected")
+      assert(r.getDouble(4) === 5.0, "contrib")
+      assert(r.getDouble(5) === 20.0, "chi2")
+      assert(r.getLong(6) === 1L, "dof")
+      assert(r.getDouble(7) === 0.5, "cramers v")
+    }
+    // independent recount at sf with the same per-term 6-dp rounding
+    val cells = Tables.orders(spark, sf)
+      .groupBy("o_orderstatus", "o_orderpriority").count().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val rt = cells.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val ct = cells.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val n = cells.map(_._3).sum
+    val chi2Micro = cells.map { case (s, p, o) =>
+      val dev = (BigInt(o) * n - BigInt(rt(s)) * ct(p)).toDouble
+      val term = dev * dev / (n.toDouble * rt(s) * ct(p))
+      math.round(BigDecimal(term).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble * 1e6)
+    }.sum
+    val sfGot = Relational.crosstabChisq(spark, sf).collect()
+    assert(sfGot.length === cells.length)
+    val expChi = BigDecimal(chi2Micro / 1e6).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    sfGot.foreach(r => assert(r.getDouble(5) === expChi, "chi2 recount"))
+  }
+
   test("paretoAbc: exact boundary equality pushes the crossing value down a class") {
     val spark0 = spark
     import spark0.implicits._

@@ -571,6 +571,45 @@ class ScaleSpec extends GraftSpec {
       s"lags and the error rollup ride one daily frame, no join:\n$exec")
   }
 
+  test("autocorrelation: daily collapse map-combines, windows partition by type") {
+    val exec = graft.ops.Events.autocorrelation(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("partial_(count|sum)".r.findFirstIn(exec).isDefined,
+      s"the daily collapse must combine map-side:\n$exec")
+    assert(!exec.contains("windowspecdefinition()"),
+      s"lags and totals must partition by event_type:\n$exec")
+    assert(!exec.contains("Join"),
+      s"one daily frame carries lags and totals, no join:\n$exec")
+  }
+
+  test("crosstab chisq: one corpus pass, answer-sized totals broadcast") {
+    val q = graft.ops.Relational.crosstabChisq(spark, sf)
+    q.collect()
+    val exec = q.queryExecution.executedPlan.toString
+    assert("partial_count".r.findFirstIn(exec).isDefined,
+      s"the (status, priority) count must combine map-side:\n$exec")
+    assert(exec.contains("BroadcastNestedLoopJoin") ||
+      exec.contains("BroadcastHashJoin"),
+      s"the 1-row totals frames must broadcast:\n$exec")
+    assert(!exec.contains("SortMergeJoin") && !exec.contains("CartesianProduct"),
+      s"nothing corpus-sized may join:\n$exec")
+    assert(!exec.contains("windowspecdefinition()"),
+      s"rt/ct windows partition by status/priority over the cells frame:\n$exec")
+  }
+
+  test("user gini: histogram window only — no users-sized sort frame") {
+    val exec = graft.ops.Events.userGini(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("partial_count".r.findFirstIn(exec).isDefined,
+      s"the (type,user) count must combine map-side:\n$exec")
+    // the only Window must run over the distinct-count-value histogram
+    // (keyed by v), never over the per-user count frame directly
+    assert(exec.contains("windowspecdefinition(event_type"),
+      s"the cumulative-weight window partitions by type:\n$exec")
+    assert(!exec.contains("Join"),
+      s"one linear pipeline, no join:\n$exec")
+  }
+
   test("stickiness: map-deduped passes only, month-sized mau broadcasts") {
     val q = graft.ops.Events.stickiness(spark, sf)
     q.collect()
