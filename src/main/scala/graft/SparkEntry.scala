@@ -206,6 +206,9 @@ object SparkEntry {
     "events_user_gini"         -> (Events.userGini _),
     "events_autocorrelation"   -> (Events.autocorrelation _),
     "orders_crosstab_chisq"    -> (Relational.crosstabChisq _),
+    "events_user_overlap"      -> (Events.userOverlap _),
+    "events_weekly_spectrum"   -> (Events.weeklySpectrum _),
+    "customer_repeat_survival" -> (Relational.repeatSurvival _),
     "corpus_filter_funnel"     -> ((s, d) => Text.filterFunnel(s, d)),
     "sample_cap_per_source"    -> ((s, d) =>
       Sampling.capPerSource(s, d, k = Sampling.HarnessCapK)),
@@ -318,7 +321,9 @@ object SparkEntry {
     "ann_ivf_recall", "graph_triangles", "recon_wasserstein_drift",
     "events_markov_stationary", "text_js_divergence",
     "orders_trend_forecast", "events_stickiness", "events_seasonal_naive",
-    "events_user_gini", "events_autocorrelation", "orders_crosstab_chisq")
+    "events_user_gini", "events_autocorrelation", "orders_crosstab_chisq",
+    "events_user_overlap", "events_weekly_spectrum",
+    "customer_repeat_survival")
 
   /** DuckDB spelling of [[graft.ops.Vectors.lshBucket]]: the 8 sign bits
     * against the SAME hyperplane doubles, interpolated from
@@ -2213,6 +2218,101 @@ object SparkEntry {
         |  round(sqrt(CAST(chi2_micro AS DOUBLE) / 1e6 / n
         |    / least(r - 1, c - 1)), 6) AS cramers_v
         |FROM t CROSS JOIN s ORDER BY 1, 2""".stripMargin,
+
+    "events_user_overlap" ->
+      // exact distinct-user audiences per type; Jaccard and overlap
+      // coefficient are single double divisions of exact longs
+      """WITH tu AS MATERIALIZED (
+        |  SELECT DISTINCT event_type t, user_id u FROM events),
+        |n AS MATERIALIZED (SELECT t, count(*) nu FROM tu GROUP BY 1),
+        |inter AS (SELECT a.t ta, b.t tb, count(*) i
+        |  FROM tu a JOIN tu b ON a.u = b.u AND a.t < b.t GROUP BY 1, 2)
+        |SELECT ta AS type_a, tb AS type_b, na.nu n_a, nb.nu n_b,
+        |  CAST(i AS BIGINT) n_common,
+        |  round(CAST(i AS DOUBLE) / (na.nu + nb.nu - i), 6) AS jaccard,
+        |  round(CAST(i AS DOUBLE) / least(na.nu, nb.nu), 6) AS overlap_coef
+        |FROM inter JOIN n na ON na.t = ta JOIN n nb ON nb.t = tb
+        |ORDER BY 1, 2""".stripMargin,
+
+    "events_weekly_spectrum" ->
+      // period-7 periodogram bin with 6-dp FIXED-POINT literal DFT
+      // tables (no engine trig — the benford discipline); mean leakage
+      // clears exactly: A = n·Σy·c − Σy·Σc as HUGEINT ≡ DECIMAL(38,0);
+      // final chain is identical IEEE doubles (squares + one sqrt)
+      """WITH daily AS MATERIALIZED (
+        |  SELECT event_type, date_trunc('day', ts) d,
+        |    sum(CAST(round(round(value, 6) * 1e6) AS BIGINT)) y
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |w AS (SELECT event_type, y,
+        |    date_diff('day', DATE '1970-01-01', d) % 7 dow,
+        |    count(*) OVER (PARTITION BY event_type) n,
+        |    sum(y) OVER (PARTITION BY event_type) s FROM daily),
+        |co AS (SELECT event_type, y, n, s,
+        |    CASE dow WHEN 0 THEN 1000000 WHEN 1 THEN 623490
+        |      WHEN 2 THEN -222521 WHEN 3 THEN -900969 WHEN 4 THEN -900969
+        |      WHEN 5 THEN -222521 ELSE 623490 END c,
+        |    CASE dow WHEN 0 THEN 0 WHEN 1 THEN 781831 WHEN 2 THEN 974928
+        |      WHEN 3 THEN 433884 WHEN 4 THEN -433884 WHEN 5 THEN -974928
+        |      ELSE -781831 END sv
+        |  FROM w),
+        |g AS (SELECT event_type, max(n) n, sum(y) sy,
+        |    sum(CAST(y AS HUGEINT) * c) a0, sum(CAST(y AS HUGEINT) * sv) b0,
+        |    sum(c) cs, sum(sv) ss,
+        |    sum((CAST(n AS HUGEINT) * y - s) * (CAST(n AS HUGEINT) * y - s)) den
+        |  FROM co GROUP BY 1),
+        |d2 AS (SELECT event_type, n, den,
+        |    CAST(n AS HUGEINT) * a0 - CAST(sy AS HUGEINT) * cs aa,
+        |    CAST(n AS HUGEINT) * b0 - CAST(sy AS HUGEINT) * ss bb
+        |  FROM g)
+        |SELECT event_type, CAST(n AS BIGINT) n_days,
+        |  round(2 * sqrt(CAST(aa AS DOUBLE) * CAST(aa AS DOUBLE)
+        |    + CAST(bb AS DOUBLE) * CAST(bb AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * n * 1e12), 6) AS weekly_amp,
+        |  CASE WHEN den > 0 THEN
+        |    round(2 * (CAST(aa AS DOUBLE) * CAST(aa AS DOUBLE)
+        |      + CAST(bb AS DOUBLE) * CAST(bb AS DOUBLE))
+        |      / (1e12 * CAST(n AS DOUBLE) * CAST(den AS DOUBLE)), 6)
+        |  END AS weekly_power_share
+        |FROM d2 ORDER BY event_type""".stripMargin,
+
+    "customer_repeat_survival" ->
+      // exact discrete order statistics ((date, orderkey) tie-break),
+      // exact day gaps, ONE conditional-aggregate pass for all four
+      // thresholds; shares NULL-guarded identically on both engines
+      """WITH ranked AS MATERIALIZED (
+        |  SELECT o_custkey, o_orderdate,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) rn
+        |  FROM orders),
+        |cust AS MATERIALIZED (SELECT o_custkey,
+        |    max(CASE WHEN rn = 1 THEN o_orderdate END) da,
+        |    max(CASE WHEN rn = 2 THEN o_orderdate END) db
+        |  FROM ranked WHERE rn <= 2 GROUP BY 1),
+        |base AS MATERIALIZED (SELECT count(*) n_customers,
+        |    sum(CASE WHEN db IS NOT NULL THEN 1 ELSE 0 END) n_repeaters
+        |  FROM cust),
+        |counts AS MATERIALIZED (SELECT
+        |    sum(CASE WHEN g <= 7 THEN 1 ELSE 0 END) c7,
+        |    sum(CASE WHEN g <= 30 THEN 1 ELSE 0 END) c30,
+        |    sum(CASE WHEN g <= 60 THEN 1 ELSE 0 END) c60,
+        |    sum(CASE WHEN g <= 90 THEN 1 ELSE 0 END) c90
+        |  FROM (SELECT date_diff('day', da, db) g FROM cust
+        |        WHERE db IS NOT NULL)),
+        |th AS (SELECT unnest([7, 30, 60, 90]) t)
+        |SELECT t AS threshold_days, CAST(n_customers AS BIGINT) n_customers,
+        |  CAST(n_repeaters AS BIGINT) n_repeaters,
+        |  CAST(CASE t WHEN 7 THEN c7 WHEN 30 THEN c30 WHEN 60 THEN c60
+        |    ELSE c90 END AS BIGINT) n_repeat_within,
+        |  CASE WHEN n_repeaters > 0 THEN
+        |    round(CAST(CASE t WHEN 7 THEN c7 WHEN 30 THEN c30
+        |      WHEN 60 THEN c60 ELSE c90 END AS DOUBLE) / n_repeaters, 6)
+        |  END AS share_of_repeaters,
+        |  CASE WHEN n_customers > 0 THEN
+        |    round(CAST(CASE t WHEN 7 THEN c7 WHEN 30 THEN c30
+        |      WHEN 60 THEN c60 ELSE c90 END AS DOUBLE) / n_customers, 6)
+        |  END AS share_of_customers
+        |FROM th CROSS JOIN base CROSS JOIN counts
+        |ORDER BY 1""".stripMargin,
 
     "events_stickiness" ->
       // one distinct (month, day, user) collapse feeds both counts;

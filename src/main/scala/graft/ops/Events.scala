@@ -1022,6 +1022,108 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** User-set overlap between every pair of event types — Jaccard and
+    * overlap coefficient of the distinct-user audiences ("do purchasers
+    * also click?"), the audience-venn number behind funnel design.
+    *
+    * Exactness: all three set sizes are exact distinct counts; the two
+    * ratios are single identically-spelled double divisions of exact
+    * longs, round 6dp (non-negative by construction).
+    *
+    * 100 TB posture: the corpus-sized pass is the map-side-deduped
+    * (type, user) distinct; the self-join keys on user_id (shuffle
+    * both sides once — Catalyst reuses the deduped exchange), and the
+    * per-type audience counts are a types-sized frame AQE broadcasts.
+    * Nothing all-pairs: the join fans out only by types-per-user. */
+  def userOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val tu = Tables.events(spark, dir)
+      .select(col("event_type").as("t"), col("user_id").as("u")).distinct()
+    val n = tu.groupBy("t").agg(count(lit(1)).as("nu"))
+    val inter = tu.as("a").join(tu.as("b"),
+        col("a.u") === col("b.u") && col("a.t") < col("b.t"))
+      .groupBy(col("a.t").as("ta"), col("b.t").as("tb"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(n.select(col("t"), col("nu").as("n_a")), col("ta") === col("t"))
+      .drop("t")
+      .join(n.select(col("t"), col("nu").as("n_b")), col("tb") === col("t"))
+      .drop("t")
+      .select(col("ta").as("type_a"), col("tb").as("type_b"),
+        col("n_a"), col("n_b"), col("i").as("n_common"),
+        round(col("i").cast("double") / (col("n_a") + col("n_b") - col("i")), 6)
+          .as("jaccard"),
+        round(col("i").cast("double") / least(col("n_a"), col("n_b")), 6)
+          .as("overlap_coef"))
+      .orderBy("type_a", "type_b")
+  }
+
+  /** 6-dp fixed-point DFT coefficient tables for period 7 —
+    * round(cos/sin(2πk/7)·1e6) as INTEGER LITERALS embedded identically
+    * in the oracle (the recon_benford discipline: never call engine
+    * trig on constants). Index k = days-since-1970-01-01 mod 7. */
+  private[graft] val WeeklyCos = Seq(1000000L, 623490L, -222521L,
+    -900969L, -900969L, -222521L, 623490L)
+  private[graft] val WeeklySin = Seq(0L, 781831L, 974928L,
+    433884L, -433884L, -974928L, -781831L)
+
+  /** Spectral power of the weekly cycle in the daily value series per
+    * event type — the single-frequency periodogram bin at period 7:
+    * weekly_amp is the fitted sinusoid's amplitude in value units,
+    * weekly_power_share the fraction of the series' variance that the
+    * weekly component explains (1.0 = a pure weekly sinusoid).
+    *
+    * Exactness: daily sums in micro-unit longs; the DFT projections
+    * use the fixed-point literal tables [[WeeklyCos]]/[[WeeklySin]]
+    * (no engine trig), and the mean's leakage clears exactly —
+    * A = n·Σy·c − Σy·Σc, B likewise — as 128-bit integers. The only
+    * doubles are the final identically-spelled chain (casts, squares,
+    * one IEEE sqrt — correctly rounded, so bit-identical), round 6dp.
+    * A constant series has den = 0 and reports NULL share on both
+    * engines.
+    *
+    * 100 TB posture: the seasonalNaive shape — one map-side-combined
+    * daily collapse, one type-partitioned window pass for the variance
+    * clearing, one types-sized aggregate. */
+  def weeklySpectrum(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val daily = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"), date_trunc("DAY", col("ts")).as("d"))
+      .agg(sum(round(round(col("value"), 6) * 1e6, 0).cast("long")).as("y"))
+    val aw = Window.partitionBy("event_type")
+    val cosArr = array(WeeklyCos.map(lit): _*)
+    val sinArr = array(WeeklySin.map(lit): _*)
+    val g = daily
+      .withColumn("n", count(lit(1)).over(aw))
+      .withColumn("s", sum(col("y")).over(aw))
+      .withColumn("dow",
+        pmod(datediff(col("d"), lit("1970-01-01").cast("date")), lit(7)))
+      .withColumn("c", element_at(cosArr, col("dow") + 1))
+      .withColumn("sv", element_at(sinArr, col("dow") + 1))
+      .groupBy("event_type")
+      .agg(max(col("n")).as("n"), sum(col("y")).as("sy"),
+        sum(col("y").cast(dec) * col("c")).as("a0"),
+        sum(col("y").cast(dec) * col("sv")).as("b0"),
+        sum(col("c")).as("cs"), sum(col("sv")).as("ss"),
+        sum((col("n").cast(dec) * col("y") - col("s"))
+          * (col("n").cast(dec) * col("y") - col("s"))).as("den"))
+      .withColumn("aa", col("n").cast(dec) * col("a0")
+        - col("sy").cast(dec) * col("cs"))
+      .withColumn("bb", col("n").cast(dec) * col("b0")
+        - col("sy").cast(dec) * col("ss"))
+    g.select(col("event_type"), col("n").as("n_days"),
+        round(lit(2) * sqrt(col("aa").cast("double") * col("aa").cast("double")
+          + col("bb").cast("double") * col("bb").cast("double"))
+          / (col("n").cast("double") * col("n") * lit(1e12)), 6)
+          .as("weekly_amp"),
+        when(col("den") > 0,
+          round(lit(2) * (col("aa").cast("double") * col("aa").cast("double")
+            + col("bb").cast("double") * col("bb").cast("double"))
+            / (lit(1e12) * col("n").cast("double") * col("den").cast("double")), 6))
+          .as("weekly_power_share"))
+      .orderBy("event_type")
+  }
+
   /** Engagement-inequality Gini per event type over per-user event
     * counts — the "does 1% of users generate 90% of the traffic"
     * dashboard number (0 = uniform, →1 = one user is the firehose).

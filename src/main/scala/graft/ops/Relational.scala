@@ -1984,6 +1984,58 @@ object Relational {
       .orderBy("abc_class")
   }
 
+  /** Repeat-purchase survival curve: of the customers who ever ordered
+    * twice, what share came back within 7/30/60/90 days of their first
+    * order — the retention-curve op behind every cohort LTV model
+    * (share_of_customers additionally folds in the never-returned).
+    *
+    * Exactness: first/second order dates are exact discrete order
+    * statistics ((date, orderkey) tie-break), gaps are exact day
+    * diffs, every survival point is an exact conditional count; the
+    * two shares are identically-spelled double divisions of exact
+    * longs, NULL-guarded for a zero-repeater corpus on both engines.
+    *
+    * 100 TB posture: one customer-partitioned window over orders
+    * (high-cardinality partitioning — the ship_lag shape), then ONE
+    * conditional-aggregate pass over the customers-sized gap frame
+    * produces all four thresholds (no threshold × customer fan-out);
+    * the rest is 1-row broadcasts and a 4-row literal frame. */
+  def repeatSurvival(spark: SparkSession, dir: String): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val cust = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderdate"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 2)
+      .groupBy("o_custkey")
+      .agg(max(when(col("rn") === 1, col("o_orderdate"))).as("da"),
+        max(when(col("rn") === 2, col("o_orderdate"))).as("db"))
+    val base = cust.agg(count(lit(1)).as("n_customers"),
+      sum(when(col("db").isNotNull, 1L).otherwise(0L)).as("n_repeaters"))
+    val thresholds = Seq(7, 30, 60, 90)
+    val thCols = thresholds.map(t =>
+      sum(when(col("g") <= t, 1L).otherwise(0L)).as(s"c$t"))
+    val counts = cust.filter(col("db").isNotNull)
+      .select(datediff(col("db"), col("da")).as("g"))
+      .agg(thCols.head, thCols.tail: _*)
+    thresholds.toDF("threshold_days")
+      .crossJoin(broadcast(base)).crossJoin(broadcast(counts))
+      .select(col("threshold_days"), col("n_customers"), col("n_repeaters"),
+        coalesce(thresholds.map(t =>
+          when(col("threshold_days") === t, col(s"c$t"))): _*)
+          .as("n_repeat_within"))
+      .select(col("threshold_days"), col("n_customers"), col("n_repeaters"),
+        col("n_repeat_within"),
+        when(col("n_repeaters") > 0,
+          round(col("n_repeat_within").cast("double") / col("n_repeaters"), 6))
+          .as("share_of_repeaters"),
+        when(col("n_customers") > 0,
+          round(col("n_repeat_within").cast("double") / col("n_customers"), 6))
+          .as("share_of_customers"))
+      .orderBy("threshold_days")
+  }
+
   /** Chi-square test of independence between order status and order
     * priority — the contingency-table screen ("does priority mix drift
     * by status?") that complements [[graft.ops.Recon.benfordDrift]]'s

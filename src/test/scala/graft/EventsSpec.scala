@@ -452,6 +452,106 @@ class EventsSpec extends GraftSpec {
     }
   }
 
+  test("user overlap: planted audiences give exact set ratios") {
+    import EventsFixture.RawEv
+    val spark0 = spark
+    import spark0.implicits._
+    val base = 1735689600L * 1000000000L
+    // a: users {1,2,3}; b: {2,3,4}; c: {5} → (a,b) i=2 of 4 union;
+    // (a,c)/(b,c) share nobody and must NOT appear (inner-join contract)
+    val rows = Seq((1L, "a"), (2L, "a"), (3L, "a"), (2L, "b"), (3L, "b"),
+      (4L, "b"), (5L, "c")).zipWithIndex.map { case ((u, t), i) =>
+      RawEv(i.toLong, base + i * 1000000000L, u, t, 1.0, "{}")
+    }
+    val d = s"$tmpDir/overlap"
+    rows.toDF().write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = Events.userOverlap(spark, d).collect()
+    assert(got.length === 1, "only the (a,b) pair shares users")
+    val r = got.head
+    assert((r.getString(0), r.getString(1)) === (("a", "b")))
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) === ((3L, 3L, 2L)))
+    assert(r.getDouble(5) === 0.5, "jaccard 2/4")
+    assert(r.getDouble(6) === 0.666667, "overlap 2/3")
+    // independent recount at sf from collected distinct pairs
+    val pairs = Tables.events(spark, sf)
+      .select("event_type", "user_id").distinct().collect()
+      .map(r2 => (r2.getString(0), r2.getLong(1)))
+    val byType = pairs.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val sfGot = Events.userOverlap(spark, sf).collect()
+    val expected = byType.keys.toSeq.sorted.combinations(2).flatMap {
+      case Seq(a, b) =>
+        val i = (byType(a) & byType(b)).size
+        if (i == 0) None else Some((a, b, byType(a).size, byType(b).size, i))
+    }.toSeq
+    assert(sfGot.length === expected.length)
+    sfGot.zip(expected).foreach { case (g, (a, b, na, nb, i)) =>
+      assert((g.getString(0), g.getString(1)) === ((a, b)))
+      assert((g.getLong(2), g.getLong(3), g.getLong(4)) ===
+        ((na.toLong, nb.toLong, i.toLong)))
+    }
+  }
+
+  test("weekly spectrum: table-built sinusoid ≈ amp 1 / share 1; constant flat") {
+    import EventsFixture.RawEv
+    val spark0 = spark
+    import spark0.implicits._
+    val day = 86400L * 1000000000L
+    val base = 1735689600L * 1000000000L // 2025-01-01, a Wednesday
+    // type w: value = 10 + cos-table(dow)/1e6 over exactly 2 weeks —
+    // both literal tables sum to EXACTLY 0 over a whole week, so the
+    // mean clears and the fitted amplitude is 1 to table precision;
+    // type c: constant → aa = bb = 0 exactly → amp 0, share NULL
+    val epochDays0 = (1735689600L / 86400L).toInt
+    val w = (0 until 14).map { i =>
+      val dow = (epochDays0 + i) % 7
+      RawEv(i.toLong, base + i * day, 1L, "w",
+        10.0 + Events.WeeklyCos(dow) / 1e6, "{}")
+    }
+    val c = (0 until 14).map(i =>
+      RawEv(100 + i.toLong, base + i * day, 1L, "c", 5.0, "{}"))
+    val d = s"$tmpDir/spectrum"
+    (w ++ c).toDF().write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = Events.weeklySpectrum(spark, d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got("w").getLong(1) === 14L)
+    assert(math.abs(got("w").getDouble(2) - 1.0) < 1e-3, "amp of unit cosine")
+    assert(got("w").getDouble(3) > 0.999, "pure weekly signal: share → 1")
+    assert(got("c").getDouble(2) === 0.0, "constant: zero amplitude exactly")
+    assert(got("c").isNullAt(3), "constant: den 0 → NULL share")
+    // independent recount at sf: BigInt replication of the closed form
+    val daily = Tables.events(spark, sf)
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"), date_trunc("DAY", col("ts")).as("dd"))
+      .agg(sum(round(round(col("value"), 6) * 1e6, 0).cast("long")).as("y"))
+      .select(col("event_type"), col("dd").cast("date").cast("string"), col("y"))
+      .collect().groupBy(_.getString(0)).view
+      .mapValues(_.map(r => (java.time.LocalDate.parse(r.getString(1))
+        .toEpochDay.toInt, r.getLong(2))).toSeq).toMap
+    Events.weeklySpectrum(spark, sf).collect().foreach { r =>
+      val ds = daily(r.getString(0))
+      val n = ds.length
+      val sy = ds.map(x => BigInt(x._2)).sum
+      def tab(t: Seq[Long]) = ds.map { case (ed, y) =>
+        (BigInt(y) * t(((ed % 7) + 7) % 7), BigInt(t(((ed % 7) + 7) % 7)))
+      }
+      val (a0, cs) = tab(Events.WeeklyCos).reduce((p, q) => (p._1 + q._1, p._2 + q._2))
+      val (b0, ss) = tab(Events.WeeklySin).reduce((p, q) => (p._1 + q._1, p._2 + q._2))
+      val aa = (BigInt(n) * a0 - sy * cs).toDouble
+      val bb = (BigInt(n) * b0 - sy * ss).toDouble
+      val den = ds.map { case (_, y) => val dv = BigInt(n) * y - sy; dv * dv }.sum
+      val amp = BigDecimal(2 * math.sqrt(aa * aa + bb * bb) / (n.toDouble * n * 1e12))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getLong(1) === n.toLong)
+      assert(r.getDouble(2) === amp, s"amp recount ${r.getString(0)}")
+      if (den > 0) {
+        val share = BigDecimal(2 * (aa * aa + bb * bb)
+          / (1e12 * n.toDouble * den.toDouble))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(r.getDouble(3) === share, s"share recount ${r.getString(0)}")
+      }
+    }
+  }
+
   test("stickiness: hand fixture is exact; sf values recompute from raw pairs") {
     import EventsFixture.RawEv
     val spark0 = spark

@@ -591,6 +591,52 @@ class RelationalSpec extends GraftSpec {
     sfGot.foreach(r => assert(r.getDouble(5) === expChi, "chi2 recount"))
   }
 
+  test("repeatSurvival: planted gaps land in the exact thresholds") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = s"$tmpDir/survival"
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    // c1: gap 5 (≤7); c2: gap 45 (≤60); c3: single order (no gap);
+    // c4: two SAME-DAY orders — gap 0, second-by-orderkey tie-break
+    val rows = Seq(
+      (1L, 10L, ts("2025-01-01")), (2L, 10L, ts("2025-01-06")),
+      (3L, 20L, ts("2025-01-01")), (4L, 20L, ts("2025-02-15")),
+      (5L, 30L, ts("2025-01-01")),
+      (6L, 40L, ts("2025-01-01")), (7L, 40L, ts("2025-01-01")))
+    rows.toDF("o_orderkey", "o_custkey", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = Relational.repeatSurvival(spark, dir).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(got.keySet === Set(7, 30, 60, 90))
+    got.values.foreach { r =>
+      assert(r.getLong(1) === 4L, "n_customers")
+      assert(r.getLong(2) === 3L, "n_repeaters")
+    }
+    assert(got(7).getLong(3) === 2L && got(30).getLong(3) === 2L)
+    assert(got(60).getLong(3) === 3L && got(90).getLong(3) === 3L)
+    assert(got(7).getDouble(4) === 0.666667, "2/3 of repeaters within 7d")
+    assert(got(7).getDouble(5) === 0.5, "2/4 of all customers within 7d")
+    assert(got(60).getDouble(4) === 1.0)
+    // independent recount at sf: gaps from collected first/second dates
+    val firstTwo = Tables.orders(spark, sf)
+      .select("o_custkey", "o_orderdate", "o_orderkey").collect()
+      .map(r => (r.getLong(0), (r.getTimestamp(1), r.getLong(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(x =>
+        (x._1.getTime, x._2)).take(2).map(_._1).toSeq).toMap
+    val nCust = firstTwo.size.toLong
+    val gaps = firstTwo.values.filter(_.length == 2).map { s =>
+      java.time.temporal.ChronoUnit.DAYS.between(
+        s(0).toLocalDateTime.toLocalDate, s(1).toLocalDateTime.toLocalDate)
+    }.toSeq
+    val sfGot = Relational.repeatSurvival(spark, sf).collect()
+    sfGot.foreach { r =>
+      val t = r.getInt(0)
+      assert(r.getLong(1) === nCust)
+      assert(r.getLong(2) === gaps.length.toLong)
+      assert(r.getLong(3) === gaps.count(_ <= t).toLong, s"within $t")
+    }
+  }
+
   test("paretoAbc: exact boundary equality pushes the crossing value down a class") {
     val spark0 = spark
     import spark0.implicits._

@@ -597,6 +597,40 @@ class ScaleSpec extends GraftSpec {
       s"rt/ct windows partition by status/priority over the cells frame:\n$exec")
   }
 
+  test("user overlap: dedup map-combines, join keys on user — no all-pairs") {
+    val q = graft.ops.Events.userOverlap(spark, sf)
+    q.collect()
+    val exec = q.queryExecution.executedPlan.toString
+    assert("partial_(count|first)".r.findFirstIn(exec).isDefined ||
+      exec.contains("HashAggregate"),
+      s"the (type,user) dedup must be a hash aggregate:\n$exec")
+    assert(!exec.contains("CartesianProduct"),
+      s"the audience join keys on user_id, never cartesian:\n$exec")
+  }
+
+  test("weekly spectrum: daily collapse map-combines, one typed window pass") {
+    val exec = graft.ops.Events.weeklySpectrum(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("partial_(count|sum)".r.findFirstIn(exec).isDefined,
+      s"the daily collapse must combine map-side:\n$exec")
+    assert(!exec.contains("windowspecdefinition()"),
+      s"the variance window must partition by event_type:\n$exec")
+    assert(!exec.contains("Join"),
+      s"projections and variance ride one daily frame, no join:\n$exec")
+  }
+
+  test("repeat survival: custkey-partitioned window, answer-sized broadcasts") {
+    val q = graft.ops.Relational.repeatSurvival(spark, sf)
+    q.collect()
+    val exec = q.queryExecution.executedPlan.toString
+    assert(!exec.contains("windowspecdefinition()"),
+      s"the rank window must partition by o_custkey:\n$exec")
+    assert(!exec.contains("CartesianProduct") && !exec.contains("SortMergeJoin"),
+      s"only the two 1-row frames may cross, as broadcasts:\n$exec")
+    assert(exec.contains("BroadcastNestedLoopJoin"),
+      s"base/counts are 1-row broadcast frames:\n$exec")
+  }
+
   test("user gini: histogram window only — no users-sized sort frame") {
     val exec = graft.ops.Events.userGini(spark, sf)
       .queryExecution.executedPlan.toString
