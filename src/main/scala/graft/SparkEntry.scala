@@ -209,6 +209,7 @@ object SparkEntry {
     "events_user_overlap"      -> (Events.userOverlap _),
     "events_weekly_spectrum"   -> (Events.weeklySpectrum _),
     "customer_repeat_survival" -> (Relational.repeatSurvival _),
+    "embed_dim_correlation"    -> (Vectors.dimCorrelation _),
     "corpus_filter_funnel"     -> ((s, d) => Text.filterFunnel(s, d)),
     "sample_cap_per_source"    -> ((s, d) =>
       Sampling.capPerSource(s, d, k = Sampling.HarnessCapK)),
@@ -323,7 +324,7 @@ object SparkEntry {
     "orders_trend_forecast", "events_stickiness", "events_seasonal_naive",
     "events_user_gini", "events_autocorrelation", "orders_crosstab_chisq",
     "events_user_overlap", "events_weekly_spectrum",
-    "customer_repeat_survival")
+    "customer_repeat_survival", "embed_dim_correlation")
 
   /** DuckDB spelling of [[graft.ops.Vectors.lshBucket]]: the 8 sign bits
     * against the SAME hyperplane doubles, interpolated from
@@ -2313,6 +2314,40 @@ object SparkEntry {
         |  END AS share_of_customers
         |FROM th CROSS JOIN base CROSS JOIN counts
         |ORDER BY 1""".stripMargin,
+
+    "embed_dim_correlation" ->
+      // exact micro-integer cross-moments; Pearson denominators clear
+      // (num = n·Sij − Si·Sj as HUGEINT ≡ DECIMAL(38,0)); final chain
+      // is two IEEE sqrts + one division; the top-20 cut sorts the
+      // ROUNDED |corr| with (i, j) tie-break
+      """WITH em AS MATERIALIZED (
+        |  SELECT list_transform(embedding,
+        |    v -> CAST(round(round(v, 6) * 1e6) AS BIGINT)) e
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |dims AS MATERIALIZED (
+        |  SELECT i, count(*) n, sum(v) si, sum(CAST(v AS HUGEINT) * v) sii
+        |  FROM (SELECT unnest(e) v, generate_subscripts(e, 1) i FROM em)
+        |  GROUP BY 1),
+        |pe AS (
+        |  SELECT unnest(flatten(list_transform(range(1, len(e)), i ->
+        |    list_transform(range(i + 1, len(e) + 1), j ->
+        |      {'i': i, 'j': j, 'p': e[i] * e[j]})))) u
+        |  FROM em),
+        |pairs AS (SELECT u.i i, u.j j, sum(CAST(u.p AS HUGEINT)) sij
+        |  FROM pe GROUP BY 1, 2),
+        |c AS (
+        |  SELECT p.i, p.j,
+        |    CAST(di.n AS HUGEINT) * p.sij - CAST(di.si AS HUGEINT) * dj.si num,
+        |    CAST(di.n AS HUGEINT) * di.sii - CAST(di.si AS HUGEINT) * di.si denx,
+        |    CAST(dj.n AS HUGEINT) * dj.sii - CAST(dj.si AS HUGEINT) * dj.si deny
+        |  FROM pairs p JOIN dims di ON di.i = p.i JOIN dims dj ON dj.i = p.j),
+        |r AS (
+        |  SELECT i, j, round(CAST(num AS DOUBLE)
+        |    / (sqrt(CAST(denx AS DOUBLE)) * sqrt(CAST(deny AS DOUBLE))), 6) + 0 corr
+        |  FROM c WHERE denx > 0 AND deny > 0)
+        |SELECT CAST(i AS BIGINT) dim_i, CAST(j AS BIGINT) dim_j, corr,
+        |  abs(corr) + 0 AS abs_corr
+        |FROM r ORDER BY abs(corr) DESC, i, j LIMIT 20""".stripMargin,
 
     "events_stickiness" ->
       // one distinct (month, day, user) collapse feeds both counts;

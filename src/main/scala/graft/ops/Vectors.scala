@@ -529,4 +529,64 @@ object Vectors {
         (varPop < lit(1e-6)).as("is_dead"))
       .orderBy("pos")
   }
+
+  /** Top-20 most correlated embedding-dimension pairs — the redundancy
+    * audit behind dimensionality reduction and PQ subspace design:
+    * |corr| → 1 means two dimensions carry the same signal and the
+    * index wastes capacity.
+    *
+    * Exactness: elements quantize to 6-dp micro-unit longs; every
+    * sufficient statistic (Σxᵢ, Σxᵢ², Σxᵢxⱼ) is an exact 128-bit
+    * integer, Pearson's denominators clear — num = n·Sij − Si·Sj,
+    * den = n·Sii − Si² — and the only doubles are the final
+    * identically-spelled chain (two IEEE sqrts, one division), round
+    * 6dp +0. Zero-variance dims drop via den > 0 on both engines.
+    * Ranking sorts the ROUNDED |corr| with (i, j) tie-break, so the
+    * top-20 cut is engine-independent.
+    *
+    * 100 TB posture: the d(d−1)/2 pair expansion happens INSIDE the
+    * scan stage (inline of a codegen'd nested transform) and
+    * immediately map-side combines into a d²-keyed hash aggregate —
+    * the shuffled frame is pairs-sized (≤ d²), not corpus-sized; the
+    * d-row moment frame broadcasts (bounded by the schema's
+    * dimensionality, a constant of the table, not of the data
+    * volume); the final top-20 is a TakeOrdered selection. */
+  def dimCorrelation(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val em = Tables.embeddings(spark, dir)
+      .filter(col("embedding").isNotNull)
+      .select(transform(col("embedding"), v =>
+        round(round(v.cast("double"), 6) * 1e6, 0).cast("long")).as("e"))
+    val dims = em
+      .select(posexplode(col("e")).as(Seq("p0", "v")))
+      .select((col("p0") + 1).as("i"), col("v"))
+      .groupBy("i")
+      .agg(count(lit(1)).as("n"), sum(col("v").cast(dec)).as("si"),
+        sum((col("v") * col("v")).cast(dec)).as("sii"))
+    val pairs = em
+      .select(expr("inline(flatten(transform(sequence(1, size(e) - 1), i -> " +
+        "transform(sequence(i + 1, size(e)), j -> " +
+        "struct(i, j, element_at(e, i) * element_at(e, j) AS p)))))"))
+      .groupBy("i", "j")
+      .agg(sum(col("p").cast(dec)).as("sij"))
+    val di = dims.select(col("i").as("ki"), col("n"),
+      col("si").as("sxi"), col("sii").as("sxxi"))
+    val dj = dims.select(col("i").as("kj"),
+      col("si").as("sxj"), col("sii").as("sxxj"))
+    val c = pairs
+      .join(broadcast(di), col("i") === col("ki"))
+      .join(broadcast(dj), col("j") === col("kj"))
+      .select(col("i"), col("j"),
+        (col("n").cast(dec) * col("sij") - col("sxi") * col("sxj")).as("num"),
+        (col("n").cast(dec) * col("sxxi") - col("sxi") * col("sxi")).as("denx"),
+        (col("n").cast(dec) * col("sxxj") - col("sxj") * col("sxj")).as("deny"))
+    c.filter(col("denx") > 0 && col("deny") > 0)
+      .select(col("i").cast("long").as("dim_i"), col("j").cast("long").as("dim_j"),
+        (round(col("num").cast("double")
+          / (sqrt(col("denx").cast("double")) * sqrt(col("deny").cast("double"))),
+          6) + 0).as("corr"))
+      .withColumn("abs_corr", abs(col("corr")) + 0)
+      .orderBy(col("abs_corr").desc, col("dim_i"), col("dim_j"))
+      .limit(20)
+  }
 }

@@ -631,6 +631,19 @@ class ScaleSpec extends GraftSpec {
       s"base/counts are 1-row broadcast frames:\n$exec")
   }
 
+  test("dim correlation: pair fan-out combines map-side, top-20 is TakeOrdered") {
+    val q = graft.ops.Vectors.dimCorrelation(spark, sf)
+    q.collect()
+    val exec = q.queryExecution.executedPlan.toString
+    assert("partial_(count|sum)".r.findFirstIn(exec).isDefined,
+      s"the d²-keyed moment aggregates must combine map-side:\n$exec")
+    assert(exec.contains("TakeOrderedAndProject"),
+      s"the top-20 cut must be a bounded-state selection:\n$exec")
+    assert(exec.contains("BroadcastHashJoin") && !exec.contains("SortMergeJoin"),
+      s"the d-row moment frames must broadcast:\n$exec")
+    assert(!exec.contains("CartesianProduct"), s"no cartesian:\n$exec")
+  }
+
   test("user gini: histogram window only — no users-sized sort frame") {
     val exec = graft.ops.Events.userGini(spark, sf)
       .queryExecution.executedPlan.toString

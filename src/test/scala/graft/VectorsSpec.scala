@@ -253,6 +253,48 @@ class VectorsSpec extends GraftSpec {
         BigDecimal.RoundingMode.HALF_UP).toDouble, "recall_tie")
     assert(row.getLong(3) >= row.getLong(2), "ties can only add matches")
   }
+
+  test("dimCorrelation: planted copies/negations hit ±1; constant dim drops") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = s"$tmpDir/dimcorr"
+    // dim2 = dim1 (corr +1), dim3 = −dim1 (corr −1), dim4 constant
+    // (zero variance → every pair touching it drops via den > 0)
+    val rows = Seq(1f, 2f, 4f).zipWithIndex.map { case (x, i) =>
+      VectorsFixture.Emb(i.toLong, Array(x, x, -x, 5f), 0)
+    }
+    rows.toDF().write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Vectors.dimCorrelation(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got.size === 3, "only the three live-dim pairs survive")
+    assert(got((1L, 2L)) === 1.0)
+    assert(got((1L, 3L)) === -1.0 && got((2L, 3L)) === -1.0)
+    // independent recount at sf: exact BigInt moments over micro longs
+    val raw = Tables.embeddings(spark, sf).filter(col("embedding").isNotNull)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(v => BigDecimal(v.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .underlying.movePointRight(6).longValueExact()).toArray)
+    val d = raw.head.length
+    val n = BigInt(raw.length)
+    val si = Array.tabulate(d)(i => raw.map(r => BigInt(r(i))).sum)
+    val sii = Array.tabulate(d)(i => raw.map(r => BigInt(r(i)) * r(i)).sum)
+    val all = (for {
+      i <- 0 until d; j <- (i + 1) until d
+      sij = raw.map(r => BigInt(r(i)) * r(j)).sum
+      num = n * sij - si(i) * si(j)
+      dx = n * sii(i) - si(i) * si(i)
+      dy = n * sii(j) - si(j) * si(j)
+      if dx > 0 && dy > 0
+      corr = BigDecimal(num.toDouble /
+        (math.sqrt(dx.toDouble) * math.sqrt(dy.toDouble)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    } yield ((i + 1).toLong, (j + 1).toLong, corr))
+      .sortBy { case (i, j, c) => (-math.abs(c), i, j) }.take(20)
+    val sfGot = Vectors.dimCorrelation(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(sfGot.toSeq === all)
+  }
 }
 
 object VectorsFixture {
