@@ -210,6 +210,7 @@ object SparkEntry {
     "events_weekly_spectrum"   -> (Events.weeklySpectrum _),
     "customer_repeat_survival" -> (Relational.repeatSurvival _),
     "embed_dim_correlation"    -> (Vectors.dimCorrelation _),
+    "graph_degree_distribution" -> (Graph.degreeDistribution _),
     "corpus_filter_funnel"     -> ((s, d) => Text.filterFunnel(s, d)),
     "sample_cap_per_source"    -> ((s, d) =>
       Sampling.capPerSource(s, d, k = Sampling.HarnessCapK)),
@@ -324,7 +325,8 @@ object SparkEntry {
     "orders_trend_forecast", "events_stickiness", "events_seasonal_naive",
     "events_user_gini", "events_autocorrelation", "orders_crosstab_chisq",
     "events_user_overlap", "events_weekly_spectrum",
-    "customer_repeat_survival", "embed_dim_correlation")
+    "customer_repeat_survival", "embed_dim_correlation",
+    "graph_degree_distribution")
 
   /** DuckDB spelling of [[graft.ops.Vectors.lshBucket]]: the 8 sign bits
     * against the SAME hyperplane doubles, interpolated from
@@ -2348,6 +2350,21 @@ object SparkEntry {
         |SELECT CAST(i AS BIGINT) dim_i, CAST(j AS BIGINT) dim_j, corr,
         |  abs(corr) + 0 AS abs_corr
         |FROM r ORDER BY abs(corr) DESC, i, j LIMIT 20""".stripMargin,
+
+    "graph_degree_distribution" ->
+      // same strong (w ≥ 2) edge set as components/triangles; all
+      // integers except one identically-spelled share division
+      """WITH ob AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey k, l_partkey p FROM lineitem),
+        |e AS MATERIALIZED (SELECT a.p a, b.p b FROM ob a JOIN ob b USING (k)
+        |  WHERE a.p < b.p GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (SELECT v, count(*) d FROM (
+        |    SELECT a v FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+        |hist AS (SELECT d degree, count(*) n_nodes FROM deg GROUP BY 1),
+        |tot AS (SELECT sum(n_nodes) tn FROM hist)
+        |SELECT CAST(degree AS BIGINT) degree, CAST(n_nodes AS BIGINT) n_nodes,
+        |  round(CAST(n_nodes AS DOUBLE) / tn, 6) AS node_share
+        |FROM hist CROSS JOIN tot ORDER BY degree""".stripMargin,
 
     "events_stickiness" ->
       // one distinct (month, day, user) collapse feeds both counts;

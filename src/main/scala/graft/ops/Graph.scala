@@ -301,6 +301,35 @@ object Graph {
           .as("transitivity"))
   }
 
+  /** Degree distribution of the strong co-purchase graph (same w ≥ 2
+    * edge set as [[copurchaseComponents]]/[[copurchaseTriangles]]):
+    * one row per distinct degree with the node count and share — the
+    * first diagnostic of any graph's shape (hub-dominated vs flat),
+    * and the input to every power-law eyeball.
+    *
+    * Everything is exact integers except the share, a single
+    * identically-spelled double division rounded at 6 dp. The
+    * histogram frame is ≤ max-degree rows; the 1-row node total
+    * broadcasts (answer-sized by construction).
+    *
+    * 100 TB posture: degrees are a map-combinable count over the edge
+    * list (each endpoint once — no adjacency concentration), and the
+    * distribution collapses node-sized → degree-sized immediately. */
+  def degreeDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val e = copurchaseEdges(spark, dir)
+      .filter(col("w") >= 2 && col("s") < col("t"))
+      .select(col("s").as("a"), col("t").as("b"))
+    val deg = e.select(col("a").as("v")).unionByName(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val hist = deg.groupBy(col("d").as("degree"))
+      .agg(count(lit(1)).as("n_nodes"))
+    val tot = hist.agg(sum(col("n_nodes")).as("tn"))
+    hist.crossJoin(broadcast(tot))
+      .select(col("degree"), col("n_nodes"),
+        round(col("n_nodes").cast("double") / col("tn"), 6).as("node_share"))
+      .orderBy("degree")
+  }
+
   def pagerankParts(spark: SparkSession, dir: String): DataFrame = {
     val edgesRaw = copurchaseEdges(spark, dir)
     pagerankRanks(edgesRaw)

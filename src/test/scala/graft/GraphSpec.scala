@@ -172,6 +172,35 @@ class GraphSpec extends GraftSpec {
     assert(r.getLong(3) === wedges, "wedges")
   }
 
+  test("degree distribution: K4 + pendant gives the exact histogram") {
+    val spark0 = spark
+    import spark0.implicits._
+    // same planted graph as the triangle spec: K4 on parts 1–4 plus a
+    // strong pendant edge 1–5 → degrees (4,3,3,3,1): histogram
+    // 1→1 node, 3→3 nodes, 4→1 node; shares /5
+    val dir = s"$tmpDir/degdist"
+    val rows = (for (o <- 1L to 2L; p <- 1L to 4L) yield (o, p)) ++
+      Seq((3L, 1L), (3L, 5L), (4L, 1L), (4L, 5L))
+    rows.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = Graph.degreeDistribution(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq((1L, 1L, 0.2), (3L, 3L, 0.6), (4L, 1L, 0.2)))
+    // independent recount at sf from the collected edge list
+    val edges = Graph.copurchaseEdges(spark, sf)
+      .filter(col("w") >= 2 && col("s") < col("t"))
+      .select("s", "t").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val deg = (edges.map(_._1) ++ edges.map(_._2))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val hist = deg.values.groupBy(identity).view.mapValues(_.size).toMap
+    val sfGot = Graph.degreeDistribution(spark, sf).collect()
+    assert(sfGot.length === hist.size)
+    sfGot.foreach { r =>
+      assert(r.getLong(1) === hist(r.getLong(0).toInt).toLong,
+        s"degree ${r.getLong(0)}")
+    }
+  }
+
   test("flood fixture: minhash pairs collapse into a single cluster") {
     val floodDir = TextFixture.writeFlood(spark, s"$tmpDir/g")
     val rows = Graph.dedupClusters(spark, floodDir).collect()

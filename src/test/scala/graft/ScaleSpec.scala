@@ -644,6 +644,17 @@ class ScaleSpec extends GraftSpec {
     assert(!exec.contains("CartesianProduct"), s"no cartesian:\n$exec")
   }
 
+  test("degree distribution: map-combined counts, degree-sized histogram") {
+    val q = graft.ops.Graph.degreeDistribution(spark, sf)
+    q.collect()
+    val exec = q.queryExecution.executedPlan.toString
+    assert("partial_count".r.findFirstIn(exec).isDefined,
+      s"degree and histogram counts must combine map-side:\n$exec")
+    assert(!exec.contains("CartesianProduct"),
+      s"only the 1-row total may cross, as a broadcast:\n$exec")
+    assert(!exec.contains("Window"), s"no window anywhere:\n$exec")
+  }
+
   test("user gini: histogram window only — no users-sized sort frame") {
     val exec = graft.ops.Events.userGini(spark, sf)
       .queryExecution.executedPlan.toString
