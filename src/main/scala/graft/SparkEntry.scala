@@ -211,6 +211,7 @@ object SparkEntry {
     "customer_repeat_survival" -> (Relational.repeatSurvival _),
     "embed_dim_correlation"    -> (Vectors.dimCorrelation _),
     "graph_degree_distribution" -> (Graph.degreeDistribution _),
+    "text_keyword_rake"        -> ((s, d) => Text.keywordRake(s, d)),
     "corpus_filter_funnel"     -> ((s, d) => Text.filterFunnel(s, d)),
     "sample_cap_per_source"    -> ((s, d) =>
       Sampling.capPerSource(s, d, k = Sampling.HarnessCapK)),
@@ -326,7 +327,7 @@ object SparkEntry {
     "events_user_gini", "events_autocorrelation", "orders_crosstab_chisq",
     "events_user_overlap", "events_weekly_spectrum",
     "customer_repeat_survival", "embed_dim_correlation",
-    "graph_degree_distribution")
+    "graph_degree_distribution", "text_keyword_rake")
 
   /** DuckDB spelling of [[graft.ops.Vectors.lshBucket]]: the 8 sign bits
     * against the SAME hyperplane doubles, interpolated from
@@ -2365,6 +2366,38 @@ object SparkEntry {
         |SELECT CAST(degree AS BIGINT) degree, CAST(n_nodes AS BIGINT) n_nodes,
         |  round(CAST(n_nodes AS DOUBLE) / tn, 6) AS node_share
         |FROM hist CROSS JOIN tot ORDER BY degree""".stripMargin,
+
+    "text_keyword_rake" ->
+      // gaps-and-islands phrase decomposition; word score deg/freq is
+      // ONE integer-ratio double division rounded 6dp into micro-longs,
+      // so phrase scores and the top-20 order are exact integers;
+      // stopword list = the qualityScore five, literal on both engines
+      ("""WITH toks AS MATERIALIZED (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) tok,
+        |    generate_subscripts(string_split(text, ' '), 1) pos
+        |  FROM documents),
+        |nz AS (SELECT doc_id, tok, pos FROM toks
+        |  WHERE tok <> '' AND tok NOT IN ('the', 'a', 'of', 'and', 'to')),
+        |isl AS (SELECT doc_id, tok, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) grp
+        |  FROM nz),
+        |ph AS (SELECT doc_id, tok, pos, grp,
+        |    count(*) OVER (PARTITION BY doc_id, grp) plen
+        |  FROM isl),
+        |keep AS MATERIALIZED (SELECT * FROM ph WHERE plen <= """ +
+        Text.RakeMaxLen + """),
+        |ws AS MATERIALIZED (SELECT tok,
+        |    CAST(round(round(CAST(sum(plen) AS DOUBLE) / count(*), 6) * 1e6)
+        |      AS BIGINT) score_micro
+        |  FROM keep GROUP BY 1),
+        |phr AS (SELECT k.doc_id, k.grp,
+        |    string_agg(k.tok, ' ' ORDER BY k.pos) phrase,
+        |    sum(ws.score_micro) ps
+        |  FROM keep k JOIN ws ON ws.tok = k.tok GROUP BY 1, 2)
+        |SELECT phrase, CAST(count(*) AS BIGINT) n_occurrences,
+        |  round(max(ps) / 1e6, 6) AS rake_score
+        |FROM phr GROUP BY phrase
+        |ORDER BY max(ps) DESC, phrase LIMIT 20""").stripMargin,
 
     "events_stickiness" ->
       // one distinct (month, day, user) collapse feeds both counts;

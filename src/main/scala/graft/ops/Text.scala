@@ -976,6 +976,67 @@ object Text {
     * the count pass, then resolve the k surviving hashes to text with
     * one semi-join) — the dictionary state shrinks 10×, the semantics
     * don't change. */
+  /** RAKE stopword list — the phrase delimiters. Deliberately the
+    * SAME five words [[qualityScore]] counts, embedded as literals in
+    * the oracle's NOT IN; case-sensitive by contract (tokens are kept
+    * raw everywhere in this suite). */
+  private[graft] val RakeStops = Seq("the", "a", "of", "and", "to")
+
+  /** RAKE candidate-phrase length cap: longer stopword-free runs are
+    * noise, not keyphrases (the classic RAKE convention). Part of the
+    * result contract, mirrored by the oracle's plen filter. */
+  private[graft] val RakeMaxLen = 4
+
+  /** Corpus keyphrases à la RAKE (Rapid Automatic Keyword Extraction):
+    * candidate phrases are maximal stopword-free token runs of length
+    * ≤ [[RakeMaxLen]]; each word scores degree/frequency (degree =
+    * Σ length of phrases it appears in, frequency = its occurrence
+    * count), a phrase scores the sum of its words' scores, and the
+    * top-20 distinct phrases win — the keyword-extraction op of a
+    * text-analysis pipeline.
+    *
+    * Exactness: phrase membership and lengths are exact integers from
+    * the gaps-and-islands decomposition (grp = pos − row_number, both
+    * windows doc-partitioned); each word score deg/freq is one
+    * identically-spelled integer-ratio double division rounded 6dp
+    * into micro-unit longs, so phrase scores and the final ranking
+    * (score DESC, phrase) are EXACT integer/string comparisons — no
+    * float order anywhere near the cut.
+    *
+    * 100 TB posture: token frames only ever window-partition by
+    * doc_id (high-cardinality); the word-score frame is vocab-sized
+    * (AQE decides the join side — fact-derived, so never pinned
+    * broadcast); identical-phrase collapse and the top-20 are
+    * map-combinable aggregates ending in a TakeOrdered selection. */
+  def keywordRake(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " "))
+        .as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tok"))
+      .filter(col("tok") =!= "" && !col("tok").isin(RakeStops: _*))
+    val wIsl = Window.partitionBy("doc_id").orderBy("pos")
+    val keep = toks
+      .withColumn("grp", col("pos") - row_number().over(wIsl))
+      .withColumn("plen",
+        count(lit(1)).over(Window.partitionBy("doc_id", "grp")))
+      .filter(col("plen") <= RakeMaxLen)
+    val ws = keep.groupBy("tok")
+      .agg(round(round(sum(col("plen")).cast("double") / count(lit(1)), 6)
+        * 1e6, 0).cast("long").as("score_micro"))
+    keep.join(ws, "tok")
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("phrase"),
+        sum(col("score_micro")).as("ps"))
+      .groupBy("phrase")
+      .agg(count(lit(1)).as("n_occurrences"), max(col("ps")).as("psm"))
+      .orderBy(col("psm").desc, col("phrase"))
+      .limit(20)
+      .select(col("phrase"), col("n_occurrences"),
+        round(col("psm") / 1e6, 6).as("rake_score"))
+  }
+
   def boilerplateNgrams(spark: SparkSession, dir: String,
                         n: Int = 5, k: Int = 20): DataFrame = {
     require(n >= 2 && k > 0, s"boilerplateNgrams: bad n=$n k=$k")

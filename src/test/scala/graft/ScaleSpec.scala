@@ -655,6 +655,19 @@ class ScaleSpec extends GraftSpec {
     assert(!exec.contains("Window"), s"no window anywhere:\n$exec")
   }
 
+  test("keyword rake: doc-partitioned windows only, top-20 is TakeOrdered") {
+    val q = graft.ops.Text.keywordRake(spark, sf)
+    q.collect()
+    val exec = q.queryExecution.executedPlan.toString
+    assert(!exec.contains("windowspecdefinition()"),
+      s"island windows must partition by doc_id:\n$exec")
+    assert(exec.contains("TakeOrderedAndProject"),
+      s"the top-20 cut must be a bounded-state selection:\n$exec")
+    assert("partial_(count|sum|max)".r.findFirstIn(exec).isDefined,
+      s"phrase and word aggregates must combine map-side:\n$exec")
+    assert(!exec.contains("CartesianProduct"), s"no cartesian:\n$exec")
+  }
+
   test("user gini: histogram window only — no users-sized sort frame") {
     val exec = graft.ops.Events.userGini(spark, sf)
       .queryExecution.executedPlan.toString

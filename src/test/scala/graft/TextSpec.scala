@@ -311,6 +311,54 @@ class TextSpec extends GraftSpec {
       ("b c", 1L, 0.4055), ("c c", 1L, 0.4055)))
   }
 
+  test("keyword rake: planted phrases score deg/freq exactly; long runs drop") {
+    val spark0 = spark
+    import spark0.implicits._
+    val d = s"$tmpDir/rake"
+    // doc 1: islands {big data} ×2 and {speed} → freq(big)=2 deg(big)=4
+    // → word scores big=data=2.0, speed=1.0; phrase "big data" = 4.0 ×2.
+    // doc 2: one stopword-free run of 5 > RakeMaxLen → dropped entirely
+    // (its words must not leak into the score table either)
+    Seq(
+      TextFixture.Doc(1, "big data the big data of speed", "en", "s", 31),
+      TextFixture.Doc(2, "v w x y z", "en", "s", 9))
+      .toDF().write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = Text.keywordRake(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq(("big data", 2L, 4.0), ("speed", 1L, 1.0)))
+    // independent recount at sf: full RAKE replication on collected docs
+    val texts = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val keep = texts.flatMap { case (id, t) =>
+      val toks = t.split(" ", -1).zipWithIndex
+        .map { case (w, i) => (w, i + 1) }
+        .filter { case (w, _) => w.nonEmpty && !Text.RakeStops.contains(w) }
+      val islands = toks.zipWithIndex
+        .groupBy { case ((_, pos), rn) => pos - (rn + 1) }
+        .values.map(_.map(_._1)).filter(_.length <= Text.RakeMaxLen)
+      islands.map(ph => (id, ph.map(_._2).min, ph.map(_._1).toSeq))
+    }
+    val allWords = keep.flatMap(_._3)
+    val freq = allWords.groupBy(identity).view.mapValues(_.size).toMap
+    val deg = keep.flatMap(p => p._3.map(w => (w, p._3.length)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val scoreMicro = freq.keys.map { w =>
+      w -> math.round(BigDecimal(deg(w).toDouble / freq(w))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble * 1e6)
+    }.toMap
+    val phrases = keep.map(p => (p._3.mkString(" "), p._3.map(scoreMicro).sum))
+      .groupBy(_._1).view
+      .mapValues(v => (v.size.toLong, v.head._2)).toMap
+    val top = phrases.toSeq.map { case (ph, (n, s)) => (ph, n, s) }
+      .sortBy { case (ph, _, s) => (-s, ph) }.take(20)
+      .map { case (ph, n, s) => (ph, n, BigDecimal(s / 1e6)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+    val sfGot = Text.keywordRake(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(sfGot.toSeq === top)
+  }
+
   test("vocab: ids follow (cnt DESC, tok) with the top-k cutoff") {
     val spark0 = spark
     import spark0.implicits._
