@@ -212,6 +212,7 @@ object SparkEntry {
     "embed_dim_correlation"    -> (Vectors.dimCorrelation _),
     "graph_degree_distribution" -> (Graph.degreeDistribution _),
     "text_keyword_rake"        -> ((s, d) => Text.keywordRake(s, d)),
+    "events_entropy_rate"      -> (Events.entropyRate _),
     "corpus_filter_funnel"     -> ((s, d) => Text.filterFunnel(s, d)),
     "sample_cap_per_source"    -> ((s, d) =>
       Sampling.capPerSource(s, d, k = Sampling.HarnessCapK)),
@@ -327,7 +328,8 @@ object SparkEntry {
     "events_user_gini", "events_autocorrelation", "orders_crosstab_chisq",
     "events_user_overlap", "events_weekly_spectrum",
     "customer_repeat_survival", "embed_dim_correlation",
-    "graph_degree_distribution", "text_keyword_rake")
+    "graph_degree_distribution", "text_keyword_rake",
+    "events_entropy_rate")
 
   /** DuckDB spelling of [[graft.ops.Vectors.lshBucket]]: the 8 sign bits
     * against the SAME hyperplane doubles, interpolated from
@@ -2398,6 +2400,27 @@ object SparkEntry {
         |  round(max(ps) / 1e6, 6) AS rake_score
         |FROM phr GROUP BY phrase
         |ORDER BY max(ps) DESC, phrase LIMIT 20""").stripMargin,
+
+    "events_entropy_rate" ->
+      // per-state Shannon entropy of outgoing transitions: each term
+      // −p·log₂(p) rounds 6dp into micro-longs before the EXACT sum
+      // (lm_score/JSD log-family discipline); (-p)*q ≡ -(p*q) in IEEE
+      """WITH tr AS MATERIALIZED (
+        |  SELECT f, t, count(*) c FROM (
+        |    SELECT event_type f, lead(event_type, 1) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) t FROM events)
+        |  WHERE t IS NOT NULL GROUP BY 1, 2),
+        |w AS (SELECT f, t, c, sum(c) OVER (PARTITION BY f) cf FROM tr),
+        |h AS (SELECT f, max(cf) cf, count(*) n_targets,
+        |    sum(CAST(round(round(-(CAST(c AS DOUBLE) / cf)
+        |      * log2(CAST(c AS DOUBLE) / cf), 6) * 1e6) AS BIGINT)) hm
+        |  FROM w GROUP BY 1),
+        |tot AS (SELECT sum(c) nn FROM tr)
+        |SELECT f AS from_type, CAST(cf AS BIGINT) n_trans,
+        |  CAST(n_targets AS BIGINT) n_targets,
+        |  round(hm / 1e6, 6) AS entropy_bits,
+        |  round(CAST(cf AS DOUBLE) / nn * (hm / 1e6), 6) AS rate_contrib_bits
+        |FROM h CROSS JOIN tot ORDER BY 1""".stripMargin,
 
     "events_stickiness" ->
       // one distinct (month, day, user) collapse feeds both counts;

@@ -1124,6 +1124,48 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** Behavioral predictability per event type: the Shannon entropy of
+    * each state's outgoing-transition distribution (0 bits = the next
+    * event is certain, log₂(k) = uniform over k targets) plus its
+    * weighted contribution to the chain's overall entropy rate — the
+    * information-theoretic sibling of [[eventTransitions]] /
+    * [[markovStationary]].
+    *
+    * Exactness: transition counts are exact; each entropy term
+    * −p·log₂(p) (p = c/cf, an integer-ratio double) rounds at 6 dp
+    * into micro-unit longs before the EXACT per-state sum (the
+    * lm_score/JSD log-family discipline), and the rate contribution
+    * re-rounds the exact-micro H_f scaled by the integer ratio cf/N.
+    *
+    * 100 TB posture: one user-partitioned lead window (the
+    * eventTransitions shape), then everything is transitions-matrix-
+    * sized; cf comes from a from-state window over that matrix, N from
+    * a 1-row broadcast. */
+  def entropyRate(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val trans = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type").as("f"),
+        lead(col("event_type"), 1).over(byUser).as("t"))
+      .where(col("t").isNotNull)
+      .groupBy("f", "t").agg(count(lit(1)).as("c"))
+    val tot = trans.agg(sum(col("c")).as("nn"))
+    val p = col("c").cast("double") / col("cf")
+    val h = trans
+      .withColumn("cf", sum(col("c")).over(Window.partitionBy("f")))
+      .withColumn("t6", round(-p * log2(p), 6))
+      .groupBy("f")
+      .agg(max(col("cf")).as("cf"), count(lit(1)).as("n_targets"),
+        sum(round(col("t6") * 1e6, 0).cast("long")).as("hm"))
+    h.crossJoin(broadcast(tot))
+      .select(col("f").as("from_type"), col("cf").as("n_trans"),
+        col("n_targets"),
+        round(col("hm") / 1e6, 6).as("entropy_bits"),
+        round(col("cf").cast("double") / col("nn") * (col("hm") / 1e6), 6)
+          .as("rate_contrib_bits"))
+      .orderBy("from_type")
+  }
+
   /** Engagement-inequality Gini per event type over per-user event
     * counts — the "does 1% of users generate 90% of the traffic"
     * dashboard number (0 = uniform, →1 = one user is the firehose).

@@ -552,6 +552,54 @@ class EventsSpec extends GraftSpec {
     }
   }
 
+  test("entropy rate: deterministic state is 0 bits, a fair split is 1 bit") {
+    import EventsFixture.RawEv
+    val spark0 = spark
+    import spark0.implicits._
+    val base = 1735689600L * 1000000000L
+    // user stream x y x y z → transitions x→y ×2 (H=0), y→x, y→z (H=1)
+    val seqTypes = Seq("x", "y", "x", "y", "z")
+    val rows = seqTypes.zipWithIndex.map { case (t, i) =>
+      RawEv(i.toLong, base + i * 1000000000L, 1L, t, 1.0, "{}")
+    }
+    val d = s"$tmpDir/entropy_rate"
+    rows.toDF().write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = Events.entropyRate(spark, d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet === Set("x", "y"), "z has no outgoing transitions")
+    assert(got("x").getLong(1) === 2L && got("x").getLong(2) === 1L)
+    assert(got("x").getDouble(3) === 0.0 && got("x").getDouble(4) === 0.0)
+    assert(got("y").getLong(1) === 2L && got("y").getLong(2) === 2L)
+    assert(got("y").getDouble(3) === 1.0, "fair coin: exactly 1 bit")
+    assert(got("y").getDouble(4) === 0.5, "2/4 weight × 1 bit")
+    // sf recount: exact counts, entropy within two 6-dp ulps (the only
+    // cross-impl risk is the log; engine parity is the oracle's job)
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("tu"),
+        col("event_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val trans = ev.groupBy(_._1).values.flatMap { s =>
+      val o = s.sortBy(x => (x._2, x._3)).map(_._4)
+      o.zip(o.drop(1))
+    }.toSeq
+    val byF = trans.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val n = trans.size
+    Events.entropyRate(spark, sf).collect().foreach { r =>
+      val ts2 = byF(r.getString(0))
+      val cf = ts2.size
+      val counts = ts2.groupBy(identity).values.map(_.size)
+      assert(r.getLong(1) === cf.toLong)
+      assert(r.getLong(2) === counts.size.toLong)
+      val h = counts.map { c =>
+        val p = c.toDouble / cf
+        BigDecimal(-p * math.log(p) / math.log(2.0))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.sum
+      assert(math.abs(r.getDouble(3) - h) < 2e-6, s"H(${r.getString(0)})")
+      assert(math.abs(r.getDouble(4) - cf.toDouble / n * h) < 2e-6)
+    }
+  }
+
   test("stickiness: hand fixture is exact; sf values recompute from raw pairs") {
     import EventsFixture.RawEv
     val spark0 = spark

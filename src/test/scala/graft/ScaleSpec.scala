@@ -668,6 +668,21 @@ class ScaleSpec extends GraftSpec {
     assert(!exec.contains("CartesianProduct"), s"no cartesian:\n$exec")
   }
 
+  test("entropy rate: one user lead window, matrix-sized everything after") {
+    val q = graft.ops.Events.entropyRate(spark, sf)
+    q.collect()
+    val exec = q.queryExecution.executedPlan.toString
+    assert(!exec.contains("windowspecdefinition()"),
+      s"both windows partition (user_id for lead, f for cf):\n$exec")
+    assert("partial_count".r.findFirstIn(exec).isDefined,
+      s"the transition count must combine map-side:\n$exec")
+    assert(exec.contains("BroadcastNestedLoopJoin") ||
+      exec.contains("BroadcastHashJoin"),
+      s"the 1-row total must broadcast:\n$exec")
+    assert(!exec.contains("CartesianProduct") && !exec.contains("SortMergeJoin"),
+      s"nothing matrix-sized may shuffle-join:\n$exec")
+  }
+
   test("user gini: histogram window only — no users-sized sort frame") {
     val exec = graft.ops.Events.userGini(spark, sf)
       .queryExecution.executedPlan.toString
