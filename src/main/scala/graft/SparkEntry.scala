@@ -213,6 +213,7 @@ object SparkEntry {
     "graph_degree_distribution" -> (Graph.degreeDistribution _),
     "text_keyword_rake"        -> ((s, d) => Text.keywordRake(s, d)),
     "events_entropy_rate"      -> (Events.entropyRate _),
+    "lineitem_price_index"     -> (Relational.priceIndex _),
     "corpus_filter_funnel"     -> ((s, d) => Text.filterFunnel(s, d)),
     "sample_cap_per_source"    -> ((s, d) =>
       Sampling.capPerSource(s, d, k = Sampling.HarnessCapK)),
@@ -329,7 +330,7 @@ object SparkEntry {
     "events_user_overlap", "events_weekly_spectrum",
     "customer_repeat_survival", "embed_dim_correlation",
     "graph_degree_distribution", "text_keyword_rake",
-    "events_entropy_rate")
+    "events_entropy_rate", "lineitem_price_index")
 
   /** DuckDB spelling of [[graft.ops.Vectors.lshBucket]]: the 8 sign bits
     * against the SAME hyperplane doubles, interpolated from
@@ -2421,6 +2422,40 @@ object SparkEntry {
         |  round(hm / 1e6, 6) AS entropy_bits,
         |  round(CAST(cf AS DOUBLE) / nn * (hm / 1e6), 6) AS rate_contrib_bits
         |FROM h CROSS JOIN tot ORDER BY 1""".stripMargin,
+
+    "lineitem_price_index" ->
+      // Laspeyres/Paasche/Fisher vs the first month: revenue in exact
+      // 1e-4 longs, quantities in micro longs; each cross-product term
+      // is ONE identically-spelled double chain rounded 6dp into
+      // micro-longs before the exact sums; base month = 1.0 exactly
+      """WITH pm AS MATERIALIZED (
+        |  SELECT l_partkey p, date_trunc('month', l_shipdate) m,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) * 10000 AS BIGINT)
+        |      rev4,
+        |    sum(CAST(round(round(l_quantity, 6) * 1e6) AS BIGINT)) qty6
+        |  FROM lineitem GROUP BY 1, 2),
+        |b0 AS MATERIALIZED (SELECT min(m) m0 FROM pm),
+        |base AS MATERIALIZED (
+        |  SELECT p, rev4 rev04, qty6 qty06 FROM pm CROSS JOIN b0 WHERE m = m0),
+        |j AS (SELECT pm.m,
+        |    CAST(round(round(CAST(pm.rev4 AS DOUBLE) * 100 / pm.qty6
+        |      * base.qty06 / 1e6, 6) * 1e6) AS BIGINT) lnum,
+        |    CAST(round(round(CAST(base.rev04 AS DOUBLE) * 100 / base.qty06
+        |      * base.qty06 / 1e6, 6) * 1e6) AS BIGINT) lden,
+        |    CAST(round(round(CAST(pm.rev4 AS DOUBLE) * 100 / pm.qty6
+        |      * pm.qty6 / 1e6, 6) * 1e6) AS BIGINT) pnum,
+        |    CAST(round(round(CAST(base.rev04 AS DOUBLE) * 100 / base.qty06
+        |      * pm.qty6 / 1e6, 6) * 1e6) AS BIGINT) pden
+        |  FROM pm JOIN base USING (p)),
+        |s AS (SELECT m, count(*) n_parts,
+        |    sum(lnum) ln_, sum(lden) ld, sum(pnum) pn, sum(pden) pd
+        |  FROM j GROUP BY 1)
+        |SELECT m AS month, CAST(n_parts AS BIGINT) n_parts,
+        |  round(CAST(ln_ AS DOUBLE) / ld, 6) AS laspeyres,
+        |  round(CAST(pn AS DOUBLE) / pd, 6) AS paasche,
+        |  round(sqrt((CAST(ln_ AS DOUBLE) / ld)
+        |    * (CAST(pn AS DOUBLE) / pd)), 6) AS fisher
+        |FROM s ORDER BY m""".stripMargin,
 
     "events_stickiness" ->
       // one distinct (month, day, user) collapse feeds both counts;

@@ -2036,6 +2036,58 @@ object Relational {
       .orderBy("threshold_days")
   }
 
+  /** Monthly Laspeyres / Paasche / Fisher price indices over lineitem
+    * unit prices (revenue/quantity per part), base = the corpus's
+    * first month — the economics op a pricing dashboard runs:
+    * base-basket inflation (Laspeyres), current-basket (Paasche), and
+    * their geometric mean.
+    *
+    * Exactness: per-(part, month) revenue in exact 1e-4-unit longs
+    * ([[graft.ops.Recon.cents]]) and quantity in 6-dp micro longs;
+    * each index term (a unit-price × quantity cross product — one
+    * ratio of exact longs) is an identically-spelled double chain
+    * rounded 6dp into micro-unit longs before the EXACT sums (the
+    * lm_score discipline), and every index is one double division of
+    * exact longs (Fisher adds one correctly-rounded IEEE sqrt). The
+    * base month indexes to exactly 1.0 on both engines — a built-in
+    * sanity anchor.
+    *
+    * 100 TB posture: the only corpus-sized pass is the map-combined
+    * (part, month) collapse; the base-basket join keys on partkey
+    * (part-sized both sides, exchange reused from the same collapse),
+    * and the result is months-sized. */
+  def priceIndex(spark: SparkSession, dir: String): DataFrame = {
+    val pm = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey").as("p"),
+        date_trunc("month", col("l_shipdate")).as("m"))
+      .agg(sum(Recon.cents(col("l_extendedprice"))).as("rev4"),
+        sum(round(round(col("l_quantity"), 6) * 1e6, 0).cast("long"))
+          .as("qty6"))
+    val b0 = pm.agg(min(col("m")).as("m0"))
+    val base = pm.crossJoin(broadcast(b0)).filter(col("m") === col("m0"))
+      .select(col("p"), col("rev4").as("rev04"), col("qty6").as("qty06"))
+    def term(revC: Column, qtyC: Column, wC: Column): Column =
+      round(round(revC.cast("double") * 100 / qtyC * wC / 1e6, 6) * 1e6, 0)
+        .cast("long")
+    val j = pm.join(base, "p")
+      .select(col("m"),
+        term(col("rev4"), col("qty6"), col("qty06")).as("lnum"),
+        term(col("rev04"), col("qty06"), col("qty06")).as("lden"),
+        term(col("rev4"), col("qty6"), col("qty6")).as("pnum"),
+        term(col("rev04"), col("qty06"), col("qty6")).as("pden"))
+    val lr = col("lnum").cast("double") / col("lden")
+    val pr = col("pnum").cast("double") / col("pden")
+    j.groupBy(col("m").as("month"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("lnum")).as("lnum"), sum(col("lden")).as("lden"),
+        sum(col("pnum")).as("pnum"), sum(col("pden")).as("pden"))
+      .select(col("month"), col("n_parts"),
+        round(lr, 6).as("laspeyres"),
+        round(pr, 6).as("paasche"),
+        round(sqrt(lr * pr), 6).as("fisher"))
+      .orderBy("month")
+  }
+
   /** Chi-square test of independence between order status and order
     * priority — the contingency-table screen ("does priority mix drift
     * by status?") that complements [[graft.ops.Recon.benfordDrift]]'s

@@ -637,6 +637,67 @@ class RelationalSpec extends GraftSpec {
     }
   }
 
+  test("priceIndex: planted baskets give the textbook indices; base is 1.0") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = s"$tmpDir/pidx"
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    // m0: p1 u=10 (100/10), p2 u=20 (200/10); m1: p1 u=24, p2 u=10;
+    // p3 appears only in m1 → excluded from both indices.
+    // L = (24·10+10·10)/300 = 17/15; P = (24·5+10·10)/250 = 0.88
+    val rows = Seq(
+      (1L, ts("2025-01-05"), 100.0, 10.0), (2L, ts("2025-01-06"), 200.0, 10.0),
+      (1L, ts("2025-02-05"), 120.0, 5.0), (2L, ts("2025-02-06"), 100.0, 10.0),
+      (3L, ts("2025-02-07"), 50.0, 1.0))
+    rows.toDF("l_partkey", "l_shipdate", "l_extendedprice", "l_quantity")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = Relational.priceIndex(spark, dir).collect()
+    assert(got.length === 2)
+    assert(got(0).getLong(1) === 2L)
+    assert((got(0).getDouble(2), got(0).getDouble(3), got(0).getDouble(4)) ===
+      ((1.0, 1.0, 1.0)), "base month anchors at exactly 1.0")
+    assert(got(1).getLong(1) === 2L)
+    assert(got(1).getDouble(2) === 1.133333, "Laspeyres 17/15")
+    assert(got(1).getDouble(3) === 0.88, "Paasche 220/250")
+    assert(got(1).getDouble(4) === BigDecimal(
+      math.sqrt((340.0 / 300) * (220.0 / 250)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, "Fisher")
+    // independent recount at sf with the same term chain
+    val raw = Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), date_trunc("month", col("l_shipdate"))
+        .cast("date").cast("string").as("m"),
+        col("l_extendedprice"), col("l_quantity")).collect()
+      .map(r => ((r.getLong(0), r.getString(1)), (
+        BigDecimal(r.getDouble(2)).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          .underlying.unscaledValue.longValue,
+        BigDecimal(r.getDouble(3)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .underlying.movePointRight(6).longValueExact())))
+    val pm = raw.groupBy(_._1).view.mapValues(v =>
+      (v.map(_._2._1).sum, v.map(_._2._2).sum)).toMap
+    val m0 = pm.keys.map(_._2).min
+    val baseM = pm.collect { case ((p, m), rq) if m == m0 => p -> rq }.toMap
+    def t6(rev: Long, qty: Long, w: Long): Long =
+      math.round(BigDecimal(rev.toDouble * 100 / qty * w / 1e6)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble * 1e6)
+    val byMonth = pm.toSeq.collect {
+      case ((p, m), (rev, qty)) if baseM.contains(p) =>
+        val (r0, q0) = baseM(p)
+        (m, (t6(rev, qty, q0), t6(r0, q0, q0), t6(rev, qty, qty), t6(r0, q0, qty)))
+    }.groupBy(_._1).view.mapValues { v =>
+      val s = v.map(_._2)
+      (s.size, s.map(_._1).sum, s.map(_._2).sum, s.map(_._3).sum, s.map(_._4).sum)
+    }.toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Relational.priceIndex(spark, sf).collect().foreach { r =>
+      val m = r.getTimestamp(0).toLocalDateTime.toLocalDate.toString
+      val (np, ln, ld, pn, pd) = byMonth(m)
+      assert(r.getLong(1) === np.toLong, s"$m n_parts")
+      assert(r.getDouble(2) === r6(ln.toDouble / ld), s"$m laspeyres")
+      assert(r.getDouble(3) === r6(pn.toDouble / pd), s"$m paasche")
+    }
+  }
+
   test("paretoAbc: exact boundary equality pushes the crossing value down a class") {
     val spark0 = spark
     import spark0.implicits._

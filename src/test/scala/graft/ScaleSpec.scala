@@ -683,6 +683,17 @@ class ScaleSpec extends GraftSpec {
       s"nothing matrix-sized may shuffle-join:\n$exec")
   }
 
+  test("price index: one map-combined collapse, base join keys on partkey") {
+    val q = graft.ops.Relational.priceIndex(spark, sf)
+    q.collect()
+    val exec = q.queryExecution.executedPlan.toString
+    assert("partial_sum".r.findFirstIn(exec).isDefined,
+      s"the (part, month) collapse must combine map-side:\n$exec")
+    assert(!exec.contains("CartesianProduct"),
+      s"only the 1-row base-month frame may cross, as a broadcast:\n$exec")
+    assert(!exec.contains("Window"), s"no window anywhere:\n$exec")
+  }
+
   test("user gini: histogram window only — no users-sized sort frame") {
     val exec = graft.ops.Events.userGini(spark, sf)
       .queryExecution.executedPlan.toString
