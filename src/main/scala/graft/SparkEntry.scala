@@ -214,6 +214,7 @@ object SparkEntry {
     "text_keyword_rake"        -> ((s, d) => Text.keywordRake(s, d)),
     "events_entropy_rate"      -> (Events.entropyRate _),
     "lineitem_price_index"     -> (Relational.priceIndex _),
+    "orders_cohort_ltv"        -> (Relational.cohortLtv _),
     "corpus_filter_funnel"     -> ((s, d) => Text.filterFunnel(s, d)),
     "sample_cap_per_source"    -> ((s, d) =>
       Sampling.capPerSource(s, d, k = Sampling.HarnessCapK)),
@@ -330,7 +331,7 @@ object SparkEntry {
     "events_user_overlap", "events_weekly_spectrum",
     "customer_repeat_survival", "embed_dim_correlation",
     "graph_degree_distribution", "text_keyword_rake",
-    "events_entropy_rate", "lineitem_price_index")
+    "events_entropy_rate", "lineitem_price_index", "orders_cohort_ltv")
 
   /** DuckDB spelling of [[graft.ops.Vectors.lshBucket]]: the 8 sign bits
     * against the SAME hyperplane doubles, interpolated from
@@ -2456,6 +2457,33 @@ object SparkEntry {
         |  round(sqrt((CAST(ln_ AS DOUBLE) / ld)
         |    * (CAST(pn AS DOUBLE) / pd)), 6) AS fisher
         |FROM s ORDER BY m""".stripMargin,
+
+    "orders_cohort_ltv" ->
+      // cohort = first-order month; revenue in exact 1e-4 longs; the
+      // (customer, month) frame is distinct by construction so activity
+      // counts are plain counts; cum window over the months² frame
+      """WITH om AS MATERIALIZED (
+        |  SELECT o_custkey c, date_trunc('month', o_orderdate) m,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) * 10000 AS BIGINT)
+        |      rev4
+        |  FROM orders GROUP BY 1, 2),
+        |coh AS MATERIALIZED (SELECT c, min(m) cm FROM om GROUP BY 1),
+        |cs AS MATERIALIZED (SELECT cm, count(*) cohort_size FROM coh GROUP BY 1),
+        |agg AS (SELECT coh.cm, date_diff('month', coh.cm, om.m) age,
+        |    count(*) n_active, sum(om.rev4) rev4
+        |  FROM om JOIN coh USING (c) GROUP BY 1, 2),
+        |cum AS (SELECT cm, age, n_active, rev4,
+        |    sum(rev4) OVER (PARTITION BY cm ORDER BY age
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) crev4
+        |  FROM agg)
+        |SELECT cm AS cohort_month, CAST(age AS BIGINT) age_months,
+        |  CAST(n_active AS BIGINT) n_active, CAST(cohort_size AS BIGINT)
+        |    cohort_size,
+        |  round(CAST(rev4 AS DOUBLE) / 10000.0, 2) AS revenue,
+        |  round(CAST(crev4 AS DOUBLE) / 10000.0, 2) AS cum_revenue,
+        |  round(CAST(crev4 AS DOUBLE) / 10000 / cohort_size, 6)
+        |    AS cum_ltv_per_customer
+        |FROM cum JOIN cs USING (cm) ORDER BY 1, 2""".stripMargin,
 
     "events_stickiness" ->
       // one distinct (month, day, user) collapse feeds both counts;

@@ -2088,6 +2088,50 @@ object Relational {
       .orderBy("month")
   }
 
+  /** Cohort lifetime-value curve: customers grouped by first-order
+    * month, revenue accumulated by cohort age — the
+    * [[graft.ops.Events.cohortRetention]] sibling in money terms, and
+    * the standard LTV artifact every growth dashboard plots.
+    *
+    * Exactness: revenue in exact 1e-4-unit longs
+    * ([[graft.ops.Recon.cents]]); cohort ages are exact month diffs of
+    * month-truncated dates; activity counts are exact (the per-customer
+    * month frame is already (customer, month)-distinct); the two
+    * presentation divisions are identically spelled. The cumulative
+    * sum windows over the (cohort, age) frame — months² rows at any
+    * scale.
+    *
+    * 100 TB posture: one map-combined (customer, month) collapse; the
+    * first-month frame derives from it (customer-keyed join, exchange
+    * reused); everything after the (cohort, age) aggregate is
+    * answer-sized, including the running-sum window and the broadcast
+    * cohort-size join. */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val om = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("c"),
+        date_trunc("month", col("o_orderdate")).as("m"))
+      .agg(sum(Recon.cents(col("o_totalprice"))).as("rev4"))
+    val coh = om.groupBy("c").agg(min(col("m")).as("cm"))
+    val cs = coh.groupBy("cm").agg(count(lit(1)).as("cohort_size"))
+    val agg = om.join(coh, "c")
+      .select(col("cm"), months_between(col("m"), col("cm")).cast("long")
+        .as("age"), col("rev4"))
+      .groupBy("cm", "age")
+      .agg(count(lit(1)).as("n_active"), sum(col("rev4")).as("rev4"))
+    val wCum = Window.partitionBy("cm").orderBy("age")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    agg
+      .withColumn("crev4", sum(col("rev4")).over(wCum))
+      .join(broadcast(cs), "cm")
+      .select(col("cm").as("cohort_month"), col("age").as("age_months"),
+        col("n_active"), col("cohort_size"),
+        round(col("rev4").cast("double") / 10000.0, 2).as("revenue"),
+        round(col("crev4").cast("double") / 10000.0, 2).as("cum_revenue"),
+        round(col("crev4").cast("double") / 10000 / col("cohort_size"), 6)
+          .as("cum_ltv_per_customer"))
+      .orderBy("cohort_month", "age_months")
+  }
+
   /** Chi-square test of independence between order status and order
     * priority — the contingency-table screen ("does priority mix drift
     * by status?") that complements [[graft.ops.Recon.benfordDrift]]'s

@@ -698,6 +698,54 @@ class RelationalSpec extends GraftSpec {
     }
   }
 
+  test("cohortLtv: planted two-cohort history accumulates exactly") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = s"$tmpDir/ltv"
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    // cohort 2025-01: c1 (100 @age0, 50 @age2), c2 (200 @age0) →
+    // size 2, ages 0 and 2; cohort 2025-02: c3 (80 @age0) → size 1
+    val rows = Seq(
+      (1L, 10L, ts("2025-01-03"), 100.0), (2L, 20L, ts("2025-01-20"), 200.0),
+      (3L, 10L, ts("2025-03-08"), 50.0), (4L, 30L, ts("2025-02-14"), 80.0))
+    rows.toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = Relational.cohortLtv(spark, dir).collect().map(r =>
+      (r.getTimestamp(0).toLocalDateTime.toLocalDate.toString, r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6))).toMap
+    assert(got.size === 3)
+    assert(got(("2025-01-01", 0L)) === ((2L, 2L, 300.0, 300.0, 150.0)))
+    assert(got(("2025-01-01", 2L)) === ((1L, 2L, 50.0, 350.0, 175.0)))
+    assert(got(("2025-02-01", 0L)) === ((1L, 1L, 80.0, 80.0, 80.0)))
+    // independent recount at sf: cents-exact cohort fold
+    val raw = Tables.orders(spark, sf)
+      .select(col("o_custkey"), date_trunc("month", col("o_orderdate"))
+        .cast("date").cast("string").as("m"), col("o_totalprice")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        BigDecimal(r.getDouble(2)).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          .underlying.unscaledValue.longValue))
+    val om = raw.groupBy(r => (r._1, r._2)).view.mapValues(_.map(_._3).sum).toMap
+    val cohortOf = om.keys.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    def ageOf(cm: String, m: String) = {
+      val a = java.time.LocalDate.parse(cm); val b = java.time.LocalDate.parse(m)
+      java.time.temporal.ChronoUnit.MONTHS.between(a, b)
+    }
+    val agg = om.toSeq.groupBy { case ((c, m), _) =>
+      (cohortOf(c), ageOf(cohortOf(c), m))
+    }.view.mapValues(v => (v.size.toLong, v.map(_._2).sum)).toMap
+    val sfGot = Relational.cohortLtv(spark, sf).collect()
+    assert(sfGot.length === agg.size)
+    sfGot.foreach { r =>
+      val k = (r.getTimestamp(0).toLocalDateTime.toLocalDate.toString,
+        r.getLong(1))
+      val (na, rev) = agg(k)
+      assert(r.getLong(2) === na, s"$k n_active")
+      assert(r.getDouble(4) === BigDecimal(rev.toDouble / 10000.0)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble, s"$k revenue")
+    }
+  }
+
   test("paretoAbc: exact boundary equality pushes the crossing value down a class") {
     val spark0 = spark
     import spark0.implicits._

@@ -694,6 +694,19 @@ class ScaleSpec extends GraftSpec {
     assert(!exec.contains("Window"), s"no window anywhere:\n$exec")
   }
 
+  test("cohort ltv: map-combined collapse, answer-sized window and joins") {
+    val q = graft.ops.Relational.cohortLtv(spark, sf)
+    q.collect()
+    val exec = q.queryExecution.executedPlan.toString
+    assert("partial_sum".r.findFirstIn(exec).isDefined,
+      s"the (customer, month) collapse must combine map-side:\n$exec")
+    assert(!exec.contains("windowspecdefinition()"),
+      s"the cumulative window partitions by cohort month:\n$exec")
+    assert(!exec.contains("CartesianProduct"), s"no cartesian:\n$exec")
+    assert(exec.contains("BroadcastHashJoin"),
+      s"the months-sized cohort-size frame must broadcast:\n$exec")
+  }
+
   test("user gini: histogram window only — no users-sized sort frame") {
     val exec = graft.ops.Events.userGini(spark, sf)
       .queryExecution.executedPlan.toString
