@@ -215,6 +215,10 @@ object SparkEntry {
     "events_entropy_rate"      -> (Events.entropyRate _),
     "lineitem_price_index"     -> (Relational.priceIndex _),
     "orders_cohort_ltv"        -> (Relational.cohortLtv _),
+    "events_weekly_churn"      -> (Events.weeklyChurn _),
+    "orders_backlog_aging"     -> (Relational.backlogAging _),
+    "dedup_containment"        -> ((s, d) => Text.dedupContainment(s, d)),
+    "langid_eval_metrics"      -> ((s, d) => Text.langidEval(s, d)),
     "corpus_filter_funnel"     -> ((s, d) => Text.filterFunnel(s, d)),
     "sample_cap_per_source"    -> ((s, d) =>
       Sampling.capPerSource(s, d, k = Sampling.HarnessCapK)),
@@ -331,7 +335,9 @@ object SparkEntry {
     "events_user_overlap", "events_weekly_spectrum",
     "customer_repeat_survival", "embed_dim_correlation",
     "graph_degree_distribution", "text_keyword_rake",
-    "events_entropy_rate", "lineitem_price_index", "orders_cohort_ltv")
+    "events_entropy_rate", "lineitem_price_index", "orders_cohort_ltv",
+    "events_weekly_churn", "orders_backlog_aging", "dedup_containment",
+    "langid_eval_metrics")
 
   /** DuckDB spelling of [[graft.ops.Vectors.lshBucket]]: the 8 sign bits
     * against the SAME hyperplane doubles, interpolated from
@@ -2485,6 +2491,67 @@ object SparkEntry {
         |    AS cum_ltv_per_customer
         |FROM cum JOIN cs USING (cm) ORDER BY 1, 2""".stripMargin,
 
+    "events_weekly_churn" ->
+      // engine-neutral epoch weeks (days-since-1970 // 7); last week
+      // right-censored out; rates are single double divisions
+      """WITH mu AS MATERIALIZED (
+        |  SELECT DISTINCT
+        |    date_diff('day', DATE '1970-01-01', date_trunc('day', ts)) // 7 wk,
+        |    user_id u FROM events),
+        |nxt AS (SELECT a.wk, count(*) n_active,
+        |    sum(CASE WHEN b.u IS NULL THEN 1 ELSE 0 END) n_churned,
+        |    sum(CASE WHEN b.u IS NOT NULL THEN 1 ELSE 0 END) n_retained
+        |  FROM mu a LEFT JOIN mu b ON b.u = a.u AND b.wk = a.wk + 1
+        |  GROUP BY 1),
+        |lastw AS (SELECT max(wk) mx FROM mu)
+        |SELECT CAST(DATE '1970-01-01' + INTERVAL (wk * 7) DAY AS DATE)
+        |    week_start,
+        |  CAST(n_active AS BIGINT) n_active,
+        |  CAST(n_retained AS BIGINT) n_retained,
+        |  CAST(n_churned AS BIGINT) n_churned,
+        |  round(CAST(n_churned AS DOUBLE) / n_active, 6) AS churn_rate,
+        |  round(CAST(n_retained AS DOUBLE) / n_active, 6) AS retention_rate
+        |FROM nxt CROSS JOIN lastw WHERE wk < mx ORDER BY 1""".stripMargin,
+
+    "orders_backlog_aging" ->
+      // exact day ages vs a 1-row as-of; integer bucket edges; revenue
+      // in exact 1e-4 longs; one identically-spelled share division
+      """WITH ad0 AS MATERIALIZED (SELECT max(o_orderdate) ad FROM orders),
+        |op AS (SELECT o_orderstatus st,
+        |    date_diff('day', o_orderdate, ad) age,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT) rev4
+        |  FROM orders CROSS JOIN ad0 WHERE o_orderstatus <> 'F'),
+        |bk AS (SELECT st,
+        |    CASE WHEN age <= 30 THEN '00-030d' WHEN age <= 90 THEN '031-090d'
+        |         WHEN age <= 365 THEN '091-365d' ELSE '365d+' END bucket,
+        |    rev4 FROM op),
+        |agg AS (SELECT st, bucket, count(*) n_orders, sum(rev4) rev4
+        |  FROM bk GROUP BY 1, 2),
+        |tot AS (SELECT sum(rev4) t FROM agg)
+        |SELECT st AS o_orderstatus, bucket, CAST(n_orders AS BIGINT) n_orders,
+        |  round(CAST(rev4 AS DOUBLE) / 10000.0, 2) AS open_revenue,
+        |  round(CAST(rev4 AS DOUBLE) / t, 6) AS revenue_share
+        |FROM agg CROSS JOIN tot ORDER BY 1, 2""".stripMargin,
+
+    "dedup_containment" ->
+      // same exact within-source pair frame as dedup_ngram_jaccard;
+      // containments round 6dp and rank with (a_id, b_id) tie-break
+      """SELECT a_id, b_id, CAST(icnt AS BIGINT) n_common,
+        |  round(CAST(icnt AS DOUBLE) / alen, 6) cont_a_in_b,
+        |  round(CAST(icnt AS DOUBLE) / blen, 6) cont_b_in_a,
+        |  greatest(round(CAST(icnt AS DOUBLE) / alen, 6),
+        |    round(CAST(icnt AS DOUBLE) / blen, 6)) max_cont
+        |FROM (
+        |  SELECT a.doc_id a_id, b.doc_id b_id,
+        |    len(list_intersect(a.toks, b.toks)) icnt,
+        |    len(a.toks) alen, len(b.toks) blen
+        |  FROM (SELECT doc_id, source, list_distinct(string_split(text, ' '))
+        |      toks FROM documents) a
+        |  JOIN (SELECT doc_id, source, list_distinct(string_split(text, ' '))
+        |      toks FROM documents) b
+        |    ON a.source = b.source AND a.doc_id < b.doc_id)
+        |ORDER BY max_cont DESC, a_id, b_id LIMIT 20""".stripMargin,
+
     "events_stickiness" ->
       // one distinct (month, day, user) collapse feeds both counts;
       // ratio = Σdau / (n_days · mau) — exact longs, one division
@@ -3341,6 +3408,46 @@ object SparkEntry {
         |    FROM grams gr JOIN profile p USING (g) GROUP BY 1, 2, 3) WHERE rk = 1)
         |SELECT lang, p_lang pred, count(*) n_docs FROM pred
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "langid_eval_metrics" ->
+      // precision/recall/F1 layer over the text_langid confusion
+      // pipeline (same train→predict CTEs verbatim); F1 via the
+      // harmonic identity 2·tp/(nt+np) — single integer-ratio
+      // divisions only, zero-denominator classes NULL identically
+      """WITH grams AS (SELECT doc_id, lang,
+        |    unnest(list_transform(generate_series(1, greatest(length(text)-1, 1)),
+        |      i -> substr(text, CAST(i AS INT), 2))) g
+        |  FROM documents),
+        |profile AS (SELECT p_lang, g FROM (
+        |    SELECT lang p_lang, g, count(*) cnt,
+        |      row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, g) rk
+        |    FROM grams GROUP BY 1, 2) WHERE rk <= 30),
+        |pred AS (SELECT doc_id, lang, p_lang FROM (
+        |    SELECT gr.doc_id, gr.lang, p.p_lang, count(*) hits,
+        |      row_number() OVER (PARTITION BY gr.doc_id ORDER BY count(*) DESC, p.p_lang) rk
+        |    FROM grams gr JOIN profile p USING (g) GROUP BY 1, 2, 3) WHERE rk = 1),
+        |cells AS MATERIALIZED (SELECT lang, p_lang pred, count(*) n_docs
+        |  FROM pred GROUP BY 1, 2),
+        |bt AS (SELECT lang clsT, sum(n_docs) n_true,
+        |    sum(CASE WHEN pred = lang THEN n_docs ELSE 0 END) tp
+        |  FROM cells GROUP BY 1),
+        |bp AS (SELECT pred clsP, sum(n_docs) n_pred FROM cells GROUP BY 1),
+        |tot AS (SELECT sum(n_docs) nn,
+        |    sum(CASE WHEN pred = lang THEN n_docs ELSE 0 END) tpAll FROM cells),
+        |m AS (SELECT coalesce(clsT, clsP) lang,
+        |    coalesce(n_true, 0) n_true, coalesce(n_pred, 0) n_pred,
+        |    coalesce(tp, 0) tp
+        |  FROM bt FULL OUTER JOIN bp ON clsT = clsP)
+        |SELECT lang, CAST(n_true AS BIGINT) n_true,
+        |  CAST(n_pred AS BIGINT) n_pred, CAST(tp AS BIGINT) tp,
+        |  CASE WHEN n_pred > 0 THEN
+        |    round(CAST(tp AS DOUBLE) / n_pred, 6) END AS precision,
+        |  CASE WHEN n_true > 0 THEN
+        |    round(CAST(tp AS DOUBLE) / n_true, 6) END AS recall,
+        |  CASE WHEN n_true + n_pred > 0 THEN
+        |    round(2 * CAST(tp AS DOUBLE) / (n_true + n_pred), 6) END AS f1,
+        |  round(CAST(tpAll AS DOUBLE) / nn, 6) AS micro_accuracy
+        |FROM m CROSS JOIN tot ORDER BY lang""".stripMargin,
 
     "q10_returned_items" ->
       """SELECT c_custkey, c_name, c_acctbal, n_name,

@@ -1166,6 +1166,47 @@ object Events {
       .orderBy("from_type")
   }
 
+  /** Rolling week-over-week churn: of the users active in week w, how
+    * many came back in w+1 — the month-over-month churn dashboard at
+    * the granularity this corpus's ~weeks-long event span supports,
+    * and the rolling sibling of [[cohortRetention]] (cohort-anchored)
+    * and [[stickiness]] (within-month).
+    *
+    * Weeks are ENGINE-NEUTRAL epoch weeks — days-since-1970 div 7 as
+    * exact integer floor division — never the engines' week-truncation
+    * conventions. The last (right-censored) week is excluded: its
+    * users had no w+1 to return in. Counts exact, the two rates are
+    * identically-spelled double divisions of exact longs.
+    *
+    * 100 TB posture: one map-deduped (week, user) distinct; the
+    * next-week probe is a user-keyed self-join of that deduped frame
+    * (exchange reused — never broadcast: both sides are user-scale);
+    * everything after the week aggregate is weeks-sized. */
+  def weeklyChurn(spark: SparkSession, dir: String): DataFrame = {
+    val mu = Tables.events(spark, dir)
+      .select(expr("datediff(cast(ts as date), date '1970-01-01') div 7")
+        .as("wk"), col("user_id").as("u"))
+      .distinct()
+    val nxt = mu.as("a")
+      .join(mu.as("b"),
+        col("b.u") === col("a.u") && col("b.wk") === col("a.wk") + 1, "left")
+      .groupBy(col("a.wk").as("wk"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("b.u").isNull, 1L).otherwise(0L)).as("n_churned"),
+        sum(when(col("b.u").isNotNull, 1L).otherwise(0L)).as("n_retained"))
+    val lastw = mu.agg(max(col("wk")).as("mx"))
+    nxt.crossJoin(broadcast(lastw))
+      .filter(col("wk") < col("mx"))
+      .select(date_add(lit("1970-01-01").cast("date"),
+          (col("wk") * 7).cast("int")).as("week_start"),
+        col("n_active"), col("n_retained"), col("n_churned"),
+        round(col("n_churned").cast("double") / col("n_active"), 6)
+          .as("churn_rate"),
+        round(col("n_retained").cast("double") / col("n_active"), 6)
+          .as("retention_rate"))
+      .orderBy("week_start")
+  }
+
   /** Engagement-inequality Gini per event type over per-user event
     * counts — the "does 1% of users generate 90% of the traffic"
     * dashboard number (0 = uniform, →1 = one user is the firehose).

@@ -2132,6 +2132,43 @@ object Relational {
       .orderBy("cohort_month", "age_months")
   }
 
+  /** Open-order backlog aging report: non-final orders bucketed by age
+    * relative to the corpus's as-of date (its max order date), with
+    * revenue and revenue share per (status, bucket) — the accounting
+    * aging artifact (00-30 / 31-90 / 91-365 / 365+ days).
+    *
+    * Exactness: ages are exact day diffs against a 1-row as-of
+    * broadcast; bucket edges are integer comparisons; revenue in exact
+    * 1e-4-unit longs ([[graft.ops.Recon.cents]]); the share is one
+    * identically-spelled double division.
+    *
+    * 100 TB posture: one scan → map-side CASE bucketing → one
+    * map-combined (status, bucket) aggregate; the as-of date and the
+    * open-revenue total are 1-row broadcasts; everything after the
+    * aggregate is buckets-sized. */
+  def backlogAging(spark: SparkSession, dir: String): DataFrame = {
+    val ad0 = Tables.orders(spark, dir).agg(max(col("o_orderdate")).as("ad"))
+    val agg = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") =!= "F")
+      .crossJoin(broadcast(ad0))
+      .select(col("o_orderstatus").as("st"),
+        datediff(col("ad"), col("o_orderdate")).as("age"),
+        Recon.cents(col("o_totalprice")).as("rev4"))
+      .withColumn("bucket",
+        when(col("age") <= 30, "00-030d")
+          .when(col("age") <= 90, "031-090d")
+          .when(col("age") <= 365, "091-365d")
+          .otherwise("365d+"))
+      .groupBy("st", "bucket")
+      .agg(count(lit(1)).as("n_orders"), sum(col("rev4")).as("rev4"))
+    val tot = agg.agg(sum(col("rev4")).as("t"))
+    agg.crossJoin(broadcast(tot))
+      .select(col("st").as("o_orderstatus"), col("bucket"), col("n_orders"),
+        round(col("rev4").cast("double") / 10000.0, 2).as("open_revenue"),
+        round(col("rev4").cast("double") / col("t"), 6).as("revenue_share"))
+      .orderBy("o_orderstatus", "bucket")
+  }
+
   /** Chi-square test of independence between order status and order
     * priority — the contingency-table screen ("does priority mix drift
     * by status?") that complements [[graft.ops.Recon.benfordDrift]]'s

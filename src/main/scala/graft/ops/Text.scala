@@ -437,9 +437,50 @@ object Text {
     val joined = a.hint("shuffle_hash").join(b, Seq("source", "salt"))
       .filter(col("a_id") < col("b_id"))
       .withColumn("icnt", size(array_intersect(col("ta"), col("tb"))))
+      .select(col("a_id"), col("b_id"), col("icnt"),
+        size(col("ta")).as("alen"), size(col("tb")).as("blen"))
     joined.select(col("a_id"), col("b_id"),
-      (col("icnt").cast("double") / (size(col("ta")) + size(col("tb")) - col("icnt"))).as("jac"))
+      (col("icnt").cast("double") / (col("alen") + col("blen") - col("icnt")))
+        .as("jac"))
       .orderBy(col("jac").desc, col("a_id"), col("b_id"))
+      .limit(20)
+  }
+
+  /** Asymmetric n-gram containment over the same exact
+    * within-source-block pair frame as [[ngramJaccard]] (same fail-fast
+    * bound, same salted shuffle): containment(A→B) = |A∩B|/|A| —
+    * near 1.0 with a small Jaccard is the QUOTE-INCLUSION signature
+    * (one document embedded inside a larger one) that symmetric
+    * Jaccard structurally cannot see. Top-20 pairs by the larger
+    * direction.
+    *
+    * Exactness: set sizes and intersections are exact (the xxhash64
+    * pre-hash argument of [[ngramJaccard]] applies verbatim); both
+    * containments and the ranking key round at 6 dp, ranked with an
+    * (a_id, b_id) tie-break so the cut is engine-independent. */
+  def dedupContainment(spark: SparkSession, dir: String,
+                       maxDocs: Long = MaxJaccardDocs): DataFrame = {
+    val n = graft.sources.Sources.parquetRowCount(spark, s"$dir/documents.parquet")
+    require(n <= maxDocs,
+      s"dedupContainment is exact all-pairs within each source block: n=$n " +
+        s"exceeds maxDocs=$maxDocs; use Text.dedupMinhash (LSH-bucketed) at this scale")
+    val t = docs(spark, dir).select(col("doc_id"), col("source"),
+      array_distinct(transform(split(col("text"), " "), x => xxhash64(x))).as("toks"))
+    val a = t.select(col("doc_id").as("a_id"), col("source"), col("toks").as("ta"))
+      .withColumn("salt", pmod(col("a_id"), lit(JaccardSalts)).cast("int"))
+    val b = t.select(col("doc_id").as("b_id"), col("source"), col("toks").as("tb"))
+      .withColumn("salt", explode(typedlit((0 until JaccardSalts).toArray)))
+    val joined = a.hint("shuffle_hash").join(b, Seq("source", "salt"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("icnt", size(array_intersect(col("ta"), col("tb"))))
+      .select(col("a_id"), col("b_id"), col("icnt"),
+        size(col("ta")).as("alen"), size(col("tb")).as("blen"))
+    joined.select(col("a_id"), col("b_id"), col("icnt").cast("long").as("n_common"),
+        round(col("icnt").cast("double") / col("alen"), 6).as("cont_a_in_b"),
+        round(col("icnt").cast("double") / col("blen"), 6).as("cont_b_in_a"),
+        greatest(round(col("icnt").cast("double") / col("alen"), 6),
+          round(col("icnt").cast("double") / col("blen"), 6)).as("max_cont"))
+      .orderBy(col("max_cont").desc, col("a_id"), col("b_id"))
       .limit(20)
   }
 
@@ -796,6 +837,51 @@ object Text {
       .groupBy("lang", "pred")
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("lang", "pred")
+  }
+
+  /** Classifier-evaluation layer over the [[langidNgram]] confusion
+    * matrix: per-class precision / recall / F1 plus the corpus micro
+    * accuracy — the model-eval arithmetic every training pipeline runs
+    * on its quality classifiers (knn_label_accuracy is the embedding
+    * sibling; this is the text one).
+    *
+    * Exactness: every input is an exact confusion-cell count; F1 uses
+    * the harmonic identity 2·tp/(n_true + n_pred), so all three
+    * metrics are SINGLE integer-ratio double divisions rounded 6 dp —
+    * no chained P·R ratios to drift. Zero-denominator classes NULL
+    * identically on both engines. Classes appearing only as labels or
+    * only as predictions survive via the full outer join with zero
+    * fills.
+    *
+    * 100 TB posture: everything after [[langidNgram]]'s map-only
+    * scorer is confusion-matrix-sized (≤ langs²). */
+  def langidEval(spark: SparkSession, dir: String): DataFrame = {
+    val cells = langidNgram(spark, dir)
+    val byTrue = cells.groupBy(col("lang").as("clsT"))
+      .agg(sum(col("n_docs")).as("n_true"),
+        sum(when(col("pred") === col("lang"), col("n_docs")).otherwise(0L))
+          .as("tp"))
+    val byPred = cells.groupBy(col("pred").as("clsP"))
+      .agg(sum(col("n_docs")).as("n_pred"))
+    val tot = cells.agg(sum(col("n_docs")).as("nn"),
+      sum(when(col("pred") === col("lang"), col("n_docs")).otherwise(0L))
+        .as("tpAll"))
+    byTrue.join(byPred, col("clsT") === col("clsP"), "full_outer")
+      .select(coalesce(col("clsT"), col("clsP")).as("lang"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_true"), col("n_pred"), col("tp"),
+        when(col("n_pred") > 0,
+          round(col("tp").cast("double") / col("n_pred"), 6)).as("precision"),
+        when(col("n_true") > 0,
+          round(col("tp").cast("double") / col("n_true"), 6)).as("recall"),
+        when(col("n_true") + col("n_pred") > 0,
+          round(lit(2) * col("tp").cast("double")
+            / (col("n_true") + col("n_pred")), 6)).as("f1"),
+        round(col("tpAll").cast("double") / col("nn"), 6).as("micro_accuracy"))
+      .orderBy("lang")
   }
 
   /** Distributed profile training shared by [[langidNgram]] and the

@@ -600,6 +600,48 @@ class EventsSpec extends GraftSpec {
     }
   }
 
+  test("weekly churn: planted comeback pattern; last week right-censored") {
+    import EventsFixture.RawEv
+    val spark0 = spark
+    import spark0.implicits._
+    val day = 86400L * 1000000000L
+    // week boundaries are epoch weeks: day 0 = 1970-01-01 → wk = d div 7.
+    // wk0: users 1,2,3; wk1: users 1,2; wk2: user 1 →
+    // wk0: churn 1/3; wk1: churn 1/2; wk2 censored (no wk3 to return in)
+    val plan = Seq((0, 1L), (0, 2L), (0, 3L), (7, 1L), (8, 2L), (14, 1L))
+    val rows = plan.zipWithIndex.map { case ((d0, u), i) =>
+      RawEv(i.toLong, d0 * day + 1000000000L, u, "t", 1.0, "{}")
+    }
+    val d = s"$tmpDir/churn"
+    rows.toDF().write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = Events.weeklyChurn(spark, d).collect()
+    assert(got.length === 2, "third week censored")
+    assert(got(0).getDate(0).toString === "1970-01-01")
+    assert((got(0).getLong(1), got(0).getLong(2), got(0).getLong(3)) ===
+      ((3L, 2L, 1L)))
+    assert(got(0).getDouble(4) === 0.333333 && got(0).getDouble(5) === 0.666667)
+    assert((got(1).getLong(1), got(1).getLong(2), got(1).getLong(3)) ===
+      ((2L, 1L, 1L)))
+    assert(got(1).getDouble(4) === 0.5)
+    // independent recount at sf from distinct (week, user) pairs
+    val pairs = Tables.events(spark, sf)
+      .select(expr("cast(datediff(cast(ts as date), date '1970-01-01') div 7 as int)"),
+        col("user_id")).distinct().collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    val byWk = pairs.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val mx = byWk.keys.max
+    val sfGot = Events.weeklyChurn(spark, sf).collect()
+    assert(sfGot.length === byWk.size - 1 ||
+      sfGot.length === byWk.keys.count(_ < mx))
+    sfGot.foreach { r =>
+      val wk = (r.getDate(0).toLocalDate.toEpochDay / 7).toInt
+      val act = byWk(wk)
+      val ret = byWk.getOrElse(wk + 1, Set.empty[Long])
+      assert(r.getLong(1) === act.size.toLong)
+      assert(r.getLong(2) === (act & ret).size.toLong, s"wk $wk retained")
+    }
+  }
+
   test("stickiness: hand fixture is exact; sf values recompute from raw pairs") {
     import EventsFixture.RawEv
     val spark0 = spark

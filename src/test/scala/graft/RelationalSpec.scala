@@ -746,6 +746,51 @@ class RelationalSpec extends GraftSpec {
     }
   }
 
+  test("backlogAging: planted ages land on the exact bucket edges") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = s"$tmpDir/aging"
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    // as-of = 2025-12-31 (the F row sets it but is excluded from the
+    // report); ages 30/31/365/366 probe every boundary, O vs P split
+    val rows = Seq(
+      (1L, "F", ts("2025-12-31"), 999.0),
+      (2L, "O", ts("2025-12-01"), 100.0),  // age 30 → 00-030d
+      (3L, "O", ts("2025-11-30"), 200.0),  // age 31 → 031-090d
+      (4L, "P", ts("2024-12-31"), 300.0),  // age 365 → 091-365d
+      (5L, "P", ts("2024-12-30"), 400.0))  // age 366 → 365d+
+    rows.toDF("o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = Relational.backlogAging(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got.size === 4)
+    assert(got(("O", "00-030d")) === ((1L, 100.0, 0.1)))
+    assert(got(("O", "031-090d")) === ((1L, 200.0, 0.2)))
+    assert(got(("P", "091-365d")) === ((1L, 300.0, 0.3)))
+    assert(got(("P", "365d+")) === ((1L, 400.0, 0.4)))
+    // independent recount at sf
+    val raw = Tables.orders(spark, sf)
+      .select("o_orderstatus", "o_orderdate", "o_totalprice").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toLocalDateTime.toLocalDate,
+        BigDecimal(r.getDouble(2)).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          .underlying.unscaledValue.longValue))
+    val ad = raw.map(_._2).max
+    def bucket(a: Long) = if (a <= 30) "00-030d" else if (a <= 90) "031-090d"
+      else if (a <= 365) "091-365d" else "365d+"
+    val agg = raw.filter(_._1 != "F").map { case (s, d, r4) =>
+      ((s, bucket(java.time.temporal.ChronoUnit.DAYS.between(d, ad))), r4)
+    }.groupBy(_._1).view.mapValues(v => (v.size.toLong, v.map(_._2).sum)).toMap
+    val sfGot = Relational.backlogAging(spark, sf).collect()
+    assert(sfGot.length === agg.size)
+    sfGot.foreach { r =>
+      val (n, r4) = agg((r.getString(0), r.getString(1)))
+      assert(r.getLong(2) === n)
+      assert(r.getDouble(3) === BigDecimal(r4.toDouble / 10000.0)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
   test("paretoAbc: exact boundary equality pushes the crossing value down a class") {
     val spark0 = spark
     import spark0.implicits._

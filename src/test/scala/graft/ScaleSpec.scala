@@ -707,6 +707,56 @@ class ScaleSpec extends GraftSpec {
       s"the months-sized cohort-size frame must broadcast:\n$exec")
   }
 
+  test("weekly churn: deduped self-join keys on user, no broadcast left") {
+    val q = graft.ops.Events.weeklyChurn(spark, sf)
+    q.collect()
+    val exec = q.queryExecution.executedPlan.toString
+    assert("partial_(count|first)".r.findFirstIn(exec).isDefined ||
+      exec.contains("HashAggregate"),
+      s"the (week, user) dedup must be a hash aggregate:\n$exec")
+    assert(!exec.contains("CartesianProduct"),
+      s"only the 1-row max-week frame may cross, as a broadcast:\n$exec")
+    assert(!exec.contains("Window"), s"no window anywhere:\n$exec")
+  }
+
+  test("backlog aging: map-side bucketing, 1-row broadcasts only") {
+    val q = graft.ops.Relational.backlogAging(spark, sf)
+    q.collect()
+    val exec = q.queryExecution.executedPlan.toString
+    assert("partial_(count|sum)".r.findFirstIn(exec).isDefined,
+      s"the (status, bucket) aggregate must combine map-side:\n$exec")
+    assert(!exec.contains("CartesianProduct") && !exec.contains("SortMergeJoin"),
+      s"as-of and total are 1-row broadcasts:\n$exec")
+    assert(!exec.contains("Window"), s"no window anywhere:\n$exec")
+  }
+
+  test("containment: salted shuffle join, fail-fast bound, TakeOrdered") {
+    val q = graft.ops.Text.dedupContainment(spark, sf)
+    q.collect()
+    val exec = q.queryExecution.executedPlan.toString
+    assert(exec.contains("ShuffledHashJoin") || exec.contains("SortMergeJoin"),
+      s"the salted pair join must distribute, not broadcast-probe-on-one-split:\n$exec")
+    assert(exec.contains("TakeOrderedAndProject"),
+      s"the top-20 cut must be a bounded-state selection:\n$exec")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Text.dedupContainment(spark, sf, maxDocs = 1)
+    }
+    assert(e.getMessage.contains("dedupMinhash"),
+      "the fail-fast must point at the scale path")
+  }
+
+  test("langid eval: everything after the map-only scorer is matrix-sized") {
+    val q = graft.ops.Text.langidEval(spark, sf)
+    q.collect()
+    val exec = q.queryExecution.executedPlan.toString
+    assert("partial_count".r.findFirstIn(exec).isDefined,
+      s"the confusion-cell count must combine map-side:\n$exec")
+    assert(!exec.contains("CartesianProduct"),
+      s"only the 1-row totals may cross, as a broadcast:\n$exec")
+    assert(!exec.contains("windowspecdefinition"),
+      s"no window anywhere — the scorer is the native expression:\n$exec")
+  }
+
   test("user gini: histogram window only — no users-sized sort frame") {
     val exec = graft.ops.Events.userGini(spark, sf)
       .queryExecution.executedPlan.toString

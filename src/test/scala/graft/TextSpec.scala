@@ -359,6 +359,81 @@ class TextSpec extends GraftSpec {
     assert(sfGot.toSeq === top)
   }
 
+  test("containment: a quoted subset scores 1.0 where jaccard stays low") {
+    val spark0 = spark
+    import spark0.implicits._
+    val d = s"$tmpDir/contain"
+    // doc 2 is a strict token subset of doc 1 (the quote-inclusion
+    // case): containment(2→1) = 1.0 while jaccard = 3/10; doc 3 shares
+    // nothing and must not pair above it
+    Seq(
+      TextFixture.Doc(1, "q w e r t y u i o p", "en", "s", 19),
+      TextFixture.Doc(2, "q w e", "en", "s", 5),
+      TextFixture.Doc(3, "z x c", "en", "s", 5))
+      .toDF().write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = Text.dedupContainment(spark, d).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got((1L, 2L)) === ((3L, 0.3, 1.0, 1.0)),
+      "subset doc: containment 1.0, jaccard-side 0.3")
+    assert(!got.contains((2L, 3L)) || got((2L, 3L))._1 === 0L)
+    // parity with the jaccard pair frame at sf: same pairs, same icnt
+    val jacPairs = Text.ngramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val contTop = Text.dedupContainment(spark, sf).collect()
+    assert(contTop.nonEmpty)
+    contTop.foreach { r =>
+      assert(r.getDouble(5) >= r.getDouble(3) && r.getDouble(5) >= r.getDouble(4))
+      assert(r.getDouble(5) === math.max(r.getDouble(3), r.getDouble(4)))
+    }
+    assert(jacPairs.nonEmpty, "jaccard frame sanity")
+  }
+
+  test("langid eval: a planted mislabel yields the textbook P/R/F1 split") {
+    val spark0 = spark
+    import spark0.implicits._
+    val d = s"$tmpDir/langideval"
+    // doc 4 is labeled bb but textually identical to the aa docs; its
+    // grams sit in BOTH profiles so its hit counts tie exactly and the
+    // (hits DESC, p_lang ASC) tie-break predicts aa → confusion
+    // (aa,aa)=2, (bb,aa)=1, (bb,bb)=1
+    Seq(
+      TextFixture.Doc(1, "xaxa xaxa", "aa", "s", 9),
+      TextFixture.Doc(2, "xaxa xaxa", "aa", "s", 9),
+      TextFixture.Doc(3, "ybyb ybyb", "bb", "s", 9),
+      TextFixture.Doc(4, "xaxa xaxa", "bb", "s", 9))
+      .toDF().write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = Text.langidEval(spark, d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = got("aa")
+    assert((a.getLong(1), a.getLong(2), a.getLong(3)) === ((2L, 3L, 2L)))
+    assert(a.getDouble(4) === 0.666667 && a.getDouble(5) === 1.0)
+    assert(a.getDouble(6) === 0.8, "F1 = 2·2/(2+3)")
+    val b = got("bb")
+    assert((b.getLong(1), b.getLong(2), b.getLong(3)) === ((2L, 1L, 1L)))
+    assert(b.getDouble(4) === 1.0 && b.getDouble(5) === 0.5)
+    assert(b.getDouble(6) === 0.666667)
+    assert(a.getDouble(7) === 0.75 && b.getDouble(7) === 0.75, "micro acc 3/4")
+    // sf recount: fold the confusion cells into metrics independently
+    val cells = Text.langidNgram(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val nt = cells.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val np = cells.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val tp = cells.collect { case (l, p, n) if l == p => l -> n }.toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Text.langidEval(spark, sf).collect().foreach { r =>
+      val l = r.getString(0)
+      assert(r.getLong(1) === nt.getOrElse(l, 0L))
+      assert(r.getLong(2) === np.getOrElse(l, 0L))
+      assert(r.getLong(3) === tp.getOrElse(l, 0L))
+      if (r.getLong(2) > 0)
+        assert(r.getDouble(4) === r6(tp.getOrElse(l, 0L).toDouble / r.getLong(2)))
+      if (r.getLong(1) > 0)
+        assert(r.getDouble(5) === r6(tp.getOrElse(l, 0L).toDouble / r.getLong(1)))
+    }
+  }
+
   test("vocab: ids follow (cnt DESC, tok) with the top-k cutoff") {
     val spark0 = spark
     import spark0.implicits._
