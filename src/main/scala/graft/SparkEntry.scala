@@ -219,6 +219,7 @@ object SparkEntry {
     "orders_backlog_aging"     -> (Relational.backlogAging _),
     "dedup_containment"        -> ((s, d) => Text.dedupContainment(s, d)),
     "langid_eval_metrics"      -> ((s, d) => Text.langidEval(s, d)),
+    "user_activity_features"   -> (Events.userFeatures _),
     "corpus_filter_funnel"     -> ((s, d) => Text.filterFunnel(s, d)),
     "sample_cap_per_source"    -> ((s, d) =>
       Sampling.capPerSource(s, d, k = Sampling.HarnessCapK)),
@@ -337,7 +338,7 @@ object SparkEntry {
     "graph_degree_distribution", "text_keyword_rake",
     "events_entropy_rate", "lineitem_price_index", "orders_cohort_ltv",
     "events_weekly_churn", "orders_backlog_aging", "dedup_containment",
-    "langid_eval_metrics")
+    "langid_eval_metrics", "user_activity_features")
 
   /** DuckDB spelling of [[graft.ops.Vectors.lshBucket]]: the 8 sign bits
     * against the SAME hyperplane doubles, interpolated from
@@ -2512,6 +2513,29 @@ object SparkEntry {
         |  round(CAST(n_churned AS DOUBLE) / n_active, 6) AS churn_rate,
         |  round(CAST(n_retained AS DOUBLE) / n_active, 6) AS retention_rate
         |FROM nxt CROSS JOIN lastw WHERE wk < mx ORDER BY 1""".stripMargin,
+
+    "user_activity_features" ->
+      // one per-user aggregate: exact counts/distincts, micro-long value
+      // sums with identical NULL guards, exact day arithmetic
+      """WITH f AS (
+        |  SELECT user_id, count(*) n_events,
+        |    count(DISTINCT date_trunc('day', ts)) active_days,
+        |    count(DISTINCT event_type) n_types,
+        |    sum(CASE WHEN value IS NOT NULL THEN
+        |      CAST(round(round(value, 6) * 1e6) AS BIGINT) END) sv,
+        |    sum(CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END) nv,
+        |    min(date_trunc('day', ts)) first_day,
+        |    max(date_trunc('day', ts)) last_day
+        |  FROM events GROUP BY 1)
+        |SELECT user_id, CAST(n_events AS BIGINT) n_events,
+        |  CAST(active_days AS BIGINT) active_days,
+        |  CAST(n_types AS BIGINT) n_types,
+        |  CASE WHEN nv > 0 THEN
+        |    round(CAST(sv AS DOUBLE) / nv / 1e6, 6) END mean_value,
+        |  CAST(date_diff('day', first_day, last_day) + 1 AS BIGINT) span_days,
+        |  round(CAST(active_days AS DOUBLE)
+        |    / (date_diff('day', first_day, last_day) + 1), 6) activity_density
+        |FROM f ORDER BY user_id LIMIT 200""".stripMargin,
 
     "orders_backlog_aging" ->
       // exact day ages vs a 1-row as-of; integer bucket edges; revenue

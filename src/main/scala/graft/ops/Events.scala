@@ -1207,6 +1207,46 @@ object Events {
       .orderBy("week_start")
   }
 
+  /** Per-user feature extraction — the feature-store op a training
+    * pipeline runs over the raw stream: activity volume, breadth
+    * (distinct types), calendar span/density and mean event value per
+    * user, ready to join onto labels. Limit 200 keeps the registry
+    * artifact bounded; the library form is the unlimited frame.
+    *
+    * Exactness: all counts exact (the distinct-day/type counts are
+    * exact distincts); mean value sums 6-dp micro-unit longs with a
+    * NULL guard identical on both engines; span and density are exact
+    * day arithmetic with one identically-spelled division.
+    *
+    * 100 TB posture: ONE corpus pass through a single per-user hash
+    * aggregate (Spark plans the two distinct-counts via expand — still
+    * map-side partials, one shuffle on user_id); output is users-sized
+    * and the registry form truncates deterministically by user_id. */
+  def userFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val d = date_trunc("DAY", col("ts"))
+    Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(d).as("active_days"),
+        countDistinct(col("event_type")).as("n_types"),
+        sum(when(col("value").isNotNull,
+          round(round(col("value"), 6) * 1e6, 0).cast("long"))).as("sv"),
+        sum(when(col("value").isNotNull, 1L).otherwise(0L)).as("nv"),
+        min(d).as("first_day"), max(d).as("last_day"))
+      .select(col("user_id"), col("n_events"), col("active_days"),
+        col("n_types"),
+        when(col("nv") > 0,
+          round(col("sv").cast("double") / col("nv") / 1e6, 6))
+          .as("mean_value"),
+        (datediff(col("last_day"), col("first_day")) + 1).cast("long")
+          .as("span_days"),
+        round(col("active_days").cast("double")
+          / (datediff(col("last_day"), col("first_day")) + 1), 6)
+          .as("activity_density"))
+      .orderBy("user_id")
+      .limit(200)
+  }
+
   /** Engagement-inequality Gini per event type over per-user event
     * counts — the "does 1% of users generate 90% of the traffic"
     * dashboard number (0 = uniform, →1 = one user is the firehose).

@@ -642,6 +642,44 @@ class EventsSpec extends GraftSpec {
     }
   }
 
+  test("user features: planted profile is exact incl. NULL-value guard") {
+    import EventsFixture.RawEv
+    val spark0 = spark
+    import spark0.implicits._
+    val day = 86400L * 1000000000L
+    val base = 1735689600L * 1000000000L
+    // user 1: 3 events on days {0, 0, 4}, types {a, b}, values
+    // (10, 20, NULL) → mean 15; span 5, density 2/5
+    val rows = Seq(
+      RawEv(1, base, 1L, "a", 10.0, "{}"),
+      RawEv(2, base + 1000000000L, 1L, "b", 20.0, "{}"),
+      RawEv(3, base + 4 * day, 1L, "a", Double.NaN, "{}"))
+    val d = s"$tmpDir/ufeat"
+    rows.toDF()
+      .withColumn("value", when(col("event_id") === 3, lit(null)
+        .cast("double")).otherwise(col("value")))
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = Events.userFeatures(spark, d).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((3L, 2L, 2L)))
+    assert(r.getDouble(4) === 15.0, "NULL value excluded from the mean")
+    assert(r.getLong(5) === 5L && r.getDouble(6) === 0.4)
+    // sf recount of the count features from raw rows
+    val raw = Tables.events(spark, sf)
+      .select(col("user_id"), date_trunc("DAY", col("ts")).as("dd"),
+        col("event_type")).collect()
+      .map(x => (x.getLong(0), x.getTimestamp(1), x.getString(2)))
+    val byU = raw.groupBy(_._1)
+    val sfGot = Events.userFeatures(spark, sf).collect()
+    sfGot.foreach { r2 =>
+      val rs = byU(r2.getLong(0))
+      assert(r2.getLong(1) === rs.length.toLong)
+      assert(r2.getLong(2) === rs.map(_._2).distinct.length.toLong)
+      assert(r2.getLong(3) === rs.map(_._3).distinct.length.toLong)
+    }
+  }
+
   test("stickiness: hand fixture is exact; sf values recompute from raw pairs") {
     import EventsFixture.RawEv
     val spark0 = spark

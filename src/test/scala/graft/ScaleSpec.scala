@@ -757,6 +757,18 @@ class ScaleSpec extends GraftSpec {
       s"no window anywhere — the scorer is the native expression:\n$exec")
   }
 
+  test("user features: single per-user aggregate pass, bounded output") {
+    val q = graft.ops.Events.userFeatures(spark, sf)
+    q.collect()
+    val exec = q.queryExecution.executedPlan.toString
+    assert("partial_(count|sum|min|max)".r.findFirstIn(exec).isDefined,
+      s"the per-user aggregate must combine map-side:\n$exec")
+    assert(exec.contains("TakeOrderedAndProject"),
+      s"the registry truncation must be a bounded selection:\n$exec")
+    assert(!exec.contains("Join") && !exec.contains("Window"),
+      s"one aggregate pass, no join or window:\n$exec")
+  }
+
   test("user gini: histogram window only — no users-sized sort frame") {
     val exec = graft.ops.Events.userGini(spark, sf)
       .queryExecution.executedPlan.toString
