@@ -220,6 +220,7 @@ object SparkEntry {
     "dedup_containment"        -> ((s, d) => Text.dedupContainment(s, d)),
     "langid_eval_metrics"      -> ((s, d) => Text.langidEval(s, d)),
     "user_activity_features"   -> (Events.userFeatures _),
+    "embed_pq_codebook"        -> (Vectors.pqCodebook _),
     "corpus_filter_funnel"     -> ((s, d) => Text.filterFunnel(s, d)),
     "sample_cap_per_source"    -> ((s, d) =>
       Sampling.capPerSource(s, d, k = Sampling.HarnessCapK)),
@@ -338,7 +339,7 @@ object SparkEntry {
     "graph_degree_distribution", "text_keyword_rake",
     "events_entropy_rate", "lineitem_price_index", "orders_cohort_ltv",
     "events_weekly_churn", "orders_backlog_aging", "dedup_containment",
-    "langid_eval_metrics", "user_activity_features")
+    "langid_eval_metrics", "user_activity_features", "embed_pq_codebook")
 
   /** DuckDB spelling of [[graft.ops.Vectors.lshBucket]]: the 8 sign bits
     * against the SAME hyperplane doubles, interpolated from
@@ -2362,6 +2363,50 @@ object SparkEntry {
         |SELECT CAST(i AS BIGINT) dim_i, CAST(j AS BIGINT) dim_j, corr,
         |  abs(corr) + 0 AS abs_corr
         |FROM r ORDER BY abs(corr) DESC, i, j LIMIT 20""".stripMargin,
+
+    "embed_pq_codebook" ->
+      // the IVF oracle discipline, subspace-generalized: seeds, ONE
+      // Lloyd round (exact DECIMAL(18,9) means, no normalization) and
+      // the final L2 argmin all re-derived in SQL; every distance is
+      // the identical chain x·x − 2·(x·c) + c·c with (d2, cid)
+      // tie-break; per-vector distortions round 6dp into micro-longs
+      """WITH v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |tr AS (SELECT vec_id, v, md5(CAST(vec_id AS VARCHAR)) h FROM v0
+        |  ORDER BY h, vec_id LIMIT 50000),
+        |ts AS (SELECT vec_id, h, m, list_slice(v, m * 8 + 1, m * 8 + 8) sub
+        |  FROM tr CROSS JOIN range(0, 8) r(m)),
+        |c0 AS (SELECT m, rn - 1 cid, sub cvec FROM (
+        |    SELECT m, sub, row_number() OVER (
+        |      PARTITION BY m ORDER BY h, vec_id) rn FROM ts) WHERE rn <= 8),
+        |a1 AS (SELECT m, vec_id, sub, cid FROM (
+        |    SELECT t.m, t.vec_id, t.sub, c.cid, row_number() OVER (
+        |      PARTITION BY t.m, t.vec_id ORDER BY
+        |        list_inner_product(t.sub, t.sub)
+        |        - 2 * list_inner_product(t.sub, c.cvec)
+        |        + list_inner_product(c.cvec, c.cvec), c.cid) rn
+        |    FROM ts t JOIN c0 c USING (m)) WHERE rn = 1),
+        |m1 AS (SELECT m, cid, pos,
+        |    CAST(sum(CAST(x AS DECIMAL(18,9))) AS DOUBLE) / count(*) mm
+        |  FROM (SELECT m, cid, generate_subscripts(sub, 1) pos,
+        |      unnest(sub) x FROM a1) GROUP BY 1, 2, 3),
+        |c1 AS (SELECT m, cid, list(mm ORDER BY pos) cvec FROM m1 GROUP BY 1, 2),
+        |fs AS (SELECT vec_id, m, list_slice(v, m * 8 + 1, m * 8 + 8) sub
+        |  FROM v0 CROSS JOIN range(0, 8) r(m)),
+        |asg AS (SELECT m, vec_id, cid,
+        |    list_inner_product(sub, sub) - 2 * list_inner_product(sub, cvec)
+        |      + list_inner_product(cvec, cvec) d2 FROM (
+        |    SELECT f.m, f.vec_id, f.sub, c.cid, c.cvec, row_number() OVER (
+        |      PARTITION BY f.m, f.vec_id ORDER BY
+        |        list_inner_product(f.sub, f.sub)
+        |        - 2 * list_inner_product(f.sub, c.cvec)
+        |        + list_inner_product(c.cvec, c.cvec), c.cid) rn
+        |    FROM fs f JOIN c1 c USING (m)) WHERE rn = 1)
+        |SELECT CAST(m AS INT) subspace, CAST(cid AS INT) centroid,
+        |  CAST(count(*) AS BIGINT) n_assigned,
+        |  round(CAST(sum(CAST(round(round(d2, 6) * 1e6) AS BIGINT)) AS DOUBLE)
+        |    / count(*) / 1e6, 6) AS mean_distortion
+        |FROM asg GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "graph_degree_distribution" ->
       // same strong (w ≥ 2) edge set as components/triangles; all

@@ -530,6 +530,119 @@ object Vectors {
       .orderBy("pos")
   }
 
+  /** Product-quantization codebook geometry: subspaces × centroids per
+    * subspace × sub-dimensions. K and M are part of the result
+    * contract (the oracle re-derives the same grid); PqIterations is a
+    * FIXED Lloyd depth, not a convergence knob — both engines run
+    * exactly one round. */
+  private[graft] val PqSubspaces = 8
+  private[graft] val PqSubDim = Dim / PqSubspaces
+  private[graft] val PqCentroids = 8
+  private[graft] val PqTrainCap = IvfTrainCap
+
+  /** Product-quantization codebook audit — the OTHER workhorse ANN
+    * sketch next to IVF/LSH: the vector splits into [[PqSubspaces]]
+    * sub-vectors, each subspace trains its own [[PqCentroids]]-entry
+    * codebook (seeded from the content-ordered sample, one fixed Lloyd
+    * round), and every corpus vector is assigned per subspace by exact
+    * L2 argmin. Output: per (subspace, centroid) population and mean
+    * squared distortion — the table an index designer reads to size
+    * codebooks (empty cells = wasted codes, hot cells + high
+    * distortion = underfit subspace).
+    *
+    * Determinism: the IVF trainer discipline verbatim — the capped
+    * driver sample is content-ordered (md5(vec_id), vec_id); cluster
+    * means are nearest-double-of-exact-DECIMAL(18,9) sums over counts
+    * (NO normalization — PQ centroids live in the raw subspace);
+    * every distance is the identical IEEE chain
+    * x·x − 2·(x·c) + c·c with sequential-fold dots, ties to the lowest
+    * centroid id; per-vector distortions round 6dp into micro-longs
+    * before the exact population sums. The oracle re-derives seeds,
+    * the Lloyd round and the assignment entirely in SQL — nothing is
+    * interpolated.
+    *
+    * 100 TB posture: training is bounded by [[PqTrainCap]] (the
+    * broadcast-dim argument); the corpus-sized pass is one explode to
+    * M sub-vectors joined against the M·K-row literal codebook
+    * (broadcast by construction) and immediately aggregated — shuffle
+    * is (M·K)-keyed. */
+  def pqCodebook(spark: SparkSession, dir: String): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    val v0 = Tables.embeddings(spark, dir)
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // bounded, content-ordered training sample (the IVF contract)
+    val train = v0
+      .select(col("vec_id"), col("v"), md5(col("vec_id").cast("string")).as("h"))
+      .orderBy("h", "vec_id").limit(PqTrainCap)
+      .collect().toIndexedSeq
+      .sortBy(r => (r.getString(2), r.getLong(0)))
+      .map(_.getSeq[Double](1).toArray)
+    def dotSeq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    // per-subspace: seed, one exact-decimal Lloyd round
+    val books: Seq[(Int, Int, Array[Double])] =
+      (0 until PqSubspaces).flatMap { m =>
+        val subs = train.map(_.slice(m * PqSubDim, (m + 1) * PqSubDim))
+        var cents: Seq[(Int, Array[Double])] =
+          subs.take(PqCentroids).zipWithIndex.map { case (c, cid) => (cid, c) }
+        val sums = new java.util.TreeMap[Int, (Array[Long], Long)]()
+        subs.foreach { x =>
+          val xx = dotSeq(x, x)
+          var bestCid = -1
+          var best = Double.PositiveInfinity
+          cents.foreach { case (cid, c) =>
+            val d2 = xx - 2 * dotSeq(x, c) + dotSeq(c, c)
+            if (d2 < best) { best = d2; bestCid = cid }
+          }
+          val acc = sums.computeIfAbsent(bestCid,
+            _ => (new Array[Long](PqSubDim), 0L))
+          var i = 0
+          while (i < PqSubDim) {
+            acc._1(i) += new java.math.BigDecimal(x(i))
+              .setScale(9, java.math.RoundingMode.HALF_UP)
+              .unscaledValue().longValueExact()
+            i += 1
+          }
+          sums.put(bestCid, (acc._1, acc._2 + 1))
+        }
+        sums.entrySet().toArray(
+          Array.empty[java.util.Map.Entry[Int, (Array[Long], Long)]])
+          .toIndexedSeq.map { e =>
+            val (sl, cnt) = e.getValue
+            (m, e.getKey, Array.tabulate(PqSubDim)(i =>
+              new java.math.BigDecimal(
+                java.math.BigInteger.valueOf(sl(i)), 9).doubleValue() / cnt))
+          }
+      }
+    val bookDf = books.map { case (m, cid, c) => (m, cid, c.toSeq) }
+      .toDF("m", "cid", "cvec")
+    // distributed final assignment: explode to sub-vectors, broadcast
+    // the M·K-row codebook, exact-L2 argmin with (d2, cid) tie-break
+    val subs = v0.select(col("vec_id"),
+        explode(typedlit((0 until PqSubspaces).toArray)).as("m"), col("v"))
+      .select(col("vec_id"), col("m"),
+        slice(col("v"), col("m") * PqSubDim + 1, lit(PqSubDim)).as("sub"))
+    val d2 = dot(col("sub"), col("sub")) - lit(2) * dot(col("sub"), col("cvec")) +
+      dot(col("cvec"), col("cvec"))
+    val wArg = Window.partitionBy("vec_id", "m").orderBy(col("d2"), col("cid"))
+    subs.join(broadcast(bookDf), "m")
+      .select(col("vec_id"), col("m"), col("cid"), d2.as("d2"))
+      .withColumn("rn", row_number().over(wArg))
+      .filter(col("rn") === 1)
+      .groupBy(col("m").as("subspace"), col("cid").as("centroid"))
+      .agg(count(lit(1)).as("n_assigned"),
+        sum(round(round(col("d2"), 6) * 1e6, 0).cast("long")).as("dm"))
+      .select(col("subspace"), col("centroid"), col("n_assigned"),
+        round(col("dm").cast("double") / col("n_assigned") / 1e6, 6)
+          .as("mean_distortion"))
+      .orderBy("subspace", "centroid")
+  }
+
   /** Top-20 most correlated embedding-dimension pairs — the redundancy
     * audit behind dimensionality reduction and PQ subspace design:
     * |corr| → 1 means two dimensions carry the same signal and the

@@ -769,6 +769,19 @@ class ScaleSpec extends GraftSpec {
       s"one aggregate pass, no join or window:\n$exec")
   }
 
+  test("pq codebook: literal codebook broadcasts, argmin windows per vector") {
+    val q = graft.ops.Vectors.pqCodebook(spark, sf)
+    q.collect()
+    val exec = q.queryExecution.executedPlan.toString
+    assert(exec.contains("BroadcastHashJoin") && !exec.contains("SortMergeJoin"),
+      s"the M·K-row codebook must broadcast:\n$exec")
+    assert(!exec.contains("windowspecdefinition()"),
+      s"the argmin window partitions by (vec_id, m):\n$exec")
+    assert("partial_(count|sum)".r.findFirstIn(exec).isDefined,
+      s"the cell aggregate must combine map-side:\n$exec")
+    assert(!exec.contains("CartesianProduct"), s"no cartesian:\n$exec")
+  }
+
   test("user gini: histogram window only — no users-sized sort frame") {
     val exec = graft.ops.Events.userGini(spark, sf)
       .queryExecution.executedPlan.toString

@@ -254,6 +254,39 @@ class VectorsSpec extends GraftSpec {
     assert(row.getLong(3) >= row.getLong(2), "ties can only add matches")
   }
 
+  test("pqCodebook: self-coding fixture gives zero distortion everywhere") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = s"$tmpDir/pq"
+    // 8 DISTINCT constant vectors (9-dp- and binary-exact values):
+    // whatever the md5 sample order, every subvector seeds its own
+    // centroid and the Lloyd mean of a singleton reproduces the value
+    // EXACTLY, so all 64 cells quantize losslessly with population 1
+    val rows = (0 until 8).map(k =>
+      VectorsFixture.Emb(k.toLong, Array.fill(64)(k * 0.5f), 0))
+    rows.toDF().write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Vectors.pqCodebook(spark, dir).collect()
+    assert(got.length === 64, "8 subspaces x 8 non-empty cells")
+    (0 until 8).foreach { m =>
+      val cells = got.filter(_.getInt(0) == m)
+      assert(cells.map(_.getLong(2)).toSeq === Seq.fill(8)(1L),
+        s"subspace $m populations")
+      cells.foreach(r => assert(r.getDouble(3) === 0.0,
+        s"lossless cell (${r.getInt(0)}, ${r.getInt(1)})"))
+    }
+    // sf invariants: populations cover every vector in every subspace,
+    // distortion is non-negative and finite
+    val n = Tables.embeddings(spark, sf)
+      .filter(col("embedding").isNotNull).count()
+    val sfGot = Vectors.pqCodebook(spark, sf).collect()
+    (0 until 8).foreach { m =>
+      val cells = sfGot.filter(_.getInt(0) == m)
+      assert(cells.map(_.getLong(2)).sum === n, s"subspace $m covers corpus")
+      cells.foreach(r => assert(r.getDouble(3) >= 0.0 &&
+        !r.getDouble(3).isNaN, "distortion sane"))
+    }
+  }
+
   test("dimCorrelation: planted copies/negations hit ±1; constant dim drops") {
     val spark0 = spark
     import spark0.implicits._
