@@ -221,6 +221,7 @@ object SparkEntry {
     "langid_eval_metrics"      -> ((s, d) => Text.langidEval(s, d)),
     "user_activity_features"   -> (Events.userFeatures _),
     "embed_pq_codebook"        -> (Vectors.pqCodebook _),
+    "recon_referential_integrity" -> (Recon.referentialIntegrity _),
     "corpus_filter_funnel"     -> ((s, d) => Text.filterFunnel(s, d)),
     "sample_cap_per_source"    -> ((s, d) =>
       Sampling.capPerSource(s, d, k = Sampling.HarnessCapK)),
@@ -339,7 +340,8 @@ object SparkEntry {
     "graph_degree_distribution", "text_keyword_rake",
     "events_entropy_rate", "lineitem_price_index", "orders_cohort_ltv",
     "events_weekly_churn", "orders_backlog_aging", "dedup_containment",
-    "langid_eval_metrics", "user_activity_features", "embed_pq_codebook")
+    "langid_eval_metrics", "user_activity_features", "embed_pq_codebook",
+    "recon_referential_integrity")
 
   /** DuckDB spelling of [[graft.ops.Vectors.lshBucket]]: the 8 sign bits
     * against the SAME hyperplane doubles, interpolated from
@@ -2363,6 +2365,51 @@ object SparkEntry {
         |SELECT CAST(i AS BIGINT) dim_i, CAST(j AS BIGINT) dim_j, corr,
         |  abs(corr) + 0 AS abs_corr
         |FROM r ORDER BY abs(corr) DESC, i, j LIMIT 20""".stripMargin,
+
+    "recon_referential_integrity" ->
+      // seven FK edges, each a NOT EXISTS on the non-NULL key; exact
+      // counts, one identically-spelled rate division
+      """WITH checks AS (
+        |  SELECT 'customer.c_nationkey -> nation' fk,
+        |    (SELECT count(*) FROM customer) n_rows,
+        |    (SELECT count(*) FROM customer c WHERE c.c_nationkey IS NOT NULL
+        |       AND NOT EXISTS (SELECT 1 FROM nation n
+        |         WHERE n.n_nationkey = c.c_nationkey)) n_orphans
+        |  UNION ALL SELECT 'lineitem.l_orderkey -> orders',
+        |    (SELECT count(*) FROM lineitem),
+        |    (SELECT count(*) FROM lineitem l WHERE l.l_orderkey IS NOT NULL
+        |       AND NOT EXISTS (SELECT 1 FROM orders o
+        |         WHERE o.o_orderkey = l.l_orderkey))
+        |  UNION ALL SELECT 'lineitem.l_partkey -> part',
+        |    (SELECT count(*) FROM lineitem),
+        |    (SELECT count(*) FROM lineitem l WHERE l.l_partkey IS NOT NULL
+        |       AND NOT EXISTS (SELECT 1 FROM part p
+        |         WHERE p.p_partkey = l.l_partkey))
+        |  UNION ALL SELECT 'lineitem.l_suppkey -> supplier',
+        |    (SELECT count(*) FROM lineitem),
+        |    (SELECT count(*) FROM lineitem l WHERE l.l_suppkey IS NOT NULL
+        |       AND NOT EXISTS (SELECT 1 FROM supplier s
+        |         WHERE s.s_suppkey = l.l_suppkey))
+        |  UNION ALL SELECT 'nation.n_regionkey -> region',
+        |    (SELECT count(*) FROM nation),
+        |    (SELECT count(*) FROM nation n WHERE n.n_regionkey IS NOT NULL
+        |       AND NOT EXISTS (SELECT 1 FROM region r
+        |         WHERE r.r_regionkey = n.n_regionkey))
+        |  UNION ALL SELECT 'orders.o_custkey -> customer',
+        |    (SELECT count(*) FROM orders),
+        |    (SELECT count(*) FROM orders o WHERE o.o_custkey IS NOT NULL
+        |       AND NOT EXISTS (SELECT 1 FROM customer c
+        |         WHERE c.c_custkey = o.o_custkey))
+        |  UNION ALL SELECT 'supplier.s_nationkey -> nation',
+        |    (SELECT count(*) FROM supplier),
+        |    (SELECT count(*) FROM supplier s WHERE s.s_nationkey IS NOT NULL
+        |       AND NOT EXISTS (SELECT 1 FROM nation n
+        |         WHERE n.n_nationkey = s.s_nationkey)))
+        |SELECT fk, CAST(n_rows AS BIGINT) n_rows,
+        |  CAST(n_orphans AS BIGINT) n_orphans,
+        |  round(CAST(n_orphans AS DOUBLE) / n_rows, 6) AS orphan_rate,
+        |  n_orphans = 0 AS intact
+        |FROM checks ORDER BY fk""".stripMargin,
 
     "embed_pq_codebook" ->
       // the IVF oracle discipline, subspace-generalized: seeds, ONE

@@ -1218,4 +1218,60 @@ object Recon {
         (col("ctm").cast("double") / 1e6 > 15.507).as("drifted"))
       .orderBy("digit")
   }
+
+  /** One foreign-key integrity check: rows of `child` whose non-NULL
+    * `key` has no match in `parent.pkey` (a left-anti join — the
+    * distributed spelling of NOT EXISTS; NULL keys are not orphans,
+    * they are [[keyProfile]]'s department). Emits one row. */
+  private def fkCheck(label: String, child: DataFrame, key: String,
+                      parent: DataFrame, pkey: String): DataFrame = {
+    val orphans = child.filter(col(key).isNotNull)
+      .join(parent.select(col(pkey)), col(key) === col(pkey), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+    child.agg(count(lit(1)).as("n_rows"))
+      .crossJoin(orphans)
+      .select(lit(label).as("fk"), col("n_rows"), col("n_orphans"))
+  }
+
+  /** Full referential-integrity audit over the star schema's seven
+    * foreign-key edges — the recon op a warehouse runs after every
+    * load: per edge, row count, orphan count (non-NULL keys with no
+    * parent), orphan rate and an intact flag.
+    *
+    * Everything is an exact count; the rate is one identically-spelled
+    * double division. 100 TB posture: each edge is ONE left-anti join
+    * on its key (AQE picks broadcast vs shuffle per parent size —
+    * fact-derived parents are never pinned), each fact scans once per
+    * edge with only its key column read, and every branch collapses to
+    * a 1-row frame before the 7-row union. */
+  def referentialIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    val checks = Seq(
+      fkCheck("customer.c_nationkey -> nation",
+        Tables.customer(spark, dir), "c_nationkey",
+        Tables.nation(spark, dir), "n_nationkey"),
+      fkCheck("lineitem.l_orderkey -> orders",
+        Tables.lineitem(spark, dir), "l_orderkey",
+        Tables.orders(spark, dir), "o_orderkey"),
+      fkCheck("lineitem.l_partkey -> part",
+        Tables.lineitem(spark, dir), "l_partkey",
+        Tables.part(spark, dir), "p_partkey"),
+      fkCheck("lineitem.l_suppkey -> supplier",
+        Tables.lineitem(spark, dir), "l_suppkey",
+        Tables.supplier(spark, dir), "s_suppkey"),
+      fkCheck("nation.n_regionkey -> region",
+        Tables.nation(spark, dir), "n_regionkey",
+        Tables.region(spark, dir), "r_regionkey"),
+      fkCheck("orders.o_custkey -> customer",
+        Tables.orders(spark, dir), "o_custkey",
+        Tables.customer(spark, dir), "c_custkey"),
+      fkCheck("supplier.s_nationkey -> nation",
+        Tables.supplier(spark, dir), "s_nationkey",
+        Tables.nation(spark, dir), "n_nationkey"))
+    checks.reduce(_ unionByName _)
+      .select(col("fk"), col("n_rows"), col("n_orphans"),
+        round(col("n_orphans").cast("double") / col("n_rows"), 6)
+          .as("orphan_rate"),
+        (col("n_orphans") === 0).as("intact"))
+      .orderBy("fk")
+  }
 }

@@ -616,4 +616,49 @@ class ReconSpec extends GraftSpec {
       (1 to 9).map(d => d -> expect.getOrElse(d, 0L)).toMap)
     assert(got.map(_.getLong(1)).sum === raw.length.toLong)
   }
+
+  test("referential integrity: planted orphans and NULL keys count right") {
+    val spark0 = spark
+    import spark0.implicits._
+    val d = s"$tmpDir/ri"
+    // minimal star: nation {1}, region {1}; customer 10 (ok), 20
+    // (orphan nationkey 99), 30 (NULL key — NOT an orphan); orders:
+    // two ok, one orphan custkey; single-row lineitem/part/supplier
+    // keep the other edges intact
+    Seq((1, 1)).toDF("n_nationkey", "n_regionkey")
+      .write.mode("overwrite").parquet(s"$d/nation.parquet")
+    Seq(Tuple1(1)).toDF("r_regionkey")
+      .write.mode("overwrite").parquet(s"$d/region.parquet")
+    Seq((10L, Some(1)), (20L, Some(99)), (30L, None))
+      .toDF("c_custkey", "c_nationkey")
+      .write.mode("overwrite").parquet(s"$d/customer.parquet")
+    Seq((1L, 10L), (2L, 10L), (3L, 777L)).toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$d/orders.parquet")
+    Seq((1L, 1L, 1L)).toDF("l_orderkey", "l_partkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    Seq(Tuple1(1L)).toDF("p_partkey")
+      .write.mode("overwrite").parquet(s"$d/part.parquet")
+    Seq((1L, 1)).toDF("s_suppkey", "s_nationkey")
+      .write.mode("overwrite").parquet(s"$d/supplier.parquet")
+    val got = Recon.referentialIntegrity(spark, d).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(got.size === 7)
+    assert(got("customer.c_nationkey -> nation") === ((3L, 1L, 0.333333, false)),
+      "NULL key is not an orphan; 99 is")
+    assert(got("orders.o_custkey -> customer") === ((3L, 1L, 0.333333, false)))
+    Seq("lineitem.l_orderkey -> orders", "lineitem.l_partkey -> part",
+      "lineitem.l_suppkey -> supplier", "nation.n_regionkey -> region",
+      "supplier.s_nationkey -> nation").foreach { fk =>
+      assert(got(fk)._2 === 0L && got(fk)._4, s"$fk intact")
+    }
+    // sf recount of one edge from collected key sets
+    val custKeys = Tables.customer(spark, sf)
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    val orphans = Tables.orders(spark, sf).select("o_custkey").collect()
+      .count(r => !r.isNullAt(0) && !custKeys.contains(r.getLong(0)))
+    val sfGot = Recon.referentialIntegrity(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(sfGot("orders.o_custkey -> customer") === orphans.toLong)
+  }
 }

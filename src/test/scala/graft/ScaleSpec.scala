@@ -782,6 +782,18 @@ class ScaleSpec extends GraftSpec {
     assert(!exec.contains("CartesianProduct"), s"no cartesian:\n$exec")
   }
 
+  test("referential integrity: key-only anti joins, 1-row branches") {
+    val q = graft.ops.Recon.referentialIntegrity(spark, sf)
+    q.collect()
+    val exec = q.queryExecution.executedPlan.toString
+    assert(!exec.contains("CartesianProduct"),
+      s"only 1-row count frames may cross:\n$exec")
+    assert(!exec.contains("Window"), s"no window anywhere:\n$exec")
+    // every fact scan in an anti-join branch reads only its key column
+    assert(!exec.contains("l_extendedprice") && !exec.contains("o_totalprice"),
+      s"anti-join branches must prune to key columns:\n$exec")
+  }
+
   test("user gini: histogram window only — no users-sized sort frame") {
     val exec = graft.ops.Events.userGini(spark, sf)
       .queryExecution.executedPlan.toString
