@@ -2407,7 +2407,8 @@ object SparkEntry {
         |         WHERE n.n_nationkey = s.s_nationkey)))
         |SELECT fk, CAST(n_rows AS BIGINT) n_rows,
         |  CAST(n_orphans AS BIGINT) n_orphans,
-        |  round(CAST(n_orphans AS DOUBLE) / n_rows, 6) AS orphan_rate,
+        |  CASE WHEN n_rows > 0 THEN
+        |    round(CAST(n_orphans AS DOUBLE) / n_rows, 6) END AS orphan_rate,
         |  n_orphans = 0 AS intact
         |FROM checks ORDER BY fk""".stripMargin,
 
@@ -2533,7 +2534,7 @@ object SparkEntry {
         |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) * 10000 AS BIGINT)
         |      rev4,
         |    sum(CAST(round(round(l_quantity, 6) * 1e6) AS BIGINT)) qty6
-        |  FROM lineitem GROUP BY 1, 2),
+        |  FROM lineitem GROUP BY 1, 2 HAVING qty6 > 0),
         |b0 AS MATERIALIZED (SELECT min(m) m0 FROM pm),
         |base AS MATERIALIZED (
         |  SELECT p, rev4 rev04, qty6 qty06 FROM pm CROSS JOIN b0 WHERE m = m0),

@@ -1269,7 +1269,10 @@ object Recon {
         Tables.nation(spark, dir), "n_nationkey"))
     checks.reduce(_ unionByName _)
       .select(col("fk"), col("n_rows"), col("n_orphans"),
-        round(col("n_orphans").cast("double") / col("n_rows"), 6)
+        // an empty child table has no orphan rate (0/0 is the NaN-vs-
+        // NULL engine split) — NULL on both engines instead
+        when(col("n_rows") > 0,
+          round(col("n_orphans").cast("double") / col("n_rows"), 6))
           .as("orphan_rate"),
         (col("n_orphans") === 0).as("intact"))
       .orderBy("fk")

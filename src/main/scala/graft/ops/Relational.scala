@@ -2063,6 +2063,9 @@ object Relational {
       .agg(sum(Recon.cents(col("l_extendedprice"))).as("rev4"),
         sum(round(round(col("l_quantity"), 6) * 1e6, 0).cast("long"))
           .as("qty6"))
+      // a zero-quantity basket has no unit price — and unguarded it is
+      // the IEEE split (Spark x/0 → Inf-then-ANSI-throw, DuckDB → NULL)
+      .filter(col("qty6") > 0)
     val b0 = pm.agg(min(col("m")).as("m0"))
     val base = pm.crossJoin(broadcast(b0)).filter(col("m") === col("m0"))
       .select(col("p"), col("rev4").as("rev04"), col("qty6").as("qty06"))
