@@ -222,6 +222,7 @@ object SparkEntry {
     "user_activity_features"   -> (Events.userFeatures _),
     "embed_pq_codebook"        -> (Vectors.pqCodebook _),
     "recon_referential_integrity" -> (Recon.referentialIntegrity _),
+    "sample_temperature_mix"   -> (Sampling.temperatureMix _),
     "corpus_filter_funnel"     -> ((s, d) => Text.filterFunnel(s, d)),
     "sample_cap_per_source"    -> ((s, d) =>
       Sampling.capPerSource(s, d, k = Sampling.HarnessCapK)),
@@ -341,7 +342,7 @@ object SparkEntry {
     "events_entropy_rate", "lineitem_price_index", "orders_cohort_ltv",
     "events_weekly_churn", "orders_backlog_aging", "dedup_containment",
     "langid_eval_metrics", "user_activity_features", "embed_pq_codebook",
-    "recon_referential_integrity")
+    "recon_referential_integrity", "sample_temperature_mix")
 
   /** DuckDB spelling of [[graft.ops.Vectors.lshBucket]]: the 8 sign bits
     * against the SAME hyperplane doubles, interpolated from
@@ -2365,6 +2366,27 @@ object SparkEntry {
         |SELECT CAST(i AS BIGINT) dim_i, CAST(j AS BIGINT) dim_j, corr,
         |  abs(corr) + 0 AS abs_corr
         |FROM r ORDER BY abs(corr) DESC, i, j LIMIT 20""".stripMargin,
+
+    "sample_temperature_mix" ->
+      // α = 0.5 is IEEE sqrt (correctly rounded — bit-identical);
+      // per-source sqrts round 6dp into micro-longs BEFORE the total
+      // so the normalizer is an exact sum; boost clears denominators
+      """WITH sc AS MATERIALIZED (
+        |  SELECT source, sum(len(string_split(text, ' '))) n_tokens,
+        |    count(*) n_docs
+        |  FROM documents GROUP BY 1),
+        |r AS (SELECT source, n_tokens, n_docs,
+        |    CAST(round(round(sqrt(CAST(n_tokens AS DOUBLE)), 6) * 1e6)
+        |      AS BIGINT) rs
+        |  FROM sc),
+        |tot AS (SELECT sum(rs) trs, sum(n_tokens) nt FROM r)
+        |SELECT source, CAST(n_tokens AS BIGINT) n_tokens,
+        |  CAST(n_docs AS BIGINT) n_docs,
+        |  round(CAST(rs AS DOUBLE) / trs, 6) AS weight,
+        |  round(CAST(n_tokens AS DOUBLE) / nt, 6) AS natural_share,
+        |  round(CAST(CAST(rs AS HUGEINT) * nt AS DOUBLE)
+        |    / CAST(CAST(trs AS HUGEINT) * n_tokens AS DOUBLE), 6) AS boost
+        |FROM r CROSS JOIN tot ORDER BY source""".stripMargin,
 
     "recon_referential_integrity" ->
       // seven FK edges, each a NOT EXISTS on the non-NULL key; exact

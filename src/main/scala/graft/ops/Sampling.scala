@@ -178,4 +178,42 @@ object Sampling {
       .select(col("source"), col("n_docs"), col("n_kept"), col("kept_id_sum"))
       .orderBy("source")
   }
+
+  /** Temperature-scaled source mixing weights at α = 0.5 — the
+    * multilingual-pretraining standard (weight ∝ n_tokens^α flattens
+    * the source distribution so long-tail sources aren't drowned):
+    * per source, its token count, α-weight, natural share and the
+    * boost (weight / natural share — how far temperature sampling
+    * up- or down-weights it vs proportional mixing).
+    *
+    * α is FIXED at 0.5 precisely because n^0.5 is IEEE sqrt —
+    * correctly rounded, so bit-identical across engines — where a
+    * general pow() is not. Each per-source sqrt rounds at 6 dp into
+    * micro-unit longs BEFORE the total (a Σ of raw doubles would be
+    * summation-order-dependent — the lm_score discipline applied to a
+    * weight normalizer), so weights are single divisions of exact
+    * longs and the boost clears its denominators as 128-bit products.
+    *
+    * 100 TB posture: one map-combined per-source aggregate; everything
+    * after is sources-sized with a 1-row broadcast total. */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val sc = Tables.documents(spark, dir)
+      .groupBy("source")
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+        count(lit(1)).as("n_docs"))
+    val r = sc.withColumn("rs",
+      round(round(sqrt(col("n_tokens").cast("double")), 6) * 1e6, 0)
+        .cast("long"))
+    val tot = r.agg(sum(col("rs")).as("trs"), sum(col("n_tokens")).as("nt"))
+    r.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tokens"), col("n_docs"),
+        round(col("rs").cast("double") / col("trs"), 6).as("weight"),
+        round(col("n_tokens").cast("double") / col("nt"), 6)
+          .as("natural_share"),
+        round((col("rs").cast(dec) * col("nt")).cast("double")
+          / (col("trs").cast(dec) * col("n_tokens")).cast("double"), 6)
+          .as("boost"))
+      .orderBy("source")
+  }
 }

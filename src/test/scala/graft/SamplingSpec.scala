@@ -106,4 +106,30 @@ class SamplingSpec extends GraftSpec {
     }
     assert(rows.keySet === docs.map(_._1).toSet)
   }
+
+  test("temperature mix: 100-vs-400-token sources give the exact sqrt split") {
+    val spark0 = spark
+    import spark0.implicits._
+    val d = s"$tmpDir/tmix"
+    // A: 100 tokens, B: 400 → sqrt 10 vs 20 → weights 1/3 and 2/3;
+    // natural shares 0.2/0.8 → boosts 5/3 and 5/6 exactly
+    val w100 = Seq.fill(100)("w").mkString(" ")
+    val rows = Seq((1L, w100, "en", "A", w100.length.toLong)) ++
+      (2 to 5).map(i => (i.toLong, w100, "en", "B", w100.length.toLong))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = Sampling.temperatureMix(spark, d).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    assert(got("A") === ((100L, 1L, 0.333333, 0.2, 1.666667)))
+    assert(got("B") === ((400L, 4L, 0.666667, 0.8, 0.833333)))
+    // sf invariants: weights sum to ~1, boost inverts with size rank
+    val sfGot = Sampling.temperatureMix(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getDouble(3), r.getDouble(5)))
+    assert(math.abs(sfGot.map(_._2).sum - 1.0) < 1e-4, "weights normalize")
+    val bySize = sfGot.sortBy(_._1)
+    assert(bySize.head._3 >= bySize.last._3,
+      "smaller sources boost at least as much as larger ones")
+  }
 }

@@ -794,6 +794,17 @@ class ScaleSpec extends GraftSpec {
       s"anti-join branches must prune to key columns:\n$exec")
   }
 
+  test("temperature mix: one map-combined source aggregate, 1-row total") {
+    val q = graft.ops.Sampling.temperatureMix(spark, sf)
+    q.collect()
+    val exec = q.queryExecution.executedPlan.toString
+    assert("partial_(count|sum)".r.findFirstIn(exec).isDefined,
+      s"the per-source token count must combine map-side:\n$exec")
+    assert(!exec.contains("CartesianProduct") && !exec.contains("SortMergeJoin"),
+      s"only the 1-row normalizer may cross, as a broadcast:\n$exec")
+    assert(!exec.contains("Window"), s"no window anywhere:\n$exec")
+  }
+
   test("user gini: histogram window only — no users-sized sort frame") {
     val exec = graft.ops.Events.userGini(spark, sf)
       .queryExecution.executedPlan.toString
