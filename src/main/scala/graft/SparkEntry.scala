@@ -223,6 +223,7 @@ object SparkEntry {
     "embed_pq_codebook"        -> (Vectors.pqCodebook _),
     "recon_referential_integrity" -> (Recon.referentialIntegrity _),
     "sample_temperature_mix"   -> (Sampling.temperatureMix _),
+    "events_diff_in_diff"      -> (Events.diffInDiff _),
     "corpus_filter_funnel"     -> ((s, d) => Text.filterFunnel(s, d)),
     "sample_cap_per_source"    -> ((s, d) =>
       Sampling.capPerSource(s, d, k = Sampling.HarnessCapK)),
@@ -342,7 +343,8 @@ object SparkEntry {
     "events_entropy_rate", "lineitem_price_index", "orders_cohort_ltv",
     "events_weekly_churn", "orders_backlog_aging", "dedup_containment",
     "langid_eval_metrics", "user_activity_features", "embed_pq_codebook",
-    "recon_referential_integrity", "sample_temperature_mix")
+    "recon_referential_integrity", "sample_temperature_mix",
+    "events_diff_in_diff")
 
   /** DuckDB spelling of [[graft.ops.Vectors.lshBucket]]: the 8 sign bits
     * against the SAME hyperplane doubles, interpolated from
@@ -2366,6 +2368,54 @@ object SparkEntry {
         |SELECT CAST(i AS BIGINT) dim_i, CAST(j AS BIGINT) dim_j, corr,
         |  abs(corr) + 0 AS abs_corr
         |FROM r ORDER BY abs(corr) DESC, i, j LIMIT 20""".stripMargin,
+
+    "events_diff_in_diff" ->
+      // exact integer midpoint cutoff; per-cell micro sums; every MEAN
+      // rounds 6dp back into micro-longs before the exact subtractions
+      // so delta/control_delta/did are pure integer differences;
+      // control denominators guarded > 0 (the 0/0 IEEE-split class)
+      """WITH ev AS MATERIALIZED (
+        |  SELECT event_type t, date_trunc('day', ts) d,
+        |    CAST(round(round(value, 6) * 1e6) AS BIGINT) v6
+        |  FROM events WHERE value IS NOT NULL),
+        |b AS MATERIALIZED (SELECT min(d) d0, max(d) d1 FROM ev),
+        |cut AS MATERIALIZED (
+        |  SELECT d0 + INTERVAL (date_diff('day', d0, d1) // 2) DAY c FROM b),
+        |pt AS MATERIALIZED (
+        |  SELECT t, d < c pre, sum(v6) sv, count(*) n
+        |  FROM ev CROSS JOIN cut GROUP BY 1, 2),
+        |w AS (SELECT t,
+        |    max(CASE WHEN pre THEN
+        |      CAST(round(round(CAST(sv AS DOUBLE) / n / 1e6, 6) * 1e6)
+        |        AS BIGINT) END) mb,
+        |    max(CASE WHEN NOT pre THEN
+        |      CAST(round(round(CAST(sv AS DOUBLE) / n / 1e6, 6) * 1e6)
+        |        AS BIGINT) END) ma,
+        |    max(CASE WHEN pre THEN n END) nb,
+        |    max(CASE WHEN NOT pre THEN n END) na,
+        |    max(CASE WHEN pre THEN sv END) sb,
+        |    max(CASE WHEN NOT pre THEN sv END) sa
+        |  FROM pt GROUP BY 1),
+        |tot AS (SELECT sum(CASE WHEN pre THEN sv END) tsb,
+        |    sum(CASE WHEN pre THEN n END) tnb,
+        |    sum(CASE WHEN NOT pre THEN sv END) tsa,
+        |    sum(CASE WHEN NOT pre THEN n END) tna FROM pt),
+        |ctl AS (SELECT t, mb, ma, nb, na,
+        |    CASE WHEN tnb - coalesce(nb, 0) > 0 THEN
+        |      CAST(round(round(CAST(tsb - coalesce(sb, 0) AS DOUBLE)
+        |        / (tnb - coalesce(nb, 0)) / 1e6, 6) * 1e6) AS BIGINT) END cb,
+        |    CASE WHEN tna - coalesce(na, 0) > 0 THEN
+        |      CAST(round(round(CAST(tsa - coalesce(sa, 0) AS DOUBLE)
+        |        / (tna - coalesce(na, 0)) / 1e6, 6) * 1e6) AS BIGINT) END ca
+        |  FROM w CROSS JOIN tot)
+        |SELECT t AS event_type, CAST(nb AS BIGINT) n_before,
+        |  CAST(na AS BIGINT) n_after,
+        |  round(mb / 1e6, 6) + 0 AS mean_before,
+        |  round(ma / 1e6, 6) + 0 AS mean_after,
+        |  round((ma - mb) / 1e6, 6) + 0 AS delta,
+        |  round((ca - cb) / 1e6, 6) + 0 AS control_delta,
+        |  round(((ma - mb) - (ca - cb)) / 1e6, 6) + 0 AS did
+        |FROM ctl ORDER BY t""".stripMargin,
 
     "sample_temperature_mix" ->
       // α = 0.5 is IEEE sqrt (correctly rounded — bit-identical);

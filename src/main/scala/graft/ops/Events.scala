@@ -1247,6 +1247,67 @@ object Events {
       .limit(200)
   }
 
+  /** Difference-in-differences screen per event type: split the corpus
+    * at its midpoint day, take each type as treatment and ALL OTHER
+    * types as control, and report Δtype − Δcontrol — the first-pass
+    * causal read ("did this event's value move more than the ambient
+    * trend?") behind every launch/incident review.
+    *
+    * Exactness: the cutoff is exact integer day arithmetic from the
+    * corpus min/max; per-cell sums are 6-dp micro-unit longs and every
+    * MEAN rounds 6dp back into micro-longs before the exact
+    * subtractions (the lm_score per-term discipline — so delta,
+    * control_delta and did are pure integer differences). A type
+    * absent from a period reports NULL through identical NULL algebra;
+    * control denominators are guarded > 0 on both engines (the 0/0
+    * IEEE-split class).
+    *
+    * 100 TB posture: one map-combined (type, period) pass; everything
+    * after is types-sized with 1-row broadcast bounds/totals. */
+  def diffInDiff(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).filter(col("value").isNotNull)
+    val b = ev.agg(min(date_trunc("DAY", col("ts"))).as("d0"),
+      max(date_trunc("DAY", col("ts"))).as("d1"))
+    val cut = b.select(date_add(col("d0").cast("date"),
+      (datediff(col("d1"), col("d0")) / 2).cast("int")).as("c"))
+    val pt = ev.crossJoin(broadcast(cut))
+      .select(col("event_type").as("t"),
+        (date_trunc("DAY", col("ts")).cast("date") < col("c")).as("pre"),
+        round(round(col("value"), 6) * 1e6, 0).cast("long").as("v6"))
+      .groupBy("t", "pre")
+      .agg(sum(col("v6")).as("sv"), count(lit(1)).as("n"))
+    def m6(svC: org.apache.spark.sql.Column,
+           nC: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      round(round(svC.cast("double") / nC / 1e6, 6) * 1e6, 0).cast("long")
+    val w = pt.groupBy("t")
+      .agg(max(when(col("pre"), m6(col("sv"), col("n")))).as("mb"),
+        max(when(!col("pre"), m6(col("sv"), col("n")))).as("ma"),
+        max(when(col("pre"), col("n"))).as("nb"),
+        max(when(!col("pre"), col("n"))).as("na"),
+        max(when(col("pre"), col("sv"))).as("sb"),
+        max(when(!col("pre"), col("sv"))).as("sa"))
+    val tot = pt.agg(sum(when(col("pre"), col("sv"))).as("tsb"),
+      sum(when(col("pre"), col("n"))).as("tnb"),
+      sum(when(!col("pre"), col("sv"))).as("tsa"),
+      sum(when(!col("pre"), col("n"))).as("tna"))
+    val ctl = w.crossJoin(broadcast(tot))
+      .withColumn("cnb", col("tnb") - coalesce(col("nb"), lit(0L)))
+      .withColumn("cna", col("tna") - coalesce(col("na"), lit(0L)))
+      .withColumn("cb", when(col("cnb") > 0,
+        m6(col("tsb") - coalesce(col("sb"), lit(0L)), col("cnb"))))
+      .withColumn("ca", when(col("cna") > 0,
+        m6(col("tsa") - coalesce(col("sa"), lit(0L)), col("cna"))))
+    ctl.select(col("t").as("event_type"),
+        col("nb").as("n_before"), col("na").as("n_after"),
+        (round(col("mb") / 1e6, 6) + 0).as("mean_before"),
+        (round(col("ma") / 1e6, 6) + 0).as("mean_after"),
+        (round((col("ma") - col("mb")) / 1e6, 6) + 0).as("delta"),
+        (round((col("ca") - col("cb")) / 1e6, 6) + 0).as("control_delta"),
+        (round(((col("ma") - col("mb")) - (col("ca") - col("cb"))) / 1e6, 6)
+          + 0).as("did"))
+      .orderBy("event_type")
+  }
+
   /** Engagement-inequality Gini per event type over per-user event
     * counts — the "does 1% of users generate 90% of the traffic"
     * dashboard number (0 = uniform, →1 = one user is the firehose).

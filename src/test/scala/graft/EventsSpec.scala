@@ -680,6 +680,57 @@ class EventsSpec extends GraftSpec {
     }
   }
 
+  test("diff in diff: planted step against a drifting control is exact") {
+    import EventsFixture.RawEv
+    val spark0 = spark
+    import spark0.implicits._
+    val day = 86400L * 1000000000L
+    val base = 1735689600L * 1000000000L
+    // 10 days → cutoff = d0 + 4 (9 div 2): days 0-3 before, 4-9 after.
+    // T steps 10 → 20 (Δ = 10); C drifts 5 → 6 (Δ = 1). With two
+    // types each is the other's control: did(T) = 9, did(C) = −9
+    val rows = (0 until 10).flatMap { i =>
+      Seq(RawEv(i.toLong, base + i * day, 1L, "T",
+          if (i < 4) 10.0 else 20.0, "{}"),
+        RawEv(100 + i.toLong, base + i * day, 2L, "C",
+          if (i < 4) 5.0 else 6.0, "{}"))
+    }
+    val d = s"$tmpDir/did"
+    rows.toDF().write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = Events.diffInDiff(spark, d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val t = got("T")
+    assert((t.getLong(1), t.getLong(2)) === ((4L, 6L)))
+    assert(t.getDouble(3) === 10.0 && t.getDouble(4) === 20.0)
+    assert(t.getDouble(5) === 10.0, "treatment delta")
+    assert(t.getDouble(6) === 1.0, "control delta")
+    assert(t.getDouble(7) === 9.0, "DiD")
+    assert(got("C").getDouble(7) === -9.0, "mirrored for the control type")
+    // sf recount of the cell means from raw micro sums
+    val ev = Tables.events(spark, sf).filter(col("value").isNotNull)
+      .select(col("event_type"), date_trunc("DAY", col("ts")).as("dd"),
+        round(round(col("value"), 6) * 1e6, 0).cast("long").as("v6"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
+    val (d0, d1) = (ev.map(_._2).min, ev.map(_._2).max)
+    val span = java.time.temporal.ChronoUnit.DAYS.between(
+      d0.toLocalDateTime, d1.toLocalDateTime)
+    val cutD = d0.toLocalDateTime.plusDays(span / 2)
+    def mean6(rs: Seq[Long]): Double = BigDecimal(math.round(BigDecimal(
+      rs.sum.toDouble / rs.length / 1e6)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble * 1e6) / 1e6)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val byT = ev.groupBy(_._1)
+    Events.diffInDiff(spark, sf).collect().foreach { r =>
+      val rs = byT(r.getString(0))
+      val before = rs.filter(_._2.toLocalDateTime.isBefore(cutD)).map(_._3)
+      val after = rs.filterNot(_._2.toLocalDateTime.isBefore(cutD)).map(_._3)
+      assert(r.getLong(1) === before.length.toLong)
+      assert(r.getLong(2) === after.length.toLong)
+      assert(r.getDouble(3) === mean6(before.toSeq), s"${r.getString(0)} mb")
+      assert(r.getDouble(4) === mean6(after.toSeq), s"${r.getString(0)} ma")
+    }
+  }
+
   test("stickiness: hand fixture is exact; sf values recompute from raw pairs") {
     import EventsFixture.RawEv
     val spark0 = spark

@@ -805,6 +805,17 @@ class ScaleSpec extends GraftSpec {
     assert(!exec.contains("Window"), s"no window anywhere:\n$exec")
   }
 
+  test("diff in diff: one map-combined cell pass, 1-row broadcasts only") {
+    val q = graft.ops.Events.diffInDiff(spark, sf)
+    q.collect()
+    val exec = q.queryExecution.executedPlan.toString
+    assert("partial_(count|sum)".r.findFirstIn(exec).isDefined,
+      s"the (type, period) collapse must combine map-side:\n$exec")
+    assert(!exec.contains("CartesianProduct") && !exec.contains("SortMergeJoin"),
+      s"cutoff and totals are 1-row broadcasts:\n$exec")
+    assert(!exec.contains("Window"), s"no window anywhere:\n$exec")
+  }
+
   test("user gini: histogram window only — no users-sized sort frame") {
     val exec = graft.ops.Events.userGini(spark, sf)
       .queryExecution.executedPlan.toString
