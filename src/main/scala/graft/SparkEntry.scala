@@ -224,6 +224,7 @@ object SparkEntry {
     "recon_referential_integrity" -> (Recon.referentialIntegrity _),
     "sample_temperature_mix"   -> (Sampling.temperatureMix _),
     "events_diff_in_diff"      -> (Events.diffInDiff _),
+    "recon_pk_uniqueness"      -> (Recon.pkUniqueness _),
     "corpus_filter_funnel"     -> ((s, d) => Text.filterFunnel(s, d)),
     "sample_cap_per_source"    -> ((s, d) =>
       Sampling.capPerSource(s, d, k = Sampling.HarnessCapK)),
@@ -344,7 +345,7 @@ object SparkEntry {
     "events_weekly_churn", "orders_backlog_aging", "dedup_containment",
     "langid_eval_metrics", "user_activity_features", "embed_pq_codebook",
     "recon_referential_integrity", "sample_temperature_mix",
-    "events_diff_in_diff")
+    "events_diff_in_diff", "recon_pk_uniqueness")
 
   /** DuckDB spelling of [[graft.ops.Vectors.lshBucket]]: the 8 sign bits
     * against the SAME hyperplane doubles, interpolated from
@@ -2368,6 +2369,36 @@ object SparkEntry {
         |SELECT CAST(i AS BIGINT) dim_i, CAST(j AS BIGINT) dim_j, corr,
         |  abs(corr) + 0 AS abs_corr
         |FROM r ORDER BY abs(corr) DESC, i, j LIMIT 20""".stripMargin,
+
+    "recon_pk_uniqueness" ->
+      // exact counts; the composite key counts DISTINCT STRUCTS on
+      // both engines (struct non-NULL even with NULL fields)
+      """WITH checks AS (
+        |  SELECT 'customer.c_custkey' pk, count(*) n_rows,
+        |    count(DISTINCT c_custkey) n_distinct FROM customer
+        |  UNION ALL SELECT 'documents.doc_id', count(*),
+        |    count(DISTINCT doc_id) FROM documents
+        |  UNION ALL SELECT 'embeddings.vec_id', count(*),
+        |    count(DISTINCT vec_id) FROM embeddings
+        |  UNION ALL SELECT 'events.event_id', count(*),
+        |    count(DISTINCT event_id) FROM events
+        |  UNION ALL SELECT 'lineitem.(l_orderkey,l_linenumber)', count(*),
+        |    count(DISTINCT (l_orderkey, l_linenumber)) FROM lineitem
+        |  UNION ALL SELECT 'nation.n_nationkey', count(*),
+        |    count(DISTINCT n_nationkey) FROM nation
+        |  UNION ALL SELECT 'orders.o_orderkey', count(*),
+        |    count(DISTINCT o_orderkey) FROM orders
+        |  UNION ALL SELECT 'part.p_partkey', count(*),
+        |    count(DISTINCT p_partkey) FROM part
+        |  UNION ALL SELECT 'region.r_regionkey', count(*),
+        |    count(DISTINCT r_regionkey) FROM region
+        |  UNION ALL SELECT 'supplier.s_suppkey', count(*),
+        |    count(DISTINCT s_suppkey) FROM supplier)
+        |SELECT pk, CAST(n_rows AS BIGINT) n_rows,
+        |  CAST(n_distinct AS BIGINT) n_distinct,
+        |  CAST(n_rows - n_distinct AS BIGINT) n_extra_rows,
+        |  n_rows = n_distinct AS is_unique
+        |FROM checks ORDER BY pk""".stripMargin,
 
     "events_diff_in_diff" ->
       // exact integer midpoint cutoff; per-cell micro sums; every MEAN

@@ -1233,6 +1233,45 @@ object Recon {
       .select(lit(label).as("fk"), col("n_rows"), col("n_orphans"))
   }
 
+  /** Primary-key uniqueness audit across every table in the corpus —
+    * [[referentialIntegrity]]'s sibling (keys must be unique before
+    * orphan checks mean anything): per declared key, row count,
+    * distinct-key count, surplus rows and a uniqueness flag. On the
+    * current synthetic corpus this is the op that REPORTS lineitem's
+    * (l_orderkey, l_linenumber) as non-unique — a real data finding,
+    * not a bug.
+    *
+    * Exactness: all counts exact. The composite key counts DISTINCT
+    * STRUCTS on both engines (Spark `countDistinct(struct(...))` ≡
+    * DuckDB `count(DISTINCT (a, b))` — the struct is non-NULL even if
+    * a field is NULL, unlike multi-arg countDistinct which drops such
+    * rows).
+    *
+    * 100 TB posture: one map-combined count-distinct pass per table
+    * (partial dedup before the shuffle), ten 1-row frames unioned. */
+  def pkUniqueness(spark: SparkSession, dir: String): DataFrame = {
+    def one(label: String, df: DataFrame, key: Column): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"), countDistinct(key).as("n_distinct"))
+        .select(lit(label).as("pk"), col("n_rows"), col("n_distinct"))
+    val checks = Seq(
+      one("customer.c_custkey", Tables.customer(spark, dir), col("c_custkey")),
+      one("documents.doc_id", Tables.documents(spark, dir), col("doc_id")),
+      one("embeddings.vec_id", Tables.embeddings(spark, dir), col("vec_id")),
+      one("events.event_id", Tables.events(spark, dir), col("event_id")),
+      one("lineitem.(l_orderkey,l_linenumber)", Tables.lineitem(spark, dir),
+        struct(col("l_orderkey"), col("l_linenumber"))),
+      one("nation.n_nationkey", Tables.nation(spark, dir), col("n_nationkey")),
+      one("orders.o_orderkey", Tables.orders(spark, dir), col("o_orderkey")),
+      one("part.p_partkey", Tables.part(spark, dir), col("p_partkey")),
+      one("region.r_regionkey", Tables.region(spark, dir), col("r_regionkey")),
+      one("supplier.s_suppkey", Tables.supplier(spark, dir), col("s_suppkey")))
+    checks.reduce(_ unionByName _)
+      .select(col("pk"), col("n_rows"), col("n_distinct"),
+        (col("n_rows") - col("n_distinct")).as("n_extra_rows"),
+        (col("n_rows") === col("n_distinct")).as("is_unique"))
+      .orderBy("pk")
+  }
+
   /** Full referential-integrity audit over the star schema's seven
     * foreign-key edges — the recon op a warehouse runs after every
     * load: per edge, row count, orphan count (non-NULL keys with no

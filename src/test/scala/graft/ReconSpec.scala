@@ -661,4 +661,50 @@ class ReconSpec extends GraftSpec {
       .map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(sfGot("orders.o_custkey -> customer") === orphans.toLong)
   }
+
+  test("pk uniqueness: planted duplicate and NULL-field composite count right") {
+    val spark0 = spark
+    import spark0.implicits._
+    val d = s"$tmpDir/pku"
+    // composite key: (1,1) twice (a real dup), (2,NULL) twice (NULL
+    // field — still two IDENTICAL structs, so a dup under the struct
+    // contract), (3,1) unique → 6 rows, 3 distinct
+    Seq((1L, Some(1), 1.0), (1L, Some(1), 2.0), (2L, None, 3.0),
+      (2L, None, 4.0), (3L, Some(1), 5.0), (1L, Some(2), 6.0))
+      .toDF("l_orderkey", "l_linenumber", "l_quantity")
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    Seq(Tuple1(1L)).toDF("o_orderkey")
+      .write.mode("overwrite").parquet(s"$d/orders.parquet")
+    Seq(Tuple1(1L)).toDF("c_custkey")
+      .write.mode("overwrite").parquet(s"$d/customer.parquet")
+    Seq(Tuple1(1L)).toDF("doc_id")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    Seq(Tuple1(1L)).toDF("vec_id")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    Seq((1L, 1735689600L * 1000000000L, 1L, "a", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    Seq(Tuple1(1)).toDF("n_nationkey")
+      .write.mode("overwrite").parquet(s"$d/nation.parquet")
+    Seq(Tuple1(1L)).toDF("p_partkey")
+      .write.mode("overwrite").parquet(s"$d/part.parquet")
+    Seq(Tuple1(1)).toDF("r_regionkey")
+      .write.mode("overwrite").parquet(s"$d/region.parquet")
+    Seq(Tuple1(1L)).toDF("s_suppkey")
+      .write.mode("overwrite").parquet(s"$d/supplier.parquet")
+    val got = Recon.pkUniqueness(spark, d).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(got("lineitem.(l_orderkey,l_linenumber)") === ((6L, 4L, 2L, false)),
+      "two dup groups collapse: 6 rows, 4 distinct structs")
+    assert(got("orders.o_orderkey") === ((1L, 1L, 0L, true)))
+    // sf recount of the flagged composite
+    val li = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_linenumber").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getInt(1))))
+    val sfGot = Recon.pkUniqueness(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(sfGot("lineitem.(l_orderkey,l_linenumber)") ===
+      ((li.length.toLong, li.distinct.length.toLong)))
+  }
 }

@@ -816,6 +816,16 @@ class ScaleSpec extends GraftSpec {
     assert(!exec.contains("Window"), s"no window anywhere:\n$exec")
   }
 
+  test("pk uniqueness: map-deduped distinct counts, 1-row branches only") {
+    val q = graft.ops.Recon.pkUniqueness(spark, sf)
+    q.collect()
+    val exec = q.queryExecution.executedPlan.toString
+    assert("partial_count".r.findFirstIn(exec).isDefined,
+      s"distinct counts must partial-aggregate map-side:\n$exec")
+    assert(!exec.contains("Join") && !exec.contains("Window"),
+      s"ten independent 1-row branches, union only:\n$exec")
+  }
+
   test("user gini: histogram window only — no users-sized sort frame") {
     val exec = graft.ops.Events.userGini(spark, sf)
       .queryExecution.executedPlan.toString
