@@ -225,6 +225,7 @@ object SparkEntry {
     "sample_temperature_mix"   -> (Sampling.temperatureMix _),
     "events_diff_in_diff"      -> (Events.diffInDiff _),
     "recon_pk_uniqueness"      -> (Recon.pkUniqueness _),
+    "orders_seasonality_index" -> (Relational.seasonalityIndex _),
     "corpus_filter_funnel"     -> ((s, d) => Text.filterFunnel(s, d)),
     "sample_cap_per_source"    -> ((s, d) =>
       Sampling.capPerSource(s, d, k = Sampling.HarnessCapK)),
@@ -345,7 +346,8 @@ object SparkEntry {
     "events_weekly_churn", "orders_backlog_aging", "dedup_containment",
     "langid_eval_metrics", "user_activity_features", "embed_pq_codebook",
     "recon_referential_integrity", "sample_temperature_mix",
-    "events_diff_in_diff", "recon_pk_uniqueness")
+    "events_diff_in_diff", "recon_pk_uniqueness",
+    "orders_seasonality_index")
 
   /** DuckDB spelling of [[graft.ops.Vectors.lshBucket]]: the 8 sign bits
     * against the SAME hyperplane doubles, interpolated from
@@ -2369,6 +2371,26 @@ object SparkEntry {
         |SELECT CAST(i AS BIGINT) dim_i, CAST(j AS BIGINT) dim_j, corr,
         |  abs(corr) + 0 AS abs_corr
         |FROM r ORDER BY abs(corr) DESC, i, j LIMIT 20""".stripMargin,
+
+    "orders_seasonality_index" ->
+      // both means' denominators clear: rev_moy·nm / (tr·n_months) as
+      // HUGEINT ≡ DECIMAL(38,0) products, one double division;
+      // month-weighted index mean ≡ 1 by construction
+      """WITH mt AS MATERIALIZED (
+        |  SELECT date_trunc('month', o_orderdate) m,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) * 10000 AS BIGINT)
+        |      rev4
+        |  FROM orders GROUP BY 1),
+        |tot AS MATERIALIZED (SELECT sum(rev4) tr, count(*) nm FROM mt),
+        |g AS (SELECT CAST(month(m) AS INT) moy, count(*) n_months,
+        |    sum(rev4) rev4 FROM mt GROUP BY 1)
+        |SELECT moy AS month_of_year, CAST(n_months AS BIGINT) n_months,
+        |  round(CAST(rev4 AS DOUBLE) / n_months / 10000.0, 2)
+        |    AS avg_monthly_revenue,
+        |  round(CAST(CAST(rev4 AS HUGEINT) * nm AS DOUBLE)
+        |    / CAST(CAST(tr AS HUGEINT) * n_months AS DOUBLE), 6)
+        |    AS seasonal_index
+        |FROM g CROSS JOIN tot ORDER BY moy""".stripMargin,
 
     "recon_pk_uniqueness" ->
       // exact counts; the composite key counts DISTINCT STRUCTS on

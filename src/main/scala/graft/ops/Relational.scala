@@ -2172,6 +2172,38 @@ object Relational {
       .orderBy("o_orderstatus", "bucket")
   }
 
+  /** Classical month-of-year seasonal indices over monthly revenue —
+    * the ratio-to-overall decomposition a demand planner reads before
+    * deseasonalizing anything: index = (mean revenue of that calendar
+    * month) / (overall monthly mean); 1.0 = no seasonality, and the
+    * month-count-weighted mean of the indices is 1 by construction (a
+    * built-in sanity identity).
+    *
+    * Exactness: monthly revenue in exact 1e-4-unit longs; the index
+    * clears both means' denominators — rev_moy·n_months_total /
+    * (rev_total·n_months_moy) as 128-bit integer products — leaving
+    * one identically-spelled double division, round 6dp.
+    *
+    * 100 TB posture: one map-combined monthly collapse; everything
+    * after is months-sized with a 1-row broadcast total. */
+  def seasonalityIndex(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val mt = Tables.orders(spark, dir)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("m"))
+      .agg(sum(Recon.cents(col("o_totalprice"))).as("rev4"))
+    val tot = mt.agg(sum(col("rev4")).as("tr"), count(lit(1)).as("nm"))
+    mt.groupBy(month(col("m")).as("moy"))
+      .agg(count(lit(1)).as("n_months"), sum(col("rev4")).as("rev4"))
+      .crossJoin(broadcast(tot))
+      .select(col("moy").as("month_of_year"), col("n_months"),
+        round(col("rev4").cast("double") / col("n_months") / 10000.0, 2)
+          .as("avg_monthly_revenue"),
+        round((col("rev4").cast(dec) * col("nm")).cast("double")
+          / (col("tr").cast(dec) * col("n_months")).cast("double"), 6)
+          .as("seasonal_index"))
+      .orderBy("month_of_year")
+  }
+
   /** Chi-square test of independence between order status and order
     * priority — the contingency-table screen ("does priority mix drift
     * by status?") that complements [[graft.ops.Recon.benfordDrift]]'s

@@ -791,6 +791,51 @@ class RelationalSpec extends GraftSpec {
     }
   }
 
+  test("seasonalityIndex: planted 2:1 winter gives exact indices; mean is 1") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = s"$tmpDir/seas"
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    // two years: Jan revenue 200/yr, Jul 100/yr → overall monthly mean
+    // 150 → indices exactly 4/3 and 2/3; weighted mean = 1 identically
+    val rows = Seq(
+      (1L, ts("2024-01-10"), 200.0), (2L, ts("2024-07-10"), 100.0),
+      (3L, ts("2025-01-10"), 200.0), (4L, ts("2025-07-10"), 100.0))
+    rows.toDF("o_orderkey", "o_orderdate", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = Relational.seasonalityIndex(spark, dir).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(got.keySet === Set(1, 7))
+    assert(got(1) === ((2L, 200.0, 1.333333)))
+    assert(got(7) === ((2L, 100.0, 0.666667)))
+    // sf identity: the month-count-weighted index mean is 1
+    val sfGot = Relational.seasonalityIndex(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getDouble(3)))
+    val wmean = sfGot.map { case (n, i) => n * i }.sum / sfGot.map(_._1).sum
+    assert(math.abs(wmean - 1.0) < 1e-4, s"weighted index mean $wmean")
+    // sf recount: cents-exact cleared-denominator replication
+    val mt = Tables.orders(spark, sf)
+      .select(date_trunc("month", col("o_orderdate")).cast("date")
+        .cast("string").as("m"), col("o_totalprice")).collect()
+      .map(r => (r.getString(0), BigDecimal(r.getDouble(1))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .underlying.unscaledValue.longValue))
+      .groupBy(_._1).view.mapValues(v => BigInt(v.map(_._2).sum)).toMap
+    val tr = mt.values.sum
+    val nm = mt.size
+    val byMoy = mt.toSeq.groupBy(x => x._1.substring(5, 7).toInt)
+    Relational.seasonalityIndex(spark, sf).collect().foreach { r =>
+      val ms = byMoy(r.getInt(0))
+      val rev = ms.map(_._2).sum
+      assert(r.getLong(1) === ms.size.toLong)
+      assert(r.getDouble(3) === BigDecimal(
+        (rev * nm).toDouble / (tr * ms.size).toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        s"index moy ${r.getInt(0)}")
+    }
+  }
+
   test("paretoAbc: exact boundary equality pushes the crossing value down a class") {
     val spark0 = spark
     import spark0.implicits._

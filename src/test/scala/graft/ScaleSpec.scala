@@ -826,6 +826,17 @@ class ScaleSpec extends GraftSpec {
       s"ten independent 1-row branches, union only:\n$exec")
   }
 
+  test("seasonality index: map-combined monthly collapse, 1-row total") {
+    val q = graft.ops.Relational.seasonalityIndex(spark, sf)
+    q.collect()
+    val exec = q.queryExecution.executedPlan.toString
+    assert("partial_sum".r.findFirstIn(exec).isDefined,
+      s"the monthly collapse must combine map-side:\n$exec")
+    assert(!exec.contains("CartesianProduct") && !exec.contains("SortMergeJoin"),
+      s"only the 1-row total may cross, as a broadcast:\n$exec")
+    assert(!exec.contains("Window"), s"no window anywhere:\n$exec")
+  }
+
   test("user gini: histogram window only — no users-sized sort frame") {
     val exec = graft.ops.Events.userGini(spark, sf)
       .queryExecution.executedPlan.toString
