@@ -226,6 +226,7 @@ object SparkEntry {
     "events_diff_in_diff"      -> (Events.diffInDiff _),
     "recon_pk_uniqueness"      -> (Recon.pkUniqueness _),
     "orders_seasonality_index" -> (Relational.seasonalityIndex _),
+    "events_value_anova"       -> (Events.valueAnova _),
     "corpus_filter_funnel"     -> ((s, d) => Text.filterFunnel(s, d)),
     "sample_cap_per_source"    -> ((s, d) =>
       Sampling.capPerSource(s, d, k = Sampling.HarnessCapK)),
@@ -347,7 +348,7 @@ object SparkEntry {
     "langid_eval_metrics", "user_activity_features", "embed_pq_codebook",
     "recon_referential_integrity", "sample_temperature_mix",
     "events_diff_in_diff", "recon_pk_uniqueness",
-    "orders_seasonality_index")
+    "orders_seasonality_index", "events_value_anova")
 
   /** DuckDB spelling of [[graft.ops.Vectors.lshBucket]]: the 8 sign bits
     * against the SAME hyperplane doubles, interpolated from
@@ -2391,6 +2392,43 @@ object SparkEntry {
         |    / CAST(CAST(tr AS HUGEINT) * n_months AS DOUBLE), 6)
         |    AS seasonal_index
         |FROM g CROSS JOIN tot ORDER BY moy""".stripMargin,
+
+    "events_value_anova" ->
+      // per-group within-SS terms have EXACT 128-bit numerators
+      // (Q·n − S²) with one division rounded 6dp into micro-longs
+      // before exact sums; SSB = SST − SSW is a pure integer
+      // difference, F one division of 128-bit products; +0 on the
+      // negative-able rounded outputs (SSB can round a few micro
+      // negative on a null-effect board — identically on both engines)
+      """WITH v AS MATERIALIZED (
+        |  SELECT event_type t, CAST(round(round(value, 6) * 1e6) AS BIGINT) v6
+        |  FROM events WHERE value IS NOT NULL),
+        |g AS MATERIALIZED (
+        |  SELECT t, count(*) n, sum(v6) s, sum(CAST(v6 AS HUGEINT) * v6) q
+        |  FROM v GROUP BY 1),
+        |gw AS (SELECT t, n, s, q,
+        |    CAST(round(round(CAST(q * n - CAST(s AS HUGEINT) * s AS DOUBLE)
+        |      / n / 1e12, 6) * 1e6) AS BIGINT) ssw_micro
+        |  FROM g),
+        |tot AS (SELECT sum(n) nn, sum(s) ss, sum(q) qq, count(*) k,
+        |    sum(ssw_micro) ssw FROM gw),
+        |t2 AS (SELECT nn, k, ssw,
+        |    CAST(round(round(CAST(qq * nn - ss * ss AS DOUBLE) / nn / 1e12, 6)
+        |      * 1e6) AS BIGINT) sst
+        |  FROM tot),
+        |f AS (SELECT nn, k, ssw, sst, sst - ssw ssb,
+        |    CASE WHEN ssw > 0 AND k > 1 AND nn > k THEN
+        |      round(CAST(CAST(sst - ssw AS HUGEINT) * (nn - k) AS DOUBLE)
+        |        / CAST(CAST(ssw AS HUGEINT) * (k - 1) AS DOUBLE), 6) + 0
+        |    END f_stat
+        |  FROM t2)
+        |SELECT g.t AS event_type, CAST(g.n AS BIGINT) n,
+        |  round(CAST(g.s AS DOUBLE) / g.n / 1e6, 6) + 0 AS mean_value,
+        |  round(gw.ssw_micro / 1e6 / g.n, 6) AS var_pop,
+        |  CAST(f.k AS BIGINT) k_groups, f.f_stat,
+        |  CASE WHEN f.sst > 0 THEN
+        |    round(CAST(f.ssb AS DOUBLE) / f.sst, 6) + 0 END AS eta_squared
+        |FROM g JOIN gw ON g.t = gw.t CROSS JOIN f ORDER BY 1""".stripMargin,
 
     "recon_pk_uniqueness" ->
       // exact counts; the composite key counts DISTINCT STRUCTS on

@@ -1308,6 +1308,59 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** One-way ANOVA of event value across event types — the remaining
+    * classical test next to the suite's χ² (independence), KS/W₁
+    * (distribution drift) and DiD (causal screen): does TYPE explain
+    * value variance? Per-type group stats plus the shared F statistic
+    * and effect size η² = SSB/SST.
+    *
+    * Exactness: values quantize to 6-dp micro longs; each group's
+    * within-SS term has an EXACT 128-bit numerator (Q·n − S²) and one
+    * identically-spelled division rounded 6dp into micro-longs before
+    * the exact sums (the lm_score discipline); the total SS uses the
+    * same chain, so SSB = SST − SSW is a pure integer difference and
+    * F = SSB·(n−k) / (SSW·(k−1)) is one double division of 128-bit
+    * products. Degenerate boards (one group, constant corpus) NULL
+    * through identical guards.
+    *
+    * 100 TB posture: ONE map-combined (type) moment pass; everything
+    * after is types-sized with a 1-row broadcast F frame. */
+  def valueAnova(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val g = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type").as("t"),
+        round(round(col("value"), 6) * 1e6, 0).cast("long").as("v6"))
+      .groupBy("t")
+      .agg(count(lit(1)).as("n"), sum(col("v6")).as("s"),
+        sum(col("v6").cast(dec) * col("v6")).as("q"))
+    def ss6(qC: org.apache.spark.sql.Column, nC: org.apache.spark.sql.Column,
+            sC: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      round(round((qC * nC - sC.cast(dec) * sC).cast("double")
+        / nC / 1e12, 6) * 1e6, 0).cast("long")
+    val gw = g.withColumn("ssw_micro", ss6(col("q"), col("n"), col("s")))
+    val tot = gw.agg(sum(col("n")).as("nn"), sum(col("s")).as("ss"),
+      sum(col("q")).as("qq"), count(lit(1)).as("k"),
+      sum(col("ssw_micro")).as("ssw"))
+    val f = tot
+      .withColumn("sst", ss6(col("qq"), col("nn"), col("ss")))
+      .withColumn("ssb", col("sst") - col("ssw"))
+      .withColumn("f_stat", when(col("ssw") > 0 && col("k") > 1
+          && col("nn") > col("k"),
+        round((col("ssb").cast(dec) * (col("nn") - col("k"))).cast("double")
+          / (col("ssw").cast(dec) * (col("k") - 1)).cast("double"), 6) + 0))
+    gw.crossJoin(broadcast(f.select("k", "sst", "ssb", "f_stat")))
+      .select(col("t").as("event_type"), col("n"),
+        (round(col("s").cast("double") / col("n") / 1e6, 6) + 0)
+          .as("mean_value"),
+        round(col("ssw_micro") / 1e6 / col("n"), 6).as("var_pop"),
+        col("k").as("k_groups"), col("f_stat"),
+        (when(col("sst") > 0,
+          round(col("ssb").cast("double") / col("sst"), 6)) + 0)
+          .as("eta_squared"))
+      .orderBy("event_type")
+  }
+
   /** Engagement-inequality Gini per event type over per-user event
     * counts — the "does 1% of users generate 90% of the traffic"
     * dashboard number (0 = uniform, →1 = one user is the firehose).

@@ -731,6 +731,51 @@ class EventsSpec extends GraftSpec {
     }
   }
 
+  test("value anova: planted separation gives the textbook F; null effect ~0") {
+    import EventsFixture.RawEv
+    val spark0 = spark
+    import spark0.implicits._
+    val base = 1735689600L * 1000000000L
+    // group A: {1,3} (mean 2, SS 2), group B: {5,7} (mean 6, SS 2) →
+    // SSW = 4, grand mean 4, SSB = 2·4+2·4 = 16, F = 16·2/(4·1) = 8,
+    // η² = 16/20 = 0.8
+    val rows = Seq(("A", 1.0), ("A", 3.0), ("B", 5.0), ("B", 7.0))
+      .zipWithIndex.map { case ((t, v), i) =>
+        RawEv(i.toLong, base + i * 1000000000L, 1L, t, v, "{}")
+      }
+    val d = s"$tmpDir/anova"
+    rows.toDF().write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = Events.valueAnova(spark, d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got("A").getDouble(2) === 2.0 && got("B").getDouble(2) === 6.0)
+    assert(got("A").getDouble(3) === 1.0, "pop variance of {1,3}")
+    assert(got("A").getLong(4) === 2L)
+    assert(got("A").getDouble(5) === 8.0, "F exactly 8")
+    assert(got("A").getDouble(6) === 0.8, "eta squared exactly 0.8")
+    // null effect: identical groups → F ≈ 0 (within a few rounded micro)
+    val rows2 = Seq(("A", 1.0), ("A", 3.0), ("B", 1.0), ("B", 3.0))
+      .zipWithIndex.map { case ((t, v), i) =>
+        RawEv(i.toLong, base + i * 1000000000L, 1L, t, v, "{}")
+      }
+    val d2 = s"$tmpDir/anova0"
+    rows2.toDF().write.mode("overwrite").parquet(s"$d2/events.parquet")
+    val z = Events.valueAnova(spark, d2).collect().head
+    assert(math.abs(z.getDouble(5)) < 1e-5, "null effect: F ~ 0")
+    // sf recount of the group moments feeding the terms
+    val raw = Tables.events(spark, sf).filter(col("value").isNotNull)
+      .select(col("event_type"),
+        round(round(col("value"), 6) * 1e6, 0).cast("long").as("v6"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val by = raw.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    Events.valueAnova(spark, sf).collect().foreach { r =>
+      val vs = by(r.getString(0))
+      assert(r.getLong(1) === vs.length.toLong)
+      val mean = BigDecimal(vs.map(BigInt(_)).sum.toDouble / vs.length / 1e6)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+      assert(r.getDouble(2) === mean, s"${r.getString(0)} mean")
+    }
+  }
+
   test("stickiness: hand fixture is exact; sf values recompute from raw pairs") {
     import EventsFixture.RawEv
     val spark0 = spark

@@ -837,6 +837,17 @@ class ScaleSpec extends GraftSpec {
     assert(!exec.contains("Window"), s"no window anywhere:\n$exec")
   }
 
+  test("value anova: one map-combined moment pass, 1-row F broadcast") {
+    val q = graft.ops.Events.valueAnova(spark, sf)
+    q.collect()
+    val exec = q.queryExecution.executedPlan.toString
+    assert("partial_(count|sum)".r.findFirstIn(exec).isDefined,
+      s"the per-type moment pass must combine map-side:\n$exec")
+    assert(!exec.contains("CartesianProduct") && !exec.contains("SortMergeJoin"),
+      s"the 1-row F frame broadcasts; the stats self-join is types-sized:\n$exec")
+    assert(!exec.contains("Window"), s"no window anywhere:\n$exec")
+  }
+
   test("user gini: histogram window only — no users-sized sort frame") {
     val exec = graft.ops.Events.userGini(spark, sf)
       .queryExecution.executedPlan.toString
