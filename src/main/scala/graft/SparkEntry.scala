@@ -227,6 +227,7 @@ object SparkEntry {
     "recon_pk_uniqueness"      -> (Recon.pkUniqueness _),
     "orders_seasonality_index" -> (Relational.seasonalityIndex _),
     "events_value_anova"       -> (Events.valueAnova _),
+    "customer_spend_migration" -> (Relational.spendMigration _),
     "corpus_filter_funnel"     -> ((s, d) => Text.filterFunnel(s, d)),
     "sample_cap_per_source"    -> ((s, d) =>
       Sampling.capPerSource(s, d, k = Sampling.HarnessCapK)),
@@ -348,7 +349,8 @@ object SparkEntry {
     "langid_eval_metrics", "user_activity_features", "embed_pq_codebook",
     "recon_referential_integrity", "sample_temperature_mix",
     "events_diff_in_diff", "recon_pk_uniqueness",
-    "orders_seasonality_index", "events_value_anova")
+    "orders_seasonality_index", "events_value_anova",
+    "customer_spend_migration")
 
   /** DuckDB spelling of [[graft.ops.Vectors.lshBucket]]: the 8 sign bits
     * against the SAME hyperplane doubles, interpolated from
@@ -2392,6 +2394,38 @@ object SparkEntry {
         |    / CAST(CAST(tr AS HUGEINT) * n_months AS DOUBLE), 6)
         |    AS seasonal_index
         |FROM g CROSS JOIN tot ORDER BY moy""".stripMargin,
+
+    "customer_spend_migration" ->
+      // exact integer midpoint cutoff; band edges are 128-bit integer
+      // comparisons with the mean's denominator cleared (2·rev·n vs
+      // Σrev / 3·Σrev); churn/acquisition via full outer join
+      """WITH b AS MATERIALIZED (
+        |  SELECT min(date_trunc('day', o_orderdate)) d0,
+        |    max(date_trunc('day', o_orderdate)) d1 FROM orders),
+        |cut AS MATERIALIZED (
+        |  SELECT d0 + INTERVAL (date_diff('day', d0, d1) // 2) DAY c FROM b),
+        |cp AS MATERIALIZED (
+        |  SELECT o_custkey k, date_trunc('day', o_orderdate) < c pre,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) * 10000 AS BIGINT)
+        |      rev4
+        |  FROM orders CROSS JOIN cut GROUP BY 1, 2),
+        |pt AS MATERIALIZED (
+        |  SELECT pre, sum(rev4) ts, count(*) nc FROM cp GROUP BY 1),
+        |cls AS (SELECT cp.k, cp.pre,
+        |    CASE WHEN 2 * CAST(cp.rev4 AS HUGEINT) * pt.nc < pt.ts THEN 'low'
+        |         WHEN 2 * CAST(cp.rev4 AS HUGEINT) * pt.nc
+        |           > 3 * CAST(pt.ts AS HUGEINT) THEN 'high'
+        |         ELSE 'mid' END band
+        |  FROM cp JOIN pt USING (pre)),
+        |m AS (SELECT coalesce(a.band, 'absent') band_before,
+        |    coalesce(bb.band, 'absent') band_after, count(*) n_customers
+        |  FROM (SELECT k, band FROM cls WHERE pre) a
+        |  FULL OUTER JOIN (SELECT k, band FROM cls WHERE NOT pre) bb USING (k)
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT sum(n_customers) t FROM m)
+        |SELECT band_before, band_after, CAST(n_customers AS BIGINT) n_customers,
+        |  round(CAST(n_customers AS DOUBLE) / t, 6) AS share
+        |FROM m CROSS JOIN tot ORDER BY 1, 2""".stripMargin,
 
     "events_value_anova" ->
       // per-group within-SS terms have EXACT 128-bit numerators

@@ -2204,6 +2204,58 @@ object Relational {
       .orderBy("month_of_year")
   }
 
+  /** Customer spend-band migration matrix: the corpus splits at its
+    * midpoint day, each period classifies every active customer into
+    * low / mid / high relative to that period's mean customer spend,
+    * and the matrix counts every (band_before → band_after) flow
+    * including churn ('absent' after) and acquisition ('absent'
+    * before) — the segment-migration artifact behind retention
+    * reviews.
+    *
+    * Exactness: the cutoff is exact integer day arithmetic; per-period
+    * revenue in exact 1e-4-unit longs; band edges are EXACT 128-bit
+    * integer comparisons with the mean's denominator cleared
+    * (2·rev·n < Σrev and 2·rev·n > 3·Σrev — never a ratio near a
+    * boundary); counts exact, the share a single identical division.
+    *
+    * 100 TB posture: one map-combined (customer, period) collapse;
+    * the 2-row period totals broadcast; the before/after full outer
+    * join keys on customer; the matrix is ≤ 4×4 rows. */
+  def spendMigration(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val o = Tables.orders(spark, dir)
+    val b = o.agg(min(date_trunc("DAY", col("o_orderdate"))).as("d0"),
+      max(date_trunc("DAY", col("o_orderdate"))).as("d1"))
+    val cut = b.select(date_add(col("d0").cast("date"),
+      (datediff(col("d1"), col("d0")) / 2).cast("int")).as("c"))
+    val cp = o.crossJoin(broadcast(cut))
+      .groupBy(col("o_custkey").as("k"),
+        (date_trunc("DAY", col("o_orderdate")).cast("date") < col("c"))
+          .as("pre"))
+      .agg(sum(Recon.cents(col("o_totalprice"))).as("rev4"))
+    val pt = cp.groupBy("pre")
+      .agg(sum(col("rev4")).as("ts"), count(lit(1)).as("nc"))
+    val cls = cp.join(broadcast(pt), "pre")
+      .select(col("k"), col("pre"),
+        when(lit(2) * col("rev4").cast(dec) * col("nc") < col("ts"), "low")
+          .when(lit(2) * col("rev4").cast(dec) * col("nc")
+            > lit(3) * col("ts").cast(dec), "high")
+          .otherwise("mid").as("band"))
+    val before = cls.filter(col("pre"))
+      .select(col("k"), col("band").as("ba"))
+    val after = cls.filter(!col("pre"))
+      .select(col("k").as("k2"), col("band").as("bb"))
+    val m = before.join(after, col("k") === col("k2"), "full_outer")
+      .groupBy(coalesce(col("ba"), lit("absent")).as("band_before"),
+        coalesce(col("bb"), lit("absent")).as("band_after"))
+      .agg(count(lit(1)).as("n_customers"))
+    val tot = m.agg(sum(col("n_customers")).as("t"))
+    m.crossJoin(broadcast(tot))
+      .select(col("band_before"), col("band_after"), col("n_customers"),
+        round(col("n_customers").cast("double") / col("t"), 6).as("share"))
+      .orderBy("band_before", "band_after")
+  }
+
   /** Chi-square test of independence between order status and order
     * priority — the contingency-table screen ("does priority mix drift
     * by status?") that complements [[graft.ops.Recon.benfordDrift]]'s

@@ -836,6 +836,40 @@ class RelationalSpec extends GraftSpec {
     }
   }
 
+  test("spendMigration: planted flows incl. churn/acquisition are exact") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = s"$tmpDir/migration"
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    // 10-day span → cutoff day 4. Before (days 0-3): c1=100, c2=100,
+    // c3=400 → mean 200, edges <100 / >300: c1,c2 mid-boundary?
+    // 2·100·3 = 600 = Σ600·... Σ=600: 2·100·3=600 NOT < 600 → mid;
+    // 2·400·3=2400 > 3·600=1800 → high. After (days 4-9): c1=10,
+    // c2 absent (churn), c4=10 (acquired) → mean 10: both mid.
+    val rows = Seq(
+      (1L, 10L, ts("2025-01-01"), 100.0), (2L, 20L, ts("2025-01-02"), 100.0),
+      (3L, 30L, ts("2025-01-03"), 400.0),
+      (4L, 10L, ts("2025-01-08"), 10.0), (5L, 40L, ts("2025-01-09"), 10.0),
+      (6L, 30L, ts("2025-01-10"), 980.0))
+    rows.toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    // after-period spends: c1=10, c4=10, c3=980 → Σ=1000, n=3, mean 333:
+    // c1/c4: 2·10·3=60 < 1000 → low; c3: 2·980·3=5880 > 3000 → high
+    val got = Relational.spendMigration(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got(("mid", "low")) === ((1L, 0.25)), "c1: mid → low")
+    assert(got(("mid", "absent")) === ((1L, 0.25)), "c2 churned")
+    assert(got(("high", "high")) === ((1L, 0.25)), "c3 stays high")
+    assert(got(("absent", "low")) === ((1L, 0.25)), "c4 acquired")
+    assert(got.size === 4)
+    // sf invariant: flows partition all customers ever active
+    val nCust = Tables.orders(spark, sf).select("o_custkey").distinct().count()
+    val sfGot = Relational.spendMigration(spark, sf).collect()
+    assert(sfGot.map(_.getLong(2)).sum === nCust,
+      "every customer appears in exactly one flow")
+  }
+
   test("paretoAbc: exact boundary equality pushes the crossing value down a class") {
     val spark0 = spark
     import spark0.implicits._

@@ -848,6 +848,17 @@ class ScaleSpec extends GraftSpec {
     assert(!exec.contains("Window"), s"no window anywhere:\n$exec")
   }
 
+  test("spend migration: customer-keyed flows, 2-row totals broadcast") {
+    val q = graft.ops.Relational.spendMigration(spark, sf)
+    q.collect()
+    val exec = q.queryExecution.executedPlan.toString
+    assert("partial_sum".r.findFirstIn(exec).isDefined,
+      s"the (customer, period) collapse must combine map-side:\n$exec")
+    assert(!exec.contains("CartesianProduct"),
+      s"cutoff/totals broadcast; the flow join keys on customer:\n$exec")
+    assert(!exec.contains("Window"), s"no window anywhere:\n$exec")
+  }
+
   test("user gini: histogram window only — no users-sized sort frame") {
     val exec = graft.ops.Events.userGini(spark, sf)
       .queryExecution.executedPlan.toString
