@@ -33,6 +33,7 @@ object SparkEntry {
     "streaming_click_attribution" -> (Events.clickAttributionParity _),
     "streaming_zscore"         -> (Events.streamingZscoreParity _),
     "streaming_cdc_apply"      -> (Changes.cdcApplyParity _),
+    "streaming_dedup"          -> (Events.dedupStreamParity _),
     "recon_schema_drift"       -> (Recon.schemaDriftDisk _),
     "recon_reconcile_all"      -> (Recon.reconcileAllDemo _),
     "recon_profile"            -> (Recon.profileOrders _),
@@ -332,6 +333,7 @@ object SparkEntry {
     "text_bpe_segment", "embed_quantize_stats", "sample_cap_per_source",
     "streaming_mix_drift", "streaming_streak_alerts", "streaming_topk",
     "streaming_click_attribution", "streaming_zscore", "streaming_cdc_apply",
+    "streaming_dedup",
     "text_boilerplate_ngrams", "embed_dim_stats", "dedup_lsh_calibration",
     "events_mad_outliers", "corpus_filter_funnel", "recon_ks_drift",
     "dedup_winnow", "decontaminate_winnow", "graph_pagerank",
@@ -1983,9 +1985,13 @@ object SparkEntry {
     "graph_components" -> componentsSql,
     "events_markov_stationary" -> markovSql,
     "text_js_divergence" ->
-      // per-token JSD terms rounded 6-dp then exact micro-unit sums
-      // (lm_score recipe); absent-token mass closes analytically as
-      // (ng − Σ_present cg)/(2·ng) — no outer join against the vocab
+      // per-log2 6-dp rounds over EXACT integer-ratio arguments
+      // (p/m = 2·cs·ng/(cs·ng+cg·na), HUGEINT ≡ DECIMAL(38,0)), then
+      // per-term 6-dp rounds into exact micro-unit sums (lm_score
+      // recipe, per-log hardened against libm-build ulp ties);
+      // absent-token mass closes analytically as (ng − Σ_present
+      // cg)/(2·ng) — no outer join against the vocab; `+ 0` guards
+      // the negative-zero split on jsd
       """WITH toks AS (SELECT source, tok FROM (
         |    SELECT source, unnest(string_split(lower(text), ' ')) tok
         |    FROM documents) WHERE tok <> ''),
@@ -1994,15 +2000,20 @@ object SparkEntry {
         |na AS (SELECT source, sum(cs) na FROM sc GROUP BY 1),
         |ng AS (SELECT sum(cg) ng FROM gc),
         |j AS (SELECT source, na, ng, cg,
-        |    round(0.5 * (p * log2(p / m) + q * log2(q / m)), 6) t6
-        |  FROM (SELECT source, na, ng, cg, p, q, (p + q) / 2 m
+        |    round(0.5 * (p * lp6 + q * lq6), 6) t6
+        |  FROM (SELECT source, na, ng, cg, p, q,
+        |      round(log2(CAST(csng * 2 AS DOUBLE) / CAST(den AS DOUBLE)), 6) lp6,
+        |      round(log2(CAST(cgna * 2 AS DOUBLE) / CAST(den AS DOUBLE)), 6) lq6
         |    FROM (SELECT sc.source, sc.cs, gc.cg, na.na, ng.ng,
-        |        CAST(sc.cs AS DOUBLE) / na p, CAST(gc.cg AS DOUBLE) / ng q
+        |        CAST(sc.cs AS DOUBLE) / na p, CAST(gc.cg AS DOUBLE) / ng q,
+        |        CAST(sc.cs AS HUGEINT) * ng csng,
+        |        CAST(gc.cg AS HUGEINT) * na cgna,
+        |        CAST(sc.cs AS HUGEINT) * ng + CAST(gc.cg AS HUGEINT) * na den
         |      FROM sc JOIN gc USING (tok) JOIN na USING (source) CROSS JOIN ng)))
         |SELECT source, max(na) AS n_tokens, CAST(count(*) AS BIGINT) AS vocab,
         |  round(CAST(sum(CAST(round(t6 * 1e6) AS BIGINT))
         |      + CAST(round(round(CAST(max(ng) - sum(cg) AS DOUBLE)
-        |        / (2.0 * max(ng)), 6) * 1e6) AS BIGINT) AS DOUBLE) / 1e6, 6)
+        |        / (2.0 * max(ng)), 6) * 1e6) AS BIGINT) AS DOUBLE) / 1e6, 6) + 0
         |    AS jsd
         |FROM j GROUP BY source ORDER BY source""".stripMargin,
     "graph_triangles" ->
@@ -2180,7 +2191,8 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) wp
         |  FROM hist),
         |s AS (SELECT event_type, sum(w) n, sum(CAST(v AS HUGEINT) * w) sx,
-        |    sum(CAST(v AS HUGEINT) * (w * wp * 2 + w * (w + 1))) six2
+        |    sum(CAST(v AS HUGEINT) * (CAST(w AS HUGEINT) * wp * 2
+        |      + CAST(w AS HUGEINT) * (w + 1))) six2
         |  FROM cum GROUP BY 1)
         |SELECT event_type, CAST(n AS BIGINT) n_users,
         |  CAST(sx AS BIGINT) total_events,
@@ -2242,8 +2254,9 @@ object SparkEntry {
         |  round(contrib_micro / 1e6, 6) AS contrib,
         |  round(chi2_micro / 1e6, 6) AS chi2_total,
         |  CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
-        |  round(sqrt(CAST(chi2_micro AS DOUBLE) / 1e6 / n
-        |    / least(r - 1, c - 1)), 6) AS cramers_v
+        |  CASE WHEN least(r - 1, c - 1) > 0 THEN
+        |    round(sqrt(CAST(chi2_micro AS DOUBLE) / 1e6 / n
+        |      / least(r - 1, c - 1)), 6) END AS cramers_v
         |FROM t CROSS JOIN s ORDER BY 1, 2""".stripMargin,
 
     "events_user_overlap" ->
@@ -2614,16 +2627,23 @@ object SparkEntry {
       // Lloyd round (exact DECIMAL(18,9) means, no normalization) and
       // the final L2 argmin all re-derived in SQL; every distance is
       // the identical chain x·x − 2·(x·c) + c·c with (d2, cid)
-      // tie-break; per-vector distortions round 6dp into micro-longs
-      """WITH v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+      // tie-break; per-vector distortions round 6dp into micro-longs.
+      // PQ geometry (train cap, subspaces, sub-dim, centroids)
+      // interpolates from the Vectors constants — the LmVocabCap/
+      // RakeMaxLen pattern — so a knob change can't desynchronize
+      // engine and oracle
+      (s"""WITH v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
         |  FROM embeddings WHERE embedding IS NOT NULL),
         |tr AS (SELECT vec_id, v, md5(CAST(vec_id AS VARCHAR)) h FROM v0
-        |  ORDER BY h, vec_id LIMIT 50000),
-        |ts AS (SELECT vec_id, h, m, list_slice(v, m * 8 + 1, m * 8 + 8) sub
-        |  FROM tr CROSS JOIN range(0, 8) r(m)),
+        |  ORDER BY h, vec_id LIMIT ${Vectors.PqTrainCap}),
+        |ts AS (SELECT vec_id, h, m, list_slice(v,
+        |    m * ${Vectors.PqSubDim} + 1,
+        |    m * ${Vectors.PqSubDim} + ${Vectors.PqSubDim}) sub
+        |  FROM tr CROSS JOIN range(0, ${Vectors.PqSubspaces}) r(m)),
         |c0 AS (SELECT m, rn - 1 cid, sub cvec FROM (
         |    SELECT m, sub, row_number() OVER (
-        |      PARTITION BY m ORDER BY h, vec_id) rn FROM ts) WHERE rn <= 8),
+        |      PARTITION BY m ORDER BY h, vec_id) rn FROM ts)
+        |  WHERE rn <= ${Vectors.PqCentroids}),
         |a1 AS (SELECT m, vec_id, sub, cid FROM (
         |    SELECT t.m, t.vec_id, t.sub, c.cid, row_number() OVER (
         |      PARTITION BY t.m, t.vec_id ORDER BY
@@ -2636,8 +2656,10 @@ object SparkEntry {
         |  FROM (SELECT m, cid, generate_subscripts(sub, 1) pos,
         |      unnest(sub) x FROM a1) GROUP BY 1, 2, 3),
         |c1 AS (SELECT m, cid, list(mm ORDER BY pos) cvec FROM m1 GROUP BY 1, 2),
-        |fs AS (SELECT vec_id, m, list_slice(v, m * 8 + 1, m * 8 + 8) sub
-        |  FROM v0 CROSS JOIN range(0, 8) r(m)),
+        |fs AS (SELECT vec_id, m, list_slice(v,
+        |    m * ${Vectors.PqSubDim} + 1,
+        |    m * ${Vectors.PqSubDim} + ${Vectors.PqSubDim}) sub
+        |  FROM v0 CROSS JOIN range(0, ${Vectors.PqSubspaces}) r(m)),
         |asg AS (SELECT m, vec_id, cid,
         |    list_inner_product(sub, sub) - 2 * list_inner_product(sub, cvec)
         |      + list_inner_product(cvec, cvec) d2 FROM (
@@ -2651,7 +2673,7 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) n_assigned,
         |  round(CAST(sum(CAST(round(round(d2, 6) * 1e6) AS BIGINT)) AS DOUBLE)
         |    / count(*) / 1e6, 6) AS mean_distortion
-        |FROM asg GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+        |FROM asg GROUP BY 1, 2 ORDER BY 1, 2""").stripMargin,
 
     "graph_degree_distribution" ->
       // same strong (w ≥ 2) edge set as components/triangles; all
@@ -3539,13 +3561,16 @@ object SparkEntry {
       // re-derives StreamingOps.streamingTopK's sorted smallest-k
       // multiset (the MinK UDAF contract) as a per-group window rank —
       // the spelling MinK replaces at scale, exact at oracle size;
-      // l_quantity decimals cast to double exactly, list compares
-      // element-wise in ascending order
+      // l_quantity decimals cast to double exactly. Scalar (flag, rank,
+      // value) rows (the registry op posexplodes MinK's list) because
+      // the driver's pandas comparator cannot sort array cells; ties on
+      // l_quantity make row_number's rank assignment arbitrary among
+      // equal values, so the emitted triples are still deterministic.
       """WITH r AS (SELECT l_returnflag, CAST(l_quantity AS DOUBLE) q,
         |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) rn
         |  FROM lineitem)
-        |SELECT l_returnflag, list(q ORDER BY q) smallest
-        |FROM r WHERE rn <= 5 GROUP BY 1 ORDER BY 1""".stripMargin,
+        |SELECT l_returnflag, CAST(rn AS INT) AS rank, q AS value
+        |FROM r WHERE rn <= 5 ORDER BY 1, 2""".stripMargin,
 
     "streaming_click_attribution" ->
       // re-derives StreamingOps.attributeClicks' interval join: same
@@ -3613,6 +3638,25 @@ object SparkEntry {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) sum_price,
         |  count(*) FILTER (o_orderpriority = '5-RESTATED') n_restated
         |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "streaming_dedup" ->
+      // the seeded at-least-once feed (mod-10 verbatim echo) deduped on
+      // event_id: duplicates are bit-identical copies of UNIQUE base
+      // ids, so DISTINCT * ≡ keep-any-per-id ≡ the state store's
+      // keep-first; value sums as 6-dp micro-longs (exact), `+ 0`
+      // guards the negative-zero split on a negative-valued corpus
+      """WITH feed AS (
+        |  SELECT * FROM events
+        |  UNION ALL SELECT * FROM events WHERE event_id % 10 = 0),
+        |ded AS (SELECT DISTINCT * FROM feed),
+        |fed AS (SELECT event_type, count(*) n_fed FROM feed GROUP BY 1),
+        |k AS (SELECT event_type, count(*) n_kept,
+        |    count(DISTINCT user_id) n_users,
+        |    sum(CAST(round(round(value, 6) * 1e6) AS BIGINT)) vm
+        |  FROM ded GROUP BY 1)
+        |SELECT event_type, n_fed, n_kept, n_fed - n_kept AS n_dupes,
+        |  n_users, round(CAST(vm AS DOUBLE) / 1e6, 6) + 0 AS value_sum
+        |FROM k JOIN fed USING (event_type) ORDER BY event_type""".stripMargin,
 
     "recon_incremental" ->
       // the Spark side scopes the detail join to fingerprint-moved

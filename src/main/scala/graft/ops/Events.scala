@@ -306,6 +306,56 @@ object Events {
       .repartition(1).sortWithinPartitions("user_id", "view_ts", "click_ts")
   }
 
+  /** Seeded at-least-once feed for the streaming-dedup batch-parity
+    * anchor: every event with event_id ≡ 0 (mod 10) re-emitted VERBATIM
+    * — the redelivery shape an ingest dedup exists to absorb. Copies
+    * are bit-identical on purpose: which duplicate `dropDuplicates`
+    * keeps is arbitrary, so only an identical-copy feed gives the
+    * mode- and order-independent answer both the oracle and the
+    * MemoryStream parity spec pin (EventsSpec independently recounts
+    * that the echo introduces no new content). */
+  private[graft] def dedupFeedEvents(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.unionByName(e.filter(col("event_id") % 10 === 0))
+  }
+
+  /** Batch-parity anchor for the STREAMING exact-dedup twin — runs the
+    * literal `dropDuplicates(id)` core of
+    * [[graft.streaming.StreamingOps.dedupStream]] (the state-store
+    * keep-first and the batch keep-any agree whenever duplicates are
+    * verbatim copies, which [[dedupFeedEvents]] guarantees) over the
+    * seeded feed, then summarizes per type: rows fed, rows kept, dupes
+    * dropped, distinct users and the exact micro-unit value sum — a
+    * lost duplicate moves n_kept, a DROPPED ORIGINAL moves n_users or
+    * value_sum. The driver's DuckDB oracle grounds the dedup contract;
+    * the StreamingSpec parity test drives the same feed through
+    * MemoryStream + `dropDuplicatesWithinWatermark` split across
+    * micro-batches (the `recon_stream_hash_diff` recipe) and asserts
+    * the identical kept set — the watermark half that has no batch
+    * meaning stays spec-verified (SURVEY §2.8 late-data exception).
+    *
+    * 100 TB posture: dedup is ONE id-keyed exchange (exactly the
+    * shuffle the streaming state store pays), planned as a partial+
+    * final SortAggregate pair — the string carry columns exclude a
+    * mutable hash buffer, and the sort is per-partition, never global;
+    * both summaries are map-side-combined type-keyed aggs, and the
+    * fed-side frame joins back broadcast because it is types-sized BY
+    * CONSTRUCTION. */
+  def dedupStreamParity(spark: SparkSession, dir: String): DataFrame = {
+    val feed = dedupFeedEvents(spark, dir)
+    val fed = feed.groupBy("event_type").agg(count(lit(1)).as("n_fed"))
+    feed.dropDuplicates("event_id")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_kept"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(round(round(col("value"), 6) * 1e6, 0).cast("long")).as("vm"))
+      .join(broadcast(fed), Seq("event_type"))
+      .select(col("event_type"), col("n_fed"), col("n_kept"),
+        (col("n_fed") - col("n_kept")).as("n_dupes"), col("n_users"),
+        (round(col("vm").cast("double") / 1e6, 6) + 0).as("value_sum"))
+      .orderBy("event_type")
+  }
+
   /** Cohort retention — the product-analytics companion to the funnel:
     * users grouped by the month of their FIRST event (the cohort), then
     * for each cohort × months-since-first, how many of its users were
@@ -1393,8 +1443,11 @@ object Events {
       .groupBy("event_type")
       .agg(sum(col("w")).as("n"),
         sum(col("v").cast(dec) * col("w")).as("sx"),
-        sum(col("v").cast(dec) * (col("w") * col("wp") * 2
-          + col("w") * (col("w") + 1))).as("six2"))
+        // w and wp promote to DECIMAL(38,0) BEFORE their products —
+        // w·wp in raw longs overflows once a type's user count nears
+        // ~3e9 (round-14 advice), breaking the exact-128-bit claim
+        sum(col("v").cast(dec) * (col("w").cast(dec) * col("wp") * 2
+          + col("w").cast(dec) * (col("w") + 1))).as("six2"))
       .select(col("event_type"),
         col("n").as("n_users"), col("sx").cast("long").as("total_events"),
         (round((col("six2") - (col("n") + 1) * col("sx")).cast("double")

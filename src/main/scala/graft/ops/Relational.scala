@@ -142,12 +142,21 @@ object Relational {
     * MemoryStream in complete mode and asserts identical rows (the
     * `recon_stream_hash_diff` recipe). Oracle re-derives the answer as
     * a per-group window rank — the very spelling MinK exists to beat at
-    * scale, which is fine for a 600 k-row oracle. */
+    * scale, which is fine for a 600 k-row oracle.
+    *
+    * The registry artifact posexplodes MinK's sorted list into scalar
+    * (l_returnflag, rank, value) rows: the driver's pandas comparator
+    * sorts columns before hashing and cannot order array cells, so the
+    * list-valued form (kept as-is for the streaming/library surface and
+    * its MemoryStream parity spec) is presented element-wise here. */
   def minkTopkParity(spark: SparkSession, dir: String): DataFrame =
     graft.streaming.StreamingOps.streamingTopK(
         Tables.lineitem(spark, dir).select(col("l_returnflag"), col("l_quantity")),
         "l_returnflag", "l_quantity", 5)
-      .orderBy("l_returnflag")
+      .select(col("l_returnflag"),
+        posexplode(col("smallest")).as(Seq("pos", "value")))
+      .select(col("l_returnflag"), (col("pos") + 1).as("rank"), col("value"))
+      .orderBy("l_returnflag", "rank")
 
   /** Frame-spec window: running sum per customer over order date. */
   def windowRunningSum(spark: SparkSession, dir: String): DataFrame = {
@@ -2306,8 +2315,12 @@ object Relational {
         round(col("contrib_micro") / 1e6, 6).as("contrib"),
         round(col("chi2_micro") / 1e6, 6).as("chi2_total"),
         ((col("r") - 1) * (col("c") - 1)).as("dof"),
-        round(sqrt(col("chi2_micro").cast("double") / 1e6 / col("n")
-          / least(col("r") - 1, col("c") - 1)), 6).as("cramers_v"))
+        // degenerate one-row/one-column table ⇒ min(r−1,c−1) = 0: the
+        // raw chain would IEEE-split (Spark Inf/NaN vs DuckDB NULL) —
+        // guard like valueAnova's f_stat and emit NULL on both engines
+        when(least(col("r") - 1, col("c") - 1) > 0,
+          round(sqrt(col("chi2_micro").cast("double") / 1e6 / col("n")
+            / least(col("r") - 1, col("c") - 1)), 6)).as("cramers_v"))
       .orderBy("o_orderstatus", "o_orderpriority")
   }
 }

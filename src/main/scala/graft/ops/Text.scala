@@ -409,41 +409,54 @@ object Text {
     * per-pair intersect work, which dominates, then uses every core. Same
     * pair set, same values, S× the parallelism. */
   def ngramJaccard(spark: SparkSession, dir: String,
-                   maxDocs: Long = MaxJaccardDocs): DataFrame = {
+                   maxDocs: Long = MaxJaccardDocs): DataFrame =
+    saltedSourcePairs(spark, dir, "ngramJaccard", maxDocs)
+      .select(col("a_id"), col("b_id"),
+        (col("icnt").cast("double") / (col("alen") + col("blen") - col("icnt")))
+          .as("jac"))
+      .orderBy(col("jac").desc, col("a_id"), col("b_id"))
+      .limit(20)
+
+  /** The shared same-source candidate-pair frame behind [[ngramJaccard]]
+    * and [[dedupContainment]]: (a_id, b_id, icnt, alen, blen) with
+    * a_id < b_id, exactly once per pair. ONE definition on purpose
+    * (round-14 advice) — the two ops promise "the same exact pair
+    * frame", so the fail-fast bound, the xxhash64 token pre-hash, the
+    * salt fan-out and the forced shuffle_hash join live here and cannot
+    * silently diverge under future tuning.
+    *
+    * Tokens are pre-hashed to 64-bit (xxhash64 per token) so the pair
+    * phase intersects LONG arrays and the salt-replicated shuffle
+    * carries 8 bytes per token instead of a string: measured
+    * 0.90 → 0.67 s sf0.1 with bit-identical top-20 output (parity +
+    * zero-collision asserted in TextSpec). Set-size and intersection
+    * counts — and therefore every downstream ratio — are exact unless
+    * two DISTINCT tokens collide in 64 bits: p ≈ |vocab|²/2⁶⁵, ~3·10⁻⁶
+    * even at a 10 M-token web-scale vocabulary, and any such collision
+    * only perturbs one intersection count by 1. The exact-string form
+    * is `toks = array_distinct(split(text, " "))` with the same plan.
+    *
+    * The salt forces a SHUFFLED join: documents is a single parquet
+    * split, and a broadcast of the replicated side would leave the
+    * probe side running on the scan's one partition — the salt only
+    * helps if the join actually distributes on (source, salt). */
+  private def saltedSourcePairs(spark: SparkSession, dir: String,
+                                opName: String, maxDocs: Long): DataFrame = {
     val n = graft.sources.Sources.parquetRowCount(spark, s"$dir/documents.parquet")
     require(n <= maxDocs,
-      s"ngramJaccard is exact all-pairs within each source block: n=$n exceeds " +
+      s"$opName is exact all-pairs within each source block: n=$n exceeds " +
         s"maxDocs=$maxDocs; use Text.dedupMinhash (LSH-bucketed, property-tested) at this scale")
-    // Tokens are pre-hashed to 64-bit (xxhash64 per token) so the pair
-    // phase intersects LONG arrays and the 8×-replicated shuffle carries
-    // 8 bytes per token instead of a string: measured 0.90 → 0.67 s
-    // sf0.1 with bit-identical top-20 output (parity + zero-collision
-    // asserted in TextSpec). Set-size and intersection counts — and
-    // therefore every Jaccard value — are exact unless two DISTINCT
-    // tokens collide in 64 bits: p ≈ |vocab|²/2⁶⁵, ~3·10⁻⁶ even at a
-    // 10 M-token web-scale vocabulary, and any such collision only
-    // perturbs one intersection count by 1. The exact-string form is
-    // `toks = array_distinct(split(text, " "))` with the same pair plan.
     val t = docs(spark, dir).select(col("doc_id"), col("source"),
       array_distinct(transform(split(col("text"), " "), x => xxhash64(x))).as("toks"))
     val a = t.select(col("doc_id").as("a_id"), col("source"), col("toks").as("ta"))
       .withColumn("salt", pmod(col("a_id"), lit(JaccardSalts)).cast("int"))
     val b = t.select(col("doc_id").as("b_id"), col("source"), col("toks").as("tb"))
       .withColumn("salt", explode(typedlit((0 until JaccardSalts).toArray)))
-    // force a shuffled join: documents is a single parquet split, and a
-    // broadcast of the replicated side would leave the probe side running
-    // on the scan's one partition — the salt only helps if the join
-    // actually distributes on (source, salt)
-    val joined = a.hint("shuffle_hash").join(b, Seq("source", "salt"))
+    a.hint("shuffle_hash").join(b, Seq("source", "salt"))
       .filter(col("a_id") < col("b_id"))
       .withColumn("icnt", size(array_intersect(col("ta"), col("tb"))))
       .select(col("a_id"), col("b_id"), col("icnt"),
         size(col("ta")).as("alen"), size(col("tb")).as("blen"))
-    joined.select(col("a_id"), col("b_id"),
-      (col("icnt").cast("double") / (col("alen") + col("blen") - col("icnt")))
-        .as("jac"))
-      .orderBy(col("jac").desc, col("a_id"), col("b_id"))
-      .limit(20)
   }
 
   /** Asymmetric n-gram containment over the same exact
@@ -459,30 +472,15 @@ object Text {
     * containments and the ranking key round at 6 dp, ranked with an
     * (a_id, b_id) tie-break so the cut is engine-independent. */
   def dedupContainment(spark: SparkSession, dir: String,
-                       maxDocs: Long = MaxJaccardDocs): DataFrame = {
-    val n = graft.sources.Sources.parquetRowCount(spark, s"$dir/documents.parquet")
-    require(n <= maxDocs,
-      s"dedupContainment is exact all-pairs within each source block: n=$n " +
-        s"exceeds maxDocs=$maxDocs; use Text.dedupMinhash (LSH-bucketed) at this scale")
-    val t = docs(spark, dir).select(col("doc_id"), col("source"),
-      array_distinct(transform(split(col("text"), " "), x => xxhash64(x))).as("toks"))
-    val a = t.select(col("doc_id").as("a_id"), col("source"), col("toks").as("ta"))
-      .withColumn("salt", pmod(col("a_id"), lit(JaccardSalts)).cast("int"))
-    val b = t.select(col("doc_id").as("b_id"), col("source"), col("toks").as("tb"))
-      .withColumn("salt", explode(typedlit((0 until JaccardSalts).toArray)))
-    val joined = a.hint("shuffle_hash").join(b, Seq("source", "salt"))
-      .filter(col("a_id") < col("b_id"))
-      .withColumn("icnt", size(array_intersect(col("ta"), col("tb"))))
-      .select(col("a_id"), col("b_id"), col("icnt"),
-        size(col("ta")).as("alen"), size(col("tb")).as("blen"))
-    joined.select(col("a_id"), col("b_id"), col("icnt").cast("long").as("n_common"),
+                       maxDocs: Long = MaxJaccardDocs): DataFrame =
+    saltedSourcePairs(spark, dir, "dedupContainment", maxDocs)
+      .select(col("a_id"), col("b_id"), col("icnt").cast("long").as("n_common"),
         round(col("icnt").cast("double") / col("alen"), 6).as("cont_a_in_b"),
         round(col("icnt").cast("double") / col("blen"), 6).as("cont_b_in_a"),
         greatest(round(col("icnt").cast("double") / col("alen"), 6),
           round(col("icnt").cast("double") / col("blen"), 6)).as("max_cont"))
       .orderBy(col("max_cont").desc, col("a_id"), col("b_id"))
       .limit(20)
-  }
 
   private val NumHashes = 32
   private val Bands = 8
@@ -1223,18 +1221,30 @@ object Text {
     * share; JSD says how differently they USE them). JSD(P‖G) with
     * log₂, so the value lives in [0, 1].
     *
-    * Determinism (the lm_score recipe): per present token the term
-    * 0.5·(p·log₂(p/m) + q·log₂(q/m)), m = (p+q)/2, is one identically-
-    * spelled double expression rounded to 6 dp and summed as exact
-    * micro-unit longs (order-free); tokens ABSENT from the source
-    * close analytically — p = 0 ⇒ the term is 0.5·q·log₂2 = q/2, so
-    * their total is (ng − Σ_present cg)/(2·ng), computed from exact
-    * longs rather than materializing the absent pairs (no outer join
-    * against the global vocab). One explode pass; the global
+    * Determinism (the lm_score recipe, per-log hardened): both log₂
+    * arguments are EXACT integer ratios — with m = (p+q)/2, p = cs/na,
+    * q = cg/ng, clearing denominators gives p/m = 2·cs·ng/(cs·ng+cg·na)
+    * and q/m = 2·cg·na/(cs·ng+cg·na), whose numerators and shared
+    * denominator are exact 128-bit integers (DECIMAL(38,0) ≡ HUGEINT);
+    * each int→double conversion and the one division are correctly
+    * rounded, so the only libm-dependent step per term is log₂ itself.
+    * EACH log₂ output rounds to 6 dp BEFORE the multiplies (a
+    * libm-build ulp difference must now sit on a 6-dp tie of the raw
+    * log to move anything, instead of propagating raw through
+    * p·log+q·log into the term round — the round-14 driver mismatch
+    * mechanism), then the term 0.5·(p·lp6 + q·lq6) rounds to 6 dp and
+    * sums as exact micro-unit longs (order-free). Tokens ABSENT from
+    * the source close analytically — p = 0 ⇒ the term is
+    * 0.5·q·log₂2 = q/2, so their total is (ng − Σ_present cg)/(2·ng),
+    * computed from exact longs rather than materializing the absent
+    * pairs (no outer join against the global vocab). Per-term micro
+    * values can be negative, so the final jsd carries the fleet-wide
+    * `+ 0` negative-zero guard. One explode pass; the global
     * distribution folds out of the per-source one (exchange-reused);
     * everything after is token-keyed hash joins with map-side
     * partials. */
   def jsDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val toks = docs(spark, dir)
       .select(col("source"), explode(split(lower(col("text")), " ")).as("tok"))
       .filter(col("tok") =!= "")
@@ -1244,12 +1254,18 @@ object Text {
     val ng = gc.agg(sum("cg").as("ng"))
     val joined = sc.join(gc, "tok")
       .join(broadcast(na), "source").crossJoin(broadcast(ng))
+      .withColumn("den",
+        col("cs").cast(dec) * col("ng") + col("cg").cast(dec) * col("na"))
+      .withColumn("lp6", round(log2(
+        (col("cs").cast(dec) * col("ng") * 2).cast("double")
+          / col("den").cast("double")), 6))
+      .withColumn("lq6", round(log2(
+        (col("cg").cast(dec) * col("na") * 2).cast("double")
+          / col("den").cast("double")), 6))
       .withColumn("p", col("cs").cast("double") / col("na"))
       .withColumn("q", col("cg").cast("double") / col("ng"))
-      .withColumn("m", (col("p") + col("q")) / 2)
       .withColumn("t6", round(
-        lit(0.5) * (col("p") * log2(col("p") / col("m"))
-          + col("q") * log2(col("q") / col("m"))), 6))
+        lit(0.5) * (col("p") * col("lp6") + col("q") * col("lq6")), 6))
     joined.groupBy("source")
       .agg(max(col("na")).as("n_tokens"),
         count(lit(1)).as("vocab"),
@@ -1257,9 +1273,9 @@ object Text {
         sum(round(col("t6") * 1e6, 0).cast("long")).as("sm"),
         sum(col("cg")).as("cgp"))
       .select(col("source"), col("n_tokens"), col("vocab"),
-        round((col("sm") + round(round((col("ng") - col("cgp")).cast("double")
+        (round((col("sm") + round(round((col("ng") - col("cgp")).cast("double")
             / (lit(2.0) * col("ng")), 6) * 1e6, 0).cast("long"))
-          .cast("double") / 1e6, 6).as("jsd"))
+          .cast("double") / 1e6, 6) + 0).as("jsd"))
       .orderBy("source")
   }
 

@@ -895,6 +895,25 @@ class EventsSpec extends GraftSpec {
         s"cusum_max for ${r.getString(0)}")
     }
   }
+
+  test("streaming_dedup parity: the seeded echo dedups to the hand-counted summary") {
+    // fixture ids 1..10 (types alternate a/b, users 1/2, value 1.0):
+    // only id 10 (type b, user 2) echoes under mod 10, so type a is
+    // untouched (5 fed, 5 kept) and type b carries exactly one dupe
+    // (6 fed, 5 kept); both types see users {1,2} and Σvalue = 5.0
+    val got = Events.dedupStreamParity(spark, fixtureDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(got.toSeq === Seq(
+      ("a", 5L, 5L, 0L, 2L, 5.0),
+      ("b", 6L, 5L, 1L, 2L, 5.0)))
+    // independent recount of the feed construction itself: the echo
+    // adds exactly the mod-10 rows and introduces no new content
+    val feed = Events.dedupFeedEvents(spark, fixtureDir)
+    assert(feed.count() === 11)
+    assert(feed.dropDuplicates().count() === 10,
+      "echo rows must be verbatim copies")
+  }
 }
 
 object EventsFixture {

@@ -69,9 +69,11 @@ class RegistrySpec extends GraftSpec {
       "rows_frame_window")   // calendar-day rollup (Events.rowsFrameWindow)
     // a query that fails PLANNING here would escape both detection
     // channels (the WindowExec warning is silenced in the harness
-    // mains) — collect failures and fail loud instead of skipping
-    // (round-13 advice); analysis failures double-report with the
-    // first test, which is the right loudness
+    // mains) — collect ANALYSIS failures and fail loud instead of
+    // skipping (round-13 advice); the catch is narrowed to
+    // AnalysisException (round-14 advice) so any OTHER exception class
+    // (a fixture NPE, a planner bug) aborts the test at the offending
+    // query instead of being silently folded into the same bucket
     val planFailures = scala.collection.mutable.ArrayBuffer.empty[String]
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, q) =>
@@ -80,7 +82,7 @@ class RegistrySpec extends GraftSpec {
             case w: org.apache.spark.sql.execution.window.WindowExec
               if w.partitionSpec.isEmpty => w
           }
-        } catch { case e: Exception =>
+        } catch { case e: org.apache.spark.sql.AnalysisException =>
           planFailures += s"$name: ${e.getMessage.linesIterator.next()}"
           Nil
         }

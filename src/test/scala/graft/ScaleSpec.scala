@@ -421,6 +421,19 @@ class ScaleSpec extends GraftSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("streaming dedup parity: id-keyed dedup exchange, types-sized fed frame broadcasts") {
+    val p = SparkEntry.queries("streaming_dedup")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the summary join's fed side is types-sized by construction and
+    // must broadcast — a sort-merge there would shuffle the whole
+    // deduped summary for a handful of rows
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the dedup itself must partial-aggregate BEFORE its id exchange
+    // (two SortAggregates — string carry columns exclude hash buffers)
+    assert("SortAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("streaming top-k parity: MinK partial-aggregates before the key exchange") {
     val p = SparkEntry.queries("streaming_topk")(spark, sf)
       .queryExecution.executedPlan.toString

@@ -102,6 +102,55 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup equals the oracle-anchored batch parity op across micro-batches") {
+    // streaming_dedup registers the dropDuplicates core of dedupStream
+    // in batch, DuckDB-oracled; this drives the SAME seeded feed — the
+    // base events first, the mod-10 verbatim echo split across two
+    // LATER micro-batches — through MemoryStream +
+    // dropDuplicatesWithinWatermark and asserts the kept set and the
+    // per-type summary equal the batch anchor (the
+    // recon_stream_hash_diff recipe). Echo rows land either as
+    // state-store duplicates (recent ts) or as watermark-late rows
+    // (old ts); both paths must suppress them.
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val ctx = spark.sqlContext
+    val base = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Ev].collect()
+    val echo = base.filter(_.event_id % 10 == 0)
+    val input = MemoryStream[Ev]
+    val q = StreamingOps.dedupStream(input.toDF(), "event_id")
+      .writeStream.format("memory").queryName("dedup_parity_sink")
+      .outputMode("append").start()
+    try {
+      input.addData(base.toSeq); q.processAllAvailable()
+      val half = echo.length / 2
+      input.addData(echo.take(half).toSeq); q.processAllAvailable()
+      input.addData(echo.drop(half).toSeq); q.processAllAvailable()
+      val ids = spark.table("dedup_parity_sink")
+        .select("event_id").collect().map(_.getLong(0))
+      assert(ids.length === ids.distinct.length, "no id may be emitted twice")
+      assert(ids.sorted.toSeq === base.map(_.event_id).sorted.toSeq)
+      // summarize the streamed kept rows with the op's own expressions
+      // and compare to the registry anchor (value_sum → micro-longs)
+      val streamed = spark.table("dedup_parity_sink")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_kept"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(round(round(col("value"), 6) * 1e6, 0).cast("long")).as("vm"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+      val batch = ops.Events.dedupStreamParity(spark, sf).collect()
+        .map(r => (r.getString(0), r.getLong(2), r.getLong(4),
+          Math.round(r.getDouble(5) * 1e6)))
+        .sortBy(_._1).toSeq
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("streaming hash-diff flags mismatched and unknown keys per micro-batch") {
     val spark0 = spark
     import spark0.implicits._
@@ -269,8 +318,12 @@ class StreamingSpec extends GraftSpec {
       input.addData(feed.drop(2 * third).toSeq); q.processAllAvailable()
       val streamed = spark.table("topk_parity_sink").collect()
         .map(r => r.getString(0) -> r.getSeq[Double](1).toList).toMap
+      // the registry op posexplodes MinK's list for the driver
+      // comparator; reassemble (flag, rank, value) rows by rank here
       val batch = ops.Relational.minkTopkParity(spark, sf).collect()
-        .map(r => r.getString(0) -> r.getSeq[Double](1).toList).toMap
+        .map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+        .groupBy(_._1)
+        .map { case (k, rows) => k -> rows.sortBy(_._2).map(_._3).toList }
       assert(streamed === batch)
       assert(batch.nonEmpty && batch.values.forall(_.length === 5))
       assert(batch.values.forall(v => v === v.sorted))

@@ -36,6 +36,20 @@ def table_hash(cols, rows):
         h.update(b"\n")
     return h.hexdigest()
 
+def driver_sortable(tbl, cols, name):
+    """Mirror the driver comparator's pandas sort_values step: the driver
+    sorts the Spark frame over all columns before hashing, and pandas'
+    lexsort dies (Categorical → unhashable numpy.ndarray) on array-typed
+    cells. Probing it here makes that shape fail LOCALLY (round-14
+    streaming_topk escaped to the driver)."""
+    import pandas as pd  # noqa: F401 — to_pandas needs it importable
+    try:
+        tbl.to_pandas().sort_values(by=list(cols))
+        return True
+    except Exception as e:
+        print(f"{name}: FAIL driver-comparator cannot sort this shape: {e!r}")
+        return False
+
 def main(sfdir, outdir, only=None):
     con = duckdb.connect()
     con.execute("SET threads=4")
@@ -50,7 +64,7 @@ def main(sfdir, outdir, only=None):
         # A name with no oracle entry AND no dumped dir is a typo or a
         # never-registered query — erroring beats an empty ALL PASS that
         # green-lights a gate which checked nothing.
-        keep = set(only.split(","))
+        keep = {s.strip() for s in only.split(",")}
         known = set(oracle) | {d for d in os.listdir(outdir)
                                if os.path.isdir(os.path.join(outdir, d))}
         unknown = keep - known
@@ -59,6 +73,8 @@ def main(sfdir, outdir, only=None):
                   f"not in oracle_sql.json and nothing dumped")
             return 1
         oracle = {k: v for k, v in oracle.items() if k in keep}
+    else:
+        keep = None
     bad = 0
     for name, sql in sorted(oracle.items()):
         files = glob.glob(os.path.join(outdir, name, "*.parquet"))
@@ -79,6 +95,9 @@ def main(sfdir, outdir, only=None):
             bad += 1
             continue
         scols = spark_tbl.column_names
+        if not driver_sortable(spark_tbl, scols, name):
+            bad += 1
+            continue
         srows = [tuple(r[c] for c in scols) for r in spark_tbl.to_pylist()]
         rows_ok = len(srows) == len(orows)
         schema_ok = sorted(scols) == sorted(ocols)
@@ -93,7 +112,7 @@ def main(sfdir, outdir, only=None):
     # no-oracle queries get a rows-only sanity check (driver records the same)
     for d in sorted(os.listdir(outdir)):
         sub = os.path.join(outdir, d)
-        if not os.path.isdir(sub) or d in oracle or (only and d not in only.split(",")):
+        if not os.path.isdir(sub) or d in oracle or (keep is not None and d not in keep):
             continue
         files = glob.glob(os.path.join(sub, "*.parquet"))
         try:
