@@ -155,6 +155,30 @@ class GraphSpec extends GraftSpec {
     assert(r.getDouble(4) === 0.8)
   }
 
+  test("basket cap: an over-cap basket keeps the smallest part ids, within-cap untouched") {
+    val spark0 = spark
+    import spark0.implicits._
+    // order 1: MaxBasketParts + 10 parts (over cap) — only pairs among
+    // the cap smallest ids may survive; order 2+3: {1,2} twice (w=2,
+    // within cap, must be untouched by the guard)
+    val cap = Graph.MaxBasketParts
+    val dir = s"$tmpDir/basketcap"
+    val rows = (1L to (cap + 10L)).map(p => (1L, p)) ++
+      Seq((2L, 1L), (2L, 2L), (3L, 1L), (3L, 2L))
+    rows.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val edges = Graph.copurchaseEdges(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // deterministic keep: parts 1..cap of order 1; parts cap+1..cap+10
+    // appear in NO pair
+    assert(!edges.exists { case (s, t, _) => s > cap || t > cap })
+    // all kept pairs of order 1 present: cap*(cap-1) directed pairs,
+    // plus the within-cap basket's edge at w=2 on top of order 1's w=1
+    assert(edges.length === cap * (cap - 1))
+    assert(edges.count(_._3 == 3L) === 2, "pair (1,2)/(2,1): w = 1+2 = 3")
+    assert(edges.count(_._3 == 1L) === cap * (cap - 1) - 2)
+  }
+
   test("triangles: census recomputes from driver-side adjacency sets") {
     val edges = Graph.copurchaseEdges(spark, sf)
       .filter(col("w") >= 2 && col("s") < col("t"))

@@ -421,6 +421,18 @@ class ScaleSpec extends GraftSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("copurchase basket cap prunes with WindowGroupLimit before the pair join") {
+    // the per-basket quadratic pair build must be bounded by
+    // MaxBasketParts with rank-limit pushdown (partial WindowGroupLimit
+    // collapses over-cap baskets map-side, before the key exchange) —
+    // the guard that keeps one thousand-part cart from minting 10^6
+    // pairs at 100 TB; audited on the uncached plan form — the memoized
+    // copurchaseEdges frame is a checkpoint scan
+    val p = graft.ops.Graph.copurchaseEdgesPlan(Tables.lineitem(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("streaming dedup parity: id-keyed dedup exchange, types-sized fed frame broadcasts") {
     val p = SparkEntry.queries("streaming_dedup")(spark, sf)
       .queryExecution.executedPlan.toString
