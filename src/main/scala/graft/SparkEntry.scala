@@ -219,6 +219,7 @@ object SparkEntry {
     "events_weekly_churn"      -> (Events.weeklyChurn _),
     "orders_backlog_aging"     -> (Relational.backlogAging _),
     "dedup_containment"        -> ((s, d) => Text.dedupContainment(s, d)),
+    "dedup_substring_spans"    -> ((s, d) => Text.dupSpans(s, d)),
     "langid_eval_metrics"      -> ((s, d) => Text.langidEval(s, d)),
     "user_activity_features"   -> (Events.userFeatures _),
     "embed_pq_codebook"        -> (Vectors.pqCodebook _),
@@ -348,6 +349,7 @@ object SparkEntry {
     "graph_degree_distribution", "text_keyword_rake",
     "events_entropy_rate", "lineitem_price_index", "orders_cohort_ltv",
     "events_weekly_churn", "orders_backlog_aging", "dedup_containment",
+    "dedup_substring_spans",
     "langid_eval_metrics", "user_activity_features", "embed_pq_codebook",
     "recon_referential_integrity", "sample_temperature_mix",
     "events_diff_in_diff", "recon_pk_uniqueness",
@@ -2887,6 +2889,37 @@ object SparkEntry {
         |      toks FROM documents) b
         |    ON a.source = b.source AND a.doc_id < b.doc_id)
         |ORDER BY max_cont DESC, a_id, b_id LIMIT 20""".stripMargin,
+
+    "dedup_substring_spans" ->
+      // exact substring dup-span audit: a position is duplicated when
+      // its L-char gram (REAL substrings compared, not hashes) occurs
+      // >= 2 times anywhere in the corpus; islands split only when the
+      // position gap exceeds L, so span char ranges never overlap and
+      // dup_chars is exact; L interpolates from Text.DupSpanLen
+      (s"""WITH d AS MATERIALIZED (SELECT doc_id, text, length(text) len
+        |  FROM documents WHERE length(text) >= ${Text.DupSpanLen}),
+        |g AS (SELECT doc_id, pos,
+        |    substr(text, CAST(pos AS INT), ${Text.DupSpanLen}) g
+        |  FROM (SELECT doc_id, text,
+        |      unnest(generate_series(1, len - ${Text.DupSpanLen - 1})) pos
+        |    FROM d)),
+        |c AS (SELECT doc_id, pos, count(*) OVER (PARTITION BY g) cnt FROM g),
+        |dup AS (SELECT doc_id, pos FROM c WHERE cnt >= 2),
+        |lg AS (SELECT doc_id, pos,
+        |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) prev FROM dup),
+        |isl AS (SELECT doc_id, pos,
+        |    sum(CASE WHEN prev IS NULL OR pos - prev > ${Text.DupSpanLen}
+        |      THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos) isl_id FROM lg),
+        |sp AS (SELECT doc_id, isl_id, min(pos) s, max(pos) e, count(*) np
+        |  FROM isl GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, sum(np) n_dup_pos, count(*) n_spans,
+        |    sum(e - s + ${Text.DupSpanLen}) dup_chars FROM sp GROUP BY 1)
+        |SELECT agg.doc_id, CAST(n_dup_pos AS BIGINT) n_dup_pos,
+        |  CAST(n_spans AS BIGINT) n_spans, CAST(dup_chars AS BIGINT) dup_chars,
+        |  round(CAST(dup_chars AS DOUBLE) / len, 6) dup_ratio
+        |FROM agg JOIN d USING (doc_id)
+        |ORDER BY dup_chars DESC, agg.doc_id LIMIT 100""").stripMargin,
 
     "events_stickiness" ->
       // one distinct (month, day, user) collapse feeds both counts;

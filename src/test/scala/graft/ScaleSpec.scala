@@ -421,6 +421,18 @@ class ScaleSpec extends GraftSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("substring spans: no pair join — scan-side explode, keyed windows, TakeOrdered") {
+    val p = SparkEntry.queries("dedup_substring_spans")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the exact-substring audit must stay linear: position explode in
+    // the scan stage (Generate), gram- and doc-keyed windows, and a
+    // TakeOrdered cut — never a pair-forming join
+    assert(p.contains("Generate"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("copurchase basket cap prunes with WindowGroupLimit before the pair join") {
     // the per-basket quadratic pair build must be bounded by
     // MaxBasketParts with rank-limit pushdown (partial WindowGroupLimit

@@ -223,6 +223,35 @@ class TextSpec extends GraftSpec {
     assert(real.forall(r => langs(r.getString(0)) && langs(r.getString(1))))
   }
 
+  test("substring spans: planted boilerplate merges islands and counts chars exactly") {
+    val spark0 = spark
+    import spark0.implicits._
+    def d(id: Long, text: String) =
+      TextFixture.Doc(id, text, "en", "fixture", text.length.toLong)
+    // character sets are disjoint across the planted runs so the ONLY
+    // >= 2-occurrence 16-grams are the designed ones
+    val sh = "0123456789ABCDEFGHIJKLMN" // 24-char run shared by docs 1+2
+    val s2 = "zyxwvutsrqponmlk"         // 16-char run: twice in doc 5, once in doc 6
+    val dir = s"$tmpDir/dupspans"
+    Seq(
+      d(1L, "abcde" + sh + "fghij"),   // dup positions 6..14 → one 24-char span
+      d(2L, "klmno" + sh + "pqrst"),
+      d(3L, "The quick brown fox jumps over it"), // no repeated 16-gram → absent
+      d(4L, "Z" * 40),                 // self-repetition: all 25 positions, one span
+      d(5L, s2 + "!@#$%^&*()-=_+[]{};:" + s2), // gap 36 > L → TWO islands
+      d(6L, "0a1b2c3d4e" + s2 + "5f6g7h8i9j"))
+      .toDF().write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Text.dupSpans(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got.toSeq === Seq(
+      (4L, 25L, 1L, 40L, 1.0),        // 25-1+16 = 40 chars, ratio 40/40
+      (5L, 2L, 2L, 32L, 0.615385),    // 16+16 chars over len 52
+      (1L, 9L, 1L, 24L, 0.705882),    // 14-6+16 = 24 = |sh| over len 34
+      (2L, 9L, 1L, 24L, 0.705882),
+      (6L, 1L, 1L, 16L, 0.444444)))   // one 16-char span over len 36
+  }
+
   test("textRepetition: duplicate-n-gram fractions recompute by hand") {
     val spark0 = spark
     import spark0.implicits._
