@@ -80,6 +80,7 @@ object SparkEntry {
     "q22_idle_customers"       -> (Relational.q22IdleCustomers _),
     "q19_disjunctive_filter"   -> (Relational.q19DisjunctiveFilter _),
     "q4_late_orders"           -> (Relational.q4LateOrders _),
+    "q21_waiting_suppliers"    -> (Relational.q21WaitingSuppliers _),
     "q8_market_share"          -> (Relational.q8MarketShare _),
     "posexplode_funcs"         -> (Relational.posexplodeFuncs _),
     "map_funcs"                -> (Relational.mapFuncs _),
@@ -349,7 +350,7 @@ object SparkEntry {
     "graph_degree_distribution", "text_keyword_rake",
     "events_entropy_rate", "lineitem_price_index", "orders_cohort_ltv",
     "events_weekly_churn", "orders_backlog_aging", "dedup_containment",
-    "dedup_substring_spans",
+    "dedup_substring_spans", "q21_waiting_suppliers",
     "langid_eval_metrics", "user_activity_features", "embed_pq_codebook",
     "recon_referential_integrity", "sample_temperature_mix",
     "events_diff_in_diff", "recon_pk_uniqueness",
@@ -3992,6 +3993,28 @@ object SparkEntry {
         |  WHERE l_orderkey = o_orderkey
         |    AND l_shipdate >= o_orderdate + INTERVAL 60 DAY)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q21_waiting_suppliers" ->
+      // adapted Q21 (house q4 lateness, all nations): late lines of
+      // finished multi-supplier orders whose supplier was the ONLY
+      // late one; pure integer counts; group-by AFTER the supplier
+      // join (the literal Q21 shape — duplicate dim keys fan out
+      // identically on both engines); (numwait DESC, s_name, nation)
+      // total order
+      """WITH l1 AS (SELECT l.l_orderkey k, l.l_suppkey s1
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderstatus = 'F'
+        |    AND l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY),
+        |others AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey ok, l_suppkey os FROM lineitem),
+        |lateo AS MATERIALIZED (SELECT DISTINCT k ok, s1 os FROM l1),
+        |qual AS (SELECT * FROM l1
+        |  WHERE EXISTS (SELECT 1 FROM others WHERE ok = k AND os <> s1)
+        |    AND NOT EXISTS (SELECT 1 FROM lateo WHERE ok = k AND os <> s1))
+        |SELECT s_name, n_name AS nation, CAST(count(*) AS BIGINT) numwait
+        |FROM qual JOIN supplier ON s_suppkey = s1
+        |  JOIN nation ON n_nationkey = s_nationkey
+        |GROUP BY 1, 2 ORDER BY numwait DESC, s_name, nation LIMIT 100""".stripMargin,
 
     "q8_market_share" ->
       """WITH vol AS (

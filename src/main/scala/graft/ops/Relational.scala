@@ -1265,6 +1265,60 @@ object Relational {
       .agg(count(lit(1)).as("n_late"))
       .orderBy("o_orderpriority")
 
+  /** TPC-H Q21 "suppliers who kept orders waiting", adapted to this
+    * corpus's columns (no commit/receipt dates — "late" is the house
+    * q4 convention, shipdate ≥ orderdate + 60 days; no single-nation
+    * filter — the nation lands in the output instead): count the late
+    * lineitems of finished ('F') multi-supplier orders where the line's
+    * supplier was the ONLY late supplier — EXISTS another supplier in
+    * the order, NOT EXISTS another LATE supplier. The sole-blame
+    * attribution query, and the board's showcase of a semi- AND an
+    * anti-join against the same fact-derived frame.
+    *
+    * Determinism: pure integer counts; the group-by runs AFTER the
+    * supplier join on BOTH engines (the literal Q21 shape), so a
+    * corrupt dim with duplicate supplier keys fans counts out
+    * identically instead of splitting one engine's rows (the 10×
+    * gate-crossing corpus carries exactly that duplication);
+    * (numwait DESC, s_name, nation) is a total order even then.
+    *
+    * 100 TB posture: both EXISTS sides are DISTINCT (orderkey, supp)
+    * pairs — at most baskets × suppliers-per-basket rows, far below
+    * lineitem — hash-joined on the orderkey; supplier×nation rides
+    * [[gatedDim]] (fact-scaled dim must not force-broadcast); the
+    * final agg is supplier-sized. */
+  def q21WaitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+    val ordF = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate")
+    val l1 = li.join(ordF, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") >= col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .select(col("l_orderkey").as("k"), col("l_suppkey").as("s1"))
+    val others = li.select(col("l_orderkey").as("ok"), col("l_suppkey").as("os"))
+      .distinct()
+    val lateOthers = l1.select(col("k").as("ok"), col("s1").as("os")).distinct()
+    // shuffle_hash on both probe sides: the (key, supp) pair frames are
+    // post-distinct compact, and hash-building them keeps BOTH fact
+    // streams sort-free (the q4 precedent; 1.16 -> 0.88 s sf0.1)
+    val qual = l1
+      .join(others.hint("shuffle_hash"),
+        col("ok") === col("k") && col("os") =!= col("s1"), "left_semi")
+      .join(lateOthers.hint("shuffle_hash"),
+        col("ok") === col("k") && col("os") =!= col("s1"), "left_anti")
+    val sup = gatedDim(spark, dir, "supplier",
+      Tables.supplier(spark, dir)
+        .join(broadcast(Tables.nation(spark, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name")))
+    qual.join(sup, col("s1") === col("s_suppkey"))
+      .groupBy(col("s_name"), col("n_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .select(col("s_name"), col("n_name").as("nation"), col("numwait"))
+      .orderBy(desc("numwait"), col("s_name"), col("nation")).limit(100)
+  }
+
   /** TPC-H-Q8-shaped market share: of the revenue an ASIA customer base
     * generated each year, what fraction came from nation-1 suppliers.
     * The region filter reaches the fact stream as a broadcast chain

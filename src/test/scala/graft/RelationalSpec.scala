@@ -7,6 +7,36 @@ import org.apache.spark.sql.functions._
   * oracle-checked by the driver; these pin shape and local recomputation). */
 class RelationalSpec extends GraftSpec {
 
+  test("q21: only the sole-late supplier of multi-supplier F orders counts, per line") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = s"$tmpDir/q21"
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    Seq((0, "N0", 0)).toDF("n_nationkey", "n_name", "n_regionkey")
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    Seq((1L, "SuppA", 0, 0.0), (2L, "SuppB", 0, 0.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    Seq((1L, "F"), (2L, "F"), (3L, "F"), (4L, "O"), (5L, "F"))
+      .map { case (k, st) => (k, 1L, st, 100.0, ts("2025-01-01"), "1-URGENT") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val late = ts("2025-06-01"); val late2 = ts("2025-07-01")
+    val ontime = ts("2025-01-15")
+    Seq(
+      (1L, 1L, late), (1L, 2L, ontime),  // A sole-late, multi-supplier → +1
+      (2L, 1L, late), (2L, 2L, late),    // both late → neither counts
+      (3L, 1L, late),                    // single-supplier → no count
+      (4L, 1L, late), (4L, 2L, ontime),  // status O → excluded
+      (5L, 1L, late), (5L, 1L, late2), (5L, 2L, ontime)) // two late LINES → +2
+      .toDF("l_orderkey", "l_suppkey", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = Relational.q21WaitingSuppliers(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq === Seq(("SuppA", "N0", 3L)))
+  }
+
   test("q1: six (returnflag, linestatus) groups, avg consistent with sum/count") {
     val rows = Relational.q1PricingSummary(spark, sf).collect()
     assert(rows.length === 6)

@@ -421,6 +421,16 @@ class ScaleSpec extends GraftSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q21: semi+anti hash-build the compact pair frames, no fact sort") {
+    val p = SparkEntry.queries("q21_waiting_suppliers")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // both EXISTS sides are post-distinct (orderkey, supp) frames that
+    // hash-build (shuffle_hash hints; AQE may upgrade to broadcast) —
+    // a sort-merge would sort the late-line fact stream twice
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p)
+  }
+
   test("substring spans: no pair join — scan-side explode, keyed windows, TakeOrdered") {
     val p = SparkEntry.queries("dedup_substring_spans")(spark, sf)
       .queryExecution.executedPlan.toString
