@@ -221,6 +221,7 @@ object SparkEntry {
     "orders_backlog_aging"     -> (Relational.backlogAging _),
     "dedup_containment"        -> ((s, d) => Text.dedupContainment(s, d)),
     "dedup_substring_spans"    -> ((s, d) => Text.dupSpans(s, d)),
+    "decontaminate_substring"  -> ((s, d) => Text.decontaminateSubstring(s, d)),
     "langid_eval_metrics"      -> ((s, d) => Text.langidEval(s, d)),
     "user_activity_features"   -> (Events.userFeatures _),
     "embed_pq_codebook"        -> (Vectors.pqCodebook _),
@@ -351,6 +352,7 @@ object SparkEntry {
     "events_entropy_rate", "lineitem_price_index", "orders_cohort_ltv",
     "events_weekly_churn", "orders_backlog_aging", "dedup_containment",
     "dedup_substring_spans", "q21_waiting_suppliers",
+    "decontaminate_substring",
     "langid_eval_metrics", "user_activity_features", "embed_pq_codebook",
     "recon_referential_integrity", "sample_temperature_mix",
     "events_diff_in_diff", "recon_pk_uniqueness",
@@ -2921,6 +2923,45 @@ object SparkEntry {
         |  round(CAST(dup_chars AS DOUBLE) / len, 6) dup_ratio
         |FROM agg JOIN d USING (doc_id)
         |ORDER BY dup_chars DESC, agg.doc_id LIMIT 100""").stripMargin,
+
+    "decontaminate_substring" ->
+      // exact-substring decontamination: train positions whose L-gram
+      // appears VERBATIM in the eval source, merged into maximal spans
+      // (same islands as dedup_substring_spans); L interpolates from
+      // Text.DupSpanLen; eval source literal 'src0' (the
+      // decontaminate_ngram convention)
+      (s"""WITH d AS MATERIALIZED (SELECT doc_id, source, text,
+        |    length(text) len
+        |  FROM documents WHERE length(text) >= ${Text.DupSpanLen}),
+        |eg AS MATERIALIZED (SELECT DISTINCT
+        |    substr(text, CAST(pos AS INT), ${Text.DupSpanLen}) g
+        |  FROM (SELECT text,
+        |      unnest(generate_series(1, len - ${Text.DupSpanLen - 1})) pos
+        |    FROM d WHERE source = 'src0')),
+        |tg AS (SELECT doc_id, pos,
+        |    substr(text, CAST(pos AS INT), ${Text.DupSpanLen}) g
+        |  FROM (SELECT doc_id, text,
+        |      unnest(generate_series(1, len - ${Text.DupSpanLen - 1})) pos
+        |    FROM d WHERE source <> 'src0')),
+        |hits AS (SELECT doc_id, pos FROM tg
+        |  WHERE g IN (SELECT g FROM eg)),
+        |lg AS (SELECT doc_id, pos,
+        |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) prev FROM hits),
+        |isl AS (SELECT doc_id, pos,
+        |    sum(CASE WHEN prev IS NULL OR pos - prev > ${Text.DupSpanLen}
+        |      THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos) isl_id FROM lg),
+        |sp AS (SELECT doc_id, isl_id, min(pos) s, max(pos) e, count(*) np
+        |  FROM isl GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, sum(np) n_hit_pos, count(*) n_spans,
+        |    sum(e - s + ${Text.DupSpanLen}) contaminated_chars
+        |  FROM sp GROUP BY 1)
+        |SELECT agg.doc_id, CAST(n_hit_pos AS BIGINT) n_hit_pos,
+        |  CAST(n_spans AS BIGINT) n_spans,
+        |  CAST(contaminated_chars AS BIGINT) contaminated_chars,
+        |  round(CAST(contaminated_chars AS DOUBLE) / len, 6) contamination
+        |FROM agg JOIN d USING (doc_id)
+        |ORDER BY contaminated_chars DESC, agg.doc_id LIMIT 100""").stripMargin,
 
     "events_stickiness" ->
       // one distinct (month, day, user) collapse feeds both counts;

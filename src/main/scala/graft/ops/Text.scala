@@ -513,36 +513,96 @@ object Text {
     * the honest price of exact substring semantics; a suffix array
     * pays the same corpus-sized sort), islands are one doc-keyed
     * window, and the result is TakeOrdered-bounded. */
-  def dupSpans(spark: SparkSession, dir: String): DataFrame = {
+  /** [[DupSpanLen]]-gram position enumeration for the exact-substring
+    * family: (doc_id, pos, g) with the gram projected INSIDE the scan
+    * stage — only the compact triple ever shuffles. */
+  private def spanGrams(d: DataFrame): DataFrame = {
     val L = DupSpanLen
-    val d = docs(spark, dir)
-      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
-      .filter(col("len") >= L)
-    val grams = d
-      .select(col("doc_id"), col("text"),
+    d.select(col("doc_id"), col("text"),
         explode(sequence(lit(1), col("len") - (L - 1))).as("pos"))
       .select(col("doc_id"), col("pos"),
         expr(s"substring(text, pos, $L)").as("g"))
-    val dup = grams
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("g")))
-      .filter(col("cnt") >= 2)
-      .select("doc_id", "pos")
+  }
+
+  /** The shared gaps-and-islands span collapse behind [[dupSpans]] and
+    * [[decontaminateSubstring]]: marked (doc_id, pos) rows merge into
+    * maximal spans (new island only when the position gap exceeds the
+    * gram length, so span char ranges never overlap) and aggregate to
+    * (doc_id, n_pos, n_spans, span_chars). ONE definition on purpose —
+    * the two ops promise identical merge semantics (the
+    * saltedSourcePairs lesson). */
+  private def spanStats(marked: DataFrame): DataFrame = {
+    val L = DupSpanLen
     val wd = Window.partitionBy("doc_id").orderBy("pos")
-    val isl = dup
+    marked
       .withColumn("prev", lag(col("pos"), 1).over(wd))
       .withColumn("brk",
         when(col("prev").isNull || col("pos") - col("prev") > L, 1).otherwise(0))
       .withColumn("isl_id", sum(col("brk")).over(
         wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val sp = isl.groupBy("doc_id", "isl_id")
+      .groupBy("doc_id", "isl_id")
       .agg(min("pos").as("s"), max("pos").as("e"), count(lit(1)).as("np"))
-    val agg = sp.groupBy("doc_id")
-      .agg(sum("np").as("n_dup_pos"), count(lit(1)).as("n_spans"),
-        sum(col("e") - col("s") + L).as("dup_chars"))
-    agg.join(d.select("doc_id", "len"), "doc_id")
-      .select(col("doc_id"), col("n_dup_pos"), col("n_spans"), col("dup_chars"),
-        round(col("dup_chars").cast("double") / col("len"), 6).as("dup_ratio"))
+      .groupBy("doc_id")
+      .agg(sum("np").as("n_pos"), count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + L).as("span_chars"))
+  }
+
+  def dupSpans(spark: SparkSession, dir: String): DataFrame = {
+    val L = DupSpanLen
+    val d = docs(spark, dir)
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+      .filter(col("len") >= L)
+    val dup = spanGrams(d)
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("g")))
+      .filter(col("cnt") >= 2)
+      .select("doc_id", "pos")
+    spanStats(dup)
+      .join(d.select("doc_id", "len"), "doc_id")
+      .select(col("doc_id"), col("n_pos").as("n_dup_pos"), col("n_spans"),
+        col("span_chars").as("dup_chars"),
+        round(col("span_chars").cast("double") / col("len"), 6).as("dup_ratio"))
       .orderBy(desc("dup_chars"), col("doc_id")).limit(100)
+  }
+
+  /** Exact-substring decontamination — the fourth decontaminate
+    * modality (n-gram broadcast / bloom scan / winnow fingerprints /
+    * substring-EXACT): a train-doc position is contaminated when its
+    * [[DupSpanLen]]-char gram appears VERBATIM anywhere in the eval
+    * source's text; contaminated positions merge into maximal spans
+    * via [[spanStats]] — the "how much of this document IS the
+    * benchmark" measurement [[decontaminateWinnow]] approximates by
+    * sampling fingerprints. Top-100 train docs by contaminated chars.
+    *
+    * Exactness: real substrings compared (no hashes anywhere — a
+    * collision CANNOT mint a false hit); all-integer pipeline with one
+    * 6-dp division.
+    *
+    * 100 TB posture: the eval gram set hash-builds a shuffled semi-join
+    * (measured ≈ the broadcast form at sf0.1, and unlike a broadcast it
+    * never collects a gram set through the driver — eval benchmarks are
+    * small by nature, but a 16-char exact-gram set is corpus-shaped in
+    * this testbed and the shuffled form is the one that survives a fat
+    * eval suite); the train stream is scan-side enumeration + the
+    * semi-probe + one doc-keyed islands window. */
+  def decontaminateSubstring(spark: SparkSession, dir: String,
+                             evalSource: String = "src0"): DataFrame = {
+    val L = DupSpanLen
+    val d = docs(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"),
+        length(col("text")).as("len"))
+      .filter(col("len") >= L)
+    val evalGrams = spanGrams(d.filter(col("source") === evalSource))
+      .select("g").distinct()
+    val hits = spanGrams(d.filter(col("source") =!= evalSource))
+      .join(evalGrams.hint("shuffle_hash"), Seq("g"), "left_semi")
+      .select("doc_id", "pos")
+    spanStats(hits)
+      .join(d.select("doc_id", "len"), "doc_id")
+      .select(col("doc_id"), col("n_pos").as("n_hit_pos"), col("n_spans"),
+        col("span_chars").as("contaminated_chars"),
+        round(col("span_chars").cast("double") / col("len"), 6)
+          .as("contamination"))
+      .orderBy(desc("contaminated_chars"), col("doc_id")).limit(100)
   }
 
   private val NumHashes = 32

@@ -252,6 +252,29 @@ class TextSpec extends GraftSpec {
       (6L, 1L, 1L, 16L, 0.444444)))   // one 16-char span over len 36
   }
 
+  test("substring decontamination: planted benchmark leak spans count exactly") {
+    val spark0 = spark
+    import spark0.implicits._
+    def d(id: Long, text: String, source: String) =
+      TextFixture.Doc(id, text, "en", source, text.length.toLong)
+    val bench = "EVALBENCHMARKSECRET!" // 20-char eval run → grams at pos 1..5
+    val dir = s"$tmpDir/deconsub"
+    Seq(
+      d(1L, bench, "src0"),                     // the eval source itself
+      d(2L, "abcd" + bench + "wxyz", "src1"),   // embedded leak, len 28
+      d(3L, bench, "src2"),                     // verbatim leak, len 20
+      d(4L, "The quick brown fox jumps", "src1")) // clean → absent
+      .toDF().write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Text.decontaminateSubstring(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    // both leaks cover exactly the 20 benchmark chars (one island:
+    // positions 5..9 / 1..5); eval doc excluded; tie broken by doc_id
+    assert(got.toSeq === Seq(
+      (2L, 5L, 1L, 20L, 0.714286),
+      (3L, 5L, 1L, 20L, 1.0)))
+  }
+
   test("textRepetition: duplicate-n-gram fractions recompute by hand") {
     val spark0 = spark
     import spark0.implicits._
