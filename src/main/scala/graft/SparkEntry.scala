@@ -222,6 +222,7 @@ object SparkEntry {
     "dedup_containment"        -> ((s, d) => Text.dedupContainment(s, d)),
     "dedup_substring_spans"    -> ((s, d) => Text.dupSpans(s, d)),
     "decontaminate_substring"  -> ((s, d) => Text.decontaminateSubstring(s, d)),
+    "text_novelty_curve"       -> (Text.noveltyCurve _),
     "langid_eval_metrics"      -> ((s, d) => Text.langidEval(s, d)),
     "user_activity_features"   -> (Events.userFeatures _),
     "embed_pq_codebook"        -> (Vectors.pqCodebook _),
@@ -352,7 +353,7 @@ object SparkEntry {
     "events_entropy_rate", "lineitem_price_index", "orders_cohort_ltv",
     "events_weekly_churn", "orders_backlog_aging", "dedup_containment",
     "dedup_substring_spans", "q21_waiting_suppliers",
-    "decontaminate_substring",
+    "decontaminate_substring", "text_novelty_curve",
     "langid_eval_metrics", "user_activity_features", "embed_pq_codebook",
     "recon_referential_integrity", "sample_temperature_mix",
     "events_diff_in_diff", "recon_pk_uniqueness",
@@ -2962,6 +2963,29 @@ object SparkEntry {
         |  round(CAST(contaminated_chars AS DOUBLE) / len, 6) contamination
         |FROM agg JOIN d USING (doc_id)
         |ORDER BY contaminated_chars DESC, agg.doc_id LIMIT 100""").stripMargin,
+
+    "text_novelty_curve" ->
+      // per-source novelty over stream position: first occurrence =
+      // min(doc_id) per (source, tok); per-doc ratios round 6dp into
+      // micro-longs BEFORE the decile mean (lm_score discipline);
+      // decile = truncating integer division (div ≡ //)
+      """WITH st AS MATERIALIZED (SELECT DISTINCT source, doc_id, tok FROM (
+        |    SELECT source, doc_id, unnest(string_split(lower(text), ' ')) tok
+        |    FROM documents) WHERE tok <> ''),
+        |fd AS (SELECT source, tok, min(doc_id) first_doc FROM st GROUP BY 1, 2),
+        |pd AS (SELECT st.source, st.doc_id, count(*) n_types,
+        |    count(*) FILTER (first_doc = doc_id) n_new
+        |  FROM st JOIN fd USING (source, tok) GROUP BY 1, 2),
+        |rk AS (SELECT source, doc_id, n_types, n_new,
+        |    (row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1) * 10
+        |      // count(*) OVER (PARTITION BY source) decile,
+        |    round(CAST(n_new AS DOUBLE) / n_types, 6) nov6
+        |  FROM pd)
+        |SELECT source, decile, CAST(count(*) AS BIGINT) n_docs,
+        |  CAST(sum(n_new) AS BIGINT) new_types,
+        |  round(CAST(sum(CAST(round(nov6 * 1e6) AS BIGINT)) AS DOUBLE)
+        |    / count(*) / 1e6, 6) mean_novelty
+        |FROM rk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "events_stickiness" ->
       // one distinct (month, day, user) collapse feeds both counts;

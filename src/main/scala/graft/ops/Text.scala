@@ -1307,6 +1307,54 @@ object Text {
       .orderBy("lang")
   }
 
+  /** Per-source vocabulary NOVELTY curve over stream position — the
+    * "is my crawl saturating" diagnostic [[vocabRichness]]'s static TTR
+    * cannot see: each document's novelty is the fraction of its
+    * distinct tokens whose FIRST occurrence within the source (min
+    * doc_id — ingestion order) is this document; documents bucket into
+    * stream-position deciles via exact integer math
+    * ((rank−1)·10 div n — no engine ntile), and each (source, decile)
+    * reports docs, newly-introduced types and the mean novelty. A flat
+    * high curve means the source keeps paying off; an early cliff
+    * means the tail is re-crawl.
+    *
+    * Determinism: per-doc novelty is one integer-ratio division rounded
+    * 6 dp into micro-longs BEFORE the decile mean (the lm_score
+    * discipline, order-free); first_doc is an exact min; the decile
+    * bucket is truncating integer division (`div` ≡ `//`).
+    *
+    * 100 TB posture: the corpus collapses to the per-doc distinct
+    * (source, doc_id, tok) frame once; first-occurrence is a
+    * vocab-sized agg joined back token-keyed; the only sort is the
+    * per-source doc_id rank window — the stream-position semantics —
+    * sharded by source exactly like [[sequencePack]]'s timeline (at
+    * scale: source × date buckets bound each sort). */
+  def noveltyCurve(spark: SparkSession, dir: String): DataFrame = {
+    val st = docs(spark, dir)
+      .select(col("source"), col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(col("tok") =!= "").distinct()
+    val firstDoc = st.groupBy("source", "tok")
+      .agg(min("doc_id").as("first_doc"))
+    val perDoc = st.join(firstDoc, Seq("source", "tok"))
+      .groupBy("source", "doc_id")
+      .agg(count(lit(1)).as("n_types"),
+        count(when(col("first_doc") === col("doc_id"), 1)).as("n_new"))
+    val ws = Window.partitionBy("source").orderBy("doc_id")
+    val ranked = perDoc
+      .withColumn("rn", row_number().over(ws))
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy("source")))
+      .withColumn("decile", expr("(rn - 1) * 10 div nd"))
+      .withColumn("nov6",
+        round(col("n_new").cast("double") / col("n_types"), 6))
+    ranked.groupBy("source", "decile")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_new").as("new_types"),
+        round((sum(round(col("nov6") * 1e6, 0).cast("long")).cast("double")
+          / count(lit(1))) / 1e6, 6).as("mean_novelty"))
+      .orderBy("source", "decile")
+  }
+
   /** Pairwise vocabulary overlap between sources — the cross-feed
     * contamination screen: two "independent" sources sharing 95% of
     * their vocabulary are probably the same crawl twice. Jaccard over

@@ -252,6 +252,27 @@ class TextSpec extends GraftSpec {
       (6L, 1L, 1L, 16L, 0.444444)))   // one 16-char span over len 36
   }
 
+  test("novelty curve: first-seen types per doc recount by hand, decile math exact") {
+    val spark0 = spark
+    import spark0.implicits._
+    def d(id: Long, text: String, source: String) =
+      TextFixture.Doc(id, text, "en", source, text.length.toLong)
+    val dir = s"$tmpDir/novelty"
+    Seq(
+      d(1L, "x x y z", "srca"), // 3 distinct types, all first-seen → 1.0
+      d(2L, "x y w", "srca"),   // only w is new → 1/3
+      d(3L, "p q", "srcb"))     // second source: its own stream
+      .toDF().write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Text.noveltyCurve(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    // srca: nd=2 → doc 1 decile (1-1)*10 div 2 = 0, doc 2 (2-1)*10 div 2 = 5
+    assert(got.toSeq === Seq(
+      ("srca", 0L, 1L, 3L, 1.0),
+      ("srca", 5L, 1L, 1L, 0.333333),
+      ("srcb", 0L, 1L, 2L, 1.0)))
+  }
+
   test("substring decontamination: planted benchmark leak spans count exactly") {
     val spark0 = spark
     import spark0.implicits._
