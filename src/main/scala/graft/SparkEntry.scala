@@ -161,6 +161,7 @@ object SparkEntry {
     "dedup_ngram_jaccard"      -> ((s, d) => Text.ngramJaccard(s, d)),
     "dedup_minhash"            -> (Text.dedupMinhash _),
     "dedup_clusters"           -> (Graph.dedupClusters _),
+    "dedup_savings"            -> (Graph.dedupSavings _),
     "dedup_simhash"            -> (Text.dedupSimhash _),
     "text_langid"              -> (Text.langidNgram _),
     "text_token_counts"        -> (Text.tokenCounts _),
@@ -353,7 +354,7 @@ object SparkEntry {
     "events_entropy_rate", "lineitem_price_index", "orders_cohort_ltv",
     "events_weekly_churn", "orders_backlog_aging", "dedup_containment",
     "dedup_substring_spans", "q21_waiting_suppliers",
-    "decontaminate_substring", "text_novelty_curve",
+    "decontaminate_substring", "text_novelty_curve", "dedup_savings",
     "langid_eval_metrics", "user_activity_features", "embed_pq_codebook",
     "recon_referential_integrity", "sample_temperature_mix",
     "events_diff_in_diff", "recon_pk_uniqueness",
@@ -1605,6 +1606,27 @@ object SparkEntry {
          |lab AS (SELECT id, min(r) lbl FROM reach GROUP BY id)
          |SELECT lbl canonical_id, count(*) cluster_size FROM lab
          |GROUP BY 1 ORDER BY cluster_size DESC, canonical_id LIMIT 100""".stripMargin,
+
+    "dedup_savings" ->
+      // the dedup_clusters component machinery joined back onto the
+      // documents scan: keep the min-id representative, delete the
+      // rest, count the characters that deletion saves — all integers
+      s"""WITH RECURSIVE $minhashEstSqlCtes,
+         |pr AS (SELECT a_id, b_id FROM (
+         |    SELECT a_id, b_id, est_jaccard FROM est
+         |    ORDER BY est_jaccard DESC, a_id, b_id LIMIT 100)
+         |  WHERE est_jaccard >= 0.8),
+         |edges AS (SELECT a_id u, b_id v FROM pr UNION SELECT b_id, a_id FROM pr),
+         |reach(id, r) AS (
+         |  SELECT u, u FROM edges UNION SELECT u, v FROM edges
+         |  UNION SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u),
+         |lab AS (SELECT id, min(r) lbl FROM reach GROUP BY id)
+         |SELECT lbl canonical_id, CAST(count(*) AS BIGINT) cluster_size,
+         |  CAST(sum(length(text)) AS BIGINT) total_chars,
+         |  CAST(sum(CASE WHEN doc_id <> lbl THEN length(text) ELSE 0 END)
+         |    AS BIGINT) saved_chars
+         |FROM lab JOIN documents ON doc_id = id
+         |GROUP BY 1 ORDER BY saved_chars DESC, canonical_id LIMIT 100""".stripMargin,
 
     "dedup_incremental" ->
       // newest-decile batch vs the existing index: pairs from the SAME

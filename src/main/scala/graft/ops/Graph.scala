@@ -147,6 +147,33 @@ object Graph {
     clusters.toDF("canonical_id", "cluster_size")
   }
 
+  /** What acting on [[dedupClusters]] actually BUYS — per cluster: the
+    * canonical (min-id) representative kept, every other member
+    * deleted, and the characters that deletion saves. The missing last
+    * step of the dedup story (detect → cluster → ACT): dedup_audit
+    * says how much duplication exists, this says what removing it is
+    * worth, ranked by savings. Same answer-sized union-find over the
+    * minhash top-100 pair frame as dedupClusters (an unbounded stream
+    * goes through [[connectedComponents]]); the label map joins back
+    * BROADCAST (≤ 2·pairs rows by construction) onto the documents
+    * scan, and the agg is cluster-sized. All integers — lengths, sums,
+    * counts — nothing to round. */
+  def dedupSavings(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Text.dedupMinhash(spark, dir)
+      .filter(col("est_jaccard") >= 0.8)
+      .select("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    import spark.implicits._
+    val lab = unionFindLocal(pairs).toSeq.toDF("doc_id", "canonical_id")
+    Tables.documents(spark, dir).join(broadcast(lab), "doc_id")
+      .groupBy("canonical_id")
+      .agg(count(lit(1)).as("cluster_size"),
+        sum(length(col("text"))).as("total_chars"),
+        sum(when(col("doc_id") =!= col("canonical_id"),
+          length(col("text"))).otherwise(0L)).as("saved_chars"))
+      .orderBy(desc("saved_chars"), col("canonical_id")).limit(100)
+  }
+
   /** Fixed number of PageRank power iterations — part of the result
     * CONTRACT (the oracle unrolls the same count), not a convergence
     * knob: 8 rounds move the co-purchase ranking well past the 6-dp

@@ -138,6 +138,28 @@ class GraphSpec extends GraftSpec {
     assert(got.toSeq === census)
   }
 
+  test("dedup savings: planted identical clusters save every non-canonical char") {
+    val spark0 = spark
+    import spark0.implicits._
+    // disjoint vocabularies → cross-cluster est-jaccard 0; identical
+    // docs cluster at est 1.0
+    val ta = "alpha beta gamma delta epsilon zeta eta theta iota"
+    val tb = "one two three four five six seven eight nine ten"
+    val tc = "completely different singleton document text here"
+    val dir = s"$tmpDir/savings"
+    Seq((1L, ta), (2L, ta), (3L, ta), (4L, tb), (5L, tb), (6L, tc))
+      .map { case (id, t) => (id, t, "en", "fixture", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Graph.dedupSavings(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expect = Seq(
+      (1L, 3L, 3L * ta.length, 2L * ta.length),
+      (4L, 2L, 2L * tb.length, tb.length.toLong))
+      .sortBy { case (c, _, _, saved) => (-saved, c) }
+    assert(got.toSeq === expect)
+  }
+
   test("triangles: planted K4 plus a pendant edge counts exactly") {
     val spark0 = spark
     import spark0.implicits._
