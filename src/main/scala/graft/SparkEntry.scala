@@ -81,6 +81,7 @@ object SparkEntry {
     "q19_disjunctive_filter"   -> (Relational.q19DisjunctiveFilter _),
     "q4_late_orders"           -> (Relational.q4LateOrders _),
     "q21_waiting_suppliers"    -> (Relational.q21WaitingSuppliers _),
+    "orders_basket_size_profile" -> (Relational.basketSizeProfile _),
     "q8_market_share"          -> (Relational.q8MarketShare _),
     "posexplode_funcs"         -> (Relational.posexplodeFuncs _),
     "map_funcs"                -> (Relational.mapFuncs _),
@@ -355,6 +356,7 @@ object SparkEntry {
     "events_weekly_churn", "orders_backlog_aging", "dedup_containment",
     "dedup_substring_spans", "q21_waiting_suppliers",
     "decontaminate_substring", "text_novelty_curve", "dedup_savings",
+    "orders_basket_size_profile",
     "langid_eval_metrics", "user_activity_features", "embed_pq_codebook",
     "recon_referential_integrity", "sample_temperature_mix",
     "events_diff_in_diff", "recon_pk_uniqueness",
@@ -2985,6 +2987,19 @@ object SparkEntry {
         |  round(CAST(contaminated_chars AS DOUBLE) / len, 6) contamination
         |FROM agg JOIN d USING (doc_id)
         |ORDER BY contaminated_chars DESC, agg.doc_id LIMIT 100""").stripMargin,
+
+    "orders_basket_size_profile" ->
+      // distinct-parts-per-order histogram; all integers + one share
+      // division — the MaxBasketParts tuning measurement
+      """WITH bs AS (SELECT l_orderkey, count(*) sz FROM (
+        |    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |  GROUP BY 1),
+        |hist AS (SELECT sz basket_size, count(*) n_baskets FROM bs GROUP BY 1),
+        |tot AS (SELECT sum(n_baskets) tb FROM hist)
+        |SELECT CAST(basket_size AS BIGINT) basket_size,
+        |  CAST(n_baskets AS BIGINT) n_baskets,
+        |  round(CAST(n_baskets AS DOUBLE) / tb, 6) basket_share
+        |FROM hist CROSS JOIN tot ORDER BY basket_size""".stripMargin,
 
     "text_novelty_curve" ->
       // per-source novelty over stream position: first occurrence =

@@ -622,6 +622,29 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("p_brand")
 
+  /** Basket-size census: one row per distinct-parts-per-order count
+    * with the number of baskets and their share — the orders twin of
+    * `dup_size_distribution`, and the measurement that justifies (or
+    * re-tunes) [[graft.ops.Graph.MaxBasketParts]]: the co-purchase
+    * family's per-basket quadratic cost is driven by exactly this
+    * histogram's tail. All integers except one identically-spelled
+    * share division; histogram is ≤ max-basket-size rows, the 1-row
+    * total broadcasts (answer-sized by construction); the only
+    * corpus-sized pass is the (order, part) distinct collapse. */
+  def basketSizeProfile(spark: SparkSession, dir: String): DataFrame = {
+    val bs = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .groupBy("l_orderkey").agg(count(lit(1)).as("sz"))
+    val hist = bs.groupBy(col("sz").as("basket_size"))
+      .agg(count(lit(1)).as("n_baskets"))
+    val tot = hist.agg(sum(col("n_baskets")).as("tb"))
+    hist.crossJoin(broadcast(tot))
+      .select(col("basket_size"), col("n_baskets"),
+        round(col("n_baskets").cast("double") / col("tb"), 6)
+          .as("basket_share"))
+      .orderBy("basket_size")
+  }
+
   /** Growing-dimension broadcast, behind the same size gate that picks
     * dual query forms: part/supplier scale WITH the data (unlike the
     * spec-constant region/nation), so a pinned `broadcast()` is a

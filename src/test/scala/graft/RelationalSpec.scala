@@ -37,6 +37,21 @@ class RelationalSpec extends GraftSpec {
     assert(got.toSeq === Seq(("SuppA", "N0", 3L)))
   }
 
+  test("basket size profile: distinct-part collapse and shares recount by hand") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = s"$tmpDir/basketprofile"
+    // baskets: o1={p1}, o2={p2}, o3={p1,p2} (with a duplicate line that
+    // the distinct collapse must drop), o4={p1,p2,p3}
+    Seq((1L, 1L), (2L, 2L), (3L, 1L), (3L, 2L), (3L, 1L),
+        (4L, 1L), (4L, 2L), (4L, 3L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = Relational.basketSizeProfile(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq((1L, 2L, 0.5), (2L, 1L, 0.25), (3L, 1L, 0.25)))
+  }
+
   test("q1: six (returnflag, linestatus) groups, avg consistent with sum/count") {
     val rows = Relational.q1PricingSummary(spark, sf).collect()
     assert(rows.length === 6)
