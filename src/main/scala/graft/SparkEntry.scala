@@ -163,6 +163,7 @@ object SparkEntry {
     "dedup_minhash"            -> (Text.dedupMinhash _),
     "dedup_clusters"           -> (Graph.dedupClusters _),
     "dedup_savings"            -> (Graph.dedupSavings _),
+    "embed_label_separability" -> (Vectors.labelSeparability _),
     "dedup_simhash"            -> (Text.dedupSimhash _),
     "text_langid"              -> (Text.langidNgram _),
     "text_token_counts"        -> (Text.tokenCounts _),
@@ -356,7 +357,7 @@ object SparkEntry {
     "events_weekly_churn", "orders_backlog_aging", "dedup_containment",
     "dedup_substring_spans", "q21_waiting_suppliers",
     "decontaminate_substring", "text_novelty_curve", "dedup_savings",
-    "orders_basket_size_profile",
+    "orders_basket_size_profile", "embed_label_separability",
     "langid_eval_metrics", "user_activity_features", "embed_pq_codebook",
     "recon_referential_integrity", "sample_temperature_mix",
     "events_diff_in_diff", "recon_pk_uniqueness",
@@ -2009,6 +2010,43 @@ object SparkEntry {
 
     "ann_ivf_topk" -> ivfTopkSql,
     "ann_ivf_recall" -> ivfRecallSql,
+
+    "embed_label_separability" ->
+      // centroids = the embed_centroids exact-decimal means; every
+      // distance is the identical x·x − 2·x·c + c·c chain with
+      // sequential dots (list_inner_product ≡ the native DotProduct);
+      // per-vector d2 rounds 6dp into micro-longs before the mean;
+      // nearest = (d2, other-label) tie-break; intra 0 NULL-guards the
+      // ratio (IEEE-split class); `+ 0` guards round's negative zero
+      """WITH v0 AS (SELECT label, CAST(embedding AS DOUBLE[]) v
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |cpos AS (SELECT label, pos,
+        |    CAST(sum(CAST(x AS DECIMAL(18,9))) AS DOUBLE) / count(*) c
+        |  FROM (SELECT label, generate_subscripts(v, 1) pos, unnest(v) x
+        |    FROM v0) GROUP BY 1, 2),
+        |cent AS (SELECT label, list(c ORDER BY pos) cv FROM cpos GROUP BY 1),
+        |intra AS (SELECT v0.label, count(*) n_vecs,
+        |    sum(CAST(round(round(list_inner_product(v, v)
+        |      - 2 * list_inner_product(v, cv)
+        |      + list_inner_product(cv, cv), 6) * 1e6) AS BIGINT)) sm
+        |  FROM v0 JOIN cent USING (label) GROUP BY 1),
+        |inter AS (SELECT a.label, b.label olabel,
+        |    round(list_inner_product(a.cv, a.cv)
+        |      - 2 * list_inner_product(a.cv, b.cv)
+        |      + list_inner_product(b.cv, b.cv), 6) d2
+        |  FROM cent a JOIN cent b ON a.label <> b.label),
+        |near AS (SELECT label, olabel nearest_label, d2 inter_d2 FROM inter
+        |  QUALIFY row_number() OVER (PARTITION BY label
+        |    ORDER BY d2, olabel) = 1)
+        |SELECT intra.label, CAST(n_vecs AS BIGINT) n_vecs,
+        |  round(CAST(sm AS DOUBLE) / n_vecs / 1e6, 6) + 0 AS intra_mean_d2,
+        |  nearest_label, inter_d2,
+        |  CASE WHEN sm > 0 AND inter_d2 IS NOT NULL THEN
+        |    round(inter_d2
+        |      / (round(CAST(sm AS DOUBLE) / n_vecs / 1e6, 6) + 0), 6)
+        |  END AS separation
+        |FROM intra LEFT JOIN near USING (label)
+        |ORDER BY label""".stripMargin,
 
     "text_bpe_merges" -> bpeMergesSql,
     "graph_pagerank" -> pagerankSql,

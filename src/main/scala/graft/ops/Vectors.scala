@@ -164,6 +164,93 @@ object Vectors {
       .agg((sum(col("v").cast("double").cast(DecimalType(18, 9))).cast("double") / count(lit(1))).as("c"))
       .orderBy("label", "pos")
 
+  /** Label separability audit — the embedding-quality diagnostic that
+    * decides whether labels are LEARNABLE from the vectors before
+    * anyone trains on them (the centroid-margin complement of
+    * [[knnLabelAccuracy]]'s instance-level vote): per label, the mean
+    * squared distance of its vectors to their OWN centroid (cohesion),
+    * the nearest OTHER centroid and its distance (margin), and the
+    * separation ratio inter/intra — ratios near or below 1 mean the
+    * label clouds overlap.
+    *
+    * Determinism: centroids are the [[embedCentroids]] exact-decimal
+    * means (oracled bit-exact since round 13); every distance is the
+    * identical chain x·x − 2·(x·c) + c·c with sequential dots (the
+    * native [[graft.functions.DotProduct]] ≡ DuckDB
+    * `list_inner_product`, the ann_ivf-proven parity); per-vector
+    * distances round 6 dp into micro-longs before the exact mean;
+    * inter-centroid distances compute driver-side over the SAME
+    * centroid doubles with the same association and a HALF_UP 6-dp
+    * round (≡ both engines' round on the non-negative domain);
+    * nearest = (d2, other-label) tie-break; intra = 0 (an
+    * identical-vector label) NULL-guards the ratio on both engines.
+    *
+    * 100 TB posture: the centroid frame is labels × d — the
+    * embed_centroids answer class — and is the ONLY thing collected;
+    * vectors stream row-local against their label's literal centroid
+    * (a when-chain, no join, no shuffle before the label-sized agg);
+    * the label² inter table is driver-trivial. */
+  def labelSeparability(spark: SparkSession, dir: String): DataFrame = {
+    val centRows = embedCentroids(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    require(centRows.nonEmpty,
+      "labelSeparability: no non-null embeddings to audit")
+    // dimensionality from the data, not the corpus constant — the op
+    // (and its fixtures) must work on any vector width
+    val dim = centRows.iterator.map(_._2).max
+    val cents: Seq[(Int, Array[Double])] = centRows.groupBy(_._1).toSeq
+      .map { case (l, rows) =>
+        val arr = new Array[Double](dim)
+        rows.foreach { case (_, p, c) => arr(p - 1) = c }
+        (l, arr)
+      }.sortBy(_._1)
+    def dotSeq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val cc = cents.map { case (l, c) => l -> dotSeq(c, c) }.toMap
+    val nearest = cents.map { case (la, ca) =>
+      val cands = cents.collect { case (lb, cb) if lb != la =>
+        (r6(cc(la) - 2 * dotSeq(ca, cb) + cc(lb)), lb)
+      }
+      if (cands.isEmpty) (la, None: Option[Int], None: Option[Double])
+      else {
+        val (d2, lb) = cands.min
+        (la, Some(lb), Some(d2))
+      }
+    }
+    import spark.implicits._
+    val near = nearest.map { case (l, nl, d2) =>
+      (l, nl.map(Integer.valueOf).orNull, d2.map(Double.box).orNull)
+    }.toDF("label", "nearest_label", "inter_d2")
+    val cvExpr = cents.tail.foldLeft(
+        when(col("label") === cents.head._1, typedlit(cents.head._2.toSeq))) {
+      case (acc, (l, c)) => acc.when(col("label") === l, typedlit(c.toSeq))
+    }
+    val d2 = dot(col("x"), col("x")) - lit(2.0) * dot(col("x"), col("cv")) +
+      dot(col("cv"), col("cv"))
+    Tables.embeddings(spark, dir)
+      .filter(col("embedding").isNotNull)
+      .select(col("label"), col("embedding").cast("array<double>").as("x"))
+      .withColumn("cv", cvExpr)
+      .withColumn("d6m", round(round(d2, 6) * 1e6, 0).cast("long"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"), sum(col("d6m")).as("sm"))
+      .join(broadcast(near), Seq("label"))
+      .select(col("label"), col("n_vecs"),
+        (round(col("sm").cast("double") / col("n_vecs") / 1e6, 6) + 0)
+          .as("intra_mean_d2"),
+        col("nearest_label"), col("inter_d2"),
+        when(col("sm") > 0 && col("inter_d2").isNotNull,
+          round(col("inter_d2") /
+            (round(col("sm").cast("double") / col("n_vecs") / 1e6, 6) + 0), 6))
+          .as("separation"))
+      .orderBy("label")
+  }
+
   private val NumPlanes = 8
 
   /** Deterministic pseudo-random hyperplanes (SplitMix64-style mix — no RNG

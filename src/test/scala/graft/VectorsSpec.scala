@@ -204,6 +204,28 @@ class VectorsSpec extends GraftSpec {
     }
   }
 
+  test("label separability: planted clusters give textbook margins, zero-intra guards") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = s"$tmpDir/separability"
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    // label 0: two IDENTICAL vectors → intra 0, separation NULL (guard);
+    // label 1: (0,1,..) and (0,3,..) → centroid (0,2,..), intra d2 = 1
+    // for both members; inter d2 between (1,0,..) and (0,2,..) = 5
+    Seq(
+      VectorsFixture.Emb(1L, v(1, 0, 0, 0), 0),
+      VectorsFixture.Emb(2L, v(1, 0, 0, 0), 0),
+      VectorsFixture.Emb(3L, v(0, 1, 0, 0), 1),
+      VectorsFixture.Emb(4L, v(0, 3, 0, 0), 1))
+      .toDF().write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Vectors.labelSeparability(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        Option(r.get(3)), r.getDouble(4), Option(r.get(5))))
+    assert(got.toSeq === Seq(
+      (0, 2L, 0.0, Some(1), 5.0, None),
+      (1, 2L, 1.0, Some(0), 5.0, Some(5.0))))
+  }
+
   test("ivf recall: all four counters recompute from a driver-side fold") {
     def r4(x: Double) =
       BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
