@@ -82,6 +82,7 @@ object SparkEntry {
     "q4_late_orders"           -> (Relational.q4LateOrders _),
     "q21_waiting_suppliers"    -> (Relational.q21WaitingSuppliers _),
     "orders_basket_size_profile" -> (Relational.basketSizeProfile _),
+    "supplier_scorecard"       -> (Relational.supplierScorecard _),
     "q8_market_share"          -> (Relational.q8MarketShare _),
     "posexplode_funcs"         -> (Relational.posexplodeFuncs _),
     "map_funcs"                -> (Relational.mapFuncs _),
@@ -358,6 +359,7 @@ object SparkEntry {
     "dedup_substring_spans", "q21_waiting_suppliers",
     "decontaminate_substring", "text_novelty_curve", "dedup_savings",
     "orders_basket_size_profile", "embed_label_separability",
+    "supplier_scorecard",
     "langid_eval_metrics", "user_activity_features", "embed_pq_codebook",
     "recon_referential_integrity", "sample_temperature_mix",
     "events_diff_in_diff", "recon_pk_uniqueness",
@@ -3025,6 +3027,38 @@ object SparkEntry {
         |  round(CAST(contaminated_chars AS DOUBLE) / len, 6) contamination
         |FROM agg JOIN d USING (doc_id)
         |ORDER BY contaminated_chars DESC, agg.doc_id LIMIT 100""").stripMargin,
+
+    "supplier_scorecard" ->
+      // per-supplier delivery scorecard: exact counts/day-lags/cent
+      // revenues; house q4 lateness; group-by AFTER the supplier join
+      // (the q21 duplicate-dim lesson). The share and the mean round
+      // in EXACT INTEGER arithmetic (round-half-away = (2a+b)//(2b)):
+      // a /2^k quotient ties EXACTLY at a decimal boundary in binary,
+      // where Spark's HALF_UP and DuckDB's half-even split (caught at
+      // sf0.001: 64.6625)
+      """WITH l AS (SELECT l_suppkey,
+        |    date_diff('day', CAST(o_orderdate AS DATE),
+        |      CAST(l_shipdate AS DATE)) lag_d,
+        |    l_shipdate >= o_orderdate + INTERVAL 60 DAY late,
+        |    CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) rev
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |g AS (SELECT s_name, n_name nation, count(*) n_lines,
+        |    count(*) FILTER (late) n_late, sum(lag_d) lag_sum,
+        |    sum(CASE WHEN late THEN rev
+        |      ELSE CAST(0 AS DECIMAL(18,4)) END) late_rev
+        |  FROM l JOIN supplier ON s_suppkey = l_suppkey
+        |    JOIN nation ON n_nationkey = s_nationkey
+        |  GROUP BY 1, 2)
+        |SELECT s_name, nation, CAST(n_lines AS BIGINT) n_lines,
+        |  CAST(n_late AS BIGINT) n_late,
+        |  CAST((2 * n_late * 1000000 + n_lines) // (2 * n_lines) AS DOUBLE)
+        |    / 1e6 AS late_share,
+        |  CAST(CASE WHEN lag_sum >= 0
+        |    THEN (2 * lag_sum * 1000 + n_lines) // (2 * n_lines)
+        |    ELSE -((2 * -lag_sum * 1000 + n_lines) // (2 * n_lines))
+        |    END AS DOUBLE) / 1e3 AS avg_lag_d,
+        |  CAST(late_rev AS DOUBLE) late_revenue
+        |FROM g ORDER BY n_late DESC, s_name, nation LIMIT 100""".stripMargin,
 
     "orders_basket_size_profile" ->
       // distinct-parts-per-order histogram; all integers + one share

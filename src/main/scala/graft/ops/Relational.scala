@@ -1537,6 +1537,65 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** Per-supplier delivery scorecard — [[shipLagStats]]'s global SLA
+    * profile broken down to the ACTIONABLE grain (which suppliers to
+    * call): lines shipped, late lines (the house q4 lateness,
+    * shipdate ≥ orderdate + 60 days), late share, exact-integer-day
+    * mean lag and the revenue at stake on late lines (exact 1e-4-unit
+    * cents). Top-100 by (late lines DESC, s_name, nation) — a total
+    * order even against a duplicate-key dim (the q21 lesson: the
+    * scorecard groups AFTER the supplier join).
+    *
+    * Exactness: counts, day lags and cent revenues are exact integers;
+    * the share and the mean round in EXACT INTEGER arithmetic —
+    * round-half-away(a/b) = sign·((2·|a|·scale + b) div (2·b)) — not
+    * via double round(): a quotient whose denominator is divisible by
+    * a power of two (n = 16, 128, …) lands EXACTLY on a decimal tie in
+    * binary, and there Spark's round (HALF_UP on the exact value) and
+    * DuckDB's (half-to-even nearbyint) genuinely split — caught live
+    * by this op's sf0.001 sweep (64.6625 → .663 vs .662). The integer
+    * spelling kills the class; both engines' `div`/`//` truncate
+    * toward zero identically.
+    * 100 TB posture: one fact-fact shuffle_hash join on the orderkey
+    * (the shipLagStats contract), supplier-keyed map-combined agg,
+    * supplier×nation rides [[gatedDim]], TakeOrdered cut. */
+  def supplierScorecard(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val lines = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(ord.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey"),
+        datediff(col("l_shipdate"), col("o_orderdate")).as("lag_d"),
+        (col("l_shipdate") >= col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+          .as("late"),
+        Recon.cents(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("rev_c"))
+    val sup = gatedDim(spark, dir, "supplier",
+      Tables.supplier(spark, dir)
+        .join(broadcast(Tables.nation(spark, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name")))
+    lines.join(sup, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_lines"),
+        count(when(col("late"), 1)).as("n_late"),
+        sum(col("lag_d").cast("long")).as("lag_sum"),
+        sum(when(col("late"), col("rev_c")).otherwise(0L)).as("late_rev_c"))
+      .select(col("s_name"), col("n_name").as("nation"), col("n_lines"),
+        col("n_late"),
+        (expr("(2 * n_late * 1000000 + n_lines) div (2 * n_lines)")
+          .cast("double") / 1e6).as("late_share"),
+        (expr("""CASE WHEN lag_sum >= 0
+                 THEN (2 * lag_sum * 1000 + n_lines) div (2 * n_lines)
+                 ELSE -((2 * -lag_sum * 1000 + n_lines) div (2 * n_lines))
+                 END""")
+          .cast("double") / 1e3).as("avg_lag_d"),
+        Recon.uncents(col("late_rev_c")).as("late_revenue"))
+      .orderBy(desc("n_late"), col("s_name"), col("nation")).limit(100)
+  }
+
   /** Supplier revenue concentration per nation — the Herfindahl–
     * Hirschman index (Σ share², 1/n..1) plus the top-supplier share:
     * the market-structure screen behind supply-risk dashboards. The

@@ -52,6 +52,41 @@ class RelationalSpec extends GraftSpec {
     assert(got.toSeq === Seq((1L, 2L, 0.5), (2L, 1L, 0.25), (3L, 1L, 0.25)))
   }
 
+  test("supplier scorecard: hand fixture incl. the exact /2^k rounding tie") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = s"$tmpDir/scorecard"
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val d0 = java.time.LocalDate.parse("2025-01-01")
+    def ship(lag: Int) = ts(d0.plusDays(lag).toString)
+    Seq((0, "N0", 0)).toDF("n_nationkey", "n_name", "n_regionkey")
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    Seq((1L, "SuppA", 0, 0.0), (2L, "SuppB", 0, 0.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    Seq((1L, 1L, "F", 0.0, ts("2025-01-01"), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    // A: one late (lag 100, rev 100*0.9), one on-time (lag 10);
+    // B: 16 late lines, lag sum 1035 → mean 64.6875, an EXACT binary
+    // tie at 3 dp — the integer half-away spelling must give 64.688
+    val aLines = Seq((1L, 1L, ship(100), 100.0, 0.1),
+      (1L, 1L, ship(10), 50.0, 0.0))
+    val bLines = Seq.fill(15)((1L, 2L, ship(65), 10.0, 0.0)) :+
+      ((1L, 2L, ship(60), 10.0, 0.0))
+    (aLines ++ bLines)
+      .toDF("l_orderkey", "l_suppkey", "l_shipdate",
+        "l_extendedprice", "l_discount")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = Relational.supplierScorecard(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getDouble(4),
+        r.getDouble(5), r.getDouble(6)))
+    assert(got.toSeq === Seq(
+      ("SuppB", 16L, 16L, 1.0, 64.688, 160.0),
+      ("SuppA", 2L, 1L, 0.5, 55.0, 90.0)))
+  }
+
   test("q1: six (returnflag, linestatus) groups, avg consistent with sum/count") {
     val rows = Relational.q1PricingSummary(spark, sf).collect()
     assert(rows.length === 6)
