@@ -1738,15 +1738,24 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "ship_lag_stats" ->
-      // lags in exact integer days; only presentation divisions are float
+      // lags in exact integer days; the mean and the share round in
+      // EXACT INTEGER arithmetic (round-half-away = (2a+b)//(2b)) —
+      // the supplier_scorecard /2^k tie class
       """WITH l AS (SELECT o_orderpriority,
         |    date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) lag_d
-        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
-        |SELECT o_orderpriority, count(*) n,
-        |  round(CAST(sum(lag_d) AS DOUBLE) / count(*), 3) avg_lag_d,
-        |  CAST(min(lag_d) AS INT) mn_lag_d, CAST(max(lag_d) AS INT) mx_lag_d,
-        |  round(CAST(count_if(lag_d > 90) AS DOUBLE) / count(*), 6) sla_miss_share
-        |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |g AS (SELECT o_orderpriority, count(*) n, sum(lag_d) lag_sum,
+        |    min(lag_d) mn, max(lag_d) mx, count_if(lag_d > 90) miss
+        |  FROM l GROUP BY 1)
+        |SELECT o_orderpriority, n,
+        |  CAST(CASE WHEN lag_sum >= 0
+        |    THEN (2 * lag_sum * 1000 + n) // (2 * n)
+        |    ELSE -((2 * -lag_sum * 1000 + n) // (2 * n)) END AS DOUBLE)
+        |    / 1e3 AS avg_lag_d,
+        |  CAST(mn AS INT) mn_lag_d, CAST(mx AS INT) mx_lag_d,
+        |  CAST((2 * miss * 1000000 + n) // (2 * n) AS DOUBLE) / 1e6
+        |    AS sla_miss_share
+        |FROM g ORDER BY 1""".stripMargin,
 
     "supplier_hhi" ->
       // revenue in exact integer cents; shares/HHI divide exact longs
@@ -1779,7 +1788,7 @@ object SparkEntry {
         |    CAST(sum(gap_s * gap_s) AS BIGINT) sq
         |  FROM g WHERE gap_s IS NOT NULL GROUP BY 1)
         |SELECT event_type, n n_gaps,
-        |  round(CAST(sm AS DOUBLE) / n, 3) mean_gap_s,
+        |  CAST((2 * sm * 1000 + n) // (2 * n) AS DOUBLE) / 1e3 AS mean_gap_s,
         |  round(sqrt((CAST(sq AS DOUBLE) - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE) / n)
         |    / (n - 1)), 3) sd_gap_s,
         |  round((sqrt((CAST(sq AS DOUBLE) - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE) / n)

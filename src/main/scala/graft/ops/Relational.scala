@@ -1529,10 +1529,21 @@ object Relational {
         datediff(col("l_shipdate"), col("o_orderdate")).as("lag_d"))
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n"),
-        round(sum(col("lag_d")).cast("double") / count(lit(1)), 3)
-          .as("avg_lag_d"),
+        sum(col("lag_d").cast("long")).as("lag_sum"),
         min(col("lag_d")).as("mn_lag_d"), max(col("lag_d")).as("mx_lag_d"),
-        round(count_if(col("lag_d") > 90).cast("double") / count(lit(1)), 6)
+        count_if(col("lag_d") > 90).as("miss"))
+      // the mean and the share round in EXACT INTEGER arithmetic
+      // (round-half-away = (2a+b) div (2b)) — int/int quotients with a
+      // /2^k denominator tie EXACTLY at the decimal boundary where
+      // Spark HALF_UP and DuckDB half-even split (the
+      // supplier_scorecard class; lag_d ≥ −90k bounded, sign handled)
+      .select(col("o_orderpriority"), col("n"),
+        (expr("""CASE WHEN lag_sum >= 0
+                 THEN (2 * lag_sum * 1000 + n) div (2 * n)
+                 ELSE -((2 * -lag_sum * 1000 + n) div (2 * n)) END""")
+          .cast("double") / 1e3).as("avg_lag_d"),
+        col("mn_lag_d"), col("mx_lag_d"),
+        (expr("(2 * miss * 1000000 + n) div (2 * n)").cast("double") / 1e6)
           .as("sla_miss_share"))
       .orderBy("o_orderpriority")
   }
