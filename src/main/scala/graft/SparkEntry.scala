@@ -1407,18 +1407,23 @@ object SparkEntry {
         |ORDER BY event_id""".stripMargin,
 
     "event_gap_stats" ->
-      // gaps in exact integer microseconds (epoch_us longs); the only
-      // float arithmetic is the final division of an exactly-summed
-      // long, so avg/min/max land bit-identical in both engines
+      // gaps in exact integer microseconds (epoch_us longs); the mean
+      // rounds half-away in exact HUGEINT arithmetic (the
+      // supplier_scorecard /2^k tie class reaches through /1e6);
+      // min/max have exactly 6 decimal digits — no tie digit
       """WITH g AS (SELECT event_type,
         |  epoch_us(ts) - lag(epoch_us(ts)) OVER (
         |    PARTITION BY user_id, event_type ORDER BY ts, event_id) gap_us
-        |  FROM events)
-        |SELECT event_type, CAST(count(*) AS BIGINT) n_gaps,
-        |  round(CAST(sum(gap_us) AS DOUBLE) / count(*) / 1000000, 3) avg_gap_s,
-        |  round(min(gap_us) / 1000000.0, 6) mn_gap_s,
-        |  round(max(gap_us) / 1000000.0, 6) mx_gap_s
-        |FROM g WHERE gap_us IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
+        |  FROM events),
+        |s AS (SELECT event_type, count(*) n, sum(gap_us) sm,
+        |    min(gap_us) mn, max(gap_us) mx
+        |  FROM g WHERE gap_us IS NOT NULL GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) n_gaps,
+        |  CAST((CAST(sm AS HUGEINT) * 2000 + CAST(n AS HUGEINT) * 1000000)
+        |    // (CAST(n AS HUGEINT) * 2000000) AS DOUBLE) / 1e3 AS avg_gap_s,
+        |  round(mn / 1000000.0, 6) mn_gap_s,
+        |  round(mx / 1000000.0, 6) mx_gap_s
+        |FROM s ORDER BY 1""".stripMargin,
 
     "customer_rfm" ->
       // fixed-edge RFM buckets (no quantile edges — see scaladoc);
@@ -1516,12 +1521,14 @@ object SparkEntry {
         |    WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY 1),
         |t3 AS (SELECT e.user_id, min(e.ts) t3 FROM events e JOIN t2 USING (user_id)
         |    WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY 1),
-        |g AS (SELECT epoch_us(t3.t3) - epoch_us(t1.t1) us FROM t3 JOIN t1 USING (user_id))
-        |SELECT CAST(count(*) AS BIGINT) n_converted,
-        |  round(CAST(sum(us) AS DOUBLE) / count(*) / 1000000, 3) avg_s,
-        |  round(min(us) / 1000000.0, 6) mn_s,
-        |  round(max(us) / 1000000.0, 6) mx_s
-        |FROM g""".stripMargin,
+        |g AS (SELECT epoch_us(t3.t3) - epoch_us(t1.t1) us FROM t3 JOIN t1 USING (user_id)),
+        |s AS (SELECT count(*) n, sum(us) sm, min(us) mn, max(us) mx FROM g)
+        |SELECT CAST(n AS BIGINT) n_converted,
+        |  CAST((CAST(sm AS HUGEINT) * 2000 + CAST(n AS HUGEINT) * 1000000)
+        |    // (CAST(n AS HUGEINT) * 2000000) AS DOUBLE) / 1e3 AS avg_s,
+        |  round(mn / 1000000.0, 6) mn_s,
+        |  round(mx / 1000000.0, 6) mx_s
+        |FROM s""".stripMargin,
 
     "event_mix_daily" ->
       // shares divide exact integer counts; totals from the cell frame

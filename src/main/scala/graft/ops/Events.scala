@@ -234,11 +234,20 @@ object Events {
     val t3 = first("purchase", Some(first("click", Some(t1), "t2")), "t3")
     t3.join(t1, "user_id")
       .select((unix_micros(col("t3")) - unix_micros(col("t1"))).as("us"))
-      .agg(count(lit(1)).as("n_converted"),
-        round(sum(col("us")).cast("double") / count(lit(1)) / 1000000L, 3)
-          .as("avg_s"),
-        round(min(col("us")) / lit(1000000.0), 6).as("mn_s"),
-        round(max(col("us")) / lit(1000000.0), 6).as("mx_s"))
+      .agg(count(lit(1)).as("n_converted"), sum(col("us")).as("sm"),
+        min(col("us")).as("mn_us"), max(col("us")).as("mx_us"))
+      // mean rounds half-away in exact 128-bit integer arithmetic —
+      // sm/(n·1e6) can land dyadic-exact on a 3-dp tie (62500 µs/1e6 =
+      // 0.0625), the supplier_scorecard HALF_UP-vs-half-even class;
+      // min/max have exactly 6 decimal digits, so their 6-dp rounds
+      // have no tie digit and keep the double spelling
+      .select(col("n_converted"),
+        (expr("""(CAST(sm AS DECIMAL(38,0)) * 2000
+                 + CAST(n_converted AS DECIMAL(38,0)) * 1000000)
+                 div (CAST(n_converted AS DECIMAL(38,0)) * 2000000)""")
+          .cast("double") / 1e3).as("avg_s"),
+        round(col("mn_us") / lit(1000000.0), 6).as("mn_s"),
+        round(col("mx_us") / lit(1000000.0), 6).as("mx_s"))
   }
 
   /** Daily event-type mix — the composition-drift monitor: each day's
@@ -455,11 +464,17 @@ object Events {
           .as("gap_us"))
       .where(col("gap_us").isNotNull)
       .groupBy("event_type")
-      .agg(count(lit(1)).as("n_gaps"),
-        round(sum(col("gap_us")).cast("double") / count(lit(1)) / 1000000L, 3)
-          .as("avg_gap_s"),
-        round(min(col("gap_us")) / lit(1000000.0), 6).as("mn_gap_s"),
-        round(max(col("gap_us")) / lit(1000000.0), 6).as("mx_gap_s"))
+      .agg(count(lit(1)).as("n_gaps"), sum(col("gap_us")).as("sm"),
+        min(col("gap_us")).as("mn_us"), max(col("gap_us")).as("mx_us"))
+      // exact-integer half-away mean — the supplier_scorecard /2^k tie
+      // class reaches through the /1e6 chain (see funnelTimeToConvert)
+      .select(col("event_type"), col("n_gaps"),
+        (expr("""(CAST(sm AS DECIMAL(38,0)) * 2000
+                 + CAST(n_gaps AS DECIMAL(38,0)) * 1000000)
+                 div (CAST(n_gaps AS DECIMAL(38,0)) * 2000000)""")
+          .cast("double") / 1e3).as("avg_gap_s"),
+        round(col("mn_us") / lit(1000000.0), 6).as("mn_gap_s"),
+        round(col("mx_us") / lit(1000000.0), 6).as("mx_gap_s"))
       .orderBy("event_type")
   }
 
