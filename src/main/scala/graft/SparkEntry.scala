@@ -457,10 +457,10 @@ object SparkEntry {
        |  CAST(sum(CASE WHEN ann IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) n_found,
        |  CAST(sum(CASE WHEN ann = enn THEN 1 ELSE 0 END) AS BIGINT) n_id_match,
        |  CAST(sum(CASE WHEN asim = esim THEN 1 ELSE 0 END) AS BIGINT) n_tie_match,
-       |  round(CAST(sum(CASE WHEN ann = enn THEN 1 ELSE 0 END) AS DOUBLE)
-       |    / count(*), 6) + 0 AS recall_id,
-       |  round(CAST(sum(CASE WHEN asim = esim THEN 1 ELSE 0 END) AS DOUBLE)
-       |    / count(*), 6) + 0 AS recall_tie
+       |  CAST((2 * sum(CASE WHEN ann = enn THEN 1 ELSE 0 END) * 1000000
+       |    + count(*)) // (2 * count(*)) AS DOUBLE) / 1e6 AS recall_id,
+       |  CAST((2 * sum(CASE WHEN asim = esim THEN 1 ELSE 0 END) * 1000000
+       |    + count(*)) // (2 * count(*)) AS DOUBLE) / 1e6 AS recall_tie
        |FROM eb LEFT JOIN ab USING (vec_id)""".stripMargin
 
   /** DuckDB re-derivation of the ENTIRE [[graft.ops.Text.bpeMerges]]
@@ -618,8 +618,10 @@ object SparkEntry {
        |  WHERE event_type IN (SELECT node FROM nodes) GROUP BY 1),
        |ot AS (SELECT sum(n) nt FROM obs)
        |SELECT node AS event_type, r AS pi_ppb,
-       |  round(CAST(r AS DOUBLE) / 1e9, 6) + 0 AS pi,
-       |  round(CAST(n AS DOUBLE) / nt, 6) + 0 AS obs_share
+       |  CAST((2 * CAST(r AS HUGEINT) * 1000000 + 1000000000)
+       |    // 2000000000 AS DOUBLE) / 1e6 AS pi,
+       |  CAST((2 * n * 1000000 + nt) // (2 * nt) AS DOUBLE) / 1e6
+       |    AS obs_share
        |FROM p${graft.ops.Events.MarkovIters} JOIN obs ON node = event_type
        |CROSS JOIN ot ORDER BY event_type""".stripMargin
   }
@@ -667,7 +669,8 @@ object SparkEntry {
        |  CAST(sum(ws) AS BIGINT) ws_tokens,
        |  CAST(sum(sym) AS BIGINT) symbols,
        |  CAST(sum(sub) AS BIGINT) subword_tokens,
-       |  round(CAST(sum(sub) AS DOUBLE) / sum(sym), 6) subword_per_symbol
+       |  CAST((2 * sum(sub) * 1000000 + sum(sym)) // (2 * sum(sym))
+       |    AS DOUBLE) / 1e6 AS subword_per_symbol
        |FROM ap GROUP BY source ORDER BY source""".stripMargin
   }
 
@@ -1531,12 +1534,14 @@ object SparkEntry {
         |FROM s""".stripMargin,
 
     "event_mix_daily" ->
-      // shares divide exact integer counts; totals from the cell frame
+      // shares are int/int ratios → exact integer half-away round
+      // (the ratioRound spelling; the supplier_scorecard tie class)
       """WITH c AS (SELECT CAST(date_trunc('day', ts) AS DATE) d, event_type,
         |    count(*) n FROM events GROUP BY 1, 2),
         |t AS (SELECT d, CAST(sum(n) AS BIGINT) day_n FROM c GROUP BY 1)
         |SELECT c.d, c.event_type, c.n,
-        |  round(CAST(c.n AS DOUBLE) / t.day_n, 6) pct
+        |  CAST((2 * c.n * 1000000 + t.day_n) // (2 * t.day_n) AS DOUBLE)
+        |    / 1e6 AS pct
         |FROM c JOIN t USING (d) ORDER BY 1, 2""".stripMargin,
 
     "value_percentiles_by_type" ->
@@ -1591,15 +1596,23 @@ object SparkEntry {
          |  JOIN ctk tb ON est.b_id = tb.doc_id),
          |cm AS (SELECT CAST(floor(est_jaccard * 10) AS INT) est_decile,
          |    CAST(round(round(est_jaccard, 6) * 1e6) AS BIGINT) e6,
-         |    CAST(round(round(CAST(icnt AS DOUBLE) / (alen + blen - icnt), 6) * 1e6) AS BIGINT) x6,
-         |    CAST(round(round(abs(est_jaccard
-         |      - CAST(icnt AS DOUBLE) / (alen + blen - icnt)), 6) * 1e6) AS BIGINT) d6
-         |  FROM cpj)
-         |SELECT est_decile, CAST(count(*) AS BIGINT) n_pairs,
-         |  round(sum(e6) / 1e6 / count(*), 6) mean_est,
-         |  round(sum(x6) / 1e6 / count(*), 6) mean_exact,
-         |  round(sum(d6) / 1e6 / count(*), 6) mean_abs_err
-         |FROM cm GROUP BY est_decile ORDER BY est_decile""".stripMargin,
+         |    (2 * icnt * 1000000 + (alen + blen - icnt))
+         |      // (2 * (alen + blen - icnt)) x6,
+         |    (2 * abs(CAST(round(est_jaccard * 32) AS BIGINT)
+         |        * (alen + blen - icnt) - icnt * 32) * 1000000
+         |      + (alen + blen - icnt) * 32)
+         |      // (2 * (alen + blen - icnt) * 32) d6
+         |  FROM cpj),
+         |ga AS (SELECT est_decile, count(*) n, sum(e6) se, sum(x6) sx,
+         |    sum(d6) sd FROM cm GROUP BY 1)
+         |SELECT est_decile, CAST(n AS BIGINT) n_pairs,
+         |  CAST((2 * se * 1000000 + n * 1000000) // (2 * n * 1000000)
+         |    AS DOUBLE) / 1e6 AS mean_est,
+         |  CAST((2 * sx * 1000000 + n * 1000000) // (2 * n * 1000000)
+         |    AS DOUBLE) / 1e6 AS mean_exact,
+         |  CAST((2 * sd * 1000000 + n * 1000000) // (2 * n * 1000000)
+         |    AS DOUBLE) / 1e6 AS mean_abs_err
+         |FROM ga ORDER BY est_decile""".stripMargin,
 
     "dedup_clusters" ->
       // the minhash pipeline's top-100 pairs at est ≥ 0.8, closed into
@@ -2169,7 +2182,8 @@ object SparkEntry {
         |  FROM j CROSS JOIN tot),
         |ct AS (SELECT sum(CAST(round(chi2_part * 1e6) AS BIGINT)) ctm FROM parts)
         |SELECT digit, CAST(o AS BIGINT) n_obs,
-        |  round(CAST(o AS DOUBLE) / n, 6) + 0 AS obs_share,
+        |  CAST((2 * o * 1000000 + n) // (2 * n) AS DOUBLE) / 1e6
+        |    AS obs_share,
         |  CAST(round(p, 4) AS DOUBLE) AS exp_share,
         |  chi2_part,
         |  round(CAST(ctm AS DOUBLE) / 1e6, 6) AS chi2_total,
@@ -2355,8 +2369,10 @@ object SparkEntry {
         |  FROM tu a JOIN tu b ON a.u = b.u AND a.t < b.t GROUP BY 1, 2)
         |SELECT ta AS type_a, tb AS type_b, na.nu n_a, nb.nu n_b,
         |  CAST(i AS BIGINT) n_common,
-        |  round(CAST(i AS DOUBLE) / (na.nu + nb.nu - i), 6) AS jaccard,
-        |  round(CAST(i AS DOUBLE) / least(na.nu, nb.nu), 6) AS overlap_coef
+        |  CAST((2 * i * 1000000 + (na.nu + nb.nu - i))
+        |    // (2 * (na.nu + nb.nu - i)) AS DOUBLE) / 1e6 AS jaccard,
+        |  CAST((2 * i * 1000000 + least(na.nu, nb.nu))
+        |    // (2 * least(na.nu, nb.nu)) AS DOUBLE) / 1e6 AS overlap_coef
         |FROM inter JOIN n na ON na.t = ta JOIN n nb ON nb.t = tb
         |ORDER BY 1, 2""".stripMargin,
 
@@ -2430,12 +2446,14 @@ object SparkEntry {
         |  CAST(CASE t WHEN 7 THEN c7 WHEN 30 THEN c30 WHEN 60 THEN c60
         |    ELSE c90 END AS BIGINT) n_repeat_within,
         |  CASE WHEN n_repeaters > 0 THEN
-        |    round(CAST(CASE t WHEN 7 THEN c7 WHEN 30 THEN c30
-        |      WHEN 60 THEN c60 ELSE c90 END AS DOUBLE) / n_repeaters, 6)
+        |    CAST((2 * (CASE t WHEN 7 THEN c7 WHEN 30 THEN c30
+        |      WHEN 60 THEN c60 ELSE c90 END) * 1000000 + n_repeaters)
+        |      // (2 * n_repeaters) AS DOUBLE) / 1e6
         |  END AS share_of_repeaters,
         |  CASE WHEN n_customers > 0 THEN
-        |    round(CAST(CASE t WHEN 7 THEN c7 WHEN 30 THEN c30
-        |      WHEN 60 THEN c60 ELSE c90 END AS DOUBLE) / n_customers, 6)
+        |    CAST((2 * (CASE t WHEN 7 THEN c7 WHEN 30 THEN c30
+        |      WHEN 60 THEN c60 ELSE c90 END) * 1000000 + n_customers)
+        |      // (2 * n_customers) AS DOUBLE) / 1e6
         |  END AS share_of_customers
         |FROM th CROSS JOIN base CROSS JOIN counts
         |ORDER BY 1""".stripMargin,
@@ -2523,7 +2541,8 @@ object SparkEntry {
         |  GROUP BY 1, 2),
         |tot AS (SELECT sum(n_customers) t FROM m)
         |SELECT band_before, band_after, CAST(n_customers AS BIGINT) n_customers,
-        |  round(CAST(n_customers AS DOUBLE) / t, 6) AS share
+        |  CAST((2 * n_customers * 1000000 + t) // (2 * t) AS DOUBLE) / 1e6
+        |    AS share
         |FROM m CROSS JOIN tot ORDER BY 1, 2""".stripMargin,
 
     "events_value_anova" ->
@@ -2551,16 +2570,33 @@ object SparkEntry {
         |  FROM tot),
         |f AS (SELECT nn, k, ssw, sst, sst - ssw ssb,
         |    CASE WHEN ssw > 0 AND k > 1 AND nn > k THEN
-        |      round(CAST(CAST(sst - ssw AS HUGEINT) * (nn - k) AS DOUBLE)
-        |        / CAST(CAST(ssw AS HUGEINT) * (k - 1) AS DOUBLE), 6) + 0
+        |      CAST(CASE WHEN sst - ssw >= 0 THEN
+        |        (2 * CAST(sst - ssw AS HUGEINT) * (nn - k) * 1000000
+        |          + CAST(ssw AS HUGEINT) * (k - 1))
+        |        // (2 * CAST(ssw AS HUGEINT) * (k - 1))
+        |      ELSE -((2 * CAST(ssw - sst AS HUGEINT) * (nn - k) * 1000000
+        |          + CAST(ssw AS HUGEINT) * (k - 1))
+        |        // (2 * CAST(ssw AS HUGEINT) * (k - 1))) END AS DOUBLE) / 1e6
         |    END f_stat
         |  FROM t2)
         |SELECT g.t AS event_type, CAST(g.n AS BIGINT) n,
-        |  round(CAST(g.s AS DOUBLE) / g.n / 1e6, 6) + 0 AS mean_value,
-        |  round(gw.ssw_micro / 1e6 / g.n, 6) AS var_pop,
+        |  CAST(CASE WHEN g.s >= 0 THEN
+        |    (2 * CAST(g.s AS HUGEINT) * 1000000 + CAST(g.n AS HUGEINT) * 1000000)
+        |      // (2 * CAST(g.n AS HUGEINT) * 1000000)
+        |  ELSE -((2 * CAST(-g.s AS HUGEINT) * 1000000 + CAST(g.n AS HUGEINT) * 1000000)
+        |      // (2 * CAST(g.n AS HUGEINT) * 1000000)) END AS DOUBLE) / 1e6
+        |    AS mean_value,
+        |  CAST((2 * CAST(gw.ssw_micro AS HUGEINT) * 1000000
+        |      + CAST(g.n AS HUGEINT) * 1000000)
+        |    // (2 * CAST(g.n AS HUGEINT) * 1000000) AS DOUBLE) / 1e6
+        |    AS var_pop,
         |  CAST(f.k AS BIGINT) k_groups, f.f_stat,
         |  CASE WHEN f.sst > 0 THEN
-        |    round(CAST(f.ssb AS DOUBLE) / f.sst, 6) + 0 END AS eta_squared
+        |    CAST(CASE WHEN f.ssb >= 0 THEN
+        |      (2 * CAST(f.ssb AS HUGEINT) * 1000000 + f.sst) // (2 * f.sst)
+        |    ELSE -((2 * CAST(-f.ssb AS HUGEINT) * 1000000 + f.sst)
+        |      // (2 * f.sst)) END AS DOUBLE) / 1e6
+        |  END AS eta_squared
         |FROM g JOIN gw ON g.t = gw.t CROSS JOIN f ORDER BY 1""".stripMargin,
 
     "recon_pk_uniqueness" ->
@@ -2656,10 +2692,14 @@ object SparkEntry {
         |tot AS (SELECT sum(rs) trs, sum(n_tokens) nt FROM r)
         |SELECT source, CAST(n_tokens AS BIGINT) n_tokens,
         |  CAST(n_docs AS BIGINT) n_docs,
-        |  round(CAST(rs AS DOUBLE) / trs, 6) AS weight,
-        |  round(CAST(n_tokens AS DOUBLE) / nt, 6) AS natural_share,
-        |  round(CAST(CAST(rs AS HUGEINT) * nt AS DOUBLE)
-        |    / CAST(CAST(trs AS HUGEINT) * n_tokens AS DOUBLE), 6) AS boost
+        |  CAST((2 * rs * 1000000 + trs) // (2 * trs) AS DOUBLE) / 1e6
+        |    AS weight,
+        |  CAST((2 * n_tokens * 1000000 + nt) // (2 * nt) AS DOUBLE) / 1e6
+        |    AS natural_share,
+        |  CAST((2 * CAST(rs AS HUGEINT) * nt * 1000000
+        |      + CAST(trs AS HUGEINT) * n_tokens)
+        |    // (2 * CAST(trs AS HUGEINT) * n_tokens) AS DOUBLE) / 1e6
+        |    AS boost
         |FROM r CROSS JOIN tot ORDER BY source""".stripMargin,
 
     "recon_referential_integrity" ->
@@ -2704,7 +2744,8 @@ object SparkEntry {
         |SELECT fk, CAST(n_rows AS BIGINT) n_rows,
         |  CAST(n_orphans AS BIGINT) n_orphans,
         |  CASE WHEN n_rows > 0 THEN
-        |    round(CAST(n_orphans AS DOUBLE) / n_rows, 6) END AS orphan_rate,
+        |    CAST((2 * n_orphans * 1000000 + n_rows) // (2 * n_rows)
+        |      AS DOUBLE) / 1e6 END AS orphan_rate,
         |  n_orphans = 0 AS intact
         |FROM checks ORDER BY fk""".stripMargin,
 
@@ -2773,7 +2814,8 @@ object SparkEntry {
         |hist AS (SELECT d degree, count(*) n_nodes FROM deg GROUP BY 1),
         |tot AS (SELECT sum(n_nodes) tn FROM hist)
         |SELECT CAST(degree AS BIGINT) degree, CAST(n_nodes AS BIGINT) n_nodes,
-        |  round(CAST(n_nodes AS DOUBLE) / tn, 6) AS node_share
+        |  CAST((2 * n_nodes * 1000000 + tn) // (2 * tn) AS DOUBLE) / 1e6
+        |    AS node_share
         |FROM hist CROSS JOIN tot ORDER BY degree""".stripMargin,
 
     "text_keyword_rake" ->
@@ -2908,8 +2950,10 @@ object SparkEntry {
         |  CAST(n_active AS BIGINT) n_active,
         |  CAST(n_retained AS BIGINT) n_retained,
         |  CAST(n_churned AS BIGINT) n_churned,
-        |  round(CAST(n_churned AS DOUBLE) / n_active, 6) AS churn_rate,
-        |  round(CAST(n_retained AS DOUBLE) / n_active, 6) AS retention_rate
+        |  CAST((2 * n_churned * 1000000 + n_active) // (2 * n_active)
+        |    AS DOUBLE) / 1e6 AS churn_rate,
+        |  CAST((2 * n_retained * 1000000 + n_active) // (2 * n_active)
+        |    AS DOUBLE) / 1e6 AS retention_rate
         |FROM nxt CROSS JOIN lastw WHERE wk < mx ORDER BY 1""".stripMargin,
 
     "user_activity_features" ->
@@ -2959,10 +3003,14 @@ object SparkEntry {
       // same exact within-source pair frame as dedup_ngram_jaccard;
       // containments round 6dp and rank with (a_id, b_id) tie-break
       """SELECT a_id, b_id, CAST(icnt AS BIGINT) n_common,
-        |  round(CAST(icnt AS DOUBLE) / alen, 6) cont_a_in_b,
-        |  round(CAST(icnt AS DOUBLE) / blen, 6) cont_b_in_a,
-        |  greatest(round(CAST(icnt AS DOUBLE) / alen, 6),
-        |    round(CAST(icnt AS DOUBLE) / blen, 6)) max_cont
+        |  CAST((2 * icnt * 1000000 + alen) // (2 * alen) AS DOUBLE) / 1e6
+        |    AS cont_a_in_b,
+        |  CAST((2 * icnt * 1000000 + blen) // (2 * blen) AS DOUBLE) / 1e6
+        |    AS cont_b_in_a,
+        |  greatest(
+        |    CAST((2 * icnt * 1000000 + alen) // (2 * alen) AS DOUBLE) / 1e6,
+        |    CAST((2 * icnt * 1000000 + blen) // (2 * blen) AS DOUBLE) / 1e6)
+        |    AS max_cont
         |FROM (
         |  SELECT a.doc_id a_id, b.doc_id b_id,
         |    len(list_intersect(a.toks, b.toks)) icnt,
@@ -3001,7 +3049,8 @@ object SparkEntry {
         |    sum(e - s + ${Text.DupSpanLen}) dup_chars FROM sp GROUP BY 1)
         |SELECT agg.doc_id, CAST(n_dup_pos AS BIGINT) n_dup_pos,
         |  CAST(n_spans AS BIGINT) n_spans, CAST(dup_chars AS BIGINT) dup_chars,
-        |  round(CAST(dup_chars AS DOUBLE) / len, 6) dup_ratio
+        |  CAST((2 * dup_chars * 1000000 + len) // (2 * len) AS DOUBLE)
+        |    / 1e6 AS dup_ratio
         |FROM agg JOIN d USING (doc_id)
         |ORDER BY dup_chars DESC, agg.doc_id LIMIT 100""").stripMargin,
 
@@ -3040,7 +3089,8 @@ object SparkEntry {
         |SELECT agg.doc_id, CAST(n_hit_pos AS BIGINT) n_hit_pos,
         |  CAST(n_spans AS BIGINT) n_spans,
         |  CAST(contaminated_chars AS BIGINT) contaminated_chars,
-        |  round(CAST(contaminated_chars AS DOUBLE) / len, 6) contamination
+        |  CAST((2 * contaminated_chars * 1000000 + len) // (2 * len)
+        |    AS DOUBLE) / 1e6 AS contamination
         |FROM agg JOIN d USING (doc_id)
         |ORDER BY contaminated_chars DESC, agg.doc_id LIMIT 100""").stripMargin,
 
@@ -3086,7 +3136,8 @@ object SparkEntry {
         |tot AS (SELECT sum(n_baskets) tb FROM hist)
         |SELECT CAST(basket_size AS BIGINT) basket_size,
         |  CAST(n_baskets AS BIGINT) n_baskets,
-        |  round(CAST(n_baskets AS DOUBLE) / tb, 6) basket_share
+        |  CAST((2 * n_baskets * 1000000 + tb) // (2 * tb) AS DOUBLE) / 1e6
+        |    AS basket_share
         |FROM hist CROSS JOIN tot ORDER BY basket_size""".stripMargin,
 
     "text_novelty_curve" ->
@@ -3104,7 +3155,8 @@ object SparkEntry {
         |rk AS (SELECT source, doc_id, n_types, n_new,
         |    (row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1) * 10
         |      // count(*) OVER (PARTITION BY source) decile,
-        |    round(CAST(n_new AS DOUBLE) / n_types, 6) nov6
+        |    CAST((2 * n_new * 1000000 + n_types) // (2 * n_types)
+        |      AS DOUBLE) / 1e6 nov6
         |  FROM pd)
         |SELECT source, decile, CAST(count(*) AS BIGINT) n_docs,
         |  CAST(sum(n_new) AS BIGINT) new_types,
@@ -3165,10 +3217,13 @@ object SparkEntry {
         |  FROM ob a JOIN ob b ON a.k = b.k AND a.brand < b.brand
         |  GROUP BY 1, 2)
         |SELECT brand_a, brand_b, n_ab,
-        |  round(CAST(n_ab AS DOUBLE) / n_orders, 6) + 0 AS support,
-        |  round(CAST(n_ab AS DOUBLE) / sa.c, 6) + 0 AS confidence,
-        |  round(CAST(n_ab AS DOUBLE) * n_orders
-        |    / (CAST(sa.c AS DOUBLE) * sb.c), 6) + 0 AS lift
+        |  CAST((2 * n_ab * 1000000 + n_orders) // (2 * n_orders) AS DOUBLE)
+        |    / 1e6 AS support,
+        |  CAST((2 * n_ab * 1000000 + sa.c) // (2 * sa.c) AS DOUBLE)
+        |    / 1e6 AS confidence,
+        |  CAST((2 * CAST(n_ab AS HUGEINT) * n_orders * 1000000
+        |      + CAST(sa.c AS HUGEINT) * sb.c)
+        |    // (2 * CAST(sa.c AS HUGEINT) * sb.c) AS DOUBLE) / 1e6 AS lift
         |FROM pairs
         |JOIN single sa ON sa.brand = pairs.brand_a
         |JOIN single sb ON sb.brand = pairs.brand_b
@@ -4023,12 +4078,16 @@ object SparkEntry {
         |SELECT lang, CAST(n_true AS BIGINT) n_true,
         |  CAST(n_pred AS BIGINT) n_pred, CAST(tp AS BIGINT) tp,
         |  CASE WHEN n_pred > 0 THEN
-        |    round(CAST(tp AS DOUBLE) / n_pred, 6) END AS precision,
+        |    CAST((2 * tp * 1000000 + n_pred) // (2 * n_pred) AS DOUBLE)
+        |      / 1e6 END AS precision,
         |  CASE WHEN n_true > 0 THEN
-        |    round(CAST(tp AS DOUBLE) / n_true, 6) END AS recall,
+        |    CAST((2 * tp * 1000000 + n_true) // (2 * n_true) AS DOUBLE)
+        |      / 1e6 END AS recall,
         |  CASE WHEN n_true + n_pred > 0 THEN
-        |    round(2 * CAST(tp AS DOUBLE) / (n_true + n_pred), 6) END AS f1,
-        |  round(CAST(tpAll AS DOUBLE) / nn, 6) AS micro_accuracy
+        |    CAST((2 * tp * 2 * 1000000 + (n_true + n_pred))
+        |      // (2 * (n_true + n_pred)) AS DOUBLE) / 1e6 END AS f1,
+        |  CAST((2 * tpAll * 1000000 + nn) // (2 * nn) AS DOUBLE) / 1e6
+        |    AS micro_accuracy
         |FROM m CROSS JOIN tot ORDER BY lang""".stripMargin,
 
     "q10_returned_items" ->
@@ -4142,7 +4201,9 @@ object SparkEntry {
         |cnt AS (SELECT gram, count(*) n_docs FROM g GROUP BY 1),
         |tot AS (SELECT count(*) nd FROM documents),
         |ranked AS (SELECT gram, n_docs, row_number() OVER (ORDER BY n_docs DESC, gram) id FROM cnt)
-        |SELECT id, gram, n_docs, round(CAST(n_docs AS DOUBLE) / nd, 6) doc_share
+        |SELECT id, gram, n_docs,
+        |  CAST((2 * n_docs * 1000000 + nd) // (2 * nd) AS DOUBLE) / 1e6
+        |    AS doc_share
         |FROM ranked, tot WHERE id <= 20 ORDER BY id""".stripMargin,
 
     "text_collocations" ->

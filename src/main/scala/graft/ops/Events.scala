@@ -264,7 +264,7 @@ object Events {
     val totals = cells.groupBy("d").agg(sum("n").as("day_n"))
     cells.join(totals, "d")
       .select(col("d"), col("event_type"), col("n"),
-        round(col("n").cast("double") / col("day_n"), 6).as("pct"))
+        Recon.ratioRound(col("n"), col("day_n"), 6).as("pct"))
       .orderBy("d", "event_type")
   }
 
@@ -997,8 +997,8 @@ object Events {
     val tot = obs.agg(sum("n_obs").as("n_tot"))
     broadcast(piDf).join(obs, "event_type").crossJoin(broadcast(tot))
       .select(col("event_type"), col("pi_ppb"),
-        round(col("pi_ppb") / 1e9, 6).as("pi"),
-        round(col("n_obs").cast("double") / col("n_tot"), 6).as("obs_share"))
+        Recon.ratioRound(col("pi_ppb"), lit(1000000000L), 6).as("pi"),
+        Recon.ratioRound(col("n_obs"), col("n_tot"), 6).as("obs_share"))
       .orderBy("event_type")
   }
 
@@ -1122,9 +1122,9 @@ object Events {
       .drop("t")
       .select(col("ta").as("type_a"), col("tb").as("type_b"),
         col("n_a"), col("n_b"), col("i").as("n_common"),
-        round(col("i").cast("double") / (col("n_a") + col("n_b") - col("i")), 6)
-          .as("jaccard"),
-        round(col("i").cast("double") / least(col("n_a"), col("n_b")), 6)
+        Recon.ratioRound(col("i"),
+          col("n_a") + col("n_b") - col("i"), 6).as("jaccard"),
+        Recon.ratioRound(col("i"), least(col("n_a"), col("n_b")), 6)
           .as("overlap_coef"))
       .orderBy("type_a", "type_b")
   }
@@ -1272,9 +1272,9 @@ object Events {
       .select(date_add(lit("1970-01-01").cast("date"),
           (col("wk") * 7).cast("int")).as("week_start"),
         col("n_active"), col("n_retained"), col("n_churned"),
-        round(col("n_churned").cast("double") / col("n_active"), 6)
+        Recon.ratioRound(col("n_churned"), col("n_active"), 6)
           .as("churn_rate"),
-        round(col("n_retained").cast("double") / col("n_active"), 6)
+        Recon.ratioRound(col("n_retained"), col("n_active"), 6)
           .as("retention_rate"))
       .orderBy("week_start")
   }
@@ -1417,18 +1417,21 @@ object Events {
     val f = tot
       .withColumn("sst", ss6(col("qq"), col("nn"), col("ss")))
       .withColumn("ssb", col("sst") - col("ssw"))
+      // ratio presentations in exact integer half-away arithmetic
+      // (Recon.ratioRound — the supplier_scorecard tie class): f_stat,
+      // eta², the mean and var_pop are all integer/integer quotients
       .withColumn("f_stat", when(col("ssw") > 0 && col("k") > 1
           && col("nn") > col("k"),
-        round((col("ssb").cast(dec) * (col("nn") - col("k"))).cast("double")
-          / (col("ssw").cast(dec) * (col("k") - 1)).cast("double"), 6) + 0))
+        Recon.ratioRound(col("ssb").cast(dec) * (col("nn") - col("k")),
+          col("ssw").cast(dec) * (col("k") - 1), 6)))
     gw.crossJoin(broadcast(f.select("k", "sst", "ssb", "f_stat")))
       .select(col("t").as("event_type"), col("n"),
-        (round(col("s").cast("double") / col("n") / 1e6, 6) + 0)
+        Recon.ratioRound(col("s"), col("n") * lit(1000000L), 6)
           .as("mean_value"),
-        round(col("ssw_micro") / 1e6 / col("n"), 6).as("var_pop"),
+        Recon.ratioRound(col("ssw_micro"), col("n") * lit(1000000L), 6)
+          .as("var_pop"),
         col("k").as("k_groups"), col("f_stat"),
-        (when(col("sst") > 0,
-          round(col("ssb").cast("double") / col("sst"), 6)) + 0)
+        when(col("sst") > 0, Recon.ratioRound(col("ssb"), col("sst"), 6))
           .as("eta_squared"))
       .orderBy("event_type")
   }

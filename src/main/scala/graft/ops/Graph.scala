@@ -400,7 +400,8 @@ object Graph {
     val tot = hist.agg(sum(col("n_nodes")).as("tn"))
     hist.crossJoin(broadcast(tot))
       .select(col("degree"), col("n_nodes"),
-        round(col("n_nodes").cast("double") / col("tn"), 6).as("node_share"))
+        graft.ops.Recon.ratioRound(col("n_nodes"), col("tn"), 6)
+          .as("node_share"))
       .orderBy("degree")
   }
 

@@ -51,6 +51,38 @@ object Recon {
   private[graft] def uncents(c: Column): Column =
     (c.cast(DecimalType(38, 4)) / lit(10000)).cast("double")
 
+  /** round-half-away(num/den, scale) in EXACT 128-bit integer
+    * arithmetic — the cross-engine-safe presentation round for
+    * integer/integer ratios, replacing `round(num/den AS DOUBLE,
+    * scale)`. The double spelling genuinely splits the engines on
+    * tie-adjacent quotients: Spark's Round goes through
+    * `BigDecimal.valueOf(double)` — the double's SHORTEST decimal
+    * string — and HALF_UPs that, while DuckDB computes
+    * `std::round(x·10^scale)`; a quotient whose shortest repr ends in
+    * a trailing 5 one digit past the scale (64.6625, 0.0078125, any
+    * odd/2^k…) rounds UP on Spark and DOWN on DuckDB whenever the
+    * underlying double sits below the decimal boundary — caught live
+    * by supplier_scorecard's sf0.001 sweep (round 15). Exact-integer
+    * half-away — sign·((2·|num|·10^scale + den) div (2·den)) — cannot
+    * tie and cannot split: both engines' integral division truncates
+    * toward zero. `den` must be > 0 (group counts, lengths);
+    * DECIMAL(38,0) ≡ HUGEINT keeps the 2·10^scale-magnified products
+    * exact at corpus scale. Oracle twin:
+    * `CAST(sign·((2·|num|·10^s + den) // (2·den)) AS DOUBLE) / 1e{s}`. */
+  private[graft] def ratioRound(num: Column, den: Column, scale: Int): Column = {
+    val dec = DecimalType(38, 0)
+    def idiv(a: Column, b: Column): Column =
+      org.apache.spark.sql.graftbridge.ExprBridge.column(
+        org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+          org.apache.spark.sql.graftbridge.ExprBridge.expression(a),
+          org.apache.spark.sql.graftbridge.ExprBridge.expression(b)))
+    val p = lit(math.pow(10, scale).toLong)
+    val b = den.cast(dec)
+    val mag = idiv(abs(num.cast(dec)) * p * 2 + b, b * 2)
+    when(num >= 0, mag).otherwise(-mag).cast("double") /
+      lit(math.pow(10, scale))
+  }
+
   /** Money-exact aggregation: fixed-point long sum so partial-aggregation
     * order cannot change final ulps (SURVEY §7.4.1), surfaced as double.
     * Bit-identical to `sum(cast(c as DECIMAL(18,4)))` — same per-row
@@ -1211,7 +1243,7 @@ object Recon {
       sum(round(col("chi2_part") * 1e6, 0).cast("long")).as("ctm"))
     parts.crossJoin(broadcast(ct))
       .select(col("digit"), col("o").as("n_obs"),
-        round(col("o").cast("double") / col("n"), 6).as("obs_share"),
+        ratioRound(col("o"), col("n"), 6).as("obs_share"),
         round(col("p"), 4).as("exp_share"),
         col("chi2_part"),
         round(col("ctm").cast("double") / 1e6, 6).as("chi2_total"),
@@ -1311,7 +1343,7 @@ object Recon {
         // an empty child table has no orphan rate (0/0 is the NaN-vs-
         // NULL engine split) — NULL on both engines instead
         when(col("n_rows") > 0,
-          round(col("n_orphans").cast("double") / col("n_rows"), 6))
+          ratioRound(col("n_orphans"), col("n_rows"), 6))
           .as("orphan_rate"),
         (col("n_orphans") === 0).as("intact"))
       .orderBy("fk")

@@ -640,7 +640,7 @@ object Relational {
     val tot = hist.agg(sum(col("n_baskets")).as("tb"))
     hist.crossJoin(broadcast(tot))
       .select(col("basket_size"), col("n_baskets"),
-        round(col("n_baskets").cast("double") / col("tb"), 6)
+        Recon.ratioRound(col("n_baskets"), col("tb"), 6)
           .as("basket_share"))
       .orderBy("basket_size")
   }
@@ -1987,10 +1987,11 @@ object Relational {
       .join(single.toDF("brand_b", "cb"), "brand_b")
       .crossJoin(broadcast(tot))
       .select(col("brand_a"), col("brand_b"), col("n_ab"),
-        round(col("n_ab").cast("double") / col("n_orders"), 6).as("support"),
-        round(col("n_ab").cast("double") / col("ca"), 6).as("confidence"),
-        round(col("n_ab").cast("double") * col("n_orders") /
-          (col("ca").cast("double") * col("cb")), 6).as("lift"))
+        Recon.ratioRound(col("n_ab"), col("n_orders"), 6).as("support"),
+        Recon.ratioRound(col("n_ab"), col("ca"), 6).as("confidence"),
+        Recon.ratioRound(
+          col("n_ab").cast(DecimalType(38, 0)) * col("n_orders"),
+          col("ca").cast(DecimalType(38, 0)) * col("cb"), 6).as("lift"))
       .orderBy(desc("lift"), col("brand_a"), col("brand_b")).limit(30)
   }
 
@@ -2184,10 +2185,10 @@ object Relational {
       .select(col("threshold_days"), col("n_customers"), col("n_repeaters"),
         col("n_repeat_within"),
         when(col("n_repeaters") > 0,
-          round(col("n_repeat_within").cast("double") / col("n_repeaters"), 6))
+          Recon.ratioRound(col("n_repeat_within"), col("n_repeaters"), 6))
           .as("share_of_repeaters"),
         when(col("n_customers") > 0,
-          round(col("n_repeat_within").cast("double") / col("n_customers"), 6))
+          Recon.ratioRound(col("n_repeat_within"), col("n_customers"), 6))
           .as("share_of_customers"))
       .orderBy("threshold_days")
   }
@@ -2408,7 +2409,7 @@ object Relational {
     val tot = m.agg(sum(col("n_customers")).as("t"))
     m.crossJoin(broadcast(tot))
       .select(col("band_before"), col("band_after"), col("n_customers"),
-        round(col("n_customers").cast("double") / col("t"), 6).as("share"))
+        Recon.ratioRound(col("n_customers"), col("t"), 6).as("share"))
       .orderBy("band_before", "band_after")
   }
 

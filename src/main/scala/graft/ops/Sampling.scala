@@ -208,12 +208,11 @@ object Sampling {
     val tot = r.agg(sum(col("rs")).as("trs"), sum(col("n_tokens")).as("nt"))
     r.crossJoin(broadcast(tot))
       .select(col("source"), col("n_tokens"), col("n_docs"),
-        round(col("rs").cast("double") / col("trs"), 6).as("weight"),
-        round(col("n_tokens").cast("double") / col("nt"), 6)
+        graft.ops.Recon.ratioRound(col("rs"), col("trs"), 6).as("weight"),
+        graft.ops.Recon.ratioRound(col("n_tokens"), col("nt"), 6)
           .as("natural_share"),
-        round((col("rs").cast(dec) * col("nt")).cast("double")
-          / (col("trs").cast(dec) * col("n_tokens")).cast("double"), 6)
-          .as("boost"))
+        graft.ops.Recon.ratioRound(col("rs").cast(dec) * col("nt"),
+          col("trs").cast(dec) * col("n_tokens"), 6).as("boost"))
       .orderBy("source")
   }
 }

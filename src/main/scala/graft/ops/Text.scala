@@ -475,10 +475,10 @@ object Text {
                        maxDocs: Long = MaxJaccardDocs): DataFrame =
     saltedSourcePairs(spark, dir, "dedupContainment", maxDocs)
       .select(col("a_id"), col("b_id"), col("icnt").cast("long").as("n_common"),
-        round(col("icnt").cast("double") / col("alen"), 6).as("cont_a_in_b"),
-        round(col("icnt").cast("double") / col("blen"), 6).as("cont_b_in_a"),
-        greatest(round(col("icnt").cast("double") / col("alen"), 6),
-          round(col("icnt").cast("double") / col("blen"), 6)).as("max_cont"))
+        Recon.ratioRound(col("icnt"), col("alen"), 6).as("cont_a_in_b"),
+        Recon.ratioRound(col("icnt"), col("blen"), 6).as("cont_b_in_a"),
+        greatest(Recon.ratioRound(col("icnt"), col("alen"), 6),
+          Recon.ratioRound(col("icnt"), col("blen"), 6)).as("max_cont"))
       .orderBy(col("max_cont").desc, col("a_id"), col("b_id"))
       .limit(20)
 
@@ -560,7 +560,7 @@ object Text {
       .join(d.select("doc_id", "len"), "doc_id")
       .select(col("doc_id"), col("n_pos").as("n_dup_pos"), col("n_spans"),
         col("span_chars").as("dup_chars"),
-        round(col("span_chars").cast("double") / col("len"), 6).as("dup_ratio"))
+        Recon.ratioRound(col("span_chars"), col("len"), 6).as("dup_ratio"))
       .orderBy(desc("dup_chars"), col("doc_id")).limit(100)
   }
 
@@ -600,7 +600,7 @@ object Text {
       .join(d.select("doc_id", "len"), "doc_id")
       .select(col("doc_id"), col("n_pos").as("n_hit_pos"), col("n_spans"),
         col("span_chars").as("contaminated_chars"),
-        round(col("span_chars").cast("double") / col("len"), 6)
+        Recon.ratioRound(col("span_chars"), col("len"), 6)
           .as("contamination"))
       .orderBy(desc("contaminated_chars"), col("doc_id")).limit(100)
   }
@@ -747,21 +747,36 @@ object Text {
         array_distinct(transform(split(col("text"), " "), t => xxhash64(t)))
           .as("toks"))
     def mic(c: Column) = round(round(c, 6) * 1e6, 0).cast("long")
-    val exact =
-      col("icnt").cast("double") / (size(col("ta")) + size(col("tb")) - col("icnt"))
+    // exact jaccard and |est − exact| are RATIONALS (int/int and
+    // int/(32·int)) — their 6-dp rounds go through Recon.ratioRound's
+    // exact integer half-away arithmetic (the supplier_scorecard tie
+    // class: a /2^k-denominatored rational ties exactly at the 6-dp
+    // boundary); est = k/32 has ≤ 5 decimal digits, so its round is
+    // the identity and keeps the double spelling. k32 = est·32 is the
+    // exact integer agreement count recovered from the dyadic double.
     minhashPairs(spark, dir)
       .join(toks.select(col("doc_id").as("a_id"), col("toks").as("ta")), "a_id")
       .join(toks.select(col("doc_id").as("b_id"), col("toks").as("tb")), "b_id")
       .withColumn("icnt", size(array_intersect(col("ta"), col("tb"))))
+      .withColumn("den",
+        (size(col("ta")) + size(col("tb")) - col("icnt")).cast("long"))
+      .withColumn("k32", (col("est_jaccard") * 32).cast("long"))
       .select(floor(col("est_jaccard") * 10).cast("int").as("est_decile"),
         mic(col("est_jaccard")).as("e6"),
-        mic(exact).as("x6"),
-        mic(abs(col("est_jaccard") - exact)).as("d6"))
+        round(Recon.ratioRound(col("icnt"), col("den"), 6) * 1e6, 0)
+          .cast("long").as("x6"),
+        round(Recon.ratioRound(
+            abs(col("k32") * col("den") - col("icnt") * 32),
+            col("den") * 32, 6) * 1e6, 0)
+          .cast("long").as("d6"))
       .groupBy("est_decile")
       .agg(count(lit(1)).as("n_pairs"),
-        round(sum(col("e6")) / 1e6 / count(lit(1)), 6).as("mean_est"),
-        round(sum(col("x6")) / 1e6 / count(lit(1)), 6).as("mean_exact"),
-        round(sum(col("d6")) / 1e6 / count(lit(1)), 6).as("mean_abs_err"))
+        Recon.ratioRound(sum(col("e6")),
+          count(lit(1)) * lit(1000000L), 6).as("mean_est"),
+        Recon.ratioRound(sum(col("x6")),
+          count(lit(1)) * lit(1000000L), 6).as("mean_exact"),
+        Recon.ratioRound(sum(col("d6")),
+          count(lit(1)) * lit(1000000L), 6).as("mean_abs_err"))
       .orderBy("est_decile")
   }
 
@@ -995,13 +1010,13 @@ object Text {
       .crossJoin(broadcast(tot))
       .select(col("lang"), col("n_true"), col("n_pred"), col("tp"),
         when(col("n_pred") > 0,
-          round(col("tp").cast("double") / col("n_pred"), 6)).as("precision"),
+          Recon.ratioRound(col("tp"), col("n_pred"), 6)).as("precision"),
         when(col("n_true") > 0,
-          round(col("tp").cast("double") / col("n_true"), 6)).as("recall"),
+          Recon.ratioRound(col("tp"), col("n_true"), 6)).as("recall"),
         when(col("n_true") + col("n_pred") > 0,
-          round(lit(2) * col("tp").cast("double")
-            / (col("n_true") + col("n_pred")), 6)).as("f1"),
-        round(col("tpAll").cast("double") / col("nn"), 6).as("micro_accuracy"))
+          Recon.ratioRound(col("tp") * 2,
+            col("n_true") + col("n_pred"), 6)).as("f1"),
+        Recon.ratioRound(col("tpAll"), col("nn"), 6).as("micro_accuracy"))
       .orderBy("lang")
   }
 
@@ -1261,7 +1276,7 @@ object Text {
     val w = Window.partitionBy(lit(0)).orderBy(col("n_docs").desc, col("gram"))
     top.crossJoin(broadcast(total))
       .select(row_number().over(w).as("id"), col("gram"), col("n_docs"),
-        round(col("n_docs").cast("double") / col("nd"), 6).as("doc_share"))
+        Recon.ratioRound(col("n_docs"), col("nd"), 6).as("doc_share"))
       .orderBy("id")
   }
 
@@ -1346,7 +1361,7 @@ object Text {
       .withColumn("nd", count(lit(1)).over(Window.partitionBy("source")))
       .withColumn("decile", expr("(rn - 1) * 10 div nd"))
       .withColumn("nov6",
-        round(col("n_new").cast("double") / col("n_types"), 6))
+        Recon.ratioRound(col("n_new"), col("n_types"), 6))
     ranked.groupBy("source", "decile")
       .agg(count(lit(1)).as("n_docs"),
         sum("n_new").as("new_types"),
@@ -1704,7 +1719,7 @@ object Text {
         sum(col("sub")).as("subword_tokens"))
       .select(col("source"), col("n_docs"), col("ws_tokens"),
         col("symbols"), col("subword_tokens"),
-        round(col("subword_tokens").cast("double") / col("symbols"), 6)
+        Recon.ratioRound(col("subword_tokens"), col("symbols"), 6)
           .as("subword_per_symbol"))
       .orderBy("source")
   }

@@ -505,9 +505,9 @@ object Vectors {
         sum(when(col("asim") === col("esim"), 1L).otherwise(0L)).as("n_tie_match"))
       .select(col("n_vectors"), col("n_found"), col("n_id_match"),
         col("n_tie_match"),
-        round(col("n_id_match").cast("double") / col("n_vectors"), 6)
+        Recon.ratioRound(col("n_id_match"), col("n_vectors"), 6)
           .as("recall_id"),
-        round(col("n_tie_match").cast("double") / col("n_vectors"), 6)
+        Recon.ratioRound(col("n_tie_match"), col("n_vectors"), 6)
           .as("recall_tie"))
   }
 
