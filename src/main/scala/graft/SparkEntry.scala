@@ -252,7 +252,10 @@ object SparkEntry {
     // format write+read, so they'd distort the total without a DuckDB
     // twin paying the same I/O)
     "csv_roundtrip_fingerprint"  -> (graft.sources.Sources.csvRoundtripFingerprint _),
-    "json_roundtrip_fingerprint" -> (graft.sources.Sources.jsonRoundtripFingerprint _)
+    "json_roundtrip_fingerprint" -> (graft.sources.Sources.jsonRoundtripFingerprint _),
+    // §2.2 footer-metadata anchor (verify-only: the op's cost is ten
+    // driver-side footer reads, ~0 — a bench row would time nothing)
+    "source_footer_rowcounts"    -> (graft.sources.Sources.footerRowcounts _)
   )
 
   /** The 118 BASELINE.md headline queries timed by [[Bench]] — every
@@ -4443,7 +4446,24 @@ object SparkEntry {
     // length-prefixed md5 — the same engine-independent text as the
     // recon_snapshot_diff oracle; split 32-bit half-sums stay in BIGINT.
     "csv_roundtrip_fingerprint"  -> roundtripFingerprintOracle,
-    "json_roundtrip_fingerprint" -> roundtripFingerprintOracle
+    "json_roundtrip_fingerprint" -> roundtripFingerprintOracle,
+
+    // the footer's num_rows vs the oracle's REAL count(*) scans — a
+    // lying footer (truncated write) fails here before it mis-sizes a
+    // fail-fast guard
+    "source_footer_rowcounts" ->
+      """SELECT tbl, n_rows FROM (
+        |  SELECT 'customer' tbl, count(*) n_rows FROM customer
+        |  UNION ALL SELECT 'documents', count(*) FROM documents
+        |  UNION ALL SELECT 'embeddings', count(*) FROM embeddings
+        |  UNION ALL SELECT 'events', count(*) FROM events
+        |  UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+        |  UNION ALL SELECT 'nation', count(*) FROM nation
+        |  UNION ALL SELECT 'orders', count(*) FROM orders
+        |  UNION ALL SELECT 'part', count(*) FROM part
+        |  UNION ALL SELECT 'region', count(*) FROM region
+        |  UNION ALL SELECT 'supplier', count(*) FROM supplier)
+        |ORDER BY tbl""".stripMargin
   )
 
   private val roundtripFingerprintOracle: String =

@@ -293,6 +293,22 @@ object Sources {
   def jsonRoundtripFingerprint(spark: SparkSession, dir: String): DataFrame =
     roundtripFingerprint(spark, dir, "json")
 
+  /** Footer-metadata row counts for every corpus table — the §2.2
+    * "don't scan 100 TB to count it" path ([[parquetRowCount]], the
+    * same footer reads every fail-fast guard trusts), chained to the
+    * DuckDB oracle's REAL count(*) scans: a footer that lies about
+    * num_rows (truncated write, botched compaction) fails this row
+    * before it silently mis-sizes a guard. Driver-side by design —
+    * the footer read IS the operation; no Spark job runs at all. */
+  def footerRowcounts(spark: SparkSession, dir: String): DataFrame = {
+    val tables = Seq("region", "nation", "supplier", "part", "customer",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    import spark.implicits._
+    tables.sorted
+      .map(t => (t, parquetRowCount(spark, s"$dir/$t.parquet")))
+      .toDF("tbl", "n_rows")
+  }
+
   /** Write orders to `format` under the JVM temp dir (deterministic
     * per-(format, source-dir) location, overwrite mode — idempotent under
     * harness re-runs), read it back schema-pinned, fingerprint per

@@ -117,8 +117,12 @@ class RegistrySpec extends GraftSpec {
     // the round-trip fingerprints are oracled but deliberately unbenched:
     // they write+re-read files, which the repeated-materialization timing
     // methodology can't time meaningfully, and BASELINE.md never budgeted
-    // them — any OTHER gap here is a forgotten benchQueries entry
-    val sinkOps = Set("csv_roundtrip_fingerprint", "json_roundtrip_fingerprint")
+    // them; the footer-rowcount anchor is ten driver-side footer reads
+    // (~0 — a bench row would time nothing while its DuckDB twin pays
+    // ten full scans). Any OTHER gap here is a forgotten benchQueries
+    // entry.
+    val sinkOps = Set("csv_roundtrip_fingerprint", "json_roundtrip_fingerprint",
+      "source_footer_rowcounts")
     val unbenched =
       SparkEntry.oracleSql.keySet -- SparkEntry.benchQueries.toSet -- sinkOps
     assert(unbenched.isEmpty,

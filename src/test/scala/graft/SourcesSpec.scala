@@ -198,6 +198,18 @@ class SourcesSpec extends GraftSpec {
     spark.sql("DROP TABLE ra_btgt")
   }
 
+  test("footerRowcounts: ten sorted tables, footer equals a real count") {
+    val got = Sources.footerRowcounts(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.map(_._1).toSeq === got.map(_._1).sorted.toSeq)
+    assert(got.length === 10)
+    val byName = got.toMap
+    // independent recount: the footer number must equal a real scan
+    assert(byName("orders") === Tables.orders(spark, sf).count())
+    assert(byName("lineitem") === Tables.lineitem(spark, sf).count())
+    assert(byName("documents") === Tables.documents(spark, sf).count())
+  }
+
   test("parquetRowCount: recursive over partitioned layouts, refuses empty, invalidates on overwrite") {
     val part = s"$tmpDir/orders_bymonth"
     val orders = Tables.orders(spark, sf)
