@@ -1772,12 +1772,12 @@ object SparkEntry {
         |  FROM l GROUP BY 1)
         |SELECT o_orderpriority, n,
         |  CAST(CASE WHEN lag_sum >= 0
-        |    THEN (2 * lag_sum * 1000 + n) // (2 * n)
-        |    ELSE -((2 * -lag_sum * 1000 + n) // (2 * n)) END AS DOUBLE)
-        |    / 1e3 AS avg_lag_d,
+        |    THEN (2 * CAST(lag_sum AS HUGEINT) * 1000 + n) // (2 * CAST(n AS HUGEINT))
+        |    ELSE -((2 * CAST(-lag_sum AS HUGEINT) * 1000 + n) // (2 * CAST(n AS HUGEINT)))
+        |    END AS DOUBLE) / 1e3 AS avg_lag_d,
         |  CAST(mn AS INT) mn_lag_d, CAST(mx AS INT) mx_lag_d,
-        |  CAST((2 * miss * 1000000 + n) // (2 * n) AS DOUBLE) / 1e6
-        |    AS sla_miss_share
+        |  CAST((2 * CAST(miss AS HUGEINT) * 1000000 + n)
+        |    // (2 * CAST(n AS HUGEINT)) AS DOUBLE) / 1e6 AS sla_miss_share
         |FROM g ORDER BY 1""".stripMargin,
 
     "supplier_hhi" ->
@@ -1811,7 +1811,8 @@ object SparkEntry {
         |    CAST(sum(gap_s * gap_s) AS BIGINT) sq
         |  FROM g WHERE gap_s IS NOT NULL GROUP BY 1)
         |SELECT event_type, n n_gaps,
-        |  CAST((2 * sm * 1000 + n) // (2 * n) AS DOUBLE) / 1e3 AS mean_gap_s,
+        |  CAST((2 * CAST(sm AS HUGEINT) * 1000 + n) // (2 * CAST(n AS HUGEINT))
+        |    AS DOUBLE) / 1e3 AS mean_gap_s,
         |  round(sqrt((CAST(sq AS DOUBLE) - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE) / n)
         |    / (n - 1)), 3) sd_gap_s,
         |  round((sqrt((CAST(sq AS DOUBLE) - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE) / n)
@@ -3120,11 +3121,13 @@ object SparkEntry {
         |  GROUP BY 1, 2)
         |SELECT s_name, nation, CAST(n_lines AS BIGINT) n_lines,
         |  CAST(n_late AS BIGINT) n_late,
-        |  CAST((2 * n_late * 1000000 + n_lines) // (2 * n_lines) AS DOUBLE)
-        |    / 1e6 AS late_share,
+        |  CAST((2 * CAST(n_late AS HUGEINT) * 1000000 + n_lines)
+        |    // (2 * CAST(n_lines AS HUGEINT)) AS DOUBLE) / 1e6 AS late_share,
         |  CAST(CASE WHEN lag_sum >= 0
-        |    THEN (2 * lag_sum * 1000 + n_lines) // (2 * n_lines)
-        |    ELSE -((2 * -lag_sum * 1000 + n_lines) // (2 * n_lines))
+        |    THEN (2 * CAST(lag_sum AS HUGEINT) * 1000 + n_lines)
+        |      // (2 * CAST(n_lines AS HUGEINT))
+        |    ELSE -((2 * CAST(-lag_sum AS HUGEINT) * 1000 + n_lines)
+        |      // (2 * CAST(n_lines AS HUGEINT)))
         |    END AS DOUBLE) / 1e3 AS avg_lag_d,
         |  CAST(late_rev AS DOUBLE) late_revenue
         |FROM g ORDER BY n_late DESC, s_name, nation LIMIT 100""".stripMargin,

@@ -691,14 +691,13 @@ object Events {
       .agg(count(lit(1)).as("n"), sum(col("gap_s")).as("sm"),
         sum(col("gap_s") * col("gap_s")).as("sq"))
       .select(col("event_type"), col("n").as("n_gaps"),
-        // mean rounds in EXACT INTEGER arithmetic (round-half-away =
-        // (2a+b) div (2b)): sm/n is int/int, and a /2^k denominator
-        // ties EXACTLY at the 3-dp boundary where Spark HALF_UP and
-        // DuckDB half-even split (the supplier_scorecard class); sd
-        // and burstiness pass through sqrt, which leaves the dyadic
-        // lattice, so their rounds keep the double spelling
-        (expr("(2 * sm * 1000 + n) div (2 * n)").cast("double") / 1e3)
-          .as("mean_gap_s"),
+        // mean rounds in EXACT INTEGER arithmetic (Recon.ratioRound —
+        // the supplier_scorecard tie class; the helper's DECIMAL(38,0)
+        // keeps 2000·Σgap_s exact past the long range a 100 TB type's
+        // second-sums would overflow); sd and burstiness pass through
+        // sqrt, which leaves the dyadic lattice, so their rounds keep
+        // the double spelling
+        Recon.ratioRound(col("sm"), col("n"), 3).as("mean_gap_s"),
         round(sqrt(variance), 3).as("sd_gap_s"),
         round((sqrt(variance) - mean) / (sqrt(variance) + mean), 4)
           .as("burstiness"))

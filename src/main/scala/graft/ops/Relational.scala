@@ -1533,18 +1533,12 @@ object Relational {
         min(col("lag_d")).as("mn_lag_d"), max(col("lag_d")).as("mx_lag_d"),
         count_if(col("lag_d") > 90).as("miss"))
       // the mean and the share round in EXACT INTEGER arithmetic
-      // (round-half-away = (2a+b) div (2b)) — int/int quotients with a
-      // /2^k denominator tie EXACTLY at the decimal boundary where
-      // Spark HALF_UP and DuckDB half-even split (the
-      // supplier_scorecard class; lag_d ≥ −90k bounded, sign handled)
+      // (Recon.ratioRound — the supplier_scorecard tie class; sign
+      // handled inside, DECIMAL(38,0) products exact at any corpus)
       .select(col("o_orderpriority"), col("n"),
-        (expr("""CASE WHEN lag_sum >= 0
-                 THEN (2 * lag_sum * 1000 + n) div (2 * n)
-                 ELSE -((2 * -lag_sum * 1000 + n) div (2 * n)) END""")
-          .cast("double") / 1e3).as("avg_lag_d"),
+        Recon.ratioRound(col("lag_sum"), col("n"), 3).as("avg_lag_d"),
         col("mn_lag_d"), col("mx_lag_d"),
-        (expr("(2 * miss * 1000000 + n) div (2 * n)").cast("double") / 1e6)
-          .as("sla_miss_share"))
+        Recon.ratioRound(col("miss"), col("n"), 6).as("sla_miss_share"))
       .orderBy("o_orderpriority")
   }
 
@@ -1596,13 +1590,8 @@ object Relational {
         sum(when(col("late"), col("rev_c")).otherwise(0L)).as("late_rev_c"))
       .select(col("s_name"), col("n_name").as("nation"), col("n_lines"),
         col("n_late"),
-        (expr("(2 * n_late * 1000000 + n_lines) div (2 * n_lines)")
-          .cast("double") / 1e6).as("late_share"),
-        (expr("""CASE WHEN lag_sum >= 0
-                 THEN (2 * lag_sum * 1000 + n_lines) div (2 * n_lines)
-                 ELSE -((2 * -lag_sum * 1000 + n_lines) div (2 * n_lines))
-                 END""")
-          .cast("double") / 1e3).as("avg_lag_d"),
+        Recon.ratioRound(col("n_late"), col("n_lines"), 6).as("late_share"),
+        Recon.ratioRound(col("lag_sum"), col("n_lines"), 3).as("avg_lag_d"),
         Recon.uncents(col("late_rev_c")).as("late_revenue"))
       .orderBy(desc("n_late"), col("s_name"), col("nation")).limit(100)
   }
