@@ -522,11 +522,16 @@ object SparkEntry {
     * HUGEINT ≡ DECIMAL(38,0) products, `//` ≡ `div`, exact long sums —
     * so rank_ppb matches Spark bit-for-bit at every iteration. */
   private def pagerankSql: String = {
+    // the basket cap mirrors Graph.MaxBasketParts so the two engines
+    // compute the SAME graph on any corpus, not just within-cap ones
     val head =
-      """pairs AS MATERIALIZED (
+      s"""ob0 AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |ob AS MATERIALIZED (SELECT l_orderkey, l_partkey FROM ob0
+        |  QUALIFY row_number() OVER (PARTITION BY l_orderkey
+        |    ORDER BY l_partkey) <= ${graft.ops.Graph.MaxBasketParts}),
+        |pairs AS MATERIALIZED (
         |  SELECT a.l_partkey s, b.l_partkey t, count(*) w
-        |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
-        |  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b USING (l_orderkey)
+        |  FROM ob a JOIN ob b USING (l_orderkey)
         |  WHERE a.l_partkey <> b.l_partkey GROUP BY 1, 2),
         |outw AS MATERIALIZED (SELECT s, sum(w) ow FROM pairs GROUP BY 1),
         |nodes AS MATERIALIZED (SELECT DISTINCT s AS node FROM pairs),
@@ -558,8 +563,12 @@ object SparkEntry {
     * fixed-depth oracle honest; converged min-label fixpoints are
     * canonical, so the census matches exactly. */
   private def componentsSql: String = {
+    // basket cap mirrored from Graph.MaxBasketParts (see pagerankSql)
     val head =
-      """ob AS MATERIALIZED (SELECT DISTINCT l_orderkey k, l_partkey p FROM lineitem),
+      s"""ob0 AS MATERIALIZED (SELECT DISTINCT l_orderkey k, l_partkey p FROM lineitem),
+        |ob AS MATERIALIZED (SELECT k, p FROM ob0
+        |  QUALIFY row_number() OVER (PARTITION BY k ORDER BY p)
+        |    <= ${graft.ops.Graph.MaxBasketParts}),
         |e0 AS MATERIALIZED (SELECT a.p s, b.p t FROM ob a JOIN ob b USING (k)
         |  WHERE a.p <> b.p GROUP BY 1, 2 HAVING count(*) >= 2),
         |l0 AS MATERIALIZED (SELECT DISTINCT s node, s lbl FROM e0)""".stripMargin
@@ -2072,16 +2081,20 @@ object SparkEntry {
         |  FROM cent a JOIN cent b ON a.label <> b.label),
         |near AS (SELECT label, olabel nearest_label, d2 inter_d2 FROM inter
         |  QUALIFY row_number() OVER (PARTITION BY label
-        |    ORDER BY d2, olabel) = 1)
-        |SELECT intra.label, CAST(n_vecs AS BIGINT) n_vecs,
-        |  round(CAST(sm AS DOUBLE) / n_vecs / 1e6, 6) + 0 AS intra_mean_d2,
+        |    ORDER BY d2, olabel) = 1),
+        |im AS (SELECT label, n_vecs, nearest_label, inter_d2,
+        |    (2 * CAST(sm AS HUGEINT) * 1000000
+        |      + CAST(n_vecs AS HUGEINT) * 1000000)
+        |      // (2 * CAST(n_vecs AS HUGEINT) * 1000000) im6
+        |  FROM intra LEFT JOIN near USING (label))
+        |SELECT label, CAST(n_vecs AS BIGINT) n_vecs,
+        |  CAST(im6 AS DOUBLE) / 1e6 AS intra_mean_d2,
         |  nearest_label, inter_d2,
-        |  CASE WHEN sm > 0 AND inter_d2 IS NOT NULL THEN
-        |    round(inter_d2
-        |      / (round(CAST(sm AS DOUBLE) / n_vecs / 1e6, 6) + 0), 6)
+        |  CASE WHEN im6 > 0 AND inter_d2 IS NOT NULL THEN
+        |    CAST((2 * CAST(round(inter_d2 * 1e6) AS HUGEINT) * 1000000 + im6)
+        |      // (2 * CAST(im6 AS HUGEINT)) AS DOUBLE) / 1e6
         |  END AS separation
-        |FROM intra LEFT JOIN near USING (label)
-        |ORDER BY label""".stripMargin,
+        |FROM im ORDER BY label""".stripMargin,
 
     "text_bpe_merges" -> bpeMergesSql,
     "graph_pagerank" -> pagerankSql,
@@ -2122,9 +2135,13 @@ object SparkEntry {
     "graph_triangles" ->
       // sorted-triple orientation (a < b < c) generates each triangle
       // exactly once; wedges = Σ d·(d−1)/2 exact longs; the one double
-      // division is identically spelled
-      """WITH ob AS MATERIALIZED (
+      // division is identically spelled; basket cap mirrored from
+      // Graph.MaxBasketParts (see pagerankSql)
+      (s"""WITH ob0 AS MATERIALIZED (
         |  SELECT DISTINCT l_orderkey k, l_partkey p FROM lineitem),
+        |ob AS MATERIALIZED (SELECT k, p FROM ob0
+        |  QUALIFY row_number() OVER (PARTITION BY k ORDER BY p)
+        |    <= ${graft.ops.Graph.MaxBasketParts}),
         |e AS MATERIALIZED (SELECT a.p a, b.p b FROM ob a JOIN ob b USING (k)
         |  WHERE a.p < b.p GROUP BY 1, 2 HAVING count(*) >= 2),
         |deg AS (SELECT v, count(*) d FROM (
@@ -2138,7 +2155,7 @@ object SparkEntry {
         |SELECT n_nodes, n_edges, triangles, wedges,
         |  CASE WHEN wedges > 0 THEN round(3.0 * triangles / wedges, 6) + 0
         |  END AS transitivity
-        |FROM tr CROSS JOIN wa CROSS JOIN ne""".stripMargin,
+        |FROM tr CROSS JOIN wa CROSS JOIN ne""").stripMargin,
     "text_readability" ->
       // effective sentences = max(punctuation runs, ceil(w/16)) — the
       // documented fallback for this punctuation-free corpus; scores
@@ -2808,9 +2825,13 @@ object SparkEntry {
 
     "graph_degree_distribution" ->
       // same strong (w ≥ 2) edge set as components/triangles; all
-      // integers except one identically-spelled share division
-      """WITH ob AS MATERIALIZED (
+      // integers except one integer-rounded share; basket cap mirrored
+      // from Graph.MaxBasketParts (see pagerankSql)
+      (s"""WITH ob0 AS MATERIALIZED (
         |  SELECT DISTINCT l_orderkey k, l_partkey p FROM lineitem),
+        |ob AS MATERIALIZED (SELECT k, p FROM ob0
+        |  QUALIFY row_number() OVER (PARTITION BY k ORDER BY p)
+        |    <= ${graft.ops.Graph.MaxBasketParts}),
         |e AS MATERIALIZED (SELECT a.p a, b.p b FROM ob a JOIN ob b USING (k)
         |  WHERE a.p < b.p GROUP BY 1, 2 HAVING count(*) >= 2),
         |deg AS (SELECT v, count(*) d FROM (
@@ -2820,7 +2841,7 @@ object SparkEntry {
         |SELECT CAST(degree AS BIGINT) degree, CAST(n_nodes AS BIGINT) n_nodes,
         |  CAST((2 * n_nodes * 1000000 + tn) // (2 * tn) AS DOUBLE) / 1e6
         |    AS node_share
-        |FROM hist CROSS JOIN tot ORDER BY degree""".stripMargin,
+        |FROM hist CROSS JOIN tot ORDER BY degree""").stripMargin,
 
     "text_keyword_rake" ->
       // gaps-and-islands phrase decomposition; word score deg/freq is
@@ -3166,8 +3187,10 @@ object SparkEntry {
         |  FROM pd)
         |SELECT source, decile, CAST(count(*) AS BIGINT) n_docs,
         |  CAST(sum(n_new) AS BIGINT) new_types,
-        |  round(CAST(sum(CAST(round(nov6 * 1e6) AS BIGINT)) AS DOUBLE)
-        |    / count(*) / 1e6, 6) mean_novelty
+        |  CAST((2 * CAST(sum(CAST(round(nov6 * 1e6) AS BIGINT)) AS HUGEINT)
+        |      * 1000000 + count(*) * 1000000)
+        |    // (2 * CAST(count(*) AS HUGEINT) * 1000000) AS DOUBLE) / 1e6
+        |    AS mean_novelty
         |FROM rk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "events_stickiness" ->

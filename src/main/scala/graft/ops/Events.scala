@@ -242,10 +242,8 @@ object Events {
       // min/max have exactly 6 decimal digits, so their 6-dp rounds
       // have no tie digit and keep the double spelling
       .select(col("n_converted"),
-        (expr("""(CAST(sm AS DECIMAL(38,0)) * 2000
-                 + CAST(n_converted AS DECIMAL(38,0)) * 1000000)
-                 div (CAST(n_converted AS DECIMAL(38,0)) * 2000000)""")
-          .cast("double") / 1e3).as("avg_s"),
+        Recon.ratioRound(col("sm"), col("n_converted") * lit(1000000L), 3)
+          .as("avg_s"),
         round(col("mn_us") / lit(1000000.0), 6).as("mn_s"),
         round(col("mx_us") / lit(1000000.0), 6).as("mx_s"))
   }
@@ -342,6 +340,12 @@ object Events {
     * micro-batches (the `recon_stream_hash_diff` recipe) and asserts
     * the identical kept set — the watermark half that has no batch
     * meaning stays spec-verified (SURVEY §2.8 late-data exception).
+    *
+    * Data contract: base event_id uniqueness is the corpus PK contract
+    * (audited by `recon_pk_uniqueness`). A corpus with duplicate base
+    * ids carrying DIFFERENT payloads makes keep-any-per-id
+    * nondeterministic in ANY engine — there is no oracle-able answer,
+    * which is exactly why the feed's duplicates are verbatim copies.
     *
     * 100 TB posture: dedup is ONE id-keyed exchange (exactly the
     * shuffle the streaming state store pays), planned as a partial+
@@ -469,10 +473,8 @@ object Events {
       // exact-integer half-away mean — the supplier_scorecard /2^k tie
       // class reaches through the /1e6 chain (see funnelTimeToConvert)
       .select(col("event_type"), col("n_gaps"),
-        (expr("""(CAST(sm AS DECIMAL(38,0)) * 2000
-                 + CAST(n_gaps AS DECIMAL(38,0)) * 1000000)
-                 div (CAST(n_gaps AS DECIMAL(38,0)) * 2000000)""")
-          .cast("double") / 1e3).as("avg_gap_s"),
+        Recon.ratioRound(col("sm"), col("n_gaps") * lit(1000000L), 3)
+          .as("avg_gap_s"),
         round(col("mn_us") / lit(1000000.0), 6).as("mn_gap_s"),
         round(col("mx_us") / lit(1000000.0), 6).as("mx_gap_s"))
       .orderBy("event_type")

@@ -135,11 +135,19 @@ object Graph {
     * [[connectedComponents]], which stays the tested scale
     * implementation. Both produce min-label components, asserted
     * equivalent in GraphSpec. */
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Text.dedupMinhash(spark, dir)
+  /** The answer-sized dup-pair list behind [[dedupClusters]] and
+    * [[dedupSavings]]: dedupMinhash's top-100 frame at est ≥ 0.8,
+    * collected. ONE definition on purpose (the saltedSourcePairs
+    * lesson) — a threshold or contract tune reaches both ops. */
+  private def minhashClusterPairs(spark: SparkSession,
+                                  dir: String): Seq[(Long, Long)] =
+    Text.dedupMinhash(spark, dir)
       .filter(col("est_jaccard") >= 0.8)
       .select("a_id", "b_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashClusterPairs(spark, dir)
     val clusters = unionFindLocal(pairs).groupBy(_._2)
       .map { case (label, members) => (label, members.size.toLong) }.toSeq
       .sortBy { case (label, size) => (-size, label) }.take(100)
@@ -159,10 +167,7 @@ object Graph {
     * scan, and the agg is cluster-sized. All integers — lengths, sums,
     * counts — nothing to round. */
   def dedupSavings(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Text.dedupMinhash(spark, dir)
-      .filter(col("est_jaccard") >= 0.8)
-      .select("a_id", "b_id")
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val pairs = minhashClusterPairs(spark, dir)
     import spark.implicits._
     val lab = unionFindLocal(pairs).toSeq.toDF("doc_id", "canonical_id")
     Tables.documents(spark, dir).join(broadcast(lab), "doc_id")
@@ -249,8 +254,10 @@ object Graph {
     * exchange), bounding any basket's cost at cap². TPC-H baskets hold
     * ≤ 7 parts, so the cap never engages on the oracle corpora
     * (GraphSpec asserts both halves: no-op at ≤ cap, deterministic
-    * smallest-id keep above it) and the DuckDB twins, which do not
-    * model the cap, stay exact. */
+    * smallest-id keep above it), and all four DuckDB graph twins MODEL
+    * the cap (an interpolated QUALIFY row_number ≤ cap), so the two
+    * engines compute the SAME graph on any corpus — an over-cap basket
+    * diverges nowhere instead of silently splitting the board. */
   private[graft] val MaxBasketParts = 64
 
   /** The UNCACHED co-purchase edge plan — [[copurchaseEdges]] is this
@@ -277,7 +284,12 @@ object Graph {
     * returns the same instance until the underlying files change, so a
     * corpus regen or a test overwriting its fixture dir naturally
     * misses. The check-then-put race is benign: losers build equivalent
-    * frames and last-write-wins (the cachedRelation discipline). */
+    * frames and last-write-wins (the cachedRelation discipline). A
+    * displaced entry's checkpoint blocks are reclaimed by the
+    * ContextCleaner once the superseded frame is unreferenced — fine
+    * for the harness's regen cadence (one displacement per corpus
+    * swap); a service that churns corpora per-request would want an
+    * explicit eviction hook here. */
   private val edgeMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), (AnyRef, DataFrame)]
 

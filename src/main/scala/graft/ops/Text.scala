@@ -1365,8 +1365,8 @@ object Text {
     ranked.groupBy("source", "decile")
       .agg(count(lit(1)).as("n_docs"),
         sum("n_new").as("new_types"),
-        round((sum(round(col("nov6") * 1e6, 0).cast("long")).cast("double")
-          / count(lit(1))) / 1e6, 6).as("mean_novelty"))
+        Recon.ratioRound(sum(round(col("nov6") * 1e6, 0).cast("long")),
+          count(lit(1)) * lit(1000000L), 6).as("mean_novelty"))
       .orderBy("source", "decile")
   }
 

@@ -178,10 +178,12 @@ object Vectors {
     * identical chain x·x − 2·(x·c) + c·c with sequential dots (the
     * native [[graft.functions.DotProduct]] ≡ DuckDB
     * `list_inner_product`, the ann_ivf-proven parity); per-vector
-    * distances round 6 dp into micro-longs before the exact mean;
+    * distances round 6 dp into micro-longs before the exact mean (the
+    * mean and the separation ratio are integer/integer quotients —
+    * [[graft.ops.Recon.ratioRound]] half-away exact arithmetic);
     * inter-centroid distances compute driver-side over the SAME
-    * centroid doubles with the same association and a HALF_UP 6-dp
-    * round (≡ both engines' round on the non-negative domain);
+    * centroid doubles with the same association, rounded by the
+    * oracle's OWN operational semantics (std::round(x·1e6)/1e6);
     * nearest = (d2, other-label) tie-break; intra = 0 (an
     * identical-vector label) NULL-guards the ratio on both engines.
     *
@@ -209,8 +211,12 @@ object Vectors {
       while (i < dim) { s += a(i) * b(i); i += 1 }
       s
     }
-    def r6(x: Double): Double = BigDecimal(x)
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // mirror DuckDB's round(x, 6) = std::round(x·1e6)/1e6 operationally
+    // (multiply, half-away, divide) rather than BigDecimal-on-the-exact-
+    // binary-value: the two disagree in the ±1-ulp window around every
+    // .5 boundary of the MULTIPLIED value, and the oracle computes the
+    // DuckDB side; operands here are non-negative squared distances
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
     val cc = cents.map { case (l, c) => l -> dotSeq(c, c) }.toMap
     val nearest = cents.map { case (la, ca) =>
       val cands = cents.collect { case (lb, cb) if lb != la =>
@@ -240,13 +246,20 @@ object Vectors {
       .groupBy("label")
       .agg(count(lit(1)).as("n_vecs"), sum(col("d6m")).as("sm"))
       .join(broadcast(near), Seq("label"))
+      // intra mean and the separation ratio are integer/integer
+      // quotients (micro-long sums, micro-long means) — Recon.ratioRound
+      // half-away exact arithmetic, the supplier_scorecard tie class;
+      // im6 is the mean recovered as its exact micro-long so the ratio
+      // clears both denominators, and im6 > 0 guards the division
+      .withColumn("im6",
+        round(Recon.ratioRound(col("sm"), col("n_vecs") * lit(1000000L), 6)
+          * 1e6, 0).cast("long"))
       .select(col("label"), col("n_vecs"),
-        (round(col("sm").cast("double") / col("n_vecs") / 1e6, 6) + 0)
-          .as("intra_mean_d2"),
+        (col("im6").cast("double") / 1e6).as("intra_mean_d2"),
         col("nearest_label"), col("inter_d2"),
-        when(col("sm") > 0 && col("inter_d2").isNotNull,
-          round(col("inter_d2") /
-            (round(col("sm").cast("double") / col("n_vecs") / 1e6, 6) + 0), 6))
+        when(col("im6") > 0 && col("inter_d2").isNotNull,
+          Recon.ratioRound(round(col("inter_d2") * 1e6, 0).cast("long"),
+            col("im6"), 6))
           .as("separation"))
       .orderBy("label")
   }
