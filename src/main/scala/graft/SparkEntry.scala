@@ -2102,12 +2102,14 @@ object SparkEntry {
     "events_markov_stationary" -> markovSql,
     "text_js_divergence" ->
       // per-log2 6-dp rounds over EXACT integer-ratio arguments
-      // (p/m = 2·cs·ng/(cs·ng+cg·na), HUGEINT ≡ DECIMAL(38,0)), then
-      // per-term 6-dp rounds into exact micro-unit sums (lm_score
-      // recipe, per-log hardened against libm-build ulp ties);
-      // absent-token mass closes analytically as (ng − Σ_present
-      // cg)/(2·ng) — no outer join against the vocab; `+ 0` guards
-      // the negative-zero split on jsd
+      // (p/m = 2·cs·ng/(cs·ng+cg·na), HUGEINT ≡ DECIMAL(38,0)); from
+      // there INTEGER-ONLY (round 16 — the term round and the
+      // absent-mass closure were raw int/int double rounds, the
+      // ratioRound tie class, and split the driver two rounds
+      // running): t6µ = half-away((cs·lp6µ·ng + cg·lq6µ·na) /
+      // (2·na·ng)) in HUGEINT, absent mass = half-away((ng −
+      // Σ_present cg)·1e6 / (2·ng)), one exact micro-long sum, one
+      // final long→double division — no round() in the tail
       """WITH toks AS (SELECT source, tok FROM (
         |    SELECT source, unnest(string_split(lower(text), ' ')) tok
         |    FROM documents) WHERE tok <> ''),
@@ -2116,21 +2118,24 @@ object SparkEntry {
         |na AS (SELECT source, sum(cs) na FROM sc GROUP BY 1),
         |ng AS (SELECT sum(cg) ng FROM gc),
         |j AS (SELECT source, na, ng, cg,
-        |    round(0.5 * (p * lp6 + q * lq6), 6) t6
-        |  FROM (SELECT source, na, ng, cg, p, q,
-        |      round(log2(CAST(csng * 2 AS DOUBLE) / CAST(den AS DOUBLE)), 6) lp6,
-        |      round(log2(CAST(cgna * 2 AS DOUBLE) / CAST(den AS DOUBLE)), 6) lq6
-        |    FROM (SELECT sc.source, sc.cs, gc.cg, na.na, ng.ng,
-        |        CAST(sc.cs AS DOUBLE) / na p, CAST(gc.cg AS DOUBLE) / ng q,
-        |        CAST(sc.cs AS HUGEINT) * ng csng,
-        |        CAST(gc.cg AS HUGEINT) * na cgna,
-        |        CAST(sc.cs AS HUGEINT) * ng + CAST(gc.cg AS HUGEINT) * na den
-        |      FROM sc JOIN gc USING (tok) JOIN na USING (source) CROSS JOIN ng)))
+        |    CAST((CASE WHEN tnum >= 0 THEN 1 ELSE -1 END)
+        |      * ((2 * abs(tnum) + tden) // (2 * tden)) AS BIGINT) t6u
+        |  FROM (SELECT source, na, ng, cg,
+        |      CAST(cs AS HUGEINT) * CAST(round(lp6 * 1e6) AS BIGINT) * ng
+        |        + CAST(cg AS HUGEINT) * CAST(round(lq6 * 1e6) AS BIGINT) * na tnum,
+        |      2 * CAST(na AS HUGEINT) * ng tden
+        |    FROM (SELECT source, cs, cg, na, ng,
+        |        round(log2(CAST(csng * 2 AS DOUBLE) / CAST(den AS DOUBLE)), 6) lp6,
+        |        round(log2(CAST(cgna * 2 AS DOUBLE) / CAST(den AS DOUBLE)), 6) lq6
+        |      FROM (SELECT sc.source, sc.cs, gc.cg, na.na, ng.ng,
+        |          CAST(sc.cs AS HUGEINT) * ng csng,
+        |          CAST(gc.cg AS HUGEINT) * na cgna,
+        |          CAST(sc.cs AS HUGEINT) * ng + CAST(gc.cg AS HUGEINT) * na den
+        |        FROM sc JOIN gc USING (tok) JOIN na USING (source) CROSS JOIN ng))))
         |SELECT source, max(na) AS n_tokens, CAST(count(*) AS BIGINT) AS vocab,
-        |  round(CAST(sum(CAST(round(t6 * 1e6) AS BIGINT))
-        |      + CAST(round(round(CAST(max(ng) - sum(cg) AS DOUBLE)
-        |        / (2.0 * max(ng)), 6) * 1e6) AS BIGINT) AS DOUBLE) / 1e6, 6) + 0
-        |    AS jsd
+        |  CAST(sum(t6u)
+        |      + (2 * CAST(max(ng) - sum(cg) AS HUGEINT) * 1000000 + 2 * max(ng))
+        |        // (4 * CAST(max(ng) AS HUGEINT)) AS DOUBLE) / 1e6 AS jsd
         |FROM j GROUP BY source ORDER BY source""".stripMargin,
     "graph_triangles" ->
       // sorted-triple orientation (a < b < c) generates each triangle

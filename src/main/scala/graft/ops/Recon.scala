@@ -65,23 +65,49 @@ object Recon {
     * by supplier_scorecard's sf0.001 sweep (round 15). Exact-integer
     * half-away — sign·((2·|num|·10^scale + den) div (2·den)) — cannot
     * tie and cannot split: both engines' integral division truncates
-    * toward zero. `den` must be > 0 (group counts, lengths);
+    * toward zero. Preconditions: `den` must be > 0 (group counts,
+    * lengths) AND `num` must be INTEGRAL-VALUED (long/int columns or
+    * scale-0 decimals — the DECIMAL(38,0) cast HALF_UP-rounds a
+    * fractional numerator first, a hidden double rounding the
+    * exactness claim does not cover; fractional inputs must be
+    * micro-scaled into longs by the caller before the call);
     * DECIMAL(38,0) ≡ HUGEINT keeps the 2·10^scale-magnified products
     * exact at corpus scale. Oracle twin:
     * `CAST(sign·((2·|num|·10^s + den) // (2·den)) AS DOUBLE) / 1e{s}`. */
   private[graft] def ratioRound(num: Column, den: Column, scale: Int): Column = {
-    val dec = DecimalType(38, 0)
-    def idiv(a: Column, b: Column): Column =
-      org.apache.spark.sql.graftbridge.ExprBridge.column(
-        org.apache.spark.sql.catalyst.expressions.IntegralDivide(
-          org.apache.spark.sql.graftbridge.ExprBridge.expression(a),
-          org.apache.spark.sql.graftbridge.ExprBridge.expression(b)))
     val p = lit(math.pow(10, scale).toLong)
-    val b = den.cast(dec)
-    val mag = idiv(abs(num.cast(dec)) * p * 2 + b, b * 2)
+    val b = den.cast(DecimalType(38, 0))
+    val mag = intDiv(abs(num.cast(DecimalType(38, 0))) * p * 2 + b, b * 2)
     when(num >= 0, mag).otherwise(-mag).cast("double") /
       lit(math.pow(10, scale))
   }
+
+  /** [[ratioRound]]'s integer magnitude WITHOUT the presentation
+    * division: round-half-away(num·10^scale / den) as a LONG column —
+    * the exact scaled-unit form micro-long SUMMATION sites need (a
+    * per-row round that feeds `sum(...)` must stay integral; routing
+    * through ratioRound's double and re-extracting with
+    * `round(x·1e6, 0)` would reintroduce the very double-multiply tie
+    * class this family exists to remove). Same contract as ratioRound:
+    * `den` > 0, `num` integral-valued and either sign, DECIMAL(38,0)
+    * ≡ HUGEINT intermediates (envelope: 2·|num|·10^s + den < 10³⁸).
+    * Oracle twin: `CAST(sign·((2·|num|·10^s + den) // (2·den)) AS
+    * BIGINT)`. */
+  private[graft] def ratioScaled(num: Column, den: Column, scale: Int): Column = {
+    val p = lit(math.pow(10, scale).toLong)
+    val b = den.cast(DecimalType(38, 0))
+    val mag = intDiv(abs(num.cast(DecimalType(38, 0))) * p * 2 + b, b * 2)
+    when(num >= 0, mag).otherwise(-mag).cast("long")
+  }
+
+  /** Integral division (Spark's `div`, DuckDB's `//`) — both truncate
+    * toward zero, so the pair is cross-engine parity-safe on exact
+    * integer operands. */
+  private def intDiv(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.ExprBridge.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.graftbridge.ExprBridge.expression(a),
+        org.apache.spark.sql.graftbridge.ExprBridge.expression(b)))
 
   /** Money-exact aggregation: fixed-point long sum so partial-aggregation
     * order cannot change final ulps (SURVEY §7.4.1), surfaced as double.

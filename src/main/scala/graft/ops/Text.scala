@@ -1418,17 +1418,24 @@ object Text {
     * libm-build ulp difference must now sit on a 6-dp tie of the raw
     * log to move anything, instead of propagating raw through
     * p·log+q·log into the term round — the round-14 driver mismatch
-    * mechanism), then the term 0.5·(p·lp6 + q·lq6) rounds to 6 dp and
-    * sums as exact micro-unit longs (order-free). Tokens ABSENT from
-    * the source close analytically — p = 0 ⇒ the term is
-    * 0.5·q·log₂2 = q/2, so their total is (ng − Σ_present cg)/(2·ng),
-    * computed from exact longs rather than materializing the absent
-    * pairs (no outer join against the global vocab). Per-term micro
-    * values can be negative, so the final jsd carries the fleet-wide
-    * `+ 0` negative-zero guard. One explode pass; the global
-    * distribution folds out of the per-source one (exchange-reused);
-    * everything after is token-keyed hash joins with map-side
-    * partials. */
+    * mechanism). From there the arithmetic is INTEGER-ONLY on both
+    * engines (the round-15/16 lesson — the tail previously kept two
+    * raw double rounds, the exact int/int tie class, and the driver
+    * split on them two rounds running): with lp6µ/lq6µ the exact
+    * micro-longs of the rounded logs, the term micro value is the
+    * exact integer ratio t6µ = half-away((cs·lp6µ·ng + cg·lq6µ·na) /
+    * (2·na·ng)) via [[graft.ops.Recon.ratioScaled]], and the
+    * absent-token mass — p = 0 ⇒ the term is 0.5·q·log₂2 = q/2,
+    * totalling (ng − Σ_present cg)/(2·ng) without materializing the
+    * absent pairs — is ratioScaled(ng − cgp, 2·ng, 6). The final jsd
+    * is one exact micro-long sum surfaced by a single long→double
+    * division (correctly rounded, identical IEEE op on both engines —
+    * no round() anywhere in the tail, so no tie class survives). One
+    * explode pass; the global distribution folds out of the
+    * per-source one (exchange-reused); everything after is
+    * token-keyed hash joins with map-side partials. 128-bit
+    * envelope: cs·lp6µ·ng ≲ n²·4·10⁷ stays inside DECIMAL(38,0) up
+    * to ~10¹⁵ corpus tokens. */
   def jsDivergence(spark: SparkSession, dir: String): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val toks = docs(spark, dir)
@@ -1448,20 +1455,22 @@ object Text {
       .withColumn("lq6", round(log2(
         (col("cg").cast(dec) * col("na") * 2).cast("double")
           / col("den").cast("double")), 6))
-      .withColumn("p", col("cs").cast("double") / col("na"))
-      .withColumn("q", col("cg").cast("double") / col("ng"))
-      .withColumn("t6", round(
-        lit(0.5) * (col("p") * col("lp6") + col("q") * col("lq6")), 6))
+      .withColumn("lp6u", round(col("lp6") * 1e6, 0).cast("long"))
+      .withColumn("lq6u", round(col("lq6") * 1e6, 0).cast("long"))
+      .withColumn("t6u", Recon.ratioScaled(
+        col("cs").cast(dec) * col("lp6u") * col("ng")
+          + col("cg").cast(dec) * col("lq6u") * col("na"),
+        col("na").cast(dec) * col("ng") * 2, 0))
     joined.groupBy("source")
       .agg(max(col("na")).as("n_tokens"),
         count(lit(1)).as("vocab"),
         max(col("ng")).as("ng"),
-        sum(round(col("t6") * 1e6, 0).cast("long")).as("sm"),
+        sum(col("t6u")).as("sm"),
         sum(col("cg")).as("cgp"))
       .select(col("source"), col("n_tokens"), col("vocab"),
-        (round((col("sm") + round(round((col("ng") - col("cgp")).cast("double")
-            / (lit(2.0) * col("ng")), 6) * 1e6, 0).cast("long"))
-          .cast("double") / 1e6, 6) + 0).as("jsd"))
+        ((col("sm") + Recon.ratioScaled(
+            (col("ng") - col("cgp")).cast(dec), col("ng").cast(dec) * 2, 6))
+          .cast("double") / 1e6).as("jsd"))
       .orderBy("source")
   }
 
