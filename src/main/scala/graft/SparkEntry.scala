@@ -206,6 +206,8 @@ object SparkEntry {
     "recon_wasserstein_drift"  -> (Recon.wassersteinDrift _),
     "events_markov_stationary" -> (Events.markovStationary _),
     "text_js_divergence"       -> ((s, d) => Text.jsDivergence(s, d)),
+    "json_struct_extract"      -> (Events.jsonStructExtract _),
+    "streaming_late_data"      -> (Events.lateDataParity _),
     "orders_trend_forecast"    -> (Relational.trendForecast _),
     "events_stickiness"        -> (Events.stickiness _),
     "events_seasonal_naive"    -> (Events.seasonalNaive _),
@@ -367,7 +369,7 @@ object SparkEntry {
     "recon_referential_integrity", "sample_temperature_mix",
     "events_diff_in_diff", "recon_pk_uniqueness",
     "orders_seasonality_index", "events_value_anova",
-    "customer_spend_migration")
+    "customer_spend_migration", "json_struct_extract", "streaming_late_data")
 
   /** DuckDB spelling of [[graft.ops.Vectors.lshBucket]]: the 8 sign bits
     * against the SAME hyperplane doubles, interpolated from
@@ -551,7 +553,8 @@ object SparkEntry {
     s"""WITH $head,
        |$iters
        |SELECT node AS l_partkey, r AS rank_ppb,
-       |  round(CAST(r AS DOUBLE) / 1e9, 6) + 0 AS rank
+       |  CAST((2 * CAST(r AS HUGEINT) * 1000000 + 1000000000)
+       |    // 2000000000 AS DOUBLE) / 1e6 AS rank
        |FROM pr${graft.ops.Graph.PagerankIters}
        |ORDER BY r DESC, node LIMIT 20""".stripMargin
   }
@@ -1190,14 +1193,20 @@ object SparkEntry {
         |  FROM orders) ORDER BY o_custkey, o_orderdate, o_orderkey LIMIT 100""".stripMargin,
 
     "window_funcs" ->
+      // percent_rank respelled as the exact integer ratio
+      // (rank−1)/(n−1) — single-row partitions are 0.0 by contract
       """SELECT o_custkey, o_orderkey,
         |  lag(o_totalprice, 1) OVER w prev_price,
         |  lead(o_totalprice, 1) OVER w next_price,
         |  CAST(ntile(4) OVER w AS INT) quartile,
-        |  round(percent_rank() OVER w, 6) prank,
+        |  CASE WHEN count(*) OVER p > 1 THEN
+        |    CAST((2 * (rank() OVER w - 1) * 1000000 + (count(*) OVER p - 1))
+        |      // (2 * (count(*) OVER p - 1)) AS DOUBLE) / 1e6
+        |  ELSE 0.0 END prank,
         |  first_value(o_orderkey) OVER w first_key
         |FROM orders
-        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |  p AS (PARTITION BY o_custkey)
         |ORDER BY o_custkey, o_orderkey LIMIT 200""".stripMargin,
 
     "quantile_summary" ->
@@ -1319,6 +1328,54 @@ object SparkEntry {
         |  CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS INT) days_to_98
         |FROM orders ORDER BY o_orderkey LIMIT 200""".stripMargin,
 
+    "json_struct_extract" ->
+      // from_json/StructType twin, the JsonGetLong contract
+      // generalized: long fields require json_type BIGINT/UBIGINT +
+      // TRY_CAST; the string field is the raw token text; the struct
+      // is NULL only for NULL/blank input (malformed-but-non-blank =
+      // non-null struct of NULL fields — all probed on Spark 4.1.2)
+      """SELECT event_id,
+        |  (props IS NULL OR trim(props) = '') unparsed,
+        |  CASE WHEN json_valid(props) AND json_type(props,'$.k')
+        |      IN ('BIGINT','UBIGINT')
+        |    THEN TRY_CAST(json_extract_string(props,'$.k') AS BIGINT)
+        |  END k_long,
+        |  CASE WHEN json_valid(props) AND json_type(props,'$.notk')
+        |      IN ('BIGINT','UBIGINT')
+        |    THEN TRY_CAST(json_extract_string(props,'$.notk') AS BIGINT)
+        |  END notk_long,
+        |  CASE WHEN json_valid(props)
+        |    THEN json_extract_string(props,'$.k') END k_raw
+        |FROM events ORDER BY event_id LIMIT 1000""".stripMargin,
+
+    "streaming_late_data" ->
+      // watermark-drop semantics in batch: cutoff = max(base ts) − 1 h;
+      // a row drops iff it arrived in the late batch AND ts < cutoff
+      // (all echoes, by the 2-day construction); kept-value sum in
+      // exact micro-longs, one long→double presentation division
+      """WITH base AS (SELECT event_type, ts, value FROM events),
+        |late AS (SELECT event_type, ts - INTERVAL 2 DAY ts, value
+        |  FROM events WHERE event_id % 17 = 0),
+        |wm AS (SELECT max(ts) - INTERVAL 1 HOUR cutoff FROM base),
+        |feed AS (SELECT event_type, ts, value, 0 lt FROM base
+        |  UNION ALL SELECT event_type, ts, value, 1 FROM late),
+        |m AS (SELECT event_type,
+        |    count(*) n_fed,
+        |    sum(CASE WHEN lt = 1 AND ts < cutoff THEN 1 ELSE 0 END)
+        |      n_late_dropped,
+        |    count(*) FILTER (NOT (lt = 1 AND ts < cutoff)) n_kept,
+        |    sum(CASE WHEN NOT (lt = 1 AND ts < cutoff) AND value IS NOT NULL
+        |      THEN CAST(round(round(value, 6) * 1e6) AS BIGINT) END) vm,
+        |    count(DISTINCT CASE WHEN NOT (lt = 1 AND ts < cutoff)
+        |      THEN date_trunc('hour', ts) END) n_windows
+        |  FROM feed CROSS JOIN wm GROUP BY 1)
+        |SELECT event_type, CAST(n_fed AS BIGINT) n_fed,
+        |  CAST(n_late_dropped AS BIGINT) n_late_dropped,
+        |  CAST(n_kept AS BIGINT) n_kept,
+        |  CAST(vm AS DOUBLE) / 1e6 value_sum,
+        |  CAST(n_windows AS BIGINT) n_windows
+        |FROM m ORDER BY event_type""".stripMargin,
+
     "json_extract_events" ->
       """SELECT event_type, count(*) n,
         |  CAST(sum(CASE WHEN json_valid(props)
@@ -1383,12 +1440,15 @@ object SparkEntry {
         |WHERE to_type IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "skew_profile" ->
-      // integer '/' is float division in both engines (Spark Column./
-      // and DuckDB /), so pct and x_avg compare at the float leniency
+      // pct and x_avg are int/int ratios — exact half-away integer
+      // arithmetic (the ratioRound twin)
       """WITH c AS (SELECT user_id, count(*) n FROM events GROUP BY 1),
         |t AS (SELECT sum(n) total_rows, count(*) distinct_keys FROM c)
-        |SELECT user_id, n, round(n / total_rows * 100, 4) pct,
-        |  round(n * distinct_keys / total_rows, 4) x_avg
+        |SELECT user_id, n,
+        |  CAST((2 * CAST(n AS HUGEINT) * 100 * 10000 + total_rows)
+        |    // (2 * CAST(total_rows AS HUGEINT)) AS DOUBLE) / 1e4 pct,
+        |  CAST((2 * CAST(n AS HUGEINT) * distinct_keys * 10000 + total_rows)
+        |    // (2 * CAST(total_rows AS HUGEINT)) AS DOUBLE) / 1e4 x_avg
         |FROM c, t ORDER BY n DESC, user_id LIMIT 20""".stripMargin,
 
     "resample_daily" ->
@@ -1465,8 +1525,10 @@ object SparkEntry {
         |  count(*) n_present,
         |  max(o_orderkey) - min(o_orderkey) + 1 span,
         |  max(o_orderkey) - min(o_orderkey) + 1 - count(*) n_missing,
-        |  round(CAST(count(*) AS DOUBLE)
-        |    / (max(o_orderkey) - min(o_orderkey) + 1), 6) coverage
+        |  CAST((2 * CAST(count(*) AS HUGEINT) * 1000000
+        |      + (max(o_orderkey) - min(o_orderkey) + 1))
+        |    // (2 * CAST(max(o_orderkey) - min(o_orderkey) + 1 AS HUGEINT))
+        |    AS DOUBLE) / 1e6 coverage
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "text_source_overlap" ->
@@ -1479,8 +1541,10 @@ object SparkEntry {
         |  FROM stf a JOIN stf b ON a.tok = b.tok AND a.source < b.source
         |  GROUP BY 1, 2)
         |SELECT src_a, src_b, n_shared,
-        |  round(CAST(n_shared AS DOUBLE) / (za.n_types + zb.n_types - n_shared), 6)
-        |    vocab_jaccard
+        |  CAST((2 * CAST(n_shared AS HUGEINT) * 1000000
+        |      + (za.n_types + zb.n_types - n_shared))
+        |    // (2 * CAST(za.n_types + zb.n_types - n_shared AS HUGEINT))
+        |    AS DOUBLE) / 1e6 vocab_jaccard
         |FROM sh JOIN sz za ON za.source = src_a JOIN sz zb ON zb.source = src_b
         |ORDER BY 1, 2""".stripMargin,
 
@@ -1750,7 +1814,8 @@ object SparkEntry {
         |t AS (SELECT count(*) n_total FROM documents)
         |SELECT fam_size, count(*) n_families,
         |  CAST(fam_size * count(*) AS BIGINT) n_docs,
-        |  round(CAST(fam_size * count(*) AS DOUBLE) / n_total, 6) corpus_share
+        |  CAST((2 * CAST(fam_size * count(*) AS HUGEINT) * 1000000 + n_total)
+        |    // (2 * CAST(n_total AS HUGEINT)) AS DOUBLE) / 1e6 corpus_share
         |FROM fams, t GROUP BY fam_size, n_total ORDER BY fam_size""".stripMargin,
 
     "rolling_dau_7d" ->
@@ -1791,19 +1856,22 @@ object SparkEntry {
 
     "supplier_hhi" ->
       // revenue in exact integer cents; shares/HHI divide exact longs
-      // cast to double, squares computed double x double (cents² would
-      // overflow BIGINT); 6-dp round absorbs summation-order ulps
+      // cents² in exact HUGEINT ≡ DECIMAL(38,0) (round 16 — the double
+      // sum was partial-order-dependent and the share rounds were the
+      // int/int tie class); both ratios via the ratioRound twin
       """WITH ps AS (SELECT l_suppkey,
         |    CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
         |      * 10000 AS BIGINT) rc
         |  FROM lineitem GROUP BY 1),
         |pn AS (SELECT s_nationkey, count(*) n_sup,
         |    CAST(sum(rc) AS BIGINT) tot, CAST(max(rc) AS BIGINT) mx,
-        |    sum(CAST(rc AS DOUBLE) * CAST(rc AS DOUBLE)) sq
+        |    sum(CAST(rc AS HUGEINT) * rc) sq
         |  FROM ps JOIN supplier ON l_suppkey = s_suppkey GROUP BY 1)
         |SELECT n_name, n_sup,
-        |  round(sq / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)), 6) hhi,
-        |  round(CAST(mx AS DOUBLE) / CAST(tot AS DOUBLE), 6) top_share
+        |  CAST((2 * sq * 1000000 + CAST(tot AS HUGEINT) * tot)
+        |    // (2 * CAST(tot AS HUGEINT) * tot) AS DOUBLE) / 1e6 hhi,
+        |  CAST((2 * CAST(mx AS HUGEINT) * 1000000 + tot)
+        |    // (2 * CAST(tot AS HUGEINT)) AS DOUBLE) / 1e6 top_share
         |FROM pn JOIN nation ON s_nationkey = n_nationkey
         |ORDER BY n_name""".stripMargin,
 
@@ -1861,10 +1929,25 @@ object SparkEntry {
         |doc AS (SELECT doc_id, source, count(*) n,
         |    coalesce(sum(CAST(round(logp * 1e6) AS BIGINT)), 0) sm
         |  FROM grams LEFT JOIN lp USING (g) GROUP BY doc_id, source),
-        |scored AS (SELECT source, -(sm / 1e6) / n bits FROM doc)
+        |scored AS (SELECT source,
+        |    CAST(round(-(sm / 1e6) / n * 1e6) AS BIGINT) mb FROM doc)
         |SELECT source, count(*) n_docs,
-        |  round(sum(CAST(round(bits * 1e6) AS BIGINT)) / 1e6 / count(*), 4) avg_bits,
-        |  round(min(bits), 4) min_bits, round(max(bits), 4) max_bits
+        |  CAST(CASE WHEN sum(mb) >= 0 THEN
+        |    (2 * CAST(sum(mb) AS HUGEINT) * 10000
+        |        + CAST(count(*) AS HUGEINT) * 1000000)
+        |      // (2 * CAST(count(*) AS HUGEINT) * 1000000)
+        |  ELSE -((2 * CAST(-sum(mb) AS HUGEINT) * 10000
+        |      + CAST(count(*) AS HUGEINT) * 1000000)
+        |    // (2 * CAST(count(*) AS HUGEINT) * 1000000)) END AS DOUBLE) / 1e4
+        |    avg_bits,
+        |  CAST(CASE WHEN min(mb) >= 0 THEN
+        |    (2 * CAST(min(mb) AS HUGEINT) * 10000 + 1000000) // 2000000
+        |  ELSE -((2 * CAST(-min(mb) AS HUGEINT) * 10000 + 1000000) // 2000000)
+        |  END AS DOUBLE) / 1e4 min_bits,
+        |  CAST(CASE WHEN max(mb) >= 0 THEN
+        |    (2 * CAST(max(mb) AS HUGEINT) * 10000 + 1000000) // 2000000
+        |  ELSE -((2 * CAST(-max(mb) AS HUGEINT) * 10000 + 1000000) // 2000000)
+        |  END AS DOUBLE) / 1e4 max_bits
         |FROM scored GROUP BY source ORDER BY source""".stripMargin,
 
     "events_hourly_heatmap" ->
@@ -1887,7 +1970,11 @@ object SparkEntry {
         |  lag(rc) OVER (ORDER BY yr) prev_rc FROM y)
         |SELECT CAST(yr AS INT) yr, n_orders, revenue,
         |  CASE WHEN prev_rc IS NOT NULL THEN
-        |    round(CAST(rc - prev_rc AS DOUBLE) / CAST(prev_rc AS DOUBLE) * 100, 4) + 0
+        |    CAST(CASE WHEN rc - prev_rc >= 0 THEN
+        |      (2 * CAST(rc - prev_rc AS HUGEINT) * 100 * 10000 + prev_rc)
+        |        // (2 * CAST(prev_rc AS HUGEINT))
+        |    ELSE -((2 * CAST(prev_rc - rc AS HUGEINT) * 100 * 10000 + prev_rc)
+        |      // (2 * CAST(prev_rc AS HUGEINT))) END AS DOUBLE) / 1e4
         |  END yoy_pct
         |FROM l ORDER BY yr""".stripMargin,
 
@@ -1899,9 +1986,11 @@ object SparkEntry {
         |  WHERE tok <> '' GROUP BY 1, 2)
         |SELECT lang, count(*) n_types, CAST(sum(cnt) AS BIGINT) n_tokens,
         |  CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) n_hapax,
-        |  round(CAST(count(*) AS DOUBLE) / sum(cnt), 6) ttr,
-        |  round(CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-        |    / count(*), 6) hapax_share
+        |  CAST((2 * CAST(count(*) AS HUGEINT) * 1000000 + sum(cnt))
+        |    // (2 * CAST(sum(cnt) AS HUGEINT)) AS DOUBLE) / 1e6 ttr,
+        |  CAST((2 * CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+        |      * 1000000 + count(*))
+        |    // (2 * CAST(count(*) AS HUGEINT)) AS DOUBLE) / 1e6 hapax_share
         |FROM types GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "train_test_split" ->
@@ -1967,9 +2056,13 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id,
         |  greatest(w - 1, 0) t2, d2,
-        |  CASE WHEN w - 1 > 0 THEN round(1 - d2 / CAST(w - 1 AS DOUBLE), 4) END dup2,
+        |  CASE WHEN w - 1 > 0 THEN
+        |    CAST((2 * CAST(w - 1 - d2 AS HUGEINT) * 10000 + (w - 1))
+        |      // (2 * CAST(w - 1 AS HUGEINT)) AS DOUBLE) / 1e4 END dup2,
         |  greatest(w - 2, 0) t3, d3,
-        |  CASE WHEN w - 2 > 0 THEN round(1 - d3 / CAST(w - 2 AS DOUBLE), 4) END dup3
+        |  CASE WHEN w - 2 > 0 THEN
+        |    CAST((2 * CAST(w - 2 - d3 AS HUGEINT) * 10000 + (w - 2))
+        |      // (2 * CAST(w - 2 AS HUGEINT)) AS DOUBLE) / 1e4 END dup3
         |FROM g ORDER BY doc_id LIMIT 1000""".stripMargin,
 
     "decontaminate_ngram" ->
@@ -2075,9 +2168,9 @@ object SparkEntry {
         |      + list_inner_product(cv, cv), 6) * 1e6) AS BIGINT)) sm
         |  FROM v0 JOIN cent USING (label) GROUP BY 1),
         |inter AS (SELECT a.label, b.label olabel,
-        |    round(list_inner_product(a.cv, a.cv)
+        |    round(greatest(list_inner_product(a.cv, a.cv)
         |      - 2 * list_inner_product(a.cv, b.cv)
-        |      + list_inner_product(b.cv, b.cv), 6) d2
+        |      + list_inner_product(b.cv, b.cv), 0), 6) d2
         |  FROM cent a JOIN cent b ON a.label <> b.label),
         |near AS (SELECT label, olabel nearest_label, d2 inter_d2 FROM inter
         |  QUALIFY row_number() OVER (PARTITION BY label
@@ -2158,7 +2251,9 @@ object SparkEntry {
         |  FROM e e1 JOIN e e2 ON e2.a = e1.b
         |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
         |SELECT n_nodes, n_edges, triangles, wedges,
-        |  CASE WHEN wedges > 0 THEN round(3.0 * triangles / wedges, 6) + 0
+        |  CASE WHEN wedges > 0 THEN
+        |    CAST((2 * CAST(triangles AS HUGEINT) * 3 * 1000000 + wedges)
+        |      // (2 * CAST(wedges AS HUGEINT)) AS DOUBLE) / 1e6
         |  END AS transitivity
         |FROM tr CROSS JOIN wa CROSS JOIN ne""").stripMargin,
     "text_readability" ->
@@ -2181,8 +2276,9 @@ object SparkEntry {
         |    round(0.39 * (CAST(w AS DOUBLE) / s)
         |      + 11.8 * (CAST(syl AS DOUBLE) / w) - 15.59, 6) + 0 END AS fk_grade,
         |  CASE WHEN nz THEN
-        |    round(CAST(w AS DOUBLE) / s
-        |      + 100.0 * CAST(lw AS DOUBLE) / w, 6) + 0 END AS lix
+        |    CAST((2 * (CAST(w AS HUGEINT) * w + 100 * CAST(lw AS HUGEINT) * s)
+        |        * 1000000 + CAST(s AS HUGEINT) * w)
+        |      // (2 * CAST(s AS HUGEINT) * w) AS DOUBLE) / 1e6 END AS lix
         |FROM e ORDER BY doc_id LIMIT 1000""".stripMargin,
 
     "recon_benford" ->
@@ -2238,15 +2334,20 @@ object SparkEntry {
         |  FROM s)
         |SELECT pri AS o_orderpriority, CAST(n AS BIGINT) n_months,
         |  CASE WHEN denx > 0 THEN
-        |    round(CAST(num AS DOUBLE) / CAST(denx AS DOUBLE) / 1e4, 6) + 0
+        |    CAST((CASE WHEN num >= 0 THEN 1 ELSE -1 END)
+        |      * ((2 * abs(num) * 1000000 + denx * 10000)
+        |        // (2 * denx * 10000)) AS DOUBLE) / 1e6
         |  END AS slope,
         |  CASE WHEN denx > 0 THEN
-        |    round((CAST(sy AS DOUBLE) / 1e4 - CAST(num AS DOUBLE)
-        |      / CAST(denx AS DOUBLE) / 1e4 * sx) / n, 2) + 0 END AS intercept,
+        |    CAST((CASE WHEN sy * denx - num * sx >= 0 THEN 1 ELSE -1 END)
+        |      * ((2 * abs(sy * denx - num * sx) * 100 + denx * n * 10000)
+        |        // (2 * denx * n * 10000)) AS DOUBLE) / 1e2 END AS intercept,
         |  CASE WHEN denx > 0 THEN
-        |    round((CAST(sy AS DOUBLE) / 1e4 - CAST(num AS DOUBLE)
-        |      / CAST(denx AS DOUBLE) / 1e4 * sx) / n + CAST(num AS DOUBLE)
-        |      / CAST(denx AS DOUBLE) / 1e4 * (mx + 1), 2) + 0
+        |    CAST((CASE WHEN sy * denx - num * sx + num * n * (mx + 1) >= 0
+        |        THEN 1 ELSE -1 END)
+        |      * ((2 * abs(sy * denx - num * sx + num * n * (mx + 1)) * 100
+        |          + denx * n * 10000)
+        |        // (2 * denx * n * 10000)) AS DOUBLE) / 1e2
         |  END AS forecast_next,
         |  CASE WHEN denx > 0 AND deny > 0 THEN
         |    round(CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
@@ -2271,8 +2372,10 @@ object SparkEntry {
         |         WHEN 20 * cumb < 19 * t THEN 'B' ELSE 'C' END k
         |  FROM rev r JOIN cb ON r.c = cb.v CROSS JOIN tot)
         |SELECT k AS abc_class, CAST(count(*) AS BIGINT) n_customers,
-        |  round(CAST(sum(c) AS HUGEINT) / 10000.0, 2) AS revenue,
-        |  round(CAST(sum(c) AS DOUBLE) / CAST(t AS DOUBLE), 6) + 0 AS revenue_share
+        |  CAST((2 * CAST(sum(c) AS HUGEINT) * 100 + 10000) // 20000 AS DOUBLE)
+        |    / 1e2 AS revenue,
+        |  CAST((2 * CAST(sum(c) AS HUGEINT) * 1000000 + t)
+        |    // (2 * CAST(t AS HUGEINT)) AS DOUBLE) / 1e6 AS revenue_share
         |FROM cls CROSS JOIN tot GROUP BY k, t ORDER BY k""".stripMargin,
 
     "events_seasonal_naive" ->
@@ -2294,12 +2397,18 @@ object SparkEntry {
         |  FROM lagd GROUP BY 1)
         |SELECT event_type, CAST(n_days AS BIGINT) n_days,
         |  CASE WHEN n7 > 0 THEN
-        |    round(CAST(e7 AS DOUBLE) / n7 / 1e6, 6) + 0 END AS mae_seasonal,
+        |    CAST((2 * CAST(e7 AS HUGEINT) * 1000000 + n7 * 1000000)
+        |      // (2 * CAST(n7 AS HUGEINT) * 1000000) AS DOUBLE) / 1e6
+        |  END AS mae_seasonal,
         |  CASE WHEN n1 > 0 THEN
-        |    round(CAST(d1 AS DOUBLE) / n1 / 1e6, 6) + 0 END AS mae_naive,
+        |    CAST((2 * CAST(d1 AS HUGEINT) * 1000000 + n1 * 1000000)
+        |      // (2 * CAST(n1 AS HUGEINT) * 1000000) AS DOUBLE) / 1e6
+        |  END AS mae_naive,
         |  CASE WHEN n7 > 0 AND d1 > 0 THEN
-        |    round(CAST(CAST(e7 AS HUGEINT) * n1 AS DOUBLE)
-        |      / CAST(CAST(d1 AS HUGEINT) * n7 AS DOUBLE), 6) + 0 END AS mase,
+        |    CAST((2 * CAST(e7 AS HUGEINT) * n1 * 1000000
+        |        + CAST(d1 AS HUGEINT) * n7)
+        |      // (2 * CAST(d1 AS HUGEINT) * n7) AS DOUBLE) / 1e6
+        |  END AS mase,
         |  CASE WHEN n7 > 0 AND d1 > 0 THEN
         |    CAST(e7 AS HUGEINT) * n1 < CAST(d1 AS HUGEINT) * n7
         |  END AS seasonal_wins
@@ -2322,8 +2431,9 @@ object SparkEntry {
         |  FROM cum GROUP BY 1)
         |SELECT event_type, CAST(n AS BIGINT) n_users,
         |  CAST(sx AS BIGINT) total_events,
-        |  round(CAST(six2 - (n + 1) * sx AS DOUBLE)
-        |    / CAST(n * sx AS DOUBLE), 6) + 0 AS gini
+        |  CAST((CASE WHEN six2 - (n + 1) * sx >= 0 THEN 1 ELSE -1 END)
+        |    * ((2 * abs(six2 - (n + 1) * sx) * 1000000 + n * sx)
+        |      // (2 * n * sx)) AS DOUBLE) / 1e6 AS gini
         |FROM s ORDER BY event_type""".stripMargin,
 
     "events_autocorrelation" ->
@@ -2347,9 +2457,13 @@ object SparkEntry {
         |  FROM w GROUP BY 1)
         |SELECT event_type, CAST(n AS BIGINT) n_days,
         |  CASE WHEN den > 0 THEN
-        |    round(CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE), 6) + 0 END AS acf1,
+        |    CAST((CASE WHEN num1 >= 0 THEN 1 ELSE -1 END)
+        |      * ((2 * abs(num1) * 1000000 + den) // (2 * den)) AS DOUBLE) / 1e6
+        |  END AS acf1,
         |  CASE WHEN den > 0 THEN
-        |    round(CAST(num7 AS DOUBLE) / CAST(den AS DOUBLE), 6) + 0 END AS acf7
+        |    CAST((CASE WHEN num7 >= 0 THEN 1 ELSE -1 END)
+        |      * ((2 * abs(num7) * 1000000 + den) // (2 * den)) AS DOUBLE) / 1e6
+        |  END AS acf7
         |FROM a ORDER BY event_type""".stripMargin,
 
     "orders_crosstab_chisq" ->
@@ -2366,12 +2480,12 @@ object SparkEntry {
         |    sum(o) OVER (PARTITION BY st) rt,
         |    sum(o) OVER (PARTITION BY pr) ct FROM cells),
         |t AS (SELECT st, pr, o, rt, ct, n, r, c,
-        |    CAST(round(round(CAST(rt AS DOUBLE) * ct / n, 6) * 1e6) AS BIGINT)
-        |      e_micro,
-        |    CAST(round(round(
-        |      CAST(CAST(o AS HUGEINT) * n - CAST(rt AS HUGEINT) * ct AS DOUBLE)
-        |      * CAST(CAST(o AS HUGEINT) * n - CAST(rt AS HUGEINT) * ct AS DOUBLE)
-        |      / (CAST(n AS DOUBLE) * rt * ct), 6) * 1e6) AS BIGINT) contrib_micro
+        |    CAST((2 * CAST(rt AS HUGEINT) * ct * 1000000 + n)
+        |      // (2 * CAST(n AS HUGEINT)) AS BIGINT) e_micro,
+        |    CAST((2 * (CAST(o AS HUGEINT) * n - CAST(rt AS HUGEINT) * ct)
+        |        * (CAST(o AS HUGEINT) * n - CAST(rt AS HUGEINT) * ct) * 1000000
+        |        + CAST(n AS HUGEINT) * rt * ct)
+        |      // (2 * CAST(n AS HUGEINT) * rt * ct) AS BIGINT) contrib_micro
         |  FROM m CROSS JOIN tot),
         |s AS (SELECT sum(contrib_micro) chi2_micro FROM t)
         |SELECT st AS o_orderstatus, pr AS o_orderpriority,
@@ -2531,10 +2645,13 @@ object SparkEntry {
         |g AS (SELECT CAST(month(m) AS INT) moy, count(*) n_months,
         |    sum(rev4) rev4 FROM mt GROUP BY 1)
         |SELECT moy AS month_of_year, CAST(n_months AS BIGINT) n_months,
-        |  round(CAST(rev4 AS DOUBLE) / n_months / 10000.0, 2)
+        |  CAST((2 * CAST(rev4 AS HUGEINT) * 100
+        |      + CAST(n_months AS HUGEINT) * 10000)
+        |    // (2 * CAST(n_months AS HUGEINT) * 10000) AS DOUBLE) / 1e2
         |    AS avg_monthly_revenue,
-        |  round(CAST(CAST(rev4 AS HUGEINT) * nm AS DOUBLE)
-        |    / CAST(CAST(tr AS HUGEINT) * n_months AS DOUBLE), 6)
+        |  CAST((2 * CAST(rev4 AS HUGEINT) * nm * 1000000
+        |      + CAST(tr AS HUGEINT) * n_months)
+        |    // (2 * CAST(tr AS HUGEINT) * n_months) AS DOUBLE) / 1e6
         |    AS seasonal_index
         |FROM g CROSS JOIN tot ORDER BY moy""".stripMargin,
 
@@ -2585,14 +2702,16 @@ object SparkEntry {
         |  SELECT t, count(*) n, sum(v6) s, sum(CAST(v6 AS HUGEINT) * v6) q
         |  FROM v GROUP BY 1),
         |gw AS (SELECT t, n, s, q,
-        |    CAST(round(round(CAST(q * n - CAST(s AS HUGEINT) * s AS DOUBLE)
-        |      / n / 1e12, 6) * 1e6) AS BIGINT) ssw_micro
+        |    CAST((2 * (q * n - CAST(s AS HUGEINT) * s)
+        |        + CAST(n AS HUGEINT) * 1000000)
+        |      // (2 * CAST(n AS HUGEINT) * 1000000) AS BIGINT) ssw_micro
         |  FROM g),
         |tot AS (SELECT sum(n) nn, sum(s) ss, sum(q) qq, count(*) k,
         |    sum(ssw_micro) ssw FROM gw),
         |t2 AS (SELECT nn, k, ssw,
-        |    CAST(round(round(CAST(qq * nn - ss * ss AS DOUBLE) / nn / 1e12, 6)
-        |      * 1e6) AS BIGINT) sst
+        |    CAST((2 * (qq * nn - ss * ss)
+        |        + CAST(nn AS HUGEINT) * 1000000)
+        |      // (2 * CAST(nn AS HUGEINT) * 1000000) AS BIGINT) sst
         |  FROM tot),
         |f AS (SELECT nn, k, ssw, sst, sst - ssw ssb,
         |    CASE WHEN ssw > 0 AND k > 1 AND nn > k THEN
@@ -2672,11 +2791,15 @@ object SparkEntry {
         |  FROM ev CROSS JOIN cut GROUP BY 1, 2),
         |w AS (SELECT t,
         |    max(CASE WHEN pre THEN
-        |      CAST(round(round(CAST(sv AS DOUBLE) / n / 1e6, 6) * 1e6)
-        |        AS BIGINT) END) mb,
+        |      CAST(CASE WHEN sv >= 0 THEN
+        |        (2 * CAST(sv AS HUGEINT) + n) // (2 * CAST(n AS HUGEINT))
+        |      ELSE -((2 * CAST(-sv AS HUGEINT) + n)
+        |        // (2 * CAST(n AS HUGEINT))) END AS BIGINT) END) mb,
         |    max(CASE WHEN NOT pre THEN
-        |      CAST(round(round(CAST(sv AS DOUBLE) / n / 1e6, 6) * 1e6)
-        |        AS BIGINT) END) ma,
+        |      CAST(CASE WHEN sv >= 0 THEN
+        |        (2 * CAST(sv AS HUGEINT) + n) // (2 * CAST(n AS HUGEINT))
+        |      ELSE -((2 * CAST(-sv AS HUGEINT) + n)
+        |        // (2 * CAST(n AS HUGEINT))) END AS BIGINT) END) ma,
         |    max(CASE WHEN pre THEN n END) nb,
         |    max(CASE WHEN NOT pre THEN n END) na,
         |    max(CASE WHEN pre THEN sv END) sb,
@@ -2688,11 +2811,23 @@ object SparkEntry {
         |    sum(CASE WHEN NOT pre THEN n END) tna FROM pt),
         |ctl AS (SELECT t, mb, ma, nb, na,
         |    CASE WHEN tnb - coalesce(nb, 0) > 0 THEN
-        |      CAST(round(round(CAST(tsb - coalesce(sb, 0) AS DOUBLE)
-        |        / (tnb - coalesce(nb, 0)) / 1e6, 6) * 1e6) AS BIGINT) END cb,
+        |      CAST(CASE WHEN tsb - coalesce(sb, 0) >= 0 THEN
+        |        (2 * CAST(tsb - coalesce(sb, 0) AS HUGEINT)
+        |          + (tnb - coalesce(nb, 0)))
+        |        // (2 * CAST(tnb - coalesce(nb, 0) AS HUGEINT))
+        |      ELSE -((2 * CAST(coalesce(sb, 0) - tsb AS HUGEINT)
+        |          + (tnb - coalesce(nb, 0)))
+        |        // (2 * CAST(tnb - coalesce(nb, 0) AS HUGEINT)))
+        |      END AS BIGINT) END cb,
         |    CASE WHEN tna - coalesce(na, 0) > 0 THEN
-        |      CAST(round(round(CAST(tsa - coalesce(sa, 0) AS DOUBLE)
-        |        / (tna - coalesce(na, 0)) / 1e6, 6) * 1e6) AS BIGINT) END ca
+        |      CAST(CASE WHEN tsa - coalesce(sa, 0) >= 0 THEN
+        |        (2 * CAST(tsa - coalesce(sa, 0) AS HUGEINT)
+        |          + (tna - coalesce(na, 0)))
+        |        // (2 * CAST(tna - coalesce(na, 0) AS HUGEINT))
+        |      ELSE -((2 * CAST(coalesce(sa, 0) - tsa AS HUGEINT)
+        |          + (tna - coalesce(na, 0)))
+        |        // (2 * CAST(tna - coalesce(na, 0) AS HUGEINT)))
+        |      END AS BIGINT) END ca
         |  FROM w CROSS JOIN tot)
         |SELECT t AS event_type, CAST(nb AS BIGINT) n_before,
         |  CAST(na AS BIGINT) n_after,
@@ -2824,8 +2959,11 @@ object SparkEntry {
         |    FROM fs f JOIN c1 c USING (m)) WHERE rn = 1)
         |SELECT CAST(m AS INT) subspace, CAST(cid AS INT) centroid,
         |  CAST(count(*) AS BIGINT) n_assigned,
-        |  round(CAST(sum(CAST(round(round(d2, 6) * 1e6) AS BIGINT)) AS DOUBLE)
-        |    / count(*) / 1e6, 6) AS mean_distortion
+        |  CAST((2 * CAST(sum(CAST(round(round(d2, 6) * 1e6) AS BIGINT))
+        |        AS HUGEINT) * 1000000
+        |      + CAST(count(*) AS HUGEINT) * 1000000)
+        |    // (2 * CAST(count(*) AS HUGEINT) * 1000000) AS DOUBLE) / 1e6
+        |    AS mean_distortion
         |FROM asg GROUP BY 1, 2 ORDER BY 1, 2""").stripMargin,
 
     "graph_degree_distribution" ->
@@ -2868,8 +3006,8 @@ object SparkEntry {
         |keep AS MATERIALIZED (SELECT * FROM ph WHERE plen <= """ +
         Text.RakeMaxLen + """),
         |ws AS MATERIALIZED (SELECT tok,
-        |    CAST(round(round(CAST(sum(plen) AS DOUBLE) / count(*), 6) * 1e6)
-        |      AS BIGINT) score_micro
+        |    CAST((2 * CAST(sum(plen) AS HUGEINT) * 1000000 + count(*))
+        |      // (2 * CAST(count(*) AS HUGEINT)) AS BIGINT) score_micro
         |  FROM keep GROUP BY 1),
         |phr AS (SELECT k.doc_id, k.grp,
         |    string_agg(k.tok, ' ' ORDER BY k.pos) phrase,
@@ -2898,7 +3036,10 @@ object SparkEntry {
         |SELECT f AS from_type, CAST(cf AS BIGINT) n_trans,
         |  CAST(n_targets AS BIGINT) n_targets,
         |  round(hm / 1e6, 6) AS entropy_bits,
-        |  round(CAST(cf AS DOUBLE) / nn * (hm / 1e6), 6) AS rate_contrib_bits
+        |  CAST((2 * CAST(cf AS HUGEINT) * hm * 1000000
+        |      + CAST(nn AS HUGEINT) * 1000000)
+        |    // (2 * CAST(nn AS HUGEINT) * 1000000) AS DOUBLE) / 1e6
+        |    AS rate_contrib_bits
         |FROM h CROSS JOIN tot ORDER BY 1""".stripMargin,
 
     "lineitem_price_index" ->
@@ -2916,21 +3057,24 @@ object SparkEntry {
         |base AS MATERIALIZED (
         |  SELECT p, rev4 rev04, qty6 qty06 FROM pm CROSS JOIN b0 WHERE m = m0),
         |j AS (SELECT pm.m,
-        |    CAST(round(round(CAST(pm.rev4 AS DOUBLE) * 100 / pm.qty6
-        |      * base.qty06 / 1e6, 6) * 1e6) AS BIGINT) lnum,
-        |    CAST(round(round(CAST(base.rev04 AS DOUBLE) * 100 / base.qty06
-        |      * base.qty06 / 1e6, 6) * 1e6) AS BIGINT) lden,
-        |    CAST(round(round(CAST(pm.rev4 AS DOUBLE) * 100 / pm.qty6
-        |      * pm.qty6 / 1e6, 6) * 1e6) AS BIGINT) pnum,
-        |    CAST(round(round(CAST(base.rev04 AS DOUBLE) * 100 / base.qty06
-        |      * pm.qty6 / 1e6, 6) * 1e6) AS BIGINT) pden
+        |    CAST((2 * CAST(pm.rev4 AS HUGEINT) * base.qty06 * 100 + pm.qty6)
+        |      // (2 * CAST(pm.qty6 AS HUGEINT)) AS BIGINT) lnum,
+        |    CAST((2 * CAST(base.rev04 AS HUGEINT) * base.qty06 * 100
+        |        + base.qty06)
+        |      // (2 * CAST(base.qty06 AS HUGEINT)) AS BIGINT) lden,
+        |    CAST((2 * CAST(pm.rev4 AS HUGEINT) * pm.qty6 * 100 + pm.qty6)
+        |      // (2 * CAST(pm.qty6 AS HUGEINT)) AS BIGINT) pnum,
+        |    CAST((2 * CAST(base.rev04 AS HUGEINT) * pm.qty6 * 100 + base.qty06)
+        |      // (2 * CAST(base.qty06 AS HUGEINT)) AS BIGINT) pden
         |  FROM pm JOIN base USING (p)),
         |s AS (SELECT m, count(*) n_parts,
         |    sum(lnum) ln_, sum(lden) ld, sum(pnum) pn, sum(pden) pd
         |  FROM j GROUP BY 1)
         |SELECT m AS month, CAST(n_parts AS BIGINT) n_parts,
-        |  round(CAST(ln_ AS DOUBLE) / ld, 6) AS laspeyres,
-        |  round(CAST(pn AS DOUBLE) / pd, 6) AS paasche,
+        |  CAST((2 * CAST(ln_ AS HUGEINT) * 1000000 + ld)
+        |    // (2 * CAST(ld AS HUGEINT)) AS DOUBLE) / 1e6 AS laspeyres,
+        |  CAST((2 * CAST(pn AS HUGEINT) * 1000000 + pd)
+        |    // (2 * CAST(pd AS HUGEINT)) AS DOUBLE) / 1e6 AS paasche,
         |  round(sqrt((CAST(ln_ AS DOUBLE) / ld)
         |    * (CAST(pn AS DOUBLE) / pd)), 6) AS fisher
         |FROM s ORDER BY m""".stripMargin,
@@ -2956,9 +3100,13 @@ object SparkEntry {
         |SELECT cm AS cohort_month, CAST(age AS BIGINT) age_months,
         |  CAST(n_active AS BIGINT) n_active, CAST(cohort_size AS BIGINT)
         |    cohort_size,
-        |  round(CAST(rev4 AS DOUBLE) / 10000.0, 2) AS revenue,
-        |  round(CAST(crev4 AS DOUBLE) / 10000.0, 2) AS cum_revenue,
-        |  round(CAST(crev4 AS DOUBLE) / 10000 / cohort_size, 6)
+        |  CAST((2 * CAST(rev4 AS HUGEINT) * 100 + 10000) // 20000 AS DOUBLE)
+        |    / 1e2 AS revenue,
+        |  CAST((2 * CAST(crev4 AS HUGEINT) * 100 + 10000) // 20000 AS DOUBLE)
+        |    / 1e2 AS cum_revenue,
+        |  CAST((2 * CAST(crev4 AS HUGEINT) * 1000000
+        |      + CAST(cohort_size AS HUGEINT) * 10000)
+        |    // (2 * CAST(cohort_size AS HUGEINT) * 10000) AS DOUBLE) / 1e6
         |    AS cum_ltv_per_customer
         |FROM cum JOIN cs USING (cm) ORDER BY 1, 2""".stripMargin,
 
@@ -3003,10 +3151,18 @@ object SparkEntry {
         |  CAST(active_days AS BIGINT) active_days,
         |  CAST(n_types AS BIGINT) n_types,
         |  CASE WHEN nv > 0 THEN
-        |    round(CAST(sv AS DOUBLE) / nv / 1e6, 6) END mean_value,
+        |    CAST(CASE WHEN sv >= 0 THEN
+        |      (2 * CAST(sv AS HUGEINT) * 1000000 + CAST(nv AS HUGEINT) * 1000000)
+        |        // (2 * CAST(nv AS HUGEINT) * 1000000)
+        |    ELSE -((2 * CAST(-sv AS HUGEINT) * 1000000
+        |        + CAST(nv AS HUGEINT) * 1000000)
+        |      // (2 * CAST(nv AS HUGEINT) * 1000000)) END AS DOUBLE) / 1e6
+        |  END mean_value,
         |  CAST(date_diff('day', first_day, last_day) + 1 AS BIGINT) span_days,
-        |  round(CAST(active_days AS DOUBLE)
-        |    / (date_diff('day', first_day, last_day) + 1), 6) activity_density
+        |  CAST((2 * CAST(active_days AS HUGEINT) * 1000000
+        |      + (date_diff('day', first_day, last_day) + 1))
+        |    // (2 * CAST(date_diff('day', first_day, last_day) + 1 AS HUGEINT))
+        |    AS DOUBLE) / 1e6 activity_density
         |FROM f ORDER BY user_id LIMIT 200""".stripMargin,
 
     "orders_backlog_aging" ->
@@ -3025,8 +3181,10 @@ object SparkEntry {
         |  FROM bk GROUP BY 1, 2),
         |tot AS (SELECT sum(rev4) t FROM agg)
         |SELECT st AS o_orderstatus, bucket, CAST(n_orders AS BIGINT) n_orders,
-        |  round(CAST(rev4 AS DOUBLE) / 10000.0, 2) AS open_revenue,
-        |  round(CAST(rev4 AS DOUBLE) / t, 6) AS revenue_share
+        |  CAST((2 * CAST(rev4 AS HUGEINT) * 100 + 10000) // 20000 AS DOUBLE)
+        |    / 1e2 AS open_revenue,
+        |  CAST((2 * CAST(rev4 AS HUGEINT) * 1000000 + t)
+        |    // (2 * CAST(t AS HUGEINT)) AS DOUBLE) / 1e6 AS revenue_share
         |FROM agg CROSS JOIN tot ORDER BY 1, 2""".stripMargin,
 
     "dedup_containment" ->
@@ -3208,7 +3366,9 @@ object SparkEntry {
         |    SELECT DISTINCT mon, user_id FROM ud) GROUP BY 1)
         |SELECT dau.mon AS month, CAST(count(*) AS BIGINT) n_days,
         |  CAST(sum(dau) AS BIGINT) dau_total, mau,
-        |  round(CAST(sum(dau) AS DOUBLE) / (count(*) * mau), 6) + 0 AS stickiness
+        |  CAST((2 * CAST(sum(dau) AS HUGEINT) * 1000000 + count(*) * mau)
+        |    // (2 * CAST(count(*) AS HUGEINT) * mau) AS DOUBLE) / 1e6
+        |    AS stickiness
         |FROM dau JOIN mau USING (mon) GROUP BY 1, mau ORDER BY 1""".stripMargin,
 
     "events_cusum_changepoint" ->
@@ -3231,10 +3391,23 @@ object SparkEntry {
         |r AS (SELECT *, row_number()
         |    OVER (PARTITION BY event_type ORDER BY cv DESC, d) rn FROM c)
         |SELECT event_type, CAST(n AS BIGINT) n_days, d AS cp_day,
-        |  round(CAST(cv AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6), 6) + 0 AS cusum_max,
-        |  round(CAST(p AS DOUBLE) / (CAST(i AS DOUBLE) * 1e6), 6) + 0 AS mean_before,
+        |  CAST((2 * cv * 1000000 + CAST(n AS HUGEINT) * 1000000)
+        |    // (2 * CAST(n AS HUGEINT) * 1000000) AS DOUBLE) / 1e6 AS cusum_max,
+        |  CAST(CASE WHEN p >= 0 THEN
+        |    (2 * CAST(p AS HUGEINT) * 1000000 + CAST(i AS HUGEINT) * 1000000)
+        |      // (2 * CAST(i AS HUGEINT) * 1000000)
+        |  ELSE -((2 * CAST(-p AS HUGEINT) * 1000000
+        |      + CAST(i AS HUGEINT) * 1000000)
+        |    // (2 * CAST(i AS HUGEINT) * 1000000)) END AS DOUBLE) / 1e6
+        |    AS mean_before,
         |  CASE WHEN i < n THEN
-        |    round(CAST(t - p AS DOUBLE) / (CAST(n - i AS DOUBLE) * 1e6), 6) + 0
+        |    CAST(CASE WHEN t - p >= 0 THEN
+        |      (2 * CAST(t - p AS HUGEINT) * 1000000
+        |        + CAST(n - i AS HUGEINT) * 1000000)
+        |        // (2 * CAST(n - i AS HUGEINT) * 1000000)
+        |    ELSE -((2 * CAST(p - t AS HUGEINT) * 1000000
+        |        + CAST(n - i AS HUGEINT) * 1000000)
+        |      // (2 * CAST(n - i AS HUGEINT) * 1000000)) END AS DOUBLE) / 1e6
         |  END AS mean_after
         |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
 
@@ -3301,9 +3474,18 @@ object SparkEntry {
         |        6) * 1e6) AS BIGINT) cos6
         |  FROM d)
         |SELECT label, CAST(count(*) AS BIGINT) n,
-        |  round(sum(sc6) / 1e6 / count(*), 6) avg_scale,
-        |  round(sum(mse6) / 1e6 / count(*), 6) avg_mse_x1e6,
-        |  round(sum(cos6) / 1e6 / count(*), 6) avg_cosine
+        |  CAST((2 * CAST(sum(sc6) AS HUGEINT) * 1000000
+        |      + CAST(count(*) AS HUGEINT) * 1000000)
+        |    // (2 * CAST(count(*) AS HUGEINT) * 1000000) AS DOUBLE) / 1e6
+        |    avg_scale,
+        |  CAST((2 * CAST(sum(mse6) AS HUGEINT) * 1000000
+        |      + CAST(count(*) AS HUGEINT) * 1000000)
+        |    // (2 * CAST(count(*) AS HUGEINT) * 1000000) AS DOUBLE) / 1e6
+        |    avg_mse_x1e6,
+        |  CAST((2 * CAST(sum(cos6) AS HUGEINT) * 1000000
+        |      + CAST(count(*) AS HUGEINT) * 1000000)
+        |    // (2 * CAST(count(*) AS HUGEINT) * 1000000) AS DOUBLE) / 1e6
+        |    avg_cosine
         |FROM m GROUP BY label ORDER BY label""".stripMargin,
 
     "recon_schema_drift" -> schemaDriftSql,
@@ -3382,10 +3564,10 @@ object SparkEntry {
         |  FROM cum JOIN tot USING (event_type) WHERE nxt IS NOT NULL
         |  GROUP BY 1, 2, 3, 4)
         |SELECT event_type, CAST(n1 AS BIGINT) n1, CAST(n2 AS BIGINT) n2,
-        |  round(CAST(w1num AS DOUBLE)
-        |    / (CAST(n1 AS DOUBLE) * n2 * 1e6), 6) + 0 AS w1,
-        |  round(CAST(w1num AS DOUBLE)
-        |    / (CAST(n1 AS DOUBLE) * n2 * CAST(rng AS DOUBLE)), 6) + 0 AS w1_norm
+        |  CAST((2 * w1num * 1000000 + CAST(n1 AS HUGEINT) * n2 * 1000000)
+        |    // (2 * CAST(n1 AS HUGEINT) * n2 * 1000000) AS DOUBLE) / 1e6 AS w1,
+        |  CAST((2 * w1num * 1000000 + CAST(n1 AS HUGEINT) * n2 * rng)
+        |    // (2 * CAST(n1 AS HUGEINT) * n2 * rng) AS DOUBLE) / 1e6 AS w1_norm
         |FROM agg ORDER BY event_type""".stripMargin,
 
     "recon_ks_drift" ->
@@ -3413,7 +3595,8 @@ object SparkEntry {
         |    max(abs(CAST(cum1 AS HUGEINT) * n2 - CAST(cum2 AS HUGEINT) * n1)) ks_num
         |  FROM cum JOIN tot USING (event_type) GROUP BY 1, 2, 3)
         |SELECT event_type, CAST(n1 AS BIGINT) n1, CAST(n2 AS BIGINT) n2,
-        |  round(CAST(ks_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2), 6) ks,
+        |  CAST((2 * ks_num * 1000000 + CAST(n1 AS HUGEINT) * n2)
+        |    // (2 * CAST(n1 AS HUGEINT) * n2) AS DOUBLE) / 1e6 ks,
         |  CAST(ks_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2)
         |    > 1.36 * sqrt((CAST(n1 AS DOUBLE) + n2) / (CAST(n1 AS DOUBLE) * n2)) drifted
         |FROM agg ORDER BY event_type""".stripMargin,
@@ -3430,11 +3613,15 @@ object SparkEntry {
         |        FROM (SELECT doc_id, unnest(toks) tok FROM t) GROUP BY 1, 2)
         |  GROUP BY 1),
         |s AS (SELECT t.doc_id, len(toks) w,
-        |    round(CAST(length(text) AS DOUBLE) / len(toks), 4) cpt,
-        |    round(1 - len(list_distinct(list_transform(
-        |        generate_series(1, len(toks) - 1),
-        |        i -> array_to_string(list_slice(toks, i, i + 1), ' '))))
-        |      / CAST(len(toks) - 1 AS DOUBLE), 4) dup2,
+        |    CAST((2 * CAST(length(text) AS HUGEINT) * 10000 + len(toks))
+        |      // (2 * CAST(len(toks) AS HUGEINT)) AS DOUBLE) / 1e4 cpt,
+        |    CASE WHEN len(toks) - 1 > 0 THEN
+        |      CAST((2 * CAST(len(toks) - 1 - len(list_distinct(list_transform(
+        |            generate_series(1, len(toks) - 1),
+        |            i -> array_to_string(list_slice(toks, i, i + 1), ' '))))
+        |          AS HUGEINT) * 10000 + (len(toks) - 1))
+        |        // (2 * CAST(len(toks) - 1 AS HUGEINT)) AS DOUBLE) / 1e4
+        |    END dup2,
         |    ent
         |  FROM t LEFT JOIN ec USING (doc_id)),
         |st AS (SELECT CASE WHEN w < 32 THEN 1
@@ -3517,7 +3704,8 @@ object SparkEntry {
         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, lb) = 1)
         |SELECT la AS label, count(*) n,
         |  count(*) FILTER (pred = la) n_correct,
-        |  round(CAST(count(*) FILTER (pred = la) AS DOUBLE) / count(*), 4) acc
+        |  CAST((2 * CAST(count(*) FILTER (pred = la) AS HUGEINT) * 10000
+        |      + count(*)) // (2 * CAST(count(*) AS HUGEINT)) AS DOUBLE) / 1e4 acc
         |FROM pr GROUP BY la ORDER BY la""".stripMargin,
 
     "dedup_embedding" ->
@@ -3627,13 +3815,18 @@ object SparkEntry {
       // w1 orders uniquely (cume_dist/nth_value deterministic); w2 has
       // real ties — dense_rank gives every peer the tied value, so both
       // are pure functions of the data
+      // cume_dist = rank/n respelled exactly: the (price, key) order is
+      // total, so rank ≡ row_number and the ratio is exact integers
       """SELECT o_orderkey, o_orderstatus,
-        |  round(cume_dist() OVER w1, 6) cd,
+        |  CAST((2 * CAST(row_number() OVER w1 AS HUGEINT) * 1000000
+        |      + count(*) OVER p)
+        |    // (2 * CAST(count(*) OVER p AS HUGEINT)) AS DOUBLE) / 1e6 cd,
         |  CAST(dense_rank() OVER w2 AS BIGINT) dr,
         |  nth_value(o_orderkey, 3) OVER w1 nv
         |FROM orders
         |WINDOW w1 AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey),
-        |       w2 AS (PARTITION BY o_orderstatus ORDER BY o_orderpriority)
+        |       w2 AS (PARTITION BY o_orderstatus ORDER BY o_orderpriority),
+        |       p AS (PARTITION BY o_orderstatus)
         |ORDER BY o_orderkey LIMIT 200""".stripMargin,
 
     "range_frame_window" ->
@@ -3653,11 +3846,16 @@ object SparkEntry {
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "percent_of_total" ->
-      // denominator is an exact DECIMAL window sum → both engines divide
-      // the same stored double by the same total; 6-dp round bit-stable
+      // share in exact 1e-4-unit integers (the ratioRound twin — the
+      // int/int tie class): row cents · 100 over the status cents total
       """SELECT o_orderkey, o_orderstatus,
-        |  round(o_totalprice / CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
-        |    OVER (PARTITION BY o_orderstatus) AS DOUBLE) * 100, 6) pct
+        |  CAST((2 * CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS HUGEINT)
+        |      * 100 * 1000000
+        |      + CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |          PARTITION BY o_orderstatus) * 10000 AS HUGEINT))
+        |    // (2 * CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |          PARTITION BY o_orderstatus) * 10000 AS HUGEINT))
+        |    AS DOUBLE) / 1e6 pct
         |FROM orders ORDER BY o_orderkey LIMIT 200""".stripMargin,
 
     "mode_agg" ->
@@ -3686,14 +3884,20 @@ object SparkEntry {
         |GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin,
 
     "recon_mom_drift" ->
-      // lag over the post-agg (status, month) frame; the ratio divides
-      // two exact-DECIMAL-derived doubles so the 6-dp round is bit-stable
+      // lag over the post-agg (status, month) frame; (rev − prev)/prev
+      // in exact cents via the ratioRound twin (int/int tie class)
       """WITH m AS (SELECT date_trunc('month', o_orderdate) mo, o_orderstatus st,
-        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) rev
-        |  FROM orders GROUP BY 1, 2)
-        |SELECT mo, st, rev,
-        |  round(rev / lag(rev) OVER (PARTITION BY st ORDER BY mo) - 1, 6) + 0 mom_change
-        |FROM m ORDER BY st, mo LIMIT 200""".stripMargin,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) * 10000 AS BIGINT) rc
+        |  FROM orders GROUP BY 1, 2),
+        |l AS (SELECT mo, st, rc, lag(rc) OVER (PARTITION BY st ORDER BY mo) pc
+        |  FROM m)
+        |SELECT mo, st, CAST(rc AS DOUBLE) / 10000 rev,
+        |  CAST(CASE WHEN rc - pc >= 0 THEN
+        |    (2 * CAST(rc - pc AS HUGEINT) * 1000000 + pc)
+        |      // (2 * CAST(pc AS HUGEINT))
+        |  ELSE -((2 * CAST(pc - rc AS HUGEINT) * 1000000 + pc)
+        |    // (2 * CAST(pc AS HUGEINT))) END AS DOUBLE) / 1e6 mom_change
+        |FROM l ORDER BY st, mo LIMIT 200""".stripMargin,
 
     "session_paths" ->
       // sessionize's window chain, then rank-ordered string_agg of the
@@ -3719,7 +3923,8 @@ object SparkEntry {
       """WITH nxt AS (SELECT user_id, event_type, ts,
         |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) nts FROM events)
         |SELECT event_type, count(*) n,
-        |  round(CAST(sum(date_diff('second', ts, nts)) AS DOUBLE) / count(*), 4) avg_gap_s,
+        |  CAST((2 * CAST(sum(date_diff('second', ts, nts)) AS HUGEINT) * 10000
+        |    + count(*)) // (2 * count(*)) AS DOUBLE) / 1e4 avg_gap_s,
         |  CAST(max(date_diff('second', ts, nts)) AS BIGINT) max_gap_s
         |FROM nxt WHERE nts IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
 
@@ -4031,9 +4236,15 @@ object SparkEntry {
         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
 
     "q14_promo_share" ->
-      """SELECT round(100.0 * CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4)))
-        |      FILTER (p_type LIKE 'PROMO%') AS DOUBLE)
-        |    / CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4) promo_pct,
+      // share in exact 1e-4-unit integers (the ratioRound twin)
+      """SELECT CAST((2 * CAST(coalesce(
+        |      sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4)))
+        |        FILTER (p_type LIKE 'PROMO%') * 10000, 0) AS HUGEINT) * 100
+        |      * 10000
+        |      + CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4)))
+        |        * 10000 AS HUGEINT))
+        |    // (2 * CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4)))
+        |        * 10000 AS HUGEINT)) AS DOUBLE) / 1e4 promo_pct,
         |  count(*) n
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1995-09-01' AND l_shipdate < TIMESTAMP '1995-10-01'""".stripMargin,
@@ -4314,8 +4525,10 @@ object SparkEntry {
         |  WHERE r_name='ASIA')
         |SELECT yr, CAST(sum(v) AS DOUBLE) total_rev,
         |  CAST(coalesce(sum(v) FILTER (s_nationkey = 1), 0) AS DOUBLE) nation1_rev,
-        |  round(CAST(coalesce(sum(v) FILTER (s_nationkey = 1), 0) AS DOUBLE)
-        |    / CAST(sum(v) AS DOUBLE), 6) mkt_share
+        |  CAST((2 * CAST(coalesce(sum(v) FILTER (s_nationkey = 1), 0) * 10000
+        |        AS HUGEINT) * 1000000
+        |      + CAST(sum(v) * 10000 AS HUGEINT))
+        |    // (2 * CAST(sum(v) * 10000 AS HUGEINT)) AS DOUBLE) / 1e6 mkt_share
         |FROM vol GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "posexplode_funcs" ->

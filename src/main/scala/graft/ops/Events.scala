@@ -41,6 +41,46 @@ object Events {
           .as("sk"))
       .orderBy("event_type")
 
+  /** `from_json`/StructType surface — the typed half of the
+    * semi-structured contract ([[jsonExtract]] covers the scalar-path
+    * half): parse `events.props` into typed structs and flatten. The
+    * per-field semantics are PINNED empirically (Spark 4.1.2
+    * PERMISSIVE, probed against every planted fuzz class) and the
+    * oracle reproduces them with the JsonGetLong contract generalized:
+    * a LongType field is the bare in-range int64 or NULL (string "42",
+    * 3.7, 1.0, true, null, absent key and out-of-range ints are ALL
+    * NULL — oracle twin `json_type IN ('BIGINT','UBIGINT')` +
+    * `TRY_CAST`); a StringType field is the raw JSON token text (69 →
+    * '69', 3.7 → '3.7', true → 'true' — `json_extract_string`); the
+    * struct itself is NULL only for NULL/empty/whitespace-only input
+    * (`props IS NULL OR trim(props) = ''` — a malformed-but-non-blank
+    * record yields a non-null struct of NULL fields, probed). Known
+    * oracle boundary, documented not planted: Spark returns a number's
+    * RAW spelling where DuckDB re-renders canonically, so
+    * non-canonical JSON number text (1.50, 1e2) under a StringType
+    * field is outside the oracle contract.
+    *
+    * 100 TB posture: pure row-local projection over the scan (two
+    * Jackson parses per row — from_json is the surface under test;
+    * the hot-path extractor remains [[graft.functions.JsonGetLong]]);
+    * output is TakeOrdered-bounded. */
+  def jsonStructExtract(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val longSchema = StructType(Seq(
+      StructField("k", LongType), StructField("notk", LongType)))
+    val rawSchema = StructType(Seq(StructField("k", StringType)))
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        from_json(col("props"), longSchema).as("p"),
+        from_json(col("props"), rawSchema).as("pr"))
+      .select(col("event_id"),
+        col("p").isNull.as("unparsed"),
+        col("p.k").as("k_long"),
+        col("p.notk").as("notk_long"),
+        col("pr.k").as("k_raw"))
+      .orderBy("event_id").limit(1000)
+  }
+
   /** Tumbling 1-hour window: per-hour, per-type count/sum. */
   def tumblingWindow(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -140,7 +180,7 @@ object Events {
       .filter(col("gap").isNotNull)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
-        round(sum(col("gap")).cast("double") / count(lit(1)), 4).as("avg_gap_s"),
+        Recon.ratioRound(sum(col("gap")), count(lit(1)), 4).as("avg_gap_s"),
         max(col("gap")).as("max_gap_s"))
       .orderBy("event_type")
   }
@@ -366,6 +406,59 @@ object Events {
       .select(col("event_type"), col("n_fed"), col("n_kept"),
         (col("n_fed") - col("n_kept")).as("n_dupes"), col("n_users"),
         (round(col("vm").cast("double") / 1e6, 6) + 0).as("value_sum"))
+      .orderBy("event_type")
+  }
+
+  /** Event-time WATERMARK/late-data anchor — the batch-parity twin
+    * that pins the DROP half of
+    * [[graft.streaming.StreamingOps.tumblingCounts]] to a DuckDB
+    * oracle (the [[dedupStreamParity]] recipe, late-data edition). The
+    * seeded feed arrives in two deterministic micro-batches: batch 0 =
+    * the base stream, batch 1 = "straggler" echoes of every
+    * event_id % 17 row with event time shifted 2 DAYS back — far past
+    * the 1-hour watermark the stream holds after batch 0, so watermark
+    * semantics (drop iff event time < max-seen − delay, evaluated at
+    * the row's ARRIVAL batch) are modeled exactly in batch: cutoff =
+    * max(base ts) − 1 h from a 1-row broadcast, and a fed row drops
+    * iff it is an echo AND ts < cutoff. By construction every echo
+    * satisfies ts ≤ max − 2 d < max − 1 h, so the drop RULE (which the
+    * op computes — not the echo flag) must discard all of them; a
+    * single late row leaking through moves n_kept, value_sum or
+    * n_windows. The streaming half that batch cannot express — state
+    * eviction + numRowsDroppedByWatermark on a real micro-batch feed —
+    * is pinned by StreamingSpec's MemoryStream parity test (SURVEY
+    * §2.8 late-data exception, now anchored from both sides).
+    *
+    * Exactness: counts exact; kept-value sum in 6-dp micro-longs with
+    * a NULL guard; the distinct kept 1-hour windows are exact
+    * truncations; one long→double presentation division.
+    *
+    * 100 TB posture: one map-combined type-keyed aggregate over the
+    * union (the echo branch reuses the scan); the cutoff is a 1-row
+    * broadcast; output is types-sized. */
+  def lateDataParity(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(spark, dir)
+      .select(col("event_type"), col("ts"), col("value"), lit(0).as("lt"))
+    val late = Tables.events(spark, dir)
+      .filter(col("event_id") % 17 === 0)
+      .select(col("event_type"),
+        (col("ts") - expr("INTERVAL 2 DAYS")).as("ts"), col("value"),
+        lit(1).as("lt"))
+    val cutoff = Tables.events(spark, dir)
+      .agg((max(col("ts")) - expr("INTERVAL 1 HOUR")).as("cutoff"))
+    val dropped = col("lt") === 1 && col("ts") < col("cutoff")
+    base.unionByName(late).crossJoin(broadcast(cutoff))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_fed"),
+        sum(when(dropped, 1L).otherwise(0L)).as("n_late_dropped"),
+        sum(when(!dropped, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(!dropped && col("value").isNotNull,
+          round(round(col("value"), 6) * 1e6, 0).cast("long"))).as("vm"),
+        countDistinct(when(!dropped, date_trunc("hour", col("ts"))))
+          .as("n_windows"))
+      .select(col("event_type"), col("n_fed"), col("n_late_dropped"),
+        col("n_kept"), (col("vm").cast("double") / 1e6).as("value_sum"),
+        col("n_windows"))
       .orderBy("event_type")
   }
 
@@ -887,12 +980,14 @@ object Events {
         sum(when(col("y1").isNotNull, 1L).otherwise(0L)).as("n1"))
     s.select(col("event_type"), col("n_days"),
         when(col("n7") > 0,
-          round(col("e7").cast("double") / col("n7") / 1e6, 6)).as("mae_seasonal"),
+          Recon.ratioRound(col("e7"), col("n7") * lit(1000000L), 6))
+          .as("mae_seasonal"),
         when(col("n1") > 0,
-          round(col("d1").cast("double") / col("n1") / 1e6, 6)).as("mae_naive"),
+          Recon.ratioRound(col("d1"), col("n1") * lit(1000000L), 6))
+          .as("mae_naive"),
         when(col("n7") > 0 && col("d1") > 0,
-          round((col("e7").cast(dec) * col("n1")).cast("double")
-            / (col("d1").cast(dec) * col("n7")).cast("double"), 6)).as("mase"),
+          Recon.ratioRound(col("e7").cast(dec) * col("n1"),
+            col("d1").cast(dec) * col("n7"), 6)).as("mase"),
         when(col("n7") > 0 && col("d1") > 0,
           col("e7").cast(dec) * col("n1") < col("d1").cast(dec) * col("n7"))
           .as("seasonal_wins"))
@@ -923,7 +1018,7 @@ object Events {
       .groupBy(col("mon").as("month"), col("mau"))
       .agg(count(lit(1)).as("n_days"), sum(col("dau")).as("dau_total"))
       .select(col("month"), col("n_days"), col("dau_total"), col("mau"),
-        round(col("dau_total").cast("double") / (col("n_days") * col("mau")), 6)
+        Recon.ratioRound(col("dau_total"), col("n_days") * col("mau"), 6)
           .as("stickiness"))
       .orderBy("month")
   }
@@ -1038,13 +1133,13 @@ object Events {
         Window.partitionBy("event_type").orderBy(col("cv").desc, col("d"))))
       .filter(col("rn") === 1)
       .select(col("event_type"), col("n").as("n_days"), col("d").as("cp_day"),
-        round(col("cv").cast("double") / (col("n").cast("double") * 1e6), 6)
+        Recon.ratioRound(col("cv"), col("n") * lit(1000000L), 6)
           .as("cusum_max"),
-        round(col("p").cast("double") / (col("i").cast("double") * 1e6), 6)
+        Recon.ratioRound(col("p"), col("i") * lit(1000000L), 6)
           .as("mean_before"),
         when(col("i") < col("n"),
-          round((col("t") - col("p")).cast("double")
-            / ((col("n") - col("i")).cast("double") * 1e6), 6)).as("mean_after"))
+          Recon.ratioRound(col("t") - col("p"),
+            (col("n") - col("i")) * lit(1000000L), 6)).as("mean_after"))
       .orderBy("event_type")
   }
 
@@ -1087,11 +1182,9 @@ object Events {
           .as("num7"))
     a.select(col("event_type"), col("n_days"),
         when(col("den") > 0,
-          round(col("num1").cast("double") / col("den").cast("double"), 6) + 0)
-          .as("acf1"),
+          Recon.ratioRound(col("num1"), col("den"), 6)).as("acf1"),
         when(col("den") > 0,
-          round(col("num7").cast("double") / col("den").cast("double"), 6) + 0)
-          .as("acf7"))
+          Recon.ratioRound(col("num7"), col("den"), 6)).as("acf7"))
       .orderBy("event_type")
   }
 
@@ -1234,8 +1327,10 @@ object Events {
       .select(col("f").as("from_type"), col("cf").as("n_trans"),
         col("n_targets"),
         round(col("hm") / 1e6, 6).as("entropy_bits"),
-        round(col("cf").cast("double") / col("nn") * (col("hm") / 1e6), 6)
-          .as("rate_contrib_bits"))
+        Recon.ratioRound(
+          col("cf").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+            * col("hm"),
+          col("nn") * lit(1000000L), 6).as("rate_contrib_bits"))
       .orderBy("from_type")
   }
 
@@ -1309,12 +1404,12 @@ object Events {
       .select(col("user_id"), col("n_events"), col("active_days"),
         col("n_types"),
         when(col("nv") > 0,
-          round(col("sv").cast("double") / col("nv") / 1e6, 6))
+          Recon.ratioRound(col("sv"), col("nv") * lit(1000000L), 6))
           .as("mean_value"),
         (datediff(col("last_day"), col("first_day")) + 1).cast("long")
           .as("span_days"),
-        round(col("active_days").cast("double")
-          / (datediff(col("last_day"), col("first_day")) + 1), 6)
+        Recon.ratioRound(col("active_days"),
+          datediff(col("last_day"), col("first_day")) + 1, 6)
           .as("activity_density"))
       .orderBy("user_id")
       .limit(200)
@@ -1351,7 +1446,7 @@ object Events {
       .agg(sum(col("v6")).as("sv"), count(lit(1)).as("n"))
     def m6(svC: org.apache.spark.sql.Column,
            nC: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      round(round(svC.cast("double") / nC / 1e6, 6) * 1e6, 0).cast("long")
+      Recon.ratioScaled(svC, nC, 0)
     val w = pt.groupBy("t")
       .agg(max(when(col("pre"), m6(col("sv"), col("n")))).as("mb"),
         max(when(!col("pre"), m6(col("sv"), col("n")))).as("ma"),
@@ -1409,8 +1504,7 @@ object Events {
         sum(col("v6").cast(dec) * col("v6")).as("q"))
     def ss6(qC: org.apache.spark.sql.Column, nC: org.apache.spark.sql.Column,
             sC: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      round(round((qC * nC - sC.cast(dec) * sC).cast("double")
-        / nC / 1e12, 6) * 1e6, 0).cast("long")
+      Recon.ratioScaled(qC * nC - sC.cast(dec) * sC, nC * lit(1000000L), 0)
     val gw = g.withColumn("ssw_micro", ss6(col("q"), col("n"), col("s")))
     val tot = gw.agg(sum(col("n")).as("nn"), sum(col("s")).as("ss"),
       sum(col("q")).as("qq"), count(lit(1)).as("k"),
@@ -1476,9 +1570,8 @@ object Events {
           + col("w").cast(dec) * (col("w") + 1))).as("six2"))
       .select(col("event_type"),
         col("n").as("n_users"), col("sx").cast("long").as("total_events"),
-        (round((col("six2") - (col("n") + 1) * col("sx")).cast("double")
-          / (col("n").cast(dec) * col("sx")).cast("double"), 6) + 0)
-          .as("gini"))
+        Recon.ratioRound(col("six2") - (col("n") + 1) * col("sx"),
+          col("n").cast(dec) * col("sx"), 6).as("gini"))
       .orderBy("event_type")
   }
 }

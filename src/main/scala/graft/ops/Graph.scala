@@ -289,7 +289,14 @@ object Graph {
     * ContextCleaner once the superseded frame is unreferenced — fine
     * for the harness's regen cadence (one displacement per corpus
     * swap); a service that churns corpora per-request would want an
-    * explicit eviction hook here. */
+    * explicit eviction hook here. HARNESS-ONLY in two further ways
+    * (round-15 advice, recorded as the deployment contract): the memo
+    * grows one entry per (session, dir) pair with no bound, and
+    * `localCheckpoint` truncates lineage — the blocks are
+    * UNRECOVERABLE after executor loss, so a long-lived multi-tenant
+    * cluster deployment should swap in a RELIABLE checkpoint (or a
+    * plain cache, keeping recomputable lineage) plus eviction before
+    * reusing this memo. */
   private val edgeMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), (AnyRef, DataFrame)]
 
@@ -383,7 +390,7 @@ object Graph {
       .select(col("n_nodes"), lit(nEdges).as("n_edges"),
         col("triangles"), col("wedges"),
         when(col("wedges") > 0,
-          round(lit(3.0) * col("triangles") / col("wedges"), 6))
+          graft.ops.Recon.ratioRound(col("triangles") * 3, col("wedges"), 6))
           .as("transitivity"))
   }
 
@@ -421,7 +428,7 @@ object Graph {
     val edgesRaw = copurchaseEdges(spark, dir)
     pagerankRanks(edgesRaw)
       .select(col("node").as("l_partkey"), col("r").as("rank_ppb"),
-        round(col("r") / 1e9, 6).as("rank"))
+        graft.ops.Recon.ratioRound(col("r"), lit(1000000000L), 6).as("rank"))
       .orderBy(desc("rank_ppb"), col("l_partkey")).limit(20)
   }
 }

@@ -762,10 +762,12 @@ object Recon {
     val m = Tables.orders(spark, dir)
       .groupBy(date_trunc("month", col("o_orderdate")).as("mo"),
         col("o_orderstatus").as("st"))
-      .agg(decSum(col("o_totalprice")).as("rev"))
+      .agg(sum(cents(col("o_totalprice"))).as("rc"))
     val w = Window.partitionBy(col("st")).orderBy(col("mo"))
-    m.select(col("mo"), col("st"), col("rev"),
-        round(col("rev") / lag(col("rev"), 1).over(w) - 1, 6).as("mom_change"))
+    m.select(col("mo"), col("st"), uncents(col("rc")).as("rev"),
+        // (rev − prev)/prev in exact cents (ratioRound — int/int class)
+        ratioRound(col("rc") - lag(col("rc"), 1).over(w),
+          lag(col("rc"), 1).over(w), 6).as("mom_change"))
       .orderBy("st", "mo").limit(200)
   }
 
@@ -880,8 +882,8 @@ object Recon {
       .select(col("key_bucket"), col("n_present"),
         (col("k_max") - col("k_min") + 1).as("span"),
         (col("k_max") - col("k_min") + 1 - col("n_present")).as("n_missing"),
-        round(col("n_present").cast("double") /
-          (col("k_max") - col("k_min") + 1), 6).as("coverage"))
+        ratioRound(col("n_present"),
+          col("k_max") - col("k_min") + 1, 6).as("coverage"))
       .orderBy("key_bucket")
 
   /** Population Stability Index per price bucket — the standard
@@ -979,7 +981,11 @@ object Recon {
         max(abs(col("cum1").cast(dec) * col("n2")
           - col("cum2").cast(dec) * col("n1"))).as("ks_num"))
       .select(col("event_type"), col("n1"), col("n2"),
-        round(ksRaw, 6).as("ks"),
+        // the presentation round goes through exact integer half-away
+        // arithmetic (the ratioRound class); the critical-value COMPARE
+        // keeps the raw identically-spelled double chain — both engines
+        // evaluate the same doubles and sqrt is correctly rounded
+        ratioRound(col("ks_num"), col("n1").cast(dec) * col("n2"), 6).as("ks"),
         (ksRaw > lit(1.36) * sqrt((col("n1").cast("double") + col("n2"))
           / (col("n1").cast("double") * col("n2")))).as("drifted"))
       .orderBy("event_type")
@@ -1037,11 +1043,13 @@ object Recon {
             - col("cum2").cast(dec) * col("n1"))
           * (col("nxt") - col("v")).cast(dec)).as("w1num"))
       .select(col("event_type"), col("n1"), col("n2"),
-        round(col("w1num").cast("double")
-          / (col("n1").cast("double") * col("n2") * 1e6), 6).as("w1"),
-        round(col("w1num").cast("double")
-          / (col("n1").cast("double") * col("n2") * col("rng").cast("double")),
-          6).as("w1_norm"))
+        // both presentations are exact integer ratios (ratioRound —
+        // the int/int tie class); envelope: w1num·2·10⁶ ≤ n1·n2·rng·2·10⁶
+        // stays inside DECIMAL(38,0) to ~10¹¹ events per side
+        ratioRound(col("w1num"),
+          col("n1").cast(dec) * col("n2") * 1000000L, 6).as("w1"),
+        ratioRound(col("w1num"),
+          col("n1").cast(dec) * col("n2") * col("rng"), 6).as("w1_norm"))
       .orderBy("event_type")
   }
 

@@ -97,9 +97,10 @@ object Relational {
         && col("l_shipdate") < lit("1995-10-01").cast("timestamp"))
       .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
       .agg(
-        round(lit(100.0)
-          * decSum(when(col("p_type").startsWith("PROMO"), rev)) / decSum(rev), 4)
-          .as("promo_pct"),
+        Recon.ratioRound(
+          coalesce(sum(Recon.cents(when(col("p_type").startsWith("PROMO"), rev))),
+            lit(0L)) * 100,
+          sum(Recon.cents(rev)), 4).as("promo_pct"),
         count(lit(1)).as("n"))
   }
 
@@ -183,7 +184,13 @@ object Relational {
         lag(col("o_totalprice"), 1).over(w).as("prev_price"),
         lead(col("o_totalprice"), 1).over(w).as("next_price"),
         ntile(4).over(w).as("quartile"),
-        round(percent_rank().over(w), 6).as("prank"),
+        // percent_rank = (rank−1)/(n−1) respelled as the exact integer
+        // ratio (Recon.ratioRound — the int/int tie class); single-row
+        // partitions are 0.0 by the percent_rank contract
+        when(count(lit(1)).over(Window.partitionBy(col("o_custkey"))) > 1,
+          Recon.ratioRound(rank().over(w) - 1,
+            count(lit(1)).over(Window.partitionBy(col("o_custkey"))) - 1, 6))
+          .otherwise(lit(0.0)).as("prank"),
         first(col("o_orderkey")).over(w).as("first_key"))
       .orderBy("o_custkey", "o_orderkey")
       .limit(200)
@@ -695,8 +702,9 @@ object Relational {
       sum(col("n")).as("total_rows"), count(lit(1)).as("distinct_keys"))
     counts.crossJoin(broadcast(totals))
       .select(col(keyCol), col("n"),
-        round(col("n") / col("total_rows") * 100, 4).as("pct"),
-        round(col("n") * col("distinct_keys") / col("total_rows"), 4).as("x_avg"))
+        Recon.ratioRound(col("n") * 100, col("total_rows"), 4).as("pct"),
+        Recon.ratioRound(col("n") * col("distinct_keys"), col("total_rows"), 4)
+          .as("x_avg"))
       .orderBy(col("n").desc, col(keyCol))
       .limit(topK)
   }
@@ -843,7 +851,12 @@ object Relational {
             .orderBy(col("o_orderpriority"))).cast("long"))
     o.join(broadcast(ranks), Seq("o_orderstatus", "o_orderpriority"))
       .select(col("o_orderkey"), col("o_orderstatus"),
-        round(cume_dist().over(w1), 6).as("cd"),
+        // cume_dist = rank/n; the (price, key) order is total (unique
+        // key) so rank ≡ row_number and the ratio is exact integers
+        // through Recon.ratioRound (the int/int tie class)
+        Recon.ratioRound(row_number().over(w1),
+          count(lit(1)).over(Window.partitionBy(col("o_orderstatus"))), 6)
+          .as("cd"),
         col("dr"),
         nth_value(col("o_orderkey"), 3).over(w1).as("nv"))
       .orderBy("o_orderkey").limit(200)
@@ -899,8 +912,8 @@ object Relational {
       .agg(sum(Recon.cents(col("o_totalprice"))).as("tot_cents"))
     o.join(broadcast(totals), Seq("o_orderstatus"))
       .select(col("o_orderkey"), col("o_orderstatus"),
-        round(col("o_totalprice") / Recon.uncents(col("tot_cents")) * 100, 6)
-          .as("pct"))
+        Recon.ratioRound(Recon.cents(col("o_totalprice")) * 100,
+          col("tot_cents"), 6).as("pct"))
       .orderBy("o_orderkey").limit(200)
   }
 
@@ -1371,7 +1384,8 @@ object Relational {
         coalesce(decSum(when(col("s_nationkey") === 1, rev)), lit(0.0))
           .as("nation1_rev"))
       .withColumn("mkt_share",
-        round(col("nation1_rev") / col("total_rev"), 6))
+        Recon.ratioRound(round(col("nation1_rev") * 1e4, 0).cast("long"),
+          round(col("total_rev") * 1e4, 0).cast("long"), 6))
       .orderBy("yr")
   }
 
@@ -1496,8 +1510,9 @@ object Relational {
       .select(col("yr"), col("n_orders"),
         Recon.uncents(col("rc")).as("revenue"),
         when(col("prev_rc").isNotNull,
-          round((col("rc") - col("prev_rc")).cast("double") /
-            col("prev_rc").cast("double") * 100, 4)).as("yoy_pct"))
+          Recon.ratioRound((col("rc") - col("prev_rc"))
+              .cast(org.apache.spark.sql.types.DecimalType(38, 0)) * 100,
+            col("prev_rc"), 4)).as("yoy_pct"))
       .orderBy("yr")
   }
 
@@ -1614,18 +1629,22 @@ object Relational {
       .join(gatedDim(spark, dir, "supplier", Tables.supplier(spark, dir)
         .select(col("s_suppkey"), col("s_nationkey"))),
         col("l_suppkey") === col("s_suppkey"))
+    val dec = DecimalType(38, 0)
     val perNation = perSup.groupBy(col("s_nationkey"))
       .agg(count(lit(1)).as("n_sup"),
         sum(col("rc")).as("tot"), max(col("rc")).as("mx"),
-        sum(col("rc").cast("double") * col("rc").cast("double")).as("sq"))
+        // cents² in DECIMAL(38,0) ≡ HUGEINT (a long would overflow; the
+        // old double sum was partial-agg-order-dependent in its ulps):
+        // rc² ≤ 10³² even at ~$10¹⁰ per supplier, Σ stays inside 38
+        // digits to ~10⁶ suppliers per nation
+        sum(col("rc").cast(dec) * col("rc")).as("sq"))
     perNation
       .join(broadcast(Tables.nation(spark, dir)),
         col("s_nationkey") === col("n_nationkey"))
       .select(col("n_name"), col("n_sup"),
-        round(col("sq") / (col("tot").cast("double") * col("tot").cast("double")), 6)
+        Recon.ratioRound(col("sq"), col("tot").cast(dec) * col("tot"), 6)
           .as("hhi"),
-        round(col("mx").cast("double") / col("tot").cast("double"), 6)
-          .as("top_share"))
+        Recon.ratioRound(col("mx"), col("tot"), 6).as("top_share"))
       .orderBy("n_name")
   }
 
@@ -2049,15 +2068,27 @@ object Relational {
       (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
       (col("n") * col("sxx") - col("sx").cast(dec) * col("sx")).as("denx"),
       (col("n") * col("syy") - col("sy") * col("sy")).as("deny"))
-    val slopeRaw = col("num").cast("double") / col("denx").cast("double") / 1e4
-    val interceptRaw =
-      (col("sy").cast("double") / 1e4 - slopeRaw * col("sx")) / col("n")
+    // slope/intercept/forecast are exact integer ratios once the mean
+    // denominators clear — slope = num/(denx·10⁴), intercept =
+    // (sy·denx − num·sx)/(10⁴·denx·n), forecast folds slope·(mx+1)
+    // into the same denominator — and round through Recon.ratioRound
+    // (the int/int tie class). r2 = num²/(denx·deny) deliberately
+    // KEEPS the double spelling (RegistrySpec reviewed allowlist, the
+    // weekly_spectrum class): num²·2·10⁶ overflows DECIMAL(38,0) ≡
+    // HUGEINT at the 10× corpus (~10⁴¹ — caught by the gate-crossing
+    // smoke), so the exact respell is unrepresentable; huge-integer
+    // double products sit off the reachable decimal lattice
     d.select(col("pri").as("o_orderpriority"), col("n").as("n_months"),
-        when(col("denx") > 0, round(slopeRaw, 6)).as("slope"),
-        when(col("denx") > 0, round(interceptRaw, 2)).as("intercept"),
         when(col("denx") > 0,
-          round(interceptRaw + slopeRaw * (col("mx") + 1), 2))
-          .as("forecast_next"),
+          Recon.ratioRound(col("num"), col("denx") * 10000, 6)).as("slope"),
+        when(col("denx") > 0,
+          Recon.ratioRound(col("sy") * col("denx") - col("num") * col("sx"),
+            col("denx") * col("n") * 10000, 2)).as("intercept"),
+        when(col("denx") > 0,
+          Recon.ratioRound(
+            col("sy") * col("denx") - col("num") * col("sx")
+              + col("num") * col("n") * (col("mx") + 1),
+            col("denx") * col("n") * 10000, 2)).as("forecast_next"),
         when(col("denx") > 0 && col("deny") > 0,
           round(col("num").cast("double") * col("num").cast("double")
             / (col("denx").cast("double") * col("deny").cast("double")), 6))
@@ -2124,9 +2155,8 @@ object Relational {
       .groupBy("abc_class")
       .agg(count(lit(1)).as("n_customers"), sum("c").as("cents"))
       .select(col("abc_class"), col("n_customers"),
-        round(Recon.uncents(col("cents")), 2).as("revenue"),
-        round(col("cents").cast("double") / lit(t).cast("double"), 6)
-          .as("revenue_share"))
+        Recon.ratioRound(col("cents"), lit(10000L), 2).as("revenue"),
+        Recon.ratioRound(col("cents"), lit(t), 6).as("revenue_share"))
       .orderBy("abc_class")
   }
 
@@ -2216,8 +2246,8 @@ object Relational {
     val base = pm.crossJoin(broadcast(b0)).filter(col("m") === col("m0"))
       .select(col("p"), col("rev4").as("rev04"), col("qty6").as("qty06"))
     def term(revC: Column, qtyC: Column, wC: Column): Column =
-      round(round(revC.cast("double") * 100 / qtyC * wC / 1e6, 6) * 1e6, 0)
-        .cast("long")
+      Recon.ratioScaled(
+        revC.cast(DecimalType(38, 0)) * wC * 100, qtyC, 0)
     val j = pm.join(base, "p")
       .select(col("m"),
         term(col("rev4"), col("qty6"), col("qty06")).as("lnum"),
@@ -2231,8 +2261,11 @@ object Relational {
         sum(col("lnum")).as("lnum"), sum(col("lden")).as("lden"),
         sum(col("pnum")).as("pnum"), sum(col("pden")).as("pden"))
       .select(col("month"), col("n_parts"),
-        round(lr, 6).as("laspeyres"),
-        round(pr, 6).as("paasche"),
+        // the two index ratios are exact micro-long quotients
+        // (Recon.ratioRound); fisher keeps the double sqrt chain —
+        // the geometric mean leaves the dyadic lattice
+        Recon.ratioRound(col("lnum"), col("lden"), 6).as("laspeyres"),
+        Recon.ratioRound(col("pnum"), col("pden"), 6).as("paasche"),
         round(sqrt(lr * pr), 6).as("fisher"))
       .orderBy("month")
   }
@@ -2274,9 +2307,9 @@ object Relational {
       .join(broadcast(cs), "cm")
       .select(col("cm").as("cohort_month"), col("age").as("age_months"),
         col("n_active"), col("cohort_size"),
-        round(col("rev4").cast("double") / 10000.0, 2).as("revenue"),
-        round(col("crev4").cast("double") / 10000.0, 2).as("cum_revenue"),
-        round(col("crev4").cast("double") / 10000 / col("cohort_size"), 6)
+        Recon.ratioRound(col("rev4"), lit(10000L), 2).as("revenue"),
+        Recon.ratioRound(col("crev4"), lit(10000L), 2).as("cum_revenue"),
+        Recon.ratioRound(col("crev4"), col("cohort_size") * lit(10000L), 6)
           .as("cum_ltv_per_customer"))
       .orderBy("cohort_month", "age_months")
   }
@@ -2313,8 +2346,8 @@ object Relational {
     val tot = agg.agg(sum(col("rev4")).as("t"))
     agg.crossJoin(broadcast(tot))
       .select(col("st").as("o_orderstatus"), col("bucket"), col("n_orders"),
-        round(col("rev4").cast("double") / 10000.0, 2).as("open_revenue"),
-        round(col("rev4").cast("double") / col("t"), 6).as("revenue_share"))
+        Recon.ratioRound(col("rev4"), lit(10000L), 2).as("open_revenue"),
+        Recon.ratioRound(col("rev4"), col("t"), 6).as("revenue_share"))
       .orderBy("o_orderstatus", "bucket")
   }
 
@@ -2342,10 +2375,10 @@ object Relational {
       .agg(count(lit(1)).as("n_months"), sum(col("rev4")).as("rev4"))
       .crossJoin(broadcast(tot))
       .select(col("moy").as("month_of_year"), col("n_months"),
-        round(col("rev4").cast("double") / col("n_months") / 10000.0, 2)
+        Recon.ratioRound(col("rev4"), col("n_months") * lit(10000L), 2)
           .as("avg_monthly_revenue"),
-        round((col("rev4").cast(dec) * col("nm")).cast("double")
-          / (col("tr").cast(dec) * col("n_months")).cast("double"), 6)
+        Recon.ratioRound(col("rev4").cast(dec) * col("nm"),
+          col("tr").cast(dec) * col("n_months"), 6)
           .as("seasonal_index"))
       .orderBy("month_of_year")
   }
@@ -2436,14 +2469,15 @@ object Relational {
       .withColumn("ct", sum("o").over(Window.partitionBy("pr")))
       .crossJoin(broadcast(tot))
     val devC = col("o").cast(dec) * col("n") - col("rt").cast(dec) * col("ct")
+    // both micro terms are exact integer ratios — Recon.ratioScaled
+    // (the int/int tie class): e = rt·ct/n, contrib = dev²/(n·rt·ct);
+    // envelope: dev²·2·10⁶ inside DECIMAL(38,0) to ~10¹⁵ orders
     val t = m
       .withColumn("e_micro",
-        round(round(col("rt").cast("double") * col("ct") / col("n"), 6) * 1e6, 0)
-          .cast("long"))
+        Recon.ratioScaled(col("rt").cast(dec) * col("ct"), col("n"), 6))
       .withColumn("contrib_micro",
-        round(round(devC.cast("double") * devC.cast("double")
-          / (col("n").cast("double") * col("rt") * col("ct")), 6) * 1e6, 0)
-          .cast("long"))
+        Recon.ratioScaled(devC * devC,
+          col("n").cast(dec) * col("rt") * col("ct"), 6))
     val s = t.agg(sum(col("contrib_micro")).as("chi2_micro"))
     t.crossJoin(broadcast(s))
       .select(col("st").as("o_orderstatus"), col("pr").as("o_orderpriority"),

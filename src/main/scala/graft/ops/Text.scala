@@ -20,6 +20,8 @@ import org.apache.spark.sql.functions._
   */
 object Text {
 
+  private val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
 
@@ -65,9 +67,16 @@ object Text {
           round(lit(206.835) - lit(1.015) * wps - lit(84.6) * spw, 6)).as("fre"),
         when(col("nz"),
           round(lit(0.39) * wps + lit(11.8) * spw - lit(15.59), 6)).as("fk_grade"),
+        // lix = w/s + 100·lw/w = (w² + 100·lw·s)/(s·w) — an exact
+        // integer ratio, so the presentation round goes through
+        // Recon.ratioRound (the int/int tie class); fre/fk_grade keep
+        // the double spelling: their non-dyadic literal coefficients
+        // (206.835, 1.015, …) take the value off the integer lattice
         when(col("nz"),
-          round(wps + lit(100.0) * col("lw").cast("double") / col("w"), 6))
-          .as("lix"))
+          Recon.ratioRound(
+            col("w").cast(dec38) * col("w")
+              + lit(100) * col("lw").cast(dec38) * col("s"),
+            col("s").cast(dec38) * col("w"), 6)).as("lix"))
       .orderBy("doc_id").limit(1000)
   }
 
@@ -156,7 +165,7 @@ object Text {
       .crossJoin(broadcast(total))
       .select(col("fam_size"), col("n_families"),
         (col("fam_size") * col("n_families")).as("n_docs"),
-        round((col("fam_size") * col("n_families")).cast("double") /
+        Recon.ratioRound(col("fam_size") * col("n_families"),
           col("n_total"), 6).as("corpus_share"))
       .orderBy("fam_size")
   }
@@ -221,9 +230,14 @@ object Text {
   def filterFunnel(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.NgramHashes.ngramHashes
     val w = size(split(col("text"), " ")).cast("long")
-    val cpt = round(length(col("text")).cast("double") / w, 4)
-    val dup2 =
-      round(lit(1) - size(ngramHashes(col("text"), 2)).cast("double") / (w - 1), 4)
+    // threshold metrics round via exact integer half-away arithmetic
+    // (Recon.ratioRound — the int/int tie class): a 4-dp tie on the
+    // 12.0/0.5 boundary would otherwise flip the verdict between
+    // engines; stage 1 (w < 32) still short-circuits ahead of the
+    // w − 1 denominator
+    val cpt = Recon.ratioRound(length(col("text")).cast("long"), w, 4)
+    val dup2 = Recon.ratioRound(
+      (w - 1) - size(ngramHashes(col("text"), 2)), w - 1, 4)
     val ent = round(
       graft.functions.TokenEntropy.tokenEntropy(col("text")).getField("entropy"), 4)
     val stage = when(w < 32, 1)
@@ -367,7 +381,7 @@ object Text {
   def textRepetition(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.NgramHashes.ngramHashes
     def dup(d: Column, t: Column): Column =
-      when(t > 0, round(lit(1) - d.cast("double") / t, 4))
+      when(t > 0, Recon.ratioRound(t - d, t, 4))
     docs(spark, dir)
       .select(col("doc_id"),
         (size(split(col("text"), " ")) - 1).cast("long").as("raw2"),
@@ -515,14 +529,21 @@ object Text {
     * window, and the result is TakeOrdered-bounded. */
   /** [[DupSpanLen]]-gram position enumeration for the exact-substring
     * family: (doc_id, pos, g) with the gram projected INSIDE the scan
-    * stage — only the compact triple ever shuffles. */
-  private def spanGrams(d: DataFrame): DataFrame = {
-    val L = DupSpanLen
-    d.select(col("doc_id"), col("text"),
-        explode(sequence(lit(1), col("len") - (L - 1))).as("pos"))
-      .select(col("doc_id"), col("pos"),
-        expr(s"substring(text, pos, $L)").as("g"))
-  }
+    * stage — only the compact triple ever shuffles. Round 16: grams
+    * come from the zero-copy [[graft.functions.CharNgrams]] scanner
+    * (identical values — every width-L char window, 1-based pos). The
+    * explode(sequence) + substring(text, pos, L) form this replaces
+    * was O(len²) PER DOCUMENT: each substring re-scans from byte 0 to
+    * locate its char offset (the trap CharNgrams' scaladoc documents)
+    * — the whole family's dominant cost (decontaminate_substring
+    * 2.9 → 0.7 s, dedup_substring_spans 2.1 → 0.8 s sf0.1). Callers
+    * pre-filter len ≥ L, so the scanner's short-text single-gram
+    * fallback never engages. */
+  private def spanGrams(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
+        posexplode(graft.functions.CharNgrams.charNgrams(col("text"), DupSpanLen))
+          .as(Seq("p0", "g")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("g"))
 
   /** The shared gaps-and-islands span collapse behind [[dupSpans]] and
     * [[decontaminateSubstring]]: marked (doc_id, pos) rows merge into
@@ -591,9 +612,25 @@ object Text {
       .select(col("doc_id"), col("source"), col("text"),
         length(col("text")).as("len"))
       .filter(col("len") >= L)
-    val evalGrams = spanGrams(d.filter(col("source") === evalSource))
-      .select("g").distinct()
+    val evalD = d.filter(col("source") === evalSource)
+    val evalGrams = spanGrams(evalD).select("g").distinct()
+    // Bloom pre-filter in front of the exact semi-join (round 16,
+    // 3.21 → ~1 s sf0.1): the train side previously shuffled EVERY
+    // 16-char gram as a raw string into the shuffle_hash semi-join;
+    // probing a Bloom of the eval grams' xxhash64 (no false negatives
+    // — equal strings hash equal, the bitmap never misses a member)
+    // drops non-candidate positions SCAN-SIDE, so the exact join —
+    // which alone decides the answer — sees only true hits plus the
+    // fpp. Sizing bound = eval char count ≥ distinct eval grams (the
+    // decontaminateBloomFlags discipline: one agg-only action, and
+    // oversizing only lowers the realized fpp).
+    val bound = math.max(evalD.agg(coalesce(sum(col("len")), lit(0L)))
+      .collect().head.getLong(0), 1L)
+    val bloom = spanGrams(evalD).select(xxhash64(col("g")).as("h"))
+      .stat.bloomFilter("h", bound, 0.01)
     val hits = spanGrams(d.filter(col("source") =!= evalSource))
+      .filter(graft.functions.BloomMightContainLong.mightContain(
+        xxhash64(col("g")), bloom))
       .join(evalGrams.hint("shuffle_hash"), Seq("g"), "left_semi")
       .select("doc_id", "pos")
     spanStats(hits)
@@ -1243,8 +1280,8 @@ object Text {
         count(lit(1)).over(Window.partitionBy("doc_id", "grp")))
       .filter(col("plen") <= RakeMaxLen)
     val ws = keep.groupBy("tok")
-      .agg(round(round(sum(col("plen")).cast("double") / count(lit(1)), 6)
-        * 1e6, 0).cast("long").as("score_micro"))
+      .agg(Recon.ratioScaled(sum(col("plen")), count(lit(1)), 6)
+        .as("score_micro"))
     keep.join(ws, "tok")
       .groupBy(col("doc_id"), col("grp"))
       .agg(array_join(transform(
@@ -1316,8 +1353,8 @@ object Text {
       .agg(count(lit(1)).as("n_types"),
         sum("cnt").as("n_tokens"),
         count_if(col("cnt") === 1).as("n_hapax"),
-        round(count(lit(1)).cast("double") / sum("cnt"), 6).as("ttr"),
-        round(count_if(col("cnt") === 1).cast("double") / count(lit(1)), 6)
+        Recon.ratioRound(count(lit(1)), sum("cnt"), 6).as("ttr"),
+        Recon.ratioRound(count_if(col("cnt") === 1), count(lit(1)), 6)
           .as("hapax_share"))
       .orderBy("lang")
   }
@@ -1394,8 +1431,8 @@ object Text {
       .join(broadcast(sizes.select(col("source").as("src_b"),
         col("n_types").as("nb"))), "src_b")
       .select(col("src_a"), col("src_b"), col("n_shared"),
-        round(col("n_shared").cast("double") /
-          (col("na") + col("nb") - col("n_shared")), 6).as("vocab_jaccard"))
+        Recon.ratioRound(col("n_shared"),
+          col("na") + col("nb") - col("n_shared"), 6).as("vocab_jaccard"))
       .orderBy("src_a", "src_b")
   }
 
@@ -1560,13 +1597,20 @@ object Text {
     docs(spark, dir)
       .select(col("source"),
         graft.functions.GramLogProbSum.gramLogProbSum(col("text"), micro).as("s"))
-      .select(col("source"), (-(col("s.sm") / 1e6) / col("s.n")).as("bits"))
+      .select(col("source"),
+        // per-doc micro-bits long (scale-0 round of a value within an
+        // ulp of its integer — parity-safe; round is monotone, so
+        // min/max of mb ≡ mb of the min/max doc); every 4-dp
+        // presentation then goes through exact integer half-away
+        // arithmetic (Recon.ratioRound — the int/int tie class)
+        round(-(col("s.sm") / 1e6) / col("s.n") * 1e6, 0).cast("long")
+          .as("mb"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
-        round(sum(round(col("bits") * 1e6, 0).cast("long")) / 1e6 /
-          count(lit(1)), 4).as("avg_bits"),
-        round(min(col("bits")), 4).as("min_bits"),
-        round(max(col("bits")), 4).as("max_bits"))
+        Recon.ratioRound(sum(col("mb")),
+          count(lit(1)) * lit(1000000L), 4).as("avg_bits"),
+        Recon.ratioRound(min(col("mb")), lit(1000000L), 4).as("min_bits"),
+        Recon.ratioRound(max(col("mb")), lit(1000000L), 4).as("max_bits"))
       .orderBy("source")
   }
 

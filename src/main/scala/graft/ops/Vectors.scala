@@ -146,7 +146,7 @@ object Vectors {
     pred.groupBy(col("la").as("label"))
       .agg(count(lit(1)).as("n"),
         count_if(col("pred") === col("la")).as("n_correct"),
-        round(count_if(col("pred") === col("la")).cast("double") /
+        Recon.ratioRound(count_if(col("pred") === col("la")),
           count(lit(1)), 4).as("acc"))
       .orderBy("label")
   }
@@ -219,8 +219,13 @@ object Vectors {
     def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
     val cc = cents.map { case (l, c) => l -> dotSeq(c, c) }.toMap
     val nearest = cents.map { case (la, ca) =>
+      // near-coincident centroids can cancel cc(a) − 2·dot + cc(b) to
+      // a tiny NEGATIVE (round-15 advice): clamp to ≥ 0 before the
+      // half-up r6 — a negative operand would round -0.0 here where
+      // the oracle (mirrored with greatest(..., 0)) rounds +0.0, and
+      // half-up vs half-away also differ below zero
       val cands = cents.collect { case (lb, cb) if lb != la =>
-        (r6(cc(la) - 2 * dotSeq(ca, cb) + cc(lb)), lb)
+        (r6(math.max(0.0, cc(la) - 2 * dotSeq(ca, cb) + cc(lb))), lb)
       }
       if (cands.isEmpty) (la, None: Option[Int], None: Option[Double])
       else {
@@ -580,9 +585,12 @@ object Vectors {
           / (sqrt(dot(v, v)) * sqrt(dot(col("d"), col("d"))))).as("cos6"))
     perRow.groupBy("label")
       .agg(count(lit(1)).as("n"),
-        round(sum(col("sc6")) / 1e6 / count(lit(1)), 6).as("avg_scale"),
-        round(sum(col("mse6")) / 1e6 / count(lit(1)), 6).as("avg_mse_x1e6"),
-        round(sum(col("cos6")) / 1e6 / count(lit(1)), 6).as("avg_cosine"))
+        Recon.ratioRound(sum(col("sc6")),
+          count(lit(1)) * lit(1000000L), 6).as("avg_scale"),
+        Recon.ratioRound(sum(col("mse6")),
+          count(lit(1)) * lit(1000000L), 6).as("avg_mse_x1e6"),
+        Recon.ratioRound(sum(col("cos6")),
+          count(lit(1)) * lit(1000000L), 6).as("avg_cosine"))
       .orderBy("label")
   }
 
@@ -738,7 +746,7 @@ object Vectors {
       .agg(count(lit(1)).as("n_assigned"),
         sum(round(round(col("d2"), 6) * 1e6, 0).cast("long")).as("dm"))
       .select(col("subspace"), col("centroid"), col("n_assigned"),
-        round(col("dm").cast("double") / col("n_assigned") / 1e6, 6)
+        Recon.ratioRound(col("dm"), col("n_assigned") * lit(1000000L), 6)
           .as("mean_distortion"))
       .orderBy("subspace", "centroid")
   }
@@ -757,42 +765,53 @@ object Vectors {
     * Ranking sorts the ROUNDED |corr| with (i, j) tie-break, so the
     * top-20 cut is engine-independent.
     *
-    * 100 TB posture: the d(d−1)/2 pair expansion happens INSIDE the
-    * scan stage (inline of a codegen'd nested transform) and
-    * immediately map-side combines into a d²-keyed hash aggregate —
-    * the shuffled frame is pairs-sized (≤ d²), not corpus-sized; the
-    * d-row moment frame broadcasts (bounded by the schema's
-    * dimensionality, a constant of the table, not of the data
-    * volume); the final top-20 is a TakeOrdered selection. */
+    * 100 TB posture (round 16 — the one-pass Gram rewrite): the whole
+    * sufficient-statistic set (n, Σxᵢ and the FULL upper-triangle
+    * Σxᵢxⱼ) accumulates in ONE typed
+    * [[graft.functions.GramAgg]] pass — a flat long array per task, so
+    * nothing row-count-sized ever fans out (the previous inline
+    * expansion emitted d(d−1)/2 pair structs per row into a d²-keyed
+    * hash aggregate: scale-safe but ~2 000 aggregate-map probes per
+    * row; the bench halved its 2.28 s). Only ~(d²/2 + d) longs per
+    * task shuffle; the pair frame then unpacks from the SINGLE state
+    * row via a sequence/inline transform (answer-sized by the schema's
+    * dimensionality) into the identical exact decimal chain, so the
+    * oracle is unchanged. Overflow is loud, not silent — GramAgg
+    * accumulates with Math.addExact (envelope in its scaladoc). */
   def dimCorrelation(spark: SparkSession, dir: String): DataFrame = {
     val dec = DecimalType(38, 0)
     val em = Tables.embeddings(spark, dir)
       .filter(col("embedding").isNotNull)
       .select(transform(col("embedding"), v =>
-        round(round(v.cast("double"), 6) * 1e6, 0).cast("long")).as("e"))
-    val dims = em
-      .select(posexplode(col("e")).as(Seq("p0", "v")))
-      .select((col("p0") + 1).as("i"), col("v"))
-      .groupBy("i")
-      .agg(count(lit(1)).as("n"), sum(col("v").cast(dec)).as("si"),
-        sum((col("v") * col("v")).cast(dec)).as("sii"))
-    val pairs = em
-      .select(expr("inline(flatten(transform(sequence(1, size(e) - 1), i -> " +
-        "transform(sequence(i + 1, size(e)), j -> " +
-        "struct(i, j, element_at(e, i) * element_at(e, j) AS p)))))"))
-      .groupBy("i", "j")
-      .agg(sum(col("p").cast(dec)).as("sij"))
-    val di = dims.select(col("i").as("ki"), col("n"),
-      col("si").as("sxi"), col("sii").as("sxxi"))
-    val dj = dims.select(col("i").as("kj"),
-      col("si").as("sxj"), col("sii").as("sxxj"))
+        round(round(v.cast("double"), 6) * 1e6, 0).cast("long")).as("value"))
+    val gram = em
+      .as(org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]())
+      .select(new graft.functions.GramAgg().toColumn)
+      .toDF("g")
+      .withColumn("d", element_at(col("g"), 1).cast("int"))
+    // unpack the flat state [d, n, s1..sd, G(1,1)..G(d,d) row-major
+    // upper triangle]: G(i,j) sits at 2 + d + (i−1)(2d−i+2)/2 + (j−i+1)
+    // — (i−1)(2d−i+2) is always even, so the /2 is exact
+    // outer range stops at d − 1: Spark `sequence(a, b)` DESCENDS when
+    // a > b, so an i = d leg would mint a phantom j = d + 1 pair
+    val pairs = gram.select(expr(
+      "inline(flatten(transform(sequence(1, d - 1), i -> " +
+        "transform(sequence(i + 1, d), j -> struct(i, j, " +
+        "element_at(g, 2) AS n, " +
+        "element_at(g, cast(2 + i AS int)) AS sxi, " +
+        "element_at(g, cast(2 + j AS int)) AS sxj, " +
+        "element_at(g, cast(2 + d + (i-1)*(2*d-i+2) div 2 + 1 AS int)) AS sxxi, " +
+        "element_at(g, cast(2 + d + (j-1)*(2*d-j+2) div 2 + 1 AS int)) AS sxxj, " +
+        "element_at(g, cast(2 + d + (i-1)*(2*d-i+2) div 2 + (j-i+1) AS int)) AS sij" +
+        ")))))"))
     val c = pairs
-      .join(broadcast(di), col("i") === col("ki"))
-      .join(broadcast(dj), col("j") === col("kj"))
       .select(col("i"), col("j"),
-        (col("n").cast(dec) * col("sij") - col("sxi") * col("sxj")).as("num"),
-        (col("n").cast(dec) * col("sxxi") - col("sxi") * col("sxi")).as("denx"),
-        (col("n").cast(dec) * col("sxxj") - col("sxj") * col("sxj")).as("deny"))
+        (col("n").cast(dec) * col("sij")
+          - col("sxi").cast(dec) * col("sxj")).as("num"),
+        (col("n").cast(dec) * col("sxxi")
+          - col("sxi").cast(dec) * col("sxi")).as("denx"),
+        (col("n").cast(dec) * col("sxxj")
+          - col("sxj").cast(dec) * col("sxj")).as("deny"))
     c.filter(col("denx") > 0 && col("deny") > 0)
       .select(col("i").cast("long").as("dim_i"), col("j").cast("long").as("dim_j"),
         (round(col("num").cast("double")

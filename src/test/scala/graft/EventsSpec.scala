@@ -914,6 +914,66 @@ class EventsSpec extends GraftSpec {
     assert(feed.dropDuplicates().count() === 10,
       "echo rows must be verbatim copies")
   }
+
+  test("late-data parity: the 2-day stragglers drop by the watermark RULE, exactly") {
+    // planted feed: ids 1,2,3,17,34 (minutes 0/10/20/100/200, types
+    // a/b/a/b/a, value 1.0) — ids 17 and 34 echo 2 days late. cutoff =
+    // max(base ts) − 1 h = minute 140; every echo sits ~2 days below
+    // it, so the RULE (not the flag) must drop both and nothing else.
+    import EventsFixture.RawEv
+    val spark0 = spark
+    import spark0.implicits._
+    val d = s"$tmpDir/latefix"
+    val base = 1735689600L
+    def ev(id: Long, user: Long, minute: Long, typ: String) =
+      RawEv(id, (base + minute * 60) * 1000000000L, user, typ, 1.0, """{"k":1}""")
+    Seq(ev(1, 1, 0, "a"), ev(2, 1, 10, "b"), ev(3, 1, 20, "a"),
+        ev(17, 2, 100, "b"), ev(34, 2, 200, "a"))
+      .toDF().write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = Events.lateDataParity(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5)))
+    // kept hours: a at minutes 0, 20, 200 → hours {0, 3}; b at 10, 100
+    // → hours {0, 1}
+    assert(got.toSeq === Seq(
+      ("a", 4L, 1L, 3L, 3.0, 2L),
+      ("b", 3L, 1L, 2L, 2.0, 2L)))
+  }
+
+  test("json struct extract: every probed from_json class lands per the pinned contract") {
+    // one row per pinned semantics class (the Spark 4.1.2 probe matrix
+    // in the op's scaladoc): in-range int, negative int, string digits,
+    // double, bool, json null, absent key + notk int, overflow int,
+    // NULL props — each asserting (unparsed, k_long, notk_long, k_raw)
+    import EventsFixture.RawEv
+    val spark0 = spark
+    import spark0.implicits._
+    val d = s"$tmpDir/jsonfix"
+    val base = 1735689600L
+    def ev(id: Long, props: String) =
+      RawEv(id, (base + id * 60) * 1000000000L, 1L, "a", 1.0, props)
+    Seq(ev(1, """{"k": 69}"""), ev(2, """{"k": -7}"""),
+        ev(3, """{"k": "42"}"""), ev(4, """{"k": 3.7}"""),
+        ev(5, """{"k": true}"""), ev(6, """{"k": null}"""),
+        ev(7, """{"notk": 9}"""), ev(8, """{"k": 99999999999999999999}"""),
+        ev(9, null))
+      .toDF().write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = Events.jsonStructExtract(spark, d).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        Option(r.getString(4))))
+    assert(got.toSeq === Seq(
+      (1L, false, Some(69L), None, Some("69")),
+      (2L, false, Some(-7L), None, Some("-7")),
+      (3L, false, None, None, Some("42")),
+      (4L, false, None, None, Some("3.7")),
+      (5L, false, None, None, Some("true")),
+      (6L, false, None, None, None),
+      (7L, false, None, Some(9L), None),
+      (8L, false, None, None, Some("99999999999999999999")),
+      (9L, true, None, None, None)))
+  }
 }
 
 object EventsFixture {

@@ -96,6 +96,102 @@ class RegistrySpec extends GraftSpec {
         s"${unexpected.toSeq.sorted}")
   }
 
+  test("no raw round(int/int, k>0) presentation survives (the ratioRound rule, SURVEY §7.4.9)") {
+    // The round-15/16 determinism class: Spark round(x, k) HALF_UPs the
+    // double's shortest decimal string while DuckDB multiplies by 10^k
+    // first — an integer/integer quotient can tie at scale k and split
+    // the engines. Every such presentation must route through
+    // Recon.ratioRound/ratioScaled (exact half-away integer
+    // arithmetic). This walk flags Round(_, k > 0) whose argument is a
+    // RATIONAL composition (ints/decimals, +, −, ×, ÷, casts,
+    // integer-valued double literals) containing a real division —
+    // class B (sqrt/log/non-integer literals) fails the rational test
+    // and never flags; class A is exempted structurally: scale-0
+    // rounds (no ×10^k on the DuckDB side — both engines round the
+    // same double with agreeing half-behavior), and micro-long/10^p
+    // presentations with p ≤ k (the round is an identity on the
+    // lattice).
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types._
+    // Reviewed non-structural exemptions — exact respells that are
+    // UNREPRESENTABLE in DECIMAL(38,0) ≡ HUGEINT, so the ops keep the
+    // identically-spelled double product chains (huge-integer double
+    // products sit off the reachable decimal lattice the same way
+    // sqrt/log chains do):
+    //  - events_weekly_spectrum: aa²+bb² ~ 10⁴⁰ at sf0.1 (weekly_amp,
+    //    its sqrt sibling, is class B outright)
+    //  - orders_trend_forecast: r2's num²·2·10⁶ ~ 10⁴¹ at the 10×
+    //    corpus (caught by the gate-crossing smoke, round 16)
+    val allowed = Set("events_weekly_spectrum", "orders_trend_forecast")
+    def isPow10AtMost(l: Literal, k: Int): Boolean = l match {
+      case Literal(v: Double, DoubleType) if v > 0 =>
+        val p = math.log10(v)
+        p == math.rint(p) && p <= k
+      case Literal(v: Long, LongType) if v > 0 =>
+        val p = math.log10(v.toDouble)
+        p == math.rint(p) && p <= k
+      case _ => false
+    }
+    def ratLike(e: Expression): Boolean = e match {
+      case c: Cast => ratLike(c.child)
+      case l: Literal => l.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+          case _: DecimalType => true
+        case DoubleType =>
+          val d = l.value.asInstanceOf[Double]
+          d == math.rint(d) && !d.isInfinite
+        case _ => false
+      }
+      case a: Add => ratLike(a.left) && ratLike(a.right)
+      case s: Subtract => ratLike(s.left) && ratLike(s.right)
+      case m: Multiply => ratLike(m.left) && ratLike(m.right)
+      case d: Divide => ratLike(d.left) && ratLike(d.right)
+      case u: UnaryMinus => ratLike(u.child)
+      case _ => e.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+          case _: DecimalType => true
+        case _ => false
+      }
+    }
+    def hasDivide(e: Expression): Boolean =
+      e.collectFirst { case _: Divide => () }.nonEmpty
+    def stripCast(e: Expression): Expression = e match {
+      case c: Cast => stripCast(c.child)
+      case other => other
+    }
+    def latticeExempt(child: Expression, k: Int): Boolean =
+      stripCast(child) match {
+        case d: Divide =>
+          (stripCast(d.right) match {
+            case l: Literal => isPow10AtMost(l, k)
+            case _ => false
+          }) && !hasDivide(d.left) && ratLike(d.left)
+        case _ => false
+      }
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, q) =>
+        // analysis failures are the first test's finding, not this one's
+        val plans =
+          try Seq(q(spark, sf).queryExecution.analyzed)
+          catch { case _: Exception => Seq.empty }
+        val hits = plans.flatMap(_.collect { case p => p.expressions }.flatten).flatMap {
+          _.collect {
+            case r: Round =>
+              (r.children(0), r.children(1)) match {
+                case (child, Literal(s: Int, IntegerType)) if s > 0 &&
+                  ratLike(child) && hasDivide(child) &&
+                  !latticeExempt(child, s) => Some(child.sql.take(90))
+                case _ => None
+              }
+          }.flatten
+        }
+        if (hits.nonEmpty && !allowed(name)) Some(s"$name: ${hits.head}") else None
+    }
+    assert(offenders.isEmpty,
+      "raw round(int/int, k>0) presentations (route through Recon.ratioRound " +
+        s"or add a REVIEWED allowlist entry):\n${offenders.mkString("\n")}")
+  }
+
   test("every benched query has a BASELINE.md row (the standing budget rule)") {
     // SURVEY §7.5 standing rule, round-12 verdict #4: an op registered
     // without its DuckDB timing appended to BASELINE.md silently erodes

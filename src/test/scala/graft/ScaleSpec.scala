@@ -678,17 +678,21 @@ class ScaleSpec extends GraftSpec {
       s"base/counts are 1-row broadcast frames:\n$exec")
   }
 
-  test("dim correlation: pair fan-out combines map-side, top-20 is TakeOrdered") {
+  test("dim correlation: one-pass Gram aggregate combines map-side, top-20 is TakeOrdered") {
+    // round 16: the inline d²-pair fan-out became the typed GramAgg —
+    // the plan must show the partial/final typed-aggregate pair (the
+    // map-side combine carries one flat long array per task), no join
+    // at all (the pair frame unpacks from the single state row), and a
+    // TakeOrdered top-20
     val q = graft.ops.Vectors.dimCorrelation(spark, sf)
     q.collect()
     val exec = q.queryExecution.executedPlan.toString
-    assert("partial_(count|sum)".r.findFirstIn(exec).isDefined,
-      s"the d²-keyed moment aggregates must combine map-side:\n$exec")
+    assert("partial_gramagg".r.findFirstIn(exec).isDefined,
+      s"the Gram state must combine map-side:\n$exec")
     assert(exec.contains("TakeOrderedAndProject"),
       s"the top-20 cut must be a bounded-state selection:\n$exec")
-    assert(exec.contains("BroadcastHashJoin") && !exec.contains("SortMergeJoin"),
-      s"the d-row moment frames must broadcast:\n$exec")
-    assert(!exec.contains("CartesianProduct"), s"no cartesian:\n$exec")
+    assert(!exec.contains("SortMergeJoin") && !exec.contains("CartesianProduct"),
+      s"no join belongs in the one-pass plan:\n$exec")
   }
 
   test("degree distribution: map-combined counts, degree-sized histogram") {

@@ -151,6 +151,55 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("late data equals the oracle-anchored batch parity op across micro-batches") {
+    // streaming_late_data registers the watermark-drop RULE in batch,
+    // DuckDB-oracled; this drives the SAME seeded feed — the base
+    // events in batch 0, the id % 17 echoes shifted 2 days back in
+    // batch 1 — through MemoryStream + tumblingCounts (1-hour
+    // watermark) and asserts the streaming side's two observable drop
+    // facts: the echo batch emits NOTHING new in append mode, and the
+    // state operator reports every echo row in
+    // numRowsDroppedByWatermark. The batch anchor's n_kept/n_late
+    // columns are then checked against the same feed arithmetic.
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val ctx = spark.sqlContext
+    val base = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Ev].collect()
+    val echo = base.filter(_.event_id % 17 == 0).map(e =>
+      e.copy(ts = new java.sql.Timestamp(e.ts.getTime - 2L * 24 * 3600 * 1000)))
+    assert(echo.nonEmpty, "fixture must seed at least one straggler")
+    val input = MemoryStream[Ev]
+    val q = StreamingOps.tumblingCounts(input.toDF())
+      .writeStream.format("memory").queryName("late_parity_sink")
+      .outputMode("append").start()
+    try {
+      input.addData(base.toSeq); q.processAllAvailable()
+      val before = spark.table("late_parity_sink").count()
+      def droppedSoFar: Long = q.recentProgress
+        .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+      val droppedBefore = droppedSoFar
+      input.addData(echo.toSeq); q.processAllAvailable()
+      assert(spark.table("late_parity_sink").count() === before,
+        "the straggler batch must emit nothing in append mode")
+      assert(droppedSoFar - droppedBefore === echo.length.toLong,
+        "every straggler must be dropped by the watermark")
+      // the batch anchor agrees with the same feed arithmetic
+      val batch = ops.Events.lateDataParity(spark, sf).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+      val baseByType = base.groupBy(_.event_type).view.mapValues(_.length.toLong)
+      val echoByType = echo.groupBy(_.event_type).view.mapValues(_.length.toLong)
+      baseByType.foreach { case (t, nb) =>
+        val ne = echoByType.getOrElse(t, 0L)
+        assert(batch(t) === ((nb + ne, ne, nb)),
+          s"batch anchor disagrees with the feed arithmetic for type $t")
+      }
+    } finally q.stop()
+  }
+
   test("streaming hash-diff flags mismatched and unknown keys per micro-batch") {
     val spark0 = spark
     import spark0.implicits._

@@ -804,13 +804,20 @@ class TextSpec extends GraftSpec {
       val sm = gs.map(micro.getOrElse(_, 0L)).sum
       (src, -(sm / 1e6) / gs.size)
     }
+    // presentation recount mirrors the op's round-16 exact-integer
+    // tail: per-doc micro-bits longs, then ratioRound half-away
+    def rhalf(num: BigInt, den: BigInt, s: Int): Double = {
+      val p = BigInt(10).pow(s)
+      val mag = (num.abs * p * 2 + den) / (den * 2)
+      (if (num.signum >= 0) mag else -mag).toDouble / p.toDouble
+    }
     val expect = perDoc.groupBy(_._1).map { case (src, ds) =>
-      val bits = ds.map(_._2)
+      val mb = ds.map(d => java.math.BigDecimal.valueOf(d._2 * 1e6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong)
       src -> (ds.size.toLong,
-        r(bits.map(b => java.math.BigDecimal.valueOf(b * 1e6)
-          .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong)
-          .sum / 1e6 / ds.size, 4),
-        r(bits.min, 4), r(bits.max, 4))
+        rhalf(BigInt(mb.sum), BigInt(ds.size) * 1000000, 4),
+        rhalf(BigInt(mb.min), BigInt(1000000), 4),
+        rhalf(BigInt(mb.max), BigInt(1000000), 4))
     }
     val got = Text.lmScoreCapped(spark, dir, cap).collect()
       .map(x => x.getString(0) ->
