@@ -2606,7 +2606,8 @@ object SparkEntry {
       """WITH em AS MATERIALIZED (
         |  SELECT list_transform(embedding,
         |    v -> CAST(round(round(v, 6) * 1e6) AS BIGINT)) e
-        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |  FROM embeddings WHERE embedding IS NOT NULL
+        |    AND len(list_filter(embedding, v -> v IS NULL)) = 0),
         |dims AS MATERIALIZED (
         |  SELECT i, count(*) n, sum(v) si, sum(CAST(v AS HUGEINT) * v) sii
         |  FROM (SELECT unnest(e) v, generate_subscripts(e, 1) i FROM em)

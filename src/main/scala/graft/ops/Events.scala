@@ -282,7 +282,7 @@ object Events {
       // min/max have exactly 6 decimal digits, so their 6-dp rounds
       // have no tie digit and keep the double spelling
       .select(col("n_converted"),
-        Recon.ratioRound(col("sm"), col("n_converted") * lit(1000000L), 3)
+        Recon.ratioRound(col("sm"), Recon.micro(col("n_converted")), 3)
           .as("avg_s"),
         round(col("mn_us") / lit(1000000.0), 6).as("mn_s"),
         round(col("mx_us") / lit(1000000.0), 6).as("mx_s"))
@@ -566,7 +566,7 @@ object Events {
       // exact-integer half-away mean — the supplier_scorecard /2^k tie
       // class reaches through the /1e6 chain (see funnelTimeToConvert)
       .select(col("event_type"), col("n_gaps"),
-        Recon.ratioRound(col("sm"), col("n_gaps") * lit(1000000L), 3)
+        Recon.ratioRound(col("sm"), Recon.micro(col("n_gaps")), 3)
           .as("avg_gap_s"),
         round(col("mn_us") / lit(1000000.0), 6).as("mn_gap_s"),
         round(col("mx_us") / lit(1000000.0), 6).as("mx_gap_s"))
@@ -980,10 +980,10 @@ object Events {
         sum(when(col("y1").isNotNull, 1L).otherwise(0L)).as("n1"))
     s.select(col("event_type"), col("n_days"),
         when(col("n7") > 0,
-          Recon.ratioRound(col("e7"), col("n7") * lit(1000000L), 6))
+          Recon.ratioRound(col("e7"), Recon.micro(col("n7")), 6))
           .as("mae_seasonal"),
         when(col("n1") > 0,
-          Recon.ratioRound(col("d1"), col("n1") * lit(1000000L), 6))
+          Recon.ratioRound(col("d1"), Recon.micro(col("n1")), 6))
           .as("mae_naive"),
         when(col("n7") > 0 && col("d1") > 0,
           Recon.ratioRound(col("e7").cast(dec) * col("n1"),
@@ -1133,13 +1133,13 @@ object Events {
         Window.partitionBy("event_type").orderBy(col("cv").desc, col("d"))))
       .filter(col("rn") === 1)
       .select(col("event_type"), col("n").as("n_days"), col("d").as("cp_day"),
-        Recon.ratioRound(col("cv"), col("n") * lit(1000000L), 6)
+        Recon.ratioRound(col("cv"), Recon.micro(col("n")), 6)
           .as("cusum_max"),
-        Recon.ratioRound(col("p"), col("i") * lit(1000000L), 6)
+        Recon.ratioRound(col("p"), Recon.micro(col("i")), 6)
           .as("mean_before"),
         when(col("i") < col("n"),
           Recon.ratioRound(col("t") - col("p"),
-            (col("n") - col("i")) * lit(1000000L), 6)).as("mean_after"))
+            Recon.micro(col("n") - col("i")), 6)).as("mean_after"))
       .orderBy("event_type")
   }
 
@@ -1330,7 +1330,7 @@ object Events {
         Recon.ratioRound(
           col("cf").cast(org.apache.spark.sql.types.DecimalType(38, 0))
             * col("hm"),
-          col("nn") * lit(1000000L), 6).as("rate_contrib_bits"))
+          Recon.micro(col("nn")), 6).as("rate_contrib_bits"))
       .orderBy("from_type")
   }
 
@@ -1404,7 +1404,7 @@ object Events {
       .select(col("user_id"), col("n_events"), col("active_days"),
         col("n_types"),
         when(col("nv") > 0,
-          Recon.ratioRound(col("sv"), col("nv") * lit(1000000L), 6))
+          Recon.ratioRound(col("sv"), Recon.micro(col("nv")), 6))
           .as("mean_value"),
         (datediff(col("last_day"), col("first_day")) + 1).cast("long")
           .as("span_days"),
@@ -1504,7 +1504,7 @@ object Events {
         sum(col("v6").cast(dec) * col("v6")).as("q"))
     def ss6(qC: org.apache.spark.sql.Column, nC: org.apache.spark.sql.Column,
             sC: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      Recon.ratioScaled(qC * nC - sC.cast(dec) * sC, nC * lit(1000000L), 0)
+      Recon.ratioScaled(qC * nC - sC.cast(dec) * sC, Recon.micro(nC), 0)
     val gw = g.withColumn("ssw_micro", ss6(col("q"), col("n"), col("s")))
     val tot = gw.agg(sum(col("n")).as("nn"), sum(col("s")).as("ss"),
       sum(col("q")).as("qq"), count(lit(1)).as("k"),
@@ -1521,9 +1521,9 @@ object Events {
           col("ssw").cast(dec) * (col("k") - 1), 6)))
     gw.crossJoin(broadcast(f.select("k", "sst", "ssb", "f_stat")))
       .select(col("t").as("event_type"), col("n"),
-        Recon.ratioRound(col("s"), col("n") * lit(1000000L), 6)
+        Recon.ratioRound(col("s"), Recon.micro(col("n")), 6)
           .as("mean_value"),
-        Recon.ratioRound(col("ssw_micro"), col("n") * lit(1000000L), 6)
+        Recon.ratioRound(col("ssw_micro"), Recon.micro(col("n")), 6)
           .as("var_pop"),
         col("k").as("k_groups"), col("f_stat"),
         when(col("sst") > 0, Recon.ratioRound(col("ssb"), col("sst"), 6))

@@ -100,6 +100,15 @@ object Recon {
     when(num >= 0, mag).otherwise(-mag).cast("long")
   }
 
+  /** Corpus-proof micro-scaled denominator for [[ratioRound]]/
+    * [[ratioScaled]] callers: den·10⁶ with the cast to DECIMAL(38,0)
+    * BEFORE the multiply — a corpus-sized count times 10⁶ overflows
+    * the long multiply past ~9.2×10¹² rows on the Spark side, where
+    * every DuckDB twin already spells `CAST(den AS HUGEINT) * 1000000`
+    * (round-16 review). */
+  private[graft] def micro(den: Column): Column =
+    den.cast(DecimalType(38, 0)) * 1000000
+
   /** Integral division (Spark's `div`, DuckDB's `//`) — both truncate
     * toward zero, so the pair is cross-engine parity-safe on exact
     * integer operands. */

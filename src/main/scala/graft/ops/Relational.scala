@@ -1379,13 +1379,19 @@ object Relational {
         .select(col("s_suppkey"), col("s_nationkey"))),
         col("l_suppkey") === col("s_suppkey"))
       .groupBy(year(col("o_orderdate")).cast("int").as("yr"))
+      // aggregate cents ONCE and derive both the presentation doubles
+      // and the exact share from the longs (round-16 review: the
+      // earlier round(decSum·1e4) re-quantization was only exact below
+      // ~2^51 unscaled units — the DuckDB twin derives the integer
+      // from the decimal sum exactly at any magnitude)
       .agg(
-        decSum(rev).as("total_rev"),
-        coalesce(decSum(when(col("s_nationkey") === 1, rev)), lit(0.0))
-          .as("nation1_rev"))
-      .withColumn("mkt_share",
-        Recon.ratioRound(round(col("nation1_rev") * 1e4, 0).cast("long"),
-          round(col("total_rev") * 1e4, 0).cast("long"), 6))
+        sum(Recon.cents(rev)).as("rc"),
+        coalesce(sum(Recon.cents(when(col("s_nationkey") === 1, rev))),
+          lit(0L)).as("nc"))
+      .select(col("yr"),
+        Recon.uncents(col("rc")).as("total_rev"),
+        Recon.uncents(col("nc")).as("nation1_rev"),
+        Recon.ratioRound(col("nc"), col("rc"), 6).as("mkt_share"))
       .orderBy("yr")
   }
 

@@ -34,8 +34,11 @@ object Text {
     * for punctuation-free text; real punctuation takes over the moment
     * a regen provides it. All counts are integers from regexes both
     * dialects agree on (classes + bounded repetition only, counted via
-    * extract-all size — the regexpFuncs portability rule); the three
-    * scores are single identically-spelled double expressions, NULL
+    * extract-all size — the regexpFuncs portability rule); fre and
+    * fk_grade are single identically-spelled double expressions (their
+    * non-dyadic literal coefficients keep them off the integer
+    * lattice), while lix — a pure integer ratio — rounds through
+    * Recon.ratioRound (round 16); all three are NULL
     * for EMPTY documents on both engines — and "empty" is tested as
     * length(text) = 0, not w = 0: split("", " ") yields [""] so the
     * token count is never zero under the whitespace-token contract
@@ -809,11 +812,11 @@ object Text {
       .groupBy("est_decile")
       .agg(count(lit(1)).as("n_pairs"),
         Recon.ratioRound(sum(col("e6")),
-          count(lit(1)) * lit(1000000L), 6).as("mean_est"),
+          Recon.micro(count(lit(1))), 6).as("mean_est"),
         Recon.ratioRound(sum(col("x6")),
-          count(lit(1)) * lit(1000000L), 6).as("mean_exact"),
+          Recon.micro(count(lit(1))), 6).as("mean_exact"),
         Recon.ratioRound(sum(col("d6")),
-          count(lit(1)) * lit(1000000L), 6).as("mean_abs_err"))
+          Recon.micro(count(lit(1))), 6).as("mean_abs_err"))
       .orderBy("est_decile")
   }
 
@@ -1403,7 +1406,7 @@ object Text {
       .agg(count(lit(1)).as("n_docs"),
         sum("n_new").as("new_types"),
         Recon.ratioRound(sum(round(col("nov6") * 1e6, 0).cast("long")),
-          count(lit(1)) * lit(1000000L), 6).as("mean_novelty"))
+          Recon.micro(count(lit(1))), 6).as("mean_novelty"))
       .orderBy("source", "decile")
   }
 
@@ -1608,7 +1611,7 @@ object Text {
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         Recon.ratioRound(sum(col("mb")),
-          count(lit(1)) * lit(1000000L), 4).as("avg_bits"),
+          Recon.micro(count(lit(1))), 4).as("avg_bits"),
         Recon.ratioRound(min(col("mb")), lit(1000000L), 4).as("min_bits"),
         Recon.ratioRound(max(col("mb")), lit(1000000L), 4).as("max_bits"))
       .orderBy("source")

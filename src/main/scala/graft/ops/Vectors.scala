@@ -257,7 +257,7 @@ object Vectors {
       // im6 is the mean recovered as its exact micro-long so the ratio
       // clears both denominators, and im6 > 0 guards the division
       .withColumn("im6",
-        round(Recon.ratioRound(col("sm"), col("n_vecs") * lit(1000000L), 6)
+        round(Recon.ratioRound(col("sm"), Recon.micro(col("n_vecs")), 6)
           * 1e6, 0).cast("long"))
       .select(col("label"), col("n_vecs"),
         (col("im6").cast("double") / 1e6).as("intra_mean_d2"),
@@ -586,11 +586,11 @@ object Vectors {
     perRow.groupBy("label")
       .agg(count(lit(1)).as("n"),
         Recon.ratioRound(sum(col("sc6")),
-          count(lit(1)) * lit(1000000L), 6).as("avg_scale"),
+          Recon.micro(count(lit(1))), 6).as("avg_scale"),
         Recon.ratioRound(sum(col("mse6")),
-          count(lit(1)) * lit(1000000L), 6).as("avg_mse_x1e6"),
+          Recon.micro(count(lit(1))), 6).as("avg_mse_x1e6"),
         Recon.ratioRound(sum(col("cos6")),
-          count(lit(1)) * lit(1000000L), 6).as("avg_cosine"))
+          Recon.micro(count(lit(1))), 6).as("avg_cosine"))
       .orderBy("label")
   }
 
@@ -746,7 +746,7 @@ object Vectors {
       .agg(count(lit(1)).as("n_assigned"),
         sum(round(round(col("d2"), 6) * 1e6, 0).cast("long")).as("dm"))
       .select(col("subspace"), col("centroid"), col("n_assigned"),
-        Recon.ratioRound(col("dm"), col("n_assigned") * lit(1000000L), 6)
+        Recon.ratioRound(col("dm"), Recon.micro(col("n_assigned")), 6)
           .as("mean_distortion"))
       .orderBy("subspace", "centroid")
   }
@@ -781,13 +781,24 @@ object Vectors {
   def dimCorrelation(spark: SparkSession, dir: String): DataFrame = {
     val dec = DecimalType(38, 0)
     val em = Tables.embeddings(spark, dir)
-      .filter(col("embedding").isNotNull)
+      // rows with a null vector OR a null ELEMENT drop here (round-16
+      // review: the primitive Array[Long] encoder would otherwise
+      // throw on a null element where the old inline form null-skipped
+      // it); mirrored in the oracle's base CTE so a corpus that plants
+      // ragged vectors cannot split the engines
+      .filter(col("embedding").isNotNull &&
+        !exists(col("embedding"), v => v.isNull))
       .select(transform(col("embedding"), v =>
         round(round(v.cast("double"), 6) * 1e6, 0).cast("long")).as("value"))
     val gram = em
       .as(org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]())
       .select(new graft.functions.GramAgg().toColumn)
       .toDF("g")
+      // an EMPTY input leaves GramAgg's zero state (an empty array) in
+      // the single global-agg row: drop it so the op answers with an
+      // empty frame instead of an element_at index error (round-16
+      // review — the old inline plan returned empty too)
+      .filter(size(col("g")) > 0)
       .withColumn("d", element_at(col("g"), 1).cast("int"))
     // unpack the flat state [d, n, s1..sd, G(1,1)..G(d,d) row-major
     // upper triangle]: G(i,j) sits at 2 + d + (i−1)(2d−i+2)/2 + (j−i+1)

@@ -956,7 +956,13 @@ class EventsSpec extends GraftSpec {
         ev(3, """{"k": "42"}"""), ev(4, """{"k": 3.7}"""),
         ev(5, """{"k": true}"""), ev(6, """{"k": null}"""),
         ev(7, """{"notk": 9}"""), ev(8, """{"k": 99999999999999999999}"""),
-        ev(9, null))
+        ev(9, null),
+        // the classes the unparsed flag's oracle twin hinges on
+        // (round-16 review): malformed-but-non-blank → NON-null struct
+        // of NULL fields; whitespace-only → NULL struct; a mixed row
+        // exercises partial results (one failing field must not null
+        // its valid sibling)
+        ev(10, "{"), ev(11, "   "), ev(12, """{"k":"42","notk":7}"""))
       .toDF().write.mode("overwrite").parquet(s"$d/events.parquet")
     val got = Events.jsonStructExtract(spark, d).collect()
       .map(r => (r.getLong(0), r.getBoolean(1),
@@ -972,7 +978,10 @@ class EventsSpec extends GraftSpec {
       (6L, false, None, None, None),
       (7L, false, None, Some(9L), None),
       (8L, false, None, None, Some("99999999999999999999")),
-      (9L, true, None, None, None)))
+      (9L, true, None, None, None),
+      (10L, false, None, None, None),
+      (11L, true, None, None, None),
+      (12L, false, None, Some(7L), Some("42"))))
   }
 }
 
