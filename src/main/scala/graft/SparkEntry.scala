@@ -208,6 +208,7 @@ object SparkEntry {
     "text_js_divergence"       -> ((s, d) => Text.jsDivergence(s, d)),
     "json_struct_extract"      -> (Events.jsonStructExtract _),
     "streaming_late_data"      -> (Events.lateDataParity _),
+    "embed_pca_power"          -> (Vectors.pcaPower _),
     "orders_trend_forecast"    -> (Relational.trendForecast _),
     "events_stickiness"        -> (Events.stickiness _),
     "events_seasonal_naive"    -> (Events.seasonalNaive _),
@@ -369,7 +370,80 @@ object SparkEntry {
     "recon_referential_integrity", "sample_temperature_mix",
     "events_diff_in_diff", "recon_pk_uniqueness",
     "orders_seasonality_index", "events_value_anova",
-    "customer_spend_migration", "json_struct_extract", "streaming_late_data")
+    "customer_spend_migration", "json_struct_extract", "streaming_late_data",
+    "embed_pca_power")
+
+  /** DuckDB re-derivation of the ENTIRE [[graft.ops.Vectors.pcaPower]]
+    * pipeline: the exact Gram sums (the dim_correlation CTEs), the
+    * cleared-denominator covariance C = n·G − s·sᵀ, and
+    * [[graft.ops.Vectors.PcaIters]] UNROLLED integer power-iteration
+    * rounds — w = C·v as exact HUGEINT, then the engine-neutral
+    * rescale v ← (w·1000) // max|w| with sign-normalized truncation —
+    * from the same all-ones start. λ and the explained share present
+    * through the ratioRound `//` twin (vᵀCv ≥ 0 — PSD); loadings are
+    * exact v/1000. The d2 > 0 guard empties the result on a degenerate
+    * (constant/empty) cloud exactly like the Spark side. */
+  private def pcaPowerSql: String = {
+    val k = graft.ops.Vectors.PcaIters
+    // every per-round CTE is MATERIALIZED: DuckDB inlines plain CTEs
+    // per REFERENCE, and the w→m→v triple references each level twice,
+    // so an un-materialized 8-round chain re-evaluates the whole
+    // prefix ~2⁸ times (measured 45 s → 0.6 s at sf0.1 — the playbook
+    // CTE rule, iteration edition)
+    val iters = (1 to k).map { it =>
+      s"""w$it AS MATERIALIZED (SELECT cm.i, sum(c * v${it - 1}.v) w
+         |  FROM cm JOIN v${it - 1} ON v${it - 1}.i = cm.j GROUP BY 1),
+         |m$it AS MATERIALIZED (SELECT max(abs(w)) m FROM w$it),
+         |v$it AS MATERIALIZED (SELECT i, CASE WHEN m = 0 THEN CAST(0 AS HUGEINT)
+         |    WHEN w >= 0 THEN (w * 1000) // m
+         |    ELSE -((-w * 1000) // m) END v
+         |  FROM w$it CROSS JOIN m$it)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH em AS MATERIALIZED (
+       |  SELECT list_transform(embedding,
+       |    v -> CAST(round(round(v, 6) * 1e6) AS BIGINT)) e
+       |  FROM embeddings WHERE embedding IS NOT NULL
+       |    AND len(list_filter(embedding, v -> v IS NULL)) = 0),
+       |n0 AS (SELECT count(*) n FROM em),
+       |dims AS MATERIALIZED (
+       |  SELECT i, sum(v) si
+       |  FROM (SELECT unnest(e) v, generate_subscripts(e, 1) i FROM em)
+       |  GROUP BY 1),
+       |pe AS (
+       |  SELECT unnest(flatten(list_transform(range(1, len(e) + 1), i ->
+       |    list_transform(range(i, len(e) + 1), j ->
+       |      {'i': i, 'j': j, 'p': e[i] * e[j]})))) u
+       |  FROM em),
+       |gup AS MATERIALIZED (SELECT u.i i, u.j j, sum(CAST(u.p AS HUGEINT)) g
+       |  FROM pe GROUP BY 1, 2),
+       |gf AS (SELECT i, j, g FROM gup
+       |  UNION ALL SELECT j, i, g FROM gup WHERE i <> j),
+       |cm AS MATERIALIZED (
+       |  SELECT gf.i, gf.j,
+       |    CAST(n AS HUGEINT) * g - CAST(di.si AS HUGEINT) * dj.si c
+       |  FROM gf JOIN dims di ON di.i = gf.i JOIN dims dj ON dj.i = gf.j
+       |  CROSS JOIN n0),
+       |v0 AS (SELECT i, CAST(1000 AS HUGEINT) v FROM dims),
+       |$iters,
+       |dn AS (SELECT sum(v * v) d2 FROM v$k),
+       |nm AS (SELECT sum(va.v * c * vb.v) q
+       |  FROM cm JOIN v$k va ON va.i = cm.i JOIN v$k vb ON vb.i = cm.j),
+       |tr AS (SELECT sum(c) t FROM cm WHERE i = j),
+       |top AS (SELECT i, v, row_number() OVER (ORDER BY abs(v) DESC, i) rk
+       |  FROM v$k)
+       |SELECT CAST(rk AS INT) rk, CAST(i AS INT) dim,
+       |  CAST(v AS DOUBLE) / 1000 loading,
+       |  CAST((CASE WHEN q >= 0 THEN 1 ELSE -1 END)
+       |    * ((2 * abs(q) * 1000000 + d2 * CAST(1000000000000 AS HUGEINT))
+       |      // (2 * d2 * CAST(1000000000000 AS HUGEINT))) AS DOUBLE) / 1e6
+       |    lambda,
+       |  CAST((CASE WHEN q >= 0 THEN 1 ELSE -1 END)
+       |    * ((2 * abs(q) * 1000000 + d2 * t) // (2 * d2 * t)) AS DOUBLE) / 1e6
+       |    explained_share
+       |FROM top CROSS JOIN dn CROSS JOIN nm CROSS JOIN tr
+       |WHERE rk <= 8 AND d2 > 0
+       |ORDER BY rk""".stripMargin
+  }
 
   /** DuckDB spelling of [[graft.ops.Vectors.lshBucket]]: the 8 sign bits
     * against the SAME hyperplane doubles, interpolated from
@@ -2189,6 +2263,7 @@ object SparkEntry {
         |  END AS separation
         |FROM im ORDER BY label""".stripMargin,
 
+    "embed_pca_power" -> pcaPowerSql,
     "text_bpe_merges" -> bpeMergesSql,
     "graph_pagerank" -> pagerankSql,
     "graph_components" -> componentsSql,

@@ -778,27 +778,30 @@ object Vectors {
     * dimensionality) into the identical exact decimal chain, so the
     * oracle is unchanged. Overflow is loud, not silent — GramAgg
     * accumulates with Math.addExact (envelope in its scaladoc). */
-  def dimCorrelation(spark: SparkSession, dir: String): DataFrame = {
-    val dec = DecimalType(38, 0)
+  /** The one-pass [[graft.functions.GramAgg]] state frame shared by
+    * [[dimCorrelation]] and [[pcaPower]]: ≤ 1 row holding the flat
+    * `[d, n, s₁..s_d, G upper triangle]` long array. Rows with a null
+    * vector OR a null ELEMENT drop up front (round-16 review: the
+    * primitive Array[Long] encoder would otherwise throw on a null
+    * element where the old inline form null-skipped it) — mirrored in
+    * both oracles' base CTEs; an EMPTY input leaves GramAgg's zero
+    * state (an empty array), dropped here so callers answer with an
+    * empty frame instead of an element_at index error. */
+  private def gramFrame(spark: SparkSession, dir: String): DataFrame = {
     val em = Tables.embeddings(spark, dir)
-      // rows with a null vector OR a null ELEMENT drop here (round-16
-      // review: the primitive Array[Long] encoder would otherwise
-      // throw on a null element where the old inline form null-skipped
-      // it); mirrored in the oracle's base CTE so a corpus that plants
-      // ragged vectors cannot split the engines
       .filter(col("embedding").isNotNull &&
         !exists(col("embedding"), v => v.isNull))
       .select(transform(col("embedding"), v =>
         round(round(v.cast("double"), 6) * 1e6, 0).cast("long")).as("value"))
-    val gram = em
-      .as(org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]())
+    em.as(org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]())
       .select(new graft.functions.GramAgg().toColumn)
       .toDF("g")
-      // an EMPTY input leaves GramAgg's zero state (an empty array) in
-      // the single global-agg row: drop it so the op answers with an
-      // empty frame instead of an element_at index error (round-16
-      // review — the old inline plan returned empty too)
       .filter(size(col("g")) > 0)
+  }
+
+  def dimCorrelation(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val gram = gramFrame(spark, dir)
       .withColumn("d", element_at(col("g"), 1).cast("int"))
     // unpack the flat state [d, n, s1..sd, G(1,1)..G(d,d) row-major
     // upper triangle]: G(i,j) sits at 2 + d + (i−1)(2d−i+2)/2 + (j−i+1)
@@ -831,5 +834,89 @@ object Vectors {
       .withColumn("abs_corr", abs(col("corr")) + 0)
       .orderBy(col("abs_corr").desc, col("dim_i"), col("dim_j"))
       .limit(20)
+  }
+
+  /** Power-iteration rounds for [[pcaPower]] — a CONSTANT (the IVF/BPE
+    * capped-trainer discipline) replicated verbatim by the oracle's
+    * unrolled CTEs; 8 rounds of a rescaled integer iteration separate
+    * the top component decisively on every tested corpus. */
+  private[graft] val PcaIters = 8
+
+  /** Per-round eigenvector rescale target for [[pcaPower]]: after each
+    * multiply the vector renormalizes to max |vᵢ| = 1000 by EXACT
+    * truncating integer division (Spark `div` ≡ DuckDB `//`, BigInt
+    * `/` on sign-normalized operands) — the engine-neutral substitute
+    * for the usual float L2 normalization, and the loading columns'
+    * exact 3-dp denominator. */
+  private[graft] val PcaVScale = 1000L
+
+  /** Top principal component of the embedding cloud by EXACT-INTEGER
+    * power iteration — the spectrum headline behind [[dimCorrelation]]
+    * (which pair of dims is redundant) and [[pqCodebook]] (how to
+    * split subspaces): the leading eigenvalue of the covariance in
+    * value² units, the share of total variance it explains
+    * (λ/trace C), and the top-8 loading dims of its eigenvector.
+    *
+    * Determinism (the markov/pagerank integer-trajectory discipline,
+    * eigensolve edition): the covariance clears its mean denominator —
+    * C = n·G − s·sᵀ from [[graft.functions.GramAgg]]'s exact sums — and
+    * the whole iteration stays on integers: w = C·v exactly, then
+    * v ← (w·[[PcaVScale]]) div max|w| (truncation identical on both
+    * engines), [[PcaIters]] fixed rounds from the all-ones start. λ and
+    * the share present through ratioRound's half-away integer
+    * arithmetic (num = vᵀCv ≥ 0 — covariance is PSD); loadings are
+    * exact v/1000 3-dp lattice values. No float enters before the
+    * presentation casts, so there is NO tie class anywhere.
+    *
+    * 100 TB posture: the only corpus-sized work is the distributed
+    * one-pass GramAgg collapse; the d×d eigensolve runs driver-side on
+    * the collected ≤ (d²/2+d+2)-long state (~17 KB at d = 64 — bounded
+    * by the SCHEMA's dimensionality, the IVF-trainer collect class) in
+    * BigInt, so no overflow envelope at all. A degenerate cloud
+    * (constant or empty — C ≡ 0) answers with an empty frame on both
+    * engines (the oracle's d2 > 0 guard). */
+  def pcaPower(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val empty = Seq.empty[(Int, Int, Double, Double, Double)]
+      .toDF("rk", "dim", "loading", "lambda", "explained_share")
+    val st = gramFrame(spark, dir).collect()
+    if (st.isEmpty) return empty
+    val g = st.head.getSeq[Long](0)
+    val d = g(0).toInt
+    val n = BigInt(g(1))
+    val s = Array.tabulate(d)(i => BigInt(g(2 + i)))
+    val gm = Array.ofDim[BigInt](d, d)
+    var idx = 2 + d
+    var i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) { gm(i)(j) = BigInt(g(idx)); gm(j)(i) = gm(i)(j); idx += 1; j += 1 }
+      i += 1
+    }
+    val c = Array.tabulate(d, d)((i, j) => n * gm(i)(j) - s(i) * s(j))
+    var v = Array.fill(d)(BigInt(PcaVScale))
+    var degenerate = false
+    for (_ <- 1 to PcaIters if !degenerate) {
+      val w = Array.tabulate(d)(i => (0 until d).map(j => c(i)(j) * v(j)).sum)
+      val m = w.map(_.abs).max
+      if (m.signum == 0) degenerate = true
+      else v = w.map(x =>
+        if (x.signum >= 0) x * PcaVScale / m else -(-x * PcaVScale / m))
+    }
+    val den = v.map(x => x * x).sum
+    if (degenerate || den.signum == 0) return empty
+    val num = (for (i <- 0 until d; j <- 0 until d) yield v(i) * c(i)(j) * v(j)).sum
+    val trace = (0 until d).map(i => c(i)(i)).sum
+    def rr(num: BigInt, den: BigInt, scale: Int): Double = {
+      val p = BigInt(10).pow(scale)
+      val mag = (num.abs * p * 2 + den) / (den * 2)
+      (if (num.signum >= 0) mag else -mag).toDouble / p.toDouble
+    }
+    val lambda = rr(num, den * BigInt(10).pow(12), 6)
+    val share = rr(num, den * trace, 6)
+    (0 until d).sortBy(i => (-v(i).abs, i)).take(8).zipWithIndex
+      .map { case (dim0, r) =>
+        (r + 1, dim0 + 1, v(dim0).toDouble / 1000.0, lambda, share) }
+      .toDF("rk", "dim", "loading", "lambda", "explained_share")
   }
 }

@@ -350,6 +350,48 @@ class VectorsSpec extends GraftSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(sfGot.toSeq === all)
   }
+
+  test("pcaPower: a planted single-axis cloud recovers the axis, unit share, exact lambda") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = s"$tmpDir/pca"
+    // all variance lives on dim 3 (values 1, 2, 4 — DISTINCT, the
+    // k-means fixture rule); other dims constant → C has the single
+    // nonzero entry C(3,3), so the eigenvector is e₃ with a positive
+    // loading (all-ones start), the share is exactly 1, and
+    // λ = C(3,3)/(n²·10¹²) in value² units... presented as the
+    // half-away 6-dp of (vᵀCv)/(vᵀv·10¹²) with v = 1000·e₃
+    val rows = Seq(1f, 2f, 4f).zipWithIndex.map { case (x, i) =>
+      VectorsFixture.Emb(i.toLong, Array(7f, x, 5f, 5f), 0)
+    }
+    rows.toDF().write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Vectors.pcaPower(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    // C(2,2) = n·Σx² − (Σx)² in micro² = 3·21e12 − 49e12 = 14e12
+    // → λ = 14e12·10⁶/(10⁶·1e12) = 14·... exact: vᵀCv/(vᵀv·1e12) =
+    // 14e12·1e6/(1e6·1e12) = 14.0; wait v = 1000·e₂: vᵀCv =
+    // 1000²·14e12, vᵀv = 1e6 → 14e12/1e12 = 14.0
+    assert(got.head === ((1, 2, 1.0, 14.0, 1.0)))
+    assert(got.map(_._1).toSeq === (1 to 4), "one row per dim up to d")
+    assert(got.tail.forall(r => r._3 == 0.0 && r._5 == 1.0),
+      "constant dims carry zero loading")
+    // degenerate cloud (all-constant) answers EMPTY, not an error
+    val dir2 = s"$tmpDir/pca_const"
+    Seq(VectorsFixture.Emb(0L, Array(1f, 1f), 0),
+        VectorsFixture.Emb(1L, Array(1f, 1f), 0))
+      .toDF().write.mode("overwrite").parquet(s"$dir2/embeddings.parquet")
+    assert(Vectors.pcaPower(spark, dir2).count() === 0)
+    // sf recount: the op's own BigInt trajectory is the oracle's; here
+    // just pin the invariants that hold for ANY corpus — PSD λ ≥ 0,
+    // share ∈ [0, 1], loadings in [-1, 1] with |top| = 1
+    val sfRows = Vectors.pcaPower(spark, sf).collect()
+    assert(sfRows.length === 8)
+    val lam = sfRows.head.getDouble(3); val sh = sfRows.head.getDouble(4)
+    assert(lam >= 0 && sh >= 0 && sh <= 1)
+    assert(math.abs(sfRows.head.getDouble(2)) === 1.0)
+    assert(sfRows.forall(r => math.abs(r.getDouble(2)) <= 1.0))
+  }
 }
 
 object VectorsFixture {
