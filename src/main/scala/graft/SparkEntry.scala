@@ -255,6 +255,8 @@ object SparkEntry {
     // format write+read, so they'd distort the total without a DuckDB
     // twin paying the same I/O)
     "csv_roundtrip_fingerprint"  -> (graft.sources.Sources.csvRoundtripFingerprint _),
+    "parquet_partitioned_roundtrip" ->
+      (graft.sources.Sources.parquetPartitionedRoundtrip _),
     "json_roundtrip_fingerprint" -> (graft.sources.Sources.jsonRoundtripFingerprint _),
     // §2.2 footer-metadata anchor (verify-only: the op's cost is ten
     // driver-side footer reads, ~0 — a bench row would time nothing)
@@ -4767,6 +4769,7 @@ object SparkEntry {
     // recon_snapshot_diff oracle; split 32-bit half-sums stay in BIGINT.
     "csv_roundtrip_fingerprint"  -> roundtripFingerprintOracle,
     "json_roundtrip_fingerprint" -> roundtripFingerprintOracle,
+    "parquet_partitioned_roundtrip" -> roundtripFingerprintOracle,
 
     // the footer's num_rows vs the oracle's REAL count(*) scans — a
     // lying footer (truncated write) fails here before it mis-sizes a

@@ -314,6 +314,44 @@ object Sources {
     * harness re-runs), read it back schema-pinned, fingerprint per
     * status. The write is a bounded side effect at plan-build time:
     * sf-sized, replaced on every call, never read by any other op. */
+  /** PARTITIONED-parquet round trip — the partitioned-sink half of the
+    * §2.2 surface the flat CSV/JSON round trips don't touch: orders →
+    * `partitionBy(o_orderstatus)` parquet layout → partition-DISCOVERY
+    * read-back (the partition column re-materializes from directory
+    * values; status strings survive type inference verbatim) → the
+    * library's own per-partition fingerprint. The DuckDB oracle
+    * computes the SAME fingerprint over the ORIGINAL parquet, so a
+    * partitioned layout that mangles anything — dropped rows at the
+    * directory split, a partition-column type flip, double formatting
+    * through the column's removal-and-restoration — fails the driver's
+    * hash compare. This is also the layout every 100 TB deployment
+    * actually writes (partition pruning is the first scan lever), so
+    * SourcesSpec additionally asserts a status-filtered read prunes to
+    * that partition's files alone. */
+  def parquetPartitionedRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{DateType, DecimalType}
+    val dest = partitionedRoundtripDest(dir)
+    Tables.orders(spark, dir).write.mode("overwrite")
+      .partitionBy("o_orderstatus").parquet(dest)
+    val back = spark.read.parquet(dest)
+    val proj = back.select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"),
+      col("o_totalprice").cast(DecimalType(12, 2)).as("p"),
+      col("o_orderdate").cast(DateType).as("d"),
+      col("o_orderpriority"))
+    graft.ops.Recon.fingerprintSnapshot(proj, col("o_orderstatus"),
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "p", "d",
+        "o_orderpriority"))
+      .orderBy("part")
+  }
+
+  /** Deterministic scratch path for [[parquetPartitionedRoundtrip]],
+    * shared with its pruning spec. */
+  private[graft] def partitionedRoundtripDest(dir: String): String =
+    new Path(new Path(sys.props("java.io.tmpdir")),
+      "graft_roundtrip_part_" + Integer.toHexString(dir.hashCode)).toString
+
   private def roundtripFingerprint(spark: SparkSession, dir: String,
                                    format: String): DataFrame = {
     import org.apache.spark.sql.functions.col
