@@ -141,6 +141,9 @@ object SparkEntry {
     "supplier_hhi"             -> (Relational.supplierHhi _),
     "rolling_dau_7d"           -> (Events.rollingDau _),
     "dup_size_distribution"    -> (Text.dupSizeDistribution _),
+    "text_simpson_diversity"   -> (Text.simpsonDiversity _),
+    "text_char_class_profile"  -> (Text.charClassProfile _),
+    "json_props_audit"         -> (Events.jsonPropsAudit _),
     "value_percentiles_by_type" -> (Events.valuePercentilesByType _),
     "funnel_time_to_convert"   -> (Events.funnelTimeToConvert _),
     "event_mix_daily"          -> (Events.eventMixDaily _),
@@ -373,7 +376,8 @@ object SparkEntry {
     "events_diff_in_diff", "recon_pk_uniqueness",
     "orders_seasonality_index", "events_value_anova",
     "customer_spend_migration", "json_struct_extract", "streaming_late_data",
-    "embed_pca_power")
+    "embed_pca_power",
+    "text_simpson_diversity", "text_char_class_profile", "json_props_audit")
 
   /** DuckDB re-derivation of the ENTIRE [[graft.ops.Vectors.pcaPower]]
     * pipeline: the exact Gram sums (the dim_correlation CTEs), the
@@ -1893,6 +1897,88 @@ object SparkEntry {
         |  CAST((2 * CAST(fam_size * count(*) AS HUGEINT) * 1000000 + n_total)
         |    // (2 * CAST(n_total AS HUGEINT)) AS DOUBLE) / 1e6 corpus_share
         |FROM fams, t GROUP BY fam_size, n_total ORDER BY fam_size""".stripMargin,
+
+    "text_simpson_diversity" ->
+      // Simpson repeat probability per source: all moments exact
+      // integers (HUGEINT before the N(N-1) multiply), both ratios
+      // through the ratioRound // twin; D needs N > 1, the inverse
+      // needs >= 1 repeated type (NULL otherwise on both engines)
+      """WITH tc AS (SELECT source, tok, count(*) n FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) tok
+        |    FROM documents) GROUP BY 1, 2),
+        |s AS (SELECT source, CAST(sum(n) AS BIGINT) n_tokens,
+        |    CAST(count(*) AS BIGINT) n_types,
+        |    sum(CAST(n AS HUGEINT) * (n - 1)) rep
+        |  FROM tc GROUP BY 1),
+        |x AS (SELECT *, CAST(n_tokens AS HUGEINT) * (n_tokens - 1) nn
+        |  FROM s)
+        |SELECT source, n_tokens, n_types, CAST(rep AS BIGINT) repeat_pairs,
+        |  CASE WHEN n_tokens > 1 THEN
+        |    CAST((2 * rep * 1000000 + nn) // (2 * nn) AS DOUBLE) / 1e6
+        |  END simpson,
+        |  CASE WHEN rep > 0 THEN
+        |    CAST((2 * nn * 1000000 + rep) // (2 * rep) AS DOUBLE) / 1e6
+        |  END inv_simpson
+        |FROM x ORDER BY source""".stripMargin,
+
+    "text_char_class_profile" ->
+      // codepoint-exact class counts (length counts codepoints on both
+      // engines; DuckDB regexp_replace needs the 'g' flag); shares via
+      // the ratioRound // twin
+      """WITH m AS (SELECT source, CAST(length(text) AS BIGINT) c,
+        |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) l,
+        |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) d,
+        |    CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS BIGINT) s
+        |  FROM documents),
+        |a AS (SELECT source, CAST(count(*) AS BIGINT) n_docs,
+        |    CAST(sum(c) AS BIGINT) chars, CAST(sum(l) AS BIGINT) letters,
+        |    CAST(sum(d) AS BIGINT) digits, CAST(sum(s) AS BIGINT) spaces,
+        |    CAST(sum(c - l - d - s) AS BIGINT) other
+        |  FROM m GROUP BY 1)
+        |SELECT source, n_docs, chars, letters, digits, spaces, other,
+        |  CASE WHEN chars > 0 THEN
+        |    CAST((2 * CAST(letters AS HUGEINT) * 1000000 + chars)
+        |      // (2 * CAST(chars AS HUGEINT)) AS DOUBLE) / 1e6
+        |  END letter_share,
+        |  CASE WHEN chars > 0 THEN
+        |    CAST((2 * CAST(digits AS HUGEINT) * 1000000 + chars)
+        |      // (2 * CAST(chars AS HUGEINT)) AS DOUBLE) / 1e6
+        |  END digit_share,
+        |  CASE WHEN chars > 0 THEN
+        |    CAST((2 * CAST(other AS HUGEINT) * 1000000 + chars)
+        |      // (2 * CAST(chars AS HUGEINT)) AS DOUBLE) / 1e6
+        |  END other_share,
+        |  CAST((2 * CAST(chars AS HUGEINT) * 100 + n_docs)
+        |    // (2 * CAST(n_docs AS HUGEINT)) AS DOUBLE) / 1e2 chars_per_doc
+        |FROM a ORDER BY source""".stripMargin,
+
+    "json_props_audit" ->
+      // three-class props audit: blank (trim test) / yields-int64 (the
+      // pinned JsonGetLong contract: json_valid + json_type
+      // BIGINT/UBIGINT + TRY_CAST) / everything else — the
+      // valid-vs-malformed JSON boundary is deliberately NOT part of
+      // the contract (parsers disagree on edge spellings)
+      """WITH c AS (SELECT event_type,
+        |    CASE WHEN props IS NULL OR trim(props) = '' THEN 1 ELSE 0 END b,
+        |    CASE WHEN NOT (props IS NULL OR trim(props) = '')
+        |        AND json_valid(props)
+        |        AND json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
+        |      THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+        |    END k
+        |  FROM events),
+        |a AS (SELECT event_type, CAST(count(*) AS BIGINT) n,
+        |    CAST(sum(b) AS BIGINT) n_blank,
+        |    CAST(count(k) AS BIGINT) n_int_k,
+        |    CAST(count(*) - sum(b) - count(k) AS BIGINT) n_other,
+        |    CAST(sum(k) AS BIGINT) k_sum, min(k) k_min, max(k) k_max
+        |  FROM c GROUP BY 1)
+        |SELECT event_type, n, n_blank, n_int_k, n_other,
+        |  CAST((2 * CAST(n_int_k AS HUGEINT) * 1000000 + n)
+        |    // (2 * CAST(n AS HUGEINT)) AS DOUBLE) / 1e6 int_share,
+        |  CAST((2 * CAST(n_blank AS HUGEINT) * 1000000 + n)
+        |    // (2 * CAST(n AS HUGEINT)) AS DOUBLE) / 1e6 blank_share,
+        |  k_sum, k_min, k_max
+        |FROM a ORDER BY event_type""".stripMargin,
 
     "rolling_dau_7d" ->
       // distinct (user, day) frame range-joined to the data-derived day

@@ -81,6 +81,54 @@ object Events {
       .orderBy("event_id").limit(1000)
   }
 
+  /** Semi-structured data-quality audit per event type — the
+    * ingestion-health report over [[jsonExtract]]'s column: what share
+    * of each type's `props` payloads is blank (NULL or
+    * whitespace-only), what share yields the typed `$.k` int64 the
+    * pipeline consumes, and what share is anything else (malformed
+    * JSON, missing key, non-int value, out-of-range int — the classes
+    * the pinned JsonGetLong contract maps to NULL). A type whose
+    * usable share drifts down is a producer regression caught before
+    * any downstream aggregate silently loses rows.
+    *
+    * Classification deliberately avoids the valid-vs-malformed JSON
+    * boundary (Jackson and DuckDB's parser disagree on edge spellings):
+    * the three classes are blank / yields-int64 / everything-else,
+    * each decidable identically on both engines (blank is a trim
+    * test; yields-int64 is the JsonGetLong contract, oracle twin
+    * `json_valid` + `json_type IN ('BIGINT','UBIGINT')` + `TRY_CAST`).
+    * Shares present through [[graft.ops.Recon.ratioRound]]; k
+    * aggregates are exact longs over the usable rows.
+    *
+    * 100 TB posture: one row-local classification projection over the
+    * scan (the native byte scanner keeps the stage in codegen), one
+    * type-keyed map-combined aggregate; output rows = event types. */
+  def jsonPropsAudit(spark: SparkSession, dir: String): DataFrame = {
+    val blank = col("props").isNull || trim(col("props")) === ""
+    val kv = graft.functions.JsonGetLong.jsonGetLong(col("props"), "k")
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        when(blank, 1L).otherwise(0L).as("b"),
+        when(!blank && kv.isNotNull, 1L).otherwise(0L).as("i"),
+        kv.as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("b")).as("n_blank"),
+        sum(col("i")).as("n_int_k"),
+        (count(lit(1)) - sum(col("b")) - sum(col("i"))).as("n_other"),
+        sum(col("k")).as("k_sum"),
+        min(col("k")).as("k_min"),
+        max(col("k")).as("k_max"))
+      .select(col("event_type"), col("n"), col("n_blank"), col("n_int_k"),
+        col("n_other"),
+        graft.ops.Recon.ratioRound(col("n_int_k"), col("n"), 6)
+          .as("int_share"),
+        graft.ops.Recon.ratioRound(col("n_blank"), col("n"), 6)
+          .as("blank_share"),
+        col("k_sum"), col("k_min"), col("k_max"))
+      .orderBy("event_type")
+  }
+
   /** Tumbling 1-hour window: per-hour, per-type count/sum. */
   def tumblingWindow(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)

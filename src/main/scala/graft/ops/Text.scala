@@ -173,6 +173,85 @@ object Text {
       .orderBy("fam_size")
   }
 
+  /** Simpson repeat-probability diversity per source — the
+    * collision-probability complement of the entropy family
+    * ([[entropy]] measures bits, this measures the chance two tokens
+    * drawn without replacement are THE SAME TYPE): D = Σ nᵢ(nᵢ−1) /
+    * (N(N−1)), plus its inverse (the "effective vocabulary" — how many
+    * equally-common types would produce the same collision rate). A
+    * boilerplate-heavy source shows high D at a high type count; a
+    * diverse one drives D toward 1/types. Same whitespace tokenizer as
+    * [[tokenStats]].
+    *
+    * Exactness: every moment is an integer (counts, Σ nᵢ(nᵢ−1)), both
+    * ratios present through [[Recon.ratioRound]]'s half-away integer
+    * arithmetic; the N(N−1) denominators build in DECIMAL(38,0)
+    * BEFORE the multiply (a per-source token count squared passes 2⁶³
+    * around 3×10⁹ tokens — reachable at 100 TB). Guards: D needs
+    * N > 1, the inverse needs at least one repeated type; both NULL
+    * otherwise on both engines.
+    *
+    * 100 TB posture: one corpus-sized (source, tok) collapse with
+    * map-side partials — the same shuffle [[tokenStats]] pays — then a
+    * source-sized frame; output rows = sources. */
+  def simpsonDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val tc = docs(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("n"))
+    val s = tc.groupBy("source").agg(
+      sum(col("n")).as("n_tokens"),
+      count(lit(1)).as("n_types"),
+      sum(col("n").cast(dec38) * (col("n") - 1)).as("rep0"))
+    val nn = col("n_tokens").cast(dec38) * (col("n_tokens").cast(dec38) - 1)
+    s.select(col("source"), col("n_tokens"), col("n_types"),
+        col("rep0").cast("long").as("repeat_pairs"),
+        when(col("n_tokens") > 1,
+          Recon.ratioRound(col("rep0"), nn, 6)).as("simpson"),
+        when(col("rep0") > 0,
+          Recon.ratioRound(nn, col("rep0"), 6)).as("inv_simpson"))
+      .orderBy("source")
+  }
+
+  /** Character-class profile per source — the first OCR/garbage screen
+    * a corpus QA pass runs: how much of each source's raw character
+    * mass is letters vs digits vs spaces vs everything else (markup,
+    * control bytes, mojibake all land in `other`). Counts are
+    * codepoint-exact on both engines (Spark `length` counts
+    * codepoints via UTF8String.numChars; DuckDB counts codepoints —
+    * the non-BMP fuzz vector exercises the agreement), classes are
+    * negated ASCII character classes both regex dialects treat
+    * identically, and every share is an integer ratio through
+    * [[Recon.ratioRound]].
+    *
+    * 100 TB posture: row-local regex projections over the scan (four
+    * bounded passes per document), one source-keyed map-combined
+    * aggregate; output rows = sources. */
+  def charClassProfile(spark: SparkSession, dir: String): DataFrame = {
+    def cnt(keep: String): Column =
+      length(regexp_replace(col("text"), s"[^$keep]", "")).cast("long")
+    val m = docs(spark, dir).select(
+      col("source"),
+      length(col("text")).cast("long").as("c"),
+      cnt("A-Za-z").as("l"), cnt("0-9").as("d"), cnt(" ").as("s"))
+    m.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("c")).as("chars"),
+        sum(col("l")).as("letters"),
+        sum(col("d")).as("digits"),
+        sum(col("s")).as("spaces"),
+        sum(col("c") - col("l") - col("d") - col("s")).as("other"))
+      .select(col("source"), col("n_docs"), col("chars"), col("letters"),
+        col("digits"), col("spaces"), col("other"),
+        when(col("chars") > 0,
+          Recon.ratioRound(col("letters"), col("chars"), 6)).as("letter_share"),
+        when(col("chars") > 0,
+          Recon.ratioRound(col("digits"), col("chars"), 6)).as("digit_share"),
+        when(col("chars") > 0,
+          Recon.ratioRound(col("other"), col("chars"), 6)).as("other_share"),
+        Recon.ratioRound(col("chars"), col("n_docs"), 2).as("chars_per_doc"))
+      .orderBy("source")
+  }
+
   /** Top-20 terms: tokenize, explode, count. */
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)

@@ -983,6 +983,29 @@ class EventsSpec extends GraftSpec {
       (11L, true, None, None, None),
       (12L, false, None, Some(7L), Some("42"))))
   }
+
+  test("json props audit: blank / yields-int64 / other classes count per the pinned contract") {
+    import EventsFixture.RawEv
+    val spark0 = spark
+    import spark0.implicits._
+    val d = s"$tmpDir/jsonauditfix"
+    val base = 1735689600L
+    def ev(id: Long, typ: String, props: String) =
+      RawEv(id, (base + id * 60) * 1000000000L, 1L, typ, 1.0, props)
+    // type a: 2 ints (5, -3), 2 blanks (NULL, whitespace), 2 others
+    // (malformed, string-valued k); type b: a single int row
+    Seq(ev(1, "a", """{"k": 5}"""), ev(2, "a", """{"k": -3}"""),
+        ev(3, "a", null), ev(4, "a", "   "), ev(5, "a", "{"),
+        ev(6, "a", """{"k":"9"}"""), ev(7, "b", """{"k": 1}"""))
+      .toDF().write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = Events.jsonPropsAudit(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6), r.getLong(7),
+        r.getLong(8), r.getLong(9)))
+    assert(got.toSeq === Seq(
+      ("a", 6L, 2L, 2L, 2L, 0.333333, 0.333333, 2L, -3L, 5L),
+      ("b", 1L, 0L, 1L, 0L, 1.0, 0.0, 1L, 1L, 1L)))
+  }
 }
 
 object EventsFixture {

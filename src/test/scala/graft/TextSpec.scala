@@ -573,6 +573,49 @@ class TextSpec extends GraftSpec {
       3L -> ((1L, 3L, 0.375))))
   }
 
+  test("simpson diversity: hand-computed repeat probability per source") {
+    val spark0 = spark
+    import spark0.implicits._
+    val d = s"$tmpDir/simpsonfix"
+    // s1: tokens a,a,b (N=3, rep=2) → D = 2/6, inv = 3; s2: x,y (N=2,
+    // rep=0) → D = 0, inv NULL (no repeated type); s3: one token → both
+    // NULL (N ≤ 1)
+    val docs = Seq((1L, "a a", "s1"), (2L, "b", "s1"),
+        (3L, "x y", "s2"), (4L, "z", "s3"))
+      .map { case (id, t, src) => TextFixture.Doc(id, t, "en", src, t.length.toLong) }
+    docs.toDF().write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = Text.simpsonDiversity(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+    assert(got.toSeq === Seq(
+      ("s1", 3L, 2L, 2L, Some(0.333333), Some(3.0)),
+      ("s2", 2L, 2L, 0L, Some(0.0), None),
+      ("s3", 1L, 1L, 0L, None, None)))
+  }
+
+  test("char class profile: codepoint-exact class counts incl. non-BMP") {
+    val spark0 = spark
+    import spark0.implicits._
+    val d = s"$tmpDir/charclassfix"
+    // s1: "Ab1 !" (2 letters, 1 digit, 1 space, 1 other) + an empty doc;
+    // s2: two non-BMP emoji — length must count 2 CODEPOINTS (not 4
+    // UTF-16 units), all landing in `other`
+    val docs = Seq((1L, "Ab1 !", "s1"), (2L, "", "s1"), (3L, "😀😀", "s2"))
+      .map { case (id, t, src) => TextFixture.Doc(id, t, "en", src, t.length.toLong) }
+    docs.toDF().write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = Text.charClassProfile(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6),
+        if (r.isNullAt(7)) None else Some(r.getDouble(7)),
+        if (r.isNullAt(8)) None else Some(r.getDouble(8)),
+        if (r.isNullAt(9)) None else Some(r.getDouble(9)),
+        r.getDouble(10)))
+    assert(got.toSeq === Seq(
+      ("s1", 2L, 5L, 2L, 1L, 1L, 1L, Some(0.4), Some(0.2), Some(0.2), 2.5),
+      ("s2", 1L, 2L, 0L, 0L, 0L, 2L, Some(0.0), Some(0.0), Some(1.0), 2.0)))
+  }
+
   test("zipf slope: an exact power law recovers its exponent") {
     val spark0 = spark
     import spark0.implicits._
