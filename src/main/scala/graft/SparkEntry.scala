@@ -223,6 +223,9 @@ object SparkEntry {
     "customer_repeat_survival" -> (Relational.repeatSurvival _),
     "embed_dim_correlation"    -> (Vectors.dimCorrelation _),
     "graph_degree_distribution" -> (Graph.degreeDistribution _),
+    "graph_node_jaccard"       -> (Graph.nodeJaccard _),
+    "graph_kcore"              -> ((s, d) => Graph.kcoreSummary(s, d)),
+    "events_runs_test"         -> (Events.runsTest _),
     "text_keyword_rake"        -> ((s, d) => Text.keywordRake(s, d)),
     "events_entropy_rate"      -> (Events.entropyRate _),
     "lineitem_price_index"     -> (Relational.priceIndex _),
@@ -377,7 +380,8 @@ object SparkEntry {
     "orders_seasonality_index", "events_value_anova",
     "customer_spend_migration", "json_struct_extract", "streaming_late_data",
     "embed_pca_power",
-    "text_simpson_diversity", "text_char_class_profile", "json_props_audit")
+    "text_simpson_diversity", "text_char_class_profile", "json_props_audit",
+    "graph_node_jaccard", "graph_kcore", "events_runs_test")
 
   /** DuckDB re-derivation of the ENTIRE [[graft.ops.Vectors.pcaPower]]
     * pipeline: the exact Gram sums (the dim_correlation CTEs), the
@@ -669,6 +673,44 @@ object SparkEntry {
        |FROM (SELECT lbl, CAST(count(*) AS BIGINT) cs
        |      FROM l${graft.ops.Graph.ComponentsIters} GROUP BY 1)
        |GROUP BY cs ORDER BY cs DESC, min_canonical""".stripMargin
+  }
+
+  /** DuckDB twin of [[graft.ops.Graph.kcoreSummary]]: the strong-edge
+    * frame, then [[graft.ops.Graph.KcoreIters]] unrolled MATERIALIZED
+    * peel rounds (degree → sub-k set → edge filter); peeling is
+    * confluent, so once the Spark loop converges within the depth the
+    * extra rounds are no-ops and fixed-depth equality is exact.
+    * `rounds` = number of rounds whose sub-k set was non-empty — the
+    * Spark loop counter's definition verbatim. */
+  private def kcoreSql: String = {
+    val r = graft.ops.Graph.KcoreIters
+    val head =
+      s"""ob0 AS MATERIALIZED (SELECT DISTINCT l_orderkey k, l_partkey p FROM lineitem),
+         |ob AS MATERIALIZED (SELECT k, p FROM ob0
+         |  QUALIFY row_number() OVER (PARTITION BY k ORDER BY p)
+         |    <= ${graft.ops.Graph.MaxBasketParts}),
+         |e0 AS MATERIALIZED (SELECT a.p a, b.p b FROM ob a JOIN ob b USING (k)
+         |  WHERE a.p < b.p GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
+    val iters = (1 to r).map { i =>
+      s"""d$i AS (SELECT v, count(*) d FROM (
+         |    SELECT a v FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1})
+         |  GROUP BY 1),
+         |bad$i AS MATERIALIZED (SELECT v FROM d$i WHERE d < 3),
+         |e$i AS MATERIALIZED (SELECT a, b FROM e${i - 1}
+         |  WHERE a NOT IN (SELECT v FROM bad$i)
+         |    AND b NOT IN (SELECT v FROM bad$i))""".stripMargin
+    }.mkString(",\n")
+    val roundSum = (1 to r).map(i =>
+      s"(CASE WHEN (SELECT count(*) FROM bad$i) > 0 THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH $head,
+       |$iters,
+       |df AS (SELECT v, count(*) d FROM (
+       |    SELECT a v FROM e$r UNION ALL SELECT b FROM e$r) GROUP BY 1)
+       |SELECT 3 k, CAST($roundSum AS BIGINT) rounds,
+       |  CAST((SELECT count(*) FROM df) AS BIGINT) core_nodes,
+       |  CAST((SELECT count(*) FROM e$r) AS BIGINT) core_edges,
+       |  (SELECT CAST(min(d) AS BIGINT) FROM df) min_core_degree""".stripMargin
   }
 
   /** DuckDB twin of [[graft.ops.Events.markovStationary]]: the capped
@@ -2355,6 +2397,75 @@ object SparkEntry {
     "text_bpe_merges" -> bpeMergesSql,
     "graph_pagerank" -> pagerankSql,
     "graph_components" -> componentsSql,
+    "graph_kcore" -> kcoreSql,
+
+    "graph_node_jaccard" ->
+      // neighborhood Jaccard per strong edge: common neighbors via the
+      // adjacency wedge join, union cleared as deg_a + deg_b − common
+      // (> 0 on any edge), ratioRound // twin; basket cap mirrored
+      // from Graph.MaxBasketParts (see pagerankSql)
+      (s"""WITH ob0 AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey k, l_partkey p FROM lineitem),
+        |ob AS MATERIALIZED (SELECT k, p FROM ob0
+        |  QUALIFY row_number() OVER (PARTITION BY k ORDER BY p)
+        |    <= ${graft.ops.Graph.MaxBasketParts}),
+        |e AS MATERIALIZED (SELECT a.p a, b.p b FROM ob a JOIN ob b USING (k)
+        |  WHERE a.p < b.p GROUP BY 1, 2 HAVING count(*) >= 2),
+        |adj AS MATERIALIZED (
+        |  SELECT a v, b n FROM e UNION ALL SELECT b, a FROM e),
+        |deg AS (SELECT v, CAST(count(*) AS BIGINT) d FROM adj GROUP BY 1),
+        |cm AS (SELECT e.a, e.b, CAST(count(*) AS BIGINT) common
+        |  FROM e JOIN adj x ON x.v = e.a JOIN adj y
+        |    ON y.v = e.b AND y.n = x.n
+        |  GROUP BY 1, 2),
+        |j AS (SELECT e.a, e.b, da.d deg_a, db.d deg_b,
+        |    coalesce(cm.common, 0) common
+        |  FROM e LEFT JOIN cm ON cm.a = e.a AND cm.b = e.b
+        |  JOIN deg da ON da.v = e.a JOIN deg db ON db.v = e.b)
+        |SELECT a, b, deg_a, deg_b, common,
+        |  CAST((2 * CAST(common AS HUGEINT) * 1000000
+        |      + (deg_a + deg_b - common))
+        |    // (2 * CAST(deg_a + deg_b - common AS HUGEINT)) AS DOUBLE)
+        |    / 1e6 jaccard
+        |FROM j ORDER BY jaccard DESC, a, b LIMIT 100""").stripMargin,
+
+    "events_runs_test" ->
+      // Wald–Wolfowitz runs per type: above-mean flags with the
+      // denominator cleared (vm·n > Σvm, exact HUGEINT), runs via lag
+      // IS DISTINCT FROM, expected runs through the ratioRound //
+      // twin, z = the identically-spelled sqrt chain (Class B) over
+      // exact integer inputs with the −0.0 +0 guard
+      """WITH b AS (SELECT event_type, ts, event_id,
+        |    CAST(round(round(value, 6) * 1e6) AS BIGINT) vm
+        |  FROM events WHERE value IS NOT NULL),
+        |st AS (SELECT event_type, CAST(count(*) AS BIGINT) n,
+        |    sum(CAST(vm AS HUGEINT)) s FROM b GROUP BY 1),
+        |f AS (SELECT b.event_type, b.ts, b.event_id, st.n,
+        |    (CAST(b.vm AS HUGEINT) * st.n > st.s) up
+        |  FROM b JOIN st USING (event_type)),
+        |g AS (SELECT event_type, n, up,
+        |    CASE WHEN lag(up) OVER (PARTITION BY event_type
+        |      ORDER BY ts, event_id) IS DISTINCT FROM up
+        |    THEN 1 ELSE 0 END brk FROM f),
+        |r AS (SELECT event_type, max(n) n,
+        |    CAST(sum(CASE WHEN up THEN 1 ELSE 0 END) AS BIGINT) n1,
+        |    CAST(sum(CASE WHEN NOT up THEN 1 ELSE 0 END) AS BIGINT) n2,
+        |    CAST(sum(brk) AS BIGINT) runs
+        |  FROM g GROUP BY 1),
+        |x AS (SELECT *, CAST(2 * CAST(n1 AS HUGEINT) * n2 AS DOUBLE) a,
+        |    CAST(n AS DOUBLE) nd FROM r)
+        |SELECT event_type, n, n1, n2, runs,
+        |  CAST((2 * (2 * CAST(n1 AS HUGEINT) * n2 + n) * 1000000 + n)
+        |    // (2 * CAST(n AS HUGEINT)) AS DOUBLE) / 1e6 exp_runs,
+        |  CASE WHEN n > 1 AND 2 * CAST(n1 AS HUGEINT) * n2 > n THEN
+        |    round((CAST(runs AS DOUBLE) - 1.0 - a / nd)
+        |      / sqrt(a * (a - nd) / (nd * nd * (nd - 1.0))), 6) + 0
+        |  END z,
+        |  CASE WHEN n > 1 AND 2 * CAST(n1 AS HUGEINT) * n2 > n THEN
+        |    abs((CAST(runs AS DOUBLE) - 1.0 - a / nd)
+        |      / sqrt(a * (a - nd) / (nd * nd * (nd - 1.0)))) > 1.96
+        |  END nonrandom
+        |FROM x ORDER BY event_type""".stripMargin,
     "events_markov_stationary" -> markovSql,
     "text_js_divergence" ->
       // per-log2 6-dp rounds over EXACT integer-ratio arguments

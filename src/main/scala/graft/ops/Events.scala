@@ -58,7 +58,11 @@ object Events {
     * oracle boundary, documented not planted: Spark returns a number's
     * RAW spelling where DuckDB re-renders canonically, so
     * non-canonical JSON number text (1.50, 1e2) under a StringType
-    * field is outside the oracle contract.
+    * field is outside the oracle contract — as is any integer past
+    * uint64 (DuckDB types it DOUBLE and re-renders even through raw
+    * json_extract; probed when the rebuilt fuzz02 planted one — its
+    * overflow row now stays inside uint64, where DuckDB's UBIGINT
+    * rendering IS the raw digits).
     *
     * 100 TB posture: pure row-local projection over the scan (two
     * Jackson parses per row — from_json is the surface under test;
@@ -1206,6 +1210,71 @@ object Events {
     * 100 TB posture: the seasonalNaive shape — one map-side-combined
     * daily collapse, then type-partitioned windows over the
     * (types × days) frame; nothing corpus-sized sorts. */
+  /** Wald–Wolfowitz runs test per event type — the classical
+    * RANDOMNESS screen completing the test battery (ANOVA = level
+    * differences, KS/W₁ = distribution drift, ACF = linear memory;
+    * runs = serial dependence of ANY form): split each type's non-NULL
+    * value sequence (event order: ts, event_id) into above-mean /
+    * at-or-below-mean flags, count the runs of equal flags, and
+    * z-score the count against its null distribution (too FEW runs =
+    * clumping/trend, too many = oscillation). `nonrandom` flags
+    * |z| > 1.96 (α = 0.05 two-sided).
+    *
+    * Exactness: values quantize to 6-dp micro-longs; above-mean
+    * clears the denominator (vµ·n > Σvµ — exact 128-bit integers, no
+    * mean double ever materializes); n₁/n₂/runs are exact counts;
+    * expected runs (2n₁n₂ + n)/n presents via [[Recon.ratioRound]];
+    * the z-score is sqrt-chained (Class B per §7.4.9) — ONE
+    * identically-spelled double expression over exact integer inputs
+    * (a = 2n₁n₂: z = (R − 1 − a/n) / sqrt(a(a−n) / (n²(n−1)))),
+    * rounded 6 dp with the −0.0 `+0` oracle guard, and NULL unless
+    * the variance is strictly positive (n > 1, a > n — the
+    * sqrt(≤0)-split guard class).
+    *
+    * 100 TB posture: one 5-row stats broadcast back onto the scan (no
+    * corpus-wide window for the mean), then the lag window sorts each
+    * type's timeline once — the sessionize shuffle shape; output rows
+    * = event types. */
+  def runsTest(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val vm = round(round(col("value"), 6) * 1e6, 0).cast("long")
+    val base = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("ts"), col("event_id"), vm.as("vm"))
+    val stats = base.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("vm").cast(dec)).as("s"))
+    val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    val flagged = base.join(broadcast(stats), "event_type")
+      .select(col("event_type"), col("ts"), col("event_id"), col("n"),
+        (col("vm").cast(dec) * col("n") > col("s")).as("up"))
+    val runs = flagged
+      .select(col("event_type"), col("n"), col("up"),
+        when(lag(col("up"), 1).over(w).isNull ||
+          lag(col("up"), 1).over(w) =!= col("up"), 1L).otherwise(0L)
+          .as("brk"))
+      .groupBy("event_type")
+      .agg(first(col("n")).as("n"),
+        sum(when(col("up"), 1L).otherwise(0L)).as("n1"),
+        sum(when(!col("up"), 1L).otherwise(0L)).as("n2"),
+        sum(col("brk")).as("runs"))
+    val a = (col("n1").cast(dec) * col("n2") * 2).cast("double")
+    val nD = col("n").cast("double")
+    val z = (col("runs").cast("double") - lit(1.0) - a / nD) /
+      sqrt(a * (a - nD) / (nD * nD * (nD - lit(1.0))))
+    runs.select(col("event_type"), col("n"), col("n1"), col("n2"),
+        col("runs"),
+        graft.ops.Recon.ratioRound(
+          col("n1").cast(dec) * col("n2") * 2 + col("n"), col("n"), 6)
+          .as("exp_runs"),
+        when(col("n") > 1 &&
+          col("n1").cast(dec) * col("n2") * 2 > col("n"),
+          round(z, 6)).as("z"),
+        when(col("n") > 1 &&
+          col("n1").cast(dec) * col("n2") * 2 > col("n"),
+          abs(z) > lit(1.96)).as("nonrandom"))
+      .orderBy("event_type")
+  }
+
   def autocorrelation(spark: SparkSession, dir: String): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val daily = Tables.events(spark, dir)

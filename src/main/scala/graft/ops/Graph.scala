@@ -424,6 +424,108 @@ object Graph {
       .orderBy("degree")
   }
 
+  /** Neighborhood Jaccard similarity of connected part pairs in the
+    * strong co-purchase graph (same w ≥ 2 edge set as the other graph
+    * ops): for each EDGE (a, b), J = |N(a)∩N(b)| / |N(a)∪N(b)| — the
+    * "do these two products sell into the same basket neighborhood"
+    * score behind substitutability/link-prediction heuristics, one
+    * level finer than [[copurchaseTriangles]]' global cohesion number.
+    * Top-100 by (jaccard, a, b).
+    *
+    * Common neighbors per edge use the triangle wedge spelling (join
+    * the undirected adjacency on the shared endpoint — two hash-join
+    * shuffles, no per-node adjacency lists); degrees are the map-
+    * combinable endpoint count; the union clears as deg(a)+deg(b)−
+    * common (never 0 on an edge: both degrees ≥ 1). Everything is
+    * exact integers; the one ratio presents through
+    * [[Recon.ratioRound]], and ORDER BY uses the rounded value (bit-
+    * identical on both engines) with the (a, b) tiebreak.
+    *
+    * 100 TB posture: cost is the wedge frame Σ deg² — bounded by the
+    * same [[MaxBasketParts]] cap that bounds the triangle census; a
+    * hub-heavy graph caps per-node neighbor lists upstream, not here. */
+  def nodeJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val e = truncate(copurchaseEdges(spark, dir)
+      .filter(col("w") >= 2 && col("s") < col("t"))
+      .select(col("s").as("a"), col("t").as("b")), None)
+    val adj = e.select(col("a").as("v"), col("b").as("n"))
+      .unionByName(e.select(col("b").as("v"), col("a").as("n")))
+    val deg = adj.groupBy("v").agg(count(lit(1)).as("d"))
+    val common = e
+      .join(adj.select(col("v").as("a"), col("n").as("x")), "a")
+      .join(adj.select(col("v").as("b"), col("n").as("x")), Seq("b", "x"))
+      .groupBy("a", "b").agg(count(lit(1)).as("common"))
+    e.join(common, Seq("a", "b"), "left_outer")
+      .na.fill(0L, Seq("common"))
+      .join(deg.select(col("v").as("a"), col("d").as("deg_a")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("deg_b")), "b")
+      .select(col("a"), col("b"), col("deg_a"), col("deg_b"), col("common"),
+        graft.ops.Recon.ratioRound(col("common"),
+          col("deg_a") + col("deg_b") - col("common"), 6).as("jaccard"))
+      .orderBy(desc("jaccard"), col("a"), col("b")).limit(100)
+  }
+
+  /** Fixed oracle depth for [[kcoreSummary]]: the DuckDB twin unrolls
+    * exactly this many peel rounds, and the Spark loop throws past it
+    * (the ComponentsIters coupling). Peeling is confluent — once the
+    * Spark side converges in ≤ this many rounds, extra oracle rounds
+    * are no-ops, so fixed-depth equality is exact. */
+  private[graft] val KcoreIters = 16
+
+  /** k-core summary of the strong co-purchase graph (k = 3): peel
+    * nodes of degree < k until none remain, report the surviving core
+    * — nodes, edges, minimum core degree (≥ k by construction) and the
+    * rounds the peel took. The k-core is the standard "dense nucleus"
+    * screen over a co-occurrence graph: triangles say how clustered
+    * the graph is, the 3-core says how much of it survives when every
+    * weakly-attached product is stripped (recursively — a node kept
+    * only by other peeled nodes peels too, which no single degree
+    * histogram can tell you).
+    *
+    * Distributed spelling: each round one map-combinable degree
+    * aggregate over the current edge frame + two left-anti joins
+    * against the (small) sub-k node set, lineage truncated per round
+    * ([[connectedComponents]]' discipline); the driver holds only the
+    * loop counter and the per-round sub-k count. Rounds are data-
+    * bounded (each peels ≥ 1 node or stops) and the [[KcoreIters]]
+    * throw keeps the fixed-depth oracle honest. All-integer output —
+    * nothing rounds. */
+  def kcoreSummary(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    var e = truncate(copurchaseEdges(spark, dir)
+      .filter(col("w") >= 2 && col("s") < col("t"))
+      .select(col("s").as("a"), col("t").as("b")), None)
+    var rounds = 0
+    var converged = false
+    while (!converged) {
+      if (rounds >= KcoreIters)
+        throw new IllegalStateException(
+          s"kcore peel did not converge in $KcoreIters rounds — raise " +
+            "Graph.KcoreIters AND regenerate the unrolled oracle depth")
+      val deg = e.select(col("a").as("v"))
+        .unionByName(e.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("d"))
+      val bad = truncate(deg.filter(col("d") < k).select("v"), None)
+      if (bad.isEmpty) converged = true
+      else {
+        e = truncate(
+          e.join(bad.select(col("v").as("a")), Seq("a"), "left_anti")
+            .join(bad.select(col("v").as("b")), Seq("b"), "left_anti")
+            .select("a", "b"), None)
+        rounds += 1
+      }
+    }
+    val deg = e.select(col("a").as("v")).unionByName(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val nodeAgg = deg.agg(
+      count(lit(1)).as("core_nodes"), min(col("d")).as("min_core_degree"))
+    e.agg(count(lit(1)).as("core_edges"))
+      .crossJoin(broadcast(nodeAgg))
+      .select(lit(k).as("k"), lit(rounds.toLong).as("rounds"),
+        coalesce(col("core_nodes"), lit(0L)).as("core_nodes"),
+        col("core_edges"),
+        col("min_core_degree"))
+  }
+
   def pagerankParts(spark: SparkSession, dir: String): DataFrame = {
     val edgesRaw = copurchaseEdges(spark, dir)
     pagerankRanks(edgesRaw)

@@ -1006,6 +1006,35 @@ class EventsSpec extends GraftSpec {
       ("a", 6L, 2L, 2L, 2L, 0.333333, 0.333333, 2L, -3L, 5L),
       ("b", 1L, 0L, 1L, 0L, 1.0, 0.0, 1L, 1L, 1L)))
   }
+
+  test("runs test: alternation, clumping, degenerate guards — all hand-computed") {
+    import EventsFixture.RawEv
+    val spark0 = spark
+    import spark0.implicits._
+    val d = s"$tmpDir/runsfix"
+    val base = 1735689600L
+    def ev(id: Long, typ: String, v: Double) =
+      RawEv(id, (base + id * 60) * 1000000000L, 1L, typ, v, null)
+    // alt: U D U D → 4 runs of 2/2 (oscillation, z = +1.224745);
+    // clump: D D U U → 2 runs (clumping, z = −1.224745); one: single
+    // row (n ≤ 1 guard); const: all at the mean → n1 = 0, a = 0 guard
+    Seq(ev(1, "alt", 10), ev(2, "alt", 0), ev(3, "alt", 10), ev(4, "alt", 0),
+        ev(5, "clump", 0), ev(6, "clump", 0), ev(7, "clump", 10),
+        ev(8, "clump", 10),
+        ev(9, "one", 7.0),
+        ev(10, "const", 5), ev(11, "const", 5), ev(12, "const", 5))
+      .toDF().write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = Events.runsTest(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5),
+        if (r.isNullAt(6)) None else Some(r.getDouble(6)),
+        if (r.isNullAt(7)) None else Some(r.getBoolean(7))))
+    assert(got.toSeq === Seq(
+      ("alt", 4L, 2L, 2L, 4L, 3.0, Some(1.224745), Some(false)),
+      ("clump", 4L, 2L, 2L, 2L, 3.0, Some(-1.224745), Some(false)),
+      ("const", 3L, 0L, 3L, 1L, 1.0, None, None),
+      ("one", 1L, 0L, 1L, 1L, 1.0, None, None)))
+  }
 }
 
 object EventsFixture {

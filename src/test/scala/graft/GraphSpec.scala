@@ -177,6 +177,64 @@ class GraphSpec extends GraftSpec {
     assert(r.getDouble(4) === 0.8)
   }
 
+  test("node jaccard: K4 plus pendant gives the hand-computed neighborhood ratios") {
+    val spark0 = spark
+    import spark0.implicits._
+    // K4 over parts 1–4 (w=2 each pair) + pendant edge 1–5 (w=2):
+    // N(1)={2,3,4,5}, N(2..4) = the other K4 nodes + 1, N(5)={1}
+    val dir = s"$tmpDir/njacc"
+    val rows = (for (o <- 1L to 2L; p <- 1L to 4L) yield (o, p)) ++
+      Seq((3L, 1L), (3L, 5L), (4L, 1L), (4L, 5L))
+    rows.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = Graph.nodeJaccard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(got.toSeq === Seq(
+      // K4-internal edges among deg-3 nodes: common 2, union 4 → 0.5
+      (2L, 3L, 3L, 3L, 2L, 0.5), (2L, 4L, 3L, 3L, 2L, 0.5),
+      (3L, 4L, 3L, 3L, 2L, 0.5),
+      // hub edges: common 2, union 4+3−2=5 → 0.4
+      (1L, 2L, 4L, 3L, 2L, 0.4), (1L, 3L, 4L, 3L, 2L, 0.4),
+      (1L, 4L, 4L, 3L, 2L, 0.4),
+      // pendant: no common neighbor → 0.0
+      (1L, 5L, 4L, 1L, 0L, 0.0)))
+  }
+
+  test("kcore: cascade peel (pendant, then its anchor) leaves exactly the K4") {
+    val spark0 = spark
+    import spark0.implicits._
+    // K4 over 1–4; node 5 tied to 1, 2 and 6 (deg 3); node 6 only to 5
+    // (deg 1). Round 1 peels 6 → deg(5) drops to 2; round 2 peels 5 →
+    // the K4 survives with min degree 3. The cascade is the point: no
+    // single degree histogram finds node 5.
+    val dir = s"$tmpDir/kcore1"
+    val rows = (for (o <- 1L to 2L; p <- 1L to 4L) yield (o, p)) ++
+      (for (o <- 3L to 4L; p <- Seq(1L, 2L, 5L)) yield (o, p)) ++
+      Seq((5L, 5L), (5L, 6L), (6L, 5L), (6L, 6L))
+    rows.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = Graph.kcoreSummary(spark, dir).collect().head
+    assert((r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) === ((3, 2L, 4L, 6L, 3L)))
+  }
+
+  test("kcore: a pure cycle peels away entirely (empty core, NULL min degree)") {
+    val spark0 = spark
+    import spark0.implicits._
+    // 5-cycle, every node degree 2 < 3: one peel round empties the graph
+    val dir = s"$tmpDir/kcore2"
+    val rows = (0L until 5L).flatMap(i =>
+      Seq((10 + 2 * i, i + 1), (10 + 2 * i, (i + 1) % 5 + 1),
+          (11 + 2 * i, i + 1), (11 + 2 * i, (i + 1) % 5 + 1)))
+    rows.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = Graph.kcoreSummary(spark, dir).collect().head
+    assert((r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((3, 1L, 0L, 0L)))
+    assert(r.isNullAt(4), "empty core has no min degree")
+  }
+
   test("basket cap: an over-cap basket keeps the smallest part ids, within-cap untouched") {
     val spark0 = spark
     import spark0.implicits._

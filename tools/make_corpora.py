@@ -11,8 +11,12 @@ reproducible:
           '' (doc_id % 13 = 0), whitespace-only (% 13 = 1), non-BMP emoji
           appended (% 13 = 2) — the NULL/empty/astral-plane vector.
   fuzz02  sf0.001 + the JSON props probe matrix spread across events
-          (truncated/malformed/empty/string/float/bool/overflow/json-null/
-          NULL by event_id % 12) and ZERO-NORM embedding vectors
+          (truncated/malformed/empty/string/float/bool/overflow-past-int64/json-null/
+          NULL by event_id % 12; the overflow value stays INSIDE uint64 so
+          DuckDB types it UBIGINT and renders the raw digits — a
+          >uint64 int is DOUBLE-typed and re-rendered, the documented
+          json_struct_extract oracle boundary) and ZERO-NORM embedding
+          vectors
           (vec_id % 17 = 0) — the bare-int64 contract + IEEE-division
           vector.
   fuzz03  sf0.001 + events.value − 300 where event_id % 5 < 3 (~60% of rows
@@ -90,7 +94,7 @@ def fuzz02(root):
             WHEN 2 THEN '{{"k": "str"}}'
             WHEN 3 THEN '{{"k": 3.7}}'
             WHEN 4 THEN '{{"k": true}}'
-            WHEN 5 THEN '{{"k": 99999999999999999999}}'
+            WHEN 5 THEN '{{"k": 9999999999999999999}}'
             WHEN 6 THEN '{{"k": null}}'
             WHEN 7 THEN 'not json'
             WHEN 8 THEN NULL
