@@ -222,6 +222,7 @@ object SparkEntry {
     "events_weekly_spectrum"   -> (Events.weeklySpectrum _),
     "customer_repeat_survival" -> (Relational.repeatSurvival _),
     "embed_dim_correlation"    -> (Vectors.dimCorrelation _),
+    "embed_spearman_redundancy" -> (Vectors.spearmanRedundancy _),
     "graph_degree_distribution" -> (Graph.degreeDistribution _),
     "graph_node_jaccard"       -> (Graph.nodeJaccard _),
     "graph_kcore"              -> ((s, d) => Graph.kcoreSummary(s, d)),
@@ -381,7 +382,8 @@ object SparkEntry {
     "customer_spend_migration", "json_struct_extract", "streaming_late_data",
     "embed_pca_power",
     "text_simpson_diversity", "text_char_class_profile", "json_props_audit",
-    "graph_node_jaccard", "graph_kcore", "events_runs_test")
+    "graph_node_jaccard", "graph_kcore", "events_runs_test",
+    "embed_spearman_redundancy")
 
   /** DuckDB re-derivation of the ENTIRE [[graft.ops.Vectors.pcaPower]]
     * pipeline: the exact Gram sums (the dim_correlation CTEs), the
@@ -2871,6 +2873,43 @@ object SparkEntry {
         |  END AS share_of_customers
         |FROM th CROSS JOIN base CROSS JOIN counts
         |ORDER BY 1""".stripMargin,
+
+    "embed_spearman_redundancy" ->
+      // Spearman = Pearson on doubled average ranks (2·rank + ties − 1,
+      // exact integers); the cleared-denominator moments and the
+      // sqrt-chained 6-dp round are the dim_correlation twins verbatim
+      """WITH base AS MATERIALIZED (
+        |  SELECT vec_id, embedding e FROM embeddings
+        |  WHERE embedding IS NOT NULL
+        |    AND len(list_filter(embedding, v -> v IS NULL)) = 0),
+        |ex AS MATERIALIZED (
+        |  SELECT vec_id, generate_subscripts(e, 1) dim, unnest(e) v
+        |  FROM base),
+        |rk AS MATERIALIZED (
+        |  SELECT vec_id, dim,
+        |    CAST(2 * rank() OVER (PARTITION BY dim ORDER BY v)
+        |      + count(*) OVER (PARTITION BY dim, v) - 1 AS BIGINT) r2
+        |  FROM ex),
+        |dims AS MATERIALIZED (
+        |  SELECT dim i, count(*) n, sum(r2) si,
+        |    sum(CAST(r2 AS HUGEINT) * r2) sii
+        |  FROM rk GROUP BY 1),
+        |pairs AS (SELECT a.dim i, b.dim j,
+        |    sum(CAST(a.r2 AS HUGEINT) * b.r2) sij
+        |  FROM rk a JOIN rk b ON a.vec_id = b.vec_id AND a.dim < b.dim
+        |  GROUP BY 1, 2),
+        |c AS (SELECT p.i, p.j,
+        |    CAST(di.n AS HUGEINT) * p.sij - CAST(di.si AS HUGEINT) * dj.si num,
+        |    CAST(di.n AS HUGEINT) * di.sii - CAST(di.si AS HUGEINT) * di.si denx,
+        |    CAST(dj.n AS HUGEINT) * dj.sii - CAST(dj.si AS HUGEINT) * dj.si deny
+        |  FROM pairs p JOIN dims di ON di.i = p.i JOIN dims dj ON dj.i = p.j),
+        |r AS (SELECT i, j, round(CAST(num AS DOUBLE)
+        |    / (sqrt(CAST(denx AS DOUBLE)) * sqrt(CAST(deny AS DOUBLE))), 6)
+        |    + 0 rho
+        |  FROM c WHERE denx > 0 AND deny > 0)
+        |SELECT CAST(i AS BIGINT) dim_i, CAST(j AS BIGINT) dim_j, rho,
+        |  abs(rho) + 0 abs_rho
+        |FROM r ORDER BY abs(rho) DESC, i, j LIMIT 20""".stripMargin,
 
     "embed_dim_correlation" ->
       // exact micro-integer cross-moments; Pearson denominators clear

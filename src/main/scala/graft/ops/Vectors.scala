@@ -799,16 +799,17 @@ object Vectors {
       .filter(size(col("g")) > 0)
   }
 
-  def dimCorrelation(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared unpack of [[graft.functions.GramAgg]]'s flat state into
+    * per-dim-pair cleared-denominator Pearson moments (num, denx,
+    * deny): [d, n, s1..sd, G(1,1)..G(d,d) row-major upper triangle] —
+    * G(i,j) sits at 2 + d + (i−1)(2d−i+2)/2 + (j−i+1); (i−1)(2d−i+2)
+    * is always even, so the /2 is exact. Outer range stops at d − 1:
+    * Spark `sequence(a, b)` DESCENDS when a > b, so an i = d leg would
+    * mint a phantom j = d + 1 pair. Used by [[dimCorrelation]] (value
+    * moments) and [[spearmanRedundancy]] (rank moments). */
+  private def gramPairMoments(gram: DataFrame): DataFrame = {
     val dec = DecimalType(38, 0)
-    val gram = gramFrame(spark, dir)
-      .withColumn("d", element_at(col("g"), 1).cast("int"))
-    // unpack the flat state [d, n, s1..sd, G(1,1)..G(d,d) row-major
-    // upper triangle]: G(i,j) sits at 2 + d + (i−1)(2d−i+2)/2 + (j−i+1)
-    // — (i−1)(2d−i+2) is always even, so the /2 is exact
-    // outer range stops at d − 1: Spark `sequence(a, b)` DESCENDS when
-    // a > b, so an i = d leg would mint a phantom j = d + 1 pair
-    val pairs = gram.select(expr(
+    gram.select(expr(
       "inline(flatten(transform(sequence(1, d - 1), i -> " +
         "transform(sequence(i + 1, d), j -> struct(i, j, " +
         "element_at(g, 2) AS n, " +
@@ -818,7 +819,6 @@ object Vectors {
         "element_at(g, cast(2 + d + (j-1)*(2*d-j+2) div 2 + 1 AS int)) AS sxxj, " +
         "element_at(g, cast(2 + d + (i-1)*(2*d-i+2) div 2 + (j-i+1) AS int)) AS sij" +
         ")))))"))
-    val c = pairs
       .select(col("i"), col("j"),
         (col("n").cast(dec) * col("sij")
           - col("sxi").cast(dec) * col("sxj")).as("num"),
@@ -826,14 +826,72 @@ object Vectors {
           - col("sxi").cast(dec) * col("sxi")).as("denx"),
         (col("n").cast(dec) * col("sxxj")
           - col("sxj").cast(dec) * col("sxj")).as("deny"))
+  }
+
+  /** Top-20 presentation shared by the Gram-moment correlation ops:
+    * Pearson over the cleared-denominator moments, 6-dp round with the
+    * −0.0 guard, zero-variance dims excluded, sorted by the ROUNDED
+    * magnitude with the (i, j) tie-break. */
+  private def pearsonTop20(c: DataFrame, name: String): DataFrame =
     c.filter(col("denx") > 0 && col("deny") > 0)
       .select(col("i").cast("long").as("dim_i"), col("j").cast("long").as("dim_j"),
         (round(col("num").cast("double")
           / (sqrt(col("denx").cast("double")) * sqrt(col("deny").cast("double"))),
-          6) + 0).as("corr"))
-      .withColumn("abs_corr", abs(col("corr")) + 0)
-      .orderBy(col("abs_corr").desc, col("dim_i"), col("dim_j"))
+          6) + 0).as(name))
+      .withColumn(s"abs_$name", abs(col(name)) + 0)
+      .orderBy(col(s"abs_$name").desc, col("dim_i"), col("dim_j"))
       .limit(20)
+
+  def dimCorrelation(spark: SparkSession, dir: String): DataFrame = {
+    val gram = gramFrame(spark, dir)
+      .withColumn("d", element_at(col("g"), 1).cast("int"))
+    pearsonTop20(gramPairMoments(gram), "corr")
+  }
+
+  /** Spearman rank redundancy between embedding dimensions — the
+    * MONOTONE-relation sibling of [[dimCorrelation]]: Pearson on
+    * per-dim average ranks catches nonlinearly coupled dims (d_j =
+    * f(d_i) for any monotone f scores ±1) that linear correlation
+    * underweights, the redundancy PQ/PCA subspace design actually
+    * cares about. Top-20 pairs by |rho|.
+    *
+    * Exactness: ties take AVERAGE ranks, doubled into integers
+    * (2·avgrank = 2·rank + tiecount − 1 — rank() plus a count window,
+    * both engines agree on float ordering of identical stored
+    * values); the rank vectors feed the same one-pass
+    * [[graft.functions.GramAgg]] collapse and the same
+    * cleared-denominator Pearson as dimCorrelation (sqrt-chained
+    * Class-B round, zero-variance dims excluded — a constant dim has
+    * all-tied ranks and drops on both engines).
+    *
+    * 100 TB posture: ranking is one window sort per dimension over the
+    * exploded (dim, value) frame — the honest cost of exact ranks
+    * (distributed sort per dim key); the Gram collapse and everything
+    * after is the dimCorrelation shape (d²-sized, corpus-independent).
+    * GramAgg's addExact envelope bounds n·(2n)² — past ~10⁸ vectors
+    * rank products need binned ranks; the guard fails loud. */
+  def spearmanRedundancy(spark: SparkSession, dir: String): DataFrame = {
+    val em = Tables.embeddings(spark, dir)
+      .filter(col("embedding").isNotNull &&
+        !exists(col("embedding"), v => v.isNull))
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), (col("pos") + 1).as("dim"), col("col").as("v"))
+    val wr = Window.partitionBy("dim").orderBy("v")
+    val wt = Window.partitionBy("dim", "v")
+    val ranked = em.select(col("vec_id"), col("dim"),
+      (rank().over(wr).cast("long") * 2
+        + count(lit(1)).over(wt) - 1).as("r2"))
+    val arr = ranked.groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("r2")))),
+        x => x.getField("r2")).as("value"))
+      .select("value")
+    val gram = arr
+      .as(org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]())
+      .select(new graft.functions.GramAgg().toColumn)
+      .toDF("g")
+      .filter(size(col("g")) > 0)
+      .withColumn("d", element_at(col("g"), 1).cast("int"))
+    pearsonTop20(gramPairMoments(gram), "rho")
   }
 
   /** Power-iteration rounds for [[pcaPower]] — a CONSTANT (the IVF/BPE

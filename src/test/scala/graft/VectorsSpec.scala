@@ -351,6 +351,31 @@ class VectorsSpec extends GraftSpec {
     assert(sfGot.toSeq === all)
   }
 
+  test("spearmanRedundancy: monotone nonlinear coupling hits 1, ties average, constant dim drops") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = s"$tmpDir/spearman"
+    // dim1 = (1,2,2,4) with a TIE (avg ranks 1, 2.5, 2.5, 4 → r2 =
+    // 2,5,5,8); dim2 = dim1² (monotone nonlinear: identical ranks →
+    // rho exactly 1 where Pearson would be < 1); dim3 strictly
+    // reversed (r2 = 8,6,4,2 → hand Pearson-on-ranks −72/√(72·80) =
+    // −0.948683); dim4 constant (all ranks tie, zero variance →
+    // drops); dim5 = 10·dim1 (same ranks as dim1)
+    val rows = Seq(
+      VectorsFixture.Emb(1L, Array(1f, 1f, 4f, 7f, 10f), 0),
+      VectorsFixture.Emb(2L, Array(2f, 4f, 3f, 7f, 20f), 0),
+      VectorsFixture.Emb(3L, Array(2f, 4f, 2f, 7f, 20f), 0),
+      VectorsFixture.Emb(4L, Array(4f, 16f, 1f, 7f, 40f), 0))
+    rows.toDF().write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Vectors.spearmanRedundancy(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got.size === 6, "pairs touching the constant dim drop")
+    assert(got((1L, 2L)) === 1.0 && got((1L, 5L)) === 1.0 &&
+      got((2L, 5L)) === 1.0)
+    assert(got((1L, 3L)) === -0.948683 && got((2L, 3L)) === -0.948683 &&
+      got((3L, 5L)) === -0.948683)
+  }
+
   test("pcaPower: a planted single-axis cloud recovers the axis, unit share, exact lambda") {
     val spark0 = spark
     import spark0.implicits._
