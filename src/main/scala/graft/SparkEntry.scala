@@ -27,6 +27,7 @@ object SparkEntry {
     "recon_snapshot_diff"      -> (Recon.snapshotDiffOrders _),
     "recon_incremental"        -> (Recon.incrementalDiffOrders _),
     "recon_stream_hash_diff"   -> (Recon.streamHashDiffParity _),
+    "recon_sample_diff"        -> (Recon.sampleDiffOrders _),
     "streaming_mix_drift"      -> (Events.mixDriftParity _),
     "streaming_streak_alerts"  -> (Recon.streakAlertsParity _),
     "streaming_topk"           -> (Relational.minkTopkParity _),
@@ -383,7 +384,7 @@ object SparkEntry {
     "embed_pca_power",
     "text_simpson_diversity", "text_char_class_profile", "json_props_audit",
     "graph_node_jaccard", "graph_kcore", "events_runs_test",
-    "embed_spearman_redundancy")
+    "embed_spearman_redundancy", "recon_sample_diff")
 
   /** DuckDB re-derivation of the ENTIRE [[graft.ops.Vectors.pcaPower]]
     * pipeline: the exact Gram sums (the dim_correlation CTEs), the
@@ -4302,6 +4303,26 @@ object SparkEntry {
         |  round(count(*) / sum(1.0 / l_quantity), 4) harm_mean,
         |  round(avg(l_quantity), 4) arith_mean, count(*) n
         |FROM lineitem WHERE l_quantity > 0 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "recon_sample_diff" ->
+      // content-keyed 1/16 sample (md5 first hex digit '0' — both
+      // sides select the SAME keys, the sampleDiff contract), seeded
+      // three-status divergence; the mismatch test spells the checksum
+      // inequality as its equivalent DECIMAL(12,2) compare (checksums
+      // differ iff the price decimals differ — other fields identical);
+      // round(x, 0) is the parity-safe scale-0 class
+      """WITH c AS (SELECT o_orderkey k,
+        |    CASE WHEN o_orderkey % 101 = 0 THEN 'missing_in_target'
+        |         WHEN o_orderkey % 89 = 0 THEN 'extra_in_target'
+        |         WHEN o_orderkey % 97 = 0
+        |           AND CAST(round(o_totalprice, 0) AS DECIMAL(12,2))
+        |             <> CAST(o_totalprice AS DECIMAL(12,2)) THEN 'mismatch'
+        |         ELSE 'match' END status
+        |  FROM orders
+        |  WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
+        |    AND (o_orderkey % 89 <> 0 OR o_orderkey % 101 <> 0))
+        |SELECT status, count(*) n_keys, min(k) min_k, max(k) max_k
+        |FROM c GROUP BY status ORDER BY status""".stripMargin,
 
     "recon_stream_hash_diff" ->
       // re-derives StreamingOps.streamingHashDiff's length-prefixed

@@ -573,6 +573,50 @@ object Recon {
       .limit(200)
   }
 
+  /** Registry anchor for the SAMPLE-then-diff recon shape
+    * ([[sampleDiff]] — the cheap continuous smoke check at 100 TB):
+    * diff only a content-keyed fraction of the key space, so every
+    * downstream cost shrinks by f while any key-uniform corruption of
+    * rate p ≥ 1/(f·rows) is still caught with near-certainty. The
+    * library samples on xxhash64 (cheapest); this harness twin samples
+    * on an md5-prefix (first hex digit '0', f = 1/16) SOLELY so the
+    * DuckDB oracle can recompute the identical membership — both are
+    * content-keyed, which is the actual contract: both sides select
+    * exactly the same keys with no coordination (a rand() sample per
+    * side would diff disjoint rows and report phantom missing keys).
+    *
+    * Seeded divergence (the diffDetail recipe, fresh moduli): %97 keys'
+    * price rounds (mismatch — unless the price was already integral,
+    * which the checksum compare, not the modulus, decides), %101 keys
+    * vanish from the target (missing), %89 keys vanish from the source
+    * (extra); keys on both drop moduli are in neither side. Both sides
+    * derive row-locally from the same orders row, so the op classifies
+    * in ONE scan with no join ([[diffDetail]]'s argument); the checksum
+    * compare runs the [[rowChecksumOf]] md5 path. Answer-sized summary:
+    * per-status sampled-key counts + key span. */
+  def sampleDiffOrders(spark: SparkSession, dir: String): DataFrame = {
+    val member =
+      substring(md5(col("o_orderkey").cast("string")), 1, 1) === "0"
+    val inSrc = col("o_orderkey") % 89 =!= 0
+    val inTgt = col("o_orderkey") % 101 =!= 0
+    def checksum(price: Column) = rowChecksumOf(Seq(
+      col("o_custkey"), col("o_orderstatus"), price.cast(DecimalType(12, 2))))
+    val srcPrice = when(col("o_orderkey") % 97 === 0,
+      round(col("o_totalprice"), 0)).otherwise(col("o_totalprice"))
+    Tables.orders(spark, dir)
+      .filter(member && (inSrc || inTgt))
+      .select(col("o_orderkey").as("k"),
+        when(!inTgt, "missing_in_target")
+          .when(!inSrc, "extra_in_target")
+          .when(checksum(srcPrice) =!= checksum(col("o_totalprice")),
+            "mismatch")
+          .otherwise("match").as("status"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_keys"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy("status")
+  }
+
   /** Config-driven multi-table reconciliation — the daily-run driver
     * surface: N [[TablePair]] entries in, ONE consolidated report out
     * (table, check, src_v, tgt_v, ok; six checks per pair: rowcount,

@@ -707,4 +707,42 @@ class ReconSpec extends GraftSpec {
     assert(sfGot("lineitem.(l_orderkey,l_linenumber)") ===
       ((li.length.toLong, li.distinct.length.toLong)))
   }
+
+  test("sample diff: driver md5-membership recount reproduces every status count") {
+    // independent reimplementation: same md5-prefix membership, drop
+    // moduli, and decimal mismatch rule in plain Scala over the
+    // collected sf orders — counts and key spans must agree exactly
+    val rows = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val expected = rows.iterator
+      .filter { case (k, _) => md5hex(k.toString).startsWith("0") }
+      .filter { case (k, _) => k % 89 != 0 || k % 101 != 0 }
+      .map { case (k, p) =>
+        // valueOf = the double's SHORTEST decimal repr — Spark Round's
+        // BigDecimal path, not the exact binary expansion
+        val sv = BigDecimal(java.math.BigDecimal.valueOf(p))
+        val dec = sv.setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        val rounded = sv.setScale(0, BigDecimal.RoundingMode.HALF_UP)
+          .setScale(2)
+        val status =
+          if (k % 101 == 0) "missing_in_target"
+          else if (k % 89 == 0) "extra_in_target"
+          else if (k % 97 == 0 && rounded != dec) "mismatch"
+          else "match"
+        (status, k)
+      }.toSeq
+    val want = expected.groupBy(_._1).map { case (s, xs) =>
+      s -> ((xs.length.toLong, xs.map(_._2).min, xs.map(_._2).max))
+    }
+    val got = Recon.sampleDiffOrders(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === want)
+    assert(got.contains("match") && got.contains("mismatch"),
+      "sf corpus must exercise the live classes")
+  }
 }
