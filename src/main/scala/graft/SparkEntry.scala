@@ -226,6 +226,8 @@ object SparkEntry {
     "embed_spearman_redundancy" -> (Vectors.spearmanRedundancy _),
     "graph_degree_distribution" -> (Graph.degreeDistribution _),
     "graph_node_jaccard"       -> (Graph.nodeJaccard _),
+    "graph_assortativity"      -> (Graph.assortativity _),
+    "vocab_coverage_curve"     -> (Text.vocabCoverageCurve _),
     "graph_kcore"              -> ((s, d) => Graph.kcoreSummary(s, d)),
     "events_runs_test"         -> (Events.runsTest _),
     "text_keyword_rake"        -> ((s, d) => Text.keywordRake(s, d)),
@@ -384,7 +386,8 @@ object SparkEntry {
     "embed_pca_power",
     "text_simpson_diversity", "text_char_class_profile", "json_props_audit",
     "graph_node_jaccard", "graph_kcore", "events_runs_test",
-    "embed_spearman_redundancy", "recon_sample_diff")
+    "embed_spearman_redundancy", "recon_sample_diff",
+    "graph_assortativity", "vocab_coverage_curve")
 
   /** DuckDB re-derivation of the ENTIRE [[graft.ops.Vectors.pcaPower]]
     * pipeline: the exact Gram sums (the dim_correlation CTEs), the
@@ -2401,6 +2404,60 @@ object SparkEntry {
     "graph_pagerank" -> pagerankSql,
     "graph_components" -> componentsSql,
     "graph_kcore" -> kcoreSql,
+
+    "graph_assortativity" ->
+      // Newman degree assortativity over the directed edge list (each
+      // undirected edge both ways): symmetric marginals collapse the
+      // two sqrt factors into one integer denominator — r = (M·Sxy −
+      // Sx²)/(M·Sxx − Sx²), pure HUGEINT arithmetic + one ratioRound
+      // // twin; NULL on a degree-regular graph (den = 0); basket cap
+      // mirrored from Graph.MaxBasketParts (see pagerankSql)
+      (s"""WITH ob0 AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey k, l_partkey p FROM lineitem),
+        |ob AS MATERIALIZED (SELECT k, p FROM ob0
+        |  QUALIFY row_number() OVER (PARTITION BY k ORDER BY p)
+        |    <= ${graft.ops.Graph.MaxBasketParts}),
+        |e AS MATERIALIZED (SELECT a.p a, b.p b FROM ob a JOIN ob b USING (k)
+        |  WHERE a.p < b.p GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (SELECT v, CAST(count(*) AS BIGINT) d FROM (
+        |    SELECT a v FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) n_nodes FROM deg),
+        |dd AS (SELECT da.d da, db.d db FROM e
+        |  JOIN deg da ON da.v = e.a JOIN deg db ON db.v = e.b),
+        |m AS (SELECT CAST(count(*) AS BIGINT) ne,
+        |    sum(CAST(da AS HUGEINT) + db) sx,
+        |    sum(CAST(da AS HUGEINT) * da + CAST(db AS HUGEINT) * db) sxx,
+        |    sum(CAST(da AS HUGEINT) * db) sxy_half
+        |  FROM dd),
+        |r AS (SELECT ne, n_nodes,
+        |    2 * CAST(ne AS HUGEINT) * (2 * sxy_half) - sx * sx num,
+        |    2 * CAST(ne AS HUGEINT) * sxx - sx * sx den
+        |  FROM m CROSS JOIN nn)
+        |SELECT n_nodes, ne n_edges,
+        |  CASE WHEN den > 0 THEN
+        |    CAST((CASE WHEN num >= 0 THEN
+        |        (2 * num * 1000000 + den) // (2 * den)
+        |      ELSE -((2 * (-num) * 1000000 + den) // (2 * den)) END)
+        |      AS DOUBLE) / 1e6
+        |  END assortativity
+        |FROM r""").stripMargin,
+
+    "vocab_coverage_curve" ->
+      // top-N type coverage of all token occurrences: exact counts,
+      // (count, token) tie-free cut, one ratioRound // twin per row
+      """WITH tc AS (SELECT tok, count(*) n FROM (
+        |    SELECT unnest(string_split(text, ' ')) tok FROM documents)
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS HUGEINT) total FROM tc),
+        |top AS (SELECT n, row_number() OVER (ORDER BY n DESC, tok) rk
+        |  FROM (SELECT * FROM tc ORDER BY n DESC, tok LIMIT 10000)),
+        |th AS (SELECT unnest([10, 100, 1000, 10000]) top_n)
+        |SELECT top_n, CAST(count(*) AS BIGINT) n_types_used,
+        |  CAST(sum(n) AS BIGINT) covered,
+        |  CAST((2 * CAST(sum(n) AS HUGEINT) * 1000000 + total)
+        |    // (2 * total) AS DOUBLE) / 1e6 coverage
+        |FROM top JOIN th ON rk <= top_n CROSS JOIN tot
+        |GROUP BY top_n, total ORDER BY top_n""".stripMargin,
 
     "graph_node_jaccard" ->
       // neighborhood Jaccard per strong edge: common neighbors via the

@@ -526,6 +526,52 @@ object Graph {
         col("min_core_degree"))
   }
 
+  /** Degree assortativity of the strong co-purchase graph — the SHAPE
+    * statistic completing the family (pagerank = centrality,
+    * components = reachability, triangles = cohesion, kcore = nucleus,
+    * node_jaccard = local similarity): Newman's r = Pearson
+    * correlation of endpoint degrees over the directed edge list
+    * (each undirected edge in both orientations). r < 0 =
+    * hub-and-spoke (high-degree nodes attach to low-degree ones —
+    * typical of co-occurrence graphs), r > 0 = core-periphery
+    * layering.
+    *
+    * Exactness: the symmetric double-counting makes the x and y
+    * marginals IDENTICAL, so Pearson's two sqrt factors collapse into
+    * one integer denominator — r = (M·Sxy − Sx²) / (M·Sxx − Sx²) with
+    * every term an exact DECIMAL(38,0) ≡ HUGEINT integer and ONE
+    * [[Recon.ratioRound]] presentation. No sqrt, no double, no tie
+    * class anywhere — rare for a correlation statistic. NULL when the
+    * denominator is 0 (degree-regular graph: zero variance).
+    *
+    * 100 TB posture: two broadcast-joinable degree lookups onto the
+    * edge frame (degrees are map-combinable endpoint counts), one
+    * 1-row aggregate. */
+  def assortativity(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val e = copurchaseEdges(spark, dir)
+      .filter(col("w") >= 2 && col("s") < col("t"))
+      .select(col("s").as("a"), col("t").as("b"))
+    val deg = e.select(col("a").as("v")).unionByName(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val nodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val dd = e.join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+    val agg = dd.agg(
+      count(lit(1)).as("ne"),
+      sum((col("da") + col("db")).cast(dec)).as("sx"),
+      sum(col("da").cast(dec) * col("da")
+        + col("db").cast(dec) * col("db")).as("sxx"),
+      sum(col("da").cast(dec) * col("db")).as("sxy_half"))
+    val m = col("ne").cast(dec) * 2
+    val num = m * (col("sxy_half") * 2) - col("sx") * col("sx")
+    val den = m * col("sxx") - col("sx") * col("sx")
+    agg.crossJoin(broadcast(nodes))
+      .select(col("n_nodes"), col("ne").as("n_edges"),
+        when(den > 0, graft.ops.Recon.ratioRound(num, den, 6))
+          .as("assortativity"))
+  }
+
   def pagerankParts(spark: SparkSession, dir: String): DataFrame = {
     val edgesRaw = copurchaseEdges(spark, dir)
     pagerankRanks(edgesRaw)

@@ -252,6 +252,43 @@ object Text {
       .orderBy("source")
   }
 
+  /** Vocabulary coverage curve — the tokenizer-design measurement
+    * behind [[vocabTopTokens]]/[[bpeMerges]]: what share of ALL token
+    * occurrences the top-N distinct types cover, at N = 10 / 100 /
+    * 1000 / 10000. A corpus where 1000 types cover 95% tokenizes
+    * cheaply; a flat curve says the vocabulary budget must grow (or
+    * BPE must split deeper). Same whitespace tokenizer as
+    * [[tokenStats]].
+    *
+    * Exactness: counts are exact longs, each coverage is one
+    * [[Recon.ratioRound]] integer ratio; the top-N cut sorts by
+    * (count, token) so ties cannot reorder between engines.
+    *
+    * 100 TB posture: one corpus-sized token collapse (map-side
+    * partials), then a TakeOrdered top-10000 — the vocab-sized frame
+    * never fully sorts; the rank window runs over ≤ 10000 rows (the
+    * bounded-frame window class); thresholds broadcast. */
+  def vocabCoverageCurve(spark: SparkSession, dir: String): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    val tc = docs(spark, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+    val tot = tc.agg(sum(col("n")).as("total"))
+    val top = tc.orderBy(desc("n"), col("tok")).limit(10000)
+    val w = Window.orderBy(desc("n"), col("tok"))
+    val ranked = top.select(col("n"), row_number().over(w).as("rk"))
+    val th = Seq(10, 100, 1000, 10000).toDF("top_n")
+    ranked.crossJoin(broadcast(th))
+      .filter(col("rk") <= col("top_n"))
+      .groupBy("top_n")
+      .agg(count(lit(1)).as("n_types_used"), sum(col("n")).as("covered"))
+      .crossJoin(broadcast(tot))
+      .select(col("top_n"), col("n_types_used"), col("covered"),
+        Recon.ratioRound(col("covered"), col("total"), 6).as("coverage"))
+      .orderBy("top_n")
+  }
+
   /** Top-20 terms: tokenize, explode, count. */
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)

@@ -235,6 +235,30 @@ class GraphSpec extends GraftSpec {
     assert(r.isNullAt(4), "empty core has no min degree")
   }
 
+  test("assortativity: a star is exactly −1; a regular graph is NULL (zero variance)") {
+    val spark0 = spark
+    import spark0.implicits._
+    // star: center 1 ⟷ leaves 2,3,4 (each edge w=2 via a {1,leaf}
+    // basket twice) — Newman r = −1 exactly; the integer closed form
+    // must land on it with no float anywhere
+    val dir = s"$tmpDir/assort1"
+    val star = (2L to 4L).flatMap(leaf => Seq(
+      (leaf * 10, 1L), (leaf * 10, leaf), (leaf * 10 + 1, 1L), (leaf * 10 + 1, leaf)))
+    star.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = Graph.assortativity(spark, dir).collect().head
+    assert((r.getLong(0), r.getLong(1)) === ((4L, 3L)))
+    assert(r.getDouble(2) === -1.0)
+    // K4: every degree 3 → den = 0 → NULL on both engines
+    val dir2 = s"$tmpDir/assort2"
+    (for (o <- 1L to 2L; p <- 1L to 4L) yield (o, p))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir2/lineitem.parquet")
+    val r2 = Graph.assortativity(spark, dir2).collect().head
+    assert((r2.getLong(0), r2.getLong(1)) === ((4L, 6L)))
+    assert(r2.isNullAt(2), "degree-regular graph has no assortativity")
+  }
+
   test("basket cap: an over-cap basket keeps the smallest part ids, within-cap untouched") {
     val spark0 = spark
     import spark0.implicits._

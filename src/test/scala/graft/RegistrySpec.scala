@@ -66,7 +66,8 @@ class RegistrySpec extends GraftSpec {
       "vocab_top_tokens",    // top-k token slice (Text.vocabTopTokens)
       "text_boilerplate_ngrams", // 20-row top-k gram slice (Text.boilerplateNgrams)
       "text_zipf_slope",     // top-k count frame (Text.zipfSlope)
-      "rows_frame_window")   // calendar-day rollup (Events.rowsFrameWindow)
+      "rows_frame_window",   // calendar-day rollup (Events.rowsFrameWindow)
+      "vocab_coverage_curve") // rank over the TakeOrdered top-10000 slice
     // a query that fails PLANNING here would escape both detection
     // channels (the WindowExec warning is silenced in the harness
     // mains) — collect ANALYSIS failures and fail loud instead of

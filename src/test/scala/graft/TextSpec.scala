@@ -616,6 +616,26 @@ class TextSpec extends GraftSpec {
       ("s2", 1L, 2L, 0L, 0L, 0L, 2L, Some(0.0), Some(0.0), Some(1.0), 2.0)))
   }
 
+  test("vocab coverage curve: top-10 cut covers the planted head exactly") {
+    val spark0 = spark
+    import spark0.implicits._
+    val d = s"$tmpDir/coveragefix"
+    // 15 types: t01 × 100 occurrences + t02..t15 × 1 → total 114.
+    // top-10 (t01 + nine singletons by token order) covers 109/114;
+    // every larger threshold covers everything.
+    val text = (Seq.fill(100)("t01") ++ (2 to 15).map(i => f"t$i%02d"))
+      .mkString(" ")
+    Seq(TextFixture.Doc(1L, text, "en", "s", text.length.toLong))
+      .toDF().write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = Text.vocabCoverageCurve(spark, d).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq(
+      (10, 10L, 109L, 0.95614),
+      (100, 15L, 114L, 1.0),
+      (1000, 15L, 114L, 1.0),
+      (10000, 15L, 114L, 1.0)))
+  }
+
   test("zipf slope: an exact power law recovers its exponent") {
     val spark0 = spark
     import spark0.implicits._
