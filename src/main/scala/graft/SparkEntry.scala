@@ -688,15 +688,23 @@ object SparkEntry {
     * extra rounds are no-ops and fixed-depth equality is exact.
     * `rounds` = number of rounds whose sub-k set was non-empty — the
     * Spark loop counter's definition verbatim. */
+  /** Shared MATERIALIZED CTE prefix for every DuckDB oracle over the
+    * STRONG (w >= 2, a < b) co-purchase edge set — ONE spelling of the
+    * basket cap + edge contract (review catch: it had drifted into
+    * five literal copies; a cap or threshold change now reaches every
+    * twin). `edge` names the edge CTE. */
+  private def strongEdgeCtes(edge: String): String =
+    s"""ob0 AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey k, l_partkey p FROM lineitem),
+       |ob AS MATERIALIZED (SELECT k, p FROM ob0
+       |  QUALIFY row_number() OVER (PARTITION BY k ORDER BY p)
+       |    <= ${graft.ops.Graph.MaxBasketParts}),
+       |$edge AS MATERIALIZED (SELECT a.p a, b.p b FROM ob a JOIN ob b USING (k)
+       |  WHERE a.p < b.p GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
+
   private def kcoreSql: String = {
     val r = graft.ops.Graph.KcoreIters
-    val head =
-      s"""ob0 AS MATERIALIZED (SELECT DISTINCT l_orderkey k, l_partkey p FROM lineitem),
-         |ob AS MATERIALIZED (SELECT k, p FROM ob0
-         |  QUALIFY row_number() OVER (PARTITION BY k ORDER BY p)
-         |    <= ${graft.ops.Graph.MaxBasketParts}),
-         |e0 AS MATERIALIZED (SELECT a.p a, b.p b FROM ob a JOIN ob b USING (k)
-         |  WHERE a.p < b.p GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
+    val head = strongEdgeCtes("e0")
     val iters = (1 to r).map { i =>
       s"""d$i AS (SELECT v, count(*) d FROM (
          |    SELECT a v FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1})
@@ -2412,13 +2420,7 @@ object SparkEntry {
       // Sx²)/(M·Sxx − Sx²), pure HUGEINT arithmetic + one ratioRound
       // // twin; NULL on a degree-regular graph (den = 0); basket cap
       // mirrored from Graph.MaxBasketParts (see pagerankSql)
-      (s"""WITH ob0 AS MATERIALIZED (
-        |  SELECT DISTINCT l_orderkey k, l_partkey p FROM lineitem),
-        |ob AS MATERIALIZED (SELECT k, p FROM ob0
-        |  QUALIFY row_number() OVER (PARTITION BY k ORDER BY p)
-        |    <= ${graft.ops.Graph.MaxBasketParts}),
-        |e AS MATERIALIZED (SELECT a.p a, b.p b FROM ob a JOIN ob b USING (k)
-        |  WHERE a.p < b.p GROUP BY 1, 2 HAVING count(*) >= 2),
+      (s"""WITH ${strongEdgeCtes("e")},
         |deg AS (SELECT v, CAST(count(*) AS BIGINT) d FROM (
         |    SELECT a v FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
         |nn AS (SELECT CAST(count(*) AS BIGINT) n_nodes FROM deg),
@@ -2464,13 +2466,7 @@ object SparkEntry {
       // adjacency wedge join, union cleared as deg_a + deg_b − common
       // (> 0 on any edge), ratioRound // twin; basket cap mirrored
       // from Graph.MaxBasketParts (see pagerankSql)
-      (s"""WITH ob0 AS MATERIALIZED (
-        |  SELECT DISTINCT l_orderkey k, l_partkey p FROM lineitem),
-        |ob AS MATERIALIZED (SELECT k, p FROM ob0
-        |  QUALIFY row_number() OVER (PARTITION BY k ORDER BY p)
-        |    <= ${graft.ops.Graph.MaxBasketParts}),
-        |e AS MATERIALIZED (SELECT a.p a, b.p b FROM ob a JOIN ob b USING (k)
-        |  WHERE a.p < b.p GROUP BY 1, 2 HAVING count(*) >= 2),
+      (s"""WITH ${strongEdgeCtes("e")},
         |adj AS MATERIALIZED (
         |  SELECT a v, b n FROM e UNION ALL SELECT b, a FROM e),
         |deg AS (SELECT v, CAST(count(*) AS BIGINT) d FROM adj GROUP BY 1),
@@ -2569,13 +2565,7 @@ object SparkEntry {
       // exactly once; wedges = Σ d·(d−1)/2 exact longs; the one double
       // division is identically spelled; basket cap mirrored from
       // Graph.MaxBasketParts (see pagerankSql)
-      (s"""WITH ob0 AS MATERIALIZED (
-        |  SELECT DISTINCT l_orderkey k, l_partkey p FROM lineitem),
-        |ob AS MATERIALIZED (SELECT k, p FROM ob0
-        |  QUALIFY row_number() OVER (PARTITION BY k ORDER BY p)
-        |    <= ${graft.ops.Graph.MaxBasketParts}),
-        |e AS MATERIALIZED (SELECT a.p a, b.p b FROM ob a JOIN ob b USING (k)
-        |  WHERE a.p < b.p GROUP BY 1, 2 HAVING count(*) >= 2),
+      (s"""WITH ${strongEdgeCtes("e")},
         |deg AS (SELECT v, count(*) d FROM (
         |    SELECT a v FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
         |wa AS (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) wedges,
@@ -3342,13 +3332,7 @@ object SparkEntry {
       // same strong (w ≥ 2) edge set as components/triangles; all
       // integers except one integer-rounded share; basket cap mirrored
       // from Graph.MaxBasketParts (see pagerankSql)
-      (s"""WITH ob0 AS MATERIALIZED (
-        |  SELECT DISTINCT l_orderkey k, l_partkey p FROM lineitem),
-        |ob AS MATERIALIZED (SELECT k, p FROM ob0
-        |  QUALIFY row_number() OVER (PARTITION BY k ORDER BY p)
-        |    <= ${graft.ops.Graph.MaxBasketParts}),
-        |e AS MATERIALIZED (SELECT a.p a, b.p b FROM ob a JOIN ob b USING (k)
-        |  WHERE a.p < b.p GROUP BY 1, 2 HAVING count(*) >= 2),
+      (s"""WITH ${strongEdgeCtes("e")},
         |deg AS (SELECT v, count(*) d FROM (
         |    SELECT a v FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
         |hist AS (SELECT d degree, count(*) n_nodes FROM deg GROUP BY 1),

@@ -377,8 +377,7 @@ object Graph {
       .filter(col("w") >= 2 && col("s") < col("t"))
       .select(col("s").as("a"), col("t").as("b")), None)
     val nEdges = e.count() // driver scalar for the summary row
-    val deg = e.select(col("a").as("v")).unionByName(e.select(col("b").as("v")))
-      .groupBy("v").agg(count(lit(1)).as("d"))
+    val deg = degreesOf(e)
     val wedgeAgg = deg.agg(
       sum(expr("d * (d - 1) div 2")).as("wedges"),
       count(lit(1)).as("n_nodes"))
@@ -412,8 +411,7 @@ object Graph {
     val e = copurchaseEdges(spark, dir)
       .filter(col("w") >= 2 && col("s") < col("t"))
       .select(col("s").as("a"), col("t").as("b"))
-    val deg = e.select(col("a").as("v")).unionByName(e.select(col("b").as("v")))
-      .groupBy("v").agg(count(lit(1)).as("d"))
+    val deg = degreesOf(e)
     val hist = deg.groupBy(col("d").as("degree"))
       .agg(count(lit(1)).as("n_nodes"))
     val tot = hist.agg(sum(col("n_nodes")).as("tn"))
@@ -423,6 +421,13 @@ object Graph {
           .as("node_share"))
       .orderBy("degree")
   }
+
+  /** Endpoint-degree frame of an (a, b) edge list — the map-combinable
+    * count every census op shares (one row per endpoint occurrence, no
+    * adjacency concentration). */
+  private def degreesOf(e: DataFrame): DataFrame =
+    e.select(col("a").as("v")).unionByName(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
 
   /** Neighborhood Jaccard similarity of connected part pairs in the
     * strong co-purchase graph (same w ≥ 2 edge set as the other graph
@@ -450,7 +455,7 @@ object Graph {
       .select(col("s").as("a"), col("t").as("b")), None)
     val adj = e.select(col("a").as("v"), col("b").as("n"))
       .unionByName(e.select(col("b").as("v"), col("a").as("n")))
-    val deg = adj.groupBy("v").agg(count(lit(1)).as("d"))
+    val deg = degreesOf(e)
     val common = e
       .join(adj.select(col("v").as("a"), col("n").as("x")), "a")
       .join(adj.select(col("v").as("b"), col("n").as("x")), Seq("b", "x"))
@@ -494,28 +499,30 @@ object Graph {
     var e = truncate(copurchaseEdges(spark, dir)
       .filter(col("w") >= 2 && col("s") < col("t"))
       .select(col("s").as("a"), col("t").as("b")), None)
+    var deg = degreesOf(e)
     var rounds = 0
     var converged = false
     while (!converged) {
-      if (rounds >= KcoreIters)
-        throw new IllegalStateException(
-          s"kcore peel did not converge in $KcoreIters rounds — raise " +
-            "Graph.KcoreIters AND regenerate the unrolled oracle depth")
-      val deg = e.select(col("a").as("v"))
-        .unionByName(e.select(col("b").as("v")))
-        .groupBy("v").agg(count(lit(1)).as("d"))
       val bad = truncate(deg.filter(col("d") < k).select("v"), None)
       if (bad.isEmpty) converged = true
       else {
+        // throw only when a FURTHER peel past the oracle depth is
+        // actually needed: a graph converging in exactly KcoreIters
+        // rounds is inside the unrolled oracle's reach (review catch —
+        // the old top-of-loop guard rejected it one round early)
+        if (rounds >= KcoreIters)
+          throw new IllegalStateException(
+            s"kcore peel did not converge in $KcoreIters rounds — raise " +
+              "Graph.KcoreIters AND regenerate the unrolled oracle depth")
         e = truncate(
           e.join(bad.select(col("v").as("a")), Seq("a"), "left_anti")
             .join(bad.select(col("v").as("b")), Seq("b"), "left_anti")
             .select("a", "b"), None)
         rounds += 1
+        deg = degreesOf(e)
       }
     }
-    val deg = e.select(col("a").as("v")).unionByName(e.select(col("b").as("v")))
-      .groupBy("v").agg(count(lit(1)).as("d"))
+    // `deg` is the final round's frame — no post-loop recompute
     val nodeAgg = deg.agg(
       count(lit(1)).as("core_nodes"), min(col("d")).as("min_core_degree"))
     e.agg(count(lit(1)).as("core_edges"))
@@ -552,8 +559,7 @@ object Graph {
     val e = copurchaseEdges(spark, dir)
       .filter(col("w") >= 2 && col("s") < col("t"))
       .select(col("s").as("a"), col("t").as("b"))
-    val deg = e.select(col("a").as("v")).unionByName(e.select(col("b").as("v")))
-      .groupBy("v").agg(count(lit(1)).as("d"))
+    val deg = degreesOf(e)
     val nodes = deg.agg(count(lit(1)).as("n_nodes"))
     val dd = e.join(deg.select(col("v").as("a"), col("d").as("da")), "a")
       .join(deg.select(col("v").as("b"), col("d").as("db")), "b")

@@ -793,11 +793,18 @@ object Vectors {
         !exists(col("embedding"), v => v.isNull))
       .select(transform(col("embedding"), v =>
         round(round(v.cast("double"), 6) * 1e6, 0).cast("long")).as("value"))
-    em.as(org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]())
+    gramOf(em)
+  }
+
+  /** GramAgg collapse tail shared by [[gramFrame]] (quantized values)
+    * and [[spearmanRedundancy]] (rank vectors): one typed one-pass
+    * aggregate over an Array[Long] `value` column, empty-state rows
+    * dropped (review catch — the tail was duplicated). */
+  private def gramOf(values: DataFrame): DataFrame =
+    values.as(org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]())
       .select(new graft.functions.GramAgg().toColumn)
       .toDF("g")
       .filter(size(col("g")) > 0)
-  }
 
   /** Shared unpack of [[graft.functions.GramAgg]]'s flat state into
     * per-dim-pair cleared-denominator Pearson moments (num, denx,
@@ -885,11 +892,7 @@ object Vectors {
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("r2")))),
         x => x.getField("r2")).as("value"))
       .select("value")
-    val gram = arr
-      .as(org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]())
-      .select(new graft.functions.GramAgg().toColumn)
-      .toDF("g")
-      .filter(size(col("g")) > 0)
+    val gram = gramOf(arr)
       .withColumn("d", element_at(col("g"), 1).cast("int"))
     pearsonTop20(gramPairMoments(gram), "rho")
   }

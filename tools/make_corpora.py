@@ -22,8 +22,10 @@ reproducible:
   fuzz03  sf0.001 + events.value − 300 where event_id % 5 < 3 (~60% of rows
           negative) — the SIGN vector for every ratioRound/ratioScaled
           closure.
-  sfx     sf0.1 inflated ~10× by key-offset replication so every size gate
-          actually CROSSES (part ×20, orders ×11, lineitem ×10, events ×10,
+  sfx     sf0.1 inflated by key-offset replication so every size gate
+          actually CROSSES (part ×540 and orders ×52, both UNCOMPRESSED,
+          sized to pass the 256 MiB SinglePassBytes gate on the CURRENT
+          corpus; lineitem ×10, events ×10,
           customer ×11, supplier ×10, embeddings ×30 with a per-replica
           first-dim perturbation — identical replicated vectors would plant
           duplicate k-means seeds, the round-14 lesson) plus 50 000
