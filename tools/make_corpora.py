@@ -29,7 +29,12 @@ reproducible:
           customer ×11, supplier ×10, embeddings ×30 with a per-replica
           first-dim perturbation — identical replicated vectors would plant
           duplicate k-means seeds, the round-14 lesson) plus 50 000
-          synthesized documents with planted exact-dup and near-dup bands.
+          synthesized documents with planted exact-dup and near-dup bands -
+          spread over 50 sources with ~40-60-token texts: the within-source
+          all-pairs oracles (ngram_jaccard/containment run at 50k docs,
+          inside their 100k gate) cost sources * C(docs/source, 2) pairs
+          in single-node DuckDB, and a 5-source long-doc layout made one
+          oracle run for hours.
 
 Oracles run over the SAME mutated files via tools/compare.py, so the corpora
 only need self-consistency, not bit-identity with any historical build.
@@ -198,24 +203,24 @@ def sfx(root):
           CASE
             WHEN id % 100 < 5 THEN
               'band ' || CAST(id // 1000 AS VARCHAR) || ' ' ||
-              list_aggregate(list_transform(range(120),
+              list_aggregate(list_transform(range(60),
                 x -> 'w' || CAST((id // 1000 * 7 + x * 13) % 997 AS VARCHAR)),
                 'string_agg', ' ')
             WHEN id % 100 < 10 THEN
               'band ' || CAST(id // 1000 AS VARCHAR) || ' ' ||
-              list_aggregate(list_transform(range(120),
+              list_aggregate(list_transform(range(60),
                 x -> CASE WHEN x = id % 100 THEN 'u' || CAST(id AS VARCHAR)
                      ELSE 'w' || CAST((id // 1000 * 7 + x * 13) % 997
                        AS VARCHAR) END),
                 'string_agg', ' ')
             ELSE
-              list_aggregate(list_transform(range(80),
+              list_aggregate(list_transform(range(40),
                 x -> 'v' || CAST((id * 31 + x * 17) % 99991 AS VARCHAR)),
                 'string_agg', ' ')
           END AS "text"
           FROM ids)
         SELECT CAST(id AS BIGINT) doc_id, text, 'en' lang,
-          'src' || CAST(id % 5 AS VARCHAR) source,
+          'src' || CAST(id % 50 AS VARCHAR) source,
           CAST(length(text) AS BIGINT) n_chars
         FROM t""", dst, "documents")
     print(f"built {dst}")
