@@ -1240,11 +1240,17 @@ object SparkEntry {
     "sample_mix" ->
       // portable md5-bucket uniform vs per-source weight 1 − 0.045·idx;
       // '0x'-cast here ≡ conv(,16,10) on the Spark side (bit-identical,
-      // the train_test_split pattern)
+      // the train_test_split pattern). The weight applies ONLY to the
+      // op's pinned 20-entry map (src0..src19) — any other source gets
+      // mixSourcesPortable's fold default −1 and drops; the old oracle
+      // extrapolated the formula to ANY index and silently diverged on
+      // a >20-source corpus (caught by the 50-source 10× rebuild)
       """WITH b AS (SELECT source, n_chars,
         |    CAST(('0x' || substr(md5('mix:42:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
         |      % 1000000 / 1000000.0 u,
-        |    1.0 - 0.045 * CAST(substr(source, 4) AS INT) w
+        |    CASE WHEN TRY_CAST(substr(source, 4) AS INT) < 20
+        |      THEN 1.0 - 0.045 * CAST(substr(source, 4) AS INT)
+        |      ELSE -1.0 END w
         |  FROM documents)
         |SELECT source, count(*) n, CAST(sum(n_chars) AS BIGINT) chars
         |FROM b WHERE u < w GROUP BY 1 ORDER BY 1""".stripMargin,
