@@ -28,6 +28,7 @@ object SparkEntry {
     "recon_incremental"        -> (Recon.incrementalDiffOrders _),
     "recon_stream_hash_diff"   -> (Recon.streamHashDiffParity _),
     "recon_sample_diff"        -> (Recon.sampleDiffOrders _),
+    "recon_freshness"          -> (Recon.freshness _),
     "streaming_mix_drift"      -> (Events.mixDriftParity _),
     "streaming_streak_alerts"  -> (Recon.streakAlertsParity _),
     "streaming_topk"           -> (Relational.minkTopkParity _),
@@ -387,7 +388,7 @@ object SparkEntry {
     "text_simpson_diversity", "text_char_class_profile", "json_props_audit",
     "graph_node_jaccard", "graph_kcore", "events_runs_test",
     "embed_spearman_redundancy", "recon_sample_diff",
-    "graph_assortativity", "vocab_coverage_curve")
+    "graph_assortativity", "vocab_coverage_curve", "recon_freshness")
 
   /** DuckDB re-derivation of the ENTIRE [[graft.ops.Vectors.pcaPower]]
     * pipeline: the exact Gram sums (the dim_correlation CTEs), the
@@ -4350,6 +4351,27 @@ object SparkEntry {
         |  round(count(*) / sum(1.0 / l_quantity), 4) harm_mean,
         |  round(avg(l_quantity), 4) arith_mean, count(*) n
         |FROM lineitem WHERE l_quantity > 0 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "recon_freshness" ->
+      // exact integer microseconds throughout: staleness is one
+      // truncating integral division (// ≡ div), the 24-h share rides
+      // the ratioRound twin, the presented instant truncates to whole
+      // seconds (§7.4.2)
+      """WITH e AS (SELECT event_type, epoch_us(ts) us FROM events),
+        |g AS (SELECT max(us) gmax FROM e),
+        |a AS (SELECT event_type, CAST(count(*) AS BIGINT) n,
+        |    max(us) mus,
+        |    CAST(sum(CASE WHEN us >= gmax - 86400000000 THEN 1 ELSE 0 END)
+        |      AS BIGINT) n24,
+        |    max(gmax) gmax
+        |  FROM e CROSS JOIN g GROUP BY 1)
+        |SELECT event_type, n,
+        |  date_trunc('second', make_timestamp(mus)) last_ts,
+        |  CAST((gmax - mus) // 1000000 AS BIGINT) staleness_s, n24,
+        |  CAST((2 * CAST(n24 AS HUGEINT) * 1000000 + n)
+        |    // (2 * CAST(n AS HUGEINT)) AS DOUBLE) / 1e6 share_last_24h,
+        |  (gmax - mus) // 1000000 > 21600 stale
+        |FROM a ORDER BY event_type""".stripMargin,
 
     "recon_sample_diff" ->
       // content-keyed 1/16 sample (md5 first hex digit '0' — both

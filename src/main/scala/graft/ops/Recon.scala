@@ -617,6 +617,40 @@ object Recon {
       .orderBy("status")
   }
 
+  /** Load-freshness audit per event type — the "is the feed alive"
+    * check a recon suite runs BEFORE any content compare is meaningful
+    * (a stale partition passes every hash check against its equally
+    * stale snapshot): per type, the last event instant, staleness
+    * behind the corpus-wide latest instant, and the share of the
+    * type's rows inside the global last-24h window. `stale` flags
+    * types more than 6 h behind — a producer whose feed died shows up
+    * here a day before its rowcount drifts.
+    *
+    * Everything is exact integer microseconds (unix_micros ↔
+    * epoch_us): staleness is one truncating integral division (div ≡
+    * //), the 24-h share rides [[ratioRound]], and the presented
+    * instant truncates to whole seconds (the §7.4.2 timestamp rule).
+    * One 1-row global-max broadcast onto the scan, one type-keyed
+    * map-combined aggregate; output rows = event types. */
+  def freshness(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"))
+    val g = ev.agg(max(col("us")).as("gmax"))
+    val a = ev.crossJoin(broadcast(g))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), max(col("us")).as("mus"),
+        sum(when(col("us") >= col("gmax") - 86400000000L, 1L)
+          .otherwise(0L)).as("n24"),
+        first(col("gmax")).as("gmax"))
+    a.select(col("event_type"), col("n"),
+        date_trunc("second", timestamp_micros(col("mus"))).as("last_ts"),
+        expr("(gmax - mus) div 1000000").as("staleness_s"),
+        col("n24"),
+        ratioRound(col("n24"), col("n"), 6).as("share_last_24h"),
+        (expr("(gmax - mus) div 1000000") > 21600L).as("stale"))
+      .orderBy("event_type")
+  }
+
   /** Config-driven multi-table reconciliation — the daily-run driver
     * surface: N [[TablePair]] entries in, ONE consolidated report out
     * (table, check, src_v, tgt_v, ok; six checks per pair: rowcount,

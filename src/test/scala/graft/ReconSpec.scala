@@ -708,6 +708,25 @@ class ReconSpec extends GraftSpec {
       ((li.length.toLong, li.distinct.length.toLong)))
   }
 
+  test("freshness: staleness, 24h share and the stale flag from planted instants") {
+    val spark0 = spark
+    import spark0.implicits._
+    val d = s"$tmpDir/freshfix"
+    val b = 1735689600L
+    def ev(id: Long, typ: String, hour: Long) =
+      EventsFixture.RawEv(id, (b + hour * 3600) * 1000000000L, 1L, typ, 1.0, null)
+    // a: hours 0/30/50 (gmax anchor, 2 of 3 rows inside the last 24 h);
+    // b: hour 10 only → 40 h behind (stale), nothing in the window
+    Seq(ev(1, "a", 0), ev(2, "a", 30), ev(3, "a", 50), ev(4, "b", 10))
+      .toDF().write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = Recon.freshness(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getTimestamp(2).getTime,
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getBoolean(6)))
+    assert(got.toSeq === Seq(
+      ("a", 3L, (b + 50 * 3600) * 1000L, 0L, 2L, 0.666667, false),
+      ("b", 1L, (b + 10 * 3600) * 1000L, 144000L, 0L, 0.0, true)))
+  }
+
   test("sample diff: driver md5-membership recount reproduces every status count") {
     // independent reimplementation: same md5-prefix membership, drop
     // moduli, and decimal mismatch rule in plain Scala over the
