@@ -474,8 +474,12 @@ object Graph {
     * exactly this many peel rounds, and the Spark loop throws past it
     * (the ComponentsIters coupling). Peeling is confluent — once the
     * Spark side converges in ≤ this many rounds, extra oracle rounds
-    * are no-ops, so fixed-depth equality is exact. */
-  private[graft] val KcoreIters = 16
+    * are no-ops, so fixed-depth equality is exact. Measured depth on
+    * the current corpus family: ≤ 10 rounds (sf0.01's 935-node 3-core
+    * is the deepest; sf0.1's strong graph fully peels in 2), so 24
+    * keeps the ComponentsIters-style ≥ 2× headroom against a regen
+    * with a longer peel cascade. */
+  private[graft] val KcoreIters = 24
 
   /** k-core summary of the strong co-purchase graph (k = 3): peel
     * nodes of degree < k until none remain, report the surviving core
