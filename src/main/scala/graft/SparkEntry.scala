@@ -826,6 +826,88 @@ object SparkEntry {
        |FROM ap GROUP BY source ORDER BY source""".stripMargin
   }
 
+  /** [[graft.ops.Text.jsDivergence]]'s oracle — GENERATED, not
+    * hand-spelled, because the point of the round-17 rewrite is that
+    * both engines consume the same literal log₂ lattice
+    * ([[graft.ops.Text.JsLog2TableNano]]) and the same unrolled
+    * exponent-search steps ([[graft.ops.Text.JsLog2Steps]]): the list
+    * literal and the chained CASE levels below render from the SAME
+    * Scala constants the Spark plan embeds, so no runtime libm call
+    * remains for the driver's DuckDB build to disagree with (the
+    * rounds-14..16 hash-mismatch mechanism — its log2() ulps differ
+    * from the JVM's). Spelling notes: kp/mp (kq/mq) accumulate the
+    * mantissa exponent exactly as Text.withLog2Micro's when-chain
+    * does (each level reads the previous level's m); `up`/`uq` put
+    * the mantissa on the 1/1000 grid; the interpolation and the
+    * /1000 fold are the house half-away integer spellings; the term
+    * tail and final select are the round-16 text unchanged. */
+  private def jsDivergenceSql: String = {
+    val tbl = graft.ops.Text.JsLog2TableNano.mkString("[", ", ", "]")
+    val s0 = """SELECT source, cs, cg, na, ng, den, np, nq,
+        CAST(0 AS HUGEINT) kp, CAST(1 AS HUGEINT) mp,
+        CAST(0 AS HUGEINT) kq, CAST(1 AS HUGEINT) mq
+      FROM base"""
+    val chain = graft.ops.Text.JsLog2Steps.foldLeft(s0) { (inner, st) =>
+      val p2 = 1L << st
+      s"""SELECT source, cs, cg, na, ng, den, np, nq,
+        CASE WHEN np * mp * $p2 <= den THEN kp + $st ELSE kp END kp,
+        CASE WHEN np * mp * $p2 <= den THEN mp * $p2 ELSE mp END mp,
+        CASE WHEN nq * mq * $p2 <= den THEN kq + $st ELSE kq END kq,
+        CASE WHEN nq * mq * $p2 <= den THEN mq * $p2 ELSE mq END mq
+      FROM ($inner)"""
+    }
+    s"""WITH toks AS (SELECT source, tok FROM (
+       |    SELECT source, unnest(string_split(lower(text), ' ')) tok
+       |    FROM documents) WHERE tok <> ''),
+       |sc AS MATERIALIZED (SELECT source, tok, count(*) cs FROM toks GROUP BY 1, 2),
+       |gc AS MATERIALIZED (SELECT tok, sum(cs) cg FROM sc GROUP BY 1),
+       |na AS (SELECT source, sum(cs) na FROM sc GROUP BY 1),
+       |ng AS (SELECT sum(cg) ng FROM gc),
+       |base AS (SELECT sc.source, sc.cs, gc.cg, na.na, ng.ng,
+       |    CAST(sc.cs AS HUGEINT) * ng + CAST(gc.cg AS HUGEINT) * na AS den,
+       |    CAST(sc.cs AS HUGEINT) * ng * 2 AS np,
+       |    CAST(gc.cg AS HUGEINT) * na * 2 AS nq
+       |  FROM sc JOIN gc USING (tok) JOIN na USING (source) CROSS JOIN ng),
+       |tt AS (SELECT $tbl t),
+       |lg AS (SELECT *,
+       |    CASE WHEN np >= den THEN CAST(0 AS HUGEINT) ELSE kp + 1 END sp,
+       |    CASE WHEN np >= den THEN np * 1000 ELSE np * mp * 2000 END up,
+       |    CASE WHEN nq >= den THEN CAST(0 AS HUGEINT) ELSE kq + 1 END sq,
+       |    CASE WHEN nq >= den THEN nq * 1000 ELSE nq * mq * 2000 END uq
+       |  FROM ($chain)),
+       |iv AS (SELECT source, cs, cg, na, ng, den, sp, sq, up, uq,
+       |    up // den ip, uq // den iq FROM lg),
+       |tv AS (SELECT iv.*,
+       |    t[CAST(ip - 999 AS INT)] tp0, t[CAST(ip - 998 AS INT)] tp1,
+       |    t[CAST(iq - 999 AS INT)] tq0, t[CAST(iq - 998 AS INT)] tq1
+       |  FROM iv CROSS JOIN tt),
+       |nn AS (SELECT source, cs, cg, na, ng,
+       |    tp0 + (2 * (up - ip * den) * (tp1 - tp0) + den) // (2 * den)
+       |      - sp * 1000000000 lpn,
+       |    tq0 + (2 * (uq - iq * den) * (tq1 - tq0) + den) // (2 * den)
+       |      - sq * 1000000000 lqn
+       |  FROM tv),
+       |m6 AS (SELECT source, cs, cg, na, ng,
+       |    CASE WHEN lpn >= 0 THEN (2 * lpn + 1000) // 2000
+       |         ELSE -((2 * (-lpn) + 1000) // 2000) END lp6u,
+       |    CASE WHEN lqn >= 0 THEN (2 * lqn + 1000) // 2000
+       |         ELSE -((2 * (-lqn) + 1000) // 2000) END lq6u
+       |  FROM nn),
+       |j AS (SELECT source, na, ng, cg,
+       |    CAST((CASE WHEN tnum >= 0 THEN 1 ELSE -1 END)
+       |      * ((2 * abs(tnum) + tden) // (2 * tden)) AS BIGINT) t6u
+       |  FROM (SELECT source, na, ng, cg,
+       |      CAST(cs AS HUGEINT) * lp6u * ng
+       |        + CAST(cg AS HUGEINT) * lq6u * na tnum,
+       |      2 * CAST(na AS HUGEINT) * ng tden
+       |    FROM m6))
+       |SELECT source, max(na) AS n_tokens, CAST(count(*) AS BIGINT) AS vocab,
+       |  CAST(sum(t6u)
+       |      + (2 * CAST(max(ng) - sum(cg) AS HUGEINT) * 1000000 + 2 * max(ng))
+       |        // (4 * CAST(max(ng) AS HUGEINT)) AS DOUBLE) / 1e6 AS jsd
+       |FROM j GROUP BY source ORDER BY source""".stripMargin
+  }
+
   /** DuckDB twin of [[graft.ops.Recon.schemaDriftDisk]]: DESCRIBE over
     * each table view re-derives the actual on-disk types, a CASE folds
     * DuckDB's type vocabulary onto Spark's simpleString canon
@@ -1245,11 +1327,17 @@ object SparkEntry {
       // op's pinned 20-entry map (src0..src19) — any other source gets
       // mixSourcesPortable's fold default −1 and drops; the old oracle
       // extrapolated the formula to ANY index and silently diverged on
-      // a >20-source corpus (caught by the 50-source 10× rebuild)
+      // a >20-source corpus (caught by the 50-source 10× rebuild).
+      // Membership is EXACT-STRING: the reconstruction equality
+      // source = 'src' || idx rejects non-canonical spellings ('src05',
+      // 'foo5') that a suffix-only TRY_CAST would silently weight
+      // (round-16 advice), and BETWEEN pins the map's 0..19 domain
       """WITH b AS (SELECT source, n_chars,
         |    CAST(('0x' || substr(md5('mix:42:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
         |      % 1000000 / 1000000.0 u,
-        |    CASE WHEN TRY_CAST(substr(source, 4) AS INT) < 20
+        |    CASE WHEN TRY_CAST(substr(source, 4) AS INT) BETWEEN 0 AND 19
+        |        AND source = 'src' ||
+        |          CAST(TRY_CAST(substr(source, 4) AS INT) AS VARCHAR)
         |      THEN 1.0 - 0.045 * CAST(substr(source, 4) AS INT)
         |      ELSE -1.0 END w
         |  FROM documents)
@@ -2530,43 +2618,7 @@ object SparkEntry {
         |  END nonrandom
         |FROM x ORDER BY event_type""".stripMargin,
     "events_markov_stationary" -> markovSql,
-    "text_js_divergence" ->
-      // per-log2 6-dp rounds over EXACT integer-ratio arguments
-      // (p/m = 2·cs·ng/(cs·ng+cg·na), HUGEINT ≡ DECIMAL(38,0)); from
-      // there INTEGER-ONLY (round 16 — the term round and the
-      // absent-mass closure were raw int/int double rounds, the
-      // ratioRound tie class, and split the driver two rounds
-      // running): t6µ = half-away((cs·lp6µ·ng + cg·lq6µ·na) /
-      // (2·na·ng)) in HUGEINT, absent mass = half-away((ng −
-      // Σ_present cg)·1e6 / (2·ng)), one exact micro-long sum, one
-      // final long→double division — no round() in the tail
-      """WITH toks AS (SELECT source, tok FROM (
-        |    SELECT source, unnest(string_split(lower(text), ' ')) tok
-        |    FROM documents) WHERE tok <> ''),
-        |sc AS MATERIALIZED (SELECT source, tok, count(*) cs FROM toks GROUP BY 1, 2),
-        |gc AS MATERIALIZED (SELECT tok, sum(cs) cg FROM sc GROUP BY 1),
-        |na AS (SELECT source, sum(cs) na FROM sc GROUP BY 1),
-        |ng AS (SELECT sum(cg) ng FROM gc),
-        |j AS (SELECT source, na, ng, cg,
-        |    CAST((CASE WHEN tnum >= 0 THEN 1 ELSE -1 END)
-        |      * ((2 * abs(tnum) + tden) // (2 * tden)) AS BIGINT) t6u
-        |  FROM (SELECT source, na, ng, cg,
-        |      CAST(cs AS HUGEINT) * CAST(round(lp6 * 1e6) AS BIGINT) * ng
-        |        + CAST(cg AS HUGEINT) * CAST(round(lq6 * 1e6) AS BIGINT) * na tnum,
-        |      2 * CAST(na AS HUGEINT) * ng tden
-        |    FROM (SELECT source, cs, cg, na, ng,
-        |        round(log2(CAST(csng * 2 AS DOUBLE) / CAST(den AS DOUBLE)), 6) lp6,
-        |        round(log2(CAST(cgna * 2 AS DOUBLE) / CAST(den AS DOUBLE)), 6) lq6
-        |      FROM (SELECT sc.source, sc.cs, gc.cg, na.na, ng.ng,
-        |          CAST(sc.cs AS HUGEINT) * ng csng,
-        |          CAST(gc.cg AS HUGEINT) * na cgna,
-        |          CAST(sc.cs AS HUGEINT) * ng + CAST(gc.cg AS HUGEINT) * na den
-        |        FROM sc JOIN gc USING (tok) JOIN na USING (source) CROSS JOIN ng))))
-        |SELECT source, max(na) AS n_tokens, CAST(count(*) AS BIGINT) AS vocab,
-        |  CAST(sum(t6u)
-        |      + (2 * CAST(max(ng) - sum(cg) AS HUGEINT) * 1000000 + 2 * max(ng))
-        |        // (4 * CAST(max(ng) AS HUGEINT)) AS DOUBLE) / 1e6 AS jsd
-        |FROM j GROUP BY source ORDER BY source""".stripMargin,
+    "text_js_divergence" -> jsDivergenceSql,
     "graph_triangles" ->
       // sorted-triple orientation (a < b < c) generates each triangle
       // exactly once; wedges = Σ d·(d−1)/2 exact longs; the one double
@@ -3407,9 +3459,10 @@ object SparkEntry {
 
     "lineitem_price_index" ->
       // Laspeyres/Paasche/Fisher vs the first month: revenue in exact
-      // 1e-4 longs, quantities in micro longs; each cross-product term
-      // is ONE identically-spelled double chain rounded 6dp into
-      // micro-longs before the exact sums; base month = 1.0 exactly
+      // 1e-4 longs, quantities in micro longs; base month = 1.0
+      // exactly. lden/pnum are exact multiplies (ratioScaled(rev·q·100,
+      // q) ≡ rev·100 — the round-16 identity-division finding); only
+      // lnum/pden pay a 128-bit half-away division
       """WITH pm AS MATERIALIZED (
         |  SELECT l_partkey p, date_trunc('month', l_shipdate) m,
         |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) * 10000 AS BIGINT)
@@ -3422,11 +3475,8 @@ object SparkEntry {
         |j AS (SELECT pm.m,
         |    CAST((2 * CAST(pm.rev4 AS HUGEINT) * base.qty06 * 100 + pm.qty6)
         |      // (2 * CAST(pm.qty6 AS HUGEINT)) AS BIGINT) lnum,
-        |    CAST((2 * CAST(base.rev04 AS HUGEINT) * base.qty06 * 100
-        |        + base.qty06)
-        |      // (2 * CAST(base.qty06 AS HUGEINT)) AS BIGINT) lden,
-        |    CAST((2 * CAST(pm.rev4 AS HUGEINT) * pm.qty6 * 100 + pm.qty6)
-        |      // (2 * CAST(pm.qty6 AS HUGEINT)) AS BIGINT) pnum,
+        |    CAST(base.rev04 * 100 AS BIGINT) lden,
+        |    CAST(pm.rev4 * 100 AS BIGINT) pnum,
         |    CAST((2 * CAST(base.rev04 AS HUGEINT) * pm.qty6 * 100 + base.qty06)
         |      // (2 * CAST(base.qty06 AS HUGEINT)) AS BIGINT) pden
         |  FROM pm JOIN base USING (p)),

@@ -101,6 +101,18 @@ object Events {
     * each decidable identically on both engines (blank is a trim
     * test; yields-int64 is the JsonGetLong contract, oracle twin
     * `json_valid` + `json_type IN ('BIGINT','UBIGINT')` + `TRY_CAST`).
+    *
+    * EXPLICIT ORACLE BOUNDARY (the non-canonical-number precedent,
+    * round-16 advice): yields-int64 agrees across engines only for
+    * props that are either whole-document-valid JSON or malformed AT
+    * OR BEFORE the `$.k` match point. A valid-prefix/malformed-tail
+    * document ('{"k":5' truncated, '{"k":5}x' garbage tail,
+    * '{"k":5,"j":tru}' bad later member) yields 5 from the scanner
+    * (first match wins — the documented, tested JsonGetLong contract
+    * that keeps the scan single-pass and codegen-hot) but fails the
+    * twin's whole-document json_valid. No current corpus, fuzz
+    * matrix, or producer emits that shape; a pipeline whose producers
+    * can must audit with get_json_object parity instead.
     * Shares present through [[graft.ops.Recon.ratioRound]]; k
     * aggregates are exact longs over the usable rows.
     *

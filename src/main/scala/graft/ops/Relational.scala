@@ -2239,7 +2239,12 @@ object Relational {
     * (part-sized both sides, exchange reused from the same collapse),
     * and the result is months-sized. */
   def priceIndex(spark: SparkSession, dir: String): DataFrame = {
+    // explicit not-null (vacuous on this data): the join branches
+    // INFER isnotnull(l_partkey) and the b0 branch doesn't — spelling
+    // it out keeps all three consumers on one identical scan subtree
+    // so the (p,m) collapse exchange is computed once and reused
     val pm = Tables.lineitem(spark, dir)
+      .filter(col("l_partkey").isNotNull)
       .groupBy(col("l_partkey").as("p"),
         date_trunc("month", col("l_shipdate")).as("m"))
       .agg(sum(Recon.cents(col("l_extendedprice"))).as("rev4"),
@@ -2248,17 +2253,43 @@ object Relational {
       // a zero-quantity basket has no unit price — and unguarded it is
       // the IEEE split (Spark x/0 → Inf-then-ANSI-throw, DuckDB → NULL)
       .filter(col("qty6") > 0)
-    val b0 = pm.agg(min(col("m")).as("m0"))
-    val base = pm.crossJoin(broadcast(b0)).filter(col("m") === col("m0"))
-      .select(col("p"), col("rev4").as("rev04"), col("qty6").as("qty06"))
+    // min(struct) orders by m first, so m0 = min month exactly — the
+    // struct exists to keep rev4/qty6 REFERENCED: a bare min(m) lets
+    // column pruning shrink this branch's scan to 3 columns, which
+    // breaks subtree equality and costs a third full (p,m) collapse
+    // instead of a ReusedExchange (round-17 plan audit)
+    val b0 = pm.agg(min(struct(col("m"), col("rev4"), col("qty6"))).as("s"))
+      .select(col("s").getField("m").as("m0"))
+    // the base basket rides a partition-by-part WINDOW, not a self-join
+    // (round-17 plan rework): the old pm⋈base join recomputed the (p,m)
+    // collapse per branch (subtree-equality breaks from inferred
+    // filters) and left AQE free to broadcast the BIGGER derived side;
+    // the window spelling costs exactly one exchange of the part-month
+    // frame by p, reuses the collapse for b0, and never broadcasts a
+    // data-sized frame at any SF. max(when(m = m0)) over the part is
+    // the base row's value (null-safe <=> keeps the predicate from
+    // inferring per-branch not-null filters); parts absent in the base
+    // month drop, mirroring the old inner join.
+    val w = Window.partitionBy("p")
+    val withBase = pm.crossJoin(broadcast(b0))
+      .withColumn("rev04",
+        max(when(col("m") <=> col("m0"), col("rev4"))).over(w))
+      .withColumn("qty06",
+        max(when(col("m") <=> col("m0"), col("qty6"))).over(w))
+      .filter(col("qty06").isNotNull)
     def term(revC: Column, qtyC: Column, wC: Column): Column =
       Recon.ratioScaled(
         revC.cast(DecimalType(38, 0)) * wC * 100, qtyC, 0)
-    val j = pm.join(base, "p")
+    // lden and pnum are algebraic identities — ratioScaled(rev·q·100, q)
+    // ≡ rev·100 exactly (the half-away round of an exact integer is
+    // itself), so they are plain long multiplies, not 128-bit decimal
+    // divisions (round-16 verdict: the two identity divisions were ~half
+    // the op's per-row cost). Only lnum and pden divide.
+    val j = withBase
       .select(col("m"),
         term(col("rev4"), col("qty6"), col("qty06")).as("lnum"),
-        term(col("rev04"), col("qty06"), col("qty06")).as("lden"),
-        term(col("rev4"), col("qty6"), col("qty6")).as("pnum"),
+        (col("rev04") * 100).as("lden"),
+        (col("rev4") * 100).as("pnum"),
         term(col("rev04"), col("qty06"), col("qty6")).as("pden"))
     val lr = col("lnum").cast("double") / col("lden")
     val pr = col("pnum").cast("double") / col("pden")

@@ -1555,6 +1555,77 @@ object Text {
       .orderBy("src_a", "src_b")
   }
 
+  /** log₂ lattice shared verbatim by [[jsDivergence]] and its DuckDB
+    * oracle twin (SparkEntry.jsDivergenceSql renders the SQL list
+    * literal from THIS array): T[k] = round(log₂(i/1000)·10⁹) for the
+    * mantissa grid i = 1000..2001 (the 2001 entry covers the exact
+    * s = 2 endpoint's i+1 lookup). Computed once at class init with
+    * JVM libm and embedded as literals on BOTH engines — at runtime
+    * the engines only consume identical integer constants, so no
+    * libm call exists for a cross-build ulp to split on (the
+    * rounds-14..16 driver-mismatch mechanism). */
+  private[graft] val JsLog2TableNano: Array[Long] =
+    (1000 to 2001).map(i =>
+      Math.round(math.log(i / 1000.0) / math.log(2.0) * 1e9)).toArray
+
+  /** Exponent-search steps for [[withLog2Micro]]'s mantissa
+    * normalization: greedy subset sums cover every exponent 0..47
+    * (each step ≤ sum(later)+1), and splitting the 32-step into two
+    * 16s caps every comparison at den·2¹⁶ — that is what keeps the
+    * 128-bit envelope at ~10¹⁵ corpus tokens. Mirrored verbatim by
+    * the oracle generator. */
+  private[graft] val JsLog2Steps: Seq[Int] = Seq(16, 16, 8, 4, 2, 1)
+
+  /** Truncating integer division (Spark's `div`) — exact on
+    * DECIMAL(38,0) operands, returns long. */
+  private def intDiv(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.ExprBridge.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.graftbridge.ExprBridge.expression(a),
+        org.apache.spark.sql.graftbridge.ExprBridge.expression(b)))
+
+  /** Adds column `<pre>6u` = micro-units of log₂(num/den), for a
+    * ratio strictly inside (0, 2], evaluated ENTIRELY in integer
+    * arithmetic over the shared [[JsLog2TableNano]] lattice — see
+    * [[jsDivergence]]'s docstring for the scheme, error bound and
+    * the cross-engine-determinism argument. `num` and `den` must be
+    * positive DECIMAL(38,0) columns; every intermediate stays a
+    * projection (no shuffle, whole-stage-codegen friendly). */
+  private def withLog2Micro(df0: DataFrame, pre: String,
+                            num: Column, den: Column): DataFrame = {
+    val tbl = typedLit(JsLog2TableNano)
+    var df = df0.withColumn(s"${pre}_k", lit(0L))
+      .withColumn(s"${pre}_m", lit(1L).cast(dec38))
+    for (st <- JsLog2Steps) {
+      // both updates read the PRE-step m: largest k with num·2^k ≤ den
+      val take = num * col(s"${pre}_m") * (1L << st) <= den
+      df = df
+        .withColumn(s"${pre}_k",
+          when(take, col(s"${pre}_k") + st).otherwise(col(s"${pre}_k")))
+        .withColumn(s"${pre}_m",
+          when(take, col(s"${pre}_m") * (1L << st)).otherwise(col(s"${pre}_m")))
+    }
+    // ratio ≥ 1 needs no shift (mantissa is the ratio itself); else
+    // shift = k+1 puts the mantissa in (1, 2]
+    val shift = when(num >= den, lit(0L)).otherwise(col(s"${pre}_k") + 1)
+    val mm = when(num >= den, lit(1L).cast(dec38))
+      .otherwise(col(s"${pre}_m") * 2)
+    df.withColumn(s"${pre}_u", num * mm * 1000)
+      .withColumn(s"${pre}_i", intDiv(col(s"${pre}_u"), den))
+      .withColumn(s"${pre}_t0",
+        element_at(tbl, (col(s"${pre}_i") - 999).cast("int")))
+      .withColumn(s"${pre}_t1",
+        element_at(tbl, (col(s"${pre}_i") - 998).cast("int")))
+      .withColumn(s"${pre}_nano",
+        col(s"${pre}_t0") + Recon.ratioScaled(
+          (col(s"${pre}_u") - col(s"${pre}_i").cast(dec38) * den)
+            * (col(s"${pre}_t1") - col(s"${pre}_t0")), den, 0))
+      .withColumn(s"${pre}6u", Recon.ratioScaled(
+        col(s"${pre}_nano") - shift * 1000000000L, lit(1000L), 0))
+      .drop(s"${pre}_k", s"${pre}_m", s"${pre}_u", s"${pre}_i",
+        s"${pre}_t0", s"${pre}_t1", s"${pre}_nano")
+  }
+
   /** Jensen–Shannon divergence of every source's unigram token
     * distribution against the CORPUS distribution — the
     * information-theoretic "how far is this source from the mix"
@@ -1563,37 +1634,49 @@ object Text {
     * share; JSD says how differently they USE them). JSD(P‖G) with
     * log₂, so the value lives in [0, 1].
     *
-    * Determinism (the lm_score recipe, per-log hardened): both log₂
-    * arguments are EXACT integer ratios — with m = (p+q)/2, p = cs/na,
-    * q = cg/ng, clearing denominators gives p/m = 2·cs·ng/(cs·ng+cg·na)
-    * and q/m = 2·cg·na/(cs·ng+cg·na), whose numerators and shared
-    * denominator are exact 128-bit integers (DECIMAL(38,0) ≡ HUGEINT);
-    * each int→double conversion and the one division are correctly
-    * rounded, so the only libm-dependent step per term is log₂ itself.
-    * EACH log₂ output rounds to 6 dp BEFORE the multiplies (a
-    * libm-build ulp difference must now sit on a 6-dp tie of the raw
-    * log to move anything, instead of propagating raw through
-    * p·log+q·log into the term round — the round-14 driver mismatch
-    * mechanism). From there the arithmetic is INTEGER-ONLY on both
-    * engines (the round-15/16 lesson — the tail previously kept two
-    * raw double rounds, the exact int/int tie class, and the driver
-    * split on them two rounds running): with lp6µ/lq6µ the exact
-    * micro-longs of the rounded logs, the term micro value is the
-    * exact integer ratio t6µ = half-away((cs·lp6µ·ng + cg·lq6µ·na) /
-    * (2·na·ng)) via [[graft.ops.Recon.ratioScaled]], and the
-    * absent-token mass — p = 0 ⇒ the term is 0.5·q·log₂2 = q/2,
-    * totalling (ng − Σ_present cg)/(2·ng) without materializing the
-    * absent pairs — is ratioScaled(ng − cgp, 2·ng, 6). The final jsd
-    * is one exact micro-long sum surfaced by a single long→double
-    * division (correctly rounded, identical IEEE op on both engines —
-    * no round() anywhere in the tail, so no tie class survives). One
+    * Determinism (round 17 — the end of the libm story): rounds 14–16
+    * each hardened one more stage of the rounding tail, and the
+    * driver's DuckDB build STILL split from Spark, because the head of
+    * the chain kept one libm `log2(double)` whose last ulp differs
+    * between the JVM and that build (the builder's local DuckDB agrees
+    * with Spark; the driver's does not — a cross-BUILD libm gap no
+    * tail discipline can absorb). Round 17 removes libm from the
+    * runtime chain entirely. Both log₂ arguments are EXACT integer
+    * ratios — with m = (p+q)/2, p = cs/na, q = cg/ng, clearing
+    * denominators gives p/m = 2·cs·ng/(cs·ng+cg·na) and
+    * q/m = 2·cg·na/(same), numerators and shared denominator exact
+    * 128-bit integers (DECIMAL(38,0) ≡ HUGEINT) — and log₂ of each is
+    * evaluated in PURE INTEGER arithmetic against the shared literal
+    * lattice [[JsLog2TableNano]] (the recon_benford literal-table
+    * discipline): normalize the ratio into [1,2] with the unrolled
+    * exponent search [[JsLog2Steps]] (greedy-exact for any exponent
+    * ≤ 47; every comparison stays ≤ den·2¹⁶ because the 32-step is
+    * split into two 16s), quantize the mantissa onto the 1/1000 grid
+    * by one half-away integer division, then linearly interpolate
+    * between adjacent table nanos (one more half-away integer
+    * division). Interpolation error ≤ 2·10⁻⁷ (h²·max|d²log₂|/8 on
+    * the 10⁻³ grid), so lp6µ/lq6µ sit within a micro-ulp of true
+    * round(log₂·10⁶) — and are BIT-IDENTICAL across engines, because
+    * the lattice values are computed once at build time and embedded
+    * as the SAME literals in the Spark plan and the generated DuckDB
+    * oracle text (SparkEntry.jsDivergenceSql renders this array).
+    * From there the tail is the round-16 spelling unchanged: the term
+    * micro value t6µ = half-away((cs·lp6µ·ng + cg·lq6µ·na)/(2·na·ng))
+    * via [[graft.ops.Recon.ratioScaled]], the absent-token mass —
+    * p = 0 ⇒ the term is 0.5·q·log₂2 = q/2, totalling
+    * (ng − Σ_present cg)/(2·ng) — is ratioScaled(ng − cgp, 2·ng, 6),
+    * and the final jsd is one exact micro-long sum surfaced by a
+    * single long→double division. No log2(), no round(double),
+    * anywhere — nothing is left for a libm build to disagree on. One
     * explode pass; the global distribution folds out of the
     * per-source one (exchange-reused); everything after is
     * token-keyed hash joins with map-side partials. 128-bit
-    * envelope: cs·lp6µ·ng ≲ n²·4·10⁷ stays inside DECIMAL(38,0) up
-    * to ~10¹⁵ corpus tokens. */
+    * envelope: the exponent-search comparisons (≤ den·2¹⁶) and the
+    * interpolation product (≤ den·3·10⁶) both clear DECIMAL(38,0)
+    * for den = cs·ng+cg·na up to ~3·10³¹ — ~10¹⁵ corpus tokens,
+    * the same envelope as before. */
   def jsDivergence(spark: SparkSession, dir: String): DataFrame = {
-    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val dec = dec38
     val toks = docs(spark, dir)
       .select(col("source"), explode(split(lower(col("text")), " ")).as("tok"))
       .filter(col("tok") =!= "")
@@ -1601,18 +1684,15 @@ object Text {
     val gc = sc.groupBy("tok").agg(sum("cs").as("cg"))
     val na = sc.groupBy("source").agg(sum("cs").as("na"))
     val ng = gc.agg(sum("cg").as("ng"))
-    val joined = sc.join(gc, "tok")
+    val base = sc.join(gc, "tok")
       .join(broadcast(na), "source").crossJoin(broadcast(ng))
       .withColumn("den",
         col("cs").cast(dec) * col("ng") + col("cg").cast(dec) * col("na"))
-      .withColumn("lp6", round(log2(
-        (col("cs").cast(dec) * col("ng") * 2).cast("double")
-          / col("den").cast("double")), 6))
-      .withColumn("lq6", round(log2(
-        (col("cg").cast(dec) * col("na") * 2).cast("double")
-          / col("den").cast("double")), 6))
-      .withColumn("lp6u", round(col("lp6") * 1e6, 0).cast("long"))
-      .withColumn("lq6u", round(col("lq6") * 1e6, 0).cast("long"))
+      .withColumn("np", col("cs").cast(dec) * col("ng") * 2)
+      .withColumn("nq", col("cg").cast(dec) * col("na") * 2)
+    val joined = withLog2Micro(
+        withLog2Micro(base, "lp", col("np"), col("den")),
+        "lq", col("nq"), col("den"))
       .withColumn("t6u", Recon.ratioScaled(
         col("cs").cast(dec) * col("lp6u") * col("ng")
           + col("cg").cast(dec) * col("lq6u") * col("na"),

@@ -734,7 +734,7 @@ class ScaleSpec extends GraftSpec {
       s"nothing matrix-sized may shuffle-join:\n$exec")
   }
 
-  test("price index: one map-combined collapse, base join keys on partkey") {
+  test("price index: collapse computed once and reused, part-keyed window") {
     val q = graft.ops.Relational.priceIndex(spark, sf)
     q.collect()
     val exec = q.queryExecution.executedPlan.toString
@@ -742,7 +742,16 @@ class ScaleSpec extends GraftSpec {
       s"the (part, month) collapse must combine map-side:\n$exec")
     assert(!exec.contains("CartesianProduct"),
       s"only the 1-row base-month frame may cross, as a broadcast:\n$exec")
-    assert(!exec.contains("Window"), s"no window anywhere:\n$exec")
+    // round 17: the base basket rides a partition-by-part window (never
+    // a global one), replacing the self-join that recomputed the
+    // collapse per branch and let AQE broadcast a data-sized side
+    assert(!exec.contains("windowspecdefinition()"),
+      s"the base-basket window must partition by part:\n$exec")
+    assert(exec.contains("ReusedExchange") || exec.contains("ReusedQueryStage"),
+      s"b0 must reuse the (part, month) collapse exchange:\n$exec")
+    assert(!exec.contains("SortMergeJoin") && !exec.contains("BroadcastHashJoin")
+      || !exec.contains("HashedRelationBroadcastMode(List(input[0, bigint"),
+      s"no part-keyed data-sized join may remain:\n$exec")
   }
 
   test("cohort ltv: map-combined collapse, answer-sized window and joins") {

@@ -980,7 +980,37 @@ class TextSpec extends GraftSpec {
     }
   }
 
-  test("jsd: sf values recompute via an independent driver fold") {
+  test("jsd: sf values recompute via an independent integer-lattice fold") {
+    // BigInt re-implementation of the round-17 contract (shared
+    // literal log₂ lattice + unrolled exponent search + linear
+    // interpolation + half-away folds) — independent of the Column
+    // spelling, so a Spark-side decimal-precision or indexing slip
+    // shows up as a value diff here, and ALSO a ±2·10⁻⁷ accuracy
+    // cross-check of the lattice against true log₂
+    val T = Text.JsLog2TableNano
+    def log2micro(num: BigInt, den: BigInt): Long = {
+      var k = 0; var m = BigInt(1)
+      for (st <- Seq(16, 16, 8, 4, 2, 1))
+        if (num * m * (BigInt(1) << st) <= den) { m <<= st; k += st }
+      val (shift, mm) =
+        if (num >= den) (0L, BigInt(1)) else ((k + 1).toLong, m * 2)
+      val u = num * mm * 1000
+      val i = (u / den).toLong
+      val rem = u - BigInt(i) * den
+      val t0 = T((i - 1000).toInt); val t1 = T((i - 999).toInt)
+      val nano = t0 + ((rem * (t1 - t0) * 2 + den) / (den * 2)).toLong
+      val lpn = nano - shift * 1000000000L
+      // the lattice value must sit within interp error of true log₂
+      val truth = math.log(num.toDouble / den.toDouble) / math.log(2.0)
+      assert(math.abs(lpn / 1e9 - truth) < 3e-7,
+        s"lattice log2($num/$den): $lpn nano vs true $truth")
+      val mag = (2L * math.abs(lpn) + 1000L) / 2000L
+      if (lpn >= 0) mag else -mag
+    }
+    def halfAway(num: BigInt, den: BigInt): Long = {
+      val mag = ((num.abs * 2 + den) / (den * 2)).toLong
+      if (num.signum >= 0) mag else -mag
+    }
     val sc = Tables.documents(spark, sf)
       .select(col("source"), explode(split(lower(col("text")), " ")).as("tok"))
       .filter(col("tok") =!= "")
@@ -988,20 +1018,19 @@ class TextSpec extends GraftSpec {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     val gc = sc.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
     val na = sc.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
-    val ng = gc.values.sum
-    def r6(x: Double) = BigDecimal(x)
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    def log2(x: Double) = math.log(x) / math.log(2.0)
+    val ng = BigInt(gc.values.sum)
     val expect = sc.groupBy(_._1).map { case (s, rows) =>
+      val nA = BigInt(na(s))
       val terms = rows.map { case (_, tok, cs) =>
-        val p = cs.toDouble / na(s)
-        val q = gc(tok).toDouble / ng
-        val m = (p + q) / 2
-        math.round(r6(0.5 * (p * log2(p / m) + q * log2(q / m))) * 1e6)
+        val cS = BigInt(cs); val cG = BigInt(gc(tok))
+        val den = cS * ng + cG * nA
+        val lp = log2micro(cS * ng * 2, den)
+        val lq = log2micro(cG * nA * 2, den)
+        halfAway(cS * lp * ng + cG * lq * nA, nA * ng * 2)
       }.sum
-      val cgp = rows.map(x => gc(x._2)).sum
-      val absent = math.round(r6((ng - cgp).toDouble / (2.0 * ng)) * 1e6)
-      s -> r6((terms + absent).toDouble / 1e6)
+      val cgp = rows.map(x => BigInt(gc(x._2))).sum
+      val absent = halfAway((ng - cgp) * 1000000, ng * 2)
+      s -> (terms + absent).toDouble / 1e6
     }
     Text.jsDivergence(spark, sf).collect().foreach { r =>
       assert(r.getDouble(3) === expect(r.getString(0)),

@@ -14,25 +14,32 @@ import pyarrow.parquet as pq
 TABLES = ["region", "nation", "supplier", "part", "customer", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-def norm(v):
-    # Driver-observed leniency (round-1 passes): floats compare at ~6 sig
-    # figs, and a midnight timestamp equals its date.
+def norm(v, strict=True):
+    # strict=True (the GATE since round 17): floats hash at FULL
+    # precision (repr of the float64) — the round-14..16 lesson is that
+    # the driver's comparator is stricter than ~6 sig figs (three
+    # consecutive local "ALL PASS" sweeps green-lit a driver-red
+    # text_js_divergence row), so the local gate must demand
+    # bit-identical doubles, which is what every op's determinism
+    # contract promises anyway. strict=False keeps the old ~6-sig-fig
+    # hash purely as a diagnostic: "FAIL strict / PASS lenient" says
+    # the values differ only in low-order float bits.
     import datetime
     if v is None:
         return "NULL"
     if isinstance(v, float):
-        return f"{v:.6g}"
+        return repr(float(v)) if strict else f"{v:.6g}"
     if hasattr(v, "to_pydatetime"):
         v = v.to_pydatetime()
     if isinstance(v, datetime.datetime) and v.time() == datetime.time(0):
         return v.date().isoformat()
     return str(v)
 
-def table_hash(cols, rows):
+def table_hash(cols, rows, strict=True):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     h = hashlib.md5()
     for row in rows:
-        h.update("|".join(norm(row[i]) for i in order).encode())
+        h.update("|".join(norm(row[i], strict) for i in order).encode())
         h.update(b"\n")
     return h.hexdigest()
 
@@ -105,8 +112,13 @@ def main(sfdir, outdir, only=None):
         status = "PASS" if (rows_ok and schema_ok and hash_ok) else "FAIL"
         if status == "FAIL":
             bad += 1
+            lenient_ok = (rows_ok and schema_ok and
+                          table_hash(scols, srows, strict=False)
+                          == table_hash(ocols, orows, strict=False))
+            hash_note = ("hash=False(strict) True(lenient~6sigfig)"
+                         if lenient_ok else f"hash={hash_ok}")
             print(f"{name}: {status} rows={len(srows)}/{len(orows)} "
-                  f"schema={schema_ok} ({sorted(scols)} vs {sorted(ocols)}) hash={hash_ok}")
+                  f"schema={schema_ok} ({sorted(scols)} vs {sorted(ocols)}) {hash_note}")
         else:
             print(f"{name}: PASS ({len(srows)} rows)")
     # no-oracle queries get a rows-only sanity check (driver records the same)
