@@ -229,7 +229,7 @@ object SparkEntry {
     "graph_node_jaccard"       -> (Graph.nodeJaccard _),
     "graph_assortativity"      -> (Graph.assortativity _),
     "vocab_coverage_curve"     -> (Text.vocabCoverageCurve _),
-    "graph_kcore"              -> ((s, d) => Graph.kcoreSummary(s, d)),
+    "graph_kcore"              -> (Graph.kcoreSummary _),
     "events_runs_test"         -> (Events.runsTest _),
     "text_keyword_rake"        -> ((s, d) => Text.keywordRake(s, d)),
     "events_entropy_rate"      -> (Events.entropyRate _),
@@ -705,12 +705,13 @@ object SparkEntry {
 
   private def kcoreSql: String = {
     val r = graft.ops.Graph.KcoreIters
+    val k = graft.ops.Graph.KcoreK
     val head = strongEdgeCtes("e0")
     val iters = (1 to r).map { i =>
       s"""d$i AS (SELECT v, count(*) d FROM (
          |    SELECT a v FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1})
          |  GROUP BY 1),
-         |bad$i AS MATERIALIZED (SELECT v FROM d$i WHERE d < 3),
+         |bad$i AS MATERIALIZED (SELECT v FROM d$i WHERE d < $k),
          |e$i AS MATERIALIZED (SELECT a, b FROM e${i - 1}
          |  WHERE a NOT IN (SELECT v FROM bad$i)
          |    AND b NOT IN (SELECT v FROM bad$i))""".stripMargin
@@ -722,7 +723,7 @@ object SparkEntry {
        |$iters,
        |df AS (SELECT v, count(*) d FROM (
        |    SELECT a v FROM e$r UNION ALL SELECT b FROM e$r) GROUP BY 1)
-       |SELECT 3 k, CAST($roundSum AS BIGINT) rounds,
+       |SELECT $k k, CAST($roundSum AS BIGINT) rounds,
        |  CAST((SELECT count(*) FROM df) AS BIGINT) core_nodes,
        |  CAST((SELECT count(*) FROM e$r) AS BIGINT) core_edges,
        |  (SELECT CAST(min(d) AS BIGINT) FROM df) min_core_degree""".stripMargin
