@@ -269,6 +269,10 @@ object SparkEntry {
     "parquet_partitioned_roundtrip" ->
       (graft.sources.Sources.parquetPartitionedRoundtrip _),
     "json_roundtrip_fingerprint" -> (graft.sources.Sources.jsonRoundtripFingerprint _),
+    // §2.2 bucketed-catalog anchor (verify-only: the cost is the
+    // one-time bucketed sink write; the join it buys is zero-shuffle,
+    // plan-asserted in SourcesSpec, values driver-checked here)
+    "bucketed_join_fingerprint"  -> (graft.sources.Sources.bucketedJoinFingerprint _),
     // §2.2 footer-metadata anchor (verify-only: the op's cost is ten
     // driver-side footer reads, ~0 — a bench row would time nothing)
     "source_footer_rowcounts"    -> (graft.sources.Sources.footerRowcounts _)
@@ -5147,6 +5151,26 @@ object SparkEntry {
     "csv_roundtrip_fingerprint"  -> roundtripFingerprintOracle,
     "json_roundtrip_fingerprint" -> roundtripFingerprintOracle,
     "parquet_partitioned_roundtrip" -> roundtripFingerprintOracle,
+    // bucketed-catalog join anchor: the SAME join + length-prefixed
+    // md5 fingerprint computed from the ORIGINAL parquet — a bucketed
+    // write that drops/duplicates/mangles rows fails the hash compare
+    "bucketed_join_fingerprint" ->
+      """WITH j AS (SELECT o_orderkey, o_custkey, c_mktsegment,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) p,
+        |    CAST(c_acctbal AS DECIMAL(12,2)) b
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |h AS (SELECT c_mktsegment part,
+        |    CAST(('0x' || substr(md5(concat_ws('|',
+        |      concat(CAST(length(CAST(o_orderkey AS VARCHAR)) AS VARCHAR), ':', CAST(o_orderkey AS VARCHAR)),
+        |      concat(CAST(length(CAST(o_custkey AS VARCHAR)) AS VARCHAR), ':', CAST(o_custkey AS VARCHAR)),
+        |      concat(CAST(length(c_mktsegment) AS VARCHAR), ':', c_mktsegment),
+        |      concat(CAST(length(CAST(p AS VARCHAR)) AS VARCHAR), ':', CAST(p AS VARCHAR)),
+        |      concat(CAST(length(CAST(b AS VARCHAR)) AS VARCHAR), ':', CAST(b AS VARCHAR)))), 1, 15)) AS BIGINT) h
+        |  FROM j)
+        |SELECT part, CAST(count(*) AS BIGINT) n, bit_xor(h) fp_xor,
+        |  CAST(sum(h >> 32) AS BIGINT) fp_sum_hi,
+        |  CAST(sum(h & 4294967295) AS BIGINT) fp_sum_lo
+        |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the footer's num_rows vs the oracle's REAL count(*) scans — a
     // lying footer (truncated write) fails here before it mis-sizes a

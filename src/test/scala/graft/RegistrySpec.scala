@@ -219,7 +219,8 @@ class RegistrySpec extends GraftSpec {
     // ten full scans). Any OTHER gap here is a forgotten benchQueries
     // entry.
     val sinkOps = Set("csv_roundtrip_fingerprint", "json_roundtrip_fingerprint",
-      "parquet_partitioned_roundtrip", "source_footer_rowcounts")
+      "parquet_partitioned_roundtrip", "bucketed_join_fingerprint",
+      "source_footer_rowcounts")
     val unbenched =
       SparkEntry.oracleSql.keySet -- SparkEntry.benchQueries.toSet -- sinkOps
     assert(unbenched.isEmpty,
