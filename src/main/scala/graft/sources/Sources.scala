@@ -375,6 +375,17 @@ object Sources {
     val sfx = Integer.toHexString(dir.hashCode)
     val ot = s"graft_bkt_orders_$sfx"
     val ct = s"graft_bkt_customer_$sfx"
+    // a PREVIOUS JVM's managed-table directory survives under the
+    // warehouse while the fresh in-memory catalog knows nothing of the
+    // table — saveAsTable then throws LOCATION_ALREADY_EXISTS (seen on
+    // the first full-board Verify after this op landed). Drop both the
+    // catalog entry and any stale on-disk location before writing.
+    Seq(ot, ct).foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new Path(spark.conf.get("spark.sql.warehouse.dir"), t)
+      val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     writeBucketed(Tables.orders(spark, dir)
       .select("o_orderkey", "o_custkey", "o_totalprice"), ot, "o_custkey")
     writeBucketed(Tables.customer(spark, dir)
