@@ -2467,7 +2467,7 @@ object SparkEntry {
     "ann_ivf_recall" -> ivfRecallSql,
 
     "embed_label_separability" ->
-      // centroids = the embed_centroids exact-decimal means; every
+      // centroids = the embed_centroids exact nano-long means; every
       // distance is the identical x·x − 2·x·c + c·c chain with
       // sequential dots (list_inner_product ≡ the native DotProduct);
       // per-vector d2 rounds 6dp into micro-longs before the mean;
@@ -2476,9 +2476,13 @@ object SparkEntry {
       """WITH v0 AS (SELECT label, CAST(embedding AS DOUBLE[]) v
         |  FROM embeddings WHERE embedding IS NOT NULL),
         |cpos AS (SELECT label, pos,
-        |    CAST(sum(CAST(x AS DECIMAL(18,9))) AS DOUBLE) / count(*) c
-        |  FROM (SELECT label, generate_subscripts(v, 1) pos, unnest(v) x
-        |    FROM v0) GROUP BY 1, 2),
+        |    CAST(CASE WHEN ns >= 0 THEN (2 * ns + n) // (2 * n)
+        |         ELSE -((2 * (-ns) + n) // (2 * n)) END AS DOUBLE) / 1e9 c
+        |  FROM (SELECT label, pos,
+        |      sum(CAST(round(x * 1e9) AS BIGINT)) ns,
+        |      CAST(count(*) AS BIGINT) n
+        |    FROM (SELECT label, generate_subscripts(v, 1) pos, unnest(v) x
+        |      FROM v0) GROUP BY 1, 2)),
         |cent AS (SELECT label, list(c ORDER BY pos) cv FROM cpos GROUP BY 1),
         |intra AS (SELECT v0.label, count(*) n_vecs,
         |    sum(CAST(round(round(list_inner_product(v, v)
@@ -4143,13 +4147,22 @@ object SparkEntry {
          |ORDER BY sim DESC, a_id, b_id LIMIT 100""".stripMargin,
 
     "embed_centroids" ->
-      // val goes FLOAT→DOUBLE→DECIMAL like the Spark side: DuckDB's direct
-      // FLOAT→DECIMAL cast rounds differently in the last decimal digit.
+      // nano-long mean (round 17, strict-gate find): each element is
+      // round(val·1e9) — one correctly-rounded IEEE multiply + one
+      // half-away round of the IDENTICAL product on both engines — then
+      // exact long sums and one half-away integer division /1e9. The
+      // old DECIMAL(18,9)-sum spelling split the engines on a
+      // near-9-dp-tie element (Spark rounds the exact binary value,
+      // DuckDB the ×1e9 product).
       """SELECT label, CAST(pos AS INT) pos,
-        |  CAST(sum(CAST(CAST(val AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)/count(*) c
-        |FROM (SELECT label, generate_subscripts(embedding,1) pos, unnest(embedding) val
-        |      FROM embeddings)
-        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+        |  CAST(CASE WHEN ns >= 0 THEN (2 * ns + n) // (2 * n)
+        |       ELSE -((2 * (-ns) + n) // (2 * n)) END AS DOUBLE) / 1e9 c
+        |FROM (SELECT label, pos,
+        |    sum(CAST(round(CAST(val AS DOUBLE) * 1e9) AS BIGINT)) ns,
+        |    CAST(count(*) AS BIGINT) n
+        |  FROM (SELECT label, generate_subscripts(embedding,1) pos, unnest(embedding) val
+        |        FROM embeddings) GROUP BY 1, 2)
+        |ORDER BY 1,2""".stripMargin,
 
     "multimodal_bytes" ->
       """SELECT doc_id, octet_length(encode(text)) nbytes, md5(text) sig

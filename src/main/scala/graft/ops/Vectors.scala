@@ -152,16 +152,33 @@ object Vectors {
   }
 
   /** Per-label centroid, emitted long-form as (label, pos, c) — 64 rows per
-    * label. Sums go through DECIMAL(18,9) so partial-agg order cannot move
-    * the result (same rule as money sums). */
+    * label. Each element quantizes to an exact NANO long via the house
+    * `round(v·10⁹)` pattern (one correctly-rounded IEEE multiply + one
+    * half-away round of the identical product on both engines — the
+    * events.value micro-long rule at 9 dp), the sums are exact longs so
+    * partial-agg order cannot move the result, and the mean is one
+    * half-away integer division surfaced by a long→double /1e9.
+    *
+    * Round 17 (strict-gate find at sf0.1): the previous spelling summed
+    * DECIMAL(18,9) casts of the doubles — and Spark's double→decimal
+    * HALF_UP rounds the EXACT binary value while DuckDB's rounds the
+    * IEEE product ×10⁹, so one near-tie element (label 8, pos 59 in
+    * the v64 corpus: a value within an ulp of its 9-dp .5 boundary)
+    * split the two engines' sums by 1e-9 and the raw-mean output by
+    * 5e-12 — invisible to the old ~6-sig-fig gate, caught by the
+    * strict one. The shared-product spelling removes the divergent
+    * conversion entirely; the same near-tie class remains in the OTHER
+    * decimal-sum sites (ivf means, dim stats), where downstream 6-dp
+    * rounds absorb an ulp — watch-listed in BASELINE v121. */
   def embedCentroids(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos0", "v")))
       .groupBy(col("label"), (col("pos0") + 1).as("pos"))
-      // float→double first: Spark's float→decimal cast goes through the
-      // float's shortest string (8 sig digits) and disagrees with engines
-      // that round the exact value; widening to double first is exact.
-      .agg((sum(col("v").cast("double").cast(DecimalType(18, 9))).cast("double") / count(lit(1))).as("c"))
+      .agg(sum(round(col("v").cast("double") * 1e9, 0).cast("long")).as("ns"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("pos"),
+        (Recon.ratioScaled(col("ns"), col("n"), 0).cast("double") / 1e9)
+          .as("c"))
       .orderBy("label", "pos")
 
   /** Label separability audit — the embedding-quality diagnostic that
@@ -173,8 +190,8 @@ object Vectors {
     * separation ratio inter/intra — ratios near or below 1 mean the
     * label clouds overlap.
     *
-    * Determinism: centroids are the [[embedCentroids]] exact-decimal
-    * means (oracled bit-exact since round 13); every distance is the
+    * Determinism: centroids are the [[embedCentroids]] exact nano-long
+    * means (oracled bit-exact; round 17 spelling); every distance is the
     * identical chain x·x − 2·(x·c) + c·c with sequential dots (the
     * native [[graft.functions.DotProduct]] ≡ DuckDB
     * `list_inner_product`, the ann_ivf-proven parity); per-vector
