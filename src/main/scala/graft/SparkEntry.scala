@@ -4149,11 +4149,12 @@ object SparkEntry {
     "embed_centroids" ->
       // nano-long mean (round 17, strict-gate find): each element is
       // round(val·1e9) — one correctly-rounded IEEE multiply + one
-      // half-away round of the IDENTICAL product on both engines — then
+      // half-AWAY round of the IDENTICAL product on both engines — then
       // exact long sums and one half-away integer division /1e9. The
-      // old DECIMAL(18,9)-sum spelling split the engines on a
-      // near-9-dp-tie element (Spark rounds the exact binary value,
-      // DuckDB the ×1e9 product).
+      // old DECIMAL(18,9)-sum spelling split the engines on an EXACT
+      // 9-dp tie (a float that is an odd multiple of 2^-10, here
+      // 0.1494140625: Spark's decimal cast rounds HALF_UP, DuckDB's
+      // half-to-EVEN); round() shares one tie rule, the cast does not.
       """SELECT label, CAST(pos AS INT) pos,
         |  CAST(CASE WHEN ns >= 0 THEN (2 * ns + n) // (2 * n)
         |       ELSE -((2 * (-ns) + n) // (2 * n)) END AS DOUBLE) / 1e9 c

@@ -160,16 +160,20 @@ object Vectors {
     * half-away integer division surfaced by a long→double /1e9.
     *
     * Round 17 (strict-gate find at sf0.1): the previous spelling summed
-    * DECIMAL(18,9) casts of the doubles — and Spark's double→decimal
-    * HALF_UP rounds the EXACT binary value while DuckDB's rounds the
-    * IEEE product ×10⁹, so one near-tie element (label 8, pos 59 in
-    * the v64 corpus: a value within an ulp of its 9-dp .5 boundary)
-    * split the two engines' sums by 1e-9 and the raw-mean output by
-    * 5e-12 — invisible to the old ~6-sig-fig gate, caught by the
-    * strict one. The shared-product spelling removes the divergent
-    * conversion entirely; the same near-tie class remains in the OTHER
-    * decimal-sum sites (ivf means, dim stats), where downstream 6-dp
-    * rounds absorb an ulp — watch-listed in BASELINE v121. */
+    * DECIMAL(18,9) casts of the doubles — and the two engines break an
+    * EXACT 9-dp tie differently: a float that is an odd multiple of
+    * 2⁻¹⁰ (here 0.1494140625 = 153/1024, label 8 pos 59 in the v64
+    * corpus) has x·10⁹ = integer + exactly ½, and Spark's
+    * double→decimal cast rounds HALF_UP (away) while DuckDB's rounds
+    * half-to-EVEN — the sums split by 1e-9 and the raw-mean output by
+    * 5e-12, invisible to the old ~6-sig-fig gate. round(x·1e9) is safe
+    * where the cast is not because BOTH engines' round() is half-AWAY
+    * on the identical IEEE product (odd/2¹⁰ is the ONLY float shape
+    * that lands exactly on a 9-dp tie: x = p/2^q ties iff q = 10 with
+    * p odd). The cast remains in the OTHER decimal-sum sites (ivf
+    * means over NORMALIZED doubles — no longer dyadic-short, exposure
+    * ≈ 0; dim stats — 6-dp output rounds absorb the 1e-9) —
+    * watch-listed in BASELINE v121. */
   def embedCentroids(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos0", "v")))
