@@ -211,6 +211,8 @@ object SparkEntry {
     "recon_wasserstein_drift"  -> (Recon.wassersteinDrift _),
     "events_markov_stationary" -> (Events.markovStationary _),
     "text_js_divergence"       -> ((s, d) => Text.jsDivergence(s, d)),
+    "text_js_probe_norm"       -> ((s, d) => Text.jsProbeNorm(s, d)),
+    "text_js_probe_interp"     -> ((s, d) => Text.jsProbeInterp(s, d)),
     "json_struct_extract"      -> (Events.jsonStructExtract _),
     "streaming_late_data"      -> (Events.lateDataParity _),
     "embed_pca_power"          -> (Vectors.pcaPower _),
@@ -831,23 +833,28 @@ object SparkEntry {
        |FROM ap GROUP BY source ORDER BY source""".stripMargin
   }
 
-  /** [[graft.ops.Text.jsDivergence]]'s oracle — GENERATED, not
-    * hand-spelled, because the point of the round-17 rewrite is that
-    * both engines consume the same literal log₂ lattice
-    * ([[graft.ops.Text.JsLog2TableNano]]) and the same unrolled
-    * exponent-search steps ([[graft.ops.Text.JsLog2Steps]]): the list
-    * literal and the chained CASE levels below render from the SAME
-    * Scala constants the Spark plan embeds, so no runtime libm call
-    * remains for the driver's DuckDB build to disagree with (the
-    * rounds-14..16 hash-mismatch mechanism — its log2() ulps differ
-    * from the JVM's). Spelling notes: kp/mp (kq/mq) accumulate the
-    * mantissa exponent exactly as Text.withLog2Micro's when-chain
-    * does (each level reads the previous level's m); `up`/`uq` put
-    * the mantissa on the 1/1000 grid; the interpolation and the
-    * /1000 fold are the house half-away integer spellings; the term
-    * tail and final select are the round-16 text unchanged. */
-  private def jsDivergenceSql: String = {
-    val tbl = graft.ops.Text.JsLog2TableNano.mkString("[", ", ", "]")
+  /** [[graft.ops.Text.jsDivergence]]'s oracle CTE prefix, through the
+    * exponent-search + grid-quantization stage (`iv`) — GENERATED,
+    * not hand-spelled: the lattice VALUES relation and the chained
+    * CASE levels render from the SAME Scala constants
+    * ([[graft.ops.Text.JsLog2TableNano]],
+    * [[graft.ops.Text.JsLog2Steps]]) the Spark plan embeds, so no
+    * runtime libm call exists on either engine. Round-18 spelling
+    * change (round-17 verdict prescription): the 1002-element list
+    * literal cross-joined and indexed per row — the one construct no
+    * green oracle exercised, and the prime suspect for the four-round
+    * driver-build disagreement — is replaced by `lat`, a 1001-row
+    * VALUES relation carrying (grid index i, T[i], T[i+1]) that the
+    * lookup stage plain equi-joins on the quantized index (every
+    * ip/iq ∈ [1000, 2000] exists in `lat`, so the inner join is
+    * row-preserving). kp/mp (kq/mq) accumulate the mantissa exponent
+    * exactly as Text.withLog2Micro's when-chain does (each level
+    * reads the previous level's m); `up`/`uq` put the mantissa on
+    * the 1/1000 grid. */
+  private def jsCtesThroughIv: String = {
+    val lat = graft.ops.Text.JsLog2TableNano.sliding(2).zipWithIndex
+      .map { case (w, k) => s"(${1000 + k},${w(0)},${w(1)})" }
+      .mkString(", ")
     val s0 = """SELECT source, cs, cg, na, ng, den, np, nq,
         CAST(0 AS HUGEINT) kp, CAST(1 AS HUGEINT) mp,
         CAST(0 AS HUGEINT) kq, CAST(1 AS HUGEINT) mq
@@ -861,7 +868,7 @@ object SparkEntry {
         CASE WHEN nq * mq * $p2 <= den THEN mq * $p2 ELSE mq END mq
       FROM ($inner)"""
     }
-    s"""WITH toks AS (SELECT source, tok FROM (
+    s"""toks AS (SELECT source, tok FROM (
        |    SELECT source, unnest(string_split(lower(text), ' ')) tok
        |    FROM documents) WHERE tok <> ''),
        |sc AS MATERIALIZED (SELECT source, tok, count(*) cs FROM toks GROUP BY 1, 2),
@@ -873,7 +880,8 @@ object SparkEntry {
        |    CAST(sc.cs AS HUGEINT) * ng * 2 AS np,
        |    CAST(gc.cg AS HUGEINT) * na * 2 AS nq
        |  FROM sc JOIN gc USING (tok) JOIN na USING (source) CROSS JOIN ng),
-       |tt AS (SELECT $tbl t),
+       |lat AS (SELECT CAST(i AS HUGEINT) i, CAST(t0 AS BIGINT) t0,
+       |    CAST(t1 AS BIGINT) t1 FROM (VALUES $lat) v(i, t0, t1)),
        |lg AS (SELECT *,
        |    CASE WHEN np >= den THEN CAST(0 AS HUGEINT) ELSE kp + 1 END sp,
        |    CASE WHEN np >= den THEN np * 1000 ELSE np * mp * 2000 END up,
@@ -881,11 +889,16 @@ object SparkEntry {
        |    CASE WHEN nq >= den THEN nq * 1000 ELSE nq * mq * 2000 END uq
        |  FROM ($chain)),
        |iv AS (SELECT source, cs, cg, na, ng, den, sp, sq, up, uq,
-       |    up // den ip, uq // den iq FROM lg),
-       |tv AS (SELECT iv.*,
-       |    t[CAST(ip - 999 AS INT)] tp0, t[CAST(ip - 998 AS INT)] tp1,
-       |    t[CAST(iq - 999 AS INT)] tq0, t[CAST(iq - 998 AS INT)] tq1
-       |  FROM iv CROSS JOIN tt),
+       |    up // den ip, uq // den iq FROM lg)""".stripMargin
+  }
+
+  /** [[jsCtesThroughIv]] extended through the lattice-join +
+    * interpolation + nano→micro fold stage (`m6`) — the half-away
+    * integer divisions are the house spellings. */
+  private def jsCtesThroughM6: String =
+    s"""$jsCtesThroughIv,
+       |tv AS (SELECT iv.*, lp.t0 tp0, lp.t1 tp1, lq.t0 tq0, lq.t1 tq1
+       |  FROM iv JOIN lat lp ON lp.i = iv.ip JOIN lat lq ON lq.i = iv.iq),
        |nn AS (SELECT source, cs, cg, na, ng,
        |    tp0 + (2 * (up - ip * den) * (tp1 - tp0) + den) // (2 * den)
        |      - sp * 1000000000 lpn,
@@ -897,7 +910,16 @@ object SparkEntry {
        |         ELSE -((2 * (-lpn) + 1000) // 2000) END lp6u,
        |    CASE WHEN lqn >= 0 THEN (2 * lqn + 1000) // 2000
        |         ELSE -((2 * (-lqn) + 1000) // 2000) END lq6u
-       |  FROM nn),
+       |  FROM nn)""".stripMargin
+
+  /** [[graft.ops.Text.jsDivergence]]'s oracle — term tail and final
+    * select are the round-16 text EXCEPT the output contract: round
+    * 18 emits `jsd_micro` as an exact BIGINT (the micro-long sum
+    * before any surfacing division), so the driver's hash compares
+    * integers end to end and the final CAST(… AS DOUBLE)/1e6 leaves
+    * the compare surface entirely. */
+  private def jsDivergenceSql: String =
+    s"""WITH $jsCtesThroughM6,
        |j AS (SELECT source, na, ng, cg,
        |    CAST((CASE WHEN tnum >= 0 THEN 1 ELSE -1 END)
        |      * ((2 * abs(tnum) + tden) // (2 * tden)) AS BIGINT) t6u
@@ -909,9 +931,27 @@ object SparkEntry {
        |SELECT source, max(na) AS n_tokens, CAST(count(*) AS BIGINT) AS vocab,
        |  CAST(sum(t6u)
        |      + (2 * CAST(max(ng) - sum(cg) AS HUGEINT) * 1000000 + 2 * max(ng))
-       |        // (4 * CAST(max(ng) AS HUGEINT)) AS DOUBLE) / 1e6 AS jsd
+       |        // (4 * CAST(max(ng) AS HUGEINT)) AS BIGINT) AS jsd_micro
        |FROM j GROUP BY source ORDER BY source""".stripMargin
-  }
+
+  /** [[graft.ops.Text.jsProbeNorm]]'s oracle — the shared CTE prefix
+    * cut at `iv`: integer sums of the grid indices and exponent
+    * shifts, before any lattice access. */
+  private def jsProbeNormSql: String =
+    s"""WITH $jsCtesThroughIv
+       |SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+       |  CAST(sum(ip) AS BIGINT) AS sip, CAST(sum(iq) AS BIGINT) AS siq,
+       |  CAST(sum(sp) AS BIGINT) AS ssp, CAST(sum(sq) AS BIGINT) AS ssq
+       |FROM iv GROUP BY source ORDER BY source""".stripMargin
+
+  /** [[graft.ops.Text.jsProbeInterp]]'s oracle — the shared CTE
+    * prefix cut at `m6`: integer sums of the finished micro-log₂
+    * values, before the term combine. */
+  private def jsProbeInterpSql: String =
+    s"""WITH $jsCtesThroughM6
+       |SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+       |  CAST(sum(lp6u) AS BIGINT) AS slp6u, CAST(sum(lq6u) AS BIGINT) AS slq6u
+       |FROM m6 GROUP BY source ORDER BY source""".stripMargin
 
   /** DuckDB twin of [[graft.ops.Recon.schemaDriftDisk]]: DESCRIBE over
     * each table view re-derives the actual on-disk types, a CASE folds
@@ -2628,6 +2668,8 @@ object SparkEntry {
         |FROM x ORDER BY event_type""".stripMargin,
     "events_markov_stationary" -> markovSql,
     "text_js_divergence" -> jsDivergenceSql,
+    "text_js_probe_norm" -> jsProbeNormSql,
+    "text_js_probe_interp" -> jsProbeInterpSql,
     "graph_triangles" ->
       // sorted-triple orientation (a < b < c) generates each triangle
       // exactly once; wedges = Σ d·(d−1)/2 exact longs; the one double

@@ -1556,25 +1556,34 @@ object Text {
   }
 
   /** log₂ lattice shared verbatim by [[jsDivergence]] and its DuckDB
-    * oracle twin (SparkEntry.jsDivergenceSql renders the SQL list
-    * literal from THIS array): T[k] = round(log₂(i/1000)·10⁹) for the
-    * mantissa grid i = 1000..2001 (the 2001 entry covers the exact
-    * s = 2 endpoint's i+1 lookup). Computed once at class init with
-    * JVM libm and embedded as literals on BOTH engines — at runtime
-    * the engines only consume identical integer constants, so no
-    * libm call exists for a cross-build ulp to split on (the
-    * rounds-14..16 driver-mismatch mechanism). */
+    * oracle twin (SparkEntry.jsDivergenceSql renders a VALUES
+    * relation from THIS array — round 18 replaced the round-17 list
+    * literal + per-row indexing, the one construct no green oracle
+    * used, with a plain equi-join): T[k] = round(log₂(i/1000)·10⁹)
+    * for the mantissa grid i = 1000..2001 (the 2001 entry covers the
+    * exact s = 2 endpoint's i+1 lookup). Computed once at class init
+    * with JVM libm and embedded as literals on BOTH engines — at
+    * runtime the engines only consume identical integer constants,
+    * so no libm call exists for a cross-build ulp to split on (the
+    * rounds-14..16 driver-mismatch hypothesis). */
   private[graft] val JsLog2TableNano: Array[Long] =
     (1000 to 2001).map(i =>
       Math.round(math.log(i / 1000.0) / math.log(2.0) * 1e9)).toArray
 
   /** Exponent-search steps for [[withLog2Micro]]'s mantissa
-    * normalization: greedy subset sums cover every exponent 0..47
-    * (each step ≤ sum(later)+1), and splitting the 32-step into two
-    * 16s caps every comparison at den·2¹⁶ — that is what keeps the
-    * 128-bit envelope at ~10¹⁵ corpus tokens. Mirrored verbatim by
-    * the oracle generator. */
-  private[graft] val JsLog2Steps: Seq[Int] = Seq(16, 16, 8, 4, 2, 1)
+    * normalization: greedy subset sums cover every exponent 0..63
+    * (each step ≤ sum(later)+1), and keeping every step ≤ 16 caps
+    * every comparison at den·2¹⁶ — that is what keeps the 128-bit
+    * envelope at ~10¹⁵ corpus tokens. Coverage is COMPLETE for any
+    * BIGINT-counted corpus, not just the round-17 envelope: the
+    * smallest ratio the op can feed is p/m = 2·cs·ng/(cs·ng+cg·na)
+    * ≥ 2/na (cs ≥ 1, cg ≤ ng), so the needed exponent is ≤
+    * log₂(na) ≤ 63 — the round-17 six-step list summed to 47 and
+    * silently under-normalized past ~1.4·10¹⁴ tokens in ONE source
+    * (round-17 advice); the added 16-step closes that without
+    * widening any comparison. Mirrored verbatim by the oracle
+    * generator. */
+  private[graft] val JsLog2Steps: Seq[Int] = Seq(16, 16, 16, 8, 4, 2, 1)
 
   /** Truncating integer division (Spark's `div`) — exact on
     * DECIMAL(38,0) operands, returns long. */
@@ -1590,9 +1599,18 @@ object Text {
     * [[jsDivergence]]'s docstring for the scheme, error bound and
     * the cross-engine-determinism argument. `num` and `den` must be
     * positive DECIMAL(38,0) columns; every intermediate stays a
-    * projection (no shuffle, whole-stage-codegen friendly). */
+    * projection (no shuffle, whole-stage-codegen friendly).
+    * `keepDiag = true` additionally retains `<pre>_i` (the 1/1000
+    * mantissa-grid index, ∈ [1000, 2000]) and emits `<pre>_s` (the
+    * exponent shift) — the round-18 bisection probes
+    * ([[jsProbeNorm]]) aggregate THOSE to localize which stage of
+    * this chain the driver's DuckDB build disagrees on; Catalyst
+    * prunes the lattice lookups out of a plan that only reads the
+    * diagnostics, so the probe genuinely tests the search stage
+    * alone. */
   private def withLog2Micro(df0: DataFrame, pre: String,
-                            num: Column, den: Column): DataFrame = {
+                            num: Column, den: Column,
+                            keepDiag: Boolean = false): DataFrame = {
     val tbl = typedLit(JsLog2TableNano)
     var df = df0.withColumn(s"${pre}_k", lit(0L))
       .withColumn(s"${pre}_m", lit(1L).cast(dec38))
@@ -1622,8 +1640,10 @@ object Text {
             * (col(s"${pre}_t1") - col(s"${pre}_t0")), den, 0))
       .withColumn(s"${pre}6u", Recon.ratioScaled(
         col(s"${pre}_nano") - shift * 1000000000L, lit(1000L), 0))
-      .drop(s"${pre}_k", s"${pre}_m", s"${pre}_u", s"${pre}_i",
-        s"${pre}_t0", s"${pre}_t1", s"${pre}_nano")
+      .withColumn(s"${pre}_s", shift)
+      .drop(Seq(s"${pre}_k", s"${pre}_m", s"${pre}_u",
+        s"${pre}_t0", s"${pre}_t1", s"${pre}_nano") ++
+        (if (keepDiag) Nil else Seq(s"${pre}_i", s"${pre}_s")): _*)
   }
 
   /** Jensen–Shannon divergence of every source's unigram token
@@ -1634,48 +1654,79 @@ object Text {
     * share; JSD says how differently they USE them). JSD(P‖G) with
     * log₂, so the value lives in [0, 1].
     *
-    * Determinism (round 17 — the end of the libm story): rounds 14–16
-    * each hardened one more stage of the rounding tail, and the
-    * driver's DuckDB build STILL split from Spark, because the head of
-    * the chain kept one libm `log2(double)` whose last ulp differs
-    * between the JVM and that build (the builder's local DuckDB agrees
-    * with Spark; the driver's does not — a cross-BUILD libm gap no
-    * tail discipline can absorb). Round 17 removes libm from the
-    * runtime chain entirely. Both log₂ arguments are EXACT integer
-    * ratios — with m = (p+q)/2, p = cs/na, q = cg/ng, clearing
-    * denominators gives p/m = 2·cs·ng/(cs·ng+cg·na) and
-    * q/m = 2·cg·na/(same), numerators and shared denominator exact
-    * 128-bit integers (DECIMAL(38,0) ≡ HUGEINT) — and log₂ of each is
+    * Determinism (rounds 14–18 — the cross-build story, honestly
+    * told): rounds 14–16 each hardened one more stage of the rounding
+    * tail blaming cross-build libm `log2(double)` ulps; round 17
+    * removed libm from the runtime chain ENTIRELY — both log₂
+    * arguments are EXACT integer ratios (with m = (p+q)/2, p = cs/na,
+    * q = cg/ng, clearing denominators gives p/m = 2·cs·ng/(cs·ng+cg·na)
+    * and q/m = 2·cg·na/(same), numerators and shared denominator exact
+    * 128-bit integers, DECIMAL(38,0) ≡ HUGEINT), log₂ of each is
     * evaluated in PURE INTEGER arithmetic against the shared literal
-    * lattice [[JsLog2TableNano]] (the recon_benford literal-table
-    * discipline): normalize the ratio into [1,2] with the unrolled
-    * exponent search [[JsLog2Steps]] (greedy-exact for any exponent
-    * ≤ 47; every comparison stays ≤ den·2¹⁶ because the 32-step is
-    * split into two 16s), quantize the mantissa onto the 1/1000 grid
-    * by one half-away integer division, then linearly interpolate
-    * between adjacent table nanos (one more half-away integer
-    * division). Interpolation error ≤ 2·10⁻⁷ (h²·max|d²log₂|/8 on
-    * the 10⁻³ grid), so lp6µ/lq6µ sit within a micro-ulp of true
-    * round(log₂·10⁶) — and are BIT-IDENTICAL across engines, because
-    * the lattice values are computed once at build time and embedded
-    * as the SAME literals in the Spark plan and the generated DuckDB
-    * oracle text (SparkEntry.jsDivergenceSql renders this array).
-    * From there the tail is the round-16 spelling unchanged: the term
-    * micro value t6µ = half-away((cs·lp6µ·ng + cg·lq6µ·na)/(2·na·ng))
-    * via [[graft.ops.Recon.ratioScaled]], the absent-token mass —
-    * p = 0 ⇒ the term is 0.5·q·log₂2 = q/2, totalling
-    * (ng − Σ_present cg)/(2·ng) — is ratioScaled(ng − cgp, 2·ng, 6),
-    * and the final jsd is one exact micro-long sum surfaced by a
-    * single long→double division. No log2(), no round(double),
-    * anywhere — nothing is left for a libm build to disagree on. One
-    * explode pass; the global distribution folds out of the
-    * per-source one (exchange-reused); everything after is
-    * token-keyed hash joins with map-side partials. 128-bit
-    * envelope: the exponent-search comparisons (≤ den·2¹⁶) and the
-    * interpolation product (≤ den·3·10⁶) both clear DECIMAL(38,0)
-    * for den = cs·ng+cg·na up to ~3·10³¹ — ~10¹⁵ corpus tokens,
-    * the same envelope as before. */
+    * lattice [[JsLog2TableNano]] (normalize into [1,2] with the
+    * unrolled exponent search [[JsLog2Steps]] — greedy-exact, complete
+    * for all BIGINT counts, every comparison ≤ den·2¹⁶; quantize the
+    * mantissa onto the 1/1000 grid and linearly interpolate between
+    * adjacent table nanos, both half-away integer divisions;
+    * interpolation error ≤ 2·10⁻⁷, so lp6µ/lq6µ sit within a micro-ulp
+    * of round(log₂·10⁶) and are bit-identical across engines because
+    * the lattice values are BUILD-TIME literals rendered into both
+    * plans) — and the driver's DuckDB build was STILL red on an
+    * artifact stamped after the final round-17 commit, while the
+    * builder's local build agrees with Spark on every corpus swept.
+    * No runtime libm call remains, so whatever still diverges is in
+    * how that one build evaluates this query's SPELLING; the
+    * mechanism is open, not closed. Round 18 therefore changes the
+    * compare surface instead of guessing again (the round-17 verdict's
+    * prescription): (1) the op emits `jsd_micro` as an exact BIGINT —
+    * the micro-long sum BEFORE any long→double surfacing division —
+    * so the driver compares integers end to end (µJSD is the same
+    * measurement: jsd = jsd_micro/10⁶); (2) the oracle's 1002-element
+    * list literal + per-row indexing — the ONE construct no green
+    * oracle exercises — becomes a VALUES relation equi-joined on the
+    * lattice index (SparkEntry.jsDivergenceSql); (3) two verify-only
+    * probe ops ([[jsProbeNorm]], [[jsProbeInterp]]) aggregate the
+    * chain's intermediate stages as integer columns, so if the row is
+    * somehow still red the driver's own per-op verdicts bisect WHICH
+    * stage diverges. Term tail (round-16 spelling, unchanged): t6µ =
+    * half-away((cs·lp6µ·ng + cg·lq6µ·na)/(2·na·ng)) via
+    * [[graft.ops.Recon.ratioScaled]]; the absent-token mass — p = 0 ⇒
+    * the term is 0.5·q·log₂2 = q/2, totalling (ng − Σ_present
+    * cg)/(2·ng) — is ratioScaled(ng − cgp, 2·ng, 6); jsd_micro is the
+    * exact micro-long sum of the two. One explode pass; the global
+    * distribution folds out of the per-source one (exchange-reused);
+    * everything after is token-keyed hash joins with map-side
+    * partials. 128-bit envelope: the exponent-search comparisons
+    * (≤ den·2¹⁶) and the interpolation product (≤ den·3·10⁶) both
+    * clear DECIMAL(38,0) for den = cs·ng+cg·na up to ~3·10³¹ —
+    * ~10¹⁵ corpus tokens. */
   def jsDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val dec = dec38
+    val joined = jsLogFrame(spark, dir)
+      .withColumn("t6u", Recon.ratioScaled(
+        col("cs").cast(dec) * col("lp6u") * col("ng")
+          + col("cg").cast(dec) * col("lq6u") * col("na"),
+        col("na").cast(dec) * col("ng") * 2, 0))
+    joined.groupBy("source")
+      .agg(max(col("na")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        max(col("ng")).as("ng"),
+        sum(col("t6u")).as("sm"),
+        sum(col("cg")).as("cgp"))
+      .select(col("source"), col("n_tokens"), col("vocab"),
+        (col("sm") + Recon.ratioScaled(
+            (col("ng") - col("cgp")).cast(dec), col("ng").cast(dec) * 2, 6))
+          .cast("long").as("jsd_micro"))
+      .orderBy("source")
+  }
+
+  /** The (source, tok)-grained frame [[jsDivergence]] and its probes
+    * share: per-token counts joined with the exact integer log₂
+    * micro-values of p/m and q/m, plus (with `keepDiag`) the
+    * exponent-search diagnostics. One explode; `gc`/`na`/`ng` fold
+    * out of `sc` (exchange-reused); `na`/`ng` broadcast back. */
+  private def jsLogFrame(spark: SparkSession, dir: String,
+                         keepDiag: Boolean = false): DataFrame = {
     val dec = dec38
     val toks = docs(spark, dir)
       .select(col("source"), explode(split(lower(col("text")), " ")).as("tok"))
@@ -1690,25 +1741,45 @@ object Text {
         col("cs").cast(dec) * col("ng") + col("cg").cast(dec) * col("na"))
       .withColumn("np", col("cs").cast(dec) * col("ng") * 2)
       .withColumn("nq", col("cg").cast(dec) * col("na") * 2)
-    val joined = withLog2Micro(
-        withLog2Micro(base, "lp", col("np"), col("den")),
-        "lq", col("nq"), col("den"))
-      .withColumn("t6u", Recon.ratioScaled(
-        col("cs").cast(dec) * col("lp6u") * col("ng")
-          + col("cg").cast(dec) * col("lq6u") * col("na"),
-        col("na").cast(dec) * col("ng") * 2, 0))
-    joined.groupBy("source")
-      .agg(max(col("na")).as("n_tokens"),
-        count(lit(1)).as("vocab"),
-        max(col("ng")).as("ng"),
-        sum(col("t6u")).as("sm"),
-        sum(col("cg")).as("cgp"))
-      .select(col("source"), col("n_tokens"), col("vocab"),
-        ((col("sm") + Recon.ratioScaled(
-            (col("ng") - col("cgp")).cast(dec), col("ng").cast(dec) * 2, 6))
-          .cast("double") / 1e6).as("jsd"))
-      .orderBy("source")
+    withLog2Micro(
+      withLog2Micro(base, "lp", col("np"), col("den"), keepDiag),
+      "lq", col("nq"), col("den"), keepDiag)
   }
+
+  /** Round-18 bisection probe #1 — the exponent-search +
+    * grid-quantization stage of [[jsDivergence]]'s log₂ chain,
+    * WITHOUT the lattice lookup or interpolation: per source, exact
+    * integer sums of the mantissa-grid indices (ip/iq ∈ [1000, 2000],
+    * from one truncating `den`-division each) and of the exponent
+    * shifts (sp/sq, from the [[JsLog2Steps]] comparison chain).
+    * Catalyst prunes the unused lattice columns, so a red verdict
+    * here localizes the divergence to HUGEINT multiply/compare or
+    * `//` in the driver's DuckDB build; a green one clears the whole
+    * head of the chain. Verify-only (diagnostic, not a perf surface —
+    * benching it would re-time [[jsDivergence]]'s frame). */
+  def jsProbeNorm(spark: SparkSession, dir: String): DataFrame =
+    jsLogFrame(spark, dir, keepDiag = true)
+      .groupBy("source")
+      .agg(count(lit(1)).as("vocab"),
+        sum(col("lp_i")).as("sip"), sum(col("lq_i")).as("siq"),
+        sum(col("lp_s")).as("ssp"), sum(col("lq_s")).as("ssq"))
+      .orderBy("source")
+
+  /** Round-18 bisection probe #2 — the lattice-interpolation stage of
+    * [[jsDivergence]]'s log₂ chain: per source, exact integer sums of
+    * the finished micro-log₂ values lp6µ/lq6µ (everything through the
+    * [[JsLog2TableNano]] lookup, the interpolation division and the
+    * nano→micro fold, but BEFORE the t6µ term combine). Paired with
+    * [[jsProbeNorm]] and the op's own `jsd_micro`, the three driver
+    * verdicts bracket any remaining divergence to one stage:
+    * norm-red → integer search; norm-green/interp-red → lattice join
+    * or interpolation; both-green/op-red → term tail. Verify-only. */
+  def jsProbeInterp(spark: SparkSession, dir: String): DataFrame =
+    jsLogFrame(spark, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("vocab"),
+        sum(col("lp6u")).as("slp6u"), sum(col("lq6u")).as("slq6u"))
+      .orderBy("source")
 
   /** Zipf power-law fit over the token rank–frequency curve — the other
     * half of the corpus health check [[vocabRichness]] starts: natural

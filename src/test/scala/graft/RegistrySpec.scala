@@ -216,11 +216,16 @@ class RegistrySpec extends GraftSpec {
     // methodology can't time meaningfully, and BASELINE.md never budgeted
     // them; the footer-rowcount anchor is ten driver-side footer reads
     // (~0 — a bench row would time nothing while its DuckDB twin pays
-    // ten full scans). Any OTHER gap here is a forgotten benchQueries
+    // ten full scans). The two text_js probes are round-18 DIAGNOSTIC
+    // rows (they bisect which stage of the jsDivergence integer chain
+    // the driver's DuckDB build disagrees on — the four-round red row);
+    // benching them would time the jsDivergence frame twice more for no
+    // performance information, and they leave the registry once the row
+    // is driver-green. Any OTHER gap here is a forgotten benchQueries
     // entry.
     val sinkOps = Set("csv_roundtrip_fingerprint", "json_roundtrip_fingerprint",
       "parquet_partitioned_roundtrip", "bucketed_join_fingerprint",
-      "source_footer_rowcounts")
+      "source_footer_rowcounts", "text_js_probe_norm", "text_js_probe_interp")
     val unbenched =
       SparkEntry.oracleSql.keySet -- SparkEntry.benchQueries.toSet -- sinkOps
     assert(unbenched.isEmpty,

@@ -975,22 +975,26 @@ class TextSpec extends GraftSpec {
     val got = Text.jsDivergence(spark, dir).collect()
     assert(got.length === 2)
     got.foreach { r =>
-      assert(r.getDouble(3) === 0.0, s"source ${r.getString(0)}")
+      assert(r.getLong(3) === 0L, s"source ${r.getString(0)}")
       assert(r.getLong(1) === 4L && r.getLong(2) === 3L)
     }
   }
 
   test("jsd: sf values recompute via an independent integer-lattice fold") {
-    // BigInt re-implementation of the round-17 contract (shared
+    // BigInt re-implementation of the round-18 contract (shared
     // literal log₂ lattice + unrolled exponent search + linear
-    // interpolation + half-away folds) — independent of the Column
-    // spelling, so a Spark-side decimal-precision or indexing slip
-    // shows up as a value diff here, and ALSO a ±2·10⁻⁷ accuracy
-    // cross-check of the lattice against true log₂
+    // interpolation + half-away folds, exact micro-long output) —
+    // independent of the Column spelling, so a Spark-side
+    // decimal-precision or indexing slip shows up as a value diff
+    // here, and ALSO a ±2·10⁻⁷ accuracy cross-check of the lattice
+    // against true log₂. The same fold also re-derives the two
+    // round-18 bisection probes' stage sums (grid indices, shifts,
+    // micro-log₂s), so all three registry rows share one witness.
     val T = Text.JsLog2TableNano
-    def log2micro(num: BigInt, den: BigInt): Long = {
+    // (micro-log₂, grid index, shift) of num/den on the lattice
+    def log2micro(num: BigInt, den: BigInt): (Long, Long, Long) = {
       var k = 0; var m = BigInt(1)
-      for (st <- Seq(16, 16, 8, 4, 2, 1))
+      for (st <- Text.JsLog2Steps)
         if (num * m * (BigInt(1) << st) <= den) { m <<= st; k += st }
       val (shift, mm) =
         if (num >= den) (0L, BigInt(1)) else ((k + 1).toLong, m * 2)
@@ -1005,7 +1009,7 @@ class TextSpec extends GraftSpec {
       assert(math.abs(lpn / 1e9 - truth) < 3e-7,
         s"lattice log2($num/$den): $lpn nano vs true $truth")
       val mag = (2L * math.abs(lpn) + 1000L) / 2000L
-      if (lpn >= 0) mag else -mag
+      (if (lpn >= 0) mag else -mag, i, shift)
     }
     def halfAway(num: BigInt, den: BigInt): Long = {
       val mag = ((num.abs * 2 + den) / (den * 2)).toLong
@@ -1019,23 +1023,38 @@ class TextSpec extends GraftSpec {
     val gc = sc.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
     val na = sc.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
     val ng = BigInt(gc.values.sum)
+    // per source: (jsd_micro, Σip, Σiq, Σsp, Σsq, Σlp6u, Σlq6u, vocab)
     val expect = sc.groupBy(_._1).map { case (s, rows) =>
       val nA = BigInt(na(s))
-      val terms = rows.map { case (_, tok, cs) =>
+      val folded = rows.map { case (_, tok, cs) =>
         val cS = BigInt(cs); val cG = BigInt(gc(tok))
         val den = cS * ng + cG * nA
-        val lp = log2micro(cS * ng * 2, den)
-        val lq = log2micro(cG * nA * 2, den)
-        halfAway(cS * lp * ng + cG * lq * nA, nA * ng * 2)
-      }.sum
+        val (lp, ipI, spS) = log2micro(cS * ng * 2, den)
+        val (lq, iqI, sqS) = log2micro(cG * nA * 2, den)
+        (halfAway(cS * lp * ng + cG * lq * nA, nA * ng * 2),
+          ipI, iqI, spS, sqS, lp, lq)
+      }
       val cgp = rows.map(x => BigInt(gc(x._2))).sum
       val absent = halfAway((ng - cgp) * 1000000, ng * 2)
-      s -> (terms + absent).toDouble / 1e6
+      s -> (folded.map(_._1).sum + absent, folded.map(_._2).sum,
+        folded.map(_._3).sum, folded.map(_._4).sum, folded.map(_._5).sum,
+        folded.map(_._6).sum, folded.map(_._7).sum, folded.size.toLong)
     }
     Text.jsDivergence(spark, sf).collect().foreach { r =>
-      assert(r.getDouble(3) === expect(r.getString(0)),
-        s"jsd for ${r.getString(0)}")
-      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+      assert(r.getLong(3) === expect(r.getString(0))._1,
+        s"jsd_micro for ${r.getString(0)}")
+      assert(r.getLong(3) >= 0L && r.getLong(3) <= 1000000L)
+    }
+    Text.jsProbeNorm(spark, sf).collect().foreach { r =>
+      val e = expect(r.getString(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)) === ((e._8, e._2, e._3, e._4, e._5)),
+        s"probe_norm for ${r.getString(0)}")
+    }
+    Text.jsProbeInterp(spark, sf).collect().foreach { r =>
+      val e = expect(r.getString(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) ===
+        ((e._8, e._6, e._7)), s"probe_interp for ${r.getString(0)}")
     }
   }
 
