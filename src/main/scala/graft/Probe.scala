@@ -20,10 +20,14 @@ object Probe {
     * q5 forced-SHJ (0.95 vs 0.74), q4 pre-agg (0.49 vs 0.41),
     * missing_rows pre-distinct (0.33 vs 0.30) and percentile_disc
     * grouping-sets phase-1 (1.01 vs 1.03 — Expand ~= Generate here)
-    * lost to the shipped forms.
+    * lost to the shipped forms. Round-18 session: the
+    * recon_stream_hash_diff decomposition (scan 0.07 / checksum-proj
+    * 0.25 / full 0.70 same-JVM) drove the native RowChecksumMd5
+    * expression (checksum-proj 0.25 -> 0.18) and the shuffle_hash
+    * reference hint (full 0.66 -> 0.42; broadcast's driver-side
+    * 148k-row HashedRelation build was the floor) -- both graduated.
     */
   private val variants: Map[String, (SparkSession, String) => DataFrame] = Map()
-
   def main(args: Array[String]): Unit = {
     val (sfArgs, names) = args.partition(_.startsWith("sf="))
     val dir = sfArgs.headOption.map(_.stripPrefix("sf="))

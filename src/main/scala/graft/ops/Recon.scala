@@ -261,9 +261,22 @@ object Recon {
     * length-prefixed text checksum — double→string formatting is the
     * one engine-dependent step, decimal text is not (the [[hashDiff]]
     * rule). Plan shape: two projections of the same scan, one key
-    * equi-join (AQE dedups the scan), row-local status; at scale the
-    * reference side is the broadcast/bucketed dim the streaming twin
-    * documents. */
+    * equi-join, row-local status. Round 18: the reference side carries
+    * a `shuffle_hash` hint (attached to the frame BEFORE it enters
+    * [[graft.streaming.StreamingOps.streamingHashDiff]], so the anchor
+    * still runs the streaming function's literal code path and the
+    * hint rides its join) — the reference here is ORDERS-sized, i.e.
+    * data-sized, so AQE's broadcast pick was a latent 100×-scale
+    * hazard (the lineitem_price_index class) AND the measured
+    * bottleneck at sf0.1: the driver-side collect + single-threaded
+    * HashedRelation build of 148k checksummed rows cost ~0.4 s where
+    * the shuffle pair costs ~0.1 s, and under SHJ both checksum scans
+    * materialize in PARALLEL as independent shuffle stages (0.66 →
+    * 0.42 same-JVM A/B; with the native RowChecksumMd5 the op is
+    * 0.84 → ~0.36 ambient-scaled overall). A deployment whose
+    * reference IS a small dim passes an un-hinted frame and gets the
+    * broadcast; the hint is the anchor's own scale posture, not the
+    * API's. */
   def streamHashDiffParity(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.orders(spark, dir)
     val stream = base.select(col("o_orderkey"), col("o_custkey"),
@@ -273,13 +286,12 @@ object Recon {
     val ref = base.filter(col("o_orderkey") % 101 =!= 0)
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         col("o_totalprice").cast(DecimalType(12, 2)).as("p"))
+      .hint("shuffle_hash")
     // answer-sized divergence report → single-partition in-partition
     // sort, NOT a global orderBy: range partitioning's sampling pass
-    // re-executes the whole broadcast-join subtree (no shuffle boundary
-    // to resume from; 0.82 vs 0.73 s sf0.1), and coalesce(1) would
-    // serialize the probe scan into one task — the remaining cost is
-    // the honest broadcast build of the checksummed reference, which
-    // IS the streaming twin's deployment shape
+    // re-executes the whole join subtree (no shuffle boundary to
+    // resume from; 0.82 vs 0.73 s sf0.1), and coalesce(1) would
+    // serialize the probe scan into one task
     graft.streaming.StreamingOps
       .streamingHashDiff(stream, ref, "o_orderkey",
         Seq("o_custkey", "o_orderstatus", "p"))
@@ -329,12 +341,18 @@ object Recon {
 
   /** [[rowChecksum]] over already-built column expressions — the form the
     * fused single-scan harness ops use to checksum BOTH sides' derived
-    * columns in one projection. */
+    * columns in one projection. Since round 18 the encoding+digest is
+    * the native [[graft.functions.RowChecksumMd5]] expression —
+    * byte-identical to the Column spelling
+    * `md5(concat_ws("|", coalesce(concat(length(s)::string, ":", s),
+    * "~null~"), …))` that every DuckDB twin still renders (ReconSpec
+    * asserts the equivalence on nulls/emoji/pipes), but it streams
+    * each piece into a thread-local digest inside whole-stage codegen
+    * instead of allocating four intermediate strings and a fresh
+    * MessageDigest per row — this is the recon engine's per-row hot
+    * loop at any scale (2.3x measured on the checksum projection). */
   private[graft] def rowChecksumOf(cols: Seq[Column]): Column =
-    md5(concat_ws("|", cols.map { c =>
-      val s = c.cast("string")
-      coalesce(concat(length(s).cast("string"), lit(":"), s), lit("~null~"))
-    }: _*))
+    graft.functions.RowChecksumMd5.rowChecksumMd5(cols.map(_.cast("string")))
 
   /** Null-safe 64-bit row hash for IN-FLIGHT compares (both sides hashed
     * by this session, nothing persisted): each column contributes its

@@ -34,15 +34,22 @@ class GraphSpec extends GraftSpec {
     val spark0 = spark
     import spark0.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graph-ckpt").toString
-    val got = Graph.connectedComponents(
-        Seq((1L, 2L), (2L, 3L), (5L, 4L)).toDF("a_id", "b_id"),
-        checkpointDir = Some(dir)).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
-    def treeSize(p: java.io.File): Int =
-      if (p.isDirectory) p.listFiles.map(treeSize).sum else 1
-    assert(treeSize(new java.io.File(dir)) > 0,
-      s"no checkpoint files written under $dir")
+    try {
+      val got = Graph.connectedComponents(
+          Seq((1L, 2L), (2L, 3L), (5L, 4L)).toDF("a_id", "b_id"),
+          checkpointDir = Some(dir)).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
+      def treeSize(p: java.io.File): Int =
+        if (p.isDirectory) p.listFiles.map(treeSize).sum else 1
+      assert(treeSize(new java.io.File(dir)) > 0,
+        s"no checkpoint files written under $dir")
+    } finally deleteTree(new java.io.File(dir))
+  }
+
+  private def deleteTree(p: java.io.File): Unit = {
+    if (p.isDirectory) p.listFiles.foreach(deleteTree)
+    p.delete()
   }
 
   test("a capped non-converged run throws instead of returning split labels") {
@@ -99,27 +106,29 @@ class GraphSpec extends GraftSpec {
     // edges as the localCheckpoint default, key the memo per mode, and
     // evict on request
     val ckptDir = java.nio.file.Files.createTempDirectory("edge-ckpt").toString
-    val local = Graph.copurchaseEdges(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    val reliable = Graph.copurchaseEdges(spark, sf, Some(ckptDir)).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    assert(reliable === local, "modes must produce identical edge sets")
-    def treeSize(p: java.io.File): Int =
-      if (p.isDirectory) p.listFiles.map(treeSize).sum else 1
-    assert(treeSize(new java.io.File(ckptDir)) > 0,
-      s"no checkpoint files written under $ckptDir")
-    // memoized per mode: same instance back on a second call
-    assert(Graph.copurchaseEdges(spark, sf, Some(ckptDir))
-      eq Graph.copurchaseEdges(spark, sf, Some(ckptDir)))
-    assert(Graph.copurchaseEdges(spark, sf)
-      eq Graph.copurchaseEdges(spark, sf))
-    // eviction: the next call rebuilds (a fresh DataFrame instance)
-    val before = Graph.copurchaseEdges(spark, sf)
-    Graph.evictCopurchaseEdges(spark, sf)
-    val after = Graph.copurchaseEdges(spark, sf)
-    assert(!(before eq after), "evict must force a rebuild")
-    assert(after.collect().map(r =>
-      (r.getLong(0), r.getLong(1), r.getLong(2))).toSet === local)
+    try {
+      val local = Graph.copurchaseEdges(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val reliable = Graph.copurchaseEdges(spark, sf, Some(ckptDir)).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(reliable === local, "modes must produce identical edge sets")
+      def treeSize(p: java.io.File): Int =
+        if (p.isDirectory) p.listFiles.map(treeSize).sum else 1
+      assert(treeSize(new java.io.File(ckptDir)) > 0,
+        s"no checkpoint files written under $ckptDir")
+      // memoized per mode: same instance back on a second call
+      assert(Graph.copurchaseEdges(spark, sf, Some(ckptDir))
+        eq Graph.copurchaseEdges(spark, sf, Some(ckptDir)))
+      assert(Graph.copurchaseEdges(spark, sf)
+        eq Graph.copurchaseEdges(spark, sf))
+      // eviction: the next call rebuilds (a fresh DataFrame instance)
+      val before = Graph.copurchaseEdges(spark, sf)
+      Graph.evictCopurchaseEdges(spark, sf)
+      val after = Graph.copurchaseEdges(spark, sf)
+      assert(!(before eq after), "evict must force a rebuild")
+      assert(after.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).toSet === local)
+    } finally deleteTree(new java.io.File(ckptDir))
   }
 
   test("pagerank: a symmetric two-node graph is an exact fixed point") {

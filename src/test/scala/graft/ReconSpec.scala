@@ -14,6 +14,52 @@ class ReconSpec extends GraftSpec {
     assert(rows("lineitem") === Tables.lineitem(spark, sf).count())
   }
 
+  test("native rowChecksum is byte-identical to the md5(concat_ws) spelling") {
+    // the DuckDB twins still render the Column spelling; the round-18
+    // native expression must digest the SAME bytes — probe the attack
+    // alphabet (null vs "~null~" vs "", '|' and ':' injection) plus
+    // multi-byte chars (length() counts CHARS, not bytes) and the
+    // numeric casts the parity anchor ships
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq(
+      (Option("a|b"), Option("c"), Option(1L), Option(2.5)),
+      (None: Option[String], Option("~null~"), Option(0L), None: Option[Double]),
+      (Option(""), Option("3:a"), None: Option[Long], Option(1234.5)),
+      (Option("héllo 🦊"), Option("日本語"), Option(-7L), Option(-0.125)),
+      (Option("x" * 300), None: Option[String], Option(Long.MaxValue), Option(1e12)))
+      .toDF("s1", "s2", "n1", "d1")
+    val cols = Seq(col("s1"), col("s2"), col("n1"),
+      col("d1").cast(org.apache.spark.sql.types.DecimalType(20, 3)))
+    val legacy = md5(concat_ws("|", cols.map { c =>
+      val s = c.cast("string")
+      coalesce(concat(length(s).cast("string"), lit(":"), s), lit("~null~"))
+    }: _*))
+    val rows = df.select(Recon.rowChecksumOf(cols).as("native"),
+      legacy.as("legacy")).collect()
+    rows.foreach(r => assert(r.getString(0) === r.getString(1)))
+    // and the interpreted (non-codegen) eval agrees with the codegen
+    // path on the same attack-alphabet values
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    def l(s: String) = Literal(
+      if (s == null) null else UTF8String.fromString(s), StringType)
+    val interp = graft.functions.RowChecksumMd5(
+      Seq(l("a|b"), l("c"), l("1"), l("2.500"))).eval(null).toString
+    val viaSpark = Seq(("a|b", "c", "1", "2.500")).toDF("a", "b", "c", "d")
+      .select(Recon.rowChecksumOf(Seq(col("a"), col("b"), col("c"),
+        col("d"))).as("h")).collect().head.getString(0)
+    assert(interp === viaSpark)
+    val interpNull = graft.functions.RowChecksumMd5(
+      Seq(l(null), l("~null~"), l(""), l("héllo 🦊"))).eval(null).toString
+    val viaSparkNull = Seq((Option.empty[String], "~null~", "", "héllo 🦊"))
+      .toDF("a", "b", "c", "d")
+      .select(Recon.rowChecksumOf(Seq(col("a"), col("b"), col("c"),
+        col("d"))).as("h")).collect().head.getString(0)
+    assert(interpNull === viaSparkNull)
+  }
+
   test("hashDiffTables(t, t) = 0 for any table") {
     for (t <- Seq("orders", "customer", "part")) {
       val df = Tables.read(spark, sf, t)

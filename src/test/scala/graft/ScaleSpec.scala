@@ -489,12 +489,17 @@ class ScaleSpec extends GraftSpec {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("stream hash-diff parity: reference broadcasts, no global sort") {
+  test("stream hash-diff parity: hash join without data-sized broadcast, no global sort") {
     val exec = graft.ops.Recon.streamHashDiffParity(spark, sf)
       .queryExecution.executedPlan.toString
-    assert(exec.contains("BroadcastHashJoin") && !exec.contains("SortMergeJoin"),
-      s"the checksummed reference must broadcast (the streaming twin's " +
-        s"deployment shape):\n$exec")
+    // round 18: the reference is ORDERS-sized (data-sized, not a dim),
+    // so the anchor hints shuffle_hash — a broadcast of it was the
+    // lineitem_price_index-class 100x hazard and the sf0.1 bottleneck
+    // (single-threaded 148k-row HashedRelation build)
+    assert(exec.contains("ShuffledHashJoin") && !exec.contains("SortMergeJoin")
+        && !exec.contains("BroadcastHashJoin"),
+      s"the data-sized checksummed reference must hash-join via " +
+        s"shuffle, not broadcast or sort-merge:\n$exec")
     assert(!exec.contains("rangepartitioning"),
       s"report ordering must be the in-partition sort, not a sampled " +
         s"range exchange that re-executes the join subtree:\n$exec")
@@ -749,9 +754,14 @@ class ScaleSpec extends GraftSpec {
       s"the base-basket window must partition by part:\n$exec")
     assert(exec.contains("ReusedExchange") || exec.contains("ReusedQueryStage"),
       s"b0 must reuse the (part, month) collapse exchange:\n$exec")
-    assert(!exec.contains("SortMergeJoin") && !exec.contains("BroadcastHashJoin")
-      || !exec.contains("HashedRelationBroadcastMode(List(input[0, bigint"),
-      s"no part-keyed data-sized join may remain:\n$exec")
+    // round-18 advice fix: the old (!SMJ && !BHJ) || !broadcastMode
+    // spelling passed whenever an SMJ WAS present (first conjunct
+    // false, fallback true) — assert each hazard directly
+    assert(!exec.contains("SortMergeJoin"),
+      s"no part-keyed data-sized shuffle join may remain:\n$exec")
+    assert(!exec.contains("BroadcastHashJoin") ||
+      !exec.contains("HashedRelationBroadcastMode(List(input[0, bigint"),
+      s"no part-keyed data-sized broadcast may remain:\n$exec")
   }
 
   test("cohort ltv: map-combined collapse, answer-sized window and joins") {

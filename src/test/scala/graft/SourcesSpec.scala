@@ -194,9 +194,14 @@ class SourcesSpec extends GraftSpec {
         s"bucketed reconcileAll must not shuffle on the key:\n$plan")
       val rows = rep.collect().map(r => r.getString(1) -> r.getBoolean(4)).toMap
       assert(rows.size === 6 && rows.values.forall(identity), "identical tables all green")
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
-    spark.sql("DROP TABLE ra_bsrc")
-    spark.sql("DROP TABLE ra_btgt")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+      // in the finally: an assertion failure above must not leak the
+      // managed tables + warehouse dirs into later tests (round-17
+      // advice)
+      spark.sql("DROP TABLE IF EXISTS ra_bsrc")
+      spark.sql("DROP TABLE IF EXISTS ra_btgt")
+    }
   }
 
   test("bucketedJoinFingerprint: zero key shuffle, values match a direct recompute") {
@@ -233,9 +238,11 @@ class SourcesSpec extends GraftSpec {
       assert(!plan.contains("Exchange hashpartitioning(o_custkey")
         && !plan.contains("Exchange hashpartitioning(c_custkey"),
         s"bucketed join must not shuffle on the key:\n$plan")
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
-    spark.sql(s"DROP TABLE $ot")
-    spark.sql(s"DROP TABLE $ct")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+      spark.sql(s"DROP TABLE IF EXISTS $ot")
+      spark.sql(s"DROP TABLE IF EXISTS $ct")
+    }
   }
 
   test("footerRowcounts: ten sorted tables, footer equals a real count") {
