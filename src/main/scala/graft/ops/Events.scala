@@ -51,18 +51,22 @@ object Events {
     * 3.7, 1.0, true, null, absent key and out-of-range ints are ALL
     * NULL — oracle twin `json_type IN ('BIGINT','UBIGINT')` +
     * `TRY_CAST`); a StringType field is the raw JSON token text (69 →
-    * '69', 3.7 → '3.7', true → 'true' — `json_extract_string`); the
-    * struct itself is NULL only for NULL/empty/whitespace-only input
-    * (`props IS NULL OR trim(props) = ''` — a malformed-but-non-blank
-    * record yields a non-null struct of NULL fields, probed). Known
-    * oracle boundary, documented not planted: Spark returns a number's
-    * RAW spelling where DuckDB re-renders canonically, so
-    * non-canonical JSON number text (1.50, 1e2) under a StringType
-    * field is outside the oracle contract — as is any integer past
-    * uint64 (DuckDB types it DOUBLE and re-renders even through raw
-    * json_extract; probed when the rebuilt fuzz02 planted one — its
-    * overflow row now stays inside uint64, where DuckDB's UBIGINT
-    * rendering IS the raw digits).
+    * '69', 3.7 → '3.7', true → 'true' — `json_extract_string`);
+    * `unparsed` reports blank input only (`props IS NULL OR
+    * trim(props) = ''`, pinned), and since round 18 every FIELD
+    * additionally requires whole-document validity: from_json runs
+    * behind [[graft.functions.JsonValid]] (the DuckDB-parity strict
+    * validator), because Jackson-PERMISSIVE parses a valid prefix +
+    * garbage tail ('{"k":5}x' → k=5) that the twin's `json_valid`
+    * field gates reject — caught when fuzz02 planted the
+    * malformed-tail matrix. Known oracle boundary, documented not
+    * planted: Spark returns a number's RAW spelling where DuckDB
+    * re-renders canonically, so non-canonical JSON number text (1.50,
+    * 1e2) under a StringType field is outside the oracle contract —
+    * as is any integer past uint64 (DuckDB types it DOUBLE and
+    * re-renders even through raw json_extract; probed when the
+    * rebuilt fuzz02 planted one — its overflow row now stays inside
+    * uint64, where DuckDB's UBIGINT rendering IS the raw digits).
     *
     * 100 TB posture: pure row-local projection over the scan (two
     * Jackson parses per row — from_json is the surface under test;
@@ -73,12 +77,22 @@ object Events {
     val longSchema = StructType(Seq(
       StructField("k", LongType), StructField("notk", LongType)))
     val rawSchema = StructType(Seq(StructField("k", StringType)))
+    // round 18: from_json parses only documents that pass the strict
+    // DuckDB-parity validator — Jackson-PERMISSIVE accepts a valid
+    // prefix + garbage tail ('{"k":5}x' → k=5) where the twin's
+    // json_valid gate rejects, the one shape the planted fuzz02
+    // matrix caught when the malformed-tail rows landed; `unparsed`
+    // keeps its pinned blank-only meaning (a malformed-but-non-blank
+    // record reports unparsed=false with all fields NULL, matching
+    // the oracle's blank test + json_valid field gates)
+    val ok = graft.functions.JsonGetLong.jsonValidStrict(col("props"))
     Tables.events(spark, dir)
       .select(col("event_id"),
-        from_json(col("props"), longSchema).as("p"),
-        from_json(col("props"), rawSchema).as("pr"))
+        (col("props").isNull || trim(col("props")) === "").as("unparsed"),
+        from_json(when(ok, col("props")), longSchema).as("p"),
+        from_json(when(ok, col("props")), rawSchema).as("pr"))
       .select(col("event_id"),
-        col("p").isNull.as("unparsed"),
+        col("unparsed"),
         col("p.k").as("k_long"),
         col("p.notk").as("notk_long"),
         col("pr.k").as("k_raw"))
@@ -95,26 +109,21 @@ object Events {
     * usable share drifts down is a producer regression caught before
     * any downstream aggregate silently loses rows.
     *
-    * Classification deliberately avoids the valid-vs-malformed JSON
-    * boundary (Jackson and DuckDB's parser disagree on edge spellings):
-    * the three classes are blank / yields-int64 / everything-else,
-    * each decidable identically on both engines (blank is a trim
+    * The three classes are blank / yields-int64 / everything-else,
+    * each decidable identically on both engines: blank is a trim
     * test; yields-int64 is the JsonGetLong contract, oracle twin
-    * `json_valid` + `json_type IN ('BIGINT','UBIGINT')` + `TRY_CAST`).
-    *
-    * EXPLICIT ORACLE BOUNDARY (the non-canonical-number precedent,
-    * round-16 advice): yields-int64 agrees across engines only for
-    * props that are either whole-document-valid JSON or malformed AT
-    * OR BEFORE the `$.k` match point. A valid-prefix/malformed-tail
-    * document ('{"k":5' truncated, '{"k":5}x' garbage tail,
-    * '{"k":5,"j":tru}' bad later member) yields 5 from the scanner
-    * (first match wins — the documented, tested JsonGetLong contract
-    * that keeps the scan single-pass and codegen-hot) but fails the
-    * twin's whole-document json_valid. No current corpus, fuzz
-    * matrix, or producer emits that shape; a pipeline whose producers
-    * can must audit with get_json_object parity instead.
-    * Shares present through [[graft.ops.Recon.ratioRound]]; k
-    * aggregates are exact longs over the usable rows.
+    * `json_valid` + `json_type IN ('BIGINT','UBIGINT')` + `TRY_CAST`.
+    * Round 18 closed the last boundary between them: the scanner now
+    * validates WHOLE-DOCUMENT JSON (JsonScan.validJson, matched
+    * byte-for-byte to DuckDB 1.0.0's yyjson semantics over a 103-shape
+    * probed battery in JsonGetLongSpec), so a valid-prefix/
+    * malformed-tail document ('{"k":5' truncated, '{"k":5}x' garbage
+    * tail, '{"k":5,"j":tru}' bad later member) is NULL on both
+    * engines — previously the prefix scan yielded 5 where json_valid
+    * rejected, a documented-not-planted divergence; fuzz02 now plants
+    * all three shapes. Shares present through
+    * [[graft.ops.Recon.ratioRound]]; k aggregates are exact longs
+    * over the usable rows.
     *
     * 100 TB posture: one row-local classification projection over the
     * scan (the native byte scanner keeps the stage in codegen), one

@@ -85,6 +85,132 @@ class JsonGetLongSpec extends GraftSpec {
     assert(fromParquet(1L) === Some(7L) && fromParquet(2L) === None)
   }
 
+
+  test("yields-int64 classification matches DuckDB json_valid semantics (probed battery)") {
+    // 103 shapes evaluated against the LIVE local DuckDB 1.0.0
+    // (`CASE WHEN json_valid(j) AND json_type(j, '$.k') IN
+    // ('BIGINT','UBIGINT') THEN TRY_CAST(json_extract_string(j,'$.k')
+    // AS BIGINT) END`) and baked as expectations — the round-18
+    // whole-document-validity alignment (yyjson with trailing commas
+    // + inf/nan allowed, strict strings/numbers, lowercase-exact
+    // true/false/null, lone-surrogate rejection). Covers the
+    // previously documented valid-prefix/malformed-tail boundary:
+    // truncation, garbage tails, bad later members now yield NULL on
+    // both engines.
+    val spark0 = spark
+    import spark0.implicits._
+    val battery: Seq[(String, Option[Long])] = Seq(
+      ("{\"k\":5", None),
+      ("{\"k\":5}x", None),
+      ("{\"k\":5,\"j\":tru}", None),
+      ("{\"k\":5} ", Some(5L)),
+      ("{\"k\":01}", None),
+      ("{\"k\":-0}", Some(0L)),
+      ("{\"k\":5.}", None),
+      ("{\"k\":.5}", None),
+      ("{\"k\":5e}", None),
+      ("{\"k\":5e+2}", None),
+      ("{\"k\":1e999}", None),
+      ("{\"k\":5,}", Some(5L)),
+      ("{,\"k\":5}", None),
+      ("{\"k\" : 5}", Some(5L)),
+      ("{\"k\":\"\\ud800\"}", None),
+      ("{\"k\":\"\\ud83d\\ude00\"}", None),
+      ("{\"k\":\"\\q\"}", None),
+      ("{\"k\":\"a\tb\"}", None),
+      ("{\"k\":\"a\\u00g1\"}", None),
+      ("{\"j\":{\"a\":[1,2,{\"b\":\"x\"}]},\"k\":7}", Some(7L)),
+      ("{\"j\":[1,2,,3],\"k\":7}", None),
+      ("{\"k\":5  ,  \"j\":false}", Some(5L)),
+      ("{\"k\":5,\"j\":truex}", None),
+      ("{\"k\":+5}", None),
+      ("{\"k\":9223372036854775807}", Some(9223372036854775807L)),
+      ("{\"k\":9223372036854775808}", None),
+      ("{\"k\":18446744073709551616}", None),
+      ("5", None),
+      ("[1,2]", None),
+      ("{\"k\":5}\t\n ", Some(5L)),
+      ("{\"k\":null,\"k\":6}", None),
+      ("{\"nested\":{\"k\":9}}", None),
+      ("[1,2,]", None),
+      ("{\"k\":5,,}", None),
+      ("[,]", None),
+      ("{}", None),
+      ("[]", None),
+      ("   {\"k\":5}", Some(5L)),
+      ("{\"k\":5 // c\n}", None),
+      ("{'k':5}", None),
+      ("{k:5}", None),
+      ("{\"k\":NaN}", None),
+      ("{\"k\":Infinity}", None),
+      ("{\"k\":-Infinity}", None),
+      ("{\"k\":nan}", None),
+      ("{\"k\":inf}", None),
+      ("{\"k\":5e+}", None),
+      ("{\"k\":0e0}", None),
+      ("{\"k\":-}", None),
+      ("{\"k\":00}", None),
+      ("{\"k\":0}", Some(0L)),
+      ("{\"k\":\"\\u0041\"}", None),
+      ("{\"k\":\"\\n\"}", None),
+      ("{\"k\":\"\\/\"}", None),
+      ("\"\"", None),
+      ("true", None),
+      ("null", None),
+      ("", None),
+      ("  ", None),
+      ("{\"\":5}", None),
+      ("{\"k\":[]}", None),
+      ("{\"k\":{}}", None),
+      ("{\"k\"5}", None),
+      ("{\"k\":}", None),
+      ("{\"a\":1\"k\":5}", None),
+      ("{\"k\":\t5}", Some(5L)),
+      ("{\"k\":5\t}", Some(5L)),
+      ("{\"k\":5}{", None),
+      ("{\"k\":\"\\ud800\\ud800\"}", None),
+      ("{\"k\":\"\\u0000\"}", None),
+      ("{\"k\":Inf}", None),
+      ("{\"k\":INF}", None),
+      ("{\"k\":INFINITY}", None),
+      ("{\"k\":NAN}", None),
+      ("{\"k\":+inf}", None),
+      ("{\"k\":-inf}", None),
+      ("{\"k\":-nan}", None),
+      ("{\"k\":infinity}", None),
+      ("{\"k\":infx}", None),
+      ("{\"k\":nanx}", None),
+      ("{\"k\":Infinit}", None),
+      ("{\"k\":nan(123)}", None),
+      ("{\"k\":\"\\udc00\"}", None),
+      ("{\"k\":\"\\ud800x\"}", None),
+      ("{\"k\":\"\\uD83D\\uDE00\"}", None),
+      ("{\"k\":1E5}", None),
+      ("{\"k\":-0.5e+10}", None),
+      ("{\"k\":01.5}", None),
+      ("{\"k\":NULL}", None),
+      ("{\"k\":True}", None),
+      ("{\"k\":FALSE}", None),
+      ("{\"k\":nuLL}", None),
+      ("{\"j\":-inf,\"k\":123}", Some(123L)),
+      ("{\"j\":1,}", None),
+      ("{\"j\":1,\"k\":5,}", Some(5L)),
+      ("{\"k\":12,\"k\":99}", Some(12L)),
+      ("{\"a\":\"\\ud800\\udc00\",\"k\":4}", Some(4L)),
+      ("{\"k\":-9223372036854775808}", Some(-9223372036854775808L)),
+      ("{\"k\":-9223372036854775809}", None),
+      ("{\"a\":[],\"k\":[1],\"b\":{}}", None),
+      ("{\"k\":3.0}", None),
+      ("{\"k\":5, \"j\":\"tail\\\"}x\"}", Some(5L)),
+      ("{\"k\":\"5\"}", None))
+    val got = battery.map(_._1).toDF("j")
+      .select(jsonGetLong(col("j"), "k")).collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    got.zip(battery).foreach { case (g, (j, exp)) =>
+      assert(g === exp, s"diverged from DuckDB on: ${j}")
+    }
+  }
+
   test("rejects non-string input at analysis time") {
     val spark0 = spark
     import spark0.implicits._

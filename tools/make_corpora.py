@@ -95,7 +95,7 @@ def fuzz02(root):
     copy_through(con, SF0001, dst, {"events", "embeddings"})
     write(con, f"""
         SELECT event_id, ts, user_id, event_type, value,
-          CASE event_id % 12
+          CASE event_id % 15
             WHEN 0 THEN '{{'
             WHEN 1 THEN ''
             WHEN 2 THEN '{{"k": "str"}}'
@@ -105,6 +105,9 @@ def fuzz02(root):
             WHEN 6 THEN '{{"k": null}}'
             WHEN 7 THEN 'not json'
             WHEN 8 THEN NULL
+            WHEN 9 THEN '{{"k":5'
+            WHEN 10 THEN '{{"k":5}}x'
+            WHEN 11 THEN '{{"k":5,"j":tru}}'
             ELSE props END AS "props"
         FROM read_parquet('{SF0001}/events.parquet')""", dst, "events")
     write(con, f"""
