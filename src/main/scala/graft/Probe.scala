@@ -25,7 +25,11 @@ object Probe {
     * 0.25 / full 0.70 same-JVM) drove the native RowChecksumMd5
     * expression (checksum-proj 0.25 -> 0.18) and the shuffle_hash
     * reference hint (full 0.66 -> 0.42; broadcast's driver-side
-    * 148k-row HashedRelation build was the floor) -- both graduated.
+    * 148k-row HashedRelation build was the floor) -- both graduated, as
+    * did market_basket_lift's SHJ self-join (1.31 -> 1.14 min same-JVM);
+    * its repartition-by-k variant (1.09 min) was REJECTED after the
+    * plan audit: AQE does not reuse a REPARTITION_BY_COL stage across
+    * the single/tot branches, tripling the corpus scan+shuffle.
     */
   private val variants: Map[String, (SparkSession, String) => DataFrame] = Map()
   def main(args: Array[String]): Unit = {

@@ -1987,13 +1987,25 @@ object Relational {
   def marketBasketLift(spark: SparkSession, dir: String): DataFrame = {
     val brands = gatedDim(spark, dir, "part",
       Tables.part(spark, dir).select(col("p_partkey"), col("p_brand")))
+    // round-18 plan rework (Probe A/B): the self-join is hinted
+    // shuffle_hash — the old SortMergeJoin paid two corpus-sized
+    // sorts for a brand-pair probe (1.31 → 1.14 min same-JVM).
+    // Negative result, recorded: repartition(col("k")) before the
+    // distinct (so the distinct and the join inherit ONE k-exchange)
+    // measured another ~5% at sf0.1 but AQE does NOT reuse a
+    // REPARTITION_BY_COL stage across the single/tot aggregate
+    // branches — the plan materialized the scan+shuffle three times
+    // (verified in the 4-partition test env), a 100×-scale regression
+    // the sf0.1 win hid; the ENSURE_REQUIREMENTS exchange the plain
+    // distinct() inserts is reliably reused by all four consumers.
     val ob = Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey")
       .join(brands, col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey").as("k"), col("p_brand").as("brand"))
       .distinct()
     val tot = ob.agg(countDistinct(col("k")).as("n_orders"))
     val single = ob.groupBy("brand").agg(count(lit(1)).as("c"))
-    val pairs = ob.toDF("k", "brand_a").join(ob.toDF("k", "brand_b"), "k")
+    val pairs = ob.toDF("k", "brand_a")
+      .join(ob.toDF("k", "brand_b").hint("shuffle_hash"), "k")
       .where(col("brand_a") < col("brand_b"))
       .groupBy("brand_a", "brand_b").agg(count(lit(1)).as("n_ab"))
     pairs

@@ -610,6 +610,15 @@ class ScaleSpec extends GraftSpec {
       s"only the one-row totals broadcast may cross:\n$exec")
     assert(exec.contains("BroadcastHashJoin"),
       s"the gated part dim must broadcast at test SF:\n$exec")
+    // round 18: the basket self-join is hash, never two corpus-sized
+    // sorts (the brand-pair probe has nothing to gain from sort
+    // order); judge the FINAL adaptive plan — the pre-AQE initial
+    // plan section legitimately carries SMJ picks for the brand joins
+    // that AQE re-plans to broadcasts
+    val finalPlan = exec.split("== Initial Plan ==").head
+    assert(finalPlan.contains("ShuffledHashJoin")
+        && !finalPlan.contains("SortMergeJoin"),
+      s"the basket self-join must be a shuffled hash join:\n$finalPlan")
   }
 
   test("seasonal naive: daily collapse map-combines, lags partition by type") {
