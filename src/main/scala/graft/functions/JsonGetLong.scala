@@ -26,7 +26,6 @@ object JsonScan extends Serializable {
     * integer overflows a long. First match wins — probed identical to
     * DuckDB's `$.k` path on duplicate keys. */
   def extractLong(json: UTF8String, key: Array[Byte]): java.lang.Long = {
-    if (!validJson(json)) return null
     val n = json.numBytes()
     var i = skipWs(json, 0, n)
     if (i >= n || json.getByte(i) != '{') return null
@@ -51,7 +50,16 @@ object JsonScan extends Serializable {
       if (i >= n || json.getByte(i) != ':') return null
       i = skipWs(json, i + 1, n)
       if (i >= n) return null
-      if (matches(json, keyStart, keyEnd, key)) return parseLong(json, i, n)
+      if (matches(json, keyStart, keyEnd, key)) {
+        // whole-document validity is required before a value may
+        // surface, but only rows that WOULD yield pay the second pass
+        // (round-18 review: gating up front double-scanned every row;
+        // the reorder is exactly equivalent — a null prefix result is
+        // null either way, and a non-null one from an invalid doc is
+        // nulled here)
+        val v = parseLong(json, i, n)
+        return if (v != null && validJson(json)) v else null
+      }
       i = skipValue(json, i, n)
       if (i < 0) return null
     }

@@ -55,12 +55,24 @@ object Events {
     * `unparsed` reports blank input only (`props IS NULL OR
     * trim(props) = ''`, pinned), and since round 18 every FIELD
     * additionally requires whole-document validity: from_json runs
-    * behind [[graft.functions.JsonValid]] (the DuckDB-parity strict
+    * behind [[graft.functions.JsonValid]] (the DuckDB-parity
     * validator), because Jackson-PERMISSIVE parses a valid prefix +
     * garbage tail ('{"k":5}x' → k=5) that the twin's `json_valid`
     * field gates reject — caught when fuzz02 planted the
-    * malformed-tail matrix. Known oracle boundary, documented not
-    * planted: Spark returns a number's RAW spelling where DuckDB
+    * malformed-tail matrix. Known oracle boundaries of the from_json
+    * SURFACE, documented not planted (round-18 review; none is
+    * expressible as a SQL gate, and none is reachable from any
+    * corpus writer here — make_corpora.py carries the matching
+    * planting discipline): (a) LENIENT-ONLY documents — shapes
+    * DuckDB's yyjson accepts but Jackson's grammar rejects (trailing
+    * commas '{"k":5,}', bare inf/nan literals) pass the gate yet
+    * yield a struct of NULLs on Spark where the twin extracts a
+    * value; the scalar [[jsonExtract]]/[[jsonPropsAudit]] path does
+    * NOT share this boundary (JsonGetLong's own parser mirrors the
+    * lenient grammar — battery-pinned, '{"k":5,}' → 5 on both
+    * engines); (b) DUPLICATE top-level keys — from_json is
+    * last-wins, DuckDB's `$.k` path (and JsonGetLong) first-wins;
+    * (c) Spark returns a number's RAW spelling where DuckDB
     * re-renders canonically, so non-canonical JSON number text (1.50,
     * 1e2) under a StringType field is outside the oracle contract —
     * as is any integer past uint64 (DuckDB types it DOUBLE and

@@ -47,11 +47,6 @@ class GraphSpec extends GraftSpec {
     } finally deleteTree(new java.io.File(dir))
   }
 
-  private def deleteTree(p: java.io.File): Unit = {
-    if (p.isDirectory) p.listFiles.foreach(deleteTree)
-    p.delete()
-  }
-
   test("a capped non-converged run throws instead of returning split labels") {
     val spark0 = spark
     import spark0.implicits._

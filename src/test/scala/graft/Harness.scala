@@ -33,4 +33,12 @@ abstract class GraftSpec extends AnyFunSuite {
   lazy val sf: String = TestSpark.sf
   lazy val tmpDir: String =
     java.nio.file.Files.createTempDirectory(suiteName.toLowerCase).toString
+
+  /** Recursive temp-dir cleanup for try/finally blocks — shared here
+    * (round-18 review) so every suite that makes its own scratch dirs
+    * uses one definition. */
+  protected def deleteTree(p: java.io.File): Unit = {
+    if (p.isDirectory) p.listFiles.foreach(deleteTree)
+    p.delete()
+  }
 }

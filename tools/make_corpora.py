@@ -109,6 +109,14 @@ def fuzz02(root):
             WHEN 10 THEN '{{"k":5}}x'
             WHEN 11 THEN '{{"k":5,"j":tru}}'
             ELSE props END AS "props"
+        -- PLANTING DISCIPLINE (round-18 review): do NOT plant
+        -- lenient-only JSON (trailing commas, bare inf/nan) or
+        -- duplicate top-level keys in props — those are documented
+        -- boundaries of the from_json SURFACE op json_struct_extract
+        -- (Jackson rejects/last-wins where DuckDB accepts/first-wins,
+        -- and no SQL gate can express the difference); the scalar
+        -- JsonGetLong path handles them identically on both engines
+        -- (battery-pinned in JsonGetLongSpec).
         FROM read_parquet('{SF0001}/events.parquet')""", dst, "events")
     write(con, f"""
         SELECT vec_id,
