@@ -213,6 +213,7 @@ object SparkEntry {
     "text_js_divergence"       -> ((s, d) => Text.jsDivergence(s, d)),
     "text_js_probe_norm"       -> ((s, d) => Text.jsProbeNorm(s, d)),
     "text_js_probe_interp"     -> ((s, d) => Text.jsProbeInterp(s, d)),
+    "text_js_probe_term"       -> ((s, d) => Text.jsProbeTerm(s, d)),
     "json_struct_extract"      -> (Events.jsonStructExtract _),
     "streaming_late_data"      -> (Events.lateDataParity _),
     "embed_pca_power"          -> (Vectors.pcaPower _),
@@ -851,17 +852,26 @@ object SparkEntry {
     * exactly as Text.withLog2Micro's when-chain does (each level
     * reads the previous level's m); `up`/`uq` put the mantissa on
     * the 1/1000 grid. */
-  private def jsCtesThroughIv: String = {
+  private def jsCtesThroughIv: String = jsCtesThroughIv(withTok = false)
+
+  /** `withTok = true` additionally threads the raw token string through
+    * every CTE level — ONLY [[jsProbeTermSql]]'s row-sensitive checksum
+    * columns need it; the other three oracle texts render with
+    * `withTok = false` and stay byte-identical to the round-18 texts
+    * the driver has already adjudicated (probe hygiene: never perturb a
+    * green row's SQL while bisecting a red one). */
+  private def jsCtesThroughIv(withTok: Boolean): String = {
+    val tk = if (withTok) "tok, " else ""
     val lat = graft.ops.Text.JsLog2TableNano.sliding(2).zipWithIndex
       .map { case (w, k) => s"(${1000 + k},${w(0)},${w(1)})" }
       .mkString(", ")
-    val s0 = """SELECT source, cs, cg, na, ng, den, np, nq,
+    val s0 = s"""SELECT source, ${tk}cs, cg, na, ng, den, np, nq,
         CAST(0 AS HUGEINT) kp, CAST(1 AS HUGEINT) mp,
         CAST(0 AS HUGEINT) kq, CAST(1 AS HUGEINT) mq
       FROM base"""
     val chain = graft.ops.Text.JsLog2Steps.foldLeft(s0) { (inner, st) =>
       val p2 = 1L << st
-      s"""SELECT source, cs, cg, na, ng, den, np, nq,
+      s"""SELECT source, ${tk}cs, cg, na, ng, den, np, nq,
         CASE WHEN np * mp * $p2 <= den THEN kp + $st ELSE kp END kp,
         CASE WHEN np * mp * $p2 <= den THEN mp * $p2 ELSE mp END mp,
         CASE WHEN nq * mq * $p2 <= den THEN kq + $st ELSE kq END kq,
@@ -875,7 +885,7 @@ object SparkEntry {
        |gc AS MATERIALIZED (SELECT tok, sum(cs) cg FROM sc GROUP BY 1),
        |na AS (SELECT source, sum(cs) na FROM sc GROUP BY 1),
        |ng AS (SELECT sum(cg) ng FROM gc),
-       |base AS (SELECT sc.source, sc.cs, gc.cg, na.na, ng.ng,
+       |base AS (SELECT sc.source, ${if (withTok) "sc.tok, " else ""}sc.cs, gc.cg, na.na, ng.ng,
        |    CAST(sc.cs AS HUGEINT) * ng + CAST(gc.cg AS HUGEINT) * na AS den,
        |    CAST(sc.cs AS HUGEINT) * ng * 2 AS np,
        |    CAST(gc.cg AS HUGEINT) * na * 2 AS nq
@@ -888,51 +898,95 @@ object SparkEntry {
        |    CASE WHEN nq >= den THEN CAST(0 AS HUGEINT) ELSE kq + 1 END sq,
        |    CASE WHEN nq >= den THEN nq * 1000 ELSE nq * mq * 2000 END uq
        |  FROM ($chain)),
-       |iv AS (SELECT source, cs, cg, na, ng, den, sp, sq, up, uq,
+       |iv AS (SELECT source, ${tk}cs, cg, na, ng, den, sp, sq, up, uq,
        |    up // den ip, uq // den iq FROM lg)""".stripMargin
   }
 
   /** [[jsCtesThroughIv]] extended through the lattice-join +
     * interpolation + nano→micro fold stage (`m6`) — the half-away
     * integer divisions are the house spellings. */
-  private def jsCtesThroughM6: String =
-    s"""$jsCtesThroughIv,
+  private def jsCtesThroughM6: String = jsCtesThroughM6(withTok = false)
+
+  private def jsCtesThroughM6(withTok: Boolean): String = {
+    val tk = if (withTok) "tok, " else ""
+    s"""${jsCtesThroughIv(withTok)},
        |tv AS (SELECT iv.*, lp.t0 tp0, lp.t1 tp1, lq.t0 tq0, lq.t1 tq1
        |  FROM iv JOIN lat lp ON lp.i = iv.ip JOIN lat lq ON lq.i = iv.iq),
-       |nn AS (SELECT source, cs, cg, na, ng,
+       |nn AS (SELECT source, ${tk}cs, cg, na, ng,
        |    tp0 + (2 * (up - ip * den) * (tp1 - tp0) + den) // (2 * den)
        |      - sp * 1000000000 lpn,
        |    tq0 + (2 * (uq - iq * den) * (tq1 - tq0) + den) // (2 * den)
        |      - sq * 1000000000 lqn
        |  FROM tv),
-       |m6 AS (SELECT source, cs, cg, na, ng,
+       |m6 AS (SELECT source, ${tk}cs, cg, na, ng,
        |    CASE WHEN lpn >= 0 THEN (2 * lpn + 1000) // 2000
        |         ELSE -((2 * (-lpn) + 1000) // 2000) END lp6u,
        |    CASE WHEN lqn >= 0 THEN (2 * lqn + 1000) // 2000
        |         ELSE -((2 * (-lqn) + 1000) // 2000) END lq6u
        |  FROM nn)""".stripMargin
+  }
 
-  /** [[graft.ops.Text.jsDivergence]]'s oracle — term tail and final
-    * select are the round-16 text EXCEPT the output contract: round
-    * 18 emits `jsd_micro` as an exact BIGINT (the micro-long sum
-    * before any surfacing division), so the driver's hash compares
-    * integers end to end and the final CAST(… AS DOUBLE)/1e6 leaves
-    * the compare surface entirely. */
+  /** [[graft.ops.Text.jsDivergence]]'s oracle — round-19 tail: the
+    * round-18 driver verdicts bracketed the five-round divergence to
+    * the term tail (both stage probes green, op red), so every
+    * construct class the driver's build has never proven green leaves
+    * this text entirely. The aggregation sums ONLY nonnegative
+    * HUGEINTs (`cs·(10⁶−lp6µ)`, `cg·(10⁶−lq6µ)`, `cg` — both L′
+    * factors are ≥ 0 because p/m < 2 strictly ⇒ lp6µ ≤ 10⁶); the
+    * present mass folds exactly as 10⁶·na·(ng+cgp) − (ng·srp + na·srq)
+    * (Σden = na·(ng+cgp) is an identity: Σ_vocab(s) cs = na); ONE
+    * half-away division per source replaces the per-token signed fold
+    * (the denominator 2·na·ng is token-independent); the sign is one
+    * comparison of two nonnegative integers on the 5 output rows, and
+    * the negative branch is dead on any corpus whose present-mass JSD
+    * exceeds ~10⁻⁶. No signed HUGEINT product, no abs(), no signed
+    * sum anywhere. [[jsProbeTermSql]] preserves the OLD signed tail
+    * verbatim so the bisection completes regardless of this row's
+    * round-19 verdict. */
   private def jsDivergenceSql: String =
     s"""WITH $jsCtesThroughM6,
-       |j AS (SELECT source, na, ng, cg,
+       |g AS (SELECT source, max(na) na, count(*) vocab, max(ng) ng,
+       |    sum(CAST(cs AS HUGEINT) * (1000000 - lp6u)) srp,
+       |    sum(CAST(cg AS HUGEINT) * (1000000 - lq6u)) srq,
+       |    sum(cg) cgp
+       |  FROM m6 GROUP BY source),
+       |j AS (SELECT source, na, vocab, ng, cgp,
+       |    CAST(na AS HUGEINT) * (ng + cgp) * 1000000 aa,
+       |    CAST(ng AS HUGEINT) * srp + CAST(na AS HUGEINT) * srq bb,
+       |    2 * CAST(na AS HUGEINT) * ng tden
+       |  FROM g)
+       |SELECT source, na AS n_tokens, CAST(vocab AS BIGINT) AS vocab,
+       |  CAST(CASE WHEN aa >= bb THEN (2 * (aa - bb) + tden) // (2 * tden)
+       |            ELSE -((2 * (bb - aa) + tden) // (2 * tden)) END
+       |    + (2 * CAST(ng - cgp AS HUGEINT) * 1000000 + 2 * ng)
+       |      // (4 * CAST(ng AS HUGEINT)) AS BIGINT) AS jsd_micro
+       |FROM j ORDER BY source""".stripMargin
+
+  /** [[graft.ops.Text.jsProbeTerm]]'s oracle — the OLD (round-16..18)
+    * signed term tail, preserved verbatim for the bisection, plus the
+    * md5-weighted row-sensitive checksums (house slice: the
+    * dedup_minhash `('0x'||substr(md5(t),1,15))::BIGINT`, mod 1009).
+    * Renders the CTE prefix with the token threaded through
+    * (`withTok` — the only oracle that needs it). */
+  private def jsProbeTermSql: String =
+    s"""WITH ${jsCtesThroughM6(withTok = true)},
+       |w9 AS (SELECT source, cg, ng, lp6u, lq6u,
+       |    CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 1009 w,
        |    CAST((CASE WHEN tnum >= 0 THEN 1 ELSE -1 END)
        |      * ((2 * abs(tnum) + tden) // (2 * tden)) AS BIGINT) t6u
-       |  FROM (SELECT source, na, ng, cg,
+       |  FROM (SELECT *,
        |      CAST(cs AS HUGEINT) * lp6u * ng
        |        + CAST(cg AS HUGEINT) * lq6u * na tnum,
        |      2 * CAST(na AS HUGEINT) * ng tden
        |    FROM m6))
-       |SELECT source, max(na) AS n_tokens, CAST(count(*) AS BIGINT) AS vocab,
-       |  CAST(sum(t6u)
-       |      + (2 * CAST(max(ng) - sum(cg) AS HUGEINT) * 1000000 + 2 * max(ng))
-       |        // (4 * CAST(max(ng) AS HUGEINT)) AS BIGINT) AS jsd_micro
-       |FROM j GROUP BY source ORDER BY source""".stripMargin
+       |SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+       |  CAST(sum(t6u) AS BIGINT) AS st6u,
+       |  CAST(sum(cg) AS BIGINT) AS scg,
+       |  CAST(max(ng) AS BIGINT) AS ng,
+       |  CAST(sum(t6u * w) AS BIGINT) AS wt6u,
+       |  CAST(sum(lp6u * w) AS BIGINT) AS wlp6u,
+       |  CAST(sum(lq6u * w) AS BIGINT) AS wlq6u
+       |FROM w9 GROUP BY source ORDER BY source""".stripMargin
 
   /** [[graft.ops.Text.jsProbeNorm]]'s oracle — the shared CTE prefix
     * cut at `iv`: integer sums of the grid indices and exponent
@@ -2670,6 +2724,7 @@ object SparkEntry {
     "text_js_divergence" -> jsDivergenceSql,
     "text_js_probe_norm" -> jsProbeNormSql,
     "text_js_probe_interp" -> jsProbeInterpSql,
+    "text_js_probe_term" -> jsProbeTermSql,
     "graph_triangles" ->
       // sorted-triple orientation (a < b < c) generates each triangle
       // exactly once; wedges = Σ d·(d−1)/2 exact longs; the one double

@@ -1688,33 +1688,56 @@ object Text {
     * probe ops ([[jsProbeNorm]], [[jsProbeInterp]]) aggregate the
     * chain's intermediate stages as integer columns, so if the row is
     * somehow still red the driver's own per-op verdicts bisect WHICH
-    * stage diverges. Term tail (round-16 spelling, unchanged): t6µ =
-    * half-away((cs·lp6µ·ng + cg·lq6µ·na)/(2·na·ng)) via
-    * [[graft.ops.Recon.ratioScaled]]; the absent-token mass — p = 0 ⇒
-    * the term is 0.5·q·log₂2 = q/2, totalling (ng − Σ_present
-    * cg)/(2·ng) — is ratioScaled(ng − cgp, 2·ng, 6); jsd_micro is the
-    * exact micro-long sum of the two. One explode pass; the global
-    * distribution folds out of the per-source one (exchange-reused);
-    * everything after is token-keyed hash joins with map-side
-    * partials. 128-bit envelope: the exponent-search comparisons
-    * (≤ den·2¹⁶) and the interpolation product (≤ den·3·10⁶) both
-    * clear DECIMAL(38,0) for den = cs·ng+cg·na up to ~3·10³¹ —
-    * ~10¹⁵ corpus tokens. */
+    * stage diverges. The round-18 driver verdicts LANDED the
+    * bracketing: both probes GREEN, op RED — the divergence lives
+    * strictly past m6, in the term tail. Round 19 therefore excises
+    * every construct class the driver's build has never proven green
+    * from that tail (the round-18 verdict's prescribed rewrite, taken
+    * to the aggregate level): NO signed HUGEINT product, NO abs(), NO
+    * per-row signed rounding, NO signed sum. With L′p = 10⁶ − lp6µ ≥ 0
+    * (lp6µ ≤ 10⁶ because p/m < 2 strictly, so L′ is a nonnegative
+    * micro-log of 2m/p), the present-token mass folds EXACTLY:
+    *   Σ t = Σ (cs·lp6µ·ng + cg·lq6µ·na)
+    *       = 10⁶·Σden − (ng·Σ cs·L′p + na·Σ cg·L′q)
+    * and Σden = ng·Σcs + na·Σcg = na·(ng + cgp) — so the aggregation
+    * sums ONLY nonnegative HUGEINTs (Σ cs·L′p ≤ 10⁶·na, Σ cg·L′q ≤
+    * 10⁶·ng·… all ≪ 10³⁸), and ONE half-away division per source
+    * (not per token: the denominator 2·na·ng is token-independent, so
+    * dividing the exact sum once is both tighter — total rounding
+    * error ≤ 0.7µ instead of ±0.5µ per token — and removes the signed
+    * per-row fold entirely). The sign of A − B = 10⁶·na·(ng+cgp) − B
+    * is one comparison of two nonnegative integers on the 5 output
+    * rows (and A ≥ B whenever the true present-mass JSD exceeds
+    * ~10⁻⁶ — on any real corpus the negative branch never executes).
+    * The absent-token mass — p = 0 ⇒ the term is 0.5·q·log₂2 = q/2,
+    * totalling (ng − Σ_present cg)/(2·ng) — stays
+    * ratioScaled(ng − cgp, 2·ng, 6), all-nonnegative; jsd_micro is
+    * the exact micro-long sum of the two. One explode pass; the
+    * global distribution folds out of the per-source one
+    * (exchange-reused); everything after is token-keyed hash joins
+    * with map-side partials. 128-bit envelope: the exponent-search
+    * comparisons (≤ den·2¹⁶), the interpolation product (≤ den·3·10⁶)
+    * and the tail's A = 10⁶·na·(ng+cgp) ≤ 2·10⁶·na·ng all clear
+    * DECIMAL(38,0) for corpora up to ~10¹⁵ tokens. */
   def jsDivergence(spark: SparkSession, dir: String): DataFrame = {
     val dec = dec38
-    val joined = jsLogFrame(spark, dir)
-      .withColumn("t6u", Recon.ratioScaled(
-        col("cs").cast(dec) * col("lp6u") * col("ng")
-          + col("cg").cast(dec) * col("lq6u") * col("na"),
-        col("na").cast(dec) * col("ng") * 2, 0))
-    joined.groupBy("source")
+    val g = jsLogFrame(spark, dir)
+      .withColumn("rp", col("cs").cast(dec) * (lit(1000000L) - col("lp6u")))
+      .withColumn("rq", col("cg").cast(dec) * (lit(1000000L) - col("lq6u")))
+      .groupBy("source")
       .agg(max(col("na")).as("n_tokens"),
         count(lit(1)).as("vocab"),
         max(col("ng")).as("ng"),
-        sum(col("t6u")).as("sm"),
+        sum(col("rp")).as("srp"),
+        sum(col("rq")).as("srq"),
         sum(col("cg")).as("cgp"))
-      .select(col("source"), col("n_tokens"), col("vocab"),
-        (col("sm") + Recon.ratioScaled(
+    g.select(col("source"), col("n_tokens"), col("vocab"),
+        (Recon.ratioScaled(
+            col("n_tokens").cast(dec) * (col("ng") + col("cgp")) * 1000000L
+              - (col("ng").cast(dec) * col("srp")
+                 + col("n_tokens").cast(dec) * col("srq")),
+            col("n_tokens").cast(dec) * col("ng") * 2, 0)
+          + Recon.ratioScaled(
             (col("ng") - col("cgp")).cast(dec), col("ng").cast(dec) * 2, 6))
           .cast("long").as("jsd_micro"))
       .orderBy("source")
@@ -1780,6 +1803,47 @@ object Text {
       .agg(count(lit(1)).as("vocab"),
         sum(col("lp6u")).as("slp6u"), sum(col("lq6u")).as("slq6u"))
       .orderBy("source")
+
+  /** Round-19 bisection probe #3 — the SIGNED term tail the round-18
+    * driver verdicts bracketed the divergence to (both stage probes
+    * green, op red ⇒ the fault lives past m6). [[jsDivergence]] itself
+    * no longer executes that tail (round 19 rewrote it in nonnegative
+    * arithmetic — see its Scaladoc); this probe preserves the OLD
+    * round-16..18 spelling verbatim so the driver's build still
+    * adjudicates it and the bisection completes either way:
+    *  - `st6u`/`scg`/`ng` — the exact cut the round-18 verdict asked
+    *    for: per-source sum of the signed per-token t6µ
+    *    (signed-HUGEINT products, abs(), per-row half-away, signed
+    *    sum), plus the absent-mass inputs. Red here + op green names
+    *    the signed tail as the broken construct class; green here +
+    *    op green says the old divergence was in the final one-line
+    *    combine those columns feed.
+    *  - `wt6u`/`wlp6u`/`wlq6u` — order-free ROW-SENSITIVE checksums:
+    *    each token's value weighted by an md5-derived integer
+    *    (`('0x'||substr(md5(tok),1,15))::BIGINT % 1009` — the
+    *    dedup_minhash house slice, green for 12 rounds), so per-row
+    *    divergences that happen to cancel in the plain sums (the one
+    *    case round 18's probes could not exclude) cannot cancel here.
+    * Verify-only (diagnostic, not a perf surface). */
+  def jsProbeTerm(spark: SparkSession, dir: String): DataFrame = {
+    val dec = dec38
+    jsLogFrame(spark, dir)
+      .withColumn("w",
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long") % 1009)
+      .withColumn("t6u", Recon.ratioScaled(
+        col("cs").cast(dec) * col("lp6u") * col("ng")
+          + col("cg").cast(dec) * col("lq6u") * col("na"),
+        col("na").cast(dec) * col("ng") * 2, 0))
+      .groupBy("source")
+      .agg(count(lit(1)).as("vocab"),
+        sum(col("t6u")).as("st6u"),
+        sum(col("cg")).as("scg"),
+        max(col("ng")).as("ng"),
+        sum(col("t6u") * col("w")).as("wt6u"),
+        sum(col("lp6u") * col("w")).as("wlp6u"),
+        sum(col("lq6u") * col("w")).as("wlq6u"))
+      .orderBy("source")
+  }
 
   /** Zipf power-law fit over the token rank–frequency curve — the other
     * half of the corpus health check [[vocabRichness]] starts: natural

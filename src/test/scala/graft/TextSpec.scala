@@ -1015,6 +1015,13 @@ class TextSpec extends GraftSpec {
       val mag = ((num.abs * 2 + den) / (den * 2)).toLong
       if (num.signum >= 0) mag else -mag
     }
+    // probe_term's row weight: the dedup_minhash house md5 slice
+    def tokW(tok: String): BigInt = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      BigInt(hex, 16) % 1009
+    }
     val sc = Tables.documents(spark, sf)
       .select(col("source"), explode(split(lower(col("text")), " ")).as("tok"))
       .filter(col("tok") =!= "")
@@ -1023,7 +1030,11 @@ class TextSpec extends GraftSpec {
     val gc = sc.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
     val na = sc.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
     val ng = BigInt(gc.values.sum)
-    // per source: (jsd_micro, Σip, Σiq, Σsp, Σsq, Σlp6u, Σlq6u, vocab)
+    case class Tok(t6u: Long, ip: Long, iq: Long, sp: Long, sq: Long,
+                   lp: Long, lq: Long, w: BigInt)
+    case class Src(jsd: Long, sip: Long, siq: Long, ssp: Long, ssq: Long,
+                   slp: Long, slq: Long, vocab: Long, st6u: Long,
+                   cgp: BigInt, wt6u: BigInt, wlp: BigInt, wlq: BigInt)
     val expect = sc.groupBy(_._1).map { case (s, rows) =>
       val nA = BigInt(na(s))
       val folded = rows.map { case (_, tok, cs) =>
@@ -1031,30 +1042,49 @@ class TextSpec extends GraftSpec {
         val den = cS * ng + cG * nA
         val (lp, ipI, spS) = log2micro(cS * ng * 2, den)
         val (lq, iqI, sqS) = log2micro(cG * nA * 2, den)
-        (halfAway(cS * lp * ng + cG * lq * nA, nA * ng * 2),
-          ipI, iqI, spS, sqS, lp, lq)
+        Tok(halfAway(cS * lp * ng + cG * lq * nA, nA * ng * 2),
+          ipI, iqI, spS, sqS, lp, lq, tokW(tok))
       }
       val cgp = rows.map(x => BigInt(gc(x._2))).sum
+      // round-19 tail: exact nonnegative sums, ONE half-away division
+      val srp = rows.zip(folded)
+        .map { case ((_, _, cs), f) => BigInt(cs) * (1000000L - f.lp) }.sum
+      val srq = rows.zip(folded)
+        .map { case ((_, tok, _), f) => BigInt(gc(tok)) * (1000000L - f.lq) }.sum
+      val present = halfAway(
+        nA * (ng + cgp) * 1000000 - (ng * srp + nA * srq), nA * ng * 2)
       val absent = halfAway((ng - cgp) * 1000000, ng * 2)
-      s -> (folded.map(_._1).sum + absent, folded.map(_._2).sum,
-        folded.map(_._3).sum, folded.map(_._4).sum, folded.map(_._5).sum,
-        folded.map(_._6).sum, folded.map(_._7).sum, folded.size.toLong)
+      s -> Src(present + absent, folded.map(_.ip).sum, folded.map(_.iq).sum,
+        folded.map(_.sp).sum, folded.map(_.sq).sum,
+        folded.map(_.lp).sum, folded.map(_.lq).sum, folded.size.toLong,
+        folded.map(_.t6u).sum, cgp,
+        folded.map(f => BigInt(f.t6u) * f.w).sum,
+        folded.map(f => BigInt(f.lp) * f.w).sum,
+        folded.map(f => BigInt(f.lq) * f.w).sum)
     }
     Text.jsDivergence(spark, sf).collect().foreach { r =>
-      assert(r.getLong(3) === expect(r.getString(0))._1,
+      assert(r.getLong(3) === expect(r.getString(0)).jsd,
         s"jsd_micro for ${r.getString(0)}")
       assert(r.getLong(3) >= 0L && r.getLong(3) <= 1000000L)
     }
     Text.jsProbeNorm(spark, sf).collect().foreach { r =>
       val e = expect(r.getString(0))
       assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
-        r.getLong(5)) === ((e._8, e._2, e._3, e._4, e._5)),
+        r.getLong(5)) === ((e.vocab, e.sip, e.siq, e.ssp, e.ssq)),
         s"probe_norm for ${r.getString(0)}")
     }
     Text.jsProbeInterp(spark, sf).collect().foreach { r =>
       val e = expect(r.getString(0))
       assert((r.getLong(1), r.getLong(2), r.getLong(3)) ===
-        ((e._8, e._6, e._7)), s"probe_interp for ${r.getString(0)}")
+        ((e.vocab, e.slp, e.slq)), s"probe_interp for ${r.getString(0)}")
+    }
+    Text.jsProbeTerm(spark, sf).collect().foreach { r =>
+      val e = expect(r.getString(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7)) ===
+        ((e.vocab, e.st6u, e.cgp.toLong, ng.toLong,
+          e.wt6u.toLong, e.wlp.toLong, e.wlq.toLong)),
+        s"probe_term for ${r.getString(0)}")
     }
   }
 
