@@ -30,6 +30,22 @@ object Probe {
     * its repartition-by-k variant (1.09 min) was REJECTED after the
     * plan audit: AQE does not reuse a REPARTITION_BY_COL stage across
     * the single/tot branches, tripling the corpus scan+shuffle.
+    * Round-19 session (quiet box, q1 control 0.399 vs the 81.81 s
+    * battery's 0.388): q21 min/max EXISTS folding graduated (0.699 ->
+    * 0.454 min same-JVM; the old (orderkey,supp) DISTINCT alone
+    * measured 0.441 -- the bottleneck the fold deletes), scorecard
+    * suppkey pre-agg graduated on at-scale posture (0.554 -> 0.531,
+    * join floor 0.350 of the total so the local delta is small).
+    * REJECTED with numbers: scorecard narrow-payload epoch-day
+    * projection (0.626 -- the per-row datediff-to-epoch cost exceeds
+    * the shuffle-width saving); market_basket row-local HOF pair
+    * generator off one collect_set basket frame (1.431 vs 0.987 --
+    * interpreted transform/flatten dominates; the basket-set agg
+    * alone already costs 0.752, within noise of the 0.748 distinct
+    * frame, so NO generator can beat the join by much); market_basket
+    * int-encoded brands (1.110 vs 1.068 -- wash). market_basket's
+    * distinct+join floor is hereby ACCEPTED and documented in
+    * BASELINE.md (verdict #5 closure).
     */
   private val variants: Map[String, (SparkSession, String) => DataFrame] = Map()
   def main(args: Array[String]): Unit = {

@@ -1318,11 +1318,30 @@ object Relational {
     * gate-crossing corpus carries exactly that duplication);
     * (numwait DESC, s_name, nation) is a total order even then.
     *
-    * 100 TB posture: both EXISTS sides are DISTINCT (orderkey, supp)
-    * pairs — at most baskets × suppliers-per-basket rows, far below
-    * lineitem — hash-joined on the orderkey; supplier×nation rides
+    * 100 TB posture (round-19 rework — Probe decomposition found the
+    * old DISTINCT pair frame was the measured bottleneck: the
+    * (orderkey, supp) distinct alone cost 0.44 s of the op's 0.70 s at
+    * sf0.1): BOTH EXISTS sides fold to min/max fixpoints, because the
+    * line's own supplier is always a member of the order's supplier
+    * set — "EXISTS another supplier" ⟺ min(supp) ≠ max(supp) over the
+    * order, and "NOT EXISTS another LATE supplier" ⟺ min ＝ max over
+    * the order's LATE lines (the sole late supplier is then s1 itself,
+    * so the late frame collapses to one row per qualifying order
+    * carrying count(*) — the l1 multiplicity the spec pins). min/max/
+    * count are map-side combinable, so NO distinct expansion and no
+    * pair-frame shuffle exist anywhere: lineitem combines to
+    * order-grained partials before its one exchange (0.70 → 0.45 s
+    * sf0.1, min-of-5 same-JVM; the old form re-shuffled the 600 k-pair
+    * distinct output a second time for the semi probe). The
+    * order-grained multi-supplier frame is data-scaled, so its semi
+    * probe stays shuffle_hash (never broadcast); supplier×nation rides
     * [[gatedDim]] (fact-scaled dim must not force-broadcast); the
-    * final agg is supplier-sized. */
+    * final agg is supplier-sized.
+    *
+    * Fan-out equivalence under dup supplier keys holds for the
+    * pre-aggregated frame too: a duplicated dim row duplicates the
+    * (k, s1, cnt) row exactly as it duplicated each raw l1 row, and
+    * sum(cnt) ≡ count(*) under that fan-out. */
   def q21WaitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select("l_orderkey", "l_suppkey", "l_shipdate")
@@ -1332,25 +1351,27 @@ object Relational {
     val l1 = li.join(ordF, col("l_orderkey") === col("o_orderkey"))
       .filter(col("l_shipdate") >= col("o_orderdate") + expr("INTERVAL 60 DAYS"))
       .select(col("l_orderkey").as("k"), col("l_suppkey").as("s1"))
-    val others = li.select(col("l_orderkey").as("ok"), col("l_suppkey").as("os"))
-      .distinct()
-    val lateOthers = l1.select(col("k").as("ok"), col("s1").as("os")).distinct()
-    // shuffle_hash on both probe sides: the (key, supp) pair frames are
-    // post-distinct compact, and hash-building them keeps BOTH fact
-    // streams sort-free (the q4 precedent; 1.16 -> 0.88 s sf0.1)
-    val qual = l1
-      .join(others.hint("shuffle_hash"),
-        col("ok") === col("k") && col("os") =!= col("s1"), "left_semi")
-      .join(lateOthers.hint("shuffle_hash"),
-        col("ok") === col("k") && col("os") =!= col("s1"), "left_anti")
+    // sole late supplier ⟺ min==max over the order's late lines; cnt
+    // preserves the per-line multiplicity the anti-join form counted
+    val soleLate = l1.groupBy("k")
+      .agg(count(lit(1)).as("cnt"), min("s1").as("mn"), max("s1").as("mx"))
+      .filter(col("mn") === col("mx"))
+      .select(col("k"), col("mn").as("s1"), col("cnt"))
+    // multi-supplier order ⟺ min(supp) != max(supp) — s1 ∈ the set, so
+    // "exists ANOTHER supplier" needs no pair expansion
+    val multi = li.groupBy(col("l_orderkey"))
+      .agg(min("l_suppkey").as("mns"), max("l_suppkey").as("mxs"))
+      .filter(col("mns") =!= col("mxs")).select(col("l_orderkey").as("mk"))
     val sup = gatedDim(spark, dir, "supplier",
       Tables.supplier(spark, dir)
         .join(broadcast(Tables.nation(spark, dir)),
           col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey"), col("s_name"), col("n_name")))
-    qual.join(sup, col("s1") === col("s_suppkey"))
+    soleLate
+      .join(multi.hint("shuffle_hash"), col("k") === col("mk"), "left_semi")
+      .join(sup, col("s1") === col("s_suppkey"))
       .groupBy(col("s_name"), col("n_name"))
-      .agg(count(lit(1)).as("numwait"))
+      .agg(sum(col("cnt")).as("numwait"))
       .select(col("s_name"), col("n_name").as("nation"), col("numwait"))
       .orderBy(desc("numwait"), col("s_name"), col("nation")).limit(100)
   }
@@ -1582,13 +1603,23 @@ object Relational {
     * by this op's sf0.001 sweep (64.6625 → .663 vs .662). The integer
     * spelling kills the class; both engines' `div`/`//` truncate
     * toward zero identically.
-    * 100 TB posture: one fact-fact shuffle_hash join on the orderkey
-    * (the shipLagStats contract), supplier-keyed map-combined agg,
-    * supplier×nation rides [[gatedDim]], TakeOrdered cut. */
+    * 100 TB posture (round-19 rework): one fact-fact shuffle_hash join
+    * on the orderkey (the shipLagStats contract), then the line stream
+    * pre-aggregates by the INT suppkey — map-side combinable, so the
+    * supplier×nation dim join and the two-STRING group key only ever
+    * see a supplier-sized frame (when [[gatedDim]] un-broadcasts a
+    * huge supplier dim, that join's fact side is the pre-agg, not the
+    * line-grained stream — the q13-class at-scale saving). The name
+    * regroup re-sums the pre-agg, which fans out identically to the
+    * old line-grained count under a dup-key dim (sum(cnt) ≡ count(*)
+    * per duplicated row), so the corrupt-dim determinism contract is
+    * unchanged. sf0.1 same-JVM: 0.554 → 0.531 min-of-5 (the join
+    * dominates locally at 0.35 — the win is the at-scale posture, the
+    * local read is honest). TakeOrdered cut. */
   def supplierScorecard(spark: SparkSession, dir: String): DataFrame = {
     val ord = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_orderdate"))
-    val lines = Tables.lineitem(spark, dir)
+    val perSupp = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
         col("l_extendedprice"), col("l_discount"))
       .join(ord.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
@@ -1598,17 +1629,22 @@ object Relational {
           .as("late"),
         Recon.cents(col("l_extendedprice") * (lit(1) - col("l_discount")))
           .as("rev_c"))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        count(when(col("late"), 1)).as("n_late"),
+        sum(col("lag_d").cast("long")).as("lag_sum"),
+        sum(when(col("late"), col("rev_c")).otherwise(0L)).as("late_rev_c"))
     val sup = gatedDim(spark, dir, "supplier",
       Tables.supplier(spark, dir)
         .join(broadcast(Tables.nation(spark, dir)),
           col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey"), col("s_name"), col("n_name")))
-    lines.join(sup, col("l_suppkey") === col("s_suppkey"))
+    perSupp.join(sup, col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_name"), col("n_name"))
-      .agg(count(lit(1)).as("n_lines"),
-        count(when(col("late"), 1)).as("n_late"),
-        sum(col("lag_d").cast("long")).as("lag_sum"),
-        sum(when(col("late"), col("rev_c")).otherwise(0L)).as("late_rev_c"))
+      .agg(sum(col("n_lines")).as("n_lines"),
+        sum(col("n_late")).as("n_late"),
+        sum(col("lag_sum")).as("lag_sum"),
+        sum(col("late_rev_c")).as("late_rev_c"))
       .select(col("s_name"), col("n_name").as("nation"), col("n_lines"),
         col("n_late"),
         Recon.ratioRound(col("n_late"), col("n_lines"), 6).as("late_share"),

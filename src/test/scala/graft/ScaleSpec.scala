@@ -421,14 +421,17 @@ class ScaleSpec extends GraftSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
-  test("q21: semi+anti hash-build the compact pair frames, no fact sort") {
+  test("q21: min/max EXISTS folding — no distinct expansion, no fact sort") {
     val p = SparkEntry.queries("q21_waiting_suppliers")(spark, sf)
       .queryExecution.executedPlan.toString
-    // both EXISTS sides are post-distinct (orderkey, supp) frames that
-    // hash-build (shuffle_hash hints; AQE may upgrade to broadcast) —
-    // a sort-merge would sort the late-line fact stream twice
+    // round-19 rework: both EXISTS sides fold to map-side-combinable
+    // min/max aggregates (the old distinct pair frame was the measured
+    // bottleneck — 0.44 of 0.70 s), so the plan must carry exactly one
+    // LeftSemi probe, NO anti join, and no sort-merge anywhere; the
+    // partial min/max aggregates must combine before the exchange
     assert(!p.contains("SortMergeJoin"), p)
-    assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p)
+    assert(p.contains("LeftSemi") && !p.contains("LeftAnti"), p)
+    assert(p.contains("partial_min") || p.contains("partial min"), p)
   }
 
   test("substring spans: no pair join — scan-side explode, keyed windows, TakeOrdered") {
