@@ -39,6 +39,35 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     QuietLogs.silenceKnownBoundedWindowWarning()
+    // Quiet-window settle (round-19, verdict #2): the round-18 OFFICIAL
+    // artifact caught a dirty measurement window — +0.2–0.7 s uniform
+    // inflation across dozens of UNTOUCHED queries — while same-code
+    // quiet runs read 81.8 s. min-of-5 defends against GC pauses, not
+    // against a box that is busy for the WHOLE battery, so before the
+    // first warm pass wait (bounded) for concurrent CPU load to drain:
+    // sample /proc/stat twice 1 s apart; a non-idle fraction above 8%
+    // while this JVM sits idle means another process is eating the box.
+    // Untimed wall clock, ≤ 180 s; the outcome is recorded in both
+    // output channels so the artifact adjudicates itself.
+    def cpuBusyFrac(): Double = scala.util.Try {
+      def snap(): (Long, Long) = {
+        val src = scala.io.Source.fromFile("/proc/stat")
+        val l = try src.getLines().next().trim.split("\\s+").drop(1)
+          .map(_.toLong) finally src.close()
+        (l.sum, l(3) + l(4)) // total, idle + iowait
+      }
+      val (t0, i0) = snap(); Thread.sleep(1000); val (t1, i1) = snap()
+      val dt = (t1 - t0).toDouble
+      if (dt <= 0) 0.0 else 1.0 - (i1 - i0) / dt
+    }.getOrElse(0.0)
+    val busyAtStart = cpuBusyFrac()
+    var settleWaitS = 1
+    var busy = busyAtStart
+    while (busy > 0.08 && settleWaitS < 180) {
+      Thread.sleep(4000)
+      busy = cpuBusyFrac()
+      settleWaitS += 5
+    }
     def materialize(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
     for (_ <- 1 to 2) SparkEntry.benchQueries.foreach(materialize)
@@ -129,7 +158,7 @@ object Bench {
     val slowest = qmap("%.2f")(_._1)(
       samples.sortBy { case (_, (min5, _)) => -min5 }.take(12))
     val compact =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${samples.size},"queries":$slowest,"queries_note":"slowest 12 of ${samples.size}; full per-query map in bench_out.json","noise_max":{"$noisyQ":$noisyRatio%.2f},"sf":"$sfName"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${samples.size},"queries":$slowest,"queries_note":"slowest 12 of ${samples.size}; full per-query map in bench_out.json","noise_max":{"$noisyQ":$noisyRatio%.2f},"settle":[$busyAtStart%.2f,$settleWaitS],"sf":"$sfName"}"""
     require(compact.length <= 1800,
       s"compact bench line is ${compact.length} chars — would overflow the driver's 2000-char tail capture")
     // Full-precision record (mins, medians, per-query noise, info-op
@@ -139,7 +168,7 @@ object Bench {
       "\"" + k + "\":" + f"${medOf(all) / min5}%.2f" }.mkString("{", ",", "}")
     val info = infoSamples.map { case (k, v) =>
       "\"" + k + "\":" + f"${v.head}%.3f" }.mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${qmap("%.3f")(_._1)(samples)},"queries_median":$med,"noise_ratio":$noise,"queries_info":$info,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${qmap("%.3f")(_._1)(samples)},"queries_median":$med,"noise_ratio":$noise,"queries_info":$info,"cpu_busy_at_start":$busyAtStart,"settle_wait_s":$settleWaitS,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench_out.json"), full)
     // sbt prefixes stdout with "[info] ", which broke the driver's JSON
     // parse in round 1; println keeps the line un-prefixed.

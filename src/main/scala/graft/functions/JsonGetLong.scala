@@ -56,7 +56,13 @@ object JsonScan extends Serializable {
         // (round-18 review: gating up front double-scanned every row;
         // the reorder is exactly equivalent — a null prefix result is
         // null either way, and a non-null one from an invalid doc is
-        // nulled here)
+        // nulled here). Measured hot-path cost of that second pass on
+        // all-yielding telemetry (json_extract_events, sf0.1 quiet
+        // battery): 0.118 s pre-gate (r17) → 0.128 s gated (r18),
+        // ~+8% — kept: a remainder-only validation would make the
+        // lenient member scan part of the strictness contract the
+        // 103-shape yyjson battery pins, for ~10 ms at this scale
+        // (round-18 advice, resolved as documented-cost)
         val v = parseLong(json, i, n)
         return if (v != null && validJson(json)) v else null
       }

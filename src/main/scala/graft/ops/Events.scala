@@ -99,10 +99,15 @@ object Events {
     // the oracle's blank test + json_valid field gates)
     val ok = graft.functions.JsonGetLong.jsonValidStrict(col("props"))
     Tables.events(spark, dir)
+      // materialize the gated column ONCE so the validator subtree
+      // cannot run twice per row if codegen subexpression elimination
+      // declines to dedupe across the projection (round-18 advice)
+      .select(col("event_id"), col("props"),
+        when(ok, col("props")).as("vp"))
       .select(col("event_id"),
         (col("props").isNull || trim(col("props")) === "").as("unparsed"),
-        from_json(when(ok, col("props")), longSchema).as("p"),
-        from_json(when(ok, col("props")), rawSchema).as("pr"))
+        from_json(col("vp"), longSchema).as("p"),
+        from_json(col("vp"), rawSchema).as("pr"))
       .select(col("event_id"),
         col("unparsed"),
         col("p.k").as("k_long"),

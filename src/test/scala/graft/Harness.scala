@@ -38,7 +38,10 @@ abstract class GraftSpec extends AnyFunSuite {
     * (round-18 review) so every suite that makes its own scratch dirs
     * uses one definition. */
   protected def deleteTree(p: java.io.File): Unit = {
-    if (p.isDirectory) p.listFiles.foreach(deleteTree)
+    // listFiles returns null on IO error or a concurrently-removed dir;
+    // this runs inside finally blocks, where an NPE would mask the
+    // original test failure (round-18 advice)
+    if (p.isDirectory) Option(p.listFiles).foreach(_.foreach(deleteTree))
     p.delete()
   }
 }
