@@ -45,7 +45,17 @@ object Probe {
     * frame, so NO generator can beat the join by much); market_basket
     * int-encoded brands (1.110 vs 1.068 -- wash). market_basket's
     * distinct+join floor is hereby ACCEPTED and documented in
-    * BASELINE.md (verdict #5 closure).
+    * BASELINE.md (verdict #5 closure). Post-battery attribution A/Bs
+    * (quiet, q1 0.385-0.389): the r19 battery's text_js_divergence
+    * +0.28 was run-order/ambient, NOT the new tail -- same-JVM the
+    * shipped nonnegative aggregate tail reads 0.838 vs the old signed
+    * tail's 0.961 and the frame probe's 0.912, and a per-row
+    * nonnegative candidate (verdict (c) literal, long sums) read
+    * 0.987 and was NOT graduated; dedup_audit's battery 1.75 (vs r18
+    * battery 1.06) reproduced on BOTH the r18 worktree and the r19
+    * tree same-JVM (mins 1.17/1.56, medians 1.72/1.61, plan shapes
+    * diffed IDENTICAL) -- a wide-variance allocation-heavy row, not a
+    * regression.
     */
   private val variants: Map[String, (SparkSession, String) => DataFrame] = Map()
   def main(args: Array[String]): Unit = {

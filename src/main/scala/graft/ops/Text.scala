@@ -1700,8 +1700,8 @@ object Text {
     *   Σ t = Σ (cs·lp6µ·ng + cg·lq6µ·na)
     *       = 10⁶·Σden − (ng·Σ cs·L′p + na·Σ cg·L′q)
     * and Σden = ng·Σcs + na·Σcg = na·(ng + cgp) — so the aggregation
-    * sums ONLY nonnegative HUGEINTs (Σ cs·L′p ≤ 10⁶·na, Σ cg·L′q ≤
-    * 10⁶·ng·… all ≪ 10³⁸), and ONE half-away division per source
+    * sums ONLY nonnegative HUGEINTs (Σ cs·L′p ≤ 10⁶·na and
+    * Σ cg·L′q ≤ 10⁶·ng, both ≪ 10³⁸), and ONE half-away division per source
     * (not per token: the denominator 2·na·ng is token-independent, so
     * dividing the exact sum once is both tighter — total rounding
     * error ≤ 0.7µ instead of ±0.5µ per token — and removes the signed
@@ -1748,7 +1748,7 @@ object Text {
     * micro-values of p/m and q/m, plus (with `keepDiag`) the
     * exponent-search diagnostics. One explode; `gc`/`na`/`ng` fold
     * out of `sc` (exchange-reused); `na`/`ng` broadcast back. */
-  private def jsLogFrame(spark: SparkSession, dir: String,
+  private[graft] def jsLogFrame(spark: SparkSession, dir: String,
                          keepDiag: Boolean = false): DataFrame = {
     val dec = dec38
     val toks = docs(spark, dir)
