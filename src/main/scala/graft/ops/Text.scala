@@ -1748,7 +1748,7 @@ object Text {
     * micro-values of p/m and q/m, plus (with `keepDiag`) the
     * exponent-search diagnostics. One explode; `gc`/`na`/`ng` fold
     * out of `sc` (exchange-reused); `na`/`ng` broadcast back. */
-  private[graft] def jsLogFrame(spark: SparkSession, dir: String,
+  private def jsLogFrame(spark: SparkSession, dir: String,
                          keepDiag: Boolean = false): DataFrame = {
     val dec = dec38
     val toks = docs(spark, dir)
