@@ -71,6 +71,14 @@ object Bench {
       if (dt <= 0) 0.0
       else math.max(0.0, (dt - (i1 - i0) - (s1 - s0)) / dt)
     }.getOrElse(0.0)
+    // `--settle-probe`: print one busy-fraction sample and exit — an
+    // end-to-end smoke of the /proc parse in the real forked JVM
+    // without paying a battery (the driver never passes args)
+    if (args.contains("--settle-probe")) {
+      println(f"settle-probe busy=${cpuBusyFrac()}%.4f")
+      spark.stop()
+      return
+    }
     val busyAtStart = cpuBusyFrac()
     var settleWaitS = 1
     var busy = busyAtStart
