@@ -44,47 +44,25 @@ object Bench {
     // inflation across dozens of UNTOUCHED queries — while same-code
     // quiet runs read 81.8 s. min-of-5 defends against GC pauses, not
     // against a box that is busy for the WHOLE battery, so before the
-    // first warm pass wait (bounded) for concurrent CPU load to drain:
-    // sample /proc/stat twice 1 s apart and measure the non-idle
-    // fraction contributed by OTHER processes — this JVM's own
-    // utime+stime delta (/proc/self/stat; same clock-tick units,
-    // covers all threads) is subtracted so post-startup JIT/GC churn
-    // in the bench process itself cannot trip the gate and
-    // misattribute its own load as ambient contention (round-19
-    // review). Untimed wall clock, ≤ 180 s; the outcome is recorded
-    // in both output channels so the artifact adjudicates itself.
-    def cpuBusyFrac(): Double = scala.util.Try {
-      def snap(): (Long, Long, Long) = {
-        val src = scala.io.Source.fromFile("/proc/stat")
-        val l = try src.getLines().next().trim.split("\\s+").drop(1)
-          .map(_.toLong) finally src.close()
-        val self = scala.io.Source.fromFile("/proc/self/stat")
-        // fields 14/15 (1-based: utime, stime) sit after the comm field,
-        // which may contain spaces — parse from the closing paren
-        val sl = try self.getLines().next() finally self.close()
-        val rest = sl.substring(sl.lastIndexOf(')') + 2).split(" ")
-        (l.sum, l(3) + l(4), rest(11).toLong + rest(12).toLong)
-      }
-      val (t0, i0, s0) = snap(); Thread.sleep(1000)
-      val (t1, i1, s1) = snap()
-      val dt = (t1 - t0).toDouble
-      if (dt <= 0) 0.0
-      else math.max(0.0, (dt - (i1 - i0) - (s1 - s0)) / dt)
-    }.getOrElse(0.0)
+    // first warm pass wait (bounded) for OTHER processes' CPU load to
+    // drain ([[BoxLoad.busyOtherFrac]] — own-JVM JIT/GC excluded).
+    // Untimed wall clock, ≤ 180 s; the outcome is recorded in both
+    // output channels so the artifact adjudicates itself.
+    //
     // `--settle-probe`: print one busy-fraction sample and exit — an
     // end-to-end smoke of the /proc parse in the real forked JVM
     // without paying a battery (the driver never passes args)
     if (args.contains("--settle-probe")) {
-      println(f"settle-probe busy=${cpuBusyFrac()}%.4f")
+      println(f"settle-probe busy=${BoxLoad.busyOtherFrac()}%.4f")
       spark.stop()
       return
     }
-    val busyAtStart = cpuBusyFrac()
+    val busyAtStart = BoxLoad.busyOtherFrac()
     var settleWaitS = 1
     var busy = busyAtStart
     while (busy > 0.08 && settleWaitS < 180) {
       Thread.sleep(4000)
-      busy = cpuBusyFrac()
+      busy = BoxLoad.busyOtherFrac()
       settleWaitS += 5
     }
     def materialize(name: String): Unit =
