@@ -55,7 +55,12 @@ object Probe {
     * battery 1.06) reproduced on BOTH the r18 worktree and the r19
     * tree same-JVM (mins 1.17/1.56, medians 1.72/1.61, plan shapes
     * diffed IDENTICAL) -- a wide-variance allocation-heavy row, not a
-    * regression.
+    * regression. Late-session second q21 step GRADUATED: both
+    * fixpoints + the late count fold into ONE conditional-aggregate
+    * groupBy over the single li(join)ordF pass (every qualifying key
+    * is an F order, so the full supplier set is visible there) --
+    * 0.551 -> 0.471 same-JVM (q1 0.464 ambient-matched), deleting the
+    * full-lineitem aggregation and the semi join.
     */
   private val variants: Map[String, (SparkSession, String) => DataFrame] = Map()
   def main(args: Array[String]): Unit = {

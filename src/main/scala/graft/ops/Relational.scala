@@ -1318,29 +1318,33 @@ object Relational {
     * gate-crossing corpus carries exactly that duplication);
     * (numwait DESC, s_name, nation) is a total order even then.
     *
-    * 100 TB posture (round-19 rework — Probe decomposition found the
-    * old DISTINCT pair frame was the measured bottleneck: the
-    * (orderkey, supp) distinct alone cost 0.44 s of the op's 0.70 s at
-    * sf0.1): BOTH EXISTS sides fold to min/max fixpoints, because the
-    * line's own supplier is always a member of the order's supplier
-    * set — "EXISTS another supplier" ⟺ min(supp) ≠ max(supp) over the
-    * order, and "NOT EXISTS another LATE supplier" ⟺ min ＝ max over
-    * the order's LATE lines (the sole late supplier is then s1 itself,
-    * so the late frame collapses to one row per qualifying order
-    * carrying count(*) — the l1 multiplicity the spec pins). min/max/
-    * count are map-side combinable, so NO distinct expansion and no
-    * pair-frame shuffle exist anywhere: lineitem combines to
-    * order-grained partials before its one exchange (0.70 → 0.45 s
-    * sf0.1, min-of-5 same-JVM; the old form re-shuffled the 600 k-pair
-    * distinct output a second time for the semi probe). The
-    * order-grained multi-supplier frame is data-scaled, so its semi
-    * probe stays shuffle_hash (never broadcast); supplier×nation rides
+    * 100 TB posture (round-19 rework, two steps — Probe decomposition
+    * found the old DISTINCT pair frame was the measured bottleneck:
+    * the (orderkey, supp) distinct alone cost 0.44 s of the op's
+    * 0.70 s at sf0.1): BOTH EXISTS sides fold to min/max fixpoints,
+    * because the line's own supplier is always a member of the order's
+    * supplier set — "EXISTS another supplier" ⟺ min(supp) ≠ max(supp)
+    * over the order, and "NOT EXISTS another LATE supplier" ⟺
+    * min ＝ max over the order's LATE lines (the sole late supplier is
+    * then s1 itself, so the late frame collapses to one row per
+    * qualifying order carrying the late-line count — the l1
+    * multiplicity the spec pins). Step two collapses the remaining two
+    * fact passes into ONE: every qualifying key is an F order, and the
+    * F filter applies to the ORDER, so the order's FULL supplier set
+    * is visible in the li⋈ordF join output — both fixpoints (and the
+    * late-line count) therefore fold in a single groupBy over that one
+    * join, via conditional aggregates (min/max over all lines,
+    * min/max/count over `when(late)` lines). No distinct expansion, no
+    * pair-frame shuffle, no second fact aggregation, no semi join:
+    * ONE fact-fact shuffle_hash join + ONE map-side-combinable
+    * order-grained aggregate (0.70 → 0.45 → 0.40 s sf0.1 min-of-5
+    * same-JVM across the two steps). supplier×nation rides
     * [[gatedDim]] (fact-scaled dim must not force-broadcast); the
     * final agg is supplier-sized.
     *
     * Fan-out equivalence under dup supplier keys holds for the
     * pre-aggregated frame too: a duplicated dim row duplicates the
-    * (k, s1, cnt) row exactly as it duplicated each raw l1 row, and
+    * (k, lmn, cnt) row exactly as it duplicated each raw l1 row, and
     * sum(cnt) ≡ count(*) under that fan-out. */
   def q21WaitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
@@ -1348,28 +1352,26 @@ object Relational {
     val ordF = Tables.orders(spark, dir)
       .filter(col("o_orderstatus") === "F")
       .select("o_orderkey", "o_orderdate")
-    val l1 = li.join(ordF, col("l_orderkey") === col("o_orderkey"))
-      .filter(col("l_shipdate") >= col("o_orderdate") + expr("INTERVAL 60 DAYS"))
-      .select(col("l_orderkey").as("k"), col("l_suppkey").as("s1"))
-    // sole late supplier ⟺ min==max over the order's late lines; cnt
-    // preserves the per-line multiplicity the anti-join form counted
-    val soleLate = l1.groupBy("k")
-      .agg(count(lit(1)).as("cnt"), min("s1").as("mn"), max("s1").as("mx"))
-      .filter(col("mn") === col("mx"))
-      .select(col("k"), col("mn").as("s1"), col("cnt"))
-    // multi-supplier order ⟺ min(supp) != max(supp) — s1 ∈ the set, so
-    // "exists ANOTHER supplier" needs no pair expansion
-    val multi = li.groupBy(col("l_orderkey"))
-      .agg(min("l_suppkey").as("mns"), max("l_suppkey").as("mxs"))
-      .filter(col("mns") =!= col("mxs")).select(col("l_orderkey").as("mk"))
+    // cnt > 0: the order HAS a late line; lmn == lmx: s1 is the ONLY
+    // late supplier; mns != mxs: another supplier exists in the order
+    val per = li.join(ordF.hint("shuffle_hash"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey").as("k"), col("l_suppkey").as("s1"),
+        (col("l_shipdate") >= col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+          .as("late"))
+      .groupBy("k")
+      .agg(count(when(col("late"), 1)).as("cnt"),
+        min(when(col("late"), col("s1"))).as("lmn"),
+        max(when(col("late"), col("s1"))).as("lmx"),
+        min(col("s1")).as("mns"), max(col("s1")).as("mxs"))
+      .filter(col("cnt") > 0 && col("lmn") === col("lmx")
+        && col("mns") =!= col("mxs"))
     val sup = gatedDim(spark, dir, "supplier",
       Tables.supplier(spark, dir)
         .join(broadcast(Tables.nation(spark, dir)),
           col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey"), col("s_name"), col("n_name")))
-    soleLate
-      .join(multi.hint("shuffle_hash"), col("k") === col("mk"), "left_semi")
-      .join(sup, col("s1") === col("s_suppkey"))
+    per.join(sup, col("lmn") === col("s_suppkey"))
       .groupBy(col("s_name"), col("n_name"))
       .agg(sum(col("cnt")).as("numwait"))
       .select(col("s_name"), col("n_name").as("nation"), col("numwait"))

@@ -421,16 +421,18 @@ class ScaleSpec extends GraftSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
-  test("q21: min/max EXISTS folding — no distinct expansion, no fact sort") {
+  test("q21: single-pass min/max EXISTS folding — one fact join, no semi/anti, no fact sort") {
     val p = SparkEntry.queries("q21_waiting_suppliers")(spark, sf)
       .queryExecution.executedPlan.toString
     // round-19 rework: both EXISTS sides fold to map-side-combinable
-    // min/max aggregates (the old distinct pair frame was the measured
-    // bottleneck — 0.44 of 0.70 s), so the plan must carry exactly one
-    // LeftSemi probe, NO anti join, and no sort-merge anywhere; the
-    // partial min/max aggregates must combine before the exchange
+    // conditional min/max aggregates over the SINGLE li⋈ordF join
+    // output (the old distinct pair frame was the measured bottleneck
+    // — 0.44 of 0.70 s; the intermediate two-pass form still paid a
+    // full-lineitem aggregation plus a semi probe), so the plan must
+    // carry NO semi/anti join and no sort-merge anywhere; the partial
+    // min/max aggregates must combine before the exchange
     assert(!p.contains("SortMergeJoin"), p)
-    assert(p.contains("LeftSemi") && !p.contains("LeftAnti"), p)
+    assert(!p.contains("LeftSemi") && !p.contains("LeftAnti"), p)
     assert(p.contains("partial_min") || p.contains("partial min"), p)
   }
 
