@@ -214,6 +214,7 @@ object SparkEntry {
     "text_js_probe_norm"       -> ((s, d) => Text.jsProbeNorm(s, d)),
     "text_js_probe_interp"     -> ((s, d) => Text.jsProbeInterp(s, d)),
     "text_js_probe_term"       -> ((s, d) => Text.jsProbeTerm(s, d)),
+    "text_js_probe_agg"        -> ((s, d) => Text.jsProbeAgg(s, d)),
     "json_struct_extract"      -> (Events.jsonStructExtract _),
     "streaming_late_data"      -> (Events.lateDataParity _),
     "embed_pca_power"          -> (Vectors.pcaPower _),
@@ -942,12 +943,26 @@ object SparkEntry {
     * exceeds ~10⁻⁶. No signed HUGEINT product, no abs(), no signed
     * sum anywhere. [[jsProbeTermSql]] preserves the OLD signed tail
     * verbatim so the bisection completes regardless of this row's
-    * round-19 verdict. */
+    * round-19 verdict.
+    *
+    * Round 20 (the verdict's prescribed endgame): the round-19
+    * verdicts — op red, all three probes green including the
+    * signed-tail-verbatim probe_term — leave exactly two constructs
+    * never proven green, both unique to this op: per-row
+    * HUGEINT-cast products summed INSIDE the groupBy, and the 5-row
+    * combine. The aggregate below now sums ONLY BIGINT: the per-row
+    * products stay `cs * (1000000 - lp6u)` in the BIGINT domain
+    * (exact to na ≈ 4.6·10¹² tokens/source — Σ cs·(10⁶−lp6µ) ≤
+    * 2·10⁶·na because KL(P‖M) ≤ 1 bit — and DuckDB's BIGINT multiply
+    * throws on overflow rather than wrapping, matching Spark's ANSI
+    * sum), and every HUGEINT cast moves to the 5-row `j` CTE.
+    * Identical integers, narrower carrier; [[jsProbeAggSql]] A/Bs
+    * the two sum domains directly if this row is somehow still red. */
   private def jsDivergenceSql: String =
     s"""WITH $jsCtesThroughM6,
        |g AS (SELECT source, max(na) na, count(*) vocab, max(ng) ng,
-       |    sum(CAST(cs AS HUGEINT) * (1000000 - lp6u)) srp,
-       |    sum(CAST(cg AS HUGEINT) * (1000000 - lq6u)) srq,
+       |    sum(cs * (1000000 - lp6u)) srp,
+       |    sum(cg * (1000000 - lq6u)) srq,
        |    sum(cg) cgp
        |  FROM m6 GROUP BY source),
        |j AS (SELECT source, na, vocab, ng, cgp,
@@ -987,6 +1002,23 @@ object SparkEntry {
        |  CAST(sum(lp6u * w) AS BIGINT) AS wlp6u,
        |  CAST(sum(lq6u * w) AS BIGINT) AS wlq6u
        |FROM w9 GROUP BY source ORDER BY source""".stripMargin
+
+  /** [[graft.ops.Text.jsProbeAgg]]'s oracle — the round-20 sum-type
+    * A/B: the op's exact per-row BIGINT products summed once plain
+    * (`*_big`, sum over BIGINT inputs) and once routed through an
+    * explicit HUGEINT cast (`*_dec`, the construct class the
+    * round-19 op was red on). Equal integers by construction; a
+    * split verdict names the divergent sum domain. */
+  private def jsProbeAggSql: String =
+    s"""WITH $jsCtesThroughM6,
+       |r AS (SELECT source, cs * (1000000 - lp6u) rp,
+       |    cg * (1000000 - lq6u) rq FROM m6)
+       |SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+       |  CAST(sum(rp) AS BIGINT) AS srp_big,
+       |  CAST(sum(CAST(rp AS HUGEINT)) AS BIGINT) AS srp_dec,
+       |  CAST(sum(rq) AS BIGINT) AS srq_big,
+       |  CAST(sum(CAST(rq AS HUGEINT)) AS BIGINT) AS srq_dec
+       |FROM r GROUP BY source ORDER BY source""".stripMargin
 
   /** [[graft.ops.Text.jsProbeNorm]]'s oracle — the shared CTE prefix
     * cut at `iv`: integer sums of the grid indices and exponent
@@ -2725,6 +2757,7 @@ object SparkEntry {
     "text_js_probe_norm" -> jsProbeNormSql,
     "text_js_probe_interp" -> jsProbeInterpSql,
     "text_js_probe_term" -> jsProbeTermSql,
+    "text_js_probe_agg" -> jsProbeAggSql,
     "graph_triangles" ->
       // sorted-triple orientation (a < b < c) generates each triangle
       // exactly once; wedges = Σ d·(d−1)/2 exact longs; the one double

@@ -1718,12 +1718,34 @@ object Text {
     * with map-side partials. 128-bit envelope: the exponent-search
     * comparisons (≤ den·2¹⁶), the interpolation product (≤ den·3·10⁶)
     * and the tail's A = 10⁶·na·(ng+cgp) ≤ 2·10⁶·na·ng all clear
-    * DECIMAL(38,0) for corpora up to ~10¹⁵ tokens. */
+    * DECIMAL(38,0) for corpora up to ~10¹⁵ tokens.
+    *
+    * Round 20 — the bisection endgame (round-19 verdicts: op RED,
+    * ALL THREE probes green, including `probe_term` carrying the old
+    * signed tail verbatim plus md5-weighted row checksums): by the
+    * decision table recorded before those verdicts existed, the fault
+    * lives in the two constructs ONLY the round-19 spelling used —
+    * `sum()` over DECIMAL(38,0)/HUGEINT products inside the groupBy,
+    * and/or the 5-row combine. The driver's build has proven green:
+    * per-row HUGEINT products/divisions and plain + weighted
+    * sum(BIGINT). So the aggregate now sums ONLY BIGINT columns —
+    * the per-row products `rp = cs·(10⁶−lp6µ)` / `rq = cg·(10⁶−lq6µ)`
+    * stay in the long domain (both engines: BIGINT·BIGINT) and every
+    * 128-bit product, the A−B compare and the ratioScaled divisions
+    * happen on the 5-row POST-aggregate frame, where `probe_term`
+    * proved the construct classes green per-row. Values are
+    * UNCHANGED — same integers, narrower carrier. Long envelope
+    * (fail-loud, ANSI mode): Σ cs·(10⁶−lp6µ) = 10⁶·na + 10⁶·na·KL(P‖M)
+    * ≤ 2·10⁶·na because KL against the midpoint mixture is ≤ 1 bit,
+    * so the BIGINT sums are exact to na ≈ 4.6·10¹² tokens/source
+    * (the house BIGINT-sum envelope, cf. GramAgg's addExact); past it
+    * Spark's ANSI sum throws rather than wraps. [[jsProbeAgg]] is the
+    * verdict-proof fallback: identical rp/rq summed BOTH ways. */
   def jsDivergence(spark: SparkSession, dir: String): DataFrame = {
     val dec = dec38
     val g = jsLogFrame(spark, dir)
-      .withColumn("rp", col("cs").cast(dec) * (lit(1000000L) - col("lp6u")))
-      .withColumn("rq", col("cg").cast(dec) * (lit(1000000L) - col("lq6u")))
+      .withColumn("rp", col("cs") * (lit(1000000L) - col("lp6u")))
+      .withColumn("rq", col("cg") * (lit(1000000L) - col("lq6u")))
       .groupBy("source")
       .agg(max(col("na")).as("n_tokens"),
         count(lit(1)).as("vocab"),
@@ -1842,6 +1864,33 @@ object Text {
         sum(col("t6u") * col("w")).as("wt6u"),
         sum(col("lp6u") * col("w")).as("wlp6u"),
         sum(col("lq6u") * col("w")).as("wlq6u"))
+      .orderBy("source")
+  }
+
+  /** Round-20 bisection probe #4 — the sum-TYPE A/B the round-19
+    * verdict prescribed as the endgame fallback: [[jsDivergence]]'s
+    * EXACT per-row products rp = cs·(10⁶−lp6µ) / rq = cg·(10⁶−lq6µ)
+    * summed twice per source — once in the BIGINT domain (`srp_big`,
+    * the construct class every green exact op uses) and once routed
+    * through DECIMAL(38,0)/HUGEINT (`srp_dec`, the construct class
+    * the round-19 op was red on). The two MUST be equal integers, so
+    * if the op is somehow still red while this row is green on
+    * `*_big` and red on `*_dec` (or green on both while the op stays
+    * red), the driver's own artifact names the divergent construct —
+    * sum-over-HUGEINT vs sum-over-BIGINT vs the 5-row combine —
+    * with no further round needed. Verify-only (diagnostic, not a
+    * perf surface — benching it would re-time the shared frame). */
+  def jsProbeAgg(spark: SparkSession, dir: String): DataFrame = {
+    val dec = dec38
+    jsLogFrame(spark, dir)
+      .withColumn("rp", col("cs") * (lit(1000000L) - col("lp6u")))
+      .withColumn("rq", col("cg") * (lit(1000000L) - col("lq6u")))
+      .groupBy("source")
+      .agg(count(lit(1)).as("vocab"),
+        sum(col("rp")).as("srp_big"),
+        sum(col("rp").cast(dec)).cast("long").as("srp_dec"),
+        sum(col("rq")).as("srq_big"),
+        sum(col("rq").cast(dec)).cast("long").as("srq_dec"))
       .orderBy("source")
   }
 

@@ -226,7 +226,7 @@ class RegistrySpec extends GraftSpec {
     val sinkOps = Set("csv_roundtrip_fingerprint", "json_roundtrip_fingerprint",
       "parquet_partitioned_roundtrip", "bucketed_join_fingerprint",
       "source_footer_rowcounts", "text_js_probe_norm", "text_js_probe_interp",
-      "text_js_probe_term")
+      "text_js_probe_term", "text_js_probe_agg")
     val unbenched =
       SparkEntry.oracleSql.keySet -- SparkEntry.benchQueries.toSet -- sinkOps
     assert(unbenched.isEmpty,

@@ -1034,7 +1034,8 @@ class TextSpec extends GraftSpec {
                    lp: Long, lq: Long, w: BigInt)
     case class Src(jsd: Long, sip: Long, siq: Long, ssp: Long, ssq: Long,
                    slp: Long, slq: Long, vocab: Long, st6u: Long,
-                   cgp: BigInt, wt6u: BigInt, wlp: BigInt, wlq: BigInt)
+                   cgp: BigInt, wt6u: BigInt, wlp: BigInt, wlq: BigInt,
+                   srp: BigInt, srq: BigInt)
     val expect = sc.groupBy(_._1).map { case (s, rows) =>
       val nA = BigInt(na(s))
       val folded = rows.map { case (_, tok, cs) =>
@@ -1060,7 +1061,7 @@ class TextSpec extends GraftSpec {
         folded.map(_.t6u).sum, cgp,
         folded.map(f => BigInt(f.t6u) * f.w).sum,
         folded.map(f => BigInt(f.lp) * f.w).sum,
-        folded.map(f => BigInt(f.lq) * f.w).sum)
+        folded.map(f => BigInt(f.lq) * f.w).sum, srp, srq)
     }
     Text.jsDivergence(spark, sf).collect().foreach { r =>
       assert(r.getLong(3) === expect(r.getString(0)).jsd,
@@ -1085,6 +1086,16 @@ class TextSpec extends GraftSpec {
         ((e.vocab, e.st6u, e.cgp.toLong, ng.toLong,
           e.wt6u.toLong, e.wlp.toLong, e.wlq.toLong)),
         s"probe_term for ${r.getString(0)}")
+    }
+    // round-20 sum-type A/B probe: both sum domains must land on the
+    // SAME integers the BigInt fold produces (the probe's whole point
+    // is that a split can only come from a broken engine build)
+    Text.jsProbeAgg(spark, sf).collect().foreach { r =>
+      val e = expect(r.getString(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)) ===
+        ((e.vocab, e.srp.toLong, e.srp.toLong, e.srq.toLong, e.srq.toLong)),
+        s"probe_agg for ${r.getString(0)}")
     }
   }
 
