@@ -57,13 +57,20 @@ object Bench {
       spark.stop()
       return
     }
+    // wall-clock settle accounting from nanoTime (round-19 advice: the
+    // hardcoded `+= 5` silently drifted from real elapsed time if the
+    // sampler's window ever changed; this is untimed harness code, so
+    // nanoTime is allowed here)
+    val settleT0 = System.nanoTime()
+    def settleElapsedS: Int =
+      ((System.nanoTime() - settleT0) / 1e9).toInt
     val busyAtStart = BoxLoad.busyOtherFrac()
-    var settleWaitS = 1
+    var settleWaitS = settleElapsedS
     var busy = busyAtStart
     while (busy > 0.08 && settleWaitS < 180) {
       Thread.sleep(4000)
       busy = BoxLoad.busyOtherFrac()
-      settleWaitS += 5
+      settleWaitS = settleElapsedS
     }
     def materialize(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
@@ -98,17 +105,59 @@ object Bench {
     // only recompute the median, so the noise channel stops reflecting
     // one starved window. Bounded cost: only noisy queries pay,
     // ~0.5 s each.
+    // Mid-run quiet-window defense (round-20, verdict #2): the entry
+    // settle guard cannot defend against a contention window OPENING
+    // mid-battery — the round-19 official artifact entered on an idle
+    // box (busy 2%) yet lost ~18 s to a tail-concentrated window
+    // (graph_pagerank min 5.96 s vs 4.87 quiet, median 26 s). Two
+    // bounded counter-measures, both untimed wall clock:
+    //  (a) before each of the heaviest rows (the queries where one
+    //      starved window costs whole seconds), re-sample ambient load
+    //      and settle-wait briefly if another process is burning CPU;
+    //  (b) if a query's median/min still exceeds 2 after the standard
+    //      samples — the signature of a window that was dirty for most
+    //      of the measurement, where even the min is suspect — settle
+    //      again and, ONLY if the box then reads quiet, re-measure
+    //      fresh 5 and REPLACE (not min-merge: a min over 10 samples
+    //      would be a stochastically lower estimator than every other
+    //      query's min-of-5; replacement keeps the estimator class
+    //      uniform while moving a contaminated reading toward its
+    //      quiet truth — contention only ever inflates). Re-measured
+    //      queries are recorded in both output channels so the
+    //      artifact stays self-adjudicating.
+    val heavyRows = Set("graph_pagerank", "market_basket_lift",
+      "dedup_audit", "graph_components", "ann_ivf_topk", "ann_ivf_recall",
+      "dedup_containment", "text_js_divergence")
+    var midSettleBudgetS = 120.0
+    def midSettle(): Double = {
+      var busy = BoxLoad.busyOtherFrac(300)
+      midSettleBudgetS -= 0.3
+      while (busy > 0.10 && midSettleBudgetS > 0) {
+        Thread.sleep(3000)
+        midSettleBudgetS -= 3.3
+        busy = BoxLoad.busyOtherFrac(300)
+      }
+      busy
+    }
+    def medOf5(v: Seq[Double]): Double = v(v.length / 2)
     val samples = SparkEntry.benchQueries.map { name =>
       gcBreath()
+      if (heavyRows(name)) midSettle()
       val first = Seq.fill(5)(timeOne(name)).sorted
       val all = if (first(2) / first.head <= 1.5) first
                 else {
                   gcBreath()
                   (first ++ Seq.fill(4)(timeOne(name))).sorted
                 }
-      name -> (first.head, all)
-    }
-    val results = samples.map { case (k, (min5, _)) => k -> min5 }
+      if (medOf5(all) / first.head <= 2.0 || midSettle() > 0.10)
+        (name, first.head, all, false)
+      else {
+        gcBreath()
+        val fresh = Seq.fill(5)(timeOne(name)).sorted
+        (name, fresh.head, fresh, true)
+      }
+    }.map { case (name, min5, all, rem) => name -> (min5, all, rem) }
+    val results = samples.map { case (k, (min5, _, _)) => k -> min5 }
     // The driver captures only the LAST 2000 chars of stdout: round 7's
     // line — full-precision doubles plus three per-query maps — ran 4169
     // chars, the "{"metric":…" head fell outside the window, and the
@@ -121,13 +170,15 @@ object Bench {
         xs: Seq[(String, (Double, Seq[Double]))]) =
       xs.map { case (k, v) => "\"" + k + "\":" + prec.format(f(v)) }
         .mkString("{", ",", "}")
+    val flat = samples.map { case (k, (min5, all, _)) => k -> (min5, all) }
+    val remeasured = samples.collect { case (k, (_, _, true)) => k }
     // noise = median/min5: ≈1 on a quiet box; ≫1 flags a starved JVM
     // so the driver's record adjudicates itself (round-6 #2). The
     // printed line carries only the worst offender; per-query ratios
     // → file.
     def medOf(v: Seq[Double]): Double = v(v.length / 2)
     val (noisyQ, noisyRatio) =
-      samples.map { case (k, (min5, all)) => k -> medOf(all) / min5 }.maxBy(_._2)
+      flat.map { case (k, (min5, all)) => k -> medOf(all) / min5 }.maxBy(_._2)
     val total = results.map(_._2).sum
     // Informational section (round-6 verdict, optional #7): ops with no
     // DuckDB twin are timed OUTSIDE the contract total — min-of-3 after
@@ -153,19 +204,20 @@ object Bench {
     // bench_out.json, which is committed to the repo as the official
     // full-precision record. queries_file points the reader there.
     val slowest = qmap("%.2f")(_._1)(
-      samples.sortBy { case (_, (min5, _)) => -min5 }.take(12))
+      flat.sortBy { case (_, (min5, _)) => -min5 }.take(12))
     val compact =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${samples.size},"queries":$slowest,"queries_note":"slowest 12 of ${samples.size}; full per-query map in bench_out.json","noise_max":{"$noisyQ":$noisyRatio%.2f},"settle":[$busyAtStart%.2f,$settleWaitS],"sf":"$sfName"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${samples.size},"queries":$slowest,"queries_note":"slowest 12 of ${samples.size}; full per-query map in bench_out.json","noise_max":{"$noisyQ":$noisyRatio%.2f},"n_remeasured":${remeasured.size},"settle":[$busyAtStart%.2f,$settleWaitS],"sf":"$sfName"}"""
     require(compact.length <= 1800,
       s"compact bench line is ${compact.length} chars — would overflow the driver's 2000-char tail capture")
     // Full-precision record (mins, medians, per-query noise, info-op
     // timings) — too long for stdout (see above), the on-disk channel.
-    val med = qmap("%.3f")(v => medOf(v._2))(samples)
-    val noise = samples.map { case (k, (min5, all)) =>
+    val med = qmap("%.3f")(v => medOf(v._2))(flat)
+    val noise = flat.map { case (k, (min5, all)) =>
       "\"" + k + "\":" + f"${medOf(all) / min5}%.2f" }.mkString("{", ",", "}")
     val info = infoSamples.map { case (k, v) =>
       "\"" + k + "\":" + f"${v.head}%.3f" }.mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${qmap("%.3f")(_._1)(samples)},"queries_median":$med,"noise_ratio":$noise,"queries_info":$info,"cpu_busy_at_start":$busyAtStart,"settle_wait_s":$settleWaitS,"sf":"$sfDir"}"""
+    val remJson = remeasured.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${qmap("%.3f")(_._1)(flat)},"queries_median":$med,"noise_ratio":$noise,"queries_info":$info,"remeasured":$remJson,"cpu_busy_at_start":$busyAtStart,"settle_wait_s":$settleWaitS,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench_out.json"), full)
     // sbt prefixes stdout with "[info] ", which broke the driver's JSON
     // parse in round 1; println keeps the line un-prefixed.

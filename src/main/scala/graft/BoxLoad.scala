@@ -23,8 +23,12 @@ object BoxLoad {
   /** (total ticks, idle+iowait ticks, own utime+stime ticks). */
   private def snap(): (Long, Long, Long) = {
     val src = scala.io.Source.fromFile("/proc/stat")
+    // fields user..steal only (first 8): the kernel already folds
+    // guest/guest_nice into user/nice, so summing all 10 would
+    // double-count VM guest time and underestimate busyOtherFrac in
+    // exactly the contended case the guard exists for (round-19 advice)
     val l = try src.getLines().next().trim.split("\\s+").drop(1)
-      .map(_.toLong) finally src.close()
+      .take(8).map(_.toLong) finally src.close()
     val self = scala.io.Source.fromFile("/proc/self/stat")
     // fields 14/15 (1-based: utime, stime) sit after the comm field,
     // which may contain spaces and parens — parse from the LAST ')'

@@ -16,8 +16,13 @@ class BoxLoadSpec extends AnyFunSuite {
   }
 
   test("own-JVM load is excluded: saturating our own threads must not raise the reading") {
-    // quiet reading first (this suite runs sequentially in one JVM)
-    val quiet = BoxLoad.busyOtherFrac(sampleMs = 400)
+    // quiet reading first (this suite runs sequentially in one JVM) —
+    // min of 3 samples so a background process spiking during ONE
+    // window cannot fail the test without a product bug (round-19
+    // advice: ambient jitter, not leak); and if the box is already
+    // loud the own-load subtraction is unmeasurable — skip, don't flake
+    val quiet = (1 to 3).map(_ => BoxLoad.busyOtherFrac(sampleMs = 400)).min
+    assume(quiet < 0.5, s"box already loud (quiet=$quiet) — own-load leak unmeasurable")
     // spin half the cores hot INSIDE this JVM for the sample window
     val n = math.max(2, Runtime.getRuntime.availableProcessors() / 2)
     @volatile var stop = false
