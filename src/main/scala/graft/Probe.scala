@@ -62,7 +62,83 @@ object Probe {
     * 0.551 -> 0.471 same-JVM (q1 0.464 ambient-matched), deleting the
     * full-lineitem aggregation and the semi join.
     */
-  private val variants: Map[String, (SparkSession, String) => DataFrame] = Map()
+  private val variants: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // round-20 graph_components decomposition (verdict #3): floors + levers
+    "x_gc_edges" -> ((s, d) => graft.ops.Graph.copurchaseEdges(s, d)
+      .filter(org.apache.spark.sql.functions.col("w") >= 2 &&
+        org.apache.spark.sql.functions.col("s") <
+          org.apache.spark.sql.functions.col("t"))),
+    "x_gc_ccedges" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val pairs = graft.ops.Graph.copurchaseEdges(s, d)
+        .filter(col("w") >= 2 && col("s") < col("t"))
+        .select(col("s").as("a_id"), col("t").as("b_id"))
+      pairs.select(col("a_id").as("u"), col("b_id").as("v"))
+        .unionByName(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
+        .distinct().localCheckpoint(true)
+    }),
+    "x_gc_onehop" -> ((s, d) => ccProbe(s, d, hops = 1, jump = false)),
+    "x_gc_twohop" -> ((s, d) => ccProbe(s, d, hops = 2, jump = false)),
+    "x_gc_jump"   -> ((s, d) => ccProbe(s, d, hops = 1, jump = true)),
+    "x_gc_bcast"  -> ((s, d) => ccProbe(s, d, hops = 1, jump = false, bcast = true)),
+    "x_gc_bcast2" -> ((s, d) => ccProbe(s, d, hops = 2, jump = false, bcast = true)),
+    "x_gc_bcastnd" -> ((s, d) =>
+      ccProbe(s, d, hops = 1, jump = false, bcast = true, dedup = false))
+  )
+
+  /** Probe-only reimplementation of copurchaseComponents with the
+    * round count levers exposed: `hops` neighbor-min steps per
+    * MATERIALIZED round (same joins, fewer checkpoint jobs) and/or a
+    * label-of-label pointer jump per round (log-diameter rounds, one
+    * extra join each). Canonical min-label fixpoint either way. */
+  private def ccProbe(spark: SparkSession, dir: String,
+                      hops: Int, jump: Boolean,
+                      bcast: Boolean = false,
+                      dedup: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val pairs = graft.ops.Graph.copurchaseEdges(spark, dir)
+      .filter(col("w") >= 2 && col("s") < col("t"))
+      .select(col("s").as("a_id"), col("t").as("b_id"))
+    val undirected = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
+      .unionByName(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
+    val edges = (if (dedup) undirected.distinct() else undirected)
+      .localCheckpoint(true)
+    def hint(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var changed = 1L; var iter = 0
+    while (changed > 0 && iter < 24) {
+      var stepped = labels
+      for (_ <- 1 to hops) {
+        val nbrMin = edges
+          .join(hint(stepped.select(col("id").as("v"), col("label").as("vl"))), "v")
+          .groupBy(col("u").as("id")).agg(min(col("vl")).as("nl"))
+        stepped = stepped.join(hint(nbrMin), Seq("id"), "left_outer")
+          .select(col("id"),
+            least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+      }
+      if (jump) {
+        val ptr = stepped.select(col("label").as("jid"), col("id"))
+        stepped = ptr.join(
+          stepped.select(col("id").as("jid"), col("label").as("jl")), "jid")
+          .select(col("id"), col("jl").as("label"))
+      }
+      val obs = new org.apache.spark.sql.Observation()
+      val next = labels.select(col("id"), col("label").as("prev"))
+        .join(stepped, "id")
+        .observe(obs, sum(when(col("label") =!= col("prev"), 1L)
+          .otherwise(0L)).as("moved"))
+      val ckpt = next.localCheckpoint(true)
+      changed = Option(obs.get("moved")).map(_.asInstanceOf[Long]).getOrElse(0L)
+      labels = ckpt.drop("prev")
+      iter += 1
+    }
+    println(s"    [ccProbe hops=$hops jump=$jump rounds=$iter]")
+    labels.groupBy("label").agg(count(lit(1)).as("cs"))
+      .groupBy(col("cs").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"), min("label").as("min_canonical"))
+      .orderBy(desc("cluster_size"), col("min_canonical"))
+  }
   def main(args: Array[String]): Unit = {
     val (sfArgs, names) = args.partition(_.startsWith("sf="))
     val dir = sfArgs.headOption.map(_.stripPrefix("sf="))

@@ -63,6 +63,24 @@ object Graph {
     val edges = truncate(pairs.select(col("a_id").as("u"), col("b_id").as("v"))
       .unionByName(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
       .distinct(), checkpointDir)
+    // Size-gated broadcast for the per-round joins (round-20 Probe
+    // decomposition): the checkpointed label frame is a LogicalRDD
+    // with no stats, so AQE never discovers that a small graph's
+    // label/neighbor-min frames are broadcastable and every round pays
+    // full shuffle-join exchanges — on the sf0.1 strong co-purchase
+    // graph (14k undirected edges, 6k nodes, 8 rounds) that is most of
+    // the op (same-JVM: 2.08 → 1.77 min with the hint, q1 control
+    // 0.41). The gate is a MEASURED edge count off the just-
+    // materialized blocks (~ms scan): labels/nbrMin hold ≤ 2·edges
+    // rows, so under the gate the broadcast build is ≤ ~16 MB; above
+    // it the plan is byte-identical to before — at 100 TB the gate
+    // fails and the loop keeps its shuffle-join shape. Two-hop,
+    // pointer-jump and skip-the-union-distinct variants all measured
+    // SLOWER (2.19 / 2.74 / 3.71 vs 1.77 — the non-deduped union
+    // checkpoints into 2× tiny partitions and doubles per-round
+    // tasks); numbers in Probe.scala's history.
+    val gateBcast = edges.count() <= CcBroadcastEdgeGate
+    def gated(df: DataFrame): DataFrame = if (gateBcast) broadcast(df) else df
     // labels init stays LAZY off the materialized edge frame (one-hop
     // lineage, a cheap distinct) — round 11 checkpointed it too, paying
     // a whole extra materialization job for a frame round 1 rebuilds
@@ -73,7 +91,7 @@ object Graph {
     var iter = 0
     while (changed > 0 && iter < maxIter) {
       val nbrMin = edges
-        .join(labels.select(col("id").as("v"), col("label").as("vl")), "v")
+        .join(gated(labels.select(col("id").as("v"), col("label").as("vl"))), "v")
         .groupBy(col("u").as("id")).agg(min(col("vl")).as("nl"))
       // carry the previous label through the round so the change count
       // needs no second full-label-set shuffle join; the count itself
@@ -83,7 +101,7 @@ object Graph {
       // fixed job overhead at test SF and saves a full scan of the
       // label set per round at scale
       val obs = new org.apache.spark.sql.Observation()
-      val next = labels.join(nbrMin, Seq("id"), "left_outer")
+      val next = labels.join(gated(nbrMin), Seq("id"), "left_outer")
         .select(col("id"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"),
           col("label").as("prev"))
@@ -99,6 +117,15 @@ object Graph {
           s"($changed nodes moved last round) — output would split components; raise maxIter")
     labels
   }
+
+  /** Edge-count gate under which [[connectedComponents]] broadcasts the
+    * per-round label / neighbor-min frames (each ≤ 2·edges rows, so the
+    * broadcast build stays ≤ ~16 MB at the gate): a measured count of
+    * the just-materialized edge blocks, NOT a pinned broadcast — at
+    * 100 TB the gate fails and every round keeps the shuffle-join
+    * shape AQE would pick for big frames (the round-14 fact-derived-
+    * frame broadcast rule). */
+  private[graft] val CcBroadcastEdgeGate = 500000L
 
   /** Union-find over an ANSWER-SIZED pair list (driver-side). Only legal
     * when the caller can PROVE the input is bounded — here the pair list
