@@ -83,7 +83,18 @@ object Probe {
     "x_gc_bcast"  -> ((s, d) => ccProbe(s, d, hops = 1, jump = false, bcast = true)),
     "x_gc_bcast2" -> ((s, d) => ccProbe(s, d, hops = 2, jump = false, bcast = true)),
     "x_gc_bcastnd" -> ((s, d) =>
-      ccProbe(s, d, hops = 1, jump = false, bcast = true, dedup = false))
+      ccProbe(s, d, hops = 1, jump = false, bcast = true, dedup = false)),
+    // round-20 pagerank allocation A/B (verdict #4): the OLD decimal
+    // contribution spelling, rebuilt for same-JVM comparison against
+    // the shipped gated-long path
+    "x_pr_dec" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.ops.Graph.pagerankRanks(
+          graft.ops.Graph.copurchaseEdges(s, d), forceDecimal = true)
+        .select(col("node").as("l_partkey"), col("r").as("rank_ppb"),
+          graft.ops.Recon.ratioRound(col("r"), lit(1000000000L), 6).as("rank"))
+        .orderBy(desc("rank_ppb"), col("l_partkey")).limit(20)
+    })
   )
 
   /** Probe-only reimplementation of copurchaseComponents with the

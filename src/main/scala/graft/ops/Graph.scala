@@ -249,7 +249,8 @@ object Graph {
     * compare against an independent driver-side recount. Returns the
     * FULL `(node, r)` rank frame in rank_ppb units. */
   private[graft] def pagerankRanks(edgesRaw: DataFrame,
-                                   iters: Int = PagerankIters): DataFrame = {
+                                   iters: Int = PagerankIters,
+                                   forceDecimal: Boolean = false): DataFrame = {
     val outw = edgesRaw.groupBy("s").agg(sum("w").as("ow"))
     val edges = truncate(edgesRaw.join(outw, "s"), None)
     // nodes is referenced EVERY round (the dangling-mass left join) —
@@ -259,14 +260,34 @@ object Graph {
     val nodes = truncate(edges.select(col("s").as("node")).distinct(), None)
     val n = nodes.count() // driver scalar: the node count, nothing else
     require(n > 0, "pagerankRanks: empty edge list")
+    // Allocation gate (round-20, verdict #4 — the row's 4.6–26 s bench
+    // VARIANCE is GC churn, not plan cost): the decimal spelling
+    // allocates BigDecimals for every one of the ~2.4M join-output rows
+    // × 8 rounds, and under ambient contention those GC pauses land in
+    // the timed window. When the MEASURED caps off the just-
+    // materialized edge frame prove r·85·w and ow·100 fit a long
+    // (r ≤ 10⁹ ppb by mass conservation, so w ≤ 1.08·10⁸ and
+    // ow ≤ 9.2·10¹⁶ — exactly the documented decimal-path envelope),
+    // the contribution runs in PRIMITIVE longs: zero allocation,
+    // identical integers (`div` is IntegralDivide → LONG either way,
+    // and both operand chains are exact). Past the caps — the ~10⁸
+    // co-occurrence corpus the scaladoc names — the 128-bit spelling
+    // keeps the op correct; ANSI throws rather than wraps if the gate
+    // logic ever goes stale. `forceDecimal` exists for the Probe A/B
+    // (battery-mover discipline: old spelling rebuilt, not remembered).
+    val caps = edges.agg(max("w"), max("ow")).head()
+    val longSafe = !forceDecimal &&
+      caps.getLong(0) <= 100000000L && caps.getLong(1) <= 92000000000000000L
+    val contribC =
+      if (longSafe) expr("r * 85 * w div (ow * 100)")
+      else expr(
+        "CAST(r AS DECIMAL(38,0)) * 85 * w div (CAST(ow AS DECIMAL(38,0)) * 100)")
     val init = 1000000000L / n
     val base = 150000000L / n
     var ranks = nodes.withColumn("r", lit(init))
     for (_ <- 1 to iters) {
       val contrib = edges.join(ranks, col("s") === col("node"))
-        .select(col("t"), expr(
-          "CAST(r AS DECIMAL(38,0)) * 85 * w div (CAST(ow AS DECIMAL(38,0)) * 100)"
-        ).as("c"))
+        .select(col("t"), contribC.as("c"))
         .groupBy(col("t").as("node")).agg(sum("c").as("sm"))
       ranks = truncate(
         nodes.join(contrib, Seq("node"), "left_outer")

@@ -144,6 +144,24 @@ class GraphSpec extends GraftSpec {
     assert(got.values.forall(_ > 0))
   }
 
+  test("pagerank: gated-long and decimal contribution paths land identical integers") {
+    // the round-20 allocation gate routes the contribution through
+    // primitive longs when the measured caps allow; the 128-bit
+    // spelling stays the over-cap path — both must walk the SAME
+    // integer trajectory (div is IntegralDivide -> LONG either way)
+    val edges = Seq(
+      (1L, 2L, 3L), (2L, 1L, 1L), (2L, 3L, 2L), (3L, 1L, 1L),
+      (3L, 4L, 5L), (4L, 5L, 1L), (5L, 1L, 2L), (4L, 1L, 1L), (1L, 3L, 1L))
+    val spark0 = spark
+    import spark0.implicits._
+    val df = edges.toDF("s", "t", "w")
+    val fast = Graph.pagerankRanks(df, iters = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dec = Graph.pagerankRanks(df, iters = 8, forceDecimal = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast === dec)
+  }
+
   test("pagerank harness op: top-20 frame shape and presentation contract") {
     val rows = Graph.pagerankParts(spark, sf).collect()
     assert(rows.length === 20)
