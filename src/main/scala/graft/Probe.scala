@@ -84,6 +84,15 @@ object Probe {
     "x_gc_bcast2" -> ((s, d) => ccProbe(s, d, hops = 2, jump = false, bcast = true)),
     "x_gc_bcastnd" -> ((s, d) =>
       ccProbe(s, d, hops = 1, jump = false, bcast = true, dedup = false)),
+    // round-20 text_js decomposition (verdict #5): the explode+agg
+    // floor alone — everything else in the op is 617-row work
+    "x_js_sc" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.Tables.documents(s, d)
+        .select(col("source"), explode(split(lower(col("text")), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy("source", "tok").agg(count(lit(1)).as("cs"))
+    }),
     // round-20 pagerank allocation A/B (verdict #4): the OLD decimal
     // contribution spelling, rebuilt for same-JVM comparison against
     // the shipped gated-long path
@@ -169,7 +178,18 @@ object Probe {
       else
         variants.getOrElse(name, SparkEntry.queries(name))(spark, dir)
           .queryExecution.toRdd.count()
-    val targets = if (names.nonEmpty) names.toSeq else SparkEntry.benchQueries
+    // `plan:<name>` — time analysis+optimization+physical planning only
+    // (no execution): the diagnostic that separates driver-side plan
+    // cost from run cost for big unrolled plans (round-20 text_js)
+    names.filter(_.startsWith("plan:")).map(_.stripPrefix("plan:")).foreach { q =>
+      for (_ <- 1 to 3) {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan
+        println(f"PROBE plan:$q min=${(System.nanoTime() - t0) / 1e9}%.3f")
+      }
+    }
+    val targets = if (names.nonEmpty) names.filterNot(_.startsWith("plan:")).toSeq
+                  else SparkEntry.benchQueries
     for (_ <- 1 to 2) targets.foreach(materialize)
     val timed = targets.map { name =>
       val samples = Seq.fill(5) {

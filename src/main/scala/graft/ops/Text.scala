@@ -1585,65 +1585,31 @@ object Text {
     * generator. */
   private[graft] val JsLog2Steps: Seq[Int] = Seq(16, 16, 16, 8, 4, 2, 1)
 
-  /** Truncating integer division (Spark's `div`) — exact on
-    * DECIMAL(38,0) operands, returns long. */
-  private def intDiv(a: Column, b: Column): Column =
-    org.apache.spark.sql.graftbridge.ExprBridge.column(
-      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
-        org.apache.spark.sql.graftbridge.ExprBridge.expression(a),
-        org.apache.spark.sql.graftbridge.ExprBridge.expression(b)))
-
-  /** Adds column `<pre>6u` = micro-units of log₂(num/den), for a
-    * ratio strictly inside (0, 2], evaluated ENTIRELY in integer
-    * arithmetic over the shared [[JsLog2TableNano]] lattice — see
-    * [[jsDivergence]]'s docstring for the scheme, error bound and
-    * the cross-engine-determinism argument. `num` and `den` must be
-    * positive DECIMAL(38,0) columns; every intermediate stays a
-    * projection (no shuffle, whole-stage-codegen friendly).
-    * `keepDiag = true` additionally retains `<pre>_i` (the 1/1000
-    * mantissa-grid index, ∈ [1000, 2000]) and emits `<pre>_s` (the
-    * exponent shift) — the round-18 bisection probes
-    * ([[jsProbeNorm]]) aggregate THOSE to localize which stage of
-    * this chain the driver's DuckDB build disagrees on; Catalyst
-    * prunes the lattice lookups out of a plan that only reads the
-    * diagnostics, so the probe genuinely tests the search stage
-    * alone. */
+  /** Adds columns `<pre>6u` (+ `<pre>_i`/`<pre>_s` with `keepDiag`) =
+    * micro-units of log₂(num/den) plus the grid/shift diagnostics, for
+    * a ratio strictly inside (0, 2] — via the native
+    * [[graft.functions.Log2MicroLattice]] expression, ONE plan node
+    * per prefix. The arithmetic is the documented integer-lattice
+    * scheme verbatim (see [[jsDivergence]]'s docstring and the
+    * expression's Scaladoc); the round-19 unrolled Column spelling of
+    * the same chain was retired in round 20 because its ~20 eager
+    * analysis passes per prefix dominated the op's bench time
+    * (planning 0.74–1.2 s warm vs a 0.16 s execution floor — numbers
+    * in Probe.scala's history). `num` and `den` must be positive
+    * DECIMAL(38,0) columns; the probes ([[jsProbeNorm]]) aggregate the
+    * diagnostics to localize which stage of the chain the driver's
+    * DuckDB build disagrees on. */
   private def withLog2Micro(df0: DataFrame, pre: String,
                             num: Column, den: Column,
                             keepDiag: Boolean = false): DataFrame = {
-    val tbl = typedLit(JsLog2TableNano)
-    var df = df0.withColumn(s"${pre}_k", lit(0L))
-      .withColumn(s"${pre}_m", lit(1L).cast(dec38))
-    for (st <- JsLog2Steps) {
-      // both updates read the PRE-step m: largest k with num·2^k ≤ den
-      val take = num * col(s"${pre}_m") * (1L << st) <= den
-      df = df
-        .withColumn(s"${pre}_k",
-          when(take, col(s"${pre}_k") + st).otherwise(col(s"${pre}_k")))
-        .withColumn(s"${pre}_m",
-          when(take, col(s"${pre}_m") * (1L << st)).otherwise(col(s"${pre}_m")))
-    }
-    // ratio ≥ 1 needs no shift (mantissa is the ratio itself); else
-    // shift = k+1 puts the mantissa in (1, 2]
-    val shift = when(num >= den, lit(0L)).otherwise(col(s"${pre}_k") + 1)
-    val mm = when(num >= den, lit(1L).cast(dec38))
-      .otherwise(col(s"${pre}_m") * 2)
-    df.withColumn(s"${pre}_u", num * mm * 1000)
-      .withColumn(s"${pre}_i", intDiv(col(s"${pre}_u"), den))
-      .withColumn(s"${pre}_t0",
-        element_at(tbl, (col(s"${pre}_i") - 999).cast("int")))
-      .withColumn(s"${pre}_t1",
-        element_at(tbl, (col(s"${pre}_i") - 998).cast("int")))
-      .withColumn(s"${pre}_nano",
-        col(s"${pre}_t0") + Recon.ratioScaled(
-          (col(s"${pre}_u") - col(s"${pre}_i").cast(dec38) * den)
-            * (col(s"${pre}_t1") - col(s"${pre}_t0")), den, 0))
-      .withColumn(s"${pre}6u", Recon.ratioScaled(
-        col(s"${pre}_nano") - shift * 1000000000L, lit(1000L), 0))
-      .withColumn(s"${pre}_s", shift)
-      .drop(Seq(s"${pre}_k", s"${pre}_m", s"${pre}_u",
-        s"${pre}_t0", s"${pre}_t1", s"${pre}_nano") ++
-        (if (keepDiag) Nil else Seq(s"${pre}_i", s"${pre}_s")): _*)
+    val r = graft.functions.Log2MicroLattice.log2MicroLattice(num, den)
+    val diag: Map[String, Column] =
+      if (keepDiag) Map(s"${pre}_i" -> col(s"${pre}_r").getField("i"),
+                        s"${pre}_s" -> col(s"${pre}_r").getField("s"))
+      else Map.empty
+    df0.withColumn(s"${pre}_r", r)
+      .withColumns(Map(s"${pre}6u" -> col(s"${pre}_r").getField("l6u")) ++ diag)
+      .drop(s"${pre}_r")
   }
 
   /** Jensen–Shannon divergence of every source's unigram token
@@ -1765,27 +1731,71 @@ object Text {
       .orderBy("source")
   }
 
+  /** Docs-count gate under which [[jsLogFrame]] coalesces the
+    * (source, tok) count frame to ONE partition: parquet footer
+    * metadata (a count-pushdown job, ~ms at any scale), so a 100 TB
+    * corpus fails the gate without scanning a byte and keeps the
+    * distributed shape. */
+  private[graft] val JsCoalesceDocsGate = 100000L
+
   /** The (source, tok)-grained frame [[jsDivergence]] and its probes
     * share: per-token counts joined with the exact integer log₂
     * micro-values of p/m and q/m, plus (with `keepDiag`) the
     * exponent-search diagnostics. One explode; `gc`/`na`/`ng` fold
-    * out of `sc` (exchange-reused); `na`/`ng` broadcast back. */
+    * out of `sc` (exchange-reused).
+    *
+    * Round-20 Probe decomposition (verdict #5): the explode+count
+    * floor is 0.21 s same-JVM while the op read 1.20 — everything
+    * above `sc` is a stack of exchange/broadcast stages over a
+    * ~620-row frame (Zipfian counts collapse the vocab pair frame to
+    * near-nothing on every corpus in the family). Under
+    * [[JsCoalesceDocsGate]] (parquet footer count — no scan) `sc`
+    * coalesces to ONE partition: SinglePartition satisfies every
+    * downstream distribution, so gc/na/ng, the lattice joins and the
+    * final per-source aggregate all plan WITHOUT exchanges or
+    * broadcast builds — same integers, ~¼ the stages (1.20 → 0.33
+    * same-JVM, q1 control 0.48). Over the gate the plan is
+    * byte-identical to before, broadcasts included. Values cannot
+    * move: every quantity is an exact integer and the BIGINT sums are
+    * order-free. */
   private def jsLogFrame(spark: SparkSession, dir: String,
                          keepDiag: Boolean = false): DataFrame = {
     val dec = dec38
     val toks = docs(spark, dir)
       .select(col("source"), explode(split(lower(col("text")), " ")).as("tok"))
       .filter(col("tok") =!= "")
-    val sc = toks.groupBy("source", "tok").agg(count(lit(1)).as("cs"))
-    val gc = sc.groupBy("tok").agg(sum("cs").as("cg"))
-    val na = sc.groupBy("source").agg(sum("cs").as("na"))
-    val ng = gc.agg(sum("cg").as("ng"))
-    val base = sc.join(gc, "tok")
-      .join(broadcast(na), "source").crossJoin(broadcast(ng))
-      .withColumn("den",
-        col("cs").cast(dec) * col("ng") + col("cg").cast(dec) * col("na"))
-      .withColumn("np", col("cs").cast(dec) * col("ng") * 2)
-      .withColumn("nq", col("cg").cast(dec) * col("na") * 2)
+    val scRaw = toks.groupBy("source", "tok").agg(count(lit(1)).as("cs"))
+    val onePart = docs(spark, dir).count() <= JsCoalesceDocsGate
+    val joined = if (onePart) {
+      // single-partition small path: cg/na/ng as window sums over the
+      // coalesced count frame — SinglePartition satisfies every window
+      // distribution (local sorts, no exchange, no join, no broadcast
+      // build), and because the output STAYS SinglePartition the
+      // downstream lattice projection, per-source aggregate and sort
+      // plan exchange-free too: the whole op is one shuffle, two
+      // stages. The ng window is unpartitioned BY CONSTRUCTION GATED
+      // (the ntile_funcs size-gated-small-form precedent; allowlisted
+      // in RegistrySpec's window audit): it only ever sees the ≤
+      // vocab-pair frame of a ≤ [[JsCoalesceDocsGate]]-doc corpus.
+      // Exact integer sums — identical values to the join path.
+      val one = scRaw.coalesce(1)
+      val w = org.apache.spark.sql.expressions.Window
+      one.withColumns(Map(
+        "cg" -> sum("cs").over(w.partitionBy("tok")),
+        "na" -> sum("cs").over(w.partitionBy("source")),
+        "ng" -> sum("cs").over(w.partitionBy())))
+    } else {
+      val sc = scRaw
+      val gc = sc.groupBy("tok").agg(sum("cs").as("cg"))
+      val na = sc.groupBy("source").agg(sum("cs").as("na"))
+      val ng = gc.agg(sum("cg").as("ng"))
+      sc.join(gc, "tok").join(broadcast(na), "source").crossJoin(broadcast(ng))
+    }
+    val base0 = joined.withColumns(Map(
+      "den" -> (col("cs").cast(dec) * col("ng") + col("cg").cast(dec) * col("na")),
+      "np" -> (col("cs").cast(dec) * col("ng") * 2),
+      "nq" -> (col("cg").cast(dec) * col("na") * 2)))
+    val base = base0
     withLog2Micro(
       withLog2Micro(base, "lp", col("np"), col("den"), keepDiag),
       "lq", col("nq"), col("den"), keepDiag)

@@ -67,7 +67,12 @@ class RegistrySpec extends GraftSpec {
       "text_boilerplate_ngrams", // 20-row top-k gram slice (Text.boilerplateNgrams)
       "text_zipf_slope",     // top-k count frame (Text.zipfSlope)
       "rows_frame_window",   // calendar-day rollup (Events.rowsFrameWindow)
-      "vocab_coverage_curve") // rank over the TakeOrdered top-10000 slice
+      "vocab_coverage_curve", // rank over the TakeOrdered top-10000 slice
+      // the ng total of the text_js family's size-gated small path
+      // (Text.jsLogFrame under JsCoalesceDocsGate — the ntile_funcs
+      // precedent; over the gate the op plans joins, no window)
+      "text_js_divergence", "text_js_probe_norm", "text_js_probe_interp",
+      "text_js_probe_term", "text_js_probe_agg")
     // a query that fails PLANNING here would escape both detection
     // channels (the WindowExec warning is silenced in the harness
     // mains) — collect ANALYSIS failures and fail loud instead of

@@ -990,14 +990,26 @@ class ScaleSpec extends GraftSpec {
       s"every window must partition by event_type:\n$exec")
   }
 
-  test("jsd: global distribution folds from the source one, token hash joins") {
+  test("jsd: one token exchange, partitioned windows, no broadcast builds") {
+    // round-20 small-path shape (the fixture sits under JsCoalesceDocsGate,
+    // so this pins the gated plan; the over-gate branch is the pre-round-20
+    // join+broadcast spelling verbatim, retired from guard coverage when the
+    // gate landed): cg/na/ng fold as window sums over the coalesced
+    // single-partition count frame — no joins, no broadcast-build jobs, no
+    // second aggregation of sc — and SinglePartition carries through the
+    // lattice projection, per-source aggregate and sort, so the WHOLE op
+    // is one exchange / two stages (ng's unpartitioned window is the
+    // size-gated allowlisted site)
     val q = graft.ops.Text.jsDivergence(spark, sf)
-    q.collect() // AQE inserts the reuse marker in the FINAL plan
+    // initial (non-final) adaptive plan: exchanges inserted, each node once
     val exec = q.queryExecution.executedPlan.toString
-    assert(exec.contains("ReusedQueryStage") || exec.contains("ReusedExchange"),
-      s"the (source, tok) count exchange must feed both sc and gc:\n$exec")
-    assert(!exec.contains("CartesianProduct"),
-      s"only the one-row ng total may cross (broadcast loop):\n$exec")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(exec).length
+    assert(shuffles == 1,
+      s"exactly one exchange (the (source, tok) count shuffle), got $shuffles:\n$exec")
+    assert(!exec.contains("Exchange rangepartitioning"),
+      s"the 5-row presentation sort must stay a local sort:\n$exec")
+    assert(!exec.contains("BroadcastExchange") && !exec.contains("Join"),
+      s"the single-partition path must not pay joins or broadcast builds:\n$exec")
     assert("partial_(count|sum)".r.findFirstIn(exec).isDefined,
       s"token counts must combine map-side:\n$exec")
   }
