@@ -184,8 +184,15 @@ object Probe {
     names.filter(_.startsWith("plan:")).map(_.stripPrefix("plan:")).foreach { q =>
       for (_ <- 1 to 3) {
         val t0 = System.nanoTime()
-        SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan
-        println(f"PROBE plan:$q min=${(System.nanoTime() - t0) / 1e9}%.3f")
+        val df = SparkEntry.queries(q)(spark, dir)
+        val t1 = System.nanoTime()
+        df.queryExecution.optimizedPlan
+        val t2 = System.nanoTime()
+        df.queryExecution.executedPlan
+        val t3 = System.nanoTime()
+        println(f"PROBE plan:$q total=${(t3 - t0) / 1e9}%.3f " +
+          f"build=${(t1 - t0) / 1e9}%.3f opt=${(t2 - t1) / 1e9}%.3f " +
+          f"phys=${(t3 - t2) / 1e9}%.3f")
       }
     }
     val targets = if (names.nonEmpty) names.filterNot(_.startsWith("plan:")).toSeq

@@ -2111,9 +2111,35 @@ object Text {
       .orderBy(col("c").desc, col("w")).limit(BpeWordCap)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
 
+  /** Per-JVM memo of the TRAINED merge sequence — the
+    * [[graft.ops.Graph]] edge-memo precedent applied to the tokenizer
+    * family: training is a bounded driver-side fold (top-[[BpeWordCap]]
+    * word counts → 16 merge steps) that [[bpeMerges]] AND
+    * [[bpeSegment]] each re-ran on EVERY call (~0.3 s of the
+    * bpe_segment bench row was re-training, not application — round-20
+    * Probe phase split: construction 0.36 s, optimization 0.01).
+    * Keyed by session, dir and the IDENTITY of the stamped documents
+    * relation, so a corpus regen or fixture overwrite naturally
+    * misses; the check-then-put race is benign (losers train an
+    * identical sequence — the trainer is deterministic). */
+  private val bpeMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (AnyRef, Seq[(Int, String, String, Long)])]
+
+  private def bpeTrained(spark: SparkSession,
+                         dir: String): Seq[(Int, String, String, Long)] = {
+    val d0 = docs(spark, dir)
+    val cur = bpeMemo.get((spark, dir))
+    if (cur != null && (cur._1 eq d0)) cur._2
+    else {
+      val trained = bpeTrain(bpeWordCounts(spark, dir))
+      bpeMemo.put((spark, dir), (d0, trained))
+      trained
+    }
+  }
+
   def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    bpeTrain(bpeWordCounts(spark, dir))
+    bpeTrained(spark, dir)
       .toDF("step", "lhs", "rhs", "pair_count").orderBy("step")
   }
 
@@ -2136,7 +2162,7 @@ object Text {
     * trajectory via the training CTEs and applies the same replace
     * chain. */
   def bpeSegment(spark: SparkSession, dir: String): DataFrame = {
-    val merges = bpeTrain(bpeWordCounts(spark, dir))
+    val merges = bpeTrained(spark, dir)
     // a literal U+0001/U+0002 in the corpus would forge the marker
     // arithmetic (a stray U+0001 counts as an extra subword, a stray
     // U+0002 can shift replace-chain matches): strip the wrapper
