@@ -963,6 +963,22 @@ class TextSpec extends GraftSpec {
     assert(math.abs(rows.head.getDouble(3) - 0.6) < 1e-12)
   }
 
+  test("jsd envelope: ANSI mode keeps BIGINT sums fail-loud, not wrapping") {
+    // jsDivergence's round-20 aggregate sums BIGINT per-row products
+    // with a documented exactness envelope (na ≤ ~4.6e12 tokens/source)
+    // and claims overflow THROWS rather than wraps — that claim is
+    // Spark's ANSI mode, pinned here so a future session-config change
+    // cannot silently turn the envelope into silent corruption
+    assert(spark.conf.get("spark.sql.ansi.enabled") === "true")
+    val thrown = intercept[Throwable] {
+      spark.sql("SELECT sum(x) FROM VALUES (9223372036854775807), (1) AS t(x)")
+        .collect()
+    }
+    val msgs = Iterator.iterate(thrown)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.toLowerCase.contains("overflow"), msgs)
+  }
+
   test("jsd: identical source distributions diverge by exactly zero") {
     val spark0 = spark
     import spark0.implicits._
