@@ -93,6 +93,59 @@ object Probe {
         .filter(col("tok") =!= "")
         .groupBy("source", "tok").agg(count(lit(1)).as("cs"))
     }),
+    // round-20 price_index decomposition
+    "x_pi_pm" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.Tables.lineitem(s, d)
+        .filter(col("l_partkey").isNotNull)
+        .groupBy(col("l_partkey").as("p"),
+          date_trunc("month", col("l_shipdate")).as("m"))
+        .agg(sum(graft.ops.Recon.cents(col("l_extendedprice"))).as("rev4"),
+          sum(round(round(col("l_quantity"), 6) * 1e6, 0).cast("long"))
+            .as("qty6"))
+        .filter(col("qty6") > 0)
+    }),
+    "x_pi_win" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val pm = graft.Tables.lineitem(s, d)
+        .filter(col("l_partkey").isNotNull)
+        .groupBy(col("l_partkey").as("p"),
+          date_trunc("month", col("l_shipdate")).as("m"))
+        .agg(sum(graft.ops.Recon.cents(col("l_extendedprice"))).as("rev4"),
+          sum(round(round(col("l_quantity"), 6) * 1e6, 0).cast("long"))
+            .as("qty6"))
+        .filter(col("qty6") > 0)
+      val b0 = pm.agg(min(struct(col("m"), col("rev4"), col("qty6"))).as("s"))
+        .select(col("s").getField("m").as("m0"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("p")
+      pm.crossJoin(broadcast(b0))
+        .withColumn("rev04",
+          max(when(col("m") <=> col("m0"), col("rev4"))).over(w))
+        .withColumn("qty06",
+          max(when(col("m") <=> col("m0"), col("qty6"))).over(w))
+        .filter(col("qty06").isNotNull)
+    }),
+    "x_pi_onex" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val pm = graft.Tables.lineitem(s, d)
+        .filter(col("l_partkey").isNotNull)
+        .repartition(col("l_partkey"))
+        .groupBy(col("l_partkey").as("p"),
+          date_trunc("month", col("l_shipdate")).as("m"))
+        .agg(sum(graft.ops.Recon.cents(col("l_extendedprice"))).as("rev4"),
+          sum(round(round(col("l_quantity"), 6) * 1e6, 0).cast("long"))
+            .as("qty6"))
+        .filter(col("qty6") > 0)
+      val b0 = pm.agg(min(struct(col("m"), col("rev4"), col("qty6"))).as("s"))
+        .select(col("s").getField("m").as("m0"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("p")
+      pm.crossJoin(broadcast(b0))
+        .withColumn("rev04",
+          max(when(col("m") <=> col("m0"), col("rev4"))).over(w))
+        .withColumn("qty06",
+          max(when(col("m") <=> col("m0"), col("qty6"))).over(w))
+        .filter(col("qty06").isNotNull)
+    }),
     // round-20 pagerank allocation A/B (verdict #4): the OLD decimal
     // contribution spelling, rebuilt for same-JVM comparison against
     // the shipped gated-long path

@@ -112,7 +112,7 @@ object Recon {
   /** Integral division (Spark's `div`, DuckDB's `//`) — both truncate
     * toward zero, so the pair is cross-engine parity-safe on exact
     * integer operands. */
-  private def intDiv(a: Column, b: Column): Column =
+  private[graft] def intDiv(a: Column, b: Column): Column =
     org.apache.spark.sql.graftbridge.ExprBridge.column(
       org.apache.spark.sql.catalyst.expressions.IntegralDivide(
         org.apache.spark.sql.graftbridge.ExprBridge.expression(a),

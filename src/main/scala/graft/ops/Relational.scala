@@ -2295,6 +2295,18 @@ object Relational {
     // so the (p,m) collapse exchange is computed once and reused
     val pm = Tables.lineitem(spark, dir)
       .filter(col("l_partkey").isNotNull)
+      // ONE exchange for the whole head (round-20 Probe decomposition:
+      // the old shape paid the (p,m) collapse exchange AND a second
+      // by-p exchange for the base window — 1.08 → 0.66 same-JVM with
+      // this form): partitioning by p alone satisfies BOTH the (p,m)
+      // groupBy's ClusteredDistribution and the window's, so the
+      // collapse aggregates post-shuffle and the window sorts in
+      // place. Tradeoff, documented: the pre-shuffle partial combine
+      // this forfeits merges (p,m) rows that met in one input split —
+      // on basket-shaped data (bounded lines per part-month, scattered
+      // across splits) that combine was worth ~nothing, while the
+      // second exchange it bought cost a full extra pass of the frame.
+      .repartition(col("l_partkey"))
       .groupBy(col("l_partkey").as("p"),
         date_trunc("month", col("l_shipdate")).as("m"))
       .agg(sum(Recon.cents(col("l_extendedprice"))).as("rev4"),
@@ -2327,9 +2339,21 @@ object Relational {
       .withColumn("qty06",
         max(when(col("m") <=> col("m0"), col("qty6"))).over(w))
       .filter(col("qty06").isNotNull)
+    // Per-row long fast path (round-20, the pagerank allocation
+    // lesson): the two real divisions here are half-away folds of
+    // POSITIVE exact integers, and when rev·qty provably fits the
+    // long envelope (rev < 3·10⁸ cents4 and qty < 1.5·10⁸ µ ⇒
+    // 2·rev·qty·100 + den ≤ 9.2·10¹⁸) the fold runs in primitive
+    // longs — no BigDecimal allocation on the ~(p,m)-sized frame.
+    // The guard is PER ROW, so no caps job exists and a 100 TB
+    // basket simply takes the 128-bit branch; values are identical
+    // (same half-away integers; `div` truncates on both carriers)
+    // and ANSI would throw loudly if the bound logic ever went stale.
     def term(revC: Column, qtyC: Column, wC: Column): Column =
-      Recon.ratioScaled(
-        revC.cast(DecimalType(38, 0)) * wC * 100, qtyC, 0)
+      when(revC < 300000000L && wC < 150000000L,
+        Recon.intDiv(revC * wC * 100 * 2 + qtyC, qtyC * 2))
+      .otherwise(Recon.ratioScaled(
+        revC.cast(DecimalType(38, 0)) * wC * 100, qtyC, 0))
     // lden and pnum are algebraic identities — ratioScaled(rev·q·100, q)
     // ≡ rev·100 exactly (the half-away round of an exact integer is
     // itself), so they are plain long multiplies, not 128-bit decimal
