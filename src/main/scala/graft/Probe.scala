@@ -61,157 +61,43 @@ object Probe {
     * is an F order, so the full supplier set is visible there) --
     * 0.551 -> 0.471 same-JVM (q1 0.464 ambient-matched), deleting the
     * full-lineitem aggregation and the semi join.
+    * Round-20 session (the planning-cost round): a new `plan:<name>`
+    * probe mode times analysis/optimization/physical planning with a
+    * build/opt/phys phase split and exposed a NEW cost class —
+    * driver-side Catalyst time. text_js_divergence: explode floor
+    * 0.16, op 1.20, of which 0.74–1.2 s was ~40 eager withColumn
+    * analysis passes (~15 ms fixed analyzer cost each). GRADUATED:
+    * the native Log2MicroLattice expression (whole lattice chain =
+    * ONE plan node) + the gated single-partition window small path —
+    * op 1.20 -> 0.38-0.45 (q1 0.50). REJECTED on numbers: batched
+    * withColumns alone (0.75 — pass count, not pass size, dominates),
+    * localCheckpoint plan-cut of the 620-row base (no net win once
+    * planning was cheap), cartesian ng attach (the 1-row branch
+    * re-ran the explode subtree and UnknownPartitioning re-inserted
+    * downstream exchanges). graph_components decomposition: edge
+    * filter 0.04 / cc edge build 0.24 / rest = per-round exchanges on
+    * a 6k-node graph whose checkpointed label frame has NO stats, so
+    * AQE never broadcasts. GRADUATED: CcBroadcastEdgeGate measured
+    * off the materialized blocks (2.08 -> 1.77; dirtier window
+    * 3.96 -> 2.00). REJECTED: two-hop rounds (2.19), pointer-jump
+    * (2.74), skip-union-distinct (3.71 — the un-exchanged union
+    * checkpoints into 2x tiny partitions). graph_pagerank variance:
+    * GRADUATED the measured-cap primitive-long contribution path
+    * (min 6.61 -> 5.2-5.9, median 7.65 -> 6.06; the decimal spelling
+    * allocated BigDecimals for 2.4M rows x 8 rounds — x_pr_dec
+    * rebuilt the old spelling for the same-JVM A/B). BPE family:
+    * phase split showed bpe_segment construction 0.36 s was
+    * RE-TRAINING per call — GRADUATED the per-relation-identity memo
+    * of the trained merges (merges 0.28 -> 0.10, segment 0.88 ->
+    * 0.73). price_index decomposition: pm collapse 0.81 / +window
+    * 0.35 / full 1.36 — GRADUATED repartition(p) (one exchange
+    * satisfies groupBy AND window: frame 1.08 -> 0.66, op 1.36 ->
+    * 0.89-0.96) and the per-row long fast path for its two half-away
+    * divisions (no caps job; oversized rows take the 128-bit branch).
     */
-  private val variants: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // round-20 graph_components decomposition (verdict #3): floors + levers
-    "x_gc_edges" -> ((s, d) => graft.ops.Graph.copurchaseEdges(s, d)
-      .filter(org.apache.spark.sql.functions.col("w") >= 2 &&
-        org.apache.spark.sql.functions.col("s") <
-          org.apache.spark.sql.functions.col("t"))),
-    "x_gc_ccedges" -> ((s, d) => {
-      import org.apache.spark.sql.functions._
-      val pairs = graft.ops.Graph.copurchaseEdges(s, d)
-        .filter(col("w") >= 2 && col("s") < col("t"))
-        .select(col("s").as("a_id"), col("t").as("b_id"))
-      pairs.select(col("a_id").as("u"), col("b_id").as("v"))
-        .unionByName(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
-        .distinct().localCheckpoint(true)
-    }),
-    "x_gc_onehop" -> ((s, d) => ccProbe(s, d, hops = 1, jump = false)),
-    "x_gc_twohop" -> ((s, d) => ccProbe(s, d, hops = 2, jump = false)),
-    "x_gc_jump"   -> ((s, d) => ccProbe(s, d, hops = 1, jump = true)),
-    "x_gc_bcast"  -> ((s, d) => ccProbe(s, d, hops = 1, jump = false, bcast = true)),
-    "x_gc_bcast2" -> ((s, d) => ccProbe(s, d, hops = 2, jump = false, bcast = true)),
-    "x_gc_bcastnd" -> ((s, d) =>
-      ccProbe(s, d, hops = 1, jump = false, bcast = true, dedup = false)),
-    // round-20 text_js decomposition (verdict #5): the explode+agg
-    // floor alone — everything else in the op is 617-row work
-    "x_js_sc" -> ((s, d) => {
-      import org.apache.spark.sql.functions._
-      graft.Tables.documents(s, d)
-        .select(col("source"), explode(split(lower(col("text")), " ")).as("tok"))
-        .filter(col("tok") =!= "")
-        .groupBy("source", "tok").agg(count(lit(1)).as("cs"))
-    }),
-    // round-20 price_index decomposition
-    "x_pi_pm" -> ((s, d) => {
-      import org.apache.spark.sql.functions._
-      graft.Tables.lineitem(s, d)
-        .filter(col("l_partkey").isNotNull)
-        .groupBy(col("l_partkey").as("p"),
-          date_trunc("month", col("l_shipdate")).as("m"))
-        .agg(sum(graft.ops.Recon.cents(col("l_extendedprice"))).as("rev4"),
-          sum(round(round(col("l_quantity"), 6) * 1e6, 0).cast("long"))
-            .as("qty6"))
-        .filter(col("qty6") > 0)
-    }),
-    "x_pi_win" -> ((s, d) => {
-      import org.apache.spark.sql.functions._
-      val pm = graft.Tables.lineitem(s, d)
-        .filter(col("l_partkey").isNotNull)
-        .groupBy(col("l_partkey").as("p"),
-          date_trunc("month", col("l_shipdate")).as("m"))
-        .agg(sum(graft.ops.Recon.cents(col("l_extendedprice"))).as("rev4"),
-          sum(round(round(col("l_quantity"), 6) * 1e6, 0).cast("long"))
-            .as("qty6"))
-        .filter(col("qty6") > 0)
-      val b0 = pm.agg(min(struct(col("m"), col("rev4"), col("qty6"))).as("s"))
-        .select(col("s").getField("m").as("m0"))
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("p")
-      pm.crossJoin(broadcast(b0))
-        .withColumn("rev04",
-          max(when(col("m") <=> col("m0"), col("rev4"))).over(w))
-        .withColumn("qty06",
-          max(when(col("m") <=> col("m0"), col("qty6"))).over(w))
-        .filter(col("qty06").isNotNull)
-    }),
-    "x_pi_onex" -> ((s, d) => {
-      import org.apache.spark.sql.functions._
-      val pm = graft.Tables.lineitem(s, d)
-        .filter(col("l_partkey").isNotNull)
-        .repartition(col("l_partkey"))
-        .groupBy(col("l_partkey").as("p"),
-          date_trunc("month", col("l_shipdate")).as("m"))
-        .agg(sum(graft.ops.Recon.cents(col("l_extendedprice"))).as("rev4"),
-          sum(round(round(col("l_quantity"), 6) * 1e6, 0).cast("long"))
-            .as("qty6"))
-        .filter(col("qty6") > 0)
-      val b0 = pm.agg(min(struct(col("m"), col("rev4"), col("qty6"))).as("s"))
-        .select(col("s").getField("m").as("m0"))
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("p")
-      pm.crossJoin(broadcast(b0))
-        .withColumn("rev04",
-          max(when(col("m") <=> col("m0"), col("rev4"))).over(w))
-        .withColumn("qty06",
-          max(when(col("m") <=> col("m0"), col("qty6"))).over(w))
-        .filter(col("qty06").isNotNull)
-    }),
-    // round-20 pagerank allocation A/B (verdict #4): the OLD decimal
-    // contribution spelling, rebuilt for same-JVM comparison against
-    // the shipped gated-long path
-    "x_pr_dec" -> ((s, d) => {
-      import org.apache.spark.sql.functions._
-      graft.ops.Graph.pagerankRanks(
-          graft.ops.Graph.copurchaseEdges(s, d), forceDecimal = true)
-        .select(col("node").as("l_partkey"), col("r").as("rank_ppb"),
-          graft.ops.Recon.ratioRound(col("r"), lit(1000000000L), 6).as("rank"))
-        .orderBy(desc("rank_ppb"), col("l_partkey")).limit(20)
-    })
-  )
+  private val variants: Map[String, (SparkSession, String) => DataFrame] = Map()
 
-  /** Probe-only reimplementation of copurchaseComponents with the
-    * round count levers exposed: `hops` neighbor-min steps per
-    * MATERIALIZED round (same joins, fewer checkpoint jobs) and/or a
-    * label-of-label pointer jump per round (log-diameter rounds, one
-    * extra join each). Canonical min-label fixpoint either way. */
-  private def ccProbe(spark: SparkSession, dir: String,
-                      hops: Int, jump: Boolean,
-                      bcast: Boolean = false,
-                      dedup: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.functions._
-    val pairs = graft.ops.Graph.copurchaseEdges(spark, dir)
-      .filter(col("w") >= 2 && col("s") < col("t"))
-      .select(col("s").as("a_id"), col("t").as("b_id"))
-    val undirected = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
-      .unionByName(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
-    val edges = (if (dedup) undirected.distinct() else undirected)
-      .localCheckpoint(true)
-    def hint(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
-    var labels = edges.select(col("u").as("id")).distinct()
-      .withColumn("label", col("id"))
-    var changed = 1L; var iter = 0
-    while (changed > 0 && iter < 24) {
-      var stepped = labels
-      for (_ <- 1 to hops) {
-        val nbrMin = edges
-          .join(hint(stepped.select(col("id").as("v"), col("label").as("vl"))), "v")
-          .groupBy(col("u").as("id")).agg(min(col("vl")).as("nl"))
-        stepped = stepped.join(hint(nbrMin), Seq("id"), "left_outer")
-          .select(col("id"),
-            least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
-      }
-      if (jump) {
-        val ptr = stepped.select(col("label").as("jid"), col("id"))
-        stepped = ptr.join(
-          stepped.select(col("id").as("jid"), col("label").as("jl")), "jid")
-          .select(col("id"), col("jl").as("label"))
-      }
-      val obs = new org.apache.spark.sql.Observation()
-      val next = labels.select(col("id"), col("label").as("prev"))
-        .join(stepped, "id")
-        .observe(obs, sum(when(col("label") =!= col("prev"), 1L)
-          .otherwise(0L)).as("moved"))
-      val ckpt = next.localCheckpoint(true)
-      changed = Option(obs.get("moved")).map(_.asInstanceOf[Long]).getOrElse(0L)
-      labels = ckpt.drop("prev")
-      iter += 1
-    }
-    println(s"    [ccProbe hops=$hops jump=$jump rounds=$iter]")
-    labels.groupBy("label").agg(count(lit(1)).as("cs"))
-      .groupBy(col("cs").as("cluster_size"))
-      .agg(count(lit(1)).as("n_clusters"), min("label").as("min_canonical"))
-      .orderBy(desc("cluster_size"), col("min_canonical"))
-  }
+
   def main(args: Array[String]): Unit = {
     val (sfArgs, names) = args.partition(_.startsWith("sf="))
     val dir = sfArgs.headOption.map(_.stripPrefix("sf="))
