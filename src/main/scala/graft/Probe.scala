@@ -134,6 +134,36 @@ object Probe {
           f"phys=${(t3 - t2) / 1e9}%.3f")
       }
     }
+    // `planall` — the round-20 planning-time CENSUS: build/opt/phys for
+    // EVERY bench query (min of 3, after one warm pass so lazily-built
+    // session state — relation cache, function registry — is paid once),
+    // sorted by total planning cost. Execution never runs; this ranks
+    // where the driver-side Catalyst tax (a real per-run cost inside the
+    // bench's timed region AND serial driver work at 100 TB) is spent.
+    if (names.contains("planall")) {
+      def planOnce(q: String): (Double, Double, Double) = {
+        val t0 = System.nanoTime()
+        val df = SparkEntry.queries(q)(spark, dir)
+        val t1 = System.nanoTime()
+        df.queryExecution.optimizedPlan
+        val t2 = System.nanoTime()
+        df.queryExecution.executedPlan
+        val t3 = System.nanoTime()
+        ((t1 - t0) / 1e9, (t2 - t1) / 1e9, (t3 - t2) / 1e9)
+      }
+      SparkEntry.benchQueries.foreach(planOnce) // warm lazily-built state
+      val rows = SparkEntry.benchQueries.map { q =>
+        val s = Seq.fill(3)(planOnce(q))
+        val b = s.map(_._1).min; val o = s.map(_._2).min; val p = s.map(_._3).min
+        (q, b, o, p, b + o + p)
+      }.sortBy(-_._5)
+      rows.foreach { case (q, b, o, p, t) =>
+        println(f"PLANALL $q%-32s total=$t%.3f build=$b%.3f opt=$o%.3f phys=$p%.3f")
+      }
+      println(f"PLANALL TOTAL=${rows.map(_._5).sum}%.3f over ${rows.size} queries")
+      spark.stop()
+      return
+    }
     val targets = if (names.nonEmpty) names.filterNot(_.startsWith("plan:")).toSeq
                   else SparkEntry.benchQueries
     for (_ <- 1 to 2) targets.foreach(materialize)

@@ -2121,25 +2121,39 @@ object Text {
     * Keyed by session, dir and the IDENTITY of the stamped documents
     * relation, so a corpus regen or fixture overwrite naturally
     * misses; the check-then-put race is benign (losers train an
-    * identical sequence — the trainer is deterministic). */
+    * identical sequence — the trainer is deterministic).
+    *
+    * Scope (round-20 resume): only [[bpeSegment]] READS the memo — for
+    * it the merge sequence is a derived dictionary input, exactly like
+    * the graph ops' shared edge frame. [[bpeMerges]] always re-trains
+    * from the corpus (and refreshes the memo): its OUTPUT rows ARE the
+    * merge sequence, and serving them from a memo would turn that
+    * query into a no-op after the first call instead of a computation
+    * over the parquet inputs. */
   private val bpeMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), (AnyRef, Seq[(Int, String, String, Long)])]
 
+  /** Train fresh from the corpus and refresh the memo. */
+  private def bpeTrainFresh(spark: SparkSession,
+                            dir: String): Seq[(Int, String, String, Long)] = {
+    val d0 = docs(spark, dir)
+    val trained = bpeTrain(bpeWordCounts(spark, dir))
+    bpeMemo.put((spark, dir), (d0, trained))
+    trained
+  }
+
+  /** Memo read for [[bpeSegment]] (derived-dictionary input). */
   private def bpeTrained(spark: SparkSession,
                          dir: String): Seq[(Int, String, String, Long)] = {
     val d0 = docs(spark, dir)
     val cur = bpeMemo.get((spark, dir))
     if (cur != null && (cur._1 eq d0)) cur._2
-    else {
-      val trained = bpeTrain(bpeWordCounts(spark, dir))
-      bpeMemo.put((spark, dir), (d0, trained))
-      trained
-    }
+    else bpeTrainFresh(spark, dir)
   }
 
   def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    bpeTrained(spark, dir)
+    bpeTrainFresh(spark, dir)
       .toDF("step", "lhs", "rhs", "pair_count").orderBy("step")
   }
 
