@@ -99,17 +99,31 @@ object Graph {
       // metric (round 12) — one Spark job per round instead of the
       // round-11 checkpoint-then-count pair, which halved the loop's
       // fixed job overhead at test SF and saves a full scan of the
-      // label set per round at scale
-      val obs = new org.apache.spark.sql.Observation()
+      // label set per round at scale.
+      // Round-20: materialize (checkpoint + observe) only every SECOND
+      // round — min-label propagation is monotone, so a round that
+      // moves zero labels is a fixpoint regardless of when it is
+      // checked, and the odd rounds chain lazily into the next
+      // materialization (2-round lineage, ~5 operators — the pagerank
+      // every-4th-round lesson applied at the cadence the convergence
+      // check allows). Worst case runs ONE extra no-op round past
+      // convergence, whose joins ride the same materialization job;
+      // output is identical (propagation is confluent, extra rounds
+      // are no-ops past the fixpoint).
+      iter += 1
       val next = labels.join(gated(nbrMin), Seq("id"), "left_outer")
         .select(col("id"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"),
           col("label").as("prev"))
-        .observe(obs, sum(when(col("label") =!= col("prev"), 1L).otherwise(0L)).as("moved"))
-      val ckpt = truncate(next, checkpointDir)
-      changed = Option(obs.get("moved")).map(_.asInstanceOf[Long]).getOrElse(0L)
-      labels = ckpt.drop("prev")
-      iter += 1
+      if (iter % 2 == 0 || iter == maxIter) {
+        val obs = new org.apache.spark.sql.Observation()
+        val ckpt = truncate(
+          next.observe(obs,
+            sum(when(col("label") =!= col("prev"), 1L).otherwise(0L)).as("moved")),
+          checkpointDir)
+        changed = Option(obs.get("moved")).map(_.asInstanceOf[Long]).getOrElse(0L)
+        labels = ckpt.drop("prev")
+      } else labels = next.drop("prev")
     }
     if (changed > 0)
       throw new IllegalStateException(
@@ -234,9 +248,11 @@ object Graph {
     * 100 TB posture: basket pairing is quadratic in basket size
     * (bounded at 7 lineitems in TPC-H; a real corpus caps baskets
     * first — the skew_profile op is the audit for that). The edge
-    * frame materializes ONCE (localCheckpoint) and is reused by all 8
-    * rounds; each round is one broadcast-or-shuffle join of the
-    * node-sized rank frame against edges plus a groupBy(t) whose
+    * frame materializes ONCE (the per-JVM [[copurchaseEdges]]
+    * checkpoint — callers of the bare iteration core pass a
+    * materialized frame, since the loop scans it every round) and is
+    * reused by all 8 rounds; each round is one broadcast-or-shuffle
+    * join of the node-sized rank frame against edges plus a groupBy(t) whose
     * partial sums collapse to ≤N rows per partition before the
     * shuffle. Ranks are NOT force-broadcast (fact-derived — the
     * round-14 broadcast rule): AQE sees the checkpointed frame's real
@@ -251,15 +267,24 @@ object Graph {
   private[graft] def pagerankRanks(edgesRaw: DataFrame,
                                    iters: Int = PagerankIters,
                                    forceDecimal: Boolean = false): DataFrame = {
-    val outw = edgesRaw.groupBy("s").agg(sum("w").as("ow"))
-    val edges = truncate(edgesRaw.join(outw, "s"), None)
-    // nodes is referenced EVERY round (the dangling-mass left join) —
-    // materialize it once; un-truncated, each round re-ran the distinct
-    // shuffle over the edge frame (round-17: one extra exchange per
-    // round for an invariant frame). count() then rides the same RDD.
-    val nodes = truncate(edges.select(col("s").as("node")).distinct(), None)
-    val n = nodes.count() // driver scalar: the node count, nothing else
+    // ow is a per-SOURCE-NODE quantity (Σw over s), so it rides the
+    // node-sized rank frame, NOT the edge frame (round-20: the old
+    // form joined outw back onto the edges and localCheckpointed that
+    // edge-sized frame on EVERY call — a full edge materialization,
+    // a distinct for the node set and a caps scan over the edge frame,
+    // all per run, all deleted here). groupBy(s) IS the node set (the
+    // old distinct over the ow-joined edges produced exactly the keys
+    // of this agg), max(w) rides the same pass so the long-envelope
+    // caps read off the 1-row head of the NODE-sized frame, and the
+    // per-round contribution join gets ow from the rank side — the
+    // join output is the same rows and the arithmetic is unchanged,
+    // so the integer trajectory is bit-identical (GraphSpec recount).
+    val nodesOw = truncate(edgesRaw.groupBy(col("s").as("node"))
+      .agg(sum("w").as("ow"), max("w").as("mw")), None)
+    val capsRow = nodesOw.agg(count(lit(1)), max("mw"), max("ow")).head()
+    val n = capsRow.getLong(0) // driver scalar: the node count
     require(n > 0, "pagerankRanks: empty edge list")
+    val nodes = nodesOw.select(col("node"), col("ow"))
     // Allocation gate (round-20, verdict #4 — the row's 4.6–26 s bench
     // VARIANCE is GC churn, not plan cost): the decimal spelling
     // allocates BigDecimals for every one of the ~2.4M join-output rows
@@ -275,9 +300,8 @@ object Graph {
     // keeps the op correct; ANSI throws rather than wraps if the gate
     // logic ever goes stale. `forceDecimal` exists for the Probe A/B
     // (battery-mover discipline: old spelling rebuilt, not remembered).
-    val caps = edges.agg(max("w"), max("ow")).head()
     val longSafe = !forceDecimal &&
-      caps.getLong(0) <= 100000000L && caps.getLong(1) <= 92000000000000000L
+      capsRow.getLong(1) <= 100000000L && capsRow.getLong(2) <= 92000000000000000L
     val contribC =
       if (longSafe) expr("r * 85 * w div (ow * 100)")
       else expr(
@@ -285,16 +309,29 @@ object Graph {
     val init = 1000000000L / n
     val base = 150000000L / n
     var ranks = nodes.withColumn("r", lit(init))
-    for (_ <- 1 to iters) {
-      val contrib = edges.join(ranks, col("s") === col("node"))
+    for (i <- 1 to iters) {
+      val contrib = edgesRaw.join(ranks, col("s") === col("node"))
         .select(col("t"), contribC.as("c"))
         .groupBy(col("t").as("node")).agg(sum("c").as("sm"))
-      ranks = truncate(
-        nodes.join(contrib, Seq("node"), "left_outer")
-          .select(col("node"),
-            (lit(base) + coalesce(col("sm"), lit(0L))).as("r")), None)
+      // ow rides the rank frame (one extra long on a node-sized frame)
+      // so no round ever re-joins outw. Lineage truncates every FOURTH
+      // round, not every round (round-20 A/B, quiet windows: per-round
+      // 6.9–8.3 / every-2nd 4.8–5.0 / every-4th 4.45–4.58 / never
+      // 5.3–7.1 min same-JVM): each eager localCheckpoint is its own
+      // job plus a block-manager copy of the frame, and at 8 rounds
+      // those materializations, not the joins, were most of the row's
+      // cost AND its bench variance. Four un-truncated rounds keep the
+      // optimizer's tree small (~12 operators) while the groupBy
+      // shuffle boundaries inside it still persist map outputs for
+      // failure recovery — the checkpoint only ever bought plan
+      // truncation, never durability (localCheckpoint blocks die with
+      // the executor either way).
+      val next = nodes.join(contrib, Seq("node"), "left_outer")
+        .select(col("node"), col("ow"),
+          (lit(base) + coalesce(col("sm"), lit(0L))).as("r"))
+      ranks = if (i % 4 == 0 || i == iters) truncate(next, None) else next
     }
-    ranks
+    ranks.select(col("node"), col("r"))
   }
 
   /** Per-basket fan-out cap for [[copurchaseEdges]]: the pair build is
@@ -460,13 +497,19 @@ object Graph {
       .filter(col("w") >= 2 && col("s") < col("t"))
       .select(col("s").as("a"), col("t").as("b")), None)
     val nEdges = e.count() // driver scalar for the summary row
+    // the count above doubles as the census-family broadcast gate
+    // (round-20, nodeJaccard's comment): under it the wedge build and
+    // the closing semi-join broadcast the edge frame instead of paying
+    // shuffle exchanges; above it the shuffle-join shape is unchanged
+    val gateB = nEdges <= CcBroadcastEdgeGate
+    def gated(df: DataFrame): DataFrame = if (gateB) broadcast(df) else df
     val deg = degreesOf(e)
     val wedgeAgg = deg.agg(
       sum(expr("d * (d - 1) div 2")).as("wedges"),
       count(lit(1)).as("n_nodes"))
-    val wedges = e.toDF("a", "b").join(e.toDF("b", "c"), "b")
+    val wedges = e.toDF("a", "b").join(gated(e.toDF("b", "c")), "b")
       .select(col("a"), col("b"), col("c"))
-    val triangles = wedges.join(e.toDF("a", "c"), Seq("a", "c"), "left_semi")
+    val triangles = wedges.join(gated(e.toDF("a", "c")), Seq("a", "c"), "left_semi")
       .agg(count(lit(1)).as("triangles"))
     triangles.crossJoin(broadcast(wedgeAgg))
       .select(col("n_nodes"), lit(nEdges).as("n_edges"),
@@ -536,17 +579,28 @@ object Graph {
     val e = truncate(copurchaseEdges(spark, dir)
       .filter(col("w") >= 2 && col("s") < col("t"))
       .select(col("s").as("a"), col("t").as("b")), None)
+    // Measured broadcast gate (round-20, the CcBroadcastEdgeGate
+    // precedent spread to the census family): the checkpointed edge
+    // frame is a LogicalRDD with NO stats, so AQE never discovers that
+    // a small graph's adjacency / degree / common-count frames (each
+    // ≤ 2·edges rows) are broadcastable, and all five joins here paid
+    // full shuffle exchanges. The count is a ~ms scan of the
+    // just-materialized blocks; above the gate the plan is
+    // byte-identical shuffle joins — at 100 TB the gate fails and
+    // nothing is pinned broadcast.
+    val gateB = e.count() <= CcBroadcastEdgeGate
+    def gated(df: DataFrame): DataFrame = if (gateB) broadcast(df) else df
     val adj = e.select(col("a").as("v"), col("b").as("n"))
       .unionByName(e.select(col("b").as("v"), col("a").as("n")))
     val deg = degreesOf(e)
     val common = e
-      .join(adj.select(col("v").as("a"), col("n").as("x")), "a")
-      .join(adj.select(col("v").as("b"), col("n").as("x")), Seq("b", "x"))
+      .join(gated(adj.select(col("v").as("a"), col("n").as("x"))), "a")
+      .join(gated(adj.select(col("v").as("b"), col("n").as("x"))), Seq("b", "x"))
       .groupBy("a", "b").agg(count(lit(1)).as("common"))
-    e.join(common, Seq("a", "b"), "left_outer")
+    e.join(gated(common), Seq("a", "b"), "left_outer")
       .na.fill(0L, Seq("common"))
-      .join(deg.select(col("v").as("a"), col("d").as("deg_a")), "a")
-      .join(deg.select(col("v").as("b"), col("d").as("deg_b")), "b")
+      .join(gated(deg.select(col("v").as("a"), col("d").as("deg_a"))), "a")
+      .join(gated(deg.select(col("v").as("b"), col("d").as("deg_b"))), "b")
       .select(col("a"), col("b"), col("deg_a"), col("deg_b"), col("common"),
         graft.ops.Recon.ratioRound(col("common"),
           col("deg_a") + col("deg_b") - col("common"), 6).as("jaccard"))
@@ -599,8 +653,14 @@ object Graph {
     var rounds = 0
     var converged = false
     while (!converged) {
-      val bad = truncate(deg.filter(col("d") < k).select("v"), None)
-      if (bad.isEmpty) converged = true
+      // the sub-k count rides the materialization job as an observe
+      // metric (round-20 — the connectedComponents observe discipline):
+      // the old spelling paid a separate isEmpty action per round
+      val obs = new org.apache.spark.sql.Observation()
+      val bad = truncate(deg.filter(col("d") < k).select("v")
+        .observe(obs, count(lit(1)).as("nbad")), None)
+      val nbad = Option(obs.get("nbad")).map(_.asInstanceOf[Long]).getOrElse(0L)
+      if (nbad == 0) converged = true
       else {
         // throw only when a FURTHER peel past the oracle depth is
         // actually needed: a graph converging in exactly KcoreIters
@@ -610,9 +670,16 @@ object Graph {
           throw new IllegalStateException(
             s"kcore peel did not converge in $KcoreIters rounds — raise " +
               "Graph.KcoreIters AND regenerate the unrolled oracle depth")
+        // the measured nbad gates the anti-joins to broadcast (the
+        // census-family gate): a small peel set builds a ≤ ~16 MB hash
+        // side and the edge frame never exchanges; a 100 TB round that
+        // peels more than the gate keeps the shuffle anti-join shape
+        val badSide = (c: String) =>
+          if (nbad <= CcBroadcastEdgeGate) broadcast(bad.select(col("v").as(c)))
+          else bad.select(col("v").as(c))
         e = truncate(
-          e.join(bad.select(col("v").as("a")), Seq("a"), "left_anti")
-            .join(bad.select(col("v").as("b")), Seq("b"), "left_anti")
+          e.join(badSide("a"), Seq("a"), "left_anti")
+            .join(badSide("b"), Seq("b"), "left_anti")
             .select("a", "b"), None)
         rounds += 1
         deg = degreesOf(e)
@@ -655,10 +722,16 @@ object Graph {
     val e = copurchaseEdges(spark, dir)
       .filter(col("w") >= 2 && col("s") < col("t"))
       .select(col("s").as("a"), col("t").as("b"))
+    // census-family measured broadcast gate (round-20, see nodeJaccard):
+    // one cheap filter-count off the memoized edge blocks; under the
+    // gate both degree lookups broadcast, above it the shuffle joins
+    // the scaladoc describes are unchanged
+    val gateB = e.count() <= CcBroadcastEdgeGate
+    def gated(df: DataFrame): DataFrame = if (gateB) broadcast(df) else df
     val deg = degreesOf(e)
     val nodes = deg.agg(count(lit(1)).as("n_nodes"))
-    val dd = e.join(deg.select(col("v").as("a"), col("d").as("da")), "a")
-      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+    val dd = e.join(gated(deg.select(col("v").as("a"), col("d").as("da"))), "a")
+      .join(gated(deg.select(col("v").as("b"), col("d").as("db"))), "b")
     val agg = dd.agg(
       count(lit(1)).as("ne"),
       sum((col("da") + col("db")).cast(dec)).as("sx"),
