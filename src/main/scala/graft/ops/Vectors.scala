@@ -135,8 +135,19 @@ object Vectors {
       col("label").as("lb"))
     val sim = round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4)
     val topW = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("nn"))
-    val top = a.join(b, col("vec_id") =!= col("nn"))
+    // evaluate each unordered pair ONCE (vec_id < nn halves the n² probe
+    // volume and its dots) and emit both directions with a row-local
+    // generator (round-20, the annIvfRecall symmetrize lesson) — the
+    // window sees the identical full pair stream either way
+    val top = a.join(b, col("vec_id") < col("nn"))
       .select(col("vec_id"), col("la"), col("nn"), col("lb"), sim.as("sim"))
+      .select(explode(array(
+          struct(col("vec_id"), col("la"), col("nn"), col("lb"), col("sim")),
+          struct(col("nn").as("vec_id"), col("lb").as("la"),
+            col("vec_id").as("nn"), col("la").as("lb"), col("sim"))))
+          .as("p"))
+      .select(col("p.vec_id").as("vec_id"), col("p.la").as("la"),
+        col("p.nn").as("nn"), col("p.lb").as("lb"), col("p.sim").as("sim"))
       .withColumn("rk", row_number().over(topW))
       .filter(col("rk") <= k)
     val pred = top.groupBy(col("vec_id"), col("la"), col("lb"))
@@ -480,9 +491,34 @@ object Vectors {
   /** The IVF candidate pair stream (vec_id, nn, sim) — the whole
     * pipeline short of the per-vector argmax, shared by [[annIvfTopk]]
     * and the [[annIvfRecall]] calibration. */
+  /** Per-JVM memo of the TRAINED k×Dim coarse quantizer — the Graph
+    * edge-memo / BPE-segment pattern for the ANN family: the bounded
+    * training collect + driver Lloyd fold (~0.55–0.65 s per call,
+    * round-20 `plan:` phase split — 60% of ann_ivf_topk's row) is a
+    * derived dictionary input shared by [[annIvfTopk]] AND
+    * [[annIvfRecall]], re-trained identically on every call. Keyed by
+    * session, dir and the IDENTITY of the stamped embeddings relation
+    * (Schemas' relation cache), so a corpus regen misses naturally;
+    * the check-then-put race is benign (the trainer is deterministic —
+    * md5 seeds, exact decimal means). */
+  private val ivfCentroidMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (AnyRef, Seq[(Int, Seq[Double])])]
+
+  private def ivfCentroids(spark: SparkSession, dir: String,
+                           u: DataFrame): Seq[(Int, Seq[Double])] = {
+    val rel = Tables.embeddings(spark, dir)
+    val cur = ivfCentroidMemo.get((spark, dir))
+    if (cur != null && (cur._1 eq rel)) cur._2
+    else {
+      val trained = kmeansCentroidsLocal(u)
+      ivfCentroidMemo.put((spark, dir), (rel, trained))
+      trained
+    }
+  }
+
   private[graft] def ivfCandidates(spark: SparkSession, dir: String): DataFrame = {
     val u = unitVectors(spark, dir)
-    val cents = kmeansCentroidsLocal(u)
+    val cents = ivfCentroids(spark, dir, u)
     // probe assignment is ROW-LOCAL against the literal centroid table:
     // sort the (−score, cid) pairs and take the first IvfProbes — the
     // same (score DESC, cid ASC) order the oracle's window rank spells,
@@ -531,8 +567,17 @@ object Vectors {
     val upper = a.join(b, col("vec_id") < col("nn"))
       .select(col("vec_id"), col("nn"),
         round(dot(col("ua"), col("ub")), 4).as("sim"))
-    val sym = upper.unionByName(upper.select(col("nn").as("vec_id"),
-      col("vec_id").as("nn"), col("sim")))
+    // symmetrize ROW-LOCALLY with a generator, not a self-union: the
+    // union's two branches shared no exchange boundary, so the physical
+    // plan duplicated the whole n²/2 brute-force subtree — every dot
+    // product ran TWICE (round-20 plan audit; the explode emits both
+    // directions from one pass and the agg below is unchanged)
+    val sym = upper.select(explode(array(
+        struct(col("vec_id"), col("nn"), col("sim")),
+        struct(col("nn").as("vec_id"), col("vec_id").as("nn"), col("sim"))))
+        .as("p"))
+      .select(col("p.vec_id").as("vec_id"), col("p.nn").as("nn"),
+        col("p.sim").as("sim"))
     val exact = bestNeighbor(sym)
       .select(col("vec_id"), col("nn").as("enn"), col("sim").as("esim"))
     val approx = bestNeighbor(ivfCandidates(spark, dir))
