@@ -798,22 +798,51 @@ object Text {
       .orderBy(col("est_jaccard").desc, col("a_id"), col("b_id"))
       .limit(100)
 
+  /** Per-JVM memo of the MATERIALIZED banded signature frame — the
+    * [[graft.ops.Graph]] edge-memo precedent applied to the MinHash-LSH
+    * family: SIX ops (dedup_minhash, dedup_audit, dedup_incremental,
+    * dedup_lsh_calibration, dedup_clusters, dedup_savings) derive from
+    * the same scan → 32-hash signature → band explode → bucket cap
+    * build, which each re-ran from the corpus on every call. This frame
+    * is exactly what the [[dedupIncremental]] scaladoc names as the
+    * artifact a production pipeline PERSISTS (signatures are
+    * append-only). Keyed by session, dir and the IDENTITY of the
+    * stamped documents relation, so a corpus regen or fixture overwrite
+    * misses naturally; the check-then-put race is benign (identical
+    * deterministic builds, last-write-wins). */
+  private val bandedMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (AnyRef, DataFrame)]
+
+  /** The capped banded signature frame (doc_id, source, sig, band, bh),
+    * materialized once per (session, corpus). */
+  private[graft] def bandedSignatures(spark: SparkSession,
+                                      dir: String): DataFrame = {
+    val d0 = docs(spark, dir)
+    val cur = bandedMemo.get((spark, dir))
+    if (cur != null && (cur._1 eq d0)) cur._2
+    else {
+      val sig = d0
+        .select(col("doc_id"), col("source"),
+          graft.functions.MinHashSig.minhash(split(col("text"), " "), NumHashes).as("sig"))
+      // band key = the 4 minhash values themselves (joined as a string):
+      // grouping on the raw tuple needs no second hash function, which is
+      // exactly what lets an engine without xxhash64 reproduce the buckets
+      val bandKey = (b: Int) =>
+        concat_ws(":", (b * RowsPerBand until (b + 1) * RowsPerBand)
+          .map(i => col("sig").getItem(i).cast("string")): _*)
+      val built = capBuckets(
+        sig.select(col("doc_id"), col("source"), col("sig"),
+          posexplode(array((0 until Bands).map(bandKey): _*)).as(Seq("band", "bh"))),
+        Seq("band", "bh")).localCheckpoint(true)
+      bandedMemo.put((spark, dir), (d0, built))
+      built
+    }
+  }
+
   /** Full candidate-pair frame (a_id, b_id, est_jaccard) behind
     * [[dedupMinhash]] — the unlimited form [[dedupAudit]] aggregates. */
   private[graft] def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sig = docs(spark, dir)
-      .select(col("doc_id"), col("source"),
-        graft.functions.MinHashSig.minhash(split(col("text"), " "), NumHashes).as("sig"))
-    // band key = the 4 minhash values themselves (joined as a string):
-    // grouping on the raw tuple needs no second hash function, which is
-    // exactly what lets an engine without xxhash64 reproduce the buckets
-    val bandKey = (b: Int) =>
-      concat_ws(":", (b * RowsPerBand until (b + 1) * RowsPerBand)
-        .map(i => col("sig").getItem(i).cast("string")): _*)
-    val banded = capBuckets(
-      sig.select(col("doc_id"), col("source"), col("sig"),
-        posexplode(array((0 until Bands).map(bandKey): _*)).as(Seq("band", "bh"))),
-      Seq("band", "bh"))
+    val banded = bandedSignatures(spark, dir)
     // The signature rides along BOTH sides of the bucket self-join and
     // agreement is a codegen'd 32-term comparison over the carried
     // arrays. The join is a TRUE self-join of ONE frame via aliases —
@@ -960,11 +989,39 @@ object Text {
     * [[minhashPairs]] discipline). Oracle re-derives the identical
     * set via a vectorized ROWS-frame window min over the shingle
     * stream (full windows only) + DISTINCT. */
-  def dedupWinnow(spark: SparkSession, dir: String): DataFrame = {
-    val wins = graft.FanOut(docs(spark, dir))
-      .select(col("doc_id"),
+  /** Per-JVM memo of the MATERIALIZED winnow fingerprint frame
+    * (doc_id, source, fp) — the banded-signature memo's sibling for the
+    * substring modality: the native [[graft.functions.WinnowSet]] pass
+    * digests an md5 per character shingle (the family's dominant map
+    * cost), and [[dedupWinnow]] AND [[decontaminateWinnow]] each re-ran
+    * it over the whole corpus per call. Same keying and displacement
+    * semantics as [[bandedMemo]]. */
+  private val winnowMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (AnyRef, DataFrame)]
+
+  /** The UNCACHED winnow fingerprint plan — [[winnowFps]] is this plus
+    * the per-JVM materialization; ScaleSpec audits THIS form (the
+    * memoized frame's plan is just the checkpoint scan — the
+    * [[graft.ops.Graph]] copurchaseEdgesPlan discipline). */
+  private[graft] def winnowFpsPlan(d0: DataFrame): DataFrame =
+    graft.FanOut(d0)
+      .select(col("doc_id"), col("source"),
         explode(graft.functions.WinnowSet.winnowSet(col("text"), 8, 16))
           .as("fp"))
+
+  private[graft] def winnowFps(spark: SparkSession, dir: String): DataFrame = {
+    val d0 = docs(spark, dir)
+    val cur = winnowMemo.get((spark, dir))
+    if (cur != null && (cur._1 eq d0)) cur._2
+    else {
+      val built = winnowFpsPlan(d0).localCheckpoint(true)
+      winnowMemo.put((spark, dir), (d0, built))
+      built
+    }
+  }
+
+  def dedupWinnow(spark: SparkSession, dir: String): DataFrame = {
+    val wins = winnowFps(spark, dir).select("doc_id", "fp")
     val capped = capBuckets(wins, Seq("fp"))
     capped.as("x").hint("shuffle_hash")
       .join(capped.as("y").hint("shuffle_hash"),
@@ -997,12 +1054,13 @@ object Text {
     * a fingerprint-spam document cannot flood the join. */
   def decontaminateWinnow(spark: SparkSession, dir: String,
                           evalSource: String = "src0"): DataFrame = {
-    def wins(df: DataFrame): DataFrame = df.select(col("doc_id"),
-      explode(graft.functions.WinnowSet.winnowSet(col("text"), 8, 16)).as("fp"))
-    val d = docs(spark, dir)
-    val evalFps = wins(d.filter(col("source") === evalSource))
+    // both splits filter the ONE memoized fingerprint frame (winnowFps)
+    // — the winnow pass itself runs once per corpus, not once per side
+    // per call
+    val w = winnowFps(spark, dir)
+    val evalFps = w.filter(col("source") === evalSource)
       .select("fp").distinct()
-    wins(d.filter(col("source") =!= evalSource))
+    w.filter(col("source") =!= evalSource).select("doc_id", "fp")
       .join(broadcast(evalFps), "fp")
       .groupBy("doc_id").agg(count(lit(1)).as("hits"))
       .orderBy(col("hits").desc, col("doc_id"))

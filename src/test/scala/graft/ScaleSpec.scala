@@ -531,17 +531,28 @@ class ScaleSpec extends GraftSpec {
       s"the 8-sum agg must combine map-side:\n$exec")
   }
 
-  test("winnow dedup: exchange-reused self-join, shuffled-hash buckets") {
+  test("winnow dedup: memoized fingerprint frame, shuffled-hash buckets") {
     val q = graft.ops.Text.dedupWinnow(spark, sf)
-    q.collect() // AQE inserts the reuse marker in the FINAL plan
+    q.collect()
     val exec = q.queryExecution.executedPlan.toString
-    assert(exec.contains("ReusedQueryStage") || exec.contains("ReusedExchange"),
-      s"the winnow pipeline must run once, reused under both join " +
-        s"sides:\n$exec")
+    // round 20: the fingerprint pass moved into the per-JVM winnow memo
+    // (built once per corpus — stronger than the exchange reuse this
+    // test used to assert), so the per-call plan must NOT re-run the
+    // scanner: both join sides read the materialized frame
+    assert(!exec.contains("winnow_set"),
+      s"the winnow pass must come from the memoized frame, not re-run " +
+        s"per call:\n$exec")
+    assert(exec.contains("ExistingRDD"),
+      s"both join sides must scan the checkpointed fingerprint frame:\n$exec")
     assert(exec.contains("ShuffledHashJoin") && !exec.contains("SortMergeJoin"),
       s"bucket order is meaningless — no sort-merge:\n$exec")
-    assert(exec.contains("winnow_set"),
-      s"fingerprints must come from the native one-pass scanner:\n$exec")
+    // the memo BUILD plan is audited directly (the copurchaseEdgesPlan
+    // discipline): native one-pass scanner present
+    val build = graft.ops.Text.winnowFpsPlan(
+      graft.Tables.documents(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(build.contains("winnow_set"),
+      s"fingerprints must come from the native one-pass scanner:\n$build")
   }
 
   test("ks drift: bounds and totals broadcast, window partitioned by type") {
