@@ -2531,11 +2531,16 @@ object Relational {
           .when(lit(2) * col("rev4").cast(dec) * col("nc")
             > lit(3) * col("ts").cast(dec), "high")
           .otherwise("mid").as("band"))
-    val before = cls.filter(col("pre"))
-      .select(col("k"), col("band").as("ba"))
-    val after = cls.filter(!col("pre"))
-      .select(col("k").as("k2"), col("band").as("bb"))
-    val m = before.join(after, col("k") === col("k2"), "full_outer")
+    // before/after fold as ONE conditional groupBy(k) — the q21 lesson
+    // (round-20): each (k, pre) key holds exactly one row of cls, so
+    // max(when(pre)) / max(when(!pre)) recover the two bands per
+    // customer and the full-outer join (two exchanges + join on a
+    // frame two filters re-derived) collapses into a single
+    // map-combined aggregate over the cls pass
+    val m = cls
+      .groupBy(col("k"))
+      .agg(max(when(col("pre"), col("band"))).as("ba"),
+        max(when(!col("pre"), col("band"))).as("bb"))
       .groupBy(coalesce(col("ba"), lit("absent")).as("band_before"),
         coalesce(col("bb"), lit("absent")).as("band_after"))
       .agg(count(lit(1)).as("n_customers"))
