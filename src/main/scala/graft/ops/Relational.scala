@@ -2156,10 +2156,19 @@ object Relational {
     val rev = Tables.orders(spark, dir).groupBy(col("o_custkey"))
       .agg(sum(Recon.cents(col("o_totalprice"))).as("c"))
       .localCheckpoint(true)
+    // min/max/total ride the vals materialization as observe metrics
+    // (round-20 — the connectedComponents observe discipline): the old
+    // form paid a separate 1-row agg job over the just-checkpointed
+    // frame
+    val obs = new org.apache.spark.sql.Observation()
     val vals = rev.groupBy(col("c").as("v")).agg(sum("c").as("w"))
+      .observe(obs, min(col("v")).as("mn"), max(col("v")).as("mx"),
+        sum(col("w")).as("t"))
       .localCheckpoint(true)
-    val head = vals.agg(min("v"), max("v"), sum("w")).head()
-    val (mn, mx, t) = (head.getLong(0), head.getLong(1), head.getLong(2))
+    val (mn, mx, t) = (
+      Option(obs.get("mn")).map(_.asInstanceOf[Long]).getOrElse(0L),
+      Option(obs.get("mx")).map(_.asInstanceOf[Long]).getOrElse(0L),
+      Option(obs.get("t")).map(_.asInstanceOf[Long]).getOrElse(0L))
     require(t > 0, s"paretoAbc: no positive revenue under $dir")
     val width = math.max(1L, (mx - mn) / 1024L + 1L)
     val bucketCol = expr(s"(v - ${mn}L) div ${width}L")
@@ -2192,19 +2201,22 @@ object Relational {
     val boundary = vals.withColumn("b", bucketCol)
       .filter(col("b") === b80 || col("b") === b95)
       .withColumn("cumb", coalesce(sum("w").over(wIn), lit(0L)))
-    def threshold(b: Long, off: Long, num: Long, den: Long): Long = {
-      // 128-bit products (DECIMAL(38,0) ≡ the oracle's HUGEINT): the
-      // long form overflows (ANSI throw) past 4.6e17 micro-units total
-      val dec38 = DecimalType(38, 0)
-      val r = boundary.filter(col("b") === b &&
-          lit(den) * (lit(off) + col("cumb")).cast(dec38)
-            < lit(num) * lit(t).cast(dec38))
-        .agg(min("v")).head()
-      require(!r.isNullAt(0), s"paretoAbc: empty boundary bin $b")
-      r.getLong(0)
-    }
-    val t80 = threshold(b80, off80, 4L, 5L)
-    val t95 = threshold(b95, off95, 19L, 20L)
+    // BOTH thresholds fold into ONE 1-row agg over the tiny boundary
+    // frame (round-20: the per-threshold head() was a separate job each)
+    // — 128-bit products (DECIMAL(38,0) ≡ the oracle's HUGEINT): the
+    // long form overflows (ANSI throw) past 4.6e17 micro-units total
+    val dec38 = DecimalType(38, 0)
+    def thrCol(b: Long, off: Long, num: Long, den: Long) =
+      min(when(col("b") === b &&
+        lit(den) * (lit(off) + col("cumb")).cast(dec38)
+          < lit(num) * lit(t).cast(dec38), col("v")))
+    val thr = boundary
+      .agg(thrCol(b80, off80, 4L, 5L).as("t80"),
+        thrCol(b95, off95, 19L, 20L).as("t95")).head()
+    require(!thr.isNullAt(0), s"paretoAbc: empty boundary bin $b80")
+    require(!thr.isNullAt(1), s"paretoAbc: empty boundary bin $b95")
+    val t80 = thr.getLong(0)
+    val t95 = thr.getLong(1)
     rev.select(
         when(col("c") >= t80, "A").when(col("c") >= t95, "B").otherwise("C")
           .as("abc_class"), col("c"))

