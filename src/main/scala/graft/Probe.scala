@@ -94,171 +94,19 @@ object Probe {
     * satisfies groupBy AND window: frame 1.08 -> 0.66, op 1.36 ->
     * 0.89-0.96) and the per-row long fast path for its two half-away
     * divisions (no caps job; oversized rows take the 128-bit branch).
+    * Round-20 RESUME session (different box-day; same code 84.33 →
+    * 101.59 s with q1 0.376/0.358, so every decision was a same-JVM
+    * A/B): pagerank x_pr_oldsetup (ow-on-edges + per-call edge
+    * checkpoint, rebuilt verbatim) 7.096 vs node-side-ow 6.854; the
+    * checkpoint-cadence ladder x_pr_ck2/ck4/ck8 read 4.8-5.0 /
+    * 4.45-4.58 / 5.3-7.1 quiet-window mins vs per-round 6.9-8.3 —
+    * every-4th GRADUATED. x_cc_perround (per-round observe+checkpoint
+    * components loop) alternated 2.093/2.058/2.570 vs the every-2nd
+    * cadence's 1.965/2.296/1.888 — every-2nd GRADUATED. All variants
+    * deleted per convention; winners live in ops/Graph.scala with the
+    * numbers in their scaladocs.
     */
-  private val variants: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // round-20 resume A/B: the OLD per-round-observe components loop
-    // (checkpoint + Observation every round), rebuilt against the
-    // shipped every-2nd-round cadence
-    "x_cc_perround" -> ((s, d) => {
-      import org.apache.spark.sql.functions._
-      val pairs = graft.ops.Graph.copurchaseEdges(s, d)
-        .filter(col("w") >= 2 && col("s") < col("t"))
-        .select(col("s").as("a_id"), col("t").as("b_id"))
-      val edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
-        .unionByName(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
-        .distinct().localCheckpoint()
-      val gateBcast = edges.count() <= 500000L
-      def gated(df: org.apache.spark.sql.DataFrame) =
-        if (gateBcast) broadcast(df) else df
-      var labels = edges.select(col("u").as("id")).distinct()
-        .withColumn("label", col("id"))
-      var changed = 1L
-      var iter = 0
-      while (changed > 0 && iter < 24) {
-        val nbrMin = edges
-          .join(gated(labels.select(col("id").as("v"), col("label").as("vl"))), "v")
-          .groupBy(col("u").as("id")).agg(min(col("vl")).as("nl"))
-        val obs = new org.apache.spark.sql.Observation()
-        val next = labels.join(gated(nbrMin), Seq("id"), "left_outer")
-          .select(col("id"),
-            least(col("label"), coalesce(col("nl"), col("label"))).as("label"),
-            col("label").as("prev"))
-          .observe(obs, sum(when(col("label") =!= col("prev"), 1L).otherwise(0L)).as("moved"))
-        val ckpt = next.localCheckpoint()
-        changed = Option(obs.get("moved")).map(_.asInstanceOf[Long]).getOrElse(0L)
-        labels = ckpt.drop("prev")
-        iter += 1
-      }
-      labels.groupBy("label").agg(count(lit(1)).as("cs"))
-        .groupBy(col("cs").as("cluster_size"))
-        .agg(count(lit(1)).as("n_clusters"), min("label").as("min_canonical"))
-        .orderBy(desc("cluster_size"), col("min_canonical"))
-    }),
-    // round-20 resume A/B: the OLD pagerank setup (ow joined onto the
-    // edge frame + per-call edge checkpoint + separate nodes distinct,
-    // count and edge-frame caps scan), rebuilt verbatim against the
-    // shipped node-side-ow form
-    "x_pr_oldsetup" -> ((s, d) => {
-      import org.apache.spark.sql.functions._
-      val edgesRaw = graft.ops.Graph.copurchaseEdges(s, d)
-      val outw = edgesRaw.groupBy("s").agg(sum("w").as("ow"))
-      val edges = edgesRaw.join(outw, "s").localCheckpoint()
-      val nodes = edges.select(col("s").as("node")).distinct().localCheckpoint()
-      val n = nodes.count()
-      val caps = edges.agg(max("w"), max("ow")).head()
-      val longSafe =
-        caps.getLong(0) <= 100000000L && caps.getLong(1) <= 92000000000000000L
-      val contribC =
-        if (longSafe) expr("r * 85 * w div (ow * 100)")
-        else expr("CAST(r AS DECIMAL(38,0)) * 85 * w div (CAST(ow AS DECIMAL(38,0)) * 100)")
-      val init = 1000000000L / n
-      val base = 150000000L / n
-      var ranks = nodes.withColumn("r", lit(init))
-      for (_ <- 1 to 8) {
-        val contrib = edges.join(ranks, col("s") === col("node"))
-          .select(col("t"), contribC.as("c"))
-          .groupBy(col("t").as("node")).agg(sum("c").as("sm"))
-        ranks = nodes.join(contrib, Seq("node"), "left_outer")
-          .select(col("node"),
-            (lit(base) + coalesce(col("sm"), lit(0L))).as("r")).localCheckpoint()
-      }
-      ranks.select(col("node").as("l_partkey"), col("r").as("rank_ppb"),
-        graft.ops.Recon.ratioRound(col("r"), lit(1000000000L), 6).as("rank"))
-        .orderBy(desc("rank_ppb"), col("l_partkey")).limit(20)
-    }),
-    // shipped node-side-ow form but checkpointing every SECOND round —
-    // halves the per-round materialization jobs at 2-deep lineage
-    "x_pr_ck2" -> ((s, d) => {
-      import org.apache.spark.sql.functions._
-      val edgesRaw = graft.ops.Graph.copurchaseEdges(s, d)
-      val nodesOw = edgesRaw.groupBy(col("s").as("node"))
-        .agg(sum("w").as("ow"), max("w").as("mw")).localCheckpoint()
-      val capsRow = nodesOw.agg(count(lit(1)), max("mw"), max("ow")).head()
-      val n = capsRow.getLong(0)
-      val nodes = nodesOw.select(col("node"), col("ow"))
-      val longSafe =
-        capsRow.getLong(1) <= 100000000L && capsRow.getLong(2) <= 92000000000000000L
-      val contribC =
-        if (longSafe) expr("r * 85 * w div (ow * 100)")
-        else expr("CAST(r AS DECIMAL(38,0)) * 85 * w div (CAST(ow AS DECIMAL(38,0)) * 100)")
-      val init = 1000000000L / n
-      val base = 150000000L / n
-      var ranks = nodes.withColumn("r", lit(init))
-      for (i <- 1 to 8) {
-        val contrib = edgesRaw.join(ranks, col("s") === col("node"))
-          .select(col("t"), contribC.as("c"))
-          .groupBy(col("t").as("node")).agg(sum("c").as("sm"))
-        val next = nodes.join(contrib, Seq("node"), "left_outer")
-          .select(col("node"), col("ow"),
-            (lit(base) + coalesce(col("sm"), lit(0L))).as("r"))
-        ranks = if (i % 2 == 0 || i == 8) next.localCheckpoint() else next
-      }
-      ranks.select(col("node").as("l_partkey"), col("r").as("rank_ppb"),
-        graft.ops.Recon.ratioRound(col("r"), lit(1000000000L), 6).as("rank"))
-        .orderBy(desc("rank_ppb"), col("l_partkey")).limit(20)
-    }),
-    // shipped node-side-ow form but checkpointing every FOURTH round —
-    // 4-deep lineage between materializations
-    "x_pr_ck4" -> ((s, d) => {
-      import org.apache.spark.sql.functions._
-      val edgesRaw = graft.ops.Graph.copurchaseEdges(s, d)
-      val nodesOw = edgesRaw.groupBy(col("s").as("node"))
-        .agg(sum("w").as("ow"), max("w").as("mw")).localCheckpoint()
-      val capsRow = nodesOw.agg(count(lit(1)), max("mw"), max("ow")).head()
-      val n = capsRow.getLong(0)
-      val nodes = nodesOw.select(col("node"), col("ow"))
-      val longSafe =
-        capsRow.getLong(1) <= 100000000L && capsRow.getLong(2) <= 92000000000000000L
-      val contribC =
-        if (longSafe) expr("r * 85 * w div (ow * 100)")
-        else expr("CAST(r AS DECIMAL(38,0)) * 85 * w div (CAST(ow AS DECIMAL(38,0)) * 100)")
-      val init = 1000000000L / n
-      val base = 150000000L / n
-      var ranks = nodes.withColumn("r", lit(init))
-      for (i <- 1 to 8) {
-        val contrib = edgesRaw.join(ranks, col("s") === col("node"))
-          .select(col("t"), contribC.as("c"))
-          .groupBy(col("t").as("node")).agg(sum("c").as("sm"))
-        val next = nodes.join(contrib, Seq("node"), "left_outer")
-          .select(col("node"), col("ow"),
-            (lit(base) + coalesce(col("sm"), lit(0L))).as("r"))
-        ranks = if (i % 4 == 0 || i == 8) next.localCheckpoint() else next
-      }
-      ranks.select(col("node").as("l_partkey"), col("r").as("rank_ppb"),
-        graft.ops.Recon.ratioRound(col("r"), lit(1000000000L), 6).as("rank"))
-        .orderBy(desc("rank_ppb"), col("l_partkey")).limit(20)
-    }),
-    // shipped node-side-ow form but NEVER checkpointing inside the loop —
-    // full 8-round lineage, one materialization at the sink
-    "x_pr_ck8" -> ((s, d) => {
-      import org.apache.spark.sql.functions._
-      val edgesRaw = graft.ops.Graph.copurchaseEdges(s, d)
-      val nodesOw = edgesRaw.groupBy(col("s").as("node"))
-        .agg(sum("w").as("ow"), max("w").as("mw")).localCheckpoint()
-      val capsRow = nodesOw.agg(count(lit(1)), max("mw"), max("ow")).head()
-      val n = capsRow.getLong(0)
-      val nodes = nodesOw.select(col("node"), col("ow"))
-      val longSafe =
-        capsRow.getLong(1) <= 100000000L && capsRow.getLong(2) <= 92000000000000000L
-      val contribC =
-        if (longSafe) expr("r * 85 * w div (ow * 100)")
-        else expr("CAST(r AS DECIMAL(38,0)) * 85 * w div (CAST(ow AS DECIMAL(38,0)) * 100)")
-      val init = 1000000000L / n
-      val base = 150000000L / n
-      var ranks = nodes.withColumn("r", lit(init))
-      for (i <- 1 to 8) {
-        val contrib = edgesRaw.join(ranks, col("s") === col("node"))
-          .select(col("t"), contribC.as("c"))
-          .groupBy(col("t").as("node")).agg(sum("c").as("sm"))
-        val next = nodes.join(contrib, Seq("node"), "left_outer")
-          .select(col("node"), col("ow"),
-            (lit(base) + coalesce(col("sm"), lit(0L))).as("r"))
-        ranks = if (false) next.localCheckpoint() else next
-      }
-      ranks.select(col("node").as("l_partkey"), col("r").as("rank_ppb"),
-        graft.ops.Recon.ratioRound(col("r"), lit(1000000000L), 6).as("rank"))
-        .orderBy(desc("rank_ppb"), col("l_partkey")).limit(20)
-    }))
+  private val variants: Map[String, (SparkSession, String) => DataFrame] = Map()
 
 
   def main(args: Array[String]): Unit = {
